@@ -1,0 +1,44 @@
+"""Every SQL-expressible catalog query must match its DuckDB oracle.
+
+This is a local replica of the driver's t2 correctness gate, run at
+sf0.001 for speed (the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finance_reporting_etl_spark.queries import CATALOG
+from tests.conftest import SF_SMOKE
+from tests.oracle_util import assert_matches_oracle
+
+ORACLE_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    entry = CATALOG[name]
+    df = entry.fn(spark, SF_SMOKE)
+    assert_matches_oracle(df, duck, entry.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    entry = CATALOG[name]
+    df = entry.fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    # deterministic: run twice, same rows
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, entry.fn(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ep
+
+    df = ep.entry(spark)
+    assert df.count() > 0
+    names = set(ep.queries())
+    oracles = set(ep.oracle_sql())
+    assert oracles <= names
