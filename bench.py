@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the catalog's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). Sessions are warmed with a trivial action first so JVM
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finance_reporting_etl_spark.queries import CATALOG  # noqa: E402
+from finance_reporting_etl_spark.session import get_spark  # noqa: E402
+
+# Headliners: the reference-parity marts, the TPC-H-shaped joins/aggs,
+# and each extension-operator family at its most expensive.
+HEADLINE = [
+    "mart_financial_summary",
+    "mart_financial_kpis",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "regional_revenue",
+    "pivot_by_report_type",
+    "hourly_event_rollup",
+    "sessionize_events",
+    "merge_latest_per_key",
+    "monthly_trend_mom",
+    "text_stats",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "similarity_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        entry = CATALOG[name]
+        t0 = time.perf_counter()
+        entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Text-analysis column expressions for the LLM-data-pipeline extension.
+
+All pure Catalyst expressions (no UDFs): tokenization, token/char stats,
+quality scoring, n-gram heuristic language ID, and document
+fingerprinting. Designed so each has an exact ANSI-SQL twin runnable by
+DuckDB (md5, regexp, string splitting are available in both), keeping
+every operator on the driver's strong correctness gate.
+
+At 100 TB these are embarrassingly parallel map-side expressions —
+no shuffle, full whole-stage codegen, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-ish tokenizer: runs of letters, runs of digits, or single other
+# non-space symbols — a BPE-ish pre-tokenization both Java regex and
+# DuckDB's RE2 interpret identically.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Split on whitespace runs after trim -> array<string>."""
+    return F.split(F.trim(_c(text)), "\\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of TOKEN_PATTERN matches — a tokenizer-free LLM token proxy."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def avg_token_length(text: Column | str, scale: int = 4) -> Column:
+    """Mean whitespace-token length; NULL-safe on empty text."""
+    toks = whitespace_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.nullif(F.size(toks), F.lit(0)), scale)
+
+
+def punct_ratio(text: Column | str, scale: int = 4) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _c(text)
+    stripped = F.regexp_replace(t, "[A-Za-z0-9\\s]", "")
+    return F.round(F.length(stripped) / F.nullif(F.length(t), F.lit(0)), scale)
+
+
+def digit_ratio(text: Column | str, scale: int = 4) -> Column:
+    t = _c(text)
+    digits = F.regexp_replace(t, "[^0-9]", "")
+    return F.round(F.length(digits) / F.nullif(F.length(t), F.lit(0)), scale)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...], scale: int = 4) -> Column:
+    """Fraction of whitespace tokens that are in the stopword list."""
+    toks = whitespace_tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.round(hits / F.nullif(F.size(toks), F.lit(0)), scale)
+
+
+def quality_score(text: Column | str, scale: int = 4) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    penalizes punctuation/digit noise. Deterministic, SQL-expressible."""
+    t = _c(text)
+    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    noise_term = punct_ratio(t, 6) + digit_ratio(t, 6)
+    return F.round(
+        F.greatest(F.lit(0.0), length_term * (F.lit(1.0) - F.least(noise_term, F.lit(1.0)))),
+        scale,
+    )
+
+
+# --- language ID -----------------------------------------------------------
+
+# Tiny per-language marker lexicons (public-knowledge function words).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def language_guess(text: Column | str) -> Column:
+    """Marker-word-count language ID over LANG_MARKERS; ties broken by
+    language code order, 'und' when nothing matches. Expressible as the
+    same CASE/greatest cascade in ANSI SQL."""
+    toks = whitespace_tokens(text)
+    hits = {lang: _marker_hits(toks, ms) for lang, ms in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, "und")
+    for lang in sorted(hits):  # first max wins -> deterministic ties
+        expr = expr.when(hits[lang] == best, lang)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-
+    collapsed text. md5 is identical in Spark and DuckDB -> exact oracle."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), "\\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,261 @@
+"""Deduplication operators (BASELINE extension X1/X2).
+
+Four strategies, increasing fuzziness; every hot path is built-in
+Catalyst expressions (hashing, higher-order array functions), so the
+work stays JVM-side with map-side partial aggregation — the properties
+that matter at 100 TB:
+
+- exact_dedup:      hash-groupBy on normalized content; one shuffle on
+                    the dedup key, AQE-coalesced.
+- minhash_lsh:      shingle -> k minhashes -> band -> bucket self-join.
+                    Candidate generation touches only same-bucket pairs
+                    (no O(n^2) cross join); buckets are the shuffle key.
+- simhash:          64-bit sign-aggregated token hashes; near-dup pairs
+                    via pigeonhole chunk blocking (hamming<=3 => one of
+                    4 16-bit chunks equal).
+- ngram_jaccard:    exact token-set Jaccard on blocked candidate pairs
+                    (the verify step LSH methods feed into).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from finance_reporting_etl_spark.functions.text import fingerprint, whitespace_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text, lowest id wins.
+
+    ``row_number`` over the fingerprint rather than ``dropDuplicates``
+    so the survivor is deterministic (dropDuplicates keeps an arbitrary
+    row). One shuffle on the 128-bit fingerprint — uniform keys, no skew.
+    """
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+def token_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct n-token shingles as array<string> (word n-grams)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
+    """k independent minhashes: min over xxhash64(shingle, seed=i)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the minhash signature.
+
+    rows(bands) x rows-per-band(num_hashes/bands) banding; each band
+    hashes to a bucket key, buckets self-join. The shuffle key is
+    (band_idx, band_hash): uniformly distributed, so no skew; the
+    self-join per bucket is quadratic only in bucket size, which LSH
+    keeps tiny. Returns distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs (X2 verify step).
+
+    ``block_cols`` restricts the pair space (e.g. same lang) — the
+    blocking pattern that keeps exact verification feasible at scale.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(whitespace_tokens(F.lower(F.col(text_col)))).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # lossless size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
+    # pair with a distinct-token-count ratio below the threshold can't
+    # reach it — prunes before the expensive intersect/union.
+    cond = (
+        cond
+        & (F.col("b.n_toks") >= F.ceil(F.col("a.n_toks") * F.lit(threshold)))
+        & (F.col("a.n_toks") >= F.ceil(F.col("b.n_toks") * F.lit(threshold)))
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, scale).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: LSH candidates -> exact shingle-set
+    Jaccard verify. Deterministic (fixed hash seeds, exact verify)."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    return (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sa"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, per-bit +/-1 vote, sign -> bit.
+
+    Explode + single groupBy(id): one shuffle, 64 map-side-combinable
+    SUMs. Returns (id, simhash long).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(whitespace_tokens(F.lower(F.col(text_col))))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: with 4 16-bit chunks, any pair within hamming 3
+    shares at least one exact chunk -> candidates come from 4 equi-joins
+    on chunk value (shuffle-friendly), then exact hamming verify via
+    bit_count(xor).
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    per_chunk = [
+        a.join(b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.id") < F.col("b.id"))).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        for i in range(4)
+    ]
+    cands = reduce(lambda x, y: x.unionByName(y), per_chunk).distinct()
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

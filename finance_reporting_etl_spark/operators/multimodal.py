@@ -1,0 +1,141 @@
+"""Multimodal column plumbing (BASELINE extension X5).
+
+Images/audio/video ride as opaque ``binary`` columns beside a typed
+metadata struct. The Spark-side machinery is real — schema, Arrow batch
+shape, ``mapInPandas`` signature, partitioning — while the actual media
+decode is stubbed (codec libraries are not in this container): the
+default extractor is a deterministic fake; a real one drops in with the
+same signature.
+
+Scale notes: media blobs make rows wide, so the decode stage uses
+``mapInPandas`` (per-partition Arrow batches, no shuffle), and
+``spark.sql.files.maxPartitionBytes`` bounds task size. Feature vectors
+come back as ``array<float>`` ready for operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def bundle_document(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """X5 struct bundling: text + embedding + metadata in one row.
+
+    Join key doc_id = vec_id; embedding side is small relative to media
+    payloads, so an AQE broadcast applies at fixture scale while a
+    shuffle join takes over at 100 TB (both correct, Catalyst decides).
+    """
+    e = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding", "label")
+    joined = docs.join(e, "doc_id")
+    return joined.select(
+        "doc_id",
+        F.struct(
+            F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("document"),
+        F.struct(F.col("embedding"), F.col("label")).alias("vector"),
+    )
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media column: payload = utf-8 of the text head
+    (stands in for encoded bytes), metadata derived from doc fields."""
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def default_feature_extractor(payload: bytes, media_type: str) -> list[float]:
+    """STUB decode/feature-extract. A real implementation would decode
+    ``payload`` with PIL/librosa/ffmpeg (not installed here) and emit a
+    model feature vector. The fake is deterministic: byte histogram
+    folded to 8 dims, so the full pipeline is testable end-to-end."""
+    if payload is None:
+        return [0.0] * 8
+    feats = [0.0] * 8
+    for i, b in enumerate(payload):
+        feats[i % 8] += float(b)
+    total = sum(feats) or 1.0
+    return [round(f / total, 6) for f in feats]
+
+
+def extract_features(
+    media: DataFrame,
+    extractor: Callable[[bytes, str], list[float]] = default_feature_extractor,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Decode/feature-extract stage as mapInPandas (Arrow batches).
+
+    Raising ``NotImplementedError`` inside a real extractor for an
+    unsupported codec fails the task, not the plan — wrap per-row if
+    partial success is wanted.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": [
+                        extractor(p, m)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage — STUB: real decode isn't available, so this
+    validates plumbing by rewriting metadata only. Signature and batch
+    shape match what a PIL-backed version would use."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.format").alias("format"),
+        ),
+    )

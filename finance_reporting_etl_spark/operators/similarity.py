@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (BASELINE extension X3).
+
+- ``brute_force_topk``: exact cosine top-k. The query side is tiny and
+  broadcast; candidates stream map-side, and per-query top-k is a
+  window over (query, score). At 100 TB the scan dominates — no
+  shuffle of the candidate table, only of the (n_queries x n_candidates)
+  scored pairs, bounded by broadcasting queries and pre-filtering.
+- ``hyperplane_lsh_topk``: the scale path. Deterministic random
+  hyperplanes (seeded numpy, shipped as literals) bucket vectors by
+  sign pattern; top-k runs within each bucket only. Probe multiple
+  bucket permutations for recall if needed.
+
+Scores accumulate in float64 via built-in higher-order functions
+(functions/vectors.py) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from finance_reporting_etl_spark.functions.vectors import as_double_array, cosine
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Deterministic tie-break: (score DESC, neighbor id ASC).
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (public LSH construction)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-pattern bucket id: bit p = [dot(v, plane_p) >= 0]."""
+    v = as_double_array(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        weights = F.array(*[F.lit(float(w)) for w in plane])
+        d = F.aggregate(
+            F.zip_with(v, weights, lambda x, wgt: x * wgt), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Each of ``n_tables`` hash tables assigns a 2^n_planes bucket; a
+    candidate is scored if it shares a bucket with the query in ANY
+    table (recall ~= 1-(1-p^k)^L for per-plane collision prob p). The
+    join key is (table, bucket) — the cross-bucket pair space never
+    materializes, so cost scales with bucket occupancy, not n^2. Tuning:
+    more planes -> smaller buckets (cheaper, lower recall); more tables
+    -> higher recall (linear cost in L). Benchmarked against brute
+    force for recall in tests.
+    """
+    tables = [
+        (t, _hyperplanes(dim, n_planes, seed + 1000 * t)) for t in range(n_tables)
+    ]
+    buckets = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), signature_col(vec_col, planes).alias("bucket")
+                    )
+                    for t, planes in tables
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    q = buckets.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "tbl", "bucket"
+    )
+    c = buckets.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "tbl", "bucket"
+    )
+    cands = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+    )
+    scored = cands.withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -255,3 +255,484 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates & windows: rollups, sessionization, trend KPIs, TPC-H-ish bench
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hourly_event_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "S9,A1,streaming-batch (hypertable rollup, README.md:268)",
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.streaming.rollup import time_bucket_rollup
+
+    return time_bucket_rollup(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """,
+    "streaming session windows (batch session_window)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.streaming.rollup import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "monthly_trend_mom",
+    """
+    WITH m AS (
+        SELECT event_type AS series_id,
+               date_trunc('month', ts) AS month,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT series_id, month, avg_value,
+           round(avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month), 6)
+               AS mom_change
+    FROM m
+    """,
+    "[X] window trend KPI (SURVEY §2.5: lag over partitioned time order)",
+)
+def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    m = events.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("month", "ts").alias("month"),
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    w = Window.partitionBy("series_id").orderBy("month")
+    return m.select(
+        "series_id",
+        "month",
+        "avg_value",
+        F.round(F.col("avg_value") - F.lag("avg_value").over(w), 6).alias("mom_change"),
+    )
+
+
+@query(
+    "merge_latest_per_key",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    "O5 incremental merge: latest row per business key (README.md:558)",
+)
+def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.incremental import merge_latest
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    return merge_latest(events, ["user_id", "event_type"], "ts", "event_id")
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1,P1,P3 bench headliner (TPC-H Q1 shape)",
+)
+def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority, rnk
+    FROM (
+        SELECT l.l_orderkey AS o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate, o.o_orderpriority,
+               row_number() OVER (
+                   ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
+                            l.l_orderkey ASC) AS rnk
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ) WHERE rnk <= 20
+    """,
+    "J1,A1 bench (TPC-H Q3 shape, deterministic top-k)",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk")
+    )
+
+
+@query(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    "J1,A1 bench (TPC-H Q5 shape, broadcast dims)",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [X] extensions: text analysis, dedup, similarity search, multimodal
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))                          AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
+           length(text)                                                         AS n_chars_calc,
+           round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                         t -> length(t)))
+                 / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 4)   AS avg_token_len,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0), 4)                                  AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0), 4)                                  AS digit_ratio
+    FROM documents
+    """,
+    "X4 text analysis: token/char stats",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").cast("long").alias("n_tokens_bpe"),
+        TX.char_count("text").cast("long").alias("n_chars_calc"),
+        TX.avg_token_length("text").alias("avg_token_len"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.digit_ratio("text").alias("digit_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    from finance_reporting_etl_spark.functions.text import LANG_MARKERS
+
+    hit_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t))) AS h_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {', '.join(hit_exprs)} FROM documents)
+    SELECT doc_id, lang, {case} AS lang_guess FROM h
+    """
+
+
+@query("language_id", _lang_oracle(), "X4 text analysis: n-gram/marker language ID")
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions.text import language_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_guess("text").alias("lang_guess"))
+
+
+@query(
+    "quality_scores",
+    """
+    SELECT doc_id,
+           round(greatest(0.0,
+               least(length(text) / 500.0, 1.0)
+               * (1.0 - least(
+                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0), 6)
+                   + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0), 6),
+                   1.0))), 4) AS quality
+    FROM documents
+    """,
+    "X4 text analysis: heuristic quality score",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    "X4 text analysis: content fingerprint (md5 of normalized text)",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    "X1 exact dedup (deterministic survivor)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
+                     4) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    "X2 n-gram Jaccard near-dup (blocked exact verify)",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.5)
+
+
+@query(
+    "minhash_lsh_near_dup",
+    None,  # LSH banding is not SQL-expressible; rows-only check
+    "X2 MinHash-LSH near-dup (shingle -> minhash -> band -> verify)",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5)
+
+
+@query(
+    "simhash_near_dup",
+    None,  # 64-bit xxhash64 simhash has no DuckDB twin; rows-only check
+    "X2 SimHash near-dup (bit-vote fingerprint, pigeonhole blocking)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+@query(
+    "similarity_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0),
+                     6) AS score
+        FROM c, q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    "X3 similarity search: brute-force cosine top-k",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_lsh_topk",
+    None,  # hyperplane bucketing is seeded-numpy literals; rows-only check
+    "X3 similarity search: hyperplane-LSH ANN (scale path)",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_topk(emb, [0, 1, 2, 3, 4], k=10, n_planes=4, n_tables=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "multimodal_bundle",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dim, e.label
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    "X5 multimodal: typed struct bundle (flat projection for oracle)",
+)
+def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.multimodal import bundle_document
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    b = bundle_document(docs, emb)
+    return b.select(
+        "doc_id",
+        F.col("document.lang").alias("lang"),
+        F.col("document.n_chars").alias("n_chars"),
+        F.size("vector.embedding").cast("long").alias("dim"),
+        F.col("vector.label").alias("label"),
+    )
+
+
+@query(
+    "media_feature_extract",
+    None,  # decode stub is Python-side (mapInPandas); rows-only check
+    "X5 multimodal: binary payload -> feature vector via mapInPandas",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))

@@ -1,0 +1,99 @@
+"""Hypertable-style time rollups (SURVEY §2.1 S9, §2.8).
+
+The reference's TimescaleDB hypertable (README.md:268) is time
+partitioning, and its cadence is daily batch — so the core rollup is a
+**batch** ``F.window`` aggregation. ``streaming_rollup`` offers the
+Structured Streaming ``Trigger.AvailableNow`` upgrade: the same logical
+aggregation over a file stream with a watermark, emulating the daily
+append without a long-running job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window aggregate (batch mode): count + sum + avg per
+    bucket x group. ``F.window`` works identically in batch and
+    streaming, so this is the shared logical plan."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value", "avg_value")
+    )
+
+
+def streaming_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_table: str = "rollup_stream",
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+):
+    """AvailableNow streaming version: processes everything currently in
+    ``source_dir`` then stops — the daily-append cadence as a restartable
+    incremental job. Watermark bounds state for late data; 'complete'
+    output mode is fine for rollup tables that are re-read wholesale.
+
+    Returns the StreamingQuery; caller awaits termination then reads
+    ``spark.table(output_table)``.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(output_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows (gap-based) in batch mode via session_window —
+    the stateful-operator shape Structured Streaming would use
+    (applyInPandasWithState is the custom-logic escape hatch)."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(value_col), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,110 @@
+"""Ingest surface: JSON flatten (FRED / Alpha Vantage shapes), CSV
+round-trip, REST shim with injected fetcher + rate limiter."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from finance_reporting_etl_spark.sources import csv_source, json_source, rest, schemas
+
+FRED_PAYLOAD = {
+    "observations": [
+        {"realtime_start": "2024-01-01", "realtime_end": "2024-01-01", "date": "2023-01-01", "value": "26500.0"},
+        {"realtime_start": "2024-01-01", "realtime_end": "2024-01-01", "date": "2023-04-01", "value": "."},
+        {"realtime_start": "2024-01-01", "realtime_end": "2024-01-01", "date": "2023-07-01", "value": "27000.5"},
+    ]
+}
+
+AV_PAYLOAD = {
+    "symbol": "AAPL",
+    "annualReports": [
+        {"fiscalDateEnding": "2023-09-30", "reportedCurrency": "USD", "totalRevenue": "383285000000", "grossProfit": "169148000000"},
+        {"fiscalDateEnding": "2022-09-30", "reportedCurrency": "USD", "totalRevenue": "394328000000", "grossProfit": "170782000000"},
+    ],
+}
+
+
+def test_fred_flatten(spark, tmp_path):
+    p = tmp_path / "gdp_data.json"
+    p.write_text(json.dumps(FRED_PAYLOAD))
+    df = json_source.flatten_observations(json_source.read_json(spark, str(p)))
+    rows = {str(r["observation_date"]): r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["2023-01-01"]["value"] == 26500.0
+    assert rows["2023-04-01"]["value"] is None  # '.' placeholder -> NULL (A3)
+    assert rows["2023-04-01"]["value_raw"] == "."
+
+
+def test_annual_reports_flatten(spark, tmp_path):
+    p = tmp_path / "av.json"
+    p.write_text(json.dumps(AV_PAYLOAD))
+    df = json_source.flatten_annual_reports(
+        json_source.read_json(spark, str(p)), symbol="AAPL", report_type="income_statement"
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    r = {str(x["fiscal_date"]): x for x in rows}["2023-09-30"]
+    assert r["symbol"] == "AAPL" and r["report_type"] == "income_statement"
+    assert r["currency"] == "USD"
+    assert float(r["total_revenue"]) == 383285000000.0  # DECIMAL(18,2) per DDL
+
+
+def test_csv_round_trip_partitioned(spark, tmp_path):
+    p = tmp_path / "staged"
+    src = spark.createDataFrame(
+        [("AAPL", "income_statement", 1.5), ("MSFT", "balance_sheet", 2.5)],
+        "symbol string, report_type string, v double",
+    )
+    csv_source.write_csv_staged(src, str(p), partition_cols=["symbol", "report_type"])
+    back = csv_source.read_csv(spark, str(p))
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in src.collect()
+    }
+
+
+def test_bulk_load_append(spark, tmp_path):
+    csv_dir = tmp_path / "csv"
+    table = tmp_path / "table"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    csv_source.write_csv_staged(df, str(csv_dir))
+    csv_source.bulk_load_csv(spark, str(csv_dir), str(table))
+    out = csv_source.bulk_load_csv(spark, str(csv_dir), str(table))  # append again
+    assert out.count() == 4  # append mode ≙ daily re-load into raw table
+
+
+def test_rest_fetch_with_rate_limit():
+    calls = []
+    sleeps = []
+    clock = iter(range(100))
+    limiter = rest.RateLimiter(
+        min_interval=15.0, max_calls=3, clock=lambda: float(next(clock)), sleep=sleeps.append
+    )
+    out = rest.fetch_statements(
+        lambda url: {"url": url},
+        "https://api.example/query",
+        companies=["AAPL"],
+        report_types=["income_statement", "balance_sheet", "cash_flow"],
+        limiter=limiter,
+    )
+    assert len(out) == 3
+    assert all(s == pytest.approx(14.0) for s in sleeps)  # 15s cadence (README.md:369)
+    assert "INCOME_STATEMENT" in out[0][2]["url"]
+    with pytest.raises(RuntimeError):  # 4th call exceeds budget
+        limiter.wait()
+
+
+def test_payloads_to_df(spark):
+    df = rest.payloads_to_df(spark, [FRED_PAYLOAD])
+    flat = json_source.flatten_observations(df)
+    assert flat.count() == 3
+
+
+def test_create_table_and_ingest_ts(spark, tmp_path):
+    t = schemas.create_table(spark, "raw_fin", schemas.RAW_FINANCIAL_DATA_SCHEMA)
+    assert spark.table("raw_fin").count() == 0
+    assert [f.name for f in t.schema.fields] == ["series_id", "observation_date", "value"]
+    df = spark.createDataFrame([("GDP", None, "1.0")], schemas.RAW_FINANCIAL_DATA_SCHEMA)
+    stamped = schemas.with_ingest_timestamp(df)
+    assert stamped.filter("created_at IS NULL").count() == 0
