@@ -119,3 +119,23 @@ def fingerprint(text: Column | str) -> Column:
     collapsed text. md5 is identical in Spark and DuckDB -> exact oracle."""
     norm = F.regexp_replace(F.lower(F.trim(_c(text))), "\\s+", " ")
     return F.md5(norm)
+
+
+# Rolling-hash parameters: classic polynomial hash, modulus 2^31-1 keeps
+# every intermediate (< 2^38) inside signed-64 range in any engine.
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Polynomial rolling hash over the characters of normalized text:
+    ``h = (h * B + code(ch)) mod P``. Pure integer arithmetic -> exact
+    cross-engine parity (DuckDB twin uses list_reduce with the same
+    constants). Character codes via ascii() (first byte/codepoint)."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), "\\s+", " ")
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )

@@ -259,3 +259,99 @@ def simhash_near_dup_pairs(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- embedding-cosine near-dup (X2 family, vector variant) -----------------
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact blocked cosine near-dup pairs: (id_a < id_b, score >= t).
+
+    Brute force within blocks — the correctness baseline / verify step.
+    ``block_col`` bounds the pair space (e.g. a coarse cluster id or
+    label); without it this is O(n^2) and only for small n or oracles.
+    """
+    from finance_reporting_etl_spark.functions.vectors import cosine
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    t = embeddings.select(*cols)
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("score", F.round(cosine(F.col("a.v"), F.col("b.v")), scale))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "score")
+    )
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH candidate pairs -> exact cosine verify.
+
+    Mirrors minhash_near_dup_pairs' candidate->verify shape: the pair
+    space is bucket-local (shuffle key = (table, bucket)), then every
+    candidate is scored exactly. Recall follows the multi-table union
+    bound; precision is exact.
+    """
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.similarity import _hyperplanes, signature_col
+
+    buckets = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        signature_col(vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.tbl", "tb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("score", F.round(cosine("va", "vb"), scale))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

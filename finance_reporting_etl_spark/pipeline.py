@@ -1,0 +1,69 @@
+"""End-to-end pipeline runner — the engine's analog of the reference DAG.
+
+Reference chain (dags/etl_dag.py:6-22 + README.md:216-288):
+``extract_financial_data >> create_raw_table >> load_to_timescale >>
+run_dbt_transformations``, scheduled daily with retries. Airflow's
+process boundaries (worker fork, psycopg2, S3 HTTP, docker exec)
+collapse into one Spark driver: stages are function calls in dependency
+order; retries/scheduling belong to whatever invokes ``run_pipeline``
+(cron, Airflow, anything) — the engine is scheduler-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finance_reporting_etl_spark.plans.models import registry
+from finance_reporting_etl_spark.sources.json_source import flatten_observations
+from finance_reporting_etl_spark.sources.rest import payloads_to_df
+from finance_reporting_etl_spark.sources.schemas import with_ingest_timestamp
+from finance_reporting_etl_spark.tables import load_tables
+
+# Offline default: a canned FRED-shaped payload (fetch_data.py:11-14's
+# GDP series). Real deployments inject fetch_payloads that hits the API.
+CANNED_FRED_PAYLOAD = {
+    "observations": [
+        {"date": "2023-01-01", "value": "26500.0"},
+        {"date": "2023-04-01", "value": "."},
+        {"date": "2023-07-01", "value": "27000.5"},
+        {"date": "2023-10-01", "value": "27600.25"},
+    ]
+}
+
+
+@dataclass
+class PipelineResult:
+    raw_observations: DataFrame
+    marts: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str | None = None,
+    fetch_payloads: Callable[[], list[dict]] | None = None,
+) -> PipelineResult:
+    """extract -> create/load raw -> transform (dbt-run analog).
+
+    1. extract: REST payloads (injected or canned) -> JSON parse ->
+       flatten -> ingest-timestamped raw observations (S1-S4, P4).
+    2. load: fixture tables stand in for the warehouse's raw zone
+       (S7/S10); registered as views so spark.sql sees them.
+    3. transform: model registry builds staging views + mart tables in
+       ref order (O3); marts persist under ``warehouse_dir`` when given
+       and stay queryable via spark.sql (entry point 3).
+    """
+    payloads = fetch_payloads() if fetch_payloads else [CANNED_FRED_PAYLOAD]
+    raw = payloads_to_df(spark, payloads)
+    observations = with_ingest_timestamp(flatten_observations(raw))
+    observations.createOrReplaceTempView("raw_observations")
+
+    sources = load_tables(spark, sf_dir)
+    for name, df in sources.items():
+        df.createOrReplaceTempView(name)
+
+    marts = registry.run(spark, sources, warehouse_dir=warehouse_dir)
+    return PipelineResult(raw_observations=observations, marts=marts)

@@ -736,3 +736,61 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(docs))
+
+
+@query(
+    "rolling_hash_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS rhash
+    FROM documents
+    """,
+    "X4 text analysis: polynomial rolling-hash fingerprint",
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+@query(
+    "embedding_cosine_dups",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                 6) AS score
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                6) >= 0.4
+    """,
+    "X2 embedding-cosine near-dup (blocked exact)",
+)
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4, block_col="label")
+
+
+@query(
+    "lsh_embedding_cosine_dups",
+    None,  # hyperplane-LSH candidate pruning; rows-only check
+    "X2 embedding-cosine near-dup at scale (LSH candidates -> exact verify)",
+)
+def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.dedup import lsh_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(emb, threshold=0.4)

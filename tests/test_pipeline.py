@@ -1,0 +1,26 @@
+"""End-to-end pipeline run — entry-point-1 parity (DAG chain collapse)."""
+
+from __future__ import annotations
+
+from finance_reporting_etl_spark.pipeline import run_pipeline
+
+
+def test_run_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    result = run_pipeline(spark, sf_dir, warehouse_dir=str(tmp_path))
+    # extract: canned FRED payload flattened + timestamped
+    obs = result.raw_observations
+    assert obs.count() == 4
+    assert obs.filter("value IS NULL").count() == 1  # '.' -> NULL
+    assert obs.filter("created_at IS NULL").count() == 0
+    # transform: marts built and queryable via spark.sql (EP3 parity)
+    assert spark.sql("SELECT * FROM mart_financial_summary").count() > 0
+    assert spark.sql("SELECT * FROM mart_financial_kpis").count() > 0
+    assert (tmp_path / "mart_financial_summary").exists()
+    # staging views resolve too
+    assert spark.sql("SELECT * FROM stg_financial_data LIMIT 1").count() == 1
+
+
+def test_pipeline_injected_fetcher(spark, sf_dir):
+    payload = {"observations": [{"date": "2024-01-01", "value": "1.5"}]}
+    result = run_pipeline(spark, sf_dir, fetch_payloads=lambda: [payload])
+    assert result.raw_observations.count() == 1
