@@ -45,6 +45,9 @@ HEADLINE = [
     "simhash_near_dup",
     "similarity_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "regional_rollup",
+    "distinct_daily_users",
 ]
 
 

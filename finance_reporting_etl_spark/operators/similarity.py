@@ -17,6 +17,7 @@ Scores accumulate in float64 via built-in higher-order functions
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -126,6 +127,91 @@ def hyperplane_lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+    )
+    scored = cands.withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def _centroids(n_cells: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm Gaussian centroids (data-independent
+    coarse quantizer — the fixed-codebook IVF variant; a k-means
+    codebook is a drop-in replacement when training is worth it)."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized Arrow UDF: batch of vectors -> top-nprobe nearest
+    cells by dot product with the unit-norm centroids (argmax of
+    cosine; the per-row norm is constant across cells so plain dot
+    ranks identically). numpy matmul over the whole Arrow batch — the
+    per-row higher-order-function alternative evaluates interpreted
+    and was measured orders slower for matrix work.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (B, dim)
+        scores = m @ centroids.T  # (B, n_cells)
+        top = np.argsort(-scores, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    return assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF-flat).
+
+    Candidates live in their single nearest cell; each query probes its
+    ``nprobe`` nearest cells. The join key is the cell id, so the pair
+    space is bucket-local (never n^2) and the shuffle partitions by
+    cell. At 100 TB the candidate side is written partitioned by cell
+    once and re-probed many times — the classic IVF read-amortization.
+    Recall rises with nprobe (queries probe more cells), cost with
+    n_cells (smaller cells, more of them).
+
+    Exact cosine + deterministic (score DESC, id ASC) top-k inside the
+    probed set; Arrow-vectorized numpy for the quantizer, built-in
+    Catalyst expressions everywhere else.
+    """
+    cents = _centroids(n_cells, dim, seed)
+    c = spread(embeddings).withColumn(
+        "cell", F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1)
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .withColumn("cells", _cell_assign_udf(cents, nprobe)(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
     )
     scored = cands.withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

@@ -794,3 +794,128 @@ def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(emb, threshold=0.4)
+
+
+@query(
+    "ann_ivf_topk",
+    None,  # approximate by design; rows-only check + recall test vs brute force
+    "X3 similarity search at scale: IVF-flat ANN (Arrow-vectorized quantizer)",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# A-tier breadth: multi-dim aggregates, distinct aggs, set ops, windows.
+# Not declared by the reference (SURVEY §2.4/§2.6 note their absence) but
+# one-liners in Spark; included so the engine covers the standard
+# warehouse surface a Metabase-style consumer (entry point 3) would issue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regional_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "A-tier: ROLLUP hierarchy totals (region -> nation -> grand total)",
+)
+def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+    )
+
+
+@query(
+    "distinct_daily_users",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_event_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    "A-tier: COUNT(DISTINCT) per group (exact; approx_count_distinct is the scale path)",
+)
+def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "customer_segments_setops",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+         open_ AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM open_)
+    UNION ALL
+    SELECT 'finished_only' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM open_)
+    UNION ALL
+    SELECT 'open_only' AS segment, count(*) AS n FROM (SELECT custkey FROM open_ EXCEPT SELECT custkey FROM buyers)
+    """,
+    "A-tier set ops: INTERSECT / EXCEPT / UNION ALL over order-status segments",
+)
+def q_customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    buyers = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")).distinct()
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")).distinct()
+    both = buyers.intersect(open_).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("segment"), "n"
+    )
+    fin = buyers.exceptAll(open_).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("finished_only").alias("segment"), "n"
+    )
+    op = open_.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("open_only").alias("segment"), "n"
+    )
+    return both.unionByName(fin).unionByName(op)
+
+
+@query(
+    "cumulative_monthly_revenue",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+    FROM m
+    """,
+    "§2.5-adjacent: running-total window (trend KPI tier)",
+)
+def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return m.select("month", "revenue", F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"))

@@ -90,6 +90,25 @@ def test_lsh_ann_recall_vs_brute_force(emb):
     assert recall > 0.3, f"LSH recall suspiciously low: {recall}"
 
 
+def test_ivf_ann_recall_vs_brute_force(emb):
+    qids = list(range(10))
+    exact = similarity.brute_force_topk(emb, qids, k=5)
+    approx = similarity.ivf_topk(emb, qids, k=5, n_cells=16, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 4/16 cells; near neighbors concentrate in the query's top
+    # cells, so recall should clear a conservative floor
+    assert recall > 0.3, f"IVF recall suspiciously low: {recall}"
+    # every query returns exactly k ranked rows, self excluded
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert all(r.neighbor_id != q for r in rows)
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_merge_latest(spark):
     df = spark.createDataFrame(
         [(1, "a", 1, 10.0), (2, "a", 2, 20.0), (3, "b", 1, 30.0), (4, "a", 2, 40.0)],
