@@ -13,6 +13,8 @@ bucketing is the scale path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -38,3 +40,25 @@ def l2_norm(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity with zero-norm guard (NULL when either is 0)."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def cosine_arrow():
+    """Arrow-batched cosine for HIGH-VOLUME pair scoring (returns a
+    pandas_udf(double)). The Catalyst ``cosine`` above runs three
+    interpreted array passes per row (dot + two norms) — fine for
+    oracle-sized inputs, ~10x too slow for millions of LSH candidate
+    pairs. Zero-norm pairs -> NaN -> SQL NULL, matching the nullif
+    guard.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den == 0.0, np.nan, num / den))
+
+    return cos

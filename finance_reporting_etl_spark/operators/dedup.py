@@ -67,24 +67,22 @@ def hashed_shingle_rows(
     """(id, h) rows: one 31-bit hash per (doc, shingle) occurrence.
 
     Shingle strings are built with codegen'd slice/array_join
-    (token_shingles — measured fast), hashed ONCE each, and the hash
-    array is materialized as a column BEFORE explode. The materialize
-    step matters: referencing an unbound transform(...) expression from
-    another lambda re-evaluates the whole inner array per access —
-    Catalyst does no common-subexpression elimination inside
-    interpreted higher-order lambdas, which turns shingle hashing
-    O(T^2) per doc (measured 100x slower). Don't inline.
+    (token_shingles — measured fast), hashed ONCE each, and the hashed
+    array is exploded DIRECTLY — transform feeding explode in one
+    expression measured ~10x faster than staging the hash array in an
+    intermediate projection. Two earlier shapes to avoid: (a) indexed
+    F.get() against an unbound transform expression re-evaluates the
+    whole inner array per access (O(T^2)/doc); (b) an extra select
+    between transform and explode defeated the fused evaluation.
     """
-    return (
-        spread(df)
-        .select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("shs"))
-        .select(
-            "id",
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
             F.transform(
-                F.col("shs"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(SHINGLE_MOD))
-            ).alias("th"),
-        )
-        .select("id", F.explode("th").alias("h"))
+                token_shingles(text_col, shingle_n),
+                lambda sh: F.pmod(F.xxhash64(sh), F.lit(SHINGLE_MOD)),
+            )
+        ).alias("h"),
     )
 
 
@@ -426,49 +424,45 @@ def lsh_cosine_pairs(
 ) -> DataFrame:
     """Scale path: hyperplane-LSH candidate pairs -> exact cosine verify.
 
-    Mirrors minhash_near_dup_pairs' candidate->verify shape: the pair
-    space is bucket-local (shuffle key = (table, bucket)), then every
-    candidate is scored exactly. Recall follows the multi-table union
-    bound; precision is exact.
+    Shape (measured): the bucket self-join and pair dedup run on NARROW
+    (id, tbl, bucket) rows — with 2^n_planes buckets per table the raw
+    candidate multiset is large, and carrying the vectors through it
+    shuffles |cands| x 2 x dim floats (measured 2x slower end-to-end).
+    Vectors are joined back onto the DEDUPED pairs only (small side ->
+    AQE broadcasts it; at scale both joins are shuffle joins on uniform
+    id keys), then scored with the Arrow-batched cosine.
     """
-    from finance_reporting_etl_spark.functions.vectors import cosine
-    from finance_reporting_etl_spark.operators.similarity import _hyperplanes, signature_col
+    import numpy as np
 
-    buckets = spread(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        signature_col(vec_col, _hyperplanes(dim, n_planes, seed + 1000 * t)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "v", "tb.tbl", "tb.bucket")
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+    from finance_reporting_etl_spark.operators.similarity import _hyperplanes, bucket_udf
+
+    all_planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    udf = bucket_udf(all_planes)
+    buckets = (
+        spread(embeddings)
+        .select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks"))
+        .select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cos = cosine_arrow()
     return (
-        cands.withColumn("score", F.round(cosine("va", "vb"), scale))
+        pairs.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .withColumn("score", F.round(cos(F.col("va"), F.col("vb")), scale))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
