@@ -434,11 +434,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
+    # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-20, driver merge) — never a single-partition
+    # global window over the full aggregate. The rank window then runs
+    # on 20 rows only.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk"
     )
 
 
@@ -917,5 +920,45 @@ def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")).agg(
         F.round(F.sum("o_totalprice"), 4).alias("revenue")
     )
+    # global window is safe here: input cardinality = number of months
+    # (bounded by calendar time, not data volume), post-aggregation
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return m.select("month", "revenue", F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"))
+
+
+@query(
+    "streaming_hourly_rollup",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "§2.8 upgrade: Structured Streaming Trigger.AvailableNow rollup == batch oracle",
+)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the AvailableNow file-stream rollup to completion and returns
+    the materialized result — the streaming plan must reproduce the
+    batch/DuckDB answer exactly (watermark drops nothing in a bounded
+    replay)."""
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.rollup import streaming_rollup
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = f"{tmp}/src"
+    events.write.mode("overwrite").parquet(src)
+    name = f"rollup_stream_{uuid.uuid4().hex[:8]}"
+    q = streaming_rollup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+        output_table=name,
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
