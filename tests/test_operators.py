@@ -156,3 +156,53 @@ def test_multimodal_resize_stub(docs):
     out = multimodal.resize_stub(media, 224, 224)
     r = out.first()
     assert r.meta.width == 224 and r.meta.height == 224 and r.meta.format == "fake/raw"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from finance_reporting_etl_spark.operators import scale
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "cold")[: 1 + i % 2]],
+        "k string, v long",
+    )
+    right = spark.createDataFrame([("hot", 1.0), ("cold", 2.0), ("never", 3.0)], "k string, w double")
+    plain = left.join(right, ["k"], "inner")
+    salted = scale.salted_join(left, right, ["k"], n_salts=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched left rows exactly once
+    l2 = left.unionByName(spark.createDataFrame([("orphan", -1)], "k string, v long"))
+    plain_l = l2.join(right, ["k"], "left")
+    salted_l = scale.salted_join(l2, right, ["k"], n_salts=4, how="left")
+    assert sorted(map(lambda r: tuple(r), plain_l.collect())) == sorted(
+        map(lambda r: tuple(r), salted_l.collect())
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from finance_reporting_etl_spark.operators import scale
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    orders = _read_parquet(spark, f"{sf_dir}/orders.parquet")
+    li = _read_parquet(spark, f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_extendedprice")
+    try:
+        scale.write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"),
+            "bkt_orders",
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+        scale.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt_lineitem",
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+        joined = scale.bucketed_join(spark, "bkt_orders", "bkt_lineitem", ["o_orderkey"])
+        scale.assert_no_shuffle_join(joined)  # co-located: zero Exchange
+        expect = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
