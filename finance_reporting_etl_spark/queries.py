@@ -962,3 +962,68 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "corpus_clean",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               round(greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0), 6)
+                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0), 6),
+                       1.0))), 4) AS quality,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE quality >= 0.3
+    )
+    SELECT doc_id, lang, source, quality FROM deduped WHERE rn = 1
+    """,
+    "X1+X4 end-to-end training-data cleaning: quality gate -> exact dedup",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: score -> filter -> dedup.
+    Each stage is the already-verified operator; the composition stays
+    one Catalyst plan (filter pushes below the dedup window)."""
+    from finance_reporting_etl_spark.functions.text import quality_score
+    from finance_reporting_etl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", quality_score("text")).filter(F.col("quality") >= 0.3)
+    return exact_dedup(scored, "text", "doc_id").select("doc_id", "lang", "source", "quality")
+
+
+@query(
+    "corpus_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+           round(quantile_cont(length(text), 0.9), 4) AS p90_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    "X4 corpus profiling: per-language counts + exact percentiles",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.percentile(F.length("text"), F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile(F.length("text"), F.lit(0.9)), 4).alias("p90_chars"),
+    )
