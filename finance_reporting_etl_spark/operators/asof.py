@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join — the finance lookup Spark lacks natively.
+
+"For each left row at time t, attach the latest right row with
+ts <= t (same key)": price-at-trade-time, statement-at-valuation-date,
+rate-at-booking. The reference delegates all SQL to Postgres and never
+declares one, but any consumer of its marts doing point-in-time
+analysis needs it, and the driver mandate lists it as a canonical
+custom operator.
+
+Implementation: the UNION + carry-forward formulation, not a range
+join —
+
+    tag right rows 0 / left rows 1, union, then over a window
+    partitioned by key and ordered by (ts, tag, tiebreak) take
+    ``last(right_payload, ignorenulls=True)``; keep left rows.
+
+Cost is ONE shuffle on the join key + a per-key sort — the same price
+as a regular sort-merge join — versus the O(|left| x |right-per-key|)
+blowup of the naive ``l.ts >= r.ts`` theta-join that a range condition
+plans as. Backward direction, inclusive (ties: right row at exactly
+ts is visible), matching DuckDB's ``ASOF JOIN`` used as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join (left rows keep NULLs when no prior
+    right row exists — left-outer semantics).
+
+    ``right_cols`` limits the attached payload (column pruning through
+    the union); ``tiebreak`` orders right rows that share a timestamp
+    (latest-by-tiebreak wins) for deterministic results.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        tb.alias("__tb"),
+        payload.alias("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(0).alias("__tb"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out_left = [c for c in left.columns if c not in on]
+    return carried.filter(F.col("__is_left") == 1).select(
+        *on,
+        *out_left,
+        *[F.col(f"__last_r.{f}") for f in carried.schema["__last_r"].dataType.fieldNames()],
+    )

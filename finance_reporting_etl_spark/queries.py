@@ -1027,3 +1027,51 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.length("text"), F.lit(0.5)), 4).alias("p50_chars"),
         F.round(F.percentile(F.length("text"), F.lit(0.9)), 4).alias("p90_chars"),
     )
+
+
+@query(
+    "ingest_fred_observations",
+    """
+    SELECT CAST(d AS DATE) AS observation_date,
+           v AS value_raw,
+           TRY_CAST(v AS DOUBLE) AS value
+    FROM (VALUES ('2023-01-01', '26500.0'),
+                 ('2023-04-01', '.'),
+                 ('2023-07-01', '27000.5'),
+                 ('2023-10-01', '27600.25')) AS t(d, v)
+    """,
+    "S1-S3,P2 ingest chain: REST payload -> JSON parse -> flatten -> typed cast ('.' -> NULL)",
+)
+def q_ingest_fred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's committed ingest path (fetch_data.py:4-17) end to
+    end on the canned payload: payloads_to_df -> flatten_observations.
+    sf_dir is unused — the source is the API payload, not a fixture."""
+    from finance_reporting_etl_spark.pipeline import CANNED_FRED_PAYLOAD
+    from finance_reporting_etl_spark.sources.json_source import flatten_observations
+    from finance_reporting_etl_spark.sources.rest import payloads_to_df
+
+    return flatten_observations(payloads_to_df(spark, [CANNED_FRED_PAYLOAD]))
+
+
+@query(
+    "asof_latest_view_before_purchase",
+    """
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "custom operator: as-of (point-in-time) join, DuckDB ASOF JOIN oracle",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        purchases, views, ["user_id"], right_cols=["event_id", "value"], tiebreak="event_id"
+    )

@@ -206,3 +206,24 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_asof_join_semantics(spark):
+    from finance_reporting_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 7, "L3")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 99, 9.0)],
+        "k string, ts long, price double",
+    )
+    out = {
+        r.tag: (r.ts_r, r.price_r)
+        for r in asof_join(left, right, ["k"], right_cols=["price"]).collect()
+    }
+    assert out["L0"] == (None, None)      # no right row at or before ts=5
+    assert out["L1"] == (10, 1.0)         # inclusive: right row AT ts matches
+    assert out["L2"] == (15, 2.0)         # latest of the two prior rows
+    assert out["L3"] == (None, None)      # right row is in the future
