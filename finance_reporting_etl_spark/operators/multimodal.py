@@ -63,15 +63,23 @@ def bundle_document(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
 
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media column: payload = utf-8 of the text head
-    (stands in for encoded bytes), metadata derived from doc fields."""
+    (stands in for encoded bytes), metadata derived from doc fields.
+    Type rotates by doc_id (image/audio/video) so every downstream
+    stage — resize, frame-sample, feature-extract — has material;
+    audio/video get a duration derived from n_chars."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    duration = F.when(mt != "image", (F.col("n_chars") % 480 + 1).cast("long") * 100)
     return docs.select(
         "doc_id",
-        F.lit("image").alias("media_type"),
+        mt.alias("media_type"),
         F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
         F.struct(
             (F.col("n_chars") % 640).cast("int").alias("width"),
             (F.col("n_chars") % 480).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration.alias("duration_ms"),
             F.lit("fake/raw").alias("format"),
         ).alias("meta"),
     )
@@ -138,4 +146,34 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.duration_ms").alias("duration_ms"),
             F.col("meta.format").alias("format"),
         ),
+    )
+
+
+def frame_sample(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp.
+
+    The row-explosion plumbing is real — frame count from duration x
+    fps (capped), per-frame timestamps, stable (doc_id, frame_idx)
+    keys, all Catalyst (sequence + explode, no Python) — while the
+    frame DECODE is the stub boundary: ``frame_payload`` marks where a
+    real ffmpeg-backed extractor would emit decoded pixels; feed rows
+    through ``extract_features`` with such an extractor to complete
+    the pipeline. Filter pushes 'video' down to the scan; the explode
+    multiplies rows map-side with no shuffle.
+    """
+    n_frames = F.least(
+        F.ceil(F.col("meta.duration_ms") / F.lit(1000.0) * F.lit(fps)).cast("int"),
+        F.lit(max_frames),
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * F.lit(1000.0 / fps)).cast("long").alias("frame_ts_ms"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(None).cast("binary").alias("frame_payload"),  # decode stub
+        )
     )

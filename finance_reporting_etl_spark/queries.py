@@ -1075,3 +1075,38 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, ["user_id"], right_cols=["event_id", "value"], tiebreak="event_id"
     )
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH media AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               (n_chars % 480 + 1) * 100 AS duration_ms,
+               CAST(n_chars % 640 AS INT) AS width,
+               CAST(n_chars % 480 AS INT) AS height
+        FROM documents
+    )
+    , frames AS (
+        SELECT doc_id, width, height,
+               unnest(generate_series(0,
+                   greatest(CAST(least(ceil(duration_ms / 1000.0), 16) AS INT) - 1, 0))) AS f
+        FROM media WHERE media_type = 'video'
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+           width, height
+    FROM frames
+    """,
+    "X5 multimodal: video frame sampling (explode plumbing, decode stubbed)",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finance_reporting_etl_spark.operators.multimodal import attach_fake_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    # frame_payload (the decode stub) is all-NULL binary — engines
+    # normalize NULL blobs differently, so the oracle compares the
+    # deterministic columns
+    return frame_sample(attach_fake_media(docs), fps=1.0, max_frames=16).drop("frame_payload")
