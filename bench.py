@@ -48,6 +48,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "regional_rollup",
     "distinct_daily_users",
+    "asof_latest_view_before_purchase",
+    "corpus_clean",
 ]
 
 
