@@ -117,7 +117,7 @@ def language_guess(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-
     collapsed text. md5 is identical in Spark and DuckDB -> exact oracle."""
-    norm = F.regexp_replace(F.lower(F.trim(_c(text))), "\\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), "\\s+", " "))
     return F.md5(norm)
 
 
@@ -132,7 +132,7 @@ def rolling_hash(text: Column | str) -> Column:
     ``h = (h * B + code(ch)) mod P``. Pure integer arithmetic -> exact
     cross-engine parity (DuckDB twin uses list_reduce with the same
     constants). Character codes via ascii() (first byte/codepoint)."""
-    norm = F.regexp_replace(F.lower(F.trim(_c(text))), "\\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), "\\s+", " "))
     chars = F.split(norm, "")
     return F.aggregate(
         chars,

@@ -571,7 +571,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     """
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
     "X4 text analysis: content fingerprint (md5 of normalized text)",
@@ -590,7 +590,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, lang, source, n_chars,
                row_number() OVER (
-                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -748,7 +748,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                    list_transform(
-                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
                        ch -> CAST(ascii(ch) AS BIGINT))),
                (acc, x) -> (acc * 131 + x) % 2147483647) AS rhash
     FROM documents
@@ -977,7 +977,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                                / nullif(length(text), 0), 6),
                        1.0))), 4) AS quality,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     ), deduped AS (
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
