@@ -38,12 +38,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     so the survivor is deterministic (dropDuplicates keeps an arbitrary
     row). One shuffle on the 128-bit fingerprint — uniform keys, no skew.
     """
-    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    # dunder temp names: collision-resistant against user columns
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     return (
-        spread(df).withColumn("fp", fingerprint(text_col))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "fp")
+        spread(df).withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
     )
 
 

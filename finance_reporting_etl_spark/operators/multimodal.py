@@ -89,14 +89,18 @@ def default_feature_extractor(payload: bytes, media_type: str) -> list[float]:
     """STUB decode/feature-extract. A real implementation would decode
     ``payload`` with PIL/librosa/ffmpeg (not installed here) and emit a
     model feature vector. The fake is deterministic: byte histogram
-    folded to 8 dims, so the full pipeline is testable end-to-end."""
+    folded to 8 dims, so the full pipeline is testable end-to-end.
+
+    No rounding: sums of byte values are exact in float64 and the final
+    division is a single IEEE op, so an independent SQL re-derivation
+    (the DuckDB oracle) reproduces the values bit-for-bit."""
     if payload is None:
         return [0.0] * 8
     feats = [0.0] * 8
     for i, b in enumerate(payload):
         feats[i % 8] += float(b)
     total = sum(feats) or 1.0
-    return [round(f / total, 6) for f in feats]
+    return [f / total for f in feats]
 
 
 def extract_features(
@@ -114,7 +118,10 @@ def extract_features(
         [
             T.StructField("doc_id", T.LongType(), False),
             T.StructField("media_type", T.StringType(), True),
-            T.StructField("features", T.ArrayType(T.FloatType()), True),
+            # double, not float: keeps the extractor's float64 values exact
+            # end-to-end (oracle parity) at 2x the width of a real model's
+            # fp32 embedding — a real extractor can narrow this.
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
         ]
     )
 

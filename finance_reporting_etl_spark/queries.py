@@ -728,7 +728,36 @@ def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_feature_extract",
-    None,  # decode stub is Python-side (mapInPandas); rows-only check
+    # Full oracle: the stub extractor is a byte histogram (utf-8 of the
+    # text head) folded to 8 dims, exact in float64 — DuckDB re-derives
+    # the bytes via hex() + strpos nibble lookup and reproduces every
+    # feature bit-for-bit. Exploded to scalar rows (the driver's
+    # canonicalizer can't sort/hash array cells).
+    """
+    WITH m AS (
+        SELECT doc_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+               hex(encode(substring(coalesce(text, ''), 1, 64))) AS h
+        FROM documents
+    ), b AS (
+        SELECT doc_id, media_type,
+               list_transform(range(length(h) // 2), i ->
+                 CAST((strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1 AS DOUBLE)) AS bs
+        FROM m
+    ), f AS (
+        SELECT doc_id, media_type,
+               list_transform(range(8), d ->
+                 coalesce(list_sum(list_transform(range(len(bs)), i ->
+                   CASE WHEN i % 8 = d THEN bs[CAST(i + 1 AS INT)] ELSE 0.0 END)), 0.0)) AS feats
+        FROM b
+    )
+    SELECT doc_id, media_type, CAST(d AS INT) AS dim_idx,
+           feats[CAST(d + 1 AS INT)]
+             / (CASE WHEN coalesce(list_sum(feats), 0.0) = 0.0 THEN 1.0
+                     ELSE list_sum(feats) END) AS feature
+    FROM f CROSS JOIN generate_series(0, 7) AS t(d)
+    """,
     "X5 multimodal: binary payload -> feature vector via mapInPandas",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,7 +767,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_fake_media(docs))
+    feats = extract_features(attach_fake_media(docs))
+    # scalar rows for the driver's canonicalizer; the array-typed
+    # operator output stays the library API
+    return feats.select(
+        "doc_id", "media_type", F.posexplode("features").alias("dim_idx", "feature")
+    )
 
 
 @query(
@@ -943,6 +977,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized result — the streaming plan must reproduce the
     batch/DuckDB answer exactly (watermark drops nothing in a bounded
     replay)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -960,8 +995,16 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
         output_table=name,
     )
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        # a timed-out stream would leave the memory sink partially
+        # populated — fail loudly rather than return a wrong answer
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_hourly_rollup did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 @query(

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Driver fixtures carry TIMESTAMP(NANOS) parquet columns, which
+        # Spark has no type for; session-wide legacy conf surfaces them
+        # as long nanos and tables._read_parquet converts to native
+        # microsecond timestamps. Set HERE (documented, once) rather than
+        # as a read-time side effect.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # effective only when this call creates the JVM (spark-submit or
+        # first getOrCreate); a pre-existing session keeps its own value
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         # Parquet scan tasks bounded to 128 MiB — at 100 TB this yields

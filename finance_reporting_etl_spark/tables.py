@@ -35,8 +35,14 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nanoseconds and are converted here to microsecond timestamps (Spark's
     native precision). Column detection comes from the parquet footer, so
     this is a cheap driver-side metadata read, not a data pass.
+
+    ``session.get_spark`` sets the legacy conf at build time (the
+    documented home for it); the ensure-set below only covers sessions
+    this package didn't build (e.g. the correctness driver's), and is
+    skipped when already configured so repeated reads don't churn conf.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
     for c in ns_cols:

@@ -73,7 +73,7 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
         output_table="rollup_stream_test",
         bucket="1 hour",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     stream_out = spark.table("rollup_stream_test")
     batch_out = time_bucket_rollup(events, "1 hour").select(
         "window_start", "event_type", "n_events", "total_value"
