@@ -40,6 +40,51 @@ def append_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def retain(df: DataFrame, ts_col: str, horizon) -> DataFrame:
+    """S12 retention window: rows at or after ``horizon``.
+
+    The reference manages retention with an S3 lifecycle policy
+    (readme.md:398-427: raw data kept 90 days, then tiered out); the
+    engine-side analog is this filter for reads plus
+    ``drop_expired_partitions`` for storage. The predicate pushes to the
+    parquet scan, and on a time-partitioned table it prunes whole
+    partitions before any file is opened.
+    """
+    return df.filter(F.col(ts_col) >= F.lit(horizon))
+
+
+def drop_expired_partitions(
+    spark, path: str, partition_col: str, horizon_value: str
+) -> list[str]:
+    """Partition-drop compaction for a ``partitionBy(partition_col)``
+    parquet table: delete every ``col=value`` directory with
+    ``value < horizon_value`` (lexicographic — correct for ISO dates and
+    zero-padded keys). No data rewrite: expiry is O(#partitions) metadata
+    ops, the same shape as TimescaleDB's drop_chunks / the S3 lifecycle
+    rule. Uses Spark's Hadoop FileSystem so it works on HDFS/S3A paths
+    as well as local ones. Returns the dropped partition values.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    prefix = f"{partition_col}="
+    dropped: list[str] = []
+    if not fs.exists(p):
+        return dropped
+    for status in fs.listStatus(p):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < horizon_value:
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return dropped
+
+
 def upsert_parquet(
     spark,
     existing_path: str,

@@ -20,10 +20,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.kpis import ratio
-from finance_reporting_etl_spark.functions.scalars import normalize_string
+from finance_reporting_etl_spark.functions.scalars import (
+    ECONOMIC_INDICATOR_NAMES,
+    case_map,
+    normalize_string,
+)
 from finance_reporting_etl_spark.plans.registry import ModelContext, ModelRegistry
 
 registry = ModelRegistry()
+
+# Fixture bijection: the five event types play the five FRED series the
+# reference's Cookbook ingests (readme.md:355-374). Keeps stg_fred_data
+# fully populated so the indicator-name CASE maps every row.
+EVENT_TYPE_TO_SERIES = {
+    "click": "GDP",
+    "error": "UNRATE",
+    "purchase": "CPIAUCSL",
+    "signup": "FEDFUNDS",
+    "view": "DGS10",
+}
 
 
 @registry.model("stg_financial_data", materialized="view", description="stg_financial_data.sql:1-8 analog")
@@ -59,7 +74,9 @@ def mart_financial_summary(ctx: ModelContext) -> DataFrame:
 def stg_income_statement(ctx: ModelContext) -> DataFrame:
     """Filtered-CTE pattern: WHERE report_type = 'income_statement'
     (README.md:435). 'purchase' events play income rows; per-(symbol,
-    fiscal month) totals play revenue/net income."""
+    fiscal month) totals play the income-statement line items the
+    reference selects (README.md:426-433: total_revenue, gross_profit,
+    operating_income, net_income, currency)."""
     raw = ctx.ref("events")
     return (
         raw.filter(F.col("event_type") == "purchase")
@@ -69,9 +86,12 @@ def stg_income_statement(ctx: ModelContext) -> DataFrame:
         )
         .agg(
             F.round(F.sum("value"), 6).alias("total_revenue"),
+            F.round(F.sum(F.col("value") * F.lit(0.5)), 6).alias("gross_profit"),
+            F.round(F.sum(F.col("value") * F.lit(0.3)), 6).alias("operating_income"),
             F.round(F.sum(F.col("value") * F.lit(0.2)), 6).alias("net_income"),
             F.count(F.lit(1)).alias("n_reports"),
         )
+        .withColumn("currency", F.lit("USD"))
     )
 
 
@@ -94,24 +114,116 @@ def stg_balance_sheet(ctx: ModelContext) -> DataFrame:
     )
 
 
-@registry.model("mart_financial_kpis", materialized="table", description="README.md:461-495 financial_kpis analog")
+@registry.model("stg_cash_flow", materialized="view", description="README.md:227,339-340 cash_flow report type analog")
+def stg_cash_flow(ctx: ModelContext) -> DataFrame:
+    """The third declared report type (README.md:227: report_types =
+    [... 'cash_flow'], fan-out at :339-340). 'view' events play cash-flow
+    rows; totals play operating cash flow / capex, free cash flow is the
+    standard derived line (OCF - CapEx)."""
+    raw = ctx.ref("events")
+    return (
+        raw.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("symbol"),
+            F.date_trunc("month", "ts").alias("fiscal_date"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value") * F.lit(0.9)), 6).alias("operating_cash_flow"),
+            F.round(F.sum(F.col("value") * F.lit(0.35)), 6).alias("capital_expenditure"),
+        )
+        # difference of two already-rounded float64s: exact IEEE op,
+        # reproduced identically by the SQL oracle
+        .withColumn(
+            "free_cash_flow", F.col("operating_cash_flow") - F.col("capital_expenditure")
+        )
+    )
+
+
+@registry.model(
+    "mart_financial_kpis",
+    materialized="table",
+    description="README.md:461-495 financial_kpis analog (full macro set)",
+    partition_cols=("fiscal_date",),
+)
 def mart_financial_kpis(ctx: ModelContext) -> DataFrame:
-    """income LEFT JOIN balance ON (symbol, fiscal_date) + NULLIF-guarded
-    KPI ratios (README.md:461-465, 487-493). Spark picks the join strategy;
-    both sides are pre-aggregated so AQE will broadcast the smaller."""
+    """income LEFT JOIN balance LEFT JOIN cash_flow ON (symbol,
+    fiscal_date) + the reference's full NULLIF-guarded KPI macro set
+    (README.md:487-493: gross/operating/net profit margins, ROA, ROE,
+    asset_to_liability_ratio) plus the cash-flow-derived FCF margin.
+    Spark picks the join strategy; all sides are pre-aggregated so AQE
+    broadcasts the smaller ones."""
     inc = ctx.ref("stg_income_statement")
     bal = ctx.ref("stg_balance_sheet")
-    joined = inc.join(bal, ["symbol", "fiscal_date"], "left")
+    cf = ctx.ref("stg_cash_flow")
+    joined = inc.join(bal, ["symbol", "fiscal_date"], "left").join(
+        cf, ["symbol", "fiscal_date"], "left"
+    )
     return joined.select(
         "symbol",
         "fiscal_date",
+        "currency",
         "total_revenue",
+        "gross_profit",
+        "operating_income",
         "net_income",
         "total_assets",
         "total_liabilities",
         "total_equity",
-        ratio("net_income", "total_revenue").alias("profit_margin"),
+        "operating_cash_flow",
+        "capital_expenditure",
+        "free_cash_flow",
+        ratio("gross_profit", "total_revenue").alias("gross_profit_margin"),
+        ratio("operating_income", "total_revenue").alias("operating_profit_margin"),
+        ratio("net_income", "total_revenue").alias("net_profit_margin"),
         ratio("net_income", "total_assets").alias("return_on_assets"),
         ratio("net_income", "total_equity").alias("return_on_equity"),
-        ratio("total_assets", "total_liabilities").alias("asset_liability_ratio"),
+        ratio("total_assets", "total_liabilities").alias("asset_to_liability_ratio"),
+        ratio("free_cash_flow", "total_revenue").alias("fcf_margin"),
+    )
+
+
+@registry.model("stg_fred_data", materialized="view", description="readme.md:355-360 stg_fred_data analog")
+def stg_fred_data(ctx: ModelContext) -> DataFrame:
+    """FRED staging rows (date, series_id, value); event types map
+    bijectively onto the Cookbook's series ids so every downstream CASE
+    arm is exercised."""
+    raw = ctx.ref("events")
+    return raw.select(
+        F.col("ts").cast("date").alias("date"),
+        case_map("event_type", EVENT_TYPE_TO_SERIES).alias("series_id"),
+        F.col("value").alias("value"),
+    )
+
+
+@registry.model(
+    "economic_indicators",
+    materialized="table",
+    description="readme.md:355-374 economic_indicators mart analog",
+    partition_cols=("series_id",),
+)
+def economic_indicators(ctx: ModelContext) -> DataFrame:
+    """The Cookbook's example mart verbatim: date, series_id, value,
+    CASE-mapped indicator_name (readme.md:361-374)."""
+    fred = ctx.ref("stg_fred_data")
+    return fred.select(
+        "date",
+        "series_id",
+        "value",
+        case_map("series_id", ECONOMIC_INDICATOR_NAMES).alias("indicator_name"),
+    )
+
+
+@registry.model("mart_indicator_stats", materialized="table", description="per-indicator aggregate over economic_indicators")
+def mart_indicator_stats(ctx: ModelContext) -> DataFrame:
+    """Per-indicator summary the dashboards read: observation count and
+    value stats per series."""
+    ind = ctx.ref("economic_indicators")
+    return (
+        ind.groupBy("series_id", "indicator_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
     )

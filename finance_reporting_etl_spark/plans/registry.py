@@ -32,6 +32,10 @@ class Model:
     fn: Callable[["ModelContext"], DataFrame]
     materialized: str = "view"  # 'view' | 'table'
     description: str = ""
+    # hypertable-style layout for persisted marts: partitionBy these
+    # columns on write so date/key-filtered reads prune whole partitions
+    # (at 100 TB an unpartitioned mart forfeits partition pruning)
+    partition_cols: tuple[str, ...] = ()
 
 
 @dataclass
@@ -68,13 +72,17 @@ class ModelRegistry:
         self.models: dict[str, Model] = {}
 
     def model(
-        self, name: str, materialized: str = "view", description: str = ""
+        self,
+        name: str,
+        materialized: str = "view",
+        description: str = "",
+        partition_cols: tuple[str, ...] = (),
     ) -> Callable[[Callable[[ModelContext], DataFrame]], Callable[[ModelContext], DataFrame]]:
         if materialized not in ("view", "table"):
             raise ValueError(f"materialized must be view|table, got {materialized!r}")
 
         def deco(fn: Callable[[ModelContext], DataFrame]) -> Callable[[ModelContext], DataFrame]:
-            self.models[name] = Model(name, fn, materialized, description)
+            self.models[name] = Model(name, fn, materialized, description, tuple(partition_cols))
             return fn
 
         return deco
@@ -113,8 +121,16 @@ class ModelRegistry:
             model = self.models[name]
             if model.materialized == "table" and warehouse_dir:
                 path = os.path.join(warehouse_dir, name)
-                df.write.mode("overwrite").parquet(path)
+                writer = df.write.mode("overwrite")
+                if model.partition_cols:
+                    writer = writer.partitionBy(*model.partition_cols)
+                writer.parquet(path)
                 df = spark.read.parquet(path)
+                if model.partition_cols:
+                    # partitionBy moves partition cols to the end of the
+                    # read-back schema; restore the declared column order
+                    # so persisted and in-memory marts are shape-identical
+                    df = df.select(*ctx.built[name].columns)
                 ctx.built[name] = df
             df.createOrReplaceTempView(name)
             results[name] = df

@@ -73,9 +73,11 @@ def q_mart_financial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH inc AS (
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
+               'USD'                       AS currency,
                round(sum(value), 6)        AS total_revenue,
-               round(sum(value * 0.2), 6)  AS net_income,
-               count(*)                    AS n_reports
+               round(sum(value * 0.5), 6)  AS gross_profit,
+               round(sum(value * 0.3), 6)  AS operating_income,
+               round(sum(value * 0.2), 6)  AS net_income
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1, 2
@@ -88,21 +90,98 @@ def q_mart_financial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE event_type = 'click'
         GROUP BY 1, 2
+    ), cf AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               round(sum(value * 0.9), 6)  AS operating_cash_flow,
+               round(sum(value * 0.35), 6) AS capital_expenditure
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
     )
-    SELECT symbol, fiscal_date,
-           total_revenue, net_income, total_assets, total_liabilities, total_equity,
-           round(net_income / nullif(total_revenue, 0), 4)   AS profit_margin,
-           round(net_income / nullif(total_assets, 0), 4)    AS return_on_assets,
-           round(net_income / nullif(total_equity, 0), 4)    AS return_on_equity,
-           round(total_assets / nullif(total_liabilities, 0), 4) AS asset_liability_ratio
+    SELECT symbol, fiscal_date, currency,
+           total_revenue, gross_profit, operating_income, net_income,
+           total_assets, total_liabilities, total_equity,
+           operating_cash_flow, capital_expenditure,
+           operating_cash_flow - capital_expenditure AS free_cash_flow,
+           round(gross_profit / nullif(total_revenue, 0), 4)     AS gross_profit_margin,
+           round(operating_income / nullif(total_revenue, 0), 4) AS operating_profit_margin,
+           round(net_income / nullif(total_revenue, 0), 4)       AS net_profit_margin,
+           round(net_income / nullif(total_assets, 0), 4)        AS return_on_assets,
+           round(net_income / nullif(total_equity, 0), 4)        AS return_on_equity,
+           round(total_assets / nullif(total_liabilities, 0), 4) AS asset_to_liability_ratio,
+           round((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0), 4)
+               AS fcf_margin
     FROM inc LEFT JOIN bal USING (symbol, fiscal_date)
+             LEFT JOIN cf  USING (symbol, fiscal_date)
     """,
-    "J1,J2,P3,P5,P6,A1 (README.md:425-495 financial_kpis)",
+    "J1,J2,P3,P5,P6,A1 (README.md:425-495 financial_kpis, full macro set + cash_flow leg)",
 )
 def q_mart_financial_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = load_tables(spark, sf_dir, ("events",))
     built = registry.run(spark, sources, select=["mart_financial_kpis"])
     return built["mart_financial_kpis"]
+
+
+_SERIES_CASE = """
+           CASE WHEN event_type = 'click'    THEN 'GDP'
+                WHEN event_type = 'error'    THEN 'UNRATE'
+                WHEN event_type = 'purchase' THEN 'CPIAUCSL'
+                WHEN event_type = 'signup'   THEN 'FEDFUNDS'
+                WHEN event_type = 'view'     THEN 'DGS10'
+           END"""
+
+_INDICATOR_CASE = """
+           CASE WHEN series_id = 'GDP'      THEN 'Gross Domestic Product'
+                WHEN series_id = 'UNRATE'   THEN 'Unemployment Rate'
+                WHEN series_id = 'CPIAUCSL' THEN 'Consumer Price Index'
+                WHEN series_id = 'FEDFUNDS' THEN 'Federal Funds Rate'
+                WHEN series_id = 'DGS10'    THEN '10-Year Treasury Rate'
+           END"""
+
+
+@query(
+    "economic_indicators",
+    f"""
+    WITH fred AS (
+        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
+        FROM events
+    )
+    SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
+    FROM fred
+    """,
+    "P7,O3 (readme.md:355-374 economic_indicators mart, built by the registry)",
+)
+def q_economic_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = load_tables(spark, sf_dir, ("events",))
+    built = registry.run(spark, sources, select=["economic_indicators"])
+    return built["economic_indicators"]
+
+
+@query(
+    "indicator_stats",
+    f"""
+    WITH fred AS (
+        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
+        FROM events
+    ), ind AS (
+        SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
+        FROM fred
+    )
+    SELECT series_id, indicator_name,
+           count(*) AS n_obs,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM ind
+    GROUP BY 1, 2
+    """,
+    "A1,P7,O3 (per-indicator aggregate over the economic_indicators mart)",
+)
+def q_indicator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sources = load_tables(spark, sf_dir, ("events",))
+    built = registry.run(spark, sources, select=["mart_indicator_stats"])
+    return built["mart_indicator_stats"]
 
 
 # ---------------------------------------------------------------------------
@@ -930,6 +1009,26 @@ def q_customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("open_only").alias("segment"), "n"
     )
     return both.unionByName(fin).unionByName(op)
+
+
+@query(
+    "retention_filter",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    "S12 (readme.md:398-427 lifecycle/retention: engine-side window filter)",
+)
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from finance_reporting_etl_spark.operators.incremental import retain
+
+    events = _t(spark, sf_dir, "events")
+    return retain(events, "ts", datetime(2024, 1, 8)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 @query(

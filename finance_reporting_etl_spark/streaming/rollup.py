@@ -36,6 +36,30 @@ def time_bucket_rollup(
     )
 
 
+def _stream_agg(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    bucket: str,
+    ts_col: str,
+    watermark: str,
+    group_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Shared streaming logical plan: file stream -> watermark -> windowed
+    count/sum — identical to ``time_bucket_rollup``'s batch plan."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
+    )
+
+
 def streaming_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -50,26 +74,57 @@ def streaming_rollup(
 ):
     """AvailableNow streaming version: processes everything currently in
     ``source_dir`` then stops — the daily-append cadence as a restartable
-    incremental job. Watermark bounds state for late data; 'complete'
-    output mode is fine for rollup tables that are re-read wholesale.
+    incremental job. Watermark bounds state for late data.
+
+    BOUNDED-REPLAY DEMO ONLY: 'complete' mode + memory sink materializes
+    the whole result on the driver every trigger — right for the oracle
+    comparison and small rollups, a driver-killer for a 100 TB rollup
+    table. The scale-safe form is ``streaming_rollup_to_files`` (append
+    mode, executor-side parquet writes, bounded state).
 
     Returns the StreamingQuery; caller awaits termination then reads
     ``spark.table(output_table)``.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    agg = (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
-    )
+    agg = _stream_agg(spark, source_dir, schema, bucket, ts_col, watermark, group_cols, value_col)
     return (
         agg.writeStream.format("memory")
         .queryName(output_table)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_rollup_to_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_dir: str,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+):
+    """Scale-safe sink: append-mode parquet. Windows are written by
+    executors when the watermark closes them, exactly once per window —
+    nothing ever accumulates on the driver, and state holds only open
+    windows (bounded by watermark horizon x group cardinality).
+
+    Append-mode semantics to test against: a window lands in the output
+    only after the watermark passes its end, so windows still open when
+    input is exhausted (those within ``watermark`` of the max event time)
+    stay in state for the next incremental run — the correct behavior
+    for a forever-append pipeline, and the difference a bounded-replay
+    comparison must account for.
+    """
+    agg = _stream_agg(spark, source_dir, schema, bucket, ts_col, watermark, group_cols, value_col)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

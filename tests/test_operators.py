@@ -227,3 +227,35 @@ def test_asof_join_semantics(spark):
     assert out["L1"] == (10, 1.0)         # inclusive: right row AT ts matches
     assert out["L2"] == (15, 2.0)         # latest of the two prior rows
     assert out["L3"] == (None, None)      # right row is in the future
+
+
+def test_retain_filters_horizon(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 10)), (3, datetime(2024, 2, 1))],
+        "id long, ts timestamp",
+    )
+    kept = incremental.retain(df, "ts", datetime(2024, 1, 10))
+    assert sorted(r.id for r in kept.collect()) == [2, 3]
+
+
+def test_drop_expired_partitions(spark, tmp_path):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 5), "2024-01-01"),
+            (2, datetime(2024, 1, 2, 5), "2024-01-02"),
+            (3, datetime(2024, 1, 3, 5), "2024-01-03"),
+        ],
+        "id long, ts timestamp, day string",
+    )
+    path = str(tmp_path / "hypertable")
+    incremental.append_partitioned(df, path, ["day"], mode="overwrite")
+    dropped = incremental.drop_expired_partitions(spark, path, "day", "2024-01-03")
+    assert sorted(dropped) == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    assert [r.id for r in left.collect()] == [3]
+    # idempotent: second run drops nothing
+    assert incremental.drop_expired_partitions(spark, path, "day", "2024-01-03") == []

@@ -81,3 +81,69 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch_out.collect()}
     assert a == b
+
+
+def test_streaming_file_sink_matches_batch_finalized_windows(spark, sf_dir, tmp_path):
+    """Append-mode parquet sink: every window the watermark closed must
+    equal its batch twin; open windows (within watermark of max ts)
+    legitimately stay in state for the next incremental run."""
+    from finance_reporting_etl_spark.streaming.rollup import streaming_rollup_to_files
+
+    events = _read_parquet(spark, f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "fsink_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "fsink_out")
+    q = streaming_rollup_to_files(
+        spark,
+        src,
+        schema,
+        checkpoint_dir=str(tmp_path / "fsink_ckpt"),
+        output_dir=out_dir,
+        bucket="1 hour",
+        watermark="2 hours",
+    )
+    assert q.awaitTermination(120), "file-sink stream did not finish in time"
+
+    got = spark.read.parquet(out_dir)
+    max_ts = events.agg(F.max("ts").alias("m")).first().m
+    batch = time_bucket_rollup(events, "1 hour").select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    finalized = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in finalized.collect()}
+    assert len(a) > 0, "file sink emitted nothing — watermark never flushed"
+    assert a == b
+
+
+def test_mart_partitioned_persistence_prunes(spark, sf_dir, tmp_path, capsys):
+    """partition_cols on a table model must write hive-partitioned parquet
+    whose filtered reads show partition pruning in the plan."""
+    from finance_reporting_etl_spark.plans.models import registry
+    from finance_reporting_etl_spark.tables import load_tables
+
+    sources = load_tables(spark, sf_dir, ("events",))
+    built = registry.run(
+        spark, sources, warehouse_dir=str(tmp_path), select=["economic_indicators"]
+    )
+    # layout: one directory per series
+    part_dirs = sorted(
+        p.name for p in (tmp_path / "economic_indicators").iterdir() if p.is_dir()
+    )
+    assert any(d.startswith("series_id=") for d in part_dirs), part_dirs
+
+    mart = spark.read.parquet(str(tmp_path / "economic_indicators"))
+    filtered = mart.filter(F.col("series_id") == "GDP")
+    filtered.explain(mode="formatted")
+    plan = capsys.readouterr().out
+    assert "PartitionFilters" in plan and "series_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly the GDP slice with original column order
+    assert built["economic_indicators"].columns == ["date", "series_id", "value", "indicator_name"]
+    n_gdp = filtered.count()
+    n_clicks = sources["events"].filter(F.col("event_type") == "click").count()
+    assert n_gdp == n_clicks
