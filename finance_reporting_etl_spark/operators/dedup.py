@@ -251,8 +251,24 @@ def minhash_near_dup_pairs(
     minhash_candidate_pairs + a rejoin is the narrow-row alternative —
     measured equal at bench scale.
     """
+    banded = minhash_banded_sigs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return minhash_pairs_from_banded(banded, threshold)
+
+
+def minhash_banded_sigs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh, band_idx, band_hash) rows — the persistable LSH index
+    carrying the shingle-hash set for the verify step. Persisting this
+    lets an independent engine re-derive the banding join, pair dedup
+    and Jaccard verify from identical inputs (the DuckDB oracle does)."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sig.select(
+    return sig.select(
         "id",
         "sh",
         F.explode(
@@ -264,6 +280,10 @@ def minhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banding self-join -> pair dedup -> exact shingle-set Jaccard."""
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -348,6 +368,17 @@ def simhash_near_dup_pairs(
     distinct). Exact hamming verify via bit_count(xor) after dedup.
     """
     sh = simhash(df, id_col, text_col)
+    return simhash_pairs_from_sigs(sh, max_hamming)
+
+
+def simhash_pairs_from_sigs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within ``max_hamming`` from a (id, simhash) signature table.
+
+    Pigeonhole chunk blocking is EXACT for hamming <= 3 with 4 chunks
+    (any such pair agrees on at least one 16-bit chunk), so the blocked
+    result equals a brute-force all-pairs scan — which is exactly how
+    the DuckDB oracle re-derives it from the persisted signature table.
+    """
     chunks = sh.select(
         "id",
         "simhash",
@@ -443,20 +474,26 @@ def lsh_cosine_pairs(
     AQE broadcasts it; at scale both joins are shuffle joins on uniform
     id keys), then scored with the Arrow-batched cosine.
     """
-    import numpy as np
+    from finance_reporting_etl_spark.operators.similarity import hyperplane_buckets
 
+    buckets = hyperplane_buckets(
+        spread(embeddings), n_planes, n_tables, dim, id_col, vec_col, seed
+    )
+    return lsh_cosine_pairs_from_buckets(buckets, embeddings, threshold, id_col, vec_col, scale)
+
+
+def lsh_cosine_pairs_from_buckets(
+    buckets: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Candidate pairs from a persisted/precomputed (id, tbl, bucket)
+    index -> narrow dedup -> vector re-join -> exact cosine verify."""
     from finance_reporting_etl_spark.functions.vectors import cosine_arrow
-    from finance_reporting_etl_spark.operators.similarity import _hyperplanes, bucket_udf
 
-    all_planes = np.stack(
-        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    )
-    udf = bucket_udf(all_planes)
-    buckets = (
-        spread(embeddings)
-        .select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks"))
-        .select("id", F.posexplode("bks").alias("tbl", "bucket"))
-    )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

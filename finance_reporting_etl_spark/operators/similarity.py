@@ -106,46 +106,49 @@ def bucket_udf(all_planes: np.ndarray):
     return buckets
 
 
-def hyperplane_lsh_topk(
+def hyperplane_buckets(
     embeddings: DataFrame,
-    query_ids: list[int],
-    k: int = 10,
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    scale: int = 6,
 ) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH.
+    """NARROW (id, tbl, bucket) LSH index rows — the persistable stage.
 
-    Each of ``n_tables`` hash tables assigns a 2^n_planes bucket; a
-    candidate is scored if it shares a bucket with the query in ANY
-    table (recall ~= 1-(1-p^k)^L for per-plane collision prob p). The
-    join key is (table, bucket) — the cross-bucket pair space never
-    materializes, so cost scales with bucket occupancy, not n^2. Tuning:
-    more planes -> smaller buckets (cheaper, lower recall); more tables
-    -> higher recall (linear cost in L). Benchmarked against brute
-    force for recall in tests.
+    One Arrow-batched matmul assigns all ``n_tables`` buckets per vector
+    (bucket_udf); vectors never ride downstream shuffles. At 100 TB this
+    table is written once (partitioned by tbl/bucket if reprobed often)
+    and re-joined many times — and persisting it also lets an external
+    engine re-derive every downstream join/score/rank decision from the
+    exact same bucket assignments (the DuckDB oracle does precisely
+    that).
     """
-    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
-
     all_planes = np.stack(
         [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
     udf = bucket_udf(all_planes)
+    return embeddings.select(F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("bks")).select(
+        "id", F.posexplode("bks").alias("tbl", "bucket")
+    )
 
-    def to_buckets(df: DataFrame, out_id: str) -> DataFrame:
-        """NARROW (id, tbl, bucket) rows — vectors never ride the shuffle."""
-        return df.select(F.col(id_col).alias(out_id), udf(F.col(vec_col)).alias("bks")).select(
-            out_id, F.posexplode("bks").alias("tbl", "bucket")
-        )
 
-    # query side filtered BEFORE the bucket UDF: one full-table UDF pass
-    # total (candidates), plus a pass over only the |Q| query rows.
-    qb = to_buckets(embeddings.filter(F.col(id_col).isin(query_ids)), "query_id")
-    cb = to_buckets(spread(embeddings), "neighbor_id")
+def topk_from_buckets(
+    buckets: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k over LSH candidates: bucket-join -> narrow pair dedup ->
+    vector re-join -> Arrow cosine -> per-query rank window."""
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+
+    qb = buckets.filter(F.col("id").isin(query_ids)).withColumnRenamed("id", "query_id")
+    cb = buckets.withColumnRenamed("id", "neighbor_id")
     pairs = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -172,6 +175,39 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Each of ``n_tables`` hash tables assigns a 2^n_planes bucket; a
+    candidate is scored if it shares a bucket with the query in ANY
+    table (recall ~= 1-(1-p^k)^L for per-plane collision prob p). The
+    join key is (table, bucket) — the cross-bucket pair space never
+    materializes, so cost scales with bucket occupancy, not n^2. Tuning:
+    more planes -> smaller buckets (cheaper, lower recall); more tables
+    -> higher recall (linear cost in L). Benchmarked against brute
+    force for recall in tests.
+
+    Composition of ``hyperplane_buckets`` (Catalyst pushes the query-id
+    filter below the bucket UDF, so the query side hashes only |Q| rows)
+    and ``topk_from_buckets``.
+    """
+    buckets = hyperplane_buckets(
+        spread(embeddings), n_planes, n_tables, dim, id_col, vec_col, seed
+    )
+    return topk_from_buckets(buckets, embeddings, query_ids, k, id_col, vec_col, scale)
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------
@@ -232,25 +268,76 @@ def ivf_topk(
     probed set; Arrow-vectorized numpy for the quantizer, built-in
     Catalyst expressions everywhere else.
     """
+    index = ivf_index(spread(embeddings), n_cells, dim, id_col, vec_col, seed)
+    probes = ivf_probes(embeddings, query_ids, n_cells, nprobe, dim, id_col, vec_col, seed)
+    return ivf_topk_from_index(index, probes, embeddings, k, id_col, vec_col, scale)
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(id, cell) rows: each vector in its single nearest cell — the
+    persistable inverted-file index (written partitioned by cell at
+    scale, re-probed many times)."""
     cents = _centroids(n_cells, dim, seed)
-    c = spread(embeddings).withColumn(
-        "cell", F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1)
-    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
-    q = (
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+
+
+def ivf_probes(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(query_id, cell) rows: the ``nprobe`` nearest cells per query."""
+    cents = _centroids(n_cells, dim, seed)
+    return (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .withColumn("cells", _cell_assign_udf(cents, nprobe)(F.col(vec_col)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode("cells").alias("cell"),
-        )
+        .select(F.col(id_col).alias("query_id"), F.explode("cells").alias("cell"))
     )
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    probes: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k over IVF candidates: cell join (a neighbor lives in exactly
+    one cell, so no pair dedup is needed) -> vector re-join -> exact
+    cosine -> deterministic per-query rank window."""
     cands = (
-        c.join(F.broadcast(q), "cell")
+        index.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
     )
-    scored = cands.withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    cv = vecs.withColumnsRenamed({"id": "neighbor_id", "v": "c_vec"})
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

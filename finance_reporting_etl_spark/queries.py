@@ -6,8 +6,11 @@ kept identical on both sides (the driver's compare sorts columns by name
 and hashes values). Computed float aggregates are rounded identically on
 both sides to absorb summation-order noise.
 
-Entries whose semantics are not SQL-expressible (MinHash-LSH banding,
-hyperplane-LSH ANN) carry ``oracle=None`` -> rows-only check.
+Every entry carries a full oracle. Queries whose candidate stage relies
+on engine-native hashing (minhash/simhash/LSH buckets/IVF cells) use the
+persisted-intermediate pattern (see ``_persist_aux``): both engines read
+the same parquet index, so the oracle hard-verifies all downstream
+joins/dedup/verify/ranking while pytest covers hash determinism+recall.
 """
 
 from __future__ import annotations
@@ -44,6 +47,25 @@ def query(name: str, oracle: str | None, survey_ref: str):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+# Persisted-intermediate oracle pattern: queries whose candidate stage
+# depends on engine-native hashing (xxhash64 minhash/simhash, seeded-numpy
+# hyperplanes / centroids) persist that intermediate as a parquet table at
+# a fixed path; the DuckDB oracle reads the SAME table and independently
+# re-derives every downstream decision — banding/bucket joins, pair dedup,
+# hamming/Jaccard/cosine verify, top-k ranking. The hash computation
+# itself is covered by pytest determinism + recall tests; everything after
+# it is hard-verified against an independent engine.
+_AUX_DIR = "/root/repo/spark-warehouse/oracle_aux"
+
+
+def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Write an oracle-shared intermediate and reread it, so Spark and
+    DuckDB derive their answers from bit-identical inputs."""
+    path = f"{_AUX_DIR}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -712,26 +734,56 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_near_dup",
-    None,  # LSH banding is not SQL-expressible; rows-only check
-    "X2 MinHash-LSH near-dup (shingle -> minhash -> band -> verify)",
+    f"""
+    WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_banded/*.parquet'),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM t a JOIN t b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    s AS (SELECT DISTINCT id, sh FROM t),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0), 4) AS jaccard
+        FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+    "X2 MinHash-LSH near-dup (shingle -> minhash -> band -> verify; persisted-index oracle)",
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.dedup import minhash_near_dup_pairs
+    from finance_reporting_etl_spark.operators.dedup import (
+        minhash_banded_sigs,
+        minhash_pairs_from_banded,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.5)
+    banded = _persist_aux(spark, minhash_banded_sigs(docs), "minhash_banded")
+    return minhash_pairs_from_banded(banded, threshold=0.5)
 
 
 @query(
     "simhash_near_dup",
-    None,  # 64-bit xxhash64 simhash has no DuckDB twin; rows-only check
-    "X2 SimHash near-dup (bit-vote fingerprint, pigeonhole blocking)",
+    # brute-force all-pairs hamming over the persisted signatures — equal
+    # to the pigeonhole-blocked Spark plan because 4-chunk blocking is
+    # EXACT for hamming <= 3
+    f"""
+    WITH s AS (SELECT * FROM '{_AUX_DIR}/simhash_sigs/*.parquet')
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "X2 SimHash near-dup (bit-vote fingerprint, pigeonhole blocking; persisted-sig oracle)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.dedup import simhash_near_dup_pairs
+    from finance_reporting_etl_spark.operators.dedup import simhash, simhash_pairs_from_sigs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    sigs = _persist_aux(spark, simhash(docs), "simhash_sigs")
+    out = simhash_pairs_from_sigs(sigs, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @query(
@@ -770,14 +822,42 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_lsh_topk",
-    None,  # hyperplane bucketing is seeded-numpy literals; rows-only check
-    "X3 similarity search: hyperplane-LSH ANN (scale path)",
+    f"""
+    WITH b AS (SELECT * FROM '{_AUX_DIR}/ann_lsh_buckets/*.parquet'),
+    q AS (SELECT id AS query_id, tbl, bucket FROM b WHERE id IN (0, 1, 2, 3, 4)),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.id AS neighbor_id
+        FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.id <> q.query_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """,
+    "X3 similarity search: hyperplane-LSH ANN (scale path; persisted-index oracle)",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.similarity import hyperplane_lsh_topk
+    from finance_reporting_etl_spark.operators.similarity import (
+        hyperplane_buckets,
+        topk_from_buckets,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = hyperplane_lsh_topk(emb, [0, 1, 2, 3, 4], k=10, n_planes=4, n_tables=8)
+    buckets = _persist_aux(
+        spark, hyperplane_buckets(emb, n_planes=4, n_tables=8), "ann_lsh_buckets"
+    )
+    out = topk_from_buckets(buckets, emb, [0, 1, 2, 3, 4], k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -902,26 +982,74 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lsh_embedding_cosine_dups",
-    None,  # hyperplane-LSH candidate pruning; rows-only check
-    "X2 embedding-cosine near-dup at scale (LSH candidates -> exact verify)",
+    f"""
+    WITH bk AS (SELECT * FROM '{_AUX_DIR}/lshdup_buckets/*.parquet'),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(ea.v, eb.v)
+                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS score
+        FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                  JOIN e eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
+    """,
+    "X2 embedding-cosine near-dup at scale (LSH candidates -> exact verify; persisted-index oracle)",
 )
 def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.dedup import lsh_cosine_pairs
+    from finance_reporting_etl_spark.operators.dedup import lsh_cosine_pairs_from_buckets
+    from finance_reporting_etl_spark.operators.similarity import hyperplane_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(emb, threshold=0.4)
+    buckets = _persist_aux(spark, hyperplane_buckets(emb), "lshdup_buckets")
+    return lsh_cosine_pairs_from_buckets(buckets, emb, threshold=0.4)
 
 
 @query(
     "ann_ivf_topk",
-    None,  # approximate by design; rows-only check + recall test vs brute force
-    "X3 similarity search at scale: IVF-flat ANN (Arrow-vectorized quantizer)",
+    f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/ivf_index/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivf_probes/*.parquet'),
+    cand AS (
+        SELECT pr.query_id, ix.id AS neighbor_id
+        FROM ix JOIN pr USING (cell)
+        WHERE ix.id <> pr.query_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """,
+    "X3 similarity search at scale: IVF-flat ANN (Arrow-vectorized quantizer; persisted-index oracle)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.similarity import ivf_topk
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes,
+        ivf_topk_from_index,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    index = _persist_aux(spark, ivf_index(emb), "ivf_index")
+    probes = _persist_aux(spark, ivf_probes(emb, [0, 1, 2, 3, 4]), "ivf_probes")
+    out = ivf_topk_from_index(index, probes, emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
