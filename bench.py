@@ -50,6 +50,15 @@ HEADLINE = [
     "distinct_daily_users",
     "asof_latest_view_before_purchase",
     "corpus_clean",
+    # round-2 additions
+    "economic_indicators",
+    "indicator_stats",
+    "retention_filter",
+    "media_feature_extract",
+    "lsh_embedding_cosine_dups",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "order_price_quantiles",
 ]
 
 

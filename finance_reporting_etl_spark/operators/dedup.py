@@ -282,8 +282,37 @@ def minhash_banded_sigs(
     ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh, bands array<struct<band_idx, band_hash>>) — the compact
+    persistable index: one row per doc (shingle set stored ONCE, band
+    hashes nested) computed in a single signature pass. Explode ``bands``
+    for the banding join; project (id, sh) for the verify join."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return sig.select(
+        "id",
+        "sh",
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band_idx"), bh.alias("band_hash"))
+                for b, bh in enumerate(band_hashes(num_hashes, bands))
+            ]
+        ).alias("bands"),
+    )
+
+
 def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Banding self-join -> pair dedup -> exact shingle-set Jaccard."""
+    """Banding self-join -> pair dedup -> exact shingle-set Jaccard.
+
+    The shingle set rides the banding join (1 shuffle join total); for
+    the persisted/narrow-row variant use ``minhash_pairs_from_bands``.
+    """
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -300,6 +329,36 @@ def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> Data
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _jaccard_verify(cands, threshold)
+
+
+def minhash_pairs_from_bands(
+    bands: DataFrame, sigs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Narrow-row variant: candidate pairs from a bare (id, band_idx,
+    band_hash) index, shingle sets joined back onto the DEDUPED pairs
+    only. The right shape when the band index is persisted (8x less
+    write than carrying the set per band row) and at 100 TB, where the
+    banding shuffle should move 24-byte rows, not shingle arrays."""
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cands = pairs.join(
+        sigs.withColumnsRenamed({"id": "id_a", "sh": "sa"}), "id_a"
+    ).join(sigs.withColumnsRenamed({"id": "id_b", "sh": "sb"}), "id_b")
+    return _jaccard_verify(cands, threshold)
+
+
+def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over (id_a, id_b, sa, sb) candidates."""
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.array_union(F.col("sa"), F.col("sb")))
     return cands.select(

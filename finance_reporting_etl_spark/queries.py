@@ -735,13 +735,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_near_dup",
     f"""
-    WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_banded/*.parquet'),
+    WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_index/*.parquet'),
+    bandrows AS (
+        SELECT id, u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT id, unnest(bands) AS u FROM t)
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM t a JOIN t b
+        FROM bandrows a JOIN bandrows b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
     ),
-    s AS (SELECT DISTINCT id, sh FROM t),
+    s AS (SELECT id, sh FROM t),
     scored AS (
         SELECT c.id_a, c.id_b,
                round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
@@ -754,13 +758,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.dedup import (
-        minhash_banded_sigs,
-        minhash_pairs_from_banded,
+        minhash_index,
+        minhash_pairs_from_bands,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    banded = _persist_aux(spark, minhash_banded_sigs(docs), "minhash_banded")
-    return minhash_pairs_from_banded(banded, threshold=0.5)
+    idx = _persist_aux(spark, minhash_index(docs), "minhash_index")
+    bands = idx.select("id", F.explode("bands").alias("u")).select(
+        "id", F.col("u.band_idx").alias("band_idx"), F.col("u.band_hash").alias("band_hash")
+    )
+    sigs = idx.select("id", "sh")
+    return minhash_pairs_from_bands(bands, sigs, threshold=0.5)
 
 
 @query(
@@ -1050,6 +1058,114 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _persist_aux(spark, ivf_probes(emb, [0, 1, 2, 3, 4]), "ivf_probes")
     out = ivf_topk_from_index(index, probes, emb, k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    "J1,A1 multi-join breadth (TPC-H Q5 shape: fact-fact join + dim broadcasts)",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join: orders/lineitem shuffle on their join keys;
+    supplier/nation/region (and at fixture scale customer) broadcast.
+    The c_nationkey = s_nationkey constraint rides the supplier join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "P3,A1 pushdown breadth (TPC-H Q6 shape: range predicates to the scan)",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push to the parquet scan (PushedFilters);
+    single global aggregate with map-side partial combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "order_price_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    "A1 exact quantiles per group (percentile == quantile_cont, linear interpolation)",
+)
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (not approx_percentile): both engines use linear
+    interpolation between closest ranks, so values hash-match. At 100 TB
+    exact percentile sorts within groups — swap to approx_percentile
+    (t-digest) when a bounded-error estimate is acceptable."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
 
 
 # ---------------------------------------------------------------------------

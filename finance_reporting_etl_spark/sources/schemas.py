@@ -62,3 +62,32 @@ def create_table(spark: SparkSession, name: str, schema: T.StructType, path: str
 def with_ingest_timestamp(df: DataFrame, col: str = "created_at") -> DataFrame:
     """``created_at TIMESTAMPTZ NOT NULL DEFAULT NOW()`` (README.md:265)."""
     return df.withColumn(col, F.current_timestamp())
+
+
+def schema_to_ddl(schema: T.StructType) -> str:
+    """StructType -> column DDL string (``name TYPE, ...``) via Spark's
+    own simpleString mapping — round-trips through
+    ``T._parse_datatype_string`` and ``CREATE TABLE``."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def create_table_sql(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    path: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """The SQL-string DDL form of S8 (sql/init_db.sql:1-5 CREATE TABLE
+    IF NOT EXISTS): issues ``spark.sql("CREATE TABLE ...")`` against the
+    session catalog — parquet-backed (EXTERNAL at ``path`` if given,
+    else managed under spark.sql.warehouse.dir), optionally partitioned.
+    Unlike ``create_table`` (temp view), the result is a catalog table
+    visible to any session sharing the metastore.
+    """
+    cols = schema_to_ddl(schema)
+    parts = f" PARTITIONED BY ({', '.join(partition_cols)})" if partition_cols else ""
+    loc = f" LOCATION '{path}'" if path else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet{parts}{loc}"
+    )

@@ -108,3 +108,26 @@ def test_create_table_and_ingest_ts(spark, tmp_path):
     df = spark.createDataFrame([("GDP", None, "1.0")], schemas.RAW_FINANCIAL_DATA_SCHEMA)
     stamped = schemas.with_ingest_timestamp(df)
     assert stamped.filter("created_at IS NULL").count() == 0
+
+
+def test_create_table_sql_ddl(spark, tmp_path):
+    from finance_reporting_etl_spark.sources import schemas
+
+    ddl = schemas.schema_to_ddl(schemas.RAW_FINANCIAL_DATA_SCHEMA)
+    assert ddl == "series_id string, observation_date date, value string"
+
+    schemas.create_table_sql(
+        spark, "ddl_raw_financial", schemas.RAW_FINANCIAL_DATA_SCHEMA,
+        path=str(tmp_path / "ddl_raw"),
+    )
+    try:
+        got = spark.table("ddl_raw_financial")
+        assert [f.name for f in got.schema.fields] == ["series_id", "observation_date", "value"]
+        assert got.count() == 0
+        # idempotent (IF NOT EXISTS)
+        schemas.create_table_sql(
+            spark, "ddl_raw_financial", schemas.RAW_FINANCIAL_DATA_SCHEMA,
+            path=str(tmp_path / "ddl_raw"),
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_raw_financial")
