@@ -59,6 +59,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "order_price_quantiles",
+    "dedup_clusters",
 ]
 
 

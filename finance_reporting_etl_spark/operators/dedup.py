@@ -368,6 +368,55 @@ def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
     ).filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup edges: (id, cluster_id) where
+    cluster_id = min id in the component (the canonical survivor — the
+    same deterministic rule exact_dedup uses).
+
+    Min-label propagation: each iteration joins labels across edges and
+    keeps the per-node minimum; converges in O(component diameter)
+    iterations — near-dup components are shallow (dup clusters, not long
+    chains), so a handful. Each iteration is one shuffle join + groupBy
+    on uniform id keys; ``localCheckpoint`` truncates lineage so plans
+    don't grow with iterations (the GraphX/Pregel pattern without the
+    RDD API). The only driver-side data is the per-iteration convergence
+    count, never rows.
+    """
+    adj = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    adj = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(
+                labels.withColumnsRenamed({"id": "src", "cluster_id": "nbr_label"}), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum <=> fixpoint —
+        # one cheap aggregate per iteration, no compare join
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

@@ -45,6 +45,8 @@ def run_pipeline(
     sf_dir: str,
     warehouse_dir: str | None = None,
     fetch_payloads: Callable[[], list[dict]] | None = None,
+    on_complete: Callable[[PipelineResult], None] | None = None,
+    on_failure: Callable[[BaseException], None] | None = None,
 ) -> PipelineResult:
     """extract -> create/load raw -> transform (dbt-run analog).
 
@@ -55,15 +57,31 @@ def run_pipeline(
     3. transform: model registry builds staging views + mart tables in
        ref order (O3); marts persist under ``warehouse_dir`` when given
        and stay queryable via spark.sql (entry point 3).
+
+    ``on_complete``/``on_failure`` are the O4 notification hooks — the
+    reference appends an EmailOperator task (readme.md:309-318) and sets
+    email_on_failure in default_args (dags/etl_dag.py); here any sender
+    (SMTP, Slack webhook, ...) drops in as a callback, keeping the
+    engine transport-agnostic. A failure callback observes the exception
+    and the exception still propagates (retries belong to the
+    scheduler).
     """
-    payloads = fetch_payloads() if fetch_payloads else [CANNED_FRED_PAYLOAD]
-    raw = payloads_to_df(spark, payloads)
-    observations = with_ingest_timestamp(flatten_observations(raw))
-    observations.createOrReplaceTempView("raw_observations")
+    try:
+        payloads = fetch_payloads() if fetch_payloads else [CANNED_FRED_PAYLOAD]
+        raw = payloads_to_df(spark, payloads)
+        observations = with_ingest_timestamp(flatten_observations(raw))
+        observations.createOrReplaceTempView("raw_observations")
 
-    sources = load_tables(spark, sf_dir)
-    for name, df in sources.items():
-        df.createOrReplaceTempView(name)
+        sources = load_tables(spark, sf_dir)
+        for name, df in sources.items():
+            df.createOrReplaceTempView(name)
 
-    marts = registry.run(spark, sources, warehouse_dir=warehouse_dir)
-    return PipelineResult(raw_observations=observations, marts=marts)
+        marts = registry.run(spark, sources, warehouse_dir=warehouse_dir)
+        result = PipelineResult(raw_observations=observations, marts=marts)
+    except BaseException as exc:
+        if on_failure is not None:
+            on_failure(exc)
+        raise
+    if on_complete is not None:
+        on_complete(result)
+    return result

@@ -733,6 +733,49 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
+                     4) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs WHERE jaccard >= 0.5
+    ), reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "X1/X2 near-dup clustering: connected components (min-label propagation vs recursive closure)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup grouping: Jaccard edges -> connected
+    components -> cluster_id = min doc_id (the canonical survivor).
+    The iterative Spark propagation must agree with DuckDB's recursive
+    transitive closure on every node."""
+    from finance_reporting_etl_spark.operators.dedup import jaccard_pairs, near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return near_dup_clusters(edges, nodes).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
     "minhash_lsh_near_dup",
     f"""
     WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_index/*.parquet'),

@@ -259,3 +259,12 @@ def test_drop_expired_partitions(spark, tmp_path):
     assert [r.id for r in left.collect()] == [3]
     # idempotent: second run drops nothing
     assert incremental.drop_expired_partitions(spark, path, "day", "2024-01-03") == []
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Chain 1-2, 2-3 must collapse into one cluster (transitivity);
+    4-5 separate; 6 isolated keeps its own label."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

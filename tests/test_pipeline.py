@@ -24,3 +24,25 @@ def test_pipeline_injected_fetcher(spark, sf_dir):
     payload = {"observations": [{"date": "2024-01-01", "value": "1.5"}]}
     result = run_pipeline(spark, sf_dir, fetch_payloads=lambda: [payload])
     assert result.raw_observations.count() == 1
+
+
+def test_pipeline_notification_hooks(spark, sf_dir):
+    """O4 analog: completion hook fires with the result; failure hook
+    observes the exception which still propagates."""
+    import pytest
+
+    from finance_reporting_etl_spark.pipeline import run_pipeline
+
+    seen = []
+    run_pipeline(spark, sf_dir, on_complete=lambda res: seen.append(res))
+    assert len(seen) == 1 and "mart_financial_kpis" in seen[0].marts
+
+    failures = []
+    with pytest.raises(RuntimeError, match="boom"):
+        run_pipeline(
+            spark,
+            sf_dir,
+            fetch_payloads=lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+            on_failure=lambda exc: failures.append(exc),
+        )
+    assert len(failures) == 1 and "boom" in str(failures[0])
