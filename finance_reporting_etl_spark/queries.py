@@ -1058,7 +1058,12 @@ def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.similarity import hyperplane_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = _persist_aux(spark, hyperplane_buckets(emb), "lshdup_buckets")
+    # 8 planes = 256 buckets/table: measured candidate selectivity ~3% of
+    # the pair space at bench scale (4 planes passed ~40% — no pruning);
+    # 8 tables keep recall ~0.93 for close (cosine~0.9) duplicates.
+    # n_planes is THE scale knob: grow it with log2(n) to hold bucket
+    # occupancy constant.
+    buckets = _persist_aux(spark, hyperplane_buckets(emb, n_planes=8), "lshdup_buckets")
     return lsh_cosine_pairs_from_buckets(buckets, emb, threshold=0.4)
 
 

@@ -75,3 +75,44 @@ def test_quality_score_bounded_and_token_count_consistent(spark, texts):
         py_tokens = len([t for t in re.split(r"\s+", texts[r.i].strip()) if True]) if True else 0
         # Spark split on \s+ of stripped text; empty string yields one empty token on both sides
         assert r.n == len(re.split(r"\s+", texts[r.i].strip()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, raw_edges):
+    """Distributed min-label propagation == driver-side union-find on
+    random graphs over 15 nodes."""
+    from finance_reporting_etl_spark.operators.dedup import near_dup_clusters
+
+    n = 15
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(members) for members in comp.values() for i in members}
+
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).filter("id_a <> id_b")
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(edges_df, nodes_df).collect()}
+    assert got == want
