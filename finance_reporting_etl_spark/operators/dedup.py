@@ -388,7 +388,11 @@ def near_dup_clusters(
     adj = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(eager=True)
+    # only nodes on an edge can ever change label; at corpus scale the
+    # dup graph is a small fraction of the node set, so the iteration
+    # runs on |V_edges| rows and isolated nodes join back once at the end
+    edge_nodes = adj.select(F.col("src").alias("id")).distinct()
+    labels = edge_nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iter):
         nbr_min = (
@@ -414,7 +418,8 @@ def near_dup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    isolated = nodes.select("id").join(edge_nodes, "id", "left_anti")
+    return labels.unionByName(isolated.select("id", F.col("id").alias("cluster_id")))
 
 
 # --- SimHash ---------------------------------------------------------------
