@@ -60,6 +60,9 @@ HEADLINE = [
     "q6_revenue_forecast",
     "order_price_quantiles",
     "dedup_clusters",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q19_bracketed_discount_revenue",
 ]
 
 
