@@ -375,14 +375,21 @@ def near_dup_clusters(
     cluster_id = min id in the component (the canonical survivor — the
     same deterministic rule exact_dedup uses).
 
-    Min-label propagation: each iteration joins labels across edges and
-    keeps the per-node minimum; converges in O(component diameter)
-    iterations — near-dup components are shallow (dup clusters, not long
-    chains), so a handful. Each iteration is one shuffle join + groupBy
-    on uniform id keys; ``localCheckpoint`` truncates lineage so plans
-    don't grow with iterations (the GraphX/Pregel pattern without the
-    RDD API). The only driver-side data is the per-iteration convergence
-    count, never rows.
+    Min-label propagation with pointer jumping: each iteration (a) takes
+    the min label across edges, then (b) follows each node's label to
+    that node's own label (path halving) — labels chase the component
+    minimum through label-space, not just edge-space, so convergence is
+    O(log diameter) rounds instead of O(diameter) (the hash-to-min trick
+    from the MapReduce connected-components literature). Each round is a
+    join + groupBy + label self-join on uniform id keys;
+    ``localCheckpoint`` truncates lineage so plans don't grow with
+    iterations (the GraphX/Pregel pattern without the RDD API). The only
+    driver-side data is the per-iteration convergence sum, never rows.
+
+    Invariant: every label value is the id of a node in the same
+    component (init: own id; (a) pulls a neighbor's label; (b) pulls a
+    label's label), so the label self-join in (b) always matches and the
+    fixpoint label is the component min.
     """
     adj = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     adj = adj.unionByName(
@@ -402,14 +409,18 @@ def near_dup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        jump = stepped.select(
+            F.col("id").alias("__jid"), F.col("cluster_id").alias("__jlabel")
+        )
         labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+            stepped.join(jump, stepped["cluster_id"] == jump["__jid"])
+            .select("id", F.least("cluster_id", "__jlabel").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so an unchanged sum <=> fixpoint —
