@@ -63,6 +63,13 @@ HEADLINE = [
     "q10_returned_item_revenue",
     "q14_promo_revenue_share",
     "q19_bracketed_discount_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "corpus_hash_split",
+    "corpus_chunking",
 ]
 
 

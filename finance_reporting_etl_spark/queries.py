@@ -1305,6 +1305,208 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ) t
+    GROUP BY 1
+    ORDER BY n_customers DESC, c_count DESC
+    """,
+    "J1,A1 outer-join double aggregation (TPC-H Q13 shape: order-count histogram)",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-per-order-count histogram. The left outer join keeps
+    zero-order customers (count(o_orderkey) ignores the null rows); the
+    second aggregate is tiny (#distinct counts), so the only real shuffle
+    is the first groupBy on c_custkey."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    "A1,J1 argmax-of-aggregate (TPC-H Q15 shape: top revenue supplier)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue. The max is a 1-row aggregate
+    broadcast back against the per-supplier revenue — no global window,
+    no single-partition sort. Each engine compares its own sums to its
+    own max, so summation-order float drift can't flip the filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+    ), thresh AS (
+        SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+        FROM brand_lines GROUP BY 1
+    )
+    SELECT round(sum(b.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM brand_lines b JOIN thresh t ON b.l_partkey = t.t_partkey
+    WHERE b.l_quantity < t.qty_thresh
+    """,
+    "A1,J1 per-group-threshold correlated aggregate (TPC-H Q17 shape)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity lines vs each part's own average.
+    The per-part avg is a grouped aggregate joined back (the decorrelated
+    form Catalyst would produce for the scalar subquery); its output is
+    |parts in brand| rows, so the join-back broadcasts. Quantities are
+    small integers, so 0.2*avg is exact in both engines — the threshold
+    comparison can't drift."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_lines = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    thresh = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    "A1,J1 having + semi-join back (TPC-H Q18 shape: large-volume orders)",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 150, with customer detail.
+    The HAVING aggregate runs once on lineitem and semi-joins orders
+    (left_semi keeps the probe side narrow); quantities are integral so
+    the >150 cut is exact in both engines. Top-k by totalprice stays
+    distributed (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "__bk"),
+        F.col("o_orderkey") == F.col("__bk"),
+        "left_semi",
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "A1,J1 scalar-subquery filter + anti-join (TPC-H Q22 shape: lapsed rich customers)",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent orders, by segment.
+    The global average is a 1-row broadcast (no scalar-subquery
+    recompute per row); NOT EXISTS is a shuffle anti-join on custkey with
+    the date predicate pushed below it into the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(ab), F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "order_price_quantiles",
     """
     SELECT o_orderpriority,
@@ -1576,6 +1778,85 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.length("text"), F.lit(0.5)), 4).alias("p50_chars"),
         F.round(F.percentile(F.length("text"), F.lit(0.9)), 4).alias("p90_chars"),
     )
+
+
+_B256 = (
+    "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS DOUBLE)"
+)
+
+
+@query(
+    "corpus_hash_split",
+    f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN b < 0.8 * 256.0 THEN 'train'
+                WHEN b < (0.8 + 0.1) * 256.0 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, source, {_B256} AS b FROM documents)
+    """,
+    "X-pipeline deterministic train/val/test split (md5-bucket, engine-portable)",
+)
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free 80/10/10 split as a pure function of doc_id — stable
+    across runs, partitionings, and engines (DuckDB derives the identical
+    assignment from the same md5 buckets, so every row is hash-verified)."""
+    from finance_reporting_etl_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@query(
+    "corpus_mixture_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source, {_B256} AS b FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                        WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END * 256.0
+    """,
+    "X-pipeline mixture re-weighting: deterministic per-language downsample",
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture step: keep all English, half de/es/fr, a quarter
+    zh — reproducible independent of executor count (md5 buckets, not
+    rand()), so dataset versions are exactly re-materializable."""
+    from finance_reporting_etl_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25},
+    )
+
+
+@query(
+    "corpus_chunking",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk,
+           CAST(len(list_slice(toks, start, start + 63)) AS INT) AS n_tokens
+    FROM s
+    """,
+    "X-pipeline overlapping token-window chunking (64-token windows, 16 overlap)",
+)
+def q_corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window preparation: explode each document into 64-token
+    windows overlapping by 16. Map-side only (split -> sequence ->
+    explode -> slice), so chunking feeds the next pipeline stage at scan
+    speed at any scale."""
+    from finance_reporting_etl_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)
 
 
 @query(

@@ -268,3 +268,69 @@ def test_near_dup_clusters_transitive(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
     got = {r.id: r.cluster_id for r in dedup.near_dup_clusters(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_hash_split_deterministic_partition_invariant(docs):
+    from finance_reporting_etl_spark.operators.corpus import hash_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", splits).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), "doc_id", splits).collect()
+    }
+    assert a == b  # pure function of id: partitioning can't move a row
+    assert set(a.values()) <= {"train", "val", "test"}
+    # proportions on a bigger id space
+    spark = docs.sparkSession
+    wide = hash_split(spark.range(500).withColumnRenamed("id", "doc_id"), "doc_id", splits)
+    counts = {r.split: r.n for r in wide.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.7 * 500 <= counts["train"] <= 0.9 * 500
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_stratified_sample_is_deterministic_subset(docs):
+    from finance_reporting_etl_spark.operators.corpus import stratified_sample
+
+    rates = {"en": 1.0, "zh": 0.0, "de": 0.5, "es": 0.5, "fr": 0.5}
+    out = stratified_sample(docs, "doc_id", "lang", rates)
+    rows = out.select("doc_id", "lang").collect()
+    again = stratified_sample(docs, "doc_id", "lang", rates).select("doc_id", "lang").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    langs = {r.lang for r in rows}
+    assert "zh" not in langs  # rate 0 strata drop entirely
+    n_en_in = docs.filter("lang = 'en'").count()
+    n_en_out = sum(1 for r in rows if r.lang == "en")
+    assert n_en_out == n_en_in  # rate 1.0 strata keep every row
+
+
+def test_chunk_documents_reconstructs_token_stream(spark):
+    from finance_reporting_etl_spark.operators.corpus import chunk_documents
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(150))),
+        (2, "one two three"),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=16, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: step=12, 150 tokens -> ceil(150/12)=13 starts
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert len(chunks) == 13
+    assert all(r.n_tokens == 16 for r in chunks[:-1])
+    # consecutive chunks overlap by exactly 4 tokens
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.chunk.split()[12:] == b.chunk.split()[:4]
+    # concatenating de-overlapped chunks reconstructs the token stream
+    rebuilt = chunks[0].chunk.split()
+    for c in chunks[1:]:
+        rebuilt += c.chunk.split()[4:]
+    assert rebuilt == texts[0][1].split()
+    # short and empty docs produce exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    assert len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 1
