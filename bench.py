@@ -70,6 +70,8 @@ HEADLINE = [
     "q22_idle_rich_customers",
     "corpus_hash_split",
     "corpus_chunking",
+    "rolling_7day_revenue",
+    "customer_spend_deciles",
 ]
 
 

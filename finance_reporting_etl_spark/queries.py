@@ -1716,6 +1716,129 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    "§2.8 streaming exact dedup: dropDuplicatesWithinWatermark over an at-least-once replay == DISTINCT",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays events duplicated 2x (simulating at-least-once delivery)
+    through a streaming dedup on event_id; the survivor set must equal
+    the original table exactly. Watermark (90d) exceeds the replay span
+    (30d) so no duplicate escapes state eviction in the bounded demo."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.dedup import streaming_dedup
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = f"{tmp}/src"
+    events.unionAll(events).write.mode("overwrite").parquet(src)
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = streaming_dedup(
+        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
+        output_table=name,
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_dedup_events did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum,
+               round(sum(value), 4) AS daily_value
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, daily_value,
+           round(sum(daily_value) OVER (
+               PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
+    FROM daily
+    """,
+    "§2.5 range-frame window: 7-day rolling sum per event type (gap-aware, not row-based)",
+)
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling value per event type using a RANGE frame over day
+    number — unlike a rowsBetween(-6, 0) frame this stays correct when a
+    type has gap days. Partitioned by event_type, ordered within
+    partition: no global window, and the pre-aggregation to daily grain
+    bounds window input at #days x #types."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+        .withColumn("dnum", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dnum")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(F.sum("daily_value").over(w), 4).alias("rolling_7d"),
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    """
+    WITH spend AS (
+        SELECT c.c_custkey, round(sum(o.o_totalprice), 4) AS total_spend
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT ntile(10) OVER (ORDER BY total_spend, c_custkey) AS decile,
+           c_custkey, total_spend
+    FROM spend
+    """,
+    "§2.5 ntile decile ranking over aggregated spend (deterministic tiebreak)",
+)
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles. The ntile window is global but its input
+    is post-aggregation (|customers| rows, not |orders|) and the sort key
+    (rounded spend, custkey) is unique, so both engines tile
+    identically. At 100 TB swap ntile for approx_percentile boundaries +
+    a map-side bucket join to avoid the single-partition sort."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
+    )
+    w = Window.orderBy("total_spend", "c_custkey")
+    return spend.select(
+        F.ntile(10).over(w).alias("decile"), "c_custkey", "total_spend"
+    )
+
+
+@query(
     "corpus_clean",
     """
     WITH scored AS (

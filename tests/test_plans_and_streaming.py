@@ -147,3 +147,30 @@ def test_mart_partitioned_persistence_prunes(spark, sf_dir, tmp_path, capsys):
     n_gdp = filtered.count()
     n_clicks = sources["events"].filter(F.col("event_type") == "click").count()
     assert n_gdp == n_clicks
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path):
+    from finance_reporting_etl_spark.streaming.dedup import streaming_dedup
+
+    events = _read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "dedup_src")
+    # 3x replay: every event delivered three times
+    events.unionAll(events).unionAll(events).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = streaming_dedup(
+        spark,
+        src,
+        schema,
+        checkpoint_dir=str(tmp_path / "dedup_ckpt"),
+        output_table="dedup_stream_test",
+    )
+    assert q.awaitTermination(120), "dedup stream did not finish in time"
+    got = spark.table("dedup_stream_test")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in events.collect()}
+    assert a == b
