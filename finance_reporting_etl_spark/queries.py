@@ -1755,6 +1755,53 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "§2.8 applyInPandasWithState: per-key GroupState running totals across micro-batches == batch GROUP BY",
+)
+def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streams events in 4 single-file micro-batches through a custom
+    applyInPandasWithState operator that keeps (count, sum, seq) per user
+    in GroupState; the last emission per user (max_by upd_seq) must equal
+    the batch aggregate. Exercises cross-batch state persistence — the
+    sequence numbers prove multiple batches actually ran."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.stateful import stateful_running_totals
+
+    events = _t(spark, sf_dir, "events").select("user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="stateful_totals_")
+    src = f"{tmp}/src"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    name = f"stateful_stream_{uuid.uuid4().hex[:8]}"
+    q = stateful_running_totals(
+        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
+        output_table=name,
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stateful_user_totals did not finish within 300s")
+        out = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("n_events", "upd_seq").alias("n_events"),
+                F.round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "rolling_7day_revenue",
     """
     WITH daily AS (

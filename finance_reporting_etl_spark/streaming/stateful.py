@@ -73,8 +73,9 @@ def stateful_running_totals(
     Returns the StreamingQuery; caller awaits termination then reads
     ``spark.table(output_table)``.
     """
+    key_type = schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} BIGINT, upd_seq INT, n_events BIGINT, total_value DOUBLE"
+        f"{key_col} {key_type}, upd_seq INT, n_events BIGINT, total_value DOUBLE"
     )
     stream = (
         spark.readStream.schema(schema)

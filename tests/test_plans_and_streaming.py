@@ -149,6 +149,35 @@ def test_mart_partitioned_persistence_prunes(spark, sf_dir, tmp_path, capsys):
     assert n_gdp == n_clicks
 
 
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    from finance_reporting_etl_spark.streaming.stateful import stateful_running_totals
+
+    events = _read_parquet(spark, f"{sf_dir}/events.parquet").select("user_id", "value")
+    src = str(tmp_path / "stateful_src")
+    events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = stateful_running_totals(
+        spark, src, schema,
+        checkpoint_dir=str(tmp_path / "stateful_ckpt"),
+        output_table="stateful_stream_test",
+    )
+    assert q.awaitTermination(120), "stateful stream did not finish in time"
+    emitted = spark.table("stateful_stream_test")
+    # maxFilesPerTrigger=1 over 4 files => at least one key updated in >1 batch
+    assert emitted.agg(F.max("upd_seq")).first()[0] > 1
+    final = emitted.groupBy("user_id").agg(
+        F.max_by("n_events", "upd_seq").alias("n_events"),
+        F.round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
+
+
 def test_streaming_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path):
     from finance_reporting_etl_spark.streaming.dedup import streaming_dedup
 
