@@ -72,6 +72,8 @@ HEADLINE = [
     "corpus_chunking",
     "rolling_7day_revenue",
     "customer_spend_deciles",
+    "repetition_metrics",
+    "decontaminate_4gram",
 ]
 
 

@@ -114,6 +114,74 @@ def language_guess(text: Column | str) -> Column:
     return expr
 
 
+def type_token_ratio(text: Column | str, scale: int = 4) -> Column:
+    """Distinct-token / total-token ratio (lowercased). Low values flag
+    repetitive machine-generated text (Gopher-style repetition filter)."""
+    toks = whitespace_tokens(F.lower(_c(text)))
+    return F.round(
+        F.size(F.array_distinct(toks)) / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
+        scale,
+    )
+
+
+def token_ngrams(text: Column | str, n: int) -> Column:
+    """Token n-grams of lowercased text as array<string> (space-joined).
+    Empty array when the document has fewer than n tokens (F.sequence
+    descends when start > stop, so the short case must be guarded)."""
+    toks = whitespace_tokens(F.lower(_c(text)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_fraction(text: Column | str, n: int = 2, scale: int = 4) -> Column:
+    """Fraction of a document's token n-grams accounted for by its single
+    most frequent n-gram — the Gopher-style 'top n-gram' repetition
+    signal. Computed per-row with array lambdas (O(k^2) in distinct
+    grams): right for ~1k-token web documents; for book-length inputs use
+    the explode + groupBy formulation instead so the work distributes."""
+    grams = token_ngrams(text, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+        )
+    )
+    return F.round(top / F.nullif(F.size(grams).cast("double"), F.lit(0.0)), scale)
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: no backreferences, no lookaround. Order matters — emails
+# are redacted before IPs/phones so digit runs inside an address never
+# half-match a later pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern kind in the raw text."""
+    pattern = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder, applying the
+    patterns in PII_PATTERNS order. Pure map-side regexp_replace chain —
+    no shuffle, full codegen, identical semantics to DuckDB's
+    regexp_replace(..., 'g')."""
+    out = _c(text)
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-
     collapsed text. md5 is identical in Spark and DuckDB -> exact oracle."""

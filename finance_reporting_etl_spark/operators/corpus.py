@@ -121,3 +121,62 @@ def chunk_documents(
         F.array_join(window, " ").alias("chunk"),
         F.size(window).alias("n_tokens"),
     )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased whitespace tokens by frequency,
+    ties broken lexicographically -> (token, n_occurrences).
+
+    explode -> partial-agg groupBy -> TakeOrderedAndProject: the count
+    shuffles only one row per distinct token (map-side combine), and the
+    top-k never performs a global sort — each partition keeps k rows and
+    the driver merges. Safe at any corpus size where the *vocabulary*
+    fits a partition, which is the regime vocabularies exist for.
+    """
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    toks = F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("token")
+    return (
+        df.select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(k)
+    )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with a held-out benchmark set -> (id, n_contaminated_grams).
+
+    The standard leak check before training on scraped corpora (the
+    GPT-3/PaLM papers use 8-13 token grams; n is a knob). Benchmark
+    grams are distinct-ed then broadcast — eval suites are tiny next to
+    a 100 TB corpus, so the big side never shuffles: gram explode, semi
+    structure, and count all stay map-side except the final per-doc
+    groupBy on id (uniform key). If the benchmark outgrows broadcast,
+    drop the hint and the same plan shuffle-joins.
+    """
+    from finance_reporting_etl_spark.functions.text import token_ngrams
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+        )
+
+    bench_grams = benchmark.select(
+        F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        grams(df)
+        .dropDuplicates([id_col, "gram"])
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )

@@ -2157,3 +2157,149 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "repetition_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks)-1),
+                                        i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0), 4)
+               AS type_token_ratio,
+           round(list_max(list_transform(list_distinct(grams),
+                                         x -> len(list_filter(grams, y -> y = x))))
+                 / nullif(CAST(len(grams) AS DOUBLE), 0), 4) AS top_bigram_fraction
+    FROM g
+    """,
+    "X4 Gopher-style repetition filters: type/token ratio + top-bigram fraction",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals for corpus quality filtering —
+    pure map-side array lambdas, zero shuffle, full codegen."""
+    from finance_reporting_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.whitespace_tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        tx.type_token_ratio("text").alias("type_token_ratio"),
+        tx.top_ngram_fraction("text", n=2).alias("top_bigram_fraction"),
+    )
+
+
+@query(
+    "pii_redaction",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.' || CAST(doc_id % 250 AS VARCHAR)
+                    || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+           len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    "X4 PII redaction: typed regex scrub (email/IP/phone) + per-type counts",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over the corpus. The fixture corpus carries no
+    real PII, so the query plants one deterministic email/IP/phone per
+    document (identically in the oracle) to prove the patterns fire;
+    counts are computed on the raw text, redaction applies the patterns
+    in declared order. Map-side regexp chain — no shuffle."""
+    from finance_reporting_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        tx.pii_count("text", "email").alias("n_emails"),
+        tx.pii_count("text", "ipv4").alias("n_ips"),
+        tx.pii_count("text", "phone").alias("n_phones"),
+        tx.redact_pii("text").alias("redacted"),
+    )
+
+
+@query(
+    "corpus_vocabulary",
+    f"""
+    SELECT token, count(*) AS n_occurrences
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+    "X4 vocabulary build: corpus-wide top-k token frequencies (TakeOrderedAndProject)",
+)
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus tokens. Shuffle carries one row per distinct token
+    (map-side combine); top-k avoids any global sort."""
+    from finance_reporting_etl_spark.operators.corpus import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), "text", k=100)
+
+
+@query(
+    "decontaminate_4gram",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, {_B256} AS b FROM documents),
+    grams AS (
+        SELECT doc_id, b,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE b < 13),
+    train_grams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 13)
+    SELECT g.doc_id, count(*) AS n_contaminated_grams
+    FROM train_grams g JOIN bench USING (gram)
+    GROUP BY g.doc_id
+    """,
+    "X-pipeline benchmark decontamination: 4-gram overlap vs held-out md5-bucket split",
+)
+def q_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags training documents sharing any 4-token gram with the
+    held-out ~5% benchmark bucket (md5 bucket < 13 — the same
+    deterministic split machinery as corpus_hash_split). Benchmark grams
+    broadcast; the corpus side stays map-side until the per-doc count."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket, ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id")
+    return ngram_decontaminate(
+        docs.filter(b >= 13), docs.filter(b < 13), n=4
+    )

@@ -334,3 +334,82 @@ def test_chunk_documents_reconstructs_token_stream(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
     assert len(by_doc[3]) == 1
     assert len(by_doc[4]) == 1
+
+
+def test_redact_pii_and_counts(spark):
+    from finance_reporting_etl_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com or c.d+x@e.org, host 10.0.0.1, call +1 (555) 010-1234"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        tx.pii_count("text", "email").alias("e"),
+        tx.pii_count("text", "ipv4").alias("i"),
+        tx.pii_count("text", "phone").alias("p"),
+        tx.redact_pii("text").alias("r"),
+    ).collect()
+    r1 = {row["id"]: row for row in out}
+    assert (r1[1]["e"], r1[1]["i"], r1[1]["p"]) == (2, 1, 1)
+    assert r1[1]["r"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+    assert (r1[2]["e"], r1[2]["i"], r1[2]["p"]) == (0, 0, 0)
+    assert r1[2]["r"] == "no pii here at all"
+
+
+def test_repetition_metrics_known_values(spark):
+    from finance_reporting_etl_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all tokens here differ fully"), (3, "x")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.type_token_ratio("text").alias("ttr"),
+            tx.top_ngram_fraction("text", 2).alias("top2"),
+        ).collect()
+    }
+    # "a b a b a b": 6 tokens, 2 distinct; bigrams [ab,ba,ab,ba,ab] -> top 3/5
+    assert got[1]["ttr"] == pytest.approx(2 / 6, abs=1e-4)
+    assert got[1]["top2"] == pytest.approx(3 / 5, abs=1e-4)
+    assert got[2]["ttr"] == 1.0
+    assert got[2]["top2"] == pytest.approx(1 / 4, abs=1e-4)
+    assert got[3]["top2"] is None  # < n tokens -> empty gram set
+
+
+def test_vocabulary_topk_deterministic_ties(spark):
+    from finance_reporting_etl_spark.operators.corpus import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "b a c a B c"), (2, "c d")], "id long, text string"
+    )
+    rows = vocabulary(df, "text", k=3).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in rows] == [
+        ("c", 3), ("a", 2), ("b", 2),
+    ]
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    from finance_reporting_etl_spark.operators.corpus import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer sequence here")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix the secret benchmark answer trailer"),  # shares one 4-gram
+            (2, "entirely clean document with novel words"),
+            (3, "the secret benchmark answer sequence here copied fully"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_grams"] for r in ngram_decontaminate(train, bench, n=4).collect()}
+    assert got[1] == 1
+    assert 2 not in got
+    assert got[3] == 3  # all three benchmark 4-grams appear
