@@ -74,6 +74,8 @@ HEADLINE = [
     "customer_spend_deciles",
     "repetition_metrics",
     "decontaminate_4gram",
+    "q8_market_share",
+    "q21_waiting_supplier",
 ]
 
 
