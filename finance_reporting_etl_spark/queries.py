@@ -2515,3 +2515,49 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "kmeans_cluster_profile",
+    f"""
+    WITH a AS (SELECT * FROM '{_AUX_DIR}/kmeans_assign/*.parquet'),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    j AS (
+        SELECT a.cluster, e.vec_id, p.pos, e.v[p.pos] AS x
+        FROM a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ),
+    cent AS (SELECT cluster, pos, avg(x) AS m FROM j GROUP BY 1, 2),
+    sq AS (
+        SELECT j.cluster, j.vec_id, sum((j.x - c.m) * (j.x - c.m)) AS sq
+        FROM j JOIN cent c ON c.cluster = j.cluster AND c.pos = j.pos
+        GROUP BY 1, 2
+    ),
+    per AS (SELECT cluster, count(*) AS n_members,
+                   round(avg(sqrt(sq)), 4) AS avg_dist
+            FROM sq GROUP BY 1),
+    norms AS (SELECT cluster, round(sqrt(sum(m * m)), 4) AS centroid_norm
+              FROM cent GROUP BY 1)
+    SELECT cluster, n_members, centroid_norm, avg_dist
+    FROM per JOIN norms USING (cluster)
+    """,
+    "X3 trained vector clustering: k-means (Lloyd's) with persisted-assignment oracle",
+)
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs 10 Lloyd iterations (k=8, deterministic lowest-id init) over
+    the embeddings table, persists the final assignment, and profiles
+    each cluster. The oracle re-derives member means, centroid norms and
+    mean member->centroid distance from the SAME assignment table in
+    double precision — verifying the update step exactly; the argmin
+    assignment step itself is covered by pytest (blob recovery,
+    determinism, monotone inertia). Oracle hardcodes dim=64 (fixture).
+    """
+    from finance_reporting_etl_spark.operators.clustering import (
+        cluster_profile,
+        kmeans,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans(emb, k=8, iters=10)
+    aux = _persist_aux(spark, assignments, "kmeans_assign")
+    return cluster_profile(emb, aux)

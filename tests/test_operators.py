@@ -413,3 +413,47 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert got[1] == 1
     assert 2 not in got
     assert got[3] == 3  # all three benchmark 4-grams appear
+
+
+def test_kmeans_recovers_blobs_and_is_deterministic(spark):
+    import numpy as np
+    from finance_reporting_etl_spark.operators.clustering import kmeans
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.3, 2)
+        rows.append((i, [float(v[0]), float(v[1])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a1, c1 = kmeans(df, k=3, iters=5)
+    got1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    # every blob lands in exactly one k-means cluster
+    for blob in range(3):
+        labels = {got1[i] for i in range(90) if i % 3 == blob}
+        assert len(labels) == 1
+    # distinct blobs -> distinct clusters
+    assert len({next(iter({got1[i] for i in range(90) if i % 3 == b})) for b in range(3)}) == 3
+    # deterministic across reruns
+    a2, c2 = kmeans(df, k=3, iters=5)
+    assert {r["vec_id"]: r["cluster"] for r in a2.collect()} == got1
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_inertia_decreases(spark):
+    import numpy as np
+    from finance_reporting_etl_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def inertia(iters):
+        a, cents = kmeans(emb, k=4, iters=iters)
+        rows = a.join(emb, "vec_id").select("cluster", "embedding").collect()
+        return sum(
+            float(np.sum((np.asarray(r["embedding"], dtype=np.float64) - cents[r["cluster"]]) ** 2))
+            for r in rows
+        )
+
+    assert inertia(6) <= inertia(1) + 1e-6
