@@ -124,16 +124,27 @@ def type_token_ratio(text: Column | str, scale: int = 4) -> Column:
     )
 
 
-def token_ngrams(text: Column | str, n: int) -> Column:
-    """Token n-grams of lowercased text as array<string> (space-joined).
-    Empty array when the document has fewer than n tokens (F.sequence
-    descends when start > stop, so the short case must be guarded)."""
-    toks = whitespace_tokens(F.lower(_c(text)))
+def ngrams_from_tokens(toks: Column | str, n: int) -> Column:
+    """Token n-grams from an ALREADY-MATERIALIZED tokens column
+    (space-joined array<string>); empty array below n tokens
+    (F.sequence descends when start > stop, so the short case must be
+    guarded). Pass a projected column, not an inline split expression:
+    Catalyst does not CSE outer expressions referenced inside
+    higher-order lambdas, so an inline tokenizer re-splits the text once
+    per gram — measured 7.5x slower at sf0.1."""
+    toks = _c(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngrams(text: Column | str, n: int) -> Column:
+    """Token n-grams of lowercased text. Convenience form for one-shot
+    use; hot paths should project ``whitespace_tokens`` to a column
+    first and call ``ngrams_from_tokens`` (see its docstring)."""
+    return ngrams_from_tokens(whitespace_tokens(F.lower(_c(text))), n)
 
 
 def top_ngram_fraction(text: Column | str, n: int = 2, scale: int = 4) -> Column:

@@ -163,20 +163,80 @@ def ngram_decontaminate(
     groupBy on id (uniform key). If the benchmark outgrows broadcast,
     drop the hint and the same plan shuffle-joins.
     """
-    from finance_reporting_etl_spark.functions.text import token_ngrams
+    from finance_reporting_etl_spark.functions.text import (
+        ngrams_from_tokens,
+        whitespace_tokens,
+    )
 
     def grams(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+        # tokens projected first: inline tokenizers re-evaluate per gram
+        # inside the transform lambda (no CSE through HOFs)
+        toked = frame.select(
+            F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+        )
+        return toked.select(
+            F.col(id_col), F.explode(ngrams_from_tokens("__toks", n)).alias("gram")
         )
 
-    bench_grams = benchmark.select(
-        F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    bench_grams = grams(benchmark).select("gram").distinct()
     return (
         grams(df)
         .dropDuplicates([id_col, "gram"])
         .join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document repetition signals:
+    (id, n_tokens, type_token_ratio, top_{n}gram_fraction).
+
+    Distributed formulation: explode n-grams -> count per (doc, gram) ->
+    max per doc, then join back onto the scalar metrics. This is the
+    scale-correct shape — the naive column-expression version
+    (``text.top_ngram_fraction``) nests a filter lambda inside a
+    transform, and Catalyst re-evaluates the whole gram-construction
+    subtree per outer element (no CSE through higher-order functions):
+    measured 235s vs ~1s at sf0.1 for identical output. Shuffle keys
+    (doc_id, gram) are near-unique -> uniform; partial aggregation
+    collapses repeats map-side.
+    """
+    from finance_reporting_etl_spark.functions.text import (
+        ngrams_from_tokens,
+        whitespace_tokens,
+    )
+
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    base = toked.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("__toks"))
+            / F.nullif(F.size("__toks").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("type_token_ratio"),
+        # gram count is size-(n-1), floored at 0 — no need to build grams
+        F.greatest(F.size("__toks") - (n - 1), F.lit(0)).alias("__n_grams"),
+    )
+    top = (
+        toked.select(
+            F.col(id_col), F.explode(ngrams_from_tokens("__toks", n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("__top"))
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "type_token_ratio",
+        F.round(
+            F.col("__top") / F.nullif(F.col("__n_grams").cast("double"), F.lit(0.0)), 4
+        ).alias(f"top_{n}gram_fraction"),
     )

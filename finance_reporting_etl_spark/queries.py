@@ -2183,17 +2183,16 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X4 Gopher-style repetition filters: type/token ratio + top-bigram fraction",
 )
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition signals for corpus quality filtering —
-    pure map-side array lambdas, zero shuffle, full codegen."""
-    from finance_reporting_etl_spark.functions import text as tx
+    """Per-document repetition signals for corpus quality filtering.
+    Uses the distributed explode+groupBy formulation (see
+    operators.corpus.repetition_profile) — the pure-expression variant
+    re-evaluates the gram subtree per lambda element and measured 235s
+    at sf0.1 vs ~1s for this shape."""
+    from finance_reporting_etl_spark.operators.corpus import repetition_profile
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tx.whitespace_tokens(F.lower(F.col("text")))
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        tx.type_token_ratio("text").alias("type_token_ratio"),
-        tx.top_ngram_fraction("text", n=2).alias("top_bigram_fraction"),
+    return repetition_profile(docs, "doc_id", "text", n=2).withColumnRenamed(
+        "top_2gram_fraction", "top_bigram_fraction"
     )
 
 
