@@ -240,3 +240,47 @@ def repetition_profile(
             F.col("__top") / F.nullif(F.col("__n_grams").cast("double"), F.lit(0.0)), 4
         ).alias(f"top_{n}gram_fraction"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    (id, term, tfidf, rank), tfidf = tf * (ln((N+1)/(df+1)) + 1)
+    (smoothed idf, scikit-style), rank by (rounded tfidf desc, term).
+
+    Ranking uses the ROUNDED score so cross-engine ulp noise in ln()
+    cannot flip the top-k cut; the term tiebreak is total within a doc.
+    Plan: one (doc, term) shuffle with map-side combine, a vocabulary-
+    sized broadcast back onto it, then a per-doc window — bounded by
+    distinct terms per doc, never corpus size. N rides in as a literal.
+    """
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    n_docs = df.count()
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    tf = (
+        toked.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -2560,3 +2560,32 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments, _ = kmeans(emb, k=8, iters=10)
     aux = _persist_aux(spark, assignments, "kmeans_assign")
     return cluster_profile(emb, aux)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    "X4 TF-IDF keyword extraction: top-5 terms per document (smoothed idf)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction via TF-IDF — the two-level
+    (doc,term)/(term) aggregation plus vocabulary broadcast-back shape.
+    Both engines rank on the rounded score with a term tiebreak, making
+    the top-5 cut deterministic cross-engine."""
+    from finance_reporting_etl_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
