@@ -284,3 +284,41 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Chunk-level exact dedup (the practical approximation of exact
+    substring dedup a la Lee et al.'s 'Deduplicating Training Data'):
+    chunk every document into overlapping token windows, fingerprint
+    each chunk, and report every repeated occurrence with its canonical
+    survivor -> (id, chunk_idx, surv_doc, surv_idx).
+
+    Survivor = lexicographically first (doc, chunk_idx) per fingerprint.
+    One shuffle on the md5 fingerprint (uniform key); chunking itself is
+    map-side explode. Repeated-boilerplate removal at 100 TB is exactly
+    this plan with the window swapped for a groupBy-min + rejoin if
+    per-fingerprint groups ever skew (they are dup counts — tiny).
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_size, overlap).select(
+        F.col(id_col), "chunk_idx", F.md5("chunk").alias("__fp")
+    )
+    w = Window.partitionBy("__fp").orderBy(id_col, "chunk_idx")
+    return (
+        chunks.select(
+            F.col(id_col),
+            "chunk_idx",
+            F.row_number().over(w).alias("__rn"),
+            F.first(id_col).over(w).alias("surv_doc"),
+            F.first("chunk_idx").over(w).alias("surv_idx"),
+        )
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "chunk_idx", "surv_doc", "surv_idx")
+    )

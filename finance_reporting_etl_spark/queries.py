@@ -2589,3 +2589,78 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.corpus import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "chunk_dedup_occurrences",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, CAST((start - 1) / 48 AS INT) AS chunk_idx,
+               md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
+        FROM s
+    ), w AS (
+        SELECT doc_id, chunk_idx,
+               row_number()  OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
+               first_value(doc_id)    OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_doc,
+               first_value(chunk_idx) OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_idx
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx, surv_doc, surv_idx FROM w WHERE rn > 1
+    """,
+    "X1/X-pipeline chunk-level exact dedup (substring-dedup approximation, Lee et al. shape)",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated 64-token chunks across the corpus with their canonical
+    survivor — the boilerplate/repeated-passage scrub. One uniform
+    md5-fingerprint shuffle over the chunk explosion."""
+    from finance_reporting_etl_spark.operators.corpus import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "streaming_merge_upsert",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "§2.8 x O5 foreachBatch incremental upsert: batch-by-batch merge_latest fixpoint == one-shot merge",
+)
+def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streams events in 4 single-file micro-batches through a
+    foreachBatch merge_latest upsert; because latest-per-key is an
+    associative argmin, the incrementally-maintained target must equal
+    the one-shot batch merge regardless of the batch split."""
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_merge_")
+    src = f"{tmp}/src"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    q = streaming_merge_upsert(
+        spark, src, spark.read.parquet(src).schema,
+        checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/target",
+        keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_merge_upsert did not finish within 300s")
+        out = spark.read.parquet(f"{tmp}/target").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -457,3 +457,17 @@ def test_kmeans_inertia_decreases(spark):
         )
 
     assert inertia(6) <= inertia(1) + 1e-6
+
+
+def test_chunk_dedup_flags_repeated_chunks(spark):
+    from finance_reporting_etl_spark.operators.corpus import chunk_dedup
+
+    base = " ".join(f"w{i}" for i in range(80))
+    other = " ".join(f"x{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    got = chunk_dedup(df).collect()
+    # doc 2's chunks all duplicate doc 1's; doc 3 is clean
+    assert got and all(r["doc_id"] == 2 and r["surv_doc"] == 1 for r in got)
+    assert {(r["chunk_idx"], r["surv_idx"]) for r in got} == {(0, 0), (1, 1)}

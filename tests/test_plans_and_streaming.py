@@ -203,3 +203,26 @@ def test_streaming_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in events.collect()}
     assert a == b
+
+
+def test_streaming_merge_upsert_equals_batch_merge(spark, sf_dir, tmp_path):
+    from finance_reporting_etl_spark.operators.incremental import merge_latest
+    from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+
+    events = _read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "merge_src")
+    events.repartition(3).write.parquet(src)
+    q = streaming_merge_upsert(
+        spark, src, spark.read.parquet(src).schema,
+        checkpoint_dir=str(tmp_path / "merge_ckpt"),
+        target_dir=str(tmp_path / "merge_target"),
+        keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+    )
+    assert q.awaitTermination(120), "merge stream did not finish in time"
+    got = spark.read.parquet(str(tmp_path / "merge_target"))
+    want = merge_latest(events, ["user_id"], "ts", "event_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
