@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: lock in the scale properties PLANS.md
+audits (pushdown, broadcast, distributed top-k, no unbounded global
+windows) so a refactor that silently degrades a plan fails CI, not the
+100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from finance_reporting_etl_spark.queries import CATALOG
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, capsys) -> str:
+    df.explain(mode="formatted")
+    return capsys.readouterr().out
+
+
+@pytest.mark.parametrize(
+    "name, required",
+    [
+        # distributed top-k, not sort-all
+        ("q3_top_orders", ["TakeOrderedAndProject"]),
+        ("corpus_vocabulary", ["TakeOrderedAndProject"]),
+        # dims broadcast; fact side scans prune + push filters
+        ("regional_revenue", ["BroadcastHashJoin", "PushedFilters: ["]),
+        ("q5_local_supplier_volume", ["BroadcastHashJoin"]),
+        ("q8_market_share", ["BroadcastHashJoin"]),
+        # benchmark grams / vocabulary broadcast back onto the corpus side
+        ("decontaminate_4gram", ["BroadcastHashJoin"]),
+        ("tfidf_top_terms", ["BroadcastHashJoin"]),
+        # semi/anti structure survives to the physical plan
+        ("q21_waiting_supplier", ["LeftSemi", "LeftAnti"]),
+        ("customers_without_orders_anti", ["LeftAnti"]),
+    ],
+)
+def test_plan_contains(spark, name, required, capsys):
+    plan = _plan(CATALOG[name].fn(spark, SF_SMOKE), capsys)
+    for token in required:
+        assert token in plan, f"{name}: expected {token} in physical plan"
+
+
+def test_filter_pushdown_reaches_scan(spark, capsys):
+    plan = _plan(CATALOG["filter_eq_projection"].fn(spark, SF_SMOKE), capsys)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus" in plan
+
+
+def test_column_pruning_reaches_scan(spark, capsys):
+    plan = _plan(CATALOG["regional_revenue"].fn(spark, SF_SMOKE), capsys)
+    # lineitem scan must read only the 3 referenced columns
+    seg = plan.split("lineitem", 1)[1]
+    schema = seg.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_suppkey" in schema and "l_extendedprice" in schema
+    assert "l_quantity" not in schema and "l_shipdate" not in schema
+
+
+def test_no_unbounded_global_window_in_topk(spark, capsys):
+    """q3's rank must be computed on the k survivors, never via a global
+    window over the full aggregate."""
+    plan = _plan(CATALOG["q3_top_orders"].fn(spark, SF_SMOKE), capsys)
+    # inspect only the tree section (before the numbered node details):
+    # there, parents print above children, so a Window FEEDING the top-k
+    # (the scale hazard) would sit below TakeOrderedAndProject
+    tree = plan.split("\n(1)", 1)[0]
+    assert "TakeOrderedAndProject" in tree
+    last_window = tree.rfind("Window")
+    assert last_window == -1 or last_window < tree.find(
+        "TakeOrderedAndProject"
+    ), "global window feeds top-k — scale hazard"
