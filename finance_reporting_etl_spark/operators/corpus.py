@@ -322,3 +322,54 @@ def chunk_dedup(
         .filter(F.col("__rn") > 1)
         .select(id_col, "chunk_idx", "surv_doc", "surv_idx")
     )
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Conjunctive (AND) keyword search with TF-IDF ranking:
+    (id, score, rank) for the top-k documents containing EVERY term.
+
+    Inverted-index shape without materializing the index: the postings
+    explode is filtered to the query terms at the scan side (the filter
+    sits under the explode, so only matching tokens survive the map
+    side), AND semantics fall out of `count(distinct term) = |terms|`,
+    and ranking reuses the smoothed-idf weight. At 100 TB the postings
+    table (term, doc, tf) is what you persist bucketed by term; this
+    operator is then a k-row-per-term scan instead of a corpus scan.
+    """
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    n_docs = df.count()
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    postings = (
+        toked.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "w",
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("term")).alias("__nt"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .filter(F.col("__nt") == len(terms))
+    )
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.select(id_col, "score", F.row_number().over(w).cast("long").alias("rank"))

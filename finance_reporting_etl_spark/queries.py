@@ -2664,3 +2664,38 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "keyword_search_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('window', 'join', 'merge') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT p.doc_id,
+               count(DISTINCT p.term) AS nt,
+               round(sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6) AS score
+        FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored WHERE nt = 3
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "X4 conjunctive keyword search: AND-semantics postings + TF-IDF ranking, top-10",
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents containing ALL of {window, join, merge}, ranked
+    by summed smoothed TF-IDF with a doc_id tiebreak (deterministic
+    cross-engine: both rank on the rounded score)."""
+    from finance_reporting_etl_spark.operators.corpus import keyword_search
+
+    return keyword_search(
+        _t(spark, sf_dir, "documents"), ["window", "join", "merge"], k=10
+    )
