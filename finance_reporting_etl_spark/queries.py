@@ -2699,3 +2699,108 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(
         _t(spark, sf_dir, "documents"), ["window", "join", "merge"], k=10
     )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH s AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(e.ts) AS t_view
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(t_signup) AS n_users FROM s
+    UNION ALL SELECT 'view_after_signup', count(*) FROM v
+    UNION ALL SELECT 'purchase_after_view', count(*) FROM p
+    """,
+    "A-tier sequential funnel: strict-order signup -> view -> purchase stage counts",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: each stage's timestamp must follow the
+    user's previous-stage first-hit. Three per-user aggregations joined
+    on user_id (uniform key, co-partitioned after the first shuffle —
+    AQE reuses the exchange); stage counts union at the end."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("t_signup").alias("n_users")).select(
+            F.lit("signup").alias("stage"), "n_users"
+        )
+        .unionAll(
+            v.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_after_signup").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("purchase_after_view").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "A-tier cohort retention: first-seen week x activity-week grid",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix. Two aggregations over events plus
+    a user-keyed join; (user, week) pairs are distinct-ed map-side
+    first, so the join input is bounded by users x weeks."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
