@@ -76,6 +76,12 @@ HEADLINE = [
     "decontaminate_4gram",
     "q8_market_share",
     "q21_waiting_supplier",
+    "kmeans_cluster_profile",
+    "tfidf_top_terms",
+    "keyword_search_topk",
+    "chunk_dedup_occurrences",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 
