@@ -116,3 +116,57 @@ def test_near_dup_clusters_matches_union_find(spark, raw_edges):
     nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
     got = {r.id: r.cluster_id for r in near_dup_clusters(edges_df, nodes_df).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=50),  # order value
+            st.integers(min_value=0, max_value=99),  # tiebreak id
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=4),  # number of batch splits
+)
+def test_merge_latest_is_batch_associative(spark, rows, n_batches):
+    """The invariant streaming_merge_upsert relies on: folding
+    merge_latest batch-by-batch reaches the same fixpoint as one merge
+    over everything, for any batch split."""
+    from finance_reporting_etl_spark.operators.incremental import merge_latest
+
+    schema = "k int, v int, id int"
+    df = spark.createDataFrame(rows, schema)
+    want = {tuple(r) for r in merge_latest(df, ["k"], "v", "id").collect()}
+
+    acc = None
+    for i in range(n_batches):
+        batch = spark.createDataFrame(rows[i::n_batches] or [(0, -1, -1)][:0], schema)
+        acc = batch if acc is None else acc.unionByName(batch)
+        acc = merge_latest(acc, ["k"], "v", "id")
+    got = {tuple(r) for r in acc.collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=8))
+def test_chunk_dedup_survivors_are_lexicographic_min(spark, doc_templates):
+    """Every reported duplicate must point at the smallest (doc, idx)
+    holding identical chunk content; survivors never appear as dups."""
+    from finance_reporting_etl_spark.operators.corpus import chunk_dedup
+
+    texts = [" ".join(f"t{t}_{i}" for i in range(70)) for t in range(4)]
+    rows = [(i, texts[t]) for i, t in enumerate(doc_templates)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = chunk_dedup(df).collect()
+
+    first_doc_of_template = {}
+    for i, t in enumerate(doc_templates):
+        first_doc_of_template.setdefault(t, i)
+    dup_keys = {(r["doc_id"], r["chunk_idx"]) for r in dups}
+    for r in dups:
+        assert r["surv_doc"] == first_doc_of_template[doc_templates[r["doc_id"]]]
+        assert r["surv_idx"] == r["chunk_idx"]  # same template => same offsets
+        assert (r["surv_doc"], r["surv_idx"]) not in dup_keys
