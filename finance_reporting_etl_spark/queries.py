@@ -2804,3 +2804,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "sql_api_mart_summary",
+    """
+    SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
+           round(avg(value), 6) AS avg_gdp
+    FROM events
+    GROUP BY 1
+    """,
+    "S10,S11,A1,A2 via the spark.sql STRING path (the reference's native dbt-SQL interface)",
+)
+def q_sql_api_mart_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The committed stg -> mart chain executed as literal SQL strings
+    through spark.sql over temp views — proving a reference user can
+    paste dbt-style SQL (stg_financial_data.sql:4-8,
+    mart_financial_summary.sql:4-8 shapes) unchanged modulo dialect.
+    Catalyst compiles this to the identical plan as the DataFrame form
+    (same pushdown/partial-agg properties)."""
+    events = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("raw_financial_sql")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW stg_financial_sql AS
+        SELECT ts, CAST(value AS DOUBLE) AS value
+        FROM raw_financial_sql
+        """
+    )
+    return spark.sql(
+        """
+        SELECT date_trunc('year', CAST(ts AS DATE)) AS year,
+               round(avg(value), 6) AS avg_gdp
+        FROM stg_financial_sql
+        GROUP BY 1
+        """
+    )
