@@ -99,3 +99,68 @@ def upsert_parquet(
     existing = spark.read.parquet(existing_path)
     merged = existing.unionByName(incoming, allowMissingColumns=True)
     return merge_latest(merged, keys, order_col, tiebreak_col)
+
+
+def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Reconciliation diff of two same-schema tables:
+    (side 'a_only'|'b_only', row payload..., n_copies) — the validation
+    step of any engine migration (exactly what a reference user needs to
+    trust a Spark port: run old and new, diff must be empty).
+
+    Multiset semantics via per-row counts (groupBy all columns), then a
+    full outer join on the row payload — count mismatches surface as
+    both sides with their copy counts. One shuffle per input on the
+    full-row key (uniform unless the data is one repeated row).
+    """
+    cols = a.columns
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
+    j = ca.join(cb, cols, "full_outer").filter(
+        ~(F.col("__na").eqNullSafe(F.col("__nb")))
+    )
+    a_only = j.filter(F.coalesce("__na", F.lit(0)) > F.coalesce("__nb", F.lit(0))).select(
+        F.lit("a_only").alias("side"),
+        *cols,
+        (F.coalesce("__na", F.lit(0)) - F.coalesce("__nb", F.lit(0))).alias("n_copies"),
+    )
+    b_only = j.filter(F.coalesce("__nb", F.lit(0)) > F.coalesce("__na", F.lit(0))).select(
+        F.lit("b_only").alias("side"),
+        *cols,
+        (F.coalesce("__nb", F.lit(0)) - F.coalesce("__na", F.lit(0))).alias("n_copies"),
+    )
+    return a_only.unionByName(b_only)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history builder: per key,
+    order observations by ``order_col`` and emit validity intervals
+    (keys..., attrs..., valid_from, valid_to) with valid_to = next
+    observation's timestamp (NULL = current row).
+
+    Collapses consecutive observations with unchanged attributes first
+    (lag-compare inside the same window partition), so re-stating an
+    unchanged dimension row never fragments history. One window shuffle
+    on the dimension key.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    changed = changed | F.lag(order_col).over(w).isNull()
+    starts = (
+        df.withColumn("__chg", changed)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    return starts.select(
+        *keys,
+        *attr_cols,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w2).alias("valid_to"),
+    )

@@ -2840,3 +2840,72 @@ def q_sql_api_mart_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@query(
+    "table_diff_reconciliation",
+    """
+    WITH a AS (SELECT event_id, event_type FROM events),
+    b AS (
+        SELECT event_id, event_type FROM events WHERE event_type <> 'error'
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+    ),
+    ca AS (SELECT event_id, event_type, count(*) AS na FROM a GROUP BY 1, 2),
+    cb AS (SELECT event_id, event_type, count(*) AS nb FROM b GROUP BY 1, 2),
+    j AS (
+        SELECT coalesce(ca.event_id, cb.event_id) AS event_id,
+               coalesce(ca.event_type, cb.event_type) AS event_type,
+               coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        FROM ca FULL OUTER JOIN cb USING (event_id, event_type)
+        WHERE coalesce(na, 0) <> coalesce(nb, 0)
+    )
+    SELECT 'a_only' AS side, event_id, event_type, na - nb AS n_copies FROM j WHERE na > nb
+    UNION ALL
+    SELECT 'b_only' AS side, event_id, event_type, nb - na AS n_copies FROM j WHERE nb > na
+    """,
+    "O-tier migration validation: multiset table diff (full-outer count compare)",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff against a deterministically perturbed copy
+    (errors dropped, signups doubled): a_only must be exactly the error
+    rows, b_only the duplicated signups — the empty-diff check a user
+    runs when migrating off the reference."""
+    from finance_reporting_etl_spark.operators.incremental import table_diff
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    b = ev.filter(F.col("event_type") != "error").unionAll(
+        ev.filter(F.col("event_type") == "signup")
+    )
+    return table_diff(ev, b)
+
+
+@query(
+    "scd2_user_state_history",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               lag(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts FROM o
+        WHERE prev_ts IS NULL OR NOT (event_type IS NOT DISTINCT FROM prev)
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM starts
+    """,
+    "O5/§2.5 SCD2 history builder: change-collapsed validity intervals via lag/lead",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history of each user's event_type state:
+    consecutive unchanged observations collapse, each surviving change
+    opens an interval closed by the next change (NULL = current). One
+    window shuffle on user_id; (user_id, ts) is unique in the fixture so
+    the ordering is total."""
+    from finance_reporting_etl_spark.operators.incremental import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return scd2_intervals(ev, ["user_id"], "ts", ["event_type"])

@@ -471,3 +471,31 @@ def test_chunk_dedup_flags_repeated_chunks(spark):
     # doc 2's chunks all duplicate doc 1's; doc 3 is clean
     assert got and all(r["doc_id"] == 2 and r["surv_doc"] == 1 for r in got)
     assert {(r["chunk_idx"], r["surv_idx"]) for r in got} == {(0, 0), (1, 1)}
+
+
+def test_table_diff_empty_on_identical_and_finds_perturbations(spark):
+    from finance_reporting_etl_spark.operators.incremental import table_diff
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y"), (3, "z")], "id long, v string")
+    assert table_diff(a, a).count() == 0
+    b = spark.createDataFrame([(1, "x"), (2, "y"), (4, "w")], "id long, v string")
+    got = {(r["side"], r["id"], r["v"], r["n_copies"]) for r in table_diff(a, b).collect()}
+    assert got == {("a_only", 2, "y", 1), ("a_only", 3, "z", 1), ("b_only", 4, "w", 1)}
+
+
+def test_scd2_intervals_collapse_unchanged(spark):
+    from finance_reporting_etl_spark.operators.incremental import scd2_intervals
+
+    rows = [
+        (1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "a", 4),
+        (2, "x", 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, t long")
+    got = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(df, ["k"], "t", ["attr"]).collect()
+    )
+    assert got == [
+        (1, "a", 1, 3), (1, "a", 4, None), (1, "b", 3, 4),
+        (2, "x", 1, None),
+    ]
