@@ -2144,14 +2144,20 @@ def q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
-    "J-tier: LEFT ANTI join (NOT EXISTS)",
+    "J-tier: LEFT ANTI join (NOT EXISTS); urgent-order predicate keeps the result non-vacuous at every fixture scale",
 )
 def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent order, per market segment. The filter on
+    the anti side pushes into the orders scan; at sf0.01 every customer
+    has SOME order, so the plain no-orders form returned 0 rows — a
+    vacuously-passing oracle (found by the zero-row catalog audit)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
