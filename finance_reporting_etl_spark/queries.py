@@ -2915,3 +2915,78 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     return scd2_intervals(ev, ["user_id"], "ts", ["event_type"])
+
+
+@query(
+    "event_type_week_cube",
+    """
+    SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS TIMESTAMP))
+    """,
+    "A-tier CUBE: all grouping-set combinations of (event_type, week)",
+)
+def q_event_type_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, week): detail, both one-way rollups,
+    and the grand total in a single pass — Spark expands grouping sets
+    inside one partial+final aggregate, no multi-scan union."""
+    ev = _t(spark, sf_dir, "events")
+    # week stays TIMESTAMP on both sides: a DATE week arrives as pandas
+    # object dtype (None) vs DuckDB datetime64 (NaT) and the NULL rows
+    # the CUBE emits would canonicalize differently
+    return ev.cube(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "daily_revenue_gapfilled",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
+           CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    "A/§2.5-tier calendar densification: F.sequence date spine + left join gap fill",
+)
+def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily revenue series: a generated date spine (sequence
+    over the observed min/max day, exploded) left-joins the daily
+    aggregate, filling missing days with zero. The spine is calendar-
+    bounded (#days rows) so the join broadcasts it; the fact side
+    aggregates before joining."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("revenue"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.when(F.col("revenue").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
