@@ -24,15 +24,21 @@ from pyspark.sql import functions as F
 _HEX = "0123456789abcdef"
 
 
-def md5_bucket(id_col: Column | str, buckets: int = 256) -> Column:
-    """Deterministic uniform bucket in [0, buckets) from md5(id).
+def md5_bucket(id_col: Column | str, buckets: int = 256, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5(id || salt).
 
     Uses the first two hex chars of the digest (256 base buckets, each
     uniform) then mods down; `buckets` must divide 256 for exact
     uniformity, anything else is approximately uniform.
+
+    ``salt`` decorrelates composed uses: with a single unsalted hash, a
+    stratified_sample at rate 0.5 keeps exactly buckets 0-127, which lie
+    entirely inside an 80% train split (buckets 0-204) — sampling then
+    splitting yields empty val/test. Distinct salts per operation (split
+    vs sample vs decontaminate) make the bucket assignments independent.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(c.cast("string"))
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
     b256 = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
         F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
     )
@@ -45,14 +51,16 @@ def hash_split(
     id_col: str,
     splits: dict[str, float],
     split_col: str = "split",
+    salt: str = "split",
 ) -> DataFrame:
     """Assign each row to a named split by cumulative md5-bucket ranges.
 
     splits: ordered {name: weight} summing to ~1.0, e.g.
     {"train": 0.8, "val": 0.1, "test": 0.1}. Assignment is a pure
-    function of the id — stable across runs, partitionings and engines.
+    function of (id, salt) — stable across runs, partitionings and
+    engines, and independent of other salted bucket operations.
     """
-    b = md5_bucket(id_col).cast("double")
+    b = md5_bucket(id_col, salt=salt).cast("double")
     expr = None
     cum = 0.0
     names = list(splits)
@@ -70,6 +78,7 @@ def stratified_sample(
     strata_col: str,
     rates: dict[str, float],
     default_rate: float = 0.0,
+    salt: str = "sample",
 ) -> DataFrame:
     """Deterministic per-stratum downsample: keep a row iff its md5
     bucket falls under its stratum's rate — the mixture-reweighting step
@@ -77,9 +86,10 @@ def stratified_sample(
 
     Unlike ``df.sampleBy`` this is reproducible independent of
     partitioning and executor count, and the same row set is selected by
-    any engine that implements md5.
+    any engine that implements md5. The sample salt differs from the
+    split salt, so sample-then-split keeps every split populated.
     """
-    b = md5_bucket(id_col).cast("double")
+    b = md5_bucket(id_col, salt=salt).cast("double")
     rate = None
     for value, r in rates.items():
         cond = F.col(strata_col) == value
@@ -99,6 +109,12 @@ def chunk_documents(
     (id, chunk_idx, chunk, n_tokens). The unit step is
     ``chunk_size - overlap`` tokens; the final window may be shorter.
 
+    Window starts are capped at ``len - overlap`` so every emitted
+    window introduces at least one token not covered by its predecessor
+    — otherwise a tail shorter than the overlap yields a degenerate
+    final chunk fully contained in the previous one, duplicating
+    training content and inflating chunk-dedup pair counts.
+
     Pure Catalyst: split -> sequence of window starts -> explode ->
     slice/array_join. Cardinality grows ~len/step per doc but stays
     map-side — no shuffle, so at 100 TB chunking pipelines into the
@@ -108,7 +124,9 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_size")
     step = chunk_size - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
     out = df.select(
         F.col(id_col),
         toks.alias("__toks"),
@@ -253,13 +271,15 @@ def tfidf_top_terms(
     cannot flip the top-k cut; the term tiebreak is total within a doc.
     Plan: one (doc, term) shuffle with map-side combine, a vocabulary-
     sized broadcast back onto it, then a per-doc window — bounded by
-    distinct terms per doc, never corpus size. N rides in as a literal.
+    distinct terms per doc, never corpus size. N arrives via a broadcast
+    crossJoin on the corpus-count aggregate: one plan, no separate
+    count() job scanning the corpus twice.
     """
     from pyspark.sql import Window
 
     from finance_reporting_etl_spark.functions.text import whitespace_tokens
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toked = df.select(
         F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -269,14 +289,18 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        F.col(id_col),
-        "term",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
     return (
@@ -346,7 +370,7 @@ def keyword_search(
 
     from finance_reporting_etl_spark.functions.text import whitespace_tokens
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toked = df.select(
         F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -359,9 +383,10 @@ def keyword_search(
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",
-            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            F.col("tf") * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
         .groupBy(id_col)
         .agg(

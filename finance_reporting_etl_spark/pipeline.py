@@ -11,6 +11,7 @@ order; retries/scheduling belong to whatever invokes ``run_pipeline``
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -47,6 +48,9 @@ def run_pipeline(
     fetch_payloads: Callable[[], list[dict]] | None = None,
     on_complete: Callable[[PipelineResult], None] | None = None,
     on_failure: Callable[[BaseException], None] | None = None,
+    retries: int = 0,
+    retry_delay_s: float = 300.0,
+    sleep: Callable[[float], None] | None = None,
 ) -> PipelineResult:
     """extract -> create/load raw -> transform (dbt-run analog).
 
@@ -62,26 +66,41 @@ def run_pipeline(
     reference appends an EmailOperator task (readme.md:309-318) and sets
     email_on_failure in default_args (dags/etl_dag.py); here any sender
     (SMTP, Slack webhook, ...) drops in as a callback, keeping the
-    engine transport-agnostic. A failure callback observes the exception
-    and the exception still propagates (retries belong to the
-    scheduler).
+    engine transport-agnostic. The failure callback observes the final
+    exception, which still propagates; callback errors are swallowed so
+    a broken notifier can never mask the original pipeline failure.
+
+    ``retries``/``retry_delay_s`` mirror the reference DAG's
+    default_args (dags/etl_dag.py:9: retries=1, retry_delay=5 min): a
+    transient failure re-runs the whole idempotent chain after the
+    delay. ``sleep`` is injectable for tests (defaults to time.sleep).
     """
-    try:
-        payloads = fetch_payloads() if fetch_payloads else [CANNED_FRED_PAYLOAD]
-        raw = payloads_to_df(spark, payloads)
-        observations = with_ingest_timestamp(flatten_observations(raw))
-        observations.createOrReplaceTempView("raw_observations")
+    do_sleep = sleep if sleep is not None else time.sleep
+    attempts = retries + 1
+    for attempt in range(attempts):
+        try:
+            payloads = fetch_payloads() if fetch_payloads else [CANNED_FRED_PAYLOAD]
+            raw = payloads_to_df(spark, payloads)
+            observations = with_ingest_timestamp(flatten_observations(raw))
+            observations.createOrReplaceTempView("raw_observations")
 
-        sources = load_tables(spark, sf_dir)
-        for name, df in sources.items():
-            df.createOrReplaceTempView(name)
+            sources = load_tables(spark, sf_dir)
+            for name, df in sources.items():
+                df.createOrReplaceTempView(name)
 
-        marts = registry.run(spark, sources, warehouse_dir=warehouse_dir)
-        result = PipelineResult(raw_observations=observations, marts=marts)
-    except BaseException as exc:
-        if on_failure is not None:
-            on_failure(exc)
-        raise
-    if on_complete is not None:
-        on_complete(result)
-    return result
+            marts = registry.run(spark, sources, warehouse_dir=warehouse_dir)
+            result = PipelineResult(raw_observations=observations, marts=marts)
+        except BaseException as exc:
+            if attempt + 1 < attempts:
+                do_sleep(retry_delay_s)
+                continue
+            if on_failure is not None:
+                try:
+                    on_failure(exc)
+                except Exception:  # noqa: BLE001 — never mask the real failure
+                    pass
+            raise
+        if on_complete is not None:
+            on_complete(result)
+        return result
+    raise AssertionError("unreachable")  # pragma: no cover

@@ -1950,10 +1950,15 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_B256 = (
-    "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS DOUBLE)"
-)
+def _b256(salt: str) -> str:
+    """DuckDB twin of operators.corpus.md5_bucket(id, salt=salt): bucket in
+    [0, 256) from the first two hex chars of md5(doc_id || salt). Distinct
+    salts per operation keep split/sample/decontaminate independent."""
+    h = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+    return (
+        f"CAST((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) AS DOUBLE)"
+    )
 
 
 @query(
@@ -1963,9 +1968,9 @@ _B256 = (
            CASE WHEN b < 0.8 * 256.0 THEN 'train'
                 WHEN b < (0.8 + 0.1) * 256.0 THEN 'val'
                 ELSE 'test' END AS split
-    FROM (SELECT doc_id, lang, source, {_B256} AS b FROM documents)
+    FROM (SELECT doc_id, lang, source, {_b256("split")} AS b FROM documents)
     """,
-    "X-pipeline deterministic train/val/test split (md5-bucket, engine-portable)",
+    "X-pipeline deterministic train/val/test split (salted md5-bucket, engine-portable)",
 )
 def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free 80/10/10 split as a pure function of doc_id — stable
@@ -1981,11 +1986,11 @@ def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mixture_sample",
     f"""
     SELECT doc_id, lang, source
-    FROM (SELECT doc_id, lang, source, {_B256} AS b FROM documents)
+    FROM (SELECT doc_id, lang, source, {_b256("sample")} AS b FROM documents)
     WHERE b < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
                         WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END * 256.0
     """,
-    "X-pipeline mixture re-weighting: deterministic per-language downsample",
+    "X-pipeline mixture re-weighting: deterministic salted per-language downsample",
 )
 def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture step: keep all English, half de/es/fr, a quarter
@@ -2007,7 +2012,7 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
     ), s AS (
         SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
         FROM t
     )
     SELECT doc_id,
@@ -2281,7 +2286,7 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "decontaminate_4gram",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks, {_B256} AS b FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents),
     grams AS (
         SELECT doc_id, b,
                unnest(list_transform(generate_series(1, len(toks)-3),
@@ -2298,13 +2303,15 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flags training documents sharing any 4-token gram with the
-    held-out ~5% benchmark bucket (md5 bucket < 13 — the same
-    deterministic split machinery as corpus_hash_split). Benchmark grams
-    broadcast; the corpus side stays map-side until the per-doc count."""
+    held-out ~5% benchmark bucket (salted md5 bucket < 13 — the same
+    deterministic split machinery as corpus_hash_split, with its own
+    salt so the bench bucket is independent of split/sample cutoffs).
+    Benchmark grams broadcast; the corpus side stays map-side until the
+    per-doc count."""
     from finance_reporting_etl_spark.operators.corpus import md5_bucket, ngram_decontaminate
 
     docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id")
+    b = md5_bucket("doc_id", salt="decon")
     return ngram_decontaminate(
         docs.filter(b >= 13), docs.filter(b < 13), n=4
     )
@@ -2604,7 +2611,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
     ), s AS (
         SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
         FROM t
     ), chunks AS (
         SELECT doc_id, CAST((start - 1) / 48 AS INT) AS chunk_idx,
@@ -2974,7 +2981,13 @@ def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("revenue"))
+    ).agg(
+        F.round(F.sum("value"), 4).alias("revenue"),
+        # presence marker: was_gap must reflect "no day row" (the
+        # oracle's d.day IS NULL), not "revenue IS NULL" — a day whose
+        # purchases all carry NULL value has SUM=NULL but is present
+        F.lit(1).alias("present"),
+    )
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -2987,6 +3000,6 @@ def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-            F.when(F.col("revenue").isNull(), 1).otherwise(0).alias("was_gap"),
+            F.when(F.col("present").isNull(), 1).otherwise(0).alias("was_gap"),
         )
     )

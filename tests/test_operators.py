@@ -304,6 +304,52 @@ def test_stratified_sample_is_deterministic_subset(docs):
     assert n_en_out == n_en_in  # rate 1.0 strata keep every row
 
 
+def test_sample_then_split_keeps_every_split_populated(spark):
+    """Composed salted hashes must be independent: with a single unsalted
+    md5 bucket, a 0.5 sample keeps exactly buckets 0-127 — a strict
+    subset of the 0.8 train range — so sample-then-split yields empty
+    val/test. Distinct salts make the composition non-degenerate."""
+    from finance_reporting_etl_spark.operators.corpus import hash_split, stratified_sample
+
+    docs = spark.range(600).select(
+        F.col("id").cast("string").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    sampled = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    n = sampled.count()
+    assert 0.4 * 600 <= n <= 0.6 * 600
+    out = hash_split(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # bench bucket (salt 'decon') must also intersect every sample cutoff
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    bench_in_sample = sampled.filter(md5_bucket("doc_id", salt="decon") < 13).count()
+    assert bench_in_sample > 0
+
+
+def test_chunk_documents_tail_never_degenerate(spark):
+    """A tail shorter than the overlap must not emit a window fully
+    contained in its predecessor (ADVICE: 64-token doc at 64/16 used to
+    yield a redundant 16-token chunk)."""
+    from finance_reporting_etl_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(64))),
+         (2, " ".join(f"t{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 64
+    # 80 tokens: second window (start 49) adds tokens 65-80 — kept
+    assert len(by_doc[2]) == 2
+    chunks = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    rebuilt = chunks[0].chunk.split() + chunks[1].chunk.split()[16:]
+    assert rebuilt == [f"t{i}" for i in range(80)]
+
+
 def test_chunk_documents_reconstructs_token_stream(spark):
     from finance_reporting_etl_spark.operators.corpus import chunk_documents
 

@@ -46,3 +46,51 @@ def test_pipeline_notification_hooks(spark, sf_dir):
             on_failure=lambda exc: failures.append(exc),
         )
     assert len(failures) == 1 and "boom" in str(failures[0])
+
+
+def test_pipeline_failure_hook_error_does_not_mask_original(spark, sf_dir):
+    """A broken notifier must never replace the pipeline's own failure."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="original"):
+        run_pipeline(
+            spark,
+            sf_dir,
+            fetch_payloads=lambda: (_ for _ in ()).throw(RuntimeError("original")),
+            on_failure=lambda exc: (_ for _ in ()).throw(ValueError("notifier broke")),
+        )
+
+
+def test_pipeline_retries_transient_failure(spark, sf_dir):
+    """O1 parity with dags/etl_dag.py:9 (retries=1, retry_delay=5min):
+    one transient failure then success; injectable clock, no real sleep."""
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return [{"observations": [{"date": "2024-01-01", "value": "1.5"}]}]
+
+    result = run_pipeline(
+        spark, sf_dir, fetch_payloads=flaky,
+        retries=1, retry_delay_s=300.0, sleep=slept.append,
+    )
+    assert calls["n"] == 2
+    assert slept == [300.0]
+    assert result.raw_observations.count() == 1
+
+
+def test_pipeline_retries_exhausted_still_raises(spark, sf_dir):
+    import pytest
+
+    failures = []
+    with pytest.raises(RuntimeError, match="persistent"):
+        run_pipeline(
+            spark, sf_dir,
+            fetch_payloads=lambda: (_ for _ in ()).throw(RuntimeError("persistent")),
+            on_failure=failures.append,
+            retries=2, retry_delay_s=1.0, sleep=lambda _s: None,
+        )
+    assert len(failures) == 1  # hook fires once, on the final attempt
