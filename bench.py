@@ -5,11 +5,15 @@ and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). Sessions are warmed with a trivial action first so JVM
-startup isn't billed to the first query. Each query runs TWICE and the
-best time is recorded: run-to-run variance on a shared box is dominated
-by JIT + whole-stage-codegen compilation, a per-plan constant that a
-long-running cluster amortizes to zero — steady-state time is the
-honest proxy for at-scale throughput.
+startup isn't billed to the first query. The suite runs as THREE
+INTERLEAVED passes (pass 1 over all queries, then pass 2, then pass 3)
+and each query records its best time: run-to-run variance on a shared
+box is dominated by JIT + whole-stage-codegen compilation (a per-plan
+constant a long-running cluster amortizes to zero) plus box-load
+spikes, which are temporally clustered — interleaving puts minutes
+between a query's samples, so a single busy window can no longer
+contaminate every sample of one query (which back-to-back best-of-2
+was vulnerable to).
 """
 
 from __future__ import annotations
@@ -92,15 +96,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # JVM warm-up
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        entry = CATALOG[name]
-        best = float("inf")
-        for _ in range(2):
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

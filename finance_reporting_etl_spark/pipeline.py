@@ -35,6 +35,57 @@ CANNED_FRED_PAYLOAD = {
 }
 
 
+# Canned Alpha Vantage fan-out fixtures (README.md:327-361): the DAG
+# loops companies x report_types, each GET returning {"symbol": ...,
+# "annualReports": [...]}. Values are deterministic functions of the
+# (symbol, report_type, metric, year) indices so the ingest oracle can
+# re-derive them independently.
+STATEMENT_COMPANIES = ["AAPL", "MSFT"]
+STATEMENT_REPORT_TYPES = ["income_statement", "balance_sheet", "cash_flow"]
+STATEMENT_YEARS = [2022, 2023]
+STATEMENT_METRICS = {
+    "income_statement": ["totalRevenue", "netIncome"],
+    "balance_sheet": ["totalAssets", "totalLiabilities"],
+    "cash_flow": ["operatingCashflow", "capitalExpenditures"],
+}
+
+
+def canned_statement_value(symbol: str, report_type: str, metric: str, year: int) -> float:
+    si = STATEMENT_COMPANIES.index(symbol)
+    ti = STATEMENT_REPORT_TYPES.index(report_type)
+    mi = STATEMENT_METRICS[report_type].index(metric)
+    return (si + 1) * 100000 + (ti + 1) * 10000 + (mi + 1) * 1000 + (year - 2021) * 100 + 0.25
+
+
+def canned_statement_payload(symbol: str, report_type: str) -> dict:
+    """One canned API response: Alpha Vantage returns every numeric as a
+    string; fiscal year ends Dec 31."""
+    return {
+        "symbol": symbol,
+        "annualReports": [
+            {
+                "fiscalDateEnding": f"{year}-12-31",
+                "reportedCurrency": "USD",
+                **{
+                    m: str(canned_statement_value(symbol, report_type, m, year))
+                    for m in STATEMENT_METRICS[report_type]
+                },
+            }
+            for year in STATEMENT_YEARS
+        ],
+    }
+
+
+def canned_statement_fetch(url: str) -> dict:
+    """Offline FetchFn for fetch_statements: routes on the
+    function=/symbol= query params the fan-out URL carries."""
+    import re as _re
+
+    fn = _re.search(r"function=([A-Z_]+)", url).group(1).lower()
+    symbol = _re.search(r"symbol=([A-Za-z.]+)", url).group(1)
+    return canned_statement_payload(symbol, fn)
+
+
 @dataclass
 class PipelineResult:
     raw_observations: DataFrame

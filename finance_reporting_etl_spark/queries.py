@@ -57,7 +57,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # hamming/Jaccard/cosine verify, top-k ranking. The hash computation
 # itself is covered by pytest determinism + recall tests; everything after
 # it is hard-verified against an independent engine.
-_AUX_DIR = "/root/repo/spark-warehouse/oracle_aux"
+# SPARK_GRAFT_RUN_ID isolates concurrent runs (e.g. gate and bench in
+# parallel): both the writer and the f-string oracle SQL bake the same
+# per-process value at import, so Spark and DuckDB always read one run's
+# index. Unset (the default), the path is stable across processes.
+import os as _os  # noqa: E402
+
+_AUX_DIR = "/root/repo/spark-warehouse/oracle_aux" + (
+    f"/{_os.environ['SPARK_GRAFT_RUN_ID']}" if _os.environ.get("SPARK_GRAFT_RUN_ID") else ""
+)
 
 
 def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -1865,12 +1873,13 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.5 ntile decile ranking over aggregated spend (deterministic tiebreak)",
 )
 def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer spend deciles. The ntile window is global but its input
-    is post-aggregation (|customers| rows, not |orders|) and the sort key
-    (rounded spend, custkey) is unique, so both engines tile
-    identically. At 100 TB swap ntile for approx_percentile boundaries +
-    a map-side bucket join to avoid the single-partition sort."""
-    from pyspark.sql import Window
+    """Customer spend deciles via ``distributed_ntile`` — exact ntile
+    semantics (the oracle's global-window form) computed with
+    percentile-sketch bucketing + per-bucket windows + broadcast
+    offsets, so no data-sized single-partition sort exists at any
+    scale. The (rounded spend, custkey) sort key is unique, making the
+    tiling deterministic on both engines."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
 
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -1879,10 +1888,8 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
     )
-    w = Window.orderBy("total_spend", "c_custkey")
-    return spend.select(
-        F.ntile(10).over(w).alias("decile"), "c_custkey", "total_spend"
-    )
+    tiled = distributed_ntile(spend, 10, "total_spend", ["c_custkey"], out_col="decile")
+    return tiled.select("decile", "c_custkey", "total_spend")
 
 
 @query(
@@ -3003,3 +3010,241 @@ def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("present").isNull(), 1).otherwise(0).alias("was_gap"),
         )
     )
+
+
+def _statements_oracle() -> str:
+    """VALUES oracle for the canned statements fan-out, generated from
+    the same deterministic fixture the Spark side fetches — one long row
+    per (symbol, report_type, fiscal_date, metric)."""
+    from finance_reporting_etl_spark.pipeline import (
+        STATEMENT_COMPANIES,
+        STATEMENT_METRICS,
+        STATEMENT_REPORT_TYPES,
+        STATEMENT_YEARS,
+        canned_statement_value,
+    )
+    from finance_reporting_etl_spark.sources.json_source import _snake
+
+    rows = ",\n           ".join(
+        f"('{s}', '{rt}', DATE '{y}-12-31', 'USD', '{_snake(m)}', "
+        f"CAST({canned_statement_value(s, rt, m, y)} AS DOUBLE))"
+        for s in STATEMENT_COMPANIES
+        for rt in STATEMENT_REPORT_TYPES
+        for y in STATEMENT_YEARS
+        for m in STATEMENT_METRICS[rt]
+    )
+    return f"""
+    SELECT * FROM (VALUES {rows})
+    AS t(symbol, report_type, fiscal_date, currency, metric, value)
+    """
+
+
+@query(
+    "ingest_statements",
+    _statements_oracle(),
+    "S2+S3+S4 fan-out ingest: companies x report_types -> flatten -> long rows",
+)
+def q_ingest_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Alpha Vantage leg end to end (README.md:327-361): driver-side
+    fan-out fetch over companies x report_types (rate-limited in real
+    deployments; canned fixture here), JSON parse, per-report flatten
+    with literal symbol/report_type, then unpivot to the long
+    (metric, value) shape raw_financial_data stores. sf_dir is unused —
+    the source is the API. At 100 TB the fetch stages JSON shards and
+    spark.read.json scans them distributed; everything from flatten on
+    is the same Catalyst plan."""
+    from finance_reporting_etl_spark.pipeline import (
+        STATEMENT_COMPANIES,
+        STATEMENT_REPORT_TYPES,
+        canned_statement_fetch,
+    )
+    from finance_reporting_etl_spark.sources.json_source import flatten_annual_reports
+    from finance_reporting_etl_spark.sources.rest import fetch_statements, payloads_to_df
+
+    triples = fetch_statements(
+        canned_statement_fetch,
+        "https://www.alphavantage.co/query",
+        STATEMENT_COMPANIES,
+        STATEMENT_REPORT_TYPES,
+    )
+    legs = []
+    for symbol, rt, payload in triples:
+        flat = flatten_annual_reports(payloads_to_df(spark, [payload]), symbol, rt)
+        metrics = [
+            c for c in flat.columns if c not in ("symbol", "report_type", "fiscal_date", "currency")
+        ]
+        stack = ", ".join(f"'{m}', CAST({m} AS DOUBLE)" for m in metrics)
+        legs.append(
+            flat.selectExpr(
+                "symbol",
+                "report_type",
+                "fiscal_date",
+                "currency",
+                f"stack({len(metrics)}, {stack}) AS (metric, value)",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@query(
+    "attribution_window_join",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), matched AS (
+        SELECT p.event_id, p.user_id,
+               count(v.ts) AS n_views_1h,
+               round(coalesce(sum(v.value), 0), 4) AS view_value_1h
+        FROM purchases p
+        LEFT JOIN views v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts < p.ts
+        GROUP BY 1, 2
+    )
+    SELECT * FROM matched
+    """,
+    "custom operator: bucketed range join (attribution window), J-tier extension",
+)
+def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: views by the same user in the preceding hour, via
+    ``range_join`` — intervals discretized into 1h buckets turn the
+    inequality into a shuffled equi-join on (bucket, user_id); the
+    exact [ts-1h, ts) predicate prunes bucket-local candidates. The
+    zero-view purchases rejoin through a broadcast-friendly aggregate
+    left join, so no nested-loop plan exists anywhere at any scale."""
+    from finance_reporting_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_lo_src"),
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("p_lo_src") - hour_us).alias("lo"),
+        F.col("p_lo_src").alias("hi"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    hits = range_join(
+        views, purchases, "t", "lo", "hi", bucket_width=hour_us, extra_eq=["user_id"]
+    )
+    agg = hits.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_views_1h"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("view_value_1h"),
+    )
+    base = purchases.select("event_id", "user_id")
+    return (
+        base.join(agg.select("event_id", "n_views_1h", "view_value_1h"), "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
+            F.round(F.coalesce("view_value_1h", F.lit(0.0)), 4).alias("view_value_1h"),
+        )
+    )
+
+
+@query(
+    "skew_salted_event_rollup",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type, upper(event_type) AS category FROM events
+    )
+    SELECT d.category,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+    "custom operator: skew-salted equi-join (5 hot keys spread over 16 tasks)",
+)
+def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has ~5 distinct event_type values — the worst-case skew
+    for a shuffled equi-join (5 tasks do all the work). ``salted_join``
+    spreads each hot key over 16 salt values; the result is provably
+    identical to the plain join, only the task histogram changes. At
+    100 TB this is the difference between a straggler task holding 20%
+    of the table and uniform utilization."""
+    from finance_reporting_etl_spark.operators.scale import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.select("event_type").distinct().withColumn(
+        "category", F.upper("event_type")
+    )
+    joined = salted_join(ev, dim, ["event_type"], n_salts=16)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gate-window ordering.
+#
+# The driver's correctness gate runs the FIRST 50 catalog entries in dict
+# insertion order. Rounds 1-2 hard-verified the 50 entries listed second
+# below (green rows in CORRECTNESS_r01/r02.json); the 36 listed first were
+# registered later and have only the local pytest oracle replica so far.
+# Rotating them into the gate window gives every entry a driver-verified
+# row within two consecutive rounds; the previously-proven entries keep
+# their standing evidence. Definition order above is unchanged — only the
+# exported dict order moves.
+# ---------------------------------------------------------------------------
+
+_GATE_FIRST = [
+    "cumulative_monthly_revenue",
+    "streaming_hourly_rollup",
+    "streaming_dedup_events",
+    "stateful_user_totals",
+    "rolling_7day_revenue",
+    "customer_spend_deciles",
+    "corpus_clean",
+    "corpus_stats",
+    "corpus_hash_split",
+    "corpus_mixture_sample",
+    "corpus_chunking",
+    "ingest_fred_observations",
+    "asof_latest_view_before_purchase",
+    "video_frame_sample",
+    "q4_order_priority_semi",
+    "customers_without_orders_anti",
+    "repetition_metrics",
+    "pii_redaction",
+    "corpus_vocabulary",
+    "decontaminate_4gram",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q12_late_shipment_priority",
+    "q21_waiting_supplier",
+    "kmeans_cluster_profile",
+    "tfidf_top_terms",
+    "chunk_dedup_occurrences",
+    "streaming_merge_upsert",
+    "keyword_search_topk",
+    "event_funnel",
+    "cohort_retention",
+    "sql_api_mart_summary",
+    "table_diff_reconciliation",
+    "scd2_user_state_history",
+    "event_type_week_cube",
+    "daily_revenue_gapfilled",
+    "ingest_statements",
+    "attribution_window_join",
+    "skew_salted_event_rollup",
+]
+
+assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
+CATALOG = {
+    **{n: CATALOG[n] for n in _GATE_FIRST},
+    **{n: e for n, e in CATALOG.items() if n not in _GATE_FIRST},
+}

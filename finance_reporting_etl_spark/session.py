@@ -50,6 +50,11 @@ def get_spark(
         # microsecond timestamps. Set HERE (documented, once) rather than
         # as a read-time side effect.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture TIMESTAMP(MICROS) columns carry isAdjustedToUTC=false;
+        # inferred as TIMESTAMP_NTZ they would poison event-time ops
+        # (withWatermark rejects NTZ). Read them as session-tz (UTC)
+        # timestamps instead — identical values, streaming-capable type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # effective only when this call creates the JVM (spark-submit or
         # first getOrCreate); a pre-existing session keeps its own value
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

@@ -43,6 +43,11 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) must read as session-tz
+    # (UTC) timestamps, not TIMESTAMP_NTZ — event-time ops (withWatermark)
+    # reject NTZ, and the oracle compares wall-clock values either way.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
     for c in ns_cols:

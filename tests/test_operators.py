@@ -545,3 +545,93 @@ def test_scd2_intervals_collapse_unchanged(spark):
         (1, "a", 1, 3), (1, "a", 4, None), (1, "b", 3, 4),
         (2, "x", 1, None),
     ]
+
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
+
+    # N=103 (non-divisible), heavy value ties, unique (v, id) sort key
+    rows = [(i, float(i % 7)) for i in range(103)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        (r["id"], r["tile"])
+        for r in distributed_ntile(df, 10, "v", ["id"], buckets=8).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["t"])
+        for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_fewer_rows_than_tiles(spark):
+    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
+
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0), (3, 3.0)], "id long, v double")
+    got = sorted(
+        (r["tile"], r["id"]) for r in distributed_ntile(df, 10, "v", ["id"]).collect()
+    )
+    assert got == [(1, 2), (2, 3), (3, 1)]
+
+
+def test_canned_statement_fetch_roundtrip():
+    from finance_reporting_etl_spark.pipeline import (
+        canned_statement_fetch,
+        canned_statement_payload,
+    )
+
+    url = "https://www.alphavantage.co/query?function=BALANCE_SHEET&symbol=MSFT&apikey=demo"
+    assert canned_statement_fetch(url) == canned_statement_payload("MSFT", "balance_sheet")
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.rangejoin import range_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 1000)) for i in range(200)]
+    ivs = []
+    for j in range(60):
+        lo = rng.randint(-50, 950)
+        ivs.append((j, lo, lo + rng.randint(0, 120)))  # includes empty (hi==lo)
+    p = spark.createDataFrame(pts, "pid long, t long")
+    iv = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "t", "lo", "hi", bucket_width=64).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in p.crossJoin(iv)
+        .where((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join_with_hot_keys(spark):
+    from finance_reporting_etl_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(500)], "id long, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("absent", 3)], "k string, v int"
+    )
+    got = sorted((r["id"], r["v"]) for r in salted_join(left, right, ["k"], n_salts=8).collect())
+    want = sorted((r["id"], r["v"]) for r in left.join(right, "k").collect())
+    assert got == want
+    # left join keeps unmatched keys
+    l2 = left.union(spark.createDataFrame([(999, "orphan")], "id long, k string"))
+    got_l = sorted(
+        (r["id"], r["v"]) for r in salted_join(l2, right, ["k"], n_salts=8, how="left").collect()
+    )
+    want_l = sorted((r["id"], r["v"]) for r in l2.join(right, "k", "left").collect())
+    assert got_l == want_l

@@ -67,3 +67,24 @@ def test_no_unbounded_global_window_in_topk(spark, capsys):
     assert last_window == -1 or last_window < tree.find(
         "TakeOrderedAndProject"
     ), "global window feeds top-k — scale hazard"
+
+
+def test_deciles_has_no_single_partition_exchange(spark, capsys):
+    """distributed_ntile must never funnel the data through one task:
+    every Window partitions by __bucket, and the only SinglePartition
+    exchanges allowed are scalar aggregates (row count <= #buckets)."""
+    plan = _plan(CATALOG["customer_spend_deciles"].fn(spark, SF_SMOKE), capsys)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, capsys):
+    plan = _plan(CATALOG["attribution_window_join"].fn(spark, SF_SMOKE), capsys)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark, capsys):
+    plan = _plan(CATALOG["skew_salted_event_rollup"].fn(spark, SF_SMOKE), capsys)
+    assert "__salt" in plan  # join key includes the salt
+    assert "CartesianProduct" not in plan
