@@ -86,6 +86,12 @@ HEADLINE = [
     "chunk_dedup_occurrences",
     "event_funnel",
     "cohort_retention",
+    # round-3 additions
+    "attribution_window_join",
+    "skew_salted_event_rollup",
+    "corpus_shuffle_shard",
+    "sequence_packing",
+    "semantic_dedup",
 ]
 
 

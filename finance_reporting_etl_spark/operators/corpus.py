@@ -398,3 +398,78 @@ def keyword_search(
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     w = Window.orderBy(F.desc("score"), id_col)
     return top.select(id_col, "score", F.row_number().over(w).cast("long").alias("rank"))
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order.
+
+    Adds (shard, shuffle_key, position): shard is a salted md5 bucket,
+    position is the row's rank within its shard ordered by the salted
+    digest — together they define a reproducible random total order
+    (shard-major) any engine re-derives from the ids alone. Training
+    loaders read shard files in order; re-salting reshuffles epochs.
+
+    The position window partitions by shard, so the sort is
+    per-shard (~N/shards rows) — no global single-partition sort at
+    any scale. One shuffle total.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    key = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shard", md5_bucket(c, shards, salt))
+        .withColumn("shuffle_key", key)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing
+    for LLM training batches).
+
+    Documents are shuffled deterministically (salted md5, as in
+    ``shuffle_shard``), then packed in that order by cumulative token
+    count: a doc joins pack ``floor(tokens_before_it / budget)`` within
+    its shard. This is the streaming prefix-sum approximation of
+    next-fit packing — a pack may overflow the budget by at most one
+    document's tokens (exact next-fit needs a sequential bin reset,
+    which has no parallel prefix form). Output adds (shard, pack_id,
+    n_tokens): loaders concatenate a pack's docs in shuffle order.
+
+    All windows partition by shard; the whole plan is one shuffle plus
+    map-side token counting.
+    """
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import token_count
+
+    c = F.col(id_col)
+    key = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    with_keys = (
+        df.withColumn("shard", md5_bucket(c, shards, salt))
+        .withColumn("__key", key)
+        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_keys.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
+    ).drop("__key")

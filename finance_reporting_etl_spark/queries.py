@@ -3188,6 +3188,121 @@ def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_key(salt: str) -> str:
+    return f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+
+
+@query(
+    "corpus_shuffle_shard",
+    f"""
+    SELECT doc_id, shard, shuffle_key,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS position
+    FROM (SELECT doc_id,
+                 CAST({_b256("shuffle")} AS INT) % 16 AS shard,
+                 {_md5_key("shuffle")} AS shuffle_key
+          FROM documents)
+    """,
+    "X-pipeline deterministic global shuffle + sharding (training order)",
+)
+def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random training order: salted-md5 shard + in-shard
+    rank. Both engines derive the identical (shard, position) for every
+    doc from ids alone; the rank window partitions by shard, so no
+    global sort exists at any scale."""
+    from finance_reporting_etl_spark.operators.corpus import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard(docs, "doc_id", shards=16).select(
+        "doc_id", F.col("shard").cast("int").alias("shard"), "shuffle_key", "position"
+    )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST({_b256("pack")} AS INT) % 16 AS shard,
+               {_md5_key("pack")} AS k,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 512.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS pack_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+    "X-pipeline sequence packing: fixed-token-budget packs in shuffle order",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (512/pack) of the shuffled corpus: per-pack
+    doc count and token totals. The prefix-sum pack assignment is the
+    parallel form of next-fit (overflow bounded by one doc); windows
+    partition by shard, so packing scales with the corpus."""
+    from finance_reporting_etl_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, "doc_id", "text", budget=512, shards=16)
+    return packed.groupBy(F.col("shard").cast("int").alias("shard"), "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH a AS (SELECT * FROM '{_AUX_DIR}/semdedup_assign/*.parquet'),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dropped AS (
+        SELECT DISTINCT hi.vec_id
+        FROM a lo JOIN a hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+        JOIN e el ON el.vec_id = lo.vec_id
+        JOIN e eh ON eh.vec_id = hi.vec_id
+        WHERE round(list_dot_product(el.v, eh.v)
+                    / nullif(sqrt(list_dot_product(el.v, el.v))
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped
+    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    "X2/X3 SemDeDup-style semantic dedup: k-means partition -> within-cluster cosine prune",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup a la SemDeDup: k-means splits
+    the corpus into clusters, then cosine near-dup pruning runs ONLY
+    within clusters — the clustering bounds the pair space to
+    ~(n/k)^2 per cluster instead of n^2, which is the whole trick that
+    makes embedding dedup feasible at 100 TB (k grows with n). Survivor
+    rule: a vector is dropped iff a lower-id vector in its cluster has
+    cosine >= 0.4 — deterministic, and re-derived independently by the
+    oracle from the persisted assignment table."""
+    from finance_reporting_etl_spark.operators.clustering import kmeans
+    from finance_reporting_etl_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=16, iters=3)
+    assign = _persist_aux(spark, assign.select("vec_id", "cluster"), "semdedup_assign")
+    clustered = emb.join(assign, "vec_id")
+    pairs = embedding_cosine_pairs(clustered, threshold=0.4, block_col="cluster")
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return assign.join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.when(F.col("__d").isNull(), 0).otherwise(1).alias("is_dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -3241,6 +3356,9 @@ _GATE_FIRST = [
     "ingest_statements",
     "attribution_window_join",
     "skew_salted_event_rollup",
+    "corpus_shuffle_shard",
+    "sequence_packing",
+    "semantic_dedup",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -616,22 +616,37 @@ def test_range_join_matches_naive_inequality_join(spark):
     assert got == want
 
 
-def test_salted_join_equals_plain_join_with_hot_keys(spark):
-    from finance_reporting_etl_spark.operators.scale import salted_join
+def test_shuffle_shard_is_deterministic_total_order(spark):
+    from finance_reporting_etl_spark.operators.corpus import shuffle_shard
 
-    left = spark.createDataFrame(
-        [(i, "hot" if i % 10 else "cold") for i in range(500)], "id long, k string"
-    )
-    right = spark.createDataFrame(
-        [("hot", 1), ("cold", 2), ("absent", 3)], "k string, v int"
-    )
-    got = sorted((r["id"], r["v"]) for r in salted_join(left, right, ["k"], n_salts=8).collect())
-    want = sorted((r["id"], r["v"]) for r in left.join(right, "k").collect())
-    assert got == want
-    # left join keeps unmatched keys
-    l2 = left.union(spark.createDataFrame([(999, "orphan")], "id long, k string"))
-    got_l = sorted(
-        (r["id"], r["v"]) for r in salted_join(l2, right, ["k"], n_salts=8, how="left").collect()
-    )
-    want_l = sorted((r["id"], r["v"]) for r in l2.join(right, "k", "left").collect())
-    assert got_l == want_l
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = shuffle_shard(df, shards=8).collect()
+    b = shuffle_shard(df.repartition(13), shards=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"]) for r in rows)
+    assert key(a) == key(b)  # partitioning-independent
+    # positions are 1..n_shard_rows within each shard, no gaps
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # re-salting produces a different order
+    c = shuffle_shard(df, shards=8, salt="epoch2").collect()
+    assert key(a) != key(c)
+
+
+def test_pack_sequences_budget_overflow_bounded(spark):
+    from finance_reporting_etl_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (10 + i % 37))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, budget=100, shards=4).collect()
+    packs = {}
+    for r in packed:
+        packs.setdefault((r["shard"], r["pack_id"]), []).append(r["n_tokens"])
+    for (shard, pack_id), toks in packs.items():
+        # next-fit prefix-sum: tokens-before-last-doc < budget, so the
+        # pack total overflows by at most one document
+        assert sum(toks) - max(toks) < 100
+    # every doc packed exactly once
+    assert sum(len(v) for v in packs.values()) == 200
