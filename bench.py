@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_shuffle_shard",
     "sequence_packing",
     "semantic_dedup",
+    "embedding_inference_scores",
 ]
 
 

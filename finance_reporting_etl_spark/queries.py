@@ -3303,6 +3303,36 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_inference_scores",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT vec_id, label,
+               round(1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               ))), 6) AS score
+        FROM e
+    )
+    SELECT vec_id, label, score FROM scored WHERE score >= 0.5
+    """,
+    "X-pipeline batched model inference: Arrow-batch linear probe + sigmoid filter",
+)
+def q_embedding_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier scoring: sigmoid(w . v) per document, one
+    BLAS matmul per Arrow batch (the batched-inference pattern a real
+    reward/quality model plugs into), then the keep-filter. The
+    stand-in model's weights are an index formula, so DuckDB re-derives
+    every score bit-for-bit at round-6."""
+    from finance_reporting_etl_spark.operators.inference import score_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return score_embeddings(emb).filter(F.col("score") >= 0.5).select(
+        "vec_id", "label", "score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -3359,6 +3389,7 @@ _GATE_FIRST = [
     "corpus_shuffle_shard",
     "sequence_packing",
     "semantic_dedup",
+    "embedding_inference_scores",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

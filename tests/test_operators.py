@@ -650,3 +650,22 @@ def test_pack_sequences_budget_overflow_bounded(spark):
         assert sum(toks) - max(toks) < 100
     # every doc packed exactly once
     assert sum(len(v) for v in packs.values()) == 200
+
+
+def test_score_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.inference import (
+        linear_scorer_weights,
+        score_embeddings,
+    )
+
+    vecs = [[float(i + j) / 10 for j in range(8)] for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["score"] for r in score_embeddings(df).collect()}
+    w = linear_scorer_weights(8)
+    for i, v in enumerate(vecs):
+        want = 1.0 / (1.0 + np.exp(-(np.asarray(v) @ w)))
+        assert abs(got[i] - round(float(want), 6)) < 1e-9
