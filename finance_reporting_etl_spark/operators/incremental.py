@@ -164,3 +164,48 @@ def scd2_intervals(
         F.col(order_col).alias("valid_from"),
         F.lead(order_col).over(w2).alias("valid_to"),
     )
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition_col: str,
+    partition_value: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one partition of a
+    ``partitionBy(partition_col)`` parquet table: rewrite the
+    ``col=value`` directory into ``ceil(bytes / target_bytes)`` files.
+
+    Streaming/incremental appends leave each partition with one file
+    per micro-batch/task — at 100 TB that is millions of kilobyte
+    files, and scan planning (file listing + footer reads) dominates
+    query time. Nightly compaction to scan-sized files (default 128 MiB,
+    matching ``spark.sql.files.maxPartitionBytes``) is the standard
+    maintenance pass. The rewrite is atomic-enough for a single-writer
+    table (write to ``_compact_tmp``, then swap); concurrent-writer
+    tables need a table format with transactions (Delta/Iceberg).
+
+    Returns the resulting file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    part_dir = f"{path}/{partition_col}={partition_value}"
+    p = jvm.org.apache.hadoop.fs.Path(part_dir)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(part_dir)
+    tmp = f"{path}/_compact_tmp_{partition_col}={partition_value}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    return sum(
+        1
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    )

@@ -3333,6 +3333,62 @@ def q_embedding_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_sessionize_events",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """,
+    "§2.8 TRUE streaming session windows: cross-micro-batch session merge == batch gap sessions",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed by a real multi-micro-batch stream: the
+    source is split into 4 files processed one per trigger, so sessions
+    open in one micro-batch and merge with later arrivals through the
+    session-state store. The final result must equal the batch
+    gap-sessionization (the DuckDB window-SQL twin) exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.rollup import streaming_sessionize
+
+    events = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src = f"{tmp}/src"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = streaming_sessionize(
+        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
+        output_table=name,
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_sessionize_events did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -3390,6 +3446,7 @@ _GATE_FIRST = [
     "sequence_packing",
     "semantic_dedup",
     "embedding_inference_scores",
+    "streaming_sessionize_events",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -152,3 +152,58 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_table: str = "session_stream",
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "90 days",
+    max_files_per_trigger: int = 1,
+):
+    """TRUE streaming session windows: ``session_window`` over a file
+    stream, one file per micro-batch (``maxFilesPerTrigger=1``), so
+    partial sessions open in one micro-batch and MERGE with events
+    arriving in later ones — the cross-batch session-state machinery a
+    long-running clickstream job exercises, not a single-batch replay.
+
+    BOUNDED-REPLAY DEMO ONLY (same caveat as ``streaming_rollup``):
+    'complete' + memory sink materializes results on the driver for the
+    oracle comparison; a production deployment uses append mode with a
+    watermark sized to the lateness SLA, where a session is emitted
+    exactly once, when the watermark passes its close.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(output_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

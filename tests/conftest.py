@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -7,6 +8,22 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+# Isolate this pytest run's oracle_aux tables from any concurrently
+# running gate/bench process (queries.py bakes the id at import, which
+# happens after this conftest loads).
+os.environ.setdefault("SPARK_GRAFT_RUN_ID", f"pytest-{os.getpid()}")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _cleanup_aux():
+    yield
+    import shutil
+
+    from finance_reporting_etl_spark.queries import _AUX_DIR
+
+    if "pytest-" in _AUX_DIR:
+        shutil.rmtree(_AUX_DIR, ignore_errors=True)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

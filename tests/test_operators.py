@@ -669,3 +669,24 @@ def test_score_embeddings_matches_numpy(spark):
     for i, v in enumerate(vecs):
         want = 1.0 / (1.0 + np.exp(-(np.asarray(v) @ w)))
         assert abs(got[i] - round(float(want), 6)) < 1e-9
+
+
+def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
+    import os
+
+    from finance_reporting_etl_spark.operators.incremental import compact_partition
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(1000)], "d string, k long, v double"
+    )
+    # simulate micro-batch appends: many small files in one partition
+    for _ in range(6):
+        df.repartition(8).write.mode("append").partitionBy("d").parquet(base)
+    part = f"{base}/d=2024-01-01"
+    before = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert before >= 48
+    n = compact_partition(spark, base, "d", "2024-01-01", target_bytes=1 << 30)
+    after = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert n == after == 1
+    assert spark.read.parquet(base).count() == 6000
