@@ -88,3 +88,22 @@ def test_salted_join_spreads_hot_keys(spark, capsys):
     plan = _plan(CATALOG["skew_salted_event_rollup"].fn(spark, SF_SMOKE), capsys)
     assert "__salt" in plan  # join key includes the salt
     assert "CartesianProduct" not in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark, capsys):
+    """rank<=k per group must push into WindowGroupLimit (per-partition
+    top-k retention before the window shuffle) — without it every
+    (doc, term) row survives to the rank stage."""
+    plan = _plan(CATALOG["tfidf_top_terms"].fn(spark, SF_SMOKE), capsys)
+    assert "WindowGroupLimit" in plan
+
+
+def test_gate_window_covers_unproven_queries():
+    """The driver's correctness gate runs the first 50 catalog entries.
+    Every entry without a green CORRECTNESS_r01/r02 row must sit in that
+    window; regressions here silently un-gate queries."""
+    from finance_reporting_etl_spark.queries import _GATE_FIRST, CATALOG
+
+    names = list(CATALOG)
+    assert len(_GATE_FIRST) <= 50
+    assert names[: len(_GATE_FIRST)] == _GATE_FIRST
