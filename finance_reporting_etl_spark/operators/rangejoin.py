@@ -29,9 +29,8 @@ def range_join(
     hi_col: str,
     bucket_width: int,
     extra_eq: list[str] | None = None,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join point rows to interval rows where ``lo <= t < hi``
+    """Inner-join point rows to interval rows where ``lo <= t < hi``
     (half-open), optionally also matching on ``extra_eq`` equi-columns.
 
     ``t``/``lo``/``hi`` must be numeric (cast timestamps with
@@ -39,6 +38,13 @@ def range_join(
     same unit and should approximate the typical interval span — wider
     buckets mean fewer exploded interval copies but more false
     candidates for the final filter.
+
+    For outer semantics (keep unmatched points/intervals), aggregate the
+    matches and LEFT JOIN them back to the preserved side on its key —
+    see the ``attribution_window_join`` catalog query. A generic
+    NULL-extended left mode is deliberately not offered: without a
+    declared unique key, reconstructing unmatched rows from a multiset
+    is ambiguous (duplicate rows would collapse).
     """
     eq = list(extra_eq or [])
     t, lo, hi = F.col(t_col), F.col(lo_col), F.col(hi_col)
@@ -59,20 +65,4 @@ def range_join(
         ),
     )
     cond: Column = (t >= lo) & (t < hi)
-    joined = p.join(iv, on=["__bucket", *eq], how="inner").where(cond).drop("__bucket")
-    if how == "inner":
-        return joined
-    if how == "left":
-        # left rows with no interval match come back NULL-extended;
-        # implemented as inner + anti to keep the bucketed equi-join
-        matched = joined
-        unmatched = points.join(
-            matched.select(points.columns).distinct(), on=points.columns, how="left_anti"
-        )
-        for c in intervals.columns:
-            if c not in points.columns and c not in unmatched.columns:
-                unmatched = unmatched.withColumn(
-                    c, F.lit(None).cast(dict(intervals.dtypes)[c])
-                )
-        return matched.unionByName(unmatched, allowMissingColumns=True)
-    raise ValueError(f"unsupported how={how!r}")
+    return p.join(iv, on=["__bucket", *eq], how="inner").where(cond).drop("__bucket")

@@ -603,17 +603,19 @@ def test_range_join_matches_naive_inequality_join(spark):
         ivs.append((j, lo, lo + rng.randint(0, 120)))  # includes empty (hi==lo)
     p = spark.createDataFrame(pts, "pid long, t long")
     iv = spark.createDataFrame(ivs, "iid long, lo long, hi long")
-    got = {
-        (r["pid"], r["iid"])
-        for r in range_join(p, iv, "t", "lo", "hi", bucket_width=64).collect()
-    }
     want = {
         (r["pid"], r["iid"])
         for r in p.crossJoin(iv)
         .where((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
         .collect()
     }
-    assert got == want
+    # width narrower than, comparable to, and wider than every interval
+    for width in (7, 64, 5000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(p, iv, "t", "lo", "hi", bucket_width=width).collect()
+        }
+        assert got == want, f"bucket_width={width}"
 
 
 def test_shuffle_shard_is_deterministic_total_order(spark):
