@@ -2442,10 +2442,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'late'
                 WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY THEN 'slow'
                 ELSE 'fast' END AS ship_speed,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
     """,
@@ -3237,7 +3237,7 @@ def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard, pack_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed
     GROUP BY 1, 2
     """,
@@ -3402,51 +3402,60 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exported dict order moves.
 # ---------------------------------------------------------------------------
 
+# Round-4 gate window (driver verifies the first 50 catalog entries):
+# the 44 queries whose newest green driver row is CORRECTNESS_r02 (least
+# recently gated — VERDICT r3 "Next round" #3), then the two round-3
+# hash-fail fixes (oracle BIGINT casts), then any queries new this round.
+# After r4 no catalog entry's newest driver row is older than one round.
 _GATE_FIRST = [
-    "cumulative_monthly_revenue",
-    "streaming_hourly_rollup",
-    "streaming_dedup_events",
-    "stateful_user_totals",
-    "rolling_7day_revenue",
-    "customer_spend_deciles",
-    "corpus_clean",
-    "corpus_stats",
-    "corpus_hash_split",
-    "corpus_mixture_sample",
-    "corpus_chunking",
-    "ingest_fred_observations",
-    "asof_latest_view_before_purchase",
-    "video_frame_sample",
-    "q4_order_priority_semi",
-    "customers_without_orders_anti",
-    "repetition_metrics",
-    "pii_redaction",
-    "corpus_vocabulary",
-    "decontaminate_4gram",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
+    # -- r2-window queries, not re-gated in r3 ------------------------
+    "case_value_mapping",
+    "string_normalize",
+    "cast_text_to_numeric",
+    "pivot_by_report_type",
+    "lookup_join_broadcast",
+    "hourly_event_rollup",
+    "sessionize_events",
+    "monthly_trend_mom",
+    "merge_latest_per_key",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "regional_revenue",
+    "text_stats",
+    "language_id",
+    "quality_scores",
+    "doc_fingerprints",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "similarity_topk",
+    "ann_lsh_topk",
+    "multimodal_bundle",
+    "media_feature_extract",
+    "rolling_hash_fingerprints",
+    "embedding_cosine_dups",
+    "lsh_embedding_cosine_dups",
+    "ann_ivf_topk",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q19_bracketed_discount_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "order_price_quantiles",
+    "regional_rollup",
+    "distinct_daily_users",
+    "customer_segments_setops",
+    "retention_filter",
+    # -- r3 hash-only fails, oracles fixed this round -----------------
     "q12_late_shipment_priority",
-    "q21_waiting_supplier",
-    "kmeans_cluster_profile",
-    "tfidf_top_terms",
-    "chunk_dedup_occurrences",
-    "streaming_merge_upsert",
-    "keyword_search_topk",
-    "event_funnel",
-    "cohort_retention",
-    "sql_api_mart_summary",
-    "table_diff_reconciliation",
-    "scd2_user_state_history",
-    "event_type_week_cube",
-    "daily_revenue_gapfilled",
-    "ingest_statements",
-    "attribution_window_join",
-    "skew_salted_event_rollup",
-    "corpus_shuffle_shard",
     "sequence_packing",
-    "semantic_dedup",
-    "embedding_inference_scores",
-    "streaming_sessionize_events",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -42,3 +42,15 @@ def test_entry_smoke(spark):
     names = set(ep.queries())
     oracles = set(ep.oracle_sql())
     assert oracles <= names
+
+
+def test_oracle_compare_is_dtype_strict(spark, duck):
+    """An uncast DuckDB integer sum (HUGEINT -> float64 in pandas) must
+    fail the local compare even though the values are numerically equal
+    — the driver's value hash is type-sensitive (VERDICT r3 'What's
+    wrong' #3)."""
+    sdf = spark.range(1, 4).selectExpr("CAST(sum(id) AS BIGINT) AS s")
+    with pytest.raises(AssertionError, match="dtype-class mismatch"):
+        assert_matches_oracle(sdf, duck, "SELECT sum(x) AS s FROM (VALUES (1),(2),(3)) t(x)")
+    # and the cast form passes
+    assert_matches_oracle(sdf, duck, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) t(x)")

@@ -100,10 +100,34 @@ def test_per_group_topk_uses_window_group_limit(spark, capsys):
 
 def test_gate_window_covers_unproven_queries():
     """The driver's correctness gate runs the first 50 catalog entries.
-    Every entry without a green CORRECTNESS_r01/r02 row must sit in that
-    window; regressions here silently un-gate queries."""
+    Least-recently-gated-first rotation (VERDICT r3 #3): every query
+    WITHOUT a row in the newest CORRECTNESS file (i.e. last gated two
+    rounds ago), plus any query whose newest row was not fully green,
+    plus anything never gated, must sit inside that window."""
+    import json
+    import pathlib
+
     from finance_reporting_etl_spark.queries import _GATE_FIRST, CATALOG
 
     names = list(CATALOG)
     assert len(_GATE_FIRST) <= 50
     assert names[: len(_GATE_FIRST)] == _GATE_FIRST
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not rounds:
+        return
+    newest = json.loads(rounds[-1].read_text())
+    window = set(names[:50])
+    for name in names:
+        row = newest.get(name)
+        stale = row is None  # not gated last round
+        not_green = row is not None and not (
+            row.get("rows_match") and row.get("schema_match")
+            and (row.get("hash_match") is not False) and row.get("err") is None
+        )
+        if stale or not_green:
+            assert name in window, (
+                f"{name} is {'ungated-last-round' if stale else 'not-green'} "
+                f"but outside the first-50 gate window"
+            )
