@@ -103,8 +103,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1).count()  # JVM warm-up
 
+    # best-of-2 interleaved passes: interleaving de-clusters warm-up and
+    # GC noise across queries; the sample count stays at 2 so totals are
+    # apples-to-apples with rounds 1-2 (ADVICE r3: best-of-3 would lower
+    # the headline number without any real speedup).
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(3):
+    for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

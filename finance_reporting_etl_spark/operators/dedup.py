@@ -369,39 +369,58 @@ def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
 
 
 def near_dup_clusters(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20, jump_after: int = 3
 ) -> DataFrame:
     """Connected components over near-dup edges: (id, cluster_id) where
     cluster_id = min id in the component (the canonical survivor — the
     same deterministic rule exact_dedup uses).
 
-    Min-label propagation with pointer jumping: each iteration (a) takes
-    the min label across edges, then (b) follows each node's label to
-    that node's own label (path halving) — labels chase the component
-    minimum through label-space, not just edge-space, so convergence is
-    O(log diameter) rounds instead of O(diameter) (the hash-to-min trick
-    from the MapReduce connected-components literature). Each round is a
-    join + groupBy + label self-join on uniform id keys;
-    ``localCheckpoint`` truncates lineage so plans don't grow with
-    iterations (the GraphX/Pregel pattern without the RDD API). The only
-    driver-side data is the per-iteration convergence sum, never rows.
+    Min-label propagation: each iteration takes the min label across
+    edges. Real dup graphs are overwhelmingly cliques and short chains
+    (a document cluster where most pairs crossed the threshold), so
+    plain propagation converges in a handful of rounds and each round is
+    just join + groupBy. From iteration ``jump_after`` on — the
+    long-chain regime where plain propagation would need O(diameter)
+    rounds — a pointer-jump step (follow each node's label to that
+    label's own label) is added, restoring O(log diameter) convergence
+    (the hash-to-min trick from the MapReduce connected-components
+    literature). Measured at sf0.1 the jump join costs more per round
+    than it saves on clique-shaped graphs, hence the hybrid.
+
+    Plumbing for iteration cost: ``localCheckpoint`` truncates lineage
+    so plans don't grow with rounds; the working set is repartitioned to
+    a data-sized partition count (~2M directed edges per partition,
+    capped at the cluster parallelism) because a dup graph is a small
+    fraction of the corpus and per-task overhead dominates otherwise;
+    the convergence aggregate rides the same job that materializes each
+    round's lazy checkpoint. The only driver-side data is one sum per
+    iteration, never rows. Labels only ever decrease, so an unchanged
+    sum <=> fixpoint.
 
     Invariant: every label value is the id of a node in the same
-    component (init: own id; (a) pulls a neighbor's label; (b) pulls a
-    label's label), so the label self-join in (b) always matches and the
+    component (init: own id; propagation pulls a neighbor's label; jump
+    pulls a label's label), so the jump self-join always matches and the
     fixpoint label is the component min.
     """
     adj = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     adj = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # edge generation runs exactly once
+    n_adj = adj.count()  # cheap: counts checkpoint blocks
+    spark = edges.sparkSession
+    parallelism = int(spark.sparkContext.defaultParallelism)
+    p = max(1, min(parallelism, n_adj // 2_000_000 + 1))
+    if p < adj.rdd.getNumPartitions():
+        adj = adj.repartition(p, "src").localCheckpoint(eager=True)
     # only nodes on an edge can ever change label; at corpus scale the
     # dup graph is a small fraction of the node set, so the iteration
     # runs on |V_edges| rows and isolated nodes join back once at the end
     edge_nodes = adj.select(F.col("src").alias("id")).distinct()
-    labels = edge_nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(eager=True)
+    labels = edge_nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(
+        eager=False
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             adj.join(
                 labels.withColumnsRenamed({"id": "src", "cluster_id": "nbr_label"}), "src"
@@ -415,16 +434,16 @@ def near_dup_clusters(
                 "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
             ).alias("cluster_id"),
         )
-        jump = stepped.select(
-            F.col("id").alias("__jid"), F.col("cluster_id").alias("__jlabel")
-        )
-        labels = (
-            stepped.join(jump, stepped["cluster_id"] == jump["__jid"])
-            .select("id", F.least("cluster_id", "__jlabel").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        # labels only ever decrease, so an unchanged sum <=> fixpoint —
-        # one cheap aggregate per iteration, no compare join
+        if it >= jump_after:
+            jump = stepped.select(
+                F.col("id").alias("__jid"), F.col("cluster_id").alias("__jlabel")
+            )
+            stepped = stepped.join(jump, stepped["cluster_id"] == jump["__jid"]).select(
+                "id", F.least("cluster_id", "__jlabel").alias("cluster_id")
+            )
+        # lazy checkpoint: the convergence aggregate below materializes
+        # the blocks and computes the sum in a single job
+        labels = stepped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
             break

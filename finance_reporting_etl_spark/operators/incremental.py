@@ -202,8 +202,17 @@ def compact_partition(
     df = spark.read.parquet(part_dir)
     tmp = f"{path}/_compact_tmp_{partition_col}={partition_value}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(p, True)
+    # swap via rename-aside so a crash never leaves the partition
+    # missing: old data survives (as _compact_old) until the new files
+    # are in place; the unrecoverable window is a single rename.
+    old = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_compact_old_{partition_col}={partition_value}"
+    )
+    if fs.exists(old):
+        fs.delete(old, True)
+    fs.rename(p, old)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, True)
     return sum(
         1
         for s in fs.listStatus(p)

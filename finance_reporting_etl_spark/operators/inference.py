@@ -41,9 +41,20 @@ def score_embeddings(
 
     @F.pandas_udf(DoubleType())
     def _score(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        w = linear_scorer_weights(mat.shape[1])
-        logits = mat @ w
-        return pd.Series(np.round(1.0 / (1.0 + np.exp(-logits)), scale))
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        # null/ragged rows score null instead of blowing up np.stack for
+        # the whole batch (ADVICE r3): stack only the well-formed rows.
+        arrs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        dim = next((a.shape[0] for a in arrs if a.ndim == 1 and a.shape[0] > 0), 0)
+        if dim == 0:
+            return pd.Series([np.nan] * len(arrs), dtype="float64")
+        ok = np.array([a.ndim == 1 and a.shape[0] == dim for a in arrs])
+        out = np.full(len(arrs), np.nan)
+        if ok.any():
+            mat = np.stack([a for a, k in zip(arrs, ok) if k])
+            w = linear_scorer_weights(dim)
+            out[ok] = np.round(1.0 / (1.0 + np.exp(-(mat @ w))), scale)
+        return pd.Series(out)
 
     return df.withColumn(out_col, _score(F.col(vec_col)))

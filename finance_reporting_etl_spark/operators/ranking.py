@@ -7,13 +7,14 @@ at 100 TB. This operator computes the IDENTICAL tile assignment with a
 bounded-parallelism plan:
 
 1. ``percentile_approx`` sketches ~``buckets`` quantile edges of the
-   sort value (one partial-aggregate pass, driver receives <=buckets
-   scalars).
+   sort value, fused with the total row count (ONE partial-aggregate
+   pass; the driver receives <=buckets scalars).
 2. Rows are bucketed by those edges map-side. Ties on the value always
    land in the same bucket (edges partition on value only), so global
    order = (bucket asc, within-bucket order-by).
-3. Per-bucket counts (one tiny shuffle, <=buckets rows to the driver)
-   give each bucket's global row-number offset.
+3. Per-bucket counts become global row-number offsets via a prefix-sum
+   self-join over the <=buckets count rows — computed inside the final
+   plan, never collected, never a single-partition window.
 4. ``row_number`` windows PARTITIONED by bucket, plus the broadcast
    offset, reconstructs the exact global row number; the closed-form
    ntile formula maps it to a tile.
@@ -41,33 +42,52 @@ def distributed_ntile(
 
     The (value, tiebreak) key must be unique per row — the same
     precondition a deterministic ntile needs anywhere.
-    """
-    # Pin the input: three jobs (edges, counts, final) must see the
-    # same rows, and re-deriving an expensive upstream thrice is waste.
-    df = df.localCheckpoint(eager=True)
 
+    Two jobs total, no retained state (round-4 rework): job 1 is a
+    single fused aggregate (quantile sketch + total row count); the
+    returned plan is job 2, which derives per-bucket counts, turns them
+    into global offsets with a prefix-sum self-join over the <=buckets
+    count rows (bounded, broadcast — never a single-partition window),
+    and broadcast-joins those offsets back onto the bucketed rows.
+    The upstream plan appears in both branches of job 2 with an
+    identical shuffle subtree, so ReuseExchange computes it once; no
+    ``localCheckpoint`` means no executor-storage blocks outlive the
+    call (ADVICE r3). Callers with an expensive upstream can persist it
+    themselves — the operator runs exactly two passes either way.
+    """
     qs = [i / buckets for i in range(1, buckets)]
-    edges_row = df.agg(
-        F.percentile_approx(value_col, qs, 10_000).alias("edges")
+    # Edges only steer bucket BALANCE — any edge set yields exact tiles
+    # (ties stay bucket-local, offsets are exact) — so the sketch runs
+    # on a deterministic 1-in-8 subsample while the fused count stays
+    # exact over all rows. One pass either way.
+    sample_val = F.when(
+        F.abs(F.hash(F.col(value_col), *[F.col(c) for c in tiebreak_cols])) % 8 == 0,
+        F.col(value_col),
+    )
+    head = df.agg(
+        F.percentile_approx(sample_val, qs, 2_000).alias("edges"),
+        F.count(F.lit(1)).alias("total"),
     ).head()
-    edges = sorted(set(edges_row["edges"] or []))
+    edges = sorted(set(head["edges"] or []))
+    total = head["total"]
 
     bucket: Column = F.lit(0)
     for e in edges:
         bucket = bucket + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
-    dfb = df.withColumn("__bucket", bucket)
+    dfb = df.withColumn("__bucket", bucket.cast("int"))
 
-    counts = {
-        r["__bucket"]: r["cnt"]
-        for r in dfb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    offsets, acc = [], 0
-    for b in sorted(counts):
-        offsets.append((b, acc))
-        acc += counts[b]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__bucket INT, __offset BIGINT")
+    counts = dfb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    earlier = counts.select(
+        F.col("__bucket").alias("__b2"), F.col("__cnt").alias("__cnt2")
+    )
+    # prefix sum over <=buckets rows: each bucket's offset is the row
+    # count of all earlier buckets (triangle join, hash-partitioned by
+    # __bucket — bounded work, no global exchange)
+    off_df = (
+        counts.join(F.broadcast(earlier), F.col("__b2") < F.col("__bucket"), "left")
+        .groupBy("__bucket")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__offset"))
+    )
 
     w = Window.partitionBy("__bucket").orderBy(value_col, *tiebreak_cols)
     rn = (F.row_number().over(w) + F.col("__offset")).alias("__rn")
