@@ -2125,6 +2125,48 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_decode_features",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    ), grid AS (
+        SELECT doc_id, width, height, gx.x AS x, gy.y AS y
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) gy
+    )
+    SELECT doc_id, width, height,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
+    FROM grid
+    GROUP BY 1, 2, 3
+    """,
+    "X5 multimodal: REAL media decode (genuine PNG bytes -> zlib inflate -> unfilter -> pixel stats)",
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode, end to end: each doc gets a genuine PNG
+    (signature/IHDR/IDAT/CRC, real DEFLATE) of a deterministic synthetic
+    image, and the decode stage parses + inflates + unfilters the actual
+    bytes inside Arrow-batched ``mapInPandas`` (PIL when installed,
+    stdlib zlib otherwise — multimodal.py). The DuckDB oracle re-derives
+    every channel sum from the pixel formula alone, so a hash match
+    proves the encode->deflate->decode loop round-trips bit-exactly.
+    Scale shape: encode and decode are both map-side batch stages with
+    no shuffle; blob width is bounded by maxPartitionBytes."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        decode_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_features(attach_synthetic_png(docs))
+
+
+@query(
     "q4_order_priority_semi",
     """
     SELECT o_orderpriority, count(*) AS n_orders
@@ -3389,6 +3431,98 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "streaming_watermark_late_drop",
+    """
+    WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+         b1 AS (SELECT * FROM pre WHERE event_id % 7 >= 2),
+         spacer AS (SELECT * FROM pre WHERE event_id % 7 = 1),
+         late AS (SELECT * FROM pre WHERE event_id % 7 = 0),
+         wm1 AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM b1),
+         wmf AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events),
+         accepted AS (
+           SELECT * FROM b1
+           UNION ALL SELECT * FROM spacer
+           UNION ALL
+           SELECT late.* FROM late
+           WHERE date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT w FROM wm1)
+           UNION ALL
+           SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21'
+         )
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM accepted
+    GROUP BY 1, 2
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wmf)
+    """,
+    "§2.8 watermark late-data proof: beyond-horizon rows dropped, in-horizon stragglers merged, append emission",
+)
+def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, proven end to end on a real multi-batch
+    stream (append mode, parquet sink — the scale-safe shape):
+
+    Arrival order is staged as four single-file micro-batches: (1) the
+    on-time base (days 1-20 except stragglers), (2) a spacer batch — by
+    its end the watermark (max base event time - 7 days) has evicted
+    and emitted every closed window, (3) the stragglers, spanning the
+    full 20 days: rows whose daily window was already evicted are
+    DROPPED (numRowsDroppedByWatermark > 0), rows within the horizon
+    MERGE into their still-open windows, (4) the day-21+ tail, which
+    advances the watermark so the merged windows actually emit.
+
+    The oracle re-derives the exact accepted set from the same split
+    rule: drop iff window_end <= max(base ts) - 7d; emit iff
+    window_end <= max(all ts) - 7d. A hash match therefore pins all
+    three behaviors — late drop, straggler merge, and append-mode
+    emit-once — to Spark's executed semantics.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.streaming.rollup import streaming_rollup_to_files
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    cut = "2024-01-21"
+    pre = ev.filter(F.col("ts") < cut)
+    batches = [
+        pre.filter(F.col("event_id") % 7 >= 2),  # on-time base
+        pre.filter(F.col("event_id") % 7 == 1),  # spacer: lets eviction land
+        pre.filter(F.col("event_id") % 7 == 0),  # stragglers: drop + merge
+        ev.filter(F.col("ts") >= cut),  # tail: advances the watermark
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i, b in enumerate(batches):
+            stage = f"{tmp}/stage{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+            dst = f"{src}/batch{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            # file mtime fixes micro-batch order (source sorts by it)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        q = streaming_rollup_to_files(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+            bucket="1 day",
+            watermark="7 days",
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_watermark_late_drop did not finish within 300s")
+        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -3456,6 +3590,9 @@ _GATE_FIRST = [
     # -- r3 hash-only fails, oracles fixed this round -----------------
     "q12_late_shipment_priority",
     "sequence_packing",
+    # -- new this round (never gated) ---------------------------------
+    "media_decode_features",
+    "streaming_watermark_late_drop",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -45,10 +45,14 @@ def _stream_agg(
     watermark: str,
     group_cols: tuple[str, ...],
     value_col: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Shared streaming logical plan: file stream -> watermark -> windowed
     count/sum — identical to ``time_bucket_rollup``'s batch plan."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
@@ -107,6 +111,7 @@ def streaming_rollup_to_files(
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    max_files_per_trigger: int | None = None,
 ):
     """Scale-safe sink: append-mode parquet. Windows are written by
     executors when the watermark closes them, exactly once per window —
@@ -119,8 +124,22 @@ def streaming_rollup_to_files(
     stay in state for the next incremental run — the correct behavior
     for a forever-append pipeline, and the difference a bounded-replay
     comparison must account for.
+
+    ``max_files_per_trigger=1`` turns each source file into its own
+    micro-batch, which is how the late-data tests stage controlled
+    arrival orders (watermark advances between files, not within one).
     """
-    agg = _stream_agg(spark, source_dir, schema, bucket, ts_col, watermark, group_cols, value_col)
+    agg = _stream_agg(
+        spark,
+        source_dir,
+        schema,
+        bucket,
+        ts_col,
+        watermark,
+        group_cols,
+        value_col,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     return (
         agg.writeStream.format("parquet")
         .option("path", output_dir)

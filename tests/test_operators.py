@@ -151,6 +151,82 @@ def test_multimodal_feature_extract(docs):
     assert sum(by_id[0]) == pytest.approx(1.0, abs=1e-3)
 
 
+def test_png_codec_roundtrip():
+    """encode_png emits a genuine PNG; decode_png must recover every
+    pixel of the synthetic formula exactly."""
+    for doc_id in (0, 1, 35, 123):
+        data = multimodal.encode_png(doc_id)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, rgb = multimodal.decode_png(data)
+        assert (w, h) == multimodal.synth_size(doc_id)
+        assert len(rgb) == w * h * 3
+        for y in (0, h - 1):
+            for x in (0, w - 1):
+                for c in range(3):
+                    assert rgb[(y * w + x) * 3 + c] == multimodal.synth_pixel(
+                        doc_id, x, y, c
+                    )
+
+
+def test_png_decoder_handles_sub_and_up_filters():
+    """The decoder must undo filter types 1 (Sub) and 2 (Up), not just
+    the 0s our encoder writes — re-filter a known image and decode."""
+    import struct
+    import zlib
+
+    doc_id = 7
+    w, h = multimodal.synth_size(doc_id)
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for y in range(h):
+        line = [multimodal.synth_pixel(doc_id, x, y, c) for x in range(w) for c in range(3)]
+        if y % 2 == 0:  # Sub filter
+            raw.append(1)
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) % 256 for i in range(len(line))
+            )
+        else:  # Up filter
+            raw.append(2)
+            raw += bytes((line[i] - prev[i]) % 256 for i in range(len(line)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    dw, dh, rgb = multimodal.decode_png(data)
+    assert (dw, dh) == (w, h)
+    expect = bytes(
+        multimodal.synth_pixel(doc_id, x, y, c)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert rgb == expect
+
+
+def test_png_decoder_rejects_junk():
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        multimodal.decode_png(None)
+
+
+def test_decode_media_features_matches_formula(docs):
+    out = multimodal.decode_media_features(multimodal.attach_synthetic_png(docs))
+    for r in out.collect():
+        w, h = multimodal.synth_size(r.doc_id)
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    sums[c] += multimodal.synth_pixel(r.doc_id, x, y, c)
+        assert (r.width, r.height) == (w, h)
+        assert [r.sum_r, r.sum_g, r.sum_b] == sums
+
+
 def test_multimodal_resize_stub(docs):
     media = multimodal.attach_fake_media(docs)
     out = multimodal.resize_stub(media, 224, 224)
