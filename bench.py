@@ -93,6 +93,8 @@ HEADLINE = [
     "sequence_packing",
     "semantic_dedup",
     "embedding_inference_scores",
+    # round-4 additions
+    "media_decode_features",
 ]
 
 
