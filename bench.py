@@ -95,6 +95,7 @@ HEADLINE = [
     "embedding_inference_scores",
     # round-4 additions
     "media_decode_features",
+    "price_quantiles_distributed",
 ]
 
 

@@ -30,6 +30,56 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    scale: int = 4,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles per group WITHOUT per-group
+    value buffering.
+
+    Spark's ``percentile(...)`` aggregate holds every value of a group
+    in the aggregation buffer — a hot group OOMs an executor at 100 TB.
+    This computes the identical result with windows partitioned by the
+    group key: ``row_number`` + group count locate the two closest
+    ranks, and the interpolation ``lower + frac * (upper - lower)``
+    (the same formula Spark's Percentile and DuckDB's quantile_cont
+    use, so results hash-match bit-for-bit) runs on <=2 surviving rows
+    per (group, quantile). The window sort spills; nothing ever
+    buffers a whole group in memory.
+
+    ``qs`` maps output column name -> quantile fraction.
+    """
+    w_order = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_group = Window.partitionBy(*group_cols)
+    b = (
+        df.select(*group_cols, value_col)
+        .withColumn("__rn", F.row_number().over(w_order))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w_group))
+    )
+    aggs, finals = [], []
+    for name, q in qs.items():
+        h = (F.col("__cnt") - 1) * F.lit(float(q))  # 0-based fractional rank
+        lo = (F.floor(h) + 1).cast("long")
+        hi = (F.ceil(h) + 1).cast("long")
+        frac = h - F.floor(h)
+        aggs += [
+            F.min(F.when(F.col("__rn") == lo, F.col(value_col))).alias(f"__lo_{name}"),
+            F.min(F.when(F.col("__rn") == hi, F.col(value_col))).alias(f"__hi_{name}"),
+            F.min(frac).alias(f"__fr_{name}"),
+        ]
+        finals.append(
+            F.round(
+                F.col(f"__lo_{name}")
+                + F.col(f"__fr_{name}") * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}")),
+                scale,
+            ).alias(name)
+        )
+    return b.groupBy(*group_cols).agg(*aggs).select(*group_cols, *finals)
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,

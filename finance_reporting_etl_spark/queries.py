@@ -1541,6 +1541,32 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "price_quantiles_distributed",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY 1
+    """,
+    "A1 exact per-group quantiles at scale: window closest-ranks, no per-group value buffering",
+)
+def q_price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of ``order_price_quantiles``: Spark's
+    ``percentile`` aggregate buffers every group value in memory (a hot
+    group OOMs at 100 TB); ``exact_group_quantiles`` gets the identical
+    interpolated result from group-partitioned windows — closest-rank
+    rows + ``lower + frac*(upper-lower)``, the same formula both
+    engines' exact quantile uses, so values hash-match."""
+    from finance_reporting_etl_spark.operators.ranking import exact_group_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return exact_group_quantiles(
+        o, ["o_orderpriority"], "o_totalprice", {"median_price": 0.5, "p90_price": 0.9}
+    )
+
+
 # ---------------------------------------------------------------------------
 # A-tier breadth: multi-dim aggregates, distinct aggs, set ops, windows.
 # Not declared by the reference (SURVEY §2.4/§2.6 note their absence) but
@@ -3593,6 +3619,7 @@ _GATE_FIRST = [
     # -- new this round (never gated) ---------------------------------
     "media_decode_features",
     "streaming_watermark_late_drop",
+    "price_quantiles_distributed",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

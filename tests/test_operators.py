@@ -654,6 +654,37 @@ def test_distributed_ntile_fewer_rows_than_tiles(spark):
     assert got == [(1, 2), (2, 3), (3, 1)]
 
 
+def test_exact_group_quantiles_matches_native_percentile(spark):
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import exact_group_quantiles
+
+    # groups of size 1, 2, and 50 (incl. ties) — every interpolation path
+    rows = (
+        [("one", 42.5)]
+        + [("two", 1.0), ("two", 2.0)]
+        + [("big", float(i % 13) + 0.25) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = sorted(
+        tuple(r)
+        for r in exact_group_quantiles(df, ["g"], "v", qs, scale=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(v, {q})"), 6).alias(name)
+                for name, q in qs.items()
+            ]
+        )
+        .collect()
+    )
+    assert got == want
+
+
 def test_canned_statement_fetch_roundtrip():
     from finance_reporting_etl_spark.pipeline import (
         canned_statement_fetch,
