@@ -88,6 +88,58 @@ def bucketed_join(
     return left.join(right, keys, how)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    row_group_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partitions write: the data-layout
+    half of zone-map pruning.
+
+    Parquet stores per-row-group min/max for every column; the reader
+    skips a row group when a pushed filter falls outside its range.
+    Unsorted data makes those ranges useless (every group spans the
+    whole domain); sorting on the filter key makes them tight, so a
+    selective scan reads ~selectivity x data instead of all of it —
+    measured 26x fewer scanned rows at sf0.1 (see PLANS.md Round-4).
+    This is the finer-grained sibling of ``partitionBy`` pruning and
+    the single cheapest scan optimization for an append-once
+    read-forever 100 TB table. Caveat pinned by the test: stats pruning
+    engages for numeric/string sort keys; TIMESTAMP columns did not
+    prune in this Spark build — prefer `partitionBy(date)` + a numeric
+    sort key (epoch micros) for time layouts.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.option("parquet.block.size", row_group_bytes)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Execute ``df`` and return the scan node's numOutputRows metric —
+    rows surviving parquet row-group/page pruning, BEFORE Spark's own
+    Filter. The observable for zone-map effectiveness."""
+    # metrics live on the executed plan of this DataFrame's own query
+    # execution only after an action runs through it (a write would
+    # execute a sibling QueryExecution and leave these metrics at zero)
+    df.toPandas()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        it = leaves.apply(i).metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
 def assert_no_shuffle_join(df: DataFrame) -> None:
     """Raise if the physical plan contains an Exchange feeding the join
     — the verification hook for bucketed co-location."""

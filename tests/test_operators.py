@@ -654,6 +654,40 @@ def test_distributed_ntile_fewer_rows_than_tiles(spark):
     assert got == [(1, 2), (2, 3), (3, 1)]
 
 
+def test_sorted_write_prunes_row_groups(spark, tmp_path):
+    """Zone-map pruning: the same selective filter over the same rows
+    must scan far fewer rows from a sort-clustered layout (tight
+    per-row-group min/max) than from a shuffled one."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators import scale
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    unsorted_p, sorted_p = str(tmp_path / "unsorted"), str(tmp_path / "sorted")
+    # scatter k across every row group (hash shuffle) for the bad layout
+    df.repartition(8, "v").write.option("parquet.block.size", 64 * 1024).parquet(
+        unsorted_p
+    )
+    scale.write_sorted(df, sorted_p, ["k"], n_files=8, row_group_bytes=64 * 1024)
+
+    pred = (F.col("k") >= 50_000) & (F.col("k") < 53_000)
+    n_un = spark.read.parquet(unsorted_p).filter(pred).count()
+    n_so = spark.read.parquet(sorted_p).filter(pred).count()
+    assert n_un == n_so == 3_000  # identical results either way
+
+    scanned_un = scale.scan_output_rows(spark.read.parquet(unsorted_p).filter(pred))
+    scanned_so = scale.scan_output_rows(spark.read.parquet(sorted_p).filter(pred))
+    # hash layout still reads 10x+ the matching rows (each shuffle task
+    # receives ids in order, so some incidental clustering survives —
+    # row groups tile rather than fully span the domain); the sorted
+    # layout reads only the covering row groups.
+    assert scanned_un >= 10 * n_un
+    assert scanned_so <= scanned_un / 4
+    assert scanned_so < 2.5 * n_so  # tight: a few thousand-row groups
+
+
 def test_exact_group_quantiles_matches_native_percentile(spark):
     from pyspark.sql import functions as F
 
