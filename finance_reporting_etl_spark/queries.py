@@ -3549,6 +3549,87 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+@query(
+    "stateful_session_timeout",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess FROM o
+    ), g AS (
+        SELECT user_id, sess,
+               min(ts) AS session_start, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sess
+    ), sess AS (
+        SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM g
+    ), wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, session_start, last_ts + INTERVAL 30 MINUTE AS session_end,
+           n_events, total_value
+    FROM sess
+    WHERE NOT (sess = last_sess AND last_ts + INTERVAL 30 MINUTE > (SELECT w FROM wmf))
+    """,
+    "§2.8 custom stateful operator with EventTimeTimeout: sessions close on watermark expiry, emit exactly once",
+)
+def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a CUSTOM ``applyInPandasWithState``
+    operator with ``GroupStateTimeout.EventTimeTimeout``: closed
+    sessions emit mid-batch, open tails live in GroupState with a
+    timeout at (last activity + gap) and emit exactly once when the
+    watermark expires them — the state-TTL machinery `session_window`
+    hides, here explicit and testable. Four chronologically disjoint
+    micro-batches force sessions to span batch boundaries. The oracle
+    is batch gap-sessionization minus the per-user final session when
+    the stream's closing watermark (max ts - 10 min) left it open."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.stateful import stateful_session_timeout
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ev.filter(F.col("ts") >= cuts[2]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="stream_ttl_")
+    name = f"ttl_sessions_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i, b in enumerate(batches):
+            stage = f"{tmp}/stage{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+            dst = f"{src}/batch{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        q = stateful_session_timeout(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_table=name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stateful_session_timeout did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -3620,6 +3701,7 @@ _GATE_FIRST = [
     "media_decode_features",
     "streaming_watermark_late_drop",
     "price_quantiles_distributed",
+    "stateful_session_timeout",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
