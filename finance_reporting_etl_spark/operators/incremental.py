@@ -40,6 +40,40 @@ def append_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent daily re-load: overwrite ONLY the partitions present
+    in ``df``, leaving all others untouched
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+    This is the correct replay semantics for a backfill/late-restate
+    job at 100 TB: re-running a day rewrites that day's directory
+    atomically per partition instead of truncating the table (static
+    overwrite) or duplicating rows (append). Restores the session's
+    prior mode on exit.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_evolved(spark, path: str) -> DataFrame:
+    """Schema-on-read union over snapshots with evolved schemas:
+    ``mergeSchema`` reconciles parquet files that gained columns over
+    time (added columns read as NULL for old files). The per-file
+    footer drives the merge — no rewrite of historical data, the
+    standard additive-evolution path for an append-only table."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def retain(df: DataFrame, ts_col: str, horizon) -> DataFrame:
     """S12 retention window: rows at or after ``horizon``.
 

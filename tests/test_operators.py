@@ -138,6 +138,41 @@ def test_append_partitioned_layout(spark, tmp_path):
     assert spark.read.parquet(p).count() == 2
 
 
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    """Backfill replay: rewriting one day must leave other partitions
+    byte-identical and never duplicate rows."""
+    p = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-01", 2.0), ("2024-01-02", 3.0)],
+        "d string, v double",
+    )
+    incremental.append_partitioned(base, p, ["d"], mode="overwrite")
+    restated = spark.createDataFrame([("2024-01-01", 9.0)], "d string, v double")
+    incremental.overwrite_partitions_dynamic(restated, p, ["d"])
+    # partition-column inference reads d back as DATE — stringify
+    got = sorted((str(r.d), r.v) for r in spark.read.parquet(p).collect())
+    # day 1 fully replaced (2 rows -> 1), day 2 untouched
+    assert got == [("2024-01-01", 9.0), ("2024-01-02", 3.0)]
+    # session conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Additive schema evolution: old snapshot lacks a column; merged
+    read reconciles footers and fills NULL for pre-evolution files."""
+    p = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "a")], "k long, s string")
+    v1.write.mode("append").parquet(p)
+    v2 = spark.createDataFrame([(2, "b", 7.5)], "k long, s string, score double")
+    v2.write.mode("append").parquet(p)
+    got = {
+        r.k: (r.s, r.score)
+        for r in incremental.read_evolved(spark, p).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 7.5)}
+    assert set(incremental.read_evolved(spark, p).columns) == {"k", "s", "score"}
+
+
 def test_multimodal_feature_extract(docs):
     media = multimodal.attach_fake_media(docs)
     feats = multimodal.extract_features(media)
