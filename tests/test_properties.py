@@ -170,3 +170,60 @@ def test_chunk_dedup_survivors_are_lexicographic_min(spark, doc_templates):
         assert r["surv_doc"] == first_doc_of_template[doc_templates[r["doc_id"]]]
         assert r["surv_idx"] == r["chunk_idx"]  # same template => same offsets
         assert (r["surv_doc"], r["surv_idx"]) not in dup_keys
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12))
+def test_png_codec_roundtrip_property(doc_id):
+    """Pure-Python property: for ANY doc_id the encoded PNG decodes to
+    exactly the formula pixels (no Spark involved — cheap to run wide)."""
+    from finance_reporting_etl_spark.operators import multimodal
+
+    data = multimodal.encode_png(doc_id)
+    w, h, rgb = multimodal.decode_png(data)
+    assert (w, h) == multimodal.synth_size(doc_id)
+    expect = bytes(
+        multimodal.synth_pixel(doc_id, x, y, c)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    assert rgb == expect
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0.0, max_value=1000.0, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([[0.0, 0.25, 0.5, 0.9, 1.0]]),
+)
+def test_exact_group_quantiles_property(spark, rows, quantiles):
+    """Window-based quantiles equal the native percentile aggregate for
+    arbitrary group shapes (singletons, ties, uneven sizes)."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import exact_group_quantiles
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {f"q{i}": q for i, q in enumerate(quantiles)}
+    got = sorted(
+        tuple(r) for r in exact_group_quantiles(df, ["g"], "v", qs, scale=6).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(v, {q})"), 6).alias(name)
+                for name, q in qs.items()
+            ]
+        )
+        .collect()
+    )
+    assert got == want
