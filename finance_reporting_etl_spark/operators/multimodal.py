@@ -334,10 +334,81 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
+def _nn_resample(rgb: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of raw RGB rows: out(x,y) =
+    in(floor(x*w/out_w), floor(y*h/out_h)) — the standard NN mapping,
+    exactly re-derivable in SQL."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            base = (sy * w + sx) * 3
+            out += rgb[base : base + 3]
+    return bytes(out)
+
+
+def resize_png(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: decode the PNG payload, nearest-neighbor
+    resample to (out_w, out_h) with the explicit floor mapping above,
+    re-encode as PNG. Arrow-batched mapInPandas, no shuffle. PIL (when
+    installed) handles the decode only — the resample stays on the
+    explicit mapping so the SQL oracle can re-derive every output pixel
+    (PIL's NEAREST samples pixel centers, a different convention)."""
+    import struct
+    import zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def encode(rgb: bytes) -> bytes:
+        raw = bytearray()
+        for y in range(out_h):
+            raw.append(0)
+            raw += rgb[y * out_w * 3 : (y + 1) * out_w * 3]
+        ihdr = struct.pack(">IIBBBBB", out_w, out_h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def one(payload: bytes) -> bytes:
+        if _PILImage is not None:  # pragma: no cover - container has no PIL
+            import io
+
+            import numpy as np
+
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+            w, h = img.size
+            rgb = np.asarray(img, dtype=np.uint8).tobytes()
+        else:
+            w, h, rgb = decode_png(payload)
+        return encode(_nn_resample(rgb, w, h, out_w, out_h))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB: real decode isn't available, so this
-    validates plumbing by rewriting metadata only. Signature and batch
-    shape match what a PIL-backed version would use."""
+    """Image resize stage — metadata-only stand-in kept for the
+    fake-media pipeline (non-PNG payloads); ``resize_png`` above is the
+    real path for decodable payloads."""
     return media.withColumn(
         "meta",
         F.struct(

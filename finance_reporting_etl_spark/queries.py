@@ -2193,6 +2193,47 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_resize_decode",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h
+        FROM documents
+    ), grid AS (
+        SELECT doc_id, (gx.x * w) // 6 AS sx, (gy.y * h) // 5 AS sy
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(0, 5)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, 4)) AS y) gy
+    )
+    SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 101) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS BIGINT) AS sum_b
+    FROM grid
+    GROUP BY 1
+    """,
+    "X5 multimodal: REAL resize (decode -> NN resample -> re-encode -> decode again)",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize, proven through two decode passes: genuine PNGs are
+    decoded, nearest-neighbor resampled to 6x5 (explicit floor index
+    mapping), re-encoded as PNG, and the RESIZED payloads are decoded
+    AGAIN by the feature stage. The oracle re-derives every resampled
+    pixel from the formula + the same index mapping, so a hash match
+    proves decode, resample, AND the re-encoded PNG's validity at once.
+    All stages are map-side Arrow batches — no shuffle anywhere."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        decode_media_features,
+        resize_png,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_features(resize_png(attach_synthetic_png(docs), 6, 5))
+
+
+@query(
     "q4_order_priority_semi",
     """
     SELECT o_orderpriority, count(*) AS n_orders
@@ -3703,6 +3744,8 @@ _GATE_FIRST = [
     "price_quantiles_distributed",
     "stateful_session_timeout",
 ]
+# round-4 additions past the 50-slot window: media_resize_decode gates in r5
+# (it is pytest- and local-oracle-verified this round).
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

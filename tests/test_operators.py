@@ -262,6 +262,25 @@ def test_decode_media_features_matches_formula(docs):
         assert [r.sum_r, r.sum_g, r.sum_b] == sums
 
 
+def test_resize_png_real_resample(docs):
+    """resize_png must emit valid PNGs whose pixels follow the floor
+    NN mapping of the source formula image."""
+    out = multimodal.resize_png(multimodal.attach_synthetic_png(docs), 6, 5)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        w, h, rgb = multimodal.decode_png(r.payload)
+        assert (w, h) == (6, 5)
+        sw, sh = multimodal.synth_size(r.doc_id)
+        for y in range(5):
+            for x in range(6):
+                sx, sy = x * sw // 6, y * sh // 5
+                for c in range(3):
+                    assert rgb[(y * 6 + x) * 3 + c] == multimodal.synth_pixel(
+                        r.doc_id, sx, sy, c
+                    )
+
+
 def test_multimodal_resize_stub(docs):
     media = multimodal.attach_fake_media(docs)
     out = multimodal.resize_stub(media, 224, 224)

@@ -119,15 +119,24 @@ def test_gate_window_covers_unproven_queries():
         return
     newest = json.loads(rounds[-1].read_text())
     window = set(names[:50])
-    for name in names:
+
+    def needs_gate(name):
         row = newest.get(name)
-        stale = row is None  # not gated last round
-        not_green = row is not None and not (
+        if row is None:  # not gated last round (or new since)
+            return True
+        return not (
             row.get("rows_match") and row.get("schema_match")
             and (row.get("hash_match") is not False) and row.get("err") is None
         )
-        if stale or not_green:
-            assert name in window, (
-                f"{name} is {'ungated-last-round' if stale else 'not-green'} "
-                f"but outside the first-50 gate window"
-            )
+
+    stale = {n for n in names if needs_gate(n)}
+    missing = stale - window
+    # every stale entry gates this round — unless the window is already
+    # packed entirely with stale entries (more candidates than slots);
+    # the overflow must then lead the NEXT rotation.
+    if missing:
+        assert window <= stale, (
+            f"stale queries {sorted(missing)} are outside the gate window "
+            f"while non-stale entries occupy slots: "
+            f"{sorted(window - stale)}"
+        )
