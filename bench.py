@@ -96,6 +96,7 @@ HEADLINE = [
     # round-4 additions
     "media_decode_features",
     "price_quantiles_distributed",
+    "lm_quality_scores",
 ]
 
 

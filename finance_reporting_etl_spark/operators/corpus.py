@@ -473,3 +473,62 @@ def pack_sequences(
         "pack_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
     ).drop("__key")
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet/Gopher-style language-model quality signal: the mean
+    add-k-smoothed bigram log-likelihood of each document under a
+    bigram LM trained on the corpus itself.
+
+        score(d) = avg over bigrams (w1,w2) of
+                   ln( (c(w1,w2) + k) / (c(w1) + k*V) )
+
+    Near-zero scores = fluent, in-distribution text; very negative =
+    rare transitions (boilerplate, mangled encodings, wrong language) —
+    the standard perplexity-filtering signal, with the LM itself built
+    distributively instead of imported.
+
+    Scale shape: one pass builds unigram/bigram count tables (groupBy
+    shuffles on token keys — count tables are corpus-vocabulary-sized,
+    never document-count-sized); scoring joins each document's bigram
+    instances against them (shuffle equi-joins; a skewed head token is
+    AQE territory). The bigram explode is a cheap single-pass
+    ``zip_with`` over the token array (the HOF-vs-explode lesson in
+    PLANS.md applies to heavy per-element math, not to pairing).
+    Documents with fewer than two tokens have no bigrams and drop out.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t)-1, 0)),"
+                "         slice(t, 2, greatest(size(t)-1, 0)),"
+                "         (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__ll",
+            F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.avg("__ll"), 6).alias("lm_score"))

@@ -2193,6 +2193,39 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_quality_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), uni AS (
+        SELECT u.w AS w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY 1
+    ), v AS (SELECT count(*) AS vocab FROM uni),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           round(avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab))), 6) AS lm_score
+    FROM bg JOIN c2 USING (w1, w2) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+    GROUP BY 1
+    """,
+    "X4 LM-perplexity quality filter: add-k bigram log-likelihood, LM trained distributively on the corpus",
+)
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering without an external model: a
+    bigram LM with add-0.5 smoothing is built FROM the corpus (unigram/
+    bigram count tables via groupBy — vocabulary-sized, never
+    corpus-sized) and every document is scored by its mean bigram
+    log-likelihood through shuffle equi-joins on the token keys. The
+    oracle rebuilds the identical LM and scores in SQL."""
+    from finance_reporting_etl_spark.operators.corpus import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+@query(
     "media_resize_decode",
     """
     WITH d AS (
@@ -3744,8 +3777,9 @@ _GATE_FIRST = [
     "price_quantiles_distributed",
     "stateful_session_timeout",
 ]
-# round-4 additions past the 50-slot window: media_resize_decode gates in r5
-# (it is pytest- and local-oracle-verified this round).
+# round-4 additions past the 50-slot window: media_resize_decode and
+# lm_quality_scores gate in r5 (both local-oracle-verified at sf0.001
+# AND sf0.01 this round).
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
