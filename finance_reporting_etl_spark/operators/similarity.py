@@ -344,3 +344,142 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# --- IVF-PQ: product-quantized ANN ----------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on a deterministic sample: (m, k_codes, dim/m).
+
+    Standard PQ practice (FAISS does the same): codebooks train on a
+    bounded sample — here the ``sample`` lowest ids, a deterministic
+    choice — with driver-side Lloyd per subspace. The collect is
+    O(sample x dim) regardless of corpus size; at 100 TB the sample is
+    still 2048 rows. Ties in the argmin break toward the lowest code
+    (np.argmin first-occurrence), init is the first k_codes sample rows
+    in id order, so training is bit-reproducible.
+    """
+    dsub = dim // m
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    books = np.empty((m, k_codes, dsub))
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        cb = Xs[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                if (a == c).any():
+                    cb[c] = Xs[a == c].mean(axis=0)
+        books[sub] = cb
+    return np.round(books, 6)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, code) rows: per-subspace nearest-codeword assignment.
+
+    One Arrow batch encodes via a single broadcasted numpy distance
+    computation per subspace; the output is the narrow persistable PQ
+    index (a code is one small int — the 64x compression that lets a
+    100 TB vector corpus's index live in memory). Exploded to one row
+    per (vector, subspace) so an ANSI-SQL oracle can re-derive ADC
+    scoring downstream by joining a lookup table.
+    """
+    mm, k_codes, dsub = codebooks.shape
+
+    @F.pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy())  # (B, dim)
+        Xs = X.reshape(len(X), mm, dsub)
+        out = np.empty((len(X), mm), dtype=np.int32)
+        for sub in range(mm):
+            d2 = ((Xs[:, sub, None, :] - codebooks[sub][None, :, :]) ** 2).sum(-1)
+            out[:, sub] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(codes(F.col(vec_col))).alias("m", "code")
+    )
+
+
+def pq_query_luts(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> "list[tuple[int, int, int, float]]":
+    """ADC lookup tables: (query_id, m, code, d2) rows.
+
+    d2 = ||q_sub - codeword||^2 per (query, subspace, codeword) — the
+    classic asymmetric-distance trick: n_queries x m x k_codes rows
+    bound the per-query scoring cost, independent of candidate count.
+    Driver-side numpy over the (bounded) query set only.
+    """
+    mm, k_codes, dsub = codebooks.shape
+    rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        q = np.asarray(r[vec_col], dtype=np.float64).reshape(mm, dsub)
+        for sub in range(mm):
+            d2 = ((codebooks[sub] - q[sub][None, :]) ** 2).sum(-1)
+            for code in range(k_codes):
+                out.append((int(r[id_col]), sub, code, round(float(d2[code]), scale)))
+    return out
+
+
+def ivfpq_topk_from_tables(
+    codes: DataFrame,
+    cells: DataFrame,
+    probes: DataFrame,
+    luts: DataFrame,
+    k: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k by ADC distance from the four persisted tables.
+
+    Candidates = cell join (IVF pruning); scoring = broadcast-LUT join
+    on (query_id, m, code) + one sum groupBy — no vector column is ever
+    re-read at query time, which is the point of PQ: the scan moves
+    codes (m small ints) instead of dim floats, ~64x less I/O at equal
+    candidate counts. Deterministic (adc ASC, neighbor_id ASC) ranking.
+    """
+    cand = (
+        cells.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(luts), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), scale).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -3704,6 +3704,167 @@ def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "ingest_pages_datasource",
+    """
+    SELECT series_id,
+           CAST(d AS DATE) AS observation_date,
+           v AS value_raw,
+           TRY_CAST(v AS DOUBLE) AS value,
+           page
+    FROM (VALUES
+        ('GDP', '2020-01-01', '21481.367', 0),
+        ('GDP', '2020-04-01', '19477.444', 0),
+        ('GDP', '2020-07-01', '.',         0),
+        ('GDP', '2020-10-01', '21494.731', 1),
+        ('GDP', '2021-01-01', '22313.85',  1),
+        ('GDP', '2021-04-01', '23046.934', 1),
+        ('GDP', '2021-07-01', '23550.42',  2),
+        ('GDP', '2021-10-01', '.',         2),
+        ('GDP', '2022-01-01', '24740.48',  2),
+        ('GDP', '2022-04-01', '25248.476', 3),
+        ('GDP', '2022-07-01', '25723.941', 3),
+        ('GDP', '2022-10-01', '26137.992', 3)
+    ) AS t(series_id, d, v, page)
+    """,
+    "S1-S3 via the Spark 4 Python Data Source API: partition-per-page executor-side parse (engine-native form of README.md:327-369's driver loop)",
+)
+def q_ingest_pages_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom ``DataSource`` ingest: staged REST pages become
+    InputPartitions, executors parse their page and emit typed rows —
+    the declared schema means a malformed page fails one task, not the
+    load. sf_dir is unused; the source is the staged page dir."""
+    from finance_reporting_etl_spark.sources.python_datasource import (
+        register,
+        stage_canned_pages,
+    )
+
+    pages_dir = stage_canned_pages(f"{_AUX_DIR}/fred_pages")
+    register(spark)
+    return spark.read.format("fred_pages").option("path", pages_dir).load()
+
+
+@query(
+    "variant_event_payloads",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 6) AS total_value,
+           CAST(max(len(CAST(event_type AS VARCHAR)) + 2) AS INT) AS max_tag_len
+    FROM events
+    GROUP BY event_type
+    """,
+    "S3 modernized: Spark 4 VARIANT semi-structured ingest — parse_json -> variant_get typed extraction, no schema inference pass",
+)
+def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload ingest on the VARIANT type (Spark 4):
+    raw JSON event payloads are parsed once into VARIANT (binary,
+    shredded — no driver schema-inference scan, unlike
+    ``spark.read.json``) and fields come out via ``variant_get`` path
+    expressions with per-field types, including a nested array element.
+    The JSON text here is built from the events fixture so the oracle
+    can re-derive the result from the base columns — proving the
+    JSON -> VARIANT -> typed-column roundtrip is lossless (bigint,
+    string, double, array<string> all survive bit-exactly).
+
+    At scale this is the raw-zone pattern: keep payloads as VARIANT,
+    extract typed columns at query time with pushdown-friendly paths,
+    never re-infer schema over 100 TB of JSON text."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("value").alias("value"),
+                F.array(F.lit("t0"), F.concat(F.col("event_type"), F.lit("_x"))).alias(
+                    "tags"
+                ),
+            ).alias("props"),
+        )
+    )
+    v = ev.select(F.parse_json(payload).alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.user", "bigint").alias("user_id"),
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.props.value", "double").alias("value"),
+        F.variant_get("v", "$.props.tags[1]", "string").alias("tag1"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.max(F.length("tag1")).alias("max_tag_len"),
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    f"""
+    WITH co AS (SELECT * FROM '{_AUX_DIR}/pq_codes/*.parquet'),
+    ce AS (SELECT * FROM '{_AUX_DIR}/pq_cells/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivfpq_probes/*.parquet'),
+    lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
+    cand AS (
+        SELECT pr.query_id, ce.id AS neighbor_id
+        FROM ce JOIN pr USING (cell)
+        WHERE ce.id <> pr.query_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(sum(lut.d2), 6) AS adc_dist
+        FROM cand
+        JOIN co  ON co.id = cand.neighbor_id
+        JOIN lut ON lut.query_id = cand.query_id
+               AND lut.m = co.m AND lut.code = co.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """,
+    "X3 similarity search at scale: IVF-PQ ANN (product quantization + asymmetric-distance LUT scoring; persisted-index oracle)",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the memory-bound scale path for ANN. The IVF stage prunes
+    candidates to nprobe cells; PQ replaces each 64-float vector with 4
+    one-byte codes (sample-trained codebooks, driver-side Lloyd — same
+    bounded-collect budget as the k-means centroid loop), and scoring
+    sums per-subspace lookup-table distances (ADC) with a broadcast
+    join — at query time no vector data is read at all. Every
+    downstream decision (cell join, LUT join, sum, rank) is re-derived
+    by the oracle from the persisted codes/cells/probes/LUT tables;
+    codebook training and encode are covered by pytest recall tests."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes,
+        ivfpq_topk_from_tables,
+        pq_encode,
+        pq_query_luts,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb)
+    qids = [0, 1, 2, 3, 4]
+    codes = _persist_aux(spark, pq_encode(emb, books), "pq_codes")
+    cells = _persist_aux(spark, ivf_index(emb), "pq_cells")
+    probes = _persist_aux(spark, ivf_probes(emb, qids), "ivfpq_probes")
+    luts = _persist_aux(
+        spark,
+        spark.createDataFrame(
+            pq_query_luts(emb, qids, books), "query_id long, m int, code int, d2 double"
+        ),
+        "pq_luts",
+    )
+    return ivfpq_topk_from_tables(codes, cells, probes, luts, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

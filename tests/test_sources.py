@@ -131,3 +131,25 @@ def test_create_table_sql_ddl(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_raw_financial")
+
+
+def test_python_datasource_partition_per_page(spark, tmp_path):
+    """Spark 4 Python Data Source API connector: one InputPartition per
+    staged page (scan parallelism == page count), executor-side parse,
+    declared schema, '.' -> NULL typing."""
+    from finance_reporting_etl_spark.sources import python_datasource as pds
+
+    d = pds.stage_canned_pages(str(tmp_path / "pages"))
+    pds.register(spark)
+    df = spark.read.format("fred_pages").option("path", d).load()
+    assert df.rdd.getNumPartitions() == len(pds.CANNED_PAGES)
+    assert [f.name for f in df.schema.fields] == [
+        "series_id", "observation_date", "value_raw", "value", "page",
+    ]
+    rows = df.collect()
+    assert len(rows) == sum(len(p["observations"]) for p in pds.CANNED_PAGES)
+    assert sum(1 for r in rows if r.value is None) == 2  # the two "." markers
+    assert {r.page for r in rows} == set(range(len(pds.CANNED_PAGES)))
+    # re-register is idempotent for the session
+    pds.register(spark)
+    assert spark.read.format("fred_pages").option("path", d).load().count() == len(rows)
