@@ -352,8 +352,8 @@ def ivf_topk_from_index(
 def pq_train_codebooks(
     embeddings: DataFrame,
     dim: int = 64,
-    m: int = 4,
-    k_codes: int = 16,
+    m: int = 16,
+    k_codes: int = 64,
     sample: int = 2048,
     iters: int = 10,
     id_col: str = "vec_id",

@@ -3830,7 +3830,7 @@ def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the memory-bound scale path for ANN. The IVF stage prunes
-    candidates to nprobe cells; PQ replaces each 64-float vector with 4
+    candidates to nprobe cells; PQ replaces each 64-float vector (512 bytes) with 16
     one-byte codes (sample-trained codebooks, driver-side Lloyd — same
     bounded-collect budget as the k-means centroid loop), and scoring
     sums per-subspace lookup-table distances (ADC) with a broadcast

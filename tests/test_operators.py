@@ -887,3 +887,38 @@ def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
     after = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
     assert n == after == 1
     assert spark.read.parquet(base).count() == 6000
+
+
+def test_ivfpq_recall_and_determinism(spark, emb):
+    """IVF-PQ: ADC ranking over 16x64 codebooks must still surface true
+    euclidean neighbors (the fixture embeddings are unit-norm, so cosine
+    and L2 rank identically), and encode/train must be bit-reproducible."""
+    qids = list(range(10))
+    books = similarity.pq_train_codebooks(emb)
+    assert books.shape == (16, 64, 4)
+    # training determinism: same sample -> identical codebooks
+    assert (books == similarity.pq_train_codebooks(emb)).all()
+
+    codes = similarity.pq_encode(emb, books)
+    cells = similarity.ivf_index(emb)
+    probes = similarity.ivf_probes(emb, qids)
+    luts = spark.createDataFrame(
+        similarity.pq_query_luts(emb, qids, books),
+        "query_id long, m int, code int, d2 double",
+    )
+    approx = similarity.ivfpq_topk_from_tables(codes, cells, probes, luts, k=5)
+    exact = similarity.brute_force_topk(emb, qids, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    # PQ only coarsens distances within the probed cells; the IVF floor
+    # applies and quantization should not destroy it
+    assert recall > 0.25, f"IVF-PQ recall suspiciously low: {recall}"
+    # deterministic full-rank output: rerun is identical
+    again = similarity.ivfpq_topk_from_tables(codes, cells, probes, luts, k=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # encode determinism across evaluations
+    c1 = sorted(map(tuple, codes.collect()))
+    c2 = sorted(map(tuple, similarity.pq_encode(emb, books).collect()))
+    assert c1 == c2
