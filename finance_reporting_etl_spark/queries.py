@@ -3865,6 +3865,61 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "heavy_hitters_cms",
+    f"""
+    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements/*.parquet'),
+    tc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    cellcnt AS (
+        SELECT d, col, sum(exact_count) AS cell_cnt
+        FROM tc JOIN cells USING (token) GROUP BY d, col
+    ),
+    est AS (
+        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
+        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
+    ),
+    tot AS (SELECT sum(exact_count) AS t FROM tc)
+    SELECT e.token, e.est_count, tc.exact_count
+    FROM est e JOIN tc USING (token), tot
+    WHERE e.est_count >= tot.t / 50.0
+    """,
+    "X4 heavy hitters via Count-Min Sketch: fixed-size mergeable counter grid, min-estimate thresholding (persisted-placement oracle)",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens whose CMS estimate clears 2% of the stream. The sketch is
+    depth*width cells FOREVER — the memory story that exact counting
+    can't give at 100 TB vocabulary sizes — and cell-wise addition
+    merges per-executor sketches. exact_count rides along to expose the
+    one-sided error (est >= exact, always). The 4x64 grid is sized so
+    collisions actually occur at fixture scale, exercising the min."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.sketches import (
+        cms_cell_counts,
+        cms_estimates,
+        cms_placements,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = _persist_aux(spark, cms_placements(tc), "cms_placements")
+    sketch = cms_cell_counts(tc, cells)
+    est = cms_estimates(cells, sketch)
+    total = tc.agg(F.sum("cnt").alias("t"))
+    return (
+        est.join(tc, "token")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= F.col("t") / 50.0)
+        .select("token", "est_count", F.col("cnt").alias("exact_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -922,3 +922,39 @@ def test_ivfpq_recall_and_determinism(spark, emb):
     c1 = sorted(map(tuple, codes.collect()))
     c2 = sorted(map(tuple, similarity.pq_encode(emb, books).collect()))
     assert c1 == c2
+
+
+def test_cms_sketch_merge_and_overestimate(spark, sf_dir):
+    """CMS invariants: (a) est >= exact for every key (one-sided error);
+    (b) sketches over disjoint halves merge by cell-wise addition into
+    exactly the whole-corpus sketch — the property that makes the
+    sketch distributable."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators import sketches
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    docs = _read_parquet(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = sketches.cms_placements(tc)
+    sketch = sketches.cms_cell_counts(tc, cells)
+    est = {r.token: r.est_count for r in sketches.cms_estimates(cells, sketch).collect()}
+    exact = {r.token: r.cnt for r in tc.collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # merge: half-sketches add cell-wise to the full sketch
+    halves = [
+        toks.filter((F.col("doc_id") % 2) == i)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        for i in (0, 1)
+    ]
+    merged = (
+        sketches.cms_cell_counts(halves[0], cells)
+        .unionByName(sketches.cms_cell_counts(halves[1], cells))
+        .groupBy("d", "col").agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    a = {(r.d, r.col): r.cell_cnt for r in sketch.collect()}
+    b = {(r.d, r.col): r.cell_cnt for r in merged.collect()}
+    assert a == b
