@@ -3920,6 +3920,81 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_grouping_sets",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+    """,
+    "§2.6 GROUPING SETS: explicit multi-granularity aggregate (beyond CUBE/ROLLUP — arbitrary set list, one shuffle)",
+)
+def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set list in ONE aggregation pass: Spark
+    expands the sets with an internal Expand node (each input row fans
+    out once per set, partial-agg combines map-side) — versus four
+    separate groupBys, four shuffles. The neither-column-is-ever-NULL
+    fixture makes coalesce subtotal labeling unambiguous."""
+    # DuckDB dayofweek is Sunday=0, Spark's is Sunday=1 — shift to match
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow"), "value"
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "lineitem_unpivot_metrics",
+    """
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(val), 6) AS avg_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    "§2.6 UNPIVOT/melt: wide measures -> long (metric, value) without N scans",
+)
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unpivot`` melts the four measure columns into (metric, val)
+    rows in ONE scan (an Expand node, like grouping sets) — the oracle's
+    UNION ALL form would scan lineitem four times. The inverse of the
+    pivot queries; rounds trip with pivot_by_report_type's shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot([], metrics, "metric", "val")
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

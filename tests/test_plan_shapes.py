@@ -140,3 +140,23 @@ def test_gate_window_covers_unproven_queries():
             f"while non-stale entries occupy slots: "
             f"{sorted(window - stale)}"
         )
+
+
+def test_grouping_sets_is_one_expand_pass(spark, capsys):
+    """GROUPING SETS must compile to a single scan + Expand + one
+    aggregation, not four unioned groupBys (four scans/shuffles)."""
+    import re
+
+    plan = _plan(CATALOG["event_grouping_sets"].fn(spark, SF_SMOKE), capsys)
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_unpivot_is_one_scan(spark, capsys):
+    """unpivot melts four measure columns in ONE scan (Expand), where
+    the naive UNION ALL form scans the table once per measure."""
+    import re
+
+    plan = _plan(CATALOG["lineitem_unpivot_metrics"].fn(spark, SF_SMOKE), capsys)
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
