@@ -146,3 +146,53 @@ def assert_no_shuffle_join(df: DataFrame) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:
         raise AssertionError(f"plan shuffles:\n{plan}")
+
+
+def zorder_key(x: "Column | str", y: "Column | str", bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative int columns — bit i of x lands at position 2i, bit i
+    of y at 2i+1.
+
+    Sorting by a single column gives perfect zone maps on THAT column
+    and none on any other; sorting by the Morton code gives both
+    columns locality at once (each row group covers a small square of
+    the (x, y) domain), so selective filters on EITHER column prune row
+    groups. This is the layout trick Delta/Iceberg OPTIMIZE ZORDER
+    applies, expressed as a pure Catalyst bit expression — codegen'd,
+    no UDF. Inputs must fit ``bits`` bits (pre-bucket wider domains).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    xc, yc = xc.cast("long"), yc.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int = 8,
+    row_group_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensionally clustered write: range-partition + sort by the
+    Morton key of (x_col, y_col), then drop the key — the layout
+    survives in the row-group statistics of both columns."""
+    keyed = df.withColumn("__z", zorder_key(x_col, y_col, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("parquet.block.size", row_group_bytes)
+        .mode(mode)
+        .parquet(path)
+    )
