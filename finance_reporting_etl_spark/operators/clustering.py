@@ -92,7 +92,14 @@ def kmeans(
         for cl, dims in by_cluster.items():
             for pos, m in dims:
                 new_cents[cl, pos] = m
-        cents = np.round(new_cents, 6)
+        new_cents = np.round(new_cents, 6)
+        converged = (new_cents == cents).all()
+        cents = new_cents
+        if converged:
+            # exact fixpoint of the rounded update: every further
+            # iteration would reproduce these centroids bit-for-bit, so
+            # the final assignment is already the iters-step answer
+            break
 
     final = df.select(
         F.col(id_col), _assign_expr(vec_col, cents).alias("cluster")
