@@ -532,3 +532,41 @@ def bigram_lm_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.round(F.avg("__ll"), 6).alias("lm_score"))
+
+
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "upsample",
+) -> DataFrame:
+    """Epoch-weighted upsampling WITH replacement: each document
+    appears ``base`` times plus one more iff its salted md5 bucket
+    falls under ``thresh`` (of 256) — i.e. weight w becomes
+    (base=floor(w), thresh=round(frac(w)*256)). The multi-epoch half
+    of mixture construction (mixture_sample handles w<1 by dropping;
+    this handles w>1 by deterministic replication, e.g. the classic
+    "wiki x2.5, web x1" recipe).
+
+    Deterministic and engine-portable (same md5 machinery as
+    hash_split), map-side only: the explode fans each row out to its
+    copy count with no shuffle, so it composes with shuffle-shard
+    downstream at any scale. Rows whose group has no weight are
+    dropped (weight 0).
+    """
+    pairs: list[Column] = []
+    for g, (base, thresh) in weights.items():
+        pairs += [
+            F.lit(g),
+            F.struct(F.lit(base).alias("base"), F.lit(thresh).alias("thresh")),
+        ]
+    entry = F.create_map(*pairs)[F.col(group_col)]
+    b = md5_bucket(id_col, salt=salt).cast("double")
+    n_copies = entry.getItem("base") + F.when(b < entry.getItem("thresh"), 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -3998,6 +3998,70 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_upsample_epochs",
+    f"""
+    WITH w AS (
+        SELECT * FROM (VALUES ('en', 2, 128), ('de', 1, 0), ('es', 1, 128),
+                              ('fr', 0, 128), ('zh', 0, 64)) t(lang, base, thresh)
+    ),
+    n AS (
+        SELECT doc_id, d.lang,
+               base + CASE WHEN {_b256("upsample")} < thresh THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+    "X-pipeline epoch-weighted mixture upsampling: deterministic replication (en x2.5, es x1.5, de x1, fr x0.5, zh x0.25)",
+)
+def q_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture construction: languages replicate by weight
+    (floor + salted-md5 fractional coin), the w>1 complement of
+    mixture_sample's w<1 downsampling. Map-side explode, no shuffle —
+    composes directly with corpus_shuffle_shard for training order."""
+    from finance_reporting_etl_spark.operators.corpus import upsample_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = upsample_mixture(
+        docs,
+        {"en": (2, 128), "de": (1, 0), "es": (1, 128), "fr": (0, 128), "zh": (0, 64)},
+    )
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@query(
+    "quality_percentile_filter",
+    """
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               round(percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id), 6) AS pr
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, pr FROM r WHERE pr >= 0.5
+    """,
+    "X4 per-domain quality calibration: rank-normalize a quality proxy within language, keep the top half (percent_rank window)",
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality thresholds don't transfer across domains — a length/LM
+    score cut that keeps 50% of English keeps 5% of code. Rank-
+    normalizing WITHIN the domain (percent_rank over the lang
+    partition) makes 'top half of each language' mean exactly that.
+    One window shuffle partitioned by lang; deterministic (n_chars,
+    doc_id) tie-break."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.round(F.percent_rank().over(w), 6).alias("pr")
+        )
+        .filter(F.col("pr") >= 0.5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
