@@ -97,6 +97,14 @@ HEADLINE = [
     "media_decode_features",
     "price_quantiles_distributed",
     "lm_quality_scores",
+    "ingest_pages_datasource",
+    "variant_event_payloads",
+    "ann_ivfpq_topk",
+    "heavy_hitters_cms",
+    "event_grouping_sets",
+    "lineitem_unpivot_metrics",
+    "corpus_upsample_epochs",
+    "quality_percentile_filter",
 ]
 
 

@@ -4062,6 +4062,95 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_reservoir_sample",
+    f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_md5_key("reservoir")}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM r WHERE rn <= 20
+    """,
+    "X-pipeline stratified exact-k sample: min(k, n) docs per stratum in deterministic salted-hash order (WindowGroupLimit, no global sort)",
+)
+def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(20, n) documents per language, chosen by salted-md5
+    order — the deterministic distributed equivalent of per-stratum
+    reservoir sampling (every doc equally likely under the hash, result
+    reproducible from ids alone, unlike rand()-based sampleBy which is
+    seed- AND partitioning-dependent). The rank<=k predicate pushes
+    into WindowGroupLimit, so each task retains k rows per stratum
+    before the window shuffle — eval-set construction that behaves at
+    100 TB."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("reservoir")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+@query(
+    "profile_documents_table",
+    """
+    SELECT 'doc_id' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(doc_id) AS BIGINT) AS n_non_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+    "O-tier data-quality profiling: per-column null/distinct/min/max summary in one pass",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table — the ingest-time QA
+    gate every warehouse load runs. ONE aggregation pass computes all
+    columns' stats together (the oracle's UNION ALL form re-scans per
+    column); count(DISTINCT a), count(DISTINCT b) in one agg expand
+    like grouping sets, still a single scan. Values stringify so one
+    narrow schema profiles any table."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, n_rows, n_non_null, n_distinct, min_val, max_val)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}__rows, {c}__nn, {c}__nd, {c}__min, {c}__max"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return stacked
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -32,6 +32,8 @@ def _plan(df, capsys) -> str:
         # semi/anti structure survives to the physical plan
         ("q21_waiting_supplier", ["LeftSemi", "LeftAnti"]),
         ("customers_without_orders_anti", ["LeftAnti"]),
+        # per-stratum k retained before the window shuffle
+        ("stratified_reservoir_sample", ["WindowGroupLimit"]),
     ],
 )
 def test_plan_contains(spark, name, required, capsys):
