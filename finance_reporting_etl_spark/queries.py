@@ -4151,6 +4151,96 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked
 
 
+@query(
+    "streaming_heavy_hitters",
+    f"""
+    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements_stream/*.parquet'),
+    tc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    cellcnt AS (
+        SELECT d, col, sum(exact_count) AS cell_cnt
+        FROM tc JOIN cells USING (token) GROUP BY d, col
+    ),
+    est AS (
+        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
+        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
+    ),
+    tot AS (SELECT sum(exact_count) AS t FROM tc)
+    SELECT e.token, e.est_count, tc.exact_count
+    FROM est e JOIN tc USING (token), tot
+    WHERE e.est_count >= tot.t / 50.0
+    """,
+    "§2.8 x X4 streaming sketch maintenance: CMS folded cell-wise across micro-batches must equal the one-shot batch sketch",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus replayed as three disjoint micro-batches,
+    each folding its token counts into the persisted depth x width grid
+    by cell-wise addition (foreachBatch). Because sketch merge is
+    associative+commutative, the streamed grid must equal the one-shot
+    batch sketch — which is exactly what the oracle independently
+    rebuilds from the full corpus. Unlike row-state streaming, the
+    maintained state never grows: constant rewrite cost per batch at
+    any corpus size."""
+    import os
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.sketches import (
+        cms_estimates,
+        cms_placements,
+    )
+    from finance_reporting_etl_spark.streaming.merge import streaming_cms_maintain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_expr = F.explode(whitespace_tokens(F.lower(F.col("text"))))
+    tc = docs.select(toks_expr.alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = _persist_aux(spark, cms_placements(tc), "cms_placements_stream")
+
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        for i in range(3):
+            stage = f"{tmp}/stage{i}"
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+            dst = f"{src}/batch{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        q = streaming_cms_maintain(
+            spark,
+            src,
+            docs.schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            sketch_dir=f"{tmp}/sketch",
+            placements=cells,
+            token_expr=toks_expr,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_heavy_hitters did not finish within 300s")
+        sketch = spark.read.parquet(f"{tmp}/sketch").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    est = cms_estimates(cells, sketch)
+    total = tc.agg(F.sum("cnt").alias("t"))
+    return (
+        est.join(tc, "token")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= F.col("t") / 50.0)
+        .select("token", "est_count", F.col("cnt").alias("exact_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

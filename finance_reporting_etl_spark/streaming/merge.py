@@ -67,3 +67,67 @@ def streaming_merge_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cms_maintain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    placements: DataFrame,
+    token_expr,
+    max_files_per_trigger: int = 1,
+):
+    """AvailableNow file stream -> foreachBatch cell-wise Count-Min
+    sketch maintenance: each micro-batch's token counts fold into the
+    persisted (d, col, cell_cnt) grid by addition.
+
+    This is the sketch's mergeability doing real work: the maintained
+    state is depth*width rows FOREVER — unlike the upsert demo above,
+    the per-batch rewrite cost is constant, so plain parquet is the
+    honest production shape, not a stand-in. Any batch split reaches
+    the same grid (addition is associative+commutative), which is what
+    the oracle checks: a streamed sketch must equal the one-shot batch
+    sketch over the union.
+
+    ``token_expr`` maps a batch DataFrame to one token per row (col
+    name 'token'); ``placements`` is the (token, d, col) table from
+    ``cms_placements`` (broadcast per batch — vocab x depth rows).
+    """
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.sketches import cms_cell_counts
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tc = (
+            batch_df.select(token_expr.alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        delta = cms_cell_counts(tc, F.broadcast(placements))
+        try:
+            existing = sess.read.parquet(sketch_dir)
+        except Exception:  # first batch: empty grid
+            existing = None
+        merged = (
+            delta
+            if existing is None
+            else existing.unionByName(delta)
+            .groupBy("d", "col")
+            .agg(F.sum("cell_cnt").alias("cell_cnt"))
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(sketch_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
