@@ -4314,9 +4314,13 @@ _GATE_FIRST = [
     "price_quantiles_distributed",
     "stateful_session_timeout",
 ]
-# round-4 additions past the 50-slot window: media_resize_decode and
-# lm_quality_scores gate in r5 (both local-oracle-verified at sf0.001
-# AND sf0.01 this round).
+# round-4 additions past the 50-slot window (gate in r5; every one is
+# local-oracle-verified at sf0.001 AND sf0.01 this round):
+# media_resize_decode, lm_quality_scores, ingest_pages_datasource,
+# variant_event_payloads, ann_ivfpq_topk, heavy_hitters_cms,
+# event_grouping_sets, lineitem_unpivot_metrics, corpus_upsample_epochs,
+# quality_percentile_filter, stratified_reservoir_sample,
+# profile_documents_table, streaming_heavy_hitters.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
