@@ -79,3 +79,69 @@ def asof_join(
         *out_left,
         *[F.col(f"__last_r.{f}") for f in carried.schema["__last_r"].dataType.fieldNames()],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward STRICT as-of: for each left row at t, the EARLIEST right
+    row with ts > t (same key) — the label-generation direction
+    (time-to-next-event targets: next purchase after a view, next
+    failure after a reading). Left-outer: no following row -> NULLs.
+
+    Mirror of ``asof_join``: same union + one window, ordered by ts
+    DESC with lefts sorting before same-ts rights (strict >), carrying
+    the last right seen — which, scanning backward in time, is the
+    nearest following row. Same single-shuffle cost; deterministic via
+    ``tiebreak`` DESC so the lowest tiebreak wins among equal-ts rights.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        tb.alias("__tb"),
+        payload.alias("__r"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(0).alias("__tb"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy(*on)
+        # ts DESC; at equal ts the left row (1) sorts first, so a
+        # same-instant right row is NOT visible (strict >); among
+        # equal-ts rights, __tb DESC makes the lowest tiebreak the one
+        # carried forward
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").desc(), F.col("__tb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__next_r", F.last("__r", ignorenulls=True).over(w))
+    out_left = [c for c in left.columns if c not in on]
+    return carried.filter(F.col("__is_left") == 1).select(
+        *on,
+        *out_left,
+        *[F.col(f"__next_r.{f}") for f in carried.schema["__next_r"].dataType.fieldNames()],
+    )

@@ -4241,6 +4241,127 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "label_time_to_next_purchase",
+    """
+    WITH p AS (
+        SELECT user_id, ts, min(event_id) AS next_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.user_id, v.event_id, v.ts,
+           p.ts AS ts_r, p.next_event_id AS next_event_id_r,
+           epoch_us(p.ts) - epoch_us(v.ts) AS usecs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+    """,
+    "custom operator: FORWARD strict as-of join — time-to-next-event label generation (DuckDB forward ASOF oracle)",
+)
+def q_label_time_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label generation: every view gets the timestamp of the
+    user's NEXT purchase (strictly after) and the exact gap — the
+    supervised target for time-to-conversion models. Forward as-of is
+    the same one-shuffle union+window as the backward operator, scanned
+    in reverse; purchases pre-collapse to one row per (user, ts) so
+    equal-instant payloads are deterministic in both engines."""
+    from finance_reporting_etl_spark.operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("next_event_id"))
+    )
+    out = asof_join_forward(
+        views, purchases, ["user_id"], right_cols=["next_event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_r",
+        "next_event_id_r",
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("usecs_to_purchase"),
+    )
+
+
+@query(
+    "rolling_7day_distinct_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+        SELECT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM ud
+    )
+    SELECT d.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
+    FROM cover c JOIN days d USING (day)
+    GROUP BY d.day
+    """,
+    "§2.5 rolling distinct: trailing-7-day unique users per day — explode-to-covered-days form (COUNT(DISTINCT) OVER RANGE is inexpressible as a window)",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day unique users for every active day. No engine can
+    run COUNT(DISTINCT) over a RANGE window; the scale shape is: dedup
+    to (user, day) grain (one shuffle, rows collapse to actives), fan
+    each pair out to the <=7 days it covers (map-side explode), dedup +
+    count per covered day. Work scales with actives x 7, never with raw
+    events; a 90-day window at 100 TB just changes the constant."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    return (
+        cover.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+
+
+@query(
+    "per_lang_token_length_regression",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(regr_slope(n_toks, n_chars), 6) AS slope,
+           round(regr_intercept(n_toks, n_chars), 6) AS intercept,
+           round(regr_r2(n_toks, n_chars), 6) AS r2
+    FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars,
+                 CAST(len({_TOKS}) AS DOUBLE) AS n_toks
+          FROM documents)
+    GROUP BY lang
+    """,
+    "A-tier per-group model fit: OLS token-count ~ char-count per language via regr_* aggregates (tokens-per-char varies by language)",
+)
+def q_per_lang_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group OLS with the built-in regr_* aggregate
+    family — one shuffle carrying five partial moments per group, the
+    textbook map-side-combinable fit (vs collecting per-group data to a
+    driver). Tokens-per-character is a real per-language signal (CJK
+    text packs more tokens per char than Latin-script text)."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(whitespace_tokens(F.lower(F.col("text")))).cast("double").alias("n_toks"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.regr_slope("n_toks", "n_chars"), 6).alias("slope"),
+        F.round(F.regr_intercept("n_toks", "n_chars"), 6).alias("intercept"),
+        F.round(F.regr_r2("n_toks", "n_chars"), 6).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
