@@ -4362,6 +4362,178 @@ def q_per_lang_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_rebalance_to_target",
+    f"""
+    WITH tgt AS (
+        SELECT * FROM (VALUES ('en', 0.40), ('de', 0.15), ('es', 0.15),
+                              ('fr', 0.15), ('zh', 0.15)) t(lang, target_share)
+    ),
+    cur AS (
+        SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS chars FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(chars) AS t FROM cur),
+    w AS (
+        SELECT c.lang, tgt.target_share,
+               c.chars / tot.t AS before_share,
+               tgt.target_share / (c.chars / tot.t) AS wt
+        FROM cur c JOIN tgt USING (lang), tot
+    ),
+    wq AS (
+        SELECT lang, target_share, before_share,
+               CAST(floor(wt) AS BIGINT) AS base,
+               CAST(floor((wt - floor(wt)) * 256 + 0.5) AS BIGINT) AS thresh
+        FROM w
+    ),
+    per_doc AS (
+        SELECT d.lang, wq.target_share, wq.before_share,
+               d.n_chars * (wq.base + CASE WHEN {_b256("rebalance")} < wq.thresh
+                                           THEN 1 ELSE 0 END) AS eff_chars
+        FROM documents d JOIN wq USING (lang)
+    ),
+    after_tot AS (SELECT sum(eff_chars) AS t FROM per_doc)
+    SELECT p.lang,
+           round(any_value(p.before_share), 6) AS before_share,
+           any_value(p.target_share) AS target_share,
+           round(sum(p.eff_chars) / any_value(a.t), 6) AS after_share
+    FROM per_doc p, after_tot a
+    GROUP BY p.lang
+    """,
+    "X-pipeline mixture rebalancing: solve per-domain weights toward a target token distribution, apply deterministic replication, report achieved shares",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/DataComp-style mixture solving, entirely IN-PLAN: measured
+    char share per language -> weight = target/current -> quantized
+    (floor + 256-grain md5 coin) replication -> achieved share. No
+    driver arithmetic: the weight table is a 5-row aggregate joined
+    back broadcast, so the same query rebalances a 100 TB corpus. The
+    achieved share converges on the target up to the 1/256 coin
+    granularity and per-doc integer replication."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tgt = spark.createDataFrame(
+        [("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
+        "lang string, target_share double",
+    )
+    cur = docs.groupBy("lang").agg(F.sum("n_chars").cast("double").alias("chars"))
+    tot = cur.agg(F.sum("chars").alias("t"))
+    w = (
+        cur.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "target_share",
+            (F.col("chars") / F.col("t")).alias("before_share"),
+            (F.col("target_share") / (F.col("chars") / F.col("t"))).alias("wt"),
+        )
+    )
+    wq = w.select(
+        "lang",
+        "target_share",
+        "before_share",
+        F.floor("wt").cast("long").alias("base"),
+        F.floor((F.col("wt") - F.floor("wt")) * 256 + 0.5).cast("long").alias("thresh"),
+    )
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    b = md5_bucket("doc_id", salt="rebalance").cast("double")
+    per_doc = docs.join(F.broadcast(wq), "lang").select(
+        "lang",
+        "target_share",
+        "before_share",
+        (
+            F.col("n_chars")
+            * (F.col("base") + F.when(b < F.col("thresh"), 1).otherwise(0))
+        ).alias("eff_chars"),
+    )
+    after_tot = per_doc.agg(F.sum("eff_chars").alias("t"))
+    return (
+        per_doc.crossJoin(F.broadcast(after_tot))
+        .groupBy("lang")
+        .agg(
+            F.round(F.any_value("before_share"), 6).alias("before_share"),
+            F.any_value("target_share").alias("target_share"),
+            F.round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
+        )
+    )
+
+
+@query(
+    "length_bucketed_batching",
+    f"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST({_b256("batchshard")} AS INT) % 8 AS shard,
+               {_md5_key("batcharrival")} AS arrival
+        FROM documents
+    ),
+    arr AS (
+        SELECT shard, n_chars,
+               CAST(floor((row_number() OVER (PARTITION BY shard
+                                              ORDER BY arrival, doc_id) - 1) / 32)
+                    AS BIGINT) AS batch_id
+        FROM d
+    ),
+    srt AS (
+        SELECT shard, n_chars,
+               CAST(floor((row_number() OVER (PARTITION BY shard
+                                              ORDER BY n_chars, doc_id) - 1) / 32)
+                    AS BIGINT) AS batch_id
+        FROM d
+    ),
+    wa AS (
+        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
+            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
+            FROM arr) GROUP BY shard
+    ),
+    ws AS (
+        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
+            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
+            FROM srt) GROUP BY shard
+    )
+    SELECT wa.shard, wa.waste AS padding_arrival, ws.waste AS padding_sorted
+    FROM wa JOIN ws USING (shard)
+    """,
+    "X-pipeline length-bucketed batching: per-shard sorted batches vs arrival batches, padding waste accounted exactly",
+)
+def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference/training batches pad every sequence to the batch max;
+    batching in length order instead of arrival order is the classic
+    padding-FLOPs eliminator. This computes both assignments (batches
+    of 32 per shard, deterministic salted-hash arrival order) and the
+    exact padding chars each wastes. All windows partition by shard —
+    the sort is per-shard, never global, so the plan is the one you'd
+    run at 100 TB."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        (md5_bucket("doc_id", salt="batchshard") % 8).cast("int").alias("shard"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("batcharrival"))).alias(
+            "arrival"
+        ),
+    )
+
+    def waste(order_cols: list) -> DataFrame:
+        wo = Window.partitionBy("shard").orderBy(*order_cols)
+        batched = d.withColumn(
+            "batch_id", F.floor((F.row_number().over(wo) - 1) / 32)
+        )
+        wb = Window.partitionBy("shard", "batch_id")
+        return (
+            batched.withColumn("mx", F.max("n_chars").over(wb))
+            .groupBy("shard")
+            .agg(F.sum(F.col("mx") - F.col("n_chars")).alias("waste"))
+        )
+
+    wa = waste(["arrival", "doc_id"]).withColumnRenamed("waste", "padding_arrival")
+    ws = waste(["n_chars", "doc_id"]).withColumnRenamed("waste", "padding_sorted")
+    return wa.join(ws, "shard")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
