@@ -1,0 +1,49 @@
+"""Per-key sequential time-series operators (grouped-map applyInPandas).
+
+Exponential moving average is a RECURSIVE scan — s_t = a*x_t +
+(1-a)*s_{t-1} — which no window aggregate can express (the closed-form
+weighted-sum rewrite needs (1-a)^-rank factors that overflow float64 on
+long series). This is the textbook case for ``applyInPandas``: Spark
+shuffles each key's rows to one task, the fold runs vectorized-ish in
+pandas per group, and the output is a plain DataFrame. One shuffle on
+the key, group-at-a-time memory — the same cost envelope as any
+per-key window, valid at 100 TB because a single key's history fits a
+task (the precondition every per-key sequential model shares).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def ema_last_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    scale: int = 6,
+) -> DataFrame:
+    """(key, n_events, ema_final): left-fold EMA over each key's rows in
+    ``order_cols`` order, seeded with the first value — byte-for-byte
+    the same float64 operation sequence as a ``list_reduce`` fold, so
+    an independent engine reproduces it exactly."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].astype("float64").to_numpy()
+        s = xs[0]
+        for x in xs[1:]:
+            s = alpha * x + (1.0 - alpha) * s
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(xs)],
+                "ema_final": [round(float(s), scale)],
+            }
+        )
+
+    out_schema = f"{key_col} long, n_events long, ema_final double"
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

@@ -4534,6 +4534,34 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wa.join(ws, "shard")
 
 
+@query(
+    "user_value_ema",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ema_final
+    FROM events
+    GROUP BY user_id
+    """,
+    "custom per-key sequential operator: recursive EMA via grouped-map applyInPandas (inexpressible as a window aggregate)",
+)
+def q_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values — a
+    RECURSIVE scan (s_t depends on s_{t-1}) that no window function
+    expresses and whose closed-form rewrite overflows on long series.
+    Grouped-map ``applyInPandas`` is the engine-native answer: one
+    shuffle on user_id, a float64 left-fold per group. The oracle runs
+    the IDENTICAL fold as a DuckDB list_reduce lambda — same seed, same
+    order, same operation sequence, so the doubles match bit-for-bit."""
+    from finance_reporting_etl_spark.operators.timeseries import ema_last_per_key
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ema_last_per_key(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
