@@ -105,6 +105,14 @@ HEADLINE = [
     "lineitem_unpivot_metrics",
     "corpus_upsample_epochs",
     "quality_percentile_filter",
+    "stratified_reservoir_sample",
+    "profile_documents_table",
+    "label_time_to_next_purchase",
+    "rolling_7day_distinct_users",
+    "per_lang_token_length_regression",
+    "mixture_rebalance_to_target",
+    "length_bucketed_batching",
+    "user_value_ema",
 ]
 
 

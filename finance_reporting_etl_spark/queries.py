@@ -4641,7 +4641,10 @@ _GATE_FIRST = [
 # variant_event_payloads, ann_ivfpq_topk, heavy_hitters_cms,
 # event_grouping_sets, lineitem_unpivot_metrics, corpus_upsample_epochs,
 # quality_percentile_filter, stratified_reservoir_sample,
-# profile_documents_table, streaming_heavy_hitters.
+# profile_documents_table, streaming_heavy_hitters,
+# label_time_to_next_purchase, rolling_7day_distinct_users,
+# per_lang_token_length_regression, mixture_rebalance_to_target,
+# length_bucketed_batching, user_value_ema.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

@@ -1001,3 +1001,31 @@ def test_zorder_write_prunes_both_columns(spark, tmp_path):
     assert zx < sy / 2
     assert zy < sy / 2
     assert max(zx, zy) < n // 3
+
+
+def test_asof_forward_strict_and_tiebreak(spark):
+    """Forward as-of edge cases: strictly-after (equal-ts right row is
+    invisible), nearest following wins, lowest tiebreak wins among
+    equal-ts rights, and no-following-row -> NULLs."""
+    from finance_reporting_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 12, 901), (1, 12, 902), (1, 15, 903)],
+        "k long, ts long, rid long",
+    )
+    out = {
+        r.lid: (r.ts_r, r.rid_r)
+        for r in asof_join_forward(
+            left, right, ["k"], right_cols=["rid"], tiebreak="rid"
+        ).collect()
+    }
+    # ts=10 right row excluded (strict >): nearest following is ts=12,
+    # and among the two ts=12 rows the lowest tiebreak (901) wins
+    assert out[100] == (12, 901)
+    # ts=20 has no following right row -> NULLs
+    assert out[101] == (None, None)
+    # key 2 has no right rows at all -> NULLs
+    assert out[102] == (None, None)
