@@ -449,30 +449,43 @@ def pq_query_luts(
     return out
 
 
+def pq_index(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """The persistable IVF-PQ index: (id, cell, m, code) — coarse cell
+    and PQ codes in ONE narrow table (written partitioned by cell at
+    scale), so query time touches exactly one index artifact."""
+    return ivf_index(embeddings, n_cells, dim, id_col, vec_col, seed).join(
+        pq_encode(embeddings, codebooks, id_col, vec_col), "id"
+    )
+
+
 def ivfpq_topk_from_tables(
-    codes: DataFrame,
-    cells: DataFrame,
+    index: DataFrame,
     probes: DataFrame,
     luts: DataFrame,
     k: int = 10,
     scale: int = 6,
 ) -> DataFrame:
-    """Top-k by ADC distance from the four persisted tables.
+    """Top-k by ADC distance from the persisted index/probes/LUT tables.
 
-    Candidates = cell join (IVF pruning); scoring = broadcast-LUT join
-    on (query_id, m, code) + one sum groupBy — no vector column is ever
-    re-read at query time, which is the point of PQ: the scan moves
-    codes (m small ints) instead of dim floats, ~64x less I/O at equal
-    candidate counts. Deterministic (adc ASC, neighbor_id ASC) ranking.
+    One pass: the cell join prunes candidates (IVF), the broadcast-LUT
+    join on (query_id, m, code) prices each subspace, and a single sum
+    groupBy accumulates ADC — no vector column is ever re-read at query
+    time, which is the point of PQ: the scan moves m small ints instead
+    of dim floats, ~32x less I/O at equal candidate counts.
+    Deterministic (adc ASC, neighbor_id ASC) ranking.
     """
-    cand = (
-        cells.withColumnRenamed("id", "neighbor_id")
+    adc = (
+        index.withColumnRenamed("id", "neighbor_id")
         .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    adc = (
-        cand.join(codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(luts), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("d2"), scale).alias("adc_dist"))

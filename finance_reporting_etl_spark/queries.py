@@ -3805,22 +3805,17 @@ def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfpq_topk",
     f"""
-    WITH co AS (SELECT * FROM '{_AUX_DIR}/pq_codes/*.parquet'),
-    ce AS (SELECT * FROM '{_AUX_DIR}/pq_cells/*.parquet'),
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/pq_index/*.parquet'),
     pr AS (SELECT * FROM '{_AUX_DIR}/ivfpq_probes/*.parquet'),
     lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
-    cand AS (
-        SELECT pr.query_id, ce.id AS neighbor_id
-        FROM ce JOIN pr USING (cell)
-        WHERE ce.id <> pr.query_id
-    ),
     adc AS (
-        SELECT cand.query_id, cand.neighbor_id,
+        SELECT pr.query_id, ix.id AS neighbor_id,
                round(sum(lut.d2), 6) AS adc_dist
-        FROM cand
-        JOIN co  ON co.id = cand.neighbor_id
-        JOIN lut ON lut.query_id = cand.query_id
-               AND lut.m = co.m AND lut.code = co.code
+        FROM ix
+        JOIN pr USING (cell)
+        JOIN lut ON lut.query_id = pr.query_id
+               AND lut.m = ix.m AND lut.code = ix.code
+        WHERE ix.id <> pr.query_id
         GROUP BY 1, 2
     )
     SELECT query_id, neighbor_id, adc_dist,
@@ -3842,10 +3837,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the oracle from the persisted codes/cells/probes/LUT tables;
     codebook training and encode are covered by pytest recall tests."""
     from finance_reporting_etl_spark.operators.similarity import (
-        ivf_index,
         ivf_probes,
         ivfpq_topk_from_tables,
-        pq_encode,
+        pq_index,
         pq_query_luts,
         pq_train_codebooks,
     )
@@ -3853,8 +3847,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     books = pq_train_codebooks(emb)
     qids = [0, 1, 2, 3, 4]
-    codes = _persist_aux(spark, pq_encode(emb, books), "pq_codes")
-    cells = _persist_aux(spark, ivf_index(emb), "pq_cells")
+    index = _persist_aux(spark, pq_index(emb, books), "pq_index")
     probes = _persist_aux(spark, ivf_probes(emb, qids), "ivfpq_probes")
     luts = _persist_aux(
         spark,
@@ -3863,7 +3856,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_luts",
     )
-    return ivfpq_topk_from_tables(codes, cells, probes, luts, k=10).withColumn(
+    return ivfpq_topk_from_tables(index, probes, luts, k=10).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

@@ -899,14 +899,13 @@ def test_ivfpq_recall_and_determinism(spark, emb):
     # training determinism: same sample -> identical codebooks
     assert (books == similarity.pq_train_codebooks(emb)).all()
 
-    codes = similarity.pq_encode(emb, books)
-    cells = similarity.ivf_index(emb)
+    index = similarity.pq_index(emb, books)
     probes = similarity.ivf_probes(emb, qids)
     luts = spark.createDataFrame(
         similarity.pq_query_luts(emb, qids, books),
         "query_id long, m int, code int, d2 double",
     )
-    approx = similarity.ivfpq_topk_from_tables(codes, cells, probes, luts, k=5)
+    approx = similarity.ivfpq_topk_from_tables(index, probes, luts, k=5)
     exact = similarity.brute_force_topk(emb, qids, k=5)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     rows = approx.collect()
@@ -916,11 +915,11 @@ def test_ivfpq_recall_and_determinism(spark, emb):
     # applies and quantization should not destroy it
     assert recall > 0.25, f"IVF-PQ recall suspiciously low: {recall}"
     # deterministic full-rank output: rerun is identical
-    again = similarity.ivfpq_topk_from_tables(codes, cells, probes, luts, k=5).collect()
+    again = similarity.ivfpq_topk_from_tables(index, probes, luts, k=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # encode determinism across evaluations
-    c1 = sorted(map(tuple, codes.collect()))
-    c2 = sorted(map(tuple, similarity.pq_encode(emb, books).collect()))
+    c1 = sorted(map(tuple, index.collect()))
+    c2 = sorted(map(tuple, similarity.pq_index(emb, books).collect()))
     assert c1 == c2
 
 
