@@ -368,8 +368,43 @@ def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _unionfind_clusters(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Driver-side union-find for SMALL dup graphs: exact same
+    (id, cluster_id = component min) result as the distributed loop in
+    O(E α(E)) with zero Spark jobs per step. Memory is O(nodes-on-edges)
+    — bounded by the caller's edge-count threshold, NOT by corpus size."""
+    pairs = edges.select("id_a", "id_b").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs:
+        ra, rb = find(row.id_a), find(row.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
+    labels = [(x, find(x)) for x in parent]
+    spark = edges.sparkSession
+    edge_labels = spark.createDataFrame(labels, "id long, cluster_id long")
+    isolated = nodes.select("id").join(
+        edge_labels.select("id"), "id", "left_anti"
+    )
+    return edge_labels.unionByName(
+        isolated.select("id", F.col("id").alias("cluster_id"))
+    )
+
+
 def near_dup_clusters(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 20, jump_after: int = 3
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    jump_after: int = 3,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup edges: (id, cluster_id) where
     cluster_id = min id in the component (the canonical survivor — the
@@ -402,11 +437,22 @@ def near_dup_clusters(
     pulls a label's label), so the jump self-join always matches and the
     fixpoint label is the component min.
     """
-    adj = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ed = edges.select("id_a", "id_b").localCheckpoint(
+        eager=True
+    )  # edge generation runs exactly once
+    n_edges = ed.count()  # cheap: counts checkpoint blocks
+    if n_edges <= small_graph_edges:
+        # The dup graph is orders smaller than the corpus (it holds only
+        # rows that crossed the near-dup threshold). Below the bound, a
+        # driver union-find (~50 MB at the 2M-edge default) beats paying
+        # O(iterations) scheduler round-trips; above it, the distributed
+        # loop takes over. Identical output either way (pytest-pinned).
+        return _unionfind_clusters(ed, nodes)
+    adj = ed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     adj = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)  # edge generation runs exactly once
-    n_adj = adj.count()  # cheap: counts checkpoint blocks
+    ).localCheckpoint(eager=True)
+    n_adj = adj.count()
     spark = edges.sparkSession
     parallelism = int(spark.sparkContext.defaultParallelism)
     p = max(1, min(parallelism, n_adj // 2_000_000 + 1))

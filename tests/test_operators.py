@@ -1028,3 +1028,21 @@ def test_asof_forward_strict_and_tiebreak(spark):
     assert out[101] == (None, None)
     # key 2 has no right rows at all -> NULLs
     assert out[102] == (None, None)
+
+
+def test_union_find_fast_path_equals_distributed(spark):
+    """near_dup_clusters must produce identical components from the
+    driver union-find fast path and the distributed propagation loop
+    (force the latter with small_graph_edges=0), including chains that
+    need pointer-jumping and isolated nodes."""
+    from finance_reporting_etl_spark.operators.dedup import near_dup_clusters
+
+    # two cliques, one long chain (exercises the jump), isolated nodes
+    e = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24), (24, 25)]
+    edges = spark.createDataFrame(e, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in [*range(1, 4), 10, 11, *range(20, 26), 99, 100]], "id long")
+    fast = sorted(map(tuple, near_dup_clusters(edges, nodes).collect()))
+    dist = sorted(map(tuple, near_dup_clusters(edges, nodes, small_graph_edges=0).collect()))
+    assert fast == dist
+    m = dict(fast)
+    assert m[3] == 1 and m[11] == 10 and m[25] == 20 and m[99] == 99
