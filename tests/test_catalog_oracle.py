@@ -54,3 +54,13 @@ def test_oracle_compare_is_dtype_strict(spark, duck):
         assert_matches_oracle(sdf, duck, "SELECT sum(x) AS s FROM (VALUES (1),(2),(3)) t(x)")
     # and the cast form passes
     assert_matches_oracle(sdf, duck, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2),(3)) t(x)")
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must exist in the catalog — a typo
+    here would crash the driver's per-round bench run."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

@@ -153,3 +153,26 @@ def test_python_datasource_partition_per_page(spark, tmp_path):
     # re-register is idempotent for the session
     pds.register(spark)
     assert spark.read.format("fred_pages").option("path", d).load().count() == len(rows)
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    """Format breadth beyond parquet/csv/json: ORC columnar roundtrip
+    (schema + values) and newline-delimited text for raw corpus dumps."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.concat(F.lit("row"), F.col("id")).alias("s")
+    )
+    orc_p = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(orc_p)
+    back = spark.read.orc(orc_p)
+    # ORC reads come back nullable; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    txt_p = str(tmp_path / "txt")
+    df.select("s").write.mode("overwrite").text(txt_p)
+    lines = {r.value for r in spark.read.text(txt_p).collect()}
+    assert lines == {f"row{i}" for i in range(100)}
