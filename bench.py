@@ -113,6 +113,7 @@ HEADLINE = [
     "mixture_rebalance_to_target",
     "length_bucketed_batching",
     "user_value_ema",
+    "rollup_cascade_monthly",
 ]
 
 

@@ -4555,6 +4555,44 @@ def q_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rollup_cascade_monthly",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "S9/A1 rollup cascade: month derived from day derived from hour — additive aggregates re-aggregate losslessly (oracle computes month from raw)",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse rollup-cascade pattern: hourly aggregates are the
+    only pass over raw data; daily re-aggregates hourly, monthly
+    re-aggregates daily. At 100 TB this is the difference between one
+    raw scan per granularity and one raw scan TOTAL — valid for any
+    additive aggregate (sum/count; avg must ride as sum+count). The
+    oracle aggregates month straight from raw events, so the hash
+    proves the two-level re-aggregation loses nothing."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 4).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -4637,7 +4675,7 @@ _GATE_FIRST = [
 # profile_documents_table, streaming_heavy_hitters,
 # label_time_to_next_purchase, rolling_7day_distinct_users,
 # per_lang_token_length_regression, mixture_rebalance_to_target,
-# length_bucketed_batching, user_value_ema.
+# length_bucketed_batching, user_value_ema, rollup_cascade_monthly.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
