@@ -4593,6 +4593,157 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bitmap_distinct_rollup",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "A-tier mergeable EXACT distinct: daily bitmap sketches OR-merged to month (oracle counts distinct from raw — proves the merge is lossless)",
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users per event type — computed by merging a
+    per-(day, type, bucket) bitmap table, NOT by re-scanning raw events.
+    COUNT(DISTINCT) is not additive, so naive rollup cascades are wrong;
+    bitwise-OR of bitmaps IS associative, so the daily sketch table (one
+    raw scan, ever) answers any coarser grain exactly. All built-in JVM
+    aggregates; the bucket key (32768 ids / 4 KB bitmap per bucket)
+    spreads hot groups across reducers."""
+    from finance_reporting_etl_spark.operators.distinct import bitmap_daily, bitmap_rollup
+
+    daily = bitmap_daily(_t(spark, sf_dir, "events"))
+    return bitmap_rollup(
+        daily, F.date_trunc("month", F.col("day")).cast("date")
+    ).withColumnRenamed("grain", "month")
+
+
+@query(
+    "hll_distinct_rollup",
+    f"""
+    WITH est AS (SELECT * FROM '{_AUX_DIR}/hll_monthly_est/*.parquet'),
+    exact AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.month, e.event_type, e.n_distinct_est, x.n_distinct_exact,
+           CAST(abs(CAST(e.n_distinct_est AS DOUBLE) - x.n_distinct_exact)
+                / x.n_distinct_exact <= 0.05 AS BOOLEAN) AS within_5pct
+    FROM est e JOIN exact x USING (month, event_type)
+    """,
+    "A-tier mergeable APPROX distinct: daily Datasketches-HLL union-merged to month, estimate vs exact with error bound",
+)
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup as ``bitmap_distinct_rollup`` with constant-size HLL
+    sketches (~1.5 KB/group at lgK=12, any cardinality or key type) —
+    the right trade for sparse/string keys where bitmaps blow up. The
+    monthly estimates are persisted (oracle-shared); the oracle
+    recomputes the exact counts from raw and re-derives the <=5% error
+    flag, so a hash match pins both the merge plumbing and the accuracy
+    claim. pytest additionally asserts every flag is true."""
+    from finance_reporting_etl_spark.operators.distinct import hll_daily, hll_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_daily(ev)
+    monthly = hll_rollup(
+        daily, F.date_trunc("month", F.col("day")).cast("date")
+    ).withColumnRenamed("grain", "month")
+    est = _persist_aux(spark, monthly, "hll_monthly_est")
+    exact = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("n_distinct_exact"))
+    return est.join(exact, ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "n_distinct_est",
+        "n_distinct_exact",
+        (
+            F.abs(F.col("n_distinct_est").cast("double") - F.col("n_distinct_exact"))
+            / F.col("n_distinct_exact")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 DAY
+    """,
+    "§2.8 stream-stream interval join: two watermarked file streams, equality key + event-time range, bounded state, append sink",
+)
+def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous form of ``attribution_window_join``: a views
+    stream joined to a purchases stream on user within (view_ts,
+    view_ts + 1 day], replayed as two chronological micro-batches per
+    side (maxFilesPerTrigger=1). The 2-day watermark on both sides
+    bounds join state — a buffered view is evicted once the global
+    watermark passes view_ts + 1 day, and chronological arrival
+    guarantees every such view already saw all its matching purchases,
+    so the bounded replay equals the batch join bit-for-bit (the
+    oracle). Inner-join matches emit as soon as both rows arrive;
+    the watermark governs eviction only."""
+    import os
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.streaming.joins import streaming_interval_join_to_files
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    try:
+        dirs = {"v": f"{tmp}/views", "p": f"{tmp}/purchases"}
+        for d in dirs.values():
+            os.makedirs(d)
+        splits = [
+            ("v", 0, F.col("event_type") == "view", F.col("ts") <= mid),
+            ("p", 0, F.col("event_type") == "purchase", F.col("ts") <= mid),
+            ("v", 1, F.col("event_type") == "view", F.col("ts") > mid),
+            ("p", 1, F.col("event_type") == "purchase", F.col("ts") > mid),
+        ]
+        for side, i, typ, half in splits:
+            stage = f"{tmp}/stage_{side}{i}"
+            ev.filter(typ & half).select("user_id", "ts").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+            dst = f"{dirs[side]}/half{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            # mtime orders each source's files chronologically — the
+            # production arrival shape watermark correctness assumes
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        q = streaming_interval_join_to_files(
+            spark,
+            dirs["v"],
+            dirs["p"],
+            spark.read.parquet(dirs["v"]).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_view_purchase_join did not finish within 300s")
+        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -1,0 +1,89 @@
+"""Watermarked stream-stream joins (SURVEY §2.8 extension).
+
+The batch twin is ``operators/rangejoin.py``'s bucketed interval join;
+this is the *continuous* form: two unbounded streams joined on an
+equality key plus an event-time range, with watermarks on BOTH sides so
+Spark can bound the join state (each side buffers only rows younger than
+its watermark minus the time-range slack — see the Structured Streaming
+guide's stream-stream join state-cleanup rules).
+
+At 100 TB/day this is the only join shape that works on live data: the
+equality key partitions both streams' state, the time bound caps how
+long a row is retained, and no micro-batch ever re-reads history.
+
+Reference parity: the reference's Airflow DAG joins each day's fetched
+batch against the warehouse (etl_dag.py load step); this is the same
+correlation expressed as a continuous operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def interval_join_plan(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+) -> DataFrame:
+    """Shared logical plan: equality on ``key`` + ``right_ts`` in
+    (``left_ts``, ``left_ts`` + ``max_delay``]. Works identically in
+    batch and streaming — the streaming caller adds watermarks first."""
+    return left.join(
+        right,
+        [
+            left[key] == right[key],
+            right[right_ts] > left[left_ts],
+            right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"),
+        ],
+    ).select(
+        left[key].alias(key),
+        left[left_ts].alias(left_ts),
+        right[right_ts].alias(right_ts),
+    )
+
+
+def streaming_interval_join_to_files(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_dir: str,
+    key: str = "user_id",
+    left_ts: str = "view_ts",
+    right_ts: str = "purchase_ts",
+    max_delay: str = "1 DAY",
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = 1,
+):
+    """AvailableNow stream-stream inner join, append to parquet (the
+    scale-safe sink). Both sides carry the same watermark; with an inner
+    join, matches emit as soon as both rows have arrived — the watermark
+    only governs state EVICTION (a buffered left row is dropped once the
+    right watermark passes ``left_ts + max_delay``), so on a bounded
+    replay the result equals the batch join exactly.
+    """
+
+    def rd(d: str):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(d)
+
+    lt = rd(left_dir).withColumnRenamed("ts", left_ts).withWatermark(left_ts, watermark)
+    rt = rd(right_dir).withColumnRenamed("ts", right_ts).withWatermark(right_ts, watermark)
+    joined = interval_join_plan(lt, rt, key, left_ts, right_ts, max_delay)
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
