@@ -4744,6 +4744,232 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+def _copurchase_edges_sql() -> str:
+    return """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    """
+
+
+def _pagerank_oracle() -> str:
+    from finance_reporting_etl_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_copurchase_edges_sql(), damping=0.85, iters=8)
+
+
+@query(
+    "part_copurchase_pagerank",
+    _pagerank_oracle(),
+    "X-tier iterative graph: PageRank power iteration as join+agg per round (oracle = same iteration unrolled as chained CTEs)",
+)
+def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (distinct part pairs
+    sharing an order — symmetric by construction, so no dangling-node
+    term). 8 fixed iterations, damping 0.85, ranks scaled to mean 1.0
+    and rounded to 6dp on both sides (summation order differs between
+    engines; the iteration is contractive so 1e-15-level noise does not
+    amplify). The oracle unrolls the identical iteration as pr0..pr8
+    CTEs in DuckDB — a full value-hash over every node's rank."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    from finance_reporting_etl_spark.operators.graph import pagerank
+
+    return pagerank(edges, damping=0.85, iters=8).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, value,
+               avg(value)         OVER win AS mu,
+               stddev_samp(value) OVER win AS sigma,
+               count(*)           OVER win AS n_prior
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, value,
+           CASE WHEN n_prior >= 7 AND sigma > 0
+                THEN round((value - mu) / sigma, 4) END AS zscore,
+           CAST(n_prior >= 7 AND sigma > 0
+                AND abs((value - mu) / sigma) > 2.5 AS BOOLEAN) AS is_anomaly
+    FROM w
+    """,
+    "§2.5 windowed anomaly detection: trailing 14-day z-score per series, warm-up + zero-variance guards",
+)
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series outlier flags from a TRAILING window (14 prior days,
+    current row excluded — the detector never sees the value it
+    scores). Warm-up rows (<7 priors) and zero-variance windows emit
+    NULL score / false flag instead of dividing by zero. One window
+    over (series, day) — partitioned by series, so no global sort, and
+    a series' history never leaves its partition at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("value"))
+    win = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-14, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sigma"),
+        F.count(F.lit(1)).over(win).alias("n_prior"),
+    )
+    ok = (F.col("n_prior") >= 7) & (F.col("sigma") > 0)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return w.select(
+        "event_type",
+        "day",
+        "value",
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        (ok & (F.abs(z) > 2.5)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "indicator_linear_interpolation",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(avg(value), 4) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    observed AS (  -- simulated sensor dropout: day-of-month % 3 = 0 missing
+        SELECT * FROM daily WHERE extract(day FROM day) % 3 <> 0
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+        SELECT t.event_type, s.day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+                    FROM bounds) s
+    ),
+    j AS (
+        SELECT s.event_type, s.day, o.value,
+               CASE WHEN o.value IS NOT NULL THEN s.day END AS day_known
+        FROM spine s LEFT JOIN observed o USING (event_type, day)
+    ),
+    n AS (
+        SELECT event_type, day, value,
+               last_value(value IGNORE NULLS) OVER wp AS prev_v,
+               last_value(day_known IGNORE NULLS) OVER wp AS prev_d,
+               first_value(value IGNORE NULLS) OVER wf AS next_v,
+               first_value(day_known IGNORE NULLS) OVER wf AS next_d
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           round(CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + (next_v - prev_v)
+                   * (day - prev_d) / (next_d - prev_d)
+               END, 4) AS filled_value,
+           CAST(value IS NULL AS BOOLEAN) AS was_interpolated
+    FROM n
+    """,
+    "§2.5 time-weighted linear interpolation over a gap-filled spine (IGNORE NULLS neighbor scan, boundary gaps stay NULL)",
+)
+def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing daily readings: a calendar spine
+    per series left-joins the observed points (a deterministic
+    day-of-month dropout simulates sensor gaps), then two IGNORE-NULLS
+    window scans find each gap's bracketing neighbors and the fill is
+    time-weighted between them. Boundary gaps (no neighbor on one
+    side) stay NULL. Same partitioned-window scale shape as the
+    z-score detector: a series never leaves its partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("value"))
+    observed = daily.filter(F.dayofmonth("day") % 3 != 0)
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+                    ).alias("day")
+                )
+            )
+        )
+    )
+    j = spine.join(observed, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        "value",
+        F.when(F.col("value").isNotNull(), F.col("day")).alias("day_known"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    n = j.select(
+        "event_type",
+        "day",
+        "value",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("day_known", ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("day_known", ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d")
+    )
+    return n.select(
+        "event_type",
+        "day",
+        F.round(
+            F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+                F.when(
+                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+                )
+            ),
+            4,
+        ).alias("filled_value"),
+        F.col("value").isNull().alias("was_interpolated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
