@@ -162,3 +162,38 @@ def test_unpivot_is_one_scan(spark, capsys):
     plan = _plan(CATALOG["lineitem_unpivot_metrics"].fn(spark, SF_SMOKE), capsys)
     assert "Expand" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Catalyst must inject a runtime bloom filter (creation-side
+    bloom_filter_agg on the filtered dim, probe on the fact scan) when
+    a selective non-broadcastable join qualifies — the 100 TB row-level
+    pruning layer under every fact-dim shuffle join. Local fixtures sit
+    under the default 10 GB application-side threshold, so the demo
+    lowers the thresholds; production defaults need no tuning."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.tables import _read_parquet
+    from tests.conftest import SF_SMOKE
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    orders = _read_parquet(spark, f"{SF_SMOKE}/orders.parquet")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        j = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        ).groupBy("o_orderpriority").agg(F.sum("l_extendedprice").alias("rev"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "might_contain" in plan, "fact side not probed with might_contain"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
