@@ -114,6 +114,12 @@ HEADLINE = [
     "length_bucketed_batching",
     "user_value_ema",
     "rollup_cascade_monthly",
+    # round-4 late-session additions
+    "bitmap_distinct_rollup",
+    "hll_distinct_rollup",
+    "part_copurchase_pagerank",
+    "rolling_zscore_anomalies",
+    "indicator_linear_interpolation",
 ]
 
 

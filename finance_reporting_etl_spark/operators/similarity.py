@@ -496,3 +496,75 @@ def ivfpq_topk_from_tables(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) dimensionality reduction
+# ---------------------------------------------------------------------------
+
+
+def rademacher_matrix(d_in: int, d_out: int, seed: int = 11) -> np.ndarray:
+    """Deterministic +-1/sqrt(d_out) projection matrix (JL sketch).
+
+    Persist it and have every consumer (Spark UDF and oracle alike)
+    read the SAME float64 values; then the only cross-engine
+    inexactness is summation order (~1e-16), which the oracle's 4dp
+    score rounding absorbs.
+    """
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(d_in, d_out)).astype(np.float64) * 2.0 - 1.0
+    return signs / np.sqrt(d_out)
+
+
+def project_vectors(
+    df, matrix: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Arrow-batched matmul: (batch x d_in) @ (d_in x d_out) per Arrow
+    batch — one BLAS call per batch, the scale path for reducing a
+    100 TB embedding column before ANN (16 doubles/vector replaces 64
+    floats at query time). Returns (id_col, proj: array<double>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = matrix  # closure capture; broadcast by task serialization
+
+    @pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        out = mat @ m
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj"))
+
+
+def random_projection_topk(
+    projected,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    scale: int = 4,
+):
+    """Exact top-k cosine in the PROJECTED space (same deterministic
+    tie-break as brute_force_topk). JL preserves pairwise angles to
+    within ~1/sqrt(d_out), so projected top-k approximates original
+    top-k — recall is pinned by pytest, the ranking itself is
+    hard-verified by the DuckDB oracle from the shared matrix."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.partitioning import spread
+
+    q = projected.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("proj").alias("q_vec")
+    )
+    c = spread(projected).select(F.col(id_col).alias("neighbor_id"), F.col("proj").alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -4970,6 +4970,76 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "random_projection_topk",
+    f"""
+    WITH m AS (SELECT * FROM '{_AUX_DIR}/rp_matrix/*.parquet'),
+    e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    p AS (
+        SELECT e.vec_id, m.j, sum(CAST(e.v AS DOUBLE) * m.w) AS p
+        FROM e JOIN m ON m.i = e.i
+        GROUP BY 1, 2
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(p * p)) AS nr FROM p GROUP BY 1),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.p * b.p) AS dp
+        FROM p a JOIN p b ON a.j = b.j AND a.vec_id <> b.vec_id
+        WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dp / nullif(na.nr * nb.nr, 0), 4) AS score
+        FROM pairs
+        JOIN nrm na ON na.vec_id = query_id
+        JOIN nrm nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    "X3 JL random-projection ANN: Arrow matmul 64->32 dims, exact top-k in projected space (oracle recomputes the projection from the shared matrix)",
+)
+def q_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction as an ANN pre-step: a shared
+    Rademacher matrix (persisted; +-0.25 entries are exact in float64,
+    so both engines derive bit-identical products) projects 64-dim
+    float vectors to 32 doubles via one BLAS matmul per Arrow batch,
+    then exact cosine top-5 runs in the reduced space. At 100 TB the
+    projected table is the queryable artifact — narrower scans and
+    2x cheaper distance math, with the JL distortion bound (pairwise
+    cosine preserved to ~1/sqrt(d_out)) and top-50 containment pinned
+    by pytest. The oracle
+    independently recomputes projection, norms, scores, and ranking
+    from the persisted matrix."""
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.similarity import (
+        project_vectors,
+        rademacher_matrix,
+        random_projection_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mat = rademacher_matrix(64, 32)
+    long = [
+        (int(i), int(j), float(mat[i, j])) for i in range(64) for j in range(32)
+    ]
+    _persist_aux(
+        spark, spark.createDataFrame(long, "i int, j int, w double"), "rp_matrix"
+    )
+    projected = project_vectors(emb, mat)
+    return random_projection_topk(projected, list(range(10)), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -1091,3 +1091,42 @@ def test_hll_rollup_flags_all_true(spark):
 
     df = CATALOG["hll_distinct_rollup"].fn(spark, SF_SMOKE)
     assert df.filter("NOT within_5pct").count() == 0
+
+
+def test_random_projection_distortion_and_containment(spark, emb):
+    """The JL guarantee itself: projected cosine must track exact cosine
+    within ~3/sqrt(d_out) on sampled pairs, and projected top-5 must
+    mostly come from the exact top-50 (search utility on THIS data,
+    whose exact score gaps are small — see PLANS.md)."""
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        project_vectors,
+        rademacher_matrix,
+        random_projection_topk,
+    )
+
+    rows = emb.filter(F.col("vec_id") < 60).select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    mat = rademacher_matrix(64, 32)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    errs = [
+        abs(cos(vecs[a], vecs[b]) - cos(vecs[a] @ mat, vecs[b] @ mat))
+        for a in range(10)
+        for b in range(10, 60)
+    ]
+    bound = 3.0 / np.sqrt(32)
+    assert np.quantile(errs, 0.95) < bound, (max(errs), bound)
+
+    exact50 = brute_force_topk(emb, list(range(10)), k=50)
+    approx = random_projection_topk(
+        project_vectors(emb, mat), list(range(10)), k=5
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact50.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    containment = len(a & e) / len(a)
+    assert containment >= 0.4, containment
