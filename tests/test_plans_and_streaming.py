@@ -226,3 +226,89 @@ def test_streaming_merge_upsert_equals_batch_merge(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint recovery is the exactly-once contract: a restarted
+    query must pick up ONLY unprocessed files (no re-emission of prior
+    windows in append mode, no gaps), and an idle restart emits
+    nothing. Run 1 sees two source files; run 2 (same checkpoint, same
+    sink) starts after a third lands; run 3 has nothing new. The final
+    sink must equal the batch aggregate over closed windows of all
+    three files, counted once each."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.streaming.rollup import streaming_rollup_to_files
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    ev = _read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # chronological thirds — the production arrival order; a restart
+    # resumes at the time frontier, it does not replay history
+    t0, t1 = (
+        ev.select(
+            F.expr("percentile(unix_micros(ts), 0.3333)").cast("long"),
+            F.expr("percentile(unix_micros(ts), 0.6667)").cast("long"),
+        ).collect()[0]
+    )
+    us = F.unix_micros(F.col("ts"))
+    thirds = [
+        ev.filter(us <= t0),
+        ev.filter((us > t0) & (us <= t1)),
+        ev.filter(us > t1),
+    ]
+    for i, part in enumerate(thirds):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        name = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        shutil.copy(f"{stage}/{name}", f"{src}/batch{i}.parquet")
+        os.utime(f"{src}/batch{i}.parquet", (1_700_000_000 + i * 100,) * 2)
+
+    # run 2's file is staged but hidden during run 1
+    hidden = str(tmp_path / "hidden.parquet")
+    shutil.move(f"{src}/batch2.parquet", hidden)
+
+    def run():
+        q = streaming_rollup_to_files(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "out"),
+            bucket="1 hour",
+            watermark="2 hours",
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(120)
+
+    run()  # files 0+1
+    n_after_run1 = spark.read.parquet(str(tmp_path / "out")).count()
+    shutil.move(hidden, f"{src}/batch2.parquet")
+    run()  # resumes from checkpoint, processes only file 2
+    run()  # idle restart: nothing new to process
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    # append sink holds each emitted window exactly once: equality with
+    # the batch rollup over CLOSED windows (watermark horizon) proves
+    # no re-emission across restarts and no loss
+    wm = ev.agg(F.max("ts")).collect()[0][0]
+    from finance_reporting_etl_spark.streaming.rollup import time_bucket_rollup
+
+    batch = (
+        time_bucket_rollup(ev, "1 hour")
+        .drop("avg_value")
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > n_after_run1  # run 2 really added windows
