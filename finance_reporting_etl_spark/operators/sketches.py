@@ -62,3 +62,89 @@ def cms_estimates(
         .groupBy(key_col)
         .agg(F.min("cell_cnt").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# percentile() buffers every value per group (OOM on a hot group at
+# 100 TB) and percentile_approx's internal sketch is not exposed for
+# re-aggregation. A fixed-bin histogram IS: per-(day, group) bin counts
+# are additive, so daily sketches sum to any coarser grain and
+# quantiles interpolate from the merged counts — one raw scan ever,
+# constant nbins-bounded state per group, and (with a power-of-two bin
+# width) bit-identical bin assignment in any engine, so the whole path
+# is hard-verifiable against SQL. Estimate error is <= one bin width.
+
+
+def value_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    width: float = 4.0,
+    nbins: int = 256,
+) -> DataFrame:
+    """Per-(day, group, bin) counts. ``width`` MUST be a power of two:
+    value/width is then an EXACT float64 operation, so bin boundaries
+    cannot drift between engines (the reason this sketch is fully
+    oracle-verifiable where t-digest could not be). Out-of-range values
+    clamp into the edge bins."""
+    b = F.floor(F.col(value_col) / F.lit(width))
+    bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        events.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"), *group_cols, bin_.alias("bin")
+        )
+        .groupBy("day", *group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_rollup(daily: DataFrame, grain, group_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Merge daily histograms to a coarser grain: plain additive sum."""
+    return daily.groupBy(grain.alias("grain"), *group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    merged: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = ("event_type",),
+    width: float = 4.0,
+    scale: int = 4,
+) -> DataFrame:
+    """Interpolated quantiles from merged bin counts: for each p, the
+    unique bin whose cumulative count first reaches p*total, linearly
+    interpolated inside the bin. One partitioned window (cumsum over
+    <=nbins rows per group) + a tiny literal cross join — no value
+    buffering anywhere."""
+    from pyspark.sql import Window
+
+    spark = merged.sparkSession
+    keys = ["grain", *group_cols]
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = merged.select(
+        *keys,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*keys)).alias("total"),
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    t = F.col("p") * F.col("total")
+    return (
+        cum.crossJoin(F.broadcast(pdf))
+        .filter((F.col("cum") >= t) & ((F.col("cum") - F.col("cnt")) < t))
+        .select(
+            *keys,
+            "p",
+            F.round(
+                F.col("bin") * F.lit(width)
+                + F.lit(width) * (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
+                scale,
+            ).alias("est"),
+        )
+    )

@@ -5040,6 +5040,51 @@ def q_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection_topk(projected, list(range(10)), k=5)
 
 
+@query(
+    "histogram_quantile_rollup",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS grain, event_type,
+               CAST(least(greatest(floor(value / 4.0), 0), 255) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT grain, event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY grain, event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY grain, event_type) AS total
+        FROM d
+    )
+    SELECT grain, event_type, p,
+           round(bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt, 4) AS est
+    FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p)
+    WHERE cum >= p * total AND cum - cnt < p * total
+    """,
+    "A-tier mergeable quantile sketch: daily fixed-bin histograms summed to month, interpolated p50/p90/p99 (oracle builds the month histogram from raw — merge proven lossless)",
+)
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p90/p99 of event value from a per-(day, type, bin)
+    histogram table — the mergeable alternative to ``percentile``
+    (which buffers every value per group: a hot group at 100 TB is an
+    OOM) and ``percentile_approx`` (whose sketch can't be re-merged
+    across grains). Bin width 4 = a power of two, so value/width is
+    exact float64 and the oracle's month-from-raw histogram is
+    bit-identical to Spark's month-from-daily merge; pytest bounds the
+    p50/p90 estimates against the exact percentile by one bin width
+    (in sparse tails — p99 of a few-hundred-row group — ANY estimator
+    wobbles by the local order-statistic gap, so only the hash, not a
+    tight error bound, is asserted there)."""
+    from finance_reporting_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_rollup,
+        value_histogram,
+    )
+
+    daily = value_histogram(_t(spark, sf_dir, "events"))
+    monthly = histogram_rollup(daily, F.date_trunc("month", F.col("day")).cast("date"))
+    return histogram_quantiles(monthly)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -1130,3 +1130,47 @@ def test_random_projection_distortion_and_containment(spark, emb):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     containment = len(a & e) / len(a)
     assert containment >= 0.4, containment
+
+
+def test_histogram_quantile_accuracy_and_merge(spark):
+    """p50/p90 from the merged histogram must sit within one bin width
+    of the exact percentile (dense regions — the sketch's guarantee),
+    and the day->all-time merge must equal an all-time histogram built
+    directly (additivity at a grain no catalog query uses)."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_rollup,
+        value_histogram,
+    )
+    from finance_reporting_etl_spark.tables import _read_parquet
+    from tests.conftest import SF_SMOKE
+
+    ev = _read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    daily = value_histogram(ev)
+    alltime = histogram_rollup(daily, F.lit("all"))
+    est = {
+        (r.event_type, r.p): r.est
+        for r in histogram_quantiles(alltime, ps=(0.5, 0.9)).collect()
+    }
+    exact = {
+        (r.event_type, p): v
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9))").alias("q"))
+        .collect()
+        for p, v in zip((0.5, 0.9), r.q)
+    }
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= 4.0 + 1e-6, (k, e, exact[k])
+
+    # additivity: day-merged == built directly from raw at the same grain
+    direct = (
+        ev.select(F.lit("all").alias("grain"), "event_type",
+                  F.least(F.greatest(F.floor(F.col("value") / 4.0), F.lit(0)), F.lit(255))
+                  .cast("int").alias("bin"))
+        .groupBy("grain", "event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = sorted(map(tuple, alltime.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
