@@ -155,3 +155,66 @@ def run_pipeline(
             on_complete(result)
         return result
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def observe_quality(
+    df,
+    name: str = "dq",
+    null_cols: tuple[str, ...] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
+):
+    """Attach ZERO-COST data-quality counters to a DataFrame via
+    ``Observation`` (reference parity: the Airflow DAG's post-load row
+    checks, etl_dag.py's load step — but computed inside the SAME job
+    that writes the data, not by a second scan).
+
+    Metrics ride the existing action as accumulator-style aggregates:
+    row count, per-column null counts, and min/max for bounded columns.
+    At 100 TB a validation re-scan costs as much as the pipeline stage
+    itself; ``observe`` makes the check free.
+
+    Returns (df, observation); read ``observation.get`` AFTER the
+    caller's first action on ``df``. Use :func:`check_quality` to turn
+    the collected metrics into pass/fail assertions.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    for c in (bounds or {}):
+        metrics.append(F.min(c).alias(f"min_{c}"))
+        metrics.append(F.max(c).alias(f"max_{c}"))
+    return df.observe(obs, *metrics), obs
+
+
+def check_quality(
+    observation,
+    min_rows: int = 1,
+    max_null_fraction: float = 0.0,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> dict:
+    """Evaluate metrics collected by :func:`observe_quality` (call
+    after an action). Raises ``ValueError`` listing every violated
+    rule; returns the metric dict when clean."""
+    m = observation.get
+    problems = []
+    if m["n_rows"] < min_rows:
+        problems.append(f"n_rows={m['n_rows']} < min_rows={min_rows}")
+    for k, v in m.items():
+        if k.startswith("nulls_") and m["n_rows"]:
+            frac = v / m["n_rows"]
+            if frac > max_null_fraction:
+                problems.append(f"{k}: null fraction {frac:.4f} > {max_null_fraction}")
+    for c, (lo, hi) in (bounds or {}).items():
+        if m[f"min_{c}"] is not None and m[f"min_{c}"] < lo:
+            problems.append(f"min_{c}={m[f'min_{c}']} < {lo}")
+        if m[f"max_{c}"] is not None and m[f"max_{c}"] > hi:
+            problems.append(f"max_{c}={m[f'max_{c}']} > {hi}")
+    if problems:
+        raise ValueError("; ".join(problems))
+    return m

@@ -94,3 +94,32 @@ def test_pipeline_retries_exhausted_still_raises(spark, sf_dir):
             retries=2, retry_delay_s=1.0, sleep=lambda _s: None,
         )
     assert len(failures) == 1  # hook fires once, on the final attempt
+
+
+def test_observe_quality_metrics_ride_the_action(spark, tmp_path):
+    """Data-quality counters must come from the SAME job as the write
+    (no second scan) and check_quality must both pass clean data and
+    name every violated rule on dirty data."""
+    import pytest
+
+    from finance_reporting_etl_spark.pipeline import check_quality, observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 250.0)], "k long, v double"
+    )
+    observed, obs = observe_quality(
+        df, null_cols=("v",), bounds={"v": (0.0, 100.0)}
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the one action
+    m = obs.get
+    assert m["n_rows"] == 3 and m["nulls_v"] == 1 and m["max_v"] == 250.0
+    with pytest.raises(ValueError) as ei:
+        check_quality(obs, max_null_fraction=0.1, bounds={"v": (0.0, 100.0)})
+    assert "nulls_v" in str(ei.value) and "max_v" in str(ei.value)
+
+    clean, obs2 = observe_quality(
+        df.filter("v IS NOT NULL AND v <= 100"), null_cols=("v",), bounds={"v": (0.0, 100.0)}
+    )
+    clean.count()
+    got = check_quality(obs2, bounds={"v": (0.0, 100.0)})
+    assert got["n_rows"] == 1
