@@ -120,6 +120,8 @@ HEADLINE = [
     "part_copurchase_pagerank",
     "rolling_zscore_anomalies",
     "indicator_linear_interpolation",
+    "random_projection_topk",
+    "histogram_quantile_rollup",
 ]
 
 
