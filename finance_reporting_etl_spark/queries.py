@@ -5085,6 +5085,79 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(monthly)
 
 
+@query(
+    "cdc_changelog_apply",
+    """
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id) AS rn
+        FROM c
+    )
+    SELECT user_id, ts AS updated_at, round(value, 6) AS value
+    FROM r WHERE rn = 1 AND op = 'U'
+    """,
+    "§2.8 x O5 CDC changelog apply: upsert/DELETE stream folded via foreachBatch with tombstone retention, compacted on read",
+)
+def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC semantics on top of the streaming upsert fold: the changelog
+    carries op U (upsert) / D (delete — here, 'error' events kill the
+    user's row). The maintained state keeps the latest row per key
+    INCLUDING tombstones — that is what keeps the fold associative (a
+    delete must shadow older upserts arriving in later replayed
+    batches) — and reads compact by filtering op = 'D'. The oracle
+    computes the same final state from the full changelog in one shot;
+    equality proves tombstone shadowing across every batch boundary."""
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_")
+    src = f"{tmp}/src"
+    changelog.repartition(4).write.mode("overwrite").parquet(src)
+    q = streaming_merge_upsert(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+        target_dir=f"{tmp}/target",
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("cdc_changelog_apply did not finish within 300s")
+        state = spark.read.parquet(f"{tmp}/target")
+        out = (
+            state.filter(F.col("op") != "D")
+            .select(
+                "user_id",
+                F.col("ts").alias("updated_at"),
+                F.round("value", 6).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
