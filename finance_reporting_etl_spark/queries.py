@@ -5158,6 +5158,102 @@ def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_QUALITY_SQL = """round(greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0), 6)
+                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0), 6),
+                       1.0))), 4)"""
+
+
+@query(
+    "corpus_training_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, {_QUALITY_SQL} AS quality,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.3
+    ),
+    surv AS (
+        SELECT doc_id, lang, text, quality, {_b256("decon")} AS bdecon
+        FROM deduped WHERE rn = 1
+    ),
+    t AS (SELECT doc_id, bdecon, {_TOKS} AS toks FROM surv),
+    grams AS (
+        SELECT doc_id, bdecon,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE bdecon < 13),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE bdecon >= 13 AND gram IN (SELECT gram FROM bench)
+    ),
+    clean AS (
+        SELECT s.*, len({_TOKS}) AS n_toks FROM surv s
+        WHERE bdecon >= 13
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sp AS (
+        SELECT *, CASE WHEN {_b256("split")} < 0.8 * 256.0 THEN 'train'
+                       WHEN {_b256("split")} < 0.9 * 256.0 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM clean
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM sp GROUP BY 1, 2
+    """,
+    "X-pipeline flagship composition: quality gate -> exact dedup -> 4-gram decontamination -> leak-free split -> per-split stats, one Catalyst plan",
+)
+def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, composed entirely from
+    already-oracle-verified operators: quality-score and gate (>= 0.3),
+    deterministic exact dedup, benchmark holdout (salted md5 bucket)
+    with 4-gram decontamination of the training side, leak-free
+    80/10/10 hash split, and per-(split, lang) document/token/quality
+    stats. Every stage is a narrow Catalyst transform — the only
+    data-sized shuffles are the dedup fingerprint window, the gram
+    join (benchmark side broadcast), and the final stats groupBy; the
+    full chain is ONE lazily-planned DAG, so Catalyst pushes the
+    quality filter beneath everything and prunes text as soon as grams
+    and token counts are extracted."""
+    from finance_reporting_etl_spark.functions.text import quality_score, token_count
+    from finance_reporting_etl_spark.operators.corpus import (
+        hash_split,
+        md5_bucket,
+        ngram_decontaminate,
+    )
+    from finance_reporting_etl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", quality_score("text")).filter(
+        F.col("quality") >= 0.3
+    )
+    surv = exact_dedup(scored, "text", "doc_id")
+    b = md5_bucket("doc_id", salt="decon")
+    train, bench = surv.filter(b >= 13), surv.filter(b < 13)
+    contaminated = ngram_decontaminate(train, bench, n=4).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti").withColumn(
+        "n_toks", token_count(F.lower(F.col("text")))
+    )
+    sp = hash_split(clean, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return sp.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
