@@ -122,6 +122,7 @@ HEADLINE = [
     "indicator_linear_interpolation",
     "random_projection_topk",
     "histogram_quantile_rollup",
+    "corpus_training_pipeline",
 ]
 
 
