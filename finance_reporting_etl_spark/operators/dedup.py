@@ -703,3 +703,59 @@ def lsh_cosine_pairs_from_buckets(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def blocked_entity_resolution(
+    queries: DataFrame,
+    reference: DataFrame,
+    block_exprs: list,
+    q_id: str = "query_id",
+    q_name: str = "q_name",
+    r_id: str = "ref_id",
+    r_name: str = "r_name",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity resolution without the all-pairs cross join: each side
+    emits one row per BLOCK KEY (``block_exprs``: (label, fn) pairs
+    applied to the name column), candidates come from an equi-join on
+    (label, key), and only candidates pay the Levenshtein verify. With
+    K blocking functions each record joins only its K key-buckets —
+    at 100 TB the pair space is sum of squared bucket sizes, not n².
+    Blocking must be RECALL-COMPLETE for the expected corruption class
+    (each corruption leaves at least one key unchanged); the winner per
+    query is deterministic: min (distance, ref id).
+
+    Returns (query_id, matched_id, distance) — one row per query that
+    matched any candidate within ``max_distance``.
+    """
+
+    def keyed(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.col(id_col),
+                F.col(name_col),
+                F.lit(label).alias("__blk"),
+                fn(F.col(name_col)).alias("__key"),
+            )
+            for label, fn in block_exprs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q = keyed(queries, q_id, q_name)
+    r = keyed(reference, r_id, r_name)
+    cand = (
+        q.join(r, ["__blk", "__key"])
+        .select(q_id, q_name, r_id, r_name)
+        .distinct()
+        .withColumn("distance", F.levenshtein(F.col(q_name), F.col(r_name)))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("distance").asc(), F.col(r_id).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(q_id), F.col(r_id).alias("matched_id"), "distance")
+    )

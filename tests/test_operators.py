@@ -1174,3 +1174,22 @@ def test_histogram_quantile_accuracy_and_merge(spark):
     a = sorted(map(tuple, alltime.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def test_entity_resolution_blocking_is_recall_complete(spark):
+    """Every corrupted record must resolve (blocking never loses the
+    true match for single-deletion typos) and every winner must sit at
+    distance 1 — so any incorrect link is a genuine ambiguity tie
+    (zero-padded ids), never a blocking miss."""
+    from finance_reporting_etl_spark.queries import CATALOG
+    from finance_reporting_etl_spark.tables import _read_parquet
+    from tests.conftest import SF_SMOKE
+
+    n_cust = _read_parquet(spark, f"{SF_SMOKE}/customer.parquet").count()
+    df = CATALOG["entity_resolution_blocked"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == n_cust  # every query matched something
+    assert all(r.distance == 1 for r in rows)
+    # and the majority resolve to the true entity despite ambiguity
+    acc = sum(1 for r in rows if r.correct) / len(rows)
+    assert acc >= 0.7, acc
