@@ -5338,6 +5338,46 @@ def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS cur, next_type AS nxt,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "§2.5 sequence modeling: first-order Markov transition matrix over per-user event streams (lead window + conditional frequencies)",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) estimated from each user's
+    time-ordered stream — the sequence-statistics building block for
+    behavioral models and multi-touch attribution. One user-partitioned
+    lead() window (a user's history never crosses partitions) and one
+    25-cell aggregate; the normalizing window runs over the 5x5 result,
+    not the data."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = s.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
