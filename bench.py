@@ -123,6 +123,9 @@ HEADLINE = [
     "random_projection_topk",
     "histogram_quantile_rollup",
     "corpus_training_pipeline",
+    "entity_resolution_blocked",
+    "event_transition_matrix",
+    "copurchase_association_rules",
 ]
 
 

@@ -5378,6 +5378,81 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "copurchase_association_rules",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab / n.n_orders, 6) AS support,
+           round(n_ab / ia.n_item, 6) AS conf_a_to_b,
+           round(n_ab / ib.n_item, 6) AS conf_b_to_a,
+           round(n_ab * n.n_orders / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = item_a
+    JOIN item ib ON ib.l_partkey = item_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """,
+    "A/X-tier market-basket association rules: pair support / directional confidence / lift over order baskets (ordered pair join bounds the pair space)",
+)
+def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support, both directional
+    confidences, and lift for every part pair co-occurring in >= 2
+    orders. The pair join is basket-local AND ordered (a < b), so the
+    pair space is sum over baskets of C(k,2) — never items² — and
+    TPC-H-ish baskets are <= 7 items. Item counts broadcast back onto
+    the pair table; the one data-sized shuffle is the basket self-join
+    key (l_orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = float(
+        baskets.select(F.count_distinct("l_orderkey")).collect()[0][0]
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"), F.col("b.l_partkey").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("item_a"), F.col("n_item").alias("na")))
+    ib = F.broadcast(item.select(F.col("l_partkey").alias("item_b"), F.col("n_item").alias("nb")))
+    return (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("na"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("nb"), 6).alias("conf_b_to_a"),
+            # single division of integer-exact operands: bitwise equal
+            # across engines, so the 4dp rounding can't straddle a tie
+            F.round(
+                F.col("n_ab") * F.lit(n_orders) / (F.col("na") * F.col("nb")), 4
+            ).alias("lift"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
