@@ -227,3 +227,73 @@ def test_exact_group_quantiles_property(spark, rows, quantiles):
         .collect()
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),       # user id
+            st.integers(min_value=0, max_value=29),       # day offset
+            st.sampled_from(["a", "b", "c"]),             # group
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_bitmap_rollup_equals_exact_distinct(spark, rows):
+    """Bitmap OR-merge must equal COUNT(DISTINCT) for ANY event set —
+    including ids spanning multiple 32768-bit buckets (forced via a
+    bucket-crossing id offset)."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.distinct import bitmap_daily, bitmap_rollup
+
+    data = [
+        # spread users across bitmap buckets: id = uid * 40000
+        (uid * 40000, f"2024-01-{d + 1:02d} 12:00:00", g)
+        for uid, d, g in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {
+        (str(r.grain), r.event_type): r.n_distinct
+        for r in bitmap_rollup(bitmap_daily(df), F.lit("all")).collect()
+    }
+    want = {
+        ("all", r.event_type): r.n
+        for r in df.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1000.0, allow_nan=False), min_size=40, max_size=300)
+)
+def test_histogram_median_within_bin_width(spark, values):
+    """The interpolated p50 from bin counts must land within one bin
+    width of the TYPE-1 empirical quantile (smallest v with CDF >= p)
+    for ANY distribution — the histogram estimate always sits inside
+    the bin containing that order statistic. (The interpolated
+    `percentile` can differ arbitrarily on adversarial bimodal splits,
+    so it is not the invariant.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_rollup,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", "g", float(v)) for i, v in enumerate(values)],
+        "id long, ts_s string, event_type string, value double",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    merged = histogram_rollup(value_histogram(df), F.lit("all"))
+    est = histogram_quantiles(merged, ps=(0.5,)).collect()[0].est
+    order_stat = sorted(values)[math.ceil(0.5 * len(values)) - 1]
+    assert abs(est - order_stat) <= 4.0 + 1e-6, (est, order_stat)
