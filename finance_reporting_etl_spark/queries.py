@@ -5453,6 +5453,95 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "streaming_left_outer_interval_join",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+               - INTERVAL 2 DAY AS w
+    ),
+    inner_part AS (
+        SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM v JOIN p ON p.user_id = v.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+    ),
+    unmatched AS (
+        SELECT v.user_id, v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = v.user_id
+              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+        )
+        AND v.ts + INTERVAL 1 DAY < (SELECT w FROM wm)
+    )
+    SELECT * FROM inner_part UNION ALL SELECT * FROM unmatched
+    """,
+    "§2.8 stream-stream LEFT OUTER interval join: inner matches emit on arrival, NULL pads emit only at watermark expiry, open-window rows emit nothing",
+)
+def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer-join watermark contract, proven end to end: a
+    NULL-padded row may only emit once the global watermark (min of
+    both streams' max event time, minus the 2-day delay) passes
+    view_ts + 1 day — earlier emission could be contradicted by a
+    late purchase. Left rows whose join window is still open when the
+    bounded replay drains emit NOTHING (they would wait forever on a
+    real stream). The oracle encodes exactly that asymmetry: all inner
+    matches, plus null pads only for unmatched views with
+    view_ts + 1 day < watermark."""
+    import os
+    import shutil
+    import tempfile
+
+    from finance_reporting_etl_spark.streaming.joins import (
+        streaming_interval_left_join_to_files,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="stream_loj_")
+    try:
+        dirs = {"v": f"{tmp}/views", "p": f"{tmp}/purchases"}
+        for d in dirs.values():
+            os.makedirs(d)
+        for side, typ in (("v", "view"), ("p", "purchase")):
+            for i, half in enumerate(
+                (F.col("ts") <= mid, F.col("ts") > mid)
+            ):
+                stage = f"{tmp}/stage_{side}{i}"
+                ev.filter((F.col("event_type") == typ) & half).select(
+                    "user_id", "ts"
+                ).coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(
+                    x for x in os.listdir(stage) if x.endswith(".parquet")
+                )
+                dst = f"{dirs[side]}/half{i}.parquet"
+                shutil.copy(f"{stage}/{part}", dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        q = streaming_interval_left_join_to_files(
+            spark,
+            dirs["v"],
+            dirs["p"],
+            spark.read.parquet(dirs["v"]).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_left_outer_interval_join did not finish within 300s"
+            )
+        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -87,3 +87,56 @@ def streaming_interval_join_to_files(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_interval_left_join_to_files(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    output_dir: str,
+    key: str = "user_id",
+    left_ts: str = "view_ts",
+    right_ts: str = "purchase_ts",
+    max_delay: str = "1 DAY",
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = 1,
+):
+    """LEFT OUTER stream-stream interval join. Inner matches emit as
+    they arrive; a NULL-padded row for an unmatched left row can only
+    emit once the watermark proves no future right row can match
+    (global watermark > left_ts + max_delay) — unmatched rows whose
+    window is still open when the stream drains stay in state and emit
+    NOTHING. That asymmetry is the semantic difference vs batch left
+    join, and exactly what the oracle encodes."""
+
+    def rd(d: str):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(d)
+
+    lt = rd(left_dir).withColumnRenamed("ts", left_ts).withWatermark(left_ts, watermark)
+    rt = rd(right_dir).withColumnRenamed("ts", right_ts).withWatermark(right_ts, watermark)
+    joined = lt.join(
+        rt,
+        [
+            lt[key] == rt[key],
+            rt[right_ts] > lt[left_ts],
+            rt[right_ts] <= lt[left_ts] + F.expr(f"INTERVAL {max_delay}"),
+        ],
+        "leftOuter",
+    ).select(
+        lt[key].alias(key),
+        lt[left_ts].alias(left_ts),
+        rt[right_ts].alias(right_ts),
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
