@@ -5542,6 +5542,65 @@ def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Da
     return out
 
 
+@query(
+    "copurchase_triangle_counts",
+    """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg FROM (
+            SELECT x AS id FROM e UNION ALL SELECT y FROM e
+        ) GROUP BY 1
+    ),
+    oriented AS (
+        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS src,
+               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS dst
+        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
+    ),
+    wedges AS (
+        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+    ),
+    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w))
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY 1
+    """,
+    "X-tier graph: per-node triangle counts via degree-ordered orientation (wedge space sum d_out^2, hub-proof — no d^2 blowup)",
+)
+def q_copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per part in the co-purchase graph — the
+    local-clustering building block. Degree-ordered orientation makes
+    every node's out-degree O(sqrt(m)) regardless of hubs, so the
+    wedge self-join is bounded by sum d_out^2, not sum d^2; each
+    triangle is generated exactly once (at its rank-minimum corner)
+    and credited to all three corners. Pure equi-joins end to end."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .distinct()
+    )
+    from finance_reporting_etl_spark.operators.graph import triangle_counts
+
+    return triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
