@@ -5210,7 +5210,8 @@ _QUALITY_SQL = """round(greatest(0.0,
     SELECT split, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-           round(avg(quality), 4) AS avg_quality
+           round(sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*)), 6) AS avg_quality
     FROM sp GROUP BY 1, 2
     """,
     "X-pipeline flagship composition: quality gate -> exact dedup -> 4-gram decontamination -> leak-free split -> per-split stats, one Catalyst plan",
@@ -5250,7 +5251,15 @@ def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        # integer-scaled exact mean: quality is 4dp-rounded, so the
+        # x10000 sum is an exact integer in ANY aggregation order —
+        # a float avg() near a rounding tie flips with partial-agg
+        # order (observed run-to-run at sf0.001)
+        F.round(
+            F.sum(F.round(F.col("quality") * 10000).cast("long"))
+            / (10000.0 * F.count(F.lit(1))),
+            6,
+        ).alias("avg_quality"),
     )
 
 
