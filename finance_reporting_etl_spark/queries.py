@@ -4855,8 +4855,11 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "indicator_linear_interpolation",
     """
     WITH daily AS (
+        -- integer-scaled exact mean (values are 2dp): immune to
+        -- aggregation-order rounding ties
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(avg(value), 4) AS value
+               round(sum(CAST(round(value * 100) AS BIGINT))
+                     / (100.0 * count(*)), 4) AS value
         FROM events GROUP BY 1, 2
     ),
     observed AS (  -- simulated sensor dropout: day-of-month % 3 = 0 missing
@@ -4911,7 +4914,13 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("value"))
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count(F.lit(1))),
+            4,
+        ).alias("value")
+    )
     observed = daily.filter(F.dayofmonth("day") % 3 != 0)
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = (
