@@ -5701,7 +5701,15 @@ _GATE_FIRST = [
 # profile_documents_table, streaming_heavy_hitters,
 # label_time_to_next_purchase, rolling_7day_distinct_users,
 # per_lang_token_length_regression, mixture_rebalance_to_target,
-# length_bucketed_batching, user_value_ema, rollup_cascade_monthly.
+# length_bucketed_batching, user_value_ema, rollup_cascade_monthly,
+# and the late-session batch: bitmap_distinct_rollup,
+# hll_distinct_rollup, streaming_view_purchase_join,
+# part_copurchase_pagerank, rolling_zscore_anomalies,
+# indicator_linear_interpolation, random_projection_topk,
+# histogram_quantile_rollup, cdc_changelog_apply,
+# corpus_training_pipeline, entity_resolution_blocked,
+# event_transition_matrix, copurchase_association_rules,
+# streaming_left_outer_interval_join, copurchase_triangle_counts.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
