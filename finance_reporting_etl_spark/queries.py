@@ -4670,6 +4670,66 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _stage_chronological_streams(spark, sf_dir, types=("view", "purchase")):
+    """Stage each event type as a 2-file chronological stream source
+    (mtime orders the files — the production arrival shape watermark
+    correctness assumes). Returns (tmpdir, {type: source_dir})."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    dirs = {}
+    for typ in types:
+        d = f"{tmp}/{typ}s"
+        os.makedirs(d)
+        dirs[typ] = d
+        for i, half in enumerate((F.col("ts") <= mid, F.col("ts") > mid)):
+            stage = f"{tmp}/stage_{typ}{i}"
+            ev.filter((F.col("event_type") == typ) & half).select(
+                "user_id", "ts"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+            dst = f"{d}/half{i}.parquet"
+            shutil.copy(f"{stage}/{part}", dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    return tmp, dirs
+
+
+def _run_staged_interval_join(spark, sf_dir, how):
+    import shutil
+
+    from finance_reporting_etl_spark.streaming.joins import (
+        streaming_interval_join_to_files,
+    )
+
+    tmp, dirs = _stage_chronological_streams(spark, sf_dir)
+    try:
+        q = streaming_interval_join_to_files(
+            spark,
+            dirs["view"],
+            dirs["purchase"],
+            spark.read.parquet(dirs["view"]).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+            how=how,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"streaming {how} interval join did not finish within 300s")
+        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "streaming_view_purchase_join",
     """
@@ -4693,55 +4753,7 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     so the bounded replay equals the batch join bit-for-bit (the
     oracle). Inner-join matches emit as soon as both rows arrive;
     the watermark governs eviction only."""
-    import os
-    import shutil
-    import tempfile
-
-    from finance_reporting_etl_spark.streaming.joins import streaming_interval_join_to_files
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    mid = ev.agg(
-        F.timestamp_micros(
-            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
-        ).alias("m")
-    ).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="stream_join_")
-    try:
-        dirs = {"v": f"{tmp}/views", "p": f"{tmp}/purchases"}
-        for d in dirs.values():
-            os.makedirs(d)
-        splits = [
-            ("v", 0, F.col("event_type") == "view", F.col("ts") <= mid),
-            ("p", 0, F.col("event_type") == "purchase", F.col("ts") <= mid),
-            ("v", 1, F.col("event_type") == "view", F.col("ts") > mid),
-            ("p", 1, F.col("event_type") == "purchase", F.col("ts") > mid),
-        ]
-        for side, i, typ, half in splits:
-            stage = f"{tmp}/stage_{side}{i}"
-            ev.filter(typ & half).select("user_id", "ts").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{dirs[side]}/half{i}.parquet"
-            shutil.copy(f"{stage}/{part}", dst)
-            # mtime orders each source's files chronologically — the
-            # production arrival shape watermark correctness assumes
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        q = streaming_interval_join_to_files(
-            spark,
-            dirs["v"],
-            dirs["p"],
-            spark.read.parquet(dirs["v"]).schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            output_dir=f"{tmp}/out",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_view_purchase_join did not finish within 300s")
-        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return _run_staged_interval_join(spark, sf_dir, "inner")
 
 
 def _copurchase_edges_sql() -> str:
@@ -5508,56 +5520,7 @@ def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Da
     real stream). The oracle encodes exactly that asymmetry: all inner
     matches, plus null pads only for unmatched views with
     view_ts + 1 day < watermark."""
-    import os
-    import shutil
-    import tempfile
-
-    from finance_reporting_etl_spark.streaming.joins import (
-        streaming_interval_left_join_to_files,
-    )
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    mid = ev.agg(
-        F.timestamp_micros(
-            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
-        ).alias("m")
-    ).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="stream_loj_")
-    try:
-        dirs = {"v": f"{tmp}/views", "p": f"{tmp}/purchases"}
-        for d in dirs.values():
-            os.makedirs(d)
-        for side, typ in (("v", "view"), ("p", "purchase")):
-            for i, half in enumerate(
-                (F.col("ts") <= mid, F.col("ts") > mid)
-            ):
-                stage = f"{tmp}/stage_{side}{i}"
-                ev.filter((F.col("event_type") == typ) & half).select(
-                    "user_id", "ts"
-                ).coalesce(1).write.mode("overwrite").parquet(stage)
-                part = next(
-                    x for x in os.listdir(stage) if x.endswith(".parquet")
-                )
-                dst = f"{dirs[side]}/half{i}.parquet"
-                shutil.copy(f"{stage}/{part}", dst)
-                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        q = streaming_interval_left_join_to_files(
-            spark,
-            dirs["v"],
-            dirs["p"],
-            spark.read.parquet(dirs["v"]).schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            output_dir=f"{tmp}/out",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "streaming_left_outer_interval_join did not finish within 300s"
-            )
-        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return _run_staged_interval_join(spark, sf_dir, "leftOuter")
 
 
 @query(

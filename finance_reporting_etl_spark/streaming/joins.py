@@ -11,6 +11,17 @@ At 100 TB/day this is the only join shape that works on live data: the
 equality key partitions both streams' state, the time bound caps how
 long a row is retained, and no micro-batch ever re-reads history.
 
+Join-type semantics under the same machinery:
+- ``inner`` — matches emit as soon as both rows have arrived; the
+  watermark governs state EVICTION only, so a bounded chronological
+  replay equals the batch join exactly.
+- ``leftOuter`` — inner matches emit on arrival, but a NULL-padded row
+  for an unmatched left row can only emit once the watermark proves no
+  future right row can match (global watermark > left_ts + max_delay);
+  unmatched rows whose window is still open when the stream drains stay
+  in state and emit NOTHING. That asymmetry is the semantic difference
+  vs a batch left join, and exactly what the left-outer oracle encodes.
+
 Reference parity: the reference's Airflow DAG joins each day's fetched
 batch against the warehouse (etl_dag.py load step); this is the same
 correlation expressed as a continuous operator.
@@ -30,6 +41,7 @@ def interval_join_plan(
     left_ts: str,
     right_ts: str,
     max_delay: str,
+    how: str = "inner",
 ) -> DataFrame:
     """Shared logical plan: equality on ``key`` + ``right_ts`` in
     (``left_ts``, ``left_ts`` + ``max_delay``]. Works identically in
@@ -41,6 +53,7 @@ def interval_join_plan(
             right[right_ts] > left[left_ts],
             right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"),
         ],
+        how,
     ).select(
         left[key].alias(key),
         left[left_ts].alias(left_ts),
@@ -61,14 +74,12 @@ def streaming_interval_join_to_files(
     max_delay: str = "1 DAY",
     watermark: str = "2 days",
     max_files_per_trigger: int | None = 1,
+    how: str = "inner",
 ):
-    """AvailableNow stream-stream inner join, append to parquet (the
-    scale-safe sink). Both sides carry the same watermark; with an inner
-    join, matches emit as soon as both rows have arrived — the watermark
-    only governs state EVICTION (a buffered left row is dropped once the
-    right watermark passes ``left_ts + max_delay``), so on a bounded
-    replay the result equals the batch join exactly.
-    """
+    """AvailableNow stream-stream join (``how``: inner / leftOuter),
+    append to parquet (the scale-safe sink). Both sides carry the same
+    watermark; see the module docstring for per-join-type emission
+    semantics."""
 
     def rd(d: str):
         r = spark.readStream.schema(schema)
@@ -78,60 +89,7 @@ def streaming_interval_join_to_files(
 
     lt = rd(left_dir).withColumnRenamed("ts", left_ts).withWatermark(left_ts, watermark)
     rt = rd(right_dir).withColumnRenamed("ts", right_ts).withWatermark(right_ts, watermark)
-    joined = interval_join_plan(lt, rt, key, left_ts, right_ts, max_delay)
-    return (
-        joined.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def streaming_interval_left_join_to_files(
-    spark: SparkSession,
-    left_dir: str,
-    right_dir: str,
-    schema: T.StructType,
-    checkpoint_dir: str,
-    output_dir: str,
-    key: str = "user_id",
-    left_ts: str = "view_ts",
-    right_ts: str = "purchase_ts",
-    max_delay: str = "1 DAY",
-    watermark: str = "2 days",
-    max_files_per_trigger: int | None = 1,
-):
-    """LEFT OUTER stream-stream interval join. Inner matches emit as
-    they arrive; a NULL-padded row for an unmatched left row can only
-    emit once the watermark proves no future right row can match
-    (global watermark > left_ts + max_delay) — unmatched rows whose
-    window is still open when the stream drains stay in state and emit
-    NOTHING. That asymmetry is the semantic difference vs batch left
-    join, and exactly what the oracle encodes."""
-
-    def rd(d: str):
-        r = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        return r.parquet(d)
-
-    lt = rd(left_dir).withColumnRenamed("ts", left_ts).withWatermark(left_ts, watermark)
-    rt = rd(right_dir).withColumnRenamed("ts", right_ts).withWatermark(right_ts, watermark)
-    joined = lt.join(
-        rt,
-        [
-            lt[key] == rt[key],
-            rt[right_ts] > lt[left_ts],
-            rt[right_ts] <= lt[left_ts] + F.expr(f"INTERVAL {max_delay}"),
-        ],
-        "leftOuter",
-    ).select(
-        lt[key].alias(key),
-        lt[left_ts].alias(left_ts),
-        rt[right_ts].alias(right_ts),
-    )
+    joined = interval_join_plan(lt, rt, key, left_ts, right_ts, max_delay, how)
     return (
         joined.writeStream.format("parquet")
         .option("path", output_dir)
