@@ -20,6 +20,14 @@ ROWS_ONLY_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is No
 def test_query_matches_oracle(spark, duck, name):
     entry = CATALOG[name]
     df = entry.fn(spark, SF_SMOKE)
+    # catalog-wide structural invariants: no unconstrained cross join
+    # and no row-at-a-time Python UDF may EVER appear in a catalog
+    # plan (Arrow-batched Python — ArrowEvalPython / mapInPandas — is
+    # the only allowed Python surface). Broadcast-nested-loop joins on
+    # bounded sides are legitimate and not flagged.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert_matches_oracle(df, duck, entry.oracle)
 
 
