@@ -4691,13 +4691,23 @@ def _stage_chronological_streams(spark, sf_dir, types=("view", "purchase")):
         d = f"{tmp}/{typ}s"
         os.makedirs(d)
         dirs[typ] = d
-        for i, half in enumerate((F.col("ts") <= mid, F.col("ts") > mid)):
+        # two chronological data files + one EMPTY epilogue file: the
+        # epilogue forces a real final micro-batch that runs with the
+        # watermark derived from the last data batch, so outer-join
+        # null-pad emission does not depend on whether the trailing
+        # no-data batch gets scheduled (timing-sensitive under load)
+        halves = (
+            (F.col("ts") <= mid),
+            (F.col("ts") > mid),
+            F.lit(False),
+        )
+        for i, half in enumerate(halves):
             stage = f"{tmp}/stage_{typ}{i}"
             ev.filter((F.col("event_type") == typ) & half).select(
                 "user_id", "ts"
             ).coalesce(1).write.mode("overwrite").parquet(stage)
             part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{d}/half{i}.parquet"
+            dst = f"{d}/part{i}.parquet"
             shutil.copy(f"{stage}/{part}", dst)
             os.utime(dst, (1_700_000_000 + i * 100,) * 2)
     return tmp, dirs
