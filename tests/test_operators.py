@@ -1192,3 +1192,67 @@ def test_entity_resolution_blocking_is_recall_complete(spark):
     assert all(r.distance == 1 for r in rows)
     acc = sum(1 for r in rows if r.correct) / len(rows)
     assert acc >= 0.95, acc
+
+
+def test_pagerank_star_graph_analytic_fixpoint(spark):
+    """On a symmetrized star graph the damped PageRank fixpoint is
+    closed-form: center = (1-d)/n + d*k*leaf_share, every leaf equal.
+    30 iterations must converge to it within 1e-6 (scaled by n)."""
+    from finance_reporting_etl_spark.operators.graph import pagerank
+
+    k = 5  # leaves
+    n = k + 1
+    d = 0.85
+    edges = [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # convergence factor is d^2 per round-trip; 80 iters -> ~1e-6 error
+    got = {r.id: r.rank for r in pagerank(e, damping=d, iters=80, checkpoint_every=8).collect()}
+    # fixpoint: c = (1-d)/n + d*k*l ; l = (1-d)/n + d*c/k
+    # => c = (1-d)/n * (1 + d*k) / (1 - d^2)
+    c = ((1 - d) / n * (1 + d * k)) / (1 - d * d)
+    l = (1 - d) / n + d * c / k
+    assert abs(got[0] - c * n) < 1e-4, (got[0], c * n)
+    for i in range(1, n):
+        assert abs(got[i] - l * n) < 1e-4
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in 3 triangles), a square with one diagonal
+    (diagonal nodes in 2, others in 1), and a triangle-free path."""
+    from finance_reporting_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.id: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(k4, "id_a long, id_b long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    square_diag = [(10, 11), (11, 12), (12, 13), (10, 13), (10, 12)]
+    got = {r.id: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(square_diag, "id_a long, id_b long")).collect()}
+    assert got == {10: 2, 12: 2, 11: 1, 13: 1}
+
+    path = [(20, 21), (21, 22), (22, 23)]
+    assert triangle_counts(
+        spark.createDataFrame(path, "id_a long, id_b long")).count() == 0
+
+
+def test_interval_join_plan_boundaries(spark):
+    """(left_ts, left_ts + delay] bounds: equal-ts right row excluded,
+    exactly-at-delay row included, beyond-delay excluded, key must
+    match."""
+    from finance_reporting_etl_spark.streaming.joins import interval_join_plan
+
+    L = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, view_ts_s string"
+    ).selectExpr("user_id", "CAST(view_ts_s AS TIMESTAMP) AS view_ts")
+    R = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),  # equal: excluded (strict >)
+            (1, "2024-01-02 00:00:00"),  # exactly +1 day: included (<=)
+            (1, "2024-01-02 00:00:01"),  # beyond: excluded
+            (2, "2024-01-01 12:00:00"),  # wrong key
+        ],
+        "user_id long, purchase_ts_s string",
+    ).selectExpr("user_id", "CAST(purchase_ts_s AS TIMESTAMP) AS purchase_ts")
+    out = interval_join_plan(L, R, "user_id", "view_ts", "purchase_ts", "1 DAY").collect()
+    assert len(out) == 1 and str(out[0].purchase_ts) == "2024-01-02 00:00:00"
