@@ -126,6 +126,7 @@ HEADLINE = [
     "entity_resolution_blocked",
     "event_transition_matrix",
     "copurchase_association_rules",
+    "dbt_schema_tests",
 ]
 
 

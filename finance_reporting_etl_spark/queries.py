@@ -5587,6 +5587,91 @@ def q_copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@query(
+    "dbt_schema_tests",
+    """
+    SELECT 'customer' AS table_name, 'c_custkey' AS column_name, 'unique' AS test_name,
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)), 0) AS BIGINT) AS n_failures
+    UNION ALL
+    SELECT 'customer', 'c_custkey', 'not_null',
+           CAST(count_if(c_custkey IS NULL) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', 'unique',
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'relationships',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus', 'accepted_values',
+           CAST(count_if(o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'relationships',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', 'accepted_values',
+           CAST(count_if(l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'event_id', 'unique',
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM events GROUP BY event_id HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events', 'user_id', 'not_null',
+           CAST(count_if(user_id IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'documents', 'lang', 'accepted_values',
+           CAST(count_if(lang IS NULL OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')) AS BIGINT)
+    FROM documents
+    """,
+    "O-tier dbt-test analog: unique / not_null / relationships / accepted_values compiled to aggregates + broadcast anti-joins",
+)
+def q_dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dbt ``tests:`` surface (schema tests evaluated
+    after every `dbt run`): a declarative suite over the star schema —
+    key uniqueness, not-null, referential integrity (orders->customer,
+    lineitem->orders via broadcast LEFT ANTI joins), and domain checks.
+    The `o_orderstatus IN ('O','F')` test is deliberately stricter than
+    the data (status 'P' exists) so a NONZERO failure count flows
+    through the report — proving failures are counted, not just that
+    clean tables pass. Failure COUNTS, not failing rows, keep the
+    report driver-safe at any scale."""
+    from finance_reporting_etl_spark.plans.schema_tests import SchemaTest, TestSuite
+
+    tables = {
+        n: _t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "events", "documents")
+    }
+    suite = TestSuite(
+        [
+            SchemaTest("customer", "c_custkey", "unique"),
+            SchemaTest("customer", "c_custkey", "not_null"),
+            SchemaTest("orders", "o_orderkey", "unique"),
+            SchemaTest(
+                "orders", "o_custkey", "relationships",
+                to_table="customer", to_column="c_custkey",
+            ),
+            SchemaTest("orders", "o_orderstatus", "accepted_values", values=["O", "F"]),
+            SchemaTest(
+                "lineitem", "l_orderkey", "relationships",
+                to_table="orders", to_column="o_orderkey",
+            ),
+            SchemaTest(
+                "lineitem", "l_returnflag", "accepted_values", values=["A", "N", "R"]
+            ),
+            SchemaTest("events", "event_id", "unique"),
+            SchemaTest("events", "user_id", "not_null"),
+            SchemaTest(
+                "documents", "lang", "accepted_values",
+                values=["en", "de", "es", "fr", "zh"],
+            ),
+        ]
+    )
+    return suite.run(tables)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
