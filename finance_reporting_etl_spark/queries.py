@@ -5762,7 +5762,8 @@ _GATE_FIRST = [
 # histogram_quantile_rollup, cdc_changelog_apply,
 # corpus_training_pipeline, entity_resolution_blocked,
 # event_transition_matrix, copurchase_association_rules,
-# streaming_left_outer_interval_join, copurchase_triangle_counts.
+# streaming_left_outer_interval_join, copurchase_triangle_counts,
+# dbt_schema_tests.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
