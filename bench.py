@@ -127,6 +127,7 @@ HEADLINE = [
     "event_transition_matrix",
     "copurchase_association_rules",
     "dbt_schema_tests",
+    "dedup_incremental_batch",
 ]
 
 

@@ -5672,6 +5672,102 @@ def q_dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite.run(tables)
 
 
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/incr_fp_index/*.parquet'),
+    raw_batch AS (
+        -- genuinely new docs
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        -- corpus resubmissions, re-cased/padded (normalization-equal)
+        SELECT doc_id + 100000, upper(text) || '  '
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+        UNION ALL
+        -- within-batch duplicates of the new docs
+        SELECT doc_id + 200000, text
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+    ),
+    batch AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM raw_batch
+    ),
+    w AS (
+        SELECT b.doc_id, b.fp, ix.owner_id,
+               min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
+        FROM batch b LEFT JOIN ix ON ix.fp = b.fp
+    )
+    SELECT doc_id,
+           CASE WHEN owner_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN doc_id > first_in_batch THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           CASE WHEN owner_id IS NOT NULL THEN owner_id
+                WHEN doc_id > first_in_batch THEN first_in_batch END AS dup_of
+    FROM w
+    """,
+    "X1 incremental corpus ingestion: new batch deduped against the PERSISTED fingerprint index — the corpus itself is never rescanned",
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of exact dedup at 100 TB: the corpus'
+    fingerprint index (fp -> owning doc) is a maintained artifact, and
+    each incoming batch joins against the INDEX — a table of one
+    narrow row per distinct document — instead of rescanning corpus
+    text. Batch rows are classified new / dup_of_corpus /
+    dup_in_batch (lowest batch id wins within the batch, corpus
+    ownership wins over batch ties), with the duplicate target
+    reported. The index is oracle-shared; DuckDB re-derives every
+    classification. Accepted rows' fingerprints would then be appended
+    to the index — the maintenance step ``exact_dedup`` does in one
+    shot for a static corpus (operators/dedup.py:34)."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    # the incoming batch mixes genuinely new docs, corpus resubmissions
+    # (re-cased/whitespace-padded — normalization-equal), and
+    # within-batch duplicates, so every classification path executes
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 0)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    index = _persist_aux(
+        spark,
+        existing.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("owner_id")),
+        "incr_fp_index",
+    )
+    b = batch.select("doc_id", fingerprint("text").alias("fp"))
+    w = (
+        b.join(index, "fp", "left")
+        .withColumn("first_in_batch", F.min("doc_id").over(Window.partitionBy("fp")))
+    )
+    return w.select(
+        "doc_id",
+        F.when(F.col("owner_id").isNotNull(), "dup_of_corpus")
+        .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+        F.when(F.col("owner_id").isNotNull(), F.col("owner_id"))
+        .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
+        .alias("dup_of"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5763,7 +5859,7 @@ _GATE_FIRST = [
 # corpus_training_pipeline, entity_resolution_blocked,
 # event_transition_matrix, copurchase_association_rules,
 # streaming_left_outer_interval_join, copurchase_triangle_counts,
-# dbt_schema_tests.
+# dbt_schema_tests, dedup_incremental_batch.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
