@@ -5528,6 +5528,94 @@ def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Da
     return _run_staged_interval_join(spark, sf_dir, "leftOuter")
 
 
+_TRIANGLE_CTES = """
+    e AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg FROM (
+            SELECT x AS id FROM e UNION ALL SELECT y FROM e
+        ) GROUP BY 1
+    ),
+    oriented AS (
+        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS src,
+               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS dst
+        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
+    ),
+    wedges AS (
+        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+    ),
+    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w)),
+    tri_counts AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ) GROUP BY 1
+    )
+"""
+
+
+@query(
+    "copurchase_clustering_coefficient",
+    f"""
+    WITH {_TRIANGLE_CTES}
+    SELECT d.id,
+           d.deg AS degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tri_counts t ON t.id = d.id
+    """,
+    "X-tier graph: local clustering coefficient = triangles / C(degree,2) per node (composes triangle counting + degrees)",
+)
+def q_copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz local clustering per part: how close each node's
+    neighborhood is to a clique — the standard cohesion metric next to
+    raw triangle counts (community detection, anomalous-hub screening).
+    Composes the oriented triangle counts with the degree table; the
+    ratio normalizes by C(deg, 2) possible neighbor pairs. Isolated-
+    edge nodes (deg 1) get NULL, triangle-free nodes 0."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .distinct()
+    )
+    from finance_reporting_etl_spark.operators.graph import triangle_counts
+
+    deg = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionAll(edges.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.round(
+            F.coalesce("n_triangles", F.lit(0))
+            / F.nullif(F.col("degree") * (F.col("degree") - 1) / 2.0, F.lit(0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
 @query(
     "copurchase_triangle_counts",
     """
@@ -5859,7 +5947,7 @@ _GATE_FIRST = [
 # corpus_training_pipeline, entity_resolution_blocked,
 # event_transition_matrix, copurchase_association_rules,
 # streaming_left_outer_interval_join, copurchase_triangle_counts,
-# dbt_schema_tests, dedup_incremental_batch.
+# dbt_schema_tests, dedup_incremental_batch, copurchase_clustering_coefficient.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
