@@ -181,3 +181,82 @@ def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
         .unionAll(tri.select(F.col("w").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int = 2,
+    broadcast_node_limit: int = 10_000_000,
+) -> DataFrame:
+    """Weighted PageRank: contributions split proportionally to edge
+    weight (contrib = rank * w / weighted_out_degree) instead of
+    uniformly. Same loop shape as :func:`pagerank` — weighted degrees
+    ride the cached edges, only |V|-sized rank rows move per iteration.
+    Weights must be positive; a symmetric weighted graph again has no
+    dangling nodes."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w"))
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ed = e.join(wdeg, "src").persist()
+    nodes = ed.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()
+    bcast = n <= broadcast_node_limit
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        r = ranks.withColumnRenamed("id", "src")
+        contribs = (
+            ed.join(F.broadcast(r) if bcast else r, "src")
+            .select("dst", (F.col("rank") * F.col("w") / F.col("wdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        ).withColumnRenamed("dst", "id")
+        ranks = nodes.join(
+            F.broadcast(contribs) if bcast else contribs, "id", "left"
+        ).select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("id", (F.col("rank") * n).alias("rank")).localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str, damping: float = 0.85, iters: int = 8, scale_round: int = 6
+) -> str:
+    """Unrolled-CTE oracle for :func:`pagerank_weighted`; ``edges_sql``
+    must yield (src, dst, w)."""
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "wdeg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pr{i} AS (
+            SELECT nodes.id,
+                   (1 - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(c.s, 0) AS rank
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS id, sum(p.rank * e.w / wdeg.wdeg) AS s
+                FROM edges e
+                JOIN pr{i - 1} p ON p.id = e.src
+                JOIN wdeg ON wdeg.src = e.src
+                GROUP BY e.dst
+            ) c USING (id))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, round(rank * (SELECT n FROM nn), {scale_round}) AS rank FROM pr{iters}"
+    )

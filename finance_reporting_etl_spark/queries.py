@@ -5856,6 +5856,59 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_weighted_edges_sql() -> str:
+    return """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(DISTINCT a.l_orderkey) AS DOUBLE) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    """
+
+
+def _pagerank_weighted_oracle() -> str:
+    from finance_reporting_etl_spark.operators.graph import pagerank_weighted_oracle_sql
+
+    return pagerank_weighted_oracle_sql(
+        _copurchase_weighted_edges_sql(), damping=0.85, iters=8
+    )
+
+
+@query(
+    "part_copurchase_pagerank_weighted",
+    _pagerank_weighted_oracle(),
+    "X-tier weighted PageRank: contributions proportional to co-order counts (oracle = unrolled weighted iteration)",
+)
+def q_part_copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase PageRank where an edge's pull scales with HOW OFTEN
+    the pair was co-ordered (contrib = rank * w / weighted-out-degree)
+    — the form link-graph quality weighting actually uses (a domain
+    linked 1000x should pull harder than a one-off). Same
+    broadcast-rank loop as the unweighted operator; weighted degrees
+    ride the cached edges. Unweighted PageRank is the w=1 special
+    case, so the two queries' rank orderings diverging is itself
+    evidence the weights flow through (they do — co-order counts are
+    skewed)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count_distinct("a.l_orderkey").cast("double").alias("w"))
+    )
+    from finance_reporting_etl_spark.operators.graph import pagerank_weighted
+
+    return pagerank_weighted(edges, damping=0.85, iters=8).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5947,7 +6000,8 @@ _GATE_FIRST = [
 # corpus_training_pipeline, entity_resolution_blocked,
 # event_transition_matrix, copurchase_association_rules,
 # streaming_left_outer_interval_join, copurchase_triangle_counts,
-# dbt_schema_tests, dedup_incremental_batch, copurchase_clustering_coefficient.
+# dbt_schema_tests, dedup_incremental_batch,
+# copurchase_clustering_coefficient, part_copurchase_pagerank_weighted.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
