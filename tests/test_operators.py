@@ -1256,3 +1256,21 @@ def test_interval_join_plan_boundaries(spark):
     ).selectExpr("user_id", "CAST(purchase_ts_s AS TIMESTAMP) AS purchase_ts")
     out = interval_join_plan(L, R, "user_id", "view_ts", "purchase_ts", "1 DAY").collect()
     assert len(out) == 1 and str(out[0].purchase_ts) == "2024-01-02 00:00:00"
+
+
+def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
+    """pagerank is the w=1 special case of pagerank_weighted — with
+    uniform weights both must converge to identical ranks (star +
+    chain graph, both directions symmetrized)."""
+    from finance_reporting_etl_spark.operators.graph import pagerank, pagerank_weighted
+    from pyspark.sql import functions as F
+
+    und = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ew = e.withColumn("w", F.lit(1.0))
+    u = {r.id: r.rank for r in pagerank(e, iters=20).collect()}
+    w = {r.id: r.rank for r in pagerank_weighted(ew, iters=20).collect()}
+    assert set(u) == set(w)
+    for k in u:
+        assert abs(u[k] - w[k]) < 1e-12, (k, u[k], w[k])
