@@ -128,6 +128,13 @@ HEADLINE = [
     "copurchase_association_rules",
     "dbt_schema_tests",
     "dedup_incremental_batch",
+    # continuation-session additions
+    "copurchase_bfs_distances",
+    "span_dedup_rewrite",
+    "winsorized_value_stats",
+    "bm25_search_topk",
+    "asof_cogroup_pandas",
+    "target_encode_brand",
 ]
 
 

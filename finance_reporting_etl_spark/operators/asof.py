@@ -145,3 +145,71 @@ def asof_join_forward(
         *out_left,
         *[F.col(f"__next_r.{f}") for f in carried.schema["__next_r"].dataType.fieldNames()],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`asof_join` executed as a COGROUPED-MAP instead of a
+    window — ``groupBy(keys).cogroup(right.groupBy(keys))
+    .applyInPandas(...)`` hands each key's left and right rows to one
+    Arrow-batched pandas function, which does a vectorized
+    searchsorted lookup (backward inclusive; equal timestamps resolve
+    to the highest ``tiebreak``, bit-matching the window form).
+
+    This exists for the §2.9 cogroup surface and as the escape hatch
+    when per-key matching logic outgrows SQL (irregular calendars,
+    conditional matching, model-based imputation). For the plain as-of
+    contract PREFER :func:`asof_join`: it pays one shuffle on the
+    unioned input and stays JVM-side, while cogroup shuffles both
+    sides AND crosses the Arrow boundary. Cost parity otherwise — both
+    are one hash-partition of each input by key; per-key rows must fit
+    a pandas frame (fine for per-entity series; a million-row hot key
+    wants the window form, which spills).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    new_names = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"{right_ts}{suffix}", right.schema[right_ts].dataType, True)]
+        + [T.StructField(f"{c}{suffix}", right.schema[c].dataType, True) for c in right_cols]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    r_sort = [right_ts] + ([tiebreak] if tiebreak else [])
+    r_keep = [right_ts, *right_cols]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame({n: [] for n in out_names})
+        out = l.copy()
+        if len(r) == 0:
+            for n in new_names:
+                out[n] = None
+            return out[out_names]
+        r2 = r.sort_values(r_sort, kind="mergesort")
+        # last right row with ts <= left ts: searchsorted 'right' puts
+        # equal timestamps before the insertion point (inclusive match)
+        idx = np.searchsorted(r2[right_ts].values, l[left_ts].values, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        miss = idx < 0
+        for src, dst in zip(r_keep, new_names):
+            vals = pd.Series(r2[src].values[safe], index=out.index)
+            out[dst] = vals.mask(miss)
+        return out[out_names]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -570,3 +570,62 @@ def upsample_mixture(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Disjunctive (OR) keyword search ranked by Okapi BM25 — the
+    saturating, length-normalized upgrade of :func:`keyword_search`'s
+    TF-IDF sum: repeated terms stop paying past ~k1 occurrences and
+    long documents are discounted by dl/avgdl.
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d)    = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same inverted-index shape as keyword_search (term filter sits under
+    the explode, so only query-term postings survive the map side). The
+    extra inputs are per-doc length dl (rides the postings groupBy — no
+    second corpus scan: tf and dl aggregate together) and the scalar
+    (N, avgdl), a 1-row broadcast. avgdl is one exact-integer sum and a
+    single division, so every engine computes the identical double.
+    """
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    lens = toked.select(F.col(id_col), F.size("__toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    postings = (
+        toked.select(F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.select(id_col, "score", F.row_number().over(w).cast("long").alias("rank"))

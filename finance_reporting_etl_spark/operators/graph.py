@@ -260,3 +260,71 @@ def pagerank_weighted_oracle_sql(
         ",\n".join(parts)
         + f"\nSELECT id, round(rank * (SELECT n FROM nn), {scale_round}) AS rank FROM pr{iters}"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: exact minimum hop count from any source node,
+    up to ``max_hops`` (unreached nodes are absent from the result).
+
+    Frontier-based — the classic distributed-BFS shape (Pregel's
+    reachability step expressed as DataFrames): each round expands ONLY
+    the previous frontier (an anti-join removes already-settled nodes),
+    so per-round work is O(edges incident to the frontier), not O(|E|).
+    Contrast with the min-label-propagation form (dedup.py connected
+    components), which re-joins every settled node each round; for BFS
+    the frontier form computes the same fixpoint with monotonically
+    shrinking work. All arithmetic is integer — the oracle (unrolled
+    min-agg CTEs, :func:`bfs_oracle_sql`) hash-matches exactly.
+
+    Scale: the edge table is hash-partitioned by ``src`` once and
+    cached; each round shuffles only frontier-sized rows. Distances
+    accumulate in a union whose lineage is cut per round (eager
+    ``localCheckpoint``, same policy as :func:`pagerank`).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    settled = sources.select(
+        F.col(sources.columns[0]).alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        neighbors = (
+            e.join(frontier.withColumnRenamed("id", "src").drop("dist"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(settled, "id", "left_anti")
+            .select("id", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionAll(frontier).localCheckpoint(eager=True)
+    e.unpersist()
+    return settled
+
+
+def bfs_oracle_sql(edges_sql: str, sources_sql: str, max_hops: int = 4) -> str:
+    """The same BFS fixpoint unrolled as min-agg CTEs for DuckDB: each
+    round, a node's distance is the min of its current distance and
+    1 + any in-neighbor's distance — equivalent to the frontier form
+    because BFS distances are monotone (integer-exact either way)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        f"d0 AS (SELECT id, 0 AS dist FROM ({sources_sql}))",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""d{h} AS (
+            SELECT id, CAST(min(dist) AS INT) AS dist FROM (
+                SELECT id, dist FROM d{h - 1}
+                UNION ALL
+                SELECT e.dst AS id, p.dist + 1 AS dist
+                FROM edges e JOIN d{h - 1} p ON p.id = e.src
+            ) GROUP BY id)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM d{max_hops}"

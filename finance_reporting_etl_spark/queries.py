@@ -5909,6 +5909,483 @@ def q_part_copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def _copurchase_repeat_edges_sql() -> str:
+    # co-purchase pairs seen in >= 2 order lines: a much sparser graph
+    # than the raw co-purchase clique union (threshold prunes the
+    # one-off pairs), so BFS frontiers stay meaningful for several hops
+    return """
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
+def _bfs_oracle() -> str:
+    from finance_reporting_etl_spark.operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(
+        _copurchase_repeat_edges_sql(),
+        "SELECT DISTINCT src AS id FROM edges WHERE src % 97 = 0",
+        max_hops=4,
+    )
+
+
+@query(
+    "copurchase_bfs_distances",
+    _bfs_oracle(),
+    "X-tier iterative graph: multi-source BFS / reachability (frontier expansion, anti-join settles; oracle = unrolled min-agg CTEs)",
+)
+def q_copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from seed parts (partkey % 97 == 0) over the
+    repeat-co-purchase graph (pairs co-ordered >= 2 times), capped at 4
+    hops — the 'how far is every item from a curated seed set' shape
+    (catalog expansion, contamination blast-radius). Frontier BFS: each
+    round touches only edges incident to the newest frontier; settled
+    nodes are anti-joined away, so per-round work shrinks as the search
+    saturates. Integer arithmetic end-to-end — the unrolled oracle
+    hash-matches every (node, distance) pair exactly."""
+    from finance_reporting_etl_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
+    sources = edges.select("src").distinct().filter(F.col("src") % 97 == 0)
+    return bfs_distances(edges, sources, max_hops=4)
+
+
+@query(
+    "span_dedup_rewrite",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, g * 32 + 1, g * 32 + 32), ' ')
+                   AS chunk_text
+        FROM t, unnest(generate_series(0, (len(toks) + 31) // 32 - 1)) AS u(g)
+    ), w AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+    FROM w GROUP BY doc_id
+    """,
+    "X1/X-pipeline span-level dedup WITH document rewrite: global keep-first over 32-token spans, docs reassembled in span order (Lee-et-al exact-substring scrub, rewrite stage)",
+)
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of substring dedup: `chunk_dedup_occurrences`
+    FINDS repeated spans; this removes every later occurrence of a
+    repeated 32-token span (keep-first by (doc_id, span order)) and
+    reassembles each document's surviving spans into cleaned text — the
+    pass that actually scrubs boilerplate out of a training corpus.
+
+    Two uniform shuffles: one on the span fingerprint (md5 — no skew)
+    for the global keep-first window, one on doc_id to reassemble.
+    Reassembly sorts span structs INSIDE the row (array_sort of
+    (idx, text) structs) instead of a per-doc ordered window — order
+    restored without a third exchange. At 100 TB both keys are
+    fine-grained and uniform; nothing buffers more than one document."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(toks) + 31) div 32") - 1)
+        ).alias("g"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("g").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", F.col("g") * 32 + 1, F.lit(32)), " "
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text").cast("binary"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk_text
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "winsorized_value_stats",
+    """
+    WITH b AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ), bounds AS (
+        SELECT event_type,
+               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.01) AS BIGINT), 1)
+                        THEN value END) AS lo_cut,
+               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.99) AS BIGINT), 1)
+                        THEN value END) AS hi_cut
+        FROM b GROUP BY event_type
+    ), c AS (
+        SELECT b.event_type, lo_cut, hi_cut,
+               CAST(round(value * 100) AS BIGINT) AS rawi,
+               CAST(round(least(greatest(value, lo_cut), hi_cut) * 100) AS BIGINT)
+                   AS wini
+        FROM b JOIN bounds USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(lo_cut) AS lo_cut,
+           min(hi_cut) AS hi_cut,
+           round(CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
+           round(CAST(sum(wini) AS DOUBLE) / 100.0 / count(*), 6) AS mean_winsor,
+           round(sqrt(greatest(
+               (CAST(sum(wini * wini) AS DOUBLE)
+                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
+               / 10000.0 / (count(*) - 1), 0.0)), 6) AS sd_winsor
+    FROM c GROUP BY event_type
+    """,
+    "A-tier robust stats: nearest-rank winsorization (p01/p99 clip) + integer-scaled exact moments — outlier-robust per-group mean/sd",
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type value stats: clip at the exact
+    nearest-rank p01/p99 ORDER STATISTICS (real data values, so the
+    clipped column keeps the fixture's 2-decimal grid), then compute
+    mean/sd over integer-scaled cents — sums are exact integers in any
+    partial-aggregation order, the single float division at the end is
+    IEEE-identical across engines (the PLANS.md #10 tie-proofing
+    recipe applied to second moments). The rank pass is a group-
+    partitioned window (spills, never buffers a group); bounds are a
+    groups-sized broadcast join back."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_grp = Window.partitionBy("event_type")
+    b = ev.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_grp)
+    )
+    k_lo = F.greatest(F.ceil(F.col("cnt") * 0.01).cast("long"), F.lit(1).cast("long"))
+    k_hi = F.greatest(F.ceil(F.col("cnt") * 0.99).cast("long"), F.lit(1).cast("long"))
+    bounds = b.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("value"))).alias("lo_cut"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("value"))).alias("hi_cut"),
+    )
+    c = b.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.col("lo_cut"),
+        F.col("hi_cut"),
+        F.round(F.col("value") * 100).cast("long").alias("rawi"),
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut"))
+            * 100
+        )
+        .cast("long")
+        .alias("wini"),
+    )
+    n = F.count(F.lit(1))
+    sum_raw = F.sum("rawi").cast("double")
+    sum_win = F.sum("wini").cast("double")
+    sum_sq = F.sum(F.col("wini") * F.col("wini")).cast("double")
+    return c.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        F.round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
+        F.round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (sum_sq - sum_win * sum_win / n) / 10000.0 / (n - F.lit(1)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sd_winsor"),
+    )
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('vector', 'merge', 'stream') GROUP BY 1, 2
+    ),
+    p2 AS (SELECT p.doc_id, p.term, p.tf, l.dl
+           FROM postings p JOIN lens l USING (doc_id)),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+               ), 6) AS score
+        FROM p2 p JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "X4 BM25 ranked search (disjunctive): saturating tf + doc-length normalization over the same inverted-index shape as keyword_search_topk",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for {vector, merge, stream} under Okapi BM25
+    (k1=1.2, b=0.75) — OR semantics, so it also exercises the
+    partial-match ranking path `keyword_search_topk`'s conjunctive
+    filter never reaches. Doc length and tf aggregate in ONE postings
+    pass; (N, avgdl) is a 1-row broadcast."""
+    from finance_reporting_etl_spark.operators.corpus import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["vector", "merge", "stream"], k=10
+    )
+
+
+@query(
+    "streaming_sliding_window_counts",
+    """
+    SELECT time_bucket(INTERVAL '2 hours', ts) - INTERVAL 2 HOUR * k
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events, unnest(generate_series(0, 2)) AS u(k)
+    GROUP BY 1, 2
+    """,
+    "§2.8 sliding event-time windows (6h window / 2h slide) on a watermarked stream == per-event 3-window expansion in SQL",
+)
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 2 hours over the event stream: each
+    event is expanded map-side into its 3 covering windows (no
+    self-join), streaming state holds horizon/slide open windows per
+    group and the watermark closes each exactly once. The oracle does
+    the same expansion explicitly (bucket - 2h*k for k in 0..2). Epoch
+    alignment agrees between engines: Spark windows align to the Unix
+    epoch, DuckDB time_bucket to 2000-01-03, and their offset is a
+    whole multiple of the 2h slide."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from finance_reporting_etl_spark.streaming.rollup import streaming_rollup
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_slide_")
+    src = f"{tmp}/src"
+    events.write.mode("overwrite").parquet(src)
+    name = f"slide_stream_{uuid.uuid4().hex[:8]}"
+    q = streaming_rollup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        checkpoint_dir=f"{tmp}/ckpt",
+        output_table=name,
+        bucket="6 hours",
+        slide="2 hours",
+        watermark="12 hours",
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_sliding_window_counts did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "asof_cogroup_pandas",
+    """
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "§2.9 cogrouped-map applyInPandas: per-key pandas as-of merge == the window-form asof_join == DuckDB ASOF JOIN",
+)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of contract as `asof_latest_view_before_purchase`
+    (identical oracle), executed through the cogroup surface: both
+    sides hash-partition by user, each user's purchases and views meet
+    in one Arrow-batched pandas call doing a vectorized searchsorted.
+    Having both implementations verified against one oracle pins their
+    equivalence; the window form stays the production default (one
+    shuffle, JVM-side — see operators/asof.py docstrings)."""
+    from finance_reporting_etl_spark.operators.asof import asof_join_cogroup
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_cogroup(
+        purchases,
+        views,
+        ["user_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+
+
+@query(
+    "target_encode_brand",
+    """
+    WITH lab AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), stats AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM lab
+    )
+    SELECT p_brand, n, pos,
+           round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
+           round((pos + 20.0 * prior) / (n + 20.0), 6) AS encoded
+    FROM stats CROSS JOIN g
+    """,
+    "X-pipeline categorical target encoding: additive-smoothed per-category event rate (shrinks rare categories toward the global prior)",
+)
+def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of part brand by return rate:
+    encoded = (pos + alpha * prior) / (n + alpha), alpha=20 — the
+    leakage-averse categorical feature for tabular models (rare brands
+    shrink toward the global prior instead of memorizing noise).
+    Labels come from a broadcast dim join (part is the small side);
+    counts are exact integers (any partial-agg order), the prior and
+    the encoding are single float divisions, so the oracle hash-matches
+    bit-for-bit. The 1-row prior attaches via broadcast cross join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select(
+        "p_brand", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    stats = lab.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    g = lab.agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("prior"))
+    return stats.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("pos") + 20.0 * F.col("prior")) / (F.col("n") + 20.0), 6
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "streaming_static_dim_join",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    "§2.8 stream-static join: micro-batched event stream enriched by a broadcast dimension, then aggregated == batch join",
+)
+def q_streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrich-then-aggregate streaming shape: each micro-batch of
+    the event stream joins to a STATIC customer dimension (broadcast —
+    re-planned per batch, no stream-stream state) before a running
+    segment x type aggregate. This is the standard 100 TB layout for
+    dims that change slowly: keep the dim as a table, let every batch
+    broadcast-join it, reserve stateful stream-stream joins for two
+    genuinely unbounded sides. Replayed as 4 chronologically-unordered
+    micro-batches (maxFilesPerTrigger=1); complete-mode aggregate ==
+    the batch join bit-for-bit."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="stream_dim_")
+    src = f"{tmp}/src"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    name = f"dimjoin_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_static_dim_join did not finish within 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6001,7 +6478,11 @@ _GATE_FIRST = [
 # event_transition_matrix, copurchase_association_rules,
 # streaming_left_outer_interval_join, copurchase_triangle_counts,
 # dbt_schema_tests, dedup_incremental_batch,
-# copurchase_clustering_coefficient, part_copurchase_pagerank_weighted.
+# copurchase_clustering_coefficient, part_copurchase_pagerank_weighted,
+# and the continuation-session batch: copurchase_bfs_distances,
+# span_dedup_rewrite, winsorized_value_stats, bm25_search_topk,
+# streaming_sliding_window_counts, asof_cogroup_pandas,
+# target_encode_brand, streaming_static_dim_join.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

@@ -46,16 +46,29 @@ def _stream_agg(
     group_cols: tuple[str, ...],
     value_col: str,
     max_files_per_trigger: int | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Shared streaming logical plan: file stream -> watermark -> windowed
-    count/sum — identical to ``time_bucket_rollup``'s batch plan."""
+    count/sum — identical to ``time_bucket_rollup``'s batch plan.
+
+    ``slide`` < ``bucket`` makes the windows SLIDING: each event lands
+    in bucket/slide overlapping windows (Spark expands them map-side —
+    no self-join), and streaming state holds that many concurrent open
+    windows per group; the watermark still closes and evicts each
+    window exactly once, so state stays bounded by
+    (horizon/slide) x groups."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(source_dir)
+    win = (
+        F.window(F.col(ts_col), bucket, slide)
+        if slide
+        else F.window(F.col(ts_col), bucket)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("total_value"),
@@ -75,6 +88,7 @@ def streaming_rollup(
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    slide: str | None = None,
 ):
     """AvailableNow streaming version: processes everything currently in
     ``source_dir`` then stops — the daily-append cadence as a restartable
@@ -89,7 +103,10 @@ def streaming_rollup(
     Returns the StreamingQuery; caller awaits termination then reads
     ``spark.table(output_table)``.
     """
-    agg = _stream_agg(spark, source_dir, schema, bucket, ts_col, watermark, group_cols, value_col)
+    agg = _stream_agg(
+        spark, source_dir, schema, bucket, ts_col, watermark, group_cols, value_col,
+        slide=slide,
+    )
     return (
         agg.writeStream.format("memory")
         .queryName(output_table)

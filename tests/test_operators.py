@@ -1274,3 +1274,162 @@ def test_weighted_pagerank_uniform_weights_equals_unweighted(spark):
     assert set(u) == set(w)
     for k in u:
         assert abs(u[k] - w[k]) < 1e-12, (k, u[k], w[k])
+
+
+def test_bfs_distances_path_graph(spark):
+    """BFS on a directed path 1->2->3->4->5 from source {1}: exact hop
+    counts, max_hops cap excludes node 5, unreached node 9 absent."""
+    from finance_reporting_etl_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src bigint, dst bigint"
+    )
+    src = spark.createDataFrame([(1,)], "id bigint")
+    got = {r.id: r.dist for r in bfs_distances(e, src, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_takes_min_over_sources(spark):
+    """Two sources, shared frontier: each node settles at the nearer
+    source's distance; revisits never relabel."""
+    from finance_reporting_etl_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 4), (4, 3)], "src bigint, dst bigint"
+    )
+    src = spark.createDataFrame([(1,), (10,)], "id bigint")
+    got = {r.id: r.dist for r in bfs_distances(e, src, max_hops=4).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bm25_long_doc_discounted(spark):
+    """Two docs with one 'merge' hit each: the shorter doc must rank
+    first (length normalization), and a term-spamming doc must not
+    scale linearly (saturation: score(10 hits) < 10 x score(1 hit))."""
+    from finance_reporting_etl_spark.operators.corpus import bm25_search
+
+    rows = [
+        (1, "merge " + "x " * 5),
+        (2, "merge " + "x " * 50),
+        (3, ("merge " * 10) + "x " * 5),
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.score, r.rank) for r in bm25_search(df, ["merge"], k=10).collect()}
+    assert 4 not in out  # OR search still requires >= 1 term
+    assert out[1][0] > out[2][0]  # shorter doc wins at equal tf
+    assert out[3][0] < 10 * out[1][0]  # tf saturates
+    assert out[3][1] == 1  # but more hits still rank higher
+
+
+def test_winsorized_stats_clip_bounds_are_order_statistics(spark):
+    """The p99 cut must be the exact nearest-rank order statistic, and
+    the winsorized mean must be pulled toward the median vs the raw
+    mean when a huge outlier is present."""
+    from finance_reporting_etl_spark.queries import CATALOG  # noqa: F401 - shape via catalog
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import finance_reporting_etl_spark.queries as Q
+
+    rows = [(i, "t", float(i)) for i in range(1, 100)] + [(100, "t", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    # drive the catalog fn through a temp dir shaped like a fixture
+    # (single parquet FILE per table, like /root/testdata)
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp(prefix="winsor_")
+    try:
+        df.toPandas().to_parquet(os.path.join(d, "events.parquet"))
+        out = Q.CATALOG["winsorized_value_stats"].fn(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        # nearest-rank p99 of 100 rows is the 99th value = 99.0
+        assert r.hi_cut == 99.0 and r.lo_cut == 1.0
+        assert r.mean_winsor < r.mean_raw
+        assert abs(r.mean_winsor - (sum(range(1, 100)) + 99.0) / 100.0) < 1e-6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_span_dedup_rewrite_removes_later_occurrences(spark):
+    """A 32-token span repeated across two docs survives only in the
+    earlier doc; unique spans all survive; reassembly preserves span
+    order."""
+    import os
+    import shutil
+    import tempfile
+
+    import finance_reporting_etl_spark.queries as Q
+
+    span_a = " ".join(f"a{i}" for i in range(32))
+    span_b = " ".join(f"b{i}" for i in range(32))
+    span_c = " ".join(f"c{i}" for i in range(32))
+    df = spark.createDataFrame(
+        [(1, span_a + " " + span_b), (2, span_c + " " + span_a)],
+        "doc_id bigint, text string",
+    )
+    d = tempfile.mkdtemp(prefix="span_")
+    try:
+        df.toPandas().to_parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in Q.CATALOG["span_dedup_rewrite"].fn(spark, d).collect()}
+        assert out[1].n_chunks == 2 and out[1].n_kept == 2
+        assert out[1].clean_text == span_a + " " + span_b
+        # doc 2's copy of span_a is the later occurrence -> dropped
+        assert out[2].n_chunks == 2 and out[2].n_kept == 1
+        assert out[2].clean_text == span_c
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hof_cosine_matches_numpy(spark):
+    """Declarative higher-order-function cosine (zip_with + aggregate,
+    pure Catalyst — no Python at eval time) must match numpy. The
+    production similarity ops use Arrow-batched matmuls instead
+    (measured faster at scale); this pins the HOF surface itself."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [1.0, 0.0], [0.0, 1.0]),
+        (3, [2.0, 0.0], [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a array<double>, b array<double>")
+    dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))  # noqa: E731
+    got = {
+        r.id: r.cos
+        for r in df.select(
+            "id", (dot / (norm(F.col("a")) * norm(F.col("b")))).alias("cos")
+        ).collect()
+    }
+    for i, a, b in rows:
+        a, b = np.array(a), np.array(b)
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(got[i] - want) < 1e-12
+
+
+def test_asof_cogroup_handles_empty_sides(spark):
+    """Keys with only-left rows attach nulls; keys with only-right rows
+    emit nothing; equal timestamps resolve to the highest tiebreak —
+    same contract as the window-form asof_join."""
+    from finance_reporting_etl_spark.operators.asof import asof_join, asof_join_cogroup
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 5, 200)], "k bigint, ts bigint, ev bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9), (1, 3, 1), (3, 1, 5)],
+        "k bigint, ts bigint, rid bigint",
+    )
+    kwargs = dict(on=["k"], right_cols=["rid"], tiebreak="rid")
+    a = sorted(map(tuple, asof_join(left, right, **kwargs).collect()))
+    b = sorted(map(tuple, asof_join_cogroup(left, right, **kwargs).collect()))
+    assert a == b
+    got = {r.k: (r.ts_r, r.rid_r) for r in asof_join_cogroup(left, right, **kwargs).collect()}
+    assert got[1] == (10, 9)  # inclusive match, max-tiebreak among equal ts
+    assert got[2] == (None, None)  # no right rows for key 2
+    assert 3 not in got  # right-only key emits nothing

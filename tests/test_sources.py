@@ -176,3 +176,124 @@ def test_orc_and_text_roundtrip(spark, tmp_path):
     df.select("s").write.mode("overwrite").text(txt_p)
     lines = {r.value for r in spark.read.text(txt_p).collect()}
     assert lines == {f"row{i}" for i in range(100)}
+
+
+# --- format breadth: binaryFile source + UDTF surface ---------------------
+
+
+def test_binaryfile_source(spark, tmp_path):
+    """binaryFile datasource: opaque media blobs arrive as (path,
+    modificationTime, length, content) — the ingest half of the
+    multimodal column pattern (operators/multimodal.py consumes the
+    `content` bytes)."""
+    blob = bytes(range(16))
+    (tmp_path / "img_0.bin").write_bytes(blob)
+    (tmp_path / "img_1.bin").write_bytes(blob * 2)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    got = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert got == {"img_0.bin": (16, blob), "img_1.bin": (32, blob * 2)}
+
+
+def test_chunk_text_udtf_matches_column_expression(spark):
+    """SURVEY §2.9 UDTF surface: the Arrow-batched Python table function
+    must agree with the codegen'd explode/slice twin used in
+    production (operators/corpus.py chunking)."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.functions.udtfs import ChunkTextUDTF
+
+    spark.udtf.register("chunk_text", ChunkTextUDTF)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text
+        FROM udtf_docs d, LATERAL chunk_text(d.text, 32) c
+        """
+    ).collect()
+    toks = F.split(F.trim("text"), r"\s+")
+    want = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("(size(toks) + 31) div 32") - 1)
+            ).alias("g"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("g").cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("toks", F.col("g") * 32 + 1, F.lit(32)), " ").alias(
+                "chunk_text"
+            ),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_file_metadata_provenance(spark, tmp_path):
+    """The hidden `_metadata` struct gives per-row file provenance
+    (file_name, size, row_index) with zero data-column cost — the
+    lineage answer for multi-file ingest (which file did this bad row
+    come from)."""
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(1,), (2,)], "id bigint")
+    b = spark.createDataFrame([(3,)], "id bigint")
+    a.coalesce(1).write.parquet(str(tmp_path / "d"), mode="overwrite")
+    b.coalesce(1).write.mode("append").parquet(str(tmp_path / "d"))
+    df = spark.read.parquet(str(tmp_path / "d")).select(
+        "id", F.col("_metadata.file_name").alias("f")
+    )
+    per_file = {
+        r.f: r.n
+        for r in df.groupBy("f").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(per_file.values()) == [1, 2]
+    assert all(f.endswith(".parquet") for f in per_file)
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Append-era schema drift: a later batch adds a column; reading
+    with mergeSchema=true unions the schemas and nulls the missing
+    column in old files — the painless half of schema evolution (new
+    nullable column). Width changes or renames need a real table
+    format."""
+    p = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(
+        p, mode="overwrite"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, s string, score double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_from_xml_statement_payload(spark):
+    """Spark 4 native XML parsing (from_xml + schema_of_xml): the
+    XBRL-ish statement feed shape — typed extraction without a
+    third-party package."""
+    from pyspark.sql import functions as F
+
+    xml = (
+        "<report><symbol>AAPL</symbol><fiscalDate>2023-09-30</fiscalDate>"
+        "<revenue>383285000000</revenue></report>"
+    )
+    df = spark.createDataFrame([(xml,)], "payload string")
+    schema = "symbol string, fiscalDate date, revenue decimal(18,0)"
+    out = df.select(F.from_xml("payload", schema).alias("r")).select("r.*").collect()[0]
+    assert out.symbol == "AAPL"
+    assert str(out.fiscalDate) == "2023-09-30"
+    assert int(out.revenue) == 383285000000
