@@ -133,8 +133,13 @@ HEADLINE = [
     "span_dedup_rewrite",
     "winsorized_value_stats",
     "bm25_search_topk",
-    "asof_cogroup_pandas",
     "target_encode_brand",
+    "k_anonymity_suppress",
+    "embedding_int8_quantize",
+    # asof_cogroup_pandas is deliberately NOT a headline: it is the
+    # §2.9 cogroup API surface, measured 24x slower than the
+    # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas
+    # call) — the window form is the production path (PLANS.md #15).
 ]
 
 

@@ -252,3 +252,52 @@ def compact_partition(
         for s in fs.listStatus(p)
         if s.getPath().getName().endswith(".parquet")
     )
+
+
+def forget_keys(
+    spark,
+    path: str,
+    partition_col: str,
+    key_col: str,
+    keys: list,
+) -> int:
+    """Right-to-be-forgotten delete on a ``partitionBy(partition_col)``
+    parquet table WITHOUT a full-table rewrite: a pruned scan finds the
+    partitions that actually contain the keys, and only those are
+    rewritten (anti-filtered, staged, rename-aside swapped — the
+    compact_partition crash policy). Untouched partitions keep their
+    files byte-for-byte, which at 100 TB is the difference between a
+    bounded nightly job and rewriting the lake.
+
+    The affected-partition list is a driver collect bounded by the
+    number of partitions a subject can appear in (days x user), not by
+    data size. Single-writer; transactional formats (Delta/Iceberg)
+    subsume this with deletion vectors.
+
+    Returns the number of partitions rewritten.
+    """
+    df = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in df.filter(F.col(key_col).isin(keys))
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    for pv in affected:
+        part_dir = f"{path}/{partition_col}={pv}"
+        keep = spark.read.parquet(part_dir).filter(~F.col(key_col).isin(keys))
+        tmp = f"{path}/_forget_tmp_{partition_col}={pv}"
+        keep.write.mode("overwrite").parquet(tmp)
+        p = HPath(part_dir)
+        fs = p.getFileSystem(conf)
+        old = HPath(f"{path}/_forget_old_{partition_col}={pv}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(p, old)
+        fs.rename(HPath(tmp), p)
+        fs.delete(old, True)
+    return len(affected)

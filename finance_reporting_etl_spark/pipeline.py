@@ -218,3 +218,53 @@ def check_quality(
     if problems:
         raise ValueError("; ".join(problems))
     return m
+
+
+def publish_validated(
+    spark,
+    df,
+    path: str,
+    *,
+    null_cols: tuple[str, ...] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
+    min_rows: int = 1,
+    max_null_fraction: float = 0.0,
+) -> dict:
+    """Write-audit-publish: stage the output, audit it with the write
+    job's OWN Observation counters (:func:`observe_quality` — no
+    second scan), and only then swap it into the live path with a
+    rename. A failed audit raises, leaves the current live table
+    untouched, and keeps the staged directory for inspection — bad
+    data is never visible to readers, which is the entire point of WAP
+    on a 100 TB nightly build.
+
+    Publish uses the same rename-aside ordering as
+    ``operators.incremental.compact_partition``: live data survives
+    (as ``<path>_wap_old``) until the staged files are in place, so a
+    crash mid-publish never leaves the path missing. Single-writer
+    only; concurrent writers need a transactional table format.
+
+    Returns the collected metric dict on success.
+    """
+    obs_df, obs = observe_quality(df, null_cols=null_cols, bounds=bounds)
+    staged = path.rstrip("/") + "_wap_staged"
+    obs_df.write.mode("overwrite").parquet(staged)  # the audited action
+    metrics = check_quality(
+        obs,
+        min_rows=min_rows,
+        max_null_fraction=max_null_fraction,
+        bounds=bounds,
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    live = HPath(path)
+    fs = live.getFileSystem(conf)
+    old = HPath(path.rstrip("/") + "_wap_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(live):
+        fs.rename(live, old)
+    fs.rename(HPath(staged), live)
+    fs.delete(old, True)
+    return metrics

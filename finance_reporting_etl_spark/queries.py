@@ -6386,6 +6386,102 @@ def q_streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "k_anonymity_suppress",
+    """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(count(*) AS BIGINT) AS grp_n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN g.grp_n >= 10 THEN c.c_mktsegment END AS segment_anon,
+           CASE WHEN g.grp_n >= 10 THEN c.c_nationkey END AS nation_anon,
+           g.grp_n < 10 AS suppressed,
+           g.grp_n
+    FROM customer c
+    JOIN g ON c.c_mktsegment = g.c_mktsegment
+          AND c.c_nationkey = g.c_nationkey
+    """,
+    "O-tier data governance: k-anonymity suppression (k=10) over quasi-identifiers — rare (segment, nation) combos nulled before export",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-export anonymization: any (market segment, nation) combo
+    shared by fewer than k=10 customers is suppressed (both
+    quasi-identifiers nulled) so no exported row is re-identifiable to
+    a group smaller than k. Group sizes come from one aggregate whose
+    result is bounded by the QI domain (segments x nations), broadcast
+    back onto the row stream — a map-side decision at any scale."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    ok = F.col("grp_n") >= 10
+    return c.join(F.broadcast(g), ["c_mktsegment", "c_nationkey"]).select(
+        "c_custkey",
+        F.when(ok, F.col("c_mktsegment")).alias("segment_anon"),
+        F.when(ok, F.col("c_nationkey")).alias("nation_anon"),
+        (F.col("grp_n") < 10).alias("suppressed"),
+        "grp_n",
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, vd,
+               127.0 / list_max(list_transform(vd, x -> abs(x))) AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale))), 6) AS max_abs_err,
+           CAST(len(list_filter(
+               vd, x -> abs(round(x * scale)) = 127.0)) AS INT) AS n_sat
+    FROM m
+    """,
+    "X3 vector infra: per-vector symmetric int8 scalar quantization (4x memory cut) with exact reconstruction-error audit — element-wise, no aggregation order anywhere",
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = 127 / max|x|, codes = round(x * scale) — the 4x memory/IO
+    cut before ANN serving, with the reconstruction-error audit
+    (max |x - code/scale|, saturated-code count) computed in the same
+    pass. Everything is element-wise double math inside array
+    transforms (whole-stage codegen, map-side, zero shuffles), and no
+    float SUM exists anywhere, so the oracle hash-matches without any
+    summation-order defense."""
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", vd.alias("vd"))
+    scale = F.lit(127.0) / F.array_max(F.transform("vd", F.abs))
+    df = df.withColumn("scale", scale)
+    err = F.array_max(
+        F.transform(
+            "vd",
+            lambda x: F.abs(x - F.round(x * F.col("scale")) / F.col("scale")),
+        )
+    )
+    n_sat = F.size(
+        F.filter(
+            "vd", lambda x: F.abs(F.round(x * F.col("scale"))) == 127.0
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        n_sat.alias("n_sat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6482,7 +6578,8 @@ _GATE_FIRST = [
 # and the continuation-session batch: copurchase_bfs_distances,
 # span_dedup_rewrite, winsorized_value_stats, bm25_search_topk,
 # streaming_sliding_window_counts, asof_cogroup_pandas,
-# target_encode_brand, streaming_static_dim_join.
+# target_encode_brand, streaming_static_dim_join,
+# k_anonymity_suppress, embedding_int8_quantize.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

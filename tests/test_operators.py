@@ -1433,3 +1433,39 @@ def test_asof_cogroup_handles_empty_sides(spark):
     assert got[1] == (10, 9)  # inclusive match, max-tiebreak among equal ts
     assert got[2] == (None, None)  # no right rows for key 2
     assert 3 not in got  # right-only key emits nothing
+
+
+def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: the subjects' rows vanish, only the
+    partitions that contained them are rewritten, and untouched
+    partitions keep their files byte-for-byte (same file names)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.incremental import forget_keys
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, u, int(d[1]) * 10 + u) for d in ("d1", "d2", "d3") for u in (1, 2, 3)],
+        "day string, user_id bigint, v bigint",
+    )
+    df.write.partitionBy("day").parquet(path)
+    # user 9 only exists nowhere; user 1 exists in every partition ->
+    # rewrite all; instead forget a user present in d1 only
+    extra = spark.createDataFrame([("d1", 99, 0)], "day string, user_id bigint, v bigint")
+    extra.write.mode("append").partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_d2 = files("d2")
+    n = forget_keys(spark, path, "day", "user_id", [99])
+    assert n == 1  # only d1 contained user 99
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == 99).count() == 0
+    assert back.count() == 9  # everyone else survives
+    assert files("d2") == before_d2  # untouched partition: same files
+    # forgetting an absent key rewrites nothing
+    assert forget_keys(spark, path, "day", "user_id", [12345]) == 0

@@ -123,3 +123,37 @@ def test_observe_quality_metrics_ride_the_action(spark, tmp_path):
     clean.count()
     got = check_quality(obs2, bounds={"v": (0.0, 100.0)})
     assert got["n_rows"] == 1
+
+
+def test_publish_validated_swaps_on_success(spark, tmp_path):
+    """WAP happy path: staged data passes the audit and replaces the
+    live table atomically; metrics come from the write job itself."""
+    from finance_reporting_etl_spark.pipeline import publish_validated
+
+    path = str(tmp_path / "mart")
+    v1 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame([(1, 6.0), (2, 7.0)], "k long, v double")
+    m = publish_validated(
+        spark, v2, path, null_cols=("v",), bounds={"v": (0.0, 100.0)}
+    )
+    assert m["n_rows"] == 2 and m["nulls_v"] == 0
+    assert sorted(r.v for r in spark.read.parquet(path).collect()) == [6.0, 7.0]
+
+
+def test_publish_validated_failed_audit_leaves_live_untouched(spark, tmp_path):
+    """WAP audit failure: the live table still serves the OLD data, the
+    staged directory survives for debugging, and the error names the
+    violated rule."""
+    import pytest
+
+    from finance_reporting_etl_spark.pipeline import publish_validated
+
+    path = str(tmp_path / "mart")
+    v1 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    v1.write.parquet(path)
+    bad = spark.createDataFrame([(2, None)], "k long, v double")
+    with pytest.raises(ValueError, match="null fraction"):
+        publish_validated(spark, bad, path, null_cols=("v",))
+    assert [r.v for r in spark.read.parquet(path).collect()] == [5.0]
+    assert spark.read.parquet(path + "_wap_staged").count() == 1  # kept for debug

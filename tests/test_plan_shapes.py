@@ -197,3 +197,43 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must shrink the static 32 shuffle partitions to match the
+    (tiny) actual data — the runtime re-plan this engine leans on at
+    100 TB for skew/size adaptivity. Pin it so a conf regression
+    (adaptive disabled, coalescing off) fails here and not on cluster."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(1000)
+        .withColumn("k", F.col("id") % 5)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan or "coalesced" in plan, plan
+    assert df.rdd.getNumPartitions() < 32
+
+
+def test_rate_source_generates_monotonic_stream(spark, tmp_path):
+    """The built-in rate source — the standard synthetic load generator
+    for streaming soak tests — must deliver strictly monotonic
+    per-second values through the normal streaming machinery."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("rate_smoke").collect()
+    vals = sorted(r.value for r in rows)
+    assert vals == list(range(len(vals)))  # dense, monotonic, no gaps
