@@ -136,6 +136,13 @@ HEADLINE = [
     "target_encode_brand",
     "k_anonymity_suppress",
     "embedding_int8_quantize",
+    "abc_customer_classification",
+    "business_days_to_ship",
+    "event_trigram_paths",
+    "corpus_token_budget_select",
+    "session_bounce_rate",
+    "decision_stump_train",
+    "join_key_skew_profile",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -157,3 +157,68 @@ def distributed_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop(
         "__bucket", "__offset", "__rn"
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    sum_col: str,
+    key_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "cum",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact global running total ``sum(sum_col) OVER (ORDER BY
+    key_col, *tiebreaks ROWS UNBOUNDED PRECEDING)`` with NO
+    single-partition window — the :func:`distributed_ntile` recipe
+    generalized from prefix COUNTS to prefix SUMS (Pareto/ABC curves,
+    cumulative market share, token-budget cutoffs all need this over
+    data-sized inputs).
+
+    Same two-job shape: a sampled quantile sketch steers bucket
+    BALANCE only (any edge set is exact — ties stay bucket-local);
+    per-bucket totals prefix-sum through a <=buckets-row triangle join
+    (broadcast); rows get offset + an in-bucket running sum from a
+    bucket-partitioned window, which spills instead of ever holding
+    the global order in one task. For exactness across engines use an
+    integer ``sum_col`` (the PLANS.md #10 integer-scaling recipe) —
+    float prefix sums are order-defined and this operator pins the
+    same total order a SQL window would.
+
+    Descending order: pass a negated key (and negated tiebreaks if
+    they must also reverse); the running sum itself is unaffected.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    sample_val = F.when(
+        F.abs(F.hash(F.col(key_col), *[F.col(c) for c in tiebreak_cols])) % 8 == 0,
+        F.col(key_col),
+    )
+    edges = sorted(
+        set(
+            df.agg(F.percentile_approx(sample_val, qs, 2_000).alias("e")).head()["e"]
+            or []
+        )
+    )
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(F.col(key_col) > F.lit(e), 1).otherwise(0)
+    dfb = df.withColumn("__bucket", bucket.cast("int"))
+
+    totals = dfb.groupBy("__bucket").agg(F.sum(sum_col).alias("__tot"))
+    earlier = totals.select(
+        F.col("__bucket").alias("__b2"), F.col("__tot").alias("__tot2")
+    )
+    off_df = (
+        totals.join(F.broadcast(earlier), F.col("__b2") < F.col("__bucket"), "left")
+        .groupBy("__bucket")
+        .agg(F.coalesce(F.sum("__tot2"), F.lit(0)).alias("__offset"))
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(key_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dfb.join(F.broadcast(off_df), "__bucket")
+        .withColumn(out_col, F.sum(sum_col).over(w) + F.col("__offset"))
+        .drop("__bucket", "__offset")
+    )

@@ -6482,6 +6482,484 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "abc_customer_classification",
+    """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(rev_cents) AS DOUBLE) AS tot FROM r
+    ), c AS (
+        SELECT o_custkey, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+        FROM r
+    )
+    SELECT o_custkey, rev_cents,
+           round(CAST(cum AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.80 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    "A-tier Pareto/ABC analysis: exact global revenue prefix sum with NO single-partition window (distributed_cumsum — the ntile bucket/offset recipe generalized to running totals)",
+)
+def q_abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ABC: rank customers by lifetime revenue, classify by
+    cumulative revenue share (A <= 80%, B <= 95%, C rest). The naive
+    form is `sum() OVER (ORDER BY rev DESC)` — a SinglePartition
+    exchange, the same 100x-scale killer the deciles query had.
+    `distributed_cumsum` computes the identical exact prefix sum via
+    sketch-bucketed ranges + broadcast bucket offsets + per-bucket
+    windows. Revenue is integer cents so every partial sum is exact;
+    the share is one double division both engines compute
+    identically."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    tot = r.agg(F.sum("rev_cents").cast("double").alias("__tot"))
+    c = distributed_cumsum(
+        r.withColumn("__negrev", -F.col("rev_cents")),
+        sum_col="rev_cents",
+        key_col="__negrev",
+        tiebreak_cols=["o_custkey"],
+        out_col="cum",
+    )
+    share = F.col("cum").cast("double") / F.col("__tot")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rev_cents",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "business_days_to_ship",
+    """
+    WITH b AS (
+        SELECT o.o_orderpriority,
+               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+               -
+               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+                   AS bd
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_business_days,
+           CAST(max(bd) AS BIGINT) AS max_business_days
+    FROM b GROUP BY 1
+    """,
+    "§2.7 calendar arithmetic: business-day (weekday) distance via closed-form weekday counting — no calendar dimension table needed",
+)
+def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average WEEKDAYS from order to ship per priority. Weekday
+    distance uses the closed form f(d) = 5*(days/7) + min(days%7, 5)
+    anchored on a Monday (1970-01-05), so bd = f(ship) - f(order) —
+    pure integer column math instead of exploding a calendar spine or
+    joining a date dimension (which at 100 TB is a pointless broadcast
+    per row). Integer sums + one final division keep the oracle
+    hash-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def f(col: str):
+        days = f"datediff({col}, DATE'1970-01-05')"
+        return f"(5 * ({days} div 7) + least({days} % 7, 5))"
+
+    bd = F.expr(f"{f('l_shipdate')} - {f('o_orderdate')}").alias("bd")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderpriority", bd)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("bd").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_business_days"
+        ),
+        F.max("bd").cast("bigint").alias("max_business_days"),
+    )
+
+
+@query(
+    "event_trigram_paths",
+    """
+    WITH s AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path FROM s WHERE e3 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+    FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    "§2.5 sequential pattern mining: top event trigrams per user journey (double lead window -> count; the 3-step extension of the transition matrix)",
+)
+def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (A>B>C): two stacked `lead`s
+    over the per-user time order, then a plain count — the cheap
+    sequential-pattern mine that answers 'what do users actually do
+    next' without a sequence-mining library. One user-partitioned
+    window + one uniform path shuffle; top-10 via
+    TakeOrderedAndProject, rank assigned over the surviving <=10
+    rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    counts = s.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "path").limit(10)
+    wr = Window.orderBy(F.desc("n"), "path")
+    return top.select("path", "n", F.row_number().over(wr).cast("long").alias("rank"))
+
+
+@query(
+    "corpus_token_budget_select",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS ttr
+        FROM d
+    ), t AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget FROM s
+    ), c AS (
+        SELECT doc_id, n_tok, ttr,
+               CAST(sum(n_tok) OVER (ORDER BY ttr DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM s
+    )
+    SELECT doc_id, n_tok, ttr, cum_tokens
+    FROM c WHERE cum_tokens <= (SELECT budget FROM t)
+    """,
+    "X-pipeline token-budget curation: best-first (type-token-ratio) selection until a 50% token budget — distributed_cumsum applied to corpus building",
+)
+def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fill the training budget with the best data first': rank
+    documents by type-token ratio (vocabulary diversity — the cheap
+    repetition-quality proxy), take documents in quality order until
+    the cumulative token count hits 50% of the corpus. The cutoff
+    needs an exact GLOBAL running total in quality order — at corpus
+    scale that is `distributed_cumsum` (bucketed prefix sum, no
+    single-partition window), with integer token counts so the
+    cumulative is exact in any partial order. The budget scalar is a
+    1-row broadcast."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    s = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("ttr"),
+    )
+    budget = s.agg((F.sum("n_tok") / F.lit(2)).cast("bigint").alias("__budget"))
+    c = distributed_cumsum(
+        s.withColumn("__negttr", -F.col("ttr")),
+        sum_col="n_tok",
+        key_col="__negttr",
+        tiebreak_cols=["doc_id"],
+        out_col="cum_tokens",
+    )
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select("doc_id", "n_tok", "ttr", "cum_tokens")
+    )
+
+
+@query(
+    "session_bounce_rate",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    ), sessions AS (
+        SELECT user_id, sess,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sess
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    "§2.5/§2.8 product analytics: daily bounce rate (share of single-event gap-sessions) composed from session_window",
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of sessions that end after one event, per day of session
+    start — the engagement KPI every product dashboard carries.
+    Sessions come from the native `session_window` aggregate (30-min
+    gap); the oracle independently rebuilds the same sessions with the
+    lag/cumsum island method, so the two formulations are pinned
+    equal. Counts are exact; the rate is one division."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    day = F.col("w.start").cast("date").alias("day")
+    bounce = (F.col("n_events") == 1).cast("int")
+    return (
+        sessions.select(day, "n_events")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounce"),
+            F.round(
+                F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+@query(
+    "decision_stump_train",
+    """
+    WITH x AS (
+        SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(l_discount AS DOUBLE),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+    ), g AS (
+        SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+               CAST(sum(y) AS BIGINT) AS pos_v
+        FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT feature, v,
+               CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+               CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+               CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+               CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+        FROM g
+        WINDOW w AS (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM c WHERE nl < n
+    ), sc AS (
+        SELECT feature, thr, nl AS n_left, nr AS n_right,
+               round(
+                   (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+                   - (CAST(nl AS DOUBLE) / n
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nr AS DOUBLE) / n
+                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+               6) AS gini_gain
+        FROM s
+    )
+    SELECT feature, thr, n_left, n_right, gini_gain,
+           row_number() OVER (ORDER BY gini_gain DESC, feature, thr) AS rank
+    FROM sc ORDER BY gini_gain DESC, feature, thr LIMIT 10
+    """,
+    "X-tier distributed ML training: depth-1 decision tree (best Gini split) — candidate evaluation via prefix sums over per-value counts, never a per-threshold rescan",
+)
+def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains a decision stump (is this line item a return?) over two
+    features and reports the 10 best splits by Gini gain. The scalable
+    trick: candidate thresholds never rescan the data — per-value
+    class counts (one aggregate) turn into every threshold's
+    left/right counts via a prefix sum ordered by value, so cost is
+    O(data) + O(distinct values), the same structure real tree
+    learners (LightGBM histograms) use. Counts are exact integers;
+    the Gini expressions are identical double math on both engines;
+    argmax is deterministic via (gain, feature, thr) ordering."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
+    x = (
+        li.select(
+            F.lit("quantity").alias("feature"),
+            F.col("l_quantity").cast("double").alias("v"),
+            y,
+        )
+    ).unionAll(
+        li.select(
+            F.lit("discount").alias("feature"),
+            F.col("l_discount").cast("double").alias("v"),
+            y,
+        )
+    )
+    g = x.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "v",
+        F.sum("n_v").over(wc).alias("nl"),
+        F.sum("pos_v").over(wc).alias("posl"),
+        F.sum("n_v").over(wf).alias("n"),
+        F.sum("pos_v").over(wf).alias("pos"),
+    )
+    s = c.filter(F.col("nl") < F.col("n")).select(
+        "feature",
+        F.col("v").alias("thr"),
+        "nl",
+        "posl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("pos") - F.col("posl")).alias("posr"),
+        "n",
+        "pos",
+    )
+
+    def gini(pos, n):
+        pd_ = F.col(pos).cast("double") / F.col(n)
+        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
+        return F.lit(1.0) - pd_ * pd_ - qd * qd
+
+    parent = gini("pos", "n")
+    left = (F.col("nl").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posl").cast("double") / F.col("nl"))
+        * (F.col("posl").cast("double") / F.col("nl"))
+        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+    )
+    right = (F.col("nr").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posr").cast("double") / F.col("nr"))
+        * (F.col("posr").cast("double") / F.col("nr"))
+        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+    )
+    sc = s.select(
+        "feature",
+        "thr",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.round(parent - (left + right), 6).alias("gini_gain"),
+    )
+    top = sc.orderBy(F.desc("gini_gain"), "feature", "thr").limit(10)
+    wr = Window.orderBy(F.desc("gini_gain"), "feature", "thr")
+    return top.select(
+        "feature",
+        "thr",
+        "n_left",
+        "n_right",
+        "gini_gain",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS tot,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM k
+    )
+    SELECT key, n,
+           round(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
+           round(CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t), 6) AS skew_factor,
+           row_number() OVER (ORDER BY n DESC, key) AS rank
+    FROM k ORDER BY n DESC, key LIMIT 20
+    """,
+    "O-tier skew diagnostics: top-20 join keys by row share + skew factor (n/avg) — the pre-join audit that decides salting vs AQE",
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit you run BEFORE a big join: per-key row counts, share
+    of the table, and skew factor (count / mean count). Keys with
+    skew_factor in the hundreds want salting (operators/scale.py) or
+    AQE skew-split; everything here is one map-side-combined aggregate
+    plus a 1-row scalar broadcast, with TakeOrderedAndProject doing
+    the top-20."""
+    from pyspark.sql import Window
+
+    k = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = k.agg(
+        F.sum("n").cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double") * F.col("__n_keys") / F.col("__tot"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(20)
+    )
+    wr = Window.orderBy(F.desc("n"), "key")
+    return top.select(
+        "key", "n", "share", "skew_factor",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6579,7 +7057,10 @@ _GATE_FIRST = [
 # span_dedup_rewrite, winsorized_value_stats, bm25_search_topk,
 # streaming_sliding_window_counts, asof_cogroup_pandas,
 # target_encode_brand, streaming_static_dim_join,
-# k_anonymity_suppress, embedding_int8_quantize.
+# k_anonymity_suppress, embedding_int8_quantize,
+# abc_customer_classification, business_days_to_ship,
+# event_trigram_paths, corpus_token_budget_select,
+# session_bounce_rate, decision_stump_train, join_key_skew_profile.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

@@ -1469,3 +1469,110 @@ def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert files("d2") == before_d2  # untouched partition: same files
     # forgetting an absent key rewrites nothing
     assert forget_keys(spark, path, "day", "user_id", [12345]) == 0
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    """The bucketed prefix sum must equal the naive global-window
+    running total exactly, including duplicate keys resolved by the
+    tiebreak."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(1, 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id bigint, k bigint, v bigint").repartition(16)
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(
+            df, sum_col="v", key_col="k", tiebreak_cols=["id"], buckets=16
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_cumsum_plan_has_no_single_partition(spark):
+    """The whole point: the running total must not plan a
+    SinglePartition exchange (the window is bucket-partitioned)."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.lit(1).cast("bigint").alias("v")
+    )
+    out = distributed_cumsum(df, sum_col="v", key_col="k", tiebreak_cols=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_business_day_closed_form_matches_python(spark):
+    """The anchored weekday-count formula must agree with a literal
+    Python weekday walk across month/year boundaries and weekends."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    pairs = [
+        ("2023-12-29", "2024-01-02"),  # Fri -> Tue over New Year
+        ("2024-02-05", "2024-02-05"),  # same Monday
+        ("2024-02-03", "2024-02-04"),  # Sat -> Sun
+        ("2024-01-01", "2024-03-15"),
+        ("1995-06-02", "1995-06-12"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        F.col("a").cast("date").alias("a"), F.col("b").cast("date").alias("b")
+    )
+
+    def f(col):
+        days = f"datediff({col}, DATE'1970-01-05')"
+        return f"(5 * ({days} div 7) + least({days} % 7, 5))"
+
+    got = [r.bd for r in df.select(F.expr(f"{f('b')} - {f('a')}").alias("bd")).collect()]
+
+    def weekdays_between(a, b):
+        a = dt.date.fromisoformat(a)
+        b = dt.date.fromisoformat(b)
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    want = [weekdays_between(a, b) for a, b in pairs]
+    assert got == want
+
+
+def test_decision_stump_finds_perfect_split(spark, tmp_path):
+    """A hand-built table with a perfectly separating quantity
+    threshold: the stump must rank that split first with the full
+    parent impurity as its gain."""
+    import os
+
+    import finance_reporting_etl_spark.queries as Q
+
+    # quantity <= 2 -> never returned; quantity >= 3 -> always returned
+    rows = [(i, 1 + (i % 2), 0.05, "N") for i in range(8)] + [
+        (100 + i, 3 + (i % 2), 0.05, "R") for i in range(8)
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+    out = Q.CATALOG["decision_stump_train"].fn(spark, d).collect()
+    best = out[0]
+    assert best.rank == 1
+    assert best.feature == "quantity" and best.thr == 2.0
+    # balanced 50/50 labels: parent gini = 0.5, children pure -> gain 0.5
+    assert abs(best.gini_gain - 0.5) < 1e-9
+    # discount is constant -> it can never appear as a valid split
+    assert all(r.feature == "quantity" for r in out)
