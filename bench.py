@@ -143,6 +143,11 @@ HEADLINE = [
     "session_bounce_rate",
     "decision_stump_train",
     "join_key_skew_profile",
+    "rolling_correlation_series",
+    "ab_test_conversion_lift",
+    "trading_day_rollup",
+    "dow_seasonality_index",
+    "seed_sla_attainment",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -6960,6 +6960,320 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_correlation_series",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT a.day, a.cents AS x, b.cents AS y
+        FROM (SELECT day, cents FROM d WHERE event_type = 'purchase') a
+        JOIN (SELECT day, cents FROM d WHERE event_type = 'view') b USING (day)
+    ), w AS (
+        SELECT day,
+               CAST(count(*)   OVER win AS BIGINT) AS n,
+               CAST(sum(x)     OVER win AS BIGINT) AS sx,
+               CAST(sum(y)     OVER win AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+        FROM p
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS corr14
+    FROM w WHERE n = 14
+    """,
+    "§2.5 time-series analytics: 14-day rolling Pearson correlation between two revenue series — integer-cent moments make every window sum exact",
+)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day correlation between daily purchase and view
+    revenue (do the series move together this fortnight?). All five
+    rolling moments are integer-cent sums — exact in any order — and
+    the Pearson formula is assembled from them in identical double
+    math, so the oracle hash-matches. The ordered window runs over
+    the DAYS-sized daily table (bounded — one row per calendar day),
+    not the event stream; warm-up rows (n < 14) are dropped. Int64
+    headroom: cents^2 x 14 days stays far under 2^63 at any fixture
+    SF; switch moments to whole currency units before trillion-cent
+    days."""
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    a = d.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("cents").alias("x")
+    )
+    b = d.filter(F.col("event_type") == "view").select(
+        "day", F.col("cents").alias("y")
+    )
+    p = a.join(b, "day")
+    win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    w = p.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return (
+        w.filter(F.col("n") == 14)
+        .select("day", F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("corr14"))
+    )
+
+
+@query(
+    "ab_test_conversion_lift",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                                     substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef',
+                                  substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 2, 1)) - 1)
+                         AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS rate,
+           round((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_lo,
+           round((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_hi
+    FROM u GROUP BY arm
+    """,
+    "A-tier experimentation analytics: deterministic md5 arm assignment + per-arm conversion rate with Wilson 95% interval (exact counts, closed-form floats)",
+)
+def q_ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: users hash deterministically into arms (salted
+    md5 — the same engine-portable bucketing as the corpus split, so
+    assignment is reproducible anywhere), conversion = user ever
+    purchased, and each arm reports rate with a Wilson 95% interval
+    (the interval that stays sane at small n / extreme rates, unlike
+    the normal approximation). Counts are exact; every float is a
+    closed-form expression on those counts, evaluated identically by
+    both engines. One groupBy(user) + one groups-sized aggregate."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        F.when(md5_bucket("user_id", 256, salt="ab1") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    n = F.count(F.lit(1))
+    conv = F.sum("converted").cast("double")
+    rate = conv / n
+    z2_half = F.lit(1.9208) / n  # z^2/2 with z = 1.96
+    margin = F.lit(1.96) * F.sqrt(
+        rate * (F.lit(1.0) - rate) / n + F.lit(0.9604) / n / n  # z^2/4/n^2
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / n  # 1 + z^2/n
+    return u.groupBy("arm").agg(
+        n.alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(rate, 6).alias("rate"),
+        F.round((rate + z2_half - margin) / denom, 6).alias("wilson_lo"),
+        F.round((rate + z2_half + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "trading_day_rollup",
+    """
+    SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+                     AS TIMESTAMP) AS DATE) AS trading_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+    """,
+    "§2.7 time-zone semantics: exchange-local (America/New_York) trading-day rollup — DST-correct wall-clock bucketing of a UTC event stream",
+)
+def q_trading_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup on the EXCHANGE's calendar, not UTC's: a 23:30 New
+    York trade belongs to that NY day even though UTC has already
+    rolled over. `from_utc_timestamp(ts, 'America/New_York')` applies
+    the real tzdata rules (including DST transitions), and both
+    engines share the same tz database, so the oracle hash-matches
+    across the spring-forward/fall-back boundaries. Sums are integer
+    cents — exact in any order."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_utc_timestamp("ts", "America/New_York")
+            .cast("date")
+            .alias("trading_day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("trading_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("cents"),
+        )
+    )
+
+
+@query(
+    "dow_seasonality_index",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ), k AS (
+        SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM d GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(cents) AS DOUBLE) / sum(n_days) AS overall_daily FROM k
+    )
+    SELECT dow, n_days,
+           round(CAST(cents AS DOUBLE) / n_days / 100.0, 6) AS avg_daily_revenue,
+           round((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t),
+                 6) AS seasonality_index
+    FROM k
+    """,
+    "§2.5/§2.7 seasonality profile: day-of-week revenue index (dow mean / overall mean) — exact integer cents, single divisions",
+)
+def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality: each day-of-week's average daily revenue as
+    a multiple of the overall daily average (index 1.0 = typical day)
+    — the profile that feeds staffing/capacity models and anomaly
+    baselines. Daily totals are integer cents (exact in any order);
+    both ratios are single double divisions both engines evaluate
+    identically. Day-of-week numbering is pinned to Spark's dayofweek
+    (1=Sunday..7=Saturday); DuckDB's 0-based dayofweek is shifted +1
+    in the oracle to match."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    k = d.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("cents")
+    )
+    t = k.agg(
+        (F.sum("cents").cast("double") / F.sum("n_days")).alias("__overall")
+    )
+    per_day = F.col("cents").cast("double") / F.col("n_days")
+    return k.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_days",
+        F.round(per_day / 100.0, 6).alias("avg_daily_revenue"),
+        F.round(per_day / F.col("__overall"), 6).alias("seasonality_index"),
+    )
+
+
+@query(
+    "seed_sla_attainment",
+    """
+    WITH sla AS (
+        SELECT * FROM (VALUES
+            ('1-URGENT', 5), ('2-HIGH', 7), ('3-MEDIUM', 10),
+            ('4-NOT SPECIFIED', 14), ('5-LOW', 21)
+        ) AS v(o_orderpriority, sla_business_days)
+    ), b AS (
+        SELECT o.o_orderpriority, s.sla_business_days,
+               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+               -
+               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+                   AS bd
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN sla s ON o.o_orderpriority = s.o_orderpriority
+    )
+    SELECT o_orderpriority, sla_business_days,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_met,
+           round(CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS attainment
+    FROM b GROUP BY 1, 2
+    """,
+    "S-tier dbt-seed analog: literal in-code dimension (priority -> SLA days) broadcast-joined to facts; SLA attainment via business-day distance",
+)
+def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 'seed' parity: small hand-maintained dimensions live as
+    literal rows in code (versioned with the models), get broadcast
+    onto the fact stream, and never touch external storage. Here the
+    seed maps order priority to an SLA in business days; attainment =
+    share of line items shipped within SLA using the closed-form
+    weekday distance from `business_days_to_ship`. Counts exact,
+    one division."""
+    sla = spark.createDataFrame(
+        [
+            ("1-URGENT", 5),
+            ("2-HIGH", 7),
+            ("3-MEDIUM", 10),
+            ("4-NOT SPECIFIED", 14),
+            ("5-LOW", 21),
+        ],
+        "o_orderpriority string, sla_business_days int",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+
+    def f(col: str):
+        days = f"datediff({col}, DATE'1970-01-05')"
+        return f"(5 * ({days} div 7) + least({days} % 7, 5))"
+
+    bd = F.expr(f"{f('l_shipdate')} - {f('o_orderdate')}").alias("bd")
+    b = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sla), "o_orderpriority")
+        .select("o_orderpriority", "sla_business_days", bd)
+    )
+    met = (F.col("bd") <= F.col("sla_business_days")).cast("int")
+    return b.groupBy("o_orderpriority", "sla_business_days").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(met).cast("bigint").alias("n_met"),
+        F.round(F.sum(met).cast("double") / F.count(F.lit(1)), 6).alias(
+            "attainment"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7060,7 +7374,9 @@ _GATE_FIRST = [
 # k_anonymity_suppress, embedding_int8_quantize,
 # abc_customer_classification, business_days_to_ship,
 # event_trigram_paths, corpus_token_budget_select,
-# session_bounce_rate, decision_stump_train, join_key_skew_profile.
+# session_bounce_rate, decision_stump_train, join_key_skew_profile,
+# rolling_correlation_series, ab_test_conversion_lift,
+# trading_day_rollup, dow_seasonality_index, seed_sla_attainment.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
