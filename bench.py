@@ -148,6 +148,10 @@ HEADLINE = [
     "trading_day_rollup",
     "dow_seasonality_index",
     "seed_sla_attainment",
+    "capped_user_balance",
+    "embedding_outlier_flags",
+    "revenue_bridge_mom",
+    "interval_union_coverage",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -47,3 +47,35 @@ def ema_last_per_key(
 
     out_schema = f"{key_col} long, n_events long, ema_final double"
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def clamped_balance_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+) -> DataFrame:
+    """(key, n_events, final_balance): running balance with a floor —
+    b_t = max(floor, b_{t-1} + delta_t) — folded over each key's rows
+    in ``order_cols`` order. The clamp makes this recursive (the max
+    depends on the previous partial result), so like the EMA it is
+    inexpressible as a window aggregate; unlike the EMA the deltas are
+    integers, so the fold is EXACT in any engine. Same applyInPandas
+    envelope: one shuffle on the key, one group per task."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        b = 0
+        for d in pdf[delta_col].astype("int64").to_numpy():
+            b = max(floor, b + int(d))
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance": [b],
+            }
+        )
+
+    out_schema = f"{key_col} long, n_events long, final_balance long"
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

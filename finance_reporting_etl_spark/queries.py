@@ -7274,6 +7274,253 @@ def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "capped_user_balance",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list(CAST(round(value * 100) AS BIGINT)
+                        * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                        ORDER BY ts, event_id)),
+               (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
+               AS final_balance
+    FROM events
+    GROUP BY user_id
+    """,
+    "custom per-key recursive fold #2: floor-clamped running balance (exact integer fold via grouped-map applyInPandas == DuckDB list_reduce)",
+)
+def q_capped_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-style running balance per user: purchases add cents,
+    every other event spends them, and the balance can never go below
+    zero — b_t = max(0, b_{t-1} + delta_t). The clamp makes each step
+    depend on the previous PARTIAL result, so no window aggregate or
+    prefix sum expresses it; the grouped-map fold is the engine-native
+    answer (one shuffle on user_id). Deltas are integer cents, so the
+    fold is exact — the oracle replays the identical fold with
+    list_reduce, seeded by a prepended 0 so one-event groups follow
+    the same clamp path."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        clamped_balance_per_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.round(F.col("value") * 100).cast("bigint")
+            * F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+        ).alias("delta"),
+    )
+    return clamped_balance_per_key(ev, "user_id", ["ts", "event_id"], "delta")
+
+
+@query(
+    "embedding_outlier_flags",
+    f"""
+    WITH st AS (SELECT * FROM '{_AUX_DIR}/emb_outlier_stats/*.parquet'),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ), d AS (
+        SELECT v.vec_id,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(
+                       generate_series(1, len(vd)),
+                       i -> (vd[i] - st.cen[i]) * (vd[i] - st.cen[i]))),
+                   (acc, x) -> acc + x)) AS dist,
+               st.mu AS mu, st.sigma AS sigma
+        FROM v CROSS JOIN st
+    )
+    SELECT vec_id, round(dist, 6) AS dist,
+           dist > mu + 2.0 * sigma AS is_outlier
+    FROM d
+    """,
+    "X3 embedding quality: distance-to-centroid outlier flags (persisted-stats oracle re-derives every distance + flag; centroid/mu/sigma determinism pinned by pytest)",
+)
+def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags embeddings far from the corpus centroid (dist > mu + 2
+    sigma) — the cheap first-pass filter for corrupt / out-of-domain
+    vectors before they poison ANN indexes or dedup. The centroid and
+    the distance-distribution scalars (mu, sigma) involve float sums
+    whose order Spark does not pin, so they are persisted once via the
+    aux-table pattern; every per-vector DISTANCE and FLAG is then
+    re-derived independently by the oracle with an identical
+    left-fold, and hash-compared. Map-side only after the two scalar
+    aggregates; no shuffle touches data-sized rows."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    )
+    dim = 64
+    cen_row = emb.select(
+        F.array(
+            *[F.avg(F.element_at("vd", i + 1)) for i in range(dim)]
+        ).alias("cen")
+    ).head()
+    cen = [float(c) for c in cen_row["cen"]]
+    cen_col = F.array(*[F.lit(c) for c in cen])
+    diff_sq = F.transform(
+        F.sequence(F.lit(1), F.size("vd")),
+        lambda i: (F.element_at("vd", i) - F.element_at(cen_col, i))
+        * (F.element_at("vd", i) - F.element_at(cen_col, i)),
+    )
+    dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+    dists = emb.select("vec_id", dist.alias("dist"))
+    stats = dists.agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
+    ).head()
+    mu, sigma = float(stats["mu"]), float(stats["sigma"])
+    aux = spark.createDataFrame(
+        [(cen, mu, sigma)], "cen array<double>, mu double, sigma double"
+    )
+    _persist_aux(spark, aux, "emb_outlier_stats")
+    return dists.select(
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+        (F.col("dist") > F.lit(mu) + 2.0 * F.lit(sigma)).alias("is_outlier"),
+    )
+
+
+@query(
+    "revenue_bridge_mom",
+    """
+    WITH m AS (
+        SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, month, n, cents,
+               lag(n)     OVER win AS n0,
+               lag(cents) OVER win AS cents0
+        FROM m WINDOW win AS (PARTITION BY event_type ORDER BY month)
+    )
+    SELECT event_type, month,
+           round(CAST(cents - cents0 AS DOUBLE) / 100.0, 6) AS delta_revenue,
+           round((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0, 6)
+               AS volume_effect,
+           round(n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0, 6) AS value_effect
+    FROM w WHERE n0 IS NOT NULL
+    """,
+    "A-tier finance bridge: month-over-month revenue decomposed into volume x value effects (delta = volume + value exactly, by construction)",
+)
+def q_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting 'waterfall': how much of each month's revenue
+    change came from MORE events (volume effect, at last month's
+    average ticket) vs BIGGER events (value effect, on this month's
+    volume). Defined so volume + value == delta exactly:
+    (n1-n0)*a0 + n1*(a1-a0) = n1*a1 - n0*a0. Monthly totals are
+    integer cents; the effects are identical double expressions, and
+    the lag window is partitioned by series — nothing global."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("month", "ts").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    win = Window.partitionBy("event_type").orderBy("month")
+    w = m.withColumn("n0", F.lag("n").over(win)).withColumn(
+        "cents0", F.lag("cents").over(win)
+    )
+    a0 = F.col("cents0").cast("double") / F.col("n0")
+    a1 = F.col("cents").cast("double") / F.col("n")
+    return w.filter(F.col("n0").isNotNull()).select(
+        "event_type",
+        "month",
+        F.round((F.col("cents") - F.col("cents0")).cast("double") / 100.0, 6).alias(
+            "delta_revenue"
+        ),
+        F.round((F.col("n") - F.col("n0")) * a0 / 100.0, 6).alias("volume_effect"),
+        F.round(F.col("n") * (a1 - a0) / 100.0, 6).alias("value_effect"),
+    )
+
+
+@query(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+        SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM events
+    ), o AS (
+        SELECT user_id, lo, hi,
+               max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_hi
+        FROM iv
+    ), g AS (
+        SELECT user_id, lo, hi,
+               CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ), s AS (
+        SELECT user_id, lo, hi,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM g
+    ), merged AS (
+        SELECT user_id, grp, min(lo) AS lo, max(hi) AS hi
+        FROM s GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(date_diff('second', lo, hi)) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+    "§2.5 interval algebra: per-key union of overlapping intervals (sweep-line via running max + island grouping) — total covered time, no self-join",
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total distinct time each user was 'active' when every event
+    opens a 30-minute activity window: overlapping windows must merge
+    before summing (naive sum double-counts overlaps). The sweep-line
+    formulation — running max of interval ends detects gaps, a cumsum
+    of gap flags numbers the merged islands — is one partitioned
+    window pass, no interval self-join anywhere. Second-granularity
+    integer durations keep the oracle exact."""
+    from pyspark.sql import Window
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = iv.withColumn("prev_max_hi", F.max("hi").over(w_prev)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_hi").isNull() | (F.col("lo") > F.col("prev_max_hi")), 1
+        ).otherwise(0),
+    )
+    merged = (
+        g.withColumn("grp", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "grp")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(
+            (F.unix_timestamp("hi") - F.unix_timestamp("lo")).cast("bigint")
+        ).alias("covered_seconds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7376,7 +7623,9 @@ _GATE_FIRST = [
 # event_trigram_paths, corpus_token_budget_select,
 # session_bounce_rate, decision_stump_train, join_key_skew_profile,
 # rolling_correlation_series, ab_test_conversion_lift,
-# trading_day_rollup, dow_seasonality_index, seed_sla_attainment.
+# trading_day_rollup, dow_seasonality_index, seed_sla_attainment,
+# capped_user_balance, embedding_outlier_flags, revenue_bridge_mom,
+# interval_union_coverage.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

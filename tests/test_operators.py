@@ -1666,3 +1666,101 @@ def test_trading_day_rollup_dst_boundaries(spark, tmp_path):
     pdf.to_parquet(os.path.join(d, "events.parquet"))
     out = {str(r.trading_day): r.n_events for r in Q.CATALOG["trading_day_rollup"].fn(spark, d).collect()}
     assert out == {"2024-01-01": 1, "2024-01-02": 1, "2024-03-10": 2, "2024-03-11": 1}
+
+
+def test_clamped_balance_floor_semantics(spark):
+    """The floor clamp must engage mid-fold: a big early spend cannot
+    drive the balance negative, so later deposits rebuild from 0 (a
+    plain prefix sum would give a different, wrong answer)."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        clamped_balance_per_key,
+    )
+
+    rows = [
+        (1, 1, 1, 500),   # +5.00
+        (1, 2, 2, -2000), # spend 20.00 -> clamps to 0 (not -15.00)
+        (1, 3, 3, 300),   # +3.00 -> 300, NOT -1200
+        (2, 1, 4, -100),  # first event is a spend -> 0
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_id bigint, delta bigint")
+    got = {
+        r.user_id: r.final_balance
+        for r in clamped_balance_per_key(df, "user_id", ["ts", "event_id"], "delta").collect()
+    }
+    assert got == {1: 300, 2: 0}
+
+
+def test_mapinarrow_batches_roundtrip(spark):
+    """§2.9 mapInArrow surface: transform pyarrow RecordBatches
+    directly (zero pandas materialization) — the lowest-overhead
+    Python hook for columnar batch logic. Doubling a column through
+    Arrow must equal the Catalyst expression."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("k"))
+
+    def double_k(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("id"), pa.compute.multiply(b.column("k"), 2)],
+                names=["id", "k2"],
+            )
+
+    got = df.mapInArrow(double_k, schema="id long, k2 long")
+    want = df.select("id", (F.col("k") * 2).alias("k2"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_interval_union_merges_overlaps(spark, tmp_path):
+    """Three overlapping 30-min windows must merge into one covered
+    span (no double counting); a distant event opens a second span."""
+    import os
+
+    import pandas as pd
+
+    import finance_reporting_etl_spark.queries as Q
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base + pd.Timedelta(minutes=10), 1, "view", 1.0),
+        (3, base + pd.Timedelta(minutes=20), 1, "view", 1.0),
+        (4, base + pd.Timedelta(hours=5), 1, "view", 1.0),
+        (5, base, 2, "view", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    d = str(tmp_path)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: (r.n_intervals, r.covered_seconds)
+           for r in Q.CATALOG["interval_union_coverage"].fn(spark, d).collect()}
+    # user 1: [10:00,10:50) merged (50 min) + [15:00,15:30) = 80 min
+    assert out[1] == (2, 80 * 60)
+    assert out[2] == (1, 30 * 60)
+
+
+def test_revenue_bridge_effects_sum_to_delta(spark, tmp_path):
+    """volume_effect + value_effect must equal delta_revenue exactly
+    for every (series, month) — the bridge identity."""
+    import os
+
+    import pandas as pd
+
+    import finance_reporting_etl_spark.queries as Q
+
+    rows = []
+    eid = 0
+    for month, n, ticket in [(1, 10, 5.00), (2, 14, 6.50), (3, 7, 4.25)]:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, pd.Timestamp(f"2024-{month:02d}-15"), 1, "purchase", ticket))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    d = str(tmp_path)
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    out = Q.CATALOG["revenue_bridge_mom"].fn(spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs((r.volume_effect + r.value_effect) - r.delta_revenue) < 1e-6
+    feb = next(r for r in out if str(r.month).startswith("2024-02"))
+    assert abs(feb.delta_revenue - (14 * 6.50 - 10 * 5.00)) < 1e-6
+    assert abs(feb.volume_effect - (14 - 10) * 5.00) < 1e-6
