@@ -152,6 +152,9 @@ HEADLINE = [
     "embedding_outlier_flags",
     "revenue_bridge_mom",
     "interval_union_coverage",
+    "cohort_ltv_curve",
+    "open_orders_backlog_daily",
+    "decision_tree_depth2",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -6817,78 +6817,23 @@ def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(data) + O(distinct values), the same structure real tree
     learners (LightGBM histograms) use. Counts are exact integers;
     the Gini expressions are identical double math on both engines;
-    argmax is deterministic via (gain, feature, thr) ordering."""
+    argmax is deterministic via (gain, feature, thr) ordering. The
+    candidate evaluation lives in operators/ml.py and is shared with
+    `decision_tree_depth2`."""
     from pyspark.sql import Window
 
-    li = _t(spark, sf_dir, "lineitem")
-    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
-    x = (
-        li.select(
-            F.lit("quantity").alias("feature"),
-            F.col("l_quantity").cast("double").alias("v"),
-            y,
-        )
-    ).unionAll(
-        li.select(
-            F.lit("discount").alias("feature"),
-            F.col("l_discount").cast("double").alias("v"),
-            y,
-        )
-    )
-    g = x.groupBy("feature", "v").agg(
-        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
-    )
-    wc = (
-        Window.partitionBy("feature")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = Window.partitionBy("feature")
-    c = g.select(
-        "feature",
-        "v",
-        F.sum("n_v").over(wc).alias("nl"),
-        F.sum("pos_v").over(wc).alias("posl"),
-        F.sum("n_v").over(wf).alias("n"),
-        F.sum("pos_v").over(wf).alias("pos"),
-    )
-    s = c.filter(F.col("nl") < F.col("n")).select(
-        "feature",
-        F.col("v").alias("thr"),
-        "nl",
-        "posl",
-        (F.col("n") - F.col("nl")).alias("nr"),
-        (F.col("pos") - F.col("posl")).alias("posr"),
-        "n",
-        "pos",
+    from finance_reporting_etl_spark.operators.ml import (
+        melt_features,
+        stump_candidates,
     )
 
-    def gini(pos, n):
-        pd_ = F.col(pos).cast("double") / F.col(n)
-        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
-        return F.lit(1.0) - pd_ * pd_ - qd * qd
-
-    parent = gini("pos", "n")
-    left = (F.col("nl").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posl").cast("double") / F.col("nl"))
-        * (F.col("posl").cast("double") / F.col("nl"))
-        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
-        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    right = (F.col("nr").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posr").cast("double") / F.col("nr"))
-        * (F.col("posr").cast("double") / F.col("nr"))
-        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-    )
-    sc = s.select(
-        "feature",
-        "thr",
-        F.col("nl").alias("n_left"),
-        F.col("nr").alias("n_right"),
-        F.round(parent - (left + right), 6).alias("gini_gain"),
+    sc = stump_candidates(
+        melt_features(li, {"quantity": "l_quantity", "discount": "l_discount"}, "y")
     )
     top = sc.orderBy(F.desc("gini_gain"), "feature", "thr").limit(10)
     wr = Window.orderBy(F.desc("gini_gain"), "feature", "thr")
@@ -7521,6 +7466,241 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY 1
+    ), rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                    AS BIGINT) AS week_index,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events e
+        JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_week, week_index,
+               CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_index
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort_week, c.week_index, s.cohort_users,
+           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0, 6)
+               AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+    "§2.5 cohort LTV curves: cumulative purchase revenue per cohort user by weeks-since-first-seen (cohort-partitioned running total)",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves: for each signup cohort (first-seen
+    week), cumulative purchase revenue per cohort member at each week
+    of age — the retention economics readout behind payback-period
+    decisions. The running total partitions by cohort (never global),
+    revenue is integer cents, cohort sizes broadcast; the only float
+    is the final per-user division."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_index"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_index",
+        "cohort_users",
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("cohort_users") / 100.0, 6
+        ).alias("ltv_per_user"),
+    )
+
+
+@query(
+    "open_orders_backlog_daily",
+    """
+    WITH cl AS (
+        SELECT l_orderkey, max(l_shipdate) AS close_day
+        FROM lineitem GROUP BY 1
+    ), d AS (
+        SELECT o.o_orderdate AS day, 1 AS delta
+        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
+        UNION ALL
+        SELECT cl.close_day, -1
+        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
+    ), g AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY 1
+    )
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM g
+    """,
+    "§2.5 sweep-line backlog: daily count of open orders (+1 at order date, -1 at final ship) — event deltas + running sum over the bounded day spine",
+)
+def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational backlog: how many orders are open (placed, not yet
+    fully shipped) on each calendar day. The sweep-line encoding —
+    +1 on the order date, -1 on the last ship date, running-sum the
+    per-day deltas — turns an interval-overlap count into one
+    aggregate plus a window over the DAYS-sized spine (bounded by the
+    calendar, not the data; the deltas aggregate map-side before any
+    window sees them). Exact integers end to end."""
+    from pyspark.sql import Window
+
+    cl = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("close_day"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = o.join(cl, o.o_orderkey == cl.l_orderkey)
+    d = j.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")).unionAll(
+        j.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    g = d.groupBy("day").agg(F.sum("delta").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select("day", F.sum("delta").over(w).cast("bigint").alias("open_orders"))
+
+
+def _stump_sql(src: str) -> str:
+    """DuckDB twin of operators.ml.stump_candidates over a melted
+    (feature, v, y) relation ``src``: every candidate split with its
+    Gini gain, identical expression tree to the Spark side."""
+    return f"""
+    SELECT feature, thr, nl AS n_left, nr AS n_right,
+           round(
+               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+           6) AS gini_gain
+    FROM (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM (
+            SELECT feature, v,
+                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+                         CAST(sum(y) AS BIGINT) AS pos_v
+                  FROM {src} GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)
+        ) WHERE nl < n
+    )"""
+
+
+def _tree_oracle() -> str:
+    melt = (
+        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
+        "UNION ALL SELECT 'discount', d, y FROM {src}"
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_discount AS DOUBLE) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    mroot AS ({melt.format(src="base")}),
+    root AS (
+        SELECT * FROM ({_stump_sql("mroot")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    ),
+    lb AS (
+        SELECT b.* FROM base b CROSS JOIN root r
+        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) <= r.thr
+    ),
+    rb AS (
+        SELECT b.* FROM base b CROSS JOIN root r
+        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) > r.thr
+    ),
+    ml_ AS ({melt.format(src="lb")}),
+    lbest AS (
+        SELECT * FROM ({_stump_sql("ml_")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    ),
+    mr_ AS ({melt.format(src="rb")}),
+    rbest AS (
+        SELECT * FROM ({_stump_sql("mr_")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    )
+    SELECT 'root' AS node, feature, thr, n_left, n_right, gini_gain FROM root
+    UNION ALL
+    SELECT 'L', feature, thr, n_left, n_right, gini_gain FROM lbest
+    UNION ALL
+    SELECT 'R', feature, thr, n_left, n_right, gini_gain FROM rbest
+    """
+
+
+@query(
+    "decision_tree_depth2",
+    _tree_oracle(),
+    "X-tier iterative ML training: depth-2 Gini tree — root split, then best split per leaf; the oracle RE-LEARNS the whole tree from scratch in SQL (per-level prefix-sum evaluation, deterministic argmax)",
+)
+def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One level deeper than the stump: learn the root split, then the
+    best split inside each child — the smallest real 'iterative
+    training' loop (each level's input depends on the previous
+    level's learned parameters). Per level it is the same
+    O(data) + O(distinct-values) prefix-sum evaluation; the learned
+    root (1 row) is the only driver traffic. The oracle does not
+    check stored parameters — it RE-LEARNS the tree end-to-end in
+    SQL, so a mismatch anywhere in the training path (counts, gains,
+    argmax, leaf routing) fails the hash."""
+    from finance_reporting_etl_spark.operators.ml import train_depth2_tree
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return train_depth2_tree(
+        li, {"quantity": "l_quantity", "discount": "l_discount"}, "y"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7625,7 +7805,8 @@ _GATE_FIRST = [
 # rolling_correlation_series, ab_test_conversion_lift,
 # trading_day_rollup, dow_seasonality_index, seed_sla_attainment,
 # capped_user_balance, embedding_outlier_flags, revenue_bridge_mom,
-# interval_union_coverage.
+# interval_union_coverage, cohort_ltv_curve,
+# open_orders_backlog_daily, decision_tree_depth2.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

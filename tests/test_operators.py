@@ -1764,3 +1764,29 @@ def test_revenue_bridge_effects_sum_to_delta(spark, tmp_path):
     feb = next(r for r in out if str(r.month).startswith("2024-02"))
     assert abs(feb.delta_revenue - (14 * 6.50 - 10 * 5.00)) < 1e-6
     assert abs(feb.volume_effect - (14 - 10) * 5.00) < 1e-6
+
+
+def test_depth2_tree_solves_xor(spark):
+    """XOR labels (stump-unlearnable: every root gain is 0) must be
+    fully separated at depth 2 — each leaf's best split has gain 0.5
+    on the OTHER feature."""
+    from finance_reporting_etl_spark.operators.ml import train_depth2_tree
+    from pyspark.sql import functions as F
+
+    rows = []
+    i = 0
+    for q in (1.0, 2.0):
+        for d in (0.0, 0.1):
+            y = int((q == 1.0) != (d == 0.0))
+            for _ in range(5):
+                i += 1
+                rows.append((i, q, d, y))
+    df = spark.createDataFrame(rows, "id bigint, q double, d double, y int")
+    out = {r.node: r for r in train_depth2_tree(df, {"quantity": "q", "discount": "d"}, "y").collect()}
+    assert abs(out["root"].gini_gain) < 1e-9  # XOR: no single split helps
+    for leaf in ("L", "R"):
+        assert abs(out[leaf].gini_gain - 0.5) < 1e-9  # pure after 2nd split
+    # root picked 'discount' (tiebreak: gain desc, feature asc), so both
+    # leaves must separate on the complementary feature
+    assert out["root"].feature == "discount"
+    assert out["L"].feature == out["R"].feature == "quantity"
