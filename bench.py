@@ -155,6 +155,8 @@ HEADLINE = [
     "cohort_ltv_curve",
     "open_orders_backlog_daily",
     "decision_tree_depth2",
+    "stump_bagging_eval",
+    "inference_score_calibration",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

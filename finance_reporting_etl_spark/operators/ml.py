@@ -160,3 +160,64 @@ def train_depth2_tree(
                 )
             )
     return spark.createDataFrame(rows, schema)
+
+
+def best_stump_full(xy: DataFrame):
+    """Like :func:`best_stump_row` but keeps the leaf class counts
+    (posl/posr) so each leaf's MAJORITY CLASS is known — what an
+    actual classifier needs to predict. Returns the best row of
+    (feature, thr, nl, posl, nr, posr, gini_gain), or None."""
+    g = xy.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "v",
+        F.sum("n_v").over(wc).alias("nl"),
+        F.sum("pos_v").over(wc).alias("posl"),
+        F.sum("n_v").over(wf).alias("n"),
+        F.sum("pos_v").over(wf).alias("pos"),
+    )
+    s = c.filter(F.col("nl") < F.col("n")).select(
+        "feature",
+        F.col("v").alias("thr"),
+        "nl",
+        "posl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("pos") - F.col("posl")).alias("posr"),
+        "n",
+        "pos",
+    )
+
+    def _gini(pos: str, n: str):
+        pd_ = F.col(pos).cast("double") / F.col(n)
+        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
+        return F.lit(1.0) - pd_ * pd_ - qd * qd
+
+    parent = _gini("pos", "n")
+    left = (F.col("nl").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posl").cast("double") / F.col("nl"))
+        * (F.col("posl").cast("double") / F.col("nl"))
+        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+    )
+    right = (F.col("nr").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posr").cast("double") / F.col("nr"))
+        * (F.col("posr").cast("double") / F.col("nr"))
+        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+    )
+    scored = s.select(
+        "feature", "thr", "nl", "posl", "nr", "posr",
+        F.round(parent - (left + right), 6).alias("gini_gain"),
+    )
+    rows = scored.orderBy(F.desc("gini_gain"), "feature", "thr").limit(1).collect()
+    return rows[0] if rows else None

@@ -7701,6 +7701,250 @@ def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "inference_score_calibration",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+        SELECT label,
+               round(1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               ))), 6) AS score
+        FROM e
+    ), b AS (
+        SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+               CAST(round(score * 1000000) AS BIGINT) AS s_micro,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+               AS mean_conf,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM b GROUP BY 1
+    """,
+    "X-pipeline model monitoring: reliability table (confidence bins vs realized positive rate) for the linear-probe scores — micro-int-scaled exact mean confidence",
+)
+def q_inference_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality classifier calibrated? Scores bucket into ten
+    equal-width confidence bins; each bin reports mean predicted
+    confidence vs the realized positive rate (one-vs-rest on label 0)
+    — the reliability diagram behind every model-monitoring dashboard.
+    Scores are the round-6 deterministic linear-probe outputs (same
+    expression the inference oracle re-derives), so scaling them by
+    1e6 gives exact integer confidence sums; rates are single
+    divisions. One map-side pass + a 10-row aggregate."""
+    from finance_reporting_etl_spark.operators.inference import score_embeddings
+
+    scored = score_embeddings(_t(spark, sf_dir, "embeddings"))
+    b = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(F.col("score") * 1_000_000).cast("bigint").alias("s_micro"),
+        (F.col("label") == 0).cast("int").alias("y"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum("s_micro").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 6
+        ).alias("mean_conf"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )
+
+
+def _stump_full_sql(src: str) -> str:
+    """DuckDB stump candidates KEEPING leaf class counts (the SQL twin
+    of operators.ml.best_stump_full before its argmax)."""
+    return f"""
+    SELECT feature, thr, nl, posl, nr, posr,
+           round(
+               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+           6) AS gini_gain
+    FROM (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM (
+            SELECT feature, v,
+                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+                         CAST(sum(y) AS BIGINT) AS pos_v
+                  FROM {src} GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)
+        ) WHERE nl < n
+    )"""
+
+
+def _bagging_oracle() -> str:
+    b256 = (
+        "CAST((instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
+        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
+        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 2, 1)) - 1)"
+        " AS BIGINT)"
+    )
+    melt = (
+        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
+        "UNION ALL SELECT 'discount', d, y FROM {src}"
+    )
+    parts = [
+        f"""WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_discount AS DOUBLE) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               {b256} % 3 AS fold
+        FROM lineitem
+    )"""
+    ]
+    for k in range(3):
+        parts.append(f"f{k} AS (SELECT * FROM base WHERE fold = {k})")
+        parts.append(f"m{k}_ AS ({melt.format(src=f'f{k}')})")
+        parts.append(
+            f"""b{k} AS (
+            SELECT * FROM ({_stump_full_sql(f'm{k}_')})
+            QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+        )"""
+        )
+    pred = lambda k: (  # noqa: E731
+        f"CASE WHEN (CASE WHEN s{k}.feature = 'quantity' THEN b.q ELSE b.d END)"
+        f" <= s{k}.thr"
+        f" THEN CASE WHEN 2 * s{k}.posl > s{k}.nl THEN 1 ELSE 0 END"
+        f" ELSE CASE WHEN 2 * s{k}.posr > s{k}.nr THEN 1 ELSE 0 END END"
+    )
+    parts.append(
+        f"""ev AS (
+        SELECT b.y, {pred(0)} AS p0, {pred(1)} AS p1, {pred(2)} AS p2
+        FROM base b CROSS JOIN b0 s0 CROSS JOIN b1 s1 CROSS JOIN b2 s2
+    )"""
+    )
+    selects = []
+    for k in range(3):
+        selects.append(
+            f"""SELECT 'model_{k}' AS model,
+               (SELECT feature FROM b{k}) AS feature,
+               (SELECT thr FROM b{k}) AS thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM f{k}) AS n_train,
+               round(CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM ev"""
+        )
+    selects.append(
+        """SELECT 'ensemble' AS model,
+               CAST(NULL AS VARCHAR) AS feature,
+               CAST(NULL AS DOUBLE) AS thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_train,
+               round(CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+                                              THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM ev"""
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "stump_bagging_eval",
+    _bagging_oracle(),
+    "X-tier ensemble: 3 stumps bagged on disjoint md5 folds + majority-vote evaluation over all rows — the oracle re-trains every member AND re-scores every row in SQL",
+)
+def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged-stump ensemble: rows hash into 3 disjoint folds (salted
+    md5 — reproducible anywhere), each fold trains a stump whose
+    leaves predict their majority class, and the 2-of-3 vote is scored
+    against every row alongside each member. Training reuses the
+    prefix-sum evaluator; scoring is pure column CASE logic on the 3
+    collected parameter rows (model params are the ONLY driver
+    traffic). Accuracies are exact-count divisions. The oracle
+    re-learns all three members and re-votes every row — the whole
+    ensemble lifecycle is hash-verified."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.ml import best_stump_full, melt_features
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("lq"),
+        F.col("l_discount").alias("ld"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            md5_bucket(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+                256,
+                salt="bag",
+            )
+            % 3
+        ).alias("fold"),
+    )
+    feats = {"quantity": "lq", "discount": "ld"}
+    models = []
+    for k in range(3):
+        models.append(
+            best_stump_full(melt_features(li.filter(F.col("fold") == k), feats, "y"))
+        )
+    fold_sizes = {
+        r["fold"]: r["n"]
+        for r in li.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def pred(m):
+        val = F.col("lq") if m["feature"] == "quantity" else F.col("ld")
+        left = F.lit(1) if 2 * m["posl"] > m["nl"] else F.lit(0)
+        right = F.lit(1) if 2 * m["posr"] > m["nr"] else F.lit(0)
+        return F.when(val.cast("double") <= float(m["thr"]), left).otherwise(right)
+
+    preds = [pred(m).alias(f"p{k}") for k, m in enumerate(models)]
+    ens = F.when(sum(F.col(f"p{k}") for k in range(3)) >= 2, 1).otherwise(0)
+    ev = li.select("y", *preds).withColumn("pe", ens)
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"p{k}") == F.col("y")).cast("int")).alias(f"c{k}")
+            for k in range(3)
+        ],
+        F.sum((F.col("pe") == F.col("y")).cast("int")).alias("ce"),
+    ).head()
+    n = agg["n"]
+    rows = [
+        (
+            f"model_{k}",
+            models[k]["feature"],
+            float(models[k]["thr"]),
+            int(fold_sizes[k]),
+            int(agg[f"c{k}"]),
+        )
+        for k in range(3)
+    ]
+    rows.append(("ensemble", None, None, int(n), int(agg["ce"])))
+    raw = spark.createDataFrame(
+        rows,
+        "model string, feature string, thr double, n_train bigint, n_correct bigint",
+    )
+    # rounding happens in Spark SQL (HALF_UP, matching DuckDB's
+    # half-away-from-zero) — Python's round() is banker's rounding and
+    # would diverge on exact 5e-7 ties
+    return raw.select(
+        "model",
+        "feature",
+        "thr",
+        "n_train",
+        F.round(F.col("n_correct").cast("double") / F.lit(int(n)), 6).alias(
+            "accuracy"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7806,7 +8050,8 @@ _GATE_FIRST = [
 # trading_day_rollup, dow_seasonality_index, seed_sla_attainment,
 # capped_user_balance, embedding_outlier_flags, revenue_bridge_mom,
 # interval_union_coverage, cohort_ltv_curve,
-# open_orders_backlog_daily, decision_tree_depth2.
+# open_orders_backlog_daily, decision_tree_depth2,
+# stump_bagging_eval, inference_score_calibration.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

@@ -1790,3 +1790,30 @@ def test_depth2_tree_solves_xor(spark):
     # leaves must separate on the complementary feature
     assert out["root"].feature == "discount"
     assert out["L"].feature == out["R"].feature == "quantity"
+
+
+def test_bagging_members_and_ensemble_perfect_on_separable(spark, tmp_path):
+    """Perfectly separable labels (y = quantity > 25): every fold's
+    stump and the majority vote must all score accuracy 1.0."""
+    import os
+
+    import pandas as pd
+
+    import finance_reporting_etl_spark.queries as Q
+
+    rows = [
+        (i, i % 97, float(10 + (i % 40)), 0.05, "R" if (10 + (i % 40)) > 25 else "N")
+        for i in range(600)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"],
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"))
+    out = {r.model: r for r in Q.CATALOG["stump_bagging_eval"].fn(spark, d).collect()}
+    assert set(out) == {"model_0", "model_1", "model_2", "ensemble"}
+    for m in out.values():
+        assert abs(m.accuracy - 1.0) < 1e-9
+    assert out["ensemble"].feature is None and out["ensemble"].thr is None
+    assert sum(out[f"model_{k}"].n_train for k in range(3)) == 600
