@@ -7945,6 +7945,65 @@ def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gini_revenue_concentration",
+    """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), rk AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                   AS i
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS total_revenue,
+           round(CAST(2 * sum(i * cents) AS DOUBLE)
+                 / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+    FROM rk
+    """,
+    "A-tier inequality metric: Gini coefficient of customer revenue via the rank formula — exact integer rank-weighted sums, one scalar output",
+)
+def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is revenue across customers? The rank form of
+    the Gini coefficient, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with
+    x sorted ascending — every sum is an exact integer (ranks x
+    cents fit int64 with orders of headroom), so the only floats are
+    two final divisions. Ranks come from the distributed_cumsum
+    machinery (counting 1s in value order) — no SinglePartition
+    window touches the customer-sized table; the rank-weighted sums
+    then aggregate map-side."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    rk = distributed_cumsum(
+        r, sum_col="__one", key_col="cents", tiebreak_cols=["o_custkey"], out_col="i"
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("cents")
+    return rk.agg(
+        n.alias("n_customers"),
+        F.round(tot.cast("double") / 100.0, 6).alias("total_revenue"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
+            / (n * tot.cast("double"))
+            - (n + F.lit(1)).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8051,7 +8110,8 @@ _GATE_FIRST = [
 # capped_user_balance, embedding_outlier_flags, revenue_bridge_mom,
 # interval_union_coverage, cohort_ltv_curve,
 # open_orders_backlog_daily, decision_tree_depth2,
-# stump_bagging_eval, inference_score_calibration.
+# stump_bagging_eval, inference_score_calibration,
+# gini_revenue_concentration.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

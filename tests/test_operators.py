@@ -1817,3 +1817,39 @@ def test_bagging_members_and_ensemble_perfect_on_separable(spark, tmp_path):
         assert abs(m.accuracy - 1.0) < 1e-9
     assert out["ensemble"].feature is None and out["ensemble"].thr is None
     assert sum(out[f"model_{k}"].n_train for k in range(3)) == 600
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Uniform revenue gives Gini 0; one customer holding almost all
+    revenue pushes it toward 1 (exact rank-formula values)."""
+    import os
+
+    import pandas as pd
+
+    import finance_reporting_etl_spark.queries as Q
+
+    def run(rows, d):
+        pdf = pd.DataFrame(
+            rows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice", "o_orderdate", "o_orderpriority"]
+        )
+        pdf["o_orderdate"] = pd.Timestamp("2024-01-01")
+        pdf.to_parquet(os.path.join(d, "orders.parquet"))
+        return Q.CATALOG["gini_revenue_concentration"].fn(spark, d).collect()[0]
+
+    import tempfile, shutil
+    d1 = tempfile.mkdtemp(prefix="gini_")
+    d2 = tempfile.mkdtemp(prefix="gini_")
+    try:
+        uniform = [(i, i, "F", 100.0, None, "1-URGENT") for i in range(10)]
+        r = run(uniform, d1)
+        assert r.n_customers == 10 and abs(r.gini) < 1e-9
+        skewed = [(i, i, "F", 0.01, None, "1-URGENT") for i in range(9)] + [
+            (9, 9, "F", 10000.0, None, "1-URGENT")
+        ]
+        r2 = run(skewed, d2)
+        # rank formula on [0.01 x9, 10000]: G ~ 0.9 - tiny
+        assert r2.gini > 0.89
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
