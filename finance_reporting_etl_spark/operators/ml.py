@@ -221,3 +221,77 @@ def best_stump_full(xy: DataFrame):
     )
     rows = scored.orderBy(F.desc("gini_gain"), "feature", "thr").limit(1).collect()
     return rows[0] if rows else None
+
+
+def best_stumps_by_fold(xyf: DataFrame) -> list:
+    """Per-fold best stumps in ONE pass: input is a melted
+    (fold, feature, v, y) frame; the per-value counts, prefix sums and
+    Gini scoring all partition by (fold, feature), and a per-fold rank
+    window picks each fold's argmax — so training an N-member bagged
+    ensemble costs the same shuffle count as training one member,
+    instead of N sequential jobs. Returns the collected best rows
+    (fold, feature, thr, nl, posl, nr, posr, gini_gain), one per fold
+    that has a valid split — bounded driver traffic (model params)."""
+    g = xyf.groupBy("fold", "feature", "v").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
+    )
+    wc = (
+        Window.partitionBy("fold", "feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("fold", "feature")
+    c = g.select(
+        "fold",
+        "feature",
+        "v",
+        F.sum("n_v").over(wc).alias("nl"),
+        F.sum("pos_v").over(wc).alias("posl"),
+        F.sum("n_v").over(wf).alias("n"),
+        F.sum("pos_v").over(wf).alias("pos"),
+    )
+    s = c.filter(F.col("nl") < F.col("n")).select(
+        "fold",
+        "feature",
+        F.col("v").alias("thr"),
+        "nl",
+        "posl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("pos") - F.col("posl")).alias("posr"),
+        "n",
+        "pos",
+    )
+
+    def _gini(pos: str, n: str):
+        pd_ = F.col(pos).cast("double") / F.col(n)
+        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
+        return F.lit(1.0) - pd_ * pd_ - qd * qd
+
+    parent = _gini("pos", "n")
+    left = (F.col("nl").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posl").cast("double") / F.col("nl"))
+        * (F.col("posl").cast("double") / F.col("nl"))
+        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
+    )
+    right = (F.col("nr").cast("double") / F.col("n")) * (
+        F.lit(1.0)
+        - (F.col("posr").cast("double") / F.col("nr"))
+        * (F.col("posr").cast("double") / F.col("nr"))
+        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
+    )
+    scored = s.select(
+        "fold", "feature", "thr", "nl", "posl", "nr", "posr",
+        F.round(parent - (left + right), 6).alias("gini_gain"),
+    )
+    wr = Window.partitionBy("fold").orderBy(
+        F.desc("gini_gain"), "feature", "thr"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    )

@@ -297,3 +297,63 @@ def test_histogram_median_within_bin_width(spark, values):
     est = histogram_quantiles(merged, ps=(0.5,)).collect()[0].est
     order_stat = sorted(values)[math.ceil(0.5 * len(values)) - 1]
     assert abs(est - order_stat) <= 4.0 + 1e-6, (est, order_stat)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_distributed_cumsum_property(spark, pairs):
+    """For ANY keyed integer sequence (duplicate keys, negatives,
+    skew), the bucketed prefix sum equals the reference running total
+    in (key, id) order — including with very few buckets, where most
+    rows share one bucket and the window does the work."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(7)
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(
+            df, sum_col="v", key_col="k", tiebreak_cols=["id"], buckets=4
+        ).collect()
+    }
+    acc = 0
+    want = {}
+    for i, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(-500, 500)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_clamped_balance_property(spark, pairs):
+    """The grouped-map clamped fold equals a literal Python fold for
+    any per-key delta sequence."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        clamped_balance_per_key,
+    )
+
+    rows = [(k, i, i, v) for i, (k, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, delta long")
+    got = {
+        r.user_id: r.final_balance
+        for r in clamped_balance_per_key(
+            df, "user_id", ["ts", "event_id"], "delta"
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for k, _, _, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        want[k] = max(0, want.get(k, 0) + v)
+    assert got == want
