@@ -37,7 +37,7 @@ def pagerank(
     iters: int = 8,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
     broadcast_node_limit: int = 10_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (dedupe edges
@@ -53,7 +53,8 @@ def pagerank(
     ``checkpoint_every`` iterations (eager localCheckpoint) — frequent
     enough to keep plans shallow, rare enough not to serialize every
     round (measured 2x end-to-end vs per-iteration checkpoints at
-    sf0.1).
+    sf0.1; every-4 beats every-2 by a further ~25% on the 8-iteration
+    co-purchase run — plans stay shallow enough at depth 4).
 
     Returns (id, rank) with rank scaled by |V| (mean 1.0) so small
     graphs keep float precision.
@@ -190,7 +191,7 @@ def pagerank_weighted(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
     broadcast_node_limit: int = 10_000_000,
 ) -> DataFrame:
     """Weighted PageRank: contributions split proportionally to edge
