@@ -158,6 +158,7 @@ HEADLINE = [
     "stump_bagging_eval",
     "inference_score_calibration",
     "gini_revenue_concentration",
+    "value_drift_psi_bins",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -8013,6 +8013,74 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_drift_psi_bins",
+    """
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), t AS (
+        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
+               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
+        FROM b
+    ), g AS (
+        SELECT bin,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b
+        FROM b GROUP BY 1
+    )
+    SELECT bin, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
+           round(
+               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
+           6) AS psi_contrib
+    FROM g
+    """,
+    "X-pipeline distribution-drift monitoring: per-bin Population Stability Index contributions (period A vs B), epsilon-clipped shares — exact counts, closed-form floats",
+)
+def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the value distribution shift between the first and second
+    half of the month? Per fixed-width bin: both periods' shares and
+    the PSI contribution (p-q)*ln(p/q) with 1e-6 share clipping — the
+    standard drift alarm for features and model scores (sum the
+    contributions; > 0.2 means act). The per-bin table is emitted
+    instead of the summed scalar so every number is either an exact
+    count or a closed-form float both engines evaluate identically —
+    the cross-engine float-SUM trap (PLANS.md #10) never appears."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    t = b.agg(
+        F.sum("in_a").cast("double").alias("__tot_a"),
+        F.sum(1 - F.col("in_a")).cast("double").alias("__tot_b"),
+    )
+    g = b.groupBy("bin").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    pa = F.greatest(F.col("n_a").cast("double") / F.col("__tot_a"), F.lit(0.000001))
+    pb = F.greatest(F.col("n_b").cast("double") / F.col("__tot_b"), F.lit(0.000001))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
+        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8120,7 +8188,7 @@ _GATE_FIRST = [
 # interval_union_coverage, cohort_ltv_curve,
 # open_orders_backlog_daily, decision_tree_depth2,
 # stump_bagging_eval, inference_score_calibration,
-# gini_revenue_concentration.
+# gini_revenue_concentration, value_drift_psi_bins.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
