@@ -8081,6 +8081,85 @@ def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rfm_segmentation",
+    """
+    WITH p AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ), g AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM p),
+    u AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(ts) AS DATE),
+                              (SELECT gmax FROM g)) AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM p GROUP BY 1
+    )
+    SELECT user_id, r_days, freq, cents,
+           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY cents, user_id) AS INT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY freq, user_id) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY cents, user_id) AS VARCHAR)
+               AS segment
+    FROM u
+    """,
+    "A-tier CRM segmentation: RFM quintile scores (recency/frequency/monetary) via three exact distributed ntiles — no single-partition sort anywhere",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRM classic: every purchasing user scored 1-5 on Recency
+    (days since last purchase, recent = 5), Frequency, and Monetary
+    value, quintiles exact. Each score is a GLOBAL ntile over the
+    user table — the textbook SinglePartition trap — computed here
+    with three `distributed_ntile` passes (sketch-bucketed ranges +
+    broadcast offsets), so the plan survives a user table of any
+    size. Integer metrics make every quintile boundary
+    deterministic (user_id tiebreak)."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
+
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    )
+    gmax = p.agg(F.max("ts").cast("date").alias("__gmax"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("__last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("c").alias("cents"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff("__gmax", "__last").cast("bigint").alias("r_days"),
+            "freq",
+            "cents",
+        )
+        .withColumn("__negr", -F.col("r_days"))
+    )
+    scored = distributed_ntile(u, 5, "__negr", ["user_id"], out_col="r_score")
+    scored = distributed_ntile(scored, 5, "freq", ["user_id"], out_col="f_score")
+    scored = distributed_ntile(scored, 5, "cents", ["user_id"], out_col="m_score")
+    return scored.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8188,7 +8267,8 @@ _GATE_FIRST = [
 # interval_union_coverage, cohort_ltv_curve,
 # open_orders_backlog_daily, decision_tree_depth2,
 # stump_bagging_eval, inference_score_calibration,
-# gini_revenue_concentration, value_drift_psi_bins.
+# gini_revenue_concentration, value_drift_psi_bins,
+# rfm_segmentation.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
