@@ -160,6 +160,7 @@ HEADLINE = [
     "gini_revenue_concentration",
     "value_drift_psi_bins",
     "rfm_segmentation",
+    "finance_daily_pipeline",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -8160,6 +8160,87 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "finance_daily_pipeline",
+    """
+    WITH gated AS (
+        SELECT * FROM events WHERE value > 0 AND value <= 500
+    ), d AS (
+        SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE
+                         'America/New_York' AS TIMESTAMP) AS DATE)
+                   AS trading_day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM gated GROUP BY 1, 2
+    ), k AS (
+        SELECT event_type,
+               CAST(dayofweek(trading_day) + 1 AS INT) AS dow,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1, 2
+    )
+    SELECT d.trading_day, d.event_type, d.n_events,
+           round(CAST(d.cents AS DOUBLE) / 100.0, 6) AS revenue,
+           CAST(dayofweek(d.trading_day) + 1 AS INT) AS dow,
+           round(CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days), 6)
+               AS seasonality_ratio,
+           CAST(d.cents AS DOUBLE)
+               / (CAST(k.cents AS DOUBLE) / k.n_days) > 1.5 AS is_high
+    FROM d JOIN k
+      ON d.event_type = k.event_type
+     AND CAST(dayofweek(d.trading_day) + 1 AS INT) = k.dow
+    """,
+    "O-tier composed finance pipeline: quality gate -> NY trading-day mart -> DOW seasonality baseline -> anomaly flag, ONE Catalyst plan (the finance-side twin of corpus_training_pipeline)",
+)
+def q_finance_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily reporting chain as one declarative plan: gate bad
+    rows (value bounds), roll up to exchange-local trading days
+    (DST-correct), derive each series' day-of-week baseline FROM the
+    same gated data, and flag days running >1.5x their weekday norm.
+    Catalyst sees the whole chain — the gate pushes into the scan,
+    the daily table is scanned once and re-aggregated for the
+    baseline (ReuseExchange), the baseline joins back as a bounded
+    broadcast. Integer cents throughout; the ratio is one division
+    computed identically by the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    gated = ev.filter((F.col("value") > 0) & (F.col("value") <= 500))
+    d = (
+        gated.groupBy(
+            F.from_utc_timestamp("ts", "America/New_York")
+            .cast("date")
+            .alias("trading_day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    k = (
+        d.groupBy("event_type", F.dayofweek("trading_day").alias("dow"))
+        .agg(
+            F.sum("cents").alias("kcents"), F.count(F.lit(1)).alias("n_days")
+        )
+    )
+    j = d.join(
+        F.broadcast(k),
+        (d.event_type == k.event_type) & (F.dayofweek(d.trading_day) == k.dow),
+    ).drop(k.event_type)
+    baseline = F.col("kcents").cast("double") / F.col("n_days")
+    ratio = F.col("cents").cast("double") / baseline
+    return j.select(
+        "trading_day",
+        "event_type",
+        "n_events",
+        F.round(F.col("cents").cast("double") / 100.0, 6).alias("revenue"),
+        F.dayofweek("trading_day").alias("dow"),
+        F.round(ratio, 6).alias("seasonality_ratio"),
+        (ratio > 1.5).alias("is_high"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8268,7 +8349,7 @@ _GATE_FIRST = [
 # open_orders_backlog_daily, decision_tree_depth2,
 # stump_bagging_eval, inference_score_calibration,
 # gini_revenue_concentration, value_drift_psi_bins,
-# rfm_segmentation.
+# rfm_segmentation, finance_daily_pipeline.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
