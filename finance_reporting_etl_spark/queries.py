@@ -8241,6 +8241,231 @@ def q_finance_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_value_drift_psi",
+    """
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), t AS (
+        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
+               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
+        FROM b
+    ), g AS (
+        SELECT bin,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b
+        FROM b GROUP BY 1
+    )
+    SELECT bin, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
+           round(
+               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
+           6) AS psi_contrib
+    FROM g
+    """,
+    "§2.8 x X-pipe continuous drift monitoring: period-B bin counts folded across micro-batches via foreachBatch == the one-shot batch PSI (same oracle as value_drift_psi_bins)",
+)
+def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of `value_drift_psi_bins`: the comparison
+    period arrives as a live stream, each micro-batch contributes its
+    per-bin counts through foreachBatch (counts are additive — the
+    mergeable-sketch property with a 10-cell 'sketch'), and the PSI
+    table reads identically to the one-shot batch computation (the
+    shared oracle proves it). Replayed as 3 micro-batches; reference
+    (period-A) counts stay a static table. State per batch: 10 rows."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    bin_col = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+        "bin"
+    )
+    a_counts = (
+        ev.filter(F.col("ts") < mid)
+        .select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_psi_")
+    src, sink = f"{tmp}/src", f"{tmp}/sink"
+    ev.filter(F.col("ts") >= mid).select("ts", "value").repartition(3).write.parquet(
+        src
+    )
+
+    def fold_bins(batch, batch_id):
+        (
+            batch.select(
+                F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+                    "bin"
+                )
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fold_bins)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_value_drift_psi did not finish in 300s")
+        b_counts = (
+            spark.read.parquet(sink)
+            .groupBy("bin")
+            .agg(F.sum("n").cast("bigint").alias("n_b"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    j = a_counts.join(b_counts, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    t = j.agg(
+        F.sum("n_a").cast("double").alias("__tot_a"),
+        F.sum("n_b").cast("double").alias("__tot_b"),
+    )
+    jj = j.crossJoin(F.broadcast(t))
+    pa = F.greatest(F.col("n_a").cast("double") / F.col("__tot_a"), F.lit(0.000001))
+    pb = F.greatest(F.col("n_b").cast("double") / F.col("__tot_b"), F.lit(0.000001))
+    return jj.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
+        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+@query(
+    "collocation_pmi_top",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nt AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_toks FROM t),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(toks) AS term FROM t
+        ) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT toks[i] AS l, toks[i + d] AS r
+        FROM t, (VALUES (1), (2)) AS dd(d),
+             unnest(generate_series(1, len(toks) - d)) AS u(i)
+    ),
+    np AS (SELECT CAST(count(*) AS DOUBLE) AS n_pairs FROM pairs),
+    pc AS (
+        SELECT l, r, CAST(count(*) AS BIGINT) AS n_lr
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    scored AS (
+        SELECT pc.l, pc.r, pc.n_lr,
+               round(ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt)))),
+               6) AS pmi
+        FROM pc
+        JOIN uni a ON pc.l = a.term
+        JOIN uni b ON pc.r = b.term
+    )
+    SELECT l, r, n_lr, pmi,
+           row_number() OVER (ORDER BY pmi DESC, l, r) AS rank
+    FROM scored ORDER BY pmi DESC, l, r LIMIT 20
+    """,
+    "X4 collocation mining: top-20 ordered token pairs (distance <= 2) by pointwise mutual information — exact co-occurrence counts, closed-form PMI, min-support 10",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which token pairs co-occur far more than chance? PMI over
+    ordered pairs within distance 2, min support 10 — the collocation
+    extractor behind phrase detection and tokenizer-merge candidates.
+    Pairs generate MAP-SIDE from each document's token array (indexed
+    sequence explode — no self-join anywhere); unigram and pair
+    counts are exact; PMI is one closed-form expression on those
+    counts with the two corpus scalars broadcast. Top-20 via
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    nt = t.agg(F.sum(F.size("toks")).cast("double").alias("__n_toks"))
+    uni = (
+        t.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_parts = []
+    for d in (1, 2):
+        # guard: Spark's sequence(1, n) DESCENDS when n < 1 — emit an
+        # empty list for docs shorter than the pair distance (DuckDB's
+        # generate_series is already empty there)
+        idx = F.when(
+            F.size("toks") > d, F.sequence(F.lit(1), F.size("toks") - F.lit(d))
+        ).otherwise(F.array().cast("array<int>"))
+        pair_parts.append(
+            t.select(
+                F.explode(idx).alias("i"),
+                "toks",
+            ).select(
+                F.element_at("toks", F.col("i")).alias("l"),
+                F.element_at("toks", F.col("i") + F.lit(d)).alias("r"),
+            )
+        )
+    pairs = pair_parts[0].unionAll(pair_parts[1])
+    np_ = pairs.agg(F.count(F.lit(1)).cast("double").alias("__n_pairs"))
+    pc = (
+        pairs.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n_lr"))
+        .filter(F.col("n_lr") >= 10)
+    )
+    a = uni.select(F.col("term").alias("l"), F.col("n").alias("__na"))
+    b = uni.select(F.col("term").alias("r"), F.col("n").alias("__nb"))
+    scored = (
+        pc.join(F.broadcast(a), "l")
+        .join(F.broadcast(b), "r")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "l",
+            "r",
+            "n_lr",
+            F.round(
+                F.log(
+                    (F.col("n_lr").cast("double") / F.col("__n_pairs"))
+                    / (
+                        (F.col("__na").cast("double") / F.col("__n_toks"))
+                        * (F.col("__nb").cast("double") / F.col("__n_toks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "l", "r").limit(20)
+    wr = Window.orderBy(F.desc("pmi"), "l", "r")
+    return top.select(
+        "l", "r", "n_lr", "pmi", F.row_number().over(wr).cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8349,7 +8574,8 @@ _GATE_FIRST = [
 # open_orders_backlog_daily, decision_tree_depth2,
 # stump_bagging_eval, inference_score_calibration,
 # gini_revenue_concentration, value_drift_psi_bins,
-# rfm_segmentation, finance_daily_pipeline.
+# rfm_segmentation, finance_daily_pipeline, collocation_pmi_top,
+# streaming_value_drift_psi.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
