@@ -222,3 +222,96 @@ def distributed_cumsum(
         .withColumn(out_col, F.sum(sum_col).over(w) + F.col("__offset"))
         .drop("__bucket", "__offset")
     )
+
+
+def distributed_ntile_melted(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "tile",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact ntile(n) computed INDEPENDENTLY per group over a melted
+    (group, value, tiebreaks) frame — the fleet version of
+    :func:`distributed_ntile`, applying the PLANS.md lesson that a
+    shard/metric id belongs in the partition key, not a driver loop:
+    scoring k metrics (RFM's three, a feature store's hundreds) costs
+    ONE sketch job, ONE per-(group, bucket) offset round and ONE
+    window pass over the melted rows, instead of k sequential
+    invocations with k driver barriers.
+
+    Returns the input columns plus ``out_col``. Same exactness
+    contract as distributed_ntile: sampled edges steer bucket balance
+    only; per-(group, bucket) counts, triangle-join offsets (bounded
+    by groups x buckets, broadcast) and bucket-local windows make the
+    global rank — and therefore the tile — exact."""
+    qs = [i / buckets for i in range(1, buckets)]
+    sample_val = F.when(
+        F.abs(F.hash(F.col(value_col), *[F.col(c) for c in tiebreak_cols])) % 8 == 0,
+        F.col(value_col),
+    )
+    head = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile_approx(sample_val, qs, 2_000).alias("edges"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .collect()
+    )
+    edges_by_group = {r[group_col]: sorted(set(r["edges"] or [])) for r in head}
+    totals_by_group = {r[group_col]: r["total"] for r in head}
+
+    # per-group bucket assignment: chained whens per group (bounded by
+    # groups x buckets literals — codegen'd, no join, no Python)
+    bucket: Column = F.lit(0)
+    for g, edges in edges_by_group.items():
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+        bucket = F.when(F.col(group_col) == F.lit(g), b).otherwise(bucket)
+    dfb = df.withColumn("__bucket", bucket.cast("int"))
+
+    counts = dfb.groupBy(group_col, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    earlier = counts.select(
+        F.col(group_col).alias("__g2"),
+        F.col("__bucket").alias("__b2"),
+        F.col("__cnt").alias("__cnt2"),
+    )
+    off_df = (
+        counts.join(
+            F.broadcast(earlier),
+            (F.col("__g2") == F.col(group_col))
+            & (F.col("__b2") < F.col("__bucket")),
+            "left",
+        )
+        .groupBy(group_col, "__bucket")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__offset"))
+    )
+    w = Window.partitionBy(group_col, "__bucket").orderBy(
+        value_col, *tiebreak_cols
+    )
+    rn = (F.row_number().over(w) + F.col("__offset")).alias("__rn")
+    ranked = dfb.join(F.broadcast(off_df), [group_col, "__bucket"]).withColumn(
+        "__rn", rn
+    )
+
+    # per-group tile arithmetic (ntile fill rule) as literal whens
+    tile: Column = F.lit(0)
+    for g, total in totals_by_group.items():
+        q, r = divmod(total, n)
+        if q == 0:
+            t = F.col("__rn")
+        else:
+            head_rows = r * (q + 1)
+            t = F.when(
+                F.col("__rn") <= head_rows,
+                (F.floor((F.col("__rn") - 1) / (q + 1)) + 1),
+            ).otherwise(r + F.floor((F.col("__rn") - head_rows - 1) / q) + 1)
+        tile = F.when(F.col(group_col) == F.lit(g), t).otherwise(tile)
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__bucket", "__offset", "__rn"
+    )

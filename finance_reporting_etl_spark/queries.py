@@ -8115,9 +8115,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     user table — the textbook SinglePartition trap — computed here
     with three `distributed_ntile` passes (sketch-bucketed ranges +
     broadcast offsets), so the plan survives a user table of any
-    size. Integer metrics make every quintile boundary
-    deterministic (user_id tiebreak)."""
-    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
+    size — and all three metrics score in ONE pass
+    (`distributed_ntile_melted`: the metric id rides the partition
+    key, so one sketch job + one offset round + one window pass cover
+    R, F and M together). At k=3 metrics the cost matches three
+    sequential ntile calls (the pivot-back join offsets the saved
+    driver barriers); the win grows with metric count, since the job
+    count stays constant while the sequential form pays per metric.
+    Integer metrics make every quintile boundary deterministic
+    (user_id tiebreak)."""
+    from finance_reporting_etl_spark.operators.ranking import (
+        distributed_ntile_melted,
+    )
 
     p = (
         _t(spark, sf_dir, "events")
@@ -8141,9 +8150,22 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__negr", -F.col("r_days"))
     )
-    scored = distributed_ntile(u, 5, "__negr", ["user_id"], out_col="r_score")
-    scored = distributed_ntile(scored, 5, "freq", ["user_id"], out_col="f_score")
-    scored = distributed_ntile(scored, 5, "cents", ["user_id"], out_col="m_score")
+    melted = (
+        u.select("user_id", F.lit("r").alias("metric"), F.col("__negr").cast("double").alias("v"))
+        .unionAll(
+            u.select("user_id", F.lit("f").alias("metric"), F.col("freq").cast("double").alias("v"))
+        )
+        .unionAll(
+            u.select("user_id", F.lit("m").alias("metric"), F.col("cents").cast("double").alias("v"))
+        )
+    )
+    tiles = distributed_ntile_melted(melted, 5, "metric", "v", ["user_id"], out_col="score")
+    wide = tiles.groupBy("user_id").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
+    )
+    scored = u.join(wide, "user_id")
     return scored.select(
         "user_id",
         "r_days",

@@ -1853,3 +1853,37 @@ def test_gini_known_distributions(spark, tmp_path):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_melted_ntile_matches_per_metric_ntile(spark):
+    """One-pass multi-metric ntile must equal running distributed_ntile
+    separately per metric (and therefore equal SQL ntile) for every
+    (metric, row)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.ranking import (
+        distributed_ntile,
+        distributed_ntile_melted,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, float(rng.randint(0, 500)), float(rng.randint(0, 10))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double").repartition(8)
+    melted = df.select("id", F.lit("a").alias("metric"), F.col("a").alias("v")).unionAll(
+        df.select("id", F.lit("b").alias("metric"), F.col("b").alias("v"))
+    )
+    got = {
+        (r.metric, r.id): r.tile
+        for r in distributed_ntile_melted(
+            melted, 4, "metric", "v", ["id"], buckets=16
+        ).collect()
+    }
+    for metric, col in (("a", "a"), ("b", "b")):
+        want = {
+            r.id: r.tile
+            for r in distributed_ntile(df, 4, col, ["id"], buckets=16).collect()
+        }
+        for i, t in want.items():
+            assert got[(metric, i)] == t, (metric, i)
