@@ -5,8 +5,8 @@ and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). Sessions are warmed with a trivial action first so JVM
-startup isn't billed to the first query. The suite runs as THREE
-INTERLEAVED passes (pass 1 over all queries, then pass 2, then pass 3)
+startup isn't billed to the first query. The suite runs as TWO
+INTERLEAVED passes (pass 1 over all queries, then pass 2)
 and each query records its best time: run-to-run variance on a shared
 box is dominated by JIT + whole-stage-codegen compilation (a per-plan
 constant a long-running cluster amortizes to zero) plus box-load
@@ -162,6 +162,7 @@ HEADLINE = [
     "rfm_segmentation",
     "finance_daily_pipeline",
     "collocation_pmi_top",
+    "debounce_events",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

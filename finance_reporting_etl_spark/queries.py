@@ -8488,6 +8488,44 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "debounce_events",
+    """
+    WITH o AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, value
+    FROM o
+    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 SECOND
+    """,
+    "X1/§2.5 telemetry debounce: drop events within 5s of the previous same-(user, type) event — burst suppression via one partitioned lag, no self-join",
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-click / retry suppression: an event is kept only if at
+    least 5 seconds passed since the previous event of the same
+    (user, type) — the standard telemetry debounce that exact dedup
+    cannot express (the duplicates have distinct ids and near-equal,
+    not equal, timestamps). One lag over a (user, type)-partitioned
+    window; chained bursts collapse toward their first event per
+    surviving gap. Timestamps compare at microsecond precision in
+    both engines, so the keep-set hash-matches exactly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).withColumn("prev_ts", F.lag("ts").over(w))
+    # integer-microsecond compare — a double-seconds subtraction would
+    # lose ~4e-7 s near the epoch and could flip an exactly-5s gap
+    keep = F.col("prev_ts").isNull() | (
+        F.unix_micros("ts") - F.unix_micros("prev_ts") >= 5_000_000
+    )
+    return o.filter(keep).drop("prev_ts")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8597,7 +8635,7 @@ _GATE_FIRST = [
 # stump_bagging_eval, inference_score_calibration,
 # gini_revenue_concentration, value_drift_psi_bins,
 # rfm_segmentation, finance_daily_pipeline, collocation_pmi_top,
-# streaming_value_drift_psi.
+# streaming_value_drift_psi, debounce_events.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {
