@@ -79,3 +79,52 @@ def clamped_balance_per_key(
 
     out_schema = f"{key_col} long, n_events long, final_balance long"
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def holt_forecast_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per key —
+    the TWO-state recursive scan (level and trend update from each
+    other), one step beyond the EMA's single state:
+
+        l_t = a * x_t + (1 - a) * (l + b)
+        b_t = g * (l_t - l) + (1 - g) * b        (seed: l = x_0, b = 0)
+
+    Same applyInPandas envelope and exactness contract as the EMA:
+    the fold's float64 operation SEQUENCE is fixed (b_t recomputes
+    l_t's expression, matching a struct-accumulator ``list_reduce``
+    step for step), so an independent engine reproduces the doubles
+    bit-for-bit. Returns (key, n_obs, level, trend, forecast_1,
+    forecast_7) — forecasts are level + h * trend."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].astype("float64").to_numpy()
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            l_new = alpha * x + (1.0 - alpha) * (l + b)
+            b = gamma * (l_new - l) + (1.0 - gamma) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_obs": [len(xs)],
+                "level": [round(float(l), scale)],
+                "trend": [round(float(b), scale)],
+                "forecast_1": [round(float(l + b), scale)],
+                "forecast_7": [round(float(l + 7.0 * b), scale)],
+            }
+        )
+
+    out_schema = (
+        f"{key_col} string, n_obs long, level double, trend double, "
+        "forecast_1 double, forecast_7 double"
+    )
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

@@ -8526,6 +8526,73 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(keep).drop("prev_ts")
 
 
+@query(
+    "holt_trend_forecast",
+    """
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS rn,
+               CAST(cents AS DOUBLE) / 100.0 AS x
+        FROM d
+    ), nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+        FROM seq GROUP BY 1
+    ), st AS (
+        SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, q.rn,
+               0.3 * q.x + 0.7 * (s.l + s.b),
+               0.1 * ((0.3 * q.x + 0.7 * (s.l + s.b)) - s.l) + 0.9 * s.b
+        FROM st s JOIN seq q
+          ON q.event_type = s.event_type AND q.rn = s.rn + 1
+    )
+    SELECT st.event_type, nn.n_obs,
+           round(st.l, 6) AS level,
+           round(st.b, 6) AS trend,
+           round(st.l + st.b, 6) AS forecast_1,
+           round(st.l + 7.0 * st.b, 6) AS forecast_7
+    FROM st JOIN nn ON st.event_type = nn.event_type AND st.rn = nn.n_obs
+    """,
+    "custom per-key recursive scan #3: Holt double-exponential smoothing (two coupled states) == DuckDB RECURSIVE CTE stepping the identical update, bit-for-bit",
+)
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-aware forecast per revenue series: Holt's method carries
+    TWO coupled recursive states (level + trend), so it is doubly
+    inexpressible as a window aggregate; the grouped-map fold runs
+    the identical float64 operation sequence as the oracle's
+    RECURSIVE CTE step (the trend recomputes the level expression,
+    matching step for step), making the smoothed states and the
+    1-day / 7-day forecasts hash-exact. A struct-accumulator
+    list_reduce oracle was rejected: DuckDB evaluates the result
+    struct's fields sequentially against a mutating accumulator, so
+    the second field reads the first field's NEW value — recursive
+    CTE rows are immutable per step. alpha=0.3, gamma=0.1; daily
+    inputs are exact cents / 100."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        holt_forecast_per_key,
+    )
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("cents").cast("double") / 100.0).alias("x"),
+        )
+    )
+    return holt_forecast_per_key(
+        d, "event_type", ["day"], "x", alpha=0.3, gamma=0.1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -8635,7 +8702,7 @@ _GATE_FIRST = [
 # stump_bagging_eval, inference_score_calibration,
 # gini_revenue_concentration, value_drift_psi_bins,
 # rfm_segmentation, finance_daily_pipeline, collocation_pmi_top,
-# streaming_value_drift_psi, debounce_events.
+# streaming_value_drift_psi, debounce_events, holt_trend_forecast.
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
 CATALOG = {

@@ -1887,3 +1887,28 @@ def test_melted_ntile_matches_per_metric_ntile(spark):
         }
         for i, t in want.items():
             assert got[(metric, i)] == t, (metric, i)
+
+
+def test_holt_constant_and_trending_series(spark):
+    """Constant series: level == the constant, trend == 0, forecasts
+    flat. Steadily increasing series: positive trend and
+    forecast_7 > forecast_1 > level."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        holt_forecast_per_key,
+    )
+
+    rows = [("flat", i, 100.0) for i in range(30)] + [
+        ("up", i, 100.0 + 5.0 * i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, day bigint, x double")
+    out = {
+        r.k: r
+        for r in holt_forecast_per_key(
+            df, "k", ["day"], "x", alpha=0.3, gamma=0.1
+        ).collect()
+    }
+    assert abs(out["flat"].level - 100.0) < 1e-9
+    assert abs(out["flat"].trend) < 1e-9
+    assert out["flat"].forecast_7 == out["flat"].forecast_1 == out["flat"].level
+    assert out["up"].trend > 1.0
+    assert out["up"].level < out["up"].forecast_1 < out["up"].forecast_7
