@@ -14,6 +14,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def checked_swap(fs, HPath, live, staged, old) -> None:
+    """Rename-aside swap with every Hadoop ``rename()`` boolean checked.
+
+    ``FileSystem.rename`` signals failure by returning ``False``, not
+    by throwing — ignoring it and then deleting the ``old`` backup can
+    destroy the only surviving copy of a live table. Ordering:
+
+    1. drop any stale ``old`` backup from a previous failed run,
+    2. ``live -> old`` (skipped when no live table exists yet),
+    3. ``staged -> live``; on failure roll ``old`` back to ``live``
+       and raise — the backup is NEVER deleted on a failed swap,
+    4. only after verifying ``live`` exists, delete ``old``.
+
+    The unrecoverable window is the single rename in step 3 after
+    step 2 moved live aside — identical to compact_partition's
+    documented crash policy. Single-writer only.
+    """
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"could not clear stale backup {old}")
+    had_live = fs.exists(live)
+    if had_live and not fs.rename(live, old):
+        raise IOError(f"rename {live} -> {old} failed; live table intact")
+    if not fs.rename(staged, live):
+        if had_live and fs.rename(old, live):
+            raise IOError(
+                f"rename {staged} -> {live} failed; previous table restored"
+            )
+        raise IOError(
+            f"rename {staged} -> {live} failed"
+            + (f"; previous table preserved at {old}" if had_live else "")
+        )
+    if not fs.exists(live):
+        raise IOError(
+            f"{live} missing after swap; backup preserved at {old}"
+        )
+    if had_live:
+        fs.delete(old, True)
+
+
 def merge_latest(
     df: DataFrame,
     keys: list[str],
@@ -236,17 +275,15 @@ def compact_partition(
     df = spark.read.parquet(part_dir)
     tmp = f"{path}/_compact_tmp_{partition_col}={partition_value}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # swap via rename-aside so a crash never leaves the partition
-    # missing: old data survives (as _compact_old) until the new files
-    # are in place; the unrecoverable window is a single rename.
+    # swap via rename-aside (checked_swap): old data survives as
+    # _compact_old until the new files are in place; every rename
+    # boolean is checked so a silent failure can't orphan the backup
+    # delete. The unrecoverable window is a single rename.
     old = jvm.org.apache.hadoop.fs.Path(
         f"{path}/_compact_old_{partition_col}={partition_value}"
     )
-    if fs.exists(old):
-        fs.delete(old, True)
-    fs.rename(p, old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(old, True)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    checked_swap(fs, HPath, p, HPath(tmp), old)
     return sum(
         1
         for s in fs.listStatus(p)
@@ -295,9 +332,5 @@ def forget_keys(
         p = HPath(part_dir)
         fs = p.getFileSystem(conf)
         old = HPath(f"{path}/_forget_old_{partition_col}={pv}")
-        if fs.exists(old):
-            fs.delete(old, True)
-        fs.rename(p, old)
-        fs.rename(HPath(tmp), p)
-        fs.delete(old, True)
+        checked_swap(fs, HPath, p, HPath(tmp), old)
     return len(affected)

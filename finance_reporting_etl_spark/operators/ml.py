@@ -21,22 +21,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def stump_candidates(xy: DataFrame) -> DataFrame:
-    """All split candidates with Gini gain for a melted (feature, v, y)
-    frame (y in {0,1}); one row per (feature, threshold v), threshold
-    semantics ``v <= thr`` goes left. Columns:
-    (feature, thr, n_left, n_right, gini_gain)."""
-    g = xy.groupBy("feature", "v").agg(
+def _scored_candidates(xy: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The shared per-value-count / prefix-sum / Gini-scoring pass
+    behind every stump entry point (ADVICE r4 dedup — one copy keeps
+    the expression trees bit-identical with the SQL oracles).
+
+    ``group_cols`` is the partitioning for counts, prefix sums and
+    scoring: ``["feature"]`` for a single model, ``["fold",
+    "feature"]`` for one-pass bagged training. Input is melted
+    (*group_cols, v, y) with y in {0,1}; output is one row per
+    (*group_cols, threshold) with the full contingency table:
+    (*group_cols, thr, nl, posl, nr, posr, n, pos, gini_gain),
+    threshold semantics ``v <= thr`` goes left.
+    """
+    g = xy.groupBy(*group_cols, "v").agg(
         F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
     )
     wc = (
-        Window.partitionBy("feature")
+        Window.partitionBy(*group_cols)
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = Window.partitionBy("feature")
+    wf = Window.partitionBy(*group_cols)
     c = g.select(
-        "feature",
+        *group_cols,
         "v",
         F.sum("n_v").over(wc).alias("nl"),
         F.sum("pos_v").over(wc).alias("posl"),
@@ -44,7 +52,7 @@ def stump_candidates(xy: DataFrame) -> DataFrame:
         F.sum("pos_v").over(wf).alias("pos"),
     )
     s = c.filter(F.col("nl") < F.col("n")).select(
-        "feature",
+        *group_cols,
         F.col("v").alias("thr"),
         "nl",
         "posl",
@@ -75,11 +83,29 @@ def stump_candidates(xy: DataFrame) -> DataFrame:
         * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
     )
     return s.select(
+        *group_cols,
+        "thr",
+        "nl",
+        "posl",
+        "nr",
+        "posr",
+        "n",
+        "pos",
+        F.round(parent - (left + right), 6).alias("gini_gain"),
+    )
+
+
+def stump_candidates(xy: DataFrame) -> DataFrame:
+    """All split candidates with Gini gain for a melted (feature, v, y)
+    frame (y in {0,1}); one row per (feature, threshold v), threshold
+    semantics ``v <= thr`` goes left. Columns:
+    (feature, thr, n_left, n_right, gini_gain)."""
+    return _scored_candidates(xy, ["feature"]).select(
         "feature",
         "thr",
         F.col("nl").alias("n_left"),
         F.col("nr").alias("n_right"),
-        F.round(parent - (left + right), 6).alias("gini_gain"),
+        "gini_gain",
     )
 
 
@@ -167,57 +193,8 @@ def best_stump_full(xy: DataFrame):
     (posl/posr) so each leaf's MAJORITY CLASS is known — what an
     actual classifier needs to predict. Returns the best row of
     (feature, thr, nl, posl, nr, posr, gini_gain), or None."""
-    g = xy.groupBy("feature", "v").agg(
-        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
-    )
-    wc = (
-        Window.partitionBy("feature")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = Window.partitionBy("feature")
-    c = g.select(
-        "feature",
-        "v",
-        F.sum("n_v").over(wc).alias("nl"),
-        F.sum("pos_v").over(wc).alias("posl"),
-        F.sum("n_v").over(wf).alias("n"),
-        F.sum("pos_v").over(wf).alias("pos"),
-    )
-    s = c.filter(F.col("nl") < F.col("n")).select(
-        "feature",
-        F.col("v").alias("thr"),
-        "nl",
-        "posl",
-        (F.col("n") - F.col("nl")).alias("nr"),
-        (F.col("pos") - F.col("posl")).alias("posr"),
-        "n",
-        "pos",
-    )
-
-    def _gini(pos: str, n: str):
-        pd_ = F.col(pos).cast("double") / F.col(n)
-        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
-        return F.lit(1.0) - pd_ * pd_ - qd * qd
-
-    parent = _gini("pos", "n")
-    left = (F.col("nl").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posl").cast("double") / F.col("nl"))
-        * (F.col("posl").cast("double") / F.col("nl"))
-        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
-        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
-    )
-    right = (F.col("nr").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posr").cast("double") / F.col("nr"))
-        * (F.col("posr").cast("double") / F.col("nr"))
-        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-    )
-    scored = s.select(
-        "feature", "thr", "nl", "posl", "nr", "posr",
-        F.round(parent - (left + right), 6).alias("gini_gain"),
+    scored = _scored_candidates(xy, ["feature"]).select(
+        "feature", "thr", "nl", "posl", "nr", "posr", "gini_gain"
     )
     rows = scored.orderBy(F.desc("gini_gain"), "feature", "thr").limit(1).collect()
     return rows[0] if rows else None
@@ -232,59 +209,8 @@ def best_stumps_by_fold(xyf: DataFrame) -> list:
     instead of N sequential jobs. Returns the collected best rows
     (fold, feature, thr, nl, posl, nr, posr, gini_gain), one per fold
     that has a valid split — bounded driver traffic (model params)."""
-    g = xyf.groupBy("fold", "feature", "v").agg(
-        F.count(F.lit(1)).alias("n_v"), F.sum("y").cast("bigint").alias("pos_v")
-    )
-    wc = (
-        Window.partitionBy("fold", "feature")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = Window.partitionBy("fold", "feature")
-    c = g.select(
-        "fold",
-        "feature",
-        "v",
-        F.sum("n_v").over(wc).alias("nl"),
-        F.sum("pos_v").over(wc).alias("posl"),
-        F.sum("n_v").over(wf).alias("n"),
-        F.sum("pos_v").over(wf).alias("pos"),
-    )
-    s = c.filter(F.col("nl") < F.col("n")).select(
-        "fold",
-        "feature",
-        F.col("v").alias("thr"),
-        "nl",
-        "posl",
-        (F.col("n") - F.col("nl")).alias("nr"),
-        (F.col("pos") - F.col("posl")).alias("posr"),
-        "n",
-        "pos",
-    )
-
-    def _gini(pos: str, n: str):
-        pd_ = F.col(pos).cast("double") / F.col(n)
-        qd = (F.col(n) - F.col(pos)).cast("double") / F.col(n)
-        return F.lit(1.0) - pd_ * pd_ - qd * qd
-
-    parent = _gini("pos", "n")
-    left = (F.col("nl").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posl").cast("double") / F.col("nl"))
-        * (F.col("posl").cast("double") / F.col("nl"))
-        - ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
-        * ((F.col("nl") - F.col("posl")).cast("double") / F.col("nl"))
-    )
-    right = (F.col("nr").cast("double") / F.col("n")) * (
-        F.lit(1.0)
-        - (F.col("posr").cast("double") / F.col("nr"))
-        * (F.col("posr").cast("double") / F.col("nr"))
-        - ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-        * ((F.col("nr") - F.col("posr")).cast("double") / F.col("nr"))
-    )
-    scored = s.select(
-        "fold", "feature", "thr", "nl", "posl", "nr", "posr",
-        F.round(parent - (left + right), 6).alias("gini_gain"),
+    scored = _scored_candidates(xyf, ["fold", "feature"]).select(
+        "fold", "feature", "thr", "nl", "posl", "nr", "posr", "gini_gain"
     )
     wr = Window.partitionBy("fold").orderBy(
         F.desc("gini_gain"), "feature", "thr"

@@ -238,11 +238,14 @@ def publish_validated(
     data is never visible to readers, which is the entire point of WAP
     on a 100 TB nightly build.
 
-    Publish uses the same rename-aside ordering as
-    ``operators.incremental.compact_partition``: live data survives
-    (as ``<path>_wap_old``) until the staged files are in place, so a
-    crash mid-publish never leaves the path missing. Single-writer
-    only; concurrent writers need a transactional table format.
+    Publish uses ``operators.incremental.checked_swap`` — the same
+    rename-aside ordering as ``compact_partition``, with every Hadoop
+    ``rename()`` boolean checked: live data survives (as
+    ``<path>_wap_old``) until the staged files are in place, and the
+    backup is never deleted after a failed rename. The unrecoverable
+    window is the single staged->live rename after live was moved
+    aside. Single-writer only; concurrent writers need a transactional
+    table format.
 
     Returns the collected metric dict on success.
     """
@@ -255,16 +258,13 @@ def publish_validated(
         max_null_fraction=max_null_fraction,
         bounds=bounds,
     )
+    from finance_reporting_etl_spark.operators.incremental import checked_swap
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     live = HPath(path)
     fs = live.getFileSystem(conf)
     old = HPath(path.rstrip("/") + "_wap_old")
-    if fs.exists(old):
-        fs.delete(old, True)
-    if fs.exists(live):
-        fs.rename(live, old)
-    fs.rename(HPath(staged), live)
-    fs.delete(old, True)
+    checked_swap(fs, HPath, live, HPath(staged), old)
     return metrics

@@ -157,3 +157,83 @@ def test_publish_validated_failed_audit_leaves_live_untouched(spark, tmp_path):
         publish_validated(spark, bad, path, null_cols=("v",))
     assert [r.v for r in spark.read.parquet(path).collect()] == [5.0]
     assert spark.read.parquet(path + "_wap_staged").count() == 1  # kept for debug
+
+
+# ---------------------------------------------------------------------------
+# checked_swap: every Hadoop rename() boolean is checked (rename returns
+# False on failure instead of throwing), and the _old backup is never
+# deleted after a failed swap. Pure fakes — no JVM needed.
+# ---------------------------------------------------------------------------
+
+
+class _FakeFS:
+    """Directory-set filesystem with injectable rename failures."""
+
+    def __init__(self, dirs, fail_renames=()):
+        self.dirs = set(dirs)
+        self.fail = set(fail_renames)  # (src, dst) pairs that return False
+
+    def exists(self, p):
+        return str(p) in self.dirs
+
+    def rename(self, src, dst):
+        src, dst = str(src), str(dst)
+        if (src, dst) in self.fail or src not in self.dirs:
+            return False
+        self.dirs.remove(src)
+        self.dirs.add(dst)
+        return True
+
+    def delete(self, p, recursive=False):
+        self.dirs.discard(str(p))
+        return True
+
+
+def _swap(fs):
+    from finance_reporting_etl_spark.operators.incremental import checked_swap
+
+    checked_swap(fs, str, "live", "staged", "old")
+
+
+def test_checked_swap_happy_path_replaces_and_cleans_backup():
+    fs = _FakeFS({"live", "staged"})
+    _swap(fs)
+    assert fs.dirs == {"live"}
+
+
+def test_checked_swap_first_publish_no_live_yet():
+    fs = _FakeFS({"staged"})
+    _swap(fs)
+    assert fs.dirs == {"live"}
+
+
+def test_checked_swap_live_aside_failure_keeps_live():
+    import pytest
+
+    fs = _FakeFS({"live", "staged"}, fail_renames={("live", "old")})
+    with pytest.raises(IOError, match="live table intact"):
+        _swap(fs)
+    assert "live" in fs.dirs and "staged" in fs.dirs
+
+
+def test_checked_swap_staged_rename_failure_restores_backup():
+    import pytest
+
+    fs = _FakeFS({"live", "staged"}, fail_renames={("staged", "live")})
+    with pytest.raises(IOError, match="previous table restored"):
+        _swap(fs)
+    # the old live table was rolled back; staged kept for inspection
+    assert "live" in fs.dirs and "staged" in fs.dirs
+
+
+def test_checked_swap_staged_failure_unrestorable_keeps_backup():
+    import pytest
+
+    fs = _FakeFS(
+        {"live", "staged"},
+        fail_renames={("staged", "live"), ("old", "live")},
+    )
+    with pytest.raises(IOError, match="preserved at old"):
+        _swap(fs)
+    # backup survives under old — never deleted on a failed swap
+    assert "old" in fs.dirs and "staged" in fs.dirs

@@ -109,11 +109,21 @@ def test_gate_window_covers_unproven_queries():
     import json
     import pathlib
 
-    from finance_reporting_etl_spark.queries import _GATE_FIRST, CATALOG
+    from finance_reporting_etl_spark.queries import (
+        _GATE_FIRST,
+        _GATE_NEXT,
+        CATALOG,
+    )
 
     names = list(CATALOG)
     assert len(_GATE_FIRST) <= 50
     assert names[: len(_GATE_FIRST)] == _GATE_FIRST
+    # the planned next-round window sits directly after this round's, so
+    # two consecutive rotations cover window ∪ next mechanically.
+    assert (
+        names[len(_GATE_FIRST) : len(_GATE_FIRST) + len(_GATE_NEXT)]
+        == _GATE_NEXT
+    )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     rounds = sorted(root.glob("CORRECTNESS_r*.json"))
@@ -122,16 +132,19 @@ def test_gate_window_covers_unproven_queries():
     newest = json.loads(rounds[-1].read_text())
     window = set(names[:50])
 
-    def needs_gate(name):
-        row = newest.get(name)
-        if row is None:  # not gated last round (or new since)
-            return True
-        return not (
+    def green(row):
+        return row is not None and (
             row.get("rows_match") and row.get("schema_match")
             and (row.get("hash_match") is not False) and row.get("err") is None
         )
 
-    stale = {n for n in names if needs_gate(n)}
+    stale = {n for n in names if not green(newest.get(n))}
+    # "unproven" is the stronger condition: never a green driver row in
+    # ANY round. Those must clear the gate within two rotations.
+    all_rounds = [json.loads(p.read_text()) for p in rounds]
+    unproven = {
+        n for n in names if not any(green(r.get(n)) for r in all_rounds)
+    }
     missing = stale - window
     # every stale entry gates this round — unless the window is already
     # packed entirely with stale entries (more candidates than slots);
@@ -141,6 +154,16 @@ def test_gate_window_covers_unproven_queries():
             f"stale queries {sorted(missing)} are outside the gate window "
             f"while non-stale entries occupy slots: "
             f"{sorted(window - stale)}"
+        )
+        # never-proven overflow beyond the 50 slots must be staged in
+        # _GATE_NEXT so the following rotation covers it (gate-at-least-
+        # once-per-two-rounds invariant for unproven entries, VERDICT r4
+        # #2). Entries with an older green row may wait longer.
+        uncovered = unproven - window - set(_GATE_NEXT)
+        assert not uncovered, (
+            f"never-driver-proven queries {sorted(uncovered)} are in "
+            f"neither the gate window nor _GATE_NEXT — they would wait "
+            f"3+ rounds"
         )
 
 
