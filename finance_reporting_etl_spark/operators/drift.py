@@ -1,0 +1,61 @@
+"""Distribution-drift monitoring (PSI) shared by the batch and
+streaming catalog queries.
+
+Population Stability Index per fixed-width bin: contribution
+``(p - q) * ln(p / q)`` with 1e-6 share clipping — the standard drift
+alarm for features and model scores (sum the contributions; > 0.2
+means act). The per-bin table is emitted instead of the summed scalar
+so every number is either an exact count or a closed-form float both
+engines evaluate identically — the cross-engine float-SUM trap
+(PLANS.md #10) never appears. Bin counts are integers and mergeable
+(a 10-cell 'sketch'), which is what lets the streaming form fold
+per-micro-batch counts and still hash-match the one-shot batch
+computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def value_bin(col: str = "value", width: float = 50.0, n_bins: int = 10):
+    """Fixed-width binning expression: floor(value / width), capped at
+    the last bin."""
+    return F.least(
+        F.floor(F.col(col) / F.lit(width)).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+
+
+def psi_bin_table(j: DataFrame) -> DataFrame:
+    """Final PSI projection over a frame with (bin, n_a, n_b, __tot_a,
+    __tot_b): shares and per-bin PSI contribution, 6dp — the exact
+    expression tree both catalog drift queries and their DuckDB
+    oracles evaluate."""
+    pa = F.greatest(F.col("n_a").cast("double") / F.col("__tot_a"), F.lit(0.000001))
+    pb = F.greatest(F.col("n_b").cast("double") / F.col("__tot_b"), F.lit(0.000001))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
+        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+def psi_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """PSI table from two per-bin count frames (bin, n_a) and
+    (bin, n_b): full-outer align the bins (a bin empty on one side is
+    a 0-count, clipped to the 1e-6 share floor), broadcast the two
+    scalar totals, project the PSI columns."""
+    j = a_counts.join(b_counts, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    t = j.agg(
+        F.sum("n_a").cast("double").alias("__tot_a"),
+        F.sum("n_b").cast("double").alias("__tot_b"),
+    )
+    return psi_bin_table(j.crossJoin(F.broadcast(t)))

@@ -1718,35 +1718,24 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the AvailableNow file-stream rollup to completion and returns
     the materialized result — the streaming plan must reproduce the
     batch/DuckDB answer exactly (watermark drops nothing in a bounded
-    replay)."""
-    import shutil
-    import tempfile
+    replay). Replay plumbing: streaming.staging.run_file_stream."""
     import uuid
 
     from finance_reporting_etl_spark.streaming.rollup import streaming_rollup
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
-    src = f"{tmp}/src"
-    events.write.mode("overwrite").parquet(src)
     name = f"rollup_stream_{uuid.uuid4().hex[:8]}"
-    q = streaming_rollup(
+    return run_file_stream(
         spark,
-        src,
-        spark.read.parquet(src).schema,
-        checkpoint_dir=f"{tmp}/ckpt",
-        output_table=name,
+        lambda src: events.write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_rollup(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_rollup_",
+        label="streaming_hourly_rollup",
     )
-    try:
-        # a timed-out stream would leave the memory sink partially
-        # populated — fail loudly rather than return a wrong answer
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_hourly_rollup did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -1761,31 +1750,25 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a streaming dedup on event_id; the survivor set must equal
     the original table exactly. Watermark (90d) exceeds the replay span
     (30d) so no duplicate escapes state eviction in the bounded demo."""
-    import shutil
-    import tempfile
     import uuid
 
     from finance_reporting_etl_spark.streaming.dedup import streaming_dedup
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
-    src = f"{tmp}/src"
-    events.unionAll(events).write.mode("overwrite").parquet(src)
     name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = streaming_dedup(
-        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
-        output_table=name,
+    return run_file_stream(
+        spark,
+        lambda src: events.unionAll(events).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_dedup(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_dedup_",
+        label="streaming_dedup_events",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_dedup_events did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -1802,37 +1785,28 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     in GroupState; the last emission per user (max_by upd_seq) must equal
     the batch aggregate. Exercises cross-batch state persistence — the
     sequence numbers prove multiple batches actually ran."""
-    import shutil
-    import tempfile
     import uuid
 
     from finance_reporting_etl_spark.streaming.stateful import stateful_running_totals
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events").select("user_id", "value")
-    tmp = tempfile.mkdtemp(prefix="stateful_totals_")
-    src = f"{tmp}/src"
-    events.repartition(4).write.mode("overwrite").parquet(src)
     name = f"stateful_stream_{uuid.uuid4().hex[:8]}"
-    q = stateful_running_totals(
-        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
-        output_table=name,
+    return run_file_stream(
+        spark,
+        lambda src: events.repartition(4).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: stateful_running_totals(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name
+        ),
+        lambda tmp: spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "upd_seq").alias("n_events"),
+            F.round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
+        ),
+        prefix="stateful_totals_",
+        label="stateful_user_totals",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stateful_user_totals did not finish within 300s")
-        out = (
-            spark.table(name)
-            .groupBy("user_id")
-            .agg(
-                F.max_by("n_events", "upd_seq").alias("n_events"),
-                F.round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -2805,30 +2779,24 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch merge_latest upsert; because latest-per-key is an
     associative argmin, the incrementally-maintained target must equal
     the one-shot batch merge regardless of the batch split."""
-    import shutil
-    import tempfile
-
     from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="stream_merge_")
-    src = f"{tmp}/src"
-    events.repartition(4).write.mode("overwrite").parquet(src)
-    q = streaming_merge_upsert(
-        spark, src, spark.read.parquet(src).schema,
-        checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/target",
-        keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+    return run_file_stream(
+        spark,
+        lambda src: events.repartition(4).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_merge_upsert(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/target",
+            keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/target"),
+        prefix="stream_merge_",
+        label="streaming_merge_upsert",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_merge_upsert did not finish within 300s")
-        out = spark.read.parquet(f"{tmp}/target").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -3509,29 +3477,23 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     open in one micro-batch and merge with later arrivals through the
     session-state store. The final result must equal the batch
     gap-sessionization (the DuckDB window-SQL twin) exactly."""
-    import shutil
-    import tempfile
     import uuid
 
     from finance_reporting_etl_spark.streaming.rollup import streaming_sessionize
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")
-    src = f"{tmp}/src"
-    events.repartition(4).write.mode("overwrite").parquet(src)
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    q = streaming_sessionize(
-        spark, src, spark.read.parquet(src).schema, checkpoint_dir=f"{tmp}/ckpt",
-        output_table=name,
+    return run_file_stream(
+        spark,
+        lambda src: events.repartition(4).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_sessionize(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_sess_",
+        label="streaming_sessionize_events",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_sessionize_events did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -3580,11 +3542,11 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     three behaviors — late drop, straggler merge, and append-mode
     emit-once — to Spark's executed semantics.
     """
-    import os
-    import shutil
-    import tempfile
-
     from finance_reporting_etl_spark.streaming.rollup import streaming_rollup_to_files
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     cut = "2024-01-21"
@@ -3595,35 +3557,18 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
         pre.filter(F.col("event_id") % 7 == 0),  # stragglers: drop + merge
         ev.filter(F.col("ts") >= cut),  # tail: advances the watermark
     ]
-    tmp = tempfile.mkdtemp(prefix="stream_wm_")
-    try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        for i, b in enumerate(batches):
-            stage = f"{tmp}/stage{i}"
-            b.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{src}/batch{i}.parquet"
-            shutil.copy(f"{stage}/{part}", dst)
-            # file mtime fixes micro-batch order (source sorts by it)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        q = streaming_rollup_to_files(
-            spark,
-            src,
-            spark.read.parquet(src).schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            output_dir=f"{tmp}/out",
-            bucket="1 day",
-            watermark="7 days",
-            max_files_per_trigger=1,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_watermark_late_drop did not finish within 300s")
-        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return run_file_stream(
+        spark,
+        lambda src: stage_microbatches(batches, src),
+        lambda src, schema, tmp: streaming_rollup_to_files(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", output_dir=f"{tmp}/out",
+            bucket="1 day", watermark="7 days", max_files_per_trigger=1,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/out"),
+        prefix="stream_wm_",
+        label="streaming_watermark_late_drop",
+    )
 
 
 @query(
@@ -3664,12 +3609,13 @@ def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches force sessions to span batch boundaries. The oracle
     is batch gap-sessionization minus the per-user final session when
     the stream's closing watermark (max ts - 10 min) left it open."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from finance_reporting_etl_spark.streaming.stateful import stateful_session_timeout
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
@@ -3679,32 +3625,17 @@ def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
         ev.filter(F.col("ts") >= cuts[2]),
     ]
-    tmp = tempfile.mkdtemp(prefix="stream_ttl_")
     name = f"ttl_sessions_{uuid.uuid4().hex[:8]}"
-    try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        for i, b in enumerate(batches):
-            stage = f"{tmp}/stage{i}"
-            b.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{src}/batch{i}.parquet"
-            shutil.copy(f"{stage}/{part}", dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        q = stateful_session_timeout(
-            spark,
-            src,
-            spark.read.parquet(src).schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            output_table=name,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stateful_session_timeout did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return run_file_stream(
+        spark,
+        lambda src: stage_microbatches(batches, src),
+        lambda src, schema, tmp: stateful_session_timeout(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_ttl_",
+        label="stateful_session_timeout",
+    )
 
 
 @query(
@@ -4177,16 +4108,16 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds from the full corpus. Unlike row-state streaming, the
     maintained state never grows: constant rewrite cost per batch at
     any corpus size."""
-    import os
-    import shutil
-    import tempfile
-
     from finance_reporting_etl_spark.functions.text import whitespace_tokens
     from finance_reporting_etl_spark.operators.sketches import (
         cms_estimates,
         cms_placements,
     )
     from finance_reporting_etl_spark.streaming.merge import streaming_cms_maintain
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks_expr = F.explode(whitespace_tokens(F.lower(F.col("text"))))
@@ -4195,35 +4126,20 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = _persist_aux(spark, cms_placements(tc), "cms_placements_stream")
 
-    tmp = tempfile.mkdtemp(prefix="stream_cms_")
-    try:
-        src = f"{tmp}/src"
-        os.makedirs(src)
-        for i in range(3):
-            stage = f"{tmp}/stage{i}"
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{src}/batch{i}.parquet"
-            shutil.copy(f"{stage}/{part}", dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        q = streaming_cms_maintain(
-            spark,
-            src,
-            docs.schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            sketch_dir=f"{tmp}/sketch",
-            placements=cells,
-            token_expr=toks_expr,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_heavy_hitters did not finish within 300s")
-        sketch = spark.read.parquet(f"{tmp}/sketch").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
+    sketch = run_file_stream(
+        spark,
+        lambda src: stage_microbatches(
+            [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)], src
+        ),
+        lambda src, schema, tmp: streaming_cms_maintain(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sketch_dir=f"{tmp}/sketch",
+            placements=cells, token_expr=toks_expr,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sketch"),
+        prefix="stream_cms_",
+        label="streaming_heavy_hitters",
+    )
     est = cms_estimates(cells, sketch)
     total = tc.agg(F.sum("cnt").alias("t"))
     return (
@@ -4671,73 +4587,12 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _stage_chronological_streams(spark, sf_dir, types=("view", "purchase")):
-    """Stage each event type as a 2-file chronological stream source
-    (mtime orders the files — the production arrival shape watermark
-    correctness assumes). Returns (tmpdir, {type: source_dir})."""
-    import os
-    import shutil
-    import tempfile
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    mid = ev.agg(
-        F.timestamp_micros(
-            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
-        ).alias("m")
-    ).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="stream_join_")
-    dirs = {}
-    for typ in types:
-        d = f"{tmp}/{typ}s"
-        os.makedirs(d)
-        dirs[typ] = d
-        # two chronological data files + one EMPTY epilogue file: the
-        # epilogue forces a real final micro-batch that runs with the
-        # watermark derived from the last data batch, so outer-join
-        # null-pad emission does not depend on whether the trailing
-        # no-data batch gets scheduled (timing-sensitive under load)
-        halves = (
-            (F.col("ts") <= mid),
-            (F.col("ts") > mid),
-            F.lit(False),
-        )
-        for i, half in enumerate(halves):
-            stage = f"{tmp}/stage_{typ}{i}"
-            ev.filter((F.col("event_type") == typ) & half).select(
-                "user_id", "ts"
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-            dst = f"{d}/part{i}.parquet"
-            shutil.copy(f"{stage}/{part}", dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-    return tmp, dirs
-
-
 def _run_staged_interval_join(spark, sf_dir, how):
-    import shutil
+    """Thin binding over ``streaming.joins.replay_interval_join`` (the
+    chronological staging + replay lifecycle lives there)."""
+    from finance_reporting_etl_spark.streaming.joins import replay_interval_join
 
-    from finance_reporting_etl_spark.streaming.joins import (
-        streaming_interval_join_to_files,
-    )
-
-    tmp, dirs = _stage_chronological_streams(spark, sf_dir)
-    try:
-        q = streaming_interval_join_to_files(
-            spark,
-            dirs["view"],
-            dirs["purchase"],
-            spark.read.parquet(dirs["view"]).schema,
-            checkpoint_dir=f"{tmp}/ckpt",
-            output_dir=f"{tmp}/out",
-            how=how,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"streaming {how} interval join did not finish within 300s")
-        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return replay_interval_join(spark, _t(spark, sf_dir, "events"), how)
 
 
 @query(
@@ -5178,10 +5033,8 @@ def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) — and reads compact by filtering op = 'D'. The oracle
     computes the same final state from the full changelog in one shot;
     equality proves tombstone shadowing across every batch boundary."""
-    import shutil
-    import tempfile
-
     from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     ev = _t(spark, sf_dir, "events")
     changelog = ev.select(
@@ -5191,36 +5044,24 @@ def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
         "value",
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_")
-    src = f"{tmp}/src"
-    changelog.repartition(4).write.mode("overwrite").parquet(src)
-    q = streaming_merge_upsert(
+    return run_file_stream(
         spark,
-        src,
-        spark.read.parquet(src).schema,
-        checkpoint_dir=f"{tmp}/ckpt",
-        target_dir=f"{tmp}/target",
-        keys=["user_id"],
-        order_col="ts",
-        tiebreak_col="event_id",
+        lambda src: changelog.repartition(4).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_merge_upsert(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/target",
+            keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/target")
+        .filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("ts").alias("updated_at"),
+            F.round("value", 6).alias("value"),
+        ),
+        prefix="cdc_",
+        label="cdc_changelog_apply",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("cdc_changelog_apply did not finish within 300s")
-        state = spark.read.parquet(f"{tmp}/target")
-        out = (
-            state.filter(F.col("op") != "D")
-            .select(
-                "user_id",
-                F.col("ts").alias("updated_at"),
-                F.round("value", 6).alias("value"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 _QUALITY_SQL = """round(greatest(0.0,
@@ -6197,35 +6038,24 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment agrees between engines: Spark windows align to the Unix
     epoch, DuckDB time_bucket to 2000-01-03, and their offset is a
     whole multiple of the 2h slide."""
-    import shutil
-    import tempfile
     import uuid
 
     from finance_reporting_etl_spark.streaming.rollup import streaming_rollup
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="stream_slide_")
-    src = f"{tmp}/src"
-    events.write.mode("overwrite").parquet(src)
     name = f"slide_stream_{uuid.uuid4().hex[:8]}"
-    q = streaming_rollup(
+    return run_file_stream(
         spark,
-        src,
-        spark.read.parquet(src).schema,
-        checkpoint_dir=f"{tmp}/ckpt",
-        output_table=name,
-        bucket="6 hours",
-        slide="2 hours",
-        watermark="12 hours",
+        lambda src: events.write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_rollup(
+            spark, src, schema, checkpoint_dir=f"{tmp}/ckpt", output_table=name,
+            bucket="6 hours", slide="2 hours", watermark="12 hours",
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_slide_",
+        label="streaming_sliding_window_counts",
     )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_sliding_window_counts did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -6338,48 +6168,31 @@ def q_streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join it, reserve stateful stream-stream joins for two
     genuinely unbounded sides. Replayed as 4 chronologically-unordered
     micro-batches (maxFilesPerTrigger=1); complete-mode aggregate ==
-    the batch join bit-for-bit."""
-    import shutil
-    import tempfile
+    the batch join bit-for-bit. Operator:
+    streaming.joins.streaming_static_dim_rollup."""
     import uuid
+
+    from finance_reporting_etl_spark.streaming.joins import (
+        streaming_static_dim_rollup,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    tmp = tempfile.mkdtemp(prefix="stream_dim_")
-    src = f"{tmp}/src"
-    events.repartition(4).write.mode("overwrite").parquet(src)
     name = f"dimjoin_stream_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    return run_file_stream(
+        spark,
+        lambda src: events.repartition(4).write.mode("overwrite").parquet(src),
+        lambda src, schema, tmp: streaming_static_dim_rollup(
+            spark, src, schema, dim,
+            checkpoint_dir=f"{tmp}/ckpt", output_table=name,
+        ),
+        lambda tmp: spark.table(name),
+        prefix="stream_dim_",
+        label="streaming_static_dim_join",
     )
-    agg = (
-        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
-        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_static_dim_join did not finish within 300s")
-        out = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 @query(
@@ -8061,10 +7874,14 @@ def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions; > 0.2 means act). The per-bin table is emitted
     instead of the summed scalar so every number is either an exact
     count or a closed-form float both engines evaluate identically —
-    the cross-engine float-SUM trap (PLANS.md #10) never appears."""
+    the cross-engine float-SUM trap (PLANS.md #10) never appears.
+    Operator: operators.drift.psi_bin_table (shared with the
+    streaming twin — one PSI expression tree, two arrival modes)."""
+    from finance_reporting_etl_spark.operators.drift import psi_bin_table, value_bin
+
     ev = _t(spark, sf_dir, "events")
     b = ev.select(
-        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        value_bin(),
         F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 1)
         .otherwise(0)
         .alias("in_a"),
@@ -8077,17 +7894,7 @@ def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").cast("bigint").alias("n_a"),
         F.sum(1 - F.col("in_a")).cast("bigint").alias("n_b"),
     )
-    j = g.crossJoin(F.broadcast(t))
-    pa = F.greatest(F.col("n_a").cast("double") / F.col("__tot_a"), F.lit(0.000001))
-    pb = F.greatest(F.col("n_b").cast("double") / F.col("__tot_b"), F.lit(0.000001))
-    return j.select(
-        "bin",
-        "n_a",
-        "n_b",
-        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
-        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
-    )
+    return psi_bin_table(g.crossJoin(F.broadcast(t)))
 
 
 @query(
@@ -8310,84 +8117,39 @@ def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch property with a 10-cell 'sketch'), and the PSI
     table reads identically to the one-shot batch computation (the
     shared oracle proves it). Replayed as 3 micro-batches; reference
-    (period-A) counts stay a static table. State per batch: 10 rows."""
-    import shutil
-    import tempfile
+    (period-A) counts stay a static table. State per batch: 10 rows.
+    Operators: streaming.drift.streaming_bin_count_fold +
+    operators.drift.psi_from_counts."""
+    from finance_reporting_etl_spark.operators.drift import psi_from_counts, value_bin
+    from finance_reporting_etl_spark.streaming.drift import streaming_bin_count_fold
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     ev = _t(spark, sf_dir, "events")
     mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    bin_col = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
-        "bin"
-    )
     a_counts = (
         ev.filter(F.col("ts") < mid)
-        .select(bin_col)
+        .select(value_bin())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
     )
-    tmp = tempfile.mkdtemp(prefix="stream_psi_")
-    src, sink = f"{tmp}/src", f"{tmp}/sink"
-    ev.filter(F.col("ts") >= mid).select("ts", "value").repartition(3).write.parquet(
-        src
+    b_counts = run_file_stream(
+        spark,
+        lambda src: ev.filter(F.col("ts") >= mid)
+        .select("ts", "value")
+        .repartition(3)
+        .write.parquet(src),
+        lambda src, schema, tmp: streaming_bin_count_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            bin_expr=value_bin(),
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
+        .groupBy("bin")
+        .agg(F.sum("n").cast("bigint").alias("n_b")),
+        prefix="stream_psi_",
+        label="streaming_value_drift_psi",
     )
-
-    def fold_bins(batch, batch_id):
-        # foreachBatch is at-least-once: a retried micro-batch must not
-        # double-count. Each batch OVERWRITES its own batch_id=...
-        # partition, so replays are idempotent (ADVICE r4).
-        (
-            batch.select(
-                F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
-                    "bin"
-                )
-            )
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .write.mode("overwrite")
-            .parquet(f"{sink}/batch_id={batch_id}")
-        )
-
-    q = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(fold_bins)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming_value_drift_psi did not finish in 300s")
-        b_counts = (
-            spark.read.parquet(sink)
-            .groupBy("bin")
-            .agg(F.sum("n").cast("bigint").alias("n_b"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    j = a_counts.join(b_counts, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
-    )
-    t = j.agg(
-        F.sum("n_a").cast("double").alias("__tot_a"),
-        F.sum("n_b").cast("double").alias("__tot_b"),
-    )
-    jj = j.crossJoin(F.broadcast(t))
-    pa = F.greatest(F.col("n_a").cast("double") / F.col("__tot_a"), F.lit(0.000001))
-    pb = F.greatest(F.col("n_b").cast("double") / F.col("__tot_b"), F.lit(0.000001))
-    return jj.select(
-        "bin",
-        "n_a",
-        "n_b",
-        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
-        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
-    )
+    return psi_from_counts(a_counts, b_counts)
 
 
 @query(

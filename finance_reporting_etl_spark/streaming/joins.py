@@ -98,3 +98,82 @@ def streaming_interval_join_to_files(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replay_interval_join(spark, events, how: str):
+    """Stage the events frame as chronological view/purchase streams
+    (see ``staging.stage_chronological_streams``) and run the
+    stream-stream interval join replay end to end, returning the
+    materialized join result."""
+    import shutil
+
+    from finance_reporting_etl_spark.streaming.staging import (
+        stage_chronological_streams,
+    )
+
+    tmp, dirs = stage_chronological_streams(events)
+    try:
+        q = streaming_interval_join_to_files(
+            spark,
+            dirs["view"],
+            dirs["purchase"],
+            spark.read.parquet(dirs["view"]).schema,
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+            how=how,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming {how} interval join did not finish within 300s"
+            )
+        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def streaming_static_dim_rollup(
+    spark,
+    source_dir: str,
+    schema,
+    dim,
+    checkpoint_dir: str,
+    output_table: str,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+    attr_alias: str = "segment",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int = 1,
+):
+    """Stream-static enrich-then-aggregate: each micro-batch broadcast-
+    joins the static dimension (re-planned per batch, no stream-stream
+    state) before a running (dim attr x group) aggregate to a
+    complete-mode memory sink. The standard layout for slowly-changing
+    dims at scale — keep the dim a table, reserve stateful joins for
+    two genuinely unbounded sides."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key])
+        .groupBy(F.col(dim_attr).alias(attr_alias), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(output_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

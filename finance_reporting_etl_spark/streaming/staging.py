@@ -1,0 +1,123 @@
+"""Deterministic file-stream replay staging (catalog test harness).
+
+Structured Streaming's file source orders micro-batches by file
+modification time. Every streaming catalog query replays a bounded
+fixture through a real stream (`Trigger.AvailableNow` +
+`maxFilesPerTrigger`), so correctness of watermark eviction, state
+timeout and append emission depends on a reproducible arrival order.
+These helpers centralize that plumbing (it was copy-pasted per query
+before round 5):
+
+- :func:`stage_microbatches` writes each batch DataFrame as ONE
+  parquet file with a fixed, strictly increasing mtime — the replay
+  arrival order is then deterministic on any filesystem.
+- :func:`run_file_stream` owns the tempdir lifecycle: write source,
+  start the stream, await bounded termination (a timed-out stream
+  would leave a partially-populated sink — fail loudly instead of
+  returning a wrong answer), snapshot the result off the sink with
+  ``localCheckpoint`` so it survives the tempdir cleanup.
+- :func:`stage_chronological_streams` stages the events fixture as
+  per-event-type 2-file chronological sources with an EMPTY epilogue
+  file, the shape stream-stream outer joins need (the epilogue forces
+  a final micro-batch that runs with the watermark derived from the
+  last data batch, so null-pad emission does not depend on whether a
+  trailing no-data batch gets scheduled — timing-sensitive under
+  load).
+
+Production pipelines point the same streaming operators at real
+object-store prefixes; only this staging layer is test-specific.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_microbatches(
+    batches: Sequence[DataFrame],
+    src_dir: str,
+    base_mtime: int = 1_700_000_000,
+    step: int = 100,
+) -> str:
+    """Write each DataFrame as one parquet file under ``src_dir`` with
+    strictly increasing mtimes, so a file stream with
+    ``maxFilesPerTrigger=1`` replays them as ordered micro-batches.
+    Empty DataFrames are staged too (epilogue batches)."""
+    os.makedirs(src_dir, exist_ok=True)
+    for i, b in enumerate(batches):
+        stage = f"{src_dir}_stage{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        dst = f"{src_dir}/batch{i}.parquet"
+        shutil.copy(f"{stage}/{part}", dst)
+        os.utime(dst, (base_mtime + i * step,) * 2)
+    return src_dir
+
+
+def run_file_stream(
+    spark: SparkSession,
+    write_source: Callable[[str], None],
+    start_stream: Callable[[str, object, str], object],
+    read_result: Callable[[str], DataFrame],
+    prefix: str = "stream_",
+    timeout: int = 300,
+    label: str = "stream",
+) -> DataFrame:
+    """Full replay lifecycle around a tempdir: ``write_source(src)``
+    stages the input files, ``start_stream(src, schema, tmp)`` returns
+    the StreamingQuery (checkpoint/output paths live under ``tmp``),
+    ``read_result(tmp)`` reads the sink. The result is snapshotted
+    with ``localCheckpoint(eager=True)`` before the tempdir is
+    removed."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        src = f"{tmp}/src"
+        write_source(src)
+        q = start_stream(src, spark.read.parquet(src).schema, tmp)
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(f"{label} did not finish within {timeout}s")
+        out = read_result(tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stage_chronological_streams(
+    events: DataFrame, types: Sequence[str] = ("view", "purchase")
+):
+    """Stage each event type of the (user_id, ts, event_type) events
+    frame as a 2-file chronological stream source plus an empty
+    epilogue file (see module docstring). Returns
+    ``(tmpdir, {type: source_dir})``; the caller owns cleanup of
+    ``tmpdir``."""
+    ev = events.select("user_id", "ts", "event_type")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    dirs = {}
+    for typ in types:
+        d = f"{tmp}/{typ}s"
+        halves = (
+            (F.col("ts") <= mid),
+            (F.col("ts") > mid),
+            F.lit(False),  # empty epilogue batch
+        )
+        stage_microbatches(
+            [
+                ev.filter((F.col("event_type") == typ) & half).select("user_id", "ts")
+                for half in halves
+            ],
+            d,
+        )
+        dirs[typ] = d
+    return tmp, dirs

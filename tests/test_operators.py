@@ -1912,3 +1912,44 @@ def test_holt_constant_and_trending_series(spark):
     assert out["flat"].forecast_7 == out["flat"].forecast_1 == out["flat"].level
     assert out["up"].trend > 1.0
     assert out["up"].level < out["up"].forecast_1 < out["up"].forecast_7
+
+
+def test_distributed_components_at_crossover_scale(spark):
+    """The hybrid crossover taken by SIZE, not by a forced bound of 0:
+    a ~36k-edge skewed graph (one 12k-spoke hub star — a single hot
+    join key, the worst shuffle skew a dup graph produces — plus 4k
+    size-6 cliques and ten 200-node chains) exceeds a lowered
+    small_graph_edges, so the count-based decision itself routes to
+    the distributed label-propagation branch, including its
+    repartition sizing. Output is pinned equal to driver union-find
+    on the same graph (VERDICT r4 #8)."""
+    from finance_reporting_etl_spark.operators.dedup import near_dup_clusters
+
+    edges = []
+    # hub star: node 0 joined to 12k spokes -> extreme key skew
+    edges += [(0, i) for i in range(100_000, 112_000)]
+    # 4k disjoint 6-cliques (dup graphs are mostly cliques)
+    for c in range(4_000):
+        base = 200_000 + c * 10
+        ids = list(range(base, base + 6))
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]][:5]
+    # ten 200-node chains: diameter large enough to need pointer jumps
+    for c in range(10):
+        base = 600_000 + c * 1_000
+        edges += [(base + i, base + i + 1) for i in range(199)]
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    node_ids = sorted({x for e in edges for x in e} | {999_999})  # +isolated
+    nodes_df = spark.createDataFrame([(i,) for i in node_ids], "id long")
+
+    n_edges = len(edges)
+    assert n_edges > 25_000
+    dist = near_dup_clusters(
+        edges_df, nodes_df, small_graph_edges=25_000
+    )  # bound < n_edges -> distributed branch by count
+    fast = near_dup_clusters(edges_df, nodes_df)  # default bound -> union-find
+    d = {r.id: r.cluster_id for r in dist.collect()}
+    f = {r.id: r.cluster_id for r in fast.collect()}
+    assert d == f
+    assert d[111_999] == 0  # hub component labels to min id 0
+    assert d[600_199] == 600_000 and d[609_199] == 609_000  # chains settle
+    assert d[999_999] == 999_999  # isolated node survives
