@@ -629,3 +629,147 @@ def bm25_search(
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     w = Window.orderBy(F.desc("score"), id_col)
     return top.select(id_col, "score", F.row_number().over(w).cast("long").alias("rank"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 2,
+    min_support: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """PMI collocation mining: which token pairs co-occur (within
+    ``max_dist`` positions, ordered) far more than chance — the
+    extractor behind phrase detection and tokenizer-merge candidates.
+
+    Pairs generate MAP-SIDE from each document's token array (indexed
+    sequence explode — no self-join anywhere); unigram and pair counts
+    are exact; PMI is one closed-form expression on those counts with
+    the two corpus scalars broadcast. Top-k via
+    TakeOrderedAndProject. Returns (l, r, n_lr, pmi, rank)."""
+    from pyspark.sql import Window
+
+    t = docs.select(F.split(F.trim(F.lower(text_col)), r"\s+").alias("toks"))
+    nt = t.agg(F.sum(F.size("toks")).cast("double").alias("__n_toks"))
+    uni = (
+        t.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_parts = []
+    for d in range(1, max_dist + 1):
+        # guard: Spark's sequence(1, n) DESCENDS when n < 1 — emit an
+        # empty list for docs shorter than the pair distance (DuckDB's
+        # generate_series is already empty there)
+        idx = F.when(
+            F.size("toks") > d, F.sequence(F.lit(1), F.size("toks") - F.lit(d))
+        ).otherwise(F.array().cast("array<int>"))
+        pair_parts.append(
+            t.select(
+                F.explode(idx).alias("i"),
+                "toks",
+            ).select(
+                F.element_at("toks", F.col("i")).alias("l"),
+                F.element_at("toks", F.col("i") + F.lit(d)).alias("r"),
+            )
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionAll(p)
+    np_ = pairs.agg(F.count(F.lit(1)).cast("double").alias("__n_pairs"))
+    pc = (
+        pairs.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("n_lr"))
+        .filter(F.col("n_lr") >= min_support)
+    )
+    a = uni.select(F.col("term").alias("l"), F.col("n").alias("__na"))
+    b = uni.select(F.col("term").alias("r"), F.col("n").alias("__nb"))
+    scored = (
+        pc.join(F.broadcast(a), "l")
+        .join(F.broadcast(b), "r")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "l",
+            "r",
+            "n_lr",
+            F.round(
+                F.log(
+                    (F.col("n_lr").cast("double") / F.col("__n_pairs"))
+                    / (
+                        (F.col("__na").cast("double") / F.col("__n_toks"))
+                        * (F.col("__nb").cast("double") / F.col("__n_toks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "l", "r").limit(k)
+    wr = Window.orderBy(F.desc("pmi"), "l", "r")
+    return top.select(
+        "l", "r", "n_lr", "pmi", F.row_number().over(wr).cast("long").alias("rank")
+    )
+
+
+def mixture_rebalance_to_targets(
+    docs: DataFrame,
+    targets: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    salt: str = "rebalance",
+    grain: int = 256,
+) -> DataFrame:
+    """Dolma/DataComp-style mixture solving, entirely IN-PLAN: measured
+    size share per group -> weight = target/current -> quantized
+    (floor + ``grain``-grain md5 coin) replication -> achieved share.
+    No driver arithmetic: the weight table is a groups-sized aggregate
+    joined back broadcast, so the same query rebalances a 100 TB
+    corpus. ``targets`` carries (group, target_share). The achieved
+    share converges on the target up to the 1/grain coin granularity
+    and per-doc integer replication. Returns
+    (group, before_share, target_share, after_share)."""
+    cur = docs.groupBy(group_col).agg(
+        F.sum(size_col).cast("double").alias("chars")
+    )
+    tot = cur.agg(F.sum("chars").alias("t"))
+    w = (
+        cur.join(F.broadcast(targets), group_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "target_share",
+            (F.col("chars") / F.col("t")).alias("before_share"),
+            (F.col("target_share") / (F.col("chars") / F.col("t"))).alias("wt"),
+        )
+    )
+    wq = w.select(
+        group_col,
+        "target_share",
+        "before_share",
+        F.floor("wt").cast("long").alias("base"),
+        F.floor((F.col("wt") - F.floor("wt")) * grain + 0.5)
+        .cast("long")
+        .alias("thresh"),
+    )
+    b = md5_bucket(id_col, salt=salt).cast("double")
+    per_doc = docs.join(F.broadcast(wq), group_col).select(
+        group_col,
+        "target_share",
+        "before_share",
+        (
+            F.col(size_col)
+            * (F.col("base") + F.when(b < F.col("thresh"), 1).otherwise(0))
+        ).alias("eff_chars"),
+    )
+    after_tot = per_doc.agg(F.sum("eff_chars").alias("t"))
+    return (
+        per_doc.crossJoin(F.broadcast(after_tot))
+        .groupBy(group_col)
+        .agg(
+            F.round(F.any_value("before_share"), 6).alias("before_share"),
+            F.any_value("target_share").alias("target_share"),
+            F.round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
+        )
+    )

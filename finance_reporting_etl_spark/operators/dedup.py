@@ -759,3 +759,82 @@ def blocked_entity_resolution(
         .filter(F.col("__rn") == 1)
         .select(F.col(q_id), F.col(r_id).alias("matched_id"), "distance")
     )
+
+
+def incremental_dedup_classify(batch: DataFrame, index: DataFrame) -> DataFrame:
+    """Classify an incoming batch against a maintained fingerprint
+    index (fp -> owner_id, one narrow row per distinct corpus doc) —
+    the production shape of exact dedup at scale: the corpus text is
+    never rescanned. Rows classify as new / dup_of_corpus /
+    dup_in_batch (lowest batch doc_id wins within the batch, corpus
+    ownership wins over batch ties) with the duplicate target
+    reported. ``batch`` must carry (doc_id, fp). Accepted rows'
+    fingerprints are then appended to the index — the maintenance step
+    ``exact_dedup`` does in one shot for a static corpus."""
+    w = batch.join(index, "fp", "left").withColumn(
+        "first_in_batch", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    return w.select(
+        "doc_id",
+        F.when(F.col("owner_id").isNotNull(), "dup_of_corpus")
+        .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+        F.when(F.col("owner_id").isNotNull(), F.col("owner_id"))
+        .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
+        .alias("dup_of"),
+    )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """The rewrite half of substring dedup: remove every later
+    occurrence of a repeated ``span_tokens``-token span (keep-first by
+    (doc id, span order)) and reassemble each document's surviving
+    spans into cleaned text — the pass that actually scrubs
+    boilerplate out of a training corpus (Lee et al. exact-substring
+    scrub, rewrite stage).
+
+    Two uniform shuffles: one on the span fingerprint (md5 — no skew)
+    for the global keep-first window, one on doc id to reassemble.
+    Reassembly sorts span structs INSIDE the row (array_sort of
+    (idx, text) structs) instead of a per-doc ordered window — order
+    restored without a third exchange. At 100 TB both keys are
+    fine-grained and uniform; nothing buffers more than one document.
+    Returns (id, n_chunks, n_kept, clean_text)."""
+    k = span_tokens
+    toks = docs.select(id_col, F.split(F.trim(text_col), r"\s+").alias("toks"))
+    chunks = toks.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(size(toks) + {k - 1}) div {k}") - 1)
+        ).alias("g"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        F.col("g").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", F.col("g") * k + 1, F.lit(k)), " "
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text").cast("binary"))).orderBy(
+        id_col, "chunk_idx"
+    )
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk_text
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

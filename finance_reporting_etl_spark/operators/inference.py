@@ -58,3 +58,49 @@ def score_embeddings(
         return pd.Series(out)
 
     return df.withColumn(out_col, _score(F.col(vec_col)))
+
+
+def embedding_outlier_flags(
+    emb: DataFrame,
+    dim: int,
+    persist_stats=None,
+    sigmas: float = 2.0,
+) -> DataFrame:
+    """Flag embeddings far from the corpus centroid (dist > mu +
+    ``sigmas``*sigma) — the cheap first-pass filter for corrupt /
+    out-of-domain vectors before they poison ANN indexes or dedup.
+
+    ``emb`` carries (vec_id, vd: array<double>). The centroid and the
+    distance-distribution scalars (mu, sigma) involve float sums whose
+    order Spark does not pin; pass ``persist_stats`` (a callable
+    receiving a 1-row (cen, mu, sigma) DataFrame) to persist them for
+    an external oracle to re-derive distances from. Map-side only
+    after the two scalar aggregates; no shuffle touches data-sized
+    rows. Returns (vec_id, dist, is_outlier)."""
+    cen_row = emb.select(
+        F.array(*[F.avg(F.element_at("vd", i + 1)) for i in range(dim)]).alias("cen")
+    ).head()
+    cen = [float(c) for c in cen_row["cen"]]
+    cen_col = F.array(*[F.lit(c) for c in cen])
+    diff_sq = F.transform(
+        F.sequence(F.lit(1), F.size("vd")),
+        lambda i: (F.element_at("vd", i) - F.element_at(cen_col, i))
+        * (F.element_at("vd", i) - F.element_at(cen_col, i)),
+    )
+    dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+    dists = emb.select("vec_id", dist.alias("dist"))
+    stats = dists.agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
+    ).head()
+    mu, sigma = float(stats["mu"]), float(stats["sigma"])
+    if persist_stats is not None:
+        persist_stats(
+            emb.sparkSession.createDataFrame(
+                [(cen, mu, sigma)], "cen array<double>, mu double, sigma double"
+            )
+        )
+    return dists.select(
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+        (F.col("dist") > F.lit(mu) + sigmas * F.lit(sigma)).alias("is_outlier"),
+    )

@@ -221,3 +221,100 @@ def best_stumps_by_fold(xyf: DataFrame) -> list:
         .drop("__rn")
         .collect()
     )
+
+
+def bagged_stump_ensemble_eval(
+    df: DataFrame,
+    feature_cols: dict[str, str],
+    y_col: str = "y",
+    fold_col: str = "fold",
+    n_folds: int = 3,
+) -> DataFrame:
+    """Train one stump per fold in ONE pass (:func:`best_stumps_by_fold`)
+    and score every member plus the majority-vote ensemble against all
+    rows. Returns (model, feature, thr, n_train, accuracy) with one row
+    per member and one 'ensemble' row.
+
+    Scoring is pure column CASE logic on the collected parameter rows
+    (model params are the ONLY driver traffic); accuracies are
+    exact-count divisions rounded in Spark SQL (HALF_UP, matching
+    DuckDB's half-away-from-zero — Python round() is banker's rounding
+    and would diverge on exact 5e-7 ties)."""
+    melted = None
+    for name, col in feature_cols.items():
+        part = df.select(
+            fold_col,
+            F.lit(name).alias("feature"),
+            F.col(col).cast("double").alias("v"),
+            F.col(y_col).alias("y"),
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    if fold_col != "fold":
+        melted = melted.withColumnRenamed(fold_col, "fold")
+    models_by_fold = {r["fold"]: r for r in best_stumps_by_fold(melted)}
+    # a fold can come back empty (no rows hashed into it) or splitless
+    # (constant features); fail with the fold named rather than a bare
+    # KeyError later (ADVICE r4)
+    absent = [k for k in range(n_folds) if k not in models_by_fold]
+    if absent:
+        raise ValueError(
+            f"bagging folds {absent} produced no trainable stump "
+            f"(empty fold or constant features); got folds "
+            f"{sorted(models_by_fold)}"
+        )
+    models = [models_by_fold[k] for k in range(n_folds)]
+    fold_sizes = {
+        r["f"]: r["n"]
+        for r in df.groupBy(F.col(fold_col).alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing_sizes = [k for k in range(n_folds) if k not in fold_sizes]
+    if missing_sizes:
+        raise ValueError(f"bagging folds {missing_sizes} have zero rows")
+
+    def pred(m):
+        val = F.col(feature_cols[m["feature"]])
+        left = F.lit(1) if 2 * m["posl"] > m["nl"] else F.lit(0)
+        right = F.lit(1) if 2 * m["posr"] > m["nr"] else F.lit(0)
+        return F.when(val.cast("double") <= float(m["thr"]), left).otherwise(right)
+
+    preds = [pred(m).alias(f"p{k}") for k, m in enumerate(models)]
+    majority = (n_folds // 2) + 1
+    ens = F.when(
+        sum(F.col(f"p{k}") for k in range(n_folds)) >= majority, 1
+    ).otherwise(0)
+    ev = df.select(F.col(y_col).alias("y"), *preds).withColumn("pe", ens)
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"p{k}") == F.col("y")).cast("int")).alias(f"c{k}")
+            for k in range(n_folds)
+        ],
+        F.sum((F.col("pe") == F.col("y")).cast("int")).alias("ce"),
+    ).head()
+    n = agg["n"]
+    rows = [
+        (
+            f"model_{k}",
+            models[k]["feature"],
+            float(models[k]["thr"]),
+            int(fold_sizes[k]),
+            int(agg[f"c{k}"]),
+        )
+        for k in range(n_folds)
+    ]
+    rows.append(("ensemble", None, None, int(n), int(agg["ce"])))
+    raw = df.sparkSession.createDataFrame(
+        rows,
+        "model string, feature string, thr double, n_train bigint, n_correct bigint",
+    )
+    return raw.select(
+        "model",
+        "feature",
+        "thr",
+        "n_train",
+        F.round(F.col("n_correct").cast("double") / F.lit(int(n)), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -17,7 +17,7 @@ never quadratic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,37 @@ def range_join(
     )
     cond: Column = (t >= lo) & (t < hi)
     return p.join(iv, on=["__bucket", *eq], how="inner").where(cond).drop("__bucket")
+
+
+def merge_intervals(
+    iv: DataFrame,
+    key_cols: list[str],
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Union overlapping intervals per key with ONE partitioned window
+    pass — no interval self-join anywhere. The sweep-line
+    formulation: a running max of interval ends detects gaps, a
+    cumsum of gap flags numbers the merged islands. Returns one row
+    per merged island: (*key_cols, grp, lo, hi)."""
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(lo_col, hi_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(lo_col, hi_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = iv.withColumn("prev_max_hi", F.max(hi_col).over(w_prev)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_hi").isNull() | (F.col(lo_col) > F.col("prev_max_hi")), 1
+        ).otherwise(0),
+    )
+    return (
+        g.withColumn("grp", F.sum("is_new").over(w_cum))
+        .groupBy(*key_cols, "grp")
+        .agg(F.min(lo_col).alias(lo_col), F.max(hi_col).alias(hi_col))
+    )

@@ -315,3 +315,106 @@ def distributed_ntile_melted(
     return ranked.withColumn(out_col, tile.cast("int")).drop(
         "__bucket", "__offset", "__rn"
     )
+
+
+def multi_metric_ntile_scores(
+    df: DataFrame,
+    metrics: dict[str, str],
+    n: int,
+    key_cols: list[str],
+    out_suffix: str = "_score",
+) -> DataFrame:
+    """Score several metrics with exact global ntiles in ONE melted
+    pass and pivot back to wide columns.
+
+    ``metrics`` maps metric id -> source column (cast to double for
+    ranking); output adds ``{metric}{out_suffix}`` int columns to the
+    key columns. One :func:`distributed_ntile_melted` pass covers all
+    metrics — the metric id rides the partition key, so the job count
+    stays constant as metrics grow, where sequential ntile calls pay
+    a sketch job + offset round + window pass per metric."""
+    melted = None
+    for mid, col in metrics.items():
+        part = df.select(
+            *key_cols,
+            F.lit(mid).alias("metric"),
+            F.col(col).cast("double").alias("v"),
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    tiles = distributed_ntile_melted(melted, n, "metric", "v", key_cols, out_col="score")
+    return tiles.groupBy(*key_cols).agg(
+        *[
+            F.max(F.when(F.col("metric") == mid, F.col("score"))).alias(
+                f"{mid}{out_suffix}"
+            )
+            for mid in metrics
+        ]
+    )
+
+
+def winsorized_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Outlier-robust per-group value stats: clip at the exact
+    nearest-rank p_lo/p_hi ORDER STATISTICS (real data values, so a
+    fixed-decimal input keeps its grid), then mean/sd over
+    integer-scaled cents — sums are exact integers in any
+    partial-aggregation order and the single float division at the end
+    is IEEE-identical across engines (the PLANS.md #10 tie-proofing
+    recipe applied to second moments). The rank pass is a
+    group-partitioned window (spills, never buffers a group); bounds
+    are a groups-sized broadcast join back. Input values must be on a
+    2-decimal grid (cents scaling). Returns (group, n, lo_cut, hi_cut,
+    mean_raw, mean_winsor, sd_winsor)."""
+    w_ord = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    w_grp = Window.partitionBy(group_col)
+    b = df.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_grp)
+    )
+    k_lo = F.greatest(
+        F.ceil(F.col("cnt") * p_lo).cast("long"), F.lit(1).cast("long")
+    )
+    k_hi = F.greatest(
+        F.ceil(F.col("cnt") * p_hi).cast("long"), F.lit(1).cast("long")
+    )
+    bounds = b.groupBy(group_col).agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col(value_col))).alias("lo_cut"),
+        F.min(F.when(F.col("rn") == k_hi, F.col(value_col))).alias("hi_cut"),
+    )
+    c = b.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        F.col("lo_cut"),
+        F.col("hi_cut"),
+        F.round(F.col(value_col) * 100).cast("long").alias("rawi"),
+        F.round(
+            F.least(F.greatest(F.col(value_col), F.col("lo_cut")), F.col("hi_cut"))
+            * 100
+        )
+        .cast("long")
+        .alias("wini"),
+    )
+    n = F.count(F.lit(1))
+    sum_raw = F.sum("rawi").cast("double")
+    sum_win = F.sum("wini").cast("double")
+    sum_sq = F.sum(F.col("wini") * F.col("wini")).cast("double")
+    return c.groupBy(group_col).agg(
+        n.alias("n"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        F.round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
+        F.round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (sum_sq - sum_win * sum_win / n) / 10000.0 / (n - F.lit(1)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sd_winsor"),
+    )

@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def ema_last_per_key(
@@ -128,3 +129,113 @@ def holt_forecast_per_key(
         "forecast_1 double, forecast_7 double"
     )
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def linear_interpolate_daily(
+    observed: DataFrame,
+    spine_from: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    value_col: str = "value",
+    scale: int = 4,
+) -> DataFrame:
+    """Linear interpolation of missing daily readings: a calendar
+    spine per key (keys and date bounds taken from ``spine_from``,
+    which may be wider than the observed set) left-joins the observed
+    points, two IGNORE-NULLS window scans find each gap's bracketing
+    neighbors, and the fill is time-weighted between them. Boundary
+    gaps (no neighbor on one side) stay NULL. A series never leaves
+    its partition — the same partitioned-window scale shape as the
+    rolling z-score detector. Returns
+    (*key_cols, day, filled_value, was_interpolated)."""
+    bounds = spine_from.agg(
+        F.min(day_col).alias("d0"), F.max(day_col).alias("d1")
+    )
+    spine = (
+        spine_from.select(*key_cols)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+                    ).alias(day_col)
+                )
+            )
+        )
+    )
+    j = spine.join(observed, [*key_cols, day_col], "left").select(
+        *key_cols,
+        day_col,
+        value_col,
+        F.when(F.col(value_col).isNotNull(), F.col(day_col)).alias("day_known"),
+    )
+    wp = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    n = j.select(
+        *key_cols,
+        day_col,
+        value_col,
+        F.last(value_col, ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("day_known", ignorenulls=True).over(wp).alias("prev_d"),
+        F.first(value_col, ignorenulls=True).over(wf).alias("next_v"),
+        F.first("day_known", ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff(day_col, "prev_d") / F.datediff("next_d", "prev_d")
+    )
+    return n.select(
+        *key_cols,
+        day_col,
+        F.round(
+            F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+                F.when(
+                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
+                )
+            ),
+            scale,
+        ).alias("filled_value"),
+        F.col(value_col).isNull().alias("was_interpolated"),
+    )
+
+
+def rolling_pearson(
+    paired: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+    window_rows: int = 14,
+    out_col: str = "corr14",
+) -> DataFrame:
+    """Trailing Pearson correlation between two aligned integer series
+    (one row per day with both values). All five rolling moments are
+    integer sums — exact in any order — and the Pearson formula is
+    assembled from them in identical double math, so a SQL oracle
+    hash-matches. The ordered window runs over the DAYS-sized table
+    (bounded — one row per calendar day); warm-up rows
+    (n < window_rows) are dropped. Int64 headroom: cents^2 x window
+    stays far under 2^63 until trillion-cent days."""
+    win = Window.orderBy(day_col).rowsBetween(-(window_rows - 1), Window.currentRow)
+    w = paired.select(
+        day_col,
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(x_col).over(win).alias("sx"),
+        F.sum(y_col).over(win).alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).over(win).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).over(win).alias("syy"),
+        F.sum(F.col(x_col) * F.col(y_col)).over(win).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return w.filter(F.col("n") == window_rows).select(
+        day_col, F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias(out_col)
+    )

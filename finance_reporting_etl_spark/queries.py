@@ -4317,53 +4317,18 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver arithmetic: the weight table is a 5-row aggregate joined
     back broadcast, so the same query rebalances a 100 TB corpus. The
     achieved share converges on the target up to the 1/256 coin
-    granularity and per-doc integer replication."""
+    granularity and per-doc integer replication. Operator:
+    operators.corpus.mixture_rebalance_to_targets."""
+    from finance_reporting_etl_spark.operators.corpus import (
+        mixture_rebalance_to_targets,
+    )
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     tgt = spark.createDataFrame(
         [("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
         "lang string, target_share double",
     )
-    cur = docs.groupBy("lang").agg(F.sum("n_chars").cast("double").alias("chars"))
-    tot = cur.agg(F.sum("chars").alias("t"))
-    w = (
-        cur.join(F.broadcast(tgt), "lang")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "target_share",
-            (F.col("chars") / F.col("t")).alias("before_share"),
-            (F.col("target_share") / (F.col("chars") / F.col("t"))).alias("wt"),
-        )
-    )
-    wq = w.select(
-        "lang",
-        "target_share",
-        "before_share",
-        F.floor("wt").cast("long").alias("base"),
-        F.floor((F.col("wt") - F.floor("wt")) * 256 + 0.5).cast("long").alias("thresh"),
-    )
-    from finance_reporting_etl_spark.operators.corpus import md5_bucket
-
-    b = md5_bucket("doc_id", salt="rebalance").cast("double")
-    per_doc = docs.join(F.broadcast(wq), "lang").select(
-        "lang",
-        "target_share",
-        "before_share",
-        (
-            F.col("n_chars")
-            * (F.col("base") + F.when(b < F.col("thresh"), 1).otherwise(0))
-        ).alias("eff_chars"),
-    )
-    after_tot = per_doc.agg(F.sum("eff_chars").alias("t"))
-    return (
-        per_doc.crossJoin(F.broadcast(after_tot))
-        .groupBy("lang")
-        .agg(
-            F.round(F.any_value("before_share"), 6).alias("before_share"),
-            F.any_value("target_share").alias("target_share"),
-            F.round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
-        )
-    )
+    return mixture_rebalance_to_targets(docs, tgt)
 
 
 @query(
@@ -4819,8 +4784,11 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     window scans find each gap's bracketing neighbors and the fill is
     time-weighted between them. Boundary gaps (no neighbor on one
     side) stay NULL. Same partitioned-window scale shape as the
-    z-score detector: a series never leaves its partition."""
-    from pyspark.sql import Window
+    z-score detector: a series never leaves its partition. Operator:
+    operators.timeseries.linear_interpolate_daily."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        linear_interpolate_daily,
+    )
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -4832,62 +4800,9 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
             4,
         ).alias("value")
     )
+    # deterministic day-of-month dropout simulates sensor gaps
     observed = daily.filter(F.dayofmonth("day") % 3 != 0)
-    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = (
-        daily.select("event_type")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                bounds.select(
-                    F.explode(
-                        F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
-                    ).alias("day")
-                )
-            )
-        )
-    )
-    j = spine.join(observed, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        "value",
-        F.when(F.col("value").isNotNull(), F.col("day")).alias("day_known"),
-    )
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    n = j.select(
-        "event_type",
-        "day",
-        "value",
-        F.last("value", ignorenulls=True).over(wp).alias("prev_v"),
-        F.last("day_known", ignorenulls=True).over(wp).alias("prev_d"),
-        F.first("value", ignorenulls=True).over(wf).alias("next_v"),
-        F.first("day_known", ignorenulls=True).over(wf).alias("next_d"),
-    )
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d")
-    )
-    return n.select(
-        "event_type",
-        "day",
-        F.round(
-            F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
-                F.when(
-                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
-                )
-            ),
-            4,
-        ).alias("filled_value"),
-        F.col("value").isNull().alias("was_interpolated"),
-    )
+    return linear_interpolate_daily(observed, daily, ["event_type"])
 
 
 @query(
@@ -5665,10 +5580,12 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported. The index is oracle-shared; DuckDB re-derives every
     classification. Accepted rows' fingerprints would then be appended
     to the index — the maintenance step ``exact_dedup`` does in one
-    shot for a static corpus (operators/dedup.py:34)."""
-    from pyspark.sql import Window
-
+    shot for a static corpus (operators/dedup.py:34). Operator:
+    operators.dedup.incremental_dedup_classify."""
     from finance_reporting_etl_spark.functions.text import fingerprint
+    from finance_reporting_etl_spark.operators.dedup import (
+        incremental_dedup_classify,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 5 != 0)
@@ -5698,20 +5615,7 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incr_fp_index",
     )
     b = batch.select("doc_id", fingerprint("text").alias("fp"))
-    w = (
-        b.join(index, "fp", "left")
-        .withColumn("first_in_batch", F.min("doc_id").over(Window.partitionBy("fp")))
-    )
-    return w.select(
-        "doc_id",
-        F.when(F.col("owner_id").isNotNull(), "dup_of_corpus")
-        .when(F.col("doc_id") > F.col("first_in_batch"), "dup_in_batch")
-        .otherwise("new")
-        .alias("status"),
-        F.when(F.col("owner_id").isNotNull(), F.col("owner_id"))
-        .when(F.col("doc_id") > F.col("first_in_batch"), F.col("first_in_batch"))
-        .alias("dup_of"),
-    )
+    return incremental_dedup_classify(b, index)
 
 
 def _copurchase_weighted_edges_sql() -> str:
@@ -5839,42 +5743,11 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reassembly sorts span structs INSIDE the row (array_sort of
     (idx, text) structs) instead of a per-doc ordered window — order
     restored without a third exchange. At 100 TB both keys are
-    fine-grained and uniform; nothing buffers more than one document."""
-    from pyspark.sql import Window
+    fine-grained and uniform; nothing buffers more than one document.
+    Operator: operators.dedup.span_dedup_rewrite."""
+    from finance_reporting_etl_spark.operators.dedup import span_dedup_rewrite
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.expr("(size(toks) + 31) div 32") - 1)
-        ).alias("g"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        F.col("g").cast("int").alias("chunk_idx"),
-        F.array_join(
-            F.slice("toks", F.col("g") * 32 + 1, F.lit(32)), " "
-        ).alias("chunk_text"),
-    )
-    w = Window.partitionBy(F.md5(F.col("chunk_text").cast("binary"))).orderBy(
-        "doc_id", "chunk_idx"
-    )
-    ranked = chunks.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk_text"))
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda x: x.chunk_text
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    return span_dedup_rewrite(_t(spark, sf_dir, "documents"), span_tokens=32)
 
 
 @query(
@@ -5923,53 +5796,14 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-identical across engines (the PLANS.md #10 tie-proofing
     recipe applied to second moments). The rank pass is a group-
     partitioned window (spills, never buffers a group); bounds are a
-    groups-sized broadcast join back."""
-    from pyspark.sql import Window
+    groups-sized broadcast join back. Operator:
+    operators.ranking.winsorized_group_stats."""
+    from finance_reporting_etl_spark.operators.ranking import (
+        winsorized_group_stats,
+    )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_grp = Window.partitionBy("event_type")
-    b = ev.withColumn("rn", F.row_number().over(w_ord)).withColumn(
-        "cnt", F.count(F.lit(1)).over(w_grp)
-    )
-    k_lo = F.greatest(F.ceil(F.col("cnt") * 0.01).cast("long"), F.lit(1).cast("long"))
-    k_hi = F.greatest(F.ceil(F.col("cnt") * 0.99).cast("long"), F.lit(1).cast("long"))
-    bounds = b.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == k_lo, F.col("value"))).alias("lo_cut"),
-        F.min(F.when(F.col("rn") == k_hi, F.col("value"))).alias("hi_cut"),
-    )
-    c = b.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        F.col("lo_cut"),
-        F.col("hi_cut"),
-        F.round(F.col("value") * 100).cast("long").alias("rawi"),
-        F.round(
-            F.least(F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut"))
-            * 100
-        )
-        .cast("long")
-        .alias("wini"),
-    )
-    n = F.count(F.lit(1))
-    sum_raw = F.sum("rawi").cast("double")
-    sum_win = F.sum("wini").cast("double")
-    sum_sq = F.sum(F.col("wini") * F.col("wini")).cast("double")
-    return c.groupBy("event_type").agg(
-        n.alias("n"),
-        F.min("lo_cut").alias("lo_cut"),
-        F.min("hi_cut").alias("hi_cut"),
-        F.round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
-        F.round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (sum_sq - sum_win * sum_win / n) / 10000.0 / (n - F.lit(1)),
-                    F.lit(0.0),
-                )
-            ),
-            6,
-        ).alias("sd_winsor"),
-    )
+    return winsorized_group_stats(ev, "event_type", "value", "event_id")
 
 
 @query(
@@ -6756,8 +6590,8 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the event stream; warm-up rows (n < 14) are dropped. Int64
     headroom: cents^2 x 14 days stays far under 2^63 at any fixture
     SF; switch moments to whole currency units before trillion-cent
-    days."""
-    from pyspark.sql import Window
+    days. Operator: operators.timeseries.rolling_pearson."""
+    from finance_reporting_etl_spark.operators.timeseries import rolling_pearson
 
     d = (
         _t(spark, sf_dir, "events")
@@ -6773,24 +6607,7 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.filter(F.col("event_type") == "view").select(
         "day", F.col("cents").alias("y")
     )
-    p = a.join(b, "day")
-    win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
-    w = p.select(
-        "day",
-        F.count(F.lit(1)).over(win).alias("n"),
-        F.sum("x").over(win).alias("sx"),
-        F.sum("y").over(win).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
-    return (
-        w.filter(F.col("n") == 14)
-        .select("day", F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("corr14"))
-    )
+    return rolling_pearson(a.join(b, "day"), window_rows=14)
 
 
 @query(
@@ -7104,37 +6921,17 @@ def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux-table pattern; every per-vector DISTANCE and FLAG is then
     re-derived independently by the oracle with an identical
     left-fold, and hash-compared. Map-side only after the two scalar
-    aggregates; no shuffle touches data-sized rows."""
+    aggregates; no shuffle touches data-sized rows. Operator:
+    operators.inference.embedding_outlier_flags."""
+    from finance_reporting_etl_spark.operators.inference import (
+        embedding_outlier_flags,
+    )
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
     )
-    dim = 64
-    cen_row = emb.select(
-        F.array(
-            *[F.avg(F.element_at("vd", i + 1)) for i in range(dim)]
-        ).alias("cen")
-    ).head()
-    cen = [float(c) for c in cen_row["cen"]]
-    cen_col = F.array(*[F.lit(c) for c in cen])
-    diff_sq = F.transform(
-        F.sequence(F.lit(1), F.size("vd")),
-        lambda i: (F.element_at("vd", i) - F.element_at(cen_col, i))
-        * (F.element_at("vd", i) - F.element_at(cen_col, i)),
-    )
-    dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
-    dists = emb.select("vec_id", dist.alias("dist"))
-    stats = dists.agg(
-        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
-    ).head()
-    mu, sigma = float(stats["mu"]), float(stats["sigma"])
-    aux = spark.createDataFrame(
-        [(cen, mu, sigma)], "cen array<double>, mu double, sigma double"
-    )
-    _persist_aux(spark, aux, "emb_outlier_stats")
-    return dists.select(
-        "vec_id",
-        F.round("dist", 6).alias("dist"),
-        (F.col("dist") > F.lit(mu) + 2.0 * F.lit(sigma)).alias("is_outlier"),
+    return embedding_outlier_flags(
+        emb, 64, persist_stats=lambda df: _persist_aux(spark, df, "emb_outlier_stats")
     )
 
 
@@ -7238,35 +7035,16 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation — running max of interval ends detects gaps, a cumsum
     of gap flags numbers the merged islands — is one partitioned
     window pass, no interval self-join anywhere. Second-granularity
-    integer durations keep the oracle exact."""
-    from pyspark.sql import Window
+    integer durations keep the oracle exact. Operator:
+    operators.rangejoin.merge_intervals."""
+    from finance_reporting_etl_spark.operators.rangejoin import merge_intervals
 
     iv = _t(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").alias("lo"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("lo", "hi")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("lo", "hi")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g = iv.withColumn("prev_max_hi", F.max("hi").over(w_prev)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_max_hi").isNull() | (F.col("lo") > F.col("prev_max_hi")), 1
-        ).otherwise(0),
-    )
-    merged = (
-        g.withColumn("grp", F.sum("is_new").over(w_cum))
-        .groupBy("user_id", "grp")
-        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
-    )
+    merged = merge_intervals(iv, ["user_id"])
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(
@@ -7683,9 +7461,9 @@ def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE pass (`best_stumps_by_fold`: everything partitions by
     (fold, feature)) — measured ~3x over training them sequentially
     at sf0.1, and the shuffle count no longer grows with ensemble
-    size."""
+    size. Operator: operators.ml.bagged_stump_ensemble_eval."""
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
-    from finance_reporting_etl_spark.operators.ml import best_stumps_by_fold
+    from finance_reporting_etl_spark.operators.ml import bagged_stump_ensemble_eval
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("lq"),
@@ -7700,79 +7478,8 @@ def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 3
         ).alias("fold"),
     )
-    melted = li.select(
-        "fold", F.lit("quantity").alias("feature"),
-        F.col("lq").cast("double").alias("v"), "y",
-    ).unionAll(
-        li.select(
-            "fold", F.lit("discount").alias("feature"),
-            F.col("ld").cast("double").alias("v"), "y",
-        )
-    )
-    models_by_fold = {r["fold"]: r for r in best_stumps_by_fold(melted)}
-    # a fold can come back empty (no rows hashed into it) or splitless
-    # (constant features); fail with the fold named rather than a bare
-    # KeyError three lines later (ADVICE r4)
-    absent = [k for k in range(3) if k not in models_by_fold]
-    if absent:
-        raise ValueError(
-            f"bagging folds {absent} produced no trainable stump "
-            f"(empty fold or constant features); got folds "
-            f"{sorted(models_by_fold)}"
-        )
-    models = [models_by_fold[k] for k in range(3)]
-    fold_sizes = {
-        r["fold"]: r["n"]
-        for r in li.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    missing_sizes = [k for k in range(3) if k not in fold_sizes]
-    if missing_sizes:
-        raise ValueError(f"bagging folds {missing_sizes} have zero rows")
-
-    def pred(m):
-        val = F.col("lq") if m["feature"] == "quantity" else F.col("ld")
-        left = F.lit(1) if 2 * m["posl"] > m["nl"] else F.lit(0)
-        right = F.lit(1) if 2 * m["posr"] > m["nr"] else F.lit(0)
-        return F.when(val.cast("double") <= float(m["thr"]), left).otherwise(right)
-
-    preds = [pred(m).alias(f"p{k}") for k, m in enumerate(models)]
-    ens = F.when(sum(F.col(f"p{k}") for k in range(3)) >= 2, 1).otherwise(0)
-    ev = li.select("y", *preds).withColumn("pe", ens)
-    agg = ev.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum((F.col(f"p{k}") == F.col("y")).cast("int")).alias(f"c{k}")
-            for k in range(3)
-        ],
-        F.sum((F.col("pe") == F.col("y")).cast("int")).alias("ce"),
-    ).head()
-    n = agg["n"]
-    rows = [
-        (
-            f"model_{k}",
-            models[k]["feature"],
-            float(models[k]["thr"]),
-            int(fold_sizes[k]),
-            int(agg[f"c{k}"]),
-        )
-        for k in range(3)
-    ]
-    rows.append(("ensemble", None, None, int(n), int(agg["ce"])))
-    raw = spark.createDataFrame(
-        rows,
-        "model string, feature string, thr double, n_train bigint, n_correct bigint",
-    )
-    # rounding happens in Spark SQL (HALF_UP, matching DuckDB's
-    # half-away-from-zero) — Python's round() is banker's rounding and
-    # would diverge on exact 5e-7 ties
-    return raw.select(
-        "model",
-        "feature",
-        "thr",
-        "n_train",
-        F.round(F.col("n_correct").cast("double") / F.lit(int(n)), 6).alias(
-            "accuracy"
-        ),
+    return bagged_stump_ensemble_eval(
+        li, {"quantity": "lq", "discount": "ld"}, n_folds=3
     )
 
 
@@ -7939,9 +7646,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver barriers); the win grows with metric count, since the job
     count stays constant while the sequential form pays per metric.
     Integer metrics make every quintile boundary deterministic
-    (user_id tiebreak)."""
+    (user_id tiebreak). Operator:
+    operators.ranking.multi_metric_ntile_scores."""
     from finance_reporting_etl_spark.operators.ranking import (
-        distributed_ntile_melted,
+        multi_metric_ntile_scores,
     )
 
     p = (
@@ -7966,20 +7674,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__negr", -F.col("r_days"))
     )
-    melted = (
-        u.select("user_id", F.lit("r").alias("metric"), F.col("__negr").cast("double").alias("v"))
-        .unionAll(
-            u.select("user_id", F.lit("f").alias("metric"), F.col("freq").cast("double").alias("v"))
-        )
-        .unionAll(
-            u.select("user_id", F.lit("m").alias("metric"), F.col("cents").cast("double").alias("v"))
-        )
-    )
-    tiles = distributed_ntile_melted(melted, 5, "metric", "v", ["user_id"], out_col="score")
-    wide = tiles.groupBy("user_id").agg(
-        F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
-        F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
-        F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
+    wide = multi_metric_ntile_scores(
+        u, {"r": "__negr", "f": "freq", "m": "cents"}, 5, ["user_id"]
     )
     scored = u.join(wide, "user_id")
     return scored.select(
@@ -8196,69 +7892,11 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence explode — no self-join anywhere); unigram and pair
     counts are exact; PMI is one closed-form expression on those
     counts with the two corpus scalars broadcast. Top-20 via
-    TakeOrderedAndProject."""
-    from pyspark.sql import Window
+    TakeOrderedAndProject. Operator: operators.corpus.pmi_collocations."""
+    from finance_reporting_etl_spark.operators.corpus import pmi_collocations
 
-    t = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
-    )
-    nt = t.agg(F.sum(F.size("toks")).cast("double").alias("__n_toks"))
-    uni = (
-        t.select(F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pair_parts = []
-    for d in (1, 2):
-        # guard: Spark's sequence(1, n) DESCENDS when n < 1 — emit an
-        # empty list for docs shorter than the pair distance (DuckDB's
-        # generate_series is already empty there)
-        idx = F.when(
-            F.size("toks") > d, F.sequence(F.lit(1), F.size("toks") - F.lit(d))
-        ).otherwise(F.array().cast("array<int>"))
-        pair_parts.append(
-            t.select(
-                F.explode(idx).alias("i"),
-                "toks",
-            ).select(
-                F.element_at("toks", F.col("i")).alias("l"),
-                F.element_at("toks", F.col("i") + F.lit(d)).alias("r"),
-            )
-        )
-    pairs = pair_parts[0].unionAll(pair_parts[1])
-    np_ = pairs.agg(F.count(F.lit(1)).cast("double").alias("__n_pairs"))
-    pc = (
-        pairs.groupBy("l", "r")
-        .agg(F.count(F.lit(1)).alias("n_lr"))
-        .filter(F.col("n_lr") >= 10)
-    )
-    a = uni.select(F.col("term").alias("l"), F.col("n").alias("__na"))
-    b = uni.select(F.col("term").alias("r"), F.col("n").alias("__nb"))
-    scored = (
-        pc.join(F.broadcast(a), "l")
-        .join(F.broadcast(b), "r")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(np_))
-        .select(
-            "l",
-            "r",
-            "n_lr",
-            F.round(
-                F.log(
-                    (F.col("n_lr").cast("double") / F.col("__n_pairs"))
-                    / (
-                        (F.col("__na").cast("double") / F.col("__n_toks"))
-                        * (F.col("__nb").cast("double") / F.col("__n_toks"))
-                    )
-                ),
-                6,
-            ).alias("pmi"),
-        )
-    )
-    top = scored.orderBy(F.desc("pmi"), "l", "r").limit(20)
-    wr = Window.orderBy(F.desc("pmi"), "l", "r")
-    return top.select(
-        "l", "r", "n_lr", "pmi", F.row_number().over(wr).cast("long").alias("rank")
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), max_dist=2, min_support=10, k=20
     )
 
 
