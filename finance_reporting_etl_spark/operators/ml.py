@@ -318,3 +318,192 @@ def bagged_stump_ensemble_eval(
             "accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (moved from the catalog in round 5; the same
+# pattern operators/graph.py uses for its unrolled-iteration oracles).
+# Each builds the SQL an independent engine runs to re-learn the
+# model and hash-verify the Spark training path end to end. The
+# tree/bagging builders are fixture-shaped (lineitem quantity/
+# discount features, returnflag label) by design: they are the
+# catalog queries' oracle halves, kept beside the operators they
+# twin so the expression trees stay in lockstep.
+# ---------------------------------------------------------------------------
+
+
+def stump_candidates_oracle_sql(src: str) -> str:
+    """DuckDB twin of operators.ml.stump_candidates over a melted
+    (feature, v, y) relation ``src``: every candidate split with its
+    Gini gain, identical expression tree to the Spark side."""
+    return f"""
+    SELECT feature, thr, nl AS n_left, nr AS n_right,
+           round(
+               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+           6) AS gini_gain
+    FROM (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM (
+            SELECT feature, v,
+                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+                         CAST(sum(y) AS BIGINT) AS pos_v
+                  FROM {src} GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)
+        ) WHERE nl < n
+    )"""
+
+
+def depth2_tree_oracle_sql() -> str:
+    melt = (
+        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
+        "UNION ALL SELECT 'discount', d, y FROM {src}"
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_discount AS DOUBLE) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    mroot AS ({melt.format(src="base")}),
+    root AS (
+        SELECT * FROM ({stump_candidates_oracle_sql("mroot")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    ),
+    lb AS (
+        SELECT b.* FROM base b CROSS JOIN root r
+        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) <= r.thr
+    ),
+    rb AS (
+        SELECT b.* FROM base b CROSS JOIN root r
+        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) > r.thr
+    ),
+    ml_ AS ({melt.format(src="lb")}),
+    lbest AS (
+        SELECT * FROM ({stump_candidates_oracle_sql("ml_")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    ),
+    mr_ AS ({melt.format(src="rb")}),
+    rbest AS (
+        SELECT * FROM ({stump_candidates_oracle_sql("mr_")})
+        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+    )
+    SELECT 'root' AS node, feature, thr, n_left, n_right, gini_gain FROM root
+    UNION ALL
+    SELECT 'L', feature, thr, n_left, n_right, gini_gain FROM lbest
+    UNION ALL
+    SELECT 'R', feature, thr, n_left, n_right, gini_gain FROM rbest
+    """
+
+
+def stump_full_oracle_sql(src: str) -> str:
+    """DuckDB stump candidates KEEPING leaf class counts (the SQL twin
+    of operators.ml.best_stump_full before its argmax)."""
+    return f"""
+    SELECT feature, thr, nl, posl, nr, posr,
+           round(
+               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+           6) AS gini_gain
+    FROM (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM (
+            SELECT feature, v,
+                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+                         CAST(sum(y) AS BIGINT) AS pos_v
+                  FROM {src} GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)
+        ) WHERE nl < n
+    )"""
+
+
+def bagging_oracle_sql() -> str:
+    b256 = (
+        "CAST((instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
+        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
+        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 2, 1)) - 1)"
+        " AS BIGINT)"
+    )
+    melt = (
+        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
+        "UNION ALL SELECT 'discount', d, y FROM {src}"
+    )
+    parts = [
+        f"""WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_discount AS DOUBLE) AS d,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               {b256} % 3 AS fold
+        FROM lineitem
+    )"""
+    ]
+    for k in range(3):
+        parts.append(f"f{k} AS (SELECT * FROM base WHERE fold = {k})")
+        parts.append(f"m{k}_ AS ({melt.format(src=f'f{k}')})")
+        parts.append(
+            f"""b{k} AS (
+            SELECT * FROM ({stump_full_oracle_sql(f'm{k}_')})
+            QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
+        )"""
+        )
+    pred = lambda k: (  # noqa: E731
+        f"CASE WHEN (CASE WHEN s{k}.feature = 'quantity' THEN b.q ELSE b.d END)"
+        f" <= s{k}.thr"
+        f" THEN CASE WHEN 2 * s{k}.posl > s{k}.nl THEN 1 ELSE 0 END"
+        f" ELSE CASE WHEN 2 * s{k}.posr > s{k}.nr THEN 1 ELSE 0 END END"
+    )
+    parts.append(
+        f"""ev AS (
+        SELECT b.y, {pred(0)} AS p0, {pred(1)} AS p1, {pred(2)} AS p2
+        FROM base b CROSS JOIN b0 s0 CROSS JOIN b1 s1 CROSS JOIN b2 s2
+    )"""
+    )
+    selects = []
+    for k in range(3):
+        selects.append(
+            f"""SELECT 'model_{k}' AS model,
+               (SELECT feature FROM b{k}) AS feature,
+               (SELECT thr FROM b{k}) AS thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM f{k}) AS n_train,
+               round(CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM ev"""
+        )
+    selects.append(
+        """SELECT 'ensemble' AS model,
+               CAST(NULL AS VARCHAR) AS feature,
+               CAST(NULL AS DOUBLE) AS thr,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_train,
+               round(CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+                                              THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM ev"""
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -196,3 +196,39 @@ def write_zordered(
         .mode(mode)
         .parquet(path)
     )
+
+
+def join_key_skew_profile(df, key_col: str, k: int = 20):
+    """The audit you run BEFORE a big join: per-key row counts, share
+    of the table, and skew factor (count / mean count). Keys with
+    skew_factor in the hundreds want salting (salted_aggregate above)
+    or AQE skew-split. One map-side-combined aggregate plus a 1-row
+    scalar broadcast; TakeOrderedAndProject does the top-k. Returns
+    (key, n, share, skew_factor, rank)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = counts.agg(
+        F.sum("n").cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double") * F.col("__n_keys") / F.col("__tot"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(k)
+    )
+    wr = Window.orderBy(F.desc("n"), "key")
+    return top.select(
+        "key", "n", "share", "skew_factor",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )

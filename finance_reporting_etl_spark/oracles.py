@@ -1,0 +1,3024 @@
+"""DuckDB oracle SQL for the catalog (the verification half).
+
+Every catalog query in ``queries.py`` is paired with an ANSI/DuckDB SQL
+twin the driver runs side-by-side at sf0.01 (row-count + schema +
+value-hash compare). The SQL lives here, keyed by query name in
+``ORACLES``, so the catalog file reads as Spark bindings and this file
+reads as the independent re-derivation. A handful of oracles are built
+by functions instead (unrolled PageRank/BFS iterations in
+operators/graph.py, the ML re-training twins in operators/ml.py, the
+canned-fixture VALUES oracles in queries.py) — those never enter this
+dict.
+
+Shared snippet helpers (_TOKS, _b256, _md5_key, the CASE mappings) are
+the DuckDB-dialect twins of Spark-side expressions; keeping them beside
+the SQL that interpolates them keeps both engines' expression trees in
+lockstep. ``_AUX_DIR`` is the oracle-shared persisted-intermediate root
+(see queries.py _persist_aux): hash-sensitive randomized artifacts
+(minhash signatures, LSH planes, k-means centroids, the co-purchase
+pair table) are written once by the Spark side and read by BOTH engines
+so every downstream decision is re-derived from bit-identical inputs.
+"""
+
+# SPARK_GRAFT_RUN_ID isolates concurrent runs (e.g. gate and bench in
+# parallel): both the writer and the f-string oracle SQL bake the same
+# per-process value at import, so Spark and DuckDB always read one
+# run's aux tables. Unset (the default), the path is stable across
+# processes.
+import os as _os  # noqa: E402
+
+_AUX_DIR = "/root/repo/spark-warehouse/oracle_aux" + (
+    f"/{_os.environ['SPARK_GRAFT_RUN_ID']}" if _os.environ.get("SPARK_GRAFT_RUN_ID") else ""
+)
+
+_SERIES_CASE = """
+           CASE WHEN event_type = 'click'    THEN 'GDP'
+                WHEN event_type = 'error'    THEN 'UNRATE'
+                WHEN event_type = 'purchase' THEN 'CPIAUCSL'
+                WHEN event_type = 'signup'   THEN 'FEDFUNDS'
+                WHEN event_type = 'view'     THEN 'DGS10'
+           END"""
+
+_INDICATOR_CASE = """
+           CASE WHEN series_id = 'GDP'      THEN 'Gross Domestic Product'
+                WHEN series_id = 'UNRATE'   THEN 'Unemployment Rate'
+                WHEN series_id = 'CPIAUCSL' THEN 'Consumer Price Index'
+                WHEN series_id = 'FEDFUNDS' THEN 'Federal Funds Rate'
+                WHEN series_id = 'DGS10'    THEN '10-Year Treasury Rate'
+           END"""
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+def _b256(salt: str) -> str:
+    """DuckDB twin of operators.corpus.md5_bucket(id, salt=salt): bucket in
+    [0, 256) from the first two hex chars of md5(doc_id || salt). Distinct
+    salts per operation keep split/sample/decontaminate independent."""
+    h = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+    return (
+        f"CAST((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) AS DOUBLE)"
+    )
+
+def _md5_key(salt: str) -> str:
+    return f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
+
+_QUALITY_SQL = """round(greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0), 6)
+                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0), 6),
+                       1.0))), 4)"""
+
+_TRIANGLE_CTES = f"""
+    e AS (
+        SELECT src AS x, dst AS y
+        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg FROM (
+            SELECT x AS id FROM e UNION ALL SELECT y FROM e
+        ) GROUP BY 1
+    ),
+    oriented AS (
+        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS src,
+               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS dst
+        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
+    ),
+    wedges AS (
+        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+    ),
+    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w)),
+    tri_counts AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ) GROUP BY 1
+    )
+"""
+
+
+ORACLES: dict = {}
+
+ORACLES["mart_financial_summary"] = """
+    SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
+           round(avg(value), 6) AS avg_gdp
+    FROM events
+    GROUP BY 1
+    """
+
+ORACLES["mart_financial_kpis"] = """
+    WITH inc AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               'USD'                       AS currency,
+               round(sum(value), 6)        AS total_revenue,
+               round(sum(value * 0.5), 6)  AS gross_profit,
+               round(sum(value * 0.3), 6)  AS operating_income,
+               round(sum(value * 0.2), 6)  AS net_income
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), bal AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               round(sum(value), 6)        AS total_assets,
+               round(sum(value * 0.6), 6)  AS total_liabilities,
+               round(sum(value * 0.4), 6)  AS total_equity
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ), cf AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               round(sum(value * 0.9), 6)  AS operating_cash_flow,
+               round(sum(value * 0.35), 6) AS capital_expenditure
+        FROM events
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT symbol, fiscal_date, currency,
+           total_revenue, gross_profit, operating_income, net_income,
+           total_assets, total_liabilities, total_equity,
+           operating_cash_flow, capital_expenditure,
+           operating_cash_flow - capital_expenditure AS free_cash_flow,
+           round(gross_profit / nullif(total_revenue, 0), 4)     AS gross_profit_margin,
+           round(operating_income / nullif(total_revenue, 0), 4) AS operating_profit_margin,
+           round(net_income / nullif(total_revenue, 0), 4)       AS net_profit_margin,
+           round(net_income / nullif(total_assets, 0), 4)        AS return_on_assets,
+           round(net_income / nullif(total_equity, 0), 4)        AS return_on_equity,
+           round(total_assets / nullif(total_liabilities, 0), 4) AS asset_to_liability_ratio,
+           round((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0), 4)
+               AS fcf_margin
+    FROM inc LEFT JOIN bal USING (symbol, fiscal_date)
+             LEFT JOIN cf  USING (symbol, fiscal_date)
+    """
+
+ORACLES["economic_indicators"] = f"""
+    WITH fred AS (
+        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
+        FROM events
+    )
+    SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
+    FROM fred
+    """
+
+ORACLES["indicator_stats"] = f"""
+    WITH fred AS (
+        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
+        FROM events
+    ), ind AS (
+        SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
+        FROM fred
+    )
+    SELECT series_id, indicator_name,
+           count(*) AS n_obs,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM ind
+    GROUP BY 1, 2
+    """
+
+ORACLES["filter_eq_projection"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """
+
+ORACLES["literal_columns"] = """
+    SELECT o_orderkey, 'AAPL' AS symbol, 'income_statement' AS report_type
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """
+
+ORACLES["case_value_mapping"] = """
+    SELECT event_id,
+           CASE WHEN event_type = 'view'     THEN 'Page View'
+                WHEN event_type = 'click'    THEN 'Click Through'
+                WHEN event_type = 'purchase' THEN 'Purchase Order'
+                WHEN event_type = 'signup'   THEN 'Account Signup'
+                WHEN event_type = 'error'    THEN 'Error Event'
+           END AS event_name
+    FROM events
+    """
+
+ORACLES["string_normalize"] = """
+    SELECT p_partkey, lower(trim(p_name)) AS p_name_norm, lower(trim(p_brand)) AS p_brand_norm
+    FROM part
+    """
+
+ORACLES["cast_text_to_numeric"] = """
+    SELECT event_id, TRY_CAST(props AS DOUBLE) AS props_num,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """
+
+ORACLES["pivot_by_report_type"] = """
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 6) AS view_total,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 6) AS click_total,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_total
+    FROM events
+    GROUP BY 1, 2
+    """
+
+ORACLES["lookup_join_broadcast"] = """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """
+
+ORACLES["hourly_event_rollup"] = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+ORACLES["sessionize_events"] = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """
+
+ORACLES["monthly_trend_mom"] = """
+    WITH m AS (
+        SELECT event_type AS series_id,
+               date_trunc('month', ts) AS month,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT series_id, month, avg_value,
+           round(avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month), 6)
+               AS mom_change
+    FROM m
+    """
+
+ORACLES["merge_latest_per_key"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """
+
+ORACLES["q1_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+ORACLES["q3_top_orders"] = """
+    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority, rnk
+    FROM (
+        SELECT l.l_orderkey AS o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate, o.o_orderpriority,
+               row_number() OVER (
+                   ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
+                            l.l_orderkey ASC) AS rnk
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ) WHERE rnk <= 20
+    """
+
+ORACLES["regional_revenue"] = """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """
+
+ORACLES["text_stats"] = """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))                          AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
+           length(text)                                                         AS n_chars_calc,
+           round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                         t -> length(t)))
+                 / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 4)   AS avg_token_len,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0), 4)                                  AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0), 4)                                  AS digit_ratio
+    FROM documents
+    """
+
+ORACLES["quality_scores"] = """
+    SELECT doc_id,
+           round(greatest(0.0,
+               least(length(text) / 500.0, 1.0)
+               * (1.0 - least(
+                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0), 6)
+                   + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0), 6),
+                   1.0))), 4) AS quality
+    FROM documents
+    """
+
+ORACLES["doc_fingerprints"] = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """
+
+ORACLES["dedup_exact"] = """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
+                     4) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
+                     4) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs WHERE jaccard >= 0.5
+    ), reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+ORACLES["minhash_lsh_near_dup"] = f"""
+    WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_index/*.parquet'),
+    bandrows AS (
+        SELECT id, u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT id, unnest(bands) AS u FROM t)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandrows a JOIN bandrows b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    s AS (SELECT id, sh FROM t),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0), 4) AS jaccard
+        FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+ORACLES["similarity_topk"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0),
+                     6) AS score
+        FROM c, q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """
+
+ORACLES["ann_lsh_topk"] = f"""
+    WITH b AS (SELECT * FROM '{_AUX_DIR}/ann_lsh_buckets/*.parquet'),
+    q AS (SELECT id AS query_id, tbl, bucket FROM b WHERE id IN (0, 1, 2, 3, 4)),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.id AS neighbor_id
+        FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.id <> q.query_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """
+
+ORACLES["multimodal_bundle"] = """
+    SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dim, e.label
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    """
+
+ORACLES["rolling_hash_fingerprints"] = """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS rhash
+    FROM documents
+    """
+
+ORACLES["embedding_cosine_dups"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                 6) AS score
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                6) >= 0.4
+    """
+
+ORACLES["lsh_embedding_cosine_dups"] = f"""
+    WITH bk AS (SELECT * FROM '{_AUX_DIR}/lshdup_buckets/*.parquet'),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(ea.v, eb.v)
+                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS score
+        FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                  JOIN e eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
+    """
+
+ORACLES["ann_ivf_topk"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/ivf_index/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivf_probes/*.parquet'),
+    cand AS (
+        SELECT pr.query_id, ix.id AS neighbor_id
+        FROM ix JOIN pr USING (cell)
+        WHERE ix.id <> pr.query_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """
+
+ORACLES["q5_local_supplier_volume"] = """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """
+
+ORACLES["q6_revenue_forecast"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+ORACLES["q10_returned_item_revenue"] = """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+ORACLES["q14_promo_revenue_share"] = """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 6) AS promo_share_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    """
+
+ORACLES["q19_bracketed_discount_revenue"] = """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+       OR (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+       OR (p.p_brand = 'Brand#21' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
+    GROUP BY 1
+    """
+
+ORACLES["q13_order_count_distribution"] = """
+    SELECT c_count, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ) t
+    GROUP BY 1
+    ORDER BY n_customers DESC, c_count DESC
+    """
+
+ORACLES["q15_top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """
+
+ORACLES["q17_small_quantity_revenue"] = """
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+    ), thresh AS (
+        SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+        FROM brand_lines GROUP BY 1
+    )
+    SELECT round(sum(b.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM brand_lines b JOIN thresh t ON b.l_partkey = t.t_partkey
+    WHERE b.l_quantity < t.qty_thresh
+    """
+
+ORACLES["q18_large_volume_orders"] = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """
+
+ORACLES["q22_idle_rich_customers"] = """
+    WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+ORACLES["order_price_quantiles"] = """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY 1
+    """
+
+ORACLES["price_quantiles_distributed"] = """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders
+    GROUP BY 1
+    """
+
+ORACLES["regional_rollup"] = """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """
+
+ORACLES["distinct_daily_users"] = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_event_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """
+
+ORACLES["customer_segments_setops"] = """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+         open_ AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM open_)
+    UNION ALL
+    SELECT 'finished_only' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM open_)
+    UNION ALL
+    SELECT 'open_only' AS segment, count(*) AS n FROM (SELECT custkey FROM open_ EXCEPT SELECT custkey FROM buyers)
+    """
+
+ORACLES["retention_filter"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """
+
+ORACLES["cumulative_monthly_revenue"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+    FROM m
+    """
+
+ORACLES["streaming_hourly_rollup"] = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+ORACLES["streaming_dedup_events"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """
+
+ORACLES["stateful_user_totals"] = """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """
+
+ORACLES["rolling_7day_revenue"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum,
+               round(sum(value), 4) AS daily_value
+        FROM events
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, daily_value,
+           round(sum(daily_value) OVER (
+               PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
+    FROM daily
+    """
+
+ORACLES["customer_spend_deciles"] = """
+    WITH spend AS (
+        SELECT c.c_custkey, round(sum(o.o_totalprice), 4) AS total_spend
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT ntile(10) OVER (ORDER BY total_spend, c_custkey) AS decile,
+           c_custkey, total_spend
+    FROM spend
+    """
+
+ORACLES["corpus_clean"] = """
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               round(greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0), 6)
+                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0), 6),
+                       1.0))), 4) AS quality,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE quality >= 0.3
+    )
+    SELECT doc_id, lang, source, quality FROM deduped WHERE rn = 1
+    """
+
+ORACLES["corpus_stats"] = """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+           round(quantile_cont(length(text), 0.9), 4) AS p90_chars
+    FROM documents
+    GROUP BY lang
+    """
+
+ORACLES["corpus_hash_split"] = f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN b < 0.8 * 256.0 THEN 'train'
+                WHEN b < (0.8 + 0.1) * 256.0 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang, source, {_b256("split")} AS b FROM documents)
+    """
+
+ORACLES["corpus_mixture_sample"] = f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source, {_b256("sample")} AS b FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                        WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END * 256.0
+    """
+
+ORACLES["corpus_chunking"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk,
+           CAST(len(list_slice(toks, start, start + 63)) AS INT) AS n_tokens
+    FROM s
+    """
+
+ORACLES["ingest_fred_observations"] = """
+    SELECT CAST(d AS DATE) AS observation_date,
+           v AS value_raw,
+           TRY_CAST(v AS DOUBLE) AS value
+    FROM (VALUES ('2023-01-01', '26500.0'),
+                 ('2023-04-01', '.'),
+                 ('2023-07-01', '27000.5'),
+                 ('2023-10-01', '27600.25')) AS t(d, v)
+    """
+
+ORACLES["asof_latest_view_before_purchase"] = """
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """
+
+ORACLES["video_frame_sample"] = """
+    WITH media AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               (n_chars % 480 + 1) * 100 AS duration_ms,
+               CAST(n_chars % 640 AS INT) AS width,
+               CAST(n_chars % 480 AS INT) AS height
+        FROM documents
+    )
+    , frames AS (
+        SELECT doc_id, width, height,
+               unnest(generate_series(0,
+                   greatest(CAST(least(ceil(duration_ms / 1000.0), 16) AS INT) - 1, 0))) AS f
+        FROM media WHERE media_type = 'video'
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+           width, height
+    FROM frames
+    """
+
+ORACLES["media_decode_features"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    ), grid AS (
+        SELECT doc_id, width, height, gx.x AS x, gy.y AS y
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) gy
+    )
+    SELECT doc_id, width, height,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
+    FROM grid
+    GROUP BY 1, 2, 3
+    """
+
+ORACLES["lm_quality_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), uni AS (
+        SELECT u.w AS w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY 1
+    ), v AS (SELECT count(*) AS vocab FROM uni),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           round(avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab))), 6) AS lm_score
+    FROM bg JOIN c2 USING (w1, w2) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+    GROUP BY 1
+    """
+
+ORACLES["media_resize_decode"] = """
+    WITH d AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h
+        FROM documents
+    ), grid AS (
+        SELECT doc_id, (gx.x * w) // 6 AS sx, (gy.y * h) // 5 AS sy
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(0, 5)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, 4)) AS y) gy
+    )
+    SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 101) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS BIGINT) AS sum_b
+    FROM grid
+    GROUP BY 1
+    """
+
+ORACLES["q4_order_priority_semi"] = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """
+
+ORACLES["customers_without_orders_anti"] = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """
+
+ORACLES["repetition_metrics"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks)-1),
+                                        i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0), 4)
+               AS type_token_ratio,
+           round(list_max(list_transform(list_distinct(grams),
+                                         x -> len(list_filter(grams, y -> y = x))))
+                 / nullif(CAST(len(grams) AS DOUBLE), 0), 4) AS top_bigram_fraction
+    FROM g
+    """
+
+ORACLES["pii_redaction"] = """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.' || CAST(doc_id % 250 AS VARCHAR)
+                    || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+           len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """
+
+ORACLES["corpus_vocabulary"] = f"""
+    SELECT token, count(*) AS n_occurrences
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """
+
+ORACLES["decontaminate_4gram"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents),
+    grams AS (
+        SELECT doc_id, b,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE b < 13),
+    train_grams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 13)
+    SELECT g.doc_id, count(*) AS n_contaminated_grams
+    FROM train_grams g JOIN bench USING (gram)
+    GROUP BY g.doc_id
+    """
+
+ORACLES["q7_nation_volume_shipping"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """
+
+ORACLES["q8_market_share"] = """
+    WITH all_sales AS (
+        SELECT year(o.o_orderdate) AS order_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM all_sales
+    GROUP BY order_year
+    """
+
+ORACLES["q12_late_shipment_priority"] = """
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'late'
+                WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY THEN 'slow'
+                ELSE 'fast' END AS ship_speed,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """
+
+ORACLES["q21_waiting_supplier"] = """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """
+
+ORACLES["kmeans_cluster_profile"] = f"""
+    WITH a AS (SELECT * FROM '{_AUX_DIR}/kmeans_assign/*.parquet'),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    j AS (
+        SELECT a.cluster, e.vec_id, p.pos, e.v[p.pos] AS x
+        FROM a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    ),
+    cent AS (SELECT cluster, pos, avg(x) AS m FROM j GROUP BY 1, 2),
+    sq AS (
+        SELECT j.cluster, j.vec_id, sum((j.x - c.m) * (j.x - c.m)) AS sq
+        FROM j JOIN cent c ON c.cluster = j.cluster AND c.pos = j.pos
+        GROUP BY 1, 2
+    ),
+    per AS (SELECT cluster, count(*) AS n_members,
+                   round(avg(sqrt(sq)), 4) AS avg_dist
+            FROM sq GROUP BY 1),
+    norms AS (SELECT cluster, round(sqrt(sum(m * m)), 4) AS centroid_norm
+              FROM cent GROUP BY 1)
+    SELECT cluster, n_members, centroid_norm, avg_dist
+    FROM per JOIN norms USING (cluster)
+    """
+
+ORACLES["tfidf_top_terms"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+ORACLES["chunk_dedup_occurrences"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, CAST((start - 1) / 48 AS INT) AS chunk_idx,
+               md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
+        FROM s
+    ), w AS (
+        SELECT doc_id, chunk_idx,
+               row_number()  OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
+               first_value(doc_id)    OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_doc,
+               first_value(chunk_idx) OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_idx
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx, surv_doc, surv_idx FROM w WHERE rn > 1
+    """
+
+ORACLES["streaming_merge_upsert"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """
+
+ORACLES["keyword_search_topk"] = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('window', 'join', 'merge') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT p.doc_id,
+               count(DISTINCT p.term) AS nt,
+               round(sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6) AS score
+        FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored WHERE nt = 3
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+ORACLES["event_funnel"] = """
+    WITH s AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(e.ts) AS t_view
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(t_signup) AS n_users FROM s
+    UNION ALL SELECT 'view_after_signup', count(*) FROM v
+    UNION ALL SELECT 'purchase_after_view', count(*) FROM p
+    """
+
+ORACLES["cohort_retention"] = """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """
+
+ORACLES["sql_api_mart_summary"] = """
+    SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
+           round(avg(value), 6) AS avg_gdp
+    FROM events
+    GROUP BY 1
+    """
+
+ORACLES["table_diff_reconciliation"] = """
+    WITH a AS (SELECT event_id, event_type FROM events),
+    b AS (
+        SELECT event_id, event_type FROM events WHERE event_type <> 'error'
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_type = 'signup'
+    ),
+    ca AS (SELECT event_id, event_type, count(*) AS na FROM a GROUP BY 1, 2),
+    cb AS (SELECT event_id, event_type, count(*) AS nb FROM b GROUP BY 1, 2),
+    j AS (
+        SELECT coalesce(ca.event_id, cb.event_id) AS event_id,
+               coalesce(ca.event_type, cb.event_type) AS event_type,
+               coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        FROM ca FULL OUTER JOIN cb USING (event_id, event_type)
+        WHERE coalesce(na, 0) <> coalesce(nb, 0)
+    )
+    SELECT 'a_only' AS side, event_id, event_type, na - nb AS n_copies FROM j WHERE na > nb
+    UNION ALL
+    SELECT 'b_only' AS side, event_id, event_type, nb - na AS n_copies FROM j WHERE nb > na
+    """
+
+ORACLES["scd2_user_state_history"] = """
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               lag(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts FROM o
+        WHERE prev_ts IS NULL OR NOT (event_type IS NOT DISTINCT FROM prev)
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM starts
+    """
+
+ORACLES["event_type_week_cube"] = """
+    SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS TIMESTAMP))
+    """
+
+ORACLES["daily_revenue_gapfilled"] = """
+    WITH bounds AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
+           CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """
+
+ORACLES["attribution_window_join"] = """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), matched AS (
+        SELECT p.event_id, p.user_id,
+               count(v.ts) AS n_views_1h,
+               round(coalesce(sum(v.value), 0), 4) AS view_value_1h
+        FROM purchases p
+        LEFT JOIN views v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts < p.ts
+        GROUP BY 1, 2
+    )
+    SELECT * FROM matched
+    """
+
+ORACLES["skew_salted_event_rollup"] = """
+    WITH dim AS (
+        SELECT DISTINCT event_type, upper(event_type) AS category FROM events
+    )
+    SELECT d.category,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """
+
+ORACLES["corpus_shuffle_shard"] = f"""
+    SELECT doc_id, shard, shuffle_key,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS position
+    FROM (SELECT doc_id,
+                 CAST({_b256("shuffle")} AS INT) % 16 AS shard,
+                 {_md5_key("shuffle")} AS shuffle_key
+          FROM documents)
+    """
+
+ORACLES["sequence_packing"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST({_b256("pack")} AS INT) % 16 AS shard,
+               {_md5_key("pack")} AS k,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 512.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT shard, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """
+
+ORACLES["semantic_dedup"] = f"""
+    WITH a AS (SELECT * FROM '{_AUX_DIR}/semdedup_assign/*.parquet'),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dropped AS (
+        SELECT DISTINCT hi.vec_id
+        FROM a lo JOIN a hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+        JOIN e el ON el.vec_id = lo.vec_id
+        JOIN e eh ON eh.vec_id = hi.vec_id
+        WHERE round(list_dot_product(el.v, eh.v)
+                    / nullif(sqrt(list_dot_product(el.v, el.v))
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped
+    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+ORACLES["embedding_inference_scores"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT vec_id, label,
+               round(1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               ))), 6) AS score
+        FROM e
+    )
+    SELECT vec_id, label, score FROM scored WHERE score >= 0.5
+    """
+
+ORACLES["streaming_sessionize_events"] = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """
+
+ORACLES["streaming_watermark_late_drop"] = """
+    WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+         b1 AS (SELECT * FROM pre WHERE event_id % 7 >= 2),
+         spacer AS (SELECT * FROM pre WHERE event_id % 7 = 1),
+         late AS (SELECT * FROM pre WHERE event_id % 7 = 0),
+         wm1 AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM b1),
+         wmf AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events),
+         accepted AS (
+           SELECT * FROM b1
+           UNION ALL SELECT * FROM spacer
+           UNION ALL
+           SELECT late.* FROM late
+           WHERE date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT w FROM wm1)
+           UNION ALL
+           SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21'
+         )
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM accepted
+    GROUP BY 1, 2
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wmf)
+    """
+
+ORACLES["stateful_session_timeout"] = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess FROM o
+    ), g AS (
+        SELECT user_id, sess,
+               min(ts) AS session_start, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sess
+    ), sess AS (
+        SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM g
+    ), wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, session_start, last_ts + INTERVAL 30 MINUTE AS session_end,
+           n_events, total_value
+    FROM sess
+    WHERE NOT (sess = last_sess AND last_ts + INTERVAL 30 MINUTE > (SELECT w FROM wmf))
+    """
+
+ORACLES["ingest_pages_datasource"] = """
+    SELECT series_id,
+           CAST(d AS DATE) AS observation_date,
+           v AS value_raw,
+           TRY_CAST(v AS DOUBLE) AS value,
+           page
+    FROM (VALUES
+        ('GDP', '2020-01-01', '21481.367', 0),
+        ('GDP', '2020-04-01', '19477.444', 0),
+        ('GDP', '2020-07-01', '.',         0),
+        ('GDP', '2020-10-01', '21494.731', 1),
+        ('GDP', '2021-01-01', '22313.85',  1),
+        ('GDP', '2021-04-01', '23046.934', 1),
+        ('GDP', '2021-07-01', '23550.42',  2),
+        ('GDP', '2021-10-01', '.',         2),
+        ('GDP', '2022-01-01', '24740.48',  2),
+        ('GDP', '2022-04-01', '25248.476', 3),
+        ('GDP', '2022-07-01', '25723.941', 3),
+        ('GDP', '2022-10-01', '26137.992', 3)
+    ) AS t(series_id, d, v, page)
+    """
+
+ORACLES["variant_event_payloads"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 6) AS total_value,
+           CAST(max(len(CAST(event_type AS VARCHAR)) + 2) AS INT) AS max_tag_len
+    FROM events
+    GROUP BY event_type
+    """
+
+ORACLES["ann_ivfpq_topk"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/pq_index/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivfpq_probes/*.parquet'),
+    lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
+    adc AS (
+        SELECT pr.query_id, ix.id AS neighbor_id,
+               round(sum(lut.d2), 6) AS adc_dist
+        FROM ix
+        JOIN pr USING (cell)
+        JOIN lut ON lut.query_id = pr.query_id
+               AND lut.m = ix.m AND lut.code = ix.code
+        WHERE ix.id <> pr.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """
+
+ORACLES["heavy_hitters_cms"] = f"""
+    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements/*.parquet'),
+    tc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    cellcnt AS (
+        SELECT d, col, sum(exact_count) AS cell_cnt
+        FROM tc JOIN cells USING (token) GROUP BY d, col
+    ),
+    est AS (
+        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
+        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
+    ),
+    tot AS (SELECT sum(exact_count) AS t FROM tc)
+    SELECT e.token, e.est_count, tc.exact_count
+    FROM est e JOIN tc USING (token), tot
+    WHERE e.est_count >= tot.t / 50.0
+    """
+
+ORACLES["event_grouping_sets"] = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+    """
+
+ORACLES["lineitem_unpivot_metrics"] = """
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(val), 6) AS avg_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """
+
+ORACLES["corpus_upsample_epochs"] = f"""
+    WITH w AS (
+        SELECT * FROM (VALUES ('en', 2, 128), ('de', 1, 0), ('es', 1, 128),
+                              ('fr', 0, 128), ('zh', 0, 64)) t(lang, base, thresh)
+    ),
+    n AS (
+        SELECT doc_id, d.lang,
+               base + CASE WHEN {_b256("upsample")} < thresh THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+    FROM n WHERE n_copies > 0
+    """
+
+ORACLES["quality_percentile_filter"] = """
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               round(percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id), 6) AS pr
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, pr FROM r WHERE pr >= 0.5
+    """
+
+ORACLES["stratified_reservoir_sample"] = f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_md5_key("reservoir")}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM r WHERE rn <= 20
+    """
+
+ORACLES["profile_documents_table"] = """
+    SELECT 'doc_id' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(doc_id) AS BIGINT) AS n_non_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+    """
+
+ORACLES["streaming_heavy_hitters"] = f"""
+    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements_stream/*.parquet'),
+    tc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    cellcnt AS (
+        SELECT d, col, sum(exact_count) AS cell_cnt
+        FROM tc JOIN cells USING (token) GROUP BY d, col
+    ),
+    est AS (
+        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
+        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
+    ),
+    tot AS (SELECT sum(exact_count) AS t FROM tc)
+    SELECT e.token, e.est_count, tc.exact_count
+    FROM est e JOIN tc USING (token), tot
+    WHERE e.est_count >= tot.t / 50.0
+    """
+
+ORACLES["label_time_to_next_purchase"] = """
+    WITH p AS (
+        SELECT user_id, ts, min(event_id) AS next_event_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.user_id, v.event_id, v.ts,
+           p.ts AS ts_r, p.next_event_id AS next_event_id_r,
+           epoch_us(p.ts) - epoch_us(v.ts) AS usecs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+    """
+
+ORACLES["rolling_7day_distinct_users"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+        SELECT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM ud
+    )
+    SELECT d.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
+    FROM cover c JOIN days d USING (day)
+    GROUP BY d.day
+    """
+
+ORACLES["per_lang_token_length_regression"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(regr_slope(n_toks, n_chars), 6) AS slope,
+           round(regr_intercept(n_toks, n_chars), 6) AS intercept,
+           round(regr_r2(n_toks, n_chars), 6) AS r2
+    FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars,
+                 CAST(len({_TOKS}) AS DOUBLE) AS n_toks
+          FROM documents)
+    GROUP BY lang
+    """
+
+ORACLES["mixture_rebalance_to_target"] = f"""
+    WITH tgt AS (
+        SELECT * FROM (VALUES ('en', 0.40), ('de', 0.15), ('es', 0.15),
+                              ('fr', 0.15), ('zh', 0.15)) t(lang, target_share)
+    ),
+    cur AS (
+        SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS chars FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(chars) AS t FROM cur),
+    w AS (
+        SELECT c.lang, tgt.target_share,
+               c.chars / tot.t AS before_share,
+               tgt.target_share / (c.chars / tot.t) AS wt
+        FROM cur c JOIN tgt USING (lang), tot
+    ),
+    wq AS (
+        SELECT lang, target_share, before_share,
+               CAST(floor(wt) AS BIGINT) AS base,
+               CAST(floor((wt - floor(wt)) * 256 + 0.5) AS BIGINT) AS thresh
+        FROM w
+    ),
+    per_doc AS (
+        SELECT d.lang, wq.target_share, wq.before_share,
+               d.n_chars * (wq.base + CASE WHEN {_b256("rebalance")} < wq.thresh
+                                           THEN 1 ELSE 0 END) AS eff_chars
+        FROM documents d JOIN wq USING (lang)
+    ),
+    after_tot AS (SELECT sum(eff_chars) AS t FROM per_doc)
+    SELECT p.lang,
+           round(any_value(p.before_share), 6) AS before_share,
+           any_value(p.target_share) AS target_share,
+           round(sum(p.eff_chars) / any_value(a.t), 6) AS after_share
+    FROM per_doc p, after_tot a
+    GROUP BY p.lang
+    """
+
+ORACLES["length_bucketed_batching"] = f"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST({_b256("batchshard")} AS INT) % 8 AS shard,
+               {_md5_key("batcharrival")} AS arrival
+        FROM documents
+    ),
+    arr AS (
+        SELECT shard, n_chars,
+               CAST(floor((row_number() OVER (PARTITION BY shard
+                                              ORDER BY arrival, doc_id) - 1) / 32)
+                    AS BIGINT) AS batch_id
+        FROM d
+    ),
+    srt AS (
+        SELECT shard, n_chars,
+               CAST(floor((row_number() OVER (PARTITION BY shard
+                                              ORDER BY n_chars, doc_id) - 1) / 32)
+                    AS BIGINT) AS batch_id
+        FROM d
+    ),
+    wa AS (
+        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
+            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
+            FROM arr) GROUP BY shard
+    ),
+    ws AS (
+        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
+            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
+            FROM srt) GROUP BY shard
+    )
+    SELECT wa.shard, wa.waste AS padding_arrival, ws.waste AS padding_sorted
+    FROM wa JOIN ws USING (shard)
+    """
+
+ORACLES["user_value_ema"] = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ema_final
+    FROM events
+    GROUP BY user_id
+    """
+
+ORACLES["rollup_cascade_monthly"] = """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+ORACLES["bitmap_distinct_rollup"] = """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY 1, 2
+    """
+
+ORACLES["hll_distinct_rollup"] = f"""
+    WITH est AS (SELECT * FROM '{_AUX_DIR}/hll_monthly_est/*.parquet'),
+    exact AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.month, e.event_type, e.n_distinct_est, x.n_distinct_exact,
+           CAST(abs(CAST(e.n_distinct_est AS DOUBLE) - x.n_distinct_exact)
+                / x.n_distinct_exact <= 0.05 AS BOOLEAN) AS within_5pct
+    FROM est e JOIN exact x USING (month, event_type)
+    """
+
+ORACLES["streaming_view_purchase_join"] = """
+    SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 DAY
+    """
+
+ORACLES["rolling_zscore_anomalies"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 4) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, value,
+               avg(value)         OVER win AS mu,
+               stddev_samp(value) OVER win AS sigma,
+               count(*)           OVER win AS n_prior
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, value,
+           CASE WHEN n_prior >= 7 AND sigma > 0
+                THEN round((value - mu) / sigma, 4) END AS zscore,
+           CAST(n_prior >= 7 AND sigma > 0
+                AND abs((value - mu) / sigma) > 2.5 AS BOOLEAN) AS is_anomaly
+    FROM w
+    """
+
+ORACLES["indicator_linear_interpolation"] = """
+    WITH daily AS (
+        -- integer-scaled exact mean (values are 2dp): immune to
+        -- aggregation-order rounding ties
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(CAST(round(value * 100) AS BIGINT))
+                     / (100.0 * count(*)), 4) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    observed AS (  -- simulated sensor dropout: day-of-month % 3 = 0 missing
+        SELECT * FROM daily WHERE extract(day FROM day) % 3 <> 0
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+        SELECT t.event_type, s.day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+                    FROM bounds) s
+    ),
+    j AS (
+        SELECT s.event_type, s.day, o.value,
+               CASE WHEN o.value IS NOT NULL THEN s.day END AS day_known
+        FROM spine s LEFT JOIN observed o USING (event_type, day)
+    ),
+    n AS (
+        SELECT event_type, day, value,
+               last_value(value IGNORE NULLS) OVER wp AS prev_v,
+               last_value(day_known IGNORE NULLS) OVER wp AS prev_d,
+               first_value(value IGNORE NULLS) OVER wf AS next_v,
+               first_value(day_known IGNORE NULLS) OVER wf AS next_d
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           round(CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + (next_v - prev_v)
+                   * (day - prev_d) / (next_d - prev_d)
+               END, 4) AS filled_value,
+           CAST(value IS NULL AS BOOLEAN) AS was_interpolated
+    FROM n
+    """
+
+ORACLES["random_projection_topk"] = f"""
+    WITH m AS (SELECT * FROM '{_AUX_DIR}/rp_matrix/*.parquet'),
+    e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    p AS (
+        SELECT e.vec_id, m.j, sum(CAST(e.v AS DOUBLE) * m.w) AS p
+        FROM e JOIN m ON m.i = e.i
+        GROUP BY 1, 2
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(p * p)) AS nr FROM p GROUP BY 1),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.p * b.p) AS dp
+        FROM p a JOIN p b ON a.j = b.j AND a.vec_id <> b.vec_id
+        WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dp / nullif(na.nr * nb.nr, 0), 4) AS score
+        FROM pairs
+        JOIN nrm na ON na.vec_id = query_id
+        JOIN nrm nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """
+
+ORACLES["histogram_quantile_rollup"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS grain, event_type,
+               CAST(least(greatest(floor(value / 4.0), 0), 255) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT grain, event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY grain, event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY grain, event_type) AS total
+        FROM d
+    )
+    SELECT grain, event_type, p,
+           round(bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt, 4) AS est
+    FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p)
+    WHERE cum >= p * total AND cum - cnt < p * total
+    """
+
+ORACLES["cdc_changelog_apply"] = """
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id) AS rn
+        FROM c
+    )
+    SELECT user_id, ts AS updated_at, round(value, 6) AS value
+    FROM r WHERE rn = 1 AND op = 'U'
+    """
+
+ORACLES["corpus_training_pipeline"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, {_QUALITY_SQL} AS quality,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.3
+    ),
+    surv AS (
+        SELECT doc_id, lang, text, quality, {_b256("decon")} AS bdecon
+        FROM deduped WHERE rn = 1
+    ),
+    t AS (SELECT doc_id, bdecon, {_TOKS} AS toks FROM surv),
+    grams AS (
+        SELECT doc_id, bdecon,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE bdecon < 13),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE bdecon >= 13 AND gram IN (SELECT gram FROM bench)
+    ),
+    clean AS (
+        SELECT s.*, len({_TOKS}) AS n_toks FROM surv s
+        WHERE bdecon >= 13
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sp AS (
+        SELECT *, CASE WHEN {_b256("split")} < 0.8 * 256.0 THEN 'train'
+                       WHEN {_b256("split")} < 0.9 * 256.0 THEN 'val'
+                       ELSE 'test' END AS split
+        FROM clean
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*)), 6) AS avg_quality
+    FROM sp GROUP BY 1, 2
+    """
+
+ORACLES["entity_resolution_blocked"] = """
+    WITH corrupted AS (
+        SELECT c_custkey AS query_id,
+               concat(substr(c_name, 1, 9 + (c_custkey % 4)),
+                      substr(c_name, 11 + (c_custkey % 4), 18)) AS q_name
+        FROM customer
+    ),
+    qk AS (
+        SELECT query_id, q_name, 'tail' AS blk, right(q_name, 4) AS key FROM corrupted
+    ),
+    rk AS (
+        SELECT c_custkey AS ref_id, c_name AS r_name, 'tail' AS blk,
+               right(c_name, 4) AS key FROM customer
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, q.q_name, r.ref_id, r.r_name
+        FROM qk q JOIN rk r ON q.blk = r.blk AND q.key = r.key
+    ),
+    scored AS (
+        SELECT query_id, ref_id, levenshtein(q_name, r_name) AS distance
+        FROM cand
+    ),
+    ranked AS (
+        SELECT query_id, ref_id AS matched_id, distance,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY distance, ref_id) AS rn
+        FROM scored WHERE distance <= 2
+    )
+    SELECT query_id, matched_id, distance,
+           CAST(query_id = matched_id AS BOOLEAN) AS correct
+    FROM ranked WHERE rn = 1
+    """
+
+ORACLES["event_transition_matrix"] = """
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS cur, next_type AS nxt,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+ORACLES["copurchase_association_rules"] = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY 1),
+    pairs AS (
+        SELECT src AS item_a, dst AS item_b, n_orders AS n_ab
+        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
+    )
+    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab / n.n_orders, 6) AS support,
+           round(n_ab / ia.n_item, 6) AS conf_a_to_b,
+           round(n_ab / ib.n_item, 6) AS conf_b_to_a,
+           round(n_ab * n.n_orders / (ia.n_item * ib.n_item), 4) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = item_a
+    JOIN item ib ON ib.l_partkey = item_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """
+
+ORACLES["streaming_left_outer_interval_join"] = """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+               - INTERVAL 2 DAY AS w
+    ),
+    inner_part AS (
+        SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM v JOIN p ON p.user_id = v.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+    ),
+    unmatched AS (
+        SELECT v.user_id, v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = v.user_id
+              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
+        )
+        AND v.ts + INTERVAL 1 DAY < (SELECT w FROM wm)
+    )
+    SELECT * FROM inner_part UNION ALL SELECT * FROM unmatched
+    """
+
+ORACLES["copurchase_clustering_coefficient"] = f"""
+    WITH {_TRIANGLE_CTES}
+    SELECT d.id,
+           d.deg AS degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tri_counts t ON t.id = d.id
+    """
+
+ORACLES["copurchase_triangle_counts"] = f"""
+    WITH e AS (
+        SELECT src AS x, dst AS y
+        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg FROM (
+            SELECT x AS id FROM e UNION ALL SELECT y FROM e
+        ) GROUP BY 1
+    ),
+    oriented AS (
+        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.x ELSE e.y END AS src,
+               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
+                    THEN e.y ELSE e.x END AS dst
+        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
+    ),
+    wedges AS (
+        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+    ),
+    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w))
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ) GROUP BY 1
+    """
+
+ORACLES["dbt_schema_tests"] = """
+    SELECT 'customer' AS table_name, 'c_custkey' AS column_name, 'unique' AS test_name,
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)), 0) AS BIGINT) AS n_failures
+    UNION ALL
+    SELECT 'customer', 'c_custkey', 'not_null',
+           CAST(count_if(c_custkey IS NULL) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', 'unique',
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'relationships',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus', 'accepted_values',
+           CAST(count_if(o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'relationships',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', 'accepted_values',
+           CAST(count_if(l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'event_id', 'unique',
+           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM events GROUP BY event_id HAVING count(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events', 'user_id', 'not_null',
+           CAST(count_if(user_id IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'documents', 'lang', 'accepted_values',
+           CAST(count_if(lang IS NULL OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')) AS BIGINT)
+    FROM documents
+    """
+
+ORACLES["dedup_incremental_batch"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/incr_fp_index/*.parquet'),
+    raw_batch AS (
+        -- genuinely new docs
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        -- corpus resubmissions, re-cased/padded (normalization-equal)
+        SELECT doc_id + 100000, upper(text) || '  '
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+        UNION ALL
+        -- within-batch duplicates of the new docs
+        SELECT doc_id + 200000, text
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+    ),
+    batch AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM raw_batch
+    ),
+    w AS (
+        SELECT b.doc_id, b.fp, ix.owner_id,
+               min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
+        FROM batch b LEFT JOIN ix ON ix.fp = b.fp
+    )
+    SELECT doc_id,
+           CASE WHEN owner_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN doc_id > first_in_batch THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           CASE WHEN owner_id IS NOT NULL THEN owner_id
+                WHEN doc_id > first_in_batch THEN first_in_batch END AS dup_of
+    FROM w
+    """
+
+ORACLES["span_dedup_rewrite"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, g * 32 + 1, g * 32 + 32), ' ')
+                   AS chunk_text
+        FROM t, unnest(generate_series(0, (len(toks) + 31) // 32 - 1)) AS u(g)
+    ), w AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY md5(chunk_text)
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+    FROM w GROUP BY doc_id
+    """
+
+ORACLES["winsorized_value_stats"] = """
+    WITH b AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+    ), bounds AS (
+        SELECT event_type,
+               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.01) AS BIGINT), 1)
+                        THEN value END) AS lo_cut,
+               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.99) AS BIGINT), 1)
+                        THEN value END) AS hi_cut
+        FROM b GROUP BY event_type
+    ), c AS (
+        SELECT b.event_type, lo_cut, hi_cut,
+               CAST(round(value * 100) AS BIGINT) AS rawi,
+               CAST(round(least(greatest(value, lo_cut), hi_cut) * 100) AS BIGINT)
+                   AS wini
+        FROM b JOIN bounds USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(lo_cut) AS lo_cut,
+           min(hi_cut) AS hi_cut,
+           round(CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
+           round(CAST(sum(wini) AS DOUBLE) / 100.0 / count(*), 6) AS mean_winsor,
+           round(sqrt(greatest(
+               (CAST(sum(wini * wini) AS DOUBLE)
+                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
+               / 10000.0 / (count(*) - 1), 0.0)), 6) AS sd_winsor
+    FROM c GROUP BY event_type
+    """
+
+ORACLES["bm25_search_topk"] = f"""
+    WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM lens),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('vector', 'merge', 'stream') GROUP BY 1, 2
+    ),
+    p2 AS (SELECT p.doc_id, p.term, p.tf, l.dl
+           FROM postings p JOIN lens l USING (doc_id)),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+               ), 6) AS score
+        FROM p2 p JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+ORACLES["streaming_sliding_window_counts"] = """
+    SELECT time_bucket(INTERVAL '2 hours', ts) - INTERVAL 2 HOUR * k
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events, unnest(generate_series(0, 2)) AS u(k)
+    GROUP BY 1, 2
+    """
+
+ORACLES["asof_cogroup_pandas"] = """
+    SELECT p.user_id, p.event_id, p.ts, p.value,
+           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """
+
+ORACLES["target_encode_brand"] = """
+    WITH lab AS (
+        SELECT p.p_brand,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), stats AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM lab GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM lab
+    )
+    SELECT p_brand, n, pos,
+           round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
+           round((pos + 20.0 * prior) / (n + 20.0), 6) AS encoded
+    FROM stats CROSS JOIN g
+    """
+
+ORACLES["streaming_static_dim_join"] = """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """
+
+ORACLES["k_anonymity_suppress"] = """
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(count(*) AS BIGINT) AS grp_n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN g.grp_n >= 10 THEN c.c_mktsegment END AS segment_anon,
+           CASE WHEN g.grp_n >= 10 THEN c.c_nationkey END AS nation_anon,
+           g.grp_n < 10 AS suppressed,
+           g.grp_n
+    FROM customer c
+    JOIN g ON c.c_mktsegment = g.c_mktsegment
+          AND c.c_nationkey = g.c_nationkey
+    """
+
+ORACLES["embedding_int8_quantize"] = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, vd,
+               127.0 / list_max(list_transform(vd, x -> abs(x))) AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale))), 6) AS max_abs_err,
+           CAST(len(list_filter(
+               vd, x -> abs(round(x * scale)) = 127.0)) AS INT) AS n_sat
+    FROM m
+    """
+
+ORACLES["abc_customer_classification"] = """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(rev_cents) AS DOUBLE) AS tot FROM r
+    ), c AS (
+        SELECT o_custkey, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+        FROM r
+    )
+    SELECT o_custkey, rev_cents,
+           round(CAST(cum AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.80 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """
+
+ORACLES["business_days_to_ship"] = """
+    WITH b AS (
+        SELECT o.o_orderpriority,
+               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+               -
+               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+                   AS bd
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_business_days,
+           CAST(max(bd) AS BIGINT) AS max_business_days
+    FROM b GROUP BY 1
+    """
+
+ORACLES["event_trigram_paths"] = """
+    WITH s AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path FROM s WHERE e3 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+    FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """
+
+ORACLES["corpus_token_budget_select"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS ttr
+        FROM d
+    ), t AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget FROM s
+    ), c AS (
+        SELECT doc_id, n_tok, ttr,
+               CAST(sum(n_tok) OVER (ORDER BY ttr DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM s
+    )
+    SELECT doc_id, n_tok, ttr, cum_tokens
+    FROM c WHERE cum_tokens <= (SELECT budget FROM t)
+    """
+
+ORACLES["session_bounce_rate"] = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o
+    ), sessions AS (
+        SELECT user_id, sess,
+               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sess
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY day
+    """
+
+ORACLES["decision_stump_train"] = """
+    WITH x AS (
+        SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount', CAST(l_discount AS DOUBLE),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+    ), g AS (
+        SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
+               CAST(sum(y) AS BIGINT) AS pos_v
+        FROM x GROUP BY 1, 2
+    ), c AS (
+        SELECT feature, v,
+               CAST(sum(n_v) OVER w AS BIGINT) AS nl,
+               CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
+               CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
+               CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
+        FROM g
+        WINDOW w AS (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
+               n, pos
+        FROM c WHERE nl < n
+    ), sc AS (
+        SELECT feature, thr, nl AS n_left, nr AS n_right,
+               round(
+                   (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+                   - (CAST(nl AS DOUBLE) / n
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nr AS DOUBLE) / n
+                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
+               6) AS gini_gain
+        FROM s
+    )
+    SELECT feature, thr, n_left, n_right, gini_gain,
+           row_number() OVER (ORDER BY gini_gain DESC, feature, thr) AS rank
+    FROM sc ORDER BY gini_gain DESC, feature, thr LIMIT 10
+    """
+
+ORACLES["join_key_skew_profile"] = """
+    WITH k AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS tot,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM k
+    )
+    SELECT key, n,
+           round(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
+           round(CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t), 6) AS skew_factor,
+           row_number() OVER (ORDER BY n DESC, key) AS rank
+    FROM k ORDER BY n DESC, key LIMIT 20
+    """
+
+ORACLES["rolling_correlation_series"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT a.day, a.cents AS x, b.cents AS y
+        FROM (SELECT day, cents FROM d WHERE event_type = 'purchase') a
+        JOIN (SELECT day, cents FROM d WHERE event_type = 'view') b USING (day)
+    ), w AS (
+        SELECT day,
+               CAST(count(*)   OVER win AS BIGINT) AS n,
+               CAST(sum(x)     OVER win AS BIGINT) AS sx,
+               CAST(sum(y)     OVER win AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+        FROM p
+        WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+               AS corr14
+    FROM w WHERE n = 14
+    """
+
+ORACLES["ab_test_conversion_lift"] = """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                                     substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef',
+                                  substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 2, 1)) - 1)
+                         AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS rate,
+           round((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_lo,
+           round((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_hi
+    FROM u GROUP BY arm
+    """
+
+ORACLES["trading_day_rollup"] = """
+    SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+                     AS TIMESTAMP) AS DATE) AS trading_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+    """
+
+ORACLES["dow_seasonality_index"] = """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ), k AS (
+        SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM d GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(cents) AS DOUBLE) / sum(n_days) AS overall_daily FROM k
+    )
+    SELECT dow, n_days,
+           round(CAST(cents AS DOUBLE) / n_days / 100.0, 6) AS avg_daily_revenue,
+           round((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t),
+                 6) AS seasonality_index
+    FROM k
+    """
+
+ORACLES["seed_sla_attainment"] = """
+    WITH sla AS (
+        SELECT * FROM (VALUES
+            ('1-URGENT', 5), ('2-HIGH', 7), ('3-MEDIUM', 10),
+            ('4-NOT SPECIFIED', 14), ('5-LOW', 21)
+        ) AS v(o_orderpriority, sla_business_days)
+    ), b AS (
+        SELECT o.o_orderpriority, s.sla_business_days,
+               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+               -
+               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
+                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+                   AS bd
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN sla s ON o.o_orderpriority = s.o_orderpriority
+    )
+    SELECT o_orderpriority, sla_business_days,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_met,
+           round(CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS attainment
+    FROM b GROUP BY 1, 2
+    """
+
+ORACLES["capped_user_balance"] = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list(CAST(round(value * 100) AS BIGINT)
+                        * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                        ORDER BY ts, event_id)),
+               (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
+               AS final_balance
+    FROM events
+    GROUP BY user_id
+    """
+
+ORACLES["embedding_outlier_flags"] = f"""
+    WITH st AS (SELECT * FROM '{_AUX_DIR}/emb_outlier_stats/*.parquet'),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ), d AS (
+        SELECT v.vec_id,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(
+                       generate_series(1, len(vd)),
+                       i -> (vd[i] - st.cen[i]) * (vd[i] - st.cen[i]))),
+                   (acc, x) -> acc + x)) AS dist,
+               st.mu AS mu, st.sigma AS sigma
+        FROM v CROSS JOIN st
+    )
+    SELECT vec_id, round(dist, 6) AS dist,
+           dist > mu + 2.0 * sigma AS is_outlier
+    FROM d
+    """
+
+ORACLES["revenue_bridge_mom"] = """
+    WITH m AS (
+        SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT event_type, month, n, cents,
+               lag(n)     OVER win AS n0,
+               lag(cents) OVER win AS cents0
+        FROM m WINDOW win AS (PARTITION BY event_type ORDER BY month)
+    )
+    SELECT event_type, month,
+           round(CAST(cents - cents0 AS DOUBLE) / 100.0, 6) AS delta_revenue,
+           round((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0, 6)
+               AS volume_effect,
+           round(n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0, 6) AS value_effect
+    FROM w WHERE n0 IS NOT NULL
+    """
+
+ORACLES["interval_union_coverage"] = """
+    WITH iv AS (
+        SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM events
+    ), o AS (
+        SELECT user_id, lo, hi,
+               max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_hi
+        FROM iv
+    ), g AS (
+        SELECT user_id, lo, hi,
+               CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ), s AS (
+        SELECT user_id, lo, hi,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM g
+    ), merged AS (
+        SELECT user_id, grp, min(lo) AS lo, max(hi) AS hi
+        FROM s GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(date_diff('second', lo, hi)) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """
+
+ORACLES["cohort_ltv_curve"] = """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY 1
+    ), rev AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                    AS BIGINT) AS week_index,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events e
+        JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_week, week_index,
+               CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_index
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort_week, c.week_index, s.cohort_users,
+           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0, 6)
+               AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """
+
+ORACLES["open_orders_backlog_daily"] = """
+    WITH cl AS (
+        SELECT l_orderkey, max(l_shipdate) AS close_day
+        FROM lineitem GROUP BY 1
+    ), d AS (
+        SELECT o.o_orderdate AS day, 1 AS delta
+        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
+        UNION ALL
+        SELECT cl.close_day, -1
+        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
+    ), g AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY 1
+    )
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM g
+    """
+
+ORACLES["inference_score_calibration"] = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+        SELECT label,
+               round(1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               ))), 6) AS score
+        FROM e
+    ), b AS (
+        SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+               CAST(round(score * 1000000) AS BIGINT) AS s_micro,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+               AS mean_conf,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM b GROUP BY 1
+    """
+
+ORACLES["gini_revenue_concentration"] = """
+    WITH r AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), rk AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                   AS i
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS total_revenue,
+           round(CAST(2 * sum(i * cents) AS DOUBLE)
+                 / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+    FROM rk
+    """
+
+ORACLES["value_drift_psi_bins"] = """
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), t AS (
+        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
+               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
+        FROM b
+    ), g AS (
+        SELECT bin,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b
+        FROM b GROUP BY 1
+    )
+    SELECT bin, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
+           round(
+               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
+           6) AS psi_contrib
+    FROM g
+    """
+
+ORACLES["rfm_segmentation"] = """
+    WITH p AS (
+        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ), g AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM p),
+    u AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(max(ts) AS DATE),
+                              (SELECT gmax FROM g)) AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM p GROUP BY 1
+    )
+    SELECT user_id, r_days, freq, cents,
+           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY cents, user_id) AS INT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY freq, user_id) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY cents, user_id) AS VARCHAR)
+               AS segment
+    FROM u
+    """
+
+ORACLES["finance_daily_pipeline"] = """
+    WITH gated AS (
+        SELECT * FROM events WHERE value > 0 AND value <= 500
+    ), d AS (
+        SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE
+                         'America/New_York' AS TIMESTAMP) AS DATE)
+                   AS trading_day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM gated GROUP BY 1, 2
+    ), k AS (
+        SELECT event_type,
+               CAST(dayofweek(trading_day) + 1 AS INT) AS dow,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1, 2
+    )
+    SELECT d.trading_day, d.event_type, d.n_events,
+           round(CAST(d.cents AS DOUBLE) / 100.0, 6) AS revenue,
+           CAST(dayofweek(d.trading_day) + 1 AS INT) AS dow,
+           round(CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days), 6)
+               AS seasonality_ratio,
+           CAST(d.cents AS DOUBLE)
+               / (CAST(k.cents AS DOUBLE) / k.n_days) > 1.5 AS is_high
+    FROM d JOIN k
+      ON d.event_type = k.event_type
+     AND CAST(dayofweek(d.trading_day) + 1 AS INT) = k.dow
+    """
+
+ORACLES["streaming_value_drift_psi"] = """
+    WITH b AS (
+        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), t AS (
+        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
+               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
+        FROM b
+    ), g AS (
+        SELECT bin,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b
+        FROM b GROUP BY 1
+    )
+    SELECT bin, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
+           round(
+               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
+           6) AS psi_contrib
+    FROM g
+    """
+
+ORACLES["collocation_pmi_top"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nt AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_toks FROM t),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(toks) AS term FROM t
+        ) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT toks[i] AS l, toks[i + d] AS r
+        FROM t, (VALUES (1), (2)) AS dd(d),
+             unnest(generate_series(1, len(toks) - d)) AS u(i)
+    ),
+    np AS (SELECT CAST(count(*) AS DOUBLE) AS n_pairs FROM pairs),
+    pc AS (
+        SELECT l, r, CAST(count(*) AS BIGINT) AS n_lr
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    scored AS (
+        SELECT pc.l, pc.r, pc.n_lr,
+               round(ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt)))),
+               6) AS pmi
+        FROM pc
+        JOIN uni a ON pc.l = a.term
+        JOIN uni b ON pc.r = b.term
+    )
+    SELECT l, r, n_lr, pmi,
+           row_number() OVER (ORDER BY pmi DESC, l, r) AS rank
+    FROM scored ORDER BY pmi DESC, l, r LIMIT 20
+    """
+
+ORACLES["debounce_events"] = """
+    WITH o AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, value
+    FROM o
+    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 SECOND
+    """
+
+ORACLES["holt_trend_forecast"] = """
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS rn,
+               CAST(cents AS DOUBLE) / 100.0 AS x
+        FROM d
+    ), nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+        FROM seq GROUP BY 1
+    ), st AS (
+        SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, q.rn,
+               0.3 * q.x + 0.7 * (s.l + s.b),
+               0.1 * ((0.3 * q.x + 0.7 * (s.l + s.b)) - s.l) + 0.9 * s.b
+        FROM st s JOIN seq q
+          ON q.event_type = s.event_type AND q.rn = s.rn + 1
+    )
+    SELECT st.event_type, nn.n_obs,
+           round(st.l, 6) AS level,
+           round(st.b, 6) AS trend,
+           round(st.l + st.b, 6) AS forecast_1,
+           round(st.l + 7.0 * st.b, 6) AS forecast_7
+    FROM st JOIN nn ON st.event_type = nn.event_type AND st.rn = nn.n_obs
+    """
+

@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.kpis import ratio
+from finance_reporting_etl_spark.oracles import ORACLES as _ORACLES
+from finance_reporting_etl_spark.oracles import _AUX_DIR, _TOKS
+from finance_reporting_etl_spark.operators import ml as ml_oracles
 from finance_reporting_etl_spark.functions.scalars import case_map, normalize_string
 from finance_reporting_etl_spark.plans.models import registry
 from finance_reporting_etl_spark.tables import _read_parquet, load_tables
@@ -61,11 +64,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # parallel): both the writer and the f-string oracle SQL bake the same
 # per-process value at import, so Spark and DuckDB always read one run's
 # index. Unset (the default), the path is stable across processes.
-import os as _os  # noqa: E402
-
-_AUX_DIR = "/root/repo/spark-warehouse/oracle_aux" + (
-    f"/{_os.environ['SPARK_GRAFT_RUN_ID']}" if _os.environ.get("SPARK_GRAFT_RUN_ID") else ""
-)
 
 
 def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -81,14 +79,8 @@ def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "mart_financial_summary",
-    """
-    SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
-           round(avg(value), 6) AS avg_gdp
-    FROM events
-    GROUP BY 1
-    """,
+@query("mart_financial_summary",
+    _ORACLES["mart_financial_summary"],
     "S10,P1,P2,A1,A2 (stg_financial_data.sql + mart_financial_summary.sql)",
 )
 def q_mart_financial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,54 +89,8 @@ def q_mart_financial_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built["mart_financial_summary"]
 
 
-@query(
-    "mart_financial_kpis",
-    """
-    WITH inc AS (
-        SELECT user_id AS symbol,
-               date_trunc('month', ts) AS fiscal_date,
-               'USD'                       AS currency,
-               round(sum(value), 6)        AS total_revenue,
-               round(sum(value * 0.5), 6)  AS gross_profit,
-               round(sum(value * 0.3), 6)  AS operating_income,
-               round(sum(value * 0.2), 6)  AS net_income
-        FROM events
-        WHERE event_type = 'purchase'
-        GROUP BY 1, 2
-    ), bal AS (
-        SELECT user_id AS symbol,
-               date_trunc('month', ts) AS fiscal_date,
-               round(sum(value), 6)        AS total_assets,
-               round(sum(value * 0.6), 6)  AS total_liabilities,
-               round(sum(value * 0.4), 6)  AS total_equity
-        FROM events
-        WHERE event_type = 'click'
-        GROUP BY 1, 2
-    ), cf AS (
-        SELECT user_id AS symbol,
-               date_trunc('month', ts) AS fiscal_date,
-               round(sum(value * 0.9), 6)  AS operating_cash_flow,
-               round(sum(value * 0.35), 6) AS capital_expenditure
-        FROM events
-        WHERE event_type = 'view'
-        GROUP BY 1, 2
-    )
-    SELECT symbol, fiscal_date, currency,
-           total_revenue, gross_profit, operating_income, net_income,
-           total_assets, total_liabilities, total_equity,
-           operating_cash_flow, capital_expenditure,
-           operating_cash_flow - capital_expenditure AS free_cash_flow,
-           round(gross_profit / nullif(total_revenue, 0), 4)     AS gross_profit_margin,
-           round(operating_income / nullif(total_revenue, 0), 4) AS operating_profit_margin,
-           round(net_income / nullif(total_revenue, 0), 4)       AS net_profit_margin,
-           round(net_income / nullif(total_assets, 0), 4)        AS return_on_assets,
-           round(net_income / nullif(total_equity, 0), 4)        AS return_on_equity,
-           round(total_assets / nullif(total_liabilities, 0), 4) AS asset_to_liability_ratio,
-           round((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0), 4)
-               AS fcf_margin
-    FROM inc LEFT JOIN bal USING (symbol, fiscal_date)
-             LEFT JOIN cf  USING (symbol, fiscal_date)
-    """,
+@query("mart_financial_kpis",
+    _ORACLES["mart_financial_kpis"],
     "J1,J2,P3,P5,P6,A1 (README.md:425-495 financial_kpis, full macro set + cash_flow leg)",
 )
 def q_mart_financial_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,33 +99,8 @@ def q_mart_financial_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built["mart_financial_kpis"]
 
 
-_SERIES_CASE = """
-           CASE WHEN event_type = 'click'    THEN 'GDP'
-                WHEN event_type = 'error'    THEN 'UNRATE'
-                WHEN event_type = 'purchase' THEN 'CPIAUCSL'
-                WHEN event_type = 'signup'   THEN 'FEDFUNDS'
-                WHEN event_type = 'view'     THEN 'DGS10'
-           END"""
-
-_INDICATOR_CASE = """
-           CASE WHEN series_id = 'GDP'      THEN 'Gross Domestic Product'
-                WHEN series_id = 'UNRATE'   THEN 'Unemployment Rate'
-                WHEN series_id = 'CPIAUCSL' THEN 'Consumer Price Index'
-                WHEN series_id = 'FEDFUNDS' THEN 'Federal Funds Rate'
-                WHEN series_id = 'DGS10'    THEN '10-Year Treasury Rate'
-           END"""
-
-
-@query(
-    "economic_indicators",
-    f"""
-    WITH fred AS (
-        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
-        FROM events
-    )
-    SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
-    FROM fred
-    """,
+@query("economic_indicators",
+    _ORACLES["economic_indicators"],
     "P7,O3 (readme.md:355-374 economic_indicators mart, built by the registry)",
 )
 def q_economic_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,24 +109,8 @@ def q_economic_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built["economic_indicators"]
 
 
-@query(
-    "indicator_stats",
-    f"""
-    WITH fred AS (
-        SELECT CAST(ts AS DATE) AS date, {_SERIES_CASE} AS series_id, value
-        FROM events
-    ), ind AS (
-        SELECT date, series_id, value, {_INDICATOR_CASE} AS indicator_name
-        FROM fred
-    )
-    SELECT series_id, indicator_name,
-           count(*) AS n_obs,
-           round(avg(value), 6) AS avg_value,
-           round(min(value), 6) AS min_value,
-           round(max(value), 6) AS max_value
-    FROM ind
-    GROUP BY 1, 2
-    """,
+@query("indicator_stats",
+    _ORACLES["indicator_stats"],
     "A1,P7,O3 (per-indicator aggregate over the economic_indicators mart)",
 )
 def q_indicator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,13 +124,8 @@ def q_indicator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "filter_eq_projection",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-    FROM orders
-    WHERE o_orderstatus = 'F'
-    """,
+@query("filter_eq_projection",
+    _ORACLES["filter_eq_projection"],
     "P1,P3 (README.md:435 WHERE report_type = ...)",
 )
 def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,13 +135,8 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "literal_columns",
-    """
-    SELECT o_orderkey, 'AAPL' AS symbol, 'income_statement' AS report_type
-    FROM orders
-    WHERE o_orderpriority = '1-URGENT'
-    """,
+@query("literal_columns",
+    _ORACLES["literal_columns"],
     "P4 (README.md:349-350 df['symbol'] = company)",
 )
 def q_literal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,18 +148,8 @@ def q_literal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "case_value_mapping",
-    """
-    SELECT event_id,
-           CASE WHEN event_type = 'view'     THEN 'Page View'
-                WHEN event_type = 'click'    THEN 'Click Through'
-                WHEN event_type = 'purchase' THEN 'Purchase Order'
-                WHEN event_type = 'signup'   THEN 'Account Signup'
-                WHEN event_type = 'error'    THEN 'Error Event'
-           END AS event_name
-    FROM events
-    """,
+@query("case_value_mapping",
+    _ORACLES["case_value_mapping"],
     "P7 (readme.md:368-372 series_id -> indicator name)",
 )
 def q_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,12 +164,8 @@ def q_case_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", case_map("event_type", mapping).alias("event_name"))
 
 
-@query(
-    "string_normalize",
-    """
-    SELECT p_partkey, lower(trim(p_name)) AS p_name_norm, lower(trim(p_brand)) AS p_brand_norm
-    FROM part
-    """,
+@query("string_normalize",
+    _ORACLES["string_normalize"],
     "P8 (utils/helpers.py:1-2 normalize_string)",
 )
 def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,13 +177,8 @@ def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cast_text_to_numeric",
-    """
-    SELECT event_id, TRY_CAST(props AS DOUBLE) AS props_num,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k
-    FROM events
-    """,
+@query("cast_text_to_numeric",
+    _ORACLES["cast_text_to_numeric"],
     "P2 (stg_financial_data.sql:7 value::numeric; A3 '.' -> NULL)",
 )
 def q_cast_text_to_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,17 +191,8 @@ def q_cast_text_to_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pivot_by_report_type",
-    """
-    SELECT user_id,
-           CAST(ts AS DATE) AS day,
-           round(sum(CASE WHEN event_type = 'view'     THEN value END), 6) AS view_total,
-           round(sum(CASE WHEN event_type = 'click'    THEN value END), 6) AS click_total,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_total
-    FROM events
-    GROUP BY 1, 2
-    """,
+@query("pivot_by_report_type",
+    _ORACLES["pivot_by_report_type"],
     "J2,A3 (README.md:425-465 pivot-by-type, idiomatic form)",
 )
 def q_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,14 +212,8 @@ def q_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "lookup_join_broadcast",
-    """
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
+@query("lookup_join_broadcast",
+    _ORACLES["lookup_join_broadcast"],
     "P7-as-join,J1 (lookup mapping as broadcast join)",
 )
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,17 +232,8 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "hourly_event_rollup",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS total_value,
-           round(avg(value), 6) AS avg_value
-    FROM events
-    GROUP BY 1, 2
-    """,
+@query("hourly_event_rollup",
+    _ORACLES["hourly_event_rollup"],
     "S9,A1,streaming-batch (hypertable rollup, README.md:268)",
 )
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,29 +242,8 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_bucket_rollup(_t(spark, sf_dir, "events"), "1 hour")
 
 
-@query(
-    "sessionize_events",
-    """
-    WITH o AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sess
-        FROM o
-    )
-    SELECT min(ts) AS session_start,
-           max(ts) + INTERVAL '30 minutes' AS session_end,
-           user_id,
-           count(*) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM s
-    GROUP BY user_id, sess
-    """,
+@query("sessionize_events",
+    _ORACLES["sessionize_events"],
     "streaming session windows (batch session_window)",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,20 +252,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), "30 minutes")
 
 
-@query(
-    "monthly_trend_mom",
-    """
-    WITH m AS (
-        SELECT event_type AS series_id,
-               date_trunc('month', ts) AS month,
-               round(avg(value), 6) AS avg_value
-        FROM events GROUP BY 1, 2
-    )
-    SELECT series_id, month, avg_value,
-           round(avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month), 6)
-               AS mom_change
-    FROM m
-    """,
+@query("monthly_trend_mom",
+    _ORACLES["monthly_trend_mom"],
     "[X] window trend KPI (SURVEY §2.5: lag over partitioned time order)",
 )
 def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,17 +273,8 @@ def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "merge_latest_per_key",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM (
-        SELECT event_id, ts, user_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id ASC) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
+@query("merge_latest_per_key",
+    _ORACLES["merge_latest_per_key"],
     "O5 incremental merge: latest row per business key (README.md:558)",
 )
 def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,22 +284,8 @@ def q_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_latest(events, ["user_id", "event_type"], "ts", "event_id")
 
 
-@query(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
+@query("q1_pricing_summary",
+    _ORACLES["q1_pricing_summary"],
     "A1,P1,P3 bench headliner (TPC-H Q1 shape)",
 )
 def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,24 +307,8 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q3_top_orders",
-    """
-    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority, rnk
-    FROM (
-        SELECT l.l_orderkey AS o_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-               o.o_orderdate, o.o_orderpriority,
-               row_number() OVER (
-                   ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
-                            l.l_orderkey ASC) AS rnk
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ) WHERE rnk <= 20
-    """,
+@query("q3_top_orders",
+    _ORACLES["q3_top_orders"],
     "J1,A1 bench (TPC-H Q3 shape, deterministic top-k)",
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,18 +334,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "regional_revenue",
-    """
-    SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           count(*) AS n_lineitems
-    FROM lineitem l
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1, 2
-    """,
+@query("regional_revenue",
+    _ORACLES["regional_revenue"],
     "J1,A1 bench (TPC-H Q5 shape, broadcast dims)",
 )
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,25 +359,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [X] extensions: text analysis, dedup, similarity search, multimodal
 # ---------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 
-
-@query(
-    "text_stats",
-    """
-    SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+'))                          AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
-           length(text)                                                         AS n_chars_calc,
-           round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-                                         t -> length(t)))
-                 / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 4)   AS avg_token_len,
-           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / nullif(length(text), 0), 4)                                  AS punct_ratio,
-           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 / nullif(length(text), 0), 4)                                  AS digit_ratio
-    FROM documents
-    """,
+@query("text_stats",
+    _ORACLES["text_stats"],
     "X4 text analysis: token/char stats",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,20 +407,8 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_guess("text").alias("lang_guess"))
 
 
-@query(
-    "quality_scores",
-    """
-    SELECT doc_id,
-           round(greatest(0.0,
-               least(length(text) / 500.0, 1.0)
-               * (1.0 - least(
-                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0), 6)
-                   + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0), 6),
-                   1.0))), 4) AS quality
-    FROM documents
-    """,
+@query("quality_scores",
+    _ORACLES["quality_scores"],
     "X4 text analysis: heuristic quality score",
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,13 +418,8 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
-@query(
-    "doc_fingerprints",
-    """
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
+@query("doc_fingerprints",
+    _ORACLES["doc_fingerprints"],
     "X4 text analysis: content fingerprint (md5 of normalized text)",
 )
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,18 +429,8 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
-@query(
-    "dedup_exact",
-    """
-    SELECT doc_id, lang, source, n_chars
-    FROM (
-        SELECT doc_id, lang, source, n_chars,
-               row_number() OVER (
-                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                   ORDER BY doc_id) AS rn
-        FROM documents
-    ) WHERE rn = 1
-    """,
+@query("dedup_exact",
+    _ORACLES["dedup_exact"],
     "X1 exact dedup (deterministic survivor)",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,24 +440,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
 
 
-@query(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH t AS (
-        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
-               len(list_distinct({_TOKS})) AS n_toks
-        FROM documents
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.toks, b.toks))
-                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
-                     4) AS jaccard
-        FROM t a JOIN t b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
-    )
-    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
-    """,
+@query("ngram_jaccard_pairs",
+    _ORACLES["ngram_jaccard_pairs"],
     "X2 n-gram Jaccard near-dup (blocked exact verify)",
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,32 +451,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.5)
 
 
-@query(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE t AS (
-        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
-               len(list_distinct({_TOKS})) AS n_toks
-        FROM documents
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.toks, b.toks))
-                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
-                     4) AS jaccard
-        FROM t a JOIN t b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
-        UNION ALL
-        SELECT id_b AS src, id_a AS dst FROM pairs WHERE jaccard >= 0.5
-    ), reach(id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-    """,
+@query("dedup_clusters",
+    _ORACLES["dedup_clusters"],
     "X1/X2 near-dup clustering: connected components (min-label propagation vs recursive closure)",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,28 +470,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(edges, nodes).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
-@query(
-    "minhash_lsh_near_dup",
-    f"""
-    WITH t AS (SELECT * FROM '{_AUX_DIR}/minhash_index/*.parquet'),
-    bandrows AS (
-        SELECT id, u.band_idx AS band_idx, u.band_hash AS band_hash
-        FROM (SELECT id, unnest(bands) AS u FROM t)
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bandrows a JOIN bandrows b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
-    ),
-    s AS (SELECT id, sh FROM t),
-    scored AS (
-        SELECT c.id_a, c.id_b,
-               round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0), 4) AS jaccard
-        FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
-    """,
+@query("minhash_lsh_near_dup",
+    _ORACLES["minhash_lsh_near_dup"],
     "X2 MinHash-LSH near-dup (shingle -> minhash -> band -> verify; persisted-index oracle)",
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,8 +489,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_bands(bands, sigs, threshold=0.5)
 
 
-@query(
-    "simhash_near_dup",
+@query("simhash_near_dup",
     # brute-force all-pairs hamming over the persisted signatures — equal
     # to the pigeonhole-blocked Spark plan because 4-chunk blocking is
     # EXACT for hamming <= 3
@@ -845,30 +511,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@query(
-    "similarity_topk",
-    """
-    WITH q AS (
-        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
-    ), c AS (
-        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings
-    ), scored AS (
-        SELECT query_id, neighbor_id,
-               round(list_dot_product(qv, cv)
-                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0),
-                     6) AS score
-        FROM c, q
-        WHERE query_id <> neighbor_id
-    )
-    SELECT query_id, neighbor_id, score, rank FROM (
-        SELECT query_id, neighbor_id, score,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, neighbor_id ASC) AS rank
-        FROM scored
-    ) WHERE rank <= 10
-    """,
+@query("similarity_topk",
+    _ORACLES["similarity_topk"],
     "X3 similarity search: brute-force cosine top-k",
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,31 +523,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query(
-    "ann_lsh_topk",
-    f"""
-    WITH b AS (SELECT * FROM '{_AUX_DIR}/ann_lsh_buckets/*.parquet'),
-    q AS (SELECT id AS query_id, tbl, bucket FROM b WHERE id IN (0, 1, 2, 3, 4)),
-    cand AS (
-        SELECT DISTINCT q.query_id, c.id AS neighbor_id
-        FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
-        WHERE c.id <> q.query_id
-    ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (
-        SELECT cand.query_id, cand.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
-                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
-        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-                  JOIN e ce ON ce.vec_id = cand.neighbor_id
-    )
-    SELECT query_id, neighbor_id, score,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, neighbor_id) AS rank
-    FROM s
-    QUALIFY rank <= 10
-    """,
+@query("ann_lsh_topk",
+    _ORACLES["ann_lsh_topk"],
     "X3 similarity search: hyperplane-LSH ANN (scale path; persisted-index oracle)",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,13 +541,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query(
-    "multimodal_bundle",
-    """
-    SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dim, e.label
-    FROM documents d
-    JOIN embeddings e ON d.doc_id = e.vec_id
-    """,
+@query("multimodal_bundle",
+    _ORACLES["multimodal_bundle"],
     "X5 multimodal: typed struct bundle (flat projection for oracle)",
 )
 def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,8 +560,7 @@ def q_multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_feature_extract",
+@query("media_feature_extract",
     # Full oracle: the stub extractor is a byte histogram (utf-8 of the
     # text head) folded to 8 dims, exact in float64 — DuckDB re-derives
     # the bytes via hex() + strpos nibble lookup and reproduces every
@@ -993,18 +608,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_hash_fingerprints",
-    """
-    SELECT doc_id,
-           list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
-                       ch -> CAST(ascii(ch) AS BIGINT))),
-               (acc, x) -> (acc * 131 + x) % 2147483647) AS rhash
-    FROM documents
-    """,
+@query("rolling_hash_fingerprints",
+    _ORACLES["rolling_hash_fingerprints"],
     "X4 text analysis: polynomial rolling-hash fingerprint",
 )
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,22 +619,8 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_hash("text").alias("rhash"))
 
 
-@query(
-    "embedding_cosine_dups",
-    """
-    WITH e AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-                 6) AS score
-    FROM e a JOIN e b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-                6) >= 0.4
-    """,
+@query("embedding_cosine_dups",
+    _ORACLES["embedding_cosine_dups"],
     "X2 embedding-cosine near-dup (blocked exact)",
 )
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,26 +630,8 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.4, block_col="label")
 
 
-@query(
-    "lsh_embedding_cosine_dups",
-    f"""
-    WITH bk AS (SELECT * FROM '{_AUX_DIR}/lshdup_buckets/*.parquet'),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bk a JOIN bk b
-          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
-    ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    scored AS (
-        SELECT cand.id_a, cand.id_b,
-               round(list_dot_product(ea.v, eb.v)
-                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
-                              * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS score
-        FROM cand JOIN e ea ON ea.vec_id = cand.id_a
-                  JOIN e eb ON eb.vec_id = cand.id_b
-    )
-    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
-    """,
+@query("lsh_embedding_cosine_dups",
+    _ORACLES["lsh_embedding_cosine_dups"],
     "X2 embedding-cosine near-dup at scale (LSH candidates -> exact verify; persisted-index oracle)",
 )
 def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,31 +648,8 @@ def q_lsh_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs_from_buckets(buckets, emb, threshold=0.4)
 
 
-@query(
-    "ann_ivf_topk",
-    f"""
-    WITH ix AS (SELECT * FROM '{_AUX_DIR}/ivf_index/*.parquet'),
-    pr AS (SELECT * FROM '{_AUX_DIR}/ivf_probes/*.parquet'),
-    cand AS (
-        SELECT pr.query_id, ix.id AS neighbor_id
-        FROM ix JOIN pr USING (cell)
-        WHERE ix.id <> pr.query_id
-    ),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (
-        SELECT cand.query_id, cand.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
-                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
-        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-                  JOIN e ce ON ce.vec_id = cand.neighbor_id
-    )
-    SELECT query_id, neighbor_id, score,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, neighbor_id) AS rank
-    FROM s
-    QUALIFY rank <= 10
-    """,
+@query("ann_ivf_topk",
+    _ORACLES["ann_ivf_topk"],
     "X3 similarity search at scale: IVF-flat ANN (Arrow-vectorized quantizer; persisted-index oracle)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,22 +666,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query(
-    "q5_local_supplier_volume",
-    """
-    SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
-    GROUP BY 1
-    """,
+@query("q5_local_supplier_volume",
+    _ORACLES["q5_local_supplier_volume"],
     "J1,A1 multi-join breadth (TPC-H Q5 shape: fact-fact join + dim broadcasts)",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,17 +701,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q6_revenue_forecast",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
-           count(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
+@query("q6_revenue_forecast",
+    _ORACLES["q6_revenue_forecast"],
     "P3,A1 pushdown breadth (TPC-H Q6 shape: range predicates to the scan)",
 )
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,22 +724,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q10_returned_item_revenue",
-    """
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
+@query("q10_returned_item_revenue",
+    _ORACLES["q10_returned_item_revenue"],
     "J1,A1 top-k join-agg (TPC-H Q10 shape: lost-revenue per customer)",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,18 +752,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q14_promo_revenue_share",
-    """
-    SELECT round(
-             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 6) AS promo_share_pct,
-           count(*) AS n_lines
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate <  TIMESTAMP '1996-02-01'
-    """,
+@query("q14_promo_revenue_share",
+    _ORACLES["q14_promo_revenue_share"],
     "J1,A1,P7 conditional-aggregate ratio (TPC-H Q14 shape: promo revenue share)",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,18 +776,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_bracketed_discount_revenue",
-    """
-    SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
-       OR (p.p_brand = 'Brand#13' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
-       OR (p.p_brand = 'Brand#21' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
-    GROUP BY 1
-    """,
+@query("q19_bracketed_discount_revenue",
+    _ORACLES["q19_bracketed_discount_revenue"],
     "J1,P3 disjunctive multi-bracket predicate (TPC-H Q19 shape)",
 )
 def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,18 +805,8 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q13_order_count_distribution",
-    """
-    SELECT c_count, count(*) AS n_customers
-    FROM (
-        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-        GROUP BY 1
-    ) t
-    GROUP BY 1
-    ORDER BY n_customers DESC, c_count DESC
-    """,
+@query("q13_order_count_distribution",
+    _ORACLES["q13_order_count_distribution"],
     "J1,A1 outer-join double aggregation (TPC-H Q13 shape: order-count histogram)",
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,22 +828,8 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q15_top_supplier",
-    """
-    WITH rev AS (
-        SELECT l_suppkey AS suppkey,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1996-04-01'
-        GROUP BY 1
-    )
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
-    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
-    ORDER BY s_suppkey
-    """,
+@query("q15_top_supplier",
+    _ORACLES["q15_top_supplier"],
     "A1,J1 argmax-of-aggregate (TPC-H Q15 shape: top revenue supplier)",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,22 +855,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q17_small_quantity_revenue",
-    """
-    WITH brand_lines AS (
-        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#11'
-    ), thresh AS (
-        SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
-        FROM brand_lines GROUP BY 1
-    )
-    SELECT round(sum(b.l_extendedprice) / 7.0, 4) AS avg_yearly,
-           count(*) AS n_lines
-    FROM brand_lines b JOIN thresh t ON b.l_partkey = t.t_partkey
-    WHERE b.l_quantity < t.qty_thresh
-    """,
+@query("q17_small_quantity_revenue",
+    _ORACLES["q17_small_quantity_revenue"],
     "A1,J1 per-group-threshold correlated aggregate (TPC-H Q17 shape)",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1429,21 +884,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q18_large_volume_orders",
-    """
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           sum(l.l_quantity) AS total_qty
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (
-        SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
-    )
-    GROUP BY 1, 2, 3, 4, 5
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 20
-    """,
+@query("q18_large_volume_orders",
+    _ORACLES["q18_large_volume_orders"],
     "A1,J1 having + semi-join back (TPC-H Q18 shape: large-volume orders)",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,19 +917,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q22_idle_rich_customers",
-    """
-    WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
-    SELECT c.c_mktsegment, count(*) AS numcust,
-           round(sum(c.c_acctbal), 4) AS totacctbal
-    FROM customer c, ab
-    WHERE c.c_acctbal > ab.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-                      AND o.o_orderdate >= TIMESTAMP '2000-07-01')
-    GROUP BY 1
-    ORDER BY 1
-    """,
+@query("q22_idle_rich_customers",
+    _ORACLES["q22_idle_rich_customers"],
     "A1,J1 scalar-subquery filter + anti-join (TPC-H Q22 shape: lapsed rich customers)",
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,17 +945,8 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "order_price_quantiles",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
-           round(min(o_totalprice), 4) AS min_price,
-           round(max(o_totalprice), 4) AS max_price
-    FROM orders
-    GROUP BY 1
-    """,
+@query("order_price_quantiles",
+    _ORACLES["order_price_quantiles"],
     "A1 exact quantiles per group (percentile == quantile_cont, linear interpolation)",
 )
 def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,15 +963,8 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "price_quantiles_distributed",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
-    FROM orders
-    GROUP BY 1
-    """,
+@query("price_quantiles_distributed",
+    _ORACLES["price_quantiles_distributed"],
     "A1 exact per-group quantiles at scale: window closest-ranks, no per-group value buffering",
 )
 def q_price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,17 +990,8 @@ def q_price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "regional_rollup",
-    """
-    SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM lineitem l
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
+@query("regional_rollup",
+    _ORACLES["regional_rollup"],
     "A-tier: ROLLUP hierarchy totals (region -> nation -> grand total)",
 )
 def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,16 +1010,8 @@ def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "distinct_daily_users",
-    """
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           count(DISTINCT user_id) AS n_users,
-           count(DISTINCT event_type) AS n_event_types,
-           count(*) AS n_events
-    FROM events
-    GROUP BY 1
-    """,
+@query("distinct_daily_users",
+    _ORACLES["distinct_daily_users"],
     "A-tier: COUNT(DISTINCT) per group (exact; approx_count_distinct is the scale path)",
 )
 def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,17 +1023,8 @@ def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_segments_setops",
-    """
-    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
-         open_ AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
-    SELECT 'both' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM open_)
-    UNION ALL
-    SELECT 'finished_only' AS segment, count(*) AS n FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM open_)
-    UNION ALL
-    SELECT 'open_only' AS segment, count(*) AS n FROM (SELECT custkey FROM open_ EXCEPT SELECT custkey FROM buyers)
-    """,
+@query("customer_segments_setops",
+    _ORACLES["customer_segments_setops"],
     "A-tier set ops: INTERSECT / EXCEPT / UNION ALL over order-status segments",
 )
 def q_customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1654,13 +1043,8 @@ def q_customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(fin).unionByName(op)
 
 
-@query(
-    "retention_filter",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-    """,
+@query("retention_filter",
+    _ORACLES["retention_filter"],
     "S12 (readme.md:398-427 lifecycle/retention: engine-side window filter)",
 )
 def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,19 +1058,8 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cumulative_monthly_revenue",
-    """
-    WITH m AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               round(sum(o_totalprice), 4) AS revenue
-        FROM orders GROUP BY 1
-    )
-    SELECT month, revenue,
-           round(sum(revenue) OVER (ORDER BY month
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
-    FROM m
-    """,
+@query("cumulative_monthly_revenue",
+    _ORACLES["cumulative_monthly_revenue"],
     "§2.5-adjacent: running-total window (trend KPI tier)",
 )
 def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1702,16 +1075,8 @@ def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("month", "revenue", F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"))
 
 
-@query(
-    "streaming_hourly_rollup",
-    """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
+@query("streaming_hourly_rollup",
+    _ORACLES["streaming_hourly_rollup"],
     "§2.8 upgrade: Structured Streaming Trigger.AvailableNow rollup == batch oracle",
 )
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1738,11 +1103,8 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_dedup_events",
-    """
-    SELECT event_id, ts, user_id, event_type, value, props FROM events
-    """,
+@query("streaming_dedup_events",
+    _ORACLES["streaming_dedup_events"],
     "§2.8 streaming exact dedup: dropDuplicatesWithinWatermark over an at-least-once replay == DISTINCT",
 )
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,12 +1133,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stateful_user_totals",
-    """
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
-    FROM events GROUP BY user_id
-    """,
+@query("stateful_user_totals",
+    _ORACLES["stateful_user_totals"],
     "§2.8 applyInPandasWithState: per-key GroupState running totals across micro-batches == batch GROUP BY",
 )
 def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1809,23 +1167,8 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_7day_revenue",
-    """
-    WITH daily AS (
-        SELECT event_type,
-               CAST(date_trunc('day', ts) AS DATE) AS day,
-               date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum,
-               round(sum(value), 4) AS daily_value
-        FROM events
-        GROUP BY 1, 2, 3
-    )
-    SELECT event_type, day, daily_value,
-           round(sum(daily_value) OVER (
-               PARTITION BY event_type ORDER BY dnum
-               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
-    FROM daily
-    """,
+@query("rolling_7day_revenue",
+    _ORACLES["rolling_7day_revenue"],
     "§2.5 range-frame window: 7-day rolling sum per event type (gap-aware, not row-based)",
 )
 def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,18 +1201,8 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_spend_deciles",
-    """
-    WITH spend AS (
-        SELECT c.c_custkey, round(sum(o.o_totalprice), 4) AS total_spend
-        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-        GROUP BY 1
-    )
-    SELECT ntile(10) OVER (ORDER BY total_spend, c_custkey) AS decile,
-           c_custkey, total_spend
-    FROM spend
-    """,
+@query("customer_spend_deciles",
+    _ORACLES["customer_spend_deciles"],
     "§2.5 ntile decile ranking over aggregated spend (deterministic tiebreak)",
 )
 def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1892,28 +1225,8 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.select("decile", "c_custkey", "total_spend")
 
 
-@query(
-    "corpus_clean",
-    """
-    WITH scored AS (
-        SELECT doc_id, lang, source,
-               round(greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0), 6)
-                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0), 6),
-                       1.0))), 4) AS quality,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM documents
-    ), deduped AS (
-        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM scored
-        WHERE quality >= 0.3
-    )
-    SELECT doc_id, lang, source, quality FROM deduped WHERE rn = 1
-    """,
+@query("corpus_clean",
+    _ORACLES["corpus_clean"],
     "X1+X4 end-to-end training-data cleaning: quality gate -> exact dedup",
 )
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,19 +1241,8 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(scored, "text", "doc_id").select("doc_id", "lang", "source", "quality")
 
 
-@query(
-    "corpus_stats",
-    """
-    SELECT lang,
-           count(*) AS n_docs,
-           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
-           CAST(min(n_chars) AS BIGINT) AS min_chars,
-           CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
-           round(quantile_cont(length(text), 0.9), 4) AS p90_chars
-    FROM documents
-    GROUP BY lang
-    """,
+@query("corpus_stats",
+    _ORACLES["corpus_stats"],
     "X4 corpus profiling: per-language counts + exact percentiles",
 )
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1957,26 +1259,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _b256(salt: str) -> str:
-    """DuckDB twin of operators.corpus.md5_bucket(id, salt=salt): bucket in
-    [0, 256) from the first two hex chars of md5(doc_id || salt). Distinct
-    salts per operation keep split/sample/decontaminate independent."""
-    h = f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
-    return (
-        f"CAST((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
-        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) AS DOUBLE)"
-    )
-
-
-@query(
-    "corpus_hash_split",
-    f"""
-    SELECT doc_id, lang, source,
-           CASE WHEN b < 0.8 * 256.0 THEN 'train'
-                WHEN b < (0.8 + 0.1) * 256.0 THEN 'val'
-                ELSE 'test' END AS split
-    FROM (SELECT doc_id, lang, source, {_b256("split")} AS b FROM documents)
-    """,
+@query("corpus_hash_split",
+    _ORACLES["corpus_hash_split"],
     "X-pipeline deterministic train/val/test split (salted md5-bucket, engine-portable)",
 )
 def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1989,14 +1273,8 @@ def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
-@query(
-    "corpus_mixture_sample",
-    f"""
-    SELECT doc_id, lang, source
-    FROM (SELECT doc_id, lang, source, {_b256("sample")} AS b FROM documents)
-    WHERE b < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
-                        WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END * 256.0
-    """,
+@query("corpus_mixture_sample",
+    _ORACLES["corpus_mixture_sample"],
     "X-pipeline mixture re-weighting: deterministic salted per-language downsample",
 )
 def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2012,22 +1290,8 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_chunking",
-    """
-    WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-    ), s AS (
-        SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
-        FROM t
-    )
-    SELECT doc_id,
-           CAST((start - 1) / 48 AS INT) AS chunk_idx,
-           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk,
-           CAST(len(list_slice(toks, start, start + 63)) AS INT) AS n_tokens
-    FROM s
-    """,
+@query("corpus_chunking",
+    _ORACLES["corpus_chunking"],
     "X-pipeline overlapping token-window chunking (64-token windows, 16 overlap)",
 )
 def q_corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2041,17 +1305,8 @@ def q_corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=64, overlap=16)
 
 
-@query(
-    "ingest_fred_observations",
-    """
-    SELECT CAST(d AS DATE) AS observation_date,
-           v AS value_raw,
-           TRY_CAST(v AS DOUBLE) AS value
-    FROM (VALUES ('2023-01-01', '26500.0'),
-                 ('2023-04-01', '.'),
-                 ('2023-07-01', '27000.5'),
-                 ('2023-10-01', '27600.25')) AS t(d, v)
-    """,
+@query("ingest_fred_observations",
+    _ORACLES["ingest_fred_observations"],
     "S1-S3,P2 ingest chain: REST payload -> JSON parse -> flatten -> typed cast ('.' -> NULL)",
 )
 def q_ingest_fred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,15 +1320,8 @@ def q_ingest_fred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_observations(payloads_to_df(spark, [CANNED_FRED_PAYLOAD]))
 
 
-@query(
-    "asof_latest_view_before_purchase",
-    """
-    SELECT p.user_id, p.event_id, p.ts, p.value,
-           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND v.ts <= p.ts
-    """,
+@query("asof_latest_view_before_purchase",
+    _ORACLES["asof_latest_view_before_purchase"],
     "custom operator: as-of (point-in-time) join, DuckDB ASOF JOIN oracle",
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2089,29 +1337,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "video_frame_sample",
-    """
-    WITH media AS (
-        SELECT doc_id,
-               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-               (n_chars % 480 + 1) * 100 AS duration_ms,
-               CAST(n_chars % 640 AS INT) AS width,
-               CAST(n_chars % 480 AS INT) AS height
-        FROM documents
-    )
-    , frames AS (
-        SELECT doc_id, width, height,
-               unnest(generate_series(0,
-                   greatest(CAST(least(ceil(duration_ms / 1000.0), 16) AS INT) - 1, 0))) AS f
-        FROM media WHERE media_type = 'video'
-    )
-    SELECT doc_id,
-           CAST(f AS INT) AS frame_idx,
-           CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
-           width, height
-    FROM frames
-    """,
+@query("video_frame_sample",
+    _ORACLES["video_frame_sample"],
     "X5 multimodal: video frame sampling (explode plumbing, decode stubbed)",
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,27 +1351,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_fake_media(docs), fps=1.0, max_frames=16).drop("frame_payload")
 
 
-@query(
-    "media_decode_features",
-    """
-    WITH d AS (
-        SELECT doc_id,
-               CAST(8 + doc_id % 9 AS INT) AS width,
-               CAST(8 + doc_id % 7 AS INT) AS height
-        FROM documents
-    ), grid AS (
-        SELECT doc_id, width, height, gx.x AS x, gy.y AS y
-        FROM d,
-             LATERAL (SELECT unnest(generate_series(0, width - 1)) AS x) gx,
-             LATERAL (SELECT unnest(generate_series(0, height - 1)) AS y) gy
-    )
-    SELECT doc_id, width, height,
-           CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
-           CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
-    FROM grid
-    GROUP BY 1, 2, 3
-    """,
+@query("media_decode_features",
+    _ORACLES["media_decode_features"],
     "X5 multimodal: REAL media decode (genuine PNG bytes -> zlib inflate -> unfilter -> pixel stats)",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2166,24 +1374,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(attach_synthetic_png(docs))
 
 
-@query(
-    "lm_quality_scores",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, {_TOKS} AS t FROM documents
-    ), uni AS (
-        SELECT u.w AS w, count(*) AS c1
-        FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY 1
-    ), v AS (SELECT count(*) AS vocab FROM uni),
-    bg AS (
-        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
-    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
-    SELECT doc_id,
-           round(avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab))), 6) AS lm_score
-    FROM bg JOIN c2 USING (w1, w2) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
-    GROUP BY 1
-    """,
+@query("lm_quality_scores",
+    _ORACLES["lm_quality_scores"],
     "X4 LM-perplexity quality filter: add-k bigram log-likelihood, LM trained distributively on the corpus",
 )
 def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,27 +1391,8 @@ def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
-@query(
-    "media_resize_decode",
-    """
-    WITH d AS (
-        SELECT doc_id,
-               8 + doc_id % 9 AS w,
-               8 + doc_id % 7 AS h
-        FROM documents
-    ), grid AS (
-        SELECT doc_id, (gx.x * w) // 6 AS sx, (gy.y * h) // 5 AS sy
-        FROM d,
-             LATERAL (SELECT unnest(generate_series(0, 5)) AS x) gx,
-             LATERAL (SELECT unnest(generate_series(0, 4)) AS y) gy
-    )
-    SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
-           CAST(sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
-           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 101) % 256) AS BIGINT) AS sum_g,
-           CAST(sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS BIGINT) AS sum_b
-    FROM grid
-    GROUP BY 1
-    """,
+@query("media_resize_decode",
+    _ORACLES["media_resize_decode"],
     "X5 multimodal: REAL resize (decode -> NN resample -> re-encode -> decode again)",
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2240,18 +1413,8 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(resize_png(attach_synthetic_png(docs), 6, 5))
 
 
-@query(
-    "q4_order_priority_semi",
-    """
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders o
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-    )
-    GROUP BY o_orderpriority
-    """,
+@query("q4_order_priority_semi",
+    _ORACLES["q4_order_priority_semi"],
     "J-tier: LEFT SEMI join (correlated EXISTS; TPC-H Q4 shape)",
 )
 def q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,16 +1430,8 @@ def q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customers_without_orders_anti",
-    """
-    SELECT c_mktsegment, count(*) AS n_customers
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-    GROUP BY c_mktsegment
-    """,
+@query("customers_without_orders_anti",
+    _ORACLES["customers_without_orders_anti"],
     "J-tier: LEFT ANTI join (NOT EXISTS); urgent-order predicate keeps the result non-vacuous at every fixture scale",
 )
 def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,27 +1448,8 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "repetition_metrics",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    g AS (
-        SELECT doc_id, toks,
-               CASE WHEN len(toks) >= 2
-                    THEN list_transform(generate_series(1, len(toks)-1),
-                                        i -> array_to_string(toks[i:i+1], ' '))
-                    ELSE [] END AS grams
-        FROM t
-    )
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           round(len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0), 4)
-               AS type_token_ratio,
-           round(list_max(list_transform(list_distinct(grams),
-                                         x -> len(list_filter(grams, y -> y = x))))
-                 / nullif(CAST(len(grams) AS DOUBLE), 0), 4) AS top_bigram_fraction
-    FROM g
-    """,
+@query("repetition_metrics",
+    _ORACLES["repetition_metrics"],
     "X4 Gopher-style repetition filters: type/token ratio + top-bigram fraction",
 )
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2330,29 +1466,8 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pii_redaction",
-    """
-    WITH aug AS (
-        SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
-                    || '.' || CAST(doc_id % 250 AS VARCHAR)
-                    || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-               AS text
-        FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
-           len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
-             '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
-    FROM aug
-    """,
+@query("pii_redaction",
+    _ORACLES["pii_redaction"],
     "X4 PII redaction: typed regex scrub (email/IP/phone) + per-type counts",
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2387,15 +1502,8 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_vocabulary",
-    f"""
-    SELECT token, count(*) AS n_occurrences
-    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
-    GROUP BY token
-    ORDER BY n_occurrences DESC, token
-    LIMIT 100
-    """,
+@query("corpus_vocabulary",
+    _ORACLES["corpus_vocabulary"],
     "X4 vocabulary build: corpus-wide top-k token frequencies (TakeOrderedAndProject)",
 )
 def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2406,22 +1514,8 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(_t(spark, sf_dir, "documents"), "text", k=100)
 
 
-@query(
-    "decontaminate_4gram",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents),
-    grams AS (
-        SELECT doc_id, b,
-               unnest(list_transform(generate_series(1, len(toks)-3),
-                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
-        FROM t WHERE len(toks) >= 4
-    ),
-    bench AS (SELECT DISTINCT gram FROM grams WHERE b < 13),
-    train_grams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 13)
-    SELECT g.doc_id, count(*) AS n_contaminated_grams
-    FROM train_grams g JOIN bench USING (gram)
-    GROUP BY g.doc_id
-    """,
+@query("decontaminate_4gram",
+    _ORACLES["decontaminate_4gram"],
     "X-pipeline benchmark decontamination: 4-gram overlap vs held-out md5-bucket split",
 )
 def q_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2440,24 +1534,8 @@ def q_decontaminate_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q7_nation_volume_shipping",
-    """
-    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           year(l.l_shipdate) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
-    FROM supplier s
-    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
-    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
-        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
-    GROUP BY 1, 2, 3
-    """,
+@query("q7_nation_volume_shipping",
+    _ORACLES["q7_nation_volume_shipping"],
     "TPC-H Q7 shape: bidirectional nation-pair volume, nation dim joined twice",
 )
 def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2494,29 +1572,8 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q8_market_share",
-    """
-    WITH all_sales AS (
-        SELECT year(o.o_orderdate) AS order_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
-               sn.n_name AS supp_nation
-        FROM part p
-        JOIN lineitem l ON p.p_partkey = l.l_partkey
-        JOIN orders o   ON o.o_orderkey = l.l_orderkey
-        JOIN customer c ON c.c_custkey = o.o_custkey
-        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
-        JOIN region r   ON r.r_regionkey = cn.n_regionkey
-        JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
-        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
-    )
-    SELECT order_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
-    FROM all_sales
-    GROUP BY order_year
-    """,
+@query("q8_market_share",
+    _ORACLES["q8_market_share"],
     "TPC-H Q8 shape: market share = ratio of conditional sum over 8-table join",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2552,19 +1609,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q12_late_shipment_priority",
-    """
-    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'late'
-                WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY THEN 'slow'
-                ELSE 'fast' END AS ship_speed,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    GROUP BY 1
-    """,
+@query("q12_late_shipment_priority",
+    _ORACLES["q12_late_shipment_priority"],
     "TPC-H Q12 shape: CASE-bucketed join agg with conditional priority counts (adapted: lateness from shipdate-orderdate; fixture has no commit/receipt dates)",
 )
 def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2590,26 +1636,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q21_waiting_supplier",
-    """
-    WITH late AS (
-        SELECT l.l_orderkey, l.l_suppkey
-        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-    )
-    SELECT s.s_name, count(*) AS numwait
-    FROM late l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY s.s_name
-    """,
+@query("q21_waiting_supplier",
+    _ORACLES["q21_waiting_supplier"],
     "TPC-H Q21 shape: semi + anti self-joins — sole late supplier in multi-supplier finished orders (adapted lateness: shipdate > orderdate + 60d)",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2652,30 +1680,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmeans_cluster_profile",
-    f"""
-    WITH a AS (SELECT * FROM '{_AUX_DIR}/kmeans_assign/*.parquet'),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    j AS (
-        SELECT a.cluster, e.vec_id, p.pos, e.v[p.pos] AS x
-        FROM a JOIN e USING (vec_id)
-        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
-    ),
-    cent AS (SELECT cluster, pos, avg(x) AS m FROM j GROUP BY 1, 2),
-    sq AS (
-        SELECT j.cluster, j.vec_id, sum((j.x - c.m) * (j.x - c.m)) AS sq
-        FROM j JOIN cent c ON c.cluster = j.cluster AND c.pos = j.pos
-        GROUP BY 1, 2
-    ),
-    per AS (SELECT cluster, count(*) AS n_members,
-                   round(avg(sqrt(sq)), 4) AS avg_dist
-            FROM sq GROUP BY 1),
-    norms AS (SELECT cluster, round(sqrt(sum(m * m)), 4) AS centroid_norm
-              FROM cent GROUP BY 1)
-    SELECT cluster, n_members, centroid_norm, avg_dist
-    FROM per JOIN norms USING (cluster)
-    """,
+@query("kmeans_cluster_profile",
+    _ORACLES["kmeans_cluster_profile"],
     "X3 trained vector clustering: k-means (Lloyd's) with persisted-assignment oracle",
 )
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2701,23 +1707,8 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(emb, aux)
 
 
-@query(
-    "tfidf_top_terms",
-    f"""
-    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
-        FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tfidf,
-           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
-    FROM scored
-    QUALIFY rank <= 5
-    """,
+@query("tfidf_top_terms",
+    _ORACLES["tfidf_top_terms"],
     "X4 TF-IDF keyword extraction: top-5 terms per document (smoothed idf)",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2730,28 +1721,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
-@query(
-    "chunk_dedup_occurrences",
-    """
-    WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
-    ), s AS (
-        SELECT doc_id, toks,
-               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
-        FROM t
-    ), chunks AS (
-        SELECT doc_id, CAST((start - 1) / 48 AS INT) AS chunk_idx,
-               md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS fp
-        FROM s
-    ), w AS (
-        SELECT doc_id, chunk_idx,
-               row_number()  OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn,
-               first_value(doc_id)    OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_doc,
-               first_value(chunk_idx) OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS surv_idx
-        FROM chunks
-    )
-    SELECT doc_id, chunk_idx, surv_doc, surv_idx FROM w WHERE rn > 1
-    """,
+@query("chunk_dedup_occurrences",
+    _ORACLES["chunk_dedup_occurrences"],
     "X1/X-pipeline chunk-level exact dedup (substring-dedup approximation, Lee et al. shape)",
 )
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2763,15 +1734,8 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "streaming_merge_upsert",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts DESC, event_id) AS rn
-          FROM events)
-    WHERE rn = 1
-    """,
+@query("streaming_merge_upsert",
+    _ORACLES["streaming_merge_upsert"],
     "§2.8 x O5 foreachBatch incremental upsert: batch-by-batch merge_latest fixpoint == one-shot merge",
 )
 def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2799,28 +1763,8 @@ def q_streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "keyword_search_topk",
-    f"""
-    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    postings AS (
-        SELECT doc_id, term, count(*) AS tf FROM toks
-        WHERE term IN ('window', 'join', 'merge') GROUP BY 1, 2
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
-    n AS (SELECT count(*) AS n FROM documents),
-    scored AS (
-        SELECT p.doc_id,
-               count(DISTINCT p.term) AS nt,
-               round(sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6) AS score
-        FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
-        GROUP BY p.doc_id
-    )
-    SELECT doc_id, score,
-           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-    FROM scored WHERE nt = 3
-    ORDER BY score DESC, doc_id LIMIT 10
-    """,
+@query("keyword_search_topk",
+    _ORACLES["keyword_search_topk"],
     "X4 conjunctive keyword search: AND-semantics postings + TF-IDF ranking, top-10",
 )
 def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2834,29 +1778,8 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_funnel",
-    """
-    WITH s AS (
-        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
-        FROM events GROUP BY user_id
-    ),
-    v AS (
-        SELECT e.user_id, min(e.ts) AS t_view
-        FROM events e JOIN s ON s.user_id = e.user_id
-        WHERE e.event_type = 'view' AND e.ts > s.t_signup
-        GROUP BY e.user_id
-    ),
-    p AS (
-        SELECT e.user_id, min(e.ts) AS t_purchase
-        FROM events e JOIN v ON v.user_id = e.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
-        GROUP BY e.user_id
-    )
-    SELECT 'signup' AS stage, count(t_signup) AS n_users FROM s
-    UNION ALL SELECT 'view_after_signup', count(*) FROM v
-    UNION ALL SELECT 'purchase_after_view', count(*) FROM p
-    """,
+@query("event_funnel",
+    _ORACLES["event_funnel"],
     "A-tier sequential funnel: strict-order signup -> view -> purchase stage counts",
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2899,23 +1822,8 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cohort_retention",
-    """
-    WITH first_seen AS (
-        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
-        FROM events GROUP BY user_id
-    ),
-    activity AS (
-        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
-        FROM events
-    )
-    SELECT f.cohort_week,
-           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
-           count(*) AS n_active
-    FROM activity a JOIN first_seen f USING (user_id)
-    GROUP BY 1, 2
-    """,
+@query("cohort_retention",
+    _ORACLES["cohort_retention"],
     "A-tier cohort retention: first-seen week x activity-week grid",
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2939,14 +1847,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sql_api_mart_summary",
-    """
-    SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
-           round(avg(value), 6) AS avg_gdp
-    FROM events
-    GROUP BY 1
-    """,
+@query("sql_api_mart_summary",
+    _ORACLES["sql_api_mart_summary"],
     "S10,S11,A1,A2 via the spark.sql STRING path (the reference's native dbt-SQL interface)",
 )
 def q_sql_api_mart_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2975,28 +1877,8 @@ def q_sql_api_mart_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "table_diff_reconciliation",
-    """
-    WITH a AS (SELECT event_id, event_type FROM events),
-    b AS (
-        SELECT event_id, event_type FROM events WHERE event_type <> 'error'
-        UNION ALL
-        SELECT event_id, event_type FROM events WHERE event_type = 'signup'
-    ),
-    ca AS (SELECT event_id, event_type, count(*) AS na FROM a GROUP BY 1, 2),
-    cb AS (SELECT event_id, event_type, count(*) AS nb FROM b GROUP BY 1, 2),
-    j AS (
-        SELECT coalesce(ca.event_id, cb.event_id) AS event_id,
-               coalesce(ca.event_type, cb.event_type) AS event_type,
-               coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-        FROM ca FULL OUTER JOIN cb USING (event_id, event_type)
-        WHERE coalesce(na, 0) <> coalesce(nb, 0)
-    )
-    SELECT 'a_only' AS side, event_id, event_type, na - nb AS n_copies FROM j WHERE na > nb
-    UNION ALL
-    SELECT 'b_only' AS side, event_id, event_type, nb - na AS n_copies FROM j WHERE nb > na
-    """,
+@query("table_diff_reconciliation",
+    _ORACLES["table_diff_reconciliation"],
     "O-tier migration validation: multiset table diff (full-outer count compare)",
 )
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3013,23 +1895,8 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(ev, b)
 
 
-@query(
-    "scd2_user_state_history",
-    """
-    WITH o AS (
-        SELECT user_id, event_type, ts,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
-               lag(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        FROM events
-    ),
-    starts AS (
-        SELECT user_id, event_type, ts FROM o
-        WHERE prev_ts IS NULL OR NOT (event_type IS NOT DISTINCT FROM prev)
-    )
-    SELECT user_id, event_type, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-    FROM starts
-    """,
+@query("scd2_user_state_history",
+    _ORACLES["scd2_user_state_history"],
     "O5/§2.5 SCD2 history builder: change-collapsed validity intervals via lag/lead",
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3044,14 +1911,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, ["user_id"], "ts", ["event_type"])
 
 
-@query(
-    "event_type_week_cube",
-    """
-    SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
-           count(*) AS n_events, round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS TIMESTAMP))
-    """,
+@query("event_type_week_cube",
+    _ORACLES["event_type_week_cube"],
     "A-tier CUBE: all grouping-set combinations of (event_type, week)",
 )
 def q_event_type_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3070,26 +1931,8 @@ def q_event_type_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "daily_revenue_gapfilled",
-    """
-    WITH bounds AS (
-        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
-               CAST(max(date_trunc('day', ts)) AS DATE) AS d1
-        FROM events WHERE event_type = 'purchase'
-    ),
-    spine AS (
-        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
-    ),
-    daily AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(value), 4) AS revenue
-        FROM events WHERE event_type = 'purchase' GROUP BY 1
-    )
-    SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
-           CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS was_gap
-    FROM spine s LEFT JOIN daily d USING (day)
-    """,
+@query("daily_revenue_gapfilled",
+    _ORACLES["daily_revenue_gapfilled"],
     "A/§2.5-tier calendar densification: F.sequence date spine + left join gap fill",
 )
 def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3152,8 +1995,7 @@ def _statements_oracle() -> str:
     """
 
 
-@query(
-    "ingest_statements",
+@query("ingest_statements",
     _statements_oracle(),
     "S2+S3+S4 fan-out ingest: companies x report_types -> flatten -> long rows",
 )
@@ -3165,63 +2007,26 @@ def q_ingest_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, value) shape raw_financial_data stores. sf_dir is unused —
     the source is the API. At 100 TB the fetch stages JSON shards and
     spark.read.json scans them distributed; everything from flatten on
-    is the same Catalyst plan."""
+    is the same Catalyst plan. Operator:
+    sources.rest.ingest_statements_long."""
     from finance_reporting_etl_spark.pipeline import (
         STATEMENT_COMPANIES,
         STATEMENT_REPORT_TYPES,
         canned_statement_fetch,
     )
-    from finance_reporting_etl_spark.sources.json_source import flatten_annual_reports
-    from finance_reporting_etl_spark.sources.rest import fetch_statements, payloads_to_df
+    from finance_reporting_etl_spark.sources.rest import ingest_statements_long
 
-    triples = fetch_statements(
+    return ingest_statements_long(
+        spark,
         canned_statement_fetch,
         "https://www.alphavantage.co/query",
         STATEMENT_COMPANIES,
         STATEMENT_REPORT_TYPES,
     )
-    legs = []
-    for symbol, rt, payload in triples:
-        flat = flatten_annual_reports(payloads_to_df(spark, [payload]), symbol, rt)
-        metrics = [
-            c for c in flat.columns if c not in ("symbol", "report_type", "fiscal_date", "currency")
-        ]
-        stack = ", ".join(f"'{m}', CAST({m} AS DOUBLE)" for m in metrics)
-        legs.append(
-            flat.selectExpr(
-                "symbol",
-                "report_type",
-                "fiscal_date",
-                "currency",
-                f"stack({len(metrics)}, {stack}) AS (metric, value)",
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
 
 
-@query(
-    "attribution_window_join",
-    """
-    WITH purchases AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-    ), views AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
-    ), matched AS (
-        SELECT p.event_id, p.user_id,
-               count(v.ts) AS n_views_1h,
-               round(coalesce(sum(v.value), 0), 4) AS view_value_1h
-        FROM purchases p
-        LEFT JOIN views v
-          ON v.user_id = p.user_id
-         AND v.ts >= p.ts - INTERVAL 1 HOUR
-         AND v.ts < p.ts
-        GROUP BY 1, 2
-    )
-    SELECT * FROM matched
-    """,
+@query("attribution_window_join",
+    _ORACLES["attribution_window_join"],
     "custom operator: bucketed range join (attribution window), J-tier extension",
 )
 def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3267,18 +2072,8 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "skew_salted_event_rollup",
-    """
-    WITH dim AS (
-        SELECT DISTINCT event_type, upper(event_type) AS category FROM events
-    )
-    SELECT d.category,
-           count(*) AS n_events,
-           round(sum(e.value), 4) AS total_value
-    FROM events e JOIN dim d ON e.event_type = d.event_type
-    GROUP BY 1
-    """,
+@query("skew_salted_event_rollup",
+    _ORACLES["skew_salted_event_rollup"],
     "custom operator: skew-salted equi-join (5 hot keys spread over 16 tasks)",
 )
 def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3301,22 +2096,8 @@ def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_key(salt: str) -> str:
-    return f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
-
-
-@query(
-    "corpus_shuffle_shard",
-    f"""
-    SELECT doc_id, shard, shuffle_key,
-           CAST(row_number() OVER (PARTITION BY shard
-                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
-               AS position
-    FROM (SELECT doc_id,
-                 CAST({_b256("shuffle")} AS INT) % 16 AS shard,
-                 {_md5_key("shuffle")} AS shuffle_key
-          FROM documents)
-    """,
+@query("corpus_shuffle_shard",
+    _ORACLES["corpus_shuffle_shard"],
     "X-pipeline deterministic global shuffle + sharding (training order)",
 )
 def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3332,28 +2113,8 @@ def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sequence_packing",
-    f"""
-    WITH toks AS (
-        SELECT doc_id,
-               CAST({_b256("pack")} AS INT) % 16 AS shard,
-               {_md5_key("pack")} AS k,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
-        FROM documents
-    ), packed AS (
-        SELECT shard, doc_id, n_tokens,
-               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
-                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
-                          / 512.0) AS BIGINT) AS pack_id
-        FROM toks
-    )
-    SELECT shard, pack_id,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-    FROM packed
-    GROUP BY 1, 2
-    """,
+@query("sequence_packing",
+    _ORACLES["sequence_packing"],
     "X-pipeline sequence packing: fixed-token-budget packs in shuffle order",
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,24 +2132,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup",
-    f"""
-    WITH a AS (SELECT * FROM '{_AUX_DIR}/semdedup_assign/*.parquet'),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    dropped AS (
-        SELECT DISTINCT hi.vec_id
-        FROM a lo JOIN a hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
-        JOIN e el ON el.vec_id = lo.vec_id
-        JOIN e eh ON eh.vec_id = hi.vec_id
-        WHERE round(list_dot_product(el.v, eh.v)
-                    / nullif(sqrt(list_dot_product(el.v, el.v))
-                             * sqrt(list_dot_product(eh.v, eh.v)), 0), 6) >= 0.4
-    )
-    SELECT a.vec_id, a.cluster,
-           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped
-    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
-    """,
+@query("semantic_dedup",
+    _ORACLES["semantic_dedup"],
     "X2/X3 SemDeDup-style semantic dedup: k-means partition -> within-cluster cosine prune",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3416,20 +2161,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_inference_scores",
-    """
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    scored AS (
-        SELECT vec_id, label,
-               round(1.0 / (1.0 + exp(-list_dot_product(
-                   v,
-                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
-               ))), 6) AS score
-        FROM e
-    )
-    SELECT vec_id, label, score FROM scored WHERE score >= 0.5
-    """,
+@query("embedding_inference_scores",
+    _ORACLES["embedding_inference_scores"],
     "X-pipeline batched model inference: Arrow-batch linear probe + sigmoid filter",
 )
 def q_embedding_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3446,29 +2179,8 @@ def q_embedding_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_sessionize_events",
-    """
-    WITH o AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sess
-        FROM o
-    )
-    SELECT min(ts) AS session_start,
-           max(ts) + INTERVAL '30 minutes' AS session_end,
-           user_id,
-           count(*) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM s
-    GROUP BY user_id, sess
-    """,
+@query("streaming_sessionize_events",
+    _ORACLES["streaming_sessionize_events"],
     "§2.8 TRUE streaming session windows: cross-micro-batch session merge == batch gap sessions",
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3496,31 +2208,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_watermark_late_drop",
-    """
-    WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-21'),
-         b1 AS (SELECT * FROM pre WHERE event_id % 7 >= 2),
-         spacer AS (SELECT * FROM pre WHERE event_id % 7 = 1),
-         late AS (SELECT * FROM pre WHERE event_id % 7 = 0),
-         wm1 AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM b1),
-         wmf AS (SELECT max(ts) - INTERVAL 7 DAY AS w FROM events),
-         accepted AS (
-           SELECT * FROM b1
-           UNION ALL SELECT * FROM spacer
-           UNION ALL
-           SELECT late.* FROM late
-           WHERE date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT w FROM wm1)
-           UNION ALL
-           SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21'
-         )
-    SELECT date_trunc('day', ts) AS window_start, event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM accepted
-    GROUP BY 1, 2
-    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wmf)
-    """,
+@query("streaming_watermark_late_drop",
+    _ORACLES["streaming_watermark_late_drop"],
     "§2.8 watermark late-data proof: beyond-horizon rows dropped, in-horizon stragglers merged, append emission",
 )
 def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3571,32 +2260,8 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query(
-    "stateful_session_timeout",
-    """
-    WITH o AS (
-        SELECT user_id, ts, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sess FROM o
-    ), g AS (
-        SELECT user_id, sess,
-               min(ts) AS session_start, max(ts) AS last_ts,
-               CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 6) AS total_value
-        FROM s GROUP BY user_id, sess
-    ), sess AS (
-        SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM g
-    ), wmf AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
-    SELECT user_id, session_start, last_ts + INTERVAL 30 MINUTE AS session_end,
-           n_events, total_value
-    FROM sess
-    WHERE NOT (sess = last_sess AND last_ts + INTERVAL 30 MINUTE > (SELECT w FROM wmf))
-    """,
+@query("stateful_session_timeout",
+    _ORACLES["stateful_session_timeout"],
     "§2.8 custom stateful operator with EventTimeTimeout: sessions close on watermark expiry, emit exactly once",
 )
 def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3638,29 +2303,8 @@ def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ingest_pages_datasource",
-    """
-    SELECT series_id,
-           CAST(d AS DATE) AS observation_date,
-           v AS value_raw,
-           TRY_CAST(v AS DOUBLE) AS value,
-           page
-    FROM (VALUES
-        ('GDP', '2020-01-01', '21481.367', 0),
-        ('GDP', '2020-04-01', '19477.444', 0),
-        ('GDP', '2020-07-01', '.',         0),
-        ('GDP', '2020-10-01', '21494.731', 1),
-        ('GDP', '2021-01-01', '22313.85',  1),
-        ('GDP', '2021-04-01', '23046.934', 1),
-        ('GDP', '2021-07-01', '23550.42',  2),
-        ('GDP', '2021-10-01', '.',         2),
-        ('GDP', '2022-01-01', '24740.48',  2),
-        ('GDP', '2022-04-01', '25248.476', 3),
-        ('GDP', '2022-07-01', '25723.941', 3),
-        ('GDP', '2022-10-01', '26137.992', 3)
-    ) AS t(series_id, d, v, page)
-    """,
+@query("ingest_pages_datasource",
+    _ORACLES["ingest_pages_datasource"],
     "S1-S3 via the Spark 4 Python Data Source API: partition-per-page executor-side parse (engine-native form of README.md:327-369's driver loop)",
 )
 def q_ingest_pages_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3678,17 +2322,8 @@ def q_ingest_pages_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("fred_pages").option("path", pages_dir).load()
 
 
-@query(
-    "variant_event_payloads",
-    """
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(sum(value), 6) AS total_value,
-           CAST(max(len(CAST(event_type AS VARCHAR)) + 2) AS INT) AS max_tag_len
-    FROM events
-    GROUP BY event_type
-    """,
+@query("variant_event_payloads",
+    _ORACLES["variant_event_payloads"],
     "S3 modernized: Spark 4 VARIANT semi-structured ingest — parse_json -> variant_get typed extraction, no schema inference pass",
 )
 def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3733,28 +2368,8 @@ def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivfpq_topk",
-    f"""
-    WITH ix AS (SELECT * FROM '{_AUX_DIR}/pq_index/*.parquet'),
-    pr AS (SELECT * FROM '{_AUX_DIR}/ivfpq_probes/*.parquet'),
-    lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
-    adc AS (
-        SELECT pr.query_id, ix.id AS neighbor_id,
-               round(sum(lut.d2), 6) AS adc_dist
-        FROM ix
-        JOIN pr USING (cell)
-        JOIN lut ON lut.query_id = pr.query_id
-               AND lut.m = ix.m AND lut.code = ix.code
-        WHERE ix.id <> pr.query_id
-        GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, adc_dist,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY adc_dist, neighbor_id) AS rank
-    FROM adc
-    QUALIFY rank <= 10
-    """,
+@query("ann_ivfpq_topk",
+    _ORACLES["ann_ivfpq_topk"],
     "X3 similarity search at scale: IVF-PQ ANN (product quantization + asymmetric-distance LUT scoring; persisted-index oracle)",
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3792,28 +2407,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "heavy_hitters_cms",
-    f"""
-    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements/*.parquet'),
-    tc AS (
-        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
-        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
-        GROUP BY token
-    ),
-    cellcnt AS (
-        SELECT d, col, sum(exact_count) AS cell_cnt
-        FROM tc JOIN cells USING (token) GROUP BY d, col
-    ),
-    est AS (
-        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
-        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
-    ),
-    tot AS (SELECT sum(exact_count) AS t FROM tc)
-    SELECT e.token, e.est_count, tc.exact_count
-    FROM est e JOIN tc USING (token), tot
-    WHERE e.est_count >= tot.t / 50.0
-    """,
+@query("heavy_hitters_cms",
+    _ORACLES["heavy_hitters_cms"],
     "X4 heavy hitters via Count-Min Sketch: fixed-size mergeable counter grid, min-estimate thresholding (persisted-placement oracle)",
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3847,16 +2442,8 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_grouping_sets",
-    """
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, value FROM events)
-    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
-    """,
+@query("event_grouping_sets",
+    _ORACLES["event_grouping_sets"],
     "§2.6 GROUPING SETS: explicit multi-granularity aggregate (beyond CUBE/ROLLUP — arbitrary set list, one shuffle)",
 )
 def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3888,22 +2475,8 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lineitem_unpivot_metrics",
-    """
-    SELECT metric,
-           CAST(count(*) AS BIGINT) AS n,
-           round(avg(val), 6) AS avg_val,
-           round(min(val), 6) AS min_val,
-           round(max(val), 6) AS max_val
-    FROM (
-        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
-        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
-        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
-        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
-    )
-    GROUP BY metric
-    """,
+@query("lineitem_unpivot_metrics",
+    _ORACLES["lineitem_unpivot_metrics"],
     "§2.6 UNPIVOT/melt: wide measures -> long (metric, value) without N scans",
 )
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3922,21 +2495,8 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_upsample_epochs",
-    f"""
-    WITH w AS (
-        SELECT * FROM (VALUES ('en', 2, 128), ('de', 1, 0), ('es', 1, 128),
-                              ('fr', 0, 128), ('zh', 0, 64)) t(lang, base, thresh)
-    ),
-    n AS (
-        SELECT doc_id, d.lang,
-               base + CASE WHEN {_b256("upsample")} < thresh THEN 1 ELSE 0 END AS n_copies
-        FROM documents d JOIN w USING (lang)
-    )
-    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
-    FROM n WHERE n_copies > 0
-    """,
+@query("corpus_upsample_epochs",
+    _ORACLES["corpus_upsample_epochs"],
     "X-pipeline epoch-weighted mixture upsampling: deterministic replication (en x2.5, es x1.5, de x1, fr x0.5, zh x0.25)",
 )
 def q_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3954,17 +2514,8 @@ def q_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
 
 
-@query(
-    "quality_percentile_filter",
-    """
-    WITH r AS (
-        SELECT doc_id, lang, n_chars,
-               round(percent_rank() OVER (PARTITION BY lang
-                                          ORDER BY n_chars, doc_id), 6) AS pr
-        FROM documents
-    )
-    SELECT doc_id, lang, n_chars, pr FROM r WHERE pr >= 0.5
-    """,
+@query("quality_percentile_filter",
+    _ORACLES["quality_percentile_filter"],
     "X4 per-domain quality calibration: rank-normalize a quality proxy within language, keep the top half (percent_rank window)",
 )
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3986,17 +2537,8 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stratified_reservoir_sample",
-    f"""
-    WITH r AS (
-        SELECT doc_id, lang,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY {_md5_key("reservoir")}, doc_id) AS rn
-        FROM documents
-    )
-    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM r WHERE rn <= 20
-    """,
+@query("stratified_reservoir_sample",
+    _ORACLES["stratified_reservoir_sample"],
     "X-pipeline stratified exact-k sample: min(k, n) docs per stratum in deterministic salted-hash order (WindowGroupLimit, no global sort)",
 )
 def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,26 +2562,8 @@ def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "profile_documents_table",
-    """
-    SELECT 'doc_id' AS column_name,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(doc_id) AS BIGINT) AS n_non_null,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-           CAST(min(doc_id) AS VARCHAR) AS min_val,
-           CAST(max(doc_id) AS VARCHAR) AS max_val
-    FROM documents
-    UNION ALL
-    SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
-           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
-    UNION ALL
-    SELECT 'source', count(*), count(source), count(DISTINCT source),
-           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
-    UNION ALL
-    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
-           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
-    """,
+@query("profile_documents_table",
+    _ORACLES["profile_documents_table"],
     "O-tier data-quality profiling: per-column null/distinct/min/max summary in one pass",
 )
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4075,28 +2599,8 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked
 
 
-@query(
-    "streaming_heavy_hitters",
-    f"""
-    WITH cells AS (SELECT * FROM '{_AUX_DIR}/cms_placements_stream/*.parquet'),
-    tc AS (
-        SELECT token, CAST(count(*) AS BIGINT) AS exact_count
-        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
-        GROUP BY token
-    ),
-    cellcnt AS (
-        SELECT d, col, sum(exact_count) AS cell_cnt
-        FROM tc JOIN cells USING (token) GROUP BY d, col
-    ),
-    est AS (
-        SELECT token, CAST(min(cell_cnt) AS BIGINT) AS est_count
-        FROM cells JOIN cellcnt USING (d, col) GROUP BY token
-    ),
-    tot AS (SELECT sum(exact_count) AS t FROM tc)
-    SELECT e.token, e.est_count, tc.exact_count
-    FROM est e JOIN tc USING (token), tot
-    WHERE e.est_count >= tot.t / 50.0
-    """,
+@query("streaming_heavy_hitters",
+    _ORACLES["streaming_heavy_hitters"],
     "§2.8 x X4 streaming sketch maintenance: CMS folded cell-wise across micro-batches must equal the one-shot batch sketch",
 )
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4150,19 +2654,8 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "label_time_to_next_purchase",
-    """
-    WITH p AS (
-        SELECT user_id, ts, min(event_id) AS next_event_id
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-    )
-    SELECT v.user_id, v.event_id, v.ts,
-           p.ts AS ts_r, p.next_event_id AS next_event_id_r,
-           epoch_us(p.ts) - epoch_us(v.ts) AS usecs_to_purchase
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
-    """,
+@query("label_time_to_next_purchase",
+    _ORACLES["label_time_to_next_purchase"],
     "custom operator: FORWARD strict as-of join — time-to-next-event label generation (DuckDB forward ASOF oracle)",
 )
 def q_label_time_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4194,22 +2687,8 @@ def q_label_time_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_7day_distinct_users",
-    """
-    WITH ud AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-    ),
-    days AS (SELECT DISTINCT day FROM ud),
-    cover AS (
-        SELECT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
-                                                    INTERVAL 1 DAY)) AS DATE) AS day
-        FROM ud
-    )
-    SELECT d.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
-    FROM cover c JOIN days d USING (day)
-    GROUP BY d.day
-    """,
+@query("rolling_7day_distinct_users",
+    _ORACLES["rolling_7day_distinct_users"],
     "§2.5 rolling distinct: trailing-7-day unique users per day — explode-to-covered-days form (COUNT(DISTINCT) OVER RANGE is inexpressible as a window)",
 )
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4235,19 +2714,8 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "per_lang_token_length_regression",
-    f"""
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           round(regr_slope(n_toks, n_chars), 6) AS slope,
-           round(regr_intercept(n_toks, n_chars), 6) AS intercept,
-           round(regr_r2(n_toks, n_chars), 6) AS r2
-    FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars,
-                 CAST(len({_TOKS}) AS DOUBLE) AS n_toks
-          FROM documents)
-    GROUP BY lang
-    """,
+@query("per_lang_token_length_regression",
+    _ORACLES["per_lang_token_length_regression"],
     "A-tier per-group model fit: OLS token-count ~ char-count per language via regr_* aggregates (tokens-per-char varies by language)",
 )
 def q_per_lang_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4271,43 +2739,8 @@ def q_per_lang_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mixture_rebalance_to_target",
-    f"""
-    WITH tgt AS (
-        SELECT * FROM (VALUES ('en', 0.40), ('de', 0.15), ('es', 0.15),
-                              ('fr', 0.15), ('zh', 0.15)) t(lang, target_share)
-    ),
-    cur AS (
-        SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS chars FROM documents GROUP BY lang
-    ),
-    tot AS (SELECT sum(chars) AS t FROM cur),
-    w AS (
-        SELECT c.lang, tgt.target_share,
-               c.chars / tot.t AS before_share,
-               tgt.target_share / (c.chars / tot.t) AS wt
-        FROM cur c JOIN tgt USING (lang), tot
-    ),
-    wq AS (
-        SELECT lang, target_share, before_share,
-               CAST(floor(wt) AS BIGINT) AS base,
-               CAST(floor((wt - floor(wt)) * 256 + 0.5) AS BIGINT) AS thresh
-        FROM w
-    ),
-    per_doc AS (
-        SELECT d.lang, wq.target_share, wq.before_share,
-               d.n_chars * (wq.base + CASE WHEN {_b256("rebalance")} < wq.thresh
-                                           THEN 1 ELSE 0 END) AS eff_chars
-        FROM documents d JOIN wq USING (lang)
-    ),
-    after_tot AS (SELECT sum(eff_chars) AS t FROM per_doc)
-    SELECT p.lang,
-           round(any_value(p.before_share), 6) AS before_share,
-           any_value(p.target_share) AS target_share,
-           round(sum(p.eff_chars) / any_value(a.t), 6) AS after_share
-    FROM per_doc p, after_tot a
-    GROUP BY p.lang
-    """,
+@query("mixture_rebalance_to_target",
+    _ORACLES["mixture_rebalance_to_target"],
     "X-pipeline mixture rebalancing: solve per-domain weights toward a target token distribution, apply deterministic replication, report achieved shares",
 )
 def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4331,42 +2764,8 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_rebalance_to_targets(docs, tgt)
 
 
-@query(
-    "length_bucketed_batching",
-    f"""
-    WITH d AS (
-        SELECT doc_id, n_chars,
-               CAST({_b256("batchshard")} AS INT) % 8 AS shard,
-               {_md5_key("batcharrival")} AS arrival
-        FROM documents
-    ),
-    arr AS (
-        SELECT shard, n_chars,
-               CAST(floor((row_number() OVER (PARTITION BY shard
-                                              ORDER BY arrival, doc_id) - 1) / 32)
-                    AS BIGINT) AS batch_id
-        FROM d
-    ),
-    srt AS (
-        SELECT shard, n_chars,
-               CAST(floor((row_number() OVER (PARTITION BY shard
-                                              ORDER BY n_chars, doc_id) - 1) / 32)
-                    AS BIGINT) AS batch_id
-        FROM d
-    ),
-    wa AS (
-        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
-            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
-            FROM arr) GROUP BY shard
-    ),
-    ws AS (
-        SELECT shard, CAST(sum(mx - n_chars) AS BIGINT) AS waste FROM (
-            SELECT shard, n_chars, max(n_chars) OVER (PARTITION BY shard, batch_id) AS mx
-            FROM srt) GROUP BY shard
-    )
-    SELECT wa.shard, wa.waste AS padding_arrival, ws.waste AS padding_sorted
-    FROM wa JOIN ws USING (shard)
-    """,
+@query("length_bucketed_batching",
+    _ORACLES["length_bucketed_batching"],
     "X-pipeline length-bucketed batching: per-shard sorted batches vs arrival batches, padding waste accounted exactly",
 )
 def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4408,16 +2807,8 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wa.join(ws, "shard")
 
 
-@query(
-    "user_value_ema",
-    """
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
-                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ema_final
-    FROM events
-    GROUP BY user_id
-    """,
+@query("user_value_ema",
+    _ORACLES["user_value_ema"],
     "custom per-key sequential operator: recursive EMA via grouped-map applyInPandas (inexpressible as a window aggregate)",
 )
 def q_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4436,16 +2827,8 @@ def q_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rollup_cascade_monthly",
-    """
-    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
+@query("rollup_cascade_monthly",
+    _ORACLES["rollup_cascade_monthly"],
     "S9/A1 rollup cascade: month derived from day derived from hour — additive aggregates re-aggregate losslessly (oracle computes month from raw)",
 )
 def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4474,15 +2857,8 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bitmap_distinct_rollup",
-    """
-    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
-           event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-    FROM events
-    GROUP BY 1, 2
-    """,
+@query("bitmap_distinct_rollup",
+    _ORACLES["bitmap_distinct_rollup"],
     "A-tier mergeable EXACT distinct: daily bitmap sketches OR-merged to month (oracle counts distinct from raw — proves the merge is lossless)",
 )
 def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4501,22 +2877,8 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grain", "month")
 
 
-@query(
-    "hll_distinct_rollup",
-    f"""
-    WITH est AS (SELECT * FROM '{_AUX_DIR}/hll_monthly_est/*.parquet'),
-    exact AS (
-        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
-               event_type,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
-        FROM events
-        GROUP BY 1, 2
-    )
-    SELECT e.month, e.event_type, e.n_distinct_est, x.n_distinct_exact,
-           CAST(abs(CAST(e.n_distinct_est AS DOUBLE) - x.n_distinct_exact)
-                / x.n_distinct_exact <= 0.05 AS BOOLEAN) AS within_5pct
-    FROM est e JOIN exact x USING (month, event_type)
-    """,
+@query("hll_distinct_rollup",
+    _ORACLES["hll_distinct_rollup"],
     "A-tier mergeable APPROX distinct: daily Datasketches-HLL union-merged to month, estimate vs exact with error bound",
 )
 def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4551,7 +2913,6 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _run_staged_interval_join(spark, sf_dir, how):
     """Thin binding over ``streaming.joins.replay_interval_join`` (the
     chronological staging + replay lifecycle lives there)."""
@@ -4560,16 +2921,8 @@ def _run_staged_interval_join(spark, sf_dir, how):
     return replay_interval_join(spark, _t(spark, sf_dir, "events"), how)
 
 
-@query(
-    "streaming_view_purchase_join",
-    """
-    SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON p.user_id = v.user_id
-     AND p.ts > v.ts
-     AND p.ts <= v.ts + INTERVAL 1 DAY
-    """,
+@query("streaming_view_purchase_join",
+    _ORACLES["streaming_view_purchase_join"],
     "§2.8 stream-stream interval join: two watermarked file streams, equality key + event-time range, bounded state, append sink",
 )
 def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4641,8 +2994,7 @@ def _pagerank_oracle() -> str:
     return pagerank_oracle_sql(_copurchase_edges_sql(), damping=0.85, iters=8)
 
 
-@query(
-    "part_copurchase_pagerank",
+@query("part_copurchase_pagerank",
     _pagerank_oracle(),
     "X-tier iterative graph: PageRank power iteration as join+agg per round (oracle = same iteration unrolled as chained CTEs)",
 )
@@ -4666,30 +3018,8 @@ def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_zscore_anomalies",
-    """
-    WITH daily AS (
-        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(value), 4) AS value
-        FROM events GROUP BY 1, 2
-    ),
-    w AS (
-        SELECT event_type, day, value,
-               avg(value)         OVER win AS mu,
-               stddev_samp(value) OVER win AS sigma,
-               count(*)           OVER win AS n_prior
-        FROM daily
-        WINDOW win AS (PARTITION BY event_type ORDER BY day
-                       ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, day, value,
-           CASE WHEN n_prior >= 7 AND sigma > 0
-                THEN round((value - mu) / sigma, 4) END AS zscore,
-           CAST(n_prior >= 7 AND sigma > 0
-                AND abs((value - mu) / sigma) > 2.5 AS BOOLEAN) AS is_anomaly
-    FROM w
-    """,
+@query("rolling_zscore_anomalies",
+    _ORACLES["rolling_zscore_anomalies"],
     "§2.5 windowed anomaly detection: trailing 14-day z-score per series, warm-up + zero-variance guards",
 )
 def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4727,54 +3057,8 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "indicator_linear_interpolation",
-    """
-    WITH daily AS (
-        -- integer-scaled exact mean (values are 2dp): immune to
-        -- aggregation-order rounding ties
-        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(CAST(round(value * 100) AS BIGINT))
-                     / (100.0 * count(*)), 4) AS value
-        FROM events GROUP BY 1, 2
-    ),
-    observed AS (  -- simulated sensor dropout: day-of-month % 3 = 0 missing
-        SELECT * FROM daily WHERE extract(day FROM day) % 3 <> 0
-    ),
-    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-    spine AS (
-        SELECT t.event_type, s.day
-        FROM (SELECT DISTINCT event_type FROM daily) t
-        CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-                    FROM bounds) s
-    ),
-    j AS (
-        SELECT s.event_type, s.day, o.value,
-               CASE WHEN o.value IS NOT NULL THEN s.day END AS day_known
-        FROM spine s LEFT JOIN observed o USING (event_type, day)
-    ),
-    n AS (
-        SELECT event_type, day, value,
-               last_value(value IGNORE NULLS) OVER wp AS prev_v,
-               last_value(day_known IGNORE NULLS) OVER wp AS prev_d,
-               first_value(value IGNORE NULLS) OVER wf AS next_v,
-               first_value(day_known IGNORE NULLS) OVER wf AS next_d
-        FROM j
-        WINDOW wp AS (PARTITION BY event_type ORDER BY day
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               wf AS (PARTITION BY event_type ORDER BY day
-                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT event_type, day,
-           round(CASE
-               WHEN value IS NOT NULL THEN value
-               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
-                   prev_v + (next_v - prev_v)
-                   * (day - prev_d) / (next_d - prev_d)
-               END, 4) AS filled_value,
-           CAST(value IS NULL AS BOOLEAN) AS was_interpolated
-    FROM n
-    """,
+@query("indicator_linear_interpolation",
+    _ORACLES["indicator_linear_interpolation"],
     "§2.5 time-weighted linear interpolation over a gap-filled spine (IGNORE NULLS neighbor scan, boundary gaps stay NULL)",
 )
 def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4805,42 +3089,8 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     return linear_interpolate_daily(observed, daily, ["event_type"])
 
 
-@query(
-    "random_projection_topk",
-    f"""
-    WITH m AS (SELECT * FROM '{_AUX_DIR}/rp_matrix/*.parquet'),
-    e AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               unnest(embedding) AS v
-        FROM embeddings
-    ),
-    p AS (
-        SELECT e.vec_id, m.j, sum(CAST(e.v AS DOUBLE) * m.w) AS p
-        FROM e JOIN m ON m.i = e.i
-        GROUP BY 1, 2
-    ),
-    nrm AS (SELECT vec_id, sqrt(sum(p * p)) AS nr FROM p GROUP BY 1),
-    pairs AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.p * b.p) AS dp
-        FROM p a JOIN p b ON a.j = b.j AND a.vec_id <> b.vec_id
-        WHERE a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
-        GROUP BY 1, 2
-    ),
-    scored AS (
-        SELECT query_id, neighbor_id,
-               round(dp / nullif(na.nr * nb.nr, 0), 4) AS score
-        FROM pairs
-        JOIN nrm na ON na.vec_id = query_id
-        JOIN nrm nb ON nb.vec_id = neighbor_id
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, score,
-               CAST(row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
-        FROM scored
-    )
-    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
-    """,
+@query("random_projection_topk",
+    _ORACLES["random_projection_topk"],
     "X3 JL random-projection ANN: Arrow matmul 64->32 dims, exact top-k in projected space (oracle recomputes the projection from the shared matrix)",
 )
 def q_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4875,26 +3125,8 @@ def q_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection_topk(projected, list(range(10)), k=5)
 
 
-@query(
-    "histogram_quantile_rollup",
-    """
-    WITH d AS (
-        SELECT CAST(date_trunc('month', ts) AS DATE) AS grain, event_type,
-               CAST(least(greatest(floor(value / 4.0), 0), 255) AS INT) AS bin,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2, 3
-    ),
-    cum AS (
-        SELECT grain, event_type, bin, cnt,
-               sum(cnt) OVER (PARTITION BY grain, event_type ORDER BY bin) AS cum,
-               sum(cnt) OVER (PARTITION BY grain, event_type) AS total
-        FROM d
-    )
-    SELECT grain, event_type, p,
-           round(bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt, 4) AS est
-    FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p)
-    WHERE cum >= p * total AND cum - cnt < p * total
-    """,
+@query("histogram_quantile_rollup",
+    _ORACLES["histogram_quantile_rollup"],
     "A-tier mergeable quantile sketch: daily fixed-bin histograms summed to month, interpolated p50/p90/p99 (oracle builds the month histogram from raw — merge proven lossless)",
 )
 def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4920,23 +3152,8 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(monthly)
 
 
-@query(
-    "cdc_changelog_apply",
-    """
-    WITH c AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-               value
-        FROM events
-    ),
-    r AS (
-        SELECT *, row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id) AS rn
-        FROM c
-    )
-    SELECT user_id, ts AS updated_at, round(value, 6) AS value
-    FROM r WHERE rn = 1 AND op = 'U'
-    """,
+@query("cdc_changelog_apply",
+    _ORACLES["cdc_changelog_apply"],
     "§2.8 x O5 CDC changelog apply: upsert/DELETE stream folded via foreachBatch with tombstone retention, compacted on read",
 )
 def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4979,62 +3196,8 @@ def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """round(greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0), 6)
-                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0), 6),
-                       1.0))), 4)"""
-
-
-@query(
-    "corpus_training_pipeline",
-    f"""
-    WITH scored AS (
-        SELECT doc_id, lang, text, {_QUALITY_SQL} AS quality,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM documents
-    ),
-    deduped AS (
-        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM scored WHERE quality >= 0.3
-    ),
-    surv AS (
-        SELECT doc_id, lang, text, quality, {_b256("decon")} AS bdecon
-        FROM deduped WHERE rn = 1
-    ),
-    t AS (SELECT doc_id, bdecon, {_TOKS} AS toks FROM surv),
-    grams AS (
-        SELECT doc_id, bdecon,
-               unnest(list_transform(generate_series(1, len(toks)-3),
-                                     i -> array_to_string(toks[i:i+3], ' '))) AS gram
-        FROM t WHERE len(toks) >= 4
-    ),
-    bench AS (SELECT DISTINCT gram FROM grams WHERE bdecon < 13),
-    contaminated AS (
-        SELECT DISTINCT doc_id FROM grams
-        WHERE bdecon >= 13 AND gram IN (SELECT gram FROM bench)
-    ),
-    clean AS (
-        SELECT s.*, len({_TOKS}) AS n_toks FROM surv s
-        WHERE bdecon >= 13
-          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-    ),
-    sp AS (
-        SELECT *, CASE WHEN {_b256("split")} < 0.8 * 256.0 THEN 'train'
-                       WHEN {_b256("split")} < 0.9 * 256.0 THEN 'val'
-                       ELSE 'test' END AS split
-        FROM clean
-    )
-    SELECT split, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-           round(sum(CAST(round(quality * 10000) AS BIGINT))
-                 / (10000.0 * count(*)), 6) AS avg_quality
-    FROM sp GROUP BY 1, 2
-    """,
+@query("corpus_training_pipeline",
+    _ORACLES["corpus_training_pipeline"],
     "X-pipeline flagship composition: quality gate -> exact dedup -> 4-gram decontamination -> leak-free split -> per-split stats, one Catalyst plan",
 )
 def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5084,40 +3247,8 @@ def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "entity_resolution_blocked",
-    """
-    WITH corrupted AS (
-        SELECT c_custkey AS query_id,
-               concat(substr(c_name, 1, 9 + (c_custkey % 4)),
-                      substr(c_name, 11 + (c_custkey % 4), 18)) AS q_name
-        FROM customer
-    ),
-    qk AS (
-        SELECT query_id, q_name, 'tail' AS blk, right(q_name, 4) AS key FROM corrupted
-    ),
-    rk AS (
-        SELECT c_custkey AS ref_id, c_name AS r_name, 'tail' AS blk,
-               right(c_name, 4) AS key FROM customer
-    ),
-    cand AS (
-        SELECT DISTINCT q.query_id, q.q_name, r.ref_id, r.r_name
-        FROM qk q JOIN rk r ON q.blk = r.blk AND q.key = r.key
-    ),
-    scored AS (
-        SELECT query_id, ref_id, levenshtein(q_name, r_name) AS distance
-        FROM cand
-    ),
-    ranked AS (
-        SELECT query_id, ref_id AS matched_id, distance,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY distance, ref_id) AS rn
-        FROM scored WHERE distance <= 2
-    )
-    SELECT query_id, matched_id, distance,
-           CAST(query_id = matched_id AS BOOLEAN) AS correct
-    FROM ranked WHERE rn = 1
-    """,
+@query("entity_resolution_blocked",
+    _ORACLES["entity_resolution_blocked"],
     "X-tier entity resolution: recall-complete multi-key blocking + Levenshtein verify + deterministic winner (no all-pairs join)",
 )
 def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5163,21 +3294,8 @@ def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_transition_matrix",
-    """
-    WITH s AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events
-    )
-    SELECT event_type AS cur, next_type AS nxt,
-           CAST(count(*) AS BIGINT) AS n,
-           round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
-    FROM s WHERE next_type IS NOT NULL
-    GROUP BY 1, 2
-    """,
+@query("event_transition_matrix",
+    _ORACLES["event_transition_matrix"],
     "§2.5 sequence modeling: first-order Markov transition matrix over per-user event streams (lead window + conditional frequencies)",
 )
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5203,29 +3321,8 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "copurchase_association_rules",
-    f"""
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets),
-    item AS (SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY 1),
-    pairs AS (
-        SELECT src AS item_a, dst AS item_b, n_orders AS n_ab
-        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
-    )
-    SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
-           round(n_ab / n.n_orders, 6) AS support,
-           round(n_ab / ia.n_item, 6) AS conf_a_to_b,
-           round(n_ab / ib.n_item, 6) AS conf_b_to_a,
-           round(n_ab * n.n_orders / (ia.n_item * ib.n_item), 4) AS lift
-    FROM pairs
-    JOIN item ia ON ia.l_partkey = item_a
-    JOIN item ib ON ib.l_partkey = item_b
-    CROSS JOIN n
-    WHERE n_ab >= 2
-    """,
+@query("copurchase_association_rules",
+    _ORACLES["copurchase_association_rules"],
     "A/X-tier market-basket association rules: pair support / directional confidence / lift over order baskets (ordered pair join bounds the pair space)",
 )
 def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5272,31 +3369,8 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "streaming_left_outer_interval_join",
-    """
-    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
-    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-    wm AS (
-        SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
-               - INTERVAL 2 DAY AS w
-    ),
-    inner_part AS (
-        SELECT v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
-        FROM v JOIN p ON p.user_id = v.user_id
-         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
-    ),
-    unmatched AS (
-        SELECT v.user_id, v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
-        FROM v
-        WHERE NOT EXISTS (
-            SELECT 1 FROM p WHERE p.user_id = v.user_id
-              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 DAY
-        )
-        AND v.ts + INTERVAL 1 DAY < (SELECT w FROM wm)
-    )
-    SELECT * FROM inner_part UNION ALL SELECT * FROM unmatched
-    """,
+@query("streaming_left_outer_interval_join",
+    _ORACLES["streaming_left_outer_interval_join"],
     "§2.8 stream-stream LEFT OUTER interval join: inner matches emit on arrival, NULL pads emit only at watermark expiry, open-window rows emit nothing",
 )
 def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5312,52 +3386,8 @@ def q_streaming_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> Da
     return _run_staged_interval_join(spark, sf_dir, "leftOuter")
 
 
-_TRIANGLE_CTES = f"""
-    e AS (
-        SELECT src AS x, dst AS y
-        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
-    ),
-    deg AS (
-        SELECT id, count(*) AS deg FROM (
-            SELECT x AS id FROM e UNION ALL SELECT y FROM e
-        ) GROUP BY 1
-    ),
-    oriented AS (
-        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
-                    THEN e.x ELSE e.y END AS src,
-               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
-                    THEN e.y ELSE e.x END AS dst
-        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
-    ),
-    wedges AS (
-        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
-    ),
-    closing AS (
-        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
-    ),
-    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w)),
-    tri_counts AS (
-        SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
-            SELECT u AS id FROM tri
-            UNION ALL SELECT v FROM tri
-            UNION ALL SELECT w FROM tri
-        ) GROUP BY 1
-    )
-"""
-
-
-@query(
-    "copurchase_clustering_coefficient",
-    f"""
-    WITH {_TRIANGLE_CTES}
-    SELECT d.id,
-           d.deg AS degree,
-           coalesce(t.n_triangles, 0) AS n_triangles,
-           round(coalesce(t.n_triangles, 0)
-                 / nullif(d.deg * (d.deg - 1) / 2.0, 0), 6) AS clustering_coeff
-    FROM deg d LEFT JOIN tri_counts t ON t.id = d.id
-    """,
+@query("copurchase_clustering_coefficient",
+    _ORACLES["copurchase_clustering_coefficient"],
     "X-tier graph: local clustering coefficient = triangles / C(degree,2) per node (composes triangle counting + degrees)",
 )
 def q_copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5394,39 +3424,8 @@ def q_copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
-@query(
-    "copurchase_triangle_counts",
-    f"""
-    WITH e AS (
-        SELECT src AS x, dst AS y
-        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
-    ),
-    deg AS (
-        SELECT id, count(*) AS deg FROM (
-            SELECT x AS id FROM e UNION ALL SELECT y FROM e
-        ) GROUP BY 1
-    ),
-    oriented AS (
-        SELECT CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
-                    THEN e.x ELSE e.y END AS src,
-               CASE WHEN dx.deg < dy.deg OR (dx.deg = dy.deg AND e.x < e.y)
-                    THEN e.y ELSE e.x END AS dst
-        FROM e JOIN deg dx ON dx.id = e.x JOIN deg dy ON dy.id = e.y
-    ),
-    wedges AS (
-        SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-        FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst
-    ),
-    closing AS (
-        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
-    ),
-    tri AS (SELECT u, v, w FROM wedges JOIN closing USING (v, w))
-    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
-        SELECT u AS id FROM tri
-        UNION ALL SELECT v FROM tri
-        UNION ALL SELECT w FROM tri
-    ) GROUP BY 1
-    """,
+@query("copurchase_triangle_counts",
+    _ORACLES["copurchase_triangle_counts"],
     "X-tier graph: per-node triangle counts via degree-ordered orientation (wedge space sum d_out^2, hub-proof — no d^2 blowup)",
 )
 def q_copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5448,46 +3447,8 @@ def q_copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
-@query(
-    "dbt_schema_tests",
-    """
-    SELECT 'customer' AS table_name, 'c_custkey' AS column_name, 'unique' AS test_name,
-           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)), 0) AS BIGINT) AS n_failures
-    UNION ALL
-    SELECT 'customer', 'c_custkey', 'not_null',
-           CAST(count_if(c_custkey IS NULL) AS BIGINT) FROM customer
-    UNION ALL
-    SELECT 'orders', 'o_orderkey', 'unique',
-           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
-    UNION ALL
-    SELECT 'orders', 'o_custkey', 'relationships',
-           CAST((SELECT count(*) FROM orders o
-                 WHERE o.o_custkey IS NOT NULL
-                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
-    UNION ALL
-    SELECT 'orders', 'o_orderstatus', 'accepted_values',
-           CAST(count_if(o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
-    FROM orders
-    UNION ALL
-    SELECT 'lineitem', 'l_orderkey', 'relationships',
-           CAST((SELECT count(*) FROM lineitem l
-                 WHERE l.l_orderkey IS NOT NULL
-                   AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
-    UNION ALL
-    SELECT 'lineitem', 'l_returnflag', 'accepted_values',
-           CAST(count_if(l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
-    FROM lineitem
-    UNION ALL
-    SELECT 'events', 'event_id', 'unique',
-           CAST(coalesce((SELECT sum(n) FROM (SELECT count(*) AS n FROM events GROUP BY event_id HAVING count(*) > 1)), 0) AS BIGINT)
-    UNION ALL
-    SELECT 'events', 'user_id', 'not_null',
-           CAST(count_if(user_id IS NULL) AS BIGINT) FROM events
-    UNION ALL
-    SELECT 'documents', 'lang', 'accepted_values',
-           CAST(count_if(lang IS NULL OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')) AS BIGINT)
-    FROM documents
-    """,
+@query("dbt_schema_tests",
+    _ORACLES["dbt_schema_tests"],
     "O-tier dbt-test analog: unique / not_null / relationships / accepted_values compiled to aggregates + broadcast anti-joins",
 )
 def q_dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5533,40 +3494,8 @@ def q_dbt_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite.run(tables)
 
 
-@query(
-    "dedup_incremental_batch",
-    f"""
-    WITH ix AS (SELECT * FROM '{_AUX_DIR}/incr_fp_index/*.parquet'),
-    raw_batch AS (
-        -- genuinely new docs
-        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-        UNION ALL
-        -- corpus resubmissions, re-cased/padded (normalization-equal)
-        SELECT doc_id + 100000, upper(text) || '  '
-        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
-        UNION ALL
-        -- within-batch duplicates of the new docs
-        SELECT doc_id + 200000, text
-        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
-    ),
-    batch AS (
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        FROM raw_batch
-    ),
-    w AS (
-        SELECT b.doc_id, b.fp, ix.owner_id,
-               min(b.doc_id) OVER (PARTITION BY b.fp) AS first_in_batch
-        FROM batch b LEFT JOIN ix ON ix.fp = b.fp
-    )
-    SELECT doc_id,
-           CASE WHEN owner_id IS NOT NULL THEN 'dup_of_corpus'
-                WHEN doc_id > first_in_batch THEN 'dup_in_batch'
-                ELSE 'new' END AS status,
-           CASE WHEN owner_id IS NOT NULL THEN owner_id
-                WHEN doc_id > first_in_batch THEN first_in_batch END AS dup_of
-    FROM w
-    """,
+@query("dedup_incremental_batch",
+    _ORACLES["dedup_incremental_batch"],
     "X1 incremental corpus ingestion: new batch deduped against the PERSISTED fingerprint index — the corpus itself is never rescanned",
 )
 def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5633,8 +3562,7 @@ def _pagerank_weighted_oracle() -> str:
     )
 
 
-@query(
-    "part_copurchase_pagerank_weighted",
+@query("part_copurchase_pagerank_weighted",
     _pagerank_weighted_oracle(),
     "X-tier weighted PageRank: contributions proportional to co-order counts (oracle = unrolled weighted iteration)",
 )
@@ -5679,8 +3607,7 @@ def _bfs_oracle() -> str:
     )
 
 
-@query(
-    "copurchase_bfs_distances",
+@query("copurchase_bfs_distances",
     _bfs_oracle(),
     "X-tier iterative graph: multi-source BFS / reachability (frontier expansion, anti-join settles; oracle = unrolled min-agg CTEs)",
 )
@@ -5705,30 +3632,8 @@ def q_copurchase_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, sources, max_hops=4)
 
 
-@query(
-    "span_dedup_rewrite",
-    """
-    WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-        FROM documents
-    ), c AS (
-        SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-               array_to_string(list_slice(toks, g * 32 + 1, g * 32 + 32), ' ')
-                   AS chunk_text
-        FROM t, unnest(generate_series(0, (len(toks) + 31) // 32 - 1)) AS u(g)
-    ), w AS (
-        SELECT doc_id, chunk_idx, chunk_text,
-               row_number() OVER (PARTITION BY md5(chunk_text)
-                                  ORDER BY doc_id, chunk_idx) AS rn
-        FROM c
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
-                        FILTER (WHERE rn = 1), '') AS clean_text
-    FROM w GROUP BY doc_id
-    """,
+@query("span_dedup_rewrite",
+    _ORACLES["span_dedup_rewrite"],
     "X1/X-pipeline span-level dedup WITH document rewrite: global keep-first over 32-token spans, docs reassembled in span order (Lee-et-al exact-substring scrub, rewrite stage)",
 )
 def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5750,41 +3655,8 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_rewrite(_t(spark, sf_dir, "documents"), span_tokens=32)
 
 
-@query(
-    "winsorized_value_stats",
-    """
-    WITH b AS (
-        SELECT event_type, value,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS rn,
-               count(*) OVER (PARTITION BY event_type) AS cnt
-        FROM events
-    ), bounds AS (
-        SELECT event_type,
-               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.01) AS BIGINT), 1)
-                        THEN value END) AS lo_cut,
-               min(CASE WHEN rn = greatest(CAST(ceil(cnt * 0.99) AS BIGINT), 1)
-                        THEN value END) AS hi_cut
-        FROM b GROUP BY event_type
-    ), c AS (
-        SELECT b.event_type, lo_cut, hi_cut,
-               CAST(round(value * 100) AS BIGINT) AS rawi,
-               CAST(round(least(greatest(value, lo_cut), hi_cut) * 100) AS BIGINT)
-                   AS wini
-        FROM b JOIN bounds USING (event_type)
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           min(lo_cut) AS lo_cut,
-           min(hi_cut) AS hi_cut,
-           round(CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
-           round(CAST(sum(wini) AS DOUBLE) / 100.0 / count(*), 6) AS mean_winsor,
-           round(sqrt(greatest(
-               (CAST(sum(wini * wini) AS DOUBLE)
-                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
-               / 10000.0 / (count(*) - 1), 0.0)), 6) AS sd_winsor
-    FROM c GROUP BY event_type
-    """,
+@query("winsorized_value_stats",
+    _ORACLES["winsorized_value_stats"],
     "A-tier robust stats: nearest-rank winsorization (p01/p99 clip) + integer-scaled exact moments — outlier-robust per-group mean/sd",
 )
 def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5806,35 +3678,8 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_group_stats(ev, "event_type", "value", "event_id")
 
 
-@query(
-    "bm25_search_topk",
-    f"""
-    WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
-    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM lens),
-    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-    postings AS (
-        SELECT doc_id, term, count(*) AS tf FROM toks
-        WHERE term IN ('vector', 'merge', 'stream') GROUP BY 1, 2
-    ),
-    p2 AS (SELECT p.doc_id, p.term, p.tf, l.dl
-           FROM postings p JOIN lens l USING (doc_id)),
-    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
-    scored AS (
-        SELECT p.doc_id,
-               round(sum(
-                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                   * p.tf * (1.2 + 1.0)
-                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
-               ), 6) AS score
-        FROM p2 p JOIN dfreq d USING (term) CROSS JOIN stats s
-        GROUP BY p.doc_id
-    )
-    SELECT doc_id, score,
-           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-    FROM scored ORDER BY score DESC, doc_id LIMIT 10
-    """,
+@query("bm25_search_topk",
+    _ORACLES["bm25_search_topk"],
     "X4 BM25 ranked search (disjunctive): saturating tf + doc-length normalization over the same inverted-index shape as keyword_search_topk",
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5850,17 +3695,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_sliding_window_counts",
-    """
-    SELECT time_bucket(INTERVAL '2 hours', ts) - INTERVAL 2 HOUR * k
-               AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 6) AS total_value
-    FROM events, unnest(generate_series(0, 2)) AS u(k)
-    GROUP BY 1, 2
-    """,
+@query("streaming_sliding_window_counts",
+    _ORACLES["streaming_sliding_window_counts"],
     "§2.8 sliding event-time windows (6h window / 2h slide) on a watermarked stream == per-event 3-window expansion in SQL",
 )
 def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5892,15 +3728,8 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "asof_cogroup_pandas",
-    """
-    SELECT p.user_id, p.event_id, p.ts, p.value,
-           v.ts AS ts_r, v.event_id AS event_id_r, v.value AS value_r
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND v.ts <= p.ts
-    """,
+@query("asof_cogroup_pandas",
+    _ORACLES["asof_cogroup_pandas"],
     "§2.9 cogrouped-map applyInPandas: per-key pandas as-of merge == the window-form asof_join == DuckDB ASOF JOIN",
 )
 def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5929,26 +3758,8 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "target_encode_brand",
-    """
-    WITH lab AS (
-        SELECT p.p_brand,
-               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    ), stats AS (
-        SELECT p_brand,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(y) AS BIGINT) AS pos
-        FROM lab GROUP BY 1
-    ), g AS (
-        SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM lab
-    )
-    SELECT p_brand, n, pos,
-           round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
-           round((pos + 20.0 * prior) / (n + 20.0), 6) AS encoded
-    FROM stats CROSS JOIN g
-    """,
+@query("target_encode_brand",
+    _ORACLES["target_encode_brand"],
     "X-pipeline categorical target encoding: additive-smoothed per-category event rate (shrinks rare categories toward the global prior)",
 )
 def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5982,15 +3793,8 @@ def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_static_dim_join",
-    """
-    SELECT c.c_mktsegment AS segment, e.event_type,
-           count(*) AS n_events,
-           round(sum(e.value), 6) AS total_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY 1, 2
-    """,
+@query("streaming_static_dim_join",
+    _ORACLES["streaming_static_dim_join"],
     "§2.8 stream-static join: micro-batched event stream enriched by a broadcast dimension, then aggregated == batch join",
 )
 def q_streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6029,23 +3833,8 @@ def q_streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "k_anonymity_suppress",
-    """
-    WITH g AS (
-        SELECT c_mktsegment, c_nationkey,
-               CAST(count(*) AS BIGINT) AS grp_n
-        FROM customer GROUP BY 1, 2
-    )
-    SELECT c.c_custkey,
-           CASE WHEN g.grp_n >= 10 THEN c.c_mktsegment END AS segment_anon,
-           CASE WHEN g.grp_n >= 10 THEN c.c_nationkey END AS nation_anon,
-           g.grp_n < 10 AS suppressed,
-           g.grp_n
-    FROM customer c
-    JOIN g ON c.c_mktsegment = g.c_mktsegment
-          AND c.c_nationkey = g.c_nationkey
-    """,
+@query("k_anonymity_suppress",
+    _ORACLES["k_anonymity_suppress"],
     "O-tier data governance: k-anonymity suppression (k=10) over quasi-identifiers — rare (segment, nation) combos nulled before export",
 )
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6071,26 +3860,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_int8_quantize",
-    """
-    WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-        FROM embeddings
-    ), m AS (
-        SELECT vec_id, vd,
-               127.0 / list_max(list_transform(vd, x -> abs(x))) AS scale
-        FROM v
-    )
-    SELECT vec_id,
-           round(scale, 6) AS scale,
-           round(list_max(list_transform(
-               vd, x -> abs(x - round(x * scale) / scale))), 6) AS max_abs_err,
-           CAST(len(list_filter(
-               vd, x -> abs(round(x * scale)) = 127.0)) AS INT) AS n_sat
-    FROM m
-    """,
+@query("embedding_int8_quantize",
+    _ORACLES["embedding_int8_quantize"],
     "X3 vector infra: per-vector symmetric int8 scalar quantization (4x memory cut) with exact reconstruction-error audit — element-wise, no aggregation order anywhere",
 )
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6125,30 +3896,8 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "abc_customer_classification",
-    """
-    WITH r AS (
-        SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                   AS rev_cents
-        FROM orders GROUP BY 1
-    ), t AS (
-        SELECT CAST(sum(rev_cents) AS DOUBLE) AS tot FROM r
-    ), c AS (
-        SELECT o_custkey, rev_cents,
-               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
-                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum
-        FROM r
-    )
-    SELECT o_custkey, rev_cents,
-           round(CAST(cum AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share,
-           CASE WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.80 THEN 'A'
-                WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.95 THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM c
-    """,
+@query("abc_customer_classification",
+    _ORACLES["abc_customer_classification"],
     "A-tier Pareto/ABC analysis: exact global revenue prefix sum with NO single-partition window (distributed_cumsum — the ntile bucket/offset recipe generalized to running totals)",
 )
 def q_abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6192,25 +3941,8 @@ def q_abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "business_days_to_ship",
-    """
-    WITH b AS (
-        SELECT o.o_orderpriority,
-               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
-                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
-               -
-               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
-                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
-                   AS bd
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    )
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_business_days,
-           CAST(max(bd) AS BIGINT) AS max_business_days
-    FROM b GROUP BY 1
-    """,
+@query("business_days_to_ship",
+    _ORACLES["business_days_to_ship"],
     "§2.7 calendar arithmetic: business-day (weekday) distance via closed-form weekday counting — no calendar dimension table needed",
 )
 def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6241,22 +3973,8 @@ def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "event_trigram_paths",
-    """
-    WITH s AS (
-        SELECT user_id, event_type AS e1,
-               lead(event_type, 1) OVER w AS e2,
-               lead(event_type, 2) OVER w AS e3
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), p AS (
-        SELECT e1 || '>' || e2 || '>' || e3 AS path FROM s WHERE e3 IS NOT NULL
-    )
-    SELECT path, CAST(count(*) AS BIGINT) AS n,
-           row_number() OVER (ORDER BY count(*) DESC, path) AS rank
-    FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
-    """,
+@query("event_trigram_paths",
+    _ORACLES["event_trigram_paths"],
     "§2.5 sequential pattern mining: top event trigrams per user journey (double lead window -> count; the 3-step extension of the transition matrix)",
 )
 def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6287,28 +4005,8 @@ def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("path", "n", F.row_number().over(wr).cast("long").alias("rank"))
 
 
-@query(
-    "corpus_token_budget_select",
-    f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    s AS (
-        SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_tok,
-               round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                     / greatest(len(toks), 1), 6) AS ttr
-        FROM d
-    ), t AS (
-        SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget FROM s
-    ), c AS (
-        SELECT doc_id, n_tok, ttr,
-               CAST(sum(n_tok) OVER (ORDER BY ttr DESC, doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_tokens
-        FROM s
-    )
-    SELECT doc_id, n_tok, ttr, cum_tokens
-    FROM c WHERE cum_tokens <= (SELECT budget FROM t)
-    """,
+@query("corpus_token_budget_select",
+    _ORACLES["corpus_token_budget_select"],
     "X-pipeline token-budget curation: best-first (type-token-ratio) selection until a 50% token budget — distributed_cumsum applied to corpus building",
 )
 def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6348,34 +4046,8 @@ def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_bounce_rate",
-    """
-    WITH o AS (
-        SELECT user_id, ts,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sess
-        FROM o
-    ), sessions AS (
-        SELECT user_id, sess,
-               CAST(date_trunc('day', min(ts)) AS DATE) AS day,
-               count(*) AS n_events
-        FROM s GROUP BY user_id, sess
-    )
-    SELECT day,
-           CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_bounce,
-           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS bounce_rate
-    FROM sessions GROUP BY day
-    """,
+@query("session_bounce_rate",
+    _ORACLES["session_bounce_rate"],
     "§2.5/§2.8 product analytics: daily bounce rate (share of single-event gap-sessions) composed from session_window",
 )
 def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6404,51 +4076,8 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "decision_stump_train",
-    """
-    WITH x AS (
-        SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v,
-               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        FROM lineitem
-        UNION ALL
-        SELECT 'discount', CAST(l_discount AS DOUBLE),
-               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
-        FROM lineitem
-    ), g AS (
-        SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
-               CAST(sum(y) AS BIGINT) AS pos_v
-        FROM x GROUP BY 1, 2
-    ), c AS (
-        SELECT feature, v,
-               CAST(sum(n_v) OVER w AS BIGINT) AS nl,
-               CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
-               CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
-               CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
-        FROM g
-        WINDOW w AS (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING)
-    ), s AS (
-        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
-               n, pos
-        FROM c WHERE nl < n
-    ), sc AS (
-        SELECT feature, thr, nl AS n_left, nr AS n_right,
-               round(
-                   (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
-                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
-                   - (CAST(nl AS DOUBLE) / n
-                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
-                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
-                      + CAST(nr AS DOUBLE) / n
-                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-               6) AS gini_gain
-        FROM s
-    )
-    SELECT feature, thr, n_left, n_right, gini_gain,
-           row_number() OVER (ORDER BY gini_gain DESC, feature, thr) AS rank
-    FROM sc ORDER BY gini_gain DESC, feature, thr LIMIT 10
-    """,
+@query("decision_stump_train",
+    _ORACLES["decision_stump_train"],
     "X-tier distributed ML training: depth-1 decision tree (best Gini split) — candidate evaluation via prefix sums over per-value counts, never a per-threshold rescan",
 )
 def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6490,24 +4119,8 @@ def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_key_skew_profile",
-    """
-    WITH k AS (
-        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
-        FROM lineitem GROUP BY 1
-    ), t AS (
-        SELECT CAST(sum(n) AS DOUBLE) AS tot,
-               CAST(count(*) AS BIGINT) AS n_keys
-        FROM k
-    )
-    SELECT key, n,
-           round(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
-           round(CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
-                 / (SELECT tot FROM t), 6) AS skew_factor,
-           row_number() OVER (ORDER BY n DESC, key) AS rank
-    FROM k ORDER BY n DESC, key LIMIT 20
-    """,
+@query("join_key_skew_profile",
+    _ORACLES["join_key_skew_profile"],
     "O-tier skew diagnostics: top-20 join keys by row share + skew factor (n/avg) — the pre-join audit that decides salting vs AQE",
 )
 def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6516,68 +4129,14 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew_factor in the hundreds want salting (operators/scale.py) or
     AQE skew-split; everything here is one map-side-combined aggregate
     plus a 1-row scalar broadcast, with TakeOrderedAndProject doing
-    the top-20."""
-    from pyspark.sql import Window
+    the top-20. Operator: operators.scale.join_key_skew_profile."""
+    from finance_reporting_etl_spark.operators.scale import join_key_skew_profile
 
-    k = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_partkey").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    t = k.agg(
-        F.sum("n").cast("double").alias("__tot"),
-        F.count(F.lit(1)).alias("__n_keys"),
-    )
-    top = (
-        k.crossJoin(F.broadcast(t))
-        .select(
-            "key",
-            "n",
-            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
-            F.round(
-                F.col("n").cast("double") * F.col("__n_keys") / F.col("__tot"), 6
-            ).alias("skew_factor"),
-        )
-        .orderBy(F.desc("n"), "key")
-        .limit(20)
-    )
-    wr = Window.orderBy(F.desc("n"), "key")
-    return top.select(
-        "key", "n", "share", "skew_factor",
-        F.row_number().over(wr).cast("long").alias("rank"),
-    )
+    return join_key_skew_profile(_t(spark, sf_dir, "lineitem"), "l_partkey", k=20)
 
 
-@query(
-    "rolling_correlation_series",
-    """
-    WITH d AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events WHERE event_type IN ('purchase', 'view')
-        GROUP BY 1, 2
-    ), p AS (
-        SELECT a.day, a.cents AS x, b.cents AS y
-        FROM (SELECT day, cents FROM d WHERE event_type = 'purchase') a
-        JOIN (SELECT day, cents FROM d WHERE event_type = 'view') b USING (day)
-    ), w AS (
-        SELECT day,
-               CAST(count(*)   OVER win AS BIGINT) AS n,
-               CAST(sum(x)     OVER win AS BIGINT) AS sx,
-               CAST(sum(y)     OVER win AS BIGINT) AS sy,
-               CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
-               CAST(sum(y * y) OVER win AS BIGINT) AS syy,
-               CAST(sum(x * y) OVER win AS BIGINT) AS sxy
-        FROM p
-        WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    )
-    SELECT day,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
-               AS corr14
-    FROM w WHERE n = 14
-    """,
+@query("rolling_correlation_series",
+    _ORACLES["rolling_correlation_series"],
     "§2.5 time-series analytics: 14-day rolling Pearson correlation between two revenue series — integer-cent moments make every window sum exact",
 )
 def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6610,41 +4169,8 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_pearson(a.join(b, "day"), window_rows=14)
 
 
-@query(
-    "ab_test_conversion_lift",
-    """
-    WITH u AS (
-        SELECT user_id,
-               CASE WHEN CAST((instr('0123456789abcdef',
-                                     substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 1)) - 1) * 16
-                         + (instr('0123456789abcdef',
-                                  substr(md5(CAST(user_id AS VARCHAR) || 'ab1'), 2, 1)) - 1)
-                         AS BIGINT) % 2 = 0
-                    THEN 'A' ELSE 'B' END AS arm,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS converted
-        FROM events GROUP BY 1
-    )
-    SELECT arm,
-           CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(converted) AS BIGINT) AS n_converted,
-           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS rate,
-           round((CAST(sum(converted) AS DOUBLE) / count(*)
-                  + 1.9208 / count(*)
-                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
-                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
-                                / count(*)
-                                + 0.9604 / count(*) / count(*)))
-                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_lo,
-           round((CAST(sum(converted) AS DOUBLE) / count(*)
-                  + 1.9208 / count(*)
-                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
-                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
-                                / count(*)
-                                + 0.9604 / count(*) / count(*)))
-                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_hi
-    FROM u GROUP BY arm
-    """,
+@query("ab_test_conversion_lift",
+    _ORACLES["ab_test_conversion_lift"],
     "A-tier experimentation analytics: deterministic md5 arm assignment + per-arm conversion rate with Wilson 95% interval (exact counts, closed-form floats)",
 )
 def q_ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6684,16 +4210,8 @@ def q_ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "trading_day_rollup",
-    """
-    SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
-                     AS TIMESTAMP) AS DATE) AS trading_day,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-    FROM events GROUP BY 1, 2
-    """,
+@query("trading_day_rollup",
+    _ORACLES["trading_day_rollup"],
     "§2.7 time-zone semantics: exchange-local (America/New_York) trading-day rollup — DST-correct wall-clock bucketing of a UTC event stream",
 )
 def q_trading_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6721,27 +4239,8 @@ def q_trading_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dow_seasonality_index",
-    """
-    WITH d AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1
-    ), k AS (
-        SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
-               CAST(count(*) AS BIGINT) AS n_days,
-               CAST(sum(cents) AS BIGINT) AS cents
-        FROM d GROUP BY 1
-    ), t AS (
-        SELECT CAST(sum(cents) AS DOUBLE) / sum(n_days) AS overall_daily FROM k
-    )
-    SELECT dow, n_days,
-           round(CAST(cents AS DOUBLE) / n_days / 100.0, 6) AS avg_daily_revenue,
-           round((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t),
-                 6) AS seasonality_index
-    FROM k
-    """,
+@query("dow_seasonality_index",
+    _ORACLES["dow_seasonality_index"],
     "§2.5/§2.7 seasonality profile: day-of-week revenue index (dow mean / overall mean) — exact integer cents, single divisions",
 )
 def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6772,34 +4271,8 @@ def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "seed_sla_attainment",
-    """
-    WITH sla AS (
-        SELECT * FROM (VALUES
-            ('1-URGENT', 5), ('2-HIGH', 7), ('3-MEDIUM', 10),
-            ('4-NOT SPECIFIED', 14), ('5-LOW', 21)
-        ) AS v(o_orderpriority, sla_business_days)
-    ), b AS (
-        SELECT o.o_orderpriority, s.sla_business_days,
-               (5 * (date_diff('day', DATE '1970-01-05', l.l_shipdate) // 7)
-                + least(date_diff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
-               -
-               (5 * (date_diff('day', DATE '1970-01-05', o.o_orderdate) // 7)
-                + least(date_diff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
-                   AS bd
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN sla s ON o.o_orderpriority = s.o_orderpriority
-    )
-    SELECT o_orderpriority, sla_business_days,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_met,
-           round(CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS attainment
-    FROM b GROUP BY 1, 2
-    """,
+@query("seed_sla_attainment",
+    _ORACLES["seed_sla_attainment"],
     "S-tier dbt-seed analog: literal in-code dimension (priority -> SLA days) broadcast-joined to facts; SLA attainment via business-day distance",
 )
 def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6845,21 +4318,8 @@ def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "capped_user_balance",
-    """
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                   list(CAST(round(value * 100) AS BIGINT)
-                        * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
-                        ORDER BY ts, event_id)),
-               (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
-               AS final_balance
-    FROM events
-    GROUP BY user_id
-    """,
+@query("capped_user_balance",
+    _ORACLES["capped_user_balance"],
     "custom per-key recursive fold #2: floor-clamped running balance (exact integer fold via grouped-map applyInPandas == DuckDB list_reduce)",
 )
 def q_capped_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6888,28 +4348,8 @@ def q_capped_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clamped_balance_per_key(ev, "user_id", ["ts", "event_id"], "delta")
 
 
-@query(
-    "embedding_outlier_flags",
-    f"""
-    WITH st AS (SELECT * FROM '{_AUX_DIR}/emb_outlier_stats/*.parquet'),
-    v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-        FROM embeddings
-    ), d AS (
-        SELECT v.vec_id,
-               sqrt(list_reduce(
-                   list_prepend(0.0, list_transform(
-                       generate_series(1, len(vd)),
-                       i -> (vd[i] - st.cen[i]) * (vd[i] - st.cen[i]))),
-                   (acc, x) -> acc + x)) AS dist,
-               st.mu AS mu, st.sigma AS sigma
-        FROM v CROSS JOIN st
-    )
-    SELECT vec_id, round(dist, 6) AS dist,
-           dist > mu + 2.0 * sigma AS is_outlier
-    FROM d
-    """,
+@query("embedding_outlier_flags",
+    _ORACLES["embedding_outlier_flags"],
     "X3 embedding quality: distance-to-centroid outlier flags (persisted-stats oracle re-derives every distance + flag; centroid/mu/sigma determinism pinned by pytest)",
 )
 def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6935,28 +4375,8 @@ def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "revenue_bridge_mom",
-    """
-    WITH m AS (
-        SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
-    ), w AS (
-        SELECT event_type, month, n, cents,
-               lag(n)     OVER win AS n0,
-               lag(cents) OVER win AS cents0
-        FROM m WINDOW win AS (PARTITION BY event_type ORDER BY month)
-    )
-    SELECT event_type, month,
-           round(CAST(cents - cents0 AS DOUBLE) / 100.0, 6) AS delta_revenue,
-           round((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0, 6)
-               AS volume_effect,
-           round(n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
-                 / 100.0, 6) AS value_effect
-    FROM w WHERE n0 IS NOT NULL
-    """,
+@query("revenue_bridge_mom",
+    _ORACLES["revenue_bridge_mom"],
     "A-tier finance bridge: month-over-month revenue decomposed into volume x value effects (delta = volume + value exactly, by construction)",
 )
 def q_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6996,36 +4416,8 @@ def q_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "interval_union_coverage",
-    """
-    WITH iv AS (
-        SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM events
-    ), o AS (
-        SELECT user_id, lo, hi,
-               max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS prev_max_hi
-        FROM iv
-    ), g AS (
-        SELECT user_id, lo, hi,
-               CASE WHEN prev_max_hi IS NULL OR lo > prev_max_hi
-                    THEN 1 ELSE 0 END AS is_new
-        FROM o
-    ), s AS (
-        SELECT user_id, lo, hi,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY lo, hi
-                                 ROWS UNBOUNDED PRECEDING) AS grp
-        FROM g
-    ), merged AS (
-        SELECT user_id, grp, min(lo) AS lo, max(hi) AS hi
-        FROM s GROUP BY user_id, grp
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_intervals,
-           CAST(sum(date_diff('second', lo, hi)) AS BIGINT) AS covered_seconds
-    FROM merged GROUP BY user_id
-    """,
+@query("interval_union_coverage",
+    _ORACLES["interval_union_coverage"],
     "§2.5 interval algebra: per-key union of overlapping intervals (sweep-line via running max + island grouping) — total covered time, no self-join",
 )
 def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7053,38 +4445,8 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cohort_ltv_curve",
-    """
-    WITH first_seen AS (
-        SELECT user_id,
-               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
-        FROM events GROUP BY 1
-    ), sizes AS (
-        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
-        FROM first_seen GROUP BY 1
-    ), rev AS (
-        SELECT f.cohort_week,
-               CAST(date_diff('day', f.cohort_week,
-                              CAST(date_trunc('week', e.ts) AS DATE)) // 7
-                    AS BIGINT) AS week_index,
-               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events e
-        JOIN first_seen f ON e.user_id = f.user_id
-        WHERE e.event_type = 'purchase'
-        GROUP BY 1, 2
-    ), cum AS (
-        SELECT cohort_week, week_index,
-               CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_index
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS cum_cents
-        FROM rev
-    )
-    SELECT c.cohort_week, c.week_index, s.cohort_users,
-           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0, 6)
-               AS ltv_per_user
-    FROM cum c JOIN sizes s USING (cohort_week)
-    """,
+@query("cohort_ltv_curve",
+    _ORACLES["cohort_ltv_curve"],
     "§2.5 cohort LTV curves: cumulative purchase revenue per cohort user by weeks-since-first-seen (cohort-partitioned running total)",
 )
 def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7135,26 +4497,8 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "open_orders_backlog_daily",
-    """
-    WITH cl AS (
-        SELECT l_orderkey, max(l_shipdate) AS close_day
-        FROM lineitem GROUP BY 1
-    ), d AS (
-        SELECT o.o_orderdate AS day, 1 AS delta
-        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
-        UNION ALL
-        SELECT cl.close_day, -1
-        FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey
-    ), g AS (
-        SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY 1
-    )
-    SELECT day,
-           CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS open_orders
-    FROM g
-    """,
+@query("open_orders_backlog_daily",
+    _ORACLES["open_orders_backlog_daily"],
     "§2.5 sweep-line backlog: daily count of open orders (+1 at order date, -1 at final ship) — event deltas + running sum over the bounded day spine",
 )
 def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7184,86 +4528,8 @@ def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("day", F.sum("delta").over(w).cast("bigint").alias("open_orders"))
 
 
-def _stump_sql(src: str) -> str:
-    """DuckDB twin of operators.ml.stump_candidates over a melted
-    (feature, v, y) relation ``src``: every candidate split with its
-    Gini gain, identical expression tree to the Spark side."""
-    return f"""
-    SELECT feature, thr, nl AS n_left, nr AS n_right,
-           round(
-               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
-                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
-               - (CAST(nl AS DOUBLE) / n
-                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
-                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
-                  + CAST(nr AS DOUBLE) / n
-                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-           6) AS gini_gain
-    FROM (
-        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
-               n, pos
-        FROM (
-            SELECT feature, v,
-                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
-                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
-                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
-                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
-            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
-                         CAST(sum(y) AS BIGINT) AS pos_v
-                  FROM {src} GROUP BY 1, 2)
-            WINDOW w AS (PARTITION BY feature ORDER BY v
-                         ROWS UNBOUNDED PRECEDING)
-        ) WHERE nl < n
-    )"""
-
-
-def _tree_oracle() -> str:
-    melt = (
-        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
-        "UNION ALL SELECT 'discount', d, y FROM {src}"
-    )
-    return f"""
-    WITH base AS (
-        SELECT CAST(l_quantity AS DOUBLE) AS q,
-               CAST(l_discount AS DOUBLE) AS d,
-               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        FROM lineitem
-    ),
-    mroot AS ({melt.format(src="base")}),
-    root AS (
-        SELECT * FROM ({_stump_sql("mroot")})
-        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
-    ),
-    lb AS (
-        SELECT b.* FROM base b CROSS JOIN root r
-        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) <= r.thr
-    ),
-    rb AS (
-        SELECT b.* FROM base b CROSS JOIN root r
-        WHERE (CASE WHEN r.feature = 'quantity' THEN b.q ELSE b.d END) > r.thr
-    ),
-    ml_ AS ({melt.format(src="lb")}),
-    lbest AS (
-        SELECT * FROM ({_stump_sql("ml_")})
-        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
-    ),
-    mr_ AS ({melt.format(src="rb")}),
-    rbest AS (
-        SELECT * FROM ({_stump_sql("mr_")})
-        QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
-    )
-    SELECT 'root' AS node, feature, thr, n_left, n_right, gini_gain FROM root
-    UNION ALL
-    SELECT 'L', feature, thr, n_left, n_right, gini_gain FROM lbest
-    UNION ALL
-    SELECT 'R', feature, thr, n_left, n_right, gini_gain FROM rbest
-    """
-
-
-@query(
-    "decision_tree_depth2",
-    _tree_oracle(),
+@query("decision_tree_depth2",
+    ml_oracles.depth2_tree_oracle_sql(),
     "X-tier iterative ML training: depth-2 Gini tree — root split, then best split per leaf; the oracle RE-LEARNS the whole tree from scratch in SQL (per-level prefix-sum evaluation, deterministic argmax)",
 )
 def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7288,32 +4554,8 @@ def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "inference_score_calibration",
-    """
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-    scored AS (
-        SELECT label,
-               round(1.0 / (1.0 + exp(-list_dot_product(
-                   v,
-                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
-               ))), 6) AS score
-        FROM e
-    ), b AS (
-        SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
-               CAST(round(score * 1000000) AS BIGINT) AS s_micro,
-               CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
-        FROM scored
-    )
-    SELECT bin,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(y) AS BIGINT) AS n_pos,
-           round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
-               AS mean_conf,
-           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
-    FROM b GROUP BY 1
-    """,
+@query("inference_score_calibration",
+    _ORACLES["inference_score_calibration"],
     "X-pipeline model monitoring: reliability table (confidence bins vs realized positive rate) for the linear-probe scores — micro-int-scaled exact mean confidence",
 )
 def q_inference_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7343,109 +4585,8 @@ def q_inference_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _stump_full_sql(src: str) -> str:
-    """DuckDB stump candidates KEEPING leaf class counts (the SQL twin
-    of operators.ml.best_stump_full before its argmax)."""
-    return f"""
-    SELECT feature, thr, nl, posl, nr, posr,
-           round(
-               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
-                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
-               - (CAST(nl AS DOUBLE) / n
-                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
-                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
-                  + CAST(nr AS DOUBLE) / n
-                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-           6) AS gini_gain
-    FROM (
-        SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
-               n, pos
-        FROM (
-            SELECT feature, v,
-                   CAST(sum(n_v) OVER w AS BIGINT) AS nl,
-                   CAST(sum(pos_v) OVER w AS BIGINT) AS posl,
-                   CAST(sum(n_v) OVER (PARTITION BY feature) AS BIGINT) AS n,
-                   CAST(sum(pos_v) OVER (PARTITION BY feature) AS BIGINT) AS pos
-            FROM (SELECT feature, v, CAST(count(*) AS BIGINT) AS n_v,
-                         CAST(sum(y) AS BIGINT) AS pos_v
-                  FROM {src} GROUP BY 1, 2)
-            WINDOW w AS (PARTITION BY feature ORDER BY v
-                         ROWS UNBOUNDED PRECEDING)
-        ) WHERE nl < n
-    )"""
-
-
-def _bagging_oracle() -> str:
-    b256 = (
-        "CAST((instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
-        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 1, 1)) - 1) * 16"
-        " + (instr('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)"
-        " || '-' || CAST(l_linenumber AS VARCHAR) || 'bag'), 2, 1)) - 1)"
-        " AS BIGINT)"
-    )
-    melt = (
-        "SELECT 'quantity' AS feature, q AS v, y FROM {src} "
-        "UNION ALL SELECT 'discount', d, y FROM {src}"
-    )
-    parts = [
-        f"""WITH base AS (
-        SELECT CAST(l_quantity AS DOUBLE) AS q,
-               CAST(l_discount AS DOUBLE) AS d,
-               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-               {b256} % 3 AS fold
-        FROM lineitem
-    )"""
-    ]
-    for k in range(3):
-        parts.append(f"f{k} AS (SELECT * FROM base WHERE fold = {k})")
-        parts.append(f"m{k}_ AS ({melt.format(src=f'f{k}')})")
-        parts.append(
-            f"""b{k} AS (
-            SELECT * FROM ({_stump_full_sql(f'm{k}_')})
-            QUALIFY row_number() OVER (ORDER BY gini_gain DESC, feature, thr) = 1
-        )"""
-        )
-    pred = lambda k: (  # noqa: E731
-        f"CASE WHEN (CASE WHEN s{k}.feature = 'quantity' THEN b.q ELSE b.d END)"
-        f" <= s{k}.thr"
-        f" THEN CASE WHEN 2 * s{k}.posl > s{k}.nl THEN 1 ELSE 0 END"
-        f" ELSE CASE WHEN 2 * s{k}.posr > s{k}.nr THEN 1 ELSE 0 END END"
-    )
-    parts.append(
-        f"""ev AS (
-        SELECT b.y, {pred(0)} AS p0, {pred(1)} AS p1, {pred(2)} AS p2
-        FROM base b CROSS JOIN b0 s0 CROSS JOIN b1 s1 CROSS JOIN b2 s2
-    )"""
-    )
-    selects = []
-    for k in range(3):
-        selects.append(
-            f"""SELECT 'model_{k}' AS model,
-               (SELECT feature FROM b{k}) AS feature,
-               (SELECT thr FROM b{k}) AS thr,
-               (SELECT CAST(count(*) AS BIGINT) FROM f{k}) AS n_train,
-               round(CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS accuracy
-        FROM ev"""
-        )
-    selects.append(
-        """SELECT 'ensemble' AS model,
-               CAST(NULL AS VARCHAR) AS feature,
-               CAST(NULL AS DOUBLE) AS thr,
-               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_train,
-               round(CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
-                                              THEN 1 ELSE 0 END) = y
-                                   THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS accuracy
-        FROM ev"""
-    )
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
-
-
-@query(
-    "stump_bagging_eval",
-    _bagging_oracle(),
+@query("stump_bagging_eval",
+    ml_oracles.bagging_oracle_sql(),
     "X-tier ensemble: 3 stumps bagged on disjoint md5 folds + majority-vote evaluation over all rows — the oracle re-trains every member AND re-scores every row in SQL",
 )
 def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7483,27 +4624,8 @@ def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gini_revenue_concentration",
-    """
-    WITH r AS (
-        SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                   AS cents
-        FROM orders GROUP BY 1
-    ), rk AS (
-        SELECT cents,
-               CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
-                   AS i
-        FROM r
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS total_revenue,
-           round(CAST(2 * sum(i * cents) AS DOUBLE)
-                 / (count(*) * CAST(sum(cents) AS DOUBLE))
-                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
-    FROM rk
-    """,
+@query("gini_revenue_concentration",
+    _ORACLES["gini_revenue_concentration"],
     "A-tier inequality metric: Gini coefficient of customer revenue via the rank formula — exact integer rank-weighted sums, one scalar output",
 )
 def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7542,35 +4664,8 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "value_drift_psi_bins",
-    """
-    WITH b AS (
-        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
-               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                    THEN 1 ELSE 0 END AS in_a
-        FROM events
-    ), t AS (
-        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
-               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
-        FROM b
-    ), g AS (
-        SELECT bin,
-               CAST(sum(in_a) AS BIGINT) AS n_a,
-               CAST(sum(1 - in_a) AS BIGINT) AS n_b
-        FROM b GROUP BY 1
-    )
-    SELECT bin, n_a, n_b,
-           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
-           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
-           round(
-               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
-               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
-           6) AS psi_contrib
-    FROM g
-    """,
+@query("value_drift_psi_bins",
+    _ORACLES["value_drift_psi_bins"],
     "X-pipeline distribution-drift monitoring: per-bin Population Stability Index contributions (period A vs B), epsilon-clipped shares — exact counts, closed-form floats",
 )
 def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7604,31 +4699,8 @@ def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_bin_table(g.crossJoin(F.broadcast(t)))
 
 
-@query(
-    "rfm_segmentation",
-    """
-    WITH p AS (
-        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
-        FROM events WHERE event_type = 'purchase'
-    ), g AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM p),
-    u AS (
-        SELECT user_id,
-               CAST(date_diff('day', CAST(max(ts) AS DATE),
-                              (SELECT gmax FROM g)) AS BIGINT) AS r_days,
-               CAST(count(*) AS BIGINT) AS freq,
-               CAST(sum(c) AS BIGINT) AS cents
-        FROM p GROUP BY 1
-    )
-    SELECT user_id, r_days, freq, cents,
-           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS INT) AS r_score,
-           CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
-           CAST(ntile(5) OVER (ORDER BY cents, user_id) AS INT) AS m_score,
-           CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS VARCHAR)
-           || CAST(ntile(5) OVER (ORDER BY freq, user_id) AS VARCHAR)
-           || CAST(ntile(5) OVER (ORDER BY cents, user_id) AS VARCHAR)
-               AS segment
-    FROM u
-    """,
+@query("rfm_segmentation",
+    _ORACLES["rfm_segmentation"],
     "A-tier CRM segmentation: RFM quintile scores (recency/frequency/monetary) via three exact distributed ntiles — no single-partition sort anywhere",
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7694,38 +4766,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "finance_daily_pipeline",
-    """
-    WITH gated AS (
-        SELECT * FROM events WHERE value > 0 AND value <= 500
-    ), d AS (
-        SELECT CAST(CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE
-                         'America/New_York' AS TIMESTAMP) AS DATE)
-                   AS trading_day,
-               event_type,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM gated GROUP BY 1, 2
-    ), k AS (
-        SELECT event_type,
-               CAST(dayofweek(trading_day) + 1 AS INT) AS dow,
-               CAST(sum(cents) AS BIGINT) AS cents,
-               CAST(count(*) AS BIGINT) AS n_days
-        FROM d GROUP BY 1, 2
-    )
-    SELECT d.trading_day, d.event_type, d.n_events,
-           round(CAST(d.cents AS DOUBLE) / 100.0, 6) AS revenue,
-           CAST(dayofweek(d.trading_day) + 1 AS INT) AS dow,
-           round(CAST(d.cents AS DOUBLE)
-                 / (CAST(k.cents AS DOUBLE) / k.n_days), 6)
-               AS seasonality_ratio,
-           CAST(d.cents AS DOUBLE)
-               / (CAST(k.cents AS DOUBLE) / k.n_days) > 1.5 AS is_high
-    FROM d JOIN k
-      ON d.event_type = k.event_type
-     AND CAST(dayofweek(d.trading_day) + 1 AS INT) = k.dow
-    """,
+@query("finance_daily_pipeline",
+    _ORACLES["finance_daily_pipeline"],
     "O-tier composed finance pipeline: quality gate -> NY trading-day mart -> DOW seasonality baseline -> anomaly flag, ONE Catalyst plan (the finance-side twin of corpus_training_pipeline)",
 )
 def q_finance_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7775,35 +4817,8 @@ def q_finance_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_value_drift_psi",
-    """
-    WITH b AS (
-        SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
-               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                    THEN 1 ELSE 0 END AS in_a
-        FROM events
-    ), t AS (
-        SELECT CAST(sum(in_a) AS DOUBLE) AS tot_a,
-               CAST(sum(1 - in_a) AS DOUBLE) AS tot_b
-        FROM b
-    ), g AS (
-        SELECT bin,
-               CAST(sum(in_a) AS BIGINT) AS n_a,
-               CAST(sum(1 - in_a) AS BIGINT) AS n_b
-        FROM b GROUP BY 1
-    )
-    SELECT bin, n_a, n_b,
-           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
-           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
-           round(
-               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
-               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
-           6) AS psi_contrib
-    FROM g
-    """,
+@query("streaming_value_drift_psi",
+    _ORACLES["streaming_value_drift_psi"],
     "§2.8 x X-pipe continuous drift monitoring: period-B bin counts folded across micro-batches via foreachBatch == the one-shot batch PSI (same oracle as value_drift_psi_bins)",
 )
 def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7848,40 +4863,8 @@ def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(a_counts, b_counts)
 
 
-@query(
-    "collocation_pmi_top",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    nt AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_toks FROM t),
-    uni AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
-            SELECT unnest(toks) AS term FROM t
-        ) GROUP BY 1
-    ),
-    pairs AS (
-        SELECT toks[i] AS l, toks[i + d] AS r
-        FROM t, (VALUES (1), (2)) AS dd(d),
-             unnest(generate_series(1, len(toks) - d)) AS u(i)
-    ),
-    np AS (SELECT CAST(count(*) AS DOUBLE) AS n_pairs FROM pairs),
-    pc AS (
-        SELECT l, r, CAST(count(*) AS BIGINT) AS n_lr
-        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 10
-    ),
-    scored AS (
-        SELECT pc.l, pc.r, pc.n_lr,
-               round(ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
-                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
-                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt)))),
-               6) AS pmi
-        FROM pc
-        JOIN uni a ON pc.l = a.term
-        JOIN uni b ON pc.r = b.term
-    )
-    SELECT l, r, n_lr, pmi,
-           row_number() OVER (ORDER BY pmi DESC, l, r) AS rank
-    FROM scored ORDER BY pmi DESC, l, r LIMIT 20
-    """,
+@query("collocation_pmi_top",
+    _ORACLES["collocation_pmi_top"],
     "X4 collocation mining: top-20 ordered token pairs (distance <= 2) by pointwise mutual information — exact co-occurrence counts, closed-form PMI, min-support 10",
 )
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7900,19 +4883,8 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "debounce_events",
-    """
-    WITH o AS (
-        SELECT event_id, user_id, event_type, ts, value,
-               lag(ts) OVER (PARTITION BY user_id, event_type
-                             ORDER BY ts, event_id) AS prev_ts
-        FROM events
-    )
-    SELECT event_id, user_id, event_type, ts, value
-    FROM o
-    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 SECOND
-    """,
+@query("debounce_events",
+    _ORACLES["debounce_events"],
     "X1/§2.5 telemetry debounce: drop events within 5s of the previous same-(user, type) event — burst suppression via one partitioned lag, no self-join",
 )
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7938,39 +4910,8 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(keep).drop("prev_ts")
 
 
-@query(
-    "holt_trend_forecast",
-    """
-    WITH RECURSIVE d AS (
-        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        FROM events GROUP BY 1, 2
-    ), seq AS (
-        SELECT event_type,
-               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-                    AS BIGINT) AS rn,
-               CAST(cents AS DOUBLE) / 100.0 AS x
-        FROM d
-    ), nn AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
-        FROM seq GROUP BY 1
-    ), st AS (
-        SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
-        FROM seq WHERE rn = 1
-        UNION ALL
-        SELECT s.event_type, q.rn,
-               0.3 * q.x + 0.7 * (s.l + s.b),
-               0.1 * ((0.3 * q.x + 0.7 * (s.l + s.b)) - s.l) + 0.9 * s.b
-        FROM st s JOIN seq q
-          ON q.event_type = s.event_type AND q.rn = s.rn + 1
-    )
-    SELECT st.event_type, nn.n_obs,
-           round(st.l, 6) AS level,
-           round(st.b, 6) AS trend,
-           round(st.l + st.b, 6) AS forecast_1,
-           round(st.l + 7.0 * st.b, 6) AS forecast_7
-    FROM st JOIN nn ON st.event_type = nn.event_type AND st.rn = nn.n_obs
-    """,
+@query("holt_trend_forecast",
+    _ORACLES["holt_trend_forecast"],
     "custom per-key recursive scan #3: Holt double-exponential smoothing (two coupled states) == DuckDB RECURSIVE CTE stepping the identical update, bit-for-bit",
 )
 def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:

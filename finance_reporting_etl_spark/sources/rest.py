@@ -90,3 +90,40 @@ def payloads_to_df(spark: SparkSession, payloads: list[dict]) -> DataFrame:
     parse with spark.read.json semantics (schema inferred JVM-side)."""
     rdd = spark.sparkContext.parallelize([json.dumps(p) for p in payloads])
     return spark.read.json(rdd)
+
+
+def ingest_statements_long(spark, fetch, base_url, companies, report_types):
+    """The statements fan-out end to end: driver-side fetch over
+    companies x report_types (rate-limited in real deployments), JSON
+    parse, per-report flatten with literal symbol/report_type, then
+    unpivot to the long (metric, value) shape raw_financial_data
+    stores. At 100 TB the fetch stages JSON shards and
+    spark.read.json scans them distributed; everything from flatten on
+    is the same Catalyst plan."""
+    from finance_reporting_etl_spark.sources.json_source import (
+        flatten_annual_reports,
+    )
+
+    triples = fetch_statements(fetch, base_url, companies, report_types)
+    legs = []
+    for symbol, rt, payload in triples:
+        flat = flatten_annual_reports(payloads_to_df(spark, [payload]), symbol, rt)
+        metrics = [
+            c
+            for c in flat.columns
+            if c not in ("symbol", "report_type", "fiscal_date", "currency")
+        ]
+        stack = ", ".join(f"'{m}', CAST({m} AS DOUBLE)" for m in metrics)
+        legs.append(
+            flat.selectExpr(
+                "symbol",
+                "report_type",
+                "fiscal_date",
+                "currency",
+                f"stack({len(metrics)}, {stack}) AS (metric, value)",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
