@@ -60,10 +60,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # hamming/Jaccard/cosine verify, top-k ranking. The hash computation
 # itself is covered by pytest determinism + recall tests; everything after
 # it is hard-verified against an independent engine.
-# SPARK_GRAFT_RUN_ID isolates concurrent runs (e.g. gate and bench in
-# parallel): both the writer and the f-string oracle SQL bake the same
-# per-process value at import, so Spark and DuckDB always read one run's
-# index. Unset (the default), the path is stable across processes.
+# _AUX_DIR (the shared path root, SPARK_GRAFT_RUN_ID-isolated) lives in
+# oracles.py beside the SQL that reads it; imported above.
 
 
 def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
