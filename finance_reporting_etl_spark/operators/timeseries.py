@@ -30,24 +30,46 @@ def ema_last_per_key(
     """(key, n_events, ema_final): left-fold EMA over each key's rows in
     ``order_cols`` order, seeded with the first value — byte-for-byte
     the same float64 operation sequence as a ``list_reduce`` fold, so
-    an independent engine reproduces it exactly."""
+    an independent engine reproduces it exactly.
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        xs = pdf[value_col].astype("float64").to_numpy()
-        s = xs[0]
-        for x in xs[1:]:
-            s = alpha * x + (1.0 - alpha) * s
-        return pd.DataFrame(
-            {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_events": [len(xs)],
-                "ema_final": [round(float(s), scale)],
-            }
-        )
+    The fold arrives as a sort-collected array per key (JVM-side
+    ``array_sort(collect_list(struct(*order, value)))`` — valid
+    because ``order_cols`` are unique per row, making struct order ==
+    the stable column sort) and ONE Arrow-batched scalar pandas_udf
+    folds thousands of keys per batch. Rewritten from one
+    ``applyInPandas`` call per group in round 5: per-group call
+    overhead dominated at ~30k keys (measured 3.35 s -> see PLANS.md);
+    the float64 operation sequence per key is unchanged, so results
+    are bit-identical.
+    """
+    import numpy as np
 
-    out_schema = f"{key_col} long, n_events long, ema_final double"
-    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+    ordered = df.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols], F.col(value_col).alias("__v")
+                )
+            )
+        ).alias("__s")
+    )
+
+    @F.pandas_udf("double")
+    def _fold(series: pd.Series) -> pd.Series:
+        out = []
+        for xs in series:
+            arr = np.asarray([r["__v"] for r in xs], dtype=np.float64)
+            s = arr[0]
+            for x in arr[1:]:
+                s = alpha * x + (1.0 - alpha) * s
+            out.append(round(float(s), scale))
+        return pd.Series(out, dtype="float64")
+
+    return ordered.select(
+        key_col,
+        F.size("__s").cast("long").alias("n_events"),
+        _fold(F.col("__s")).alias("ema_final"),
+    )
 
 
 def clamped_balance_per_key(
@@ -59,27 +81,51 @@ def clamped_balance_per_key(
 ) -> DataFrame:
     """(key, n_events, final_balance): running balance with a floor —
     b_t = max(floor, b_{t-1} + delta_t) — folded over each key's rows
-    in ``order_cols`` order. The clamp makes this recursive (the max
-    depends on the previous partial result), so like the EMA it is
-    inexpressible as a window aggregate; unlike the EMA the deltas are
-    integers, so the fold is EXACT in any engine. Same applyInPandas
-    envelope: one shuffle on the key, one group per task."""
+    in ``order_cols`` order.
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        b = 0
-        for d in pdf[delta_col].astype("int64").to_numpy():
-            b = max(floor, b + int(d))
-        return pd.DataFrame(
-            {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_events": [len(pdf)],
-                "final_balance": [b],
-            }
+    The clamp recurrence LOOKS inexpressible as a window aggregate,
+    but integer max-clamp folds have a closed form (the max-prefix-gap
+    identity; the same algebra behind maximum-subarray): with prefix
+    sums p_k over the deltas and a virtual p_0 = -floor for the
+    unclamped start,
+
+        b_n = floor + p_n - min_{0<=k<=n} p_k.
+
+    So the whole operator is two chained window passes over ONE
+    key-partitioned sort (running sum, then running min — same window
+    spec, one exchange) plus a last-row filter: pure JVM whole-stage
+    codegen, zero Python, exact integers. Round-5 rework; the
+    grouped-map fold it replaced paid one Arrow call per key
+    (measured 2.9 s -> ~0.9 s at sf0.1; see PLANS.md)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = df.select(
+        key_col,
+        *order_cols,
+        F.sum(F.col(delta_col).cast("long")).over(w).alias("__p"),
+    ).withColumn("__minp", F.min("__p").over(w))
+    wo = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    last = (
+        p.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .filter(F.col("__rn") == 1)
+    )
+    return last.select(
+        key_col,
+        F.col("__n").cast("long").alias("n_events"),
+        (
+            F.lit(floor)
+            + F.col("__p")
+            - F.least(F.col("__minp"), F.lit(-floor).cast("long"))
         )
-
-    out_schema = f"{key_col} long, n_events long, final_balance long"
-    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+        .cast("long")
+        .alias("final_balance"),
+    )
 
 
 def holt_forecast_per_key(
