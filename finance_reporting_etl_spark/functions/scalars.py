@@ -44,3 +44,30 @@ ECONOMIC_INDICATOR_NAMES = {
     "FEDFUNDS": "Federal Funds Rate",
     "DGS10": "10-Year Treasury Rate",
 }
+
+
+def seeded_uniform(c: Column | str, salt: str) -> Column:
+    """Deterministic uniform in (0, 1) from md5(value || salt): the
+    first 8 hex chars parsed as an integer, then (v + 0.5) / 16^8.
+    Reproducible in any engine with md5 — the same trick the corpus
+    split/sample operators use (md5_bucket), at 32-bit resolution.
+    Never exactly 0 or 1, so log/inverse-CDF transforms are safe."""
+    col = F.col(c) if isinstance(c, str) else c
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary"))
+    v = F.conv(F.substring(h, 1, 8), 16, 10)
+    return (v.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 8))
+
+
+def seeded_laplace(c: Column | str, salt: str, scale_b: float) -> Column:
+    """Deterministic Laplace(0, b) noise via inverse-CDF of
+    :func:`seeded_uniform`: -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|).
+    Seeded noise makes a differential-privacy release REPRODUCIBLE
+    (and therefore testable) — production would swap the md5 seed for
+    a secret key; the mechanism and calibration are identical."""
+    u = seeded_uniform(c, salt)
+    centered = u - F.lit(0.5)
+    return (
+        -F.lit(scale_b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )

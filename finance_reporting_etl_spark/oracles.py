@@ -3022,3 +3022,20 @@ ORACLES["holt_trend_forecast"] = """
     FROM st JOIN nn ON st.event_type = nn.event_type AND st.rn = nn.n_obs
     """
 
+ORACLES["dp_noisy_event_counts"] = """
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), u AS (
+        SELECT event_type, n,
+               (CAST(CAST(concat('0x', substr(md5(event_type || 'dp1'), 1, 8))
+                          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        FROM g
+    )
+    SELECT event_type,
+           round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 6)
+               AS noisy_count,
+           1.0 AS epsilon
+    FROM u
+"""
+

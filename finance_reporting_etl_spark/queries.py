@@ -3858,6 +3858,37 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dp_noisy_event_counts",
+    _ORACLES["dp_noisy_event_counts"],
+    "X-privacy: epsilon-DP count release — seeded Laplace(sensitivity/epsilon) noise via inverse-CDF of an md5 uniform; complements k_anonymity_suppress (suppression) with perturbation",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-type event counts:
+    Laplace(1/epsilon) noise on each count (sensitivity 1 for a
+    unit-contribution count query, epsilon = 1). The noise is SEEDED —
+    inverse-CDF applied to an md5-derived uniform
+    (functions.scalars.seeded_laplace) — so the release is
+    reproducible and the oracle re-derives the identical mechanism;
+    production swaps the md5 seed for a secret key, changing nothing
+    about calibration. Pure map-side expression on a groups-sized
+    aggregate; the true counts never leave the plan."""
+    from finance_reporting_etl_spark.functions.scalars import seeded_laplace
+
+    eps = 1.0
+    g = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("__n") + seeded_laplace("event_type", "dp1", 1.0 / eps), 6).alias(
+            "noisy_count"
+        ),
+        F.lit(eps).alias("epsilon"),
+    )
+
+
 @query("embedding_int8_quantize",
     _ORACLES["embedding_int8_quantize"],
     "X3 vector infra: per-vector symmetric int8 scalar quantization (4x memory cut) with exact reconstruction-error audit — element-wise, no aggregation order anywhere",
@@ -5051,6 +5082,8 @@ _GATE_NEXT = [
     "collocation_pmi_top",
     "debounce_events",
     "holt_trend_forecast",
+    # -- round-5 additions (never gated; r6 window) --------------------
+    "dp_noisy_event_counts",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
