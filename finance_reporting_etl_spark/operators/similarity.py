@@ -498,6 +498,48 @@ def ivfpq_topk_from_tables(
     )
 
 
+def ivfpq_rerank_topk(
+    index: DataFrame,
+    probes: DataFrame,
+    luts: DataFrame,
+    embeddings: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval, the standard ANN serving pattern: a cheap
+    ADC shortlist (:func:`ivfpq_topk_from_tables` at k=``shortlist`` —
+    no vector data read) followed by an EXACT-cosine rerank of just
+    those candidates -> top-``k``. Recovers exact scores where they
+    matter (the final ranking) while the scan stage still moves m
+    code bytes per vector instead of dim floats; per query the rerank
+    touches ``shortlist`` vectors, not a cell's worth. Both stages
+    rank deterministically (ADC: dist ASC + id; exact: score DESC +
+    id), so the shortlist boundary is reproducible cross-engine."""
+    short = ivfpq_topk_from_tables(index, probes, luts, k=shortlist, scale=scale)
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(short.select("query_id").distinct()), "query_id"
+    )
+    cv = vecs.withColumnsRenamed({"id": "neighbor_id", "v": "c_vec"})
+    scored = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-projection (Johnson-Lindenstrauss) dimensionality reduction
 # ---------------------------------------------------------------------------

@@ -3039,3 +3039,75 @@ ORACLES["dp_noisy_event_counts"] = """
     FROM u
 """
 
+ORACLES["ann_rerank_exact"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/pq_index/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivfpq_probes/*.parquet'),
+    lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
+    adc AS (
+        SELECT pr.query_id, ix.id AS neighbor_id,
+               round(sum(lut.d2), 6) AS adc_dist
+        FROM ix
+        JOIN pr USING (cell)
+        JOIN lut ON lut.query_id = pr.query_id
+               AND lut.m = ix.m AND lut.code = ix.code
+        WHERE ix.id <> pr.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS srank
+        FROM adc
+        QUALIFY srank <= 50
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT short.query_id, short.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM short JOIN e qe ON qe.vec_id = short.query_id
+                   JOIN e ce ON ce.vec_id = short.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """
+
+ORACLES["schema_evolution_read"] = f"""
+    SELECT CAST(gen AS BIGINT) AS gen,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count_if(event_type IS NULL) AS BIGINT) AS n_null_type,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS total_value
+    FROM read_parquet('{_AUX_DIR}/schema_evo/gen=*/*.parquet',
+                      union_by_name=true, hive_partitioning=true)
+    GROUP BY 1
+"""
+
+ORACLES["streaming_ann_index_maintain"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/ivf_index_stream/*.parquet'),
+    pr AS (SELECT * FROM '{_AUX_DIR}/ivf_probes_stream/*.parquet'),
+    cand AS (
+        SELECT pr.query_id, ix.id AS neighbor_id
+        FROM ix JOIN pr USING (cell)
+        WHERE ix.id <> pr.query_id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+        FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 10
+    """
+

@@ -2405,6 +2405,144 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_rerank_exact",
+    _ORACLES["ann_rerank_exact"],
+    "X3 two-stage retrieval: IVF-PQ ADC shortlist (no vector reads) -> exact-cosine rerank of 50 candidates -> top-10 (the standard ANN serving pattern; same persisted index/probes/LUT aux as ann_ivfpq_topk)",
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the SAME persisted PQ artifacts as
+    `ann_ivfpq_topk` (deterministic seeded training, so both queries
+    rebuild identical tables): stage 1 shortlists 50 candidates per
+    query by ADC distance without reading any vector data; stage 2
+    re-joins the true vectors for just those 50 and reranks by exact
+    cosine. This is how production ANN serves: quantized scan for
+    recall, exact rerank for ranking quality — per query the
+    exact-math cost is bounded by the shortlist, not the cell
+    population. The oracle re-derives both stages (including the
+    deterministic shortlist boundary) from the persisted tables."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_probes,
+        ivfpq_rerank_topk,
+        pq_index,
+        pq_query_luts,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb)
+    qids = [0, 1, 2, 3, 4]
+    index = _persist_aux(spark, pq_index(emb, books), "pq_index")
+    probes = _persist_aux(spark, ivf_probes(emb, qids), "ivfpq_probes")
+    luts = _persist_aux(
+        spark,
+        spark.createDataFrame(
+            pq_query_luts(emb, qids, books), "query_id long, m int, code int, d2 double"
+        ),
+        "pq_luts",
+    )
+    return ivfpq_rerank_topk(
+        index, probes, luts, emb, shortlist=50, k=10
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("streaming_ann_index_maintain",
+    _ORACLES["streaming_ann_index_maintain"],
+    "§2.8 x X3 streaming vector-index maintenance: micro-batches assign arriving vectors to IVF cells via foreachBatch (batch_id-idempotent sink); the maintained index serves the same top-k as a one-shot build",
+)
+def q_streaming_ann_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeping an ANN index fresh WITHOUT rebuilds: the embedding
+    stream arrives as three disjoint micro-batches, each assigning its
+    vectors to fixed IVF cells (seeded centroids — cell assignment is
+    append-only state, the mergeable-index property) and writing its
+    postings to a batch_id-partitioned sink, so at-least-once replays
+    overwrite rather than duplicate. Because assignment is
+    deterministic per vector, the maintained index is row-identical
+    to the one-shot `ivf_index` build; serving top-k from it must
+    therefore match the persisted-index oracle exactly — which is
+    what the driver verifies."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes,
+        ivf_topk_from_index,
+    )
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def start(src, schema, tmp):
+        def fold(batch, batch_id):
+            ivf_index(batch).write.mode("overwrite").parquet(
+                f"{tmp}/sink/batch_id={batch_id}"
+            )
+
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    maintained = run_file_stream(
+        spark,
+        lambda src: stage_microbatches(
+            [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)], src
+        ),
+        start,
+        lambda tmp: spark.read.parquet(f"{tmp}/sink").select("id", "cell"),
+        prefix="stream_ivf_",
+        label="streaming_ann_index_maintain",
+    )
+    index = _persist_aux(spark, maintained, "ivf_index_stream")
+    probes = _persist_aux(
+        spark, ivf_probes(emb, [0, 1, 2, 3, 4]), "ivf_probes_stream"
+    )
+    out = ivf_topk_from_index(index, probes, emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("schema_evolution_read",
+    _ORACLES["schema_evolution_read"],
+    "S8/S10 schema evolution: two parquet generations of one table (a late-added column) union-read with mergeSchema; per-generation null audit == union_by_name oracle over the same files",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-lifecycle reality at 100 TB: a column added mid-life
+    means the lake holds files with BOTH schemas forever (rewriting
+    history is off the table). Generation 1 (first half of events)
+    lacks ``event_type``; generation 2 carries it. One
+    ``mergeSchema`` read unions the generations — old files surface
+    the late column as NULL — and the per-generation audit (row
+    count, null count of the late column, exact value sum) proves the
+    merge. The oracle reads the SAME parquet files with DuckDB's
+    union_by_name + hive partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = f"{_AUX_DIR}/schema_evo"
+    ev.filter(F.col("ts") < mid).select("event_id", "value").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=1")
+    ev.filter(F.col("ts") >= mid).select(
+        "event_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(f"{base}/gen=1", f"{base}/gen=2")
+    )
+    return df.groupBy(F.col("gen").cast("bigint").alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_type").isNull().cast("bigint")).alias("n_null_type"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 6
+        ).alias("total_value"),
+    )
+
+
 @query("heavy_hitters_cms",
     _ORACLES["heavy_hitters_cms"],
     "X4 heavy hitters via Count-Min Sketch: fixed-size mergeable counter grid, min-estimate thresholding (persisted-placement oracle)",
@@ -5084,6 +5222,9 @@ _GATE_NEXT = [
     "holt_trend_forecast",
     # -- round-5 additions (never gated; r6 window) --------------------
     "dp_noisy_event_counts",
+    "ann_rerank_exact",
+    "schema_evolution_read",
+    "streaming_ann_index_maintain",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
