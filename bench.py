@@ -164,6 +164,9 @@ HEADLINE = [
     "collocation_pmi_top",
     "debounce_events",
     "holt_trend_forecast",
+    # round-5 additions
+    "ann_rerank_exact",
+    "dp_noisy_event_counts",
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

@@ -838,3 +838,47 @@ def span_dedup_rewrite(
             " ",
         ).alias("clean_text"),
     )
+
+
+def minhash_probe_index(
+    batch_index: DataFrame, corpus_index: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup classification of an incoming batch against a
+    PERSISTED corpus MinHash index (the fuzzy twin of
+    :func:`incremental_dedup_classify`): the corpus text is never
+    rescanned — its (id, sh, bands) index rows are the maintained
+    artifact. Batch bands equi-join corpus bands on
+    (band_idx, band_hash) for candidates; exact shingle-set Jaccard
+    over the two stored sets verifies. Returns
+    (batch_id, corpus_id, jaccard >= threshold) — accepted batch rows'
+    index entries would then be appended to the corpus index."""
+
+    def _bands(ix, out_id):
+        return ix.select(F.col("id").alias(out_id), F.explode("bands").alias("u")).select(
+            out_id,
+            F.col("u.band_idx").alias("band_idx"),
+            F.col("u.band_hash").alias("band_hash"),
+        )
+
+    pairs = (
+        _bands(batch_index, "batch_id")
+        .join(_bands(corpus_index, "corpus_id"), ["band_idx", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    cands = pairs.join(
+        batch_index.select(F.col("id").alias("batch_id"), F.col("sh").alias("sa")),
+        "batch_id",
+    ).join(
+        corpus_index.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sb")),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    return cands.select(
+        "batch_id",
+        "corpus_id",
+        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)

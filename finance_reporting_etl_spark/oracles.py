@@ -3111,3 +3111,47 @@ ORACLES["streaming_ann_index_maintain"] = f"""
     QUALIFY rank <= 10
     """
 
+ORACLES["mad_robust_outliers"] = """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               round(abs(e.value - m.med), 4) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+           round(d.absdev / nullif(1.4826 * mad.mad, 0), 6) AS modified_z
+    FROM dev d JOIN mad USING (event_type)
+    WHERE round(d.absdev / nullif(1.4826 * mad.mad, 0), 6) > 3.5
+"""
+
+ORACLES["near_dup_incremental_batch"] = f"""
+    WITH cx AS (SELECT * FROM '{_AUX_DIR}/minhash_corpus_index/*.parquet'),
+    bx AS (SELECT * FROM '{_AUX_DIR}/minhash_batch_index/*.parquet'),
+    cb AS (
+        SELECT id, u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT id, unnest(bands) AS u FROM cx)
+    ),
+    bb AS (
+        SELECT id, u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT id, unnest(bands) AS u FROM bx)
+    ),
+    cand AS (
+        SELECT DISTINCT bb.id AS batch_id, cb.id AS corpus_id
+        FROM bb JOIN cb USING (band_idx, band_hash)
+    ),
+    scored AS (
+        SELECT c.batch_id, c.corpus_id,
+               round(CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0), 4)
+                   AS jaccard
+        FROM cand c JOIN bx sb ON sb.id = c.batch_id
+                    JOIN cx sc ON sc.id = c.corpus_id
+    )
+    SELECT batch_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+

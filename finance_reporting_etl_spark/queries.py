@@ -2445,6 +2445,81 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("near_dup_incremental_batch",
+    _ORACLES["near_dup_incremental_batch"],
+    "X2 incremental NEAR-dup: incoming batch probed against the persisted corpus MinHash band index (corpus text never rescanned) — band equi-join candidates, exact stored-shingle Jaccard verify",
+)
+def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy twin of `dedup_incremental_batch`: at 100 TB the
+    corpus's MinHash index (one (id, sh, bands) row per doc) is a
+    maintained artifact, and each incoming batch is signed once and
+    probed against the INDEX — never against corpus text. The batch
+    mixes genuinely new docs with near-duplicate resubmissions (a
+    corpus doc plus a short appended suffix — most shingles shared,
+    Jaccard above threshold), so both probe outcomes execute. Both
+    engines re-derive candidates and exact Jaccard from the same two
+    persisted index tables. Operator:
+    operators.dedup.minhash_probe_index."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        minhash_index,
+        minhash_probe_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" resubmitted copy")).alias("text"),
+            )
+        )
+    )
+    corpus_ix = _persist_aux(spark, minhash_index(corpus), "minhash_corpus_index")
+    batch_ix = _persist_aux(spark, minhash_index(batch), "minhash_batch_index")
+    return minhash_probe_index(batch_ix, corpus_ix, threshold=0.5)
+
+
+@query("mad_robust_outliers",
+    _ORACLES["mad_robust_outliers"],
+    "A/X-tier robust stats: median/MAD modified z-score outliers (|v - med| / (1.4826 * MAD) > 3.5) — exact interpolated order statistics, the heavy-tail-safe complement to stddev z-scores",
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers by MODIFIED z-score: stddev-based z-scores are
+    themselves dragged by the outliers they hunt; median/MAD are
+    50%-breakdown robust. Both statistics are exact interpolated
+    order statistics from `exact_group_quantiles` (partitioned
+    windows — no per-group value buffering, the hot-group-OOM-safe
+    form), each a groups-sized broadcast joined back; the z
+    expression is a single float chain rounded 6dp identically in
+    both engines. MAD = 0 groups (majority-constant values) emit no
+    flags via the NULLIF guard — identically NULL-dropped by both
+    WHERE clauses."""
+    from finance_reporting_etl_spark.operators.ranking import exact_group_quantiles
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = exact_group_quantiles(ev, ["event_type"], "value", {"med": 0.5})
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 4).alias("absdev"),
+    )
+    mad = exact_group_quantiles(dev, ["event_type"], "absdev", {"mad": 0.5})
+    j = dev.join(F.broadcast(mad), "event_type")
+    mz = F.round(
+        F.col("absdev") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)), 6
+    )
+    return (
+        j.withColumn("modified_z", mz)
+        .filter(F.col("modified_z") > 3.5)
+        .select("event_id", "event_type", "value", "med", "mad", "modified_z")
+    )
+
+
 @query("streaming_ann_index_maintain",
     _ORACLES["streaming_ann_index_maintain"],
     "§2.8 x X3 streaming vector-index maintenance: micro-batches assign arriving vectors to IVF cells via foreachBatch (batch_id-idempotent sink); the maintained index serves the same top-k as a one-shot build",
@@ -5225,6 +5300,8 @@ _GATE_NEXT = [
     "ann_rerank_exact",
     "schema_evolution_read",
     "streaming_ann_index_maintain",
+    "mad_robust_outliers",
+    "near_dup_incremental_batch",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
