@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from finance_reporting_etl_spark.functions.kpis import ratio
 from finance_reporting_etl_spark.oracles import ORACLES as _ORACLES
 from finance_reporting_etl_spark.oracles import _AUX_DIR, _TOKS
-from finance_reporting_etl_spark.operators import ml as ml_oracles
+from finance_reporting_etl_spark.operators.ml import (
+    bagging_oracle_sql,
+    depth2_tree_oracle_sql,
+)
 from finance_reporting_etl_spark.functions.scalars import case_map, normalize_string
 from finance_reporting_etl_spark.plans.models import registry
 from finance_reporting_etl_spark.tables import _read_parquet, load_tables
@@ -4771,7 +4774,7 @@ def q_open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("decision_tree_depth2",
-    ml_oracles.depth2_tree_oracle_sql(),
+    depth2_tree_oracle_sql(),
     "X-tier iterative ML training: depth-2 Gini tree — root split, then best split per leaf; the oracle RE-LEARNS the whole tree from scratch in SQL (per-level prefix-sum evaluation, deterministic argmax)",
 )
 def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4828,7 +4831,7 @@ def q_inference_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query("stump_bagging_eval",
-    ml_oracles.bagging_oracle_sql(),
+    bagging_oracle_sql(),
     "X-tier ensemble: 3 stumps bagged on disjoint md5 folds + majority-vote evaluation over all rows — the oracle re-trains every member AND re-scores every row in SQL",
 )
 def q_stump_bagging_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
