@@ -520,8 +520,12 @@ def ivfpq_rerank_topk(
     id), so the shortlist boundary is reproducible cross-engine."""
     short = ivfpq_topk_from_tables(index, probes, luts, k=shortlist, scale=scale)
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # query ids come from the (tiny) probes table, NOT from
+    # short.select(...).distinct() — the latter would evaluate the
+    # whole ADC subtree a second time (no ReuseExchange across the
+    # distinct branch; measured ~2x the query's cost)
     qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
-        F.broadcast(short.select("query_id").distinct()), "query_id"
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
     )
     cv = vecs.withColumnsRenamed({"id": "neighbor_id", "v": "c_vec"})
     scored = (
