@@ -728,8 +728,13 @@ def mixture_rebalance_to_targets(
     joined back broadcast, so the same query rebalances a 100 TB
     corpus. ``targets`` carries (group, target_share). The achieved
     share converges on the target up to the 1/grain coin granularity
-    and per-doc integer replication. Returns
+    and per-doc integer replication. ``grain`` must divide 256 (the
+    md5 coin's base resolution). Returns
     (group, before_share, target_share, after_share)."""
+    if grain <= 0 or 256 % grain != 0:
+        raise ValueError(
+            f"grain must be a positive divisor of 256, got {grain}"
+        )
     cur = docs.groupBy(group_col).agg(
         F.sum(size_col).cast("double").alias("chars")
     )
@@ -753,7 +758,9 @@ def mixture_rebalance_to_targets(
         .cast("long")
         .alias("thresh"),
     )
-    b = md5_bucket(id_col, salt=salt).cast("double")
+    # the coin must draw from [0, grain) — md5_bucket defaults to 256
+    # buckets, which silently mis-scales any non-default grain
+    b = md5_bucket(id_col, buckets=grain, salt=salt).cast("double")
     per_doc = docs.join(F.broadcast(wq), group_col).select(
         group_col,
         "target_share",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def checked_swap(fs, HPath, live, staged, old) -> None:
+def checked_swap(fs, live, staged, old) -> None:
     """Rename-aside swap with every Hadoop ``rename()`` boolean checked.
 
     ``FileSystem.rename`` signals failure by returning ``False``, not
@@ -283,7 +283,7 @@ def compact_partition(
         f"{path}/_compact_old_{partition_col}={partition_value}"
     )
     HPath = jvm.org.apache.hadoop.fs.Path
-    checked_swap(fs, HPath, p, HPath(tmp), old)
+    checked_swap(fs, p, HPath(tmp), old)
     return sum(
         1
         for s in fs.listStatus(p)
@@ -332,5 +332,5 @@ def forget_keys(
         p = HPath(part_dir)
         fs = p.getFileSystem(conf)
         old = HPath(f"{path}/_forget_old_{partition_col}={pv}")
-        checked_swap(fs, HPath, p, HPath(tmp), old)
+        checked_swap(fs, p, HPath(tmp), old)
     return len(affected)

@@ -263,15 +263,10 @@ def bagged_stump_ensemble_eval(
             f"{sorted(models_by_fold)}"
         )
     models = [models_by_fold[k] for k in range(n_folds)]
-    fold_sizes = {
-        r["f"]: r["n"]
-        for r in df.groupBy(F.col(fold_col).alias("f"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    missing_sizes = [k for k in range(n_folds) if k not in fold_sizes]
-    if missing_sizes:
-        raise ValueError(f"bagging folds {missing_sizes} have zero rows")
+    # fold sizes ride the model rows for free: the per-(fold, feature)
+    # contingency totals in _scored_candidates cover every fold row,
+    # so nl + nr == fold row count — no extra scan (round-5 review)
+    fold_sizes = {k: int(m["nl"] + m["nr"]) for k, m in enumerate(models)}
 
     def pred(m):
         val = F.col(feature_cols[m["feature"]])

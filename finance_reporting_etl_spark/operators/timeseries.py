@@ -86,10 +86,9 @@ def clamped_balance_per_key(
     The clamp recurrence LOOKS inexpressible as a window aggregate,
     but integer max-clamp folds have a closed form (the max-prefix-gap
     identity; the same algebra behind maximum-subarray): with prefix
-    sums p_k over the deltas and a virtual p_0 = -floor for the
-    unclamped start,
+    sums p_k over the deltas (p_0 = 0, the unclamped start),
 
-        b_n = floor + p_n - min_{0<=k<=n} p_k.
+        b_n = floor + p_n - min(floor, min_{1<=k<=n} p_k).
 
     So the whole operator is two chained window passes over ONE
     key-partitioned sort (running sum, then running min — same window
@@ -121,7 +120,7 @@ def clamped_balance_per_key(
         (
             F.lit(floor)
             + F.col("__p")
-            - F.least(F.col("__minp"), F.lit(-floor).cast("long"))
+            - F.least(F.col("__minp"), F.lit(floor).cast("long"))
         )
         .cast("long")
         .alias("final_balance"),
@@ -190,9 +189,12 @@ def linear_interpolate_daily(
     which may be wider than the observed set) left-joins the observed
     points, two IGNORE-NULLS window scans find each gap's bracketing
     neighbors, and the fill is time-weighted between them. Boundary
-    gaps (no neighbor on one side) stay NULL. A series never leaves
-    its partition — the same partitioned-window scale shape as the
-    rolling z-score detector. Returns
+    gaps (no neighbor on one side) stay NULL with
+    ``was_interpolated = false`` — the flag marks rows a fill actually
+    LANDED on, not every hole (round-5 review: a coverage audit
+    summing the flag must not count unfilled boundary rows). A series
+    never leaves its partition — the same partitioned-window scale
+    shape as the rolling z-score detector. Returns
     (*key_cols, day, filled_value, was_interpolated)."""
     bounds = spine_from.agg(
         F.min(day_col).alias("d0"), F.max(day_col).alias("d1")
@@ -249,7 +251,11 @@ def linear_interpolate_daily(
             ),
             scale,
         ).alias("filled_value"),
-        F.col(value_col).isNull().alias("was_interpolated"),
+        (
+            F.col(value_col).isNull()
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        ).alias("was_interpolated"),
     )
 
 

@@ -1879,7 +1879,9 @@ ORACLES["indicator_linear_interpolation"] = """
                    prev_v + (next_v - prev_v)
                    * (day - prev_d) / (next_d - prev_d)
                END, 4) AS filled_value,
-           CAST(value IS NULL AS BOOLEAN) AS was_interpolated
+           CAST(value IS NULL
+                AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                AS BOOLEAN) AS was_interpolated
     FROM n
     """
 

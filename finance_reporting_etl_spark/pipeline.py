@@ -266,5 +266,5 @@ def publish_validated(
     live = HPath(path)
     fs = live.getFileSystem(conf)
     old = HPath(path.rstrip("/") + "_wap_old")
-    checked_swap(fs, HPath, live, HPath(staged), old)
+    checked_swap(fs, live, HPath(staged), old)
     return metrics

@@ -3032,16 +3032,18 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("user_value_ema",
     _ORACLES["user_value_ema"],
-    "custom per-key sequential operator: recursive EMA via grouped-map applyInPandas (inexpressible as a window aggregate)",
+    "custom per-key sequential operator: recursive EMA — JVM sort-collect per key + ONE Arrow-batched pandas_udf fold (inexpressible as a window aggregate)",
 )
 def q_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average of event values — a
     RECURSIVE scan (s_t depends on s_{t-1}) that no window function
     expresses and whose closed-form rewrite overflows on long series.
-    Grouped-map ``applyInPandas`` is the engine-native answer: one
-    shuffle on user_id, a float64 left-fold per group. The oracle runs
-    the IDENTICAL fold as a DuckDB list_reduce lambda — same seed, same
-    order, same operation sequence, so the doubles match bit-for-bit."""
+    One shuffle on user_id: each key's series sort-collects JVM-side
+    and ONE scalar pandas_udf folds thousands of keys per Arrow batch
+    (round-5 rework from per-group applyInPandas calls — PLANS.md
+    #26). The oracle runs the IDENTICAL fold as a DuckDB list_reduce
+    lambda — same seed, same order, same operation sequence, so the
+    doubles match bit-for-bit."""
     from finance_reporting_etl_spark.operators.timeseries import ema_last_per_key
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
@@ -4574,18 +4576,20 @@ def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("capped_user_balance",
     _ORACLES["capped_user_balance"],
-    "custom per-key recursive fold #2: floor-clamped running balance (exact integer fold via grouped-map applyInPandas == DuckDB list_reduce)",
+    "custom per-key recursive fold #2: floor-clamped running balance — closed-form max-prefix-gap identity, pure window algebra (== DuckDB list_reduce fold)",
 )
 def q_capped_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Credit-style running balance per user: purchases add cents,
     every other event spends them, and the balance can never go below
-    zero — b_t = max(0, b_{t-1} + delta_t). The clamp makes each step
-    depend on the previous PARTIAL result, so no window aggregate or
-    prefix sum expresses it; the grouped-map fold is the engine-native
-    answer (one shuffle on user_id). Deltas are integer cents, so the
-    fold is exact — the oracle replays the identical fold with
-    list_reduce, seeded by a prepended 0 so one-event groups follow
-    the same clamp path."""
+    zero — b_t = max(0, b_{t-1} + delta_t). The clamp LOOKS
+    fold-only, but integer max-clamp recurrences have a closed form
+    (max-prefix-gap identity, operators/timeseries.py), so this runs
+    as two chained window passes over one user-partitioned sort —
+    pure whole-stage codegen, zero Python (round-5 rework, PLANS.md
+    #26). Deltas are integer cents, so the result is exact — the
+    oracle replays the literal step-by-step fold with list_reduce,
+    seeded by a prepended 0 so one-event groups follow the same clamp
+    path; fold == closed form is exactly the identity under test."""
     from finance_reporting_etl_spark.operators.timeseries import (
         clamped_balance_per_key,
     )

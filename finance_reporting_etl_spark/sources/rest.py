@@ -105,6 +105,11 @@ def ingest_statements_long(spark, fetch, base_url, companies, report_types):
     )
 
     triples = fetch_statements(fetch, base_url, companies, report_types)
+    if not triples:
+        raise ValueError(
+            f"statements fan-out is empty: companies={list(companies)}, "
+            f"report_types={list(report_types)}"
+        )
     legs = []
     for symbol, rt, payload in triples:
         flat = flatten_annual_reports(payloads_to_df(spark, [payload]), symbol, rt)

@@ -2044,3 +2044,86 @@ def test_minhash_probe_finds_planted_near_dups(spark):
     matched = {(r.batch_id, r.corpus_id) for r in hits}
     assert {(100 + i, i) for i in range(5)} <= matched
     assert all(b < 900 for b, _ in matched), "unrelated docs matched"
+
+
+def test_clamped_balance_nonzero_floor(spark):
+    """The closed-form clamp must match the literal fold for NONZERO
+    floors too (round-5 review: the virtual-prefix term is min(floor,
+    min prefix), not min(-floor, ...) — floor=0 masks the sign)."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        clamped_balance_per_key,
+    )
+
+    cases = {
+        1: [50],            # floor=-100: max(-100, 0+50) = 50
+        2: [-500, 50],      # floor=-100: -100 -> -50
+        3: [50, -500, 20],  # floor=-100: 50 -> -100 -> -80
+    }
+    rows = [(k, i, d) for k, ds in cases.items() for i, d in enumerate(ds)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    for floor in (-100, 0, 100):
+        got = {
+            r.user_id: r.final_balance
+            for r in clamped_balance_per_key(
+                df, "user_id", ["seq"], "delta", floor=floor
+            ).collect()
+        }
+        want = {}
+        for k, ds in cases.items():
+            b = 0
+            for d in ds:
+                b = max(floor, b + d)
+            want[k] = b
+        assert got == want, (floor, got, want)
+
+
+def test_interpolation_boundary_gaps_not_flagged(spark):
+    """Boundary gaps (no bracketing neighbor on one side) stay NULL and
+    must NOT be flagged was_interpolated (round-5 review: the flag
+    marks landed fills, not every hole)."""
+    import datetime
+
+    from finance_reporting_etl_spark.operators.timeseries import (
+        linear_interpolate_daily,
+    )
+
+    from pyspark.sql import functions as F
+
+    d = datetime.date
+    rows = [("a", d(2024, 1, 1), None), ("a", d(2024, 1, 2), 10.0),
+            ("a", d(2024, 1, 3), None), ("a", d(2024, 1, 4), 20.0),
+            ("a", d(2024, 1, 5), None)]
+    spine = spark.createDataFrame(
+        [(k, day) for k, day, _ in rows], "k string, day date"
+    ).withColumn("value", F.lit(1.0))
+    observed = spark.createDataFrame(
+        [(k, day, v) for k, day, v in rows if v is not None],
+        "k string, day date, value double",
+    )
+    out = {r.day.day: r for r in linear_interpolate_daily(observed, spine, ["k"]).collect()}
+    assert out[3].was_interpolated and out[3].filled_value == 15.0
+    assert not out[1].was_interpolated and out[1].filled_value is None
+    assert not out[5].was_interpolated and out[5].filled_value is None
+    assert not out[2].was_interpolated and out[2].filled_value == 10.0
+
+
+def test_mixture_rebalance_grain_validation(spark):
+    """grain must divide the md5 coin's 256-bucket base resolution —
+    anything else would silently mis-scale replication (r5 review)."""
+    import pytest
+
+    from finance_reporting_etl_spark.operators.corpus import (
+        mixture_rebalance_to_targets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "de", 100)], "doc_id long, lang string, n_chars long"
+    )
+    tgt = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.5)], "lang string, target_share double"
+    )
+    with pytest.raises(ValueError, match="divisor of 256"):
+        mixture_rebalance_to_targets(docs, tgt, grain=300)
+    # a valid non-default grain runs
+    out = mixture_rebalance_to_targets(docs, tgt, grain=128).collect()
+    assert len(out) == 2

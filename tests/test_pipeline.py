@@ -192,7 +192,7 @@ class _FakeFS:
 def _swap(fs):
     from finance_reporting_etl_spark.operators.incremental import checked_swap
 
-    checked_swap(fs, str, "live", "staged", "old")
+    checked_swap(fs, "live", "staged", "old")
 
 
 def test_checked_swap_happy_path_replaces_and_cleans_backup():
