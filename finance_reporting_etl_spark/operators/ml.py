@@ -502,3 +502,59 @@ def bagging_oracle_sql() -> str:
         FROM ev"""
     )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def negative_sampling(
+    interactions: DataFrame,
+    n_items: int,
+    k: int = 5,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    salt: str = "neg",
+    margin: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for every user in ``interactions``, ``k`` items the user has NOT
+    interacted with. Candidates come from hashed ring probing —
+    item = md5(user, slot, salt) mod n_items + 1 over 2k + margin
+    slots — so the draw is a pure function of (user, slot): stable
+    across runs/engines and NEVER a per-row RNG (which would be
+    irreproducible under retries). The anti-join against the user's
+    own interactions runs on (user, item) — per-user work is O(k),
+    never O(catalog). Items are assumed keyed 1..n_items (TPC-H
+    partkeys). Heavy users whose probes all collide with positives
+    yield fewer than k rows (deterministically, both engines).
+    Returns (user, rank, item) with rank 1..k in slot order."""
+    users = interactions.select(F.col(user_col).alias("u")).distinct()
+    m = 2 * k + margin
+    cand = users.select(
+        "u", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("slot")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("-", F.col("u"), F.col("slot"), F.lit(salt)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = cand.withColumn("item", h % F.lit(n_items) + 1)
+    pos = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item")
+    ).distinct()
+    neg = cand.join(pos, ["u", "item"], "left_anti")
+    w = Window.partitionBy("u").orderBy("slot")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("rank").cast("long").alias("rank"),
+            "item",
+        )
+    )

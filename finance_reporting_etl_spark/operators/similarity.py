@@ -614,3 +614,50 @@ def random_projection_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def hard_negatives_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    query, the k nearest vectors with a DIFFERENT label — the
+    most-confusable negatives, which carry most of the training signal
+    (random negatives are trivially separable after the first epochs).
+    Same broadcast-query + rank-window shape as
+    :func:`brute_force_topk` with a label-disagreement predicate on
+    the join; the scale path swaps this scorer behind an IVF probe
+    exactly like the positive-pair queries. Returns
+    (query_id, q_label, neighbor_id, n_label, score, rank)."""
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("n_label")),
+        )
+        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .select("query_id", "q_label", "neighbor_id", "n_label", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "q_label", "neighbor_id", "n_label", "score", "rank")
+    )

@@ -3157,3 +3157,81 @@ ORACLES["near_dup_incremental_batch"] = f"""
     SELECT batch_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
+ORACLES["hard_negative_mining"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, q_label, neighbor_id, n_label,
+               round(list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0), 6) AS score
+        FROM q JOIN c ON query_id <> neighbor_id AND q_label <> n_label
+    )
+    SELECT query_id, q_label, neighbor_id, n_label, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+ORACLES["groupwise_leakage_safe_split"] = """
+    WITH s AS (
+        SELECT user_id, event_id,
+               CASE WHEN b < 0.8 * 256.0 THEN 'train'
+                    WHEN b < (0.8 + 0.1) * 256.0 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT user_id, event_id,
+                   CAST((instr('0123456789abcdef',
+                               substr(md5(CAST(user_id AS VARCHAR) || 'usersplit'), 1, 1)) - 1) * 16
+                        + (instr('0123456789abcdef',
+                                 substr(md5(CAST(user_id AS VARCHAR) || 'usersplit'), 2, 1)) - 1)
+                        AS DOUBLE) AS b
+            FROM events
+        )
+    ),
+    per_split AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM s GROUP BY 1
+    ),
+    leaky AS (
+        SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_leaky_users
+        FROM (SELECT user_id, count(DISTINCT split) AS ns FROM s GROUP BY 1)
+    )
+    SELECT split, n_events, n_users, n_leaky_users FROM per_split CROSS JOIN leaky
+"""
+
+ORACLES["negative_sampling_recsys"] = """
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    users AS (SELECT DISTINCT u FROM inter),
+    n AS (SELECT count(*) AS n_items FROM part),
+    cand AS (
+        SELECT u, slot,
+               CAST(concat('0x', substr(md5(CAST(u AS VARCHAR) || '-'
+                           || CAST(slot AS VARCHAR) || '-neg'), 1, 8))
+                    AS BIGINT) % (SELECT n_items FROM n) + 1 AS item
+        FROM users, unnest(generate_series(1, 14)) AS t(slot)
+    ),
+    neg AS (
+        SELECT c.u, c.slot, c.item
+        FROM cand c ANTI JOIN inter i ON c.u = i.u AND c.item = i.item
+    )
+    SELECT u AS user_id,
+           CAST(row_number() OVER (PARTITION BY u ORDER BY slot) AS BIGINT)
+               AS rank,
+           item
+    FROM neg
+    QUALIFY rank <= 5
+"""
+

@@ -2494,6 +2494,81 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_index(batch_ix, corpus_ix, threshold=0.5)
 
 
+@query("negative_sampling_recsys",
+    _ORACLES["negative_sampling_recsys"],
+    "X-pipe implicit-feedback training data: k deterministic non-interacted items per user via hashed ring probing + anti-join — no per-row RNG, O(k) per user, never O(catalog)",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for implicit-feedback recommenders: positives
+    are (customer, part) purchase pairs; each customer gets 5 items
+    they never bought. The draw is hashed ring probing —
+    item = md5(user, slot) mod |parts| + 1 over 14 slots, anti-joined
+    against the user's own interactions, first 5 survivors kept in
+    slot order — a pure function of (user, slot), so retries and
+    engines reproduce the same sample (a per-row RNG would not).
+    Operator: operators.ml.negative_sampling."""
+    from finance_reporting_etl_spark.operators.ml import negative_sampling
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    n_items = _t(spark, sf_dir, "part").count()  # bounded scalar
+    return negative_sampling(inter, n_items, k=5)
+
+
+@query("groupwise_leakage_safe_split",
+    _ORACLES["groupwise_leakage_safe_split"],
+    "X-pipe leakage-safe train/val/test split: events split by USER hash (not per row), so no entity straddles splits — per-split audit plus a machine-checked zero-leak count",
+)
+def q_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-leakage-safe splitting: hashing per ROW puts one user's
+    events on both sides of train/test — the classic recsys/CTR
+    leak. Hashing the USER key instead assigns every event of a user
+    to one split by construction. The audit output counts events and
+    users per split AND the number of users observed in more than one
+    split (provably 0 — computed, not assumed, so the oracle
+    re-verifies the guarantee rather than trusting it)."""
+    from finance_reporting_etl_spark.operators.corpus import hash_split
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    s = hash_split(
+        ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="usersplit"
+    )
+    per_split = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    leaky = (
+        s.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("__ns"))
+        .agg(
+            F.sum((F.col("__ns") > 1).cast("bigint")).alias("n_leaky_users")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(leaky))
+
+
+@query("hard_negative_mining",
+    _ORACLES["hard_negative_mining"],
+    "X3/X-pipe contrastive-training data: per query, top-5 nearest embeddings with a DIFFERENT label — the most-confusable negatives (broadcast-query scorer + label-disagreement predicate; IVF-swappable at scale)",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive/metric training: random negatives
+    are trivially separable after the first epochs, so the examples
+    that carry signal are the nearest vectors of a DIFFERENT class.
+    Exact scorer over broadcast queries with the label-disagreement
+    predicate fused into the join (no post-filter pass); the scale
+    path swaps in the IVF probe exactly like the positive-pair
+    queries. Operator: operators.similarity.hard_negatives_topk."""
+    from finance_reporting_etl_spark.operators.similarity import hard_negatives_topk
+
+    return hard_negatives_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("mad_robust_outliers",
     _ORACLES["mad_robust_outliers"],
     "A/X-tier robust stats: median/MAD modified z-score outliers (|v - med| / (1.4826 * MAD) > 3.5) — exact interpolated order statistics, the heavy-tail-safe complement to stddev z-scores",
@@ -5318,6 +5393,9 @@ _GATE_NEXT = [
     "streaming_ann_index_maintain",
     "mad_robust_outliers",
     "near_dup_incremental_batch",
+    "hard_negative_mining",
+    "groupwise_leakage_safe_split",
+    "negative_sampling_recsys",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
