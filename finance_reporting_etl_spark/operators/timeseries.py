@@ -291,3 +291,55 @@ def rolling_pearson(
     return w.filter(F.col("n") == window_rows).select(
         day_col, F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias(out_col)
     )
+
+
+def time_weighted_daily_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """TWAP-style daily average: each observation holds its value until
+    the next one (or until midnight for the day's last), and the
+    average weights each value by its holding time — the finance
+    convention for irregularly-sampled series, where a plain mean
+    over-weights bursts. Weights are exact integer MICROseconds, values
+    integer cents, so the two sums are exact in any aggregation order
+    and the single final division is IEEE-identical cross-engine
+    (PLANS.md #10 recipe). Int64 headroom holds at ANY event count:
+    holding times telescope, so a (key, day) group's weight sum is at
+    most one day of microseconds (8.64e10) and the weighted sum at
+    most max_cents * 8.64e10 — orders of magnitude under 2^63. One
+    partitioned lead window per (key, day) — a series-day never
+    leaves its partition. Returns (*key_cols, day, n_obs, twap)."""
+    day = F.to_date(F.date_trunc("day", ts_col))
+    w = Window.partitionBy(*key_cols, "day").orderBy(ts_col, tiebreak_col)
+    b = df.withColumn("day", day).withColumn(
+        "__next",
+        F.coalesce(
+            F.lead(ts_col).over(w),
+            (F.col("day") + F.expr("INTERVAL 1 DAY")).cast("timestamp"),
+        ),
+    )
+    # microseconds, not unix_timestamp: that truncates sub-second
+    # components and silently disagrees with fractional-epoch engines
+    secs = (F.unix_micros("__next") - F.unix_micros(F.col(ts_col))).cast("bigint")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    g = b.groupBy(*key_cols, "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(cents * secs).alias("__wsum"),
+        F.sum(secs).alias("__tsecs"),
+    )
+    return g.select(
+        *key_cols,
+        "day",
+        "n_obs",
+        F.round(
+            F.col("__wsum").cast("double")
+            / 100.0
+            / F.nullif(F.col("__tsecs").cast("double"), F.lit(0.0)),
+            scale,
+        ).alias("twap"),
+    )

@@ -3235,3 +3235,22 @@ ORACLES["negative_sampling_recsys"] = """
     QUALIFY rank <= 5
 """
 
+ORACLES["twap_daily_value"] = """
+    WITH b AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(coalesce(
+                   lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id),
+                   CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+               )) - epoch_us(ts) AS BIGINT) AS secs
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(cents * secs) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(secs) AS DOUBLE), 0), 6) AS twap
+    FROM b GROUP BY 1, 2
+"""
+

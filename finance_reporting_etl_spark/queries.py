@@ -2494,6 +2494,26 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_index(batch_ix, corpus_ix, threshold=0.5)
 
 
+@query("twap_daily_value",
+    _ORACLES["twap_daily_value"],
+    "§2.5/finance: time-weighted daily average (TWAP) for irregularly-sampled series — each value weighted by its holding seconds until the next observation or midnight; exact integer moments, one final division",
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP per (event_type, day): the finance convention for
+    irregular samples — a burst of ticks must not drag the average,
+    so each value is weighted by how long it HELD (seconds until the
+    next observation, the day's last holding until midnight). Weights
+    are exact integer seconds and values integer cents, so both sums
+    are order-independent and only the final division is float.
+    Operator: operators.timeseries.time_weighted_daily_avg."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        time_weighted_daily_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    return time_weighted_daily_avg(ev, ["event_type"])
+
+
 @query("negative_sampling_recsys",
     _ORACLES["negative_sampling_recsys"],
     "X-pipe implicit-feedback training data: k deterministic non-interacted items per user via hashed ring probing + anti-join — no per-row RNG, O(k) per user, never O(catalog)",
@@ -5396,6 +5416,7 @@ _GATE_NEXT = [
     "hard_negative_mining",
     "groupwise_leakage_safe_split",
     "negative_sampling_recsys",
+    "twap_daily_value",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
