@@ -512,6 +512,7 @@ def negative_sampling(
     item_col: str = "item_id",
     salt: str = "neg",
     margin: int = 4,
+    users: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training:
     for every user in ``interactions``, ``k`` items the user has NOT
@@ -524,8 +525,17 @@ def negative_sampling(
     never O(catalog). Items are assumed keyed 1..n_items (TPC-H
     partkeys). Heavy users whose probes all collide with positives
     yield fewer than k rows (deterministically, both engines).
-    Returns (user, rank, item) with rank 1..k in slot order."""
-    users = interactions.select(F.col(user_col).alias("u")).distinct()
+    Probes that collide onto the same item are deduped to the lowest
+    slot, so the k negatives are k DISTINCT items (round-5 review).
+    Pass ``users`` (a small upstream dimension, e.g. the customer or
+    orders table) when ``interactions`` is a heavy join — deriving the
+    user list from it would evaluate that subtree twice (PLANS.md #27
+    lesson). Returns (user, rank, item) with rank 1..k in slot
+    order."""
+    if users is None:
+        users = interactions.select(F.col(user_col).alias("u")).distinct()
+    else:
+        users = users.select(F.col(user_col).alias("u")).distinct()
     m = 2 * k + margin
     cand = users.select(
         "u", F.explode(F.sequence(F.lit(1), F.lit(m))).alias("slot")
@@ -547,7 +557,13 @@ def negative_sampling(
     pos = interactions.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("item")
     ).distinct()
-    neg = cand.join(pos, ["u", "item"], "left_anti")
+    neg = (
+        cand.join(pos, ["u", "item"], "left_anti")
+        # two slots can hash onto the same item: keep the lowest slot so
+        # the ranked negatives are distinct items
+        .groupBy("u", "item")
+        .agg(F.min("slot").alias("slot"))
+    )
     w = Window.partitionBy("u").orderBy("slot")
     return (
         neg.withColumn("rank", F.row_number().over(w))

@@ -32,26 +32,43 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
 
-    Deterministic tie-break: (score DESC, neighbor id ASC).
-    Returns (query_id, neighbor_id, score, rank).
+    Deterministic tie-break: (score DESC, neighbor id ASC). With
+    ``label_col`` set, only candidates whose label DIFFERS from the
+    query's qualify (hard-negative mining — see
+    :func:`hard_negatives_topk`) and (q_label, n_label) ride the
+    output. Returns (query_id[, q_label], neighbor_id[, n_label],
+    score, rank) — one scorer pipeline, so tie-break/rounding/self-
+    exclusion can never drift between the two uses.
     """
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("q_label"))
+        c_cols.append(F.col(label_col).alias("n_label"))
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(*q_cols)
+    c = spread(embeddings).select(*c_cols)
+    pred = F.col("query_id") != F.col("neighbor_id")
+    if label_col is not None:
+        pred = pred & (F.col("q_label") != F.col("n_label"))
+    out_cols = (
+        ["query_id", "neighbor_id", "score"]
+        if label_col is None
+        else ["query_id", "q_label", "neighbor_id", "n_label", "score"]
     )
-    c = spread(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), pred)
         .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
-        .select("query_id", "neighbor_id", "score")
+        .select(*out_cols)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(*out_cols, "rank")
     )
 
 
@@ -629,35 +646,11 @@ def hard_negatives_topk(
     query, the k nearest vectors with a DIFFERENT label — the
     most-confusable negatives, which carry most of the training signal
     (random negatives are trivially separable after the first epochs).
-    Same broadcast-query + rank-window shape as
-    :func:`brute_force_topk` with a label-disagreement predicate on
-    the join; the scale path swaps this scorer behind an IVF probe
-    exactly like the positive-pair queries. Returns
+    A thin binding over :func:`brute_force_topk` with the label
+    predicate fused into its join (one scorer pipeline — r5 review);
+    the scale path swaps the scorer behind an IVF probe exactly like
+    the positive-pair queries. Returns
     (query_id, q_label, neighbor_id, n_label, score, rank)."""
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(label_col).alias("q_label"),
-    )
-    c = spread(embeddings).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("n_label"),
-    )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("query_id") != F.col("neighbor_id"))
-            & (F.col("q_label") != F.col("n_label")),
-        )
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
-        .select("query_id", "q_label", "neighbor_id", "n_label", "score")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "q_label", "neighbor_id", "n_label", "score", "rank")
+    return brute_force_topk(
+        embeddings, query_ids, k, id_col, vec_col, scale, label_col=label_col
     )

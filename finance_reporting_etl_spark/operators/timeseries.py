@@ -305,7 +305,10 @@ def time_weighted_daily_avg(
     the next one (or until midnight for the day's last), and the
     average weights each value by its holding time — the finance
     convention for irregularly-sampled series, where a plain mean
-    over-weights bursts. Weights are exact integer MICROseconds, values
+    over-weights bursts. NULL-valued observations carry the previous
+    value forward (they are excluded before the lead window, so they
+    contribute neither weight nor count). Weights are exact integer
+    MICROseconds, values
     integer cents, so the two sums are exact in any aggregation order
     and the single final division is IEEE-identical cross-engine
     (PLANS.md #10 recipe). Int64 headroom holds at ANY event count:
@@ -316,7 +319,11 @@ def time_weighted_daily_avg(
     leaves its partition. Returns (*key_cols, day, n_obs, twap)."""
     day = F.to_date(F.date_trunc("day", ts_col))
     w = Window.partitionBy(*key_cols, "day").orderBy(ts_col, tiebreak_col)
-    b = df.withColumn("day", day).withColumn(
+    # NULL-valued observations are dropped BEFORE the lead window, so
+    # the previous value's holding time extends through them
+    # (carry-forward) instead of silently biasing the average toward
+    # zero by leaking their seconds into the denominator (r5 review)
+    b = df.filter(F.col(value_col).isNotNull()).withColumn("day", day).withColumn(
         "__next",
         F.coalesce(
             F.lead(ts_col).over(w),

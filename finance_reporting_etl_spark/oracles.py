@@ -3224,8 +3224,11 @@ ORACLES["negative_sampling_recsys"] = """
         FROM users, unnest(generate_series(1, 14)) AS t(slot)
     ),
     neg AS (
-        SELECT c.u, c.slot, c.item
+        -- probes colliding onto one item dedupe to the lowest slot, so
+        -- the k negatives are k DISTINCT items
+        SELECT c.u, min(c.slot) AS slot, c.item
         FROM cand c ANTI JOIN inter i ON c.u = i.u AND c.item = i.item
+        GROUP BY c.u, c.item
     )
     SELECT u AS user_id,
            CAST(row_number() OVER (PARTITION BY u ORDER BY slot) AS BIGINT)
@@ -3246,6 +3249,7 @@ ORACLES["twap_daily_value"] = """
                    CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
                )) - epoch_us(ts) AS BIGINT) AS secs
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type, day,
            CAST(count(*) AS BIGINT) AS n_obs,

@@ -2496,14 +2496,15 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("twap_daily_value",
     _ORACLES["twap_daily_value"],
-    "§2.5/finance: time-weighted daily average (TWAP) for irregularly-sampled series — each value weighted by its holding seconds until the next observation or midnight; exact integer moments, one final division",
+    "§2.5/finance: time-weighted daily average (TWAP) for irregularly-sampled series — each value weighted by its integer-microsecond holding time until the next observation or midnight; exact integer moments, one final division",
 )
 def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWAP per (event_type, day): the finance convention for
     irregular samples — a burst of ticks must not drag the average,
-    so each value is weighted by how long it HELD (seconds until the
-    next observation, the day's last holding until midnight). Weights
-    are exact integer seconds and values integer cents, so both sums
+    so each value is weighted by how long it HELD (microseconds until
+    the next observation, the day's last holding until midnight;
+    NULL-valued rows carry the previous value forward). Weights are
+    exact integer microseconds and values integer cents, so both sums
     are order-independent and only the final division is float.
     Operator: operators.timeseries.time_weighted_daily_avg."""
     from finance_reporting_etl_spark.operators.timeseries import (
@@ -2535,7 +2536,12 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
     )
     n_items = _t(spark, sf_dir, "part").count()  # bounded scalar
-    return negative_sampling(inter, n_items, k=5)
+    # user list from the small orders dim, NOT from the heavy join
+    # (every order has lineitems, so the sets are identical) — avoids
+    # evaluating the interactions subtree twice (PLANS.md #27)
+    return negative_sampling(
+        inter, n_items, k=5, users=o.select(F.col("o_custkey").alias("user_id"))
+    )
 
 
 @query("groupwise_leakage_safe_split",

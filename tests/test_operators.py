@@ -1978,17 +1978,17 @@ def test_ivfpq_rerank_improves_or_matches_adc_ranking(emb):
     luts = spark.createDataFrame(
         pq_query_luts(emb, qids, books), "query_id long, m int, code int, d2 double"
     )
-    exact = similarity.brute_force_topk(emb, qids, k=5)
+    erows = similarity.brute_force_topk(emb, qids, k=5).collect()
     adc = ivfpq_topk_from_tables(index, probes, luts, k=5)
     rr = ivfpq_rerank_topk(index, probes, luts, emb, shortlist=50, k=5)
-    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in erows}
     a = {(r.query_id, r.neighbor_id) for r in adc.collect()}
     rrows = rr.collect()
     r = {(x.query_id, x.neighbor_id) for x in rrows}
     assert len(r & e) >= len(a & e), "exact rerank lost recall vs raw ADC"
     # rerank scores are TRUE cosines: where a pair also appears in the
     # brute-force result, the scores agree exactly
-    escore = {(x.query_id, x.neighbor_id): x.score for x in exact.collect()}
+    escore = {(x.query_id, x.neighbor_id): x.score for x in erows}
     for x in rrows:
         if (x.query_id, x.neighbor_id) in escore:
             assert abs(x.score - escore[(x.query_id, x.neighbor_id)]) < 1e-9
