@@ -408,13 +408,22 @@ def winsorized_group_stats(
         F.min("hi_cut").alias("hi_cut"),
         F.round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
         F.round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (sum_sq - sum_win * sum_win / n) / 10000.0 / (n - F.lit(1)),
-                    F.lit(0.0),
-                )
+        # sample sd is undefined for a single observation: explicit
+        # NULL, not a divide-by-zero crash under ANSI mode (found by
+        # the hypothesis reference test; greatest() would swallow a
+        # NULLIF into 0.0, hence the WHEN gate)
+        F.when(
+            n > 1,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (sum_sq - sum_win * sum_win / n)
+                        / 10000.0
+                        / (n - F.lit(1)),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
             ),
-            6,
         ).alias("sd_winsor"),
     )

@@ -357,3 +357,153 @@ def test_clamped_balance_property(spark, pairs):
     for k, _, _, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
         want[k] = max(0, want.get(k, 0) + v)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=100),    # lo
+            st.integers(min_value=1, max_value=30),     # length
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_intervals_matches_python_sweep(spark, raw):
+    """merge_intervals (one-window sweep line) == a literal Python
+    merge on arbitrary overlapping/nested/touching integer intervals."""
+    from finance_reporting_etl_spark.operators.rangejoin import merge_intervals
+
+    rows = [(k, lo, lo + ln) for k, lo, ln in raw]
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    got = {
+        (r.k, r.lo, r.hi)
+        for r in merge_intervals(df, ["k"], "lo", "hi").collect()
+    }
+    want = set()
+    by_k: dict = {}
+    for k, lo, hi in rows:
+        by_k.setdefault(k, []).append((lo, hi))
+    for k, ivs in by_k.items():
+        ivs.sort()
+        cur_lo, cur_hi = ivs[0]
+        for lo, hi in ivs[1:]:
+            if lo > cur_hi:  # strict gap — touching intervals merge
+                want.add((k, cur_lo, cur_hi))
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        want.add((k, cur_lo, cur_hi))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),          # key
+            st.integers(min_value=0, max_value=86_399),     # second of day
+            st.integers(min_value=0, max_value=20_000),     # cents
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_twap_matches_python_reference(spark, raw):
+    """time_weighted_daily_avg == a literal Python holding-time
+    computation on one synthetic day of irregular ticks."""
+    import datetime
+
+    from finance_reporting_etl_spark.operators.timeseries import (
+        time_weighted_daily_avg,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (k, i, base + datetime.timedelta(seconds=sec), cents / 100.0)
+        for i, (k, sec, cents) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.k: (r.n_obs, r.twap)
+        for r in time_weighted_daily_avg(df, ["k"]).collect()
+    }
+    by_k: dict = {}
+    for k, _, ts, v in rows:
+        by_k.setdefault(k, []).append((ts, v))
+    day_end = base + datetime.timedelta(days=1)
+    for k, obs in by_k.items():
+        obs.sort()
+        wsum = tsum = 0
+        for i, (ts, v) in enumerate(obs):
+            nxt = obs[i + 1][0] if i + 1 < len(obs) else day_end
+            micros = int((nxt - ts).total_seconds() * 1_000_000)
+            wsum += round(v * 100) * micros
+            tsum += micros
+        want = round(wsum / 100.0 / tsum, 6)
+        n, twap = got[k]
+        assert n == len(obs)
+        assert abs(twap - want) < 1e-9, (k, twap, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                 # group
+            st.integers(min_value=0, max_value=50_000),  # cents (2dp grid)
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_winsorized_stats_match_numpy_reference(spark, raw):
+    """winsorized_group_stats == a literal numpy nearest-rank clip +
+    integer-cent moments on arbitrary 2-decimal data."""
+    import math
+
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.ranking import (
+        winsorized_group_stats,
+    )
+
+    rows = [(g, i, c / 100.0) for i, (g, c) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    got = {
+        r.g: r
+        for r in winsorized_group_stats(df, "g", "value", "event_id").collect()
+    }
+    by_g: dict = {}
+    for g, _, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        # nearest-rank order statistics on (value, arrival) order — ties
+        # in value are broken by event_id, but the VALUE at a rank is
+        # unaffected by tie order
+        svals = sorted(vals)
+        n = len(svals)
+        k_lo = max(math.ceil(n * 0.01), 1)
+        k_hi = max(math.ceil(n * 0.99), 1)
+        lo_cut, hi_cut = svals[k_lo - 1], svals[k_hi - 1]
+        rawi = np.array([round(v * 100) for v in vals], dtype=np.int64)
+        wini = np.array(
+            [round(min(max(v, lo_cut), hi_cut) * 100) for v in vals],
+            dtype=np.int64,
+        )
+        r = got[g]
+        assert r.n == n and r.lo_cut == lo_cut and r.hi_cut == hi_cut
+        assert abs(r.mean_raw - round(float(rawi.sum()) / 100.0 / n, 6)) < 1e-9
+        assert abs(r.mean_winsor - round(float(wini.sum()) / 100.0 / n, 6)) < 1e-9
+        if n > 1:
+            sw = float(wini.sum())
+            var = max((float((wini * wini).sum()) - sw * sw / n) / 10000.0 / (n - 1), 0.0)
+            assert abs(r.sd_winsor - round(math.sqrt(var), 6)) < 1e-9
+        else:
+            # sample sd undefined for one observation -> NULL, not a crash
+            assert r.sd_winsor is None
