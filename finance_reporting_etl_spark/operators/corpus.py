@@ -780,3 +780,61 @@ def mixture_rebalance_to_targets(
             F.round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
         )
     )
+
+
+def ctfidf_distinctive_terms(
+    docs: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+    min_tf: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic labeling trick): which terms
+    CHARACTERIZE each subcorpus — score = (tf_class / tokens_class) *
+    ln(1 + avg_class_tokens / corpus_term_freq), so terms common
+    everywhere score low and class-concentrated terms rise. The
+    standard readout for naming clusters / auditing source mixes.
+
+    One token explode feeds three count aggregates (class-term, term,
+    class); the two corpus scalars broadcast; the score is a single
+    closed-form float chain on exact integer counts, so a SQL engine
+    reproduces it bit-for-bit. Top-k per class by (score DESC, term).
+    Returns (class, term, tf, score, rank)."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term"),
+    )
+    tfc = t.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ft = t.groupBy("term").agg(F.count(F.lit(1)).alias("f_term"))
+    tokc = t.groupBy("cls").agg(F.count(F.lit(1)).alias("toks"))
+    scal = t.agg(
+        F.count(F.lit(1)).cast("double").alias("__tot"),
+        F.count_distinct("cls").cast("double").alias("__ncls"),
+    )
+    scored = (
+        tfc.filter(F.col("tf") >= min_tf)
+        .join(F.broadcast(ft), "term")
+        .join(F.broadcast(tokc), "cls")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "cls",
+            "term",
+            "tf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("toks"))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("__tot") / F.col("__ncls")) / F.col("f_term")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("cls").alias(class_col), "term", "tf", "score", "rank")
+    )

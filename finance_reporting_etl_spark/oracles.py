@@ -3258,3 +3258,35 @@ ORACLES["twap_daily_value"] = """
     FROM b GROUP BY 1, 2
 """
 
+ORACLES["ctfidf_distinctive_terms"] = f"""
+    WITH t AS (
+        SELECT lang AS cls, unnest({_TOKS}) AS term FROM documents
+    ),
+    tfc AS (
+        SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2
+    ),
+    ft AS (SELECT term, CAST(count(*) AS BIGINT) AS f_term FROM t GROUP BY 1),
+    tokc AS (SELECT cls, CAST(count(*) AS BIGINT) AS toks FROM t GROUP BY 1),
+    scal AS (
+        SELECT CAST(count(*) AS DOUBLE) AS tot,
+               CAST(count(DISTINCT cls) AS DOUBLE) AS ncls
+        FROM t
+    ),
+    scored AS (
+        SELECT tfc.cls, tfc.term, tfc.tf,
+               round((CAST(tfc.tf AS DOUBLE) / tokc.toks)
+                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term), 6) AS score
+        FROM tfc
+        JOIN ft USING (term)
+        JOIN tokc USING (cls)
+        CROSS JOIN scal
+        WHERE tfc.tf >= 5
+    )
+    SELECT cls AS lang, term, tf, score,
+           CAST(row_number() OVER (PARTITION BY cls
+                                   ORDER BY score DESC, term) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+

@@ -2494,6 +2494,26 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_index(batch_ix, corpus_ix, threshold=0.5)
 
 
+@query("ctfidf_distinctive_terms",
+    _ORACLES["ctfidf_distinctive_terms"],
+    "X4 corpus organization: class-based TF-IDF (BERTopic labeling trick) — per-language distinctive terms from one token explode + three count aggregates, closed-form float score on exact counts",
+)
+def q_ctfidf_distinctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which terms CHARACTERIZE each language subcorpus? c-TF-IDF
+    scores (tf_class / tokens_class) * ln(1 + avg_class_tokens /
+    corpus_term_freq), so ubiquitous terms sink and class-concentrated
+    terms rise — the standard readout for naming clusters and
+    auditing source mixes before training. Operator:
+    operators.corpus.ctfidf_distinctive_terms."""
+    from finance_reporting_etl_spark.operators.corpus import (
+        ctfidf_distinctive_terms,
+    )
+
+    return ctfidf_distinctive_terms(
+        _t(spark, sf_dir, "documents"), class_col="lang", k=5, min_tf=5
+    )
+
+
 @query("twap_daily_value",
     _ORACLES["twap_daily_value"],
     "§2.5/finance: time-weighted daily average (TWAP) for irregularly-sampled series — each value weighted by its integer-microsecond holding time until the next observation or midnight; exact integer moments, one final division",
@@ -5423,6 +5443,7 @@ _GATE_NEXT = [
     "groupwise_leakage_safe_split",
     "negative_sampling_recsys",
     "twap_daily_value",
+    "ctfidf_distinctive_terms",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
