@@ -30,10 +30,22 @@ def checked_swap(fs, live, staged, old) -> None:
     The unrecoverable window is the single rename in step 3 after
     step 2 moved live aside — identical to compact_partition's
     documented crash policy. Single-writer only.
+
+    A backup WITHOUT a live table means a previous swap crashed after
+    moving live aside — ``old`` is then the only surviving copy, so
+    step 1 refuses instead of deleting it (manual recovery: rename
+    ``old`` back to the live path).
     """
-    if fs.exists(old) and not fs.delete(old, True):
-        raise IOError(f"could not clear stale backup {old}")
     had_live = fs.exists(live)
+    if fs.exists(old):
+        if not had_live:
+            raise IOError(
+                f"backup {old} exists but {live} does not — a previous "
+                f"swap crashed mid-rename and {old} is the only copy; "
+                f"restore it manually before retrying"
+            )
+        if not fs.delete(old, True):
+            raise IOError(f"could not clear stale backup {old}")
     if had_live and not fs.rename(live, old):
         raise IOError(f"rename {live} -> {old} failed; live table intact")
     if not fs.rename(staged, live):
@@ -153,7 +165,13 @@ def drop_expired_partitions(
             continue
         value = name[len(prefix):]
         if value < horizon_value:
-            fs.delete(status.getPath(), True)
+            # Hadoop delete() returns False on failure instead of
+            # throwing — reporting an undropped partition as dropped
+            # would let expired data silently persist (review)
+            if not fs.delete(status.getPath(), True):
+                raise IOError(
+                    f"failed to delete expired partition {status.getPath()}"
+                )
             dropped.append(value)
     return dropped
 
@@ -187,9 +205,27 @@ def table_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """
     cols = a.columns
     ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
+    # NULL-safe equality on every payload column: a plain column-name
+    # join never matches NULL == NULL, so identical rows containing a
+    # NULL would report as a_only AND b_only — a migration diff that
+    # could never come back empty (review). The b side is RENAMED
+    # before the join (not aliased) so the condition stays unambiguous
+    # even when a and b derive from the same source DataFrame.
     cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
-    j = ca.join(cb, cols, "full_outer").filter(
-        ~(F.col("__na").eqNullSafe(F.col("__nb")))
+    for c in cols:
+        cb = cb.withColumnRenamed(c, f"__b_{c}")
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = (
+        ca.join(cb, cond, "full_outer")
+        .select(
+            *[F.coalesce(F.col(c), F.col(f"__b_{c}")).alias(c) for c in cols],
+            "__na",
+            "__nb",
+        )
+        .filter(~(F.col("__na").eqNullSafe(F.col("__nb"))))
     )
     a_only = j.filter(F.coalesce("__na", F.lit(0)) > F.coalesce("__nb", F.lit(0))).select(
         F.lit("a_only").alias("side"),
@@ -326,7 +362,13 @@ def forget_keys(
     HPath = jvm.org.apache.hadoop.fs.Path
     for pv in affected:
         part_dir = f"{path}/{partition_col}={pv}"
-        keep = spark.read.parquet(part_dir).filter(~F.col(key_col).isin(keys))
+        # NULL-keyed rows (e.g. anonymous events) must SURVIVE the
+        # rewrite: ~isin(keys) evaluates to NULL for NULL keys and
+        # filter drops NULL predicates — without the isNull() arm a
+        # GDPR delete would silently destroy unrelated rows (review)
+        keep = spark.read.parquet(part_dir).filter(
+            (~F.col(key_col).isin(keys)) | F.col(key_col).isNull()
+        )
         tmp = f"{path}/_forget_tmp_{partition_col}={pv}"
         keep.write.mode("overwrite").parquet(tmp)
         p = HPath(part_dir)

@@ -112,7 +112,9 @@ def extract_features(
 
     Raising ``NotImplementedError`` inside a real extractor for an
     unsupported codec fails the task, not the plan — wrap per-row if
-    partial success is wanted.
+    partial success is wanted. ``out_dim`` declares the extractor's
+    feature length and is VALIDATED per row (a silent length mismatch
+    would poison downstream fixed-dim consumers like ANN indexes).
     """
     out_schema = T.StructType(
         [
@@ -127,14 +129,20 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            feats = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                f = extractor(p, m)
+                if len(f) != out_dim:
+                    raise ValueError(
+                        f"extractor returned {len(f)} features for a "
+                        f"{m} payload; out_dim={out_dim}"
+                    )
+                feats.append(f)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "features": [
-                        extractor(p, m)
-                        for p, m in zip(pdf["payload"], pdf["media_type"])
-                    ],
+                    "features": feats,
                 }
             )
 
@@ -432,13 +440,24 @@ def frame_sample(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> Da
     the pipeline. Filter pushes 'video' down to the scan; the explode
     multiplies rows map-side with no shuffle.
     """
+    # NULL duration must yield ZERO frames, not max_frames (least()
+    # skips NULLs); zero duration likewise must not fabricate frame 0
+    # (sequence(0, greatest(-1, 0)) would emit it) — hence the
+    # coalesce-0 and the n_frames > 0 gate (review)
     n_frames = F.least(
-        F.ceil(F.col("meta.duration_ms") / F.lit(1000.0) * F.lit(fps)).cast("int"),
+        F.ceil(
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+            / F.lit(1000.0)
+            * F.lit(fps)
+        ).cast("int"),
         F.lit(max_frames),
     )
     return (
         media.filter(F.col("media_type") == "video")
-        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .withColumn("__nf", n_frames)
+        .filter(F.col("__nf") > 0)
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.col("__nf") - 1)))
+        .drop("__nf")
         .select(
             "doc_id",
             "frame_idx",

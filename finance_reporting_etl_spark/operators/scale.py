@@ -42,12 +42,22 @@ def salted_join(
     Semantically identical to ``left.join(right, keys, how)`` for
     ``inner`` and ``left`` joins (each left row carries exactly one
     salt, and its key's right-side rows exist at every salt). The salt
-    is a deterministic hash of the whole left row (all columns), so
-    replays produce identical layouts.
+    mixes a per-row id into the row hash: hashing row CONTENT alone
+    sends fully-duplicate rows of a hot key to ONE salt — paying the
+    n_salts-fold right-side replication while spreading nothing
+    (review). Join RESULTS stay deterministic (the salt only routes
+    rows); only the physical layout varies run to run, which is true
+    of any shuffle.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
+    salt = F.pmod(
+        F.xxhash64(
+            F.struct(*[F.col(c) for c in left.columns]),
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(n_salts),
+    )
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_replicated = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -56,11 +56,19 @@ def cms_estimates(
     placements: DataFrame, sketch: DataFrame, key_col: str = "token"
 ) -> DataFrame:
     """Point estimates: est(key) = min over d of its cell count. The
-    sketch is tiny (depth*width rows) and broadcasts."""
+    sketch is tiny (depth*width rows) and broadcasts. LEFT join +
+    coalesce-0: a probed key whose cell holds no sketch row means that
+    cell counted NOTHING — the true CMS estimate is 0, and an inner
+    join would instead take the min over only collided cells (a wrong
+    positive) or drop the key entirely (review)."""
     return (
-        placements.join(F.broadcast(sketch), ["d", "col"])
+        placements.join(F.broadcast(sketch), ["d", "col"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell_cnt").alias("est_count"))
+        .agg(
+            F.min(F.coalesce("cell_cnt", F.lit(0).cast("long"))).alias(
+                "est_count"
+            )
+        )
     )
 
 
@@ -90,11 +98,13 @@ def value_histogram(
     value/width is then an EXACT float64 operation, so bin boundaries
     cannot drift between engines (the reason this sketch is fully
     oracle-verifiable where t-digest could not be). Out-of-range values
-    clamp into the edge bins."""
+    clamp into the edge bins; NULL values are excluded — greatest/least
+    skip NULLs, so an unfiltered NULL would silently land in bin 0 and
+    skew every downstream quantile (review)."""
     b = F.floor(F.col(value_col) / F.lit(width))
     bin_ = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
     return (
-        events.select(
+        events.filter(F.col(value_col).isNotNull()).select(
             F.date_trunc("day", F.col(ts_col)).alias("day"), *group_cols, bin_.alias("bin")
         )
         .groupBy("day", *group_cols, "bin")
@@ -135,9 +145,18 @@ def histogram_quantiles(
     )
     pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
     t = F.col("p") * F.col("total")
+    # p = 0 has t = 0: (cum - cnt) < 0 never holds, so the strict form
+    # would silently emit NO row for the minimum — the first bin
+    # qualifies via the equality arm (review)
     return (
         cum.crossJoin(F.broadcast(pdf))
-        .filter((F.col("cum") >= t) & ((F.col("cum") - F.col("cnt")) < t))
+        .filter(
+            (F.col("cum") >= t)
+            & (
+                ((F.col("cum") - F.col("cnt")) < t)
+                | ((t == 0) & ((F.col("cum") - F.col("cnt")) == 0))
+            )
+        )
         .select(
             *keys,
             "p",

@@ -2127,3 +2127,118 @@ def test_mixture_rebalance_grain_validation(spark):
     # a valid non-default grain runs
     out = mixture_rebalance_to_targets(docs, tgt, grain=128).collect()
     assert len(out) == 2
+
+
+def test_table_diff_null_columns_match(spark):
+    """Identical rows containing NULLs must diff EMPTY — a plain
+    column-name join never matches NULL == NULL and would report the
+    same row as a_only AND b_only (r5 review, null-safe join)."""
+    from finance_reporting_etl_spark.operators.incremental import table_diff
+
+    rows = [("x", None), ("y", 1), (None, 2)]
+    a = spark.createDataFrame(rows, "k string, v int")
+    b = spark.createDataFrame(rows, "k string, v int")
+    assert table_diff(a, b).count() == 0
+    # and a real difference in a NULL-keyed row still surfaces
+    c = spark.createDataFrame([("x", None), ("y", 1)], "k string, v int")
+    d = {(r.side, r.k, r.v) for r in table_diff(a, c).collect()}
+    assert d == {("a_only", None, 2)}
+
+
+def test_forget_keys_preserves_null_keyed_rows(spark, tmp_path):
+    """A GDPR delete must not destroy NULL-keyed (anonymous) rows in
+    rewritten partitions (r5 review: ~isin is NULL for NULL keys)."""
+    from finance_reporting_etl_spark.operators.incremental import forget_keys
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (None, "d1", 30.0), (3, "d2", 40.0)],
+        "user_id long, day string, v double",
+    )
+    df.write.partitionBy("day").parquet(path)
+    n = forget_keys(spark, path, "day", "user_id", [1])
+    assert n == 1
+    left = {
+        (r.user_id, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert left == {(2, 20.0), (None, 30.0), (3, 40.0)}
+
+
+def test_checked_swap_refuses_orphan_backup():
+    """A backup with NO live table is the only surviving copy from a
+    crashed swap: step 1 must refuse, not delete it (r5 review)."""
+    import pytest
+
+    from finance_reporting_etl_spark.operators.incremental import checked_swap
+
+    fs = _FakeSwapFS({"old", "staged"})
+    with pytest.raises(IOError, match="only copy"):
+        checked_swap(fs, "live", "staged", "old")
+    assert "old" in fs.dirs  # backup untouched
+
+
+class _FakeSwapFS:
+    def __init__(self, dirs):
+        self.dirs = set(dirs)
+
+    def exists(self, p):
+        return str(p) in self.dirs
+
+    def rename(self, src, dst):
+        if str(src) not in self.dirs:
+            return False
+        self.dirs.remove(str(src))
+        self.dirs.add(str(dst))
+        return True
+
+    def delete(self, p, recursive=False):
+        self.dirs.discard(str(p))
+        return True
+
+
+def test_value_histogram_excludes_nulls_and_p0_quantile(spark):
+    """NULL values must not land in bin 0 (greatest/least skip NULLs),
+    and p=0 must return the distribution minimum instead of no row
+    (r5 review)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_rollup,
+        value_histogram,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [("a", ts, 10.0), ("a", ts, None), ("a", ts, 100.0)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    daily = value_histogram(ev, width=4.0)
+    assert daily.agg(F.sum("cnt")).first()[0] == 2  # NULL excluded
+    merged = histogram_rollup(daily, F.lit("all"))
+    q = {
+        r.p: r.est
+        for r in histogram_quantiles(merged, ps=(0.0, 1.0), width=4.0).collect()
+    }
+    assert 0.0 in q and q[0.0] == 8.0  # left edge of the min's bin
+    assert 1.0 in q
+
+
+def test_frame_sample_null_and_zero_duration(spark):
+    """NULL duration -> zero frames (least skips NULLs would fabricate
+    max_frames); zero duration -> zero frames, not a phantom frame 0."""
+    from finance_reporting_etl_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, "video", {"duration_ms": 5000, "width": 64, "height": 64}),
+        (2, "video", {"duration_ms": None, "width": 64, "height": 64}),
+        (3, "video", {"duration_ms": 0, "width": 64, "height": 64}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, "
+        "meta struct<duration_ms: long, width: int, height: int>",
+    )
+    got = frame_sample(media, fps=1.0, max_frames=16).groupBy("doc_id").count()
+    counts = {r.doc_id: r["count"] for r in got.collect()}
+    assert counts == {1: 5}
