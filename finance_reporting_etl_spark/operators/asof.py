@@ -44,7 +44,14 @@ def asof_join(
     the union); ``tiebreak`` orders right rows that share a timestamp
     (latest-by-tiebreak wins) for deterministic results.
     """
-    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    # `is None` check: an explicit empty list means 'attach only the
+    # right timestamp' — a falsy-`or` would silently expand it to the
+    # full right payload (r5 review)
+    right_cols = (
+        [c for c in right.columns if c not in (*on, right_ts)]
+        if right_cols is None
+        else list(right_cols)
+    )
     payload = F.struct(
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -102,7 +109,14 @@ def asof_join_forward(
     nearest following row. Same single-shuffle cost; deterministic via
     ``tiebreak`` DESC so the lowest tiebreak wins among equal-ts rights.
     """
-    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    # `is None` check: an explicit empty list means 'attach only the
+    # right timestamp' — a falsy-`or` would silently expand it to the
+    # full right payload (r5 review)
+    right_cols = (
+        [c for c in right.columns if c not in (*on, right_ts)]
+        if right_cols is None
+        else list(right_cols)
+    )
     payload = F.struct(
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
@@ -178,7 +192,14 @@ def asof_join_cogroup(
     import pandas as pd
     from pyspark.sql import types as T
 
-    right_cols = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    # `is None` check: an explicit empty list means 'attach only the
+    # right timestamp' — a falsy-`or` would silently expand it to the
+    # full right payload (r5 review)
+    right_cols = (
+        [c for c in right.columns if c not in (*on, right_ts)]
+        if right_cols is None
+        else list(right_cols)
+    )
     new_names = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
     out_schema = T.StructType(
         list(left.schema.fields)
@@ -203,6 +224,10 @@ def asof_join_cogroup(
         idx = np.searchsorted(r2[right_ts].values, l[left_ts].values, side="right") - 1
         safe = np.clip(idx, 0, None)
         miss = idx < 0
+        # NULL left timestamps match NOTHING (the window form sorts
+        # them before every right row); searchsorted would treat NaT
+        # as +inf and attach the LAST right payload (r5 review)
+        miss = miss | pd.isna(l[left_ts].values)
         for src, dst in zip(r_keep, new_names):
             vals = pd.Series(r2[src].values[safe], index=out.index)
             out[dst] = vals.mask(miss)

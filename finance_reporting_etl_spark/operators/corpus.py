@@ -37,6 +37,11 @@ def md5_bucket(id_col: Column | str, buckets: int = 256, salt: str = "") -> Colu
     splitting yields empty val/test. Distinct salts per operation (split
     vs sample vs decontaminate) make the bucket assignments independent.
     """
+    if not (1 <= buckets <= 256):
+        # the digest contributes 2 hex chars = 256 base buckets; a
+        # larger request would silently collapse to [0, 256) and leave
+        # buckets 256+ permanently empty (r5 review)
+        raise ValueError(f"buckets must be in [1, 256], got {buckets}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
     b256 = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
@@ -370,6 +375,10 @@ def keyword_search(
 
     from finance_reporting_etl_spark.functions.text import whitespace_tokens
 
+    # dedupe the query: a repeated term can contribute only ONE
+    # distinct match per doc, so count_distinct == len(terms) with a
+    # duplicate would empty every result (r5 review)
+    terms = list(dict.fromkeys(terms))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toked = df.select(
         F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")

@@ -134,7 +134,14 @@ def minhash_signatures(
 
 
 def band_hashes(num_hashes: int, bands: int) -> list[F.Column]:
-    """One bucket hash per band over the m0..m{k-1} signature columns."""
+    """One bucket hash per band over the m0..m{k-1} signature columns.
+    ``bands`` must divide ``num_hashes`` — a remainder would silently
+    drop the trailing hashes from every band, quietly weakening the
+    requested (bands, rows) S-curve (r5 review)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return [
         F.xxhash64(
@@ -390,7 +397,21 @@ def _unionfind_clusters(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)  # min id becomes the root
     labels = [(x, find(x)) for x in parent]
     spark = edges.sparkSession
-    edge_labels = spark.createDataFrame(labels, "id long, cluster_id long")
+    # id type follows the input (string doc ids are as valid as longs;
+    # a hardcoded long schema made the fast path crash where the
+    # distributed path worked — r5 review)
+    from pyspark.sql import types as T
+
+    idt = edges.schema["id_a"].dataType
+    edge_labels = spark.createDataFrame(
+        labels,
+        T.StructType(
+            [
+                T.StructField("id", idt),
+                T.StructField("cluster_id", idt),
+            ]
+        ),
+    )
     isolated = nodes.select("id").join(
         edge_labels.select("id"), "id", "left_anti"
     )
@@ -867,18 +888,16 @@ def minhash_probe_index(
         .distinct()
     )
     cands = pairs.join(
-        batch_index.select(F.col("id").alias("batch_id"), F.col("sh").alias("sa")),
-        "batch_id",
+        batch_index.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")),
+        pairs["batch_id"] == F.col("id_a"),
     ).join(
-        corpus_index.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sb")),
-        "corpus_id",
+        corpus_index.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")),
+        pairs["corpus_id"] == F.col("id_b"),
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    return cands.select(
-        "batch_id",
-        "corpus_id",
-        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias(
-            "jaccard"
-        ),
-    ).filter(F.col("jaccard") >= threshold)
+    # one Jaccard-verify implementation for every candidate path (the
+    # same rounding/guard/threshold the oracle gate checks — r5 review)
+    return _jaccard_verify(cands, threshold).select(
+        F.col("id_a").alias("batch_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )

@@ -39,10 +39,16 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 4,
     broadcast_node_limit: int = 10_000_000,
+    validate: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list (dedupe edges
-    upstream; symmetrize for undirected graphs — a symmetric graph has
-    no dangling nodes, so no redistribution term is needed).
+    """Fixed-iteration PageRank over an edge list whose node set is
+    CLOSED under dst (every dst also appears as a src) — true for any
+    symmetrized/undirected graph, which has no dangling nodes, so no
+    redistribution term is needed. Dedupe edges upstream. A directed
+    graph with pure sinks violates the precondition: sink nodes would
+    be absent from the output and their incoming mass silently
+    dropped (r5 review) — pass ``validate=True`` to pay one anti-join
+    count that raises instead.
 
     The rank table is |V| rows — tiny next to |E| — so when |V| is
     under ``broadcast_node_limit`` it ships as a broadcast each
@@ -64,6 +70,18 @@ def pagerank(
     # degrees ride with the cached edges: the loop body never re-joins
     ed = e.join(deg, "src").persist()
     nodes = ed.select(F.col("src").alias("id")).distinct().persist()
+    if validate:
+        n_sinks = (
+            e.select(F.col("dst").alias("id"))
+            .distinct()
+            .join(nodes, "id", "left_anti")
+            .count()
+        )
+        if n_sinks:
+            raise ValueError(
+                f"{n_sinks} dst nodes never appear as src (dangling "
+                f"sinks); symmetrize the edge list or add self-loops"
+            )
     n = nodes.count()
     bcast = n <= broadcast_node_limit
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
@@ -164,17 +182,15 @@ def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
     w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
-    # the closing edge may be oriented either way between v and w;
-    # normalize the probe to match both orientations. Broadcast the
-    # |E|-sized closing set so the (much larger, sum d_out^2) wedge
+    # the closing probe is the canonical (min, max) edge set — which
+    # IS the input e (id_a < id_b), so probe e directly instead of
+    # re-deriving least/greatest over oriented (that re-ran both
+    # degree joins and the orientation swap a second time — r5
+    # review). Broadcast so the (much larger, sum d_out^2) wedge
     # stream probes it map-side and never shuffles — measured 3x at
     # sf0.1 on the dense co-purchase graph. For graphs whose edge set
     # outgrows broadcast, drop the hint: same plan, shuffled probe.
-    close = F.broadcast(
-        oriented.select(
-            F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
-        )
-    )
+    close = F.broadcast(e.select(F.col("x").alias("v"), F.col("y").alias("w")))
     tri = wedges.join(close, ["v", "w"])
     corners = (
         tri.select(F.col("u").alias("id"))
@@ -198,8 +214,9 @@ def pagerank_weighted(
     weight (contrib = rank * w / weighted_out_degree) instead of
     uniformly. Same loop shape as :func:`pagerank` — weighted degrees
     ride the cached edges, only |V|-sized rank rows move per iteration.
-    Weights must be positive; a symmetric weighted graph again has no
-    dangling nodes."""
+    Weights must be positive, and the node set must be closed under
+    dst (see :func:`pagerank`: a symmetric weighted graph qualifies;
+    pure sinks would be silently dropped otherwise)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w"))
     wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
     ed = e.join(wdeg, "src").persist()

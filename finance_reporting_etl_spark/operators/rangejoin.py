@@ -51,7 +51,12 @@ def range_join(
 
     p = points.withColumn("__bucket", F.floor(t / bucket_width))
     # every bucket the interval [lo, hi) overlaps; empty intervals
-    # (hi <= lo) produce no buckets and thus no matches
+    # (hi <= lo) produce no buckets and thus no matches. The upper
+    # bucket is ceil(hi / w) - 1, NOT floor((hi - 1) / w): the latter
+    # assumes integer-granularity values and silently drops true
+    # matches for fractional hi (e.g. hi = 6.8 covers bucket 6 at
+    # w = 1, but floor(5.8) = 5 would stop early — r5 review). The
+    # two forms agree on integers.
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -59,7 +64,7 @@ def range_join(
                 hi > lo,
                 F.sequence(
                     F.floor(lo / bucket_width),
-                    F.floor((hi - 1) / bucket_width),
+                    F.ceil(hi / bucket_width) - 1,
                 ),
             ).otherwise(F.lit(None).cast("array<long>"))
         ),

@@ -2242,3 +2242,18 @@ def test_frame_sample_null_and_zero_duration(spark):
     got = frame_sample(media, fps=1.0, max_frames=16).groupBy("doc_id").count()
     counts = {r.doc_id: r["count"] for r in got.collect()}
     assert counts == {1: 5}
+
+
+def test_range_join_fractional_bounds(spark):
+    """Bucketing must cover fractional interval ends: floor((hi-1)/w)
+    assumed integer granularity and silently dropped true matches
+    (r5 review: ceil(hi/w) - 1 covers both)."""
+    from finance_reporting_etl_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 6.5)], "pid long, t double")
+    ivs = spark.createDataFrame([(10, 5.2, 6.8)], "iid long, lo double, hi double")
+    out = range_join(pts, ivs, t_col="t", lo_col="lo", hi_col="hi", bucket_width=1.0)
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 10)]
+    # boundary: t exactly at hi is excluded (half-open)
+    pts2 = spark.createDataFrame([(2, 6.8)], "pid long, t double")
+    assert range_join(pts2, ivs, t_col="t", lo_col="lo", hi_col="hi", bucket_width=1.0).count() == 0
