@@ -26,8 +26,16 @@ def _c(c: Column | str) -> Column:
 
 
 def whitespace_tokens(text: Column | str) -> Column:
-    """Split on whitespace runs after trim -> array<string>."""
-    return F.split(F.trim(_c(text)), "\\s+")
+    """Split on whitespace runs after trim -> array<string>.
+
+    Empty/whitespace-only text yields [] — Java split semantics would
+    return [''], making token_count 1 for an empty doc, defeating
+    every size()-based NULLIF guard downstream, and scoring empty
+    docs as maximally type-token diverse (r5 review). The oracle
+    twin (_TOKS in oracles.py) carries the matching list_filter."""
+    return F.filter(
+        F.split(F.trim(_c(text)), "\\s+"), lambda t: t != ""
+    )
 
 
 def token_count(text: Column | str) -> Column:

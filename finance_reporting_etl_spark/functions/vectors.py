@@ -47,8 +47,11 @@ def cosine_arrow():
     pandas_udf(double)). The Catalyst ``cosine`` above runs three
     interpreted array passes per row (dot + two norms) — fine for
     oracle-sized inputs, ~10x too slow for millions of LSH candidate
-    pairs. Zero-norm pairs -> NaN -> SQL NULL, matching the nullif
-    guard.
+    pairs. Zero-norm pairs -> SQL NULL via pandas' nullable Float64
+    (a float NaN would NOT become NULL: Spark sorts NaN ABOVE every
+    number, so a zero vector would outrank every true neighbor and
+    pass >= threshold filters — r5 review), matching the Catalyst
+    twin's nullif guard exactly.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -59,6 +62,9 @@ def cosine_arrow():
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(np.where(den == 0.0, np.nan, num / den))
+            vals = num / den
+        out = pd.array(vals, dtype="Float64")
+        out[den == 0.0] = pd.NA
+        return pd.Series(out, dtype="Float64")
 
     return cos

@@ -128,7 +128,9 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     step = chunk_size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
     )
@@ -512,7 +514,10 @@ def bigram_lm_scores(
     Documents with fewer than two tokens have no bigrams and drop out.
     """
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t")
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("t"),
     )
     uni = (
         toks.select(F.explode("t").alias("w"))
@@ -658,7 +663,11 @@ def pmi_collocations(
     TakeOrderedAndProject. Returns (l, r, n_lr, pmi, rank)."""
     from pyspark.sql import Window
 
-    t = docs.select(F.split(F.trim(F.lower(text_col)), r"\s+").alias("toks"))
+    t = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("toks")
+    )
     nt = t.agg(F.sum(F.size("toks")).cast("double").alias("__n_toks"))
     uni = (
         t.select(F.explode("toks").alias("term"))
@@ -813,7 +822,11 @@ def ctfidf_distinctive_terms(
 
     t = docs.select(
         F.col(class_col).alias("cls"),
-        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("term"),
     )
     tfc = t.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
     ft = t.groupBy("term").agg(F.count(F.lit(1)).alias("f_term"))

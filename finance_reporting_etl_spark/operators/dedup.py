@@ -828,7 +828,12 @@ def span_dedup_rewrite(
     fine-grained and uniform; nothing buffers more than one document.
     Returns (id, n_chunks, n_kept, clean_text)."""
     k = span_tokens
-    toks = docs.select(id_col, F.split(F.trim(text_col), r"\s+").alias("toks"))
+    toks = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(text_col), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    )
     chunks = toks.select(
         id_col,
         F.explode(

@@ -47,7 +47,10 @@ _INDICATOR_CASE = """
                 WHEN series_id = 'DGS10'    THEN '10-Year Treasury Rate'
            END"""
 
-_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+# list_filter: empty text must tokenize to [], matching the Spark
+# side's filtered split (r5 review)
+_TOKS = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "t -> t <> '')")
 
 def _b256(salt: str) -> str:
     """DuckDB twin of operators.corpus.md5_bucket(id, salt=salt): bucket in
@@ -339,12 +342,12 @@ ORACLES["regional_revenue"] = """
 
 ORACLES["text_stats"] = """
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+'))                          AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))                          AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
            length(text)                                                         AS n_chars_calc,
-           round(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+           round(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
                                          t -> length(t)))
-                 / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 4)   AS avg_token_len,
+                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0), 4)   AS avg_token_len,
            round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                  / nullif(length(text), 0), 4)                                  AS punct_ratio,
            round(length(regexp_replace(text, '[^0-9]', '', 'g'))
@@ -830,7 +833,7 @@ ORACLES["corpus_clean"] = """
 ORACLES["corpus_stats"] = """
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))), 4) AS avg_tokens,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
            round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
@@ -856,7 +859,7 @@ ORACLES["corpus_mixture_sample"] = f"""
 
 ORACLES["corpus_chunking"] = """
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM documents
     ), s AS (
         SELECT doc_id, toks,
                unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
@@ -1162,7 +1165,7 @@ ORACLES["tfidf_top_terms"] = f"""
 
 ORACLES["chunk_dedup_occurrences"] = """
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM documents
     ), s AS (
         SELECT doc_id, toks,
                unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
@@ -1364,7 +1367,7 @@ ORACLES["sequence_packing"] = f"""
         SELECT doc_id,
                CAST({_b256("pack")} AS INT) % 16 AS shard,
                {_md5_key("pack")} AS k,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         FROM documents
     ), packed AS (
         SELECT shard, doc_id, n_tokens,
@@ -2151,7 +2154,7 @@ ORACLES["dbt_schema_tests"] = """
                    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
     UNION ALL
     SELECT 'orders', 'o_orderstatus', 'accepted_values',
-           CAST(count_if(o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+           CAST(count_if(o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'lineitem', 'l_orderkey', 'relationships',
@@ -2160,7 +2163,7 @@ ORACLES["dbt_schema_tests"] = """
                    AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
     UNION ALL
     SELECT 'lineitem', 'l_returnflag', 'accepted_values',
-           CAST(count_if(l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+           CAST(count_if(l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'events', 'event_id', 'unique',
@@ -2170,7 +2173,7 @@ ORACLES["dbt_schema_tests"] = """
            CAST(count_if(user_id IS NULL) AS BIGINT) FROM events
     UNION ALL
     SELECT 'documents', 'lang', 'accepted_values',
-           CAST(count_if(lang IS NULL OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')) AS BIGINT)
+           CAST(count_if(lang IS NOT NULL AND lang NOT IN ('en', 'de', 'es', 'fr', 'zh')) AS BIGINT)
     FROM documents
     """
 
@@ -2209,7 +2212,7 @@ ORACLES["dedup_incremental_batch"] = f"""
 
 ORACLES["span_dedup_rewrite"] = """
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
         FROM documents
     ), c AS (
         SELECT doc_id, CAST(g AS INT) AS chunk_idx,

@@ -64,7 +64,10 @@ class TestSuite:
                     F.coalesce(F.sum(c.isNull().cast("long")), F.lit(0)).alias("n_failures")
                 )
             elif t.test == "accepted_values":
-                bad = ~c.isin(t.values) | c.isNull()
+                # dbt parity: NULLs PASS accepted_values (not_null is a
+                # separate test); counting them double-penalized
+                # nullable columns (r5 review)
+                bad = c.isNotNull() & ~c.isin(t.values)
                 fail = df.agg(F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias("n_failures"))
             elif t.test == "relationships":
                 parent = tables[t.to_table].select(

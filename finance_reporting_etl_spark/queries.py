@@ -2984,7 +2984,12 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=f"{tmp}/ckpt", sketch_dir=f"{tmp}/sketch",
             placements=cells, token_expr=toks_expr,
         ),
-        lambda tmp: spark.read.parquet(f"{tmp}/sketch"),
+        # per-batch deltas live in batch_id partitions (idempotent
+        # under foreachBatch replays); merging them IS the sketch's
+        # cell-wise addition
+        lambda tmp: spark.read.parquet(f"{tmp}/sketch")
+        .groupBy("d", "col")
+        .agg(F.sum("cell_cnt").alias("cell_cnt")),
         prefix="stream_cms_",
         label="streaming_heavy_hitters",
     )
@@ -4398,7 +4403,7 @@ def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast."""
     from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
 
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     s = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tok"),

@@ -58,6 +58,29 @@ def flatten_annual_reports(raw: DataFrame, symbol: str, report_type: str) -> Dat
     )
 
 
+def flatten_annual_reports_batch(raw: DataFrame, report_type: str) -> DataFrame:
+    """Batched :func:`flatten_annual_reports`: one DataFrame holding
+    MANY companies' payloads of a single report type (each payload
+    carries its ``symbol`` field, as the Alpha Vantage response does),
+    flattened in one plan — one Spark read per REPORT TYPE instead of
+    one per (company, type) pair, so the fan-out cost stops growing
+    with the company list (r5 review)."""
+    reports = raw.select(
+        F.col("symbol"), F.explode("annualReports").alias("r")
+    ).select("symbol", "r.*")
+    return reports.select(
+        F.col("symbol"),
+        F.lit(report_type).alias("report_type"),
+        F.col("fiscalDateEnding").cast("date").alias("fiscal_date"),
+        F.col("reportedCurrency").alias("currency"),
+        *[
+            F.col(c).try_cast("decimal(18,2)").alias(_snake(c))
+            for c in reports.columns
+            if c not in ("symbol", "fiscalDateEnding", "reportedCurrency")
+        ],
+    )
+
+
 def _snake(camel: str) -> str:
     out = []
     for ch in camel:

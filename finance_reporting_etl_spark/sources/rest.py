@@ -101,7 +101,7 @@ def ingest_statements_long(spark, fetch, base_url, companies, report_types):
     spark.read.json scans them distributed; everything from flatten on
     is the same Catalyst plan."""
     from finance_reporting_etl_spark.sources.json_source import (
-        flatten_annual_reports,
+        flatten_annual_reports_batch,
     )
 
     triples = fetch_statements(fetch, base_url, companies, report_types)
@@ -110,9 +110,16 @@ def ingest_statements_long(spark, fetch, base_url, companies, report_types):
             f"statements fan-out is empty: companies={list(companies)}, "
             f"report_types={list(report_types)}"
         )
+    # batch by report type: payloads of one type share a schema and
+    # each carries its own symbol, so ONE json read + flatten covers
+    # every company — the per-(company, type) loop paid a driver
+    # round-trip per cell of the fan-out (r5 review)
+    by_rt: dict = {}
+    for _symbol, rt, payload in triples:
+        by_rt.setdefault(rt, []).append(payload)
     legs = []
-    for symbol, rt, payload in triples:
-        flat = flatten_annual_reports(payloads_to_df(spark, [payload]), symbol, rt)
+    for rt, payloads in by_rt.items():
+        flat = flatten_annual_reports_batch(payloads_to_df(spark, payloads), rt)
         metrics = [
             c
             for c in flat.columns

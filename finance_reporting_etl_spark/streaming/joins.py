@@ -103,34 +103,31 @@ def streaming_interval_join_to_files(
 def replay_interval_join(spark, events, how: str):
     """Stage the events frame as chronological view/purchase streams
     (see ``staging.stage_chronological_streams``) and run the
-    stream-stream interval join replay end to end, returning the
-    materialized join result."""
-    import shutil
-
+    stream-stream interval join replay through the shared
+    ``staging.run_file_stream`` lifecycle (one copy of the
+    tempdir/await/snapshot plumbing — r5 review)."""
     from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
         stage_chronological_streams,
     )
 
-    tmp, dirs = stage_chronological_streams(events)
-    try:
-        q = streaming_interval_join_to_files(
+    return run_file_stream(
+        spark,
+        lambda src: stage_chronological_streams(events, base_dir=src),
+        lambda src, schema, tmp: streaming_interval_join_to_files(
             spark,
-            dirs["view"],
-            dirs["purchase"],
-            spark.read.parquet(dirs["view"]).schema,
+            f"{src}/views",
+            f"{src}/purchases",
+            spark.read.parquet(f"{src}/views").schema,
             checkpoint_dir=f"{tmp}/ckpt",
             output_dir=f"{tmp}/out",
             how=how,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                f"streaming {how} interval join did not finish within 300s"
-            )
-        out = spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/out"),
+        prefix="stream_join_",
+        label=f"streaming {how} interval join",
+        infer_schema=False,  # src holds views/ + purchases/ subdirs
+    )
 
 
 def streaming_static_dim_rollup(

@@ -28,6 +28,22 @@ from pyspark.sql import types as T
 from finance_reporting_etl_spark.operators.incremental import merge_latest
 
 
+def _read_parquet_if_exists(sess, path: str):
+    """Read a maintained parquet state dir, or None when it does not
+    exist yet. Probes existence through the Hadoop FileSystem first: a
+    bare except around read.parquet would treat ANY transient failure
+    (S3 throttle, corrupt footer, permission blip) as 'first batch'
+    and let the subsequent overwrite destroy all accumulated state
+    (r5 review). Real read errors propagate."""
+    jvm = sess._jvm
+    conf = sess._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(conf)
+    if not fs.exists(hp):
+        return None
+    return sess.read.parquet(path)
+
+
 def streaming_merge_upsert(
     spark: SparkSession,
     source_dir: str,
@@ -45,10 +61,7 @@ def streaming_merge_upsert(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        try:
-            existing = sess.read.parquet(target_dir)
-        except Exception:  # first batch: no target yet
-            existing = None
+        existing = _read_parquet_if_exists(sess, target_dir)
         combined = (
             batch_df if existing is None else existing.unionByName(batch_df)
         )
@@ -94,6 +107,14 @@ def streaming_cms_maintain(
     ``token_expr`` maps a batch DataFrame to one token per row (col
     name 'token'); ``placements`` is the (token, d, col) table from
     ``cms_placements`` (broadcast per batch — vocab x depth rows).
+
+    foreachBatch is at-least-once, so each batch writes its own DELTA
+    to a ``batch_id=...`` partition of ``sketch_dir`` (a retried batch
+    overwrites itself instead of double-counting — the same
+    idempotency fix streaming/drift.py carries); consumers merge with
+    ``groupBy(d, col).sum(cell_cnt)``, which is exactly the sketch's
+    mergeability. The earlier read-add-overwrite fold double-counted
+    replayed batches (r5 review).
     """
     from pyspark.sql import functions as F
 
@@ -107,18 +128,9 @@ def streaming_cms_maintain(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         delta = cms_cell_counts(tc, F.broadcast(placements))
-        try:
-            existing = sess.read.parquet(sketch_dir)
-        except Exception:  # first batch: empty grid
-            existing = None
-        merged = (
-            delta
-            if existing is None
-            else existing.unionByName(delta)
-            .groupBy("d", "col")
-            .agg(F.sum("cell_cnt").alias("cell_cnt"))
+        delta.write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch_id={batch_id}"
         )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(sketch_dir)
 
     stream = (
         spark.readStream.schema(schema)

@@ -68,18 +68,23 @@ def run_file_stream(
     prefix: str = "stream_",
     timeout: int = 300,
     label: str = "stream",
+    infer_schema: bool = True,
 ) -> DataFrame:
     """Full replay lifecycle around a tempdir: ``write_source(src)``
     stages the input files, ``start_stream(src, schema, tmp)`` returns
     the StreamingQuery (checkpoint/output paths live under ``tmp``),
     ``read_result(tmp)`` reads the sink. The result is snapshotted
     with ``localCheckpoint(eager=True)`` before the tempdir is
-    removed."""
+    removed. Pass ``infer_schema=False`` when ``src`` holds per-stream
+    SUBdirectories (multi-source replays) — reading the parent for a
+    schema would fail; ``start_stream`` then receives None and derives
+    schemas from its own subdirs."""
     tmp = tempfile.mkdtemp(prefix=prefix)
     try:
         src = f"{tmp}/src"
         write_source(src)
-        q = start_stream(src, spark.read.parquet(src).schema, tmp)
+        schema = spark.read.parquet(src).schema if infer_schema else None
+        q = start_stream(src, schema, tmp)
         if not q.awaitTermination(timeout):
             q.stop()
             raise TimeoutError(f"{label} did not finish within {timeout}s")
@@ -90,20 +95,25 @@ def run_file_stream(
 
 
 def stage_chronological_streams(
-    events: DataFrame, types: Sequence[str] = ("view", "purchase")
+    events: DataFrame,
+    types: Sequence[str] = ("view", "purchase"),
+    base_dir: str | None = None,
 ):
     """Stage each event type of the (user_id, ts, event_type) events
     frame as a 2-file chronological stream source plus an empty
-    epilogue file (see module docstring). Returns
-    ``(tmpdir, {type: source_dir})``; the caller owns cleanup of
-    ``tmpdir``."""
+    epilogue file (see module docstring). With ``base_dir`` given the
+    sources land under it (the :func:`run_file_stream` write_source
+    shape) and only ``{type: source_dir}`` is returned; otherwise a
+    fresh tempdir is created and ``(tmpdir, dirs)`` is returned with
+    the caller owning cleanup."""
     ev = events.select("user_id", "ts", "event_type")
     mid = ev.agg(
         F.timestamp_micros(
             ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
         ).alias("m")
     ).collect()[0]["m"]
-    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    own_tmp = base_dir is None
+    tmp = tempfile.mkdtemp(prefix="stream_join_") if own_tmp else base_dir
     dirs = {}
     for typ in types:
         d = f"{tmp}/{typ}s"
@@ -120,4 +130,4 @@ def stage_chronological_streams(
             d,
         )
         dirs[typ] = d
-    return tmp, dirs
+    return dirs if not own_tmp else (tmp, dirs)

@@ -49,7 +49,14 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
-    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    # startswith: tz-aware nanos print as "timestamp[ns, tz=UTC]" — an
+    # exact match would leave such columns as raw nanosecond longs
+    # downstream (r5 review)
+    ns_cols = [
+        f.name
+        for f in pq.read_schema(path)
+        if str(f.type).startswith("timestamp[ns")
+    ]
     for c in ns_cols:
         # integer division — ns values (~1.7e18) overflow double precision,
         # so a float divide would corrupt the microsecond value

@@ -72,9 +72,10 @@ def test_quality_score_bounded_and_token_count_consistent(spark, texts):
     ).collect()
     for r in out:
         assert 0.0 <= r.q <= 1.0
-        py_tokens = len([t for t in re.split(r"\s+", texts[r.i].strip()) if True]) if True else 0
-        # Spark split on \s+ of stripped text; empty string yields one empty token on both sides
-        assert r.n == len(re.split(r"\s+", texts[r.i].strip()))
+        # filtered split: empty/whitespace-only text counts ZERO tokens
+        # (r5 review fixed the ['']-yields-1 Java-split artifact)
+        want = len([t for t in re.split(r"\s+", texts[r.i].strip()) if t != ""])
+        assert r.n == want
 
 
 @settings(max_examples=10, deadline=None)
@@ -507,3 +508,34 @@ def test_winsorized_stats_match_numpy_reference(spark, raw):
         else:
             # sample sd undefined for one observation -> NULL, not a crash
             assert r.sd_winsor is None
+
+
+def test_empty_text_tokenizes_to_zero(spark):
+    """Empty/whitespace-only text must yield ZERO tokens on BOTH
+    engines — Java split semantics return [''] (token_count 1, dead
+    NULLIF guards, empty docs scored maximally diverse); the filtered
+    split and the list_filter'd _TOKS twin agree (r5 review)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.functions.text import (
+        token_count,
+        whitespace_tokens,
+    )
+    from finance_reporting_etl_spark.oracles import _TOKS
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("two words",)], "text string"
+    )
+    got = df.select(
+        token_count("text").alias("n"),
+        F.size(whitespace_tokens("text")).alias("sz"),
+    ).collect()
+    assert [(r.n, r.sz) for r in got] == [(0, 0), (0, 0), (2, 2)]
+    con = duckdb.connect()
+    for text, want in (("", 0), ("   ", 0), ("two words", 2)):
+        n = con.execute(
+            f"SELECT len({_TOKS}) FROM (SELECT ? AS text)", [text]
+        ).fetchone()[0]
+        assert n == want, (text, n)
