@@ -167,6 +167,15 @@ HEADLINE = [
     # round-5 additions
     "ann_rerank_exact",
     "dp_noisy_event_counts",
+    "proration_largest_remainder",
+    "poisson_bootstrap_ci",
+    "zorder_locality_stats",
+    "bucketed_join_rollup",
+    # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
+    # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
+    # (template-generated near-dups), so ANY exact algorithm's output
+    # dominates runtime (~106s) — same documented-cost class as the
+    # triangle queries. Gate-scale (sf0.01) runs in ~9s.
     # asof_cogroup_pandas is deliberately NOT a headline: it is the
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas

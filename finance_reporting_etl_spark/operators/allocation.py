@@ -1,0 +1,66 @@
+"""Exact monetary allocation: prorate a total over its detail rows.
+
+The classic finance-ETL requirement (invoice totals to line items, fund
+fees to positions, budget to cost centers): split ``total`` across a
+group's rows proportional to a weight, in integer cents, such that the
+allocations sum EXACTLY to the total — no floating-point drift, no lost
+or invented cents. Naive ``round(total * w / sum_w)`` leaks cents both
+ways; the standard fix is the largest-remainder (Hamilton) method:
+
+1. base share  = floor(total_cents * w_cents / sum_w_cents)   (integer)
+2. shortfall   = total_cents - sum(base)   (0 <= shortfall < n_rows)
+3. give +1 cent to the ``shortfall`` rows with the largest integer
+   remainder ``(total_cents * w_cents) mod sum_w_cents``, ties broken
+   by the detail line number.
+
+Everything is 64-bit integer arithmetic (products bounded by
+~5e7 * 5e7 = 2.5e15 < 2^63), so the result is bit-identical across
+engines and runs — the property the DuckDB oracle hash-checks.
+
+Scale shape: one shuffle on the group key (the window partition); the
+rank window sorts only within a group (detail rows per order, bounded),
+never globally. The reference's warehouse models (README.md:425-465)
+aggregate statement lines into totals; this is the exact inverse
+operation at the same grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prorate_largest_remainder(
+    detail: DataFrame,
+    group_cols: list[str],
+    weight_cents_col: str,
+    total_cents_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Allocate ``total_cents_col`` (constant within a group) across the
+    group's rows proportional to ``weight_cents_col``, largest-remainder
+    corrected. Both columns must be BIGINT cents. Adds ``alloc_cents``;
+    groups whose weights sum to zero are dropped (no proportional
+    allocation exists — callers wanting 0-weight fallbacks should remap
+    weights first).
+    """
+    g = Window.partitionBy(*group_cols)
+    d = detail.withColumn("__sum_w", F.sum(weight_cents_col).over(g)).filter(
+        F.col("__sum_w") > 0
+    )
+    prod = F.col(total_cents_col) * F.col(weight_cents_col)
+    d = d.withColumn("__base", F.expr(f"({total_cents_col} * {weight_cents_col}) div __sum_w")).withColumn(
+        "__rem", prod % F.col("__sum_w")
+    )
+    rnk = Window.partitionBy(*group_cols).orderBy(
+        F.col("__rem").desc(), *[F.col(c) for c in tiebreak_cols]
+    )
+    d = (
+        d.withColumn("__short", F.col(total_cents_col) - F.sum("__base").over(g))
+        .withColumn("__rnk", F.row_number().over(rnk))
+        .withColumn(
+            "alloc_cents",
+            F.col("__base") + (F.col("__rnk") <= F.col("__short")).cast("bigint"),
+        )
+    )
+    return d.drop("__sum_w", "__base", "__rem", "__short", "__rnk")

@@ -76,6 +76,21 @@ def write_bucketed(
     """Persist ``df`` hash-bucketed (and optionally sorted) on the join
     key — the pay-once shuffle that makes every later equi-join on
     ``bucket_cols`` exchange-free."""
+    if mode == "overwrite":
+        # a managed table's LOCATION can outlive its catalog entry
+        # (another process created it; this session's in-memory catalog
+        # never heard of it) and saveAsTable then refuses the dir with
+        # LOCATION_ALREADY_EXISTS — drop both the entry and any
+        # orphaned location before writing
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{spark.conf.get('spark.sql.warehouse.dir')}/{table_name.lower()}"
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -182,6 +197,20 @@ def zorder_key(x: "Column | str", y: "Column | str", bits: int = 16) -> Column:
             .bitwiseOR(F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
         )
     return key
+
+
+def zorder_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
+    """ANSI-SQL twin of :func:`zorder_key` over arbitrary non-negative
+    integer expressions — emitted beside the Spark bit expression so a
+    DuckDB oracle interleaves with the identical term table."""
+    # every term fully parenthesized: Postgres-family grammars give
+    # |, &, << the SAME precedence (left-assoc), so an unparenthesized
+    # `a | b << 2` parses as `(a | b) << 2` and overflows
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_sql}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_sql}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
 
 
 def write_zordered(

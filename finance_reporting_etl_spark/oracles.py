@@ -3293,3 +3293,138 @@ ORACLES["ctfidf_distinctive_terms"] = f"""
     QUALIFY rank <= 5
 """
 
+
+ORACLES["proration_largest_remainder"] = """
+    WITH d AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS w_c,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS t_c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), s AS (
+        SELECT *, sum(w_c) OVER (PARTITION BY l_orderkey) AS sum_w FROM d
+    ), r AS (
+        SELECT l_orderkey, l_linenumber, t_c,
+               (t_c * w_c) // sum_w AS base,
+               (t_c * w_c) % sum_w AS rem
+        FROM s WHERE sum_w > 0
+    ), k AS (
+        SELECT *,
+               t_c - sum(base) OVER (PARTITION BY l_orderkey) AS short,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rnk
+        FROM r
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_cents
+    FROM k
+    """
+
+# Poisson-bootstrap weight SQL is generated beside the Spark thresholds
+# (operators/resample.py) so both engines share ONE integer cutoff
+# table and ONE digest layout (8 draws per md5).
+from finance_reporting_etl_spark.operators.resample import (  # noqa: E402
+    bootstrap_weight_sql as _boot_w,
+)
+
+ORACLES["poisson_bootstrap_ci"] = f"""
+    WITH grp AS (SELECT unnest(generate_series(0, 7)) AS g),
+    chunk AS (SELECT unnest(generate_series(0, 7)) AS c),
+    rws AS (
+        SELECT grp.g * 8 + chunk.c AS b,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               {_boot_w("CAST(o_orderkey AS VARCHAR)", "grp.g", "chunk.c")} AS w
+        FROM orders CROSS JOIN grp CROSS JOIN chunk
+    ),
+    m AS (
+        SELECT b,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * cents) AS BIGINT)
+                   / nullif(CAST(sum(w) AS BIGINT), 0) / 100.0 AS mean_value
+        FROM rws GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(quantile_cont(mean_value, 0.025), 4) AS ci_lo,
+           round(quantile_cont(mean_value, 0.975), 4) AS ci_hi,
+           round(avg(mean_value), 4) AS boot_mean
+    FROM m
+    """
+
+# Morton-key SQL is generated beside the Spark bit expression
+# (operators/scale.py) so both engines interleave the same term table.
+from finance_reporting_etl_spark.operators.scale import (  # noqa: E402
+    zorder_sql as _zorder_sql,
+)
+
+ORACLES["zorder_locality_stats"] = f"""
+    WITH b AS (
+        SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+               min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS min_d,
+               max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS max_d
+        FROM orders
+    ), s AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               ((o_custkey - b.min_ck) * 256) // (b.max_ck - b.min_ck + 1) AS x,
+               ((CAST(o_orderdate AS DATE) - DATE '1970-01-01' - b.min_d) * 256)
+                   // (b.max_d - b.min_d + 1) AS y
+        FROM orders CROSS JOIN b
+    ), z AS (
+        SELECT o_orderkey, o_custkey, d,
+               {_zorder_sql('x', 'y', 8)} AS zval
+        FROM s
+    ), f AS (
+        SELECT *, ntile(16) OVER (ORDER BY zval, o_orderkey) AS file_id FROM z
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_ck,
+           CAST(max(o_custkey) AS BIGINT) AS max_ck,
+           min(d) AS min_day,
+           max(d) AS max_day
+    FROM f GROUP BY file_id
+    """
+
+ORACLES["bucketed_join_rollup"] = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """
+
+ORACLES["jaccard_prefix_filter_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n
+        FROM documents
+        WHERE len(list_distinct({_TOKS})) > 0
+    ), tt AS (
+        SELECT id, n, unnest(toks) AS tok FROM t
+    ), dfreq AS (
+        SELECT tok, count(*) AS n_df FROM tt GROUP BY tok
+    ), pref AS (
+        SELECT id, n, tok
+        FROM (
+            SELECT tt.id, tt.n, tt.tok,
+                   row_number() OVER (PARTITION BY tt.id
+                                      ORDER BY d.n_df, tt.tok) AS rnk
+            FROM tt JOIN dfreq d USING (tok)
+        )
+        WHERE rnk <= n - ceil(n * 0.6) + 1
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.id < b.id
+         AND b.n >= ceil(a.n * 0.6) AND a.n >= ceil(b.n * 0.6)
+    ), v AS (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(ta.toks, tb.toks))
+                     / CAST(ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))
+                            AS DOUBLE), 4) AS jaccard
+        FROM cand c
+        JOIN t ta ON ta.id = c.id_a
+        JOIN t tb ON tb.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6
+    """

@@ -5330,6 +5330,173 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("proration_largest_remainder",
+    _ORACLES["proration_largest_remainder"],
+    "P5/A1 inverse: exact largest-remainder proration of order totals to line items (integer-cent, window-ranked)",
+)
+def q_proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate each order's total price across its line items
+    proportional to extended price, in integer cents, with the
+    largest-remainder correction so every order's allocations sum
+    EXACTLY to its total. All arithmetic is 64-bit integer (floor-div
+    + mod on cents), so the result is bit-identical to the oracle's
+    window SQL. One shuffle (the per-order window); ranks sort only
+    within an order."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w_c"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_c"),
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey, "inner").drop("o_orderkey")
+    return prorate_largest_remainder(
+        d, ["l_orderkey"], "w_c", "t_c", ["l_linenumber"]
+    ).select("l_orderkey", "l_linenumber", "alloc_cents")
+
+
+@query("poisson_bootstrap_ci",
+    _ORACLES["poisson_bootstrap_ci"],
+    "A1/§2.7 distributed uncertainty: Poisson-bootstrap CI for mean order value (map-local weights, B-row shuffle)",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value via the Poisson
+    bootstrap — the only bootstrap whose resampling is row-local and
+    therefore distributes (see operators/resample.py). 64 replicates;
+    weights are md5-derived integers, replicate means are exact
+    BIGINT/BIGINT doubles, so both engines interpolate quantiles over
+    identical values."""
+    from finance_reporting_etl_spark.operators.resample import (
+        poisson_bootstrap_means,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = poisson_bootstrap_means(o, "o_orderkey", "cents", n_replicates=64)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.expr("percentile(mean_value, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_value, 0.975)"), 4).alias("ci_hi"),
+        F.round(F.avg("mean_value"), 4).alias("boot_mean"),
+    )
+
+
+@query("zorder_locality_stats",
+    _ORACLES["zorder_locality_stats"],
+    "S9/§2.5 data layout: Morton (Z-order) clustering of (custkey, day) into range-partitioned files, per-file zone-map spans",
+)
+def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional layout pass: scale (o_custkey, order day) to
+    8-bit grids, interleave into a Morton key (``scale.zorder_key`` —
+    pure codegen'd bit ops), assign 16 'files' by exact ntile over the
+    key, and report each file's (custkey, day) zone-map span — the
+    min/max ranges parquet row-group stats would carry, i.e. what
+    makes filters on EITHER column prune. The file assignment uses
+    ``distributed_ntile`` (no single-partition window); the write-side
+    twin is ``scale.write_zordered``, whose pruning effect is measured
+    in tests/test_operators.py (26x fewer scanned rows on the sorted
+    key; both columns prune under Z-order)."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_ntile
+    from finance_reporting_etl_spark.operators.scale import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint").alias("d"),
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    s = (
+        o.crossJoin(F.broadcast(b))
+        .withColumn(
+            "x", F.expr("((o_custkey - min_ck) * 256) div (max_ck - min_ck + 1)")
+        )
+        .withColumn("y", F.expr("((d - min_d) * 256) div (max_d - min_d + 1)"))
+    )
+    z = s.withColumn("zval", zorder_key("x", "y", bits=8))
+    f = distributed_ntile(z, 16, "zval", ["o_orderkey"], out_col="file_id")
+    return f.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").cast("bigint").alias("min_ck"),
+        F.max("o_custkey").cast("bigint").alias("max_ck"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+    )
+
+
+@query("bucketed_join_rollup",
+    _ORACLES["bucketed_join_rollup"],
+    "J1/§2.5 co-located join: bucketBy-written tables joined with zero Exchange (pay-once shuffle), priority revenue rollup",
+)
+def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders to lineitem through bucket-co-located tables: both
+    sides are written once with ``bucketBy(8, o_orderkey)`` and every
+    subsequent equi-join on that key plans with NO Exchange on either
+    side (tests/test_operators.py::test_bucketed_join_is_shuffle_free
+    pins the plan property; this query gates the RESULT against the
+    plain-join oracle). This is the pay-once-shuffle layout for fact
+    tables re-joined daily at 100 TB. Table names carry the run id so
+    concurrent drivers do not collide in the shared warehouse."""
+    import os as _os
+
+    from finance_reporting_etl_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    run = (_os.environ.get("SPARK_GRAFT_RUN_ID") or "main").replace("-", "_")
+    sf_tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    t_o, t_l = f"bkt_o_{sf_tag}_{run}", f"bkt_l_{sf_tag}_{run}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        t_o, ["o_orderkey"], n_buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        ).withColumnRenamed("l_orderkey", "o_orderkey"),
+        t_l, ["o_orderkey"], n_buckets=8,
+    )
+    j = bucketed_join(spark, t_o, t_l, ["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev"), 4).alias("revenue"),
+    )
+
+
+@query("jaccard_prefix_filter_pairs",
+    _ORACLES["jaccard_prefix_filter_pairs"],
+    "X2 exact corpus-wide Jaccard join via prefix filtering (rarest-token prefixes; no blocking, no approximation)",
+)
+def q_jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact near-dup pairs at J >= 0.6 with NO blocking
+    columns: the prefix-filter theorem bounds candidates to documents
+    sharing a rarest-token prefix entry, so the inverted-index join
+    never fans out on stopwords (see operators/dedup.py). Complements
+    ngram_jaccard_pairs (blocked) and minhash_lsh_near_dup (approx):
+    same guarantee as brute force, scale-safe plan. Brute-force
+    equality is pinned in tests/test_operators.py."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_filter_pairs(docs, threshold=0.6)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5449,6 +5616,11 @@ _GATE_NEXT = [
     "negative_sampling_recsys",
     "twap_daily_value",
     "ctfidf_distinctive_terms",
+    "proration_largest_remainder",
+    "poisson_bootstrap_ci",
+    "zorder_locality_stats",
+    "bucketed_join_rollup",
+    "jaccard_prefix_filter_pairs",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

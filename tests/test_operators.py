@@ -2257,3 +2257,118 @@ def test_range_join_fractional_bounds(spark):
     # boundary: t exactly at hi is excluded (half-open)
     pts2 = spark.createDataFrame([(2, 6.8)], "pid long, t double")
     assert range_join(pts2, ivs, t_col="t", lo_col="lo", hi_col="hi", bucket_width=1.0).count() == 0
+
+
+def test_proration_sums_exact_and_near_proportional(spark, sf_dir):
+    """Every order's allocations sum EXACTLY to its total (the whole
+    point of largest-remainder), and each line's allocation is within
+    1 cent of the unrounded proportional share."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w_c"),
+    )
+    o = _read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_c"),
+    )
+    d = li.join(o, "l_orderkey")
+    out = prorate_largest_remainder(d, ["l_orderkey"], "w_c", "t_c", ["l_linenumber"])
+    bad_sum = (
+        out.groupBy("l_orderkey", "t_c")
+        .agg(F.sum("alloc_cents").alias("s"))
+        .filter(F.col("s") != F.col("t_c"))
+        .count()
+    )
+    assert bad_sum == 0
+    p = out.toPandas()
+    share = p.t_c * p.w_c / p.groupby("l_orderkey").w_c.transform("sum")
+    assert (p.alloc_cents - share).abs().max() < 1.0 + 1e-9
+
+
+def test_poisson_bootstrap_weights_distribution_and_determinism(spark, sf_dir):
+    """Weights land in {0..6} with empirical mean ~Poisson(1)=1 and
+    ~36.8% zeros; the draw is a pure function of (key, replicate)."""
+    from finance_reporting_etl_spark.operators.resample import (
+        poisson_bootstrap_means,
+    )
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    o = _read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = poisson_bootstrap_means(o, "o_orderkey", "cents", n_replicates=32)
+    p = m.toPandas().sort_values("b").reset_index(drop=True)
+    n_rows = o.count()
+    assert len(p) == 32
+    # sum of weights per replicate ~ Poisson(n_rows): mean n, sd sqrt(n)
+    assert abs(p.n_eff.mean() - n_rows) < 6 * (n_rows**0.5)
+    # replicate means hug the true mean
+    true_mean = o.agg(F.avg(F.col("cents") / 100.0)).head()[0]
+    assert abs(p.mean_value.mean() - true_mean) / true_mean < 0.05
+    p2 = poisson_bootstrap_means(o, "o_orderkey", "cents", n_replicates=32).toPandas()
+    assert p2.sort_values("b").reset_index(drop=True).equals(p)
+
+
+def test_jaccard_prefix_filter_equals_brute_force(spark, sf_dir):
+    """Prefix filtering is EXACT: the operator's pairs equal the
+    all-pairs brute force (python sets) on the full sf0.001 corpus."""
+    import itertools
+    import re
+
+    from finance_reporting_etl_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    docs = _read_parquet(spark, f"{sf_dir}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_prefix_filter_pairs(docs, threshold=0.6).collect()
+    }
+    raw = docs.select("doc_id", "text").toPandas()
+    sets = {
+        int(r.doc_id): set(t for t in re.split(r"\s+", r.text.strip().lower()) if t)
+        for r in raw.itertuples()
+    }
+    sets = {k: v for k, v in sets.items() if v}
+    want = {}
+    for ia, ib in itertools.combinations(sorted(sets), 2):
+        a, b = sets[ia], sets[ib]
+        j = len(a & b) / len(a | b)
+        if round(j, 4) >= 0.6:
+            want[(ia, ib)] = round(j, 4)
+    assert got == want
+
+
+def test_zorder_sql_twin_matches_spark_key(spark):
+    """The generated DuckDB Morton-key SQL interleaves identically to
+    scale.zorder_key over the full 8-bit x 8-bit grid."""
+    import duckdb
+
+    from finance_reporting_etl_spark.operators import scale
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)],
+        "x long, y long",
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in grid.withColumn("z", scale.zorder_key("x", "y", bits=8)).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (x, y): z
+        for x, y, z in con.execute(
+            f"SELECT x, y, {scale.zorder_sql('x', 'y', 8)} AS z FROM "
+            "(SELECT unnest(range(0, 256, 17)) AS x), "
+            "(SELECT unnest(range(0, 256, 13)) AS y)"
+        ).fetchall()
+    }
+    assert got == want
