@@ -171,6 +171,11 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "zorder_locality_stats",
     "bucketed_join_rollup",
+    "indicator_max_drawdown",
+    "cusum_alarm_days",
+    "benford_first_digit",
+    "ohlc_daily_bars",
+    "indicator_lead_lag_corr",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

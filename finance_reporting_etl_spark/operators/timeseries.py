@@ -350,3 +350,167 @@ def time_weighted_daily_avg(
             scale,
         ).alias("twap"),
     )
+
+
+def max_drawdown_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_cents_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Per key: the deepest peak-to-trough decline of an integer-cent
+    level series, as (key, max_drawdown, trough row's order value,
+    trough_value, peak_value).
+
+    Running peak is a window max; drawdown_t = 1 - v_t / peak_t is an
+    exact integer ratio rounded to ``scale`` — so the argmax row is
+    selected on identical (rounded dd DESC, order ASC) keys in any
+    engine. Two window passes over one key-partitioned sort, then a
+    row_number filter; no global sort, no state."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(
+        key_col,
+        order_col,
+        F.col(value_cents_col).alias("__v"),
+    ).withColumn("__peak", F.max("__v").over(w))
+    d = d.withColumn(
+        "dd",
+        F.round(
+            F.lit(1.0) - F.col("__v") / F.col("__peak").cast("double"), scale
+        ),
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("dd").desc(), F.col(order_col)
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col("dd").alias("max_drawdown"),
+            F.col(order_col).alias("trough_at"),
+            F.col("__v").alias("trough_value_cents"),
+            F.col("__peak").alias("peak_value_cents"),
+        )
+    )
+
+
+def cusum_points_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_cents_col: str,
+) -> DataFrame:
+    """Row-level one-sided CUSUM s_t = max(0, s_{t-1} + delta_t) over
+    each key's rows in ``order_cols`` order, as an added ``cusum_cents``
+    column (callers pass delta = x - k with the drift allowance k
+    already subtracted, and filter s > h for alarms).
+
+    The max-clamp recurrence has the same closed form
+    :func:`clamped_balance_per_key` uses — with prefix sums p_t,
+    s_t = p_t - min(0, min_{j<=t} p_j) — but evaluated at EVERY row,
+    not just the last: two chained window aggregates over one
+    key-partitioned sort, pure whole-stage codegen, exact integers."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col(delta_cents_col).cast("long")).over(w)
+    d = df.withColumn("__p", p).withColumn("__minp", F.min("__p").over(w))
+    return d.withColumn(
+        "cusum_cents",
+        F.col("__p") - F.least(F.lit(0).cast("long"), F.col("__minp")),
+    ).drop("__p", "__minp")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Open/high/low/close bars per key group: one hash aggregation,
+    no window — open/close ride ``min_by``/``max_by`` on the unique
+    (ts, tiebreak) event key, so there is no per-group sort and no
+    tie ambiguity. All values integer cents. Returns key_cols +
+    (open_cents, high_cents, low_cents, close_cents, n_ticks)."""
+    k = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return df.groupBy(*key_cols).agg(
+        F.min_by(value_cents_col, k).alias("open_cents"),
+        F.max(value_cents_col).alias("high_cents"),
+        F.min(value_cents_col).alias("low_cents"),
+        F.max_by(value_cents_col, k).alias("close_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def lead_lag_best_corr(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+    max_lag: int = 3,
+    min_days: int = 10,
+) -> DataFrame:
+    """For every unordered series pair, the lag in [-max_lag, max_lag]
+    maximizing Pearson correlation between a_t and b_{t-lag} — the
+    which-indicator-leads scan.
+
+    The b side is exploded over the (2*max_lag + 1)-row lag spine and
+    day-shifted, then equi-joined on (day, a < b); all five Pearson
+    moments are integer sums (exact in any order; int64 headroom to
+    ~trillion-cent days like rolling_pearson); the best row per pair
+    is picked on (rounded corr DESC, lag ASC) — fully deterministic.
+    Degenerate overlaps (constant series -> zero variance) and
+    overlaps under ``min_days`` are excluded on both engines."""
+    a = daily.select(
+        F.col(key_col).alias("ka"), F.col(day_col).alias("day"),
+        F.col(cents_col).alias("x"),
+    )
+    b = (
+        daily.select(
+            F.col(key_col).alias("kb"), F.col(day_col).alias("bday"),
+            F.col(cents_col).alias("y"),
+        )
+        .withColumn("lag", F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))))
+        .withColumn("day", F.date_add("bday", F.col("lag")))
+    )
+    g = (
+        a.join(b, ["day"])
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= min_days)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    scored = g.select(
+        F.col("ka").alias("series_a"),
+        F.col("kb").alias("series_b"),
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("corr"),
+    ).filter(F.col("corr").isNotNull())
+    pick = Window.partitionBy("series_a", "series_b").orderBy(
+        F.col("corr").desc(), F.col("lag")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -3428,3 +3428,136 @@ ORACLES["jaccard_prefix_filter_pairs"] = f"""
     )
     SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6
     """
+
+ORACLES["indicator_max_drawdown"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), p AS (
+        SELECT *, max(cents) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS peak
+        FROM d WHERE cents IS NOT NULL
+    ), dd AS (
+        SELECT event_type, day, cents, peak,
+               round(1.0 - cents / CAST(peak AS DOUBLE), 6) AS ddown
+        FROM p WHERE peak > 0
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ddown DESC, day) AS rn
+        FROM dd
+    )
+    SELECT event_type, ddown AS max_drawdown, day AS trough_at,
+           cents AS trough_value_cents, peak AS peak_value_cents
+    FROM r WHERE rn = 1
+    """
+
+ORACLES["cusum_alarm_days"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), k AS (
+        SELECT event_type,
+               CAST(sum(cents) AS BIGINT) // count(*) AS kc
+        FROM d WHERE cents IS NOT NULL GROUP BY event_type
+    ), s AS (
+        SELECT d.event_type, d.day, d.cents - k.kc AS delta, k.kc
+        FROM d JOIN k USING (event_type) WHERE d.cents IS NOT NULL
+    ), c1 AS (
+        SELECT event_type, day, kc,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS p
+        FROM s
+    ), c AS (
+        SELECT event_type, day, kc, p,
+               min(p) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS minp
+        FROM c1
+    )
+    SELECT event_type, day,
+           CAST(p - least(CAST(0 AS BIGINT), minp) AS BIGINT) AS cusum_cents
+    FROM c
+    WHERE p - least(CAST(0 AS BIGINT), minp) > 5 * kc
+    """
+
+ORACLES["benford_first_digit"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (
+        SELECT digit, n,
+               sum(n) OVER () AS total,
+               round(log10(1 + 1.0 / digit), 6) AS benford_share
+        FROM g
+    )
+    SELECT digit, n,
+           round(n / CAST(total AS DOUBLE), 6) AS obs_share,
+           benford_share,
+           round(sum(pow(n - total * benford_share, 2)
+                     / (total * benford_share)) OVER (), 4) AS chi2_stat
+    FROM t
+    """
+
+ORACLES["ohlc_daily_bars"] = """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """
+
+ORACLES["indicator_lead_lag_corr"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+        HAVING sum(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
+    ), lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    b AS (
+        SELECT d.event_type AS kb,
+               d.day + CAST(lags.lag AS INTEGER) AS day,
+               d.cents AS y, lags.lag
+        FROM d CROSS JOIN lags
+    ), g AS (
+        SELECT a.event_type AS series_a, b.kb AS series_b, b.lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.cents) AS BIGINT) AS sx,
+               CAST(sum(b.y) AS BIGINT) AS sy,
+               CAST(sum(a.cents * a.cents) AS BIGINT) AS sxx,
+               CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+               CAST(sum(a.cents * b.y) AS BIGINT) AS sxy
+        FROM d a JOIN b ON a.day = b.day AND a.event_type < b.kb
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 10
+    ), scored AS (
+        SELECT series_a, series_b, lag, n AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                     6) AS corr
+        FROM g
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY series_a, series_b
+                                     ORDER BY corr DESC, lag) AS rn
+        FROM scored WHERE corr IS NOT NULL
+    )
+    SELECT series_a, series_b, lag, n_days, corr FROM ranked WHERE rn = 1
+    """

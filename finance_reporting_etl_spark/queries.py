@@ -5497,6 +5497,194 @@ def q_jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return jaccard_prefix_filter_pairs(docs, threshold=0.6)
 
 
+def _daily_series_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) total value in exact integer cents, NULL
+    groups dropped — the shared level-series base for the drawdown and
+    CUSUM queries."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+        .filter(F.col("cents").isNotNull())
+    )
+
+
+@query("indicator_max_drawdown",
+    _ORACLES["indicator_max_drawdown"],
+    "§2.5/finance peak-to-trough: deepest drawdown per daily value series (running-peak window, argmax row)",
+)
+def q_indicator_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deepest peak-to-trough decline per daily revenue series: the
+    risk metric every balance/NAV dashboard carries. Running peak +
+    exact integer-cent ratio, argmax row per key on (rounded dd DESC,
+    day) — two windows over one key-partitioned sort (see
+    operators/timeseries.py)."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        max_drawdown_per_key,
+    )
+
+    d = _daily_series_cents(spark, sf_dir).filter(F.col("cents") > 0)
+    # peak > 0 is guaranteed by cents > 0 on a running max of the same
+    # column; the oracle filters peak > 0 identically
+    return max_drawdown_per_key(d, "event_type", "day", "cents")
+
+
+@query("cusum_alarm_days",
+    _ORACLES["cusum_alarm_days"],
+    "§2.5 sequential change detection: one-sided CUSUM over daily series, closed-form clamp (no recursion)",
+)
+def q_cusum_alarm_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM per revenue series: s_t = max(0,
+    s_{t-1} + (x_t - k)) with allowance k = each series' integer-mean
+    daily cents, alarming where s > 5k (five average days of
+    cumulative positive drift). The recursive fold is evaluated in
+    closed form at every row — prefix sum minus clamped running
+    minimum, the clamped_balance identity — so the whole detector is
+    two chained windows, zero Python, exact integers."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        cusum_points_per_key,
+    )
+
+    d = _daily_series_cents(spark, sf_dir)
+    k = d.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("kc")
+    )
+    s = d.join(F.broadcast(k), "event_type").withColumn(
+        "delta", F.col("cents") - F.col("kc")
+    )
+    c = cusum_points_per_key(s, "event_type", ["day"], "delta")
+    return c.filter(F.col("cusum_cents") > 5 * F.col("kc")).select(
+        "event_type", "day", "cusum_cents"
+    )
+
+
+@query("benford_first_digit",
+    _ORACLES["benford_first_digit"],
+    "§2.7/finance forensic screen: first-significant-digit distribution vs Benford's law + chi-square statistic",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals against Benford's law
+    — the classic forensic-accounting screen for fabricated amounts.
+    Digit extraction is string-based (first char of the floored
+    integer), never log10-of-value, so there is no float edge at
+    powers of ten; expected shares are rounded before the chi-square
+    terms so both engines combine identical doubles. The only window
+    runs over the 9 digit rows (bounded)."""
+    from pyspark.sql import Window
+
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    g = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    t = g.withColumn("total", F.sum("n").over(w)).withColumn(
+        "benford_share", F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    )
+    chi_term = F.pow(F.col("n") - F.col("total") * F.col("benford_share"), 2) / (
+        F.col("total") * F.col("benford_share")
+    )
+    return t.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("obs_share"),
+        "benford_share",
+        F.round(F.sum(chi_term).over(w), 4).alias("chi2_stat"),
+    )
+
+
+@query("ohlc_daily_bars",
+    _ORACLES["ohlc_daily_bars"],
+    "§2.5/finance candle bars: per-series daily open/high/low/close via min_by/max_by on the unique event key (one agg, no window)",
+)
+def q_ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per series: open/close ride min_by/max_by on
+    the unique (ts, event_id) key — ONE hash aggregation, no per-group
+    sort (the oracle re-derives open/close via rank windows; values
+    agree because the key is tie-free). Integer cents throughout."""
+    from finance_reporting_etl_spark.operators.timeseries import ohlc_bars
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return ohlc_bars(e, ["event_type", "day"], "ts", "event_id", "cents")
+
+
+@query("indicator_lead_lag_corr",
+    _ORACLES["indicator_lead_lag_corr"],
+    "§2.5/finance lead-lag scan: best-correlating lag per series pair (integer Pearson moments, lag-spine join)",
+)
+def q_indicator_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which series leads which: for every pair of daily revenue
+    series, the lag in [-3, 3] maximizing Pearson correlation between
+    a_t and b_{t-lag}. Moments are exact integer sums; the winning
+    row is picked on (rounded corr DESC, lag) — deterministic on both
+    engines (see operators/timeseries.py)."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        lead_lag_best_corr,
+    )
+
+    return lead_lag_best_corr(
+        _daily_series_cents(spark, sf_dir), "event_type", "day", "cents"
+    )
+
+
+@query("streaming_ohlc_maintain",
+    # maintained bars must equal the full-data batch derivation — OHLC
+    # is mergeable once open/close carry their (ts, event_id) keys
+    _ORACLES["ohlc_daily_bars"],
+    "§2.8/finance streaming OHLC bar maintenance: mergeable partials per micro-batch (batch_id-idempotent), consumer merge == batch bars",
+)
+def q_streaming_ohlc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars maintained INCREMENTALLY from a replayed event
+    stream: each micro-batch writes partial bars keyed by their first/
+    last (ts, event_id) to an idempotent batch_id partition; merging
+    partials (min_by/max_by/min/max/sum) reproduces the batch bars
+    EXACTLY for any batch split because the event key is unique. The
+    oracle is the full-data batch derivation — a hash match proves
+    merge-correctness end to end."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        merge_ohlc_partials,
+        streaming_ohlc_maintain,
+    )
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    return run_file_stream(
+        spark,
+        lambda src: stage_microbatches(batches, src),
+        lambda src, schema, tmp: streaming_ohlc_maintain(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", bars_dir=f"{tmp}/bars",
+        ),
+        lambda tmp: merge_ohlc_partials(spark.read.parquet(f"{tmp}/bars")).select(
+            "event_type", "day", "open_cents", "high_cents",
+            "low_cents", "close_cents", "n_ticks",
+        ),
+        prefix="stream_ohlc_",
+        label="streaming_ohlc_maintain",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5621,6 +5809,12 @@ _GATE_NEXT = [
     "zorder_locality_stats",
     "bucketed_join_rollup",
     "jaccard_prefix_filter_pairs",
+    "indicator_max_drawdown",
+    "cusum_alarm_days",
+    "benford_first_digit",
+    "ohlc_daily_bars",
+    "indicator_lead_lag_corr",
+    "streaming_ohlc_maintain",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -243,3 +243,66 @@ def streaming_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ohlc_maintain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    bars_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain daily OHLC bars from an event stream: each micro-batch
+    writes its PARTIAL bars — (first event key, open, last event key,
+    close, high, low, n) per (event_type, day) — to a ``batch_id=...``
+    partition of ``bars_dir`` (at-least-once foreachBatch: a retried
+    batch overwrites itself, the same idempotency shape
+    streaming_cms_maintain and streaming/drift.py carry). OHLC is a
+    MERGEABLE aggregate once open/close carry their (ts, event_id)
+    keys, so consumers reduce partials with min_by/max_by + min/max +
+    sum — see ``merge_ohlc_partials``."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        e = batch.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        k = F.struct(F.col("ts"), F.col("event_id"))
+        partial = e.groupBy("event_type", "day").agg(
+            F.min(k).alias("first_k"),
+            F.min_by("cents", k).alias("open_cents"),
+            F.max(k).alias("last_k"),
+            F.max_by("cents", k).alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        partial.write.mode("overwrite").parquet(f"{bars_dir}/batch_id={batch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_ohlc_partials(partials: DataFrame) -> DataFrame:
+    """Reduce per-batch OHLC partials to final bars: open follows the
+    globally-first (ts, event_id) key, close the globally-last;
+    high/low/n fold associatively. Exact for any batch split because
+    the event key is unique."""
+    return partials.groupBy("event_type", "day").agg(
+        F.min_by("open_cents", "first_k").alias("open_cents"),
+        F.max("high_cents").alias("high_cents"),
+        F.min("low_cents").alias("low_cents"),
+        F.max_by("close_cents", "last_k").alias("close_cents"),
+        F.sum("n_ticks").alias("n_ticks"),
+    )

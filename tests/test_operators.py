@@ -2372,3 +2372,111 @@ def test_zorder_sql_twin_matches_spark_key(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_cusum_closed_form_equals_literal_fold(spark):
+    """The two-window closed form must equal the literal recursive
+    fold s_t = max(0, s_{t-1} + delta_t), including negative runs that
+    pin s to 0 and immediate re-climbs."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        cusum_points_per_key,
+    )
+
+    deltas = [5, -3, -10, 4, 4, -1, 7, -20, 2]
+    rows = [("k", i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "k string, i int, delta long")
+    got = {
+        r.i: r.cusum_cents
+        for r in cusum_points_per_key(df, "k", ["i"], "delta").collect()
+    }
+    s, want = 0, {}
+    for i, d in enumerate(deltas):
+        s = max(0, s + d)
+        want[i] = s
+    assert got == want
+
+
+def test_max_drawdown_matches_reference(spark):
+    """Drawdown argmax: deepest decline from the running peak, ties
+    broken by the earliest trough."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        max_drawdown_per_key,
+    )
+
+    vals = [100, 120, 90, 110, 60, 80, 60]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i int, cents long")
+    out = max_drawdown_per_key(df, "k", "i", "cents").collect()
+    assert len(out) == 1
+    r = out[0]
+    # peak 120 -> trough 60 = 50% decline; first at i=4
+    assert r.max_drawdown == 0.5
+    assert r.trough_at == 4
+    assert r.trough_value_cents == 60 and r.peak_value_cents == 120
+
+
+def test_benford_digit_extraction_no_float_edges(spark):
+    """String-based first-digit must be exact at powers of ten, where
+    log10-based extraction goes wrong (log10(1000.0) = 2.9999...)."""
+    from finance_reporting_etl_spark.queries import CATALOG  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1.0,), (9.99,), (10.0,), (100.0,), (1000.0,), (999.99,), (123456.78,)],
+        "p double",
+    )
+    digit = F.substring(F.floor(F.col("p")).cast("bigint").cast("string"), 1, 1).cast("int")
+    got = [r.d for r in df.select(digit.alias("d")).collect()]
+    assert got == [1, 9, 1, 1, 1, 9, 1]
+
+
+def test_ohlc_partial_merge_invariant_under_batch_split(spark, sf_dir):
+    """Merging per-batch OHLC partials must equal the direct bars for
+    ANY batch split (mergeability is what the streaming maintenance
+    relies on) — checked for two different splits."""
+    from finance_reporting_etl_spark.operators.timeseries import ohlc_bars
+    from finance_reporting_etl_spark.streaming.rollup import merge_ohlc_partials
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    e = (
+        _read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    direct = sorted(
+        map(tuple, ohlc_bars(e, ["event_type", "day"], "ts", "event_id", "cents").collect())
+    )
+    k = F.struct(F.col("ts"), F.col("event_id"))
+    for mod in (2, 5):
+        partials = []
+        for i in range(mod):
+            b = e.filter(F.col("event_id") % mod == i)
+            partials.append(
+                b.groupBy("event_type", "day").agg(
+                    F.min(k).alias("first_k"),
+                    F.min_by("cents", k).alias("open_cents"),
+                    F.max(k).alias("last_k"),
+                    F.max_by("cents", k).alias("close_cents"),
+                    F.max("cents").alias("high_cents"),
+                    F.min("cents").alias("low_cents"),
+                    F.count(F.lit(1)).alias("n_ticks"),
+                )
+            )
+        allp = partials[0]
+        for p in partials[1:]:
+            allp = allp.unionByName(p)
+        merged = sorted(
+            map(
+                tuple,
+                merge_ohlc_partials(allp)
+                .select("event_type", "day", "open_cents", "high_cents",
+                        "low_cents", "close_cents", "n_ticks")
+                .collect(),
+            )
+        )
+        assert merged == direct, f"split mod={mod} diverged"
