@@ -264,8 +264,12 @@ def jaccard_prefix_filter_pairs(
     (partitioned by doc — bounded), one equi-join on kept tokens, one
     distinct, two id-joins for the exact verify. No cartesian, no UDF.
     Returns (id_a, id_b, jaccard) with jaccard rounded to ``scale``
-    and the filter applied to the ROUNDED value (matching
-    :func:`jaccard_pairs` and the SQL oracle).
+    for display but the threshold applied to the TRUE value: the
+    prefix and size filters guarantee candidate recall only for true
+    J >= t, so filtering on the rounded value would claim boundary
+    pairs (true J just UNDER t that round up) the candidate stage is
+    allowed to prune — breaking exactness (r5 review). The true
+    ratio is an integer/integer double, identical in any engine.
     """
     toks_arr = F.array_distinct(whitespace_tokens(F.lower(F.col(text_col))))
     t = (
@@ -306,8 +310,8 @@ def jaccard_prefix_filter_pairs(
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, scale).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

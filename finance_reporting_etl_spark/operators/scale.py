@@ -81,13 +81,24 @@ def write_bucketed(
         # (another process created it; this session's in-memory catalog
         # never heard of it) and saveAsTable then refuses the dir with
         # LOCATION_ALREADY_EXISTS — drop both the entry and any
-        # orphaned location before writing
+        # orphaned location before writing. The location is derived the
+        # way the session catalog lays out managed tables (warehouse
+        # root for `default`, a `<db>.db` subdir otherwise — r5
+        # review). NOT safe against two drivers overwriting the SAME
+        # table name concurrently (one deletes while the other scans);
+        # callers namespace table names per run (see
+        # q_bucketed_join_rollup's run-id suffix).
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{spark.conf.get('spark.sql.warehouse.dir')}/{table_name.lower()}"
+        db = spark.catalog.currentDatabase()
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = (
+            f"{wh}/{table_name.lower()}"
+            if db == "default"
+            else f"{wh}/{db.lower()}.db/{table_name.lower()}"
         )
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(loc)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)

@@ -367,7 +367,16 @@ def max_drawdown_per_key(
     exact integer ratio rounded to ``scale`` — so the argmax row is
     selected on identical (rounded dd DESC, order ASC) keys in any
     engine. Two window passes over one key-partitioned sort, then a
-    row_number filter; no global sort, no state."""
+    row_number filter; no global sort, no state.
+
+    Rows BEFORE the key's running peak turns positive are excluded
+    (a non-positive peak makes the ratio meaningless: peak=0 divides
+    to NaN — which would WIN the dd DESC argmax, since Spark sorts
+    NaN above every double — and a negative peak flips the sign, so
+    a rising series would report a positive drawdown; r5 review).
+    Keys whose peak never turns positive produce no row. The peak
+    itself is computed over ALL rows, so a mid-series loss day still
+    measures its decline from the earlier positive peak."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(order_col)
@@ -378,7 +387,7 @@ def max_drawdown_per_key(
         order_col,
         F.col(value_cents_col).alias("__v"),
     ).withColumn("__peak", F.max("__v").over(w))
-    d = d.withColumn(
+    d = d.filter(F.col("__peak") > 0).withColumn(
         "dd",
         F.round(
             F.lit(1.0) - F.col("__v") / F.col("__peak").cast("double"), scale
@@ -465,9 +474,14 @@ def lead_lag_best_corr(
 
     The b side is exploded over the (2*max_lag + 1)-row lag spine and
     day-shifted, then equi-joined on (day, a < b); all five Pearson
-    moments are integer sums (exact in any order; int64 headroom to
-    ~trillion-cent days like rolling_pearson); the best row per pair
-    is picked on (rounded corr DESC, lag ASC) — fully deterministic.
+    moments are integer sums (exact in any order). Int64 headroom: the
+    binding term is n * sxx ~ n^2 * x^2, which overflows BIGINT around
+    x ~ 2.4e8 cents (~$2.5M) per day at n=150 overlapping days —
+    pre-scale to whole currency units (or coarser) beyond that; ANSI
+    mode turns the overflow into a loud ARITHMETIC_OVERFLOW, never a
+    silent wrap (r5 review corrected an overstated headroom claim
+    here). The best row per pair is picked on (rounded corr DESC,
+    lag ASC) — fully deterministic.
     Degenerate overlaps (constant series -> zero variance) and
     overlaps under ``min_days`` are excluded on both engines."""
     a = daily.select(

@@ -3418,15 +3418,17 @@ ORACLES["jaccard_prefix_filter_pairs"] = f"""
           ON a.tok = b.tok AND a.id < b.id
          AND b.n >= ceil(a.n * 0.6) AND a.n >= ceil(b.n * 0.6)
     ), v AS (
+        -- threshold on the TRUE ratio (rounded only for display):
+        -- candidate recall is guaranteed only for true J >= t
         SELECT c.id_a, c.id_b,
-               round(len(list_intersect(ta.toks, tb.toks))
-                     / CAST(ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))
-                            AS DOUBLE), 4) AS jaccard
+               len(list_intersect(ta.toks, tb.toks))
+                   / CAST(ta.n + tb.n - len(list_intersect(ta.toks, tb.toks))
+                          AS DOUBLE) AS j_true
         FROM cand c
         JOIN t ta ON ta.id = c.id_a
         JOIN t tb ON tb.id = c.id_b
     )
-    SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6
+    SELECT id_a, id_b, round(j_true, 4) AS jaccard FROM v WHERE j_true >= 0.6
     """
 
 ORACLES["indicator_max_drawdown"] = """
@@ -3459,18 +3461,25 @@ ORACLES["cusum_alarm_days"] = """
         FROM events GROUP BY 1, 2
     ), k AS (
         SELECT event_type,
-               CAST(sum(cents) AS BIGINT) // count(*) AS kc
+               CAST(sum(cents) AS BIGINT) // count(*) AS kc,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
         FROM d WHERE cents IS NOT NULL GROUP BY event_type
+    ), ks AS (
+        SELECT event_type, kc,
+               sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sd
+        FROM k
     ), s AS (
-        SELECT d.event_type, d.day, d.cents - k.kc AS delta, k.kc
-        FROM d JOIN k USING (event_type) WHERE d.cents IS NOT NULL
+        SELECT d.event_type, d.day, d.cents - ks.kc AS delta, ks.sd
+        FROM d JOIN ks USING (event_type) WHERE d.cents IS NOT NULL
     ), c1 AS (
-        SELECT event_type, day, kc,
+        SELECT event_type, day, sd,
                sum(delta) OVER (PARTITION BY event_type ORDER BY day
                                 ROWS UNBOUNDED PRECEDING) AS p
         FROM s
     ), c AS (
-        SELECT event_type, day, kc, p,
+        SELECT event_type, day, sd, p,
                min(p) OVER (PARTITION BY event_type ORDER BY day
                             ROWS UNBOUNDED PRECEDING) AS minp
         FROM c1
@@ -3478,7 +3487,7 @@ ORACLES["cusum_alarm_days"] = """
     SELECT event_type, day,
            CAST(p - least(CAST(0 AS BIGINT), minp) AS BIGINT) AS cusum_cents
     FROM c
-    WHERE p - least(CAST(0 AS BIGINT), minp) > 5 * kc
+    WHERE p - least(CAST(0 AS BIGINT), minp) > 4 * sd
     """
 
 ORACLES["benford_first_digit"] = """
@@ -3486,8 +3495,15 @@ ORACLES["benford_first_digit"] = """
         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                            1, 1) AS INT) AS digit
         FROM orders WHERE o_totalprice >= 1
-    ), g AS (
+    ), counts AS (
         SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), g AS (
+        -- full 1-9 spine: absent digits must contribute their
+        -- (0 - total*share)^2 chi2 term (r5 review)
+        SELECT CAST(s.digit AS INTEGER) AS digit,
+               CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+        FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit) s
+        LEFT JOIN counts USING (digit)
     ), t AS (
         SELECT digit, n,
                sum(n) OVER () AS total,

@@ -5448,7 +5448,10 @@ def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the plan property; this query gates the RESULT against the
     plain-join oracle). This is the pay-once-shuffle layout for fact
     tables re-joined daily at 100 TB. Table names carry the run id so
-    concurrent drivers do not collide in the shared warehouse."""
+    concurrent drivers do not collide in the shared warehouse; a fixed
+    run id overwrites its own tables in place (bounded), ephemeral ids
+    are removed by their harness (tests/conftest.py cleans this
+    pytest run's bkt_* tables — r5 review)."""
     import os as _os
 
     from finance_reporting_etl_spark.operators.scale import (
@@ -5523,9 +5526,12 @@ def q_indicator_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_drawdown_per_key,
     )
 
-    d = _daily_series_cents(spark, sf_dir).filter(F.col("cents") > 0)
-    # peak > 0 is guaranteed by cents > 0 on a running max of the same
-    # column; the oracle filters peak > 0 identically
+    # no cents > 0 pre-filter: a refund-heavy day with a non-positive
+    # total must still measure its decline from the earlier peak (the
+    # operator drops only rows before the peak turns positive, exactly
+    # the oracle's WHERE peak > 0 — r5 review: the pre-filter silently
+    # understated drawdown and diverged from the oracle)
+    d = _daily_series_cents(spark, sf_dir)
     return max_drawdown_per_key(d, "event_type", "day", "cents")
 
 
@@ -5536,24 +5542,37 @@ def q_indicator_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cusum_alarm_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's one-sided CUSUM per revenue series: s_t = max(0,
     s_{t-1} + (x_t - k)) with allowance k = each series' integer-mean
-    daily cents, alarming where s > 5k (five average days of
-    cumulative positive drift). The recursive fold is evaluated in
-    closed form at every row — prefix sum minus clamped running
-    minimum, the clamped_balance identity — so the whole detector is
-    two chained windows, zero Python, exact integers."""
+    daily cents, alarming where s exceeds h = 4 standard deviations
+    of the daily totals — the standard sigma-scaled decision interval
+    (a mean-scaled h cannot track scale: relative day-to-day noise
+    shrinks ~1/sqrt(events/day), so a fixed multiple of the mean
+    fires at sf0.001 and never at sf0.1 — r5 probe). sd comes from
+    exact integer moments + one correctly-rounded sqrt, identical in
+    both engines. The recursive fold is evaluated in closed form at
+    every row — prefix sum minus clamped running minimum, the
+    clamped_balance identity — so the whole detector is two chained
+    windows, zero Python, exact integers."""
     from finance_reporting_etl_spark.operators.timeseries import (
         cusum_points_per_key,
     )
 
     d = _daily_series_cents(spark, sf_dir)
     k = d.groupBy("event_type").agg(
-        F.expr("sum(cents) div count(*)").alias("kc")
+        F.expr("sum(cents) div count(*)").alias("kc"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    k = k.withColumn(
+        "sd",
+        F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("n"),
     )
     s = d.join(F.broadcast(k), "event_type").withColumn(
         "delta", F.col("cents") - F.col("kc")
     )
     c = cusum_points_per_key(s, "event_type", ["day"], "delta")
-    return c.filter(F.col("cusum_cents") > 5 * F.col("kc")).select(
+    return c.filter(F.col("cusum_cents") > 4 * F.col("sd")).select(
         "event_type", "day", "cusum_cents"
     )
 
@@ -5568,19 +5587,27 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Digit extraction is string-based (first char of the floored
     integer), never log10-of-value, so there is no float edge at
     powers of ten; expected shares are rounded before the chi-square
-    terms so both engines combine identical doubles. The only window
-    runs over the 9 digit rows (bounded)."""
+    terms so both engines combine identical doubles. Counts left-join
+    a full 1-9 digit spine: a digit that never appears contributes
+    its (0 - total*share)^2 term — omitting absent digits understates
+    chi2 exactly when amounts are fabricated, which is the scenario
+    the screen exists for (r5 review). The only window runs over the
+    9 spine rows (bounded)."""
     from pyspark.sql import Window
 
     digit = F.substring(
         F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    g = (
+    counts = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    g = spine.join(counts, "digit", "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0).cast("bigint"))
     )
     w = Window.partitionBy()
     t = g.withColumn("total", F.sum("n").over(w)).withColumn(

@@ -18,12 +18,19 @@ os.environ.setdefault("SPARK_GRAFT_RUN_ID", f"pytest-{os.getpid()}")
 @pytest.fixture(scope="session", autouse=True)
 def _cleanup_aux():
     yield
+    import glob
     import shutil
 
     from finance_reporting_etl_spark.queries import _AUX_DIR
 
     if "pytest-" in _AUX_DIR:
         shutil.rmtree(_AUX_DIR, ignore_errors=True)
+    # this run's bucketed warehouse tables (bkt_*_pytest_<pid>) — the
+    # per-run name suffix that prevents cross-driver races would
+    # otherwise accumulate one orders+lineitem copy per CI run
+    run = os.environ["SPARK_GRAFT_RUN_ID"].replace("-", "_")
+    for d in glob.glob(str(REPO / "spark-warehouse" / f"bkt_*_{run}")):
+        shutil.rmtree(d, ignore_errors=True)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

@@ -2342,7 +2342,9 @@ def test_jaccard_prefix_filter_equals_brute_force(spark, sf_dir):
     for ia, ib in itertools.combinations(sorted(sets), 2):
         a, b = sets[ia], sets[ib]
         j = len(a & b) / len(a | b)
-        if round(j, 4) >= 0.6:
+        # threshold on the TRUE jaccard — candidate recall holds only
+        # for true J >= t, so rounding must not decide membership
+        if j >= 0.6:
             want[(ia, ib)] = round(j, 4)
     assert got == want
 
@@ -2480,3 +2482,48 @@ def test_ohlc_partial_merge_invariant_under_batch_split(spark, sf_dir):
             )
         )
         assert merged == direct, f"split mod={mod} diverged"
+
+
+def test_max_drawdown_nonpositive_days_and_peaks(spark):
+    """A mid-series non-positive day still measures its decline from
+    the earlier positive peak (dd > 1); rows before the peak turns
+    positive are excluded, and an all-nonpositive key yields no row
+    (no NaN argmax winner, no sign-flipped drawdown) — r5 review."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        max_drawdown_per_key,
+    )
+
+    rows = (
+        [("refund", i, v) for i, v in enumerate([100, -50, 80])]
+        + [("neg", i, v) for i, v in enumerate([-100, -50])]
+        + [("late", i, v) for i, v in enumerate([0, -10, 40, 30])]
+    )
+    df = spark.createDataFrame(rows, "k string, i int, cents long")
+    out = {r.k: r for r in max_drawdown_per_key(df, "k", "i", "cents").collect()}
+    assert set(out) == {"refund", "late"}  # 'neg' never has a positive peak
+    assert out["refund"].max_drawdown == 1.5  # 100 -> -50
+    assert out["refund"].trough_at == 1
+    assert out["late"].max_drawdown == 0.25  # 40 -> 30; i=0,1 pre-peak excluded
+    assert out["late"].trough_at == 3
+
+
+def test_benford_absent_digit_contributes_chi2(spark):
+    """A digit that never appears must still contribute its
+    (0 - total*share)^2 term: chi2 over {1,2} amounts only must exceed
+    the no-9s-omitted version and the output must carry all 9 rows."""
+    import math
+
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    # tiny synthetic orders table via a temp view is overkill — drive
+    # the full query on sf0.001 and check the spine property instead:
+    # every digit row 1..9 present, n >= 0, and chi2 equals the
+    # literal python recomputation over ALL NINE rows
+    rows = CATALOG["benford_first_digit"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    total = sum(r.n for r in rows)
+    chi2 = sum(
+        (r.n - total * r.benford_share) ** 2 / (total * r.benford_share)
+        for r in rows
+    )
+    assert all(math.isclose(r.chi2_stat, round(chi2, 4), abs_tol=2e-4) for r in rows)
