@@ -176,6 +176,9 @@ HEADLINE = [
     "benford_first_digit",
     "ohlc_daily_bars",
     "indicator_lead_lag_corr",
+    "feature_hash_bow",
+    "series_volatility",
+    "mmr_diversified_rerank",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

@@ -860,3 +860,34 @@ def ctfidf_distinctive_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("cls").alias(class_col), "term", "tf", "score", "rank")
     )
+
+
+def feature_hash_bow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_dims: int = 32,
+    salt: str = "feathash",
+) -> DataFrame:
+    """Hashing-trick bag-of-words: every token maps to a fixed dim via
+    md5 (no vocabulary pass, no vocab shuffle — the property that lets
+    the featurizer run as ONE stateless map at any corpus size), with
+    the usual independent sign hash so collisions cancel in
+    expectation instead of always inflating. Long-format output
+    (id, dim, weight) — weight = sum of +-1 per token occurrence, an
+    exact integer. ``n_dims`` must divide 256 (md5_bucket grain)."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    dim = md5_bucket("tok", n_dims, salt=salt)
+    sign = md5_bucket("tok", 2, salt=salt + "sign") * 2 - 1
+    return (
+        tok.withColumn("dim", dim.cast("int"))
+        .withColumn("sign", sign.cast("bigint"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

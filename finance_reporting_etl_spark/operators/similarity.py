@@ -654,3 +654,130 @@ def hard_negatives_topk(
     return brute_force_topk(
         embeddings, query_ids, k, id_col, vec_col, scale, label_col=label_col
     )
+
+
+def mmr_select(
+    shortlist: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection over a per-query shortlist:
+    step 1 takes the most relevant candidate; step t takes
+    argmax(lam * rel - mu * max_sim_to_selected) — the standard
+    diversified-retrieval rerank (Carbonell & Goldstein '98), the same
+    greedy that dedups near-identical contexts in RAG pipelines.
+
+    ``shortlist`` is (query_id, neighbor_id, rel), ``pair_sims`` is
+    (query_id, id_a, id_b, sim) with BOTH directions materialized;
+    both carry 6dp-rounded scores (persist them via the aux pattern so
+    the oracle replays selection over identical doubles). ``mu`` is an
+    EXPLICIT constant, not 1 - lam: float(1 - 0.7) != float(0.3), and
+    the SQL twin prints the same repr. Every per-step argmax is a
+    per-query window on (rounded mmr DESC, neighbor_id). The selected
+    set is localCheckpoint'ed each step: sel_t references sel_{t-1}
+    TWICE (anti-join + union), so a lazy chain duplicates the whole
+    prefix per level — O(2^k) plan nesting, measured ~7.5 s at
+    k=5/sf0.1 vs ~1 s checkpointed; the checkpointed frame is only
+    n_queries * k rows. Returns (query_id, step, neighbor_id)."""
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    sel = (
+        shortlist.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.lit(1).alias("step"), "neighbor_id")
+    )
+    # every stage renames to fresh columns: `sel` shares lineage with
+    # `shortlist`, so attribute references would be ambiguous in the
+    # self-referencing loop joins
+    wt = Window.partitionBy("q").orderBy(F.col("mmr").desc(), F.col("c"))
+    ps = pair_sims.select(
+        F.col("query_id").alias("pq"),
+        F.col("id_a").alias("pa"),
+        F.col("id_b").alias("pb"),
+        "sim",
+    )
+    for t in range(2, k + 1):
+        chosen = sel.select("query_id", "neighbor_id")
+        rem = shortlist.join(chosen, ["query_id", "neighbor_id"], "left_anti").select(
+            F.col("query_id").alias("q"),
+            F.col("neighbor_id").alias("c"),
+            "rel",
+        )
+        ch = chosen.select(
+            F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sid")
+        )
+        cand = (
+            rem.join(ps, (F.col("q") == F.col("pq")) & (F.col("c") == F.col("pa")))
+            .join(ch, (F.col("pq") == F.col("sq")) & (F.col("pb") == F.col("sid")))
+            .groupBy("q", "c", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumn(
+                "mmr",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("max_sim"), 6),
+            )
+        )
+        pick = (
+            cand.withColumn("__rn", F.row_number().over(wt))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("q").alias("query_id"),
+                F.lit(t).alias("step"),
+                F.col("c").alias("neighbor_id"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel
+
+
+def mmr_oracle_sql(
+    shortlist_glob: str,
+    pairs_glob: str,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> str:
+    """Unrolled k-step SQL twin of :func:`mmr_select` (the
+    graph-module pattern: fixed iteration counts unroll into chained
+    CTEs instead of a recursive aggregate, which engines restrict).
+    Reads the SAME persisted shortlist/pair-sim parquet."""
+    ctes = [
+        f"shortlist AS (SELECT * FROM '{shortlist_glob}')",
+        f"pairs AS (SELECT * FROM '{pairs_glob}')",
+        """sel1 AS (
+            SELECT query_id, 1 AS step, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, neighbor_id) AS rn
+                FROM shortlist) WHERE rn = 1
+        )""",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(f"""cand{t} AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round({lam!r} * c.rel - {mu!r} * max(p.sim), 6) AS mmr
+            FROM shortlist c
+            JOIN pairs p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
+            JOIN {prev} sp ON sp.query_id = p.query_id
+                          AND sp.neighbor_id = p.id_b
+            WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                              WHERE s2.query_id = c.query_id
+                                AND s2.neighbor_id = c.neighbor_id)
+            GROUP BY c.query_id, c.neighbor_id, c.rel
+        )""")
+        ctes.append(f"""sel{t} AS (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT query_id, {t} AS step, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY mmr DESC, neighbor_id) AS rn
+                FROM cand{t}) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, CAST(step AS INT) AS step, neighbor_id FROM sel{k}"
+    )

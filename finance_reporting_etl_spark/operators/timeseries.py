@@ -13,6 +13,8 @@ task (the precondition every per-key sequential model shares).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -527,4 +529,46 @@ def lead_lag_best_corr(
         scored.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def series_volatility(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+    trading_days: int = 252,
+) -> DataFrame:
+    """Per-series daily log-return stats: (key, n_rets, mean_logret,
+    vol_daily, vol_annual). Log returns ln(c_t / c_{t-1}) are rounded
+    to 6dp at the ROW level — ln is within-1-ulp, not correctly
+    rounded, so engines may differ in the last bit; rounding first
+    makes every downstream sum combine identical doubles (the ctfidf
+    precedent). Variance is assembled from moment sums (not a builtin
+    stddev, whose accumulation algorithm is engine-specific); only
+    positive-value days return (a non-positive level has no log
+    return), and keys need >= 2 returns for a sample sd."""
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    d = daily.filter(F.col(cents_col) > 0).withColumn(
+        "__prev", F.lag(cents_col).over(w)
+    )
+    r = d.filter(F.col("__prev") > 0).withColumn(
+        "__lr",
+        F.round(F.log(F.col(cents_col) / F.col("__prev").cast("double")), 6),
+    )
+    g = r.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rets"),
+        F.sum("__lr").alias("__s1"),
+        F.sum(F.col("__lr") * F.col("__lr")).alias("__s2"),
+    ).filter(F.col("n_rets") >= 2)
+    var = (F.col("n_rets") * F.col("__s2") - F.col("__s1") * F.col("__s1")) / (
+        F.col("n_rets") * (F.col("n_rets") - 1)
+    )
+    vol = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return g.select(
+        key_col,
+        "n_rets",
+        F.round(F.col("__s1") / F.col("n_rets"), 6).alias("mean_logret"),
+        F.round(vol, 6).alias("vol_daily"),
+        F.round(vol * math.sqrt(trading_days), 6).alias("vol_annual"),
     )

@@ -3577,3 +3577,64 @@ ORACLES["indicator_lead_lag_corr"] = """
     )
     SELECT series_a, series_b, lag, n_days, corr FROM ranked WHERE rn = 1
     """
+
+def _tok_b256(salt: str) -> str:
+    """b256 of the TOKEN (md5_bucket twin keyed on tok, not doc_id)."""
+    h = f"md5(tok || '{salt}')"
+    return (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+
+ORACLES["feature_hash_bow"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CAST({_tok_b256("feathash")} % 32 AS INTEGER) AS dim,
+               CAST(({_tok_b256("feathashsign")} % 2) * 2 - 1 AS BIGINT) AS sign
+        FROM tok
+    )
+    SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0
+    """
+
+ORACLES["series_volatility"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+        HAVING sum(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
+    ), r AS (
+        SELECT event_type, cents,
+               lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM d WHERE cents > 0
+    ), lr AS (
+        SELECT event_type, round(ln(cents / CAST(prev AS DOUBLE)), 6) AS lr
+        FROM r WHERE prev > 0
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rets,
+               sum(lr) AS s1, sum(lr * lr) AS s2
+        FROM lr GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT event_type, n_rets,
+           round(s1 / n_rets, 6) AS mean_logret,
+           round(sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0)), 6) AS vol_daily,
+           round(sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))
+                 * sqrt(252.0), 6) AS vol_annual
+    FROM g
+    """
+
+# MMR oracle: unrolled k-step CTE twin generated beside the Spark
+# greedy (operators/similarity.py) over the same persisted aux tables.
+from finance_reporting_etl_spark.operators.similarity import (  # noqa: E402
+    mmr_oracle_sql as _mmr_sql,
+)
+
+ORACLES["mmr_diversified_rerank"] = _mmr_sql(
+    f"{_AUX_DIR}/mmr_shortlist/*.parquet",
+    f"{_AUX_DIR}/mmr_pair_sims/*.parquet",
+    k=5, lam=0.7, mu=0.3,
+)

@@ -5712,6 +5712,91 @@ def q_streaming_ohlc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("feature_hash_bow",
+    _ORACLES["feature_hash_bow"],
+    "X4/X-pipe hashing-trick features: vocabulary-free signed bag-of-words (one stateless map, no vocab shuffle)",
+)
+def q_feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text features: tokens map straight to one of 32
+    dims via md5 with an independent sign hash (collisions cancel in
+    expectation). No vocabulary is ever built — the featurizer is one
+    stateless map plus a (doc, dim) aggregation, which is why the
+    trick survives any corpus size. Long-format exact-integer
+    weights (see operators/corpus.py)."""
+    from finance_reporting_etl_spark.operators.corpus import feature_hash_bow
+
+    return feature_hash_bow(_t(spark, sf_dir, "documents"))
+
+
+@query("series_volatility",
+    _ORACLES["series_volatility"],
+    "§2.5/finance log-return volatility: row-level rounded ln returns, moment-assembled sample sd, annualized",
+)
+def q_series_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log-return volatility per revenue series (mean return,
+    sample sd, annualized at sqrt(252)). Log returns are rounded at
+    the row level before any aggregation — ln is within-1-ulp, not
+    correctly rounded, so engines may differ in the last bit — and the
+    variance is assembled from moment sums rather than a builtin
+    stddev whose accumulation algorithm is engine-specific (see
+    operators/timeseries.py)."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        series_volatility,
+    )
+
+    return series_volatility(
+        _daily_series_cents(spark, sf_dir), "event_type", "day", "cents"
+    )
+
+
+@query("mmr_diversified_rerank",
+    _ORACLES["mmr_diversified_rerank"],
+    "X3 diversified retrieval: Maximal Marginal Relevance rerank of a cosine shortlist (k-step greedy, persisted-aux oracle)",
+)
+def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 per query: greedy argmax of
+    0.7*relevance - 0.3*max-similarity-to-already-selected over a
+    brute-force top-20 cosine shortlist — the rerank that stops a RAG
+    context window filling with five copies of the same document. The
+    shortlist and the within-shortlist pair sims (both 6dp-rounded)
+    are persisted aux tables, so the DuckDB twin replays the greedy
+    over identical doubles through an UNROLLED 5-step CTE chain (the
+    graph-module pattern). The Spark greedy is one lazy plan — k
+    bounded join/window steps, no driver collect."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+    from finance_reporting_etl_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    short = _persist_aux(
+        spark,
+        brute_force_topk(emb, [0, 1, 2, 3, 4], k=20).select(
+            "query_id", "neighbor_id", F.col("score").alias("rel")
+        ),
+        "mmr_shortlist",
+    )
+    ids = short.select("query_id", "neighbor_id")
+    v = emb.select("vec_id", "embedding")
+    a = ids.join(v, ids.neighbor_id == v.vec_id).select(
+        "query_id", F.col("neighbor_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = ids.join(v, ids.neighbor_id == v.vec_id).select(
+        F.col("query_id").alias("__qb"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = _persist_aux(
+        spark,
+        a.join(b, (a.query_id == b.__qb) & (F.col("id_a") != F.col("id_b")))
+        .withColumn("sim", F.round(cosine("va", "vb"), 6))
+        .select("query_id", "id_a", "id_b", "sim"),
+        "mmr_pair_sims",
+    )
+    return mmr_select(short, pairs, k=5, lam=0.7, mu=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5842,6 +5927,9 @@ _GATE_NEXT = [
     "ohlc_daily_bars",
     "indicator_lead_lag_corr",
     "streaming_ohlc_maintain",
+    "feature_hash_bow",
+    "series_volatility",
+    "mmr_diversified_rerank",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

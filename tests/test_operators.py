@@ -2527,3 +2527,43 @@ def test_benford_absent_digit_contributes_chi2(spark):
         for r in rows
     )
     assert all(math.isclose(r.chi2_stat, round(chi2, 4), abs_tol=2e-4) for r in rows)
+
+
+def test_mmr_select_matches_literal_greedy(spark):
+    """mmr_select must equal a literal python MMR greedy on synthetic
+    shortlist/pair-sim tables, including the no-tie argmax per step."""
+    from finance_reporting_etl_spark.operators.similarity import mmr_select
+
+    rel = {101: 0.95, 102: 0.94, 103: 0.8, 104: 0.75, 105: 0.2}
+    sim = {
+        (101, 102): 0.99, (101, 103): 0.1, (101, 104): 0.2, (101, 105): 0.0,
+        (102, 103): 0.15, (102, 104): 0.1, (102, 105): 0.05,
+        (103, 104): 0.9, (103, 105): 0.1, (104, 105): 0.2,
+    }
+    sim.update({(b, a): s for (a, b), s in list(sim.items())})
+    short = spark.createDataFrame(
+        [(7, c, r) for c, r in rel.items()], "query_id long, neighbor_id long, rel double"
+    )
+    pairs = spark.createDataFrame(
+        [(7, a, b, s) for (a, b), s in sim.items()],
+        "query_id long, id_a long, id_b long, sim double",
+    )
+    got = [
+        r.neighbor_id
+        for r in mmr_select(short, pairs, k=4, lam=0.7, mu=0.3)
+        .orderBy("step")
+        .collect()
+    ]
+    # literal greedy
+    chosen = [max(rel, key=lambda c: (rel[c], -c))]
+    while len(chosen) < 4:
+        remaining = [c for c in rel if c not in chosen]
+        scores = {
+            c: round(0.7 * rel[c] - 0.3 * max(sim[(c, s)] for s in chosen), 6)
+            for c in remaining
+        }
+        chosen.append(max(remaining, key=lambda c: (scores[c], -c)))
+    assert got == chosen
+    # the near-duplicate of the top pick (102, sim .99) must NOT be
+    # second — diversification is the whole point
+    assert got[1] != 102 and 102 in got[2:] or 102 not in got
