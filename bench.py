@@ -179,6 +179,9 @@ HEADLINE = [
     "feature_hash_bow",
     "series_volatility",
     "mmr_diversified_rerank",
+    "ks_value_drift",
+    "fifo_realized_pnl",
+    "position_based_attribution",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

@@ -64,3 +64,61 @@ def prorate_largest_remainder(
         )
     )
     return d.drop("__sum_w", "__base", "__rem", "__short", "__rnk")
+
+
+def fifo_match(
+    buys: DataFrame,
+    sells: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    qty_col: str,
+    total_cents_col: str,
+) -> DataFrame:
+    """FIFO lot matching as a cumulative-quantity interval join — the
+    realized-PnL primitive (cost basis, inventory consumption, queue
+    accounting) without any per-row iteration.
+
+    The classic formulation walks buys and sells with two cursors;
+    the distributed identity instead places each side on a shared
+    cumulative-quantity axis per key: buy i covers [B_{i-1}, B_i) of
+    the key's all-time bought quantity, sell j consumes [S_{j-1},
+    S_j), and FIFO matches lot-to-sale exactly where the intervals
+    OVERLAP. Two prefix-sum windows (one per side, key-partitioned)
+    plus one equi-join on the key with the overlap predicate — no
+    recursion, no state, exact integers. Per-pair matched quantity is
+    min(B_i, S_j) - max(B_{i-1}, S_{j-1}).
+
+    Returns one row per matched (buy, sell) fragment: key_cols +
+    buy/sell order cols (prefixed b_/s_), matched_qty, and the exact
+    per-unit totals needed for PnL: b_qty/b_total and s_qty/s_total.
+    Unsold buy tails and oversold sell tails simply have no overlap.
+    """
+
+    def cum(df: DataFrame, side: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df.withColumn("__end", F.sum(qty_col).over(w)).withColumn(
+            "__start", F.col("__end") - F.col(qty_col)
+        )
+        return out.select(
+            *key_cols,
+            *[F.col(c).alias(f"{side}_{c}") for c in order_cols],
+            F.col(qty_col).alias(f"{side}_qty"),
+            F.col(total_cents_col).alias(f"{side}_total"),
+            F.col("__start").alias(f"{side}_start"),
+            F.col("__end").alias(f"{side}_end"),
+        )
+
+    b, s = cum(buys, "b"), cum(sells, "s")
+    j = b.join(s, key_cols).filter(
+        (F.col("b_start") < F.col("s_end")) & (F.col("s_start") < F.col("b_end"))
+    )
+    matched = F.least(F.col("b_end"), F.col("s_end")) - F.greatest(
+        F.col("b_start"), F.col("s_start")
+    )
+    return j.withColumn("matched_qty", matched).drop(
+        "b_start", "b_end", "s_start", "s_end"
+    )

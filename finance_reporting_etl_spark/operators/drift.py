@@ -15,7 +15,7 @@ computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,54 @@ def psi_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
         F.sum("n_b").cast("double").alias("__tot_b"),
     )
     return psi_bin_table(j.crossJoin(F.broadcast(t)))
+
+
+def ks_two_sample(
+    df: DataFrame,
+    key_col: str,
+    value_cents_col: str,
+    group_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per key:
+    max_v |F1(v) - F2(v)| between the rows of the two groups in
+    ``group_col`` (values 1 and 2). Distribution-free drift detection
+    on the raw values — the binned PSI's complement (PSI needs a bin
+    design; KS does not, and catches shape changes PSI's coarse bins
+    blur).
+
+    Exactness: per (key, value) counts are integers, the ECDFs are
+    cumulative-integer / total ratios, and both engines compare the
+    identical doubles — the value axis sorts within a key partition
+    only (bounded by a key's distinct values; values never leave
+    their key's partition). Keys missing either group are dropped.
+    Returns (key, n1, n2, ks_stat)."""
+    counts = (
+        df.groupBy(key_col, value_cents_col)
+        .agg(
+            F.sum((F.col(group_col) == 1).cast("long")).alias("c1"),
+            F.sum((F.col(group_col) == 2).cast("long")).alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_cents_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(key_col)
+    d = (
+        counts.withColumn("a1", F.sum("c1").over(w))
+        .withColumn("a2", F.sum("c2").over(w))
+        .withColumn("n1", F.sum("c1").over(tot))
+        .withColumn("n2", F.sum("c2").over(tot))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    gap = F.abs(
+        F.col("a1") / F.col("n1").cast("double")
+        - F.col("a2") / F.col("n2").cast("double")
+    )
+    return (
+        d.withColumn("gap", gap)
+        .groupBy(key_col, "n1", "n2")
+        .agg(F.round(F.max("gap"), scale).alias("ks_stat"))
+    )

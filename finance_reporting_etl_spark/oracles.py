@@ -3638,3 +3638,115 @@ ORACLES["mmr_diversified_rerank"] = _mmr_sql(
     f"{_AUX_DIR}/mmr_pair_sims/*.parquet",
     k=5, lam=0.7, mu=0.3,
 )
+
+ORACLES["ks_value_drift"] = """
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 2 END AS grp
+        FROM events CROSS JOIN b WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT event_type, cents,
+               CAST(count_if(grp = 1) AS BIGINT) AS c1,
+               CAST(count_if(grp = 2) AS BIGINT) AS c2
+        FROM r GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS a1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS a2,
+               sum(c1) OVER (PARTITION BY event_type) AS n1,
+               sum(c2) OVER (PARTITION BY event_type) AS n2
+        FROM counts
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE))), 6)
+               AS ks_stat
+    FROM cum WHERE n1 > 0 AND n2 > 0
+    GROUP BY 1, 2, 3
+    """
+
+ORACLES["fifo_realized_pnl"] = """
+    WITH li AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS total
+        FROM lineitem
+    ), b AS (
+        SELECT l_partkey, qty, total,
+               sum(qty) OVER w AS bend, sum(qty) OVER w - qty AS bstart
+        FROM li WHERE l_returnflag = 'N'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT l_partkey, qty, total,
+               sum(qty) OVER w AS send, sum(qty) OVER w - qty AS sstart
+        FROM li WHERE l_returnflag = 'R'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)
+    ), m AS (
+        SELECT b.l_partkey,
+               least(b.bend, s.send) - greatest(b.bstart, s.sstart) AS mq,
+               b.qty AS bq, b.total AS bt, s.qty AS sq, s.total AS st
+        FROM b JOIN s ON b.l_partkey = s.l_partkey
+                     AND b.bstart < s.send AND s.sstart < b.bend
+    )
+    SELECT l_partkey,
+           CAST(sum(mq) AS BIGINT) AS matched_qty,
+           round(sum(mq * (st / CAST(sq AS DOUBLE) - bt / CAST(bq AS DOUBLE)))
+                 / 100, 4) AS realized_pnl
+    FROM m GROUP BY 1
+    """
+
+ORACLES["position_based_attribution"] = """
+    WITH pur AS (
+        SELECT event_id AS p_id, user_id,
+               epoch_us(ts) - 604800000000 AS lo, epoch_us(ts) AS hi,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), v AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id AS v_id
+        FROM events WHERE event_type = 'view'
+    ), hits AS (
+        SELECT p.p_id, p.cents, v.t, v.v_id
+        FROM v JOIN pur p ON v.user_id = p.user_id
+                         AND v.t >= p.lo AND v.t < p.hi
+    ), pos AS (
+        SELECT p_id, cents, t, v_id,
+               count(*) OVER (PARTITION BY p_id) AS n,
+               row_number() OVER (PARTITION BY p_id ORDER BY t, v_id) AS rn
+        FROM hits
+    ), wtd AS (
+        -- U-shaped (position-based) credit: 40% first, 40% last, 20%
+        -- split over the middle == integer weights 2(n-2):1...:2(n-2)
+        SELECT p_id, cents, t, v_id, rn,
+               CAST(CASE WHEN n <= 2 THEN 1
+                         WHEN rn = 1 OR rn = n THEN 2 * (n - 2)
+                         ELSE 1 END AS BIGINT) AS w
+        FROM pos
+    ), alloc AS (
+        SELECT p_id, v_id, rn, cents, w,
+               sum(w) OVER (PARTITION BY p_id) AS sum_w
+        FROM wtd
+    ), base AS (
+        SELECT p_id, v_id, rn, cents,
+               (cents * w) // sum_w AS b, (cents * w) % sum_w AS rem
+        FROM alloc WHERE sum_w > 0
+    ), fin AS (
+        SELECT p_id, v_id, rn, b,
+               cents - sum(b) OVER (PARTITION BY p_id) AS short,
+               row_number() OVER (PARTITION BY p_id ORDER BY rem DESC, rn) AS rr
+        FROM base
+    )
+    SELECT p_id AS purchase_id, v_id AS view_id, CAST(rn AS BIGINT) AS position,
+           CAST(b + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+               AS credit_cents
+    FROM fin
+    """

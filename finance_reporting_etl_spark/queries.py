@@ -5797,6 +5797,134 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(short, pairs, k=5, lam=0.7, mu=0.3)
 
 
+@query("ks_value_drift",
+    _ORACLES["ks_value_drift"],
+    "A/X-tier distribution drift: exact two-sample Kolmogorov-Smirnov per series (first vs second half of the time range)",
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic per series between the first and
+    second half of the time range — the bin-free complement to the
+    PSI drift queries (no bin design to get wrong; catches shape
+    changes coarse bins blur). ECDFs are cumulative-integer ratios
+    over a per-key sorted value axis (values never leave their key's
+    partition — see operators/drift.py); the split point is integer
+    microseconds, so membership is engine-exact."""
+    from finance_reporting_etl_spark.operators.drift import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    r = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("grp"),
+    )
+    return ks_two_sample(r, "event_type", "cents", "grp").select(
+        "event_type", "n1", "n2", "ks_stat"
+    )
+
+
+@query("fifo_realized_pnl",
+    _ORACLES["fifo_realized_pnl"],
+    "§2.5/finance FIFO cost basis: cumulative-quantity interval join matches return lots to purchase lots, realized PnL per part",
+)
+def q_fifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized PnL per part under FIFO lot matching: returned lots
+    ('R' lines) consume purchased lots ('N' lines) oldest-first. The
+    cursor walk every accounting system implements is re-expressed as
+    a cumulative-quantity interval overlap — two key-partitioned
+    prefix-sum windows and ONE equi-join, no recursion, no state
+    (see operators/allocation.py::fifo_match). Matched quantities are
+    exact integers; per-unit price deltas are identical int/int
+    doubles on both engines."""
+    from finance_reporting_etl_spark.operators.allocation import fifo_match
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("total"),
+    )
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    m = fifo_match(
+        li.filter(F.col("l_returnflag") == "N"),
+        li.filter(F.col("l_returnflag") == "R"),
+        ["l_partkey"], order_cols, "qty", "total",
+    )
+    term = F.col("matched_qty") * (
+        F.col("s_total") / F.col("s_qty").cast("double")
+        - F.col("b_total") / F.col("b_qty").cast("double")
+    )
+    return m.groupBy("l_partkey").agg(
+        F.sum("matched_qty").alias("matched_qty"),
+        F.round(F.sum(term) / 100, 4).alias("realized_pnl"),
+    )
+
+
+@query("position_based_attribution",
+    _ORACLES["position_based_attribution"],
+    "§2.5 multi-touch attribution: U-shaped (40/20/40) credit over the 7-day view window, exact integer cents via largest-remainder",
+)
+def q_position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase's cents credit first/last touch 40% each with the middle
+    20% split evenly — as integer weights 2(n-2):1:...:2(n-2), then
+    ``prorate_largest_remainder`` so every purchase's credits sum
+    EXACTLY to its cents (the same allocation core as the order
+    proration). The 7-day window join runs through ``range_join``
+    (1-day buckets + user equi-key) — the attribution_window_join
+    scale shape, never a nested loop."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+    from finance_reporting_etl_spark.operators.rangejoin import range_join
+
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events")
+    pur = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            (F.unix_micros("ts") - 7 * day_us).alias("lo"),
+            F.unix_micros("ts").alias("hi"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("t"), F.col("event_id").alias("v_id")
+    )
+    hits = range_join(views, pur, "t", "lo", "hi", bucket_width=day_us, extra_eq=["user_id"])
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy("t", "v_id")
+    pos = hits.withColumn("n", F.count(F.lit(1)).over(wn)).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    w = (
+        F.when(F.col("n") <= 2, F.lit(1))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 2 * (F.col("n") - 2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    alloc = prorate_largest_remainder(
+        pos.withColumn("w", w), ["p_id"], "w", "cents", ["rn"]
+    )
+    return alloc.select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("rn").cast("bigint").alias("position"),
+        F.col("alloc_cents").alias("credit_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5930,6 +6058,9 @@ _GATE_NEXT = [
     "feature_hash_bow",
     "series_volatility",
     "mmr_diversified_rerank",
+    "ks_value_drift",
+    "fifo_realized_pnl",
+    "position_based_attribution",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

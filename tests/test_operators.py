@@ -2567,3 +2567,77 @@ def test_mmr_select_matches_literal_greedy(spark):
     # the near-duplicate of the top pick (102, sim .99) must NOT be
     # second — diversification is the whole point
     assert got[1] != 102 and 102 in got[2:] or 102 not in got
+
+
+def test_fifo_match_equals_literal_cursor_walk(spark):
+    """The cumulative-interval FIFO identity must equal the literal
+    two-cursor walk, including partial-lot fragments, unsold tails,
+    and oversold sells."""
+    from finance_reporting_etl_spark.operators.allocation import fifo_match
+
+    buys = [(1, 1, 10, 1000), (1, 2, 5, 600), (1, 3, 8, 1000)]  # k, ord, qty, total
+    sells = [(1, 1, 4, 480), (1, 2, 14, 1540), (1, 3, 10, 900)]  # oversells by 5
+    bdf = spark.createDataFrame(buys, "k long, o long, qty long, total long")
+    sdf = spark.createDataFrame(sells, "k long, o long, qty long, total long")
+    got = {
+        (r.b_o, r.s_o): r.matched_qty
+        for r in fifo_match(bdf, sdf, ["k"], ["o"], "qty", "total").collect()
+    }
+    # literal walk
+    want, bi, rem_b = {}, 0, buys[0][2]
+    blots = [list(x) for x in buys]
+    for _, so, sq, _t in sells:
+        need = sq
+        while need > 0 and bi < len(blots):
+            take = min(need, rem_b)
+            if take > 0:
+                want[(blots[bi][1], so)] = want.get((blots[bi][1], so), 0) + take
+            need -= take
+            rem_b -= take
+            if rem_b == 0:
+                bi += 1
+                rem_b = blots[bi][2] if bi < len(blots) else 0
+    assert got == want
+    assert sum(got.values()) == 23  # 28 demanded, 23 available
+
+
+def test_position_attribution_credits_sum_and_u_shape(spark, sf_dir):
+    """Every purchase's credits sum EXACTLY to its cents, and for
+    n >= 3 touchpoints first+last carry 80% (+-1 cent each)."""
+    from finance_reporting_etl_spark.queries import CATALOG
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    out = CATALOG["position_based_attribution"].fn(spark, sf_dir).toPandas()
+    ev = (
+        _read_parquet(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .toPandas()
+        .set_index("event_id")["cents"]
+    )
+    sums = out.groupby("purchase_id").credit_cents.sum()
+    assert (sums == ev.loc[sums.index]).all()
+    n = out.groupby("purchase_id").view_id.count()
+    multi = n[n >= 3].index
+    for pid in list(multi)[:20]:
+        rows = out[out.purchase_id == pid].sort_values("position")
+        total = rows.credit_cents.sum()
+        ends = rows.iloc[[0, -1]].credit_cents.sum()
+        assert abs(ends - 0.8 * total) <= 2, (pid, ends, total)
+
+
+def test_ks_two_sample_matches_literal(spark):
+    """KS over explicit samples equals the literal ECDF max-gap."""
+    from finance_reporting_etl_spark.operators.drift import ks_two_sample
+
+    s1 = [10, 20, 20, 30, 50]
+    s2 = [20, 40, 40, 60]
+    rows = [("k", v, 1) for v in s1] + [("k", v, 2) for v in s2]
+    df = spark.createDataFrame(rows, "k string, cents long, grp int")
+    r = ks_two_sample(df, "k", "cents", "grp").collect()[0]
+    vals = sorted(set(s1) | set(s2))
+    want = max(
+        abs(sum(x <= v for x in s1) / len(s1) - sum(x <= v for x in s2) / len(s2))
+        for v in vals
+    )
+    assert r.ks_stat == round(want, 6) and (r.n1, r.n2) == (5, 4)
