@@ -92,9 +92,17 @@ def fifo_match(
     buy/sell order cols (prefixed b_/s_), matched_qty, and the exact
     per-unit totals needed for PnL: b_qty/b_total and s_qty/s_total.
     Unsold buy tails and oversold sell tails simply have no overlap.
+
+    Quantities must be POSITIVE: zero-qty rows are dropped here (a
+    zero-width interval sits strictly inside any covering lot, so it
+    would emit a matched_qty=0 fragment whose per-unit division is
+    total/0 -> NaN that poisons the whole key's sum — r5 review), and
+    negative quantities break the monotone cumulative axis the
+    identity needs — model corrections as separate sell/buy rows.
     """
 
     def cum(df: DataFrame, side: str) -> DataFrame:
+        df = df.filter(F.col(qty_col) > 0)
         w = (
             Window.partitionBy(*key_cols)
             .orderBy(*order_cols)

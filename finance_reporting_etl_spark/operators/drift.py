@@ -81,8 +81,13 @@ def ks_two_sample(
     only (bounded by a key's distinct values; values never leave
     their key's partition). Keys missing either group are dropped.
     Returns (key, n1, n2, ks_stat)."""
+    # NULL values carry no ECDF mass and must not enter the cumulative
+    # axis at all: Spark windows sort NULLS FIRST, DuckDB NULLS LAST,
+    # so an unfiltered NULL group would shift every a1/a2 on one
+    # engine only (r5 review)
     counts = (
-        df.groupBy(key_col, value_cents_col)
+        df.filter(F.col(value_cents_col).isNotNull())
+        .groupBy(key_col, value_cents_col)
         .agg(
             F.sum((F.col(group_col) == 1).cast("long")).alias("c1"),
             F.sum((F.col(group_col) == 2).cast("long")).alias("c2"),
