@@ -182,6 +182,9 @@ HEADLINE = [
     "ks_value_drift",
     "fifo_realized_pnl",
     "position_based_attribution",
+    "quantile_transform_feature",
+    "theil_sen_trend",
+    "ann_recall_ndcg_eval",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

@@ -3750,3 +3750,75 @@ ORACLES["position_based_attribution"] = """
                AS credit_cents
     FROM fin
     """
+
+ORACLES["quantile_transform_feature"] = """
+    WITH r AS (
+        SELECT o_orderkey,
+               rank() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+               count(*) OVER () AS n
+        FROM orders
+    )
+    SELECT o_orderkey,
+           round((rnk - 1) / CAST(n - 1 AS DOUBLE), 6) AS pct
+    FROM r
+    """
+
+ORACLES["theil_sen_trend"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+        HAVING sum(CAST(round(value * 100) AS BIGINT)) IS NOT NULL
+    ), p AS (
+        SELECT a.event_type,
+               (b.cents - a.cents)
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS sen_slope_cents_per_day
+    FROM p GROUP BY 1
+    """
+
+# ideal DCG@10 for binary relevance, printed from the same python
+# constant the Spark side embeds (sum_{r=1..10} 1/log2(r+1))
+_IDEAL_DCG10 = 4.543559338088346
+
+ORACLES["ann_recall_ndcg_eval"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0),
+                     6) AS score
+        FROM c, q WHERE query_id <> neighbor_id
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rnk
+            FROM scored) WHERE rnk <= 10
+    ), a AS (
+        SELECT * FROM '{_AUX_DIR}/ann_eval_approx/*.parquet'
+    ), h AS (
+        SELECT a.query_id, a.rank
+        FROM a JOIN truth tr
+          ON tr.query_id = a.query_id AND tr.neighbor_id = a.neighbor_id
+    ), m AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+               sum(1.0 / log2(rank + 1)) AS dcg
+        FROM h GROUP BY 1
+    )
+    SELECT qq.query_id,
+           round(coalesce(m.n_hits, 0) / 10.0, 6) AS recall_at_10,
+           round(coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}, 6) AS ndcg_at_10
+    FROM (SELECT DISTINCT query_id FROM a) qq LEFT JOIN m USING (query_id)
+    """

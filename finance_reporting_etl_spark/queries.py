@@ -5925,6 +5925,125 @@ def q_position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("quantile_transform_feature",
+    _ORACLES["quantile_transform_feature"],
+    "X-pipe/A-tier quantile (rank-gauss) feature: exact global percentile rank per row with NO single-partition window",
+)
+def q_quantile_transform_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-transform feature: each order's exact global
+    percentile rank of o_totalprice in [0, 1] — the rank-uniform
+    half of scikit's QuantileTransformer, the preprocessing that
+    makes tree/NN features scale-free. The global rank comes from
+    ``distributed_cumsum`` over a unique (price, orderkey) order —
+    bucket offsets + bucket-local windows, never a data-sized
+    SinglePartition sort (same machinery as the ABC/Pareto queries)."""
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.agg(F.count(F.lit(1)).alias("n"))
+    c = distributed_cumsum(
+        o.withColumn("__one", F.lit(1).cast("bigint")),
+        "__one", "o_totalprice", ["o_orderkey"], out_col="rnk",
+    )
+    return c.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.round(
+            (F.col("rnk") - 1) / (F.col("n") - 1).cast("double"), 6
+        ).alias("pct"),
+    )
+
+
+@query("theil_sen_trend",
+    _ORACLES["theil_sen_trend"],
+    "§2.5/finance robust trend: Theil-Sen slope per series (median of pairwise slopes; key-bounded pair join)",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per daily revenue series: the median of
+    all pairwise day-to-day slopes — breakdown point 29%, immune to
+    the outlier days that wreck least squares. The pair join is
+    key-local (days^2 per series, bounded by the calendar — ~12k
+    pairs per series here; document the quadratic before pointing it
+    at decade-long keys); slopes are integer-difference ratios, so
+    both engines interpolate the median over identical doubles."""
+    d = _daily_series_cents(spark, sf_dir)
+    a = d.select(
+        "event_type", F.col("day").alias("a_day"), F.col("cents").alias("a_c")
+    )
+    b = d.select(
+        F.col("event_type").alias("b_t"),
+        F.col("day").alias("b_day"),
+        F.col("cents").alias("b_c"),
+    )
+    p = a.join(
+        b, (a.event_type == b.b_t) & (a.a_day < b.b_day)
+    ).withColumn(
+        "slope",
+        (F.col("b_c") - F.col("a_c"))
+        / F.datediff("b_day", "a_day").cast("double"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "sen_slope_cents_per_day"
+        ),
+    )
+
+
+@query("ann_recall_ndcg_eval",
+    _ORACLES["ann_recall_ndcg_eval"],
+    "X3 retrieval quality eval: recall@10 + NDCG@10 of the LSH index against exact ground truth (persisted-approx oracle)",
+)
+def q_ann_recall_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class query: recall@10 and
+    binary-relevance NDCG@10 of the hyperplane-LSH index against the
+    exact cosine ground truth, per query. The approx result is a
+    persisted aux (its own derivation is oracle-checked by
+    ann_lsh_topk); the truth side is re-derived independently on both
+    engines; the ideal-DCG normalizer is ONE python constant printed
+    into both sides. Zero-hit queries emit 0.0 rows (left join to the
+    query spine), so a collapsed index reads as 0, not as missing."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_buckets,
+        topk_from_buckets,
+    )
+    from finance_reporting_etl_spark.oracles import _IDEAL_DCG10
+
+    qs = [0, 1, 2, 3, 4]
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = _persist_aux(
+        spark, hyperplane_buckets(emb, n_planes=4, n_tables=8), "ann_lsh_buckets"
+    )
+    approx = _persist_aux(
+        spark,
+        topk_from_buckets(buckets, emb, qs, k=10).select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        ),
+        "ann_eval_approx",
+    )
+    truth = brute_force_topk(emb, qs, k=10).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    hits = approx.join(
+        truth,
+        (approx.query_id == F.col("tq")) & (approx.neighbor_id == F.col("tn")),
+    )
+    m = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    base = approx.select("query_id").distinct()
+    return base.join(m, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias(
+            "recall_at_10"
+        ),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(_IDEAL_DCG10), 6
+        ).alias("ndcg_at_10"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6061,6 +6180,9 @@ _GATE_NEXT = [
     "ks_value_drift",
     "fifo_realized_pnl",
     "position_based_attribution",
+    "quantile_transform_feature",
+    "theil_sen_trend",
+    "ann_recall_ndcg_eval",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -2641,3 +2641,69 @@ def test_ks_two_sample_matches_literal(spark):
         for v in vals
     )
     assert r.ks_stat == round(want, 6) and (r.n1, r.n2) == (5, 4)
+
+
+def test_quantile_transform_bounds_and_literal_rank(spark, sf_dir):
+    """pct equals the literal (rank-1)/(n-1) over the pandas sort and
+    spans exactly [0, 1]."""
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    p = CATALOG["quantile_transform_feature"].fn(spark, sf_dir).toPandas()
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    o = _read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    o = o.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+    o["want"] = (o.index / (len(o) - 1)).round(6)
+    merged = p.merge(o[["o_orderkey", "want"]], on="o_orderkey")
+    assert (merged.pct == merged.want).all()
+    assert merged.pct.min() == 0.0 and merged.pct.max() == 1.0
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Sen slope equals the literal median of pairwise slopes and
+    shrugs off a single wild outlier that wrecks the LS slope."""
+    import itertools
+    import statistics
+
+    from finance_reporting_etl_spark.operators import timeseries  # noqa: F401
+    from finance_reporting_etl_spark.queries import CATALOG  # noqa: F401
+    from pyspark.sql import functions as F
+
+    import datetime
+
+    base = [(datetime.date(2024, 1, d + 1), 100 + 10 * d) for d in range(8)]
+    base[4] = (base[4][0], 100000)  # outlier day
+    df = spark.createDataFrame(
+        [("k", d, c) for d, c in base], "event_type string, day date, cents long"
+    )
+    a = df.select("event_type", F.col("day").alias("a_day"), F.col("cents").alias("a_c"))
+    b = df.select(
+        F.col("event_type").alias("b_t"), F.col("day").alias("b_day"),
+        F.col("cents").alias("b_c"),
+    )
+    p = a.join(b, (a.event_type == b.b_t) & (a.a_day < b.b_day)).withColumn(
+        "slope", (F.col("b_c") - F.col("a_c")) / F.datediff("b_day", "a_day").cast("double")
+    )
+    got = p.agg(F.expr("percentile(slope, 0.5)")).head()[0]
+    slopes = [
+        (c2 - c1) / (d2 - d1).days
+        for (d1, c1), (d2, c2) in itertools.combinations(base, 2)
+    ]
+    assert got == statistics.median(slopes)
+    assert abs(got - 10.0) < 5.0  # the true 10/day survives the outlier
+
+
+def test_ann_eval_metrics_bounded_and_consistent(spark, sf_dir):
+    """recall/ndcg live in [0,1]; a query with full recall must score
+    ndcg 1 only if ranks align; zero-hit queries emit 0 rows, not
+    missing rows."""
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    p = CATALOG["ann_recall_ndcg_eval"].fn(spark, sf_dir).toPandas()
+    assert len(p) == 5  # all five query ids present even at 0 hits
+    assert ((p.recall_at_10 >= 0) & (p.recall_at_10 <= 1)).all()
+    assert ((p.ndcg_at_10 >= 0) & (p.ndcg_at_10 <= 1.000001)).all()
+    # NDCG can't exceed what recall allows (ideal-normalized binary rel)
+    assert (p.ndcg_at_10 <= p.recall_at_10 * 10 / 4.543559338088346 + 1e-9).all()
