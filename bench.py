@@ -185,6 +185,11 @@ HEADLINE = [
     "quantile_transform_feature",
     "theil_sen_trend",
     "ann_recall_ndcg_eval",
+    # stats-eval + indicator families (most expensive representatives;
+    # chi-square/welch/spearman/acf/rsi share their plan shape)
+    "roc_auc_exact",
+    "kaplan_meier_retention",
+    "bollinger_daily_bands",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

@@ -1,0 +1,329 @@
+"""Statistical evaluation operators: exact AUC, chi-square cells,
+Welch's t, Spearman rank correlation, autocorrelation, Kaplan-Meier.
+
+The model-eval / experimentation layer of the pipeline: every operator
+here reduces to exact integer counting plus a handful of closed-form
+float expressions, so each carries a full DuckDB oracle. House float
+rules apply throughout: counts and rank statistics stay integral as
+long as possible (the doubled-rank trick keeps tie-averaged ranks in
+BIGINT), float appears only in final ratios, and anything summed
+across an unordered aggregation is either integral or rounded after a
+single closed-form step (PLANS.md #10).
+
+Scale notes: the AUC / Spearman / ACF spines are bounded domains (a
+rounded score domain <= 1e6+1 cells; a calendar of days), so their
+single-partition windows are the documented bounded class, not
+data-sized sorts. Chi-square and Welch aggregate to cells/groups
+map-side and emit per-cell tables, never a cross-engine float SUM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mann_whitney_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank statistic.
+
+    Aggregates to one row per DISTINCT score first (the score domain is
+    bounded — rounded scores, <= 1e6+1 values — so the ordering window
+    runs over the domain spine, not the data), then applies the
+    tie-averaged rank-sum identity. Doubled ranks keep everything in
+    BIGINT: with cum_before = #rows scoring strictly less and n_s ties
+    at score s, 2*avg_rank = 2*cum_before + n_s + 1, so
+
+        AUC = (sum_pos(2*avg_rank) - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    is a single integer-exact division. Input: one row per scored
+    example with a {0,1} label column.
+    """
+    per = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum(label_col).cast("bigint").alias("n_pos_s"),
+    )
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "cum_before", F.coalesce(F.sum("n_s").over(w), F.lit(0)).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("n_pos_s").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.col("n_pos_s")
+            * (F.lit(2) * F.col("cum_before") + F.col("n_s") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("rank2_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(
+            (
+                F.col("rank2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos")
+                * (F.col("n") - F.col("n_pos"))
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def chi_square_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Chi-square-of-independence contributions, one row per
+    contingency cell (the per-cell table IS the result — summing the
+    scalar would be the cross-engine float-SUM trap).
+
+    Per cell: observed O, expected RC/N, and the contribution written
+    as (N*O - R*C)^2 / (N*R*C) — the numerator difference is computed
+    in exact BIGINT before the single cast to double, so both engines
+    square identical integers.
+    """
+    o = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    r = o.groupBy(row_col).agg(F.sum("o").cast("bigint").alias("r_tot"))
+    c = o.groupBy(col_col).agg(F.sum("o").cast("bigint").alias("c_tot"))
+    n = o.agg(F.sum("o").cast("bigint").alias("n_tot"))
+    cells = (
+        o.join(F.broadcast(r), row_col)
+        .join(F.broadcast(c), col_col)
+        .crossJoin(F.broadcast(n))
+    )
+    resid = F.col("n_tot") * F.col("o") - F.col("r_tot") * F.col("c_tot")
+    return cells.select(
+        row_col,
+        col_col,
+        "o",
+        F.round(
+            F.col("r_tot") * F.col("c_tot") / F.col("n_tot").cast("double"), 6
+        ).alias("expected"),
+        F.round(
+            (resid.cast("double") * resid.cast("double"))
+            / (
+                F.col("n_tot").cast("double")
+                * F.col("r_tot")
+                * F.col("c_tot")
+            ),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+def welch_t_from_cents(
+    df: DataFrame, group_col: str, cents_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of an exact
+    integer-cents measure: one output row with means, the t statistic
+    and the Satterthwaite degrees of freedom.
+
+    Group sums n / S / Q (count, sum, sum of squares) are exact BIGINT
+    (cents^2 stays far under 2^63 for 2-decimal fixture values), so the
+    closed-form float tail — mean = S/n, var = (Q - S*mean)/(n-1) — is
+    deterministic on both engines.
+    """
+    g = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents_col).cast("bigint").alias("s"),
+            F.sum(F.col(cents_col) * F.col(cents_col))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+
+    def side(tag: str, name: str):
+        return g.filter(F.col(group_col) == name).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("q").alias(f"q_{tag}"),
+        )
+
+    j = side("a", group_a).crossJoin(side("b", group_b))
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * mean_a) / (F.col("n_a") - F.lit(1))
+    var_b = (F.col("q_b") - F.col("s_b") * mean_b) / (F.col("n_b") - F.lit(1))
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df_w = (
+        (se2_a + se2_b)
+        * (se2_a + se2_b)
+        / (
+            se2_a * se2_a / (F.col("n_a") - F.lit(1))
+            + se2_b * se2_b / (F.col("n_b") - F.lit(1))
+        )
+    )
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean_a / 100.0, 6).alias("mean_a"),
+        F.round(mean_b / 100.0, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df_welch"),
+    )
+
+
+def doubled_avg_rank(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """Append 2*tie-averaged-rank of ``value_col`` as an exact BIGINT
+    (2*avg_rank = 2*(#strictly smaller) + #ties + 1). Implemented as
+    rank() + count-over-ties so it needs ONE ordering window; the
+    caller's value domain (days, groups) bounds the sort.
+    """
+    wo = Window.orderBy(value_col)
+    wt = Window.partitionBy(value_col)
+    # rank() = #strictly-smaller + 1, so 2*avg = 2*rank + ties - 1
+    return df.withColumn(
+        out_col,
+        (
+            F.lit(2) * F.rank().over(wo)
+            + F.count(F.lit(1)).over(wt)
+            - F.lit(1)
+        ).cast("bigint"),
+    )
+
+
+def spearman_from_doubled_ranks(
+    df: DataFrame, rx2: str, ry2: str
+) -> DataFrame:
+    """Spearman rho from two doubled-rank BIGINT columns: Pearson on
+    the doubled ranks (the factor 2 cancels). All five sums are exact
+    integers; rho is one closed-form float expression.
+    """
+    a = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx2).cast("bigint").alias("sx"),
+        F.sum(ry2).cast("bigint").alias("sy"),
+        F.sum(F.col(rx2) * F.col(ry2)).cast("bigint").alias("sxy"),
+        F.sum(F.col(rx2) * F.col(rx2)).cast("bigint").alias("sxx"),
+        F.sum(F.col(ry2) * F.col(ry2)).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return a.select(
+        "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho")
+    )
+
+
+def acf_table(
+    series: DataFrame, order_col: str, cents_col: str, max_lag: int
+) -> DataFrame:
+    """Autocorrelation of a regularly-spaced integer-cents series at
+    lags 1..max_lag: ACF(k) = sum(y_t*y_{t-k}) / sum(y_t^2) with
+    y_t = n*x_t - S (n-scaled centering keeps the centered values
+    integral; the n^2 factors cancel in the ratio).
+
+    y products are cast to double before multiplying — n*x can reach
+    ~1e10 cents at large SF and y^2 would overflow BIGINT; the double
+    products lose nothing that survives round(,6) of a ratio. The lag
+    window runs over the calendar spine (bounded single partition).
+    """
+    tot = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(cents_col).cast("bigint").alias("s_tot"),
+    )
+    y = series.crossJoin(F.broadcast(tot)).select(
+        F.col(order_col),
+        "n_days",
+        (
+            (F.col("n_days") * F.col(cents_col) - F.col("s_tot")).cast(
+                "double"
+            )
+        ).alias("y"),
+    )
+    w = Window.orderBy(order_col)
+    lag_cols = [
+        F.lag("y", k).over(w).alias(f"y_lag{k}") for k in range(1, max_lag + 1)
+    ]
+    lagged = y.select("n_days", "y", *lag_cols)
+    # ONE aggregation pass computes the denominator and every lag's
+    # numerator/count, then stack() melts the single row to one row per
+    # lag — not max_lag separate jobs over the same window.
+    aggs = [
+        F.first("n_days").alias("n_days"),
+        F.sum(F.col("y") * F.col("y")).alias("den"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(F.sum(F.col("y") * F.col(f"y_lag{k}")).alias(f"num{k}"))
+        aggs.append(F.count(f"y_lag{k}").cast("bigint").alias(f"cnt{k}"))
+    one = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, num{k}, cnt{k}" for k in range(1, max_lag + 1)
+    )
+    return one.select(
+        "n_days",
+        "den",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, num, n_terms)"),
+    ).select(
+        "lag",
+        "n_days",
+        "n_terms",
+        F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve over integer durations with right
+    censoring: one row per distinct duration that saw >= 1 event, with
+    the at-risk count, event count, and the product-limit estimate
+    S(t) = exp(cumsum(ln(1 - d_i/n_i))) over event times.
+
+    Exits (events + censorings) aggregate per distinct duration first,
+    so the ordering window runs over the duration domain (bounded
+    spine). Each ln term is the log of an exact integer ratio; the
+    cumulative float sum is a sequential running frame on both engines
+    and the final estimate is rounded to 6.
+    """
+    per = df.groupBy(duration_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exit"),
+        F.sum(event_col).cast("bigint").alias("d"),
+    )
+    tot = per.agg(F.sum("n_exit").cast("bigint").alias("n_all"))
+    w = Window.orderBy(duration_col).rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_all")
+                - F.coalesce(F.sum("n_exit").over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    wc = Window.orderBy(duration_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # n_risk == d (everyone remaining exits here) can only be the LAST
+    # event row; ln(0) is engine-divergent (NULL / -inf / ANSI error),
+    # so that row pins survival to 0.0 directly and contributes no term.
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+        ),
+    )
+    return at_risk.select(
+        F.col(duration_col),
+        "n_risk",
+        "d",
+        F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(wc)), 6))
+        .alias("survival"),
+    )

@@ -572,3 +572,106 @@ def series_volatility(
         F.round(vol, 6).alias("vol_daily"),
         F.round(vol * math.sqrt(trading_days), 6).alias("vol_annual"),
     )
+
+
+def bollinger_bands(
+    d: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    n: int = 20,
+    k: int = 2,
+) -> DataFrame:
+    """Bollinger bands over an integer-cents series: n-row rolling mean
+    +/- k sample standard deviations, with breach flags — the
+    mean-reversion trigger on every trading dashboard.
+
+    The rolling first/second moments stay EXACT: the window sums run
+    over DECIMAL(38,0) (cents^2 reaches ~1e19 at large SF and would
+    overflow BIGINT; a decimal sum is exact at any scale and both
+    engines' sliding-window rollups of integers are exact, so the
+    add/remove float-rounding divergence between Spark's incremental
+    frames and DuckDB's segment trees never appears). The variance is
+    then ONE closed-form float: (n*Q - S^2) / (n*(n-1)). Only rows
+    with a full n-day history are emitted.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    c = F.col(cents_col).cast("decimal(38,0)")
+    rolled = d.select(
+        key_col,
+        order_col,
+        F.col(cents_col),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(c).over(w).alias("s_win"),
+        F.sum(c * c).over(w).alias("q_win"),
+    ).filter(F.col("n_win") == n)
+    mean = F.col("s_win").cast("double") / F.lit(n)
+    var = (
+        F.lit(n) * F.col("q_win") - F.col("s_win") * F.col("s_win")
+    ).cast("double") / F.lit(float(n * (n - 1)))
+    std = F.sqrt(var)
+    return rolled.select(
+        key_col,
+        order_col,
+        F.col(cents_col),
+        F.round(mean, 6).alias("sma"),
+        F.round(std, 6).alias("sd"),
+        (F.col(cents_col) > mean + F.lit(float(k)) * std)
+        .cast("int")
+        .alias("above_upper"),
+        (F.col(cents_col) < mean - F.lit(float(k)) * std)
+        .cast("int")
+        .alias("below_lower"),
+    )
+
+
+def rsi_cutler(
+    d: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Cutler's RSI (SMA-smoothed, non-recursive) over an integer-cents
+    series: RSI = 100 * sum(gains) / (sum(gains) + sum(losses)) over
+    the trailing n diffs — algebraically identical to
+    100 - 100/(1+RS) but ONE exact integer ratio, no intermediate
+    averages. Wilder's EMA variant is recursive (see
+    ema_last_per_key); Cutler's is the window-function form. Rows need
+    n complete diffs; an all-flat window (no gains, no losses) emits
+    NULL rather than the 0/0 division.
+    """
+    wl = Window.partitionBy(key_col).orderBy(order_col)
+    diffed = d.select(
+        key_col,
+        order_col,
+        (F.col(cents_col) - F.lag(cents_col, 1).over(wl)).alias("diff"),
+    ).filter(F.col("diff").isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    rolled = diffed.select(
+        key_col,
+        order_col,
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(w).alias("gain"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(w).alias("loss"),
+    ).filter(F.col("n_win") == n)
+    return rolled.select(
+        key_col,
+        order_col,
+        F.col("gain").cast("bigint").alias("gain_cents"),
+        F.col("loss").cast("bigint").alias("loss_cents"),
+        F.round(
+            F.lit(100.0)
+            * F.col("gain")
+            / F.nullif((F.col("gain") + F.col("loss")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rsi"),
+    )

@@ -3822,3 +3822,291 @@ ORACLES["ann_recall_ndcg_eval"] = f"""
            round(coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}, 6) AS ndcg_at_10
     FROM (SELECT DISTINCT query_id FROM a) qq LEFT JOIN m USING (query_id)
     """
+
+
+# --- round-5 wave: statistical evaluation (operators/stats.py) ------------
+
+ORACLES["roc_auc_exact"] = """
+    WITH e AS (
+        SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), scored AS (
+        SELECT y,
+               round(1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               ))), 6) AS score
+        FROM e
+    ), per AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(y) AS BIGINT) AS n_pos_s
+        FROM scored GROUP BY 1
+    ), ranked AS (
+        SELECT n_s, n_pos_s,
+               CAST(coalesce(sum(n_s) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM per
+    ), a AS (
+        SELECT CAST(sum(n_s) AS BIGINT) AS n,
+               CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+               CAST(sum(n_pos_s * (2 * cum_before + n_s + 1)) AS BIGINT)
+                   AS rank2_pos
+        FROM ranked
+    )
+    SELECT n_pos, n - n_pos AS n_neg,
+           round(CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * (n - n_pos)), 6) AS auc
+    FROM a
+    """
+
+ORACLES["spearman_daily_orders"] = """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT CAST(2 * rank() OVER (ORDER BY cents)
+                    + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rx2,
+               CAST(2 * rank() OVER (ORDER BY n_orders)
+                    + count(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS ry2
+        FROM d
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+               CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+               CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+        FROM r
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                 6) AS spearman_rho
+    FROM a
+    """
+
+ORACLES["chi_square_event_dow"] = """
+    WITH o AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM o)
+    SELECT o.event_type, o.dow, o.o,
+           round(r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE), 6) AS expected,
+           round((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
+                  * CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE))
+                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot),
+                 6) AS chi2_contrib
+    FROM o JOIN r USING (event_type) JOIN c USING (dow), n
+    """
+
+ORACLES["welch_t_event_values"] = """
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        GROUP BY 1
+    ), j AS (
+        SELECT a.n AS n_a, a.s AS s_a, a.q AS q_a,
+               b.n AS n_b, b.s AS s_b, b.q AS q_b
+        FROM (SELECT * FROM g WHERE event_type = 'view') a,
+             (SELECT * FROM g WHERE event_type = 'purchase') b
+    ), m AS (
+        SELECT n_a, n_b,
+               CAST(s_a AS DOUBLE) / n_a AS mean_a,
+               CAST(s_b AS DOUBLE) / n_b AS mean_b,
+               (q_a - s_a * (CAST(s_a AS DOUBLE) / n_a)) / (n_a - 1) / n_a
+                   AS se2_a,
+               (q_b - s_b * (CAST(s_b AS DOUBLE) / n_b)) / (n_b - 1) / n_b
+                   AS se2_b
+        FROM j
+    )
+    SELECT n_a, n_b,
+           round(mean_a / 100.0, 6) AS mean_a,
+           round(mean_b / 100.0, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+           round((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
+                 6) AS df_welch
+    FROM m
+    """
+
+ORACLES["acf_daily_order_revenue"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ), s AS (
+        SELECT sp.day, coalesce(daily.cents, 0) AS cents
+        FROM spine sp LEFT JOIN daily USING (day)
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS s_tot
+        FROM s
+    ), y AS (
+        SELECT day, n_days,
+               CAST(n_days * cents - s_tot AS DOUBLE) AS y
+        FROM s, tot
+    ), l AS (
+        SELECT n_days, y,
+               lag(y, 1) OVER (ORDER BY day) AS y1,
+               lag(y, 2) OVER (ORDER BY day) AS y2,
+               lag(y, 3) OVER (ORDER BY day) AS y3,
+               lag(y, 4) OVER (ORDER BY day) AS y4,
+               lag(y, 5) OVER (ORDER BY day) AS y5,
+               lag(y, 6) OVER (ORDER BY day) AS y6,
+               lag(y, 7) OVER (ORDER BY day) AS y7
+        FROM y
+    ), a AS (
+        SELECT any_value(n_days) AS n_days, sum(y * y) AS den,
+               sum(y * y1) AS num1, CAST(count(y1) AS BIGINT) AS cnt1,
+               sum(y * y2) AS num2, CAST(count(y2) AS BIGINT) AS cnt2,
+               sum(y * y3) AS num3, CAST(count(y3) AS BIGINT) AS cnt3,
+               sum(y * y4) AS num4, CAST(count(y4) AS BIGINT) AS cnt4,
+               sum(y * y5) AS num5, CAST(count(y5) AS BIGINT) AS cnt5,
+               sum(y * y6) AS num6, CAST(count(y6) AS BIGINT) AS cnt6,
+               sum(y * y7) AS num7, CAST(count(y7) AS BIGINT) AS cnt7
+        FROM l
+    )
+    SELECT 1 AS lag, n_days, cnt1 AS n_terms, round(num1 / den, 6) AS acf FROM a
+    UNION ALL SELECT 2, n_days, cnt2, round(num2 / den, 6) FROM a
+    UNION ALL SELECT 3, n_days, cnt3, round(num3 / den, 6) FROM a
+    UNION ALL SELECT 4, n_days, cnt4, round(num4 / den, 6) FROM a
+    UNION ALL SELECT 5, n_days, cnt5, round(num5 / den, 6) FROM a
+    UNION ALL SELECT 6, n_days, cnt6, round(num6 / den, 6) FROM a
+    UNION ALL SELECT 7, n_days, cnt7, round(num7 / den, 6) FROM a
+    """
+
+ORACLES["kaplan_meier_retention"] = """
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(o_orderdate AS DATE),
+                                           o_orderkey) AS rn
+        FROM orders
+    ), mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+    f AS (
+        SELECT a.o_custkey, a.day AS f1, b.day AS f2
+        FROM (SELECT * FROM o WHERE rn = 1) a
+        LEFT JOIN (SELECT * FROM o WHERE rn = 2) b USING (o_custkey)
+    ), dur AS (
+        SELECT CAST(CASE WHEN f2 IS NOT NULL THEN f2 - f1
+                         ELSE max_day - f1 END AS BIGINT) AS dur_days,
+               CASE WHEN f2 IS NOT NULL THEN 1 ELSE 0 END AS evt
+        FROM f, mx
+    ), per AS (
+        SELECT dur_days, CAST(count(*) AS BIGINT) AS n_exit,
+               CAST(sum(evt) AS BIGINT) AS d
+        FROM dur GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_all FROM per),
+    risk AS (
+        SELECT dur_days, d,
+               CAST(n_all - coalesce(sum(n_exit) OVER (ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+        FROM per, tot
+    )
+    SELECT dur_days, n_risk, d,
+           CASE WHEN n_risk = d THEN 0.0
+                ELSE round(exp(sum(CASE WHEN n_risk > d THEN
+                         ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                     OVER (ORDER BY dur_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                     6) END AS survival
+    FROM risk WHERE d > 0
+    """
+
+
+# --- round-5 wave: trading indicators + concentration ---------------------
+
+ORACLES["bollinger_daily_bands"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT series, day, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n_win,
+               sum(CAST(cents AS HUGEINT)) OVER w AS s_win,
+               sum(CAST(cents AS HUGEINT) * cents) OVER w AS q_win
+        FROM d
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day, cents,
+           round(CAST(s_win AS DOUBLE) / 20, 6) AS sma,
+           round(sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0), 6)
+               AS sd,
+           CAST(cents > CAST(s_win AS DOUBLE) / 20
+                + 2.0 * sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE)
+                             / 380.0) AS INT) AS above_upper,
+           CAST(cents < CAST(s_win AS DOUBLE) / 20
+                - 2.0 * sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE)
+                             / 380.0) AS INT) AS below_lower
+    FROM r WHERE n_win = 20
+    """
+
+ORACLES["rsi_cutler_daily"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), f AS (
+        SELECT series, day,
+               cents - lag(cents) OVER (PARTITION BY series ORDER BY day)
+                   AS diff
+        FROM d
+    ), g AS (SELECT * FROM f WHERE diff IS NOT NULL),
+    r AS (
+        SELECT series, day,
+               CAST(count(*) OVER w AS BIGINT) AS n_win,
+               CAST(sum(greatest(diff, 0)) OVER w AS BIGINT) AS gain,
+               CAST(sum(greatest(-diff, 0)) OVER w AS BIGINT) AS loss
+        FROM g
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series, day, gain AS gain_cents, loss AS loss_cents,
+           round(100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0), 6)
+               AS rsi
+    FROM r WHERE n_win = 14
+    """
+
+ORACLES["hhi_revenue_concentration"] = """
+    WITH per AS (
+        SELECT r.r_name, n.n_name,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT r_name, CAST(sum(cents) AS BIGINT) AS tot_cents
+        FROM per GROUP BY 1
+    )
+    SELECT per.r_name, per.n_name, per.cents,
+           round(CAST(per.cents AS DOUBLE) / tot.tot_cents, 6) AS share,
+           round((CAST(per.cents AS DOUBLE) / tot.tot_cents)
+                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0,
+                 6) AS hhi_contrib
+    FROM per JOIN tot USING (r_name)
+    """

@@ -6045,6 +6045,302 @@ def q_ann_recall_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical evaluation family (operators/stats.py): exact AUC,
+# Spearman, chi-square, Welch's t, ACF, Kaplan-Meier — the model-eval /
+# experimentation layer, every number either an exact integer count or
+# one closed-form float expression.
+# ---------------------------------------------------------------------------
+
+
+@query("roc_auc_exact",
+    _ORACLES["roc_auc_exact"],
+    "X-tier model eval: exact ROC AUC via the tie-averaged Mann-Whitney rank statistic (doubled ranks stay BIGINT; score-domain spine window)",
+)
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the linear-probe scores against the one-vs-rest
+    label (class 0 positive, matching inference_score_calibration):
+    the ranking-quality number every classifier eval reports. The
+    rank-sum runs over one row per DISTINCT rounded score — a bounded
+    domain spine (<= 1e6+1 cells), not a data-sized global sort — and
+    the doubled-rank identity keeps the whole statistic in BIGINT
+    until the single final division. Operator:
+    operators.stats.mann_whitney_auc."""
+    from finance_reporting_etl_spark.operators.inference import score_embeddings
+    from finance_reporting_etl_spark.operators.stats import mann_whitney_auc
+
+    scored = score_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "score", (F.col("label") == 0).cast("int").alias("y")
+    )
+    return mann_whitney_auc(scored, "score", "y")
+
+
+@query("spearman_daily_orders",
+    _ORACLES["spearman_daily_orders"],
+    "§2.5/stats rank correlation: Spearman rho between daily revenue and daily order count (doubled tie-averaged ranks, integer-exact sums)",
+)
+def q_spearman_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a busier day mean a richer day? Spearman rank correlation
+    between daily order count and daily revenue — the outlier-immune
+    correlation for heavy-tailed revenue. Tie-averaged ranks are kept
+    as exact doubled BIGINTs (2*avg_rank = 2*rank + ties - 1, one
+    ordering window over the ~2.4k-day calendar), so all five Pearson
+    sums are integer-exact and rho is one closed-form float.
+    Operators: operators.stats.doubled_avg_rank +
+    spearman_from_doubled_ranks."""
+    from finance_reporting_etl_spark.operators.stats import (
+        doubled_avg_rank,
+        spearman_from_doubled_ranks,
+    )
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    r = doubled_avg_rank(d, "cents", "rx2")
+    r = doubled_avg_rank(r, "n_orders", "ry2")
+    return spearman_from_doubled_ranks(r, "rx2", "ry2")
+
+
+@query("chi_square_event_dow",
+    _ORACLES["chi_square_event_dow"],
+    "stats independence test: chi-square contingency cells for event_type x day-of-week (per-cell table, BIGINT residuals)",
+)
+def q_chi_square_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is event mix independent of weekday? Chi-square contingency
+    cells over event_type x day-of-week: observed, expected, and the
+    per-cell contribution (N*O - R*C)^2 / (N*R*C) with the residual
+    computed in exact BIGINT before the one cast to double. The
+    per-cell table is the result — summing to the scalar on both
+    engines would be the cross-engine float-SUM trap (PLANS.md #10);
+    the consumer's chi2 is one trivial fold. Day-of-week numbering is
+    pinned to Spark's 1=Sunday..7 (DuckDB shifted +1 in the oracle).
+    Operator: operators.stats.chi_square_cells."""
+    from finance_reporting_etl_spark.operators.stats import chi_square_cells
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return chi_square_cells(ev, "event_type", "dow")
+
+
+@query("welch_t_event_values",
+    _ORACLES["welch_t_event_values"],
+    "stats two-sample test: Welch's unequal-variance t between view and purchase values (exact integer-cents moments, closed-form t + Satterthwaite df)",
+)
+def q_welch_t_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do views and purchases carry different mean values? Welch's
+    t-test — the experimentation workhorse when variances differ.
+    Per-group count/sum/sum-of-squares stay exact BIGINT cents
+    (map-side aggregation, no shuffle beyond two group rows), so the
+    t statistic and Satterthwaite df are deterministic closed-form
+    floats. Complements ab_test_conversion_lift (proportions z) with
+    the continuous-metric test. Operator:
+    operators.stats.welch_t_from_cents."""
+    from finance_reporting_etl_spark.operators.stats import welch_t_from_cents
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return welch_t_from_cents(ev, "event_type", "cents", "view", "purchase")
+
+
+@query("acf_daily_order_revenue",
+    _ORACLES["acf_daily_order_revenue"],
+    "§2.5/stats autocorrelation: ACF lags 1-7 of gap-filled daily revenue (n-scaled integer centering, ONE aggregation pass for all lags)",
+)
+def q_acf_daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How persistent is daily revenue? The autocorrelation function at
+    lags 1-7 over the gap-filled daily series — the first diagnostic
+    behind any forecasting model choice (weekly cycle shows as a lag-7
+    spike). The series is zero-filled on a calendar spine for regular
+    spacing; centering uses n-scaled integers (y = n*x - S) so the n^2
+    factors cancel in the ratio; all 7 numerators + the shared
+    denominator come out of ONE aggregation pass, melted with stack().
+    Operator: operators.stats.acf_table."""
+    from finance_reporting_etl_spark.operators.stats import acf_table
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    s = (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"))
+    )
+    return acf_table(s, "day", "cents", max_lag=7)
+
+
+@query("kaplan_meier_retention",
+    _ORACLES["kaplan_meier_retention"],
+    "stats survival analysis: Kaplan-Meier time-to-second-order curve with right censoring (duration-domain spine, product-limit via exp-sum-log)",
+)
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long until a customer's second order — with customers who
+    never reorder handled correctly? Kaplan-Meier product-limit
+    survival over days from first to second order; single-order
+    customers are right-censored at the last observed date instead of
+    being dropped (the bias every naive retention average has).
+    Exits aggregate per distinct duration first, so the ordering
+    window runs over the duration domain; each factor is the log of an
+    exact integer ratio. Operator: operators.stats.kaplan_meier."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.stats import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    f1 = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("day").alias("f1")
+    )
+    f2 = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("day").alias("f2")
+    )
+    mx = o.agg(F.max("day").alias("max_day"))
+    dur = (
+        f1.join(f2, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("f2").isNotNull(), F.datediff("f2", "f1")
+            )
+            .otherwise(F.datediff("max_day", "f1"))
+            .cast("bigint")
+            .alias("dur_days"),
+            F.col("f2").isNotNull().cast("int").alias("evt"),
+        )
+    )
+    return kaplan_meier(dur, "dur_days", "evt")
+
+
+def _priority_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(order priority, day) revenue in exact integer cents — the
+    shared multi-series base for the Bollinger and RSI indicators
+    (~2.4k trading days x 5 series; rows-based windows follow the
+    trading-day convention: gaps are skipped, not zero-filled)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+
+@query("bollinger_daily_bands",
+    _ORACLES["bollinger_daily_bands"],
+    "§2.5/finance volatility bands: 20-day Bollinger mean +/- 2 sigma with breach flags (DECIMAL(38) rolling moments — exact at any SF, no BIGINT overflow)",
+)
+def q_bollinger_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Bollinger bands per priority-tier daily revenue series,
+    with above/below breach flags — the mean-reversion signal on every
+    trading dashboard. Rolling first/second moments are EXACT decimal
+    window sums (cents^2 would overflow BIGINT near 1e19 at large SF,
+    and float sliding sums diverge between Spark's incremental frames
+    and DuckDB's segment trees — decimal sidesteps both); variance is
+    one closed-form float. Operator:
+    operators.timeseries.bollinger_bands."""
+    from finance_reporting_etl_spark.operators.timeseries import bollinger_bands
+
+    return bollinger_bands(
+        _priority_daily_cents(spark, sf_dir), "series", "day", "cents", n=20, k=2
+    )
+
+
+@query("rsi_cutler_daily",
+    _ORACLES["rsi_cutler_daily"],
+    "§2.5/finance momentum: Cutler's 14-day RSI per series — one exact integer gain/(gain+loss) ratio, window-function form (non-recursive)",
+)
+def q_rsi_cutler_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's 14-day RSI per priority-tier revenue series — the
+    momentum oscillator, in its SMA (window-function) form:
+    RSI = 100*gains/(gains+losses) over the trailing 14 diffs is
+    algebraically 100 - 100/(1+RS) but stays ONE exact integer ratio.
+    Wilder's recursive EMA variant is the ema_last_per_key fold; this
+    is the declarative twin Catalyst can pipeline. All-flat windows
+    emit NULL, not 0/0. Operator: operators.timeseries.rsi_cutler."""
+    from finance_reporting_etl_spark.operators.timeseries import rsi_cutler
+
+    return rsi_cutler(
+        _priority_daily_cents(spark, sf_dir), "series", "day", "cents", n=14
+    )
+
+
+@query("hhi_revenue_concentration",
+    _ORACLES["hhi_revenue_concentration"],
+    "§2.6/finance concentration: Herfindahl-Hirschman index cells of nation revenue share within region (broadcast dims, per-cell table)",
+)
+def q_hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is each region's revenue across its nations?
+    Herfindahl-Hirschman contributions (share^2 * 10000) per nation —
+    the antitrust/portfolio concentration metric, complementing
+    gini_revenue_concentration's inequality view. Dims broadcast onto
+    the fact scan; region totals (5 rows) broadcast back; the per-cell
+    table avoids the cross-engine float-SUM (the consumer's HHI is one
+    trivial fold)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = per.groupBy("r_name").agg(
+        F.sum("cents").cast("bigint").alias("tot_cents")
+    )
+    share = F.col("cents").cast("double") / F.col("tot_cents")
+    return per.join(F.broadcast(tot), "r_name").select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(share, 6).alias("share"),
+        F.round(share * share * F.lit(10000.0), 6).alias("hhi_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
 # The driver's correctness gate runs the FIRST 50 catalog entries in dict
@@ -6183,6 +6479,15 @@ _GATE_NEXT = [
     "quantile_transform_feature",
     "theil_sen_trend",
     "ann_recall_ndcg_eval",
+    "roc_auc_exact",
+    "spearman_daily_orders",
+    "chi_square_event_dow",
+    "welch_t_event_values",
+    "acf_daily_order_revenue",
+    "kaplan_meier_retention",
+    "bollinger_daily_bands",
+    "rsi_cutler_daily",
+    "hhi_revenue_concentration",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

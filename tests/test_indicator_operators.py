@@ -1,0 +1,83 @@
+"""Trading-indicator operators (operators/timeseries.py additions)
+against hand-computed references: Bollinger moments vs two-pass
+mean/std, RSI vs the textbook 100 - 100/(1+RS) form, and the
+degenerate all-flat window."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from finance_reporting_etl_spark.operators.timeseries import (
+    bollinger_bands,
+    rsi_cutler,
+)
+
+
+def _mk(spark, vals, key="s"):
+    rows = [(key, i, v) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "series string, day int, cents long")
+
+
+def test_bollinger_matches_two_pass_moments(spark):
+    vals = [100, 120, 90, 130, 110, 95, 160, 140, 105, 125]
+    d = _mk(spark, vals)
+    out = {r.day: r for r in bollinger_bands(d, "series", "day", "cents", n=5, k=2).collect()}
+    # first full window ends at index 4
+    assert sorted(out) == [4, 5, 6, 7, 8, 9]
+    for end in out:
+        win = vals[end - 4 : end + 1]
+        m = sum(win) / 5
+        sd = math.sqrt(sum((v - m) ** 2 for v in win) / 4)
+        assert out[end].sma == pytest.approx(round(m, 6), abs=1e-9)
+        assert out[end].sd == pytest.approx(round(sd, 6), abs=1e-9)
+        assert out[end].above_upper == int(vals[end] > m + 2 * sd)
+        assert out[end].below_lower == int(vals[end] < m - 2 * sd)
+
+
+def test_bollinger_flags_an_injected_spike(spark):
+    # the current row is part of its own window, so a lone spike in an
+    # n-point window peaks at z = (n-1)/sqrt(n); with n=5 that is
+    # 4/sqrt(5) = 1.79 — below k=2 by construction, so the breach test
+    # uses k=1 (and the flat-window row pins sd == 0 exactly)
+    vals = [100] * 9 + [100000]
+    d = _mk(spark, vals)
+    out = {r.day: r for r in bollinger_bands(d, "series", "day", "cents", n=5, k=1).collect()}
+    assert out[8].above_upper == 0 and out[8].sd == 0.0
+    assert out[9].above_upper == 1
+
+
+def test_rsi_matches_textbook_form(spark):
+    vals = [100, 105, 103, 108, 104, 110, 109, 115]  # 7 diffs
+    d = _mk(spark, vals)
+    out = {r.day: r for r in rsi_cutler(d, "series", "day", "cents", n=3).collect()}
+    diffs = [b - a for a, b in zip(vals, vals[1:])]
+    # windows of 3 diffs end at value index >= 3
+    for day, r in out.items():
+        win = diffs[day - 3 : day]
+        g = sum(x for x in win if x > 0)
+        l = -sum(x for x in win if x < 0)
+        assert r.gain_cents == g and r.loss_cents == l
+        rs = g / l
+        textbook = 100 - 100 / (1 + rs)
+        assert r.rsi == pytest.approx(round(textbook, 6), abs=1e-6)
+
+
+def test_rsi_flat_window_is_null_and_all_gain_is_100(spark):
+    vals = [100, 100, 100, 100, 101, 102, 103]
+    d = _mk(spark, vals)
+    out = {r.day: r for r in rsi_cutler(d, "series", "day", "cents", n=3).collect()}
+    assert out[3].rsi is None                 # 0 gain, 0 loss
+    assert out[6].rsi == 100.0                # gains only
+
+
+def test_rsi_and_bollinger_are_per_key(spark):
+    rows = [("a", i, 100 + i) for i in range(6)] + [
+        ("b", i, 200 - i) for i in range(6)
+    ]
+    d = spark.createDataFrame(rows, "series string, day int, cents long")
+    rsi = rsi_cutler(d, "series", "day", "cents", n=3).collect()
+    assert {r.series for r in rsi} == {"a", "b"}
+    assert all(r.rsi == 100.0 for r in rsi if r.series == "a")
+    assert all(r.rsi == 0.0 for r in rsi if r.series == "b")

@@ -1,0 +1,158 @@
+"""Statistical operators (operators/stats.py) against literal
+references computed independently in Python — AUC vs the O(n^2)
+pairwise definition, Spearman vs hand-averaged ranks, chi-square vs
+the textbook formula, Welch vs two-pass moments, ACF vs the numpy
+definition, Kaplan-Meier vs a hand-walked product — so the doubled-
+rank / n-scaled-centering / exp-sum-log shortcuts in the distributed
+forms are pinned to the definitions they claim to equal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from finance_reporting_etl_spark.operators import stats
+
+
+def _pairwise_auc(pairs):
+    """O(n^2) definition: P(score_pos > score_neg) + 0.5*ties."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_definition_with_ties(spark):
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.7, 1),
+        (0.7, 0), (0.5, 0), (0.5, 1), (0.3, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = stats.mann_whitney_auc(df, "score", "y").collect()[0]
+    assert got.n_pos == 4 and got.n_neg == 6
+    assert got.auc == pytest.approx(round(_pairwise_auc(rows), 6), abs=1e-9)
+
+
+def test_auc_perfect_and_reversed(spark):
+    perfect = [(1.0, 1), (0.9, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(perfect, "score double, y int")
+    assert stats.mann_whitney_auc(df, "score", "y").collect()[0].auc == 1.0
+    flipped = [(s, 1 - y) for s, y in perfect]
+    df2 = spark.createDataFrame(flipped, "score double, y int")
+    assert stats.mann_whitney_auc(df2, "score", "y").collect()[0].auc == 0.0
+
+
+def test_spearman_matches_hand_averaged_ranks(spark):
+    # x strictly increasing, y = x reversed with one tie pair in y
+    rows = [(1, 10), (2, 8), (3, 8), (4, 5), (5, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = stats.doubled_avg_rank(df, "x", "rx2")
+    r = stats.doubled_avg_rank(r, "y", "ry2")
+    got = stats.spearman_from_doubled_ranks(r, "rx2", "ry2").collect()[0]
+    # hand ranks: x -> 1,2,3,4,5 ; y -> 5, 3.5, 3.5, 2, 1
+    xs, ys = [1, 2, 3, 4, 5], [5, 3.5, 3.5, 2, 1]
+    n = 5
+    sx, sy = sum(xs), sum(ys)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    den = math.sqrt(
+        (n * sum(a * a for a in xs) - sx * sx)
+        * (n * sum(b * b for b in ys) - sy * sy)
+    )
+    assert got.spearman_rho == pytest.approx(round(num / den, 6), abs=1e-9)
+
+
+def test_doubled_rank_is_twice_average_rank(spark):
+    df = spark.createDataFrame(
+        [(10,), (20,), (20,), (20,), (30,)], "v long"
+    )
+    got = sorted(
+        r.r2 for r in stats.doubled_avg_rank(df, "v", "r2").collect()
+    )
+    # avg ranks: 1, 3, 3, 3, 5 -> doubled 2, 6, 6, 6, 10
+    assert got == [2, 6, 6, 6, 10]
+
+
+def test_chi_square_cells_sum_to_textbook_statistic(spark):
+    # 2x2 with known chi2: rows a/b, cols x/y
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    cells = stats.chi_square_cells(df, "r", "c").collect()
+    assert len(cells) == 4
+    chi2 = sum(c.chi2_contrib for c in cells)
+    # textbook: E_ax = E_ay = 40*50/100 = 20, E_bx = E_by = 60*50/100 = 30
+    want = (10 * 10) / 20 + (10 * 10) / 20 + (10 * 10) / 30 + (10 * 10) / 30
+    assert chi2 == pytest.approx(want, abs=1e-5)
+    e = {(c.r, c.c): c.expected for c in cells}
+    assert e[("a", "x")] == 20.0 and e[("b", "y")] == 30.0
+
+
+def test_welch_t_matches_two_pass_moments(spark):
+    a = [100, 200, 300, 400, 500]          # cents
+    b = [150, 150, 160, 170]
+    rows = [("g1", v) for v in a] + [("g2", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = stats.welch_t_from_cents(df, "g", "cents", "g1", "g2").collect()[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / (len(a) - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (len(b) - 1)
+    se2a, se2b = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    dfw = (se2a + se2b) ** 2 / (
+        se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1)
+    )
+    assert got.t_stat == pytest.approx(round(t, 6), abs=1e-6)
+    assert got.df_welch == pytest.approx(round(dfw, 6), abs=1e-6)
+    assert got.mean_a == pytest.approx(ma / 100, abs=1e-9)
+
+
+def test_acf_matches_numpy_definition(spark):
+    import numpy as np
+
+    x = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [(i, v) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "t int, cents long")
+    got = {r.lag: r.acf for r in stats.acf_table(df, "t", "cents", 3).collect()}
+    arr = np.array(x, dtype=float)
+    y = arr - arr.mean()
+    den = float((y * y).sum())
+    for k in (1, 2, 3):
+        want = float((y[k:] * y[:-k]).sum()) / den
+        assert got[k] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_acf_lag_counts(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "t int, cents long"
+    )
+    out = {r.lag: r for r in stats.acf_table(df, "t", "cents", 2).collect()}
+    assert out[1].n_terms == 9 and out[2].n_terms == 8
+    assert out[1].n_days == 10
+
+
+def test_kaplan_meier_hand_walked_curve(spark):
+    # durations: events at t=2 (2 of them), t=5; censored at t=3, t=7
+    rows = [(2, 1), (2, 1), (3, 0), (5, 1), (7, 0)]
+    df = spark.createDataFrame(rows, "dur long, evt int")
+    got = {r.dur: r for r in stats.kaplan_meier(df, "dur", "evt").collect()}
+    # t=2: n_risk=5, d=2 -> S = 3/5 = 0.6
+    # t=5: n_risk=2 (censor at 3 removed), d=1 -> S = 0.6 * 1/2 = 0.3
+    assert set(got) == {2, 5}
+    assert got[2].n_risk == 5 and got[2].d == 2
+    assert got[2].survival == pytest.approx(0.6, abs=1e-9)
+    assert got[5].n_risk == 2 and got[5].d == 1
+    assert got[5].survival == pytest.approx(0.3, abs=1e-9)
+
+
+def test_kaplan_meier_everyone_exits_last_event(spark):
+    # last event time empties the risk set: survival pinned to 0.0,
+    # no ln(0) ever evaluated
+    rows = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, "dur long, evt int")
+    got = {r.dur: r for r in stats.kaplan_meier(df, "dur", "evt").collect()}
+    assert got[1].survival == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2].n_risk == 2 and got[2].d == 2
+    assert got[2].survival == 0.0
