@@ -40,17 +40,32 @@ def prorate_largest_remainder(
     """Allocate ``total_cents_col`` (constant within a group) across the
     group's rows proportional to ``weight_cents_col``, largest-remainder
     corrected. Both columns must be BIGINT cents. Adds ``alloc_cents``;
-    groups whose weights sum to zero are dropped (no proportional
+    groups whose weights sum to <= 0 are dropped (no proportional
     allocation exists — callers wanting 0-weight fallbacks should remap
     weights first).
+
+    Signed inputs are safe: base/remainder use FLOOR division and
+    ``pmod`` (non-negative modulus), not Spark's truncate-toward-zero
+    ``div``/``%``. With truncation a negative weight (or total) makes
+    the remainder negative and the shortfall fall outside [0, n_rows),
+    leaking or inventing cents (ADVICE r5); with floor semantics every
+    per-row loss is in [0, 1), so 0 <= shortfall < n_rows and the
+    sum-exactly-to-total guarantee holds for any signed weights whose
+    group sum is positive. For non-negative inputs floor == truncate,
+    so existing results are bit-identical.
     """
     g = Window.partitionBy(*group_cols)
     d = detail.withColumn("__sum_w", F.sum(weight_cents_col).over(g)).filter(
         F.col("__sum_w") > 0
     )
     prod = F.col(total_cents_col) * F.col(weight_cents_col)
-    d = d.withColumn("__base", F.expr(f"({total_cents_col} * {weight_cents_col}) div __sum_w")).withColumn(
-        "__rem", prod % F.col("__sum_w")
+    # rem = prod mod sum_w in [0, sum_w); base = exact floor(prod/sum_w)
+    # ((prod - rem) is divisible by sum_w, so `div` is exact here).
+    d = d.withColumn("__rem", F.pmod(prod, F.col("__sum_w"))).withColumn(
+        "__base",
+        F.expr(
+            f"(({total_cents_col} * {weight_cents_col}) - __rem) div __sum_w"
+        ),
     )
     rnk = Window.partitionBy(*group_cols).orderBy(
         F.col("__rem").desc(), *[F.col(c) for c in tiebreak_cols]

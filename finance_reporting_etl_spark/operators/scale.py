@@ -35,29 +35,40 @@ def salted_join(
     keys: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the (big, skewed) left side,
     replicate the right side ``n_salts`` ways, join on keys + salt.
 
     Semantically identical to ``left.join(right, keys, how)`` for
     ``inner`` and ``left`` joins (each left row carries exactly one
-    salt, and its key's right-side rows exist at every salt). The salt
-    mixes a per-row id into the row hash: hashing row CONTENT alone
-    sends fully-duplicate rows of a hot key to ONE salt — paying the
-    n_salts-fold right-side replication while spreading nothing
-    (review). Join RESULTS stay deterministic (the salt only routes
-    rows); only the physical layout varies run to run, which is true
-    of any shuffle.
+    salt, and its key's right-side rows exist at every salt).
+
+    The salt must be DETERMINISTIC: it feeds a shuffle/join key, and a
+    nondeterministic expression (``monotonically_increasing_id``,
+    ``rand``) recomputed on task retry can route an already-fetched row
+    to a different salt — duplicating or dropping joined rows exactly in
+    the large-fault-domain runs this operator exists for (ADVICE r5).
+    Two deterministic derivations:
+
+    - ``row_id_col`` given: salt = hash(keys..., row_id). Spreads even
+      fully-duplicate payload rows of a hot key (ids differ), the ideal
+      layout. Use when the left side carries a unique id (most fact
+      tables do).
+    - default: salt = hash(all left columns). Fully-duplicate rows of a
+      hot key co-locate on one salt — the skew relief then degrades
+      toward the duplicate multiplicity, but correctness and retry
+      determinism hold unconditionally.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(
-        F.xxhash64(
-            F.struct(*[F.col(c) for c in left.columns]),
-            F.monotonically_increasing_id(),
-        ),
-        F.lit(n_salts),
-    )
+    if row_id_col is not None:
+        salt_input = F.struct(
+            *[F.col(c) for c in keys], F.col(row_id_col)
+        )
+    else:
+        salt_input = F.struct(*[F.col(c) for c in left.columns])
+    salt = F.pmod(F.xxhash64(salt_input), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_replicated = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

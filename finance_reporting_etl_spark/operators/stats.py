@@ -65,10 +65,14 @@ def mann_whitney_auc(
             (
                 F.col("rank2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
             ).cast("double")
-            / (
+            # single-class input (n_pos or n_neg = 0) has no defined AUC:
+            # nullif makes both engines emit NULL instead of Spark-side
+            # NaN vs oracle NULL hash divergence (ADVICE r5).
+            / F.nullif(
                 F.lit(2.0)
                 * F.col("n_pos")
-                * (F.col("n") - F.col("n_pos"))
+                * (F.col("n") - F.col("n_pos")),
+                F.lit(0.0),
             ),
             6,
         ).alias("auc"),
@@ -150,17 +154,23 @@ def welch_t_from_cents(
     j = side("a", group_a).crossJoin(side("b", group_b))
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
-    var_a = (F.col("q_a") - F.col("s_a") * mean_a) / (F.col("n_a") - F.lit(1))
-    var_b = (F.col("q_b") - F.col("s_b") * mean_b) / (F.col("n_b") - F.lit(1))
+    # n=1 has no sample variance: nullif(n-1, 0) makes the whole t/df
+    # tail NULL on both engines instead of a NaN/NULL split (ADVICE r5).
+    dof_a = F.nullif((F.col("n_a") - F.lit(1)).cast("double"), F.lit(0.0))
+    dof_b = F.nullif((F.col("n_b") - F.lit(1)).cast("double"), F.lit(0.0))
+    var_a = (F.col("q_a") - F.col("s_a") * mean_a) / dof_a
+    var_b = (F.col("q_b") - F.col("s_b") * mean_b) / dof_b
     se2_a = var_a / F.col("n_a")
     se2_b = var_b / F.col("n_b")
-    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    # zero-variance groups would make t's denominator sqrt(0): nullif
+    # keeps the 0/0 case NULL on both engines.
+    t = (mean_a - mean_b) / F.nullif(F.sqrt(se2_a + se2_b), F.lit(0.0))
     df_w = (
         (se2_a + se2_b)
         * (se2_a + se2_b)
-        / (
-            se2_a * se2_a / (F.col("n_a") - F.lit(1))
-            + se2_b * se2_b / (F.col("n_b") - F.lit(1))
+        / F.nullif(
+            se2_a * se2_a / dof_a + se2_b * se2_b / dof_b,
+            F.lit(0.0),
         )
     )
     return j.select(

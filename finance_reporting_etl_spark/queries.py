@@ -2086,11 +2086,15 @@ def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the table and uniform utilization."""
     from finance_reporting_etl_spark.operators.scale import salted_join
 
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     dim = ev.select("event_type").distinct().withColumn(
         "category", F.upper("event_type")
     )
-    joined = salted_join(ev, dim, ["event_type"], n_salts=16)
+    # event_id is the unique row id: salt = hash(key, id) is retry-
+    # deterministic AND spreads duplicate (event_type, value) payloads.
+    joined = salted_join(
+        ev, dim, ["event_type"], n_salts=16, row_id_col="event_id"
+    )
     return joined.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
@@ -6353,72 +6357,16 @@ def q_hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exported dict order moves.
 # ---------------------------------------------------------------------------
 
-# Round-5 gate window (driver verifies the first 50 catalog entries):
-# the first 50 of the 78 catalog entries that have NEVER held a driver
-# gate slot (VERDICT r4 "Next round" #1), in catalog-registration order
-# (oldest additions first). Every entry here is local-oracle-verified at
-# sf0.001 and sf0.01. The remaining 28 never-gated entries are pinned in
-# _GATE_NEXT immediately after the window so the round-6 rotation is a
-# mechanical swap (_GATE_FIRST <- _GATE_NEXT + re-gates); jointly the
-# r5+r6 windows cover all 78 (VERDICT r4 #2).
+# Round-6 gate window (driver verifies the first 50 catalog entries):
+# the first 50 of the 68 entries that had never held a driver gate slot
+# at end of round 5 (28 r4-era + 40 round-5 additions), in staging order.
+# Every entry here is local-oracle-verified at sf0.001 and sf0.01.
+# The remaining 18 never-gated entries stay pinned in _GATE_NEXT directly
+# after the window; round-7 rotates them in (plus re-gates) so every
+# catalog entry gets a driver row within two rounds of registration.
+# New round-6 queries MUST be appended to _GATE_NEXT (tripwire:
+# tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    "lm_quality_scores",
-    "media_resize_decode",
-    "ingest_pages_datasource",
-    "variant_event_payloads",
-    "ann_ivfpq_topk",
-    "heavy_hitters_cms",
-    "event_grouping_sets",
-    "lineitem_unpivot_metrics",
-    "corpus_upsample_epochs",
-    "quality_percentile_filter",
-    "stratified_reservoir_sample",
-    "profile_documents_table",
-    "streaming_heavy_hitters",
-    "label_time_to_next_purchase",
-    "rolling_7day_distinct_users",
-    "per_lang_token_length_regression",
-    "mixture_rebalance_to_target",
-    "length_bucketed_batching",
-    "user_value_ema",
-    "rollup_cascade_monthly",
-    "bitmap_distinct_rollup",
-    "hll_distinct_rollup",
-    "streaming_view_purchase_join",
-    "part_copurchase_pagerank",
-    "rolling_zscore_anomalies",
-    "indicator_linear_interpolation",
-    "random_projection_topk",
-    "histogram_quantile_rollup",
-    "cdc_changelog_apply",
-    "corpus_training_pipeline",
-    "entity_resolution_blocked",
-    "event_transition_matrix",
-    "copurchase_association_rules",
-    "streaming_left_outer_interval_join",
-    "copurchase_clustering_coefficient",
-    "copurchase_triangle_counts",
-    "dbt_schema_tests",
-    "dedup_incremental_batch",
-    "part_copurchase_pagerank_weighted",
-    "copurchase_bfs_distances",
-    "span_dedup_rewrite",
-    "winsorized_value_stats",
-    "bm25_search_topk",
-    "streaming_sliding_window_counts",
-    "asof_cogroup_pandas",
-    "target_encode_brand",
-    "streaming_static_dim_join",
-    "k_anonymity_suppress",
-    "embedding_int8_quantize",
-    "abc_customer_classification",
-]
-
-# The 28 never-gated entries that did not fit the 50-slot r5 window.
-# Pinned directly after the window in catalog order so (a) the round-6
-# rotation starts from this list and (b) tests can assert the two-round
-# coverage plan instead of relying on a hand-maintained comment.
-_GATE_NEXT = [
     "business_days_to_ship",
     "event_trigram_paths",
     "corpus_token_budget_select",
@@ -6447,7 +6395,6 @@ _GATE_NEXT = [
     "collocation_pmi_top",
     "debounce_events",
     "holt_trend_forecast",
-    # -- round-5 additions (never gated; r6 window) --------------------
     "dp_noisy_event_counts",
     "ann_rerank_exact",
     "schema_evolution_read",
@@ -6470,6 +6417,13 @@ _GATE_NEXT = [
     "ohlc_daily_bars",
     "indicator_lead_lag_corr",
     "streaming_ohlc_maintain",
+]
+
+# The 18 never-gated entries that did not fit the 50-slot r6 window,
+# plus any round-6 additions (appended below the marker). Pinned directly
+# after the window in catalog order so (a) the round-7 rotation starts
+# from this list and (b) tests assert the two-round coverage plan.
+_GATE_NEXT = [
     "feature_hash_bow",
     "series_volatility",
     "mmr_diversified_rerank",
@@ -6487,7 +6441,7 @@ _GATE_NEXT = [
     "kaplan_meier_retention",
     "bollinger_daily_bands",
     "rsi_cutler_daily",
-    "hhi_revenue_concentration",
+    "hhi_revenue_concentration",    # -- round-6 additions (never gated; r7 window) --------------------
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -2707,3 +2707,71 @@ def test_ann_eval_metrics_bounded_and_consistent(spark, sf_dir):
     assert ((p.ndcg_at_10 >= 0) & (p.ndcg_at_10 <= 1.000001)).all()
     # NDCG can't exceed what recall allows (ideal-normalized binary rel)
     assert (p.ndcg_at_10 <= p.recall_at_10 * 10 / 4.543559338088346 + 1e-9).all()
+
+
+def test_proration_signed_weights_still_sum_exact(spark):
+    """Floor/pmod semantics (ADVICE r5): a group containing negative
+    weights whose sum stays positive must still allocate EXACTLY the
+    total, with shortfall inside [0, n_rows)."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        prorate_largest_remainder,
+    )
+
+    rows = [
+        # group 1: mixed-sign weights summing to 70, odd total
+        (1, 1, 100, 1001),
+        (1, 2, -30, 1001),
+        (1, 3, 0, 1001),
+        # group 2: negative total over positive weights
+        (2, 1, 3, -777),
+        (2, 2, 7, -777),
+        # group 3: non-positive weight sum -> dropped entirely
+        (3, 1, -5, 500),
+        (3, 2, 5, 500),
+    ]
+    d = spark.createDataFrame(
+        rows, "gid long, line long, w_c long, t_c long"
+    )
+    out = prorate_largest_remainder(d, ["gid"], "w_c", "t_c", ["line"])
+    got = {
+        (r.gid, r.line): r.alloc_cents for r in out.collect()
+    }
+    assert set(g for g, _ in got) == {1, 2}
+    assert sum(v for (g, _), v in got.items() if g == 1) == 1001
+    assert sum(v for (g, _), v in got.items() if g == 2) == -777
+    # per-row allocation stays within 1 cent of the exact share
+    import math
+
+    for (g, line), v in got.items():
+        w = {(gi, li): wc for gi, li, wc, _ in rows}[(g, line)]
+        tot = {(gi, li): tc for gi, li, _, tc in rows}[(g, line)]
+        sum_w = sum(wc for gi, li, wc, _ in rows if gi == g)
+        share = tot * w / sum_w
+        assert math.floor(share) <= v <= math.floor(share) + 1
+
+
+def test_salted_join_row_id_salt_deterministic_and_spread(spark):
+    """row_id_col salting: result equals the plain join, the salt is a
+    pure function of (key, id) — stable under recomputation — and
+    fully-duplicate payload rows of a hot key spread across salts."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators import scale
+
+    left = spark.createDataFrame(
+        [(i, "hot", 1.0) for i in range(64)], "rid long, k string, v double"
+    )
+    right = spark.createDataFrame([("hot", 9.0)], "k string, w double")
+    out = scale.salted_join(left, right, ["k"], n_salts=8, row_id_col="rid")
+    assert out.count() == 64
+    # duplicates-by-content must land on MANY salts (the review gap the
+    # id-mixing fixed): reproduce the internal salt and count distinct.
+    salt = F.pmod(
+        F.xxhash64(F.struct(F.col("k"), F.col("rid"))), F.lit(8)
+    )
+    n_salts_used = left.select(salt.alias("s")).distinct().count()
+    assert n_salts_used >= 6
+    # determinism: two independent evaluations agree row-for-row
+    a = left.select("rid", salt.alias("s")).collect()
+    b = left.select("rid", salt.alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

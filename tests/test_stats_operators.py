@@ -156,3 +156,31 @@ def test_kaplan_meier_everyone_exits_last_event(spark):
     assert got[1].survival == pytest.approx(2 / 3, abs=1e-6)
     assert got[2].n_risk == 2 and got[2].d == 2
     assert got[2].survival == 0.0
+
+
+def test_auc_single_class_is_null_not_nan(spark):
+    """n_pos = 0 (or n_neg = 0) has no defined AUC: both engines must
+    emit NULL (ADVICE r5 — Spark NaN vs DuckDB NULL divergence)."""
+    df = spark.createDataFrame([(0.4, 0), (0.9, 0)], "score double, y int")
+    r = stats.mann_whitney_auc(df, "score", "y").collect()[0]
+    assert r.n_pos == 0 and r.auc is None
+    df2 = spark.createDataFrame([(0.4, 1), (0.9, 1)], "score double, y int")
+    r2 = stats.mann_whitney_auc(df2, "score", "y").collect()[0]
+    assert r2.n_neg == 0 and r2.auc is None
+
+
+def test_welch_t_degenerate_groups_null_not_nan(spark):
+    """n = 1 in either group (no sample variance) and zero-variance
+    pairs must yield NULL t/df, matching DuckDB's div-by-zero NULL."""
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("b", 150)], "g string, cents long"
+    )
+    r = stats.welch_t_from_cents(df, "g", "cents", "a", "b").collect()[0]
+    assert r.n_b == 1 and r.t_stat is None and r.df_welch is None
+    # both groups constant -> zero pooled variance -> NULL, not +-Inf
+    df2 = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("b", 50)],
+        "g string, cents long",
+    )
+    r2 = stats.welch_t_from_cents(df2, "g", "cents", "a", "b").collect()[0]
+    assert r2.t_stat is None and r2.df_welch is None
