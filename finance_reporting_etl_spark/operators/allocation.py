@@ -145,3 +145,47 @@ def fifo_match(
     return j.withColumn("matched_qty", matched).drop(
         "b_start", "b_end", "s_start", "s_end"
     )
+
+
+def straight_line_schedule(
+    spans: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    total_cents_col: str,
+) -> DataFrame:
+    """Straight-line recognition schedule: spread ``total_cents_col``
+    evenly over the calendar months [month(start), month(end)], exact
+    to the cent (ASC 606 / IFRS 15 ratable recognition — the standard
+    warehouse transform for subscription and service revenue).
+
+    The month spine is generated per row with ``sequence`` (no
+    calendar-table join), then the even split reuses
+    ``prorate_largest_remainder`` with unit weights: every month gets
+    floor(total/n) cents and the first ``total mod n`` months (month
+    order) get the extra cent, so each key's schedule sums EXACTLY to
+    its total. One shuffle (the group window); spans are bounded by
+    the contract length, so the explode fan-out is small and fixed.
+
+    Returns one row per (key, month) with ``alloc_cents``; ``end`` is
+    clamped to ``start`` so inverted spans recognize everything in the
+    start month rather than silently vanishing.
+    """
+    d = spans.select(
+        key_col,
+        total_cents_col,
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col(start_col)).cast("date"),
+                F.date_trunc(
+                    "month",
+                    F.greatest(F.col(end_col), F.col(start_col)),
+                ).cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    ).withColumn("__w", F.lit(1).cast("bigint"))
+    out = prorate_largest_remainder(
+        d, [key_col], "__w", total_cents_col, ["month"]
+    )
+    return out.drop("__w")

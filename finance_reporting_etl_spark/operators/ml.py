@@ -696,3 +696,30 @@ def naive_bayes_lang_eval(
             6,
         ).alias("accuracy"),
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    rows are ordered by md5(id || salt) (a uniform pseudo-random but
+    reproducible shuffle — the same device as ``md5_bucket``/
+    ``negative_sampling``) and dealt round-robin, so every stratum's
+    fold sizes differ by at most one and the assignment is a pure
+    function of (stratum membership, id). No RNG, no collect; one
+    shuffle on the stratum key. The ordering window runs per stratum,
+    never globally — at 100 TB the largest stratum bounds the sort,
+    and cross-validation folds stay class-balanced by construction
+    (plain hash-mod folds only balance in expectation).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int")
+    )

@@ -337,3 +337,48 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.sum(term).over(wc)), 6))
         .alias("survival"),
     )
+
+
+def historical_var_cvar(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: str,
+    tail_num: int = 1,
+    tail_den: int = 20,
+) -> DataFrame:
+    """Historical Value-at-Risk and CVaR (expected shortfall) on the
+    LOW tail of an exact integer-cents observation column, one row per
+    group.
+
+    The tail size is pure integer arithmetic — k = ceil(n * tail_num /
+    tail_den) = (n*tail_num + tail_den - 1) div tail_den — and the
+    statistics are order-statistic exact: VaR is the k-th smallest
+    observation (the lower empirical quantile, no interpolation — the
+    convention that keeps both engines bit-identical), CVaR the mean
+    of the k smallest. Ties in value need no tiebreak: the multiset of
+    k smallest values is unique regardless of row order. Shape: one
+    shuffle on the group key; the ordering window is per group, so the
+    largest group bounds the sort at scale.
+    """
+    g = Window.partitionBy(*group_cols)
+    wr = Window.partitionBy(*group_cols).orderBy(F.col(cents_col).asc())
+    d = (
+        df.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(g))
+        .withColumn(
+            "__k",
+            F.expr(
+                f"(__n * {int(tail_num)} + {int(tail_den)} - 1)"
+                f" div {int(tail_den)}"
+            ),
+        )
+        .filter(F.col("__rn") <= F.col("__k"))
+    )
+    return d.groupBy(*group_cols).agg(
+        F.first("__n").alias("n_obs"),
+        F.first("__k").alias("k_tail"),
+        F.round(F.max(cents_col) / 100.0, 2).alias("var_value"),
+        F.round(
+            F.sum(cents_col).cast("double") / F.first("__k") / 100.0, 6
+        ).alias("cvar_value"),
+    )

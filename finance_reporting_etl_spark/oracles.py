@@ -4110,3 +4110,81 @@ ORACLES["hhi_revenue_concentration"] = """
                  6) AS hhi_contrib
     FROM per JOIN tot USING (r_name)
     """
+
+
+# --------------------------------------------------------------------------
+# Round 6 — ML-pipeline + finance additions
+# --------------------------------------------------------------------------
+
+ORACLES["stratified_kfold_assign"] = """
+    WITH f AS (
+        SELECT lang, doc_id, n_chars,
+               CAST((row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'kfold') ASC,
+                            doc_id ASC) - 1) % 5 AS INT) AS fold
+        FROM documents)
+    SELECT lang, fold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM f GROUP BY lang, fold ORDER BY lang, fold
+"""
+
+ORACLES["revenue_recognition_monthly"] = """
+    WITH ship AS (
+        SELECT l_orderkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS t_c,
+               date_trunc('month', o_orderdate) AS m0,
+               date_trunc('month', greatest(last_ship, o_orderdate)) AS m1
+        FROM orders JOIN ship ON l_orderkey = o_orderkey
+    ), m AS (
+        SELECT o_orderkey, t_c,
+               CAST(unnest(generate_series(CAST(m0 AS DATE), CAST(m1 AS DATE),
+                                           INTERVAL 1 MONTH)) AS DATE) AS month
+        FROM o
+    ), n AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY o_orderkey) AS n_m,
+               row_number() OVER (PARTITION BY o_orderkey ORDER BY month) AS rn
+        FROM m
+    ), a AS (
+        -- unit weights: largest-remainder degenerates to floor(t/n) + 1
+        -- cent for the first (t mod n) months in month order
+        SELECT o_orderkey, month,
+               t_c // n_m
+               + CASE WHEN rn <= t_c % n_m THEN 1 ELSE 0 END AS alloc
+        FROM n
+    )
+    SELECT month, COUNT(DISTINCT o_orderkey) AS n_orders,
+           round(SUM(alloc) / 100.0, 2) AS recognized_revenue
+    FROM a GROUP BY month ORDER BY month
+"""
+
+ORACLES["var_cvar_daily_revenue"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day
+    ), rk AS (
+        SELECT event_type, day_cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_cents ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ), t AS (
+        SELECT *, (n + 19) // 20 AS k
+        FROM rk WHERE rn <= (n + 19) // 20
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(max(k) AS BIGINT) AS k_tail,
+           round(max(day_cents) / 100.0, 2) AS var_value,
+           round(CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0, 6)
+               AS cvar_value
+    FROM t GROUP BY event_type ORDER BY event_type
+"""

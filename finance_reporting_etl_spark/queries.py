@@ -6344,6 +6344,102 @@ def q_hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query("stratified_kfold_assign",
+    _ORACLES["stratified_kfold_assign"],
+    "X-pipe cross-validation: deterministic stratified k-fold (md5-ordered round-robin within stratum) — fold sizes differ by <=1 per class, pure function of (stratum, id)",
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment over documents by language: within
+    each lang, docs are shuffled by md5(doc_id||salt) and dealt
+    round-robin, so every fold carries the same class mix (plain
+    hash-mod folds only balance in expectation — fatal for rare
+    strata). Output is the per-(lang, fold) audit: counts and id/char
+    checksums. Operator: operators.ml.stratified_kfold."""
+    from finance_reporting_etl_spark.operators.ml import stratified_kfold
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    f = stratified_kfold(docs, ["lang"], "doc_id", k=5)
+    return (
+        f.groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query("revenue_recognition_monthly",
+    _ORACLES["revenue_recognition_monthly"],
+    "P5/O5 finance: straight-line revenue recognition (ASC 606 ratable) — per-order month spine via sequence + largest-remainder unit-weight split, recognized cents sum EXACTLY to each order total",
+)
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recognized revenue: each order's total is spread evenly
+    (to the cent, largest-remainder) over the months from order date to
+    its last shipment, then rolled up per calendar month — the ratable
+    recognition schedule a subscription/service warehouse maintains.
+    The month spine is generated per order (sequence + explode, spans
+    bounded by contract length ~5 months); the split reuses
+    prorate_largest_remainder with unit weights, so conservation is
+    exact and engine-independent.
+    Operator: operators.allocation.straight_line_schedule."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        straight_line_schedule,
+    )
+
+    ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        "last_ship",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_c"),
+    )
+    sched = straight_line_schedule(
+        o, "o_orderkey", "o_orderdate", "last_ship", "t_c"
+    )
+    return (
+        sched.groupBy("month")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("alloc_cents") / 100.0, 2).alias(
+                "recognized_revenue"
+            ),
+        )
+    )
+
+
+@query("var_cvar_daily_revenue",
+    _ORACLES["var_cvar_daily_revenue"],
+    "§2.5/finance risk: historical VaR + CVaR (expected shortfall) per event_type on daily integer-cents revenue — order-statistic exact (k = ceil(n/20) lower tail), no quantile interpolation",
+)
+def q_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% historical Value-at-Risk and CVaR of daily revenue per
+    event_type: VaR is the k-th worst day (k = ceil(n/20), lower order
+    statistic — no interpolation, so both engines agree bit-for-bit on
+    which day it is), CVaR the mean of the k worst. Daily sums are
+    exact integer cents; float appears only in the two final
+    divisions. Operator: operators.stats.historical_var_cvar."""
+    from finance_reporting_etl_spark.operators.stats import historical_var_cvar
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    return historical_var_cvar(daily, ["event_type"], "day_cents")
+
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6442,6 +6538,9 @@ _GATE_NEXT = [
     "bollinger_daily_bands",
     "rsi_cutler_daily",
     "hhi_revenue_concentration",    # -- round-6 additions (never gated; r7 window) --------------------
+    "stratified_kfold_assign",
+    "revenue_recognition_monthly",
+    "var_cvar_daily_revenue",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

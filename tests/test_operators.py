@@ -2775,3 +2775,74 @@ def test_salted_join_row_id_salt_deterministic_and_spread(spark):
     a = left.select("rid", salt.alias("s")).collect()
     b = left.select("rid", salt.alias("s")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    """Fold sizes within every stratum differ by <= 1, assignment is a
+    pure function of (stratum, id), and k < 2 is rejected."""
+    import pytest as _pytest
+
+    from finance_reporting_etl_spark.operators.ml import stratified_kfold
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    f = stratified_kfold(df, ["s"], "id", k=4)
+    sizes = {
+        (r.s, r.fold): r.n
+        for r in f.groupBy("s", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    for s in ("a", "b"):
+        per = [sizes.get((s, i), 0) for i in range(4)]
+        assert max(per) - min(per) <= 1, (s, per)
+    again = stratified_kfold(df, ["s"], "id", k=4)
+    assert sorted(map(tuple, f.collect())) == sorted(map(tuple, again.collect()))
+    with _pytest.raises(ValueError):
+        stratified_kfold(df, ["s"], "id", k=1)
+
+
+def test_straight_line_schedule_conserves_and_clamps(spark):
+    """Every key's schedule sums exactly to its total; the extra cents
+    land on the EARLIEST months; an inverted span collapses to the
+    start month instead of vanishing."""
+    import datetime as dt
+
+    from finance_reporting_etl_spark.operators.allocation import (
+        straight_line_schedule,
+    )
+
+    rows = [
+        (1, dt.date(2024, 1, 15), dt.date(2024, 4, 2), 1003),  # 4 months
+        (2, dt.date(2024, 2, 1), dt.date(2024, 2, 20), 555),   # 1 month
+        (3, dt.date(2024, 3, 10), dt.date(2024, 1, 1), 77),    # inverted
+    ]
+    df = spark.createDataFrame(rows, "k long, lo date, hi date, t_c long")
+    out = straight_line_schedule(df, "k", "lo", "hi", "t_c")
+    got = {(r.k, str(r.month)): r.alloc_cents for r in out.collect()}
+    assert {k for k, _ in got} == {1, 2, 3}
+    # 1003 over 4 months: 250 base, first 3 months +1
+    assert [got[(1, f"2024-0{m}-01")] for m in (1, 2, 3, 4)] == [
+        251, 251, 251, 250,
+    ]
+    assert got[(2, "2024-02-01")] == 555
+    assert got[(3, "2024-03-01")] == 77  # clamped, not dropped
+    sums = {}
+    for (k, _), v in got.items():
+        sums[k] = sums.get(k, 0) + v
+    assert sums == {1: 1003, 2: 555, 3: 77}
+
+
+def test_historical_var_cvar_order_statistics(spark):
+    """k = ceil(n * num/den); VaR is the k-th smallest; CVaR the mean
+    of the k smallest — checked against a hand computation with ties."""
+    from finance_reporting_etl_spark.operators.stats import historical_var_cvar
+
+    vals = [500, -300, -300, 100, 200, 250, 325, 410, -120, 80]  # n=10
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, cents long"
+    )
+    # tail 30% -> k = 3: three smallest are -300, -300, -120
+    r = historical_var_cvar(df, ["g"], "cents", tail_num=3, tail_den=10)
+    row = r.collect()[0]
+    assert (row.n_obs, row.k_tail) == (10, 3)
+    assert row.var_value == -1.2
+    assert row.cvar_value == round((-300 - 300 - 120) / 3 / 100.0, 6)
