@@ -989,3 +989,111 @@ def weighted_systematic_sample(
         .filter(F.col("n_picks") > 0)
     )
     return picks
+
+
+def heaps_law_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: for each document in
+    ``id_col`` order, the running total of tokens seen and of DISTINCT
+    token types seen — the standard diagnostic for corpus diversity
+    (types ~ C * tokens^beta; a flattening curve means the crawl is
+    rereading itself, a supralinear one means noise/transcoding junk).
+
+    Distribution: a token's first appearance is ``min(doc_id)`` over
+    its postings (one hash aggregation — never a distinct-over-window),
+    giving per-doc NEW-type counts; per-doc token counts are a second
+    aggregation; both prefix-sum through
+    :func:`~finance_reporting_etl_spark.operators.ranking.distributed_cumsum`
+    (bucket-partitioned two-level scan), so there is NO data-sized
+    single-partition window anywhere — the curve stays computable when
+    the corpus is 10^9 documents.
+    """
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__new"))
+    )
+    n_toks = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ntok")
+    )
+    spine = (
+        docs.select(id_col)
+        .join(n_toks, id_col, "left")
+        .join(new_types, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__ntok", F.lit(0)).alias("__ntok"),
+            F.coalesce("__new", F.lit(0)).alias("__new"),
+        )
+    )
+    c1 = distributed_cumsum(
+        spine, "__ntok", id_col, [], out_col="cum_tokens", buckets=buckets
+    )
+    c2 = distributed_cumsum(
+        c1, "__new", id_col, [], out_col="cum_types", buckets=buckets
+    )
+    return c2.select(
+        id_col,
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_types").cast("bigint").alias("cum_types"),
+    )
+
+
+def bpe_pair_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """One merge-candidate round of byte-pair encoding: the corpus-wide
+    frequency of every ADJACENT character pair inside whitespace
+    tokens, top-k by (freq DESC, pair ASC) — the primitive a tokenizer
+    trainer iterates (the top pair IS the next BPE merge rule).
+
+    Cost shape: pairs are counted on the DISTINCT-token vocabulary
+    weighted by token frequency — the explode fans out |vocab| * ~6
+    positions, not |corpus tokens| * 6, which at 100 TB is the
+    difference between gigabytes and the corpus itself (vocabulary
+    grows ~ tokens^0.5 by Heaps' law). The final top-k window runs
+    over distinct PAIRS (alphabet^2-bounded, a few hundred rows).
+    """
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from pyspark.sql import Window
+
+    tok_counts = (
+        docs.select(
+            F.explode(
+                whitespace_tokens(F.lower(F.col(text_col)))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = tok_counts.filter(F.length("token") >= 2).select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("token") - F.lit(1))
+        ).alias("i"),
+        "token",
+        "c",
+    ).select(
+        F.col("token").substr(F.col("i"), F.lit(2)).alias("pair"), "c"
+    )
+    freq = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -4188,3 +4188,56 @@ ORACLES["var_cvar_daily_revenue"] = """
                AS cvar_value
     FROM t GROUP BY event_type ORDER BY event_type
 """
+
+ORACLES["pca_embedding_projection"] = f"""
+    WITH c AS (SELECT * FROM '{_AUX_DIR}/pca_components/*.parquet'),
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT vec_id, label, comp_id,
+           round(eigenvalue, 6) AS eigenvalue,
+           round(explained_ratio, 6) AS explained_ratio,
+           round(list_dot_product(
+               list_transform(range(1, 65), i -> v[i] - mean[i]), axis),
+               6) AS score
+    FROM e, c
+"""
+
+ORACLES["heaps_law_vocab_growth"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), nt AS (
+        SELECT doc_id, COUNT(*) AS ntok FROM toks GROUP BY doc_id
+    ), ft AS (
+        SELECT min(doc_id) AS doc_id FROM toks GROUP BY tok
+    ), nv AS (
+        SELECT doc_id, COUNT(*) AS nnew FROM ft GROUP BY doc_id
+    ), s AS (
+        SELECT d.doc_id, coalesce(ntok, 0) AS ntok, coalesce(nnew, 0) AS nnew
+        FROM documents d
+        LEFT JOIN nt USING (doc_id) LEFT JOIN nv USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(SUM(ntok) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(nnew) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+    FROM s ORDER BY doc_id
+"""
+
+ORACLES["bpe_pair_merge_step"] = f"""
+    WITH tc AS (
+        SELECT t AS token, COUNT(*) AS c
+        FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+    ), p AS (
+        SELECT substr(token, CAST(i AS INT), 2) AS pair, c
+        FROM tc, unnest(generate_series(1, length(token) - 1)) AS u(i)
+        WHERE length(token) >= 2
+    ), f AS (
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS freq FROM p GROUP BY pair
+    )
+    SELECT pair, freq, CAST(rn AS INT) AS rank FROM (
+        SELECT pair, freq,
+               row_number() OVER (ORDER BY freq DESC, pair ASC) AS rn
+        FROM f
+    ) WHERE rn <= 20
+"""

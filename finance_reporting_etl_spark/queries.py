@@ -6440,6 +6440,70 @@ def q_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+@query("pca_embedding_projection",
+    _ORACLES["pca_embedding_projection"],
+    "X3/X-pipe decomposition: distributed PCA — per-partition (n, sum, X'X) moment partials via Arrow mapInPandas, 64x64 driver eigh, declarative centered-dot projection; oracle re-derives every score from the persisted components",
+)
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding table, melted as
+    (vec_id, comp_id, score) with the component's eigenvalue and
+    explained-variance ratio. The fit collects only per-partition
+    moment partials (1 + d + d^2 floats each — the bounded
+    model-parameter class); the projection is a broadcast join + the
+    same centered dot product DuckDB evaluates with list_dot_product,
+    so every score is independently re-derived from the persisted
+    components. Operator: operators.decomposition.pca_fit/pca_project."""
+    from finance_reporting_etl_spark.operators.decomposition import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = _persist_aux(
+        spark,
+        spark.createDataFrame(pca_fit(emb, "embedding", dim=64, n_components=2)),
+        "pca_components",
+    )
+    return pca_project(emb, comps, ["vec_id", "label"])
+
+
+@query("heaps_law_vocab_growth",
+    _ORACLES["heaps_law_vocab_growth"],
+    "X4 corpus diagnostics: Heaps-law vocabulary growth curve — first-occurrence via min(doc_id) hash agg + two bucket-partitioned distributed prefix sums; no data-sized single-partition window",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cum_tokens, cum_types) per document in doc_id order —
+    the vocabulary-growth curve that flags self-repeating crawls
+    (flattening) and transcoding junk (supralinear). First occurrences
+    are one min() aggregation over postings; both cumulative sums go
+    through distributed_cumsum, so the curve scales to corpora where a
+    global ORDER BY window is impossible.
+    Operator: operators.corpus.heaps_law_growth."""
+    from finance_reporting_etl_spark.operators.corpus import heaps_law_growth
+
+    return heaps_law_growth(_t(spark, sf_dir, "documents"))
+
+
+@query("bpe_pair_merge_step",
+    _ORACLES["bpe_pair_merge_step"],
+    "X4 tokenizer induction: one BPE merge-candidate round — adjacent char-pair frequencies counted on the distinct-token vocabulary weighted by token frequency; top-k window over the alphabet^2-bounded pair domain",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-20 adjacent character pairs by corpus frequency — the
+    next-merge-rule readout a BPE tokenizer trainer iterates. Pairs
+    are exploded from the DISTINCT vocabulary (weighted by token
+    count), not from the token stream, so the fan-out is
+    Heaps-bounded rather than corpus-sized.
+    Operator: operators.corpus.bpe_pair_frequencies."""
+    from finance_reporting_etl_spark.operators.corpus import (
+        bpe_pair_frequencies,
+    )
+
+    return bpe_pair_frequencies(_t(spark, sf_dir, "documents"))
+
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6541,6 +6605,9 @@ _GATE_NEXT = [
     "stratified_kfold_assign",
     "revenue_recognition_monthly",
     "var_cvar_daily_revenue",
+    "pca_embedding_projection",
+    "heaps_law_vocab_growth",
+    "bpe_pair_merge_step",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

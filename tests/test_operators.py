@@ -2846,3 +2846,83 @@ def test_historical_var_cvar_order_statistics(spark):
     assert (row.n_obs, row.k_tail) == (10, 3)
     assert row.var_value == -1.2
     assert row.cvar_value == round((-300 - 300 - 120) / 3 / 100.0, 6)
+
+
+def test_pca_fit_matches_numpy_and_sign_convention(spark):
+    """Components equal numpy's full-data PCA (same covariance, eigh),
+    orientation pinned (largest-|value| element positive), ragged and
+    null vectors dropped rather than crashing np.stack."""
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.decomposition import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 4)) @ np.diag([3.0, 1.5, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    rows.append((80, None))
+    rows.append((81, [1.0, 2.0]))  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = pca_fit(df, "embedding", dim=4, n_components=2)
+
+    cov = np.cov(base, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    for rank, idx in enumerate(order):
+        want = evecs[:, idx]
+        pivot = int(np.argmax(np.abs(want)))
+        if want[pivot] < 0:
+            want = -want
+        got = np.array(comps.iloc[rank]["axis"])
+        assert np.allclose(got, want, atol=1e-9), rank
+        assert comps.iloc[rank]["eigenvalue"] == pytest.approx(
+            evals[idx], abs=1e-9
+        )
+    # projection scores match numpy centered dot
+    cdf = spark.createDataFrame(comps)
+    proj = pca_project(
+        df.filter(F.col("vec_id") < 80), cdf, ["vec_id"], "embedding"
+    )
+    got0 = {
+        r.vec_id: r.score for r in proj.filter(F.col("comp_id") == 0).collect()
+    }
+    mu = base.mean(axis=0)
+    axis0 = np.array(comps.iloc[0]["axis"])
+    for i in (0, 17, 79):
+        assert got0[i] == pytest.approx(
+            round(float((base[i] - mu) @ axis0), 6), abs=1e-6
+        )
+
+
+def test_heaps_law_growth_hand_curve(spark):
+    from finance_reporting_etl_spark.operators.corpus import heaps_law_growth
+
+    docs = [
+        (1, "a b a"),       # 3 tokens, 2 new types
+        (2, "b c"),         # 2 tokens, 1 new type (c)
+        (3, ""),            # empty doc: 0 / 0
+        (4, "c d d a"),     # 4 tokens, 1 new type (d)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cum_tokens, r.cum_types)
+        for r in heaps_law_growth(df).collect()
+    }
+    assert got == {1: (3, 2), 2: (5, 3), 3: (5, 3), 4: (9, 4)}
+
+
+def test_bpe_pair_frequencies_hand_counts(spark):
+    from finance_reporting_etl_spark.operators.corpus import (
+        bpe_pair_frequencies,
+    )
+
+    # "abab" pairs: ab, ba, ab; twice -> ab:4 ba:2 ; "xy" once
+    df = spark.createDataFrame(
+        [(1, "abab xy"), (2, "abab")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.freq, r.rank) for r in bpe_pair_frequencies(df).collect()]
+    assert got[0] == ("ab", 4, 1)
+    assert got[1] == ("ba", 2, 2)
+    assert ("xy", 1, 3) in got
