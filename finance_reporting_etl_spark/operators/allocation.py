@@ -189,3 +189,194 @@ def straight_line_schedule(
         d, [key_col], "__w", total_cents_col, ["month"]
     )
     return out.drop("__w")
+
+
+def xirr_bisection(
+    flows: DataFrame,
+    key_col: str,
+    t_days_col: str,
+    cents_col: str,
+    iters: int = 28,
+    lo: float = -0.9999,
+    hi: float = 10.0,
+) -> DataFrame:
+    """Per-key XIRR (annualized internal rate of return for irregular
+    cashflows) by fixed-iteration bisection — the iterative finance
+    primitive done distributed AND engine-reproducible.
+
+    NPV(r) = sum cf_i * (1+r)^(-t_i/365) over the key's flows in
+    (t, cents) sort order. Cross-engine exactness is by construction,
+    not tolerance: libm ``pow`` (CPython ``math.pow`` == DuckDB
+    ``power``, verified bitwise), a sequential left-fold sum in the
+    same sorted order as DuckDB's ``list_sum``, and a fixed iteration
+    count mean both engines take IDENTICAL bracketing decisions, so
+    the midpoint after ``iters`` halvings is the same double. numpy's
+    vectorized ``power``/pairwise ``sum`` would each drift ~1 ulp and
+    eventually flip a knife-edge sign decision — hence the explicit
+    per-flow fold (the flows-per-key bound keeps it cheap; work is
+    Arrow-batched and embarrassingly parallel across keys).
+
+    Keys with no sign bracket (NPV(lo) <= 0 or NPV(hi) >= 0 — rate
+    outside [lo, hi] or no sign change) return NULL irr. Assumes the
+    conventional out-then-in profile (NPV decreasing in r).
+    Returns (key, n_flows, irr).
+    """
+    import math
+
+    import pandas as pd
+
+    lists = flows.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(t_days_col), F.col(cents_col)))
+        ).alias("__flows")
+    )
+    key_field = lists.schema[key_col]
+
+    def solve(batches):
+        for pdf in batches:
+            keys, ns, irrs = [], [], []
+            for k, fl in zip(pdf[key_col], pdf["__flows"]):
+                fs = [(f[t_days_col], f[cents_col]) for f in fl]
+
+                def npv(r):
+                    acc = 0.0
+                    for t, c in fs:
+                        acc += c * math.pow(1.0 + r, -(t / 365.0))
+                    return acc
+
+                a, b = lo, hi
+                if npv(a) > 0 and npv(b) < 0:
+                    for _ in range(iters):
+                        mid = (a + b) / 2.0
+                        if npv(mid) > 0:
+                            a = mid
+                        else:
+                            b = mid
+                    irr = (a + b) / 2.0
+                else:
+                    irr = None
+                keys.append(k)
+                ns.append(len(fs))
+                irrs.append(irr)
+            yield pd.DataFrame(
+                {key_col: keys, "n_flows": ns, "irr": irrs}
+            )
+
+    schema = f"{key_col} {key_field.dataType.simpleString()}, n_flows int, irr double"
+    out = lists.mapInPandas(solve, schema)
+    return out.select(
+        key_col, "n_flows", F.round(F.col("irr"), 6).alias("irr")
+    )
+
+
+def xirr_oracle_sql(
+    flows_sql: str,
+    key: str = "k",
+    iters: int = 28,
+    lo: float = -0.9999,
+    hi: float = 10.0,
+) -> str:
+    """DuckDB twin of :func:`xirr_bisection`: the bisection loop
+    unrolled into ``iters`` chained CTE pairs (the graph.py
+    unrolled-iteration oracle pattern). ``flows_sql`` must yield
+    (key, t, c) rows; the NPV at each midpoint is ``list_sum`` over
+    the SAME (t, c)-sorted flow list the Spark side folds, so every
+    bracketing decision matches bitwise.
+    """
+    npv_at = (
+        "list_sum(list_transform(flows,"
+        " f -> f.c * power(1.0 + {r}, -(f.t / 365.0))))"
+    )
+    steps = [
+        f"""cf AS (
+        SELECT {key}, list(struct_pack(t := t, c := c) ORDER BY t, c) AS flows
+        FROM ({flows_sql}) GROUP BY {key}
+    ), b0 AS (
+        SELECT {key}, flows, CAST({lo} AS DOUBLE) AS lo,
+               CAST({hi} AS DOUBLE) AS hi,
+               ({npv_at.format(r=lo)}) > 0
+               AND ({npv_at.format(r=hi)}) < 0 AS ok
+        FROM cf
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev, mid_npv = f"b{i-1}", npv_at.format(r="(lo + hi) / 2.0")
+        steps.append(
+            f"""s{i} AS (
+        SELECT {key}, flows, lo, hi, ok, (lo + hi) / 2.0 AS mid,
+               CASE WHEN ok THEN {mid_npv} END AS s
+        FROM {prev}
+    ), b{i} AS (
+        SELECT {key}, flows,
+               CASE WHEN ok AND s > 0 THEN mid ELSE lo END AS lo,
+               CASE WHEN ok AND s > 0 THEN hi ELSE
+                    CASE WHEN ok THEN mid ELSE hi END END AS hi,
+               ok
+        FROM s{i}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT {key}, CAST(len(flows) AS INT) AS n_flows,
+           round(CASE WHEN ok THEN (lo + hi) / 2.0 END, 6) AS irr
+    FROM b{iters}"""
+    )
+
+
+def level_payment_schedule(
+    loans: DataFrame,
+    key_col: str,
+    principal_cents_col: str,
+    monthly_rate: float,
+    n_periods: int,
+) -> DataFrame:
+    """Level-payment (French) amortization schedule: one row per
+    (key, period 1..n) with payment, interest, principal portion and
+    closing balance for a fixed-rate annuity — the classic finance-ETL
+    explosion of a loan book into its cash schedule.
+
+    Everything is the closed annuity form (no per-period recursion):
+    pmt = P*r*g_n/(g_n - 1) and balance_k = P*g_k - pmt*(g_k - 1)/r
+    with g_k = (1+r)^k. ``pow`` with these constant bases is bitwise
+    identical between the JVM and DuckDB's libm (pinned by a parity
+    unit test), and every other step is the same closed-form float
+    expression on both engines, so the oracle matches exactly. The
+    period spine comes from sequence+explode (fan-out = n, bounded);
+    no shuffle at all beyond the source scan.
+
+    Output values are dollars rounded to 6; conservation (principal
+    portions sum to P, balance_n = 0) holds to float precision — use
+    prorate_largest_remainder on the rounded cents if ledger-exact
+    cents are required downstream.
+    """
+    if not (0 < monthly_rate < 1):
+        raise ValueError(f"monthly_rate must be in (0,1), got {monthly_rate}")
+    if n_periods < 1:
+        raise ValueError(f"n_periods must be >= 1, got {n_periods}")
+    r = float(monthly_rate)
+    d = loans.select(
+        key_col,
+        F.col(principal_cents_col).alias("__p"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_periods)))
+        ).alias("period"),
+    )
+    base = F.lit(1.0 + r)
+    g_k = F.pow(base, F.col("period").cast("double"))
+    g_n = F.pow(base, F.lit(float(n_periods)))
+    g_prev = g_k / base
+    p = F.col("__p")
+    pmt = p * F.lit(r) * g_n / (g_n - F.lit(1.0))
+    bal_k = p * g_k - pmt * (g_k - F.lit(1.0)) / F.lit(r)
+    bal_prev = p * g_prev - pmt * (g_prev - F.lit(1.0)) / F.lit(r)
+    interest = bal_prev * F.lit(r)
+    return d.select(
+        key_col,
+        F.col("period").cast("int").alias("period"),
+        F.round(pmt / 100.0, 6).alias("payment"),
+        F.round(interest / 100.0, 6).alias("interest"),
+        F.round((pmt - interest) / 100.0, 6).alias("principal"),
+        F.round(bal_k / 100.0, 6).alias("balance"),
+    )

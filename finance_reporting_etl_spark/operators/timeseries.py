@@ -675,3 +675,65 @@ def rsi_cutler(
             6,
         ).alias("rsi"),
     )
+
+
+def seasonal_decompose_dow(
+    daily: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Additive seasonal decomposition of a daily integer-cents series:
+    value = trend + seasonal + residual, with a centered 7-row moving
+    average as trend and a day-of-week mean of the detrended series as
+    the seasonal component (the classical-decomposition recipe, the
+    hand-rolled core of STL).
+
+    Cross-engine float discipline: the 7-row trend sum and the
+    seasonal numerator ``7*sum(cents) - sum(trend_sum)`` stay exact
+    BIGINT through every unordered aggregation — the only float steps
+    are closed-form per-row divisions, so both engines agree
+    bit-for-bit. Interior rows only (full 7-row windows); the window
+    is ROWS-based, so a day absent from the input contributes no
+    row rather than a zero (document gaps upstream if they matter).
+    Windows and aggregations are group-partitioned — nothing global.
+
+    Returns (group_cols..., day, dow, value, trend, seasonal, resid)
+    in dollars, rounded.
+    """
+    w7 = (
+        Window.partitionBy(*group_cols)
+        .orderBy(day_col)
+        .rowsBetween(-3, 3)
+    )
+    d = (
+        daily.withColumn("__s7", F.sum(cents_col).over(w7).cast("bigint"))
+        .withColumn("__n7", F.count(F.lit(1)).over(w7))
+        .filter(F.col("__n7") == 7)
+        .withColumn("__dow", F.dayofweek(F.col(day_col)).cast("int"))
+    )
+    seas = d.groupBy(*group_cols, "__dow").agg(
+        (
+            F.lit(7) * F.sum(cents_col).cast("bigint")
+            - F.sum("__s7").cast("bigint")
+        ).alias("__num"),
+        (F.lit(7) * F.count(F.lit(1))).cast("bigint").alias("__den"),
+    )
+    out = d.join(F.broadcast(seas), [*group_cols, "__dow"])
+    return out.select(
+        *group_cols,
+        F.col(day_col),
+        F.col("__dow").alias("dow"),
+        F.round(F.col(cents_col) / 100.0, 2).alias("value"),
+        F.round(F.col("__s7") / 700.0, 6).alias("trend"),
+        F.round(F.col("__num") / F.col("__den") / 100.0, 6).alias("seasonal"),
+        F.round(
+            (
+                F.col(cents_col)
+                - F.col("__s7") / 7.0
+                - F.col("__num") / F.col("__den")
+            )
+            / 100.0,
+            6,
+        ).alias("resid"),
+    )

@@ -4241,3 +4241,66 @@ ORACLES["bpe_pair_merge_step"] = f"""
         FROM f
     ) WHERE rn <= 20
 """
+
+ORACLES["seasonal_decompose_daily"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day
+    ), w AS (
+        SELECT *,
+               CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                   AS s7,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+               (dayofweek(day) + 1) AS dow
+        FROM d
+    ), i AS (
+        SELECT * FROM w WHERE n7 = 7
+    ), s AS (
+        SELECT event_type, dow,
+               CAST(7 * SUM(cents) - SUM(s7) AS BIGINT) AS num,
+               CAST(7 * COUNT(*) AS BIGINT) AS den
+        FROM i GROUP BY event_type, dow
+    )
+    SELECT i.event_type, day, CAST(i.dow AS INT) AS dow,
+           round(cents / 100.0, 2) AS value,
+           round(s7 / 700.0, 6) AS trend,
+           round(num / den / 100.0, 6) AS seasonal,
+           round((cents - s7 / 7.0 - num / den) / 100.0, 6) AS resid
+    FROM i JOIN s ON i.event_type = s.event_type AND i.dow = s.dow
+"""
+
+ORACLES["loan_amortization_schedule"] = """
+    WITH l AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        FROM orders
+        WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'
+    ), k AS (
+        SELECT o_orderkey, p, CAST(i AS INT) AS period,
+               power(1.005, CAST(i AS DOUBLE)) AS g_k,
+               power(1.005, 12.0) AS g_n
+        FROM l, unnest(generate_series(1, 12)) AS u(i)
+    ), e AS (
+        SELECT *,
+               p * 0.005 * g_n / (g_n - 1.0) AS pmt,
+               g_k / 1.005 AS g_prev
+        FROM k
+    ), f AS (
+        SELECT *,
+               p * g_k - pmt * (g_k - 1.0) / 0.005 AS bal_k,
+               (p * g_prev - pmt * (g_prev - 1.0) / 0.005) * 0.005
+                   AS interest
+        FROM e
+    )
+    SELECT o_orderkey, period,
+           round(pmt / 100.0, 6) AS payment,
+           round(interest / 100.0, 6) AS interest,
+           round((pmt - interest) / 100.0, 6) AS principal,
+           round(bal_k / 100.0, 6) AS balance
+    FROM f
+"""

@@ -6504,6 +6504,126 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+_XIRR_FLOWS_SQL = """
+    SELECT o_orderkey, 0 AS t,
+           -CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT l_orderkey AS o_orderkey,
+           date_diff('day', o_orderdate, l_shipdate) AS t,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS c
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE year(o_orderdate) = 1995
+"""
+
+
+def _xirr_oracle() -> str:
+    from finance_reporting_etl_spark.operators.allocation import (
+        xirr_oracle_sql,
+    )
+
+    return xirr_oracle_sql(_XIRR_FLOWS_SQL, key="o_orderkey", iters=28)
+
+
+@query("xirr_order_cashflows",
+    _xirr_oracle(),
+    "§2.5/finance iterative: per-order XIRR by fixed-iteration bisection — Arrow-batched per-key solve with libm pow + sorted sequential folds, bitwise-matched by a 28-step unrolled-CTE DuckDB oracle (graph.py unrolled-iteration pattern)",
+)
+def q_xirr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized IRR per 1995 order: the o_totalprice outflow at day 0
+    against each line's discounted revenue at its ship date. Bisection
+    runs 28 fixed iterations; NPV evaluation uses libm pow and a
+    sequential fold in (t, cents) order, which DuckDB's power +
+    list_sum reproduce bitwise — so an ITERATIVE float algorithm still
+    hash-matches an independent engine. Orders without a sign bracket
+    (rate outside [-0.9999, 10]) yield NULL.
+    Operator: operators.allocation.xirr_bisection."""
+    from finance_reporting_etl_spark.operators.allocation import xirr_bisection
+
+    o95 = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    out0 = o95.select(
+        "o_orderkey",
+        F.lit(0).alias("t"),
+        (-F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            o95.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("t"),
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    flows = out0.unionByName(li)
+    return xirr_bisection(flows, "o_orderkey", "t", "c", iters=28)
+
+
+@query("seasonal_decompose_daily",
+    _ORACLES["seasonal_decompose_daily"],
+    "§2.5 time series: classical additive decomposition (trend = centered 7-row MA, seasonal = dow mean of detrended, resid) — trend sums and seasonal numerators exact BIGINT, float only in closed-form per-row divisions",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value = trend + seasonal + resid for daily revenue per
+    event_type: the classical decomposition behind every seasonality
+    dashboard. The integer-moment discipline (7*sum - sum-of-sums
+    in BIGINT) keeps both engines bit-identical through the unordered
+    aggregations. Operator: operators.timeseries.seasonal_decompose_dow."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        seasonal_decompose_dow,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return seasonal_decompose_dow(daily, ["event_type"], "day", "cents")
+
+
+@query("loan_amortization_schedule",
+    _ORACLES["loan_amortization_schedule"],
+    "P5/finance: level-payment amortization explosion (closed annuity form, no recursion) — per-period payment/interest/principal/balance; constant-base pow pinned bitwise-equal across engines by a parity test",
+)
+def q_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month 0.5%/month amortization schedule for each urgent 1995
+    order treated as a loan of its total price: the loan-book cash
+    schedule explosion. All periods come from the closed annuity form
+    g_k = (1+r)^k — no per-period recursion — and the only
+    engine-sensitive primitive (pow with constant base) is pinned by
+    tests/test_operators.py pow-parity.
+    Operator: operators.allocation.level_payment_schedule."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        level_payment_schedule,
+    )
+
+    loans = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.year("o_orderdate") == 1995)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+        )
+    )
+    return level_payment_schedule(loans, "o_orderkey", "p", 0.005, 12)
+
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6608,6 +6728,9 @@ _GATE_NEXT = [
     "pca_embedding_projection",
     "heaps_law_vocab_growth",
     "bpe_pair_merge_step",
+    "xirr_order_cashflows",
+    "seasonal_decompose_daily",
+    "loan_amortization_schedule",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -2926,3 +2926,80 @@ def test_bpe_pair_frequencies_hand_counts(spark):
     assert got[0] == ("ab", 4, 1)
     assert got[1] == ("ba", 2, 2)
     assert ("xy", 1, 3) in got
+
+
+def test_xirr_bisection_known_rates_and_null_brackets(spark):
+    """IRR for a simple one-in-one-out flow has the closed form
+    (inflow/outflow)^(365/t) - 1; all-positive or never-bracketed
+    flows yield NULL; result is deterministic across evaluations."""
+    from finance_reporting_etl_spark.operators.allocation import xirr_bisection
+
+    rows = [
+        (1, 0, -100000), (1, 365, 110000),   # exactly 10% annual
+        (2, 0, -100000), (2, 182, 104000),
+        (3, 0, 500), (3, 10, 600),           # no outflow -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, t int, c long")
+    got = {r.k: r.irr for r in xirr_bisection(df, "k", "t", "c").collect()}
+    assert got[1] == pytest.approx(0.10, abs=1e-6)
+    assert got[2] == pytest.approx(1.04 ** (365.0 / 182.0) - 1, abs=1e-5)
+    assert got[3] is None
+
+
+def test_pow_parity_spark_duckdb_amortization_constants(spark):
+    """level_payment_schedule and its oracle both lean on pow with
+    constant base 1.005 — pin the bitwise equality for every exponent
+    the schedule uses (plus the XIRR probe range)."""
+    import duckdb
+
+    exps = [float(k) for k in range(0, 14)] + [12.0]
+    s = spark.sql(
+        "SELECT " + ", ".join(f"pow(1.005d, {e}d) AS p{i}" for i, e in enumerate(exps))
+    ).collect()[0]
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT " + ", ".join(f"power(1.005, {e})" for e in exps)
+    ).fetchone()
+    for i in range(len(exps)):
+        assert s[i] == d[i], exps[i]
+
+
+def test_level_payment_schedule_annuity_invariants(spark):
+    """Payments are constant, interest+principal = payment, the final
+    balance is ~0, and principal portions sum to the principal."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        level_payment_schedule,
+    )
+
+    df = spark.createDataFrame([(1, 1_000_00)], "k long, p long")
+    out = level_payment_schedule(df, "k", "p", 0.005, 12).collect()
+    assert len(out) == 12
+    pay = {r.period: r for r in out}
+    assert len({r.payment for r in out}) == 1
+    for r in out:
+        assert r.interest + r.principal == pytest.approx(r.payment, abs=1e-4)
+    assert pay[12].balance == pytest.approx(0.0, abs=1e-4)
+    assert sum(r.principal for r in out) == pytest.approx(1000.0, abs=1e-3)
+
+
+def test_seasonal_decompose_additivity_and_interior_only(spark):
+    """value == trend + seasonal + resid on every emitted row, and
+    only rows with a full 7-row window survive."""
+    import datetime as dt
+
+    from finance_reporting_etl_spark.operators.timeseries import (
+        seasonal_decompose_dow,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(days=i), (100 + 7 * i + (13 * i * i) % 40) * 10)
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, cents long")
+    out = seasonal_decompose_dow(df, ["g"], "day", "cents").collect()
+    assert len(out) == 15  # 21 days minus 3 on each edge
+    for r in out:
+        assert r.value == pytest.approx(
+            r.trend + r.seasonal + r.resid, abs=2e-6
+        )
