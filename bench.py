@@ -190,6 +190,16 @@ HEADLINE = [
     "roc_auc_exact",
     "kaplan_meier_retention",
     "bollinger_daily_bands",
+    # round-6 additions
+    "stratified_kfold_assign",
+    "revenue_recognition_monthly",
+    "var_cvar_daily_revenue",
+    "pca_embedding_projection",
+    "heaps_law_vocab_growth",
+    "bpe_pair_merge_step",
+    "xirr_order_cashflows",
+    "seasonal_decompose_daily",
+    "loan_amortization_schedule",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output
