@@ -200,6 +200,8 @@ HEADLINE = [
     "xirr_order_cashflows",
     "seasonal_decompose_daily",
     "loan_amortization_schedule",
+    "pps_part_revenue_sample",
+    "fifo_open_lots_aging",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

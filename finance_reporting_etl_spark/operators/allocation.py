@@ -380,3 +380,67 @@ def level_payment_schedule(
         F.round((pmt - interest) / 100.0, 6).alias("principal"),
         F.round(bal_k / 100.0, 6).alias("balance"),
     )
+
+
+def fifo_open_lots(
+    buys: DataFrame,
+    sells: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    qty_col: str,
+    total_cents_col: str,
+) -> DataFrame:
+    """The unmatched complement of :func:`fifo_match`: each buy lot's
+    REMAINING (open) quantity after all of the key's sells consume the
+    oldest lots first — the open-inventory / tax-lot / aging side of
+    FIFO accounting.
+
+    No join at all: on the cumulative-quantity axis a lot [b_start,
+    b_end) is consumed up to the key's total sold quantity S, so
+    remaining = qty - clamp(S - b_start, 0, qty). One key-partitioned
+    prefix-sum window plus one grouped total (carried by a second
+    window over the same partitioning — Catalyst plans both in a
+    single Exchange). Open value is floor((remaining * total) / qty)
+    integer cents — deterministic, so downstream sums stay exact
+    BIGINT on both engines. Zero/negative quantities are dropped as in
+    fifo_match. Returns the buy rows + open_qty / open_cents
+    (fully-consumed lots keep a row with open_qty = 0; filter if only
+    open inventory is wanted).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*key_cols)
+    b = buys.filter(F.col(qty_col) > 0)
+    s_tot = (
+        sells.filter(F.col(qty_col) > 0)
+        .groupBy(*key_cols)
+        .agg(F.sum(qty_col).cast("bigint").alias("__sold"))
+    )
+    d = (
+        b.join(s_tot, key_cols, "left")
+        .withColumn("__sold", F.coalesce("__sold", F.lit(0)))
+        .withColumn("__end", F.sum(qty_col).over(w).cast("bigint"))
+        .withColumn("__start", F.col("__end") - F.col(qty_col))
+        .withColumn(
+            "open_qty",
+            (
+                F.col(qty_col)
+                - F.least(
+                    F.col(qty_col).cast("bigint"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.col("__sold") - F.col("__start"),
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "open_cents",
+            F.expr(f"(open_qty * {total_cents_col}) div {qty_col}"),
+        )
+    )
+    _ = wk  # single partitioning documented above
+    return d.drop("__sold", "__end", "__start")

@@ -110,3 +110,85 @@ def bootstrap_weight_sql(
         f"WHEN {v} < {c} THEN {k}" for k, c in enumerate(POISSON1_CUTOFFS_16BIT)
     )
     return f"CAST(CASE {cases} ELSE 6 END AS BIGINT)"
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_cents_col: str,
+    n: int,
+    salt: str = "pps",
+    buckets: int = 64,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay every
+    row's integer weight end-to-end on a [0, W) axis in md5-shuffled
+    key order, then take the n grid points p_k = W*(2k+1)/(2n) — each
+    row is drawn with probability (multiplicity expectation) n*w/W,
+    heavy rows can be hit multiple times, and the whole draw is a pure
+    function of (keys, weights, salt). This is the survey/mixture
+    sampler that beats Poisson sampling on variance (fixed sample
+    size) and beats sorting-by-random-uniform on determinism.
+
+    Everything is exact BIGINT: hits for a row spanning [lo, hi) =
+    f(hi) - f(lo) with f(x) = clamp(ceil((2nx - W) / 2W), 0, n),
+    ceilings via floor-div identities — no float anywhere, so engines
+    agree bit-for-bit. Requires W * 2n < 2^63 (at 2^63/W grid
+    density the axis itself should be rescaled). The cumulative axis
+    comes from distributed_cumsum over (md5-bucket, md5, key) — the
+    bucket int preserves md5 lexicographic order (hex prefix order ==
+    numeric order), so NO single-partition window exists at any size.
+    Returns rows with hits >= 1: key, weight, hits, incl_prob.
+    """
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    d = (
+        df.filter(F.col(weight_cents_col) > 0)
+        .withColumn("__h", h)
+        .withColumn("__b", md5_bucket(key_col, buckets=256, salt=salt))
+    )
+    c = distributed_cumsum(
+        d, weight_cents_col, "__b", ["__h", key_col],
+        out_col="__hi", buckets=buckets,
+    )
+    wtot = c.groupBy().agg(F.sum(weight_cents_col).cast("bigint").alias("__w"))
+
+    # hits = f(hi) - f(lo) with f(x) = clamp(ceil((2n*x - W) / 2W), 0, n).
+    # ceil must be exact integer arithmetic, and Spark's `div` TRUNCATES
+    # toward zero (not floor), so the -((-a) div b) identity silently
+    # computes floor for positive a (caught by the brute-force test).
+    # Branchless exact form instead: m = pmod(a, b); floor = (a-m) div b
+    # (exact division); ceil = floor + (m != 0).
+    def f_at(x_sql: str) -> F.Column:
+        a = f"({2 * int(n)} * {x_sql} - __w)"
+        b = "(2 * __w)"
+        m = f"pmod({a}, {b})"
+        ceil = f"(({a} - {m}) div {b}) + CASE WHEN {m} <> 0 THEN 1 ELSE 0 END"
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(int(n)).cast("bigint"), F.expr(ceil).cast("bigint")),
+        )
+
+    out = (
+        c.join(F.broadcast(wtot))
+        .withColumn("__lo", F.col("__hi") - F.col(weight_cents_col))
+        .withColumn("__fhi", f_at("__hi"))
+        .withColumn("__flo", f_at("__lo"))
+        .withColumn("hits", (F.col("__fhi") - F.col("__flo")).cast("bigint"))
+        .filter(F.col("hits") >= 1)
+    )
+    return out.select(
+        key_col,
+        F.col(weight_cents_col).alias("weight_cents"),
+        "hits",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(n)) * F.col(weight_cents_col) / F.col("__w"),
+            ),
+            6,
+        ).alias("incl_prob"),
+    )

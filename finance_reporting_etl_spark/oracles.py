@@ -4304,3 +4304,84 @@ ORACLES["loan_amortization_schedule"] = """
            round(bal_k / 100.0, 6) AS balance
     FROM f
 """
+
+
+def _pps_f(x: str, n: int) -> str:
+    """DuckDB twin of the pps_systematic_sample grid-count f(x) =
+    clamp(ceil((2n*x - W)/(2W)), 0, n) — same pmod-based exact-integer
+    ceil as the Spark side (Spark `div`/DuckDB `//` both truncate, so
+    the naive -((-a)//b) identity would be floor, not ceil)."""
+    a = f"({2 * n} * {x} - wt)"
+    b = "(2 * wt)"
+    m = f"((({a}) % ({b}) + ({b})) % ({b}))"
+    ceil = f"((({a}) - {m}) // ({b})) + CASE WHEN {m} <> 0 THEN 1 ELSE 0 END"
+    return f"greatest(0, least({n}, {ceil}))"
+
+
+ORACLES["pps_part_revenue_sample"] = f"""
+    WITH w AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS w_c
+        FROM lineitem GROUP BY l_partkey
+    ), h AS (
+        SELECT *, md5(CAST(l_partkey AS VARCHAR) || 'pps') AS hk
+        FROM w WHERE w_c > 0
+    ), c AS (
+        SELECT *,
+               CAST(SUM(w_c) OVER (ORDER BY hk, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chi,
+               CAST(SUM(w_c) OVER () AS BIGINT) AS wt
+        FROM h
+    ), f AS (
+        SELECT l_partkey, w_c, wt,
+               {_pps_f("chi", 500)} AS fhi,
+               {_pps_f("(chi - w_c)", 500)} AS flo
+        FROM c
+    )
+    SELECT l_partkey, w_c AS weight_cents,
+           CAST(fhi - flo AS BIGINT) AS hits,
+           round(least(1.0, 500.0 * w_c / wt), 6) AS incl_prob
+    FROM f WHERE fhi - flo >= 1
+"""
+
+ORACLES["fifo_open_lots_aging"] = """
+    WITH li AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS total
+        FROM lineitem
+    ), b AS (
+        SELECT *,
+               CAST(SUM(qty) OVER (PARTITION BY l_partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cend
+        FROM li WHERE l_returnflag = 'N' AND qty > 0
+    ), s AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sold
+        FROM li WHERE l_returnflag = 'R' AND qty > 0
+        GROUP BY l_partkey
+    ), o AS (
+        SELECT b.*,
+               qty - least(qty, greatest(0, coalesce(sold, 0)
+                                            - (cend - qty))) AS open_qty,
+               (qty - least(qty, greatest(0, coalesce(sold, 0)
+                                             - (cend - qty)))) * total
+                   // qty AS open_cents
+        FROM b LEFT JOIN s USING (l_partkey)
+    ), asof_day AS (
+        SELECT max(l_shipdate) AS today FROM li
+    )
+    SELECT p_brand,
+           CASE WHEN date_diff('day', l_shipdate, today) <= 30 THEN '00-30'
+                WHEN date_diff('day', l_shipdate, today) <= 60 THEN '31-60'
+                WHEN date_diff('day', l_shipdate, today) <= 90 THEN '61-90'
+                ELSE '91+' END AS age_bucket,
+           COUNT(*) AS n_lots,
+           CAST(SUM(open_qty) AS BIGINT) AS open_qty,
+           round(SUM(open_cents) / 100.0, 2) AS open_value
+    FROM o JOIN part ON p_partkey = l_partkey CROSS JOIN asof_day
+    WHERE open_qty > 0
+    GROUP BY p_brand, age_bucket
+"""

@@ -6624,6 +6624,88 @@ def q_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+@query("pps_part_revenue_sample",
+    _ORACLES["pps_part_revenue_sample"],
+    "X-pipe sampling: systematic probability-proportional-to-size draw (n=500) over part revenue — md5-shuffled cumulative axis via distributed_cumsum, exact-BIGINT grid hit counts, fixed sample size (variance-optimal vs Poisson sampling)",
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS systematic sample of 500 parts weighted by
+    lifetime revenue: the survey/mixture sampler with FIXED sample
+    size and inclusion probability n*w/W per row. The cumulative axis
+    is md5-shuffled and bucket-partitioned (distributed_cumsum), grid
+    membership is exact integer arithmetic — no RNG, no float, no
+    global window. Operator: operators.resample.pps_systematic_sample."""
+    from finance_reporting_etl_spark.operators.resample import (
+        pps_systematic_sample,
+    )
+
+    w = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("w_c")
+        )
+    )
+    return pps_systematic_sample(w, "l_partkey", "w_c", n=500)
+
+
+@query("fifo_open_lots_aging",
+    _ORACLES["fifo_open_lots_aging"],
+    "§2.5/finance inventory aging: FIFO open-lot remainder (no join — prefix sum + sold total on the cumulative-quantity axis), floor-prorated integer open value, aged into 30-day buckets per brand",
+)
+def q_fifo_open_lots_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The open-inventory side of FIFO: how much of each purchase lot
+    survives after returns consume oldest-first, aged into 30-day
+    buckets per part brand as of the latest ship date. Open value is
+    floor((remaining*total)/qty) integer cents, so the rollup sums
+    stay exact BIGINT on both engines.
+    Operator: operators.allocation.fifo_open_lots."""
+    from finance_reporting_etl_spark.operators.allocation import fifo_open_lots
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("total"),
+    )
+    order_cols = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    open_ = fifo_open_lots(
+        li.filter(F.col("l_returnflag") == "N"),
+        li.filter(F.col("l_returnflag") == "R"),
+        ["l_partkey"], order_cols, "qty", "total",
+    ).filter(F.col("open_qty") > 0)
+    asof = li.agg(F.max("l_shipdate").alias("today"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    aged = (
+        open_.crossJoin(F.broadcast(asof))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("__age", F.datediff("today", "l_shipdate"))
+        .withColumn(
+            "age_bucket",
+            F.when(F.col("__age") <= 30, "00-30")
+            .when(F.col("__age") <= 60, "31-60")
+            .when(F.col("__age") <= 90, "61-90")
+            .otherwise("91+"),
+        )
+    )
+    return aged.groupBy("p_brand", "age_bucket").agg(
+        F.count(F.lit(1)).alias("n_lots"),
+        F.sum("open_qty").cast("bigint").alias("open_qty"),
+        F.round(F.sum("open_cents") / 100.0, 2).alias("open_value"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6731,6 +6813,8 @@ _GATE_NEXT = [
     "xirr_order_cashflows",
     "seasonal_decompose_daily",
     "loan_amortization_schedule",
+    "pps_part_revenue_sample",
+    "fifo_open_lots_aging",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -3003,3 +3003,68 @@ def test_seasonal_decompose_additivity_and_interior_only(spark):
         assert r.value == pytest.approx(
             r.trend + r.seasonal + r.resid, abs=2e-6
         )
+
+
+def test_pps_systematic_sample_matches_bruteforce(spark):
+    """Hits per row equal the brute-force grid walk on the same
+    md5-shuffled axis; total hits == n; heavy rows can be multi-hit;
+    the draw is deterministic."""
+    import hashlib
+
+    from finance_reporting_etl_spark.operators.resample import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    rows.append((999, 50_000))  # whale: should get many hits
+    df = spark.createDataFrame(rows, "k long, w long")
+    n = 25
+    got = {
+        r.k: (r.hits, r.incl_prob)
+        for r in pps_systematic_sample(df, "k", "w", n).collect()
+    }
+
+    def h(k):
+        return hashlib.md5((str(k) + "pps").encode()).hexdigest()
+
+    ordered = sorted(rows, key=lambda t: (h(t[0]), t[0]))
+    W = sum(w for _, w in ordered)
+    grid = [W * (2 * k + 1) for k in range(n)]  # scaled by 2n
+    want = {}
+    lo = 0
+    for k, w in ordered:
+        hi = lo + w
+        hits = sum(1 for g in grid if 2 * n * lo <= g < 2 * n * hi)
+        if hits:
+            want[k] = hits
+        lo = hi
+    assert {k: v[0] for k, v in got.items()} == want
+    assert sum(v[0] for v in got.values()) == n
+    assert got[999][0] > 1
+    assert got[999][1] == 1.0  # prob capped
+
+
+def test_fifo_open_lots_hand_walk(spark):
+    """Remaining lot quantities follow oldest-first consumption; value
+    is floor-prorated integer cents; fully-open keys untouched."""
+    from finance_reporting_etl_spark.operators.allocation import fifo_open_lots
+
+    buys = spark.createDataFrame(
+        [
+            ("p1", 1, 10, 1000),
+            ("p1", 2, 5, 600),
+            ("p1", 3, 8, 960),
+            ("p2", 1, 4, 400),
+        ],
+        "k string, seq int, qty long, total long",
+    )
+    sells = spark.createDataFrame(
+        [("p1", 1, 12, 0)], "k string, seq int, qty long, total long"
+    )
+    out = fifo_open_lots(buys, sells, ["k"], ["seq"], "qty", "total")
+    got = {(r.k, r.seq): (r.open_qty, r.open_cents) for r in out.collect()}
+    # p1: sold 12 -> lot1 fully gone, lot2 loses 2 (3 left), lot3 open
+    assert got[("p1", 1)] == (0, 0)
+    assert got[("p1", 2)] == (3, 360)
+    assert got[("p1", 3)] == (8, 960)
+    assert got[("p2", 1)] == (4, 400)
