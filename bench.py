@@ -202,6 +202,12 @@ HEADLINE = [
     "loan_amortization_schedule",
     "pps_part_revenue_sample",
     "fifo_open_lots_aging",
+    "sprt_ab_sequential",
+    "changepoint_daily_revenue",
+    "capm_segment_beta",
+    "bloom_filter_membership",
+    "survivorship_documents",
+    "naive_bayes_lang_classify",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

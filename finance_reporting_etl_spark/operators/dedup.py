@@ -983,3 +983,66 @@ def minhash_probe_index(
         F.col("id_b").alias("corpus_id"),
         "jaccard",
     )
+
+
+def survivorship_golden_records(
+    records: DataFrame,
+    cluster_col: str,
+    order_cols: list,
+    carry_cols: list[str],
+    mode_col: str,
+    merge_col: str,
+    min_members: int = 2,
+) -> DataFrame:
+    """Field-level survivorship over duplicate clusters — the step
+    AFTER matching: entity resolution says which records co-refer;
+    this builds the single golden record per cluster under per-field
+    merge policies (the MDM pattern):
+
+    - ``carry_cols`` come from the winning record under the
+      deterministic ``order_cols`` precedence (e.g. longest, then
+      smallest id — "most complete record wins"),
+    - ``mode_col`` resolves by majority vote (count desc, value asc
+      tie-break — bit-stable),
+    - ``merge_col`` unions as a sorted-distinct CSV (no information
+      dropped, deterministic rendering).
+
+    Shape: three cluster-grain passes (winner window, mode count +
+    pick, set-merge agg) joined on the cluster key. Windows partition
+    per cluster, so the blocking that produced the clusters bounds
+    the sort (same contract as blocked ER); nothing is data-sized in
+    one task. Clusters below ``min_members`` are dropped — singletons
+    have no merge decision to verify.
+    """
+    sized = records.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+    ).filter(F.col("__n") >= min_members)
+
+    win = Window.partitionBy(cluster_col).orderBy(*order_cols)
+    winner = (
+        sized.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") == 1)
+        .select(
+            cluster_col,
+            F.col("__n").cast("bigint").alias("n_members"),
+            *[F.col(c).alias(f"golden_{c}") for c in carry_cols],
+        )
+    )
+
+    mw = Window.partitionBy(cluster_col).orderBy(
+        F.col("__c").desc(), F.col(mode_col).asc()
+    )
+    mode = (
+        sized.groupBy(cluster_col, mode_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__r", F.row_number().over(mw))
+        .filter(F.col("__r") == 1)
+        .select(cluster_col, F.col(mode_col).alias(f"{mode_col}_consensus"))
+    )
+
+    merged = sized.groupBy(cluster_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_set(merge_col)), ","
+        ).alias(f"{merge_col}s_merged")
+    )
+    return winner.join(mode, cluster_col).join(merged, cluster_col)

@@ -723,3 +723,119 @@ def stratified_kfold(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - F.lit(1)) % F.lit(k)).cast("int")
     )
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    id_col: str,
+    label_col: str,
+    tokens_col: str,
+    train_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial naive Bayes with Laplace smoothing, trained on the
+    ``train_col``=1 rows and scored on the rest; emits the
+    (actual, predicted) confusion counts — the classic counts-only
+    text classifier (language ID, topic routing) that trains in two
+    aggregations.
+
+    Cross-engine exactness: every per-token log-probability is
+    QUANTIZED to integer micro-nats (round(ln(p) * scale) as BIGINT)
+    at the (token, class) grain — a Heaps-bounded table — so document
+    scores are INTEGER sums (order-free, exact) plus an integer prior,
+    and the argmax (score desc, class asc) is bit-stable. Unordered
+    float accumulation never happens; ln() evaluates once per
+    vocab x class cell on identical doubles in both engines.
+
+    OOV policy: test tokens unseen in training are dropped (standard
+    multinomial NB); test docs with zero in-vocab tokens score by
+    prior alone. Shape: token counts shuffle on (class, token);
+    scoring is one explode + one broadcast-able join against the
+    vocab x class table + one integer groupBy — no data-sized window.
+    """
+    tr = docs.filter(F.col(train_col) == 1)
+    te = docs.filter(F.col(train_col) != 1)
+
+    tr_tok = tr.select(
+        F.col(label_col).alias("__y"), F.explode(tokens_col).alias("__tok")
+    )
+    counts = tr_tok.groupBy("__y", "__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    totals = counts.groupBy("__y").agg(F.sum("__c").cast("bigint").alias("__tot"))
+    vocab = counts.select("__tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("__v"))
+
+    dense = (
+        vocab.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["__y", "__tok"], "left")
+        .select(
+            "__y",
+            "__tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("__tot") + F.col("__v")).cast("double")
+                )
+                * F.lit(scale)
+            )
+            .cast("bigint")
+            .alias("__lp"),
+        )
+    )
+
+    n_train = tr.agg(F.count(F.lit(1)).cast("bigint").alias("__nt"))
+    prior = (
+        tr.groupBy(F.col(label_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "__y",
+            F.round(
+                F.log(F.col("__nd").cast("double") / F.col("__nt").cast("double"))
+                * F.lit(scale)
+            )
+            .cast("bigint")
+            .alias("__pr"),
+        )
+    )
+
+    te_tok = te.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__actual"),
+        F.explode(tokens_col).alias("__tok"),
+    )
+    tok_scores = (
+        te_tok.join(dense, "__tok")
+        .groupBy("__id", "__actual", "__y")
+        .agg(F.sum("__lp").cast("bigint").alias("__s"))
+    )
+    # prior-only fallback keeps zero-in-vocab docs scoreable: every
+    # test doc crosses the small class list, left-joined to its token
+    # evidence.
+    classes = prior.select("__y")
+    scored = (
+        te.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__actual"))
+        .crossJoin(F.broadcast(classes))
+        .join(tok_scores, ["__id", "__actual", "__y"], "left")
+        .join(F.broadcast(prior), "__y")
+        .select(
+            "__id",
+            "__actual",
+            "__y",
+            (F.coalesce(F.col("__s"), F.lit(0)) + F.col("__pr")).alias("__score"),
+        )
+    )
+    pw = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__y").asc()
+    )
+    pred = scored.withColumn("__r", F.row_number().over(pw)).filter(
+        F.col("__r") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("__actual").alias("actual"), F.col("__y").alias("predicted")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -382,3 +382,193 @@ def historical_var_cvar(
             F.sum(cents_col).cast("double") / F.first("__k") / 100.0, 6
         ).alias("cvar_value"),
     )
+
+
+def sprt_constants(
+    p0: float, p1: float, alpha: float, beta: float
+) -> dict[str, float]:
+    """The four SPRT constants, computed ONCE in Python and printed
+    into BOTH engines (the PLANS.md #33 float-constant-parity rule):
+    per-conversion / per-non-conversion log-likelihood increments and
+    Wald's decision bounds log((1-beta)/alpha), log(beta/(1-alpha))."""
+    import math
+
+    return {
+        "l1": math.log(p1 / p0),
+        "l0": math.log((1.0 - p1) / (1.0 - p0)),
+        "upper": math.log((1.0 - beta) / alpha),
+        "lower": math.log(beta / (1.0 - alpha)),
+    }
+
+
+def sprt_decision(
+    obs: DataFrame,
+    arm_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    converted_col: str,
+    arms: list[str],
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over an event-ordered
+    Bernoulli stream, one decision row per experiment arm: the
+    early-stopping engine behind sequential A/B testing (stop the
+    moment the evidence crosses either bound instead of waiting for a
+    fixed horizon).
+
+    Exactness: the running state is INTEGER — both the observation
+    index t and the running conversion count ride ONE
+    :func:`~finance_reporting_etl_spark.operators.ranking.distributed_cumsum`
+    pass per arm (packed as conv*2^32 + 1, unpacked with shifts), so
+    no single-partition window ever sees the data-sized stream. The
+    log-likelihood ratio is then a per-row CLOSED FORM from those
+    integers, llr = conv*l1 + (t-conv)*l0, with l0/l1 printed from one
+    Python source into both engines — no float accumulates across an
+    unordered aggregation, so the crossing decision is bit-stable.
+
+    The decision row is t* = the first t whose llr leaves (lower,
+    upper), else the final t ('continue'); selected by an integer MIN
+    aggregate joined back on (arm, t), never a stream-sized sort.
+
+    ``order_col`` must be an integer sort key (epoch micros); arms is
+    the small fixed list of arm labels (the per-arm loop is over this
+    constant, not data). Packing bound: conv <= t < 2^32 per arm.
+    """
+    from finance_reporting_etl_spark.operators.ranking import distributed_cumsum
+
+    k = sprt_constants(p0, p1, alpha, beta)
+    outs = []
+    for arm in arms:
+        d = obs.filter(F.col(arm_col) == arm).select(
+            F.col(order_col).alias("__t_us"),
+            F.col(tiebreak_col).alias("__tb"),
+            (
+                F.col(converted_col).cast("bigint") * F.lit(4294967296).cast("bigint")
+                + F.lit(1)
+            ).alias("__packed"),
+        )
+        c = distributed_cumsum(d, "__packed", "__t_us", ["__tb"], out_col="__cum")
+        c = c.select(
+            F.lit(arm).alias("arm"),
+            F.expr("shiftrightunsigned(__cum, 32)").cast("bigint").alias("__conv"),
+            F.expr("__cum & 4294967295").cast("bigint").alias("__t"),
+        ).withColumn(
+            "__llr",
+            F.col("__conv") * F.lit(k["l1"])
+            + (F.col("__t") - F.col("__conv")) * F.lit(k["l0"]),
+        )
+        crossed = (F.col("__llr") >= F.lit(k["upper"])) | (
+            F.col("__llr") <= F.lit(k["lower"])
+        )
+        stop = c.agg(
+            F.coalesce(
+                F.min(F.when(crossed, F.col("__t"))), F.max("__t")
+            ).alias("__t_star")
+        )
+        outs.append(
+            c.join(
+                F.broadcast(stop), F.col("__t") == F.col("__t_star"), "inner"
+            ).select(
+                "arm",
+                F.col("__t").alias("n_obs"),
+                F.col("__conv").alias("n_conv"),
+                F.round("__llr", 6).alias("llr"),
+                F.when(F.col("__llr") >= F.lit(k["upper"]), F.lit("accept_h1"))
+                .when(F.col("__llr") <= F.lit(k["lower"]), F.lit("accept_h0"))
+                .otherwise(F.lit("continue"))
+                .alias("decision"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sprt_oracle_sql(
+    obs_sql: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`sprt_decision`: same constants (printed
+    from the same Python source via repr — bit-identical doubles), the
+    cumsum as a per-arm window, the same closed-form llr and the same
+    first-crossing-else-final selection. ``obs_sql`` must yield
+    (arm, t_us, tb, converted)."""
+    k = sprt_constants(p0, p1, alpha, beta)
+    return f"""
+    WITH o AS ({obs_sql}),
+    c AS (
+        SELECT arm,
+               CAST(sum(converted) OVER w AS BIGINT) AS conv,
+               CAST(row_number() OVER w AS BIGINT) AS t
+        FROM o
+        WINDOW w AS (PARTITION BY arm ORDER BY t_us, tb
+                     ROWS UNBOUNDED PRECEDING)
+    ), l AS (
+        SELECT arm, conv, t,
+               conv * {k["l1"]!r} + (t - conv) * {k["l0"]!r} AS llr
+        FROM c
+    ), s AS (
+        SELECT arm,
+               coalesce(min(CASE WHEN llr >= {k["upper"]!r}
+                                   OR llr <= {k["lower"]!r}
+                                 THEN t END), max(t)) AS t_star
+        FROM l GROUP BY 1
+    )
+    SELECT l.arm, l.t AS n_obs, l.conv AS n_conv,
+           round(l.llr, 6) AS llr,
+           CASE WHEN l.llr >= {k["upper"]!r} THEN 'accept_h1'
+                WHEN l.llr <= {k["lower"]!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM l JOIN s ON l.arm = s.arm AND l.t = s.t_star
+    """
+
+
+def ols_beta_alpha_r2(
+    pairs: DataFrame, key_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key simple OLS (beta, alpha, r^2) over EXACT INTEGER (x, y)
+    pairs — the CAPM estimator when fed ppm returns vs a market series,
+    and the generic slope/intercept fit for any integer-scaled pair.
+
+    The five moment sums accumulate in DECIMAL(38,0) (exact at any
+    scale and partition order — n*sxy for ppm-sized values overflows
+    BIGINT near 1e19, the bollinger lesson), the normal-equation
+    numerators n*sxy - sx*sy stay exact integers, and float appears
+    only in the final closed-form divisions — identical per-row IEEE
+    ops on both engines, so round(,6) is bit-stable. Division guards:
+    a key with zero x-variance (or < 2 rows) emits NULL beta/alpha/r2
+    via nullif, not NaN (the mann_whitney ADVICE pattern).
+    """
+    xd = F.col(x_col).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    a = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    n = F.col("n_obs").cast("decimal(38,0)")
+    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    varx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vary = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    beta = cov / F.nullif(varx, F.lit(0.0))
+    alpha = (
+        F.col("__sy").cast("double") - beta * F.col("__sx").cast("double")
+    ) / F.col("n_obs").cast("double")
+    r2 = (cov * cov) / F.nullif(varx * vary, F.lit(0.0))
+    return a.select(
+        *key_cols,
+        "n_obs",
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -737,3 +737,101 @@ def seasonal_decompose_dow(
             6,
         ).alias("resid"),
     )
+
+
+def ppm_returns(
+    daily: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cents_col: str,
+    out_col: str = "r_ppm",
+) -> DataFrame:
+    """Day-over-day relative change in EXACT parts-per-million per key:
+    r = floor((c_t - c_prev) * 1e6 / c_prev) as BIGINT, via the
+    pmod/floor-div identity (Spark's ``div`` truncates toward zero;
+    with negative diffs truncation and floor diverge — the signed
+    proration lesson, PLANS.md #34). An integer return basis lets
+    downstream regressions keep their moment sums exact instead of
+    accumulating unordered float error across engines.
+
+    First row per key (no predecessor) is dropped; requires positive
+    cents. The lag window partitions per key and the series is
+    calendar-bounded (days), so no data-sized sort exists. Overflow
+    bound: |diff| * 1e6 must fit BIGINT — daily swing < ~9.2e12 cents.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    d = daily.withColumn("__prev", F.lag(F.col(cents_col)).over(w)).filter(
+        F.col("__prev") > 0
+    )
+    d = d.withColumn(
+        "__num", (F.col(cents_col) - F.col("__prev")) * F.lit(1000000).cast("bigint")
+    )
+    d = d.withColumn("__rem", F.pmod(F.col("__num"), F.col("__prev")))
+    return (
+        d.withColumn(
+            out_col, F.expr("(__num - __rem) div __prev").cast("bigint")
+        )
+        .drop("__num", "__rem", "__prev")
+    )
+
+
+def changepoint_mean_shift(
+    daily: DataFrame, key_cols: list[str], order_col: str, cents_col: str
+) -> DataFrame:
+    """One binary-segmentation step: the split point k* per key that
+    maximizes the scaled mean-shift statistic |n*S_k - k*S_n| over an
+    integer-cents series — the changepoint detector behind regime-break
+    monitoring (CUSUM flags drift; this LOCATES the break).
+
+    |n*S_k - k*S_n| = n*k*(n-k)/... times the between-segment mean gap;
+    maximizing it is equivalent to maximizing the (unnormalized) CUSUM
+    deviation, and the statistic stays EXACT BIGINT end-to-end, so the
+    argmax (tie-break: earliest day) is bit-stable across engines —
+    no float enters until the two segment means at the very end.
+
+    Windows partition per key over a calendar-bounded day series (the
+    documented bounded class). Emits one row per key with >= 2 days.
+    Overflow bound: n_days * |cents prefix| must fit BIGINT.
+    """
+    wk = Window.partitionBy(*key_cols)
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = daily.select(
+        *key_cols, order_col, F.col(cents_col).cast("bigint").alias("__c")
+    )
+    d = (
+        d.withColumn("__n", F.count(F.lit(1)).over(wk))
+        .withColumn("__tot", F.sum("__c").over(wk))
+        .withColumn(
+            "__k",
+            F.row_number().over(Window.partitionBy(*key_cols).orderBy(order_col)),
+        )
+        .withColumn("__pre", F.sum("__c").over(wo))
+        .filter(F.col("__k") < F.col("__n"))
+        .withColumn(
+            "__d",
+            F.abs(F.col("__n") * F.col("__pre") - F.col("__k") * F.col("__tot")),
+        )
+    )
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.col("__d").desc(), F.col(order_col)
+    )
+    d = d.withColumn("__r", F.row_number().over(pick)).filter(F.col("__r") == 1)
+    mean_b = F.col("__pre").cast("double") / F.col("__k") / F.lit(100.0)
+    mean_a = (
+        (F.col("__tot") - F.col("__pre")).cast("double")
+        / (F.col("__n") - F.col("__k"))
+        / F.lit(100.0)
+    )
+    return d.select(
+        *key_cols,
+        F.col(order_col).alias("change_point"),
+        F.col("__k").cast("bigint").alias("n_before"),
+        (F.col("__n") - F.col("__k")).cast("bigint").alias("n_after"),
+        F.round(mean_b, 2).alias("mean_before"),
+        F.round(mean_a, 2).alias("mean_after"),
+        F.round(mean_a - mean_b, 2).alias("mean_shift"),
+    )

@@ -4385,3 +4385,217 @@ ORACLES["fifo_open_lots_aging"] = """
     WHERE open_qty > 0
     GROUP BY p_brand, age_bucket
 """
+
+from finance_reporting_etl_spark.operators.stats import (  # noqa: E402
+    sprt_oracle_sql as _sprt_sql,
+)
+
+# Observation stream for the sequential A/B test: every click/purchase
+# event in time order, arm = salted-md5 user bucket (the ab1 convention
+# with its own salt), success = the event is a purchase.
+_SPRT_ARM = (
+    "CASE WHEN CAST((instr('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS VARCHAR) || 'sprt1'), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS VARCHAR) || 'sprt1'), 2, 1)) - 1)"
+    " AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+)
+ORACLES["sprt_ab_sequential"] = _sprt_sql(
+    f"""SELECT {_SPRT_ARM} AS arm,
+               epoch_us(ts) AS t_us,
+               event_id AS tb,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+        FROM events WHERE event_type IN ('click', 'purchase')""",
+    p0=0.45,
+    p1=0.55,
+)
+
+ORACLES["changepoint_daily_revenue"] = """
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM orders GROUP BY 1, 2
+    ), s AS (
+        SELECT o_orderpriority, day, c,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS n,
+               CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS tot,
+               CAST(row_number() OVER w AS BIGINT) AS k,
+               CAST(sum(c) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+        FROM d
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+    ), m AS (
+        SELECT *, abs(n * pre - k * tot) AS d_stat,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY abs(n * pre - k * tot) DESC, day)
+                   AS r
+        FROM s WHERE k < n
+    )
+    SELECT o_orderpriority, day AS change_point,
+           k AS n_before, n - k AS n_after,
+           round(CAST(pre AS DOUBLE) / k / 100.0, 2) AS mean_before,
+           round(CAST(tot - pre AS DOUBLE) / (n - k) / 100.0, 2) AS mean_after,
+           round(CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
+                 - CAST(pre AS DOUBLE) / k / 100.0, 2) AS mean_shift
+    FROM m WHERE r = 1
+"""
+
+ORACLES["capm_segment_beta"] = """
+    WITH seg AS (
+        SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), mkt AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM orders GROUP BY 1
+    ), segl AS (
+        SELECT c_mktsegment, day, c,
+               lag(c) OVER (PARTITION BY c_mktsegment ORDER BY day) AS prev
+        FROM seg
+    ), segr AS (
+        SELECT c_mktsegment, day,
+               ((c - prev) * 1000000
+                - (((((c - prev) * 1000000) % prev) + prev) % prev)) // prev
+                   AS y_ppm
+        FROM segl WHERE prev > 0
+    ), mktl AS (
+        SELECT day, c, lag(c) OVER (ORDER BY day) AS prev FROM mkt
+    ), mktr AS (
+        SELECT day,
+               ((c - prev) * 1000000
+                - (((((c - prev) * 1000000) % prev) + prev) % prev)) // prev
+                   AS x_ppm
+        FROM mktl WHERE prev > 0
+    ), pairs AS (
+        SELECT c_mktsegment, x_ppm, y_ppm
+        FROM segr JOIN mktr USING (day)
+    ), a AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(x_ppm AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y_ppm AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x_ppm AS HUGEINT) * y_ppm) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x_ppm AS HUGEINT) * x_ppm) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y_ppm AS HUGEINT) * y_ppm) AS HUGEINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT c_mktsegment, n_obs,
+           round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0), 6)
+               AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE), 6) AS alpha,
+           round((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0), 6)
+               AS r2
+    FROM a
+"""
+
+from finance_reporting_etl_spark.operators.membership import (  # noqa: E402
+    bloom_oracle_sql as _bloom_sql,
+)
+
+ORACLES["bloom_filter_membership"] = _bloom_sql(
+    "SELECT DISTINCT o_custkey AS k FROM orders"
+    " WHERE o_orderpriority = '1-URGENT'",
+    "SELECT c_custkey AS k FROM customer",
+    salt="bf1",
+    m=4096,
+    k=3,
+)
+
+ORACLES["survivorship_documents"] = """
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars, substr(text, 1, 40) AS block
+        FROM documents
+    ), s AS (
+        SELECT *, CAST(count(*) OVER (PARTITION BY block) AS BIGINT) AS n
+        FROM r
+    ), f AS (SELECT * FROM s WHERE n >= 2),
+    w AS (
+        SELECT block, n AS n_members, doc_id AS golden_doc_id,
+               n_chars AS golden_n_chars,
+               row_number() OVER (PARTITION BY block
+                                  ORDER BY n_chars DESC, doc_id) AS rr
+        FROM f
+    ), md AS (
+        SELECT block, lang AS lang_consensus,
+               row_number() OVER (PARTITION BY block
+                                  ORDER BY count(*) DESC, lang) AS rr
+        FROM f GROUP BY block, lang
+    ), g AS (
+        SELECT block,
+               array_to_string(list_sort(array_agg(DISTINCT source)), ',')
+                   AS sources_merged
+        FROM f GROUP BY 1
+    )
+    SELECT w.block, w.n_members, w.golden_doc_id, w.golden_n_chars,
+           md.lang_consensus, g.sources_merged
+    FROM w JOIN md USING (block) JOIN g USING (block)
+    WHERE w.rr = 1 AND md.rr = 1
+"""
+
+_NB_TR = (
+    "CASE WHEN CAST((instr('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR) || 'nb1'), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR) || 'nb1'), 2, 1)) - 1)"
+    " AS BIGINT) < 205 THEN 1 ELSE 0 END"
+)
+ORACLES["naive_bayes_lang_classify"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_TOKS} AS toks, {_NB_TR} AS tr
+        FROM documents
+    ), trn AS (SELECT * FROM d WHERE tr = 1),
+    te AS (SELECT * FROM d WHERE tr <> 1),
+    tok AS (SELECT lang AS y, unnest(toks) AS t FROM trn),
+    c AS (SELECT y, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT y, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM c),
+    dense AS (
+        SELECT tot.y, vt.t,
+               CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(tot.tot + v.v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM (SELECT DISTINCT t FROM c) vt
+        CROSS JOIN tot CROSS JOIN v
+        LEFT JOIN c ON c.y = tot.y AND c.t = vt.t
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM trn),
+    pr AS (
+        SELECT lang AS y,
+               CAST(round(ln(CAST(count(*) AS DOUBLE)
+                             / CAST(max(nt.nt) AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS pr
+        FROM trn CROSS JOIN nt GROUP BY lang
+    ), tetok AS (
+        SELECT doc_id, lang AS actual, unnest(toks) AS t FROM te
+    ), ts AS (
+        SELECT tetok.doc_id, tetok.actual, dense.y,
+               CAST(sum(dense.lp) AS BIGINT) AS s
+        FROM tetok JOIN dense ON tetok.t = dense.t
+        GROUP BY 1, 2, 3
+    ), sc AS (
+        SELECT te.doc_id, te.lang AS actual, pr.y AS y,
+               coalesce(ts.s, 0) + pr.pr AS score
+        FROM te CROSS JOIN pr
+        LEFT JOIN ts ON ts.doc_id = te.doc_id AND ts.y = pr.y
+    ), p AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, y) AS r
+        FROM sc
+    )
+    SELECT actual, y AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p WHERE r = 1 GROUP BY 1, 2
+"""

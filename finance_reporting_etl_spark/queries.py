@@ -6704,6 +6704,224 @@ def q_fifo_open_lots_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("open_cents") / 100.0, 2).alias("open_value"),
     )
 
+@query("sprt_ab_sequential",
+    _ORACLES["sprt_ab_sequential"],
+    "A-tier sequential experimentation: Wald SPRT early-stopping decision per arm — integer (t, conversions) state via packed distributed_cumsum, closed-form llr from Python-printed constants, first-crossing selection by integer MIN (no stream-sized sort)",
+)
+def q_sprt_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B: every click/purchase event is one Bernoulli
+    observation in time order (success = purchase), users md5-salted
+    into two arms, and each arm stops at the first moment Wald's LLR
+    leaves the (accept_h0, accept_h1) band for p0=0.45 vs p1=0.55 —
+    the early-stopping readout a fixed-horizon test can't give. The
+    LLR lattice is bit-identical across engines (integer cumulative
+    state x shared float constants), so the crossing row itself is
+    hash-stable. Operator: operators.stats.sprt_decision."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.stats import sprt_decision
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(md5_bucket("user_id", 256, salt="sprt1") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("arm"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("tb"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return sprt_decision(
+        obs, "arm", "t_us", "tb", "converted", ["A", "B"], p0=0.45, p1=0.55
+    )
+
+
+@query("changepoint_daily_revenue",
+    _ORACLES["changepoint_daily_revenue"],
+    "§2.5 time series: binary-segmentation changepoint per key — argmax |n*S_k - k*S_n| kept EXACT BIGINT end-to-end (bit-stable argmax), calendar-bounded windows, float only in the two final segment means",
+)
+def q_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locate the regime break in each order priority's daily revenue:
+    the split k* maximizing the unnormalized CUSUM deviation, with the
+    before/after daily means it separates. CUSUM (cusum_alarm_days)
+    says WHEN drift alarms; this says WHERE the level actually broke.
+    Operator: operators.timeseries.changepoint_mean_shift."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    return changepoint_mean_shift(d, ["o_orderpriority"], "day", "c")
+
+
+@query("capm_segment_beta",
+    _ORACLES["capm_segment_beta"],
+    "§2.5/finance: CAPM beta/alpha/r2 per market segment — EXACT ppm integer returns (floor-div pmod identity), DECIMAL(38,0) moment sums, float only in the closed-form normal-equation divisions",
+)
+def q_capm_segment_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each segment's daily-revenue sensitivity to the whole market:
+    beta/alpha/r2 from an OLS of segment ppm returns on market ppm
+    returns. Returns are exact integers (parts-per-million, floor
+    semantics shared across engines), the five moment sums accumulate
+    in DECIMAL(38,0), and every float is a final closed form — so a
+    regression over unordered distributed sums still hash-matches.
+    Operators: operators.timeseries.ppm_returns +
+    operators.stats.ols_beta_alpha_r2."""
+    from finance_reporting_etl_spark.operators.stats import ols_beta_alpha_r2
+    from finance_reporting_etl_spark.operators.timeseries import ppm_returns
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    seg = (
+        o.join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(cents)
+    )
+    mkt = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(cents)
+        .withColumn("__m", F.lit(1))
+    )
+    segr = ppm_returns(seg, ["c_mktsegment"], "day", "c", "y_ppm").select(
+        "c_mktsegment", "day", "y_ppm"
+    )
+    mktr = ppm_returns(mkt, ["__m"], "day", "c", "x_ppm").select("day", "x_ppm")
+    pairs = segr.join(mktr, "day")
+    return ols_beta_alpha_r2(pairs, ["c_mktsegment"], "x_ppm", "y_ppm")
+
+
+@query("bloom_filter_membership",
+    _ORACLES["bloom_filter_membership"],
+    "X-scale membership sketch: Bloom filter built and probed from md5 hex-slice bit positions — <= m-row broadcast-able bit set, exact TP/FP accounting, oracle re-derives every bit and probe decision",
+)
+def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4096-bit / 3-hash Bloom filter over urgent-order
+    customers, probe EVERY customer, and report the exact confusion:
+    bits set, positives, false positives and the measured FPR. The
+    semi-join pre-filter pattern at 100 TB: the bit set is bounded by
+    m (never the member count), so the probe is one broadcast join.
+    Operator: operators.membership.bloom_build/bloom_probe."""
+    from finance_reporting_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits, k_hashes, salt = 4096, 3, "bf1"
+    members = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = bloom_build(members, "k", salt, m_bits, k_hashes)
+    probes = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    flagged = bloom_probe(probes, "k", bits, salt, m_bits, k_hashes).join(
+        members.withColumn("__is", F.lit(1)), "k", "left"
+    )
+    summary = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum("bloom_positive").cast("bigint").alias("n_positive"),
+        F.sum(
+            ((F.col("bloom_positive") == 1) & F.col("__is").isNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(F.coalesce(F.col("__is"), F.lit(0))).cast("bigint").alias("__nm"),
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    bits_set = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return (
+        summary.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            F.lit(m_bits).cast("int").alias("m_bits"),
+            F.lit(k_hashes).cast("int").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            "n_probed",
+            "n_positive",
+            "n_false_positive",
+            F.round(
+                F.col("n_false_positive").cast("double")
+                / F.nullif(
+                    (F.col("n_probed") - F.col("__nm")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("fpr"),
+        )
+    )
+
+
+@query("survivorship_documents",
+    _ORACLES["survivorship_documents"],
+    "X2/MDM: field-level survivorship over blocked duplicate clusters — winner-precedence carry, majority-vote consensus with bit-stable tie-breaks, sorted-distinct merge; per-cluster windows bounded by the blocking",
+)
+def q_survivorship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction over the corpus's template families
+    (blocked on the 40-char text prefix): longest-text-wins carries
+    the id, lang resolves by majority vote, sources union into one
+    deterministic CSV — the merge step every MDM pipeline runs after
+    entity resolution. Operator:
+    operators.dedup.survivorship_golden_records."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        survivorship_golden_records,
+    )
+
+    recs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 40).alias("block"),
+    )
+    return survivorship_golden_records(
+        recs,
+        "block",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        ["doc_id", "n_chars"],
+        "lang",
+        "source",
+    )
+
+
+@query("naive_bayes_lang_classify",
+    _ORACLES["naive_bayes_lang_classify"],
+    "X4/ML: multinomial naive Bayes language classifier (Laplace smoothing, md5 train/test split) — integer micro-nat log-probs make document scores exact integer sums, bit-stable argmax, confusion-matrix readout",
+)
+def q_naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a counts-only NB language classifier on an 80% md5 split
+    of the corpus and score the held-out 20%: the (actual, predicted)
+    confusion matrix. Per-token log-probabilities quantize to integer
+    micro-nats at the Heaps-bounded vocab x class grain, so scoring is
+    pure integer aggregation — the unordered-float-sum hazard of a
+    distributed NB never arises. Operator:
+    operators.ml.naive_bayes_confusion."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.ml import naive_bayes_confusion
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        whitespace_tokens(F.lower(F.col("text"))).alias("toks"),
+        (md5_bucket("doc_id", 256, salt="nb1") < 205).cast("int").alias("tr"),
+    )
+    return naive_bayes_confusion(d, "doc_id", "lang", "toks", "tr")
 
 
 # ---------------------------------------------------------------------------
@@ -6815,6 +7033,12 @@ _GATE_NEXT = [
     "loan_amortization_schedule",
     "pps_part_revenue_sample",
     "fifo_open_lots_aging",
+    "sprt_ab_sequential",
+    "changepoint_daily_revenue",
+    "capm_segment_beta",
+    "bloom_filter_membership",
+    "survivorship_documents",
+    "naive_bayes_lang_classify",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

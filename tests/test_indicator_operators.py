@@ -81,3 +81,50 @@ def test_rsi_and_bollinger_are_per_key(spark):
     assert {r.series for r in rsi} == {"a", "b"}
     assert all(r.rsi == 100.0 for r in rsi if r.series == "a")
     assert all(r.rsi == 0.0 for r in rsi if r.series == "b")
+
+
+def test_ppm_returns_floor_semantics_on_negative_diffs(spark):
+    from finance_reporting_etl_spark.operators.timeseries import ppm_returns
+
+    # 3 -> 1: floor(-2e6/3) = -666667 (truncation would give -666666);
+    # 1 -> 3: floor(2e6/1) = 2000000. First row has no predecessor.
+    rows = [("k", 1, 3), ("k", 2, 1), ("k", 3, 3)]
+    df = spark.createDataFrame(rows, "k string, day int, c long")
+    got = {r.day: r.r_ppm for r in ppm_returns(df, ["k"], "day", "c").collect()}
+    assert got == {2: -666667, 3: 2000000}
+
+
+def test_changepoint_finds_injected_level_break(spark):
+    from finance_reporting_etl_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    # 1000-cent regime for 4 days, then 5000-cent regime for 3 days:
+    # the argmax split must land after day 4, with means 10.0 / 50.0.
+    rows = [("k", d, 1000) for d in range(1, 5)]
+    rows += [("k", d, 5000) for d in range(5, 8)]
+    # second key: brute-force the argmax over all splits by hand
+    vals = [120, 80, 410, 390, 400, 95]
+    rows += [("j", d, v) for d, v in enumerate(vals, 1)]
+    df = spark.createDataFrame(rows, "k string, day int, c long")
+    got = {r.k: r for r in changepoint_mean_shift(df, ["k"], "day", "c").collect()}
+    k = got["k"]
+    assert (k.change_point, k.n_before, k.n_after) == (4, 4, 3)
+    assert (k.mean_before, k.mean_after, k.mean_shift) == (10.0, 50.0, 40.0)
+    n, tot = len(vals), sum(vals)
+    pre = 0
+    best = None
+    for kk, v in enumerate(vals[:-1], 1):
+        pre += v
+        d_stat = abs(n * pre - kk * tot)
+        if best is None or d_stat > best[0]:
+            best = (d_stat, kk)
+    j = got["j"]
+    assert j.change_point == best[1]
+    assert j.mean_shift == pytest.approx(
+        round(
+            (tot - sum(vals[: best[1]])) / (n - best[1]) / 100
+            - sum(vals[: best[1]]) / best[1] / 100,
+            2,
+        )
+    )

@@ -3068,3 +3068,138 @@ def test_fifo_open_lots_hand_walk(spark):
     assert got[("p1", 2)] == (3, 360)
     assert got[("p1", 3)] == (8, 960)
     assert got[("p2", 1)] == (4, 400)
+
+
+def test_bloom_filter_no_false_negatives_and_python_parity(spark):
+    """Members can NEVER probe negative, and both the bit set and every
+    probe flag must equal a hashlib re-derivation of the md5 hex-slice
+    positions (the engine-portability contract the oracle relies on)."""
+    import hashlib
+
+    from finance_reporting_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m, k, salt = 512, 3, "tbloom"
+    member_keys = [3, 17, 256, 999, 12345]
+    probe_keys = member_keys + [4, 18, 1000, 54321, 777]
+
+    def positions(key):
+        h = hashlib.md5(f"{key}{salt}".encode()).hexdigest()
+        return [int(h[4 * i : 4 * i + 4], 16) % m for i in range(k)]
+
+    exp_bits = {p for key in member_keys for p in positions(key)}
+    exp_flag = {
+        key: int(all(p in exp_bits for p in positions(key))) for key in probe_keys
+    }
+
+    members = spark.createDataFrame([(x,) for x in member_keys], "k long")
+    bits = bloom_build(members, "k", salt, m, k)
+    assert {r.pos for r in bits.collect()} == exp_bits
+
+    probes = spark.createDataFrame([(x,) for x in probe_keys], "k long")
+    got = {
+        r.k: r.bloom_positive
+        for r in bloom_probe(probes, "k", bits, salt, m, k).collect()
+    }
+    assert got == exp_flag
+    assert all(got[key] == 1 for key in member_keys)  # no false negatives
+
+
+def test_survivorship_policies_and_tiebreaks(spark):
+    from finance_reporting_etl_spark.operators.dedup import (
+        survivorship_golden_records,
+    )
+
+    rows = [
+        # cluster c1: winner = longest n_chars (id 2); lang vote 2-1
+        ("c1", 1, "en", "web", 10),
+        ("c1", 2, "fr", "arxiv", 50),
+        ("c1", 3, "fr", "web", 30),
+        # cluster c2: n_chars tie -> smallest doc_id wins; lang count
+        # tie -> alphabetical consensus; duplicate source collapses
+        ("c2", 9, "de", "b", 20),
+        ("c2", 4, "en", "a", 20),
+        # singleton: dropped
+        ("c3", 5, "en", "x", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "cl string, doc_id long, lang string, source string, n_chars long"
+    )
+    got = {
+        r.cl: r
+        for r in survivorship_golden_records(
+            df,
+            "cl",
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            ["doc_id", "n_chars"],
+            "lang",
+            "source",
+        ).collect()
+    }
+    assert set(got) == {"c1", "c2"}
+    assert (got["c1"].golden_doc_id, got["c1"].golden_n_chars) == (2, 50)
+    assert got["c1"].lang_consensus == "fr"
+    assert got["c1"].sources_merged == "arxiv,web"
+    assert (got["c2"].golden_doc_id, got["c2"].n_members) == (4, 2)
+    assert got["c2"].lang_consensus == "de"  # tie -> alphabetical
+    assert got["c2"].sources_merged == "a,b"
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """Pin the distributed NB to a literal python implementation with
+    the same Laplace smoothing + integer micro-nat quantization."""
+    import math
+    from collections import Counter
+
+    from finance_reporting_etl_spark.operators.ml import naive_bayes_confusion
+
+    train = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the dog ate the bone"),
+        ("fr", "le chat dort sur le lit"),
+        ("fr", "le chien mange un os"),
+    ]
+    test = [
+        ("en", "the cat ate"),
+        ("fr", "le chat mange"),
+        ("en", "os bone le the"),  # mixed evidence
+        ("fr", "zebra unknownword"),  # all-OOV -> prior-only tie -> 'en'
+    ]
+    rows = [(i, y, t.split(), 1) for i, (y, t) in enumerate(train)]
+    rows += [(100 + i, y, t.split(), 0) for i, (y, t) in enumerate(test)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks array<string>, tr int")
+
+    # literal reference
+    cnt = Counter()
+    tot = Counter()
+    for y, t in train:
+        for w in t.split():
+            cnt[(y, w)] += 1
+            tot[y] += 1
+    vocab = {w for (_, w) in cnt}
+    v = len(vocab)
+    langs = sorted(tot)
+    prior = {y: round(math.log(2 / 4) * 1e6) for y in langs}
+    exp = Counter()
+    for y, t in test:
+        scores = {}
+        for c in langs:
+            s = prior[c]
+            for w in t.split():
+                if w in vocab:
+                    s += round(math.log((cnt[(c, w)] + 1) / (tot[c] + v)) * 1e6)
+            scores[c] = s
+        pred = min(langs, key=lambda c: (-scores[c], c))
+        exp[(y, pred)] += 1
+
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in naive_bayes_confusion(
+            df, "doc_id", "lang", "toks", "tr"
+        ).collect()
+    }
+    assert got == dict(exp)
+    # the all-OOV doc resolved by prior + alphabetical tie-break
+    assert got.get(("fr", "en"), 0) >= 1

@@ -184,3 +184,84 @@ def test_welch_t_degenerate_groups_null_not_nan(spark):
     )
     r2 = stats.welch_t_from_cents(df2, "g", "cents", "a", "b").collect()[0]
     assert r2.t_stat is None and r2.df_welch is None
+
+
+def _sprt_reference(stream, p0, p1, alpha=0.05, beta=0.05):
+    """Literal Wald walk: scan observations in order, stop at the
+    first LLR outside (log(beta/(1-alpha)), log((1-beta)/alpha))."""
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1 - p1) / (1 - p0))
+    hi = math.log((1 - beta) / alpha)
+    lo = math.log(beta / (1 - alpha))
+    conv = 0
+    llr = 0.0
+    for t, x in enumerate(stream, 1):
+        conv += x
+        llr = conv * l1 + (t - conv) * l0
+        if llr >= hi:
+            return t, conv, llr, "accept_h1"
+        if llr <= lo:
+            return t, conv, llr, "accept_h0"
+    return len(stream), conv, llr, "continue"
+
+
+def test_sprt_matches_literal_wald_walk(spark):
+    # arm A: heavy successes -> accept_h1 early; arm B: all failures
+    # -> accept_h0; exercised against the scanned reference.
+    a_stream = [1, 1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1]
+    b_stream = [0] * 12
+    rows = [("A", i + 1, i + 1, x) for i, x in enumerate(a_stream)]
+    rows += [("B", i + 1, 100 + i, x) for i, x in enumerate(b_stream)]
+    df = spark.createDataFrame(rows, "arm string, t_us long, tb long, conv int")
+    got = {
+        r.arm: r
+        for r in stats.sprt_decision(
+            df, "arm", "t_us", "tb", "conv", ["A", "B"], p0=0.3, p1=0.7
+        ).collect()
+    }
+    for arm, stream in (("A", a_stream), ("B", b_stream)):
+        t, conv, llr, dec = _sprt_reference(stream, 0.3, 0.7)
+        assert got[arm].n_obs == t, arm
+        assert got[arm].n_conv == conv, arm
+        assert got[arm].decision == dec, arm
+        assert got[arm].llr == pytest.approx(round(llr, 6), abs=1e-9)
+
+
+def test_sprt_continue_when_no_crossing(spark):
+    # alternate successes/failures with symmetric hypotheses: LLR
+    # oscillates near 0 and never leaves Wald's band.
+    rows = [("A", i + 1, i, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm string, t_us long, tb long, conv int")
+    got = stats.sprt_decision(
+        df, "arm", "t_us", "tb", "conv", ["A"], p0=0.4, p1=0.6
+    ).collect()[0]
+    assert got.decision == "continue" and got.n_obs == 10 and got.n_conv == 5
+
+
+def test_ols_recovers_exact_line_and_guards_degenerate(spark):
+    # y = 2x + 3 exactly -> beta 2, alpha 3, r2 1; a zero-variance-x
+    # key must emit NULLs (nullif guard), never NaN.
+    line = [("k", x, 2 * x + 3) for x in range(-5, 6)]
+    flat = [("z", 7, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(line + flat, "k string, x long, y long")
+    got = {r.k: r for r in stats.ols_beta_alpha_r2(df, ["k"], "x", "y").collect()}
+    assert got["k"].beta == pytest.approx(2.0)
+    assert got["k"].alpha == pytest.approx(3.0)
+    assert got["k"].r2 == pytest.approx(1.0)
+    assert got["z"].beta is None and got["z"].alpha is None and got["z"].r2 is None
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    xs = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38]
+    ys = [27, 18, 28, 18, 28, 45, 90, 45, 23, 53]
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in zip(xs, ys)], "k string, x long, y long"
+    )
+    got = stats.ols_beta_alpha_r2(df, ["k"], "x", "y").collect()[0]
+    beta, alpha = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert got.beta == pytest.approx(beta, abs=1e-6)
+    assert got.alpha == pytest.approx(alpha, abs=1e-6)
+    assert got.r2 == pytest.approx(r * r, abs=1e-6)
