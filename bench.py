@@ -208,6 +208,15 @@ HEADLINE = [
     "bloom_filter_membership",
     "survivorship_documents",
     "naive_bayes_lang_classify",
+    "dupont_roe_decomposition",
+    "indicator_real_terms",
+    "weighted_ares_sample",
+    "ols_price_model_brand",
+    "markov_absorption_3step",
+    "wac_inventory_brand",
+    "zipf_law_fit",
+    "mahalanobis_outlier_events",
+    "seasonal_naive_backtest",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

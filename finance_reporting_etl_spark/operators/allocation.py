@@ -26,6 +26,8 @@ operation at the same grain.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -444,3 +446,124 @@ def fifo_open_lots(
     )
     _ = wk  # single partitioning documented above
     return d.drop("__sold", "__end", "__start")
+
+
+def wac_inventory_fold(
+    flows: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    signed_qty_col: str,
+    total_cents_col: str,
+) -> DataFrame:
+    """Weighted-average-cost inventory accounting per key: buys pool
+    into (on-hand qty, inventory value), sells consume value at the
+    POOLED average cost — the other standard costing method next to
+    FIFO (fifo_match / fifo_open_lots), and a genuinely sequential
+    recurrence: the average cost a sale realizes depends on every
+    prior buy AND sale, so no prefix-sum identity applies (state is
+    2-dimensional and division breaks the algebra that rescued
+    clamped_balance_per_key).
+
+    EXACT INTEGER state fold, in ``order_cols`` order:
+
+      buy  (sq > 0):  q += sq; val += v
+      sell (sq < 0):  s = min(-sq, q)                 (cap at on-hand)
+                      rem = floor(val*s / q)  if q>0 else 0
+                      rev = floor(v*s / -sq)          (pro-rated revenue)
+                      q -= s; val -= rem; realized += rev - rem
+
+    Every quantity is a non-negative BIGINT, every division a floor of
+    non-negatives (truncation == floor, so Python //, Spark div and
+    DuckDB // all agree), so the fold is bit-identical in any engine —
+    the oracle replays it as a DuckDB list_reduce over a
+    struct-packed event list. applyInPandas envelope: one Arrow batch
+    per key group, Python-int arithmetic (arbitrary precision, no
+    int64 numpy overflow), parallel across keys.
+
+    Returns (key, n_events, on_hand_qty, inv_value_cents,
+    realized_cents).
+    """
+    key = key_cols[0] if len(key_cols) == 1 else None
+    if key is None:
+        raise ValueError("wac_inventory_fold supports a single key column")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        q = val = realized = 0
+        for sq, v in zip(
+            pdf[signed_qty_col].tolist(), pdf[total_cents_col].tolist()
+        ):
+            sq = int(sq)
+            v = int(v)
+            if sq >= 0:
+                q += sq
+                val += v
+            else:
+                s = min(-sq, q)
+                rem = (val * s) // q if q > 0 else 0
+                rev = (v * s) // (-sq)
+                q -= s
+                val -= rem
+                realized += rev - rem
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_events": [len(pdf)],
+                "on_hand_qty": [q],
+                "inv_value_cents": [val],
+                "realized_cents": [realized],
+            }
+        )
+
+    out_schema = (
+        f"{key} long, n_events long, on_hand_qty long, "
+        "inv_value_cents long, realized_cents long"
+    )
+    return flows.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def wac_oracle_sql(src_sql: str, key_sql: str, order_sql: str) -> str:
+    """DuckDB twin of :func:`wac_inventory_fold`: the identical
+    integer recurrence replayed as a RECURSIVE CTE that advances every
+    key's state one event per iteration (depth = max events per key).
+
+    Why not ``list_reduce`` with a struct accumulator: DuckDB 1.0
+    evaluates the lambda's result struct field-by-field IN DECLARED
+    ORDER over the accumulator — and when the reduce runs VECTORIZED
+    across many groups, later fields can read already-overwritten
+    earlier fields, silently corrupting any fold whose fields depend
+    on each other (correct on one group, wrong on 158/200 real keys —
+    caught by pinning the oracle to a Python replay per key). The
+    recursive join form computes every new field from the OLD row, so
+    no aliasing is possible in any engine version.
+    """
+    s_ = "least(-e.sq, s.q)"
+    rem = f"CASE WHEN s.q > 0 THEN (s.v * {s_}) // s.q ELSE 0 END"
+    return f"""
+    WITH RECURSIVE src AS ({src_sql}),
+    ev AS (
+        SELECT {key_sql} AS k, sq, v,
+               row_number() OVER (PARTITION BY {key_sql}
+                                  ORDER BY {order_sql}) AS rn
+        FROM src
+    ),
+    nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY 1),
+    s AS (
+        SELECT k, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS q,
+               CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS r
+        FROM nn
+        UNION ALL
+        SELECT s.k, s.i + 1,
+               CASE WHEN e.sq >= 0 THEN s.q + e.sq
+                    ELSE s.q - {s_} END,
+               CASE WHEN e.sq >= 0 THEN s.v + e.v
+                    ELSE s.v - {rem} END,
+               CASE WHEN e.sq >= 0 THEN s.r
+                    ELSE s.r + (e.v * {s_}) // (-e.sq) - {rem} END
+        FROM s JOIN ev e ON e.k = s.k AND e.rn = s.i + 1
+    )
+    SELECT s.k AS {key_sql}, nn.n_events,
+           s.q AS on_hand_qty, s.v AS inv_value_cents,
+           s.r AS realized_cents
+    FROM s JOIN nn ON nn.k = s.k AND s.i = nn.n_events
+    """

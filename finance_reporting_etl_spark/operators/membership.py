@@ -25,10 +25,15 @@ def _hex_val(h: Column, start: int, n: int) -> Column:
     """Integer value of n hex chars of ``h`` starting at 1-based
     ``start`` — the instr-per-char form both engines evaluate
     identically (conv() has no DuckDB twin)."""
-    v = F.lit(0)
+    # accumulate in BIGINT from the start: 12-hex values reach 16^12
+    # ~ 2.8e14, far past INT (the ANSI overflow a 4-hex-only test
+    # would never catch)
+    v = F.lit(0).cast("bigint")
     for i in range(n):
-        v = v * 16 + (F.instr(F.lit(_HEX), F.substring(h, start + i, 1)) - 1)
-    return v.cast("bigint")
+        v = v * 16 + (
+            F.instr(F.lit(_HEX), F.substring(h, start + i, 1)) - 1
+        ).cast("bigint")
+    return v
 
 
 def _hex_val_sql(h_sql: str, start: int, n: int) -> str:

@@ -839,3 +839,265 @@ def naive_bayes_confusion(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# Shared closed-form text for the 2-feature OLS normal equations: ONE
+# template evaluated by Spark (F.expr) AND printed into the DuckDB
+# oracle, so the float op sequence over the (exact-sum-derived) double
+# moments is literally the same parse tree in both engines — the
+# strongest form of the PLANS.md float-parity rule. Moment names:
+# n, sx1, sx2, sy, s11, s12, s22, s1y, s2y, syy (all DOUBLE columns).
+_OLS2_DET = (
+    "(n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s12 - s11*sx2))"
+)
+_OLS2_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+    " + sx2*(s1y*s12 - s11*s2y))"
+)
+_OLS2_DET1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s2y - s1y*sx2))"
+)
+_OLS2_DET2 = (
+    "(n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+    " + sy*(sx1*s12 - s11*sx2))"
+)
+_OLS2_FORMS = {
+    "b0": f"({_OLS2_DET0} / nullif({_OLS2_DET}, 0.0))",
+    "b1": f"({_OLS2_DET1} / nullif({_OLS2_DET}, 0.0))",
+    "b2": f"({_OLS2_DET2} / nullif({_OLS2_DET}, 0.0))",
+}
+_OLS2_SSE = (
+    f"(syy - {_OLS2_FORMS['b0']}*sy - {_OLS2_FORMS['b1']}*s1y"
+    f" - {_OLS2_FORMS['b2']}*s2y)"
+)
+_OLS2_R2 = f"(1.0 - {_OLS2_SSE} / nullif(syy - sy*sy/n, 0.0))"
+
+
+def _ols2_moments_select(group_sql: str) -> str:
+    """The moment CTE body shared by the oracle: exact HUGEINT sums of
+    the integer (x1, x2, y) triple, cast to DOUBLE once."""
+    return f"""
+        SELECT {group_sql},
+               CAST(CAST(count(*) AS HUGEINT) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sx1,
+               CAST(CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sx2,
+               CAST(CAST(sum(CAST(y  AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(x1 AS HUGEINT)*x1) AS HUGEINT) AS DOUBLE) AS s11,
+               CAST(CAST(sum(CAST(x1 AS HUGEINT)*x2) AS HUGEINT) AS DOUBLE) AS s12,
+               CAST(CAST(sum(CAST(x2 AS HUGEINT)*x2) AS HUGEINT) AS DOUBLE) AS s22,
+               CAST(CAST(sum(CAST(x1 AS HUGEINT)*y) AS HUGEINT) AS DOUBLE) AS s1y,
+               CAST(CAST(sum(CAST(x2 AS HUGEINT)*y) AS HUGEINT) AS DOUBLE) AS s2y,
+               CAST(CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS DOUBLE) AS syy
+    """
+
+
+def ols2_cramer(
+    xy: DataFrame, group_cols: list[str], x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS with TWO features + intercept, solved in closed
+    form by Cramer's rule on the 3x3 normal equations — multivariate
+    regression as ONE aggregation, no iterative solver and no
+    driver-side linear algebra (the PCA-eigh escape hatch isn't needed
+    at d=2 because the determinants are expressible SQL).
+
+    Exactness contract: inputs must be INTEGERS (cents/units/bp); the
+    ten moment sums accumulate in DECIMAL(38,0) (exact in any
+    partition order), are cast to DOUBLE once, and every downstream
+    float op comes from the ``_OLS2_*`` templates — the SAME SQL text
+    Spark F.expr parses and the oracle executes, so both engines run
+    an identical float op sequence. Emits b0/b1/b2 (round 6), r2
+    (round 6), n_obs; a singular system (collinear features,
+    zero-variance y) yields NULLs via nullif, never NaN.
+    """
+    d = F.col(x1_col).cast("decimal(38,0)")
+    e = F.col(x2_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    m = xy.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("decimal(38,0)").cast("double").alias("n"),
+        F.sum(d).cast("double").alias("sx1"),
+        F.sum(e).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(d * d).cast("double").alias("s11"),
+        F.sum(d * e).cast("double").alias("s12"),
+        F.sum(e * e).cast("double").alias("s22"),
+        F.sum(d * y).cast("double").alias("s1y"),
+        F.sum(e * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return m.select(
+        *group_cols,
+        "n_obs",
+        F.round(F.expr(_OLS2_FORMS["b0"]), 6).alias("b0"),
+        F.round(F.expr(_OLS2_FORMS["b1"]), 6).alias("b1"),
+        F.round(F.expr(_OLS2_FORMS["b2"]), 6).alias("b2"),
+        F.round(F.expr(_OLS2_R2), 6).alias("r2"),
+    )
+
+
+def ols2_oracle_sql(src_sql: str, group_sql: str) -> str:
+    """DuckDB twin of :func:`ols2_cramer`. ``src_sql`` must yield the
+    group column(s) plus integer (x1, x2, y); ``group_sql`` is the
+    group column list text (e.g. ``"p_brand"``)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    m AS (
+        {_ols2_moments_select(group_sql)},
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM src GROUP BY {group_sql}
+    )
+    SELECT {group_sql}, n_obs,
+           round({_OLS2_FORMS["b0"]}, 6) AS b0,
+           round({_OLS2_FORMS["b1"]}, 6) AS b1,
+           round({_OLS2_FORMS["b2"]}, 6) AS b2,
+           round({_OLS2_R2}, 6) AS r2
+    FROM m
+    """
+
+
+# Regression-stump templates shared Spark<->oracle (the _OLS2 pattern):
+# moment columns nl/sl/nr/sr/n/s are EXACT integers; *_d are their
+# one-time double casts; gain is the SSE-reduction identity
+# sum_l^2/n_l + sum_r^2/n_r - sum^2/n (monotone transform of variance
+# reduction), a single closed form both engines parse from this text.
+_GB_GAIN = "(sl_d*sl_d/nl_d + sr_d*sr_d/nr_d - s_d*s_d/n_d)"
+
+
+def reg_stump_candidates(melted: DataFrame) -> DataFrame:
+    """All regression-stump split candidates for a melted
+    (feature, v, y) frame with INTEGER y: one row per (feature, thr)
+    with exact leaf counts/sums, floor-div leaf predictions (pmod
+    identity — round-2 residuals go negative) and the closed-form SSE
+    gain. The count/prefix-sum pass mirrors _scored_candidates; the
+    value domain per feature bounds the ordering windows."""
+    g = melted.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("y").cast("bigint").alias("s_v"),
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "v",
+        F.sum("n_v").over(wc).cast("bigint").alias("nl"),
+        F.sum("s_v").over(wc).cast("bigint").alias("sl"),
+        F.sum("n_v").over(wf).cast("bigint").alias("n"),
+        F.sum("s_v").over(wf).cast("bigint").alias("s"),
+    ).filter(F.col("nl") < F.col("n"))
+    c = c.select(
+        "feature",
+        F.col("v").alias("thr"),
+        "nl",
+        "sl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("s") - F.col("sl")).alias("sr"),
+        "n",
+        "s",
+    )
+    c = (
+        c.withColumn("nl_d", F.col("nl").cast("double"))
+        .withColumn("sl_d", F.col("sl").cast("double"))
+        .withColumn("nr_d", F.col("nr").cast("double"))
+        .withColumn("sr_d", F.col("sr").cast("double"))
+        .withColumn("n_d", F.col("n").cast("double"))
+        .withColumn("s_d", F.col("s").cast("double"))
+    )
+    return c.select(
+        "feature",
+        "thr",
+        "nl",
+        "nr",
+        F.expr("(sl - pmod(sl, nl)) div nl").cast("bigint").alias("pred_l"),
+        F.expr("(sr - pmod(sr, nr)) div nr").cast("bigint").alias("pred_r"),
+        F.expr(_GB_GAIN).alias("gain"),
+    )
+
+
+def reg_stump_candidates_sql(src: str) -> str:
+    """DuckDB twin of :func:`reg_stump_candidates` over melted CTE
+    ``src`` (feature, v, y). Floor division spells the pmod identity
+    (DuckDB ``//`` truncates toward zero like Spark ``div``); the gain
+    text is the shared ``_GB_GAIN`` template."""
+    return f"""
+    SELECT feature, thr, nl, nr,
+           CAST((sl - (((sl % nl) + nl) % nl)) // nl AS BIGINT) AS pred_l,
+           CAST((sr - (((sr % nr) + nr) % nr)) // nr AS BIGINT) AS pred_r,
+           {_GB_GAIN} AS gain
+    FROM (
+        SELECT feature, thr, nl, sl, nr, sr, n, s,
+               CAST(nl AS DOUBLE) AS nl_d, CAST(sl AS DOUBLE) AS sl_d,
+               CAST(nr AS DOUBLE) AS nr_d, CAST(sr AS DOUBLE) AS sr_d,
+               CAST(n AS DOUBLE) AS n_d, CAST(s AS DOUBLE) AS s_d
+        FROM (
+            SELECT feature, v AS thr, nl, sl,
+                   n - nl AS nr, s - sl AS sr, n, s
+            FROM (
+                SELECT feature, v,
+                       CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+                       CAST(sum(s_v) OVER (PARTITION BY feature ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                       CAST(sum(n_v) OVER (PARTITION BY feature)
+                            AS BIGINT) AS n,
+                       CAST(sum(s_v) OVER (PARTITION BY feature)
+                            AS BIGINT) AS s
+                FROM (
+                    SELECT feature, v,
+                           CAST(count(*) AS BIGINT) AS n_v,
+                           CAST(sum(y) AS BIGINT) AS s_v
+                    FROM {src} GROUP BY 1, 2
+                )
+            ) WHERE nl < n
+        )
+    )
+    """
+
+
+def boosted_reg_stumps(
+    base: DataFrame, feature_cols: list[str], y_col: str, rounds: int = 2
+) -> "list[tuple]":
+    """Gradient boosting with regression stumps on an INTEGER target:
+    each round fits the best SSE-reduction stump to the current
+    residuals and subtracts its floor-div leaf prediction, so the
+    residual stream STAYS integral and every round's training pass is
+    exact. Returns the per-round model rows
+    (round, feature, thr, pred_l, pred_r, sse_after DECIMAL) — the
+    1-row-per-round collect is model parameters (the house bound),
+    not data. Tie-break (gain desc, feature, thr) is deterministic
+    because gain is a closed form over exact integer moments."""
+    rows = []
+    cur = base.withColumn("__y", F.col(y_col).cast("bigint"))
+    for rnd in range(1, rounds + 1):
+        melted = None
+        for f_ in feature_cols:
+            part = cur.select(
+                F.lit(f_).alias("feature"),
+                F.col(f_).alias("v"),
+                F.col("__y").alias("y"),
+            )
+            melted = part if melted is None else melted.unionByName(part)
+        best = (
+            reg_stump_candidates(melted)
+            .orderBy(F.desc("gain"), "feature", "thr")
+            .limit(1)
+            .collect()[0]
+        )
+        pred = F.when(
+            F.col(best.feature) <= F.lit(best.thr), F.lit(best.pred_l)
+        ).otherwise(F.lit(best.pred_r))
+        cur = cur.withColumn("__y", (F.col("__y") - pred).cast("bigint"))
+        sse = cur.agg(
+            F.sum(
+                F.col("__y").cast("decimal(38,0)") * F.col("__y").cast("decimal(38,0)")
+            ).alias("sse"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        ).collect()[0]
+        rows.append((rnd, best.feature, best.thr, best.pred_l, best.pred_r,
+                     sse.sse, sse.n))
+    return rows

@@ -26,7 +26,7 @@ Poisson(1) CDF thresholds at 16-bit resolution (round(65536 * P(X<=k))):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.partitioning import spread
@@ -192,3 +192,68 @@ def pps_systematic_sample(
             6,
         ).alias("incl_prob"),
     )
+
+
+def weighted_ares_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str
+) -> DataFrame:
+    """Weighted reservoir sample without replacement (Efraimidis-
+    Spirakis A-Res) with DETERMINISTIC md5 uniforms — the third leg of
+    the sampling family: stratified_reservoir gives uniform fixed-k,
+    pps_systematic gives fixed-k proportional inclusion, A-Res gives
+    the sequential/mergeable weighted draw (each item's key is an
+    independent exponential race, so any prefix of the sorted keys is
+    a valid sample — the property that makes it streamable and
+    union-able across shards).
+
+    key_i = -ln(u_i)/w_i with u_i = (hexval_12(md5(id||salt)) + 0.5)
+    / 16^12: the 48-bit value is float-exact, u is a per-row closed
+    form, and ln comes from libm identically in both engines — so the
+    k smallest keys (tie-break id) are bit-stable. Selection is
+    orderBy().limit(k): Spark plans TakeOrdered (per-partition top-k
+    + driver merge of k*partitions rows), never a global sort; the
+    post-limit rank window is k-bounded. Weights must be positive.
+    """
+    from finance_reporting_etl_spark.operators.membership import _hex_val
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    u = (_hex_val(h, 1, 12).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**12)
+    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "__key", -F.log(u) / F.col(weight_col).cast("double")
+    )
+    top = keyed.orderBy(F.col("__key").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("draw_rank"),
+        F.col(id_col),
+        F.col(weight_col),
+    )
+
+
+def ares_oracle_sql(
+    src_sql: str, id_col: str, weight_col: str, k: int, salt: str
+) -> str:
+    """DuckDB twin of :func:`weighted_ares_sample`: identical digest
+    slice, identical closed-form key, same (key, id) order and LIMIT.
+    ``src_sql`` must yield (id_col, weight_col)."""
+    from finance_reporting_etl_spark.operators.membership import _hex_val_sql
+
+    h = f"md5(CAST({id_col} AS VARCHAR) || '{salt}')"
+    v = _hex_val_sql(h, 1, 12)
+    u = f"((CAST({v} AS DOUBLE) + 0.5) / {float(16**12)!r})"
+    return f"""
+    WITH src AS ({src_sql}),
+    keyed AS (
+        SELECT {id_col}, {weight_col},
+               -ln({u}) / CAST({weight_col} AS DOUBLE) AS key
+        FROM src WHERE {weight_col} > 0
+    ), top AS (
+        SELECT * FROM keyed ORDER BY key, {id_col} LIMIT {k}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key, {id_col}) AS INT)
+               AS draw_rank,
+           {id_col}, {weight_col}
+    FROM top
+    """

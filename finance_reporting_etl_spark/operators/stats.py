@@ -572,3 +572,137 @@ def ols_beta_alpha_r2(
         F.round(alpha, 6).alias("alpha"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def markov_absorption_fixed(
+    trans_counts: DataFrame,
+    src_col: str,
+    dst_col: str,
+    count_col: str,
+    states: list[str],
+    absorb: str,
+    steps: int = 3,
+) -> DataFrame:
+    """Fixed-horizon absorption probabilities of a finite Markov chain
+    — P(hit the absorbing state within k steps | start here) for
+    k = 1..steps — the Markov attribution readout one level above the
+    raw transition matrix (event_transition_matrix says where users go
+    NEXT; this says how likely they are to ever convert soon).
+
+    ``states`` is the FIXED small list of non-absorbing states (the
+    event-type alphabet, not data), which is what makes the recursion
+    hash-stable: each round's vector p_k lives as ONE broadcast row
+    with a column per state, and p_{k+1} is a single left-to-right
+    closed-form expression
+
+        p_absorb + sum_s p_<s> * pk_<s>   (states order fixed)
+
+    — never an unordered float SUM across rows. Transition
+    probabilities are count ratios (exact ints -> one division). The
+    chain must not transition OUT of ``absorb`` in the input (filter
+    upstream); rows whose src has zero outgoing mass are dropped.
+    """
+    p_cols = [f"p_{s}" for s in states]
+    tot = F.sum(count_col)
+    wide = (
+        trans_counts.groupBy(F.col(src_col).alias("src"))
+        .agg(
+            *[
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col(dst_col) == s, F.col(count_col))),
+                        F.lit(0),
+                    ).cast("double")
+                    / tot.cast("double")
+                ).alias(f"p_{s}")
+                for s in states
+            ],
+            (
+                F.coalesce(
+                    F.max(F.when(F.col(dst_col) == absorb, F.col(count_col))),
+                    F.lit(0),
+                ).cast("double")
+                / tot.cast("double")
+            ).alias("p_absorb"),
+        )
+    )
+
+    def vec_row(df: DataFrame, val_col: str, prefix: str) -> DataFrame:
+        return df.agg(
+            *[
+                F.max(F.when(F.col("src") == s, F.col(val_col))).alias(
+                    f"{prefix}_{s}"
+                )
+                for s in states
+            ]
+        )
+
+    out = wide.withColumn("p_1", F.col("p_absorb"))
+    for k in range(2, steps + 1):
+        prev = vec_row(out, f"p_{k - 1}", "__v")
+        expr = F.col("p_absorb")
+        for s in states:
+            expr = expr + F.col(f"p_{s}") * F.coalesce(
+                F.col(f"__v_{s}"), F.lit(0.0)
+            )
+        out = out.crossJoin(F.broadcast(prev)).withColumn(f"p_{k}", expr)
+        out = out.drop(*[f"__v_{s}" for s in states])
+    return out.select(
+        F.col("src").alias("start_state"),
+        *[F.round(F.col(f"p_{k}"), 6).alias(f"p_{k}") for k in range(1, steps + 1)],
+    )
+
+
+def mahalanobis2_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    chi2_cut: float = 13.815510557964274,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier counts per group — multivariate
+    anomaly detection with NO iterative model: the 2x2 covariance
+    inverse is a closed form, so d^2 = (s_yy*dx^2 - 2*s_xy*dx*dy +
+    s_xx*dy^2) / det is one expression per row. Inputs must be
+    INTEGERS (cents, hours): the ten moments accumulate exactly in
+    DECIMAL(38,0), are cast to double once, and every row's d^2 is an
+    identical float closed form in both engines — so even the
+    threshold comparison (default: chi-square_2 at 0.999) is
+    bit-stable. Rows in groups with singular covariance (det <= 0,
+    e.g. a constant column) are not flagged. Shape: one moment
+    aggregation + one broadcast-able group join; no window at all.
+    """
+    xd = F.col(x_col).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("decimal(38,0)").cast("double").alias("__n"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(yd).cast("double").alias("__sy"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+        F.sum(xd * yd).cast("double").alias("__sxy"),
+        F.sum(yd * yd).cast("double").alias("__syy"),
+    )
+    j = df.join(F.broadcast(m), group_cols)
+    mx = F.col("__sx") / F.col("__n")
+    my = F.col("__sy") / F.col("__n")
+    cxx = F.col("__sxx") / F.col("__n") - mx * mx
+    cxy = F.col("__sxy") / F.col("__n") - mx * my
+    cyy = F.col("__syy") / F.col("__n") - my * my
+    det = cxx * cyy - cxy * cxy
+    dx = F.col(x_col).cast("double") - mx
+    dy = F.col(y_col).cast("double") - my
+    d2 = (cyy * dx * dx - F.lit(2.0) * cxy * dx * dy + cxx * dy * dy) / det
+    flagged = ((det > 0) & (d2 > F.lit(chi2_cut))).cast("int")
+    return (
+        j.withColumn("__f", flagged)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.sum("__f").cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum("__f").cast("double") / F.first("n_events").cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+    )

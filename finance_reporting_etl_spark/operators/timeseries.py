@@ -835,3 +835,52 @@ def changepoint_mean_shift(
         F.round(mean_a, 2).alias("mean_after"),
         F.round(mean_a - mean_b, 2).alias("mean_shift"),
     )
+
+
+def seasonal_naive_backtest(
+    daily: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cents_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast (f_t = value_{t-season})
+    per key: the baseline every real forecast must beat, and the
+    missing EVALUATION leg of the forecasting family (holt/seasonal
+    decompose produce forecasts; this scores one).
+
+    All error aggregates are exact: e_t is an integer diff, |e| and
+    e^2 sum in BIGINT/DECIMAL(38,0), and the reported MAE / RMSE /
+    WAPE are single closed-form floats on those sums. WAPE
+    (sum|e| / sum actual) deliberately replaces MAPE: a per-row
+    ratio average would be an unordered float SUM across engines,
+    while WAPE is a ratio of two exact integers. Lag window is per
+    key over the calendar-bounded day series.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    d = daily.withColumn("__f", F.lag(F.col(cents_col), season).over(w)).filter(
+        F.col("__f").isNotNull()
+    )
+    e = (F.col(cents_col) - F.col("__f")).cast("bigint")
+    d = d.withColumn("__ae", F.abs(e)).withColumn(
+        "__se", (e.cast("decimal(38,0)") * e.cast("decimal(38,0)"))
+    )
+    return d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.round(
+            F.sum("__ae").cast("double") / F.count(F.lit(1)).cast("double") / 100.0,
+            2,
+        ).alias("mae"),
+        F.round(
+            F.sqrt(
+                F.sum("__se").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            / 100.0,
+            2,
+        ).alias("rmse"),
+        F.round(
+            F.sum("__ae").cast("double")
+            / F.nullif(F.sum(F.abs(F.col(cents_col))).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("wape"),
+    )

@@ -4599,3 +4599,276 @@ ORACLES["naive_bayes_lang_classify"] = f"""
     SELECT actual, y AS predicted, CAST(count(*) AS BIGINT) AS n_docs
     FROM p WHERE r = 1 GROUP BY 1, 2
 """
+
+ORACLES["dupont_roe_decomposition"] = """
+    WITH inc AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               round(sum(value), 6)       AS total_revenue,
+               round(sum(value * 0.2), 6) AS net_income
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), bal AS (
+        SELECT user_id AS symbol,
+               date_trunc('month', ts) AS fiscal_date,
+               round(sum(value), 6)       AS total_assets,
+               round(sum(value * 0.4), 6) AS total_equity
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    )
+    SELECT symbol, fiscal_date,
+           round(net_income / nullif(total_revenue, 0), 6) AS net_margin,
+           round(total_revenue / nullif(total_assets, 0), 6)
+               AS asset_turnover,
+           round(total_assets / nullif(total_equity, 0), 6)
+               AS equity_multiplier,
+           round((net_income / nullif(total_revenue, 0))
+                 * (total_revenue / nullif(total_assets, 0))
+                 * (total_assets / nullif(total_equity, 0)), 6)
+               AS roe_dupont,
+           round(net_income / nullif(total_equity, 0), 6) AS roe_direct
+    FROM inc JOIN bal USING (symbol, fiscal_date)
+"""
+
+ORACLES["indicator_real_terms"] = """
+    WITH g AS (
+        SELECT CAST(ts AS DATE) AS date, round(sum(value), 6) AS nominal
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), c AS (
+        SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS cpi
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), j AS (SELECT g.date, nominal, cpi FROM g JOIN c USING (date)),
+    b AS (SELECT cpi AS base_cpi FROM j ORDER BY date LIMIT 1),
+    l AS (
+        SELECT j.date, nominal, cpi, base_cpi,
+               lag(nominal) OVER (ORDER BY j.date) AS prev
+        FROM j CROSS JOIN b
+    )
+    SELECT date, nominal, cpi,
+           round(nominal * base_cpi / nullif(cpi, 0), 6) AS real_value,
+           round(nominal - prev, 6) AS chg,
+           round((nominal - prev) / nullif(prev, 0) * 100.0, 6) AS pch
+    FROM l
+"""
+
+from finance_reporting_etl_spark.operators.resample import (  # noqa: E402
+    ares_oracle_sql as _ares_sql,
+)
+
+ORACLES["weighted_ares_sample"] = _ares_sql(
+    """SELECT l_partkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS w_c
+       FROM lineitem GROUP BY 1""",
+    "l_partkey",
+    "w_c",
+    k=200,
+    salt="ares1",
+)
+
+from finance_reporting_etl_spark.operators.ml import (  # noqa: E402
+    ols2_oracle_sql as _ols2_sql,
+)
+
+ORACLES["ols_price_model_brand"] = _ols2_sql(
+    """SELECT p.p_brand,
+              CAST(round(l.l_quantity) AS BIGINT) AS x1,
+              CAST(round(l.l_discount * 10000) AS BIGINT) AS x2,
+              CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+    "p_brand",
+)
+
+_MK_STATES = ["click", "error", "signup", "view"]
+_MK_P = " + ".join(
+    f"p_{s} * coalesce(v_{s}, 0.0)" for s in _MK_STATES
+)
+_MK_U = " + ".join(
+    f"p_{s} * coalesce(u_{s}, 0.0)" for s in _MK_STATES
+)
+_MK_W_COLS = ",\n           ".join(
+    f"CAST(coalesce(max(CASE WHEN dst = '{s}' THEN c END), 0) AS DOUBLE)"
+    f" / CAST(sum(c) AS DOUBLE) AS p_{s}"
+    for s in _MK_STATES
+)
+_MK_V1 = ", ".join(
+    f"max(CASE WHEN src = '{s}' THEN p_absorb END) AS v_{s}"
+    for s in _MK_STATES
+)
+_MK_V2 = ", ".join(
+    f"max(CASE WHEN src = '{s}' THEN p2 END) AS u_{s}" for s in _MK_STATES
+)
+ORACLES["markov_absorption_3step"] = f"""
+    WITH p AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), c AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+        FROM p WHERE dst IS NOT NULL AND src <> 'purchase'
+        GROUP BY 1, 2
+    ), w AS (
+        SELECT src,
+           {_MK_W_COLS},
+           CAST(coalesce(max(CASE WHEN dst = 'purchase' THEN c END), 0)
+                AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS p_absorb
+        FROM c GROUP BY 1
+    ), v1 AS (SELECT {_MK_V1} FROM w),
+    w2 AS (
+        SELECT w.*, p_absorb + {_MK_P} AS p2 FROM w CROSS JOIN v1
+    ), v2 AS (SELECT {_MK_V2} FROM w2),
+    w3 AS (
+        SELECT w2.*, p_absorb + {_MK_U} AS p3 FROM w2 CROSS JOIN v2
+    )
+    SELECT src AS start_state,
+           round(p_absorb, 6) AS p_1,
+           round(p2, 6) AS p_2,
+           round(p3, 6) AS p_3
+    FROM w3
+"""
+
+from finance_reporting_etl_spark.operators.allocation import (  # noqa: E402
+    wac_oracle_sql as _wac_sql,
+)
+
+_WAC_BASE = _wac_sql(
+    """SELECT l_partkey,
+              l_shipdate, l_orderkey, l_linenumber,
+              CAST(round(l_quantity) AS BIGINT)
+                  * CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS sq,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       FROM lineitem""",
+    "l_partkey",
+    "l_shipdate, l_orderkey, l_linenumber",
+)
+ORACLES["wac_inventory_brand"] = f"""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(on_hand_qty) AS BIGINT) AS on_hand_qty,
+           round(sum(inv_value_cents) / 100.0, 2) AS inv_value,
+           round(sum(realized_cents) / 100.0, 2) AS realized_pnl
+    FROM ({_WAC_BASE}) base
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+"""
+
+ORACLES["zipf_law_fit"] = f"""
+    WITH tk AS (
+        SELECT lang, unnest(toks) AS tok
+        FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+    ), fr AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2
+    ), rk AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tok) AS rank
+        FROM fr
+    ), xy AS (
+        SELECT lang,
+               CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM rk WHERE rank <= 500
+    ), a AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM xy GROUP BY 1
+    )
+    SELECT lang, n_obs,
+           round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0), 6)
+               AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE), 6) AS alpha,
+           round((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0), 6)
+               AS r2
+    FROM a
+"""
+
+ORACLES["mahalanobis_outlier_events"] = """
+    WITH src AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(CAST(count(*) AS HUGEINT) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS DOUBLE)
+                   AS sxx,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+                   AS sxy,
+               CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+                   AS syy
+        FROM src GROUP BY 1
+    ), d AS (
+        SELECT src.event_type, m.n_events,
+               CASE WHEN ((sxx / n - (sx / n) * (sx / n))
+                          * (syy / n - (sy / n) * (sy / n))
+                          - (sxy / n - (sx / n) * (sy / n))
+                            * (sxy / n - (sx / n) * (sy / n))) > 0
+                     AND ((syy / n - (sy / n) * (sy / n))
+                            * (CAST(x AS DOUBLE) - sx / n)
+                            * (CAST(x AS DOUBLE) - sx / n)
+                          - 2.0 * (sxy / n - (sx / n) * (sy / n))
+                            * (CAST(x AS DOUBLE) - sx / n)
+                            * (CAST(y AS DOUBLE) - sy / n)
+                          + (sxx / n - (sx / n) * (sx / n))
+                            * (CAST(y AS DOUBLE) - sy / n)
+                            * (CAST(y AS DOUBLE) - sy / n))
+                         / ((sxx / n - (sx / n) * (sx / n))
+                            * (syy / n - (sy / n) * (sy / n))
+                            - (sxy / n - (sx / n) * (sy / n))
+                              * (sxy / n - (sx / n) * (sy / n)))
+                         > 13.815510557964274
+                    THEN 1 ELSE 0 END AS f
+        FROM src JOIN m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n_events) AS BIGINT) AS n_events,
+           CAST(sum(f) AS BIGINT) AS n_outliers,
+           round(CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE), 6)
+               AS outlier_rate
+    FROM d GROUP BY 1
+"""
+
+ORACLES["seasonal_naive_backtest"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), l AS (
+        SELECT event_type, day, c,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        FROM d
+    ), e AS (
+        SELECT event_type, c, CAST(c - f AS BIGINT) AS err
+        FROM l WHERE f IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(abs(err)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mae,
+           round(sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 100.0, 2) AS rmse,
+           round(CAST(sum(abs(err)) AS DOUBLE)
+                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0), 6) AS wape
+    FROM e GROUP BY 1
+"""

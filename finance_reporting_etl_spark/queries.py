@@ -6924,6 +6924,340 @@ def q_naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_confusion(d, "doc_id", "lang", "toks", "tr")
 
 
+@query("dupont_roe_decomposition",
+    _ORACLES["dupont_roe_decomposition"],
+    "P5/P6 finance: DuPont ROE chain (margin x turnover x leverage) over the statements staging — per-row closed forms on identically-rounded monthly aggregates, NULLIF-guarded; reference README.md:487-493 KPI macros extended",
+)
+def q_dupont_roe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyst's ROE bridge: net margin x asset turnover x equity
+    multiplier, reconciled against direct NI/equity — the reference's
+    margin/ROA/ROE macro family (functions/kpis.py) taken one step
+    further into the decomposition every finance review deck shows.
+    Aggregates round(,6) identically on both engines before any ratio
+    (the mart_financial_kpis float discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).alias("fiscal_date")
+    inc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("symbol"), month)
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_revenue"),
+            F.round(F.sum(F.col("value") * 0.2), 6).alias("net_income"),
+        )
+    )
+    bal = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("symbol"), month)
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_assets"),
+            F.round(F.sum(F.col("value") * 0.4), 6).alias("total_equity"),
+        )
+    )
+    from finance_reporting_etl_spark.functions.kpis import safe_div
+
+    j = inc.join(bal, ["symbol", "fiscal_date"])
+    margin = safe_div(F.col("net_income"), F.col("total_revenue"))
+    turnover = safe_div(F.col("total_revenue"), F.col("total_assets"))
+    mult = safe_div(F.col("total_assets"), F.col("total_equity"))
+    return j.select(
+        "symbol",
+        "fiscal_date",
+        F.round(margin, 6).alias("net_margin"),
+        F.round(turnover, 6).alias("asset_turnover"),
+        F.round(mult, 6).alias("equity_multiplier"),
+        F.round(margin * turnover * mult, 6).alias("roe_dupont"),
+        F.round(safe_div(F.col("net_income"), F.col("total_equity")), 6).alias(
+            "roe_direct"
+        ),
+    )
+
+
+@query("indicator_real_terms",
+    _ORACLES["indicator_real_terms"],
+    "S1/§2.7 FRED-style units transforms: nominal->real deflation to a base-period CPI plus chg / pch — per-row closed forms over identically-rounded daily aggregates, calendar-bounded lag window",
+)
+def q_indicator_real_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRED 'units' readout the reference's observations feed
+    implies: daily nominal GDP-series values deflated to first-day
+    CPI (real = nominal * base/cpi), with chg and pch exactly as the
+    API's units=chg/pch transforms define them. Base CPI is a 1-row
+    broadcast; the lag window rides the bounded calendar spine.
+    Extends queries.py economic_indicators (readme.md:355-374)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("date")
+    g = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.round(F.sum("value"), 6).alias("nominal"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.round(F.avg("value"), 6).alias("cpi"))
+    )
+    j = g.join(c, "date")
+    base = j.orderBy("date").limit(1).select(F.col("cpi").alias("base_cpi"))
+    w = Window.orderBy("date")
+    l = j.crossJoin(F.broadcast(base)).withColumn(
+        "prev", F.lag("nominal").over(w)
+    )
+    return l.select(
+        "date",
+        "nominal",
+        "cpi",
+        F.round(
+            F.col("nominal") * F.col("base_cpi") / F.nullif("cpi", F.lit(0)), 6
+        ).alias("real_value"),
+        F.round(F.col("nominal") - F.col("prev"), 6).alias("chg"),
+        F.round(
+            (F.col("nominal") - F.col("prev"))
+            / F.nullif("prev", F.lit(0))
+            * 100.0,
+            6,
+        ).alias("pch"),
+    )
+
+
+@query("weighted_ares_sample",
+    _ORACLES["weighted_ares_sample"],
+    "X-pipe sampling: Efraimidis-Spirakis weighted reservoir (A-Res) — deterministic md5 exponential race keys, TakeOrdered top-k (no global sort), mergeable-prefix property; completes the sampling family",
+)
+def q_weighted_ares_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw 200 parts without replacement with probability tilted by
+    lifetime discounted revenue: each part races an exponential clock
+    of rate w (key = -ln(u)/w, u from its md5), and the 200 earliest
+    arrivals win — the streamable/mergeable weighted sampler (any
+    sorted prefix of any shard union is a valid sample), vs
+    pps_systematic_sample's fixed-axis draw. Operator:
+    operators.resample.weighted_ares_sample."""
+    from finance_reporting_etl_spark.operators.resample import (
+        weighted_ares_sample,
+    )
+
+    w = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("w_c")
+        )
+    )
+    return weighted_ares_sample(w, "l_partkey", "w_c", k=200, salt="ares1")
+
+
+@query("ols_price_model_brand",
+    _ORACLES["ols_price_model_brand"],
+    "X4/ML: multivariate OLS (2 features + intercept) per brand via Cramer on the 3x3 normal equations — DECIMAL(38,0) exact moments, ONE shared closed-form SQL template parsed by both engines (F.expr == oracle text)",
+)
+def q_ols_price_model_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price model per brand: extendedprice_cents ~ b0 + b1*qty +
+    b2*discount_bp, solved in closed form — multivariate regression as
+    one aggregation with no iterative solver and no driver-side
+    algebra. The float sequence is literally the same parse tree in
+    both engines (the _OLS2_* template). Operator:
+    operators.ml.ols2_cramer."""
+    from finance_reporting_etl_spark.operators.ml import ols2_cramer
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    xy = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return ols2_cramer(xy, ["p_brand"], "x1", "x2", "y")
+
+
+@query("markov_absorption_3step",
+    _ORACLES["markov_absorption_3step"],
+    "A-tier attribution: fixed-horizon Markov absorption — P(convert within k steps | start state), k=1..3; probability vectors live as ONE broadcast row per round so the recursion is a left-to-right closed form, never an unordered float SUM",
+)
+def q_markov_absorption_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How likely each entry event leads to a purchase within 1, 2, 3
+    steps: the Markov-chain view of attribution, one level above
+    event_transition_matrix (purchase is absorbing; transitions out of
+    it are excluded). The state alphabet is fixed and tiny, so each
+    step's vector is a broadcast row and the update is bit-stable.
+    Operator: operators.stats.markov_absorption_fixed."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.stats import (
+        markov_absorption_fixed,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != "purchase"))
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return markov_absorption_fixed(
+        counts,
+        "src",
+        "dst",
+        "c",
+        states=["click", "error", "signup", "view"],
+        absorb="purchase",
+        steps=3,
+    )
+
+
+@query("wac_inventory_brand",
+    _ORACLES["wac_inventory_brand"],
+    "§2.5/finance inventory: weighted-average-cost fold per part (exact-integer 3-state recurrence, applyInPandas; oracle replays it as a DuckDB struct list_reduce with the field order that defeats the 1.0 acc-aliasing quirk), rolled up per brand",
+)
+def q_wac_inventory_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The average-cost counterpart to FIFO (fifo_realized_pnl /
+    fifo_open_lots_aging): buys pool value, returns consume it at the
+    pooled average, realized PnL = pro-rated revenue minus removed
+    value — a genuinely sequential per-part fold (division breaks
+    every prefix-sum identity), exact BIGINT end-to-end, rolled up to
+    brand. Operator: operators.allocation.wac_inventory_fold."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        wac_inventory_fold,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.round("l_quantity").cast("bigint")
+            * F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
+        ).alias("sq"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+    )
+    folded = wac_inventory_fold(
+        li,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "sq",
+        "v",
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        folded.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("on_hand_qty").cast("bigint").alias("on_hand_qty"),
+            F.round(F.sum("inv_value_cents") / 100.0, 2).alias("inv_value"),
+            F.round(F.sum("realized_cents") / 100.0, 2).alias("realized_pnl"),
+        )
+    )
+
+
+@query("zipf_law_fit",
+    _ORACLES["zipf_law_fit"],
+    "X4 text: Zipf's-law exponent per language — rank-frequency log-log OLS on integer micro-log coordinates (exact moment sums; the NB quantization trick applied to regression), Heaps-bounded vocab windows",
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit log(freq) ~ alpha + beta*log(rank) over each language's top
+    500 tokens: the Zipf exponent (beta ~ -1 for natural text) — a
+    corpus-health diagnostic that flags templated/synthetic text by
+    its flattened slope. Both logs quantize to integer micro-nats
+    BEFORE the moment sums, so the regression over an unordered
+    distributed aggregation is still exact. Operators:
+    functions.text.whitespace_tokens + operators.stats.ols_beta_alpha_r2."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.stats import ols_beta_alpha_r2
+
+    tk = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    fr = tk.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok").asc())
+    xy = (
+        fr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 500)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rank").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return ols_beta_alpha_r2(xy, ["lang"], "x", "y")
+
+
+@query("mahalanobis_outlier_events",
+    _ORACLES["mahalanobis_outlier_events"],
+    "§2.5/quality: bivariate Mahalanobis outlier counts per event type — closed-form 2x2 covariance inverse on DECIMAL(38,0) exact moments, bit-stable threshold test, one aggregation + one broadcast join (no window)",
+)
+def q_mahalanobis_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate anomaly detection without a model: events whose
+    (value, hour-of-day) pair sits outside the 99.9% chi-square
+    ellipse of their type — catches value/time combinations univariate
+    z-scores miss (rolling_zscore_anomalies is the 1-D sibling).
+    Operator: operators.stats.mahalanobis2_outliers."""
+    from finance_reporting_etl_spark.operators.stats import (
+        mahalanobis2_outliers,
+    )
+
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+            F.hour("ts").cast("bigint").alias("y"),
+        )
+    )
+    return mahalanobis2_outliers(src, ["event_type"], "x", "y")
+
+
+@query("seasonal_naive_backtest",
+    _ORACLES["seasonal_naive_backtest"],
+    "§2.5 forecasting eval: seasonal-naive (lag-7) backtest per key — exact integer error sums, MAE/RMSE/WAPE as single closed-form floats (WAPE replaces MAPE to avoid per-row float ratio sums)",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the forecast every model must beat: predict each day's
+    revenue with the same weekday last week, and report MAE / RMSE /
+    WAPE per event type. Completes the forecasting family
+    (holt_trend_forecast, seasonal_decompose_daily produce forecasts;
+    this evaluates one) with error aggregates that stay exact
+    integers until the final division.
+    Operator: operators.timeseries.seasonal_naive_backtest."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    return seasonal_naive_backtest(d, ["event_type"], "day", "c", season=7)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7039,6 +7373,15 @@ _GATE_NEXT = [
     "bloom_filter_membership",
     "survivorship_documents",
     "naive_bayes_lang_classify",
+    "dupont_roe_decomposition",
+    "indicator_real_terms",
+    "weighted_ares_sample",
+    "ols_price_model_brand",
+    "markov_absorption_3step",
+    "wac_inventory_brand",
+    "zipf_law_fit",
+    "mahalanobis_outlier_events",
+    "seasonal_naive_backtest",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -128,3 +128,23 @@ def test_changepoint_finds_injected_level_break(spark):
             2,
         )
     )
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    from finance_reporting_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    # 10 days, season 3: eval days 4..10 with f_t = c_{t-3}
+    cents = [100, 200, 300, 130, 260, 270, 160, 220, 330, 190]
+    rows = [("k", d + 1, c) for d, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "k string, day int, c long")
+    got = seasonal_naive_backtest(df, ["k"], "day", "c", season=3).collect()[0]
+    errs = [cents[i] - cents[i - 3] for i in range(3, 10)]
+    n = len(errs)
+    mae = round(sum(abs(e) for e in errs) / n / 100.0, 2)
+    rmse = round((sum(e * e for e in errs) / n) ** 0.5 / 100.0, 2)
+    wape = round(
+        sum(abs(e) for e in errs) / sum(abs(c) for c in cents[3:]), 6
+    )
+    assert (got.n_eval, got.mae, got.rmse, got.wape) == (n, mae, rmse, wape)

@@ -3203,3 +3203,160 @@ def test_naive_bayes_matches_python_reference(spark):
     assert got == dict(exp)
     # the all-OOV doc resolved by prior + alphabetical tie-break
     assert got.get(("fr", "en"), 0) >= 1
+
+
+def test_weighted_ares_matches_python_reference(spark):
+    """Pin the md5 exponential-race keys to a hashlib re-derivation:
+    same u, same -ln(u)/w, same (key, id) order, same top-k."""
+    import hashlib
+    import math
+
+    from finance_reporting_etl_spark.operators.resample import (
+        weighted_ares_sample,
+    )
+
+    salt, k = "tares", 4
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 21)]
+    rows.append((99, 0))  # non-positive weight: excluded
+
+    def key(i, w):
+        h = hashlib.md5(f"{i}{salt}".encode()).hexdigest()
+        u = (int(h[:12], 16) + 0.5) / 16**12
+        return -math.log(u) / w
+
+    exp = sorted(
+        ((key(i, w), i, w) for i, w in rows if w > 0)
+    )[:k]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = weighted_ares_sample(df, "id", "w", k=k, salt=salt).collect()
+    assert [(r.draw_rank, r.id, r.w) for r in got] == [
+        (n + 1, i, w) for n, (_, i, w) in enumerate(exp)
+    ]
+
+
+def test_weighted_ares_prefix_property(spark):
+    """A-Res mergeability: the k'-prefix of a k-sample equals the
+    direct k'-sample — the property that makes the draw streamable."""
+    from finance_reporting_etl_spark.operators.resample import (
+        weighted_ares_sample,
+    )
+
+    rows = [(i, i % 7 + 1) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    big = weighted_ares_sample(df, "id", "w", k=10, salt="p")
+    small = weighted_ares_sample(df, "id", "w", k=4, salt="p")
+    assert [
+        (r.draw_rank, r.id) for r in big.collect()[:4]
+    ] == [(r.draw_rank, r.id) for r in small.collect()]
+
+
+def test_ols2_cramer_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.ml import ols2_cramer
+
+    rng = np.random.RandomState(11)
+    x1 = rng.randint(1, 50, 40)
+    x2 = rng.randint(0, 1000, 40)
+    y = 300 + 7 * x1 + 3 * x2 + rng.randint(-40, 41, 40)
+    rows = [("g", int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    got = ols2_cramer(df, ["g"], "x1", "x2", "y").collect()[0]
+    X = np.column_stack([np.ones(40), x1, x2])
+    beta, res, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert got.b0 == pytest.approx(beta[0], abs=1e-4)
+    assert got.b1 == pytest.approx(beta[1], abs=1e-4)
+    assert got.b2 == pytest.approx(beta[2], abs=1e-4)
+    ss_res = float(((X @ beta - y) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert got.r2 == pytest.approx(1 - ss_res / ss_tot, abs=1e-6)
+
+
+def test_ols2_collinear_features_null_not_nan(spark):
+    from finance_reporting_etl_spark.operators.ml import ols2_cramer
+
+    rows = [("g", x, 2 * x, 5 * x + 1) for x in range(1, 9)]  # x2 = 2*x1
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    got = ols2_cramer(df, ["g"], "x1", "x2", "y").collect()[0]
+    assert got.b0 is None and got.b1 is None and got.b2 is None
+
+
+def test_markov_absorption_matches_matrix_recurrence(spark):
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.stats import (
+        markov_absorption_fixed,
+    )
+
+    states = ["a", "b", "c"]
+    counts = [
+        ("a", "b", 4), ("a", "buy", 2), ("a", "a", 2),
+        ("b", "c", 3), ("b", "buy", 6), ("b", "a", 1),
+        ("c", "c", 5),  # c never converts directly
+    ]
+    df = spark.createDataFrame(counts, "src string, dst string, c long")
+    got = {
+        r.start_state: r
+        for r in markov_absorption_fixed(
+            df, "src", "dst", "c", states, "buy", steps=3
+        ).collect()
+    }
+    # reference: p_{k+1} = p_absorb + T[., states] @ p_k
+    tot = {s: sum(c for a, _, c in counts if a == s) for s in states}
+    T = {
+        (a, b): sum(c for x, y, c in counts if x == a and y == b) / tot[a]
+        for a in states
+        for b in states + ["buy"]
+    }
+    p = {s: T[(s, "buy")] for s in states}
+    expect = {1: dict(p)}
+    for k in (2, 3):
+        p = {
+            s: T[(s, "buy")] + sum(T[(s, m)] * p[m] for m in states)
+            for s in states
+        }
+        expect[k] = dict(p)
+    for s in states:
+        for k in (1, 2, 3):
+            assert getattr(got[s], f"p_{k}") == pytest.approx(
+                round(expect[k][s], 6), abs=1e-9
+            ), (s, k)
+    # absorption probabilities are monotone in the horizon
+    for s in states:
+        assert got[s].p_1 <= got[s].p_2 <= got[s].p_3
+
+
+def test_wac_fold_matches_python_reference_with_cap(spark):
+    from finance_reporting_etl_spark.operators.allocation import (
+        wac_inventory_fold,
+    )
+
+    events = [
+        (10, 1000), (5, 700), (-6, 900), (-20, 2000),  # cap binds on last
+        (8, 880), (-3, 450),
+    ]
+    rows = [(1, i, sq, v) for i, (sq, v) in enumerate(events)]
+    rows += [(2, 0, 7, 770), (2, 1, -2, 340)]
+    df = spark.createDataFrame(rows, "k long, o long, sq long, v long")
+
+    def ref(evts):
+        q = val = r = 0
+        for sq, v in evts:
+            if sq >= 0:
+                q += sq
+                val += v
+            else:
+                s = min(-sq, q)
+                rem = (val * s) // q if q > 0 else 0
+                rev = (v * s) // (-sq)
+                q -= s
+                val -= rem
+                r += rev - rem
+        return q, val, r
+
+    got = {
+        r.k: (r.on_hand_qty, r.inv_value_cents, r.realized_cents)
+        for r in wac_inventory_fold(df, ["k"], ["o"], "sq", "v").collect()
+    }
+    assert got[1] == ref(events)
+    assert got[2] == ref([(7, 770), (-2, 340)])

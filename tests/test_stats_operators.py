@@ -265,3 +265,31 @@ def test_ols_matches_numpy_polyfit(spark):
     assert got.beta == pytest.approx(beta, abs=1e-6)
     assert got.alpha == pytest.approx(alpha, abs=1e-6)
     assert got.r2 == pytest.approx(r * r, abs=1e-6)
+
+
+def test_mahalanobis_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(100, 10000, 60)
+    ys = rng.randint(0, 24, 60)
+    xs[7], ys[7] = 90000, 23  # inject an outlier
+    rows = [("g", int(a), int(b)) for a, b in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = stats.mahalanobis2_outliers(df, ["g"], "x", "y").collect()[0]
+
+    X = np.column_stack([xs, ys]).astype(float)
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d2 = np.einsum("ij,jk,ik->i", X - mu, inv, X - mu)
+    exp = int((d2 > 13.815510557964274).sum())
+    assert got.n_events == 60
+    assert got.n_outliers == exp >= 1
+
+
+def test_mahalanobis_singular_cov_flags_nothing(spark):
+    rows = [("g", x, 5) for x in range(20)]  # constant y -> det == 0
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = stats.mahalanobis2_outliers(df, ["g"], "x", "y").collect()[0]
+    assert got.n_outliers == 0
