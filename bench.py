@@ -217,6 +217,18 @@ HEADLINE = [
     "zipf_law_fit",
     "mahalanobis_outlier_events",
     "seasonal_naive_backtest",
+    "gbt_price_residual_stumps",
+    "pareto_frontier_parts",
+    "ab_srm_check",
+    "fuzzy_name_match_pairs",
+    "kendall_tau_daily",
+    "tail_dependence_segments",
+    "duplicate_payment_audit",
+    "last_digit_uniformity",
+    "ucb1_arm_scores",
+    "woe_iv_discount_bins",
+    "event_step_paths",
+    "cohort_payback_month",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output
@@ -227,6 +239,33 @@ HEADLINE = [
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas
     # call) — the window form is the production path (PLANS.md #15).
 ]
+
+
+def compact_line(timings: dict[str, float], sf: float, budget: int = 1700) -> str:
+    """The stdout JSON line, char-budgeted: the driver keeps only the
+    LAST 2000 characters of bench output and parses the final line as
+    JSON — the full per-query dict blew past that in rounds 4-5
+    (BENCH_r04/r05 "parsed": null). Carries the headline total plus as
+    many of the SLOWEST queries as fit; full detail always lands in
+    BENCH_DETAIL.json."""
+    total = round(sum(timings.values()), 3)
+    compact: dict[str, float] = {}
+    base = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_are": "slowest_subset",
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        compact[name] = t
+        if len(json.dumps(base)) > budget:
+            del compact[name]
+            break
+    return json.dumps(base)
 
 
 def main() -> None:
@@ -249,17 +288,24 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+    print(compact_line(timings, sf))
 
 
 if __name__ == "__main__":

@@ -162,35 +162,44 @@ def straight_line_schedule(
     warehouse transform for subscription and service revenue).
 
     The month spine is generated per row with ``sequence`` (no
-    calendar-table join), then the even split reuses
-    ``prorate_largest_remainder`` with unit weights: every month gets
-    floor(total/n) cents and the first ``total mod n`` months (month
-    order) get the extra cent, so each key's schedule sums EXACTLY to
-    its total. One shuffle (the group window); spans are bounded by
-    the contract length, so the explode fan-out is small and fixed.
+    calendar-table join). With UNIT weights the largest-remainder
+    split has a CLOSED FORM — every month gets floor(total/n) and the
+    first ``pmod(total, n)`` months (month order) get the extra cent —
+    so no group window is needed at all: ``posexplode`` carries the
+    month index, n is ``size`` of the spine, and the allocation is one
+    per-row expression. Identical cents to the
+    ``prorate_largest_remainder`` formulation it replaces (rem =
+    pmod(total*1, n) is constant within a group, so the rank order is
+    purely the month tie-break), measured ~3x cheaper at sf0.1 (the
+    three window passes were ~2/3 of the query; round-6 rework).
 
     Returns one row per (key, month) with ``alloc_cents``; ``end`` is
     clamped to ``start`` so inverted spans recognize everything in the
-    start month rather than silently vanishing.
+    start month rather than silently vanishing. Totals must be
+    non-negative (floor/pmod agree across engines there).
     """
+    seq = F.sequence(
+        F.date_trunc("month", F.col(start_col)).cast("date"),
+        F.date_trunc(
+            "month",
+            F.greatest(F.col(end_col), F.col(start_col)),
+        ).cast("date"),
+        F.expr("interval 1 month"),
+    )
     d = spans.select(
         key_col,
         total_cents_col,
-        F.explode(
-            F.sequence(
-                F.date_trunc("month", F.col(start_col)).cast("date"),
-                F.date_trunc(
-                    "month",
-                    F.greatest(F.col(end_col), F.col(start_col)),
-                ).cast("date"),
-                F.expr("interval 1 month"),
-            )
-        ).alias("month"),
-    ).withColumn("__w", F.lit(1).cast("bigint"))
-    out = prorate_largest_remainder(
-        d, [key_col], "__w", total_cents_col, ["month"]
+        F.size(seq).cast("bigint").alias("__n"),
+        F.posexplode(seq).alias("__i", "month"),
     )
-    return out.drop("__w")
+    rem = F.pmod(F.col(total_cents_col), F.col("__n"))
+    base = F.expr(f"({total_cents_col} - pmod({total_cents_col}, __n)) div __n")
+    return d.select(
+        key_col,
+        total_cents_col,
+        "month",
+        (base + (F.col("__i") < rem).cast("bigint")).alias("alloc_cents"),
+    )
 
 
 def xirr_bisection(
@@ -475,10 +484,17 @@ def wac_inventory_fold(
     Every quantity is a non-negative BIGINT, every division a floor of
     non-negatives (truncation == floor, so Python //, Spark div and
     DuckDB // all agree), so the fold is bit-identical in any engine —
-    the oracle replays it as a DuckDB list_reduce over a
-    struct-packed event list. applyInPandas envelope: one Arrow batch
-    per key group, Python-int arithmetic (arbitrary precision, no
-    int64 numpy overflow), parallel across keys.
+    the oracle replays it as a DuckDB recursive CTE.
+
+    Execution shape (round-6 rework): repartition on the key +
+    sortWithinPartitions, then ONE ``mapInPandas`` pass that streams
+    each partition's Arrow batches through a running-state Python
+    loop with key-change detection carried ACROSS batch boundaries.
+    The per-key ``applyInPandas`` form this replaces paid one Python
+    call + pandas construction per key (~20k groups at sf0.1,
+    measured 9.3 s); the streaming fold pays one call per Arrow
+    batch. Python-int arithmetic throughout (arbitrary precision, no
+    int64 numpy overflow); parallel across partitions.
 
     Returns (key, n_events, on_hand_qty, inv_value_cents,
     realized_cents).
@@ -487,39 +503,62 @@ def wac_inventory_fold(
     if key is None:
         raise ValueError("wac_inventory_fold supports a single key column")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        q = val = realized = 0
-        for sq, v in zip(
-            pdf[signed_qty_col].tolist(), pdf[total_cents_col].tolist()
-        ):
-            sq = int(sq)
-            v = int(v)
-            if sq >= 0:
-                q += sq
-                val += v
-            else:
-                s = min(-sq, q)
-                rem = (val * s) // q if q > 0 else 0
-                rev = (v * s) // (-sq)
-                q -= s
-                val -= rem
-                realized += rev - rem
-        return pd.DataFrame(
-            {
-                key: [pdf[key].iloc[0]],
-                "n_events": [len(pdf)],
-                "on_hand_qty": [q],
-                "inv_value_cents": [val],
-                "realized_cents": [realized],
-            }
-        )
+    ordered = flows.select(
+        key, *order_cols, signed_qty_col, total_cents_col
+    ).repartition(F.col(key)).sortWithinPartitions(key, *order_cols)
+
+    def fold_stream(batches):
+        cur = None
+        q = val = realized = n = 0
+        out_k, out_n, out_q, out_v, out_r = [], [], [], [], []
+
+        def emit():
+            out_k.append(cur)
+            out_n.append(n)
+            out_q.append(q)
+            out_v.append(val)
+            out_r.append(realized)
+
+        for pdf in batches:
+            ks = pdf[key].tolist()
+            sqs = pdf[signed_qty_col].tolist()
+            vs = pdf[total_cents_col].tolist()
+            for k, sq, v in zip(ks, sqs, vs):
+                if k != cur:
+                    if cur is not None:
+                        emit()
+                    cur, q, val, realized, n = k, 0, 0, 0, 0
+                n += 1
+                sq = int(sq)
+                v = int(v)
+                if sq >= 0:
+                    q += sq
+                    val += v
+                else:
+                    s = min(-sq, q)
+                    rem = (val * s) // q if q > 0 else 0
+                    rev = (v * s) // (-sq)
+                    q -= s
+                    val -= rem
+                    realized += rev - rem
+        if cur is not None:
+            emit()
+        if out_k:
+            yield pd.DataFrame(
+                {
+                    key: out_k,
+                    "n_events": out_n,
+                    "on_hand_qty": out_q,
+                    "inv_value_cents": out_v,
+                    "realized_cents": out_r,
+                }
+            )
 
     out_schema = (
         f"{key} long, n_events long, on_hand_qty long, "
         "inv_value_cents long, realized_cents long"
     )
-    return flows.groupBy(key).applyInPandas(fold, schema=out_schema)
+    return ordered.mapInPandas(fold_stream, schema=out_schema)
 
 
 def wac_oracle_sql(src_sql: str, key_sql: str, order_sql: str) -> str:

@@ -706,3 +706,74 @@ def mahalanobis2_outliers(
             ).alias("outlier_rate"),
         )
     )
+
+
+def kendall_tau_b(
+    series: DataFrame, order_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact tie-corrected Kendall rank correlation (tau-b) of a
+    BOUNDED series — the concordance complement to Spearman
+    (spearman_from_doubled_ranks): tau counts pair agreements, so it
+    is robust to any monotone transform and has the cleaner
+    interpretation P(concordant) - P(discordant).
+
+    Every count is exact integer over the pair set: concordant C,
+    discordant D, x-ties, y-ties, joint ties; tau_b = (C - D) /
+    sqrt((n0 - n1)(n0 - n2)) is one closed-form float. The pair join
+    is ``o1 < o2`` against a BROADCAST copy — Spark plans a
+    BroadcastNestedLoopJoin, never a CartesianProduct — and the input
+    must be domain-bounded (a calendar of days: ~2.5k rows -> ~3M
+    pairs regardless of data scale). Emits one row.
+    """
+    a = series.select(
+        F.col(order_col).alias("o1"),
+        F.col(x_col).alias("x1"),
+        F.col(y_col).alias("y1"),
+    )
+    b = series.select(
+        F.col(order_col).alias("o2"),
+        F.col(x_col).alias("x2"),
+        F.col(y_col).alias("y2"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("o1") < F.col("o2"))
+    conc = (
+        ((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")))
+        | ((F.col("x1") > F.col("x2")) & (F.col("y1") > F.col("y2")))
+    ).cast("bigint")
+    disc = (
+        ((F.col("x1") < F.col("x2")) & (F.col("y1") > F.col("y2")))
+        | ((F.col("x1") > F.col("x2")) & (F.col("y1") < F.col("y2")))
+    ).cast("bigint")
+    tie_x = ((F.col("x1") == F.col("x2")) & (F.col("y1") != F.col("y2"))).cast(
+        "bigint"
+    )
+    tie_y = ((F.col("y1") == F.col("y2")) & (F.col("x1") != F.col("x2"))).cast(
+        "bigint"
+    )
+    tie_xy = ((F.col("x1") == F.col("x2")) & (F.col("y1") == F.col("y2"))).cast(
+        "bigint"
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(conc).cast("bigint").alias("concordant"),
+        F.sum(disc).cast("bigint").alias("discordant"),
+        F.sum(tie_x).cast("bigint").alias("__tx"),
+        F.sum(tie_y).cast("bigint").alias("__ty"),
+        F.sum(tie_xy).cast("bigint").alias("__txy"),
+    )
+    n1 = F.col("__tx") + F.col("__txy")
+    n2 = F.col("__ty") + F.col("__txy")
+    denom = F.sqrt(
+        (F.col("n_pairs") - n1).cast("double")
+        * (F.col("n_pairs") - n2).cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.nullif(denom, F.lit(0.0)),
+            6,
+        ).alias("tau_b"),
+    )

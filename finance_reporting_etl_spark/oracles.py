@@ -4872,3 +4872,338 @@ ORACLES["seasonal_naive_backtest"] = """
                  / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0), 6) AS wape
     FROM e GROUP BY 1
 """
+
+from finance_reporting_etl_spark.operators.ml import (  # noqa: E402
+    reg_stump_candidates_sql as _rsc_sql,
+)
+
+_GBT_BASE = """
+        SELECT CAST(round(l_quantity) AS BIGINT) AS f_qty,
+               CAST(round(l_discount * 10000) AS BIGINT) AS f_disc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+"""
+_GBT_MELT = (
+    "SELECT 'f_disc' AS feature, f_disc AS v, y FROM {src} "
+    "UNION ALL SELECT 'f_qty', f_qty, y FROM {src}"
+)
+_GBT_APPLY = (
+    "b.y - (CASE WHEN (CASE WHEN r.feature = 'f_qty' THEN b.f_qty "
+    "ELSE b.f_disc END) <= r.thr THEN r.pred_l ELSE r.pred_r END)"
+)
+ORACLES["gbt_price_residual_stumps"] = f"""
+    WITH base AS ({_GBT_BASE}),
+    m1 AS ({_GBT_MELT.format(src="base")}),
+    b1 AS (
+        SELECT * FROM ({_rsc_sql("m1")})
+        QUALIFY row_number() OVER (ORDER BY gain DESC, feature, thr) = 1
+    ),
+    res1 AS (
+        SELECT b.f_qty, b.f_disc, CAST({_GBT_APPLY} AS BIGINT) AS y
+        FROM base b CROSS JOIN b1 r
+    ),
+    s1 AS (
+        SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sse,
+               CAST(count(*) AS BIGINT) AS n
+        FROM res1
+    ),
+    m2 AS ({_GBT_MELT.format(src="res1")}),
+    b2 AS (
+        SELECT * FROM ({_rsc_sql("m2")})
+        QUALIFY row_number() OVER (ORDER BY gain DESC, feature, thr) = 1
+    ),
+    res2 AS (
+        SELECT CAST({_GBT_APPLY} AS BIGINT) AS y
+        FROM res1 b CROSS JOIN b2 r
+    ),
+    s2 AS (
+        SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sse,
+               CAST(count(*) AS BIGINT) AS n
+        FROM res2
+    )
+    SELECT CAST(1 AS INT) AS round, feature, thr, pred_l, pred_r,
+           round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+               AS rmse_after
+    FROM b1 CROSS JOIN s1
+    UNION ALL
+    SELECT CAST(2 AS INT), feature, thr, pred_l, pred_r,
+           round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+    FROM b2 CROSS JOIN s2
+"""
+
+ORACLES["pareto_frontier_parts"] = """
+    WITH p AS (
+        SELECT p_brand, p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+    ), r AS (
+        SELECT *,
+               max(p_size) OVER (PARTITION BY p_brand
+                                 ORDER BY price_cents, p_size DESC, p_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max
+        FROM p
+    )
+    SELECT p_brand, p_partkey, price_cents, p_size
+    FROM r WHERE prev_max IS NULL OR p_size > prev_max
+"""
+
+ORACLES["ab_srm_check"] = """
+    WITH u AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                                     substr(md5(CAST(user_id AS VARCHAR)
+                                                || 'ab1'), 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef',
+                                  substr(md5(CAST(user_id AS VARCHAR)
+                                             || 'ab1'), 2, 1)) - 1)
+                         AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM u
+    )
+    SELECT n_users, n_a, n_b,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE), 6) AS chi2,
+           CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / CAST(n_users AS DOUBLE) > 3.841458820694124
+                THEN 1 ELSE 0 END AS srm_flag_95,
+           CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                     / CAST(n_users AS DOUBLE) > 10.827566170662733
+                THEN 1 ELSE 0 END AS srm_flag_999
+    FROM c
+"""
+
+ORACLES["fuzzy_name_match_pairs"] = """
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substr(c_name, 1, 14) AS block
+        FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+           CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END
+               AS same_nation
+    FROM c a JOIN c b
+      ON a.block = b.block AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+ORACLES["kendall_tau_daily"] = """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM orders GROUP BY 1
+    ), p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM d a JOIN d b ON a.day < b.day
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN (x1 < x2 AND y1 < y2)
+                              OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (x1 < x2 AND y1 > y2)
+                              OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS discordant,
+               CAST(sum(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tx,
+               CAST(sum(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ty,
+               CAST(sum(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS txy
+        FROM p
+    )
+    SELECT n_pairs, concordant, discordant,
+           round(CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n_pairs - (tx + txy) AS DOUBLE)
+                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0),
+                 6) AS tau_b
+    FROM agg
+"""
+
+ORACLES["tail_dependence_segments"] = """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS seg, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT a.day, a.cents AS x, b.cents AS y
+        FROM (SELECT day, cents FROM seg WHERE seg = 'BUILDING') a
+        JOIN (SELECT day, cents FROM seg WHERE seg = 'MACHINERY') b
+          USING (day)
+    ), r AS (
+        SELECT day, x, y,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               row_number() OVER (ORDER BY x DESC, day) AS rx_hi,
+               row_number() OVER (ORDER BY y DESC, day) AS ry_hi,
+               row_number() OVER (ORDER BY x ASC, day) AS rx_lo,
+               row_number() OVER (ORDER BY y ASC, day) AS ry_lo
+        FROM j
+    ), k AS (SELECT *, (n + 9) // 10 AS kt FROM r)
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(kt) AS BIGINT) AS k_tail,
+           CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt THEN 1 ELSE 0 END)
+                AS BIGINT) AS joint_upper,
+           CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt THEN 1 ELSE 0 END)
+                AS BIGINT) AS joint_lower,
+           round(CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE), 6) AS lambda_upper,
+           round(CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE), 6) AS lambda_lower
+    FROM k
+"""
+
+ORACLES["duplicate_payment_audit"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(abs(date_diff('day', a.day, b.day)) AS BIGINT) AS day_gap,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.day, b.day)) <= 7
+      AND abs(a.cents - b.cents) * 20 <= greatest(a.cents, b.cents)
+"""
+
+ORACLES["last_digit_uniformity"] = """
+    WITH d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS digit
+        FROM orders
+    ), c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1
+    ), a AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n,
+               CAST(sum(obs * obs) AS BIGINT) AS ss,
+               CAST(min(obs) AS BIGINT) AS min_digit_n,
+               CAST(max(obs) AS BIGINT) AS max_digit_n
+        FROM c
+    )
+    SELECT n, min_digit_n, max_digit_n,
+           round(CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE), 6) AS chi2,
+           CASE WHEN CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE) > 16.918977604620448
+                THEN 1 ELSE 0 END AS nonuniform_95,
+           CASE WHEN CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE) > 27.877
+                THEN 1 ELSE 0 END AS nonuniform_999
+    FROM a
+"""
+
+ORACLES["ucb1_arm_scores"] = """
+    WITH a AS (
+        SELECT event_type AS arm,
+               CAST(count(*) AS BIGINT) AS n_pulls,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ), t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS big_n FROM a)
+    SELECT arm, n_pulls,
+           round(CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0, 6)
+               AS mean_value,
+           round(CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+                 + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                                / CAST(n_pulls AS DOUBLE)), 6) AS ucb_score,
+           CAST(row_number() OVER (
+               ORDER BY CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+                        + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                                       / CAST(n_pulls AS DOUBLE)) DESC,
+                        arm) AS INT) AS rank
+    FROM a CROSS JOIN t
+"""
+
+ORACLES["woe_iv_discount_bins"] = """
+    WITH d AS (
+        SELECT CAST(round(l_discount * 10000) AS BIGINT) AS bin_bp,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), b AS (
+        SELECT bin_bp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_bad
+        FROM d GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n_bad) AS BIGINT) AS tot_bad,
+               CAST(sum(n - n_bad) AS BIGINT) AS tot_good
+        FROM b
+    )
+    SELECT bin_bp, n, n_bad,
+           round(ln((CAST(n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_bad AS DOUBLE) + 0.5)
+                    / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                       / (CAST(tot_good AS DOUBLE) + 0.5))), 6) AS woe,
+           round(((CAST(n_bad AS DOUBLE) + 0.5)
+                  / (CAST(tot_bad AS DOUBLE) + 0.5)
+                  - (CAST(n - n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_good AS DOUBLE) + 0.5))
+                 * ln((CAST(n_bad AS DOUBLE) + 0.5)
+                      / (CAST(tot_bad AS DOUBLE) + 0.5)
+                      / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                         / (CAST(tot_good AS DOUBLE) + 0.5))), 6)
+               AS iv_contrib
+    FROM b CROSS JOIN t
+"""
+
+ORACLES["event_step_paths"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), f AS (SELECT * FROM r WHERE rn <= 4),
+    e AS (
+        SELECT a.rn AS step, a.event_type AS src, b.event_type AS dst
+        FROM f a JOIN f b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+    )
+    SELECT CAST(step AS INT) AS step, src, dst,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM e GROUP BY 1, 2, 3
+"""
+
+ORACLES["cohort_payback_month"] = """
+    WITH first_m AS (
+        SELECT o_custkey,
+               CAST(min(date_trunc('month', o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY 1
+    ), rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('month', f.cohort,
+                              date_trunc('month', o.o_orderdate)) AS BIGINT)
+                   AS offs,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ), size_ AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        FROM first_m GROUP BY 1
+    ), cum AS (
+        SELECT r.cohort, r.offs, s.n_customers,
+               CAST(sum(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.offs
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM rev r JOIN size_ s USING (cohort)
+    )
+    SELECT cohort, CAST(max(n_customers) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum_cents >= n_customers * 5000000
+                         THEN offs END) AS BIGINT) AS payback_offset
+    FROM cum GROUP BY 1
+"""

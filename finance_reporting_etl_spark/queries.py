@@ -7258,6 +7258,528 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_naive_backtest(d, ["event_type"], "day", "c", season=7)
 
 
+@query("gbt_price_residual_stumps",
+    _ORACLES["gbt_price_residual_stumps"],
+    "X4/ML: 2-round gradient boosting with regression stumps — SSE-gain splits from exact integer moments (shared _GB_GAIN template), floor-div leaf predictions keep residuals INTEGRAL so round 2 trains exactly; oracle unrolls both rounds",
+)
+def q_gbt_price_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting's core loop, exactly: fit the best regression stump to
+    extendedprice, subtract its integer leaf means, fit a second stump
+    to the residuals — per-round (split, leaves, RMSE-after). The
+    residual stream staying integral is what lets an iterative
+    ensemble hash-match an independent engine (the xirr lesson applied
+    to ML). Complements the Gini stump family
+    (decision_stump_train/decision_tree_depth2 classify; this
+    regresses). Operator: operators.ml.boosted_reg_stumps."""
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from finance_reporting_etl_spark.operators.ml import boosted_reg_stumps
+
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("f_qty"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("f_disc"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    rows = boosted_reg_stumps(base, ["f_disc", "f_qty"], "y", rounds=2)
+    schema = StructType(
+        [
+            StructField("round", IntegerType()),
+            StructField("feature", StringType()),
+            StructField("thr", LongType()),
+            StructField("pred_l", LongType()),
+            StructField("pred_r", LongType()),
+            StructField("sse", DecimalType(38, 0)),
+            StructField("n", LongType()),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows], schema
+    )
+    return out.select(
+        "round",
+        "feature",
+        "thr",
+        "pred_l",
+        "pred_r",
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("n").cast("double"))
+            / 100.0,
+            2,
+        ).alias("rmse_after"),
+    )
+
+
+@query("pareto_frontier_parts",
+    _ORACLES["pareto_frontier_parts"],
+    "A-tier skyline operator: 2-D Pareto frontier per brand (min price, max size) — ONE sort + running-max window (per-brand bounded), exact integers, deterministic duplicate handling; no pairwise dominance join",
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline query: parts no other same-brand part beats on
+    BOTH price (lower) and size (higher). The classic formulation is
+    an all-pairs dominance anti-join; sorting by (price asc, size
+    desc) reduces it to 'size exceeds the running max of everything
+    cheaper-or-equal' — one bounded window, exact, and duplicates
+    collapse to the lowest partkey."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(
+            F.col("price_cents").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = p.withColumn("prev_max", F.max("p_size").over(w))
+    return r.filter(
+        F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max"))
+    ).drop("prev_max")
+
+
+@query("ab_srm_check",
+    _ORACLES["ab_srm_check"],
+    "A-tier experimentation ops: sample-ratio-mismatch chi-square against the 50/50 design — (nA-nB)^2/n exact-integer statistic, printed chi-square cutoffs; the guardrail that invalidates A/B readouts when assignment is broken",
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first thing a healthy experiment pipeline checks: do the
+    arm sizes match the designed 50/50 split? With E = n/2 the
+    chi-square statistic collapses to (nA-nB)^2/n — one exact integer
+    expression — flagged at 95% and 99.9% (df=1). Uses the SAME ab1
+    arm hash as ab_test_conversion_lift, so this is the guardrail for
+    that exact readout."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(md5_bucket("user_id", 256, salt="ab1") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("arm")
+        )
+    )
+    c = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("n_b"),
+    )
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / F.col("n_users").cast("double")
+    return c.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).cast("int").alias("srm_flag_95"),
+        (chi2 > F.lit(10.827566170662733)).cast("int").alias("srm_flag_999"),
+    )
+
+
+@query("fuzzy_name_match_pairs",
+    _ORACLES["fuzzy_name_match_pairs"],
+    "X2/ER: blocked fuzzy matching with BUILT-IN levenshtein (JVM whole-stage codegen, zero Python) — prefix-block equi-join bounds candidates, edit-distance <= 1 filter, exact integer distances",
+)
+def q_fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical customer names (edit distance <= 1) via the
+    classic blocked fuzzy join: an equi-join on the 14-char name
+    prefix bounds the candidate set (the prefix pins all but the low
+    id digits, so block size is a constant ~10^4 at ANY corpus
+    scale), then Spark's built-in levenshtein — identical to
+    DuckDB's — scores survivors. The string-similarity leg of the ER
+    family (entity_resolution_blocked joins on exact keys; this
+    tolerates typos)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 14).alias("block"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("__na"),
+        F.col("c_nationkey").alias("__ka"),
+        "block",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("__nb"),
+        F.col("c_nationkey").alias("__kb"),
+        "block",
+    )
+    j = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein(F.col("__na"), F.col("__nb"))
+    return j.filter(dist <= 1).select(
+        "id_a",
+        "id_b",
+        dist.cast("int").alias("edit_dist"),
+        (F.col("__ka") == F.col("__kb")).cast("int").alias("same_nation"),
+    )
+
+
+@query("kendall_tau_daily",
+    _ORACLES["kendall_tau_daily"],
+    "§2.5 stats: exact tie-corrected Kendall tau-b over the daily (orders, revenue) series — integer concordance counts via a broadcast NLJ on the calendar-bounded spine (no CartesianProduct), one closed-form float",
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do busier days make more money, measured by pair concordance?
+    Kendall's tau-b between daily order count and daily revenue —
+    the monotone-robust complement to spearman_daily_orders, with
+    exact tie corrections. Operator: operators.stats.kendall_tau_b."""
+    from finance_reporting_etl_spark.operators.stats import kendall_tau_b
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    return kendall_tau_b(d, "day", "x", "y")
+
+
+@query("tail_dependence_segments",
+    _ORACLES["tail_dependence_segments"],
+    "§2.5/risk: empirical upper/lower tail dependence between two segments' daily revenues — exact order-statistic decile tails (integer k = ceil(n/10)), joint exceedance counts, calendar-bounded windows",
+)
+def q_tail_dependence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do BUILDING and MACHINERY crash (and boom) on the SAME days?
+    The empirical tail-dependence coefficients lambda_U / lambda_L:
+    the fraction of each series' top/bottom-decile days that are
+    top/bottom-decile days for BOTH — the copula-level risk signal
+    correlation misses (two series can be 0.9-correlated yet never
+    share their worst days). Tails are exact order statistics, counts
+    are integers, the ratio is the only float."""
+    from pyspark.sql import Window
+
+    seg = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    x = seg.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "day", F.col("cents").alias("x")
+    )
+    y = seg.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "day", F.col("cents").alias("y")
+    )
+    j = x.join(y, "day")
+    r = j.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("x").desc(), F.col("day")))
+        .alias("rx_hi"),
+        F.row_number()
+        .over(Window.orderBy(F.col("y").desc(), F.col("day")))
+        .alias("ry_hi"),
+        F.row_number()
+        .over(Window.orderBy(F.col("x").asc(), F.col("day")))
+        .alias("rx_lo"),
+        F.row_number()
+        .over(Window.orderBy(F.col("y").asc(), F.col("day")))
+        .alias("ry_lo"),
+    ).withColumn("kt", F.expr("(n + 9) div 10"))
+    up = ((F.col("rx_hi") <= F.col("kt")) & (F.col("ry_hi") <= F.col("kt"))).cast(
+        "int"
+    )
+    lo = ((F.col("rx_lo") <= F.col("kt")) & (F.col("ry_lo") <= F.col("kt"))).cast(
+        "int"
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max("kt").cast("bigint").alias("k_tail"),
+        F.sum(up).cast("bigint").alias("joint_upper"),
+        F.sum(lo).cast("bigint").alias("joint_lower"),
+        F.round(
+            F.sum(up).cast("double") / F.max("kt").cast("double"), 6
+        ).alias("lambda_upper"),
+        F.round(
+            F.sum(lo).cast("double") / F.max("kt").cast("double"), 6
+        ).alias("lambda_lower"),
+    )
+
+
+@query("duplicate_payment_audit",
+    _ORACLES["duplicate_payment_audit"],
+    "P-audit/finance forensics: near-duplicate invoice detection — custkey-blocked self-join (per-customer bounded), 7-day window + 5% relative amount band, exact integer gaps; the classic AP duplicate-payment control",
+)
+def q_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-payable control every audit runs: candidate
+    duplicate payments = same customer, order dates within 7 days,
+    amounts within 5% of each other (exact integer comparison:
+    20*|diff| <= max). The self-join blocks on the customer key, so
+    candidates are bounded by per-customer order counts at any scale;
+    both deltas stay exact integers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    a = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("day").alias("__da"),
+        F.col("cents").alias("__ca"),
+    )
+    b = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("day").alias("__db"),
+        F.col("cents").alias("__cb"),
+    )
+    j = a.join(b, "o_custkey").filter(F.col("key_a") < F.col("key_b"))
+    gap = F.abs(F.datediff("__da", "__db"))
+    diff = F.abs(F.col("__ca") - F.col("__cb"))
+    band = diff * 20 <= F.greatest(F.col("__ca"), F.col("__cb"))
+    return j.filter((gap <= 7) & band).select(
+        "o_custkey",
+        "key_a",
+        "key_b",
+        gap.cast("bigint").alias("day_gap"),
+        diff.cast("bigint").alias("cents_diff"),
+    )
+
+
+@query("last_digit_uniformity",
+    _ORACLES["last_digit_uniformity"],
+    "P-audit/finance forensics: last-cents-digit uniformity chi-square (df=9) via the exact identity chi2 = 10*sum(obs^2)/n - n — fabricated amounts fail this before they fail Benford; integer counts, one float",
+)
+def q_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud's other digit test: genuine transaction amounts have
+    UNIFORM last digits (Benford governs the first); human-invented
+    ones don't. The goodness-of-fit statistic collapses algebraically
+    to 10*sum(obs^2)/n - n, so the whole test is two exact integer
+    aggregates and one division. Complements benford_first_digit."""
+    d = _t(spark, sf_dir, "orders").select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 10).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    a = c.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).cast("bigint").alias("ss"),
+        F.min("obs").cast("bigint").alias("min_digit_n"),
+        F.max("obs").cast("bigint").alias("max_digit_n"),
+    )
+    chi2 = (F.lit(10) * F.col("ss")).cast("double") / F.col("n").cast(
+        "double"
+    ) - F.col("n").cast("double")
+    return a.select(
+        "n",
+        "min_digit_n",
+        "max_digit_n",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(16.918977604620448)).cast("int").alias("nonuniform_95"),
+        (chi2 > F.lit(27.877)).cast("int").alias("nonuniform_999"),
+    )
+
+
+@query("ucb1_arm_scores",
+    _ORACLES["ucb1_arm_scores"],
+    "A-tier bandit scoring: UCB1 index per arm (mean + c*sqrt(2 ln N / n)) — deterministic closed form from exact counts (no RNG, unlike Thompson), the exploration-ranking readout of adaptive experimentation",
+)
+def q_ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event stream would a bandit pull next? UCB1 ranks arms
+    by mean observed value plus the optimism bonus, entirely from
+    exact counts — the deterministic member of the bandit family
+    (Thompson sampling needs RNG; UCB1 is a closed form, so it
+    hash-verifies). Exploration scale c=$100 keeps the bonus
+    comparable to the value units."""
+    from pyspark.sql import Window
+
+    a = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__cents"),
+        )
+    )
+    t = a.agg(F.sum("n_pulls").cast("bigint").alias("__big_n"))
+    j = a.crossJoin(F.broadcast(t))
+    mean = F.col("__cents").cast("double") / F.col("n_pulls").cast(
+        "double"
+    ) / F.lit(100.0)
+    ucb = mean + F.lit(100.0) * F.sqrt(
+        F.lit(2.0)
+        * F.log(F.col("__big_n").cast("double"))
+        / F.col("n_pulls").cast("double")
+    )
+    return j.select(
+        "arm",
+        "n_pulls",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(ucb, 6).alias("ucb_score"),
+        F.row_number()
+        .over(Window.orderBy(ucb.desc(), F.col("arm")))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+@query("woe_iv_discount_bins",
+    _ORACLES["woe_iv_discount_bins"],
+    "A-tier credit-scoring feature engineering: weight-of-evidence + information-value per discount bin (Laplace +0.5 smoothing) — the scorecard binning readout; exact integer counts, two floats",
+)
+def q_woe_iv_discount_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorecard binning: how predictive is each discount level of a
+    return ('bad') outcome? WOE = ln(bad-share / good-share) per bin
+    with +0.5 Laplace smoothing (no bin ever divides by zero), and
+    the bin's information-value contribution (dist_bad - dist_good) *
+    WOE. Everything up to the final two expressions is exact integer
+    counting (bins are basis points, outcomes 0/1); the bin totals
+    cross-join a broadcast 1-row aggregate, so the whole query is one
+    shuffle on ~11 bins."""
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("bin_bp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    b = d.groupBy("bin_bp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_bad"),
+    )
+    t = b.agg(
+        F.sum("n_bad").cast("bigint").alias("__tot_bad"),
+        F.sum(F.col("n") - F.col("n_bad")).cast("bigint").alias("__tot_good"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    dist_bad = (F.col("n_bad").cast("double") + F.lit(0.5)) / (
+        F.col("__tot_bad").cast("double") + F.lit(0.5)
+    )
+    dist_good = ((F.col("n") - F.col("n_bad")).cast("double") + F.lit(0.5)) / (
+        F.col("__tot_good").cast("double") + F.lit(0.5)
+    )
+    woe = F.log(dist_bad / dist_good)
+    return j.select(
+        "bin_bp",
+        "n",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((dist_bad - dist_good) * woe, 6).alias("iv_contrib"),
+    )
+
+
+@query("event_step_paths",
+    _ORACLES["event_step_paths"],
+    "§2.5 funnel step transitions: (step, src, dst) transition counts over each user's first 4 events — the position-aware Sankey input; lead window replaces the oracle's self-join",
+)
+def q_event_step_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Sankey-diagram input: for each user's first four events,
+    how many journeys moved src->dst at step k. The oracle builds
+    pairs with a rn = rn+1 self-join; Spark gets the same pairs from
+    ONE pass — row_number and lead share the same user window, so
+    there is a single per-user sort and no second shuffle. Counts are
+    exact integers; the step cap bounds the fan-out at 3 rows per
+    user regardless of history length."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.row_number().over(w).alias("rn"),
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter((F.col("rn") <= 3) & F.col("dst").isNotNull())
+    )
+    return s.groupBy(
+        F.col("rn").cast("int").alias("step"), "src", "dst"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query("cohort_payback_month",
+    _ORACLES["cohort_payback_month"],
+    "A-tier unit economics: CAC payback month per signup cohort — first month the cohort's cumulative revenue covers $50k/customer acquisition cost; cohort-partitioned running sum, integer cents",
+)
+def q_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payback-period readout on top of the LTV curve machinery:
+    for each first-order cohort, the earliest month offset at which
+    cumulative cohort revenue reaches n_customers * $50,000 (the
+    stand-in acquisition cost). Revenue folds to integer cents per
+    (cohort, offset) BEFORE the window, so the running sum is exact
+    and partitions by cohort (never global); cohort sizes ride the
+    same join. NULL payback = cohort never recovered CAC in the data
+    window — kept, not dropped (the honest readout)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).cast("date").alias("cohort")
+    )
+    sizes = first_m.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate").cast("date"), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("offs"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w)).join(
+        F.broadcast(sizes), "cohort"
+    )
+    return cum.groupBy("cohort").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.min(
+            F.when(
+                F.col("cum_cents") >= F.col("n_customers") * F.lit(5000000),
+                F.col("offs"),
+            )
+        )
+        .cast("bigint")
+        .alias("payback_offset"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7382,6 +7904,18 @@ _GATE_NEXT = [
     "zipf_law_fit",
     "mahalanobis_outlier_events",
     "seasonal_naive_backtest",
+    "gbt_price_residual_stumps",
+    "pareto_frontier_parts",
+    "ab_srm_check",
+    "fuzzy_name_match_pairs",
+    "kendall_tau_daily",
+    "tail_dependence_segments",
+    "duplicate_payment_audit",
+    "last_digit_uniformity",
+    "ucb1_arm_scores",
+    "woe_iv_discount_bins",
+    "event_step_paths",
+    "cohort_payback_month",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -72,3 +72,21 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver records only the last 2000 chars of bench output and
+    parses the final line as JSON; rounds 4-5 lost all bench numbers to
+    an over-long line ("parsed": null). The compact line must stay under
+    2000 chars for ANY headline-count timing dict and still round-trip."""
+    import json
+
+    import bench
+
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    line = bench.compact_line(timings, 0.1)
+    assert len(line) + 1 <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert 0 < len(parsed["queries"]) <= len(bench.HEADLINE)

@@ -3360,3 +3360,87 @@ def test_wac_fold_matches_python_reference_with_cap(spark):
     }
     assert got[1] == ref(events)
     assert got[2] == ref([(7, 770), (-2, 340)])
+
+
+def test_boosted_reg_stumps_matches_bruteforce(spark):
+    """Round-1 split must equal the O(n*values) brute-force best SSE
+    split; residuals and the round-2 split re-derive from it."""
+    from finance_reporting_etl_spark.operators.ml import boosted_reg_stumps
+
+    rows = [
+        (1, 10, 100), (2, 10, 120), (3, 10, 130), (4, 20, 500),
+        (5, 20, 520), (6, 30, 900), (7, 30, 910), (8, 30, 950),
+    ]
+    base = spark.createDataFrame(rows, "f_a long, f_b long, y long")
+
+    def best_split(data, feats):
+        # data: list of dicts with feats + y
+        cand = []
+        for f_ in feats:
+            vals = sorted({d[f_] for d in data})
+            for thr in vals[:-1]:
+                l = [d["y"] for d in data if d[f_] <= thr]
+                r = [d["y"] for d in data if d[f_] > thr]
+                gain = (
+                    sum(l) ** 2 / len(l)
+                    + sum(r) ** 2 / len(r)
+                    - sum(d["y"] for d in data) ** 2 / len(data)
+                )
+                cand.append((-gain, f_, thr, sum(l) // len(l), sum(r) // len(r)))
+        cand.sort()
+        return cand[0]
+
+    feats = ["f_a", "f_b"]
+    data = [dict(zip(feats + ["y"], r)) for r in rows]
+    got = boosted_reg_stumps(base, feats, "y", rounds=2)
+    _, f1, t1, pl1, pr1 = best_split(data, feats)
+    assert (got[0][1], got[0][2], got[0][3], got[0][4]) == (f1, t1, pl1, pr1)
+    # replay residuals and check round 2 + SSE
+    for d in data:
+        d["y"] = d["y"] - (pl1 if d[f1] <= t1 else pr1)
+    _, f2, t2, pl2, pr2 = best_split(data, feats)
+    assert (got[1][1], got[1][2], got[1][3], got[1][4]) == (f2, t2, pl2, pr2)
+    for d in data:
+        d["y"] = d["y"] - (pl2 if d[f2] <= t2 else pr2)
+    assert int(got[1][5]) == sum(d["y"] ** 2 for d in data)
+
+
+def test_pareto_frontier_matches_pairwise_dominance(spark):
+    from finance_reporting_etl_spark.queries import CATALOG  # noqa: F401
+    from pyspark.sql import Window
+
+    # replicate the operator inline on a literal frame, then check
+    # against the O(n^2) dominance definition (min price, max size)
+    rows = [
+        ("b", 1, 100, 5), ("b", 2, 100, 5), ("b", 3, 90, 3),
+        ("b", 4, 120, 9), ("b", 5, 80, 1), ("b", 6, 110, 9),
+        ("c", 7, 50, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, price long, size long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("price").asc(), F.col("size").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = sorted(
+        r.id
+        for r in df.withColumn("pm", F.max("size").over(w))
+        .filter(F.col("pm").isNull() | (F.col("size") > F.col("pm")))
+        .collect()
+    )
+    # brute force: keep row unless strictly dominated, or duplicated
+    # by a lower id
+    keep = []
+    for g, i, p, s in rows:
+        dominated = any(
+            gg == g
+            and (
+                (pp <= p and ss > s)
+                or (pp < p and ss >= s)
+                or (pp == p and ss == s and ii < i)
+            )
+            for gg, ii, pp, ss in rows
+        )
+        if not dominated:
+            keep.append(i)
+    assert got == sorted(keep)

@@ -293,3 +293,41 @@ def test_mahalanobis_singular_cov_flags_nothing(spark):
     df = spark.createDataFrame(rows, "g string, x long, y long")
     got = stats.mahalanobis2_outliers(df, ["g"], "x", "y").collect()[0]
     assert got.n_outliers == 0
+
+
+def test_kendall_tau_matches_scipy_formula(spark):
+    """Pin tau-b to the O(n^2) textbook computation with ties."""
+    xs = [3, 5, 5, 7, 2, 9, 5, 1, 7, 4]
+    ys = [1, 4, 4, 9, 2, 8, 3, 1, 9, 4]
+    rows = [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "o int, x long, y long")
+    got = stats.kendall_tau_b(df, "o", "x", "y").collect()[0]
+    C = D = tx = ty = txy = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    tau = (C - D) / math.sqrt((n0 - tx - txy) * (n0 - ty - txy))
+    assert got.n_pairs == n0
+    assert (got.concordant, got.discordant) == (C, D)
+    assert got.tau_b == pytest.approx(round(tau, 6), abs=1e-9)
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    rows = [(i, i, i * 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "o int, x long, y long")
+    assert stats.kendall_tau_b(df, "o", "x", "y").collect()[0].tau_b == 1.0
+    rows = [(i, i, -3 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, "o int, x long, y long")
+    assert stats.kendall_tau_b(df, "o", "x", "y").collect()[0].tau_b == -1.0
