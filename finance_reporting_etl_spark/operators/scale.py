@@ -293,3 +293,41 @@ def join_key_skew_profile(df, key_col: str, k: int = 20):
         "key", "n", "share", "skew_factor",
         F.row_number().over(wr).cast("long").alias("rank"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_cols: list[str],
+    file_id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance job a
+    100 TB table needs continuously (streaming ingest leaves thousands
+    of KB-scale files per partition; scans then pay one task + one
+    open per file).
+
+    Groups each partition's files into rewrite bins of ~``target_bytes``
+    with the SQL-expressible next-fit-decreasing rule: order files by
+    size DESC (then file id, so the plan is deterministic), take the
+    EXCLUSIVE running sum, and bin = excl_cumsum div target. One
+    window per partition — the window is per-PARTITION, never global,
+    so the plan itself scales with the table. Oversized files (size >=
+    target) land alone in their leading bins, exactly what a compactor
+    wants (rewrite them only if splitting). Emits the per-file plan:
+    partition, file, size, bin_id.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(size_col).desc(), F.col(file_id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    return files.select(
+        *partition_cols,
+        file_id_col,
+        F.col(size_col).cast("bigint").alias(size_col),
+        (excl / F.lit(target_bytes)).cast("bigint").alias("bin_id"),
+    )
