@@ -229,6 +229,18 @@ HEADLINE = [
     "woe_iv_discount_bins",
     "event_step_paths",
     "cohort_payback_month",
+    # round-7 additions
+    "compaction_bin_packing",
+    "price_volume_mix_decomposition",
+    "cuped_adjusted_lift",
+    "diff_in_diff_discount",
+    "sharpe_sortino_daily",
+    "hurst_exponent_rs",
+    "token_dist_kl_divergence",
+    "minmax_file_skipping",
+    "granger_causality_ftest",
+    "isotonic_calibration_pava",
+    "gdpr_delete_cascade",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

@@ -85,10 +85,15 @@ def bloom_probe(
     k: int,
 ) -> DataFrame:
     """Probe each key against the built bits: adds ``bloom_positive``
-    (1 iff all k positions are set). Shape: probes explode x k, one
-    BROADCAST join against the <= m-row bit set, one groupBy back to
-    the key grain — never a shuffle sized by the member set."""
-    keyed = probes.select(
+    (1 iff all k positions are set). Shape: DISTINCT probe keys
+    explode x k, one BROADCAST join against the <= m-row bit set, one
+    groupBy back to the key grain, and the flag joins back to every
+    probe row — never a shuffle sized by the member set. Probing the
+    distinct keys (not rows) keeps the all-k-set test exact when a key
+    appears more than once: grouping raw rows would accumulate m*k
+    hits for a key seen m times and fail ``== k`` — a false negative,
+    which a Bloom filter must never produce."""
+    keyed = probes.select(key_col).distinct().select(
         F.col(key_col),
         F.posexplode(F.array(*bloom_positions(key_col, salt, m, k))).alias(
             "__i", "__p"
@@ -124,7 +129,8 @@ def bloom_oracle_sql(
     WITH mem AS ({members_sql}),
     probes AS ({probes_sql}),
     bits AS (SELECT DISTINCT unnest([{lst}]) AS pos FROM mem),
-    pp AS (SELECT k, unnest([{lst}]) AS pos FROM probes),
+    pp AS (SELECT k, unnest([{lst}]) AS pos
+           FROM (SELECT DISTINCT k FROM probes)),
     hits AS (SELECT pp.k, count(*) AS h
              FROM pp JOIN bits USING (pos) GROUP BY 1),
     flag AS (

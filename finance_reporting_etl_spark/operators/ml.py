@@ -957,6 +957,75 @@ def ols2_oracle_sql(src_sql: str, group_sql: str) -> str:
     """
 
 
+# Granger-causality F-test templates over the SAME ten moment names as
+# _OLS2 (shared Spark<->oracle text). Restricted model regresses y on
+# x1 (own lag) + intercept; unrestricted adds x2 (the candidate cause's
+# lag); with q = 1 restriction, F = (RSS_r - RSS_u) * (n - 3) / RSS_u.
+_GRANGER_RSS_R = (
+    "((syy - sy*sy/n)"
+    " - (s1y - sx1*sy/n)*(s1y - sx1*sy/n) / nullif(s11 - sx1*sx1/n, 0.0))"
+)
+_GRANGER_F = (
+    f"((({_GRANGER_RSS_R}) - ({_OLS2_SSE})) * (n - 3.0))"
+    f" / nullif({_OLS2_SSE}, 0.0)"
+)
+
+
+def granger_f(xy: DataFrame, x1_col: str, x2_col: str, y_col: str) -> DataFrame:
+    """Granger-style lag F-test: does adding ``x2_col`` (the candidate
+    cause's lag) to an AR(1) model of ``y_col`` on ``x1_col`` (its own
+    lag) reduce residual variance more than chance? Inputs must be
+    INTEGERS (the ols2_cramer exactness contract); the ten moment sums
+    accumulate in DECIMAL(38,0), both RSS values and the F statistic
+    are closed forms over their one-time double casts, evaluated from
+    the SAME ``_GRANGER_*``/``_OLS2_*`` SQL text in both engines. One
+    1-row scalar aggregate; the caller supplies the lagged frame."""
+    d = F.col(x1_col).cast("decimal(38,0)")
+    e = F.col(x2_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("decimal(38,0)").cast("double").alias("n"),
+        F.sum(d).cast("double").alias("sx1"),
+        F.sum(e).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(d * d).cast("double").alias("s11"),
+        F.sum(d * e).cast("double").alias("s12"),
+        F.sum(e * e).cast("double").alias("s22"),
+        F.sum(d * y).cast("double").alias("s1y"),
+        F.sum(e * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return m.select(
+        "n_obs",
+        F.round(F.expr(_OLS2_FORMS["b1"]), 6).alias("beta_own_lag"),
+        F.round(F.expr(_OLS2_FORMS["b2"]), 6).alias("beta_cause_lag"),
+        F.round(F.expr(_GRANGER_RSS_R), 2).alias("rss_restricted"),
+        F.round(F.expr(_OLS2_SSE), 2).alias("rss_unrestricted"),
+        F.round(F.expr(_GRANGER_F), 6).alias("f_stat"),
+    )
+
+
+def granger_oracle_sql(src_sql: str) -> str:
+    """DuckDB twin of :func:`granger_f`. ``src_sql`` must yield integer
+    (x1, x2, y) rows (already lagged)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    m AS (
+        {_ols2_moments_select("1 AS g")},
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM src GROUP BY 1
+    )
+    SELECT n_obs,
+           round({_OLS2_FORMS["b1"]}, 6) AS beta_own_lag,
+           round({_OLS2_FORMS["b2"]}, 6) AS beta_cause_lag,
+           round({_GRANGER_RSS_R}, 2) AS rss_restricted,
+           round({_OLS2_SSE}, 2) AS rss_unrestricted,
+           round({_GRANGER_F}, 6) AS f_stat
+    FROM m
+    """
+
+
 # Regression-stump templates shared Spark<->oracle (the _OLS2 pattern):
 # moment columns nl/sl/nr/sr/n/s are EXACT integers; *_d are their
 # one-time double casts; gain is the SSE-reduction identity

@@ -325,9 +325,14 @@ def compaction_plan(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     excl = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    # exact integer division (`div`), not float `/` + cast: cumulative
+    # sizes past 2^53 bytes would round in the double and could
+    # misassign boundary files
     return files.select(
         *partition_cols,
         file_id_col,
         F.col(size_col).cast("bigint").alias(size_col),
-        (excl / F.lit(target_bytes)).cast("bigint").alias("bin_id"),
-    )
+        excl.alias("__excl"),
+    ).withColumn(
+        "bin_id", F.expr(f"__excl div {int(target_bytes)}").cast("bigint")
+    ).drop("__excl")

@@ -5207,3 +5207,352 @@ ORACLES["cohort_payback_month"] = """
                          THEN offs END) AS BIGINT) AS payback_offset
     FROM cum GROUP BY 1
 """
+
+# ---------------------------------------------------------------- round 7
+
+ORACLES["compaction_bin_packing"] = """
+    WITH f AS (
+        SELECT l_returnflag AS pt_flag, l_linestatus AS pt_status,
+               l_suppkey AS file_id,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS size_bytes
+        FROM lineitem GROUP BY 1, 2, 3
+    ), e AS (
+        SELECT pt_flag, pt_status, file_id, size_bytes,
+               CAST(coalesce(sum(size_bytes) OVER (
+                        PARTITION BY pt_flag, pt_status
+                        ORDER BY size_bytes DESC, file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS excl
+        FROM f
+    )
+    SELECT pt_flag, pt_status, file_id, size_bytes,
+           CAST(excl // 100000000 AS BIGINT) AS bin_id
+    FROM e
+"""
+
+ORACLES["price_volume_mix_decomposition"] = """
+    WITH y AS (
+        SELECT p.p_brand AS brand,
+               CAST(year(l.l_shipdate) AS INT) AS yr,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1999-01-01'
+        GROUP BY 1, 2
+    ), w AS (
+        SELECT a.brand,
+               a.qty AS q0, a.cents AS c0, b.qty AS q1, b.cents AS c1,
+               CAST(a.cents AS DOUBLE) / a.qty AS p0,
+               CAST(b.cents AS DOUBLE) / b.qty AS p1
+        FROM (SELECT * FROM y WHERE yr = 1997) a
+        JOIN (SELECT * FROM y WHERE yr = 1998) b USING (brand)
+        WHERE a.qty > 0 AND b.qty > 0
+    )
+    SELECT brand,
+           round(c0 / 100.0, 2) AS rev_base,
+           round(c1 / 100.0, 2) AS rev_curr,
+           round((p1 - p0) * q0 / 100.0, 2) AS price_effect,
+           round((q1 - q0) * p0 / 100.0, 2) AS volume_effect,
+           round((p1 - p0) * (q1 - q0) / 100.0, 2) AS mix_effect
+    FROM w
+"""
+
+ORACLES["cuped_adjusted_lift"] = """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR) || 'cuped'), 1, 1)) - 1) * 16
+                       + (instr('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR) || 'cuped'), 2, 1)) - 1)
+                         AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM u
+    ), arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sxa,
+               CAST(sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS sxb,
+               CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sya,
+               CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS syb
+        FROM u
+    ), t AS (
+        SELECT n, na, nb,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / nullif(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n, 0)
+                   AS theta,
+               CAST(sx AS DOUBLE) / n AS mx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+                   AS var_y,
+               sxa, sxb, sya, syb, sxx, syy, sxy, sx, sy
+        FROM g CROSS JOIN arms
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(theta, 6) AS theta,
+           round((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+                 / 100.0, 6) AS raw_lift,
+           round(((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
+                  - (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)))
+                 / 100.0, 6) AS adjusted_lift,
+           round(1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                        - 2 * theta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                        + theta * theta
+                          * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0),
+                 6) AS var_reduction
+    FROM t
+"""
+
+ORACLES["diff_in_diff_discount"] = """
+    WITH c AS (
+        SELECT CASE WHEN CAST(substr(p.p_brand, 7) AS INT) % 2 = 1
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN l.l_shipdate >= DATE '1998-01-01'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(l.l_discount * 10000) AS BIGINT) AS bp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), g AS (
+        SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(bp) AS BIGINT) AS s
+        FROM c GROUP BY 1, 2
+    ), m AS (
+        SELECT max(CASE WHEN treated = 1 AND post = 1
+                        THEN CAST(s AS DOUBLE) / n END) AS t1,
+               max(CASE WHEN treated = 1 AND post = 0
+                        THEN CAST(s AS DOUBLE) / n END) AS t0,
+               max(CASE WHEN treated = 0 AND post = 1
+                        THEN CAST(s AS DOUBLE) / n END) AS c1,
+               max(CASE WHEN treated = 0 AND post = 0
+                        THEN CAST(s AS DOUBLE) / n END) AS c0
+        FROM g
+    )
+    SELECT round(t0, 6) AS treated_pre_bp, round(t1, 6) AS treated_post_bp,
+           round(c0, 6) AS control_pre_bp, round(c1, 6) AS control_post_bp,
+           round((t1 - t0) - (c1 - c0), 6) AS did_bp
+    FROM m
+"""
+
+ORACLES["sharpe_sortino_daily"] = """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), l AS (
+        SELECT event_type,
+               cents - lag(cents) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS dlt
+        FROM d
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dlt) AS BIGINT) AS s,
+               CAST(sum(dlt * dlt) AS BIGINT) AS q,
+               CAST(sum(CASE WHEN dlt < 0 THEN dlt * dlt ELSE 0 END)
+                    AS BIGINT) AS qd
+        FROM l WHERE dlt IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_pnl,
+           round((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0),
+                 6) AS sharpe,
+           round((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0), 6)
+               AS sortino
+    FROM g
+"""
+
+ORACLES["hurst_exponent_rs"] = """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY day) - 1 AS rn
+        FROM d
+    ), sizes AS (SELECT unnest([8, 16, 32, 64]) AS wn),
+    blk AS (
+        SELECT s.wn, r.rn // s.wn AS b, r.rn % s.wn AS i, r.cents
+        FROM r CROSS JOIN sizes s
+    ), full_b AS (
+        SELECT wn, b FROM blk GROUP BY 1, 2 HAVING count(*) = wn
+    ), st AS (
+        SELECT k.wn, k.b, k.i, k.cents,
+               CAST(sum(k.cents) OVER (PARTITION BY k.wn, k.b ORDER BY k.i
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(k.cents) OVER (PARTITION BY k.wn, k.b) AS BIGINT)
+                   AS tot,
+               CAST(sum(k.cents * k.cents) OVER (PARTITION BY k.wn, k.b)
+                    AS BIGINT) AS totq
+        FROM blk k JOIN full_b f ON k.wn = f.wn AND k.b = f.b
+    ), dev AS (
+        SELECT wn, b,
+               max(cum - (i + 1) * (CAST(tot AS DOUBLE) / wn))
+                   - min(cum - (i + 1) * (CAST(tot AS DOUBLE) / wn)) AS rng,
+               sqrt((max(totq) - max(tot) * (CAST(max(tot) AS DOUBLE) / wn))
+                    / wn) AS sd
+        FROM st GROUP BY 1, 2
+    ), per_n AS (
+        SELECT wn, CAST(count(*) AS BIGINT) AS n_blocks,
+               avg(rng / sd) AS avg_rs
+        FROM dev WHERE sd > 0 GROUP BY 1
+    ), fit AS (
+        SELECT (sum(ln(wn) * ln(avg_rs)) - sum(ln(wn)) * sum(ln(avg_rs)) / count(*))
+               / (sum(ln(wn) * ln(wn)) - sum(ln(wn)) * sum(ln(wn)) / count(*))
+                   AS h
+        FROM per_n
+    )
+    SELECT CAST(p.wn AS INT) AS window_days, p.n_blocks,
+           round(p.avg_rs, 6) AS avg_rs, round(f.h, 6) AS hurst
+    FROM per_n p CROSS JOIN fit f
+"""
+
+ORACLES["token_dist_kl_divergence"] = f"""
+    WITH tok AS (
+        SELECT lang, unnest({_TOKS}) AS t FROM documents
+    ), lt AS (
+        SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), ltot AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM lt GROUP BY 1
+    ), ct AS (
+        SELECT t, CAST(sum(c) AS BIGINT) AS c FROM lt GROUP BY 1
+    ), ctot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct)
+    SELECT lt.lang, max(ltot.n) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(sum((CAST(lt.c AS DOUBLE) / ltot.n)
+                     * ln((CAST(lt.c AS DOUBLE) / ltot.n)
+                          / (CAST(ct.c AS DOUBLE) / ctot.n))), 6)
+               AS kl_to_corpus
+    FROM lt JOIN ltot USING (lang)
+    JOIN ct USING (t) CROSS JOIN ctot
+    GROUP BY 1
+"""
+
+ORACLES["minmax_file_skipping"] = """
+    WITH f AS (
+        SELECT l_suppkey AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS min_c,
+               CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_c
+        FROM lineitem GROUP BY 1
+    ), preds AS (
+        SELECT unnest([100000, 1000000, 5000000, 9000000]) AS lo_c
+    )
+    SELECT CAST(p.lo_c AS BIGINT) AS predicate_min_cents,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS skipped_files,
+           CAST(sum(CASE WHEN f.max_c < p.lo_c THEN f.n_rows ELSE 0 END)
+                AS BIGINT) AS skipped_rows,
+           round(CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS skip_ratio
+    FROM f CROSS JOIN preds p
+    GROUP BY 1
+"""
+
+from finance_reporting_etl_spark.operators.ml import (  # noqa: E402
+    granger_oracle_sql as _granger_sql,
+)
+
+ORACLES["granger_causality_ftest"] = _granger_sql("""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS yc,
+               CAST(count(*) AS BIGINT) AS xc
+        FROM orders GROUP BY 1
+    ), l AS (
+        SELECT yc AS y,
+               lag(yc) OVER (ORDER BY day) AS x1,
+               lag(xc) OVER (ORDER BY day) AS x2
+        FROM d
+    )
+    SELECT x1, x2, y FROM l WHERE x1 IS NOT NULL
+""")
+
+ORACLES["isotonic_calibration_pava"] = """
+    WITH b AS (
+        SELECT CAST(round(l_discount * 100) AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ), c AS (
+        SELECT bin, n, r,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(r) OVER (ORDER BY bin) AS BIGINT) AS cr
+        FROM b
+    ), pairs AS (
+        SELECT i.bin AS ib, j.bin AS jb,
+               CAST(j.cr - (i.cr - i.r) AS DOUBLE)
+                   / (j.cn - (i.cn - i.n)) AS wavg
+        FROM c i JOIN c j ON i.bin <= j.bin
+    ), m1 AS (
+        SELECT p.ib, t.bin AS tb, min(p.wavg) AS mn
+        FROM pairs p JOIN c t ON p.ib <= t.bin AND t.bin <= p.jb
+        GROUP BY 1, 2
+    ), iso AS (
+        SELECT tb AS bin, max(mn) AS iso_rate FROM m1 GROUP BY 1
+    )
+    SELECT c.bin AS discount_pct, c.n AS n_rows,
+           round(CAST(c.r AS DOUBLE) / c.n, 6) AS raw_rate,
+           round(i.iso_rate, 6) AS iso_rate
+    FROM c JOIN iso i ON c.bin = i.bin
+"""
+
+ORACLES["gdpr_delete_cascade"] = """
+    WITH del AS (
+        SELECT c_custkey FROM customer
+        WHERE CAST((instr('0123456789abcdef',
+                  substr(md5(CAST(c_custkey AS VARCHAR) || 'gdpr'), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef',
+                  substr(md5(CAST(c_custkey AS VARCHAR) || 'gdpr'), 2, 1)) - 1)
+                 AS BIGINT) < 3
+    ), delo AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)
+    ), cc AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN c_custkey IN (SELECT c_custkey FROM del)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS purged
+        FROM customer
+    ), oo AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS purged
+        FROM orders
+    ), ll AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delo)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS purged
+        FROM lineitem
+    )
+    SELECT 'customer' AS table_name, purged AS rows_purged,
+           total - purged AS rows_retained FROM cc
+    UNION ALL
+    SELECT 'orders', purged, total - purged FROM oo
+    UNION ALL
+    SELECT 'lineitem', purged, total - purged FROM ll
+"""

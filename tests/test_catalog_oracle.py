@@ -11,6 +11,7 @@ import pytest
 from finance_reporting_etl_spark.queries import CATALOG
 from tests.conftest import SF_SMOKE
 from tests.oracle_util import assert_matches_oracle
+from tests.plan_allowlist import SP_ALLOW
 
 ORACLE_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is None)
@@ -28,6 +29,18 @@ def test_query_matches_oracle(spark, duck, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    # SinglePartition budget: every site must be consciously
+    # whitelisted via the audited allowlist (bounded classes only —
+    # scalar aggs, post-limit rank windows, calendar/bucket spines).
+    # A new query that sneaks in a global window/sort fails HERE at
+    # sf0.001 instead of costing a bench round (r6 verdict task 8).
+    sp = plan.count("SinglePartition")
+    assert sp <= SP_ALLOW.get(name, 0), (
+        f"{name}: {sp} SinglePartition site(s), budget "
+        f"{SP_ALLOW.get(name, 0)} — if bounded-by-construction, "
+        "regenerate tests/plan_allowlist.py via tools/plan_audit.py "
+        "and document the class in PLANS.md"
+    )
     assert_matches_oracle(df, duck, entry.oracle)
 
 

@@ -3106,6 +3106,17 @@ def test_bloom_filter_no_false_negatives_and_python_parity(spark):
     assert got == exp_flag
     assert all(got[key] == 1 for key in member_keys)  # no false negatives
 
+    # duplicate probe keys: a member seen m>1 times must still probe
+    # positive (regression: grouping hits by raw rows accumulated m*k
+    # hits and failed the == k test — a Bloom false negative)
+    dup_probes = spark.createDataFrame(
+        [(x,) for x in probe_keys + member_keys + member_keys[:2]], "k long"
+    )
+    dup = bloom_probe(dup_probes, "k", bits, salt, m, k).collect()
+    assert len(dup) == len(probe_keys) + len(member_keys) + 2  # row grain kept
+    for r in dup:
+        assert r.bloom_positive == exp_flag[r.k]
+
 
 def test_survivorship_policies_and_tiebreaks(spark):
     from finance_reporting_etl_spark.operators.dedup import (

@@ -167,6 +167,46 @@ def test_gate_window_covers_unproven_queries():
         )
 
 
+def test_plan_audit_covers_catalog():
+    """PLAN_AUDIT.md must have one row per catalog query — a stale
+    audit (r6 verdict: 207 rows vs 254 queries) is exactly the window
+    where the fuzzy-blocking skew defect went uncensused. Regenerate
+    with tools/plan_audit.py after adding queries."""
+    import pathlib
+    import re
+
+    from tests.plan_allowlist import SP_ALLOW
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    text = (root / "PLAN_AUDIT.md").read_text()
+    rows = re.findall(r"^\| (\S+?)( \*)? \| \d+ \|", text, re.M)
+    audited = {m[0] for m in rows}
+    assert audited == set(CATALOG), (
+        f"audit missing {sorted(set(CATALOG) - audited)[:10]}, "
+        f"extra {sorted(audited - set(CATALOG))[:10]}"
+    )
+    # the committed SP allowlist is generated by the same run — it can
+    # never reference a query the audit (and catalog) doesn't have
+    assert set(SP_ALLOW) <= set(CATALOG)
+
+
+def test_sp_gate_catches_degenerate_global_window(spark):
+    """The SinglePartition budget gate (test_query_matches_oracle) must
+    see a deliberately-degenerate plan: a full-table window with no
+    partitionBy funnels ALL rows through one partition — the exact
+    shape the budget-0 default rejects for unlisted queries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, SF_SMOKE + "/lineitem.parquet")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    df = li.withColumn("rn", F.row_number().over(w))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") >= 1  # detector fires -> budget 0 fails
+
+
 def test_grouping_sets_is_one_expand_pass(spark, capsys):
     """GROUPING SETS must compile to a single scan + Expand + one
     aggregation, not four unioned groupBys (four scans/shuffles)."""
