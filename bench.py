@@ -292,12 +292,26 @@ def main() -> None:
     # apples-to-apples with rounds 1-2 (ADVICE r3: best-of-3 would lower
     # the headline number without any real speedup).
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # a single failing query must cost its own slot, not the
+            # whole round's numbers: record the error, keep timing the
+            # rest (a crash here left BENCH_r07 unparseable otherwise)
+            try:
+                CATALOG[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                continue
             timings[name] = min(timings[name], time.perf_counter() - t0)
-    timings = {name: round(t, 3) for name, t in timings.items()}
+    timings = {
+        name: round(t, 3)
+        for name, t in timings.items()
+        if t != float("inf")
+    }
+    if errors:
+        print(json.dumps({"bench_errors": errors}))
 
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
@@ -312,6 +326,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "errors": errors,
             },
             f,
             indent=1,

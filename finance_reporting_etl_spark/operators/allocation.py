@@ -165,9 +165,9 @@ def straight_line_schedule(
     calendar-table join). With UNIT weights the largest-remainder
     split has a CLOSED FORM — every month gets floor(total/n) and the
     first ``pmod(total, n)`` months (month order) get the extra cent —
-    so no group window is needed at all: ``posexplode`` carries the
-    month index, n is ``size`` of the spine, and the allocation is one
-    per-row expression. Identical cents to the
+    so no group window is needed at all: ``posexplode`` over an integer
+    index spine carries the month index, n is ``months_between`` of the
+    truncated endpoints, and the allocation is one per-row expression. Identical cents to the
     ``prorate_largest_remainder`` formulation it replaces (rem =
     pmod(total*1, n) is constant within a group, so the rank order is
     purely the month tie-break), measured ~3x cheaper at sf0.1 (the
@@ -178,26 +178,36 @@ def straight_line_schedule(
     start month rather than silently vanishing. Totals must be
     non-negative (floor/pmod agree across engines there).
     """
-    seq = F.sequence(
-        F.date_trunc("month", F.col(start_col)).cast("date"),
-        F.date_trunc(
-            "month",
-            F.greatest(F.col(end_col), F.col(start_col)),
-        ).cast("date"),
-        F.expr("interval 1 month"),
-    )
+    # spine length and month values come from SCALAR date math, not
+    # from exploding an array of dates: the earlier date-sequence form
+    # left Catalyst recomputing size(sequence(...)) — a fresh month
+    # array — on every EXPLODED row (2.7M array builds at sf0.1, ~24s
+    # noop-write; round-7 profile). months_between on month-truncated
+    # dates is exactly integral, the exploded array is cheap bigints,
+    # and add_months reconstructs each month from the index.
+    start_m = F.date_trunc("month", F.col(start_col)).cast("date")
+    end_m = F.date_trunc(
+        "month", F.greatest(F.col(end_col), F.col(start_col))
+    ).cast("date")
+    n = (F.months_between(end_m, start_m) + 1).cast("bigint")
     d = spans.select(
         key_col,
         total_cents_col,
-        F.size(seq).cast("bigint").alias("__n"),
-        F.posexplode(seq).alias("__i", "month"),
+        start_m.alias("__m0"),
+        n.alias("__n"),
+    ).select(
+        key_col,
+        total_cents_col,
+        "__m0",
+        "__n",
+        F.posexplode(F.expr("sequence(0L, __n - 1)")).alias("__i", "__k"),
     )
     rem = F.pmod(F.col(total_cents_col), F.col("__n"))
     base = F.expr(f"({total_cents_col} - pmod({total_cents_col}, __n)) div __n")
     return d.select(
         key_col,
         total_cents_col,
-        "month",
+        F.add_months("__m0", F.col("__i")).alias("month"),
         (base + (F.col("__i") < rem).cast("bigint")).alias("alloc_cents"),
     )
 

@@ -5402,8 +5402,9 @@ ORACLES["hurst_exponent_rs"] = """
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
                CAST(sum(k.cents) OVER (PARTITION BY k.wn, k.b) AS BIGINT)
                    AS tot,
-               CAST(sum(k.cents * k.cents) OVER (PARTITION BY k.wn, k.b)
-                    AS BIGINT) AS totq
+               CAST(sum(CAST(k.cents AS HUGEINT) * k.cents)
+                        OVER (PARTITION BY k.wn, k.b)
+                    AS DOUBLE) AS totq
         FROM blk k JOIN full_b f ON k.wn = f.wn AND k.b = f.b
     ), dev AS (
         SELECT wn, b,

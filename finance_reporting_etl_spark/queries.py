@@ -6402,8 +6402,10 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_ship",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_c"),
     )
+    # the ship agg broadcasts, so the explode stage would otherwise run
+    # on the orders scan's 1-2 input splits; no-op at scale
     sched = straight_line_schedule(
-        o, "o_orderkey", "o_orderdate", "last_ship", "t_c"
+        spread(o), "o_orderkey", "o_orderdate", "last_ship", "t_c"
     )
     # straight_line_schedule emits exactly ONE row per (order, month)
     # and o_orderkey is unique in `o`, so count(*) == count(distinct
@@ -8152,8 +8154,16 @@ def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             F.sum("cents").over(wc).cast("bigint").alias("cum"),
             F.sum("cents").over(wb).cast("bigint").alias("tot"),
-            F.sum(F.col("cents") * F.col("cents")).over(wb)
-            .cast("bigint")
+            # cents^2 sums overflow BIGINT at sf0.1 (daily cents ~1e9,
+            # squares ~8.6e17, x64 per block): accumulate EXACTLY in
+            # decimal(38,0) (HUGEINT on the oracle side) and take the
+            # one double cast here, so both engines run the identical
+            # exact-sum -> single-cast sequence
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            )
+            .over(wb)
+            .cast("double")
             .alias("totq"),
         )
     )
