@@ -360,47 +360,119 @@ def level_payment_schedule(
 
     Everything is the closed annuity form (no per-period recursion):
     pmt = P*r*g_n/(g_n - 1) and balance_k = P*g_k - pmt*(g_k - 1)/r
-    with g_k = (1+r)^k. ``pow`` with these constant bases is bitwise
-    identical between the JVM and DuckDB's libm (pinned by a parity
-    unit test), and every other step is the same closed-form float
-    expression on both engines, so the oracle matches exactly. The
-    period spine comes from sequence+explode (fan-out = n, bounded);
-    no shuffle at all beyond the source scan.
+    with g_k = (1+r)^k. No engine ever evaluates ``pow``: the 13
+    per-period factors are computed ONCE in Python and injected as
+    repr-printed double literals into both the Spark plan and the
+    oracle SQL (the sprt_decision Python-printed-constants pattern) —
+    the r7 driver gate showed constant-base pow agrees between the
+    JVM and one libm but not every libm, so the libm dependence is
+    removed entirely. The per-loan arithmetic is then the SAME
+    textual sequence of IEEE double mul/sub on both engines:
+    pmt = p*PF, interest = p*D_k - pmt*E_k, balance = p*A_k - pmt*B_k.
+    The period spine is a 13-element literal array explode (fan-out =
+    n, bounded); no shuffle at all beyond the source scan.
 
     Output values are dollars rounded to 6; conservation (principal
     portions sum to P, balance_n = 0) holds to float precision — use
     prorate_largest_remainder on the rounded cents if ledger-exact
     cents are required downstream.
     """
-    if not (0 < monthly_rate < 1):
-        raise ValueError(f"monthly_rate must be in (0,1), got {monthly_rate}")
-    if n_periods < 1:
-        raise ValueError(f"n_periods must be >= 1, got {n_periods}")
-    r = float(monthly_rate)
+    pf, rows = _level_payment_constants(monthly_rate, n_periods)
     d = loans.select(
         key_col,
         F.col(principal_cents_col).alias("__p"),
         F.explode(
-            F.sequence(F.lit(1), F.lit(int(n_periods)))
-        ).alias("period"),
-    )
-    base = F.lit(1.0 + r)
-    g_k = F.pow(base, F.col("period").cast("double"))
-    g_n = F.pow(base, F.lit(float(n_periods)))
-    g_prev = g_k / base
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kk).cast("int").alias("period"),
+                        F.lit(a).alias("__a"),
+                        F.lit(b).alias("__b"),
+                        F.lit(dd).alias("__d"),
+                        F.lit(ee).alias("__e"),
+                    )
+                    for (kk, a, b, dd, ee) in rows
+                ]
+            )
+        ).alias("__g"),
+    ).select(key_col, "__p", "__g.*")
     p = F.col("__p")
-    pmt = p * F.lit(r) * g_n / (g_n - F.lit(1.0))
-    bal_k = p * g_k - pmt * (g_k - F.lit(1.0)) / F.lit(r)
-    bal_prev = p * g_prev - pmt * (g_prev - F.lit(1.0)) / F.lit(r)
-    interest = bal_prev * F.lit(r)
+    pmt = p * F.lit(pf)
+    interest = p * F.col("__d") - pmt * F.col("__e")
+    bal_k = p * F.col("__a") - pmt * F.col("__b")
     return d.select(
         key_col,
-        F.col("period").cast("int").alias("period"),
+        "period",
         F.round(pmt / 100.0, 6).alias("payment"),
         F.round(interest / 100.0, 6).alias("interest"),
         F.round((pmt - interest) / 100.0, 6).alias("principal"),
         F.round(bal_k / 100.0, 6).alias("balance"),
     )
+
+
+def _level_payment_constants(
+    monthly_rate: float, n_periods: int
+) -> tuple[float, list[tuple[int, float, float, float, float]]]:
+    """The shared Python source of every float constant in
+    :func:`level_payment_schedule` and its oracle: pf (payment factor,
+    pmt = P*pf) and per-period (k, A_k, B_k, D_k, E_k) with
+    A_k = g_k (balance growth), B_k = (g_k-1)/r (annuity sum),
+    D_k = g_{k-1}*r and E_k = g_{k-1}-1 (interest = P*D_k - pmt*E_k,
+    i.e. balance_{k-1}*r with the division by r folded away). Printed
+    via repr into both engines, so each literal is the bit-identical
+    double — no libm pow in any plan."""
+    if not (0 < monthly_rate < 1):
+        raise ValueError(f"monthly_rate must be in (0,1), got {monthly_rate}")
+    if n_periods < 1:
+        raise ValueError(f"n_periods must be >= 1, got {n_periods}")
+    r = float(monthly_rate)
+    g = [(1.0 + r) ** kk for kk in range(int(n_periods) + 1)]
+    pf = r * g[n_periods] / (g[n_periods] - 1.0)
+    rows = [
+        (kk, g[kk], (g[kk] - 1.0) / r, g[kk - 1] * r, g[kk - 1] - 1.0)
+        for kk in range(1, int(n_periods) + 1)
+    ]
+    return pf, rows
+
+
+def level_payment_oracle_sql(
+    loans_sql: str,
+    key: str,
+    monthly_rate: float,
+    n_periods: int,
+) -> str:
+    """DuckDB twin of :func:`level_payment_schedule`: the SAME
+    repr-printed constants from :func:`_level_payment_constants`
+    joined as a VALUES period spine, and the same textual IEEE
+    double expressions — zero ``pow`` calls in either engine.
+    ``loans_sql`` must yield (``key``, p) with p integer cents."""
+    pf, rows = _level_payment_constants(monthly_rate, n_periods)
+
+    # DuckDB types bare decimal-point literals as DECIMAL (exact
+    # decimal arithmetic would then diverge from Spark's IEEE doubles
+    # AND overflow at chained scales) — a string->DOUBLE cast is the
+    # correctly-rounded parse of the shortest repr, i.e. the exact
+    # same double Python printed.
+    def dbl(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    values = ",\n               ".join(
+        f"({kk}, {dbl(a)}, {dbl(b)}, {dbl(dd)}, {dbl(ee)})"
+        for (kk, a, b, dd, ee) in rows
+    )
+    return f"""
+    WITH l AS ({loans_sql}),
+    g(period, a, b, d, e) AS (
+        VALUES {values}
+    )
+    SELECT l.{key}, CAST(g.period AS INT) AS period,
+           round((l.p * {dbl(pf)}) / 100.0, 6) AS payment,
+           round((l.p * g.d - (l.p * {dbl(pf)}) * g.e) / 100.0, 6) AS interest,
+           round(((l.p * {dbl(pf)}) - (l.p * g.d - (l.p * {dbl(pf)}) * g.e))
+                 / 100.0, 6) AS principal,
+           round((l.p * g.a - (l.p * {dbl(pf)}) * g.b) / 100.0, 6) AS balance
+    FROM l CROSS JOIN g
+    """
 
 
 def fifo_open_lots(

@@ -591,9 +591,18 @@ def bollinger_bands(
     overflow BIGINT; a decimal sum is exact at any scale and both
     engines' sliding-window rollups of integers are exact, so the
     add/remove float-rounding divergence between Spark's incremental
-    frames and DuckDB's segment trees never appears). The variance is
-    then ONE closed-form float: (n*Q - S^2) / (n*(n-1)). Only rows
-    with a full n-day history are emitted.
+    frames and DuckDB's segment trees never appears).
+
+    The breach flags — the query's actual SIGNAL — never touch float
+    at all: c > mean + k*sd is algebraically (n*c - S > 0) AND
+    (n*c - S)^2 * (n-1) > k^2 * n * (n*Q - S^2), an exact DECIMAL
+    integer inequality (and symmetrically for the lower band), so the
+    flag bits are hash-stable across engines at any scale. sma/sd are
+    emitted as display floats rounded to 2 dp — magnitude-aware for a
+    cents series (the r7 driver gate showed that rounding a 1e7-cent
+    sd to 6 dp sits below double-ulp resolution of the decimal->double
+    cast and is structurally unstable; 2 dp is ~1e6 ulps wide). Only
+    rows with a full n-day history are emitted.
     """
     w = (
         Window.partitionBy(key_col)
@@ -614,18 +623,21 @@ def bollinger_bands(
         F.lit(n) * F.col("q_win") - F.col("s_win") * F.col("s_win")
     ).cast("double") / F.lit(float(n * (n - 1)))
     std = F.sqrt(var)
+    # exact-integer band test in DECIMAL: dev = n*c - S,
+    # dev^2*(n-1) <> k^2*n*(n*Q - S^2), sign of dev picks the side
+    dev = F.lit(n) * F.col(cents_col).cast("decimal(38,0)") - F.col("s_win")
+    disc = F.lit(k * k * n) * (
+        F.lit(n) * F.col("q_win") - F.col("s_win") * F.col("s_win")
+    )
+    breach = (dev * dev * F.lit(n - 1)) > disc
     return rolled.select(
         key_col,
         order_col,
         F.col(cents_col),
-        F.round(mean, 6).alias("sma"),
-        F.round(std, 6).alias("sd"),
-        (F.col(cents_col) > mean + F.lit(float(k)) * std)
-        .cast("int")
-        .alias("above_upper"),
-        (F.col(cents_col) < mean - F.lit(float(k)) * std)
-        .cast("int")
-        .alias("below_lower"),
+        F.round(mean, 2).alias("sma"),
+        F.round(std, 2).alias("sd"),
+        ((dev > 0) & breach).cast("int").alias("above_upper"),
+        ((dev < 0) & breach).cast("int").alias("below_lower"),
     )
 
 

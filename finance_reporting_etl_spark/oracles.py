@@ -3700,8 +3700,8 @@ ORACLES["fifo_realized_pnl"] = """
     )
     SELECT l_partkey,
            CAST(sum(mq) AS BIGINT) AS matched_qty,
-           round(sum(mq * (st / CAST(sq AS DOUBLE) - bt / CAST(bq AS DOUBLE)))
-                 / 100, 4) AS realized_pnl
+           CAST(sum((mq * st) // sq - (mq * bt) // bq) AS BIGINT)
+               AS realized_pnl_cents
     FROM m GROUP BY 1
     """
 
@@ -4050,15 +4050,19 @@ ORACLES["bollinger_daily_bands"] = """
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT series, day, cents,
-           round(CAST(s_win AS DOUBLE) / 20, 6) AS sma,
-           round(sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0), 6)
+           round(CAST(s_win AS DOUBLE) / 20, 2) AS sma,
+           round(sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0), 2)
                AS sd,
-           CAST(cents > CAST(s_win AS DOUBLE) / 20
-                + 2.0 * sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE)
-                             / 380.0) AS INT) AS above_upper,
-           CAST(cents < CAST(s_win AS DOUBLE) / 20
-                - 2.0 * sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE)
-                             / 380.0) AS INT) AS below_lower
+           -- exact-integer band test (HUGEINT): dev = n*c - S,
+           -- dev^2*(n-1) > k^2*n*(n*Q - S^2), sign of dev picks the side
+           CAST(20 * CAST(cents AS HUGEINT) - s_win > 0
+                AND (20 * CAST(cents AS HUGEINT) - s_win)
+                    * (20 * CAST(cents AS HUGEINT) - s_win) * 19
+                    > 80 * (20 * q_win - s_win * s_win) AS INT) AS above_upper,
+           CAST(20 * CAST(cents AS HUGEINT) - s_win < 0
+                AND (20 * CAST(cents AS HUGEINT) - s_win)
+                    * (20 * CAST(cents AS HUGEINT) - s_win) * 19
+                    > 80 * (20 * q_win - s_win * s_win) AS INT) AS below_lower
     FROM r WHERE n_win = 20
     """
 
@@ -4274,36 +4278,11 @@ ORACLES["seasonal_decompose_daily"] = """
     FROM i JOIN s ON i.event_type = s.event_type AND i.dow = s.dow
 """
 
-ORACLES["loan_amortization_schedule"] = """
-    WITH l AS (
-        SELECT o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS p
-        FROM orders
-        WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'
-    ), k AS (
-        SELECT o_orderkey, p, CAST(i AS INT) AS period,
-               power(1.005, CAST(i AS DOUBLE)) AS g_k,
-               power(1.005, 12.0) AS g_n
-        FROM l, unnest(generate_series(1, 12)) AS u(i)
-    ), e AS (
-        SELECT *,
-               p * 0.005 * g_n / (g_n - 1.0) AS pmt,
-               g_k / 1.005 AS g_prev
-        FROM k
-    ), f AS (
-        SELECT *,
-               p * g_k - pmt * (g_k - 1.0) / 0.005 AS bal_k,
-               (p * g_prev - pmt * (g_prev - 1.0) / 0.005) * 0.005
-                   AS interest
-        FROM e
-    )
-    SELECT o_orderkey, period,
-           round(pmt / 100.0, 6) AS payment,
-           round(interest / 100.0, 6) AS interest,
-           round((pmt - interest) / 100.0, 6) AS principal,
-           round(bal_k / 100.0, 6) AS balance
-    FROM f
-"""
+# loan_amortization_schedule's oracle is built in queries.py at the
+# @query site (operators.allocation.level_payment_oracle_sql shares
+# its repr-printed constants with the Spark plan — zero pow in either
+# engine; the r7 driver gate proved constant-base power() is
+# libm-sensitive). Operators feed queries.py, never oracles.py.
 
 
 def _pps_f(x: str, n: int) -> str:
@@ -5473,25 +5452,11 @@ ORACLES["minmax_file_skipping"] = """
     GROUP BY 1
 """
 
-from finance_reporting_etl_spark.operators.ml import (  # noqa: E402
-    granger_oracle_sql as _granger_sql,
-)
-
-ORACLES["granger_causality_ftest"] = _granger_sql("""
-    WITH d AS (
-        SELECT CAST(o_orderdate AS DATE) AS day,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                   AS yc,
-               CAST(count(*) AS BIGINT) AS xc
-        FROM orders GROUP BY 1
-    ), l AS (
-        SELECT yc AS y,
-               lag(yc) OVER (ORDER BY day) AS x1,
-               lag(xc) OVER (ORDER BY day) AS x2
-        FROM d
-    )
-    SELECT x1, x2, y FROM l WHERE x1 IS NOT NULL
-""")
+# granger_causality_ftest's oracle is built in queries.py at the
+# @query site (operators.ml.granger_oracle_sql shares the SQL template
+# with the Spark side) — keeping oracles.py free of this import avoids
+# a circular-import trap should operators.ml ever need ORACLES
+# (ADVICE r7).
 
 ORACLES["isotonic_calibration_pava"] = """
     WITH b AS (

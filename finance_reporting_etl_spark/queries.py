@@ -5834,7 +5834,7 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fifo_realized_pnl",
     _ORACLES["fifo_realized_pnl"],
-    "§2.5/finance FIFO cost basis: cumulative-quantity interval join matches return lots to purchase lots, realized PnL per part",
+    "§2.5/finance FIFO cost basis: cumulative-quantity interval join matches return lots to purchase lots, realized PnL per part in exact integer cents (floor-allocated per match, order-exact BIGINT sum)",
 )
 def q_fifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realized PnL per part under FIFO lot matching: returned lots
@@ -5842,9 +5842,13 @@ def q_fifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor walk every accounting system implements is re-expressed as
     a cumulative-quantity interval overlap — two key-partitioned
     prefix-sum windows and ONE equi-join, no recursion, no state
-    (see operators/allocation.py::fifo_match). Matched quantities are
-    exact integers; per-unit price deltas are identical int/int
-    doubles on both engines."""
+    (see operators/allocation.py::fifo_match). Everything stays
+    INTEGER: each match's PnL is floor((mq*s_total)/s_qty) -
+    floor((mq*b_total)/b_qty) cents — the same deterministic floor
+    allocation fifo_open_lots uses — so the per-part SUM is exact
+    BIGINT on both engines regardless of accumulation order (a float
+    SUM of per-match doubles is order-sensitive and diverged at the
+    r7 driver gate; integer cents cannot)."""
     from finance_reporting_etl_spark.operators.allocation import fifo_match
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -5862,13 +5866,15 @@ def q_fifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R"),
         ["l_partkey"], order_cols, "qty", "total",
     )
-    term = F.col("matched_qty") * (
-        F.col("s_total") / F.col("s_qty").cast("double")
-        - F.col("b_total") / F.col("b_qty").cast("double")
+    # All operands positive, so Spark `div` (truncate) == DuckDB `//`
+    # (the established cross-engine integer-division parity, see
+    # oracles.py::_pps_f note).
+    pnl_cents = F.expr("matched_qty * s_total div s_qty") - F.expr(
+        "matched_qty * b_total div b_qty"
     )
     return m.groupBy("l_partkey").agg(
         F.sum("matched_qty").alias("matched_qty"),
-        F.round(F.sum(term) / 100, 4).alias("realized_pnl"),
+        F.sum(pnl_cents).cast("bigint").alias("realized_pnl_cents"),
     )
 
 
@@ -6266,7 +6272,7 @@ def _priority_daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("bollinger_daily_bands",
     _ORACLES["bollinger_daily_bands"],
-    "§2.5/finance volatility bands: 20-day Bollinger mean +/- 2 sigma with breach flags (DECIMAL(38) rolling moments — exact at any SF, no BIGINT overflow)",
+    "§2.5/finance volatility bands: 20-day Bollinger mean +/- 2 sigma with breach flags (DECIMAL(38) rolling moments, exact-integer band inequality — flags never touch float)",
 )
 def q_bollinger_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-day Bollinger bands per priority-tier daily revenue series,
@@ -6274,8 +6280,11 @@ def q_bollinger_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     trading dashboard. Rolling first/second moments are EXACT decimal
     window sums (cents^2 would overflow BIGINT near 1e19 at large SF,
     and float sliding sums diverge between Spark's incremental frames
-    and DuckDB's segment trees — decimal sidesteps both); variance is
-    one closed-form float. Operator:
+    and DuckDB's segment trees — decimal sidesteps both); the breach
+    flags are an exact DECIMAL inequality (n*c-S)^2*(n-1) <>
+    k^2*n*(nQ-S^2) — hash-stable across engines — and sma/sd are 2-dp
+    display floats (6 dp on a 1e7-cent series is below double-ulp
+    resolution; r7 gate). Operator:
     operators.timeseries.bollinger_bands."""
     from finance_reporting_etl_spark.operators.timeseries import bollinger_bands
 
@@ -6600,18 +6609,38 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(daily, ["event_type"], "day", "cents")
 
 
+# oracle built here, not in oracles.py: the repr-printed annuity
+# constants come from the same Python source as the Spark plan
+# (operators feed queries.py, never oracles.py — ADVICE r7)
+from finance_reporting_etl_spark.operators.allocation import (  # noqa: E402
+    level_payment_oracle_sql as _level_payment_sql,
+)
+
+_LOAN_AMORT_ORACLE = _level_payment_sql(
+    """SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        FROM orders
+        WHERE year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT'""",
+    "o_orderkey",
+    0.005,
+    12,
+)
+
+
 @query("loan_amortization_schedule",
-    _ORACLES["loan_amortization_schedule"],
-    "P5/finance: level-payment amortization explosion (closed annuity form, no recursion) — per-period payment/interest/principal/balance; constant-base pow pinned bitwise-equal across engines by a parity test",
+    _LOAN_AMORT_ORACLE,
+    "P5/finance: level-payment amortization explosion (closed annuity form, no recursion) — per-period payment/interest/principal/balance; all pow factors repr-printed Python constants shared by both engines (zero libm calls in either plan)",
 )
 def q_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12-month 0.5%/month amortization schedule for each urgent 1995
     order treated as a loan of its total price: the loan-book cash
     schedule explosion. All periods come from the closed annuity form
-    g_k = (1+r)^k — no per-period recursion — and the only
-    engine-sensitive primitive (pow with constant base) is pinned by
-    tests/test_operators.py pow-parity.
-    Operator: operators.allocation.level_payment_schedule."""
+    g_k = (1+r)^k — no per-period recursion — and no engine evaluates
+    pow at all: the 13 period factors are repr-printed Python doubles
+    injected into both plans (the sprt Python-printed-constants
+    pattern; the r7 driver gate proved constant-base pow is
+    libm-sensitive). Operator:
+    operators.allocation.level_payment_schedule."""
     from finance_reporting_etl_spark.operators.allocation import (
         level_payment_schedule,
     )
@@ -8292,8 +8321,31 @@ def q_minmax_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle built here, not in oracles.py: operators feed queries.py,
+# never oracles.py (ADVICE r7 — avoids a circular-import trap)
+from finance_reporting_etl_spark.operators.ml import (  # noqa: E402
+    granger_oracle_sql as _granger_sql,
+)
+
+_GRANGER_ORACLE = _granger_sql("""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS yc,
+               CAST(count(*) AS BIGINT) AS xc
+        FROM orders GROUP BY 1
+    ), l AS (
+        SELECT yc AS y,
+               lag(yc) OVER (ORDER BY day) AS x1,
+               lag(xc) OVER (ORDER BY day) AS x2
+        FROM d
+    )
+    SELECT x1, x2, y FROM l WHERE x1 IS NOT NULL
+""")
+
+
 @query("granger_causality_ftest",
-    _ORACLES["granger_causality_ftest"],
+    _GRANGER_ORACLE,
     "§2.5 econometrics: Granger-style lag F-test — does yesterday's order COUNT predict today's revenue beyond revenue's own lag? Exact DECIMAL(38,0) moment sums, restricted/unrestricted RSS and F from ONE shared SQL template (_GRANGER_*/_OLS2_*)",
 )
 def q_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8442,9 +8494,13 @@ def q_gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("dk").isNotNull(),
     ).select(F.lit("orders").alias("table_name"), "rows_purged", "rows_retained")
+    # NO broadcast hint on delo: it is a fact-table-proportional key
+    # set (~1.5% of orders), which would OOM a hard broadcast at
+    # 100 TB — AQE picks broadcast at small SF and shuffled-hash /
+    # sort-merge at scale (ADVICE r7).
     ll = counts(
         li.join(
-            F.broadcast(delo.select(F.col("o_orderkey").alias("dk"))),
+            delo.select(F.col("o_orderkey").alias("dk")),
             F.col("l_orderkey") == F.col("dk"),
             "left",
         ),
@@ -8466,80 +8522,30 @@ def q_gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exported dict order moves.
 # ---------------------------------------------------------------------------
 
-# Round-7 gate window (driver verifies the first 50 catalog entries):
-# the first 50 of the 56 entries that had never held a driver gate slot
-# at end of round 6 (18 r4/r5-era + 38 round-6 additions), in staging
-# order. Every entry here is local-oracle-verified at sf0.001 and sf0.01.
-# The remaining 6 never-gated entries LEAD _GATE_NEXT so the round-8
-# rotation proves them first; round-7 additions are appended after them.
+# Round-8 gate window (driver verifies the first 50 catalog entries):
+# the 3 round-7 hash failures re-gated post-fix (exact-arithmetic
+# redesigns: decimal/integer FIFO cents, exact-integer Bollinger band
+# test, Python-printed amortization constants), then the 17 entries
+# that had never held a driver gate slot (6 r6-era + 11 r7 additions),
+# then the 30 least-recently-gated r3-era entries. Every entry here is
+# local-oracle-verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp
+# compare) AND at sf0.01 with EXACT float compare
+# (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01
+# — the r7 failures were sub-ulp drift invisible below sf0.01).
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    "feature_hash_bow",
-    "series_volatility",
-    "mmr_diversified_rerank",
-    "ks_value_drift",
+    # -- r7 hash failures, fixed this round — re-gate first -------------
     "fifo_realized_pnl",
-    "position_based_attribution",
-    "quantile_transform_feature",
-    "theil_sen_trend",
-    "ann_recall_ndcg_eval",
-    "roc_auc_exact",
-    "spearman_daily_orders",
-    "chi_square_event_dow",
-    "welch_t_event_values",
-    "acf_daily_order_revenue",
-    "kaplan_meier_retention",
     "bollinger_daily_bands",
-    "rsi_cutler_daily",
-    "hhi_revenue_concentration",
-    "stratified_kfold_assign",
-    "revenue_recognition_monthly",
-    "var_cvar_daily_revenue",
-    "pca_embedding_projection",
-    "heaps_law_vocab_growth",
-    "bpe_pair_merge_step",
-    "xirr_order_cashflows",
-    "seasonal_decompose_daily",
     "loan_amortization_schedule",
-    "pps_part_revenue_sample",
-    "fifo_open_lots_aging",
-    "sprt_ab_sequential",
-    "changepoint_daily_revenue",
-    "capm_segment_beta",
-    "bloom_filter_membership",
-    "survivorship_documents",
-    "naive_bayes_lang_classify",
-    "dupont_roe_decomposition",
-    "indicator_real_terms",
-    "weighted_ares_sample",
-    "ols_price_model_brand",
-    "markov_absorption_3step",
-    "wac_inventory_brand",
-    "zipf_law_fit",
-    "mahalanobis_outlier_events",
-    "seasonal_naive_backtest",
-    "gbt_price_residual_stumps",
-    "pareto_frontier_parts",
-    "ab_srm_check",
-    "fuzzy_name_match_pairs",
-    "kendall_tau_daily",
-    "tail_dependence_segments",
-]
-
-# The 6 never-gated entries that did not fit the 50-slot r7 window
-# LEAD this list (they head the round-8 window), followed by any
-# round-7 additions (appended below the marker). Pinned directly
-# after the window in catalog order so (a) the round-8 rotation starts
-# from this list and (b) tests assert the two-round coverage plan.
-_GATE_NEXT = [
+    # -- never driver-gated: 6 r6-era + 11 round-7 additions ------------
     "duplicate_payment_audit",
     "last_digit_uniformity",
     "ucb1_arm_scores",
     "woe_iv_discount_bins",
     "event_step_paths",
     "cohort_payback_month",
-    # -- round-7 additions (never gated; r8 window) ---------------------
     "compaction_bin_packing",
     "price_volume_mix_decomposition",
     "cuped_adjusted_lift",
@@ -8551,6 +8557,56 @@ _GATE_NEXT = [
     "granger_causality_ftest",
     "isotonic_calibration_pava",
     "gdpr_delete_cascade",
+    # -- 30 least-recently-gated (last green row: r3) --------------------
+    "asof_latest_view_before_purchase",
+    "attribution_window_join",
+    "chunk_dedup_occurrences",
+    "cohort_retention",
+    "corpus_chunking",
+    "corpus_clean",
+    "corpus_hash_split",
+    "corpus_mixture_sample",
+    "corpus_shuffle_shard",
+    "corpus_stats",
+    "corpus_vocabulary",
+    "cumulative_monthly_revenue",
+    "customer_spend_deciles",
+    "customers_without_orders_anti",
+    "daily_revenue_gapfilled",
+    "decontaminate_4gram",
+    "economic_indicators",
+    "embedding_inference_scores",
+    "event_funnel",
+    "event_type_week_cube",
+    "filter_eq_projection",
+    "indicator_stats",
+    "ingest_fred_observations",
+    "ingest_statements",
+    "keyword_search_topk",
+    "kmeans_cluster_profile",
+    "literal_columns",
+    "mart_financial_kpis",
+    "mart_financial_summary",
+    "pii_redaction",
+]
+
+# Heads of the round-9 window: the remaining 10 r3-era entries not
+# fitting the 50 slots above, followed by round-8 additions (appended
+# below the marker — the tripwire requires every never-gated query to
+# sit in window ∪ _GATE_NEXT). Pinned directly after the window in
+# catalog order so tests assert the two-round coverage plan.
+_GATE_NEXT = [
+    "q21_waiting_supplier",
+    "q4_order_priority_semi",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "repetition_metrics",
+    "rolling_7day_revenue",
+    "scd2_user_state_history",
+    "semantic_dedup",
+    "skew_salted_event_rollup",
+    "sql_api_mart_summary",
+    # -- round-8 additions (never gated; r9 window) ---------------------
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -49,8 +49,7 @@ def sf_dir() -> str:
     return SF_SMOKE
 
 
-@pytest.fixture(scope="session")
-def duck():
+def _duck_con(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
@@ -58,7 +57,23 @@ def duck():
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMOKE}/{name}.parquet'"
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = _duck_con(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_oracle():
+    """DuckDB views over SF_ORACLE (sf0.01) — the driver's gate scale.
+    Used by the gate-window exact-compare test; the three r7 driver
+    hash failures were invisible at sf0.001."""
+    con = _duck_con(SF_ORACLE)
     yield con
     con.close()

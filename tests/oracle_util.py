@@ -32,7 +32,7 @@ def _dtype_class(s: pd.Series) -> str:
     return "other"
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame, exact_floats: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -40,12 +40,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # Normalize width only — int32 vs int64 is not hash drift.
             df[c] = s.astype("int64" if not s.isna().any() else "Int64")
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64").round(6)
+            df[c] = s.astype("float64")
+            if not exact_floats:
+                df[c] = df[c].round(6)
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
             df[c] = s.map(
-                lambda v: round(v, 6)
+                lambda v: (v if exact_floats else round(v, 6))
                 if isinstance(v, float) and not math.isnan(v)
                 else (str(v) if v is not None else None)
             )
@@ -53,11 +55,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
+def assert_matches_oracle(
+    spark_df, duck_con, oracle_sql: str, exact_floats: bool = False
+) -> None:
+    """``exact_floats=True`` disables the 6-dp float re-rounding so
+    sub-ulp engine drift is VISIBLE — the driver's value hash is exact
+    on rendered values, and the three r7 gate failures were invisible
+    to the rounded compare (VERDICT r7 task 5)."""
     got_raw = spark_df.toPandas()
     want_raw = duck_con.execute(oracle_sql).df()
-    got = _normalize(got_raw)
-    want = _normalize(want_raw)
+    got = _normalize(got_raw, exact_floats=exact_floats)
+    want = _normalize(want_raw, exact_floats=exact_floats)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
@@ -69,4 +77,9 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
             f"CAST the oracle (or the Spark column) so both sides agree"
         )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+    if exact_floats:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    else:
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+        )

@@ -44,6 +44,27 @@ def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(df, duck, entry.oracle)
 
 
+# The incoming driver-gate window: the first 50 catalog entries in
+# exported dict order (exactly what the driver will hash at sf0.01).
+GATE_WINDOW = [n for n in list(CATALOG)[:50] if CATALOG[n].oracle is not None]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", GATE_WINDOW)
+def test_gate_window_exact_oracle_sf0_01(spark, duck_oracle, name):
+    """Run the incoming gate window at the DRIVER'S scale (sf0.01) with
+    the float re-rounding DISABLED (exact compare), so sub-ulp engine
+    drift is a local test failure instead of a driver-gate failure.
+    Two of the three r7 CORRECTNESS failures reproduce only here
+    (VERDICT r7 task 5): the sf0.001 rounded compare cannot see them."""
+    from tests.conftest import SF_ORACLE
+
+    entry = CATALOG[name]
+    assert_matches_oracle(
+        entry.fn(spark, SF_ORACLE), duck_oracle, entry.oracle, exact_floats=True
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, name):
     entry = CATALOG[name]

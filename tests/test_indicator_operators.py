@@ -30,8 +30,8 @@ def test_bollinger_matches_two_pass_moments(spark):
         win = vals[end - 4 : end + 1]
         m = sum(win) / 5
         sd = math.sqrt(sum((v - m) ** 2 for v in win) / 4)
-        assert out[end].sma == pytest.approx(round(m, 6), abs=1e-9)
-        assert out[end].sd == pytest.approx(round(sd, 6), abs=1e-9)
+        assert out[end].sma == pytest.approx(round(m, 2), abs=1e-9)
+        assert out[end].sd == pytest.approx(round(sd, 2), abs=1e-9)
         assert out[end].above_upper == int(vals[end] > m + 2 * sd)
         assert out[end].below_lower == int(vals[end] < m - 2 * sd)
 

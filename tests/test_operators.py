@@ -2946,22 +2946,33 @@ def test_xirr_bisection_known_rates_and_null_brackets(spark):
     assert got[3] is None
 
 
-def test_pow_parity_spark_duckdb_amortization_constants(spark):
-    """level_payment_schedule and its oracle both lean on pow with
-    constant base 1.005 — pin the bitwise equality for every exponent
-    the schedule uses (plus the XIRR probe range)."""
-    import duckdb
+def test_level_payment_has_no_pow_in_either_engine(spark):
+    """The r7 driver gate proved constant-base pow is libm-sensitive
+    (local JVM/DuckDB agreed bitwise, the driver's oracle build did
+    not) — so neither the Spark plan nor the oracle SQL may contain a
+    pow/power call; both consume the same repr-printed Python
+    constants instead."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        _level_payment_constants,
+        level_payment_oracle_sql,
+        level_payment_schedule,
+    )
 
-    exps = [float(k) for k in range(0, 14)] + [12.0]
-    s = spark.sql(
-        "SELECT " + ", ".join(f"pow(1.005d, {e}d) AS p{i}" for i, e in enumerate(exps))
-    ).collect()[0]
-    con = duckdb.connect()
-    d = con.execute(
-        "SELECT " + ", ".join(f"power(1.005, {e})" for e in exps)
-    ).fetchone()
-    for i in range(len(exps)):
-        assert s[i] == d[i], exps[i]
+    df = spark.createDataFrame([(1, 1_000_00)], "k long, p long")
+    plan = (
+        level_payment_schedule(df, "k", "p", 0.005, 12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "POWER" not in plan.upper()
+    sql = level_payment_oracle_sql("SELECT 1 AS k, 100 AS p", "k", 0.005, 12)
+    assert "power" not in sql.lower()
+    # the injected constants round-trip through repr (bit-identical in
+    # any engine that parses shortest-repr doubles correctly)
+    pf, rows = _level_payment_constants(0.005, 12)
+    for v in [pf] + [x for row in rows for x in row[1:]]:
+        assert float(repr(v)) == v
 
 
 def test_level_payment_schedule_annuity_invariants(spark):
