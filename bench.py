@@ -241,6 +241,27 @@ HEADLINE = [
     "granger_causality_ftest",
     "isotonic_calibration_pava",
     "gdpr_delete_cascade",
+    # round-8 additions
+    "hifo_realized_pnl",
+    "sma_crossover_signals",
+    "stochastic_oscillator_k",
+    "obv_daily",
+    "vwap_deviation_bands",
+    "trial_balance_monthly",
+    "fx_normalized_revenue",
+    "budget_variance_ytd",
+    # containment_dedup_pairs is NOT a headline: directional containment
+    # at t=0.9 over the template-generated synthetic corpus yields
+    # ~8.28M genuine pairs at sf0.1 (probed r8: 15.8M candidates -> 52%
+    # verify precision — the prefix filter is fine, the OUTPUT is the
+    # cost), the same documented-cost class as
+    # jaccard_prefix_filter_pairs below. Gate scale (sf0.01) is fast.
+    "mann_whitney_event_halves",
+    "emd_value_drift",
+    "mv_incremental_refresh",
+    "conformal_interval_coverage",
+    "return_rate_parity_segments",
+    "matryoshka_truncation_recall",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output
@@ -251,6 +272,20 @@ HEADLINE = [
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas
     # call) — the window form is the production path (PLANS.md #15).
 ]
+
+
+# Per-round measurement notes carried into BENCH_DETAIL.json.
+NOTES = {
+    "part_copurchase_pagerank": (
+        "r8 quiet-box re-measure (VERDICT r7 task 6): best-of-3 = 7.67s "
+        "vs 6.2s (r6) / 8.1s (r7). The 8 fixed join+agg power iterations "
+        "over the persisted, src-partitioned edge table are unchanged "
+        "(broadcast rank table, map-side-combined groupBy(dst) is the "
+        "only per-iteration exchange); the +1.5s vs r6 tracks "
+        "round-over-round box variance on this 140-stage job, not a "
+        "plan change — no redesign warranted."
+    ),
+}
 
 
 def compact_line(timings: dict[str, float], sf: float, budget: int = 1700) -> str:
@@ -347,6 +382,7 @@ def main() -> None:
                 "error_penalty_sec": {
                     n: timings[n] for n in errors
                 },
+                "notes": NOTES,
             },
             f,
             indent=1,

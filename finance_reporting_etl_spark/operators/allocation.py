@@ -90,6 +90,7 @@ def fifo_match(
     order_cols: list[str],
     qty_col: str,
     total_cents_col: str,
+    buy_order_cols: list[str] | None = None,
 ) -> DataFrame:
     """FIFO lot matching as a cumulative-quantity interval join — the
     realized-PnL primitive (cost basis, inventory consumption, queue
@@ -116,13 +117,25 @@ def fifo_match(
     total/0 -> NaN that poisons the whole key's sum — r5 review), and
     negative quantities break the monotone cumulative axis the
     identity needs — model corrections as separate sell/buy rows.
+
+    ``buy_order_cols`` overrides the BUY side's consumption order
+    (sells keep ``order_cols``): the lot-priority generalization.
+    FIFO is the default (both sides in time order); HIFO — consume the
+    highest-cost lot first, the year-end tax-lot optimizer — passes a
+    cost-descending buy order over the FULL lot book. Note the static
+    reordering prices the whole-history lot priority, not
+    point-in-time availability (a sale may match a lot purchased
+    later) — exactly the optimizer's retrospective allocation, and
+    the documented semantic of hifo queries built on this.
     """
+    buy_order = buy_order_cols if buy_order_cols is not None else order_cols
 
     def cum(df: DataFrame, side: str) -> DataFrame:
         df = df.filter(F.col(qty_col) > 0)
+        side_order = buy_order if side == "b" else order_cols
         w = (
             Window.partitionBy(*key_cols)
-            .orderBy(*order_cols)
+            .orderBy(*side_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = df.withColumn("__end", F.sum(qty_col).over(w)).withColumn(
@@ -130,7 +143,7 @@ def fifo_match(
         )
         return out.select(
             *key_cols,
-            *[F.col(c).alias(f"{side}_{c}") for c in order_cols],
+            *[F.col(c).alias(f"{side}_{c}") for c in side_order],
             F.col(qty_col).alias(f"{side}_qty"),
             F.col(total_cents_col).alias(f"{side}_total"),
             F.col("__start").alias(f"{side}_start"),

@@ -315,6 +315,81 @@ def jaccard_prefix_filter_pairs(
     )
 
 
+def containment_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT directional token-set containment C(A->B) = |A∩B| / |A|
+    >= threshold — the asymmetric complement of
+    :func:`jaccard_prefix_filter_pairs`: Jaccard misses a small
+    document wholly embedded in a much larger one (the union term
+    dilutes it), which is precisely the sub-document duplication a
+    training corpus accumulates (quoted posts, boilerplate-wrapped
+    articles, chunk-of-a-bigger-doc crawls).
+
+    Prefix filter, asymmetric form: if B contains >= ceil(t*|A|) of
+    A's tokens, then A can miss at most |A| - ceil(t*|A|) of them, so
+    keeping A's first |A| - ceil(t*|A|) + 1 tokens under the global
+    rarest-first order guarantees a shared kept-token with B's FULL
+    token list. The candidate join is A-prefix (rare tokens only)
+    against the full inverted index — fan-out bounded by rare-token
+    posting lists, never by stopwords (A's prefix holds its rarest
+    tokens). One size filter (|B| >= ceil(t*|A|)) is lossless.
+    Directional: (a,b) and (b,a) are distinct findings; self-pairs
+    are excluded. Threshold applies to the TRUE int/int ratio
+    (rounding only for display — the jaccard r5 lesson).
+
+    Shape: one token-frequency agg, one per-doc rank window (bounded),
+    one equi-join on kept tokens, one distinct, two id-joins for the
+    exact verify. No cartesian, no UDF, no float in any predicate.
+    """
+    toks_arr = F.array_distinct(whitespace_tokens(F.lower(F.col(text_col))))
+    t = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    tt = t.select("id", "n", F.explode("toks").alias("tok"))
+    dfreq = tt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_df"))
+    w = Window.partitionBy("id").orderBy("n_df", "tok")
+    pref = (
+        tt.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+        )
+        .select("id", "n", "tok")
+    )
+    a = pref.alias("a")
+    b = tt.select(F.col("id").alias("bid"), F.col("n").alias("bn"), "tok").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") != F.col("bid"))
+            & (F.col("bn") >= F.ceil(F.col("a.n") * F.lit(threshold))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("bid").alias("id_b"))
+        .distinct()
+    )
+    ta = t.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("n_a")
+    )
+    tb = t.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    cont = inter / F.col("n_a").cast("double")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

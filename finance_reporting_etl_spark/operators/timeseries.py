@@ -689,6 +689,141 @@ def rsi_cutler(
     )
 
 
+def sma_crossover(
+    d: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    fast: int = 20,
+    slow: int = 50,
+) -> DataFrame:
+    """Golden-cross / death-cross detector over an integer-cents
+    series: the fast (n=``fast``) and slow (n=``slow``) simple moving
+    averages, whether the fast one currently rides above the slow one,
+    and the crossover event (+1 the day fast crosses above, -1 the day
+    it crosses below, 0 otherwise) — the trend-following entry/exit
+    signal on every trading dashboard.
+
+    The comparison never touches float: SMA_f > SMA_s is
+    algebraically S_f * slow > S_s * fast over the exact DECIMAL(38,0)
+    window sums, so the regime bit (and therefore the crossover event,
+    its lagged difference) is hash-stable across engines at any scale.
+    The displayed SMAs are 2-dp floats (magnitude-aware for a cents
+    series — the bollinger_bands lesson). Rows need a full ``slow``
+    history; events need the previous row too, so the first emitted
+    row per key has crossover = 0 by definition (no prior regime).
+    """
+    if not (0 < fast < slow):
+        raise ValueError(f"need 0 < fast < slow, got {fast}, {slow}")
+    c = F.col(cents_col).cast("decimal(38,0)")
+    wf = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-(fast - 1), 0)
+    ws = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-(slow - 1), 0)
+    rolled = d.select(
+        key_col,
+        order_col,
+        F.count(F.lit(1)).over(ws).alias("n_win"),
+        F.sum(c).over(wf).alias("sf"),
+        F.sum(c).over(ws).alias("ss"),
+    ).filter(F.col("n_win") == slow)
+    above = (F.col("sf") * F.lit(slow) > F.col("ss") * F.lit(fast)).cast("int")
+    wl = Window.partitionBy(key_col).orderBy(order_col)
+    flagged = rolled.select(
+        key_col,
+        order_col,
+        F.round(F.col("sf").cast("double") / F.lit(fast), 2).alias("sma_fast"),
+        F.round(F.col("ss").cast("double") / F.lit(slow), 2).alias("sma_slow"),
+        above.alias("fast_above"),
+    )
+    prev = F.lag("fast_above").over(wl)
+    return flagged.withColumn(
+        "crossover",
+        F.coalesce(F.col("fast_above") - prev, F.lit(0)).cast("int"),
+    )
+
+
+def stochastic_k(
+    d: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    n: int = 14,
+    hi_ppm: int = 800_000,
+    lo_ppm: int = 200_000,
+) -> DataFrame:
+    """Stochastic oscillator %K over an integer-cents series, in exact
+    integer parts-per-million: k_ppm = (c - min_n) * 1e6 div
+    (max_n - min_n) with the trailing-n rolling extrema — where the
+    close sits inside its recent range, the overbought/oversold
+    oscillator. Every emitted value is exact INTEGER arithmetic
+    (rolling min/max of integers are exact in any engine; the ppm
+    ratio is one truncating integer division — Spark ``div`` == DuckDB
+    ``//`` on non-negative operands), so rows are hash-stable.
+    A flat window (max == min) emits NULL k_ppm and 0 flags rather
+    than 0/0. Rows need a full n-row history.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-(n - 1), 0)
+    rolled = d.select(
+        key_col,
+        order_col,
+        F.col(cents_col),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.min(cents_col).over(w).alias("mn"),
+        F.max(cents_col).over(w).alias("mx"),
+    ).filter(F.col("n_win") == n)
+    k_ppm = F.expr(
+        f"(({cents_col} - mn) * 1000000) div nullif(mx - mn, 0)"
+    ).cast("bigint")
+    return rolled.select(
+        key_col,
+        order_col,
+        F.col(cents_col),
+        k_ppm.alias("k_ppm"),
+        F.coalesce((k_ppm >= hi_ppm).cast("int"), F.lit(0)).alias("overbought"),
+        F.coalesce((k_ppm <= lo_ppm).cast("int"), F.lit(0)).alias("oversold"),
+    )
+
+
+def on_balance_volume(
+    d: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    volume_col: str,
+) -> DataFrame:
+    """On-balance volume per key: the running total of signed volume,
+    +volume on an up-move of the price series, -volume on a down-move,
+    0 on flat — volume-flow confirmation of a price trend. All
+    INTEGER: sign(diff) is exact, the cumulative sum is a BIGINT
+    prefix sum over the key-partitioned window (keys here are the
+    bounded series domain; the data-sized variant would ride
+    distributed_cumsum), so every row is hash-stable across engines.
+    The first row per key (no diff) anchors the series with signed
+    volume 0.
+    """
+    wl = Window.partitionBy(key_col).orderBy(order_col)
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffed = d.select(
+        key_col,
+        order_col,
+        F.col(volume_col),
+        (F.col(cents_col) - F.lag(cents_col).over(wl)).alias("__diff"),
+    )
+    signed = diffed.withColumn(
+        "signed_volume",
+        (
+            F.when(F.col("__diff") > 0, F.col(volume_col))
+            .when(F.col("__diff") < 0, -F.col(volume_col))
+            .otherwise(F.lit(0))
+        ).cast("bigint"),
+    )
+    return signed.select(
+        key_col,
+        order_col,
+        "signed_volume",
+        F.sum("signed_volume").over(wc).cast("bigint").alias("obv"),
+    )
+
+
 def seasonal_decompose_dow(
     daily: DataFrame,
     group_cols: list[str],
@@ -895,4 +1030,73 @@ def seasonal_naive_backtest(
             / F.nullif(F.sum(F.abs(F.col(cents_col))).cast("double"), F.lit(0.0)),
             6,
         ).alias("wape"),
+    )
+
+
+def split_conformal_coverage(
+    d: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cents_col: str,
+    season: int = 7,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction-interval calibration for the
+    seasonal-naive forecaster, per key: does the distribution-free
+    interval |y - y_hat| <= q_hat actually cover (1 - alpha) of unseen
+    points? The honest-uncertainty companion to
+    seasonal_naive_backtest's point metrics.
+
+    Split conformal (Vovk; Lei et al. 2018): residuals r_t = c_t -
+    c_{t-season} split chronologically in half; q_hat is the
+    ceil((1-alpha)(m+1))-th order statistic of |r| on the calibration
+    half (capped at the max — finite-sample correctness), coverage is
+    the eval-half share with |r| <= q_hat. EVERYTHING is integer:
+    residuals are exact diffs, the order statistic is a row_number
+    pick inside the key's partition (bounded per-key domain, the
+    ks_two_sample shape), coverage is an int/int display ratio.
+    Returns (key..., n_eval, q_hat_cents, coverage, target).
+    """
+    wl = Window.partitionBy(*key_cols).orderBy(order_col)
+    r = (
+        d.select(
+            *key_cols,
+            order_col,
+            (F.col(cents_col) - F.lag(cents_col, season).over(wl)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .withColumn("rn", F.row_number().over(wl))
+        .withColumn("n_tot", F.count(F.lit(1)).over(Window.partitionBy(*key_cols)))
+        .withColumn("m", F.expr("n_tot div 2"))
+        .withColumn("is_cal", (F.col("rn") <= F.col("m")).cast("int"))
+    )
+    wa = Window.partitionBy(*key_cols).orderBy(F.abs(F.col("r")), F.col(order_col))
+    cal = r.filter(F.col("is_cal") == 1).withColumn(
+        "arn", F.row_number().over(wa)
+    )
+    k = F.least(
+        F.ceil(F.lit(1.0 - alpha) * (F.col("m") + 1)).cast("bigint"), F.col("m")
+    )
+    qhat = cal.filter(F.col("arn") == k).select(
+        *key_cols, F.abs(F.col("r")).cast("bigint").alias("q_hat_cents")
+    )
+    ev = r.filter(F.col("is_cal") == 0)
+    cov = (
+        ev.join(qhat, key_cols)
+        .groupBy(*key_cols, "q_hat_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum((F.abs(F.col("r")) <= F.col("q_hat_cents")).cast("int"))
+            .cast("bigint")
+            .alias("n_cover"),
+        )
+    )
+    return cov.select(
+        *key_cols,
+        (F.col("n_eval")).alias("n_eval"),
+        "q_hat_cents",
+        F.round(
+            F.col("n_cover").cast("double") / F.col("n_eval"), 6
+        ).alias("coverage"),
+        F.lit(round(1.0 - alpha, 6)).alias("target"),
     )

@@ -5522,3 +5522,459 @@ ORACLES["gdpr_delete_cascade"] = """
     UNION ALL
     SELECT 'lineitem', purged, total - purged FROM ll
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: tax-lot HIFO, trading signals (crossover /
+# stochastic / OBV / VWAP), ledger trial balance, FX consolidation,
+# budget-vs-actual, and asymmetric containment dedup. Every value is
+# exact integer/decimal arithmetic except explicitly-rounded display
+# ratios (int/int doubles — identical in any engine).
+# ---------------------------------------------------------------------------
+
+ORACLES["hifo_realized_pnl"] = """
+    WITH li AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS total
+        FROM lineitem
+    ), b AS (
+        SELECT l_partkey, qty, total,
+               sum(qty) OVER w AS bend, sum(qty) OVER w - qty AS bstart
+        FROM li WHERE l_returnflag = 'N'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY -(CAST(total AS DOUBLE) / qty),
+                              l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT l_partkey, qty, total,
+               sum(qty) OVER w AS send, sum(qty) OVER w - qty AS sstart
+        FROM li WHERE l_returnflag = 'R'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)
+    ), m AS (
+        SELECT b.l_partkey,
+               least(b.bend, s.send) - greatest(b.bstart, s.sstart) AS mq,
+               b.qty AS bq, b.total AS bt, s.qty AS sq, s.total AS st
+        FROM b JOIN s ON b.l_partkey = s.l_partkey
+                     AND b.bstart < s.send AND s.sstart < b.bend
+    )
+    SELECT l_partkey,
+           CAST(sum(mq) AS BIGINT) AS matched_qty,
+           CAST(sum((mq * st) // sq - (mq * bt) // bq) AS BIGINT)
+               AS realized_pnl_cents
+    FROM m GROUP BY 1
+    """
+
+ORACLES["sma_crossover_signals"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT series, day,
+               CAST(count(*) OVER ws AS BIGINT) AS n_win,
+               sum(CAST(cents AS HUGEINT)) OVER wf AS sf,
+               sum(CAST(cents AS HUGEINT)) OVER ws AS ss
+        FROM d
+        WINDOW wf AS (PARTITION BY series ORDER BY day
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+               ws AS (PARTITION BY series ORDER BY day
+                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ), f AS (
+        SELECT series, day,
+               round(CAST(sf AS DOUBLE) / 10, 2) AS sma_fast,
+               round(CAST(ss AS DOUBLE) / 30, 2) AS sma_slow,
+               CAST(sf * 30 > ss * 10 AS INT) AS fast_above
+        FROM r WHERE n_win = 30
+    )
+    SELECT series, day, sma_fast, sma_slow, fast_above,
+           CAST(coalesce(fast_above - lag(fast_above)
+                    OVER (PARTITION BY series ORDER BY day), 0) AS INT)
+               AS crossover
+    FROM f
+    """
+
+ORACLES["stochastic_oscillator_k"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), r AS (
+        SELECT series, day, cents,
+               CAST(count(*) OVER w AS BIGINT) AS n_win,
+               min(cents) OVER w AS mn, max(cents) OVER w AS mx
+        FROM d
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+        SELECT series, day, cents,
+               CAST(((cents - mn) * 1000000) // nullif(mx - mn, 0) AS BIGINT)
+                   AS k_ppm
+        FROM r WHERE n_win = 14
+    )
+    SELECT series, day, cents, k_ppm,
+           coalesce(CAST(k_ppm >= 800000 AS INT), 0) AS overbought,
+           coalesce(CAST(k_ppm <= 200000 AS INT), 0) AS oversold
+    FROM k
+    """
+
+ORACLES["obv_daily"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(count(*) AS BIGINT) AS vol
+        FROM orders GROUP BY 1, 2
+    ), f AS (
+        SELECT series, day, vol,
+               cents - lag(cents) OVER (PARTITION BY series ORDER BY day)
+                   AS diff
+        FROM d
+    ), s AS (
+        SELECT series, day,
+               CAST(CASE WHEN diff > 0 THEN vol
+                         WHEN diff < 0 THEN -vol
+                         ELSE 0 END AS BIGINT) AS signed_volume
+        FROM f
+    )
+    SELECT series, day, signed_volume,
+           CAST(sum(signed_volume) OVER (PARTITION BY series ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM s
+    """
+
+ORACLES["vwap_deviation_bands"] = """
+    WITH l AS (
+        SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+               CAST(round(l.l_quantity) AS BIGINT) AS lqty,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS lext
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), x AS (
+        SELECT p_brand, day, lqty, lext,
+               sum(lqty) OVER (PARTITION BY p_brand, day) AS qd,
+               sum(lext) OVER (PARTITION BY p_brand, day) AS ed
+        FROM l
+    )
+    SELECT p_brand, day,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(lext) // sum(lqty) AS BIGINT) AS vwap_unit_cents,
+           CAST(sum(CASE WHEN lext * qd > ed * lqty THEN 1 ELSE 0 END)
+                AS BIGINT) AS above_vwap_lines,
+           CAST(sum(CASE WHEN lext * qd < ed * lqty THEN 1 ELSE 0 END)
+                AS BIGINT) AS below_vwap_lines
+    FROM x GROUP BY 1, 2
+    """
+
+ORACLES["trial_balance_monthly"] = """
+    WITH o AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), r AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), j AS (
+        SELECT month, 'accounts_receivable' AS account,
+               cents AS debit, CAST(0 AS BIGINT) AS credit FROM o
+        UNION ALL
+        SELECT month, 'revenue', CAST(0 AS BIGINT), cents FROM o
+        UNION ALL
+        SELECT month, 'sales_returns', cents, CAST(0 AS BIGINT) FROM r
+        UNION ALL
+        SELECT month, 'accounts_receivable', CAST(0 AS BIGINT), cents FROM r
+    )
+    SELECT month, account,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(sum(debit) AS BIGINT) AS debit_cents,
+           CAST(sum(credit) AS BIGINT) AS credit_cents
+    FROM j GROUP BY 1, 2
+    """
+
+ORACLES["fx_normalized_revenue"] = """
+    WITH x AS (
+        SELECT r.r_name,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               CAST((CAST(round(o.o_totalprice * 100) AS BIGINT) * 1000000)
+                    // (500000 + ((n.n_nationkey * 37) % 1000) * 1000)
+                    AS BIGINT) AS usd
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT r_name, month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(usd) AS BIGINT) AS usd_cents
+    FROM x GROUP BY 1, 2
+    """
+
+ORACLES["budget_variance_ytd"] = """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS act
+        FROM orders GROUP BY 1, 2, 3
+    ), j AS (
+        SELECT a.o_orderpriority, a.y, a.mo, a.act, b.act AS bud
+        FROM m a JOIN m b
+          ON a.o_orderpriority = b.o_orderpriority
+         AND a.y * 12 + a.mo = b.y * 12 + b.mo + 12
+    )
+    SELECT o_orderpriority, y AS year, mo AS month,
+           act AS act_cents, bud AS budget_cents,
+           CAST(act - bud AS BIGINT) AS variance_cents,
+           CAST(sum(act - bud) OVER (PARTITION BY o_orderpriority, y
+                ORDER BY mo ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS ytd_variance_cents,
+           round(CAST(act - bud AS DOUBLE) / bud, 6) AS variance_pct
+    FROM j
+    """
+
+ORACLES["containment_dedup_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n
+        FROM documents
+        WHERE len(list_distinct({_TOKS})) > 0
+    ), tt AS (
+        SELECT id, n, unnest(toks) AS tok FROM t
+    ), dfreq AS (
+        SELECT tok, count(*) AS n_df FROM tt GROUP BY tok
+    ), pref AS (
+        SELECT id, n, tok
+        FROM (
+            SELECT tt.id, tt.n, tt.tok,
+                   row_number() OVER (PARTITION BY tt.id
+                                      ORDER BY d.n_df, tt.tok) AS rnk
+            FROM tt JOIN dfreq d USING (tok)
+        )
+        WHERE rnk <= n - ceil(n * 0.9) + 1
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN tt b
+          ON a.tok = b.tok AND a.id <> b.id
+         AND b.n >= ceil(a.n * 0.9)
+    ), v AS (
+        -- threshold on the TRUE int/int ratio (rounded for display)
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(ta.toks, tb.toks)) / CAST(ta.n AS DOUBLE)
+                   AS c_true
+        FROM cand c
+        JOIN t ta ON ta.id = c.id_a
+        JOIN t tb ON tb.id = c.id_b
+    )
+    SELECT id_a, id_b, round(c_true, 4) AS containment
+    FROM v WHERE c_true >= 0.9
+    """
+
+ORACLES["mann_whitney_event_halves"] = """
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 2 END AS grp
+        FROM events CROSS JOIN b WHERE value IS NOT NULL
+    ), c AS (
+        SELECT event_type, cents,
+               CAST(count_if(grp = 1) AS BIGINT) AS c1,
+               CAST(count_if(grp = 2) AS BIGINT) AS c2
+        FROM r GROUP BY 1, 2
+    ), d AS (
+        SELECT event_type, c1, c2, c1 + c2 AS cnt,
+               sum(c1 + c2) OVER w - (c1 + c2) AS off
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING)
+    ), g AS (
+        SELECT event_type,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * off + cnt + 1)) AS BIGINT) AS r2,
+               sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS s3
+        FROM d GROUP BY 1
+        HAVING sum(c1) > 0 AND sum(c2) > 0
+    )
+    SELECT event_type, n1, n2,
+           CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+           round((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * n2)
+                 / nullif(2.0 * sqrt(CAST(n1 AS DOUBLE) * n2
+                       * CAST(CAST(n1 + n2 + 1 AS HUGEINT)
+                              * (n1 + n2) * (n1 + n2 - 1) - s3 AS DOUBLE)
+                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0), 6) AS z
+    FROM g
+    """
+
+ORACLES["emd_value_drift"] = """
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 2 END AS grp
+        FROM events CROSS JOIN b WHERE value IS NOT NULL
+    ), c AS (
+        SELECT event_type, cents,
+               CAST(count_if(grp = 1) AS BIGINT) AS c1,
+               CAST(count_if(grp = 2) AS BIGINT) AS c2
+        FROM r GROUP BY 1, 2
+    ), d AS (
+        SELECT event_type,
+               sum(c1) OVER w AS a1, sum(c2) OVER w AS a2,
+               sum(c1) OVER t AS n1, sum(c2) OVER t AS n2,
+               lead(cents) OVER o - cents AS gap
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING),
+               t AS (PARTITION BY event_type),
+               o AS (PARTITION BY event_type ORDER BY cents)
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
+                              - CAST(a2 AS HUGEINT) * n1) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6) AS emd
+    FROM d
+    WHERE n1 > 0 AND n2 > 0 AND gap IS NOT NULL
+    GROUP BY event_type, n1, n2
+    """
+
+ORACLES["mv_incremental_refresh"] = """
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || 'mv'), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || 'mv'), 2, 1))
+                        - 1) AS BIGINT) < 5
+                    THEN 1 ELSE 0 END AS is_delta
+        FROM orders
+    ), keys AS (
+        SELECT DISTINCT o_orderpriority, day FROM o WHERE is_delta = 1
+    )
+    SELECT o.o_orderpriority, o.day,
+           CAST(sum(o.is_delta) AS BIGINT) AS n_delta_rows,
+           CAST(sum(CASE WHEN o.is_delta = 0 THEN o.cents ELSE 0 END)
+                AS BIGINT) AS old_cents,
+           CAST(sum(CASE WHEN o.is_delta = 1 THEN o.cents ELSE 0 END)
+                AS BIGINT) AS delta_cents,
+           CAST(sum(o.cents) AS BIGINT) AS new_cents
+    FROM o JOIN keys k
+      ON o.o_orderpriority = k.o_orderpriority AND o.day = k.day
+    GROUP BY 1, 2
+    """
+
+ORACLES["conformal_interval_coverage"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), r0 AS (
+        SELECT series, day,
+               cents - lag(cents, 7) OVER (PARTITION BY series ORDER BY day)
+                   AS r
+        FROM d
+    ), r AS (
+        SELECT series, day, r,
+               row_number() OVER (PARTITION BY series ORDER BY day) AS rn,
+               count(*) OVER (PARTITION BY series) AS n_tot
+        FROM r0 WHERE r IS NOT NULL
+    ), s AS (
+        SELECT series, day, r, rn, n_tot // 2 AS m,
+               CASE WHEN rn <= n_tot // 2 THEN 1 ELSE 0 END AS is_cal
+        FROM r
+    ), cal AS (
+        SELECT series, abs(r) AS ar, m,
+               row_number() OVER (PARTITION BY series ORDER BY abs(r), day)
+                   AS arn
+        FROM s WHERE is_cal = 1
+    ), q AS (
+        SELECT series, CAST(ar AS BIGINT) AS q_hat_cents
+        FROM cal
+        WHERE arn = least(CAST(ceil(0.9 * (m + 1)) AS BIGINT), m)
+    )
+    SELECT s.series,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           q.q_hat_cents,
+           round(CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS coverage,
+           CAST(0.9 AS DOUBLE) AS target
+    FROM s JOIN q ON s.series = q.series
+    WHERE s.is_cal = 0
+    GROUP BY 1, 3
+    """
+
+ORACLES["return_rate_parity_segments"] = """
+    WITH per AS (
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ), rated AS (
+        SELECT n_name, n_lines, n_returned,
+               CAST((n_returned * 1000000) // n_lines AS BIGINT) AS rate_ppm
+        FROM per
+    )
+    SELECT n_name, n_lines, n_returned, rate_ppm,
+           CAST((rate_ppm * 1000000)
+                // (SELECT max(rate_ppm) FROM rated) AS BIGINT)
+               AS di_vs_max_ppm
+    FROM rated
+    """
+
+ORACLES["matryoshka_truncation_recall"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), full_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0), 6)
+                       DESC, neighbor_id ASC) AS rank
+            FROM c, q WHERE query_id <> neighbor_id
+        ) WHERE rank <= 10
+    ), tr_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv[1:16], cv[1:16])
+                             / nullif(sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0), 6)
+                       DESC, neighbor_id ASC) AS rank
+            FROM c, q WHERE query_id <> neighbor_id
+        ) WHERE rank <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(t.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM full_k f LEFT JOIN tr_k t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY 1
+    """

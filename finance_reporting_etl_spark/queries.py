@@ -8510,6 +8510,575 @@ def q_gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-8 additions: tax-lot HIFO, trading signals, ledger trial
+# balance, FX consolidation, budget-vs-actual, containment dedup.
+# ---------------------------------------------------------------------------
+
+
+@query("hifo_realized_pnl",
+    _ORACLES["hifo_realized_pnl"],
+    "§2.5/finance HIFO cost basis: highest-in-first-out tax-lot matching via the same cumulative-quantity interval join as FIFO with a cost-descending lot order — realized PnL per part in exact integer cents",
+)
+def q_hifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized PnL per part under HIFO lot matching — the year-end
+    tax-lot optimizer's allocation (consume the HIGHEST-cost lot
+    first, minimizing recognized gains). Identical distributed shape
+    to fifo_realized_pnl (two prefix-sum windows + one interval
+    equi-join, operators/allocation.py::fifo_match) — only the BUY
+    side's consumption order changes to unit-cost-descending over the
+    full lot book (the optimizer's retrospective view; see the
+    operator docstring for the availability caveat). Unit-cost order
+    is the int/int double total/qty — identical in any engine — with
+    (orderkey, linenumber) tiebreaks; PnL is the same floor-allocated
+    integer cents as FIFO, so the BIGINT sum is order-exact."""
+    from finance_reporting_etl_spark.operators.allocation import fifo_match
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("total"),
+    )
+    buys = li.filter(F.col("l_returnflag") == "N").withColumn(
+        "neg_unit", -(F.col("total").cast("double") / F.col("qty"))
+    )
+    sells = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "neg_unit", F.lit(0.0)
+    )
+    m = fifo_match(
+        buys,
+        sells,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "qty",
+        "total",
+        buy_order_cols=["neg_unit", "l_orderkey", "l_linenumber"],
+    )
+    pnl_cents = F.expr("matched_qty * s_total div s_qty") - F.expr(
+        "matched_qty * b_total div b_qty"
+    )
+    return m.groupBy("l_partkey").agg(
+        F.sum("matched_qty").alias("matched_qty"),
+        F.sum(pnl_cents).cast("bigint").alias("realized_pnl_cents"),
+    )
+
+
+@query("sma_crossover_signals",
+    _ORACLES["sma_crossover_signals"],
+    "§2.5/finance trend signal: 10/30-day SMA golden/death cross per series — regime bit from the exact DECIMAL inequality S_f*slow <> S_s*fast (zero float in any predicate), crossover = lagged regime diff",
+)
+def q_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-cross / death-cross signals on each priority tier's
+    daily revenue: 10-day vs 30-day SMA regime and the +1/-1 crossing
+    events. The regime bit compares S_fast*30 <> S_slow*10 over exact
+    DECIMAL window sums — no float touches any flag, so the event
+    stream is hash-stable (the bollinger_bands r7 lesson applied from
+    birth). Operator: operators.timeseries.sma_crossover."""
+    from finance_reporting_etl_spark.operators.timeseries import sma_crossover
+
+    return sma_crossover(
+        _priority_daily_cents(spark, sf_dir), "series", "day", "cents",
+        fast=10, slow=30,
+    )
+
+
+@query("stochastic_oscillator_k",
+    _ORACLES["stochastic_oscillator_k"],
+    "§2.5/finance momentum: 14-day stochastic %K per series in exact integer ppm ((c-min)*1e6 div (max-min)) with overbought/oversold flags — zero float anywhere",
+)
+def q_stochastic_oscillator_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does today's revenue sit inside its trailing 14-day
+    range? Stochastic %K per priority tier, kept ENTIRELY in integer
+    arithmetic: rolling min/max are exact, and %K is one truncating
+    integer division to parts-per-million (Spark div == DuckDB // on
+    non-negative operands) — every emitted cell is hash-stable. Flat
+    windows emit NULL rather than 0/0. Operator:
+    operators.timeseries.stochastic_k."""
+    from finance_reporting_etl_spark.operators.timeseries import stochastic_k
+
+    return stochastic_k(
+        _priority_daily_cents(spark, sf_dir), "series", "day", "cents", n=14
+    )
+
+
+@query("obv_daily",
+    _ORACLES["obv_daily"],
+    "§2.5/finance volume-flow: on-balance volume per series — sign(price diff) x daily order count, exact BIGINT prefix sum (bounded series domain)",
+)
+def q_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per priority tier: daily order count flows
+    in (+) on revenue up-days and out (-) on down-days; the running
+    total confirms or diverges from the price trend. All integer —
+    sign of an exact diff times an exact count, cumulated by a
+    key-partitioned BIGINT window over the bounded (series x day)
+    domain. Operator: operators.timeseries.on_balance_volume."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        on_balance_volume,
+    )
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+        )
+    )
+    return on_balance_volume(d, "series", "day", "cents", "vol")
+
+
+@query("vwap_deviation_bands",
+    _ORACLES["vwap_deviation_bands"],
+    "§2.5/finance microstructure: daily per-brand VWAP (exact integer div) + above/below line counts by exact integer cross-multiplication (lext*Q <> E*lqty — no division in any predicate)",
+)
+def q_vwap_deviation_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average unit price per part brand, with
+    how many lines traded above/below it — the execution-quality
+    benchmark. VWAP is one truncating integer division of exact cent
+    and quantity sums; the above/below tests avoid division entirely
+    via integer cross-multiplication lext*Q_day <> E_day*lqty (exact
+    in BIGINT at gate SFs; the 100-TB variant casts the two products
+    to DECIMAL(38,0) — same plan shape). One Exchange total: the
+    day-total window and the final groupBy share the (brand, day)
+    partitioning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.round("l_quantity").cast("bigint").alias("lqty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("lext"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand", "day", "lqty", "lext"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand", "day")
+    x = l.withColumn("qd", F.sum("lqty").over(w)).withColumn(
+        "ed", F.sum("lext").over(w)
+    )
+    above = (F.col("lext") * F.col("qd") > F.col("ed") * F.col("lqty")).cast("int")
+    below = (F.col("lext") * F.col("qd") < F.col("ed") * F.col("lqty")).cast("int")
+    return (
+        x.groupBy("p_brand", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("lext").alias("__e"),
+            F.sum("lqty").alias("__q"),
+            F.sum(above).cast("bigint").alias("above_vwap_lines"),
+            F.sum(below).cast("bigint").alias("below_vwap_lines"),
+        )
+        .select(
+            "p_brand",
+            "day",
+            "n_lines",
+            F.expr("__e div __q").cast("bigint").alias("vwap_unit_cents"),
+            "above_vwap_lines",
+            "below_vwap_lines",
+        )
+    )
+
+
+@query("trial_balance_monthly",
+    _ORACLES["trial_balance_monthly"],
+    "§2.4/finance ledger: double-entry journal explosion (AR/revenue per order, returns reversal per 'R' line) -> monthly trial balance per account, exact integer cents (debits == credits by construction)",
+)
+def q_trial_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting-ETL primitive under every GL mart: orders post
+    debit accounts_receivable / credit revenue; returned lines post
+    debit sales_returns / credit accounts_receivable. Legs explode
+    from a literal struct array (fan-out 2, bounded), roll up to a
+    (month, account) trial balance in exact integer cents — total
+    debits equal total credits by construction, the invariant a
+    ledger consumer audits. One shuffle: the leg union feeds a single
+    hash aggregation."""
+    z = F.lit(0).cast("bigint")
+    o = _t(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    olegs = o.select(
+        "month",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("accounts_receivable").alias("account"),
+                    F.col("cents").alias("debit"),
+                    z.alias("credit"),
+                ),
+                F.struct(
+                    F.lit("revenue").alias("account"),
+                    z.alias("debit"),
+                    F.col("cents").alias("credit"),
+                ),
+            )
+        ).alias("leg"),
+    ).select("month", "leg.*")
+    r = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    rlegs = r.select(
+        "month",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sales_returns").alias("account"),
+                    F.col("cents").alias("debit"),
+                    z.alias("credit"),
+                ),
+                F.struct(
+                    F.lit("accounts_receivable").alias("account"),
+                    z.alias("debit"),
+                    F.col("cents").alias("credit"),
+                ),
+            )
+        ).alias("leg"),
+    ).select("month", "leg.*")
+    return (
+        olegs.unionByName(rlegs)
+        .groupBy("month", "account")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+            F.sum("debit").cast("bigint").alias("debit_cents"),
+            F.sum("credit").cast("bigint").alias("credit_cents"),
+        )
+    )
+
+
+@query("fx_normalized_revenue",
+    _ORACLES["fx_normalized_revenue"],
+    "§2.4/finance consolidation: multi-currency revenue normalized through a deterministic per-nation rate dim (broadcast) — exact integer cents via cents*1e6 div rate_ppm, region x month rollup",
+)
+def q_fx_normalized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group consolidation across reporting currencies: each nation
+    carries a synthetic-but-deterministic FX rate in parts-per-million
+    (500000 + (nationkey*37 % 1000)*1000 — the reproducible stand-in
+    for a rates table), orders convert with ONE truncating integer
+    division, and converted revenue rolls up region x month. The rate
+    dim rides the broadcast customer->nation->region chain onto the
+    fact scan; conversion is exact integer cents on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").withColumn(
+        "rate_ppm",
+        (F.lit(500000) + (F.col("n_nationkey") * 37 % 1000) * 1000).cast("bigint"),
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    x = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "month",
+            F.expr("cents * 1000000 div rate_ppm").cast("bigint").alias("usd"),
+        )
+    )
+    return x.groupBy("r_name", "month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("usd").cast("bigint").alias("usd_cents"),
+    )
+
+
+@query("budget_variance_ytd",
+    _ORACLES["budget_variance_ytd"],
+    "§2.4/finance FP&A: budget-vs-actual per priority x month (budget = same month last year, exact integer month-index self-join) with YTD cumulative variance — all cents BIGINT-exact",
+)
+def q_budget_variance_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FP&A variance mart: monthly actuals per order priority
+    against a same-month-last-year budget, with the year-to-date
+    cumulative variance every monthly close reports. The budget join
+    is an exact integer month-index equi-join (y*12+mo — no date
+    arithmetic ambiguity across engines); YTD is a BIGINT prefix sum
+    over the bounded (priority, year) partition; variance_pct is the
+    one displayed float (int/int double, identical in any engine)."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("act")
+        )
+    )
+    a = m.withColumn("midx", F.col("y") * 12 + F.col("mo"))
+    b = m.select(
+        F.col("o_orderpriority").alias("bp"),
+        (F.col("y") * 12 + F.col("mo") + 12).alias("bidx"),
+        F.col("act").alias("bud"),
+    )
+    j = a.join(
+        b, (a.o_orderpriority == b.bp) & (a.midx == b.bidx)
+    ).select("o_orderpriority", "y", "mo", "act", "bud")
+    w = (
+        Window.partitionBy("o_orderpriority", "y")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col("act") - F.col("bud")
+    return j.select(
+        "o_orderpriority",
+        F.col("y").alias("year"),
+        F.col("mo").alias("month"),
+        F.col("act").alias("act_cents"),
+        F.col("bud").alias("budget_cents"),
+        v.cast("bigint").alias("variance_cents"),
+        F.sum(v).over(w).cast("bigint").alias("ytd_variance_cents"),
+        F.round(v.cast("double") / F.col("bud"), 6).alias("variance_pct"),
+    )
+
+
+@query("containment_dedup_pairs",
+    _ORACLES["containment_dedup_pairs"],
+    "X2/near-dedup: EXACT directional token-set containment |A∩B|/|A| >= 0.9 via asymmetric prefix filter (A's rare-token prefix vs the full inverted index) — catches sub-document duplication Jaccard dilutes away",
+)
+def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication mining: a small document embedded in
+    a much larger one scores low Jaccard (the union dilutes it) but
+    containment ~1 — quoted posts, boilerplate-wrapped articles,
+    chunk-of-a-bigger-doc crawls. Exact and directional, candidate
+    recall guaranteed by the asymmetric prefix-filter bound (keep A's
+    |A| - ceil(t|A|) + 1 rarest tokens; join against the full
+    inverted index). Operator:
+    operators.dedup.containment_prefix_filter_pairs."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        containment_prefix_filter_pairs,
+    )
+
+    return containment_prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+@query("mann_whitney_event_halves",
+    _ORACLES["mann_whitney_event_halves"],
+    "A-tier nonparametric inference: exact Mann-Whitney U rank-sum per event type (first vs second half of the time range) — doubled-midrank integer rank sums, DECIMAL tie correction, one closed-form z",
+)
+def q_mann_whitney_event_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did each event type's value distribution SHIFT between the
+    first and second half of the time range? The rank-sum answer —
+    distribution-free where welch_t_event_values assumes normality,
+    and magnitude-robust on skewed revenue values. Ranks never
+    materialize per row: per-(key, value) integer counts give exact
+    doubled midranks; only the final z is float (one shared closed
+    form). Operator: operators.drift.mann_whitney_u."""
+    from finance_reporting_etl_spark.operators.drift import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    r = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("grp"),
+    )
+    return mann_whitney_u(r, "event_type", "cents", "grp")
+
+
+@query("emd_value_drift",
+    _ORACLES["emd_value_drift"],
+    "A/X-tier drift: exact 1-D earth-mover (Wasserstein-1) distance per event type between time halves — integer |a1*n2 - a2*n1|*gap numerator in DECIMAL, one display division",
+)
+def q_emd_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH value mass moved, not just whether the shapes differ:
+    Wasserstein-1 between each event type's first-half and second-half
+    value distributions, in dollars — the magnitude-aware complement
+    to ks_value_drift (KS saturates at 1; EMD keeps growing with the
+    size of the shift) and the binned PSI (no bin design). Same
+    per-key cumulative shape; the numerator is an exact DECIMAL
+    integer sum. Operator: operators.drift.emd_1d."""
+    from finance_reporting_etl_spark.operators.drift import emd_1d
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    r = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("grp"),
+    )
+    return emd_1d(r, "event_type", "cents", "grp")
+
+
+@query("mv_incremental_refresh",
+    _ORACLES["mv_incremental_refresh"],
+    "S/O-tier incremental MV maintenance: late-arriving delta batch (deterministic ~2% md5 bucket) -> recompute ONLY the touched (priority, day) groups via semi-join; old/delta/new exact cents per group",
+)
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental materialized-view refresh contract: a
+    late-arriving batch (deterministic md5 ~2% of orders — the
+    reproducible stand-in) touches a sparse set of (priority, day)
+    groups; ONLY those groups are recomputed — the delta keys
+    semi-join prunes the fact scan before any aggregation, which at
+    100 TB is the difference between refreshing a day and refreshing
+    the table. Emits the audit row per touched group: old aggregate,
+    delta contribution, new aggregate (old + delta == new by
+    construction, exact cents)."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (md5_bucket("o_orderkey", 256, salt="mv") < 5).cast("int").alias("is_delta"),
+    )
+    keys = (
+        o.filter(F.col("is_delta") == 1)
+        .select("o_orderpriority", "day")
+        .distinct()
+    )
+    touched = o.join(keys, ["o_orderpriority", "day"], "left_semi")
+    return touched.groupBy("o_orderpriority", "day").agg(
+        F.sum("is_delta").cast("bigint").alias("n_delta_rows"),
+        F.sum(F.when(F.col("is_delta") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("old_cents"),
+        F.sum(F.when(F.col("is_delta") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("delta_cents"),
+        F.sum("cents").cast("bigint").alias("new_cents"),
+    )
+
+
+@query("conformal_interval_coverage",
+    _ORACLES["conformal_interval_coverage"],
+    "A-tier uncertainty: split-conformal interval calibration for the seasonal-naive forecaster per series — integer residual order statistic q_hat, exact eval-half coverage vs the 0.9 target",
+)
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the forecast intervals HONEST? Split-conformal calibration
+    on each priority tier's seasonal-naive (lag-7) residuals: q_hat is
+    the ceil(0.9(m+1))-th order statistic of |residual| on the
+    chronological first half, coverage is the second-half share inside
+    ±q_hat — distribution-free finite-sample validity, the uncertainty
+    companion to seasonal_naive_backtest's point metrics. Integer
+    end-to-end except the displayed coverage ratio. Operator:
+    operators.timeseries.split_conformal_coverage."""
+    from finance_reporting_etl_spark.operators.timeseries import (
+        split_conformal_coverage,
+    )
+
+    return split_conformal_coverage(
+        _priority_daily_cents(spark, sf_dir), ["series"], "day", "cents",
+        season=7, alpha=0.1,
+    )
+
+
+@query("return_rate_parity_segments",
+    _ORACLES["return_rate_parity_segments"],
+    "A/ML-governance: outcome-rate parity audit — per-nation return rate in exact integer ppm and disparate-impact ratio vs the max-rate segment (broadcast dims, one scalar broadcast back)",
+)
+def q_return_rate_parity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fairness-audit shape every scored pipeline needs: an
+    outcome rate (line returned) per protected-ish segment (customer
+    nation) and each segment's disparate-impact ratio against the
+    highest-rate segment — the 80%-rule screen. Rates are exact
+    integer ppm (returned*1e6 div n); the DI ratio is one more exact
+    integer division against a 1-row broadcast max. Dims ride
+    broadcast joins onto the fact scan; one aggregation shuffle
+    total."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").cast("int").alias("ret")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+        )
+        .withColumn(
+            "rate_ppm", F.expr("n_returned * 1000000 div n_lines").cast("bigint")
+        )
+    )
+    mx = per.agg(F.max("rate_ppm").alias("max_rate_ppm"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "n_name",
+        "n_lines",
+        "n_returned",
+        "rate_ppm",
+        F.expr("rate_ppm * 1000000 div max_rate_ppm")
+        .cast("bigint")
+        .alias("di_vs_max_ppm"),
+    )
+
+
+@query("matryoshka_truncation_recall",
+    _ORACLES["matryoshka_truncation_recall"],
+    "X3/embeddings: matryoshka truncation eval — top-10 cosine recall of the first-16-dim prefix vs the full 64-dim vector per query (one shared brute_force_topk scorer, exact overlap counts)",
+)
+def q_matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much ANN quality survives truncating embeddings to their
+    first 16 dims? The matryoshka-representation question every
+    embedding-serving stack asks before shipping the cheap prefix
+    index. Both rankings come from the SAME
+    operators/similarity.brute_force_topk scorer (identical rounding
+    and tie-breaks), so the per-query overlap count — and recall@10 =
+    overlap/10 — is exact on both engines."""
+    from finance_reporting_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    full = brute_force_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    trunc = brute_force_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        qids,
+        k=10,
+    ).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    j = full.join(
+        trunc,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("neighbor_id") == F.col("t_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.col("t_nid").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.round(
+            F.sum(F.col("t_nid").isNotNull().cast("int")) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
 # The driver's correctness gate runs the FIRST 50 catalog entries in dict
@@ -8607,6 +9176,21 @@ _GATE_NEXT = [
     "skew_salted_event_rollup",
     "sql_api_mart_summary",
     # -- round-8 additions (never gated; r9 window) ---------------------
+    "hifo_realized_pnl",
+    "sma_crossover_signals",
+    "stochastic_oscillator_k",
+    "obv_daily",
+    "vwap_deviation_bands",
+    "trial_balance_monthly",
+    "fx_normalized_revenue",
+    "budget_variance_ytd",
+    "containment_dedup_pairs",
+    "mann_whitney_event_halves",
+    "emd_value_drift",
+    "mv_incremental_refresh",
+    "conformal_interval_coverage",
+    "return_rate_parity_segments",
+    "matryoshka_truncation_recall",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
