@@ -5978,3 +5978,54 @@ ORACLES["matryoshka_truncation_recall"] = """
       ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
     GROUP BY 1
     """
+
+ORACLES["scd2_point_in_time_join"] = """
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               lag(ts)         OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events WHERE event_type <> 'purchase'
+    ), starts AS (
+        SELECT user_id, event_type, ts FROM o
+        WHERE prev_ts IS NULL OR NOT (event_type IS NOT DISTINCT FROM prev)
+    ), hist AS (
+        SELECT user_id AS h_uid, event_type AS state,
+               epoch_us(ts) AS vf,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS vt
+        FROM starts
+    ), pur AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT coalesce(h.state, 'none') AS state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS purchase_cents
+    FROM pur p LEFT JOIN hist h
+      ON p.user_id = h.h_uid AND h.vf <= p.t
+     AND (h.vt IS NULL OR p.t < h.vt)
+    GROUP BY 1
+    """
+
+ORACLES["safety_stock_quantile"] = """
+    WITH daily AS (
+        SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT p_brand, day, d_qty,
+               row_number() OVER (PARTITION BY p_brand ORDER BY d_qty, day)
+                   AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS n_days,
+               sum(d_qty) OVER (PARTITION BY p_brand) AS tot
+        FROM daily
+    )
+    SELECT p_brand,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(tot AS BIGINT) AS total_qty,
+           d_qty AS q95_daily_qty,
+           CAST(d_qty - tot // n_days AS BIGINT) AS safety_stock_qty
+    FROM r
+    WHERE rn = CAST(ceil(0.95 * n_days) AS BIGINT)
+    """

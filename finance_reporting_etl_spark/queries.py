@@ -9078,6 +9078,102 @@ def q_matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("scd2_point_in_time_join",
+    _ORACLES["scd2_point_in_time_join"],
+    "§2.3/§2.5 point-in-time dimension join: purchases joined to the SCD2 browsing-state interval valid at purchase time (equi-join on the key + interval predicate — the PIT pattern), exact cents per state",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of scd2_user_state_history: having BUILT the
+    type-2 dimension, join facts back AS OF their event time. Each
+    purchase picks the browsing-state interval (history built from
+    non-purchase events) covering its timestamp — valid_from <= ts <
+    valid_to, open interval = current — the leakage-free dimension
+    lookup every feature pipeline and every kimball mart needs.
+    Equi-join on user_id with the interval predicate inside the key:
+    per-user history rows are bounded, so this is a key-local filter,
+    never a cartesian. Purchases before any state row keep state
+    'none' (left join). Exact integer cents per state."""
+    from finance_reporting_etl_spark.operators.incremental import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts"
+        ),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+    ).select(
+        F.col("user_id").alias("h_uid"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("valid_from").alias("vf"),
+        F.unix_micros("valid_to").alias("vt"),
+    )
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    j = pur.join(
+        hist,
+        (F.col("user_id") == F.col("h_uid"))
+        & (F.col("vf") <= F.col("t"))
+        & (F.col("vt").isNull() | (F.col("t") < F.col("vt"))),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("state"), F.lit("none")).alias("state")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("purchase_cents"),
+    )
+
+
+@query("safety_stock_quantile",
+    _ORACLES["safety_stock_quantile"],
+    "§2.5/SCM newsvendor: per-brand p95 daily-demand order statistic (exact integer row_number pick inside the brand partition) and safety stock over the floor mean — zero float",
+)
+def q_safety_stock_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much buffer inventory does each brand need to cover 95% of
+    demand days? The newsvendor service-level answer: the p95 daily
+    shipped quantity as an EXACT order statistic (k = ceil(0.95*n),
+    row_number pick inside the brand's bounded daily partition — no
+    approx_percentile, no float), and safety stock = q95 minus the
+    floor mean. Every cell is integer arithmetic."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "day")
+        .agg(F.sum("qty").cast("bigint").alias("d_qty"))
+    )
+    wq = Window.partitionBy("p_brand").orderBy("d_qty", "day")
+    wn = Window.partitionBy("p_brand")
+    r = (
+        daily.withColumn("rn", F.row_number().over(wq))
+        .withColumn("n_days", F.count(F.lit(1)).over(wn))
+        .withColumn("tot", F.sum("d_qty").over(wn))
+    )
+    k = F.ceil(F.lit(0.95) * F.col("n_days")).cast("bigint")
+    return r.filter(F.col("rn") == k).select(
+        "p_brand",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("tot").cast("bigint").alias("total_qty"),
+        F.col("d_qty").alias("q95_daily_qty"),
+        (F.col("d_qty") - F.expr("tot div n_days")).cast("bigint").alias(
+            "safety_stock_qty"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -9191,6 +9287,8 @@ _GATE_NEXT = [
     "conformal_interval_coverage",
     "return_rate_parity_segments",
     "matryoshka_truncation_recall",
+    "scd2_point_in_time_join",
+    "safety_stock_quantile",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

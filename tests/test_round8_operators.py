@@ -246,3 +246,33 @@ def test_return_rate_parity_max_segment_has_di_1e6(spark):
     assert max(r.di_vs_max_ppm for r in out) == 1_000_000
     for r in out:
         assert r.rate_ppm == r.n_returned * 1_000_000 // r.n_lines
+
+
+def test_scd2_pit_join_assigns_state_at_purchase_time(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = {r.state: r for r in
+           CATALOG["scd2_point_in_time_join"].fn(spark, SF_SMOKE).collect()}
+    # every purchase lands in exactly one state bucket (or 'none')
+    from finance_reporting_etl_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, SF_SMOKE, ("events",))["events"]
+    n_pur = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).count()
+    assert sum(r.n_purchases for r in out.values()) == n_pur
+    assert "purchase" not in out  # history excludes purchase states
+
+
+def test_safety_stock_quantile_is_exact_order_statistic(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    rows = CATALOG["safety_stock_quantile"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 25  # one row per brand
+    import math
+
+    for r in rows:
+        assert r.safety_stock_qty == r.q95_daily_qty - r.total_qty // r.n_days
