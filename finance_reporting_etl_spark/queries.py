@@ -8700,29 +8700,29 @@ def q_trial_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     debits equal total credits by construction, the invariant a
     ledger consumer audits. One shuffle: the leg union feeds a single
     hash aggregation."""
-    z = F.lit(0).cast("bigint")
-    o = _t(spark, sf_dir, "orders").select(
+    return (
+        _journal_order_legs(_tb_orders(spark, sf_dir))
+        .unionByName(_journal_return_legs(_tb_returns(spark, sf_dir)))
+        .groupBy("month", "account")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+            F.sum("debit").cast("bigint").alias("debit_cents"),
+            F.sum("credit").cast("bigint").alias("credit_cents"),
+        )
+    )
+
+
+def _tb_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, cents) per order — the AR/revenue posting source."""
+    return _t(spark, sf_dir, "orders").select(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    olegs = o.select(
-        "month",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("accounts_receivable").alias("account"),
-                    F.col("cents").alias("debit"),
-                    z.alias("credit"),
-                ),
-                F.struct(
-                    F.lit("revenue").alias("account"),
-                    z.alias("debit"),
-                    F.col("cents").alias("credit"),
-                ),
-            )
-        ).alias("leg"),
-    ).select("month", "leg.*")
-    r = (
+
+
+def _tb_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, cents) per returned line — the returns-reversal source."""
+    return (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .select(
@@ -8732,30 +8732,102 @@ def q_trial_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    rlegs = r.select(
+
+
+def _two_legs(d: DataFrame, debit_account: str, credit_account: str) -> DataFrame:
+    """Explode (month, cents) rows into balanced double-entry legs."""
+    z = F.lit(0).cast("bigint")
+    return d.select(
         "month",
         F.explode(
             F.array(
                 F.struct(
-                    F.lit("sales_returns").alias("account"),
+                    F.lit(debit_account).alias("account"),
                     F.col("cents").alias("debit"),
                     z.alias("credit"),
                 ),
                 F.struct(
-                    F.lit("accounts_receivable").alias("account"),
+                    F.lit(credit_account).alias("account"),
                     z.alias("debit"),
                     F.col("cents").alias("credit"),
                 ),
             )
         ).alias("leg"),
     ).select("month", "leg.*")
-    return (
-        olegs.unionByName(rlegs)
+
+
+def _journal_order_legs(o: DataFrame) -> DataFrame:
+    return _two_legs(o, "accounts_receivable", "revenue")
+
+
+def _journal_return_legs(r: DataFrame) -> DataFrame:
+    return _two_legs(r, "sales_returns", "accounts_receivable")
+
+
+@query("streaming_trial_balance",
+    _ORACLES["trial_balance_monthly"],
+    "§2.8 x §2.4 continuous GL posting: order legs fold per micro-batch through foreachBatch (additive integer partials) + static returns side == the one-shot batch trial balance (SHARED oracle proves it)",
+)
+def q_streaming_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of trial_balance_monthly: orders arrive as
+    a live stream and each micro-batch POSTS its journal legs — per-
+    (month, account) integer partial sums through foreachBatch — while
+    the returns reversal side stays a static table. Integer partials
+    are order-free mergeable, so the merged ledger is bit-identical to
+    the one-shot batch computation no matter where the micro-batch
+    boundaries fall (the shared oracle proves it). Replayed as 3
+    micro-batches; sink state per batch: one row per touched (month,
+    account). Operator: streaming.rollup.streaming_grouped_sum_fold."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return (
+            _journal_order_legs(batch)
+            .groupBy("month", "account")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("debit").cast("bigint").alias("d"),
+                F.sum("credit").cast("bigint").alias("c"),
+            )
+        )
+
+    stream_part = run_file_stream(
+        spark,
+        lambda src: _tb_orders(spark, sf_dir).repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
         .groupBy("month", "account")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
-            F.sum("debit").cast("bigint").alias("debit_cents"),
-            F.sum("credit").cast("bigint").alias("credit_cents"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("d").cast("bigint").alias("d"),
+            F.sum("c").cast("bigint").alias("c"),
+        ),
+        prefix="stream_tb_",
+        label="streaming_trial_balance",
+    )
+    static_part = (
+        _journal_return_legs(_tb_returns(spark, sf_dir))
+        .groupBy("month", "account")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("debit").cast("bigint").alias("d"),
+            F.sum("credit").cast("bigint").alias("c"),
+        )
+    )
+    return (
+        stream_part.unionByName(static_part)
+        .groupBy("month", "account")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_entries"),
+            F.sum("d").cast("bigint").alias("debit_cents"),
+            F.sum("c").cast("bigint").alias("credit_cents"),
         )
     )
 
@@ -9289,6 +9361,7 @@ _GATE_NEXT = [
     "matryoshka_truncation_recall",
     "scd2_point_in_time_join",
     "safety_stock_quantile",
+    "streaming_trial_balance",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

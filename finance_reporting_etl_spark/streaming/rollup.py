@@ -306,3 +306,37 @@ def merge_ohlc_partials(partials: DataFrame) -> DataFrame:
         F.max_by("close_cents", "last_k").alias("close_cents"),
         F.sum("n_ticks").alias("n_ticks"),
     )
+
+
+def streaming_grouped_sum_fold(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    sink_dir: str,
+    batch_agg,
+    max_files_per_trigger: int = 1,
+):
+    """Start an AvailableNow stream folding each micro-batch through
+    ``batch_agg`` (a callable batch_df -> per-group ADDITIVE partial
+    sums) into a batch_id-partitioned parquet sink — the generic form
+    of streaming_bin_count_fold for any mergeable integer rollup
+    (ledger postings, leg counts, token tallies). The reader merges
+    partials with ONE groupBy-sum; because the partials are exact
+    integers, the merged result is bit-identical to the one-shot batch
+    aggregation regardless of micro-batch boundaries."""
+
+    def fold(batch, batch_id):
+        batch_agg(batch).write.mode("overwrite").parquet(
+            f"{sink_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
