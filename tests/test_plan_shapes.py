@@ -34,6 +34,15 @@ def _plan(df, capsys) -> str:
         ("customers_without_orders_anti", ["LeftAnti"]),
         # per-stratum k retained before the window shuffle
         ("stratified_reservoir_sample", ["WindowGroupLimit"]),
+        # the incremental-MV contract: the delta-keys semi-join must
+        # prune the fact scan BEFORE any aggregation (r8)
+        ("mv_incremental_refresh", ["LeftSemi"]),
+        # PIT dimension lookup stays an EQUI-join on the user key with
+        # the interval predicate as a post-condition (never a nested
+        # loop); AQE picks broadcast-hash at small SF, sort-merge at
+        # scale — both are *HashJoin/SortMergeJoin LeftOuter forms, and
+        # the catalog-wide invariant already forbids cartesians (r8)
+        ("scd2_point_in_time_join", ["LeftOuter"]),
     ],
 )
 def test_plan_contains(spark, name, required, capsys):
@@ -45,6 +54,16 @@ def test_plan_contains(spark, name, required, capsys):
 def test_filter_pushdown_reaches_scan(spark, capsys):
     plan = _plan(CATALOG["filter_eq_projection"].fn(spark, SF_SMOKE), capsys)
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus" in plan
+
+
+def test_vwap_window_and_groupby_share_one_exchange(spark, capsys):
+    """vwap_deviation_bands claims the (brand, day) window and the
+    final groupBy share ONE hash exchange — a second exchange means
+    Catalyst stopped reusing the partitioning and the query pays a
+    redundant fact-sized shuffle at 100 TB."""
+    df = CATALOG["vwap_deviation_bands"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_column_pruning_reaches_scan(spark, capsys):
