@@ -6029,3 +6029,35 @@ ORACLES["safety_stock_quantile"] = """
     FROM r
     WHERE rn = CAST(ceil(0.95 * n_days) AS BIGINT)
     """
+
+ORACLES["account_running_balances"] = """
+    WITH o AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), r AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), j AS (
+        SELECT month, 'accounts_receivable' AS account,
+               cents AS debit, CAST(0 AS BIGINT) AS credit FROM o
+        UNION ALL
+        SELECT month, 'revenue', CAST(0 AS BIGINT), cents FROM o
+        UNION ALL
+        SELECT month, 'sales_returns', cents, CAST(0 AS BIGINT) FROM r
+        UNION ALL
+        SELECT month, 'accounts_receivable', CAST(0 AS BIGINT), cents FROM r
+    ), m AS (
+        SELECT month, account,
+               CAST(sum(debit) AS BIGINT) AS debit_cents,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM j GROUP BY 1, 2
+    )
+    SELECT account, month, debit_cents, credit_cents,
+           CAST(sum(debit_cents - credit_cents) OVER (
+                PARTITION BY account ORDER BY month
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_cents
+    FROM m
+    """

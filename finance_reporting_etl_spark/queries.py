@@ -9246,6 +9246,46 @@ def q_safety_stock_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("account_running_balances",
+    _ORACLES["account_running_balances"],
+    "§2.4/finance ledger: running month-end balance per account (cumulative debits - credits over the bounded month spine) from the same journal as the trial balance — the balance-sheet line, exact cents",
+)
+def q_account_running_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The balance-sheet companion to trial_balance_monthly: each
+    account's running month-end balance, cumulative debits minus
+    credits over the calendar — accounts_receivable trends toward the
+    open AR position, revenue/sales_returns accumulate the P&L lines.
+    Same journal legs, one more BIGINT prefix sum over the bounded
+    (account, month) domain (per-account partition, never a global
+    sort). Exact integer cents end-to-end."""
+    from pyspark.sql import Window
+
+    monthly = (
+        _journal_order_legs(_tb_orders(spark, sf_dir))
+        .unionByName(_journal_return_legs(_tb_returns(spark, sf_dir)))
+        .groupBy("month", "account")
+        .agg(
+            F.sum("debit").cast("bigint").alias("debit_cents"),
+            F.sum("credit").cast("bigint").alias("credit_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("account")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "account",
+        "month",
+        "debit_cents",
+        "credit_cents",
+        F.sum(F.col("debit_cents") - F.col("credit_cents"))
+        .over(w)
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -9362,6 +9402,7 @@ _GATE_NEXT = [
     "scd2_point_in_time_join",
     "safety_stock_quantile",
     "streaming_trial_balance",
+    "account_running_balances",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
