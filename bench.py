@@ -265,6 +265,7 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "safety_stock_quantile",
     "account_running_balances",
+    "rrf_hybrid_search",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

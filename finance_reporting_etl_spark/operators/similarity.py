@@ -781,3 +781,38 @@ def mmr_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, CAST(step AS INT) AS step, neighbor_id FROM sel{k}"
     )
+
+
+def reciprocal_rank_fusion(
+    a: DataFrame,
+    b: DataFrame,
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    two ranked lists: rrf(d) = sum over lists of 1/(k0 + rank_d) —
+    the standard hybrid-retrieval merge (BM25 x embeddings) that needs
+    NO score calibration between systems because only ranks enter.
+
+    Inputs are (query_id, neighbor_id, rank) frames (rank 1-based,
+    missing = no contribution). The fused score is a fixed TWO-term
+    float expression over integer ranks — identical in any engine —
+    and the output rank breaks float ties by neighbor_id. The join is
+    per-query top-k sized (bounded), never corpus-sized. Returns
+    (query_id, neighbor_id, rrf_score, rank) with rank <= topk.
+    """
+    aa = a.select("query_id", "neighbor_id", F.col("rank").alias("r_a"))
+    bb = b.select("query_id", "neighbor_id", F.col("rank").alias("r_b"))
+    j = aa.join(bb, ["query_id", "neighbor_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col("r_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(float(k0)) + F.col("r_b")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rrf_score", F.round(rrf, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rrf_score", "rank")
+    )

@@ -6061,3 +6061,58 @@ ORACLES["account_running_balances"] = """
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_cents
     FROM m
     """
+
+ORACLES["rrf_hybrid_search"] = f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id AS query_id, toks AS q_toks FROM t
+        WHERE doc_id IN (0, 1, 2, 3, 4)
+    ), lex AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, t.doc_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       round(len(list_intersect(q.q_toks, t.toks))
+                             / CAST(len(q.q_toks) + len(t.toks)
+                                    - len(list_intersect(q.q_toks, t.toks))
+                                    AS DOUBLE), 6) DESC,
+                       t.doc_id ASC) AS rank
+            FROM t JOIN q ON t.doc_id <> q.query_id
+            WHERE round(len(list_intersect(q.q_toks, t.toks))
+                        / CAST(len(q.q_toks) + len(t.toks)
+                               - len(list_intersect(q.q_toks, t.toks))
+                               AS DOUBLE), 6) > 0
+        ) WHERE rank <= 20
+    ), qe AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), ce AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), sem AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round(list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0), 6)
+                       DESC, neighbor_id ASC) AS rank
+            FROM ce, qe WHERE query_id <> neighbor_id
+        ) WHERE rank <= 20
+    ), fused AS (
+        SELECT coalesce(l.query_id, s.query_id) AS query_id,
+               coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+               round(coalesce(1.0 / (60.0 + l.rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.rank), 0.0), 6) AS rrf_score
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score, rank FROM (
+        SELECT query_id, neighbor_id, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC,
+                                           neighbor_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """

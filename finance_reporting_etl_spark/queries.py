@@ -9286,6 +9286,55 @@ def q_account_running_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rrf_hybrid_search",
+    _ORACLES["rrf_hybrid_search"],
+    "X3/X4 hybrid retrieval: reciprocal-rank fusion of a lexical (token-Jaccard) top-20 and an embedding-cosine top-20 per query — rank-only merge, fixed two-term float, exact tie-breaks",
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack every RAG pipeline converges on: a lexical
+    ranking and a semantic ranking fused by reciprocal-rank fusion —
+    rrf(d) = 1/(60+r_lex) + 1/(60+r_sem) — which needs no score
+    calibration because only RANKS enter. Lexical = token-set Jaccard
+    of each query document against the corpus (5 query docs broadcast;
+    candidate set corpus-sized but embarrassingly parallel); semantic
+    = the shared brute_force_topk cosine scorer over the aligned
+    embeddings. The fusion join is top-20-sized per query. Operators:
+    operators.similarity.{brute_force_topk, reciprocal_rank_fusion}."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.dedup import whitespace_tokens
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        reciprocal_rank_fusion,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(whitespace_tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    q = docs.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("query_id"), F.col("toks").alias("q_toks")
+    )
+    inter = F.size(F.array_intersect("q_toks", "toks"))
+    jac = inter / (
+        F.size("q_toks") + F.size("toks") - inter
+    ).cast("double")
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    lex = (
+        docs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("score", F.round(jac, 6))
+        .filter(F.col("score") > 0)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "score")
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 20)
+    )
+    sem = brute_force_topk(_t(spark, sf_dir, "embeddings"), qids, k=20)
+    return reciprocal_rank_fusion(lex, sem, k0=60, topk=10)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -9403,6 +9452,7 @@ _GATE_NEXT = [
     "safety_stock_quantile",
     "streaming_trial_balance",
     "account_running_balances",
+    "rrf_hybrid_search",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

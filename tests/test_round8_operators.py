@@ -276,3 +276,25 @@ def test_safety_stock_quantile_is_exact_order_statistic(spark):
 
     for r in rows:
         assert r.safety_stock_qty == r.q95_daily_qty - r.total_qty // r.n_days
+
+
+def test_reciprocal_rank_fusion_hand_computed(spark):
+    from finance_reporting_etl_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.neighbor_id: r for r in reciprocal_rank_fusion(a, b, k0=60, topk=10).collect()}
+    assert out[11].rrf_score == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert out[10].rrf_score == pytest.approx(round(1 / 61, 6))
+    assert out[13].rrf_score == pytest.approx(round(1 / 62, 6))
+    assert out[12].rrf_score == pytest.approx(round(1 / 63, 6))
+    # doc in both lists outranks either single-list doc at these ranks
+    assert out[11].rank == 1
