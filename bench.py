@@ -266,6 +266,9 @@ HEADLINE = [
     "safety_stock_quantile",
     "account_running_balances",
     "rrf_hybrid_search",
+    "next_event_prediction_accuracy",
+    "script_mix_stats",
+    "l_diversity_audit",
     # jaccard_prefix_filter_pairs is NOT a headline: the synthetic
     # corpus at sf0.1 genuinely contains ~7.1M pairs at J >= 0.6
     # (template-generated near-dups), so ANY exact algorithm's output

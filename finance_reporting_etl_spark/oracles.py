@@ -6116,3 +6116,81 @@ ORACLES["rrf_hybrid_search"] = f"""
         FROM fused
     ) WHERE rank <= 10
     """
+
+ORACLES["next_event_prediction_accuracy"] = """
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ), tr0 AS (
+        SELECT event_type,
+               lead(event_type) OVER w AS next_type,
+               lead(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tr AS (
+        SELECT event_type, next_type,
+               epoch_us(next_ts) <= (SELECT mid FROM b) AS is_train
+        FROM tr0 WHERE next_type IS NOT NULL
+    ), counts AS (
+        SELECT event_type, next_type, count(*) AS c
+        FROM tr WHERE is_train GROUP BY 1, 2
+    ), pred AS (
+        SELECT event_type, next_type AS predicted FROM (
+            SELECT event_type, next_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, next_type ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT t.event_type,
+           min(p.predicted) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN t.next_type = p.predicted
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM tr t LEFT JOIN pred p ON t.event_type = p.event_type
+    WHERE NOT t.is_train
+    GROUP BY 1
+    """
+
+ORACLES["script_mix_stats"] = """
+    WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS latin,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) AS digit,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                    AS BIGINT) AS nonascii
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(latin) * 1000000 // sum(n) AS BIGINT) AS latin_ppm,
+           CAST(sum(digit) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
+           CAST(sum(nonascii) * 1000000 // sum(n) AS BIGINT) AS nonascii_ppm,
+           CAST(sum(CASE WHEN latin > 0 AND nonascii * 10 > n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS mixed_script_docs
+    FROM d GROUP BY 1
+    """
+
+ORACLES["l_diversity_audit"] = """
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS bal_class
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT bal_class) AS BIGINT) AS l_distinct,
+           CAST(count(DISTINCT bal_class) < 3 AS INT) AS l_violation
+    FROM c GROUP BY 1, 2
+    """

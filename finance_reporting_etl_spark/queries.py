@@ -9335,6 +9335,140 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocal_rank_fusion(lex, sem, k0=60, topk=10)
 
 
+@query("next_event_prediction_accuracy",
+    _ORACLES["next_event_prediction_accuracy"],
+    "A/ML-eval sequence model: majority-class next-event predictor trained on pre-mid transitions, exact top-1 accuracy on post-mid transitions — integer counts, deterministic argmax, leakage-free time split",
+)
+def q_next_event_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simplest honest sequence baseline every session-model must
+    beat: per previous event type, predict the most frequent next type
+    observed BEFORE the time midpoint, then score exact top-1 accuracy
+    on transitions after it (a transition belongs to the side of its
+    SECOND event — no leakage). Transition counts are exact integers;
+    the argmax breaks count ties lexicographically (row_number), so
+    the predictor — and the accuracy ratio — is hash-stable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(wl))
+        .withColumn("next_ts", F.lead("ts").over(wl))
+        .filter(F.col("next_type").isNotNull())
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "next_type",
+            (F.unix_micros("next_ts") <= F.col("mid")).alias("is_train"),
+        )
+    )
+    counts = (
+        tr.filter(F.col("is_train"))
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        counts.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    ev_side = tr.filter(~F.col("is_train"))
+    scored = ev_side.join(F.broadcast(pred), "event_type", "left")
+    # hit must be CASE-shaped (NULL predicted -> 0), matching the
+    # oracle's CASE; a bare boolean cast would sum NULLs differently
+    hit = F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0)
+    return scored.groupBy("event_type").agg(
+        F.min("predicted").alias("predicted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )
+
+
+@query("script_mix_stats",
+    _ORACLES["script_mix_stats"],
+    "X4 text hygiene: per-language character-class profile (latin/digit/non-ASCII counts via regexp length deltas) and mixed-script document rate in exact integer ppm — the spam/obfuscation screen",
+)
+def q_script_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class hygiene per labeled language: how latin, digit
+    and non-ASCII heavy each language's documents are, and how many
+    mix latin with substantial (>10%) non-ASCII content — the
+    obfuscation/spam screen a multilingual corpus runs before
+    training. Counts come from codepoint-length deltas of global
+    regexp_replace (identical char-class semantics in Java regex and
+    RE2); every emitted cell is an exact integer or integer-ppm
+    division."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("bigint").alias("n"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+        ).cast("bigint").alias("latin"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("bigint").alias("digit"),
+        # count of chars OUTSIDE ASCII: remove the non-ASCII class and
+        # diff (removing the ASCII class would count ASCII instead)
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^\\x00-\\x7f]", ""))
+        ).cast("bigint").alias("nonascii"),
+    ).filter(F.col("n") > 0)
+    mixed = (F.col("latin") > 0) & (F.col("nonascii") * 10 > F.col("n"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(latin) * 1000000 div sum(n)").cast("bigint").alias("latin_ppm"),
+        F.expr("sum(digit) * 1000000 div sum(n)").cast("bigint").alias("digit_ppm"),
+        F.expr("sum(nonascii) * 1000000 div sum(n)")
+        .cast("bigint")
+        .alias("nonascii_ppm"),
+        F.sum(mixed.cast("int")).cast("bigint").alias("mixed_script_docs"),
+    )
+
+
+@query("l_diversity_audit",
+    _ORACLES["l_diversity_audit"],
+    "S-tier privacy: l-diversity audit per quasi-identifier group — exact distinct-sensitive counts, violation flags for l < 3 (the k-anonymity family's second axis)",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity's blind spot: a group can be k-large yet reveal
+    everyone's sensitive value if that value is uniform. Per
+    quasi-identifier group (nation, market segment), the exact number
+    of DISTINCT sensitive values (account-balance sign class) and the
+    l<3 violation flag — the audit that decides whether
+    k_anonymity_suppress's output is actually safe to release. Exact
+    integer counts end-to-end."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("bal_class"),
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("bal_class").cast("bigint").alias("l_distinct"),
+        )
+        .withColumn(
+            "l_violation", (F.col("l_distinct") < 3).cast("int")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -9453,6 +9587,9 @@ _GATE_NEXT = [
     "streaming_trial_balance",
     "account_running_balances",
     "rrf_hybrid_search",
+    "next_event_prediction_accuracy",
+    "script_mix_stats",
+    "l_diversity_audit",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -298,3 +298,41 @@ def test_reciprocal_rank_fusion_hand_computed(spark):
     assert out[12].rrf_score == pytest.approx(round(1 / 63, 6))
     # doc in both lists outranks either single-list doc at these ranks
     assert out[11].rank == 1
+
+
+def test_next_event_predictor_is_leakage_free_majority(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = CATALOG["next_event_prediction_accuracy"].fn(spark, SF_SMOKE).collect()
+    assert out, "no eval transitions"
+    for r in out:
+        assert 0 <= r.n_correct <= r.n_eval
+        assert r.accuracy == pytest.approx(round(r.n_correct / r.n_eval, 6))
+
+
+def test_script_mix_counts_sum_consistently(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = CATALOG["script_mix_stats"].fn(spark, SF_SMOKE).collect()
+    for r in out:
+        assert 0 <= r.latin_ppm <= 1_000_000
+        assert 0 <= r.nonascii_ppm <= 1_000_000
+        assert 0 <= r.mixed_script_docs <= r.n_docs
+    # the synthetic fixture is ASCII-token templates for every lang
+    # label, so non-ASCII mass must be (near-)zero and latin+digit
+    # cannot exceed the whole
+    for r in out:
+        assert r.latin_ppm + r.digit_ppm <= 1_000_000
+        assert r.nonascii_ppm <= 1_000_000 - r.latin_ppm
+
+
+def test_l_diversity_flags_low_diversity_groups(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    out = CATALOG["l_diversity_audit"].fn(spark, SF_SMOKE).collect()
+    for r in out:
+        assert 1 <= r.l_distinct <= 3
+        assert r.l_violation == int(r.l_distinct < 3)
