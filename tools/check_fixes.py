@@ -1,5 +1,9 @@
-"""Ad-hoc round-8 verifier: run the three r7-failing queries through
-the EXACT (no 6-dp re-rounding) oracle compare at sf0.001 AND sf0.01.
+"""Dev-loop exact-oracle verifier: run the named catalog queries (all
+three r7 re-gates by default) through the EXACT (no 6-dp re-rounding)
+oracle compare at sf0.001 AND sf0.01 — the same harness the
+gate-window pytest uses, invocable per-query while iterating.
+
+    python tools/check_fixes.py [query_name ...]
 """
 
 from __future__ import annotations
