@@ -539,3 +539,135 @@ def test_empty_text_tokenizes_to_zero(spark):
             f"SELECT len({_TOKS}) FROM (SELECT ? AS text)", [text]
         ).fetchone()[0]
         assert n == want, (text, n)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),        # key
+            st.booleans(),            # is buy
+            st.integers(1, 20),       # qty
+            st.integers(1, 5000),     # total cents
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_fifo_hifo_conserve_matched_quantity(spark, raw):
+    """For ANY lot book: (a) total matched quantity per key equals
+    min(bought, sold); (b) HIFO (cost-descending buy order) matches
+    EXACTLY the same total quantity as FIFO — consumption order
+    redistributes cost basis, never quantity; (c) every emitted match
+    fragment is strictly positive."""
+    from pyspark.sql import functions as F
+
+    from finance_reporting_etl_spark.operators.allocation import fifo_match
+
+    rows = [(k, b, i, q, t) for i, (k, b, q, t) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k long, is_buy boolean, tb long, qty long, total long")
+    buys = df.filter("is_buy").withColumn(
+        "negu", -(F.col("total").cast("double") / F.col("qty"))
+    )
+    sells = df.filter("NOT is_buy").withColumn("negu", F.lit(0.0))
+    fifo = fifo_match(buys, sells, ["k"], ["tb"], "qty", "total").collect()
+    hifo = fifo_match(
+        buys, sells, ["k"], ["tb"], "qty", "total", buy_order_cols=["negu", "tb"]
+    ).collect()
+
+    bought: dict = {}
+    sold: dict = {}
+    for k, b, _, q, _t in rows:
+        (bought if b else sold)[k] = (bought if b else sold).get(k, 0) + q
+    want = {k: min(bought.get(k, 0), sold.get(k, 0)) for k in set(bought) | set(sold)}
+    want = {k: v for k, v in want.items() if v > 0}
+
+    for out in (fifo, hifo):
+        got: dict = {}
+        for r in out:
+            assert r.matched_qty > 0
+            got[r.k] = got.get(r.k, 0) + r.matched_qty
+        assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from([1, 2])),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_mann_whitney_matches_python_reference(spark, raw):
+    """u2 (= 2*U1) and the tie-corrected z equal a literal Python
+    midrank computation for ANY integer sample pair."""
+    import math
+
+    from finance_reporting_etl_spark.operators.drift import mann_whitney_u
+
+    g1 = [v for v, g in raw if g == 1]
+    g2 = [v for v, g in raw if g == 2]
+    if not g1 or not g2:
+        return
+    df = spark.createDataFrame(
+        [("k", v, g) for v, g in raw], "k string, v long, g int"
+    )
+    out = mann_whitney_u(df, "k", "v", "g").collect()[0]
+
+    pooled = sorted(raw, key=lambda t: t[0])
+    # midranks with ties (1-based)
+    ranks: dict = {}
+    i = 0
+    vals = [v for v, _ in pooled]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[vals[i]] = mid
+        i = j
+    r1 = sum(ranks[v] for v in g1)
+    n1, n2 = len(g1), len(g2)
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert out.u2 == int(round(2 * u1))
+    from collections import Counter
+
+    s3 = sum(c**3 - c for c in Counter(vals).values())
+    tie = (n + 1) * n * (n - 1) - s3
+    if tie == 0:
+        assert out.z is None
+    else:
+        var = n1 * n2 * tie / (12 * n * (n - 1))
+        z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+        assert abs(out.z - round(z, 6)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from([1, 2])),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_emd_1d_matches_python_reference(spark, raw):
+    """The closed-form cumulative EMD equals the direct integral of
+    |F1 - F2| over the value axis for ANY integer sample pair."""
+    from finance_reporting_etl_spark.operators.drift import emd_1d
+
+    g1 = sorted(v for v, g in raw if g == 1)
+    g2 = sorted(v for v, g in raw if g == 2)
+    if not g1 or not g2:
+        return
+    df = spark.createDataFrame(
+        [("k", v, g) for v, g in raw], "k string, v long, g int"
+    )
+    out = emd_1d(df, "k", "v", "g").collect()[0]
+    vs = sorted(set(g1) | set(g2))
+    total = 0.0
+    for a, b in zip(vs, vs[1:]):
+        f1 = sum(1 for v in g1 if v <= a) / len(g1)
+        f2 = sum(1 for v in g2 if v <= a) / len(g2)
+        total += abs(f1 - f2) * (b - a)
+    assert abs(out.emd - round(total / 100.0, 6)) < 1e-6
