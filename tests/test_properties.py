@@ -671,3 +671,66 @@ def test_emd_1d_matches_python_reference(spark, raw):
         f2 = sum(1 for v in g2 if v <= a) / len(g2)
         total += abs(f1 - f2) * (b - a)
     assert abs(out.emd - round(total / 100.0, 6)) < 1e-6
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=6, max_size=60),
+    st.integers(1, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_split_conformal_matches_python_reference(spark, cents, season):
+    """q_hat and coverage equal a literal Python split-conformal
+    computation for ANY series and season."""
+    import math
+
+    from finance_reporting_etl_spark.operators.timeseries import (
+        split_conformal_coverage,
+    )
+
+    rows = [("k", i, v) for i, v in enumerate(cents)]
+    df = spark.createDataFrame(rows, "k string, day int, cents long")
+    out = split_conformal_coverage(
+        df, ["k"], "day", "cents", season=season, alpha=0.1
+    ).collect()
+
+    r = [cents[i] - cents[i - season] for i in range(season, len(cents))]
+    m = len(r) // 2
+    cal, ev = r[:m], r[m:]
+    if m < 1 or not ev:
+        assert out == []
+        return
+    # k-th order statistic of |r| on the calibration half, ties broken
+    # by day order (stable sort by (|r|, position) matches the operator)
+    srt = sorted((abs(x), i) for i, x in enumerate(cal))
+    k = min(math.ceil(0.9 * (m + 1)), m)
+    q_hat = srt[k - 1][0]
+    n_cover = sum(1 for x in ev if abs(x) <= q_hat)
+    row = out[0]
+    assert row.q_hat_cents == q_hat
+    assert row.n_eval == len(ev)
+    assert abs(row.coverage - round(n_cover / len(ev), 6)) < 1e-9
+
+
+@given(st.lists(st.integers(1, 10_000), min_size=5, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_sma_crossover_matches_python_reference(spark, cents):
+    """Regime bit and crossover events equal a brute-force Python
+    computation for ANY series (fast=2, slow=4)."""
+    from finance_reporting_etl_spark.operators.timeseries import sma_crossover
+
+    rows = [("k", i, v) for i, v in enumerate(cents)]
+    df = spark.createDataFrame(rows, "k string, day int, cents long")
+    out = {
+        r.day: r
+        for r in sma_crossover(df, "k", "day", "cents", fast=2, slow=4).collect()
+    }
+    prev = None
+    for day in range(3, len(cents)):
+        sf = sum(cents[day - 1 : day + 1])
+        ss = sum(cents[day - 3 : day + 1])
+        above = int(sf * 4 > ss * 2)
+        r = out[day]
+        assert r.fast_above == above
+        assert r.crossover == (0 if prev is None else above - prev)
+        prev = above
+    assert set(out) == set(range(3, len(cents)))
