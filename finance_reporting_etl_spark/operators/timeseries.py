@@ -185,6 +185,7 @@ def linear_interpolate_daily(
     day_col: str = "day",
     value_col: str = "value",
     scale: int = 4,
+    integer_units: bool = False,
 ) -> DataFrame:
     """Linear interpolation of missing daily readings: a calendar
     spine per key (keys and date bounds taken from ``spine_from``,
@@ -239,6 +240,34 @@ def linear_interpolate_daily(
         F.first(value_col, ignorenulls=True).over(wf).alias("next_v"),
         F.first("day_known", ignorenulls=True).over(wf).alias("next_d"),
     )
+    if integer_units:
+        # exact-integer fill: values are integer units; the
+        # time-weighted fill is one truncating integer division
+        # (Spark div == DuckDB // — both truncate), so every emitted
+        # unit is order-free exact at any SF (r8 hardening: the float
+        # fill diverged from the oracle at sf0.1)
+        interp_u = F.expr(
+            f"prev_v + ((next_v - prev_v) * datediff({day_col}, prev_d))"
+            " div datediff(next_d, prev_d)"
+        )
+        return n.select(
+            *key_cols,
+            day_col,
+            F.when(F.col(value_col).isNotNull(), F.col(value_col))
+            .otherwise(
+                F.when(
+                    F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+                    interp_u,
+                )
+            )
+            .cast("bigint")
+            .alias("filled_units"),
+            (
+                F.col(value_col).isNull()
+                & F.col("prev_v").isNotNull()
+                & F.col("next_v").isNotNull()
+            ).alias("was_interpolated"),
+        )
     interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
         F.datediff(day_col, "prev_d") / F.datediff("next_d", "prev_d")
     )

@@ -246,8 +246,11 @@ ORACLES["hourly_event_rollup"] = """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_value,
+           round(CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
+                      // nullif(count(value), 0) AS DOUBLE)
+                 / 1000000.0, 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """
@@ -1841,11 +1844,11 @@ ORACLES["rolling_zscore_anomalies"] = """
 
 ORACLES["indicator_linear_interpolation"] = """
     WITH daily AS (
-        -- integer-scaled exact mean (values are 2dp): immune to
-        -- aggregation-order rounding ties
+        -- daily mean in EXACT integer 1e-4-dollar units (floor): the
+        -- float fill diverged at sf0.1 (r8 hardening)
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(CAST(round(value * 100) AS BIGINT))
-                     / (100.0 * count(*)), 4) AS value
+               CAST((sum(CAST(round(value * 100) AS BIGINT)) * 100)
+                    // count(*) AS BIGINT) AS value
         FROM events GROUP BY 1, 2
     ),
     observed AS (  -- simulated sensor dropout: day-of-month % 3 = 0 missing
@@ -1876,12 +1879,12 @@ ORACLES["indicator_linear_interpolation"] = """
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, day,
-           round(CASE
+           round(CAST(CASE
                WHEN value IS NOT NULL THEN value
                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
-                   prev_v + (next_v - prev_v)
-                   * (day - prev_d) / (next_d - prev_d)
-               END, 4) AS filled_value,
+                   prev_v + ((next_v - prev_v) * (day - prev_d))
+                           // (next_d - prev_d)
+               END AS DOUBLE) / 10000.0, 4) AS filled_value,
            CAST(value IS NULL
                 AND prev_v IS NOT NULL AND next_v IS NOT NULL
                 AS BOOLEAN) AS was_interpolated
@@ -3388,7 +3391,9 @@ ORACLES["zorder_locality_stats"] = f"""
 ORACLES["bucketed_join_rollup"] = """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """

@@ -3431,18 +3431,28 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     ev = _t(spark, sf_dir, "events")
+    # daily mean in EXACT integer 1e-4-dollar units (floor): the float
+    # fill diverged from the oracle at sf0.1 (r8 hardening) — integer
+    # units keep every interpolation step order-free exact
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(
-        F.round(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            / (100.0 * F.count(F.lit(1))),
-            4,
+        F.expr(
+            "sum(cast(round(value * 100) as long)) * 100"
+            " div count(1)"
         ).alias("value")
     )
     # deterministic day-of-month dropout simulates sensor gaps
     observed = daily.filter(F.dayofmonth("day") % 3 != 0)
-    return linear_interpolate_daily(observed, daily, ["event_type"])
+    filled = linear_interpolate_daily(
+        observed, daily, ["event_type"], integer_units=True
+    )
+    return filled.select(
+        "event_type",
+        "day",
+        F.round(F.col("filled_units") / 10000.0, 4).alias("filled_value"),
+        "was_interpolated",
+    )
 
 
 @query("random_projection_topk",
@@ -5474,14 +5484,18 @@ def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(
         _t(spark, sf_dir, "lineitem").select(
             "l_orderkey",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("rev"),
         ).withColumnRenamed("l_orderkey", "o_orderkey"),
         t_l, ["o_orderkey"], n_buckets=8,
     )
     j = bucketed_join(spark, t_o, t_l, ["o_orderkey"])
+    # rev is integer cents in the bucketed table (r8 hardening: the
+    # float SUM diverged from the oracle at sf0.1 — order-sensitive)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("rev"), 4).alias("revenue"),
+        F.round(F.sum("rev") / 100.0, 2).alias("revenue"),
     )
 
 

@@ -24,15 +24,31 @@ def time_bucket_rollup(
 ) -> DataFrame:
     """Tumbling-window aggregate (batch mode): count + sum + avg per
     bucket x group. ``F.window`` works identically in batch and
-    streaming, so this is the shared logical plan."""
+    streaming, so this is the shared logical plan.
+
+    Exactness (r8 hardening): the value rolls up as INTEGER cents —
+    a float SUM is accumulation-order-sensitive and diverged from the
+    oracle at sf0.1 (10x the gate scale) — and the mean is a floor
+    division to 1e-6 units, so both emitted floats are exact decimal
+    conversions at any SF. NULL values carry no mass and no count
+    (matching AVG semantics); an all-NULL bucket emits NULLs."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
     return (
         events.groupBy(F.window(F.col(ts_col), bucket).alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.sum(cents).alias("__sc"),
+            F.count(value_col).alias("__nv"),
         )
-        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value", "avg_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            F.round(F.col("__sc") / 100.0, 2).alias("total_value"),
+            F.round(
+                F.expr("__sc * 10000 div nullif(__nv, 0)") / 1000000.0, 6
+            ).alias("avg_value"),
+        )
     )
 
 
