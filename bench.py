@@ -365,7 +365,13 @@ def main() -> None:
     # r7): charge the worse of its observed elapsed-at-failure and the
     # slowest successful query, so erroring can never beat running.
     timings = dict(succeeded)
-    penalty_floor = max(succeeded.values(), default=0.0)
+    # if EVERY query errored, max(succeeded)=0 would collapse the round
+    # to tiny elapsed-at-failure times — the exact artifact the penalty
+    # exists to prevent (ADVICE r8). Fall back to a fixed 60s/query
+    # penalty (any real headline query at sf0.1 finishes well under
+    # that), so an all-error round reads as catastrophically slow, not
+    # fast.
+    penalty_floor = max(succeeded.values()) if succeeded else 60.0
     for name in errors:
         timings[name] = round(max(fail_elapsed.get(name, 0.0), penalty_floor), 3)
     if errors or flaky:

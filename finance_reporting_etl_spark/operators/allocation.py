@@ -127,6 +127,15 @@ def fifo_match(
     point-in-time availability (a sale may match a lot purchased
     later) — exactly the optimizer's retrospective allocation, and
     the documented semantic of hifo queries built on this.
+
+    OUTPUT-SCHEMA CONTRACT (r8 ADVICE): the buy-side passthrough
+    columns are prefixed from the buy side's *effective* order —
+    ``b_<order_cols>`` by default, but ``b_<buy_order_cols>`` when
+    ``buy_order_cols`` is given. A caller switching FIFO→HIFO
+    therefore loses any ``b_<order_cols>`` column not repeated in
+    ``buy_order_cols``; include the columns you need downstream in
+    ``buy_order_cols`` (extra trailing columns only refine ties).
+    Sell-side columns are always ``s_<order_cols>``.
     """
     buy_order = buy_order_cols if buy_order_cols is not None else order_cols
 
@@ -385,10 +394,18 @@ def level_payment_schedule(
     The period spine is a 13-element literal array explode (fan-out =
     n, bounded); no shuffle at all beyond the source scan.
 
-    Output values are dollars rounded to 6; conservation (principal
-    portions sum to P, balance_n = 0) holds to float precision — use
-    prorate_largest_remainder on the rounded cents if ledger-exact
-    cents are required downstream.
+    Output values are UNROUNDED dollars (raw IEEE doubles). The r7/r8
+    driver gates proved that ``round(DOUBLE, 6)`` is itself
+    per-engine-divergent (Spark rounds the shortest decimal repr via
+    BigDecimal HALF_UP; a libm-side round operates on the binary
+    value — half-boundary doubles split), so NO engine-evaluated
+    float rounding may appear in the emitted columns at all. Each
+    IEEE *, -, / with bit-identical inputs is correctly rounded and
+    therefore bit-identical across engines; any display rounding must
+    happen in ONE downstream place for all consumers. Conservation
+    (principal portions sum to P, balance_n = 0) holds to float
+    precision — use prorate_largest_remainder on half-up cents if
+    ledger-exact cents are required downstream.
     """
     pf, rows = _level_payment_constants(monthly_rate, n_periods)
     d = loans.select(
@@ -416,10 +433,10 @@ def level_payment_schedule(
     return d.select(
         key_col,
         "period",
-        F.round(pmt / 100.0, 6).alias("payment"),
-        F.round(interest / 100.0, 6).alias("interest"),
-        F.round((pmt - interest) / 100.0, 6).alias("principal"),
-        F.round(bal_k / 100.0, 6).alias("balance"),
+        (pmt / 100.0).alias("payment"),
+        (interest / 100.0).alias("interest"),
+        ((pmt - interest) / 100.0).alias("principal"),
+        (bal_k / 100.0).alias("balance"),
     )
 
 
@@ -457,7 +474,10 @@ def level_payment_oracle_sql(
     """DuckDB twin of :func:`level_payment_schedule`: the SAME
     repr-printed constants from :func:`_level_payment_constants`
     joined as a VALUES period spine, and the same textual IEEE
-    double expressions — zero ``pow`` calls in either engine.
+    double expressions — zero ``pow`` calls AND zero ``round`` calls
+    in either engine (r8 driver gate: per-engine round(DOUBLE, 6) is
+    itself divergent at half-boundary doubles; raw IEEE results of
+    identical textual ops are bit-equal).
     ``loans_sql`` must yield (``key``, p) with p integer cents."""
     pf, rows = _level_payment_constants(monthly_rate, n_periods)
 
@@ -479,11 +499,11 @@ def level_payment_oracle_sql(
         VALUES {values}
     )
     SELECT l.{key}, CAST(g.period AS INT) AS period,
-           round((l.p * {dbl(pf)}) / 100.0, 6) AS payment,
-           round((l.p * g.d - (l.p * {dbl(pf)}) * g.e) / 100.0, 6) AS interest,
-           round(((l.p * {dbl(pf)}) - (l.p * g.d - (l.p * {dbl(pf)}) * g.e))
-                 / 100.0, 6) AS principal,
-           round((l.p * g.a - (l.p * {dbl(pf)}) * g.b) / 100.0, 6) AS balance
+           (l.p * {dbl(pf)}) / 100.0 AS payment,
+           (l.p * g.d - (l.p * {dbl(pf)}) * g.e) / 100.0 AS interest,
+           ((l.p * {dbl(pf)}) - (l.p * g.d - (l.p * {dbl(pf)}) * g.e))
+                 / 100.0 AS principal,
+           (l.p * g.a - (l.p * {dbl(pf)}) * g.b) / 100.0 AS balance
     FROM l CROSS JOIN g
     """
 

@@ -5667,9 +5667,13 @@ ORACLES["vwap_deviation_bands"] = """
     SELECT p_brand, day,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(lext) // sum(lqty) AS BIGINT) AS vwap_unit_cents,
-           CAST(sum(CASE WHEN lext * qd > ed * lqty THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN CAST(lext AS HUGEINT) * qd
+                              > CAST(ed AS HUGEINT) * lqty
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS above_vwap_lines,
-           CAST(sum(CASE WHEN lext * qd < ed * lqty THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN CAST(lext AS HUGEINT) * qd
+                              < CAST(ed AS HUGEINT) * lqty
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS below_vwap_lines
     FROM x GROUP BY 1, 2
     """

@@ -6643,7 +6643,7 @@ _LOAN_AMORT_ORACLE = _level_payment_sql(
 
 @query("loan_amortization_schedule",
     _LOAN_AMORT_ORACLE,
-    "P5/finance: level-payment amortization explosion (closed annuity form, no recursion) — per-period payment/interest/principal/balance; all pow factors repr-printed Python constants shared by both engines (zero libm calls in either plan)",
+    "P5/finance: level-payment amortization explosion (closed annuity form, no recursion) — per-period payment/interest/principal/balance as raw IEEE doubles; all pow factors repr-printed Python constants shared by both engines (zero libm pow AND zero float rounding in either plan — r8 gate proved round(DOUBLE,6) is itself per-engine-divergent)",
 )
 def q_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12-month 0.5%/month amortization schedule for each urgent 1995
@@ -6653,7 +6653,11 @@ def q_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow at all: the 13 period factors are repr-printed Python doubles
     injected into both plans (the sprt Python-printed-constants
     pattern; the r7 driver gate proved constant-base pow is
-    libm-sensitive). Operator:
+    libm-sensitive). Output doubles are UNROUNDED — the r8 driver
+    gate proved round(DOUBLE, 6) is itself per-engine-divergent at
+    half-boundary doubles, so the emitted columns are the raw IEEE
+    results of identical textual mul/sub/div (bit-equal across
+    engines). Operator:
     operators.allocation.level_payment_schedule."""
     from finance_reporting_etl_spark.operators.allocation import (
         level_payment_schedule,
@@ -8651,16 +8655,19 @@ def q_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("vwap_deviation_bands",
     _ORACLES["vwap_deviation_bands"],
-    "§2.5/finance microstructure: daily per-brand VWAP (exact integer div) + above/below line counts by exact integer cross-multiplication (lext*Q <> E*lqty — no division in any predicate)",
+    "§2.5/finance microstructure: daily per-brand VWAP (exact integer div) + above/below line counts by exact wide-integer cross-multiplication (DECIMAL(38,0)/HUGEINT lext*Q <> E*lqty — no division in any predicate, no BIGINT wrap at any SF)",
 )
 def q_vwap_deviation_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily volume-weighted average unit price per part brand, with
     how many lines traded above/below it — the execution-quality
     benchmark. VWAP is one truncating integer division of exact cent
     and quantity sums; the above/below tests avoid division entirely
-    via integer cross-multiplication lext*Q_day <> E_day*lqty (exact
-    in BIGINT at gate SFs; the 100-TB variant casts the two products
-    to DECIMAL(38,0) — same plan shape). One Exchange total: the
+    via integer cross-multiplication lext*Q_day <> E_day*lqty, with
+    the two products widened to DECIMAL(38,0) (Spark) / HUGEINT
+    (oracle) so the comparison is exact at ANY scale — non-ANSI
+    BIGINT would silently wrap at ~9.2e18 on a 100-TB brand-day
+    while DuckDB HUGEINT-promotes, flipping the flags (r8 ADVICE).
+    Same plan shape, negligible cost. One Exchange total: the
     day-total window and the final groupBy share the (brand, day)
     partitioning."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -8679,8 +8686,10 @@ def q_vwap_deviation_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = l.withColumn("qd", F.sum("lqty").over(w)).withColumn(
         "ed", F.sum("lext").over(w)
     )
-    above = (F.col("lext") * F.col("qd") > F.col("ed") * F.col("lqty")).cast("int")
-    below = (F.col("lext") * F.col("qd") < F.col("ed") * F.col("lqty")).cast("int")
+    lhs = F.col("lext").cast("decimal(38,0)") * F.col("qd")
+    rhs = F.col("ed").cast("decimal(38,0)") * F.col("lqty")
+    above = (lhs > rhs).cast("int")
+    below = (lhs < rhs).cast("int")
     return (
         x.groupBy("p_brand", "day")
         .agg(
@@ -9509,67 +9518,10 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- r7 hash failures, fixed this round — re-gate first -------------
-    "fifo_realized_pnl",
-    "bollinger_daily_bands",
+    # -- r7/r8 hash failure, fixed this round (round(DOUBLE,6) removed
+    #    from both plans — raw IEEE doubles) — re-gate first ------------
     "loan_amortization_schedule",
-    # -- never driver-gated: 6 r6-era + 11 round-7 additions ------------
-    "duplicate_payment_audit",
-    "last_digit_uniformity",
-    "ucb1_arm_scores",
-    "woe_iv_discount_bins",
-    "event_step_paths",
-    "cohort_payback_month",
-    "compaction_bin_packing",
-    "price_volume_mix_decomposition",
-    "cuped_adjusted_lift",
-    "diff_in_diff_discount",
-    "sharpe_sortino_daily",
-    "hurst_exponent_rs",
-    "token_dist_kl_divergence",
-    "minmax_file_skipping",
-    "granger_causality_ftest",
-    "isotonic_calibration_pava",
-    "gdpr_delete_cascade",
-    # -- 30 least-recently-gated (last green row: r3) --------------------
-    "asof_latest_view_before_purchase",
-    "attribution_window_join",
-    "chunk_dedup_occurrences",
-    "cohort_retention",
-    "corpus_chunking",
-    "corpus_clean",
-    "corpus_hash_split",
-    "corpus_mixture_sample",
-    "corpus_shuffle_shard",
-    "corpus_stats",
-    "corpus_vocabulary",
-    "cumulative_monthly_revenue",
-    "customer_spend_deciles",
-    "customers_without_orders_anti",
-    "daily_revenue_gapfilled",
-    "decontaminate_4gram",
-    "economic_indicators",
-    "embedding_inference_scores",
-    "event_funnel",
-    "event_type_week_cube",
-    "filter_eq_projection",
-    "indicator_stats",
-    "ingest_fred_observations",
-    "ingest_statements",
-    "keyword_search_topk",
-    "kmeans_cluster_profile",
-    "literal_columns",
-    "mart_financial_kpis",
-    "mart_financial_summary",
-    "pii_redaction",
-]
-
-# Heads of the round-9 window: the remaining 10 r3-era entries not
-# fitting the 50 slots above, followed by round-8 additions (appended
-# below the marker — the tripwire requires every never-gated query to
-# sit in window ∪ _GATE_NEXT). Pinned directly after the window in
-# catalog order so tests assert the two-round coverage plan.
-_GATE_NEXT = [
+    # -- the 10 r3-era entries staged at the head of the r8 _GATE_NEXT --
     "q21_waiting_supplier",
     "q4_order_priority_semi",
     "q7_nation_volume_shipping",
@@ -9580,7 +9532,7 @@ _GATE_NEXT = [
     "semantic_dedup",
     "skew_salted_event_rollup",
     "sql_api_mart_summary",
-    # -- round-8 additions (never gated; r9 window) ---------------------
+    # -- round-8 additions, never driver-gated (23) ----------------------
     "hifo_realized_pnl",
     "sma_crossover_signals",
     "stochastic_oscillator_k",
@@ -9604,6 +9556,75 @@ _GATE_NEXT = [
     "next_event_prediction_accuracy",
     "script_mix_stats",
     "l_diversity_audit",
+    # -- least-recently-gated: the 8 remaining r3-era entries ------------
+    "stateful_user_totals",
+    "streaming_dedup_events",
+    "streaming_hourly_rollup",
+    "streaming_merge_upsert",
+    "streaming_sessionize_events",
+    "table_diff_reconciliation",
+    "tfidf_top_terms",
+    "video_frame_sample",
+    # -- then the 8 stalest r4-era entries (alphabetical within round) ---
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "case_value_mapping",
+    "cast_text_to_numeric",
+    "customer_segments_setops",
+    "dedup_clusters",
+    "dedup_exact",
+    "distinct_daily_users",
+]
+
+# Heads of the round-10 window: the 42 remaining r4-era entries (last
+# green driver row: r4), followed by round-9 additions (appended below
+# the marker — the tripwire requires every never-gated query to sit in
+# window ∪ _GATE_NEXT). Pinned directly after the window in catalog
+# order so tests assert the two-round coverage plan.
+_GATE_NEXT = [
+    "doc_fingerprints",
+    "embedding_cosine_dups",
+    "hourly_event_rollup",
+    "language_id",
+    "lookup_join_broadcast",
+    "lsh_embedding_cosine_dups",
+    "media_decode_features",
+    "media_feature_extract",
+    "merge_latest_per_key",
+    "minhash_lsh_near_dup",
+    "monthly_trend_mom",
+    "multimodal_bundle",
+    "ngram_jaccard_pairs",
+    "order_price_quantiles",
+    "pivot_by_report_type",
+    "price_quantiles_distributed",
+    "q10_returned_item_revenue",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_bracketed_discount_revenue",
+    "q1_pricing_summary",
+    "q22_idle_rich_customers",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "quality_scores",
+    "regional_revenue",
+    "regional_rollup",
+    "retention_filter",
+    "rolling_hash_fingerprints",
+    "sequence_packing",
+    "sessionize_events",
+    "simhash_near_dup",
+    "similarity_topk",
+    "stateful_session_timeout",
+    "streaming_watermark_late_drop",
+    "string_normalize",
+    "text_stats",
+    # -- round-9 additions (never gated; r10 window) ---------------------
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

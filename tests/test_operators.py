@@ -2946,12 +2946,14 @@ def test_xirr_bisection_known_rates_and_null_brackets(spark):
     assert got[3] is None
 
 
-def test_level_payment_has_no_pow_in_either_engine(spark):
-    """The r7 driver gate proved constant-base pow is libm-sensitive
-    (local JVM/DuckDB agreed bitwise, the driver's oracle build did
-    not) — so neither the Spark plan nor the oracle SQL may contain a
-    pow/power call; both consume the same repr-printed Python
-    constants instead."""
+def test_level_payment_has_no_pow_or_round_in_either_engine(spark):
+    """The r7 driver gate proved constant-base pow is libm-sensitive,
+    and the r8 gate proved round(DOUBLE, 6) is ALSO per-engine-
+    divergent (Spark rounds the shortest decimal repr via BigDecimal
+    HALF_UP, libm rounds the binary value) — so neither the Spark
+    plan nor the oracle SQL may contain pow/power OR any float round;
+    both consume the same repr-printed Python constants and emit raw
+    IEEE doubles."""
     from finance_reporting_etl_spark.operators.allocation import (
         _level_payment_constants,
         level_payment_oracle_sql,
@@ -2966,8 +2968,10 @@ def test_level_payment_has_no_pow_in_either_engine(spark):
         .toString()
     )
     assert "POWER" not in plan.upper()
+    assert "ROUND" not in plan.upper()
     sql = level_payment_oracle_sql("SELECT 1 AS k, 100 AS p", "k", 0.005, 12)
     assert "power" not in sql.lower()
+    assert "round" not in sql.lower()
     # the injected constants round-trip through repr (bit-identical in
     # any engine that parses shortest-repr doubles correctly)
     pf, rows = _level_payment_constants(0.005, 12)
