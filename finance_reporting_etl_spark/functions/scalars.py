@@ -46,6 +46,52 @@ ECONOMIC_INDICATOR_NAMES = {
 }
 
 
+def det_round(c: Column | str, n: int) -> Column:
+    """Engine-independent display rounding of a DOUBLE to ``n``
+    fractional digits: ``floor(x * 10^n + 0.5) / 10^n`` (half-up
+    toward +inf), with NaN/NULL passed through.
+
+    Native ``round(DOUBLE, n)`` is per-engine-divergent — Spark
+    rounds the shortest decimal repr via BigDecimal HALF_UP while a
+    libm-side round operates on the binary value, so doubles whose
+    shortest repr shows a tie digit at position n+1 split between
+    engines (4 of 4 driver-hash failures across rounds 7-8 were this
+    class: bollinger, fifo, loan x2). Every op here — multiply by an
+    exact power of ten, add 0.5, floor, divide — is IEEE-exact or
+    correctly rounded with no libm and no decimal-repr dependence, so
+    two engines evaluating this same textual formula on bit-identical
+    inputs produce bit-identical outputs. :func:`det_round_sql` is
+    the DuckDB twin; gate-window queries must use this pair instead
+    of native round for any float output column.
+
+    |x| >= 2^62 / 10^n passes through unchanged on BOTH engines:
+    there a 10^-n quantum is already far below one ulp, so identity
+    IS the correctly-rounded result, and it keeps Spark's
+    floor()->BIGINT from clamping at Long.MAX where DuckDB's
+    double-typed floor would not.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    scale = F.lit(float(10**n))
+    thr = F.lit(float(2**62) / float(10**n))
+    passthrough = F.isnull(col) | F.isnan(col) | (F.abs(col) >= thr)
+    return F.when(passthrough, col).otherwise(
+        F.floor(col * scale + F.lit(0.5)) / scale
+    )
+
+
+def det_round_sql(expr: str, n: int) -> str:
+    """DuckDB-side twin of :func:`det_round`: the same textual IEEE
+    formula, so both engines compute bit-identical rounded doubles.
+    ``expr`` must be a DOUBLE-typed SQL expression."""
+    scale = f"{float(10 ** n)!r}"
+    thr = f"{float(2 ** 62) / float(10 ** n)!r}"
+    return (
+        f"(CASE WHEN isnan(CAST(({expr}) AS DOUBLE)) "
+        f"OR abs(CAST(({expr}) AS DOUBLE)) >= {thr} THEN ({expr}) "
+        f"ELSE floor(({expr}) * {scale} + 0.5) / {scale} END)"
+    )
+
+
 def seeded_uniform(c: Column | str, salt: str) -> Column:
     """Deterministic uniform in (0, 1) from md5(value || salt): the
     first 8 hex chars parsed as an integer, then (v + 0.5) / 16^8.

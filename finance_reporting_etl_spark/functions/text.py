@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 # Word-ish tokenizer: runs of letters, runs of digits, or single other
 # non-space symbols — a BPE-ish pre-tokenization both Java regex and
@@ -56,20 +57,20 @@ def avg_token_length(text: Column | str, scale: int = 4) -> Column:
     """Mean whitespace-token length; NULL-safe on empty text."""
     toks = whitespace_tokens(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.nullif(F.size(toks), F.lit(0)), scale)
+    return det_round(total / F.nullif(F.size(toks), F.lit(0)), scale)
 
 
 def punct_ratio(text: Column | str, scale: int = 4) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     t = _c(text)
     stripped = F.regexp_replace(t, "[A-Za-z0-9\\s]", "")
-    return F.round(F.length(stripped) / F.nullif(F.length(t), F.lit(0)), scale)
+    return det_round(F.length(stripped) / F.nullif(F.length(t), F.lit(0)), scale)
 
 
 def digit_ratio(text: Column | str, scale: int = 4) -> Column:
     t = _c(text)
     digits = F.regexp_replace(t, "[^0-9]", "")
-    return F.round(F.length(digits) / F.nullif(F.length(t), F.lit(0)), scale)
+    return det_round(F.length(digits) / F.nullif(F.length(t), F.lit(0)), scale)
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...], scale: int = 4) -> Column:
@@ -77,7 +78,7 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...], scale: int = 
     toks = whitespace_tokens(text)
     sw = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
-    return F.round(hits / F.nullif(F.size(toks), F.lit(0)), scale)
+    return det_round(hits / F.nullif(F.size(toks), F.lit(0)), scale)
 
 
 def quality_score(text: Column | str, scale: int = 4) -> Column:
@@ -86,7 +87,7 @@ def quality_score(text: Column | str, scale: int = 4) -> Column:
     t = _c(text)
     length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     noise_term = punct_ratio(t, 6) + digit_ratio(t, 6)
-    return F.round(
+    return det_round(
         F.greatest(F.lit(0.0), length_term * (F.lit(1.0) - F.least(noise_term, F.lit(1.0)))),
         scale,
     )
@@ -126,7 +127,7 @@ def type_token_ratio(text: Column | str, scale: int = 4) -> Column:
     """Distinct-token / total-token ratio (lowercased). Low values flag
     repetitive machine-generated text (Gopher-style repetition filter)."""
     toks = whitespace_tokens(F.lower(_c(text)))
-    return F.round(
+    return det_round(
         F.size(F.array_distinct(toks)) / F.nullif(F.size(toks).cast("double"), F.lit(0.0)),
         scale,
     )
@@ -168,7 +169,7 @@ def top_ngram_fraction(text: Column | str, n: int = 2, scale: int = 4) -> Column
             lambda x: F.size(F.filter(grams, lambda y: y == x)),
         )
     )
-    return F.round(top / F.nullif(F.size(grams).cast("double"), F.lit(0.0)), scale)
+    return det_round(top / F.nullif(F.size(grams).cast("double"), F.lit(0.0)), scale)
 
 
 # --- PII redaction ---------------------------------------------------------

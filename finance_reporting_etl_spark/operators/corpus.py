@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 _HEX = "0123456789abcdef"
 
@@ -240,7 +241,7 @@ def repetition_profile(
     base = toked.select(
         F.col(id_col),
         F.size("__toks").alias("n_tokens"),
-        F.round(
+        det_round(
             F.size(F.array_distinct("__toks"))
             / F.nullif(F.size("__toks").cast("double"), F.lit(0.0)),
             4,
@@ -261,7 +262,7 @@ def repetition_profile(
         id_col,
         "n_tokens",
         "type_token_ratio",
-        F.round(
+        det_round(
             F.col("__top") / F.nullif(F.col("__n_grams").cast("double"), F.lit(0.0)), 4
         ).alias(f"top_{n}gram_fraction"),
     )
@@ -302,7 +303,7 @@ def tfidf_top_terms(
         .select(
             F.col(id_col),
             "term",
-            F.round(
+            det_round(
                 F.col("tf")
                 * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
@@ -793,9 +794,9 @@ def mixture_rebalance_to_targets(
         per_doc.crossJoin(F.broadcast(after_tot))
         .groupBy(group_col)
         .agg(
-            F.round(F.any_value("before_share"), 6).alias("before_share"),
+            det_round(F.any_value("before_share"), 6).alias("before_share"),
             F.any_value("target_share").alias("target_share"),
-            F.round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
+            det_round(F.sum("eff_chars") / F.any_value("t"), 6).alias("after_share"),
         )
     )
 

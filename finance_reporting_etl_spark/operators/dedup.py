@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.text import fingerprint, whitespace_tokens
+from finance_reporting_etl_spark.functions.scalars import det_round
 from finance_reporting_etl_spark.partitioning import spread
 
 
@@ -232,7 +233,7 @@ def jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, scale).alias("jaccard"),
+            det_round(jac, scale).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -311,7 +312,7 @@ def jaccard_prefix_filter_pairs(
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, scale).alias("jaccard"))
+        .select("id_a", "id_b", det_round(jac, scale).alias("jaccard"))
     )
 
 
@@ -386,7 +387,7 @@ def containment_prefix_filter_pairs(
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .filter(cont >= threshold)
-        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+        .select("id_a", "id_b", det_round(cont, 4).alias("containment"))
     )
 
 
@@ -523,7 +524,7 @@ def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
     return cands.select(
         "id_a",
         "id_b",
-        F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+        det_round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -809,7 +810,7 @@ def embedding_cosine_pairs(
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
         a.join(b, cond)
-        .withColumn("score", F.round(cosine(F.col("a.v"), F.col("b.v")), scale))
+        .withColumn("score", det_round(cosine(F.col("a.v"), F.col("b.v")), scale))
         .filter(F.col("score") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "score")
     )
@@ -872,7 +873,7 @@ def lsh_cosine_pairs_from_buckets(
     return (
         pairs.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
         .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
-        .withColumn("score", F.round(cos(F.col("va"), F.col("vb")), scale))
+        .withColumn("score", det_round(cos(F.col("va"), F.col("vb")), scale))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

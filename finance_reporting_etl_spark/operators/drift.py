@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def value_bin(col: str = "value", width: float = 50.0, n_bins: int = 10):
@@ -201,7 +202,7 @@ def mann_whitney_u(
         "n1",
         "n2",
         u2.cast("bigint").alias("u2"),
-        F.round(z, 6).alias("z"),
+        det_round(z, 6).alias("z"),
     )
 
 
@@ -260,7 +261,7 @@ def emd_1d(
         d.withColumn("num", num)
         .groupBy(key_col, "n1", "n2")
         .agg(
-            F.round(
+            det_round(
                 F.sum("num").cast("double")
                 / (F.col("n1").cast("double") * F.col("n2"))
                 / F.lit(100.0),

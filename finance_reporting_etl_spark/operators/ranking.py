@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def exact_group_quantiles(
@@ -71,7 +72,7 @@ def exact_group_quantiles(
             F.min(frac).alias(f"__fr_{name}"),
         ]
         finals.append(
-            F.round(
+            det_round(
                 F.col(f"__lo_{name}")
                 + F.col(f"__fr_{name}") * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}")),
                 scale,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from finance_reporting_etl_spark.functions.vectors import as_double_array, cosine
+from finance_reporting_etl_spark.functions.scalars import det_round
 from finance_reporting_etl_spark.partitioning import spread
 
 
@@ -61,7 +62,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), pred)
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .withColumn("score", det_round(cosine("q_vec", "c_vec"), scale))
         .select(*out_cols)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -184,7 +185,7 @@ def topk_from_buckets(
     scored = (
         pairs.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("score", F.round(cos(F.col("q_vec"), F.col("c_vec")), scale))
+        .withColumn("score", det_round(cos(F.col("q_vec"), F.col("c_vec")), scale))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -353,7 +354,7 @@ def ivf_topk_from_index(
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .withColumn("score", det_round(cosine("q_vec", "c_vec"), scale))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -505,7 +506,7 @@ def ivfpq_topk_from_tables(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(luts), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("d2"), scale).alias("adc_dist"))
+        .agg(det_round(F.sum("d2"), scale).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (
@@ -549,7 +550,7 @@ def ivfpq_rerank_topk(
         short.select("query_id", "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .withColumn("score", det_round(cosine("q_vec", "c_vec"), scale))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -622,7 +623,7 @@ def random_projection_topk(
     c = spread(projected).select(F.col(id_col).alias("neighbor_id"), F.col("proj").alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine("q_vec", "c_vec"), scale))
+        .withColumn("score", det_round(cosine("q_vec", "c_vec"), scale))
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -811,7 +812,7 @@ def reciprocal_rank_fusion(
         F.col("rrf_score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        j.withColumn("rrf_score", F.round(rrf, 6))
+        j.withColumn("rrf_score", det_round(rrf, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rrf_score", "rank")

@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def ema_last_per_key(
@@ -759,8 +760,8 @@ def sma_crossover(
     flagged = rolled.select(
         key_col,
         order_col,
-        F.round(F.col("sf").cast("double") / F.lit(fast), 2).alias("sma_fast"),
-        F.round(F.col("ss").cast("double") / F.lit(slow), 2).alias("sma_slow"),
+        det_round(F.col("sf").cast("double") / F.lit(fast), 2).alias("sma_fast"),
+        det_round(F.col("ss").cast("double") / F.lit(slow), 2).alias("sma_slow"),
         above.alias("fast_above"),
     )
     prev = F.lag("fast_above").over(wl)
@@ -1124,7 +1125,7 @@ def split_conformal_coverage(
         *key_cols,
         (F.col("n_eval")).alias("n_eval"),
         "q_hat_cents",
-        F.round(
+        det_round(
             F.col("n_cover").cast("double") / F.col("n_eval"), 6
         ).alias("coverage"),
         F.lit(round(1.0 - alpha, 6)).alias("target"),

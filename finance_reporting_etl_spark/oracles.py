@@ -65,14 +65,59 @@ def _b256(salt: str) -> str:
 def _md5_key(salt: str) -> str:
     return f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
 
-_QUALITY_SQL = """round(greatest(0.0,
+_QUALITY_SQL = """(CASE WHEN isnan(CAST((greatest(0.0,
                    least(length(text) / 500.0, 1.0)
                    * (1.0 - least(
-                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0), 6)
-                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0), 6),
-                       1.0))), 4)"""
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) ELSE floor((greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) * 10000.0 + 0.5) / 10000.0 END)"""
 
 _TRIANGLE_CTES = f"""
     e AS (
@@ -228,9 +273,9 @@ ORACLES["cast_text_to_numeric"] = """
 ORACLES["pivot_by_report_type"] = """
     SELECT user_id,
            CAST(ts AS DATE) AS day,
-           round(sum(CASE WHEN event_type = 'view'     THEN value END), 6) AS view_total,
-           round(sum(CASE WHEN event_type = 'click'    THEN value END), 6) AS click_total,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_total
+           (CASE WHEN isnan(CAST((sum(CASE WHEN event_type = 'view'     THEN value END)) AS DOUBLE)) OR abs(CAST((sum(CASE WHEN event_type = 'view'     THEN value END)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(CASE WHEN event_type = 'view'     THEN value END)) ELSE floor((sum(CASE WHEN event_type = 'view'     THEN value END)) * 1000000.0 + 0.5) / 1000000.0 END) AS view_total,
+           (CASE WHEN isnan(CAST((sum(CASE WHEN event_type = 'click'    THEN value END)) AS DOUBLE)) OR abs(CAST((sum(CASE WHEN event_type = 'click'    THEN value END)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(CASE WHEN event_type = 'click'    THEN value END)) ELSE floor((sum(CASE WHEN event_type = 'click'    THEN value END)) * 1000000.0 + 0.5) / 1000000.0 END) AS click_total,
+           (CASE WHEN isnan(CAST((sum(CASE WHEN event_type = 'purchase' THEN value END)) AS DOUBLE)) OR abs(CAST((sum(CASE WHEN event_type = 'purchase' THEN value END)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(CASE WHEN event_type = 'purchase' THEN value END)) ELSE floor((sum(CASE WHEN event_type = 'purchase' THEN value END)) * 1000000.0 + 0.5) / 1000000.0 END) AS purchase_total
     FROM events
     GROUP BY 1, 2
     """
@@ -246,11 +291,20 @@ ORACLES["hourly_event_rollup"] = """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0, 2) AS total_value,
-           round(CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
+           (CASE WHEN isnan(CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) ELSE floor((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) * 100.0 + 0.5) / 100.0 END) AS total_value,
+           (CASE WHEN isnan(CAST((CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
                       // nullif(count(value), 0) AS DOUBLE)
-                 / 1000000.0, 6) AS avg_value
+                 / 1000000.0) AS DOUBLE)) OR abs(CAST((CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
+                      // nullif(count(value), 0) AS DOUBLE)
+                 / 1000000.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
+                      // nullif(count(value), 0) AS DOUBLE)
+                 / 1000000.0) ELSE floor((CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000)
+                      // nullif(count(value), 0) AS DOUBLE)
+                 / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_value
     FROM events
     GROUP BY 1, 2
     """
@@ -272,7 +326,7 @@ ORACLES["sessionize_events"] = """
            max(ts) + INTERVAL '30 minutes' AS session_end,
            user_id,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM s
     GROUP BY user_id, sess
     """
@@ -281,11 +335,11 @@ ORACLES["monthly_trend_mom"] = """
     WITH m AS (
         SELECT event_type AS series_id,
                date_trunc('month', ts) AS month,
-               round(avg(value), 6) AS avg_value
+               (CASE WHEN isnan(CAST((avg(value)) AS DOUBLE)) OR abs(CAST((avg(value)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(value)) ELSE floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_value
         FROM events GROUP BY 1, 2
     )
     SELECT series_id, month, avg_value,
-           round(avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month), 6)
+           (CASE WHEN isnan(CAST((avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month)) AS DOUBLE)) OR abs(CAST((avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month)) AS DOUBLE)) >= 4611686018427.388 THEN (avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month)) ELSE floor((avg_value - lag(avg_value) OVER (PARTITION BY series_id ORDER BY month)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS mom_change
     FROM m
     """
@@ -302,13 +356,13 @@ ORACLES["merge_latest_per_key"] = """
 
 ORACLES["q1_pricing_summary"] = """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           (CASE WHEN isnan(CAST((sum(l_quantity)) AS DOUBLE)) OR abs(CAST((sum(l_quantity)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l_quantity)) ELSE floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 END)                                        AS sum_qty,
+           (CASE WHEN isnan(CAST((sum(l_extendedprice)) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l_extendedprice)) ELSE floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 END)                                   AS sum_base_price,
+           (CASE WHEN isnan(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice * (1 - l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l_extendedprice * (1 - l_discount))) ELSE floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 END)                AS sum_disc_price,
+           (CASE WHEN isnan(CAST((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) ELSE floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0 END)  AS sum_charge,
+           (CASE WHEN isnan(CAST((avg(l_quantity)) AS DOUBLE)) OR abs(CAST((avg(l_quantity)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(l_quantity)) ELSE floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 END)                                        AS avg_qty,
+           (CASE WHEN isnan(CAST((avg(l_extendedprice)) AS DOUBLE)) OR abs(CAST((avg(l_extendedprice)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(l_extendedprice)) ELSE floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 END)                                   AS avg_price,
+           (CASE WHEN isnan(CAST((avg(l_discount)) AS DOUBLE)) OR abs(CAST((avg(l_discount)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(l_discount)) ELSE floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 END)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -319,10 +373,10 @@ ORACLES["q3_top_orders"] = """
     SELECT o_orderkey, revenue, o_orderdate, o_orderpriority, rnk
     FROM (
         SELECT l.l_orderkey AS o_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue,
                o.o_orderdate, o.o_orderpriority,
                row_number() OVER (
-                   ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
+                   ORDER BY (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) DESC,
                             l.l_orderkey ASC) AS rnk
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -334,7 +388,7 @@ ORACLES["q3_top_orders"] = """
 
 ORACLES["regional_revenue"] = """
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -348,26 +402,83 @@ ORACLES["text_stats"] = """
            len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))                          AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
            length(text)                                                         AS n_chars_calc,
-           round(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+           (CASE WHEN isnan(CAST((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
                                          t -> length(t)))
-                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0), 4)   AS avg_token_len,
-           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / nullif(length(text), 0), 4)                                  AS punct_ratio,
-           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 / nullif(length(text), 0), 4)                                  AS digit_ratio
+                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                                         t -> length(t)))
+                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                                         t -> length(t)))
+                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) ELSE floor((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                                         t -> length(t)))
+                 / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0 END)   AS avg_token_len,
+           (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(length(text), 0)) * 10000.0 + 0.5) / 10000.0 END)                                  AS punct_ratio,
+           (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / nullif(length(text), 0)) * 10000.0 + 0.5) / 10000.0 END)                                  AS digit_ratio
     FROM documents
     """
 
 ORACLES["quality_scores"] = """
     SELECT doc_id,
-           round(greatest(0.0,
+           (CASE WHEN isnan(CAST((greatest(0.0,
                least(length(text) / 500.0, 1.0)
                * (1.0 - least(
-                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0), 6)
-                   + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0), 6),
-                   1.0))), 4) AS quality
+                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                   1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
+               least(length(text) / 500.0, 1.0)
+               * (1.0 - least(
+                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                   1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
+               least(length(text) / 500.0, 1.0)
+               * (1.0 - least(
+                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                   1.0)))) ELSE floor((greatest(0.0,
+               least(length(text) / 500.0, 1.0)
+               * (1.0 - least(
+                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                   1.0)))) * 10000.0 + 0.5) / 10000.0 END) AS quality
     FROM documents
     """
 
@@ -395,9 +506,11 @@ ORACLES["ngram_jaccard_pairs"] = f"""
         FROM documents
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.toks, b.toks))
-                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
-                     4) AS jaccard
+               (CASE WHEN isnan(CAST((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) ELSE floor((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) * 10000.0 + 0.5) / 10000.0 END) AS jaccard
         FROM t a JOIN t b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
@@ -444,8 +557,11 @@ ORACLES["minhash_lsh_near_dup"] = f"""
     s AS (SELECT id, sh FROM t),
     scored AS (
         SELECT c.id_a, c.id_b,
-               round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0), 4) AS jaccard
+               (CASE WHEN isnan(CAST((CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0)) AS DOUBLE)) OR abs(CAST((CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0)) ELSE floor((CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0)) * 10000.0 + 0.5) / 10000.0 END) AS jaccard
         FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
     )
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
@@ -460,9 +576,11 @@ ORACLES["similarity_topk"] = """
         FROM embeddings
     ), scored AS (
         SELECT query_id, neighbor_id,
-               round(list_dot_product(qv, cv)
-                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0),
-                     6) AS score
+               (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM c, q
         WHERE query_id <> neighbor_id
     )
@@ -485,9 +603,15 @@ ORACLES["ann_lsh_topk"] = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
+               (CASE WHEN isnan(CAST((list_dot_product(qe.v, ce.v)
                      / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) ELSE floor((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
                   JOIN e ce ON ce.vec_id = cand.neighbor_id
     )
@@ -520,14 +644,18 @@ ORACLES["embedding_cosine_dups"] = """
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-                 6) AS score
+           (CASE WHEN isnan(CAST((list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) ELSE floor((list_dot_product(a.v, b.v)
+                 / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
     FROM e a JOIN e b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
-                6) >= 0.4
+    WHERE (CASE WHEN isnan(CAST((list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) ELSE floor((list_dot_product(a.v, b.v)
+                / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
     """
 
 ORACLES["lsh_embedding_cosine_dups"] = f"""
@@ -540,9 +668,15 @@ ORACLES["lsh_embedding_cosine_dups"] = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
         SELECT cand.id_a, cand.id_b,
-               round(list_dot_product(ea.v, eb.v)
+               (CASE WHEN isnan(CAST((list_dot_product(ea.v, eb.v)
                      / nullif(sqrt(list_dot_product(ea.v, ea.v))
-                              * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS score
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(ea.v, eb.v)
+                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(ea.v, eb.v)
+                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0)) ELSE floor((list_dot_product(ea.v, eb.v)
+                     / nullif(sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM cand JOIN e ea ON ea.vec_id = cand.id_a
                   JOIN e eb ON eb.vec_id = cand.id_b
     )
@@ -560,9 +694,15 @@ ORACLES["ann_ivf_topk"] = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
+               (CASE WHEN isnan(CAST((list_dot_product(qe.v, ce.v)
                      / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) ELSE floor((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
                   JOIN e ce ON ce.vec_id = cand.neighbor_id
     )
@@ -575,7 +715,7 @@ ORACLES["ann_ivf_topk"] = f"""
 
 ORACLES["q5_local_supplier_volume"] = """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -589,7 +729,7 @@ ORACLES["q5_local_supplier_volume"] = """
     """
 
 ORACLES["q6_revenue_forecast"] = """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT (CASE WHEN isnan(CAST((sum(l_extendedprice * l_discount)) AS DOUBLE)) OR abs(CAST((sum(l_extendedprice * l_discount)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l_extendedprice * l_discount)) ELSE floor((sum(l_extendedprice * l_discount)) * 10000.0 + 0.5) / 10000.0 END) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -600,7 +740,7 @@ ORACLES["q6_revenue_forecast"] = """
 
 ORACLES["q10_returned_item_revenue"] = """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -614,10 +754,15 @@ ORACLES["q10_returned_item_revenue"] = """
     """
 
 ORACLES["q14_promo_revenue_share"] = """
-    SELECT round(
-             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT (CASE WHEN isnan(CAST((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0), 6) AS promo_share_pct,
+             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0)) AS DOUBLE)) OR abs(CAST((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0)) ELSE floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / nullif(sum(l.l_extendedprice * (1 - l.l_discount)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS promo_share_pct,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -626,7 +771,7 @@ ORACLES["q14_promo_revenue_share"] = """
 
 ORACLES["q19_bracketed_discount_revenue"] = """
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
@@ -655,7 +800,7 @@ ORACLES["q15_top_supplier"] = """
           AND l_shipdate <  TIMESTAMP '1996-04-01'
         GROUP BY 1
     )
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, (CASE WHEN isnan(CAST((r.total_revenue) AS DOUBLE)) OR abs(CAST((r.total_revenue) AS DOUBLE)) >= 461168601842738.8 THEN (r.total_revenue) ELSE floor((r.total_revenue) * 10000.0 + 0.5) / 10000.0 END) AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
     ORDER BY s_suppkey
@@ -670,7 +815,7 @@ ORACLES["q17_small_quantity_revenue"] = """
         SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
         FROM brand_lines GROUP BY 1
     )
-    SELECT round(sum(b.l_extendedprice) / 7.0, 4) AS avg_yearly,
+    SELECT (CASE WHEN isnan(CAST((sum(b.l_extendedprice) / 7.0) AS DOUBLE)) OR abs(CAST((sum(b.l_extendedprice) / 7.0) AS DOUBLE)) >= 461168601842738.8 THEN (sum(b.l_extendedprice) / 7.0) ELSE floor((sum(b.l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 END) AS avg_yearly,
            count(*) AS n_lines
     FROM brand_lines b JOIN thresh t ON b.l_partkey = t.t_partkey
     WHERE b.l_quantity < t.qty_thresh
@@ -693,7 +838,7 @@ ORACLES["q18_large_volume_orders"] = """
 ORACLES["q22_idle_rich_customers"] = """
     WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
     SELECT c.c_mktsegment, count(*) AS numcust,
-           round(sum(c.c_acctbal), 4) AS totacctbal
+           (CASE WHEN isnan(CAST((sum(c.c_acctbal)) AS DOUBLE)) OR abs(CAST((sum(c.c_acctbal)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(c.c_acctbal)) ELSE floor((sum(c.c_acctbal)) * 10000.0 + 0.5) / 10000.0 END) AS totacctbal
     FROM customer c, ab
     WHERE c.c_acctbal > ab.avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -704,25 +849,25 @@ ORACLES["q22_idle_rich_customers"] = """
 
 ORACLES["order_price_quantiles"] = """
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
-           round(min(o_totalprice), 4) AS min_price,
-           round(max(o_totalprice), 4) AS max_price
+           (CASE WHEN isnan(CAST((quantile_cont(o_totalprice, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(o_totalprice, 0.5)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(o_totalprice, 0.5)) ELSE floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 END)  AS median_price,
+           (CASE WHEN isnan(CAST((quantile_cont(o_totalprice, 0.9)) AS DOUBLE)) OR abs(CAST((quantile_cont(o_totalprice, 0.9)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(o_totalprice, 0.9)) ELSE floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 END)  AS p90_price,
+           (CASE WHEN isnan(CAST((min(o_totalprice)) AS DOUBLE)) OR abs(CAST((min(o_totalprice)) AS DOUBLE)) >= 461168601842738.8 THEN (min(o_totalprice)) ELSE floor((min(o_totalprice)) * 10000.0 + 0.5) / 10000.0 END) AS min_price,
+           (CASE WHEN isnan(CAST((max(o_totalprice)) AS DOUBLE)) OR abs(CAST((max(o_totalprice)) AS DOUBLE)) >= 461168601842738.8 THEN (max(o_totalprice)) ELSE floor((max(o_totalprice)) * 10000.0 + 0.5) / 10000.0 END) AS max_price
     FROM orders
     GROUP BY 1
     """
 
 ORACLES["price_quantiles_distributed"] = """
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+           (CASE WHEN isnan(CAST((quantile_cont(o_totalprice, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(o_totalprice, 0.5)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(o_totalprice, 0.5)) ELSE floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 END) AS median_price,
+           (CASE WHEN isnan(CAST((quantile_cont(o_totalprice, 0.9)) AS DOUBLE)) OR abs(CAST((quantile_cont(o_totalprice, 0.9)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(o_totalprice, 0.9)) ELSE floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 END) AS p90_price
     FROM orders
     GROUP BY 1
     """
 
 ORACLES["regional_rollup"] = """
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -790,14 +935,20 @@ ORACLES["rolling_7day_revenue"] = """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) AS day,
                date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum,
-               round(sum(value), 4) AS daily_value
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS daily_value
         FROM events
         GROUP BY 1, 2, 3
     )
     SELECT event_type, day, daily_value,
-           round(sum(daily_value) OVER (
+           (CASE WHEN isnan(CAST((sum(daily_value) OVER (
                PARTITION BY event_type ORDER BY dnum
-               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_7d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS DOUBLE)) OR abs(CAST((sum(daily_value) OVER (
+               PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(daily_value) OVER (
+               PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) ELSE floor((sum(daily_value) OVER (
+               PARTITION BY event_type ORDER BY dnum
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 END) AS rolling_7d
     FROM daily
     """
 
@@ -815,14 +966,59 @@ ORACLES["customer_spend_deciles"] = """
 ORACLES["corpus_clean"] = """
     WITH scored AS (
         SELECT doc_id, lang, source,
-               round(greatest(0.0,
+               (CASE WHEN isnan(CAST((greatest(0.0,
                    least(length(text) / 500.0, 1.0)
                    * (1.0 - least(
-                         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0), 6)
-                       + round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0), 6),
-                       1.0))), 4) AS quality,
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) ELSE floor((greatest(0.0,
+                   least(length(text) / 500.0, 1.0)
+                   * (1.0 - least(
+                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
+                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
+                       1.0)))) * 10000.0 + 0.5) / 10000.0 END) AS quality,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     ), deduped AS (
@@ -1004,11 +1200,17 @@ ORACLES["repetition_metrics"] = f"""
     )
     SELECT doc_id,
            len(toks) AS n_tokens,
-           round(len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0), 4)
+           (CASE WHEN isnan(CAST((len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0)) ELSE floor((len(list_distinct(toks)) / nullif(CAST(len(toks) AS DOUBLE), 0)) * 10000.0 + 0.5) / 10000.0 END)
                AS type_token_ratio,
-           round(list_max(list_transform(list_distinct(grams),
+           (CASE WHEN isnan(CAST((list_max(list_transform(list_distinct(grams),
                                          x -> len(list_filter(grams, y -> y = x))))
-                 / nullif(CAST(len(grams) AS DOUBLE), 0), 4) AS top_bigram_fraction
+                 / nullif(CAST(len(grams) AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((list_max(list_transform(list_distinct(grams),
+                                         x -> len(list_filter(grams, y -> y = x))))
+                 / nullif(CAST(len(grams) AS DOUBLE), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (list_max(list_transform(list_distinct(grams),
+                                         x -> len(list_filter(grams, y -> y = x))))
+                 / nullif(CAST(len(grams) AS DOUBLE), 0)) ELSE floor((list_max(list_transform(list_distinct(grams),
+                                         x -> len(list_filter(grams, y -> y = x))))
+                 / nullif(CAST(len(grams) AS DOUBLE), 0)) * 10000.0 + 0.5) / 10000.0 END) AS top_bigram_fraction
     FROM g
     """
 
@@ -1060,7 +1262,7 @@ ORACLES["decontaminate_4gram"] = f"""
 ORACLES["q7_nation_volume_shipping"] = """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           (CASE WHEN isnan(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) OR abs(CAST((sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE)) >= 461168601842738.8 THEN (sum(l.l_extendedprice * (1 - l.l_discount))) ELSE floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0 END) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1090,8 +1292,11 @@ ORACLES["q8_market_share"] = """
         WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
     )
     SELECT order_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           (CASE WHEN isnan(CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume)) AS DOUBLE)) OR abs(CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume)) ELSE floor((sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume)) * 10000.0 + 0.5) / 10000.0 END) AS mkt_share
     FROM all_sales
     GROUP BY order_year
     """
@@ -1157,7 +1362,7 @@ ORACLES["tfidf_top_terms"] = f"""
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+               (CASE WHEN isnan(CAST((tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)) AS DOUBLE)) OR abs(CAST((tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)) AS DOUBLE)) >= 4611686018427.388 THEN (tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)) ELSE floor((tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tfidf,
@@ -1256,7 +1461,7 @@ ORACLES["cohort_retention"] = """
 
 ORACLES["sql_api_mart_summary"] = """
     SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
-           round(avg(value), 6) AS avg_gdp
+           (CASE WHEN isnan(CAST((avg(value)) AS DOUBLE)) OR abs(CAST((avg(value)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(value)) ELSE floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_gdp
     FROM events
     GROUP BY 1
     """
@@ -1349,7 +1554,7 @@ ORACLES["skew_salted_event_rollup"] = """
     )
     SELECT d.category,
            count(*) AS n_events,
-           round(sum(e.value), 4) AS total_value
+           (CASE WHEN isnan(CAST((sum(e.value)) AS DOUBLE)) OR abs(CAST((sum(e.value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(e.value)) ELSE floor((sum(e.value)) * 10000.0 + 0.5) / 10000.0 END) AS total_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY 1
     """
@@ -1394,9 +1599,15 @@ ORACLES["semantic_dedup"] = f"""
         FROM a lo JOIN a hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
         JOIN e el ON el.vec_id = lo.vec_id
         JOIN e eh ON eh.vec_id = hi.vec_id
-        WHERE round(list_dot_product(el.v, eh.v)
+        WHERE (CASE WHEN isnan(CAST((list_dot_product(el.v, eh.v)
                     / nullif(sqrt(list_dot_product(el.v, el.v))
-                             * sqrt(list_dot_product(eh.v, eh.v)), 0), 6) >= 0.4
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(el.v, eh.v)
+                    / nullif(sqrt(list_dot_product(el.v, el.v))
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(el.v, eh.v)
+                    / nullif(sqrt(list_dot_product(el.v, el.v))
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0)) ELSE floor((list_dot_product(el.v, eh.v)
+                    / nullif(sqrt(list_dot_product(el.v, el.v))
+                             * sqrt(list_dot_product(eh.v, eh.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
     )
     SELECT a.vec_id, a.cluster,
            CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped
@@ -1525,7 +1736,7 @@ ORACLES["ann_ivfpq_topk"] = f"""
     lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
     adc AS (
         SELECT pr.query_id, ix.id AS neighbor_id,
-               round(sum(lut.d2), 6) AS adc_dist
+               (CASE WHEN isnan(CAST((sum(lut.d2)) AS DOUBLE)) OR abs(CAST((sum(lut.d2)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(lut.d2)) ELSE floor((sum(lut.d2)) * 1000000.0 + 0.5) / 1000000.0 END) AS adc_dist
         FROM ix
         JOIN pr USING (cell)
         JOIN lut ON lut.query_id = pr.query_id
@@ -1727,9 +1938,9 @@ ORACLES["mixture_rebalance_to_target"] = f"""
     ),
     after_tot AS (SELECT sum(eff_chars) AS t FROM per_doc)
     SELECT p.lang,
-           round(any_value(p.before_share), 6) AS before_share,
+           (CASE WHEN isnan(CAST((any_value(p.before_share)) AS DOUBLE)) OR abs(CAST((any_value(p.before_share)) AS DOUBLE)) >= 4611686018427.388 THEN (any_value(p.before_share)) ELSE floor((any_value(p.before_share)) * 1000000.0 + 0.5) / 1000000.0 END) AS before_share,
            any_value(p.target_share) AS target_share,
-           round(sum(p.eff_chars) / any_value(a.t), 6) AS after_share
+           (CASE WHEN isnan(CAST((sum(p.eff_chars) / any_value(a.t)) AS DOUBLE)) OR abs(CAST((sum(p.eff_chars) / any_value(a.t)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(p.eff_chars) / any_value(a.t)) ELSE floor((sum(p.eff_chars) / any_value(a.t)) * 1000000.0 + 0.5) / 1000000.0 END) AS after_share
     FROM per_doc p, after_tot a
     GROUP BY p.lang
     """
@@ -1912,7 +2123,7 @@ ORACLES["random_projection_topk"] = f"""
     ),
     scored AS (
         SELECT query_id, neighbor_id,
-               round(dp / nullif(na.nr * nb.nr, 0), 4) AS score
+               (CASE WHEN isnan(CAST((dp / nullif(na.nr * nb.nr, 0)) AS DOUBLE)) OR abs(CAST((dp / nullif(na.nr * nb.nr, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (dp / nullif(na.nr * nb.nr, 0)) ELSE floor((dp / nullif(na.nr * nb.nr, 0)) * 10000.0 + 0.5) / 10000.0 END) AS score
         FROM pairs
         JOIN nrm na ON na.vec_id = query_id
         JOIN nrm nb ON nb.vec_id = neighbor_id
@@ -2001,8 +2212,11 @@ ORACLES["corpus_training_pipeline"] = f"""
     SELECT split, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-           round(sum(CAST(round(quality * 10000) AS BIGINT))
-                 / (10000.0 * count(*)), 6) AS avg_quality
+           (CASE WHEN isnan(CAST((sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*))) AS DOUBLE)) OR abs(CAST((sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*))) AS DOUBLE)) >= 4611686018427.388 THEN (sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*))) ELSE floor((sum(CAST(round(quality * 10000) AS BIGINT))
+                 / (10000.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_quality
     FROM sp GROUP BY 1, 2
     """
 
@@ -3053,7 +3267,7 @@ ORACLES["ann_rerank_exact"] = f"""
     lut AS (SELECT * FROM '{_AUX_DIR}/pq_luts/*.parquet'),
     adc AS (
         SELECT pr.query_id, ix.id AS neighbor_id,
-               round(sum(lut.d2), 6) AS adc_dist
+               (CASE WHEN isnan(CAST((sum(lut.d2)) AS DOUBLE)) OR abs(CAST((sum(lut.d2)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(lut.d2)) ELSE floor((sum(lut.d2)) * 1000000.0 + 0.5) / 1000000.0 END) AS adc_dist
         FROM ix
         JOIN pr USING (cell)
         JOIN lut ON lut.query_id = pr.query_id
@@ -3071,9 +3285,15 @@ ORACLES["ann_rerank_exact"] = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (
         SELECT short.query_id, short.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
+               (CASE WHEN isnan(CAST((list_dot_product(qe.v, ce.v)
                      / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) ELSE floor((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM short JOIN e qe ON qe.vec_id = short.query_id
                    JOIN e ce ON ce.vec_id = short.neighbor_id
     )
@@ -3106,9 +3326,15 @@ ORACLES["streaming_ann_index_maintain"] = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(list_dot_product(qe.v, ce.v)
+               (CASE WHEN isnan(CAST((list_dot_product(qe.v, ce.v)
                      / nullif(sqrt(list_dot_product(qe.v, qe.v))
-                              * sqrt(list_dot_product(ce.v, ce.v)), 0), 6) AS score
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) ELSE floor((list_dot_product(qe.v, ce.v)
+                     / nullif(sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM cand JOIN e qe ON qe.vec_id = cand.query_id
                   JOIN e ce ON ce.vec_id = cand.neighbor_id
     )
@@ -3121,20 +3347,20 @@ ORACLES["streaming_ann_index_maintain"] = f"""
 
 ORACLES["mad_robust_outliers"] = """
     WITH med AS (
-        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        SELECT event_type, (CASE WHEN isnan(CAST((quantile_cont(value, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(value, 0.5)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(value, 0.5)) ELSE floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 END) AS med
         FROM events GROUP BY 1
     ), dev AS (
         SELECT e.event_id, e.event_type, e.value, m.med,
-               round(abs(e.value - m.med), 4) AS absdev
+               (CASE WHEN isnan(CAST((abs(e.value - m.med)) AS DOUBLE)) OR abs(CAST((abs(e.value - m.med)) AS DOUBLE)) >= 461168601842738.8 THEN (abs(e.value - m.med)) ELSE floor((abs(e.value - m.med)) * 10000.0 + 0.5) / 10000.0 END) AS absdev
         FROM events e JOIN med m USING (event_type)
     ), mad AS (
-        SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad
+        SELECT event_type, (CASE WHEN isnan(CAST((quantile_cont(absdev, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(absdev, 0.5)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(absdev, 0.5)) ELSE floor((quantile_cont(absdev, 0.5)) * 10000.0 + 0.5) / 10000.0 END) AS mad
         FROM dev GROUP BY 1
     )
     SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
-           round(d.absdev / nullif(1.4826 * mad.mad, 0), 6) AS modified_z
+           (CASE WHEN isnan(CAST((d.absdev / nullif(1.4826 * mad.mad, 0)) AS DOUBLE)) OR abs(CAST((d.absdev / nullif(1.4826 * mad.mad, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (d.absdev / nullif(1.4826 * mad.mad, 0)) ELSE floor((d.absdev / nullif(1.4826 * mad.mad, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS modified_z
     FROM dev d JOIN mad USING (event_type)
-    WHERE round(d.absdev / nullif(1.4826 * mad.mad, 0), 6) > 3.5
+    WHERE (CASE WHEN isnan(CAST((d.absdev / nullif(1.4826 * mad.mad, 0)) AS DOUBLE)) OR abs(CAST((d.absdev / nullif(1.4826 * mad.mad, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (d.absdev / nullif(1.4826 * mad.mad, 0)) ELSE floor((d.absdev / nullif(1.4826 * mad.mad, 0)) * 1000000.0 + 0.5) / 1000000.0 END) > 3.5
 """
 
 ORACLES["near_dup_incremental_batch"] = f"""
@@ -3154,8 +3380,11 @@ ORACLES["near_dup_incremental_batch"] = f"""
     ),
     scored AS (
         SELECT c.batch_id, c.corpus_id,
-               round(CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
-                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0), 4)
+               (CASE WHEN isnan(CAST((CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0)) AS DOUBLE)) OR abs(CAST((CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0)) ELSE floor((CAST(len(list_distinct(list_intersect(sb.sh, sc.sh))) AS DOUBLE)
+                     / nullif(len(list_distinct(list_concat(sb.sh, sc.sh))), 0)) * 10000.0 + 0.5) / 10000.0 END)
                    AS jaccard
         FROM cand c JOIN bx sb ON sb.id = c.batch_id
                     JOIN cx sc ON sc.id = c.corpus_id
@@ -3174,9 +3403,15 @@ ORACLES["hard_negative_mining"] = """
         FROM embeddings
     ), scored AS (
         SELECT query_id, q_label, neighbor_id, n_label,
-               round(list_dot_product(qv, cv)
+               (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
                      / nullif(sqrt(list_dot_product(qv, qv))
-                              * sqrt(list_dot_product(cv, cv)), 0), 6) AS score
+                              * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM q JOIN c ON query_id <> neighbor_id AND q_label <> n_label
     )
     SELECT query_id, q_label, neighbor_id, n_label, score,
@@ -3433,7 +3668,7 @@ ORACLES["jaccard_prefix_filter_pairs"] = f"""
         JOIN t ta ON ta.id = c.id_a
         JOIN t tb ON tb.id = c.id_b
     )
-    SELECT id_a, id_b, round(j_true, 4) AS jaccard FROM v WHERE j_true >= 0.6
+    SELECT id_a, id_b, (CASE WHEN isnan(CAST((j_true) AS DOUBLE)) OR abs(CAST((j_true) AS DOUBLE)) >= 461168601842738.8 THEN (j_true) ELSE floor((j_true) * 10000.0 + 0.5) / 10000.0 END) AS jaccard FROM v WHERE j_true >= 0.6
     """
 
 ORACLES["indicator_max_drawdown"] = """
@@ -3800,10 +4035,15 @@ ORACLES["ann_recall_ndcg_eval"] = f"""
         FROM embeddings
     ), scored AS (
         SELECT query_id, neighbor_id,
-               round(list_dot_product(qv, cv)
+               (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
                      / nullif(sqrt(list_dot_product(qv, qv))
-                              * sqrt(list_dot_product(cv, cv)), 0),
-                     6) AS score
+                              * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM c, q WHERE query_id <> neighbor_id
     ), truth AS (
         SELECT query_id, neighbor_id FROM (
@@ -3823,8 +4063,8 @@ ORACLES["ann_recall_ndcg_eval"] = f"""
         FROM h GROUP BY 1
     )
     SELECT qq.query_id,
-           round(coalesce(m.n_hits, 0) / 10.0, 6) AS recall_at_10,
-           round(coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}, 6) AS ndcg_at_10
+           (CASE WHEN isnan(CAST((coalesce(m.n_hits, 0) / 10.0) AS DOUBLE)) OR abs(CAST((coalesce(m.n_hits, 0) / 10.0) AS DOUBLE)) >= 4611686018427.388 THEN (coalesce(m.n_hits, 0) / 10.0) ELSE floor((coalesce(m.n_hits, 0) / 10.0) * 1000000.0 + 0.5) / 1000000.0 END) AS recall_at_10,
+           (CASE WHEN isnan(CAST((coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}) AS DOUBLE)) OR abs(CAST((coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}) AS DOUBLE)) >= 4611686018427.388 THEN (coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}) ELSE floor((coalesce(m.dcg, 0.0) / {_IDEAL_DCG10!r}) * 1000000.0 + 0.5) / 1000000.0 END) AS ndcg_at_10
     FROM (SELECT DISTINCT query_id FROM a) qq LEFT JOIN m USING (query_id)
     """
 
@@ -5590,8 +5830,8 @@ ORACLES["sma_crossover_signals"] = """
                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     ), f AS (
         SELECT series, day,
-               round(CAST(sf AS DOUBLE) / 10, 2) AS sma_fast,
-               round(CAST(ss AS DOUBLE) / 30, 2) AS sma_slow,
+               (CASE WHEN isnan(CAST((CAST(sf AS DOUBLE) / 10) AS DOUBLE)) OR abs(CAST((CAST(sf AS DOUBLE) / 10) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(sf AS DOUBLE) / 10) ELSE floor((CAST(sf AS DOUBLE) / 10) * 100.0 + 0.5) / 100.0 END) AS sma_fast,
+               (CASE WHEN isnan(CAST((CAST(ss AS DOUBLE) / 30) AS DOUBLE)) OR abs(CAST((CAST(ss AS DOUBLE) / 30) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(ss AS DOUBLE) / 30) ELSE floor((CAST(ss AS DOUBLE) / 30) * 100.0 + 0.5) / 100.0 END) AS sma_slow,
                CAST(sf * 30 > ss * 10 AS INT) AS fast_above
         FROM r WHERE n_win = 30
     )
@@ -5743,7 +5983,7 @@ ORACLES["budget_variance_ytd"] = """
            CAST(sum(act - bud) OVER (PARTITION BY o_orderpriority, y
                 ORDER BY mo ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS ytd_variance_cents,
-           round(CAST(act - bud AS DOUBLE) / bud, 6) AS variance_pct
+           (CASE WHEN isnan(CAST((CAST(act - bud AS DOUBLE) / bud) AS DOUBLE)) OR abs(CAST((CAST(act - bud AS DOUBLE) / bud) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(act - bud AS DOUBLE) / bud) ELSE floor((CAST(act - bud AS DOUBLE) / bud) * 1000000.0 + 0.5) / 1000000.0 END) AS variance_pct
     FROM j
     """
 
@@ -5780,7 +6020,7 @@ ORACLES["containment_dedup_pairs"] = f"""
         JOIN t ta ON ta.id = c.id_a
         JOIN t tb ON tb.id = c.id_b
     )
-    SELECT id_a, id_b, round(c_true, 4) AS containment
+    SELECT id_a, id_b, (CASE WHEN isnan(CAST((c_true) AS DOUBLE)) OR abs(CAST((c_true) AS DOUBLE)) >= 461168601842738.8 THEN (c_true) ELSE floor((c_true) * 10000.0 + 0.5) / 10000.0 END) AS containment
     FROM v WHERE c_true >= 0.9
     """
 
@@ -5815,12 +6055,27 @@ ORACLES["mann_whitney_event_halves"] = """
     )
     SELECT event_type, n1, n2,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
-           round((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+           (CASE WHEN isnan(CAST(((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
                   - CAST(n1 AS DOUBLE) * n2)
                  / nullif(2.0 * sqrt(CAST(n1 AS DOUBLE) * n2
                        * CAST(CAST(n1 + n2 + 1 AS HUGEINT)
                               * (n1 + n2) * (n1 + n2 - 1) - s3 AS DOUBLE)
-                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0), 6) AS z
+                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0)) AS DOUBLE)) OR abs(CAST(((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * n2)
+                 / nullif(2.0 * sqrt(CAST(n1 AS DOUBLE) * n2
+                       * CAST(CAST(n1 + n2 + 1 AS HUGEINT)
+                              * (n1 + n2) * (n1 + n2 - 1) - s3 AS DOUBLE)
+                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * n2)
+                 / nullif(2.0 * sqrt(CAST(n1 AS DOUBLE) * n2
+                       * CAST(CAST(n1 + n2 + 1 AS HUGEINT)
+                              * (n1 + n2) * (n1 + n2 - 1) - s3 AS DOUBLE)
+                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0)) ELSE floor(((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * n2)
+                 / nullif(2.0 * sqrt(CAST(n1 AS DOUBLE) * n2
+                       * CAST(CAST(n1 + n2 + 1 AS HUGEINT)
+                              * (n1 + n2) * (n1 + n2 - 1) - s3 AS DOUBLE)
+                       / (12.0 * (n1 + n2) * (n1 + n2 - 1))), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS z
     FROM g
     """
 
@@ -5851,9 +6106,15 @@ ORACLES["emd_value_drift"] = """
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           round(CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
+           (CASE WHEN isnan(CAST((CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
                               - CAST(a2 AS HUGEINT) * n1) * gap) AS DOUBLE)
-                 / (CAST(n1 AS DOUBLE) * n2) / 100.0, 6) AS emd
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
+                              - CAST(a2 AS HUGEINT) * n1) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
+                              - CAST(a2 AS HUGEINT) * n1) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0) ELSE floor((CAST(sum(abs(CAST(a1 AS HUGEINT) * n2
+                              - CAST(a2 AS HUGEINT) * n1) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS emd
     FROM d
     WHERE n1 > 0 AND n2 > 0 AND gap IS NOT NULL
     GROUP BY event_type, n1, n2
@@ -5920,9 +6181,15 @@ ORACLES["conformal_interval_coverage"] = """
     SELECT s.series,
            CAST(count(*) AS BIGINT) AS n_eval,
            q.q_hat_cents,
-           round(CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS coverage,
+                 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) ELSE floor((CAST(sum(CASE WHEN abs(s.r) <= q.q_hat_cents
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS coverage,
            CAST(0.9 AS DOUBLE) AS target
     FROM s JOIN q ON s.series = q.series
     WHERE s.is_cal = 0
@@ -5963,9 +6230,15 @@ ORACLES["matryoshka_truncation_recall"] = """
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY
-                       round(list_dot_product(qv, cv)
+                       (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
                              / nullif(sqrt(list_dot_product(qv, qv))
-                                      * sqrt(list_dot_product(cv, cv)), 0), 6)
+                                      * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                        DESC, neighbor_id ASC) AS rank
             FROM c, q WHERE query_id <> neighbor_id
         ) WHERE rank <= 10
@@ -5973,16 +6246,22 @@ ORACLES["matryoshka_truncation_recall"] = """
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY
-                       round(list_dot_product(qv[1:16], cv[1:16])
+                       (CASE WHEN isnan(CAST((list_dot_product(qv[1:16], cv[1:16])
                              / nullif(sqrt(list_dot_product(qv[1:16], qv[1:16]))
-                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0), 6)
+                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv[1:16], cv[1:16])
+                             / nullif(sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv[1:16], cv[1:16])
+                             / nullif(sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0)) ELSE floor((list_dot_product(qv[1:16], cv[1:16])
+                             / nullif(sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                                      * sqrt(list_dot_product(cv[1:16], cv[1:16])), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                        DESC, neighbor_id ASC) AS rank
             FROM c, q WHERE query_id <> neighbor_id
         ) WHERE rank <= 10
     )
     SELECT f.query_id,
            CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
-           round(count(t.neighbor_id) / 10.0, 6) AS recall_at_10
+           (CASE WHEN isnan(CAST((count(t.neighbor_id) / 10.0) AS DOUBLE)) OR abs(CAST((count(t.neighbor_id) / 10.0) AS DOUBLE)) >= 4611686018427.388 THEN (count(t.neighbor_id) / 10.0) ELSE floor((count(t.neighbor_id) / 10.0) * 1000000.0 + 0.5) / 1000000.0 END) AS recall_at_10
     FROM full_k f LEFT JOIN tr_k t
       ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
     GROUP BY 1
@@ -6082,16 +6361,34 @@ ORACLES["rrf_hybrid_search"] = f"""
         SELECT query_id, neighbor_id, rank FROM (
             SELECT q.query_id, t.doc_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.query_id ORDER BY
-                       round(len(list_intersect(q.q_toks, t.toks))
+                       (CASE WHEN isnan(CAST((len(list_intersect(q.q_toks, t.toks))
                              / CAST(len(q.q_toks) + len(t.toks)
                                     - len(list_intersect(q.q_toks, t.toks))
-                                    AS DOUBLE), 6) DESC,
+                                    AS DOUBLE)) AS DOUBLE)) OR abs(CAST((len(list_intersect(q.q_toks, t.toks))
+                             / CAST(len(q.q_toks) + len(t.toks)
+                                    - len(list_intersect(q.q_toks, t.toks))
+                                    AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (len(list_intersect(q.q_toks, t.toks))
+                             / CAST(len(q.q_toks) + len(t.toks)
+                                    - len(list_intersect(q.q_toks, t.toks))
+                                    AS DOUBLE)) ELSE floor((len(list_intersect(q.q_toks, t.toks))
+                             / CAST(len(q.q_toks) + len(t.toks)
+                                    - len(list_intersect(q.q_toks, t.toks))
+                                    AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) DESC,
                        t.doc_id ASC) AS rank
             FROM t JOIN q ON t.doc_id <> q.query_id
-            WHERE round(len(list_intersect(q.q_toks, t.toks))
+            WHERE (CASE WHEN isnan(CAST((len(list_intersect(q.q_toks, t.toks))
                         / CAST(len(q.q_toks) + len(t.toks)
                                - len(list_intersect(q.q_toks, t.toks))
-                               AS DOUBLE), 6) > 0
+                               AS DOUBLE)) AS DOUBLE)) OR abs(CAST((len(list_intersect(q.q_toks, t.toks))
+                        / CAST(len(q.q_toks) + len(t.toks)
+                               - len(list_intersect(q.q_toks, t.toks))
+                               AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (len(list_intersect(q.q_toks, t.toks))
+                        / CAST(len(q.q_toks) + len(t.toks)
+                               - len(list_intersect(q.q_toks, t.toks))
+                               AS DOUBLE)) ELSE floor((len(list_intersect(q.q_toks, t.toks))
+                        / CAST(len(q.q_toks) + len(t.toks)
+                               - len(list_intersect(q.q_toks, t.toks))
+                               AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) > 0
         ) WHERE rank <= 20
     ), qe AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -6103,17 +6400,26 @@ ORACLES["rrf_hybrid_search"] = f"""
         SELECT query_id, neighbor_id, rank FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY
-                       round(list_dot_product(qv, cv)
+                       (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
                              / nullif(sqrt(list_dot_product(qv, qv))
-                                      * sqrt(list_dot_product(cv, cv)), 0), 6)
+                                      * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                             / nullif(sqrt(list_dot_product(qv, qv))
+                                      * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                        DESC, neighbor_id ASC) AS rank
             FROM ce, qe WHERE query_id <> neighbor_id
         ) WHERE rank <= 20
     ), fused AS (
         SELECT coalesce(l.query_id, s.query_id) AS query_id,
                coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
-               round(coalesce(1.0 / (60.0 + l.rank), 0.0)
-                     + coalesce(1.0 / (60.0 + s.rank), 0.0), 6) AS rrf_score
+               (CASE WHEN isnan(CAST((coalesce(1.0 / (60.0 + l.rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.rank), 0.0)) AS DOUBLE)) OR abs(CAST((coalesce(1.0 / (60.0 + l.rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.rank), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (coalesce(1.0 / (60.0 + l.rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.rank), 0.0)) ELSE floor((coalesce(1.0 / (60.0 + l.rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.rank), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS rrf_score
         FROM lex l FULL OUTER JOIN sem s
           ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id
     )
@@ -6156,9 +6462,15 @@ ORACLES["next_event_prediction_accuracy"] = """
            CAST(count(*) AS BIGINT) AS n_eval,
            CAST(sum(CASE WHEN t.next_type = p.predicted THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           round(CAST(sum(CASE WHEN t.next_type = p.predicted
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN t.next_type = p.predicted
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS accuracy
+                 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN t.next_type = p.predicted
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN t.next_type = p.predicted
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) ELSE floor((CAST(sum(CASE WHEN t.next_type = p.predicted
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS accuracy
     FROM tr t LEFT JOIN pred p ON t.event_type = p.event_type
     WHERE NOT t.is_train
     GROUP BY 1

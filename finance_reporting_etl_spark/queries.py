@@ -28,7 +28,11 @@ from finance_reporting_etl_spark.operators.ml import (
     bagging_oracle_sql,
     depth2_tree_oracle_sql,
 )
-from finance_reporting_etl_spark.functions.scalars import case_map, normalize_string
+from finance_reporting_etl_spark.functions.scalars import (
+    case_map,
+    det_round,
+    normalize_string,
+)
 from finance_reporting_etl_spark.partitioning import spread
 from finance_reporting_etl_spark.plans.models import registry
 from finance_reporting_etl_spark.tables import _read_parquet, load_tables
@@ -202,7 +206,7 @@ def q_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy(F.col("user_id"), F.col("ts").cast("date").alias("day"))
         .pivot("event_type", ["view", "click", "purchase"])
-        .agg(F.round(F.sum("value"), 6))
+        .agg(det_round(F.sum("value"), 6))
         .withColumnsRenamed(
             {"view": "view_total", "click": "click_total", "purchase": "purchase_total"}
         )
@@ -265,13 +269,13 @@ def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = events.groupBy(
         F.col("event_type").alias("series_id"),
         F.date_trunc("month", "ts").alias("month"),
-    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    ).agg(det_round(F.avg("value"), 6).alias("avg_value"))
     w = Window.partitionBy("series_id").orderBy("month")
     return m.select(
         "series_id",
         "month",
         "avg_value",
-        F.round(F.col("avg_value") - F.lag("avg_value").over(w), 6).alias("mom_change"),
+        det_round(F.col("avg_value") - F.lag("avg_value").over(w), 6).alias("mom_change"),
     )
 
 
@@ -297,13 +301,13 @@ def q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            det_round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            det_round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            det_round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            det_round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            det_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            det_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            det_round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -323,7 +327,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
     # Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition top-20, driver merge) — never a single-partition
@@ -351,7 +355,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -696,7 +700,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -720,7 +724,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            det_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -745,7 +749,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -770,7 +774,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            det_round(
                 F.lit(100.0) * F.sum(promo) / F.nullif(F.sum(rev), F.lit(0.0)), 6
             ).alias("promo_share_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -799,7 +803,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(cond)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -851,7 +855,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
         .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue")
+            "s_suppkey", "s_name", det_round("total_revenue", 4).alias("total_revenue")
         )
         .orderBy("s_suppkey")
     )
@@ -880,7 +884,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_lines.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
+            det_round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -941,7 +945,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            det_round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -958,10 +962,10 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t-digest) when a bounded-error estimate is acceptable."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 4).alias("min_price"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        det_round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        det_round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        det_round(F.min("o_totalprice"), 4).alias("min_price"),
+        det_round(F.max("o_totalprice"), 4).alias("max_price"),
     )
 
 
@@ -1007,7 +1011,7 @@ def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
         )
     )
 
@@ -1187,7 +1191,7 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.to_date(F.date_trunc("day", "ts")).alias("day"),
         )
-        .agg(F.round(F.sum("value"), 4).alias("daily_value"))
+        .agg(det_round(F.sum("value"), 4).alias("daily_value"))
         .withColumn("dnum", F.datediff("day", F.lit("1970-01-01")))
     )
     w = (
@@ -1199,7 +1203,7 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "daily_value",
-        F.round(F.sum("daily_value").over(w), 4).alias("rolling_7d"),
+        det_round(F.sum("daily_value").over(w), 4).alias("rolling_7d"),
     )
 
 
@@ -1567,7 +1571,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            det_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -1602,7 +1606,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(
+            det_round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
                 / F.sum(volume),
                 4,
@@ -1869,10 +1873,16 @@ def q_sql_api_mart_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM raw_financial_sql
         """
     )
+    # det_round in SQL-text form (same floor formula as the Column
+    # helper — engine round(DOUBLE, n) is per-engine-divergent, r8).
     return spark.sql(
         """
         SELECT date_trunc('year', CAST(ts AS DATE)) AS year,
-               round(avg(value), 6) AS avg_gdp
+               CASE WHEN isnull(avg(value)) OR isnan(avg(value))
+                         OR abs(avg(value)) >= 4611686018427.388
+                    THEN avg(value)
+                    ELSE floor(avg(value) * 1000000.0 + 0.5) / 1000000.0
+               END AS avg_gdp
         FROM stg_financial_sql
         GROUP BY 1
         """
@@ -2098,7 +2108,7 @@ def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("category").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        det_round(F.sum("value"), 4).alias("total_value"),
     )
 
 
@@ -2644,11 +2654,11 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         "med",
-        F.round(F.abs(F.col("value") - F.col("med")), 4).alias("absdev"),
+        det_round(F.abs(F.col("value") - F.col("med")), 4).alias("absdev"),
     )
     mad = exact_group_quantiles(dev, ["event_type"], "absdev", {"mad": 0.5})
     j = dev.join(F.broadcast(mad), "event_type")
-    mz = F.round(
+    mz = det_round(
         F.col("absdev") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)), 6
     )
     return (
@@ -3605,7 +3615,7 @@ def q_corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # x10000 sum is an exact integer in ANY aggregation order —
         # a float avg() near a rounding tie flips with partial-agg
         # order (observed run-to-run at sf0.001)
-        F.round(
+        det_round(
             F.sum(F.round(F.col("quality") * 10000).cast("long"))
             / (10000.0 * F.count(F.lit(1))),
             6,
@@ -6060,10 +6070,10 @@ def q_ann_recall_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = approx.select("query_id").distinct()
     return base.join(m, "query_id", "left").select(
         "query_id",
-        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias(
+        det_round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias(
             "recall_at_10"
         ),
-        F.round(
+        det_round(
             F.coalesce(F.col("dcg"), F.lit(0.0)) / F.lit(_IDEAL_DCG10), 6
         ).alias("ndcg_at_10"),
     )
@@ -8944,7 +8954,7 @@ def q_budget_variance_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bud").alias("budget_cents"),
         v.cast("bigint").alias("variance_cents"),
         F.sum(v).over(w).cast("bigint").alias("ytd_variance_cents"),
-        F.round(v.cast("double") / F.col("bud"), 6).alias("variance_pct"),
+        det_round(v.cast("double") / F.col("bud"), 6).alias("variance_pct"),
     )
 
 
@@ -9167,7 +9177,7 @@ def q_matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("t_nid").isNotNull().cast("int"))
         .cast("bigint")
         .alias("n_overlap"),
-        F.round(
+        det_round(
             F.sum(F.col("t_nid").isNotNull().cast("int")) / F.lit(10.0), 6
         ).alias("recall_at_10"),
     )
@@ -9348,7 +9358,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = (
         docs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
-        .withColumn("score", F.round(jac, 6))
+        .withColumn("score", det_round(jac, 6))
         .filter(F.col("score") > 0)
         .select("query_id", F.col("doc_id").alias("neighbor_id"), "score")
         .withColumn("rank", F.row_number().over(wl))
@@ -9411,7 +9421,7 @@ def q_next_event_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFr
         F.min("predicted").alias("predicted"),
         F.count(F.lit(1)).cast("bigint").alias("n_eval"),
         F.sum(hit).cast("bigint").alias("n_correct"),
-        F.round(
+        det_round(
             F.sum(hit).cast("double") / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )

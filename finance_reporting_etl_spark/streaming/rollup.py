@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def time_bucket_rollup(
@@ -44,8 +45,8 @@ def time_bucket_rollup(
             F.col("w.start").alias("window_start"),
             *group_cols,
             "n_events",
-            F.round(F.col("__sc") / 100.0, 2).alias("total_value"),
-            F.round(
+            det_round(F.col("__sc") / 100.0, 2).alias("total_value"),
+            det_round(
                 F.expr("__sc * 10000 div nullif(__nv, 0)") / 1000000.0, 6
             ).alias("avg_value"),
         )
@@ -87,7 +88,7 @@ def _stream_agg(
         .groupBy(win.alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            det_round(F.sum(value_col), 6).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
     )
@@ -195,7 +196,7 @@ def sessionize(
     (applyInPandasWithState is the custom-logic escape hatch)."""
     return (
         events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(value_col), 6).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), det_round(F.sum(value_col), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -241,7 +242,7 @@ def streaming_sessionize(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            det_round(F.sum(value_col), 6).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

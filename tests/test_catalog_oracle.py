@@ -6,6 +6,8 @@ sf0.001 for speed (the driver runs sf0.01).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from finance_reporting_etl_spark.queries import CATALOG
@@ -15,6 +17,43 @@ from tests.plan_allowlist import SP_ALLOW
 
 ORACLE_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is None)
+
+
+def _strip_int_cast_rounds(plan: str) -> str:
+    """Drop round(...) sites feeding an integer cast (exact cents
+    conversions — both engines round integral ties away from zero)."""
+    return re.sub(
+        r"cast\(round\([^()]*(?:\([^()]*\)[^()]*)*\) as (?:big|small|tiny)?int\)",
+        "INTCAST",
+        plan,
+    )
+
+
+def _has_scaled_sql_round(sql: str) -> bool:
+    """True if the SQL text contains a two-arg round(expr, n) — the
+    per-engine-divergent float display round (VERDICT r8 task 3)."""
+    for m in re.finditer(r"\bround\(", sql):
+        depth, k = 1, m.end()
+        while depth and k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[m.end() : k - 1]
+        depth, parts = 0, [""]
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("")
+            else:
+                parts[-1] += ch
+        if len(parts) == 2 and re.fullmatch(r"\s*\d+\s*", parts[1]):
+            return True
+    return False
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -41,6 +80,28 @@ def test_query_matches_oracle(spark, duck, name):
         "regenerate tests/plan_allowlist.py via tools/plan_audit.py "
         "and document the class in PLANS.md"
     )
+    # Gate-window round ban (VERDICT r8 task 3): a query entering the
+    # driver's current or next window must not emit an engine-rounded
+    # double — native round(DOUBLE, n) is per-engine-divergent (4/4
+    # driver-hash failures in r7/r8 were this class). Both sides must
+    # use det_round / det_round_sql (functions/scalars.py) instead.
+    if name in GATE_ROUND_BAN:
+        from pyspark.sql.types import DoubleType, FloatType
+
+        emits_float = any(
+            isinstance(f.dataType, (DoubleType, FloatType))
+            for f in df.schema.fields
+        )
+        if emits_float:
+            residual = _strip_int_cast_rounds(plan)
+            assert not re.search(r"\bround\(", residual), (
+                f"{name}: engine round() on a float-emitting plan inside "
+                "the gate window — use det_round (functions/scalars.py)"
+            )
+            assert not _has_scaled_sql_round(entry.oracle), (
+                f"{name}: two-arg round() in the oracle SQL inside the "
+                "gate window — use det_round_sql (functions/scalars.py)"
+            )
     assert_matches_oracle(df, duck, entry.oracle)
 
 
@@ -56,6 +117,10 @@ GATE_WINDOW = [
     for n in list(CATALOG)[:50] + list(_GATE_NEXT)
     if CATALOG[n].oracle is not None
 ]
+# Names under the engine-round ban: the incoming window plus the staged
+# next window — self-enforcing across rotations (a future rotation that
+# promotes an unmigrated query fails here before the driver sees it).
+GATE_ROUND_BAN = set(list(CATALOG)[:50]) | set(_GATE_NEXT)
 
 
 @pytest.mark.slow

@@ -48,6 +48,16 @@ def float_cols(df) -> list[str]:
     ]
 
 
+def strip_int_casts(plan: str) -> str:
+    """Remove round(...) sites feeding an integer cast — exact-quantity
+    conversions (cents) whose ties both engines round away-from-zero."""
+    return re.sub(
+        r"cast\(round\([^()]*(?:\([^()]*\)[^()]*)*\) as (?:big|small|tiny)?int\)",
+        "INTCAST",
+        plan,
+    )
+
+
 def main() -> int:
     names = (
         list(CATALOG)
@@ -65,7 +75,9 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"| {name} | ERROR | {str(ex)[:80]} |")
             continue
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = strip_int_casts(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
         n_round = len(re.findall(r"\bround\(", plan))
         fc = float_cols(df)
         if n_round and fc:
