@@ -278,6 +278,14 @@ HEADLINE = [
     # §2.9 cogroup API surface, measured 24x slower than the
     # window-form asof_join at sf0.1 (Arrow boundary + per-key pandas
     # call) — the window form is the production path (PLANS.md #15).
+    # round 9 additions (minhash_estimate_error is excluded like the
+    # other pair-output-dominated QA queries — see PLANS.md #46)
+    "ar_aging_buckets",
+    "interest_accrual_day_count",
+    "event_type_entropy_daily",
+    "order_fulfillment_quantiles",
+    "dup_cluster_size_histogram",
+    "ngram_novelty_scores",
 ]
 
 

@@ -721,3 +721,66 @@ def wac_oracle_sql(src_sql: str, key_sql: str, order_sql: str) -> str:
            s.r AS realized_cents
     FROM s JOIN nn ON nn.k = s.k AND s.i = nn.n_events
     """
+
+
+def accrual_schedule_day_count(
+    loans: DataFrame,
+    key_col: str,
+    principal_cents_col: str,
+    apr_ppm: int,
+    periods: list[tuple[str, int]],
+) -> DataFrame:
+    """Interest accrual per period under the two classic day-count
+    conventions, side by side: ACT/360 (money-market) vs 30/360
+    (bond basis) — the reconciliation every treasury ETL runs when
+    two systems book the same loan on different bases.
+
+    ``periods`` is a list of (label, actual_days); the 30/360 basis
+    uses 30 days per period by definition. Both accruals are EXACT
+    integer floor divisions over BIGINT:
+
+        accrual = P * apr_ppm * days  div  (360 * 1_000_000)
+
+    (P <= ~5e7 cents, apr_ppm <= 1e6, days <= 31 keeps the product
+    under ~1.6e15 — no wrap). The period spine is a literal struct
+    array explode (fan-out = len(periods), bounded); no shuffle
+    beyond the source scan, no float anywhere — hash-stable across
+    engines at any scale.
+    """
+    if not periods:
+        raise ValueError("periods must be non-empty")
+    if not (0 < apr_ppm < 10_000_000):
+        raise ValueError(f"apr_ppm out of range: {apr_ppm}")
+    spine = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lbl).alias("period"),
+                    F.lit(int(days)).cast("int").alias("days_act"),
+                )
+                for (lbl, days) in periods
+            ]
+        )
+    ).alias("__g")
+    d = loans.select(
+        key_col, F.col(principal_cents_col).alias("__p"), spine
+    ).select(key_col, "__p", "__g.*")
+    denom = F.lit(360 * 1_000_000).cast("bigint")
+    act = F.expr(f"__p * {int(apr_ppm)} * days_act").cast("bigint")
+    d30 = F.expr(f"__p * {int(apr_ppm)} * 30").cast("bigint")
+    return d.select(
+        key_col,
+        "period",
+        "days_act",
+        (act - F.pmod(act, denom)).cast("bigint").alias("__an"),
+        (d30 - F.pmod(d30, denom)).cast("bigint").alias("__dn"),
+    ).select(
+        key_col,
+        "period",
+        "days_act",
+        F.expr("__an div 360000000").cast("bigint").alias("accrual_act360_cents"),
+        F.expr("__dn div 360000000").cast("bigint").alias("accrual_30360_cents"),
+        F.expr("__an div 360000000 - __dn div 360000000")
+        .cast("bigint")
+        .alias("basis_diff_cents"),
+    )

@@ -1098,3 +1098,63 @@ def bpe_pair_frequencies(
         freq.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Within-corpus n-gram novelty profile: for each document, how
+    many of its distinct n-grams appear here FIRST (no lower doc id
+    contains them) — the memorization/repetition observability metric
+    a training-data team reads before upsampling: a low-novelty shard
+    is re-treading text the model has already seen.
+
+    Complements (does not duplicate) the existing gram operators:
+    ngram_decontaminate intersects train grams with an external
+    benchmark; chunk_dedup counts repeated chunks; THIS attributes
+    every gram to its first owner inside one corpus and scores each
+    doc by how much it contributes first.
+
+    All-exact pipeline: distinct (doc, gram) pairs -> min(doc) per
+    gram (first owner) -> join back on gram -> per-doc counts;
+    novelty_ppm = n_novel * 1e6 div n_grams (integer). Shuffles key
+    on gram/id — the dedup-scale shape, no global ordering anywhere.
+    Docs with fewer than ``n`` tokens have no grams and are absent
+    from the output by construction.
+    """
+    from finance_reporting_etl_spark.functions.text import (
+        ngrams_from_tokens,
+        whitespace_tokens,
+    )
+
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    dg = (
+        toked.select(
+            F.col(id_col), F.explode(ngrams_from_tokens("__toks", n)).alias("gram")
+        )
+        .dropDuplicates([id_col, "gram"])
+    )
+    first = dg.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        dg.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_grams").cast("bigint").alias(
+            "novelty_ppm"
+        ),
+    )

@@ -1122,3 +1122,94 @@ def survivorship_golden_records(
         ).alias(f"{merge_col}s_merged")
     )
     return winner.join(mode, cluster_col).join(merged, cluster_col)
+
+
+def minhash_estimate_vs_exact(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Sketch QA: for every LSH candidate pair, the MinHash-ESTIMATED
+    Jaccard (fraction of agreeing signature components) next to the
+    EXACT shingle-set Jaccard — the error audit a team runs before
+    trusting a banded sketch to delete training documents at 100 TB.
+
+    ``sigs`` is the persisted signature table from
+    :func:`minhash_signatures` (id, m0..m{k-1}, sh): the aux-parquet
+    pattern, so an independent engine re-derives the identical pairs
+    and estimates from the same bits. Candidates come from band
+    equality on the RAW per-band signature tuples (a string key of the
+    band's components) — no engine-native band hash in the compare
+    path, so the oracle needs no xxhash64. One shuffle join on the
+    band key, pairs deduped, then per-pair arithmetic only.
+
+    Every emitted number is either an exact integer (component
+    matches, intersection, union) or a single IEEE division of exact
+    integers (estimate = matches/k, exact = inter/union) and one
+    subtraction — bit-identical across engines with NO rounding step
+    anywhere. union uses inclusion-exclusion over the distinct
+    shingle sets, textually identical on both sides.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rpb = num_hashes // bands
+    bandrows = sigs.select(
+        "id",
+        *[F.col(f"m{i}") for i in range(num_hashes)],
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{b * rpb + r}").cast("string")
+                                for r in range(rpb)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("id", *[f"m{i}" for i in range(num_hashes)], "sh", "__b.*")
+    a, b = bandrows.alias("a"), bandrows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.m{i}").alias(f"ma{i}") for i in range(num_hashes)],
+            *[F.col(f"b.m{i}").alias(f"mb{i}") for i in range(num_hashes)],
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = sum(
+        (F.col(f"ma{i}") == F.col(f"mb{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    est = F.col("n_matches").cast("double") / F.lit(float(num_hashes))
+    exact = F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            matches.cast("int").alias("n_matches"),
+            inter.cast("int").alias("n_inter"),
+            union.cast("int").alias("n_union"),
+        )
+        .withColumn("est_jaccard", est)
+        .withColumn("exact_jaccard", exact)
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )

@@ -6515,3 +6515,175 @@ ORACLES["l_diversity_audit"] = """
            CAST(count(DISTINCT bal_class) < 3 AS INT) AS l_violation
     FROM c GROUP BY 1, 2
     """
+
+
+# --- round 9 wave 22 -------------------------------------------------------
+
+from finance_reporting_etl_spark.functions.scalars import (  # noqa: E402
+    det_round_sql as _dr,
+)
+
+ORACLES["ar_aging_buckets"] = """
+    WITH ar AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day', CAST(o.o_orderdate AS DATE), DATE '1998-08-01')
+                   AS age_days,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+          AND CAST(o.o_orderdate AS DATE) <= DATE '1998-08-01'
+    )
+    SELECT segment,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS ar_cents
+    FROM ar GROUP BY 1, 2
+    """
+
+ORACLES["interest_accrual_day_count"] = """
+    WITH l AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        FROM orders
+        WHERE o_orderpriority = '2-HIGH'
+          AND year(o_orderdate) = 1995 AND month(o_orderdate) = 6
+    ),
+    g(period, days_act) AS (
+        VALUES ('1995-07', 31), ('1995-08', 31), ('1995-09', 30)
+    )
+    SELECT l.o_orderkey, g.period, CAST(g.days_act AS INT) AS days_act,
+           CAST((l.p * 80000 * g.days_act) // 360000000 AS BIGINT)
+               AS accrual_act360_cents,
+           CAST((l.p * 80000 * 30) // 360000000 AS BIGINT)
+               AS accrual_30360_cents,
+           CAST((l.p * 80000 * g.days_act) // 360000000
+                - (l.p * 80000 * 30) // 360000000 AS BIGINT)
+               AS basis_diff_cents
+    FROM l CROSS JOIN g
+    """
+
+
+_ENTROPY_H = """(ln(CAST(max(n) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / max(n))"""
+ORACLES["event_type_entropy_daily"] = f"""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT *, CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n FROM c
+    )
+    SELECT day,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           {_dr(_ENTROPY_H, 6)} AS entropy,
+           {_dr(f"{_ENTROPY_H} / nullif(ln(CAST(count(*) AS DOUBLE)), 0.0)", 6)}
+               AS entropy_norm
+    FROM w GROUP BY day
+    """
+
+ORACLES["order_fulfillment_quantiles"] = """
+    WITH lag AS (
+        SELECT o.o_orderkey,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         min(CAST(l.l_shipdate AS DATE))) AS lag_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY month
+                                     ORDER BY lag_days, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY month) AS n
+        FROM lag
+    )
+    SELECT month,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN lag_days END) AS BIGINT) AS p50_lag_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN lag_days END) AS BIGINT) AS p90_lag_days
+    FROM r GROUP BY month
+    """
+
+ORACLES["dup_cluster_size_histogram"] = """
+    WITH fp AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    cl AS (SELECT f, CAST(count(*) AS BIGINT) AS size FROM fp GROUP BY f),
+    tot AS (SELECT CAST(sum(size) AS BIGINT) AS n_total FROM cl)
+    SELECT cl.size AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cl.size AS BIGINT) AS n_docs,
+           CAST((count(*) * cl.size * 1000000) // max(tot.n_total) AS BIGINT)
+               AS doc_share_ppm
+    FROM cl CROSS JOIN tot
+    GROUP BY cl.size
+    """
+
+_MHQA_BANDS = "\n        UNION ALL\n".join(
+    "        SELECT id, "
+    + ", ".join(f"m{i}" for i in range(32))
+    + ", sh, "
+    + f"{b} AS band_idx, "
+    + " || ':' || ".join(f"CAST(m{b * 4 + r} AS VARCHAR)" for r in range(4))
+    + " AS band_key FROM s"
+    for b in range(8)
+)
+_MHQA_MATCHES = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(32)
+)
+ORACLES["minhash_estimate_error"] = f"""
+    WITH s AS (SELECT * FROM '{_AUX_DIR}/minhash_sig_qa/*.parquet'),
+    br AS (
+{_MHQA_BANDS}
+    ),
+    c AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM br a JOIN br b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.id < b.id
+    ),
+    x AS (
+        SELECT c.id_a, c.id_b,
+               CAST({_MHQA_MATCHES} AS INT) AS n_matches,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS n_inter,
+               CAST(len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)) AS INT) AS n_union
+        FROM c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+    )
+    SELECT id_a, id_b, n_matches, n_inter, n_union,
+           CAST(n_matches AS DOUBLE) / 32.0 AS est_jaccard,
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard,
+           abs(CAST(n_matches AS DOUBLE) / 32.0
+               - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) AS abs_err
+    FROM x
+    """
+
+ORACLES["ngram_novelty_scores"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)-3),
+                                         i -> array_to_string(toks[i:i+3], ' ')))
+                       AS gram
+            FROM t WHERE len(toks) >= 4
+        )
+    ),
+    first AS (SELECT gram, min(doc_id) AS first_owner FROM dg GROUP BY gram)
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_owner = dg.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_owner = dg.doc_id THEN 1 ELSE 0 END)
+                 * 1000000)
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM dg JOIN first f USING (gram)
+    GROUP BY dg.doc_id
+    """

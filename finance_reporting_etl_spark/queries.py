@@ -9513,6 +9513,236 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row within two consecutive rounds; the previously-proven entries keep
 # their standing evidence. Definition order above is unchanged — only the
 # exported dict order moves.
+# --- round 9 wave 22 -------------------------------------------------------
+
+
+@query("ar_aging_buckets",
+    _ORACLES["ar_aging_buckets"],
+    "§2.4/finance AR: receivables aging into 0-30/31-60/61-90/90+ buckets per market segment as of a fixed date — exact integer day diffs, CASE bucketing, BIGINT cents (the collections dashboard primitive)",
+)
+def q_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: every open order is an unpaid
+    invoice; bucket its age as of 1998-08-01 and roll cents up per
+    customer market segment. Everything is exact integers (datediff,
+    CASE, BIGINT sums) — one shuffle for the customer join (AQE may
+    broadcast), one for the (segment, bucket) aggregation over a
+    bounded 5x4 output domain."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate").cast("date") <= F.lit("1998-08-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    age = F.datediff(F.lit("1998-08-01").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            bucket.alias("bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("ar_cents"),
+        )
+    )
+
+
+@query("interest_accrual_day_count",
+    _ORACLES["interest_accrual_day_count"],
+    "§2.4/finance treasury: ACT/360 vs 30/360 interest accrual per period (exact BIGINT floor division, literal period spine) — the day-count-basis reconciliation; operator operators.allocation.accrual_schedule_day_count",
+)
+def q_interest_accrual_day_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each high-priority June-1995 order as a drawn loan at 8%
+    APR (80 000 ppm) and accrue interest for Jul/Aug/Sep 1995 under
+    ACT/360 and 30/360 side by side — the convention-basis difference
+    treasury reconciles between systems. All cells are exact BIGINT
+    floor divisions; no float exists in either plan."""
+    from finance_reporting_etl_spark.operators.allocation import (
+        accrual_schedule_day_count,
+    )
+
+    loans = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.year("o_orderdate") == 1995)
+            & (F.month("o_orderdate") == 6)
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+        )
+    )
+    return accrual_schedule_day_count(
+        loans, "o_orderkey", "p", 80_000,
+        [("1995-07", 31), ("1995-08", 31), ("1995-09", 30)],
+    )
+
+
+@query("event_type_entropy_daily",
+    _ORACLES["event_type_entropy_daily"],
+    "§2.8/X-quality: daily Shannon entropy of the event-type mix (H = ln n - sum(c ln c)/n over exact counts, det_round display) + normalized entropy — the category-collapse data-quality monitor",
+)
+def q_event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the event mix collapse to one type today? Daily Shannon
+    entropy over exact per-type counts, plus entropy normalized by
+    ln(#types) (NULL when a single type — no information). The only
+    floats are the final ln/division, det_round-displayed; counts and
+    the day partition are exact and bounded (<=5 types/day)."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("c").over(Window.partitionBy("day"))
+    w = c.withColumn("n", n.cast("bigint"))
+    h = F.log(F.col("n").cast("double")) - F.sum(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    ) / F.col("n")
+    agg = w.groupBy("day", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("__sclc"),
+    )
+    hh = F.log(F.col("n").cast("double")) - F.col("__sclc") / F.col("n")
+    return agg.select(
+        "day",
+        F.col("n").alias("n_events"),
+        "n_types",
+        det_round(hh, 6).alias("entropy"),
+        det_round(
+            hh / F.nullif(F.log(F.col("n_types").cast("double")), F.lit(0.0)), 6
+        ).alias("entropy_norm"),
+    )
+
+
+@query("order_fulfillment_quantiles",
+    _ORACLES["order_fulfillment_quantiles"],
+    "§2.5/SCM ops: monthly p50/p90 order-to-first-ship lag as EXACT order statistics (row_number pick at ceil(q*n) inside the month partition, integer days — no approx_percentile, no float output)",
+)
+def q_order_fulfillment_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from order to the first shipment, month by month —
+    the order-to-cash cycle's physical half. p50/p90 are exact order
+    statistics (the safety_stock_quantile pattern): deterministic
+    (lag, orderkey) ordering inside the month partition, integer-day
+    output, scale unit = month."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        "month",
+        F.datediff("first_ship", "od").cast("bigint").alias("lag_days"),
+    )
+    wq = Window.partitionBy("month").orderBy("lag_days", "o_orderkey")
+    wn = Window.partitionBy("month")
+    r = lag.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    k50 = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+    k90 = F.ceil(F.lit(0.9) * F.col("n")).cast("bigint")
+    return r.groupBy("month").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(F.when(F.col("rn") == k50, F.col("lag_days")))
+        .cast("bigint")
+        .alias("p50_lag_days"),
+        F.max(F.when(F.col("rn") == k90, F.col("lag_days")))
+        .cast("bigint")
+        .alias("p90_lag_days"),
+    )
+
+
+@query("dup_cluster_size_histogram",
+    _ORACLES["dup_cluster_size_histogram"],
+    "X1/dedup observability: exact-duplicate cluster-size histogram (md5 fingerprint groups -> size -> n_clusters/n_docs/ppm share) — the before-you-delete audit of a dedup pass, exact integers",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does the duplication DISTRIBUTION look like before the
+    dedup pass deletes anything: cluster sizes from exact content
+    fingerprints, then a size histogram with an exact integer ppm
+    share of the corpus. Two bounded aggregations; the scalar total
+    rides a broadcast (1-row) join."""
+    from finance_reporting_etl_spark.functions.text import fingerprint
+
+    cl = (
+        _t(spark, sf_dir, "documents")
+        .select(fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    )
+    tot = cl.agg(F.sum("size").cast("bigint").alias("n_total"))
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.first("size")).cast("bigint").alias("n_docs"),
+            F.expr("(count(1) * first(size) * 1000000) div first(n_total)")
+            .cast("bigint")
+            .alias("doc_share_ppm"),
+        )
+    )
+
+
+@query("ngram_novelty_scores",
+    _ORACLES["ngram_novelty_scores"],
+    "X4/X-pipe corpus observability: within-corpus 4-gram novelty per doc (first-owner attribution: distinct grams -> min(doc) per gram -> join-back counts, exact integer ppm) — the memorization/upsampling screen",
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document is text the corpus has not produced
+    before it: distinct 4-grams attributed to their lowest-id first
+    owner, per-doc novel-gram counts and an exact integer ppm score.
+    The repetition/memorization screen read before upsampling a
+    shard. Gram-keyed shuffles only (the dedup-scale shape); docs
+    under 4 tokens have no grams and are absent by construction.
+    Operator: operators.corpus.ngram_novelty."""
+    from finance_reporting_etl_spark.operators.corpus import ngram_novelty
+
+    return ngram_novelty(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=4
+    )
+
+
+@query("minhash_estimate_error",
+    _ORACLES["minhash_estimate_error"],
+    "X2/sketch QA: MinHash-estimated vs EXACT Jaccard per LSH candidate pair (raw-band-tuple candidates, matches/32 estimate, inclusion-exclusion union) — every number an exact integer or a single IEEE division, zero rounding; operator operators.dedup.minhash_estimate_vs_exact",
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before trusting the sketch to delete documents: for every LSH
+    candidate pair, the 32-hash MinHash Jaccard estimate next to the
+    exact shingle-set Jaccard and their absolute error. Signatures are
+    the persisted aux table (both engines read the same bits);
+    candidates come from raw band-tuple equality (no engine-native
+    band hash in the compare path). est = k/32 and exact = i/u are
+    single IEEE divisions of exact integers — bit-identical across
+    engines with no rounding anywhere."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        minhash_estimate_vs_exact,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _persist_aux(
+        spark, minhash_signatures(docs), "minhash_sig_qa"
+    )
+    return minhash_estimate_vs_exact(sigs, num_hashes=32, bands=8)
+
+
 # ---------------------------------------------------------------------------
 
 # Round-8 gate window (driver verifies the first 50 catalog entries):
@@ -9635,6 +9865,13 @@ _GATE_NEXT = [
     "string_normalize",
     "text_stats",
     # -- round-9 additions (never gated; r10 window) ---------------------
+    "ar_aging_buckets",
+    "interest_accrual_day_count",
+    "event_type_entropy_daily",
+    "order_fulfillment_quantiles",
+    "dup_cluster_size_histogram",
+    "minhash_estimate_error",
+    "ngram_novelty_scores",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
