@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 ColumnOrName = "Column | str"
 
@@ -31,7 +32,7 @@ def safe_div(numerator: Column | str, denominator: Column | str) -> Column:
 
 def ratio(numerator: Column | str, denominator: Column | str, scale: int = 4) -> Column:
     """NULLIF-guarded division rounded to ``scale`` — the generic KPI macro."""
-    return F.round(safe_div(numerator, denominator), scale)
+    return det_round(safe_div(numerator, denominator), scale)
 
 
 def profit_margin(net_income: Column | str, total_revenue: Column | str, scale: int = 4) -> Column:

@@ -79,6 +79,23 @@ def det_round(c: Column | str, n: int) -> Column:
     )
 
 
+def det_round_py(x: float | None, n: int) -> float | None:
+    """Python-side twin of :func:`det_round` for per-key fold UDFs
+    (EMA/Holt/stateful sessions): the same floor(x*10^n + 0.5)/10^n
+    IEEE formula, so a Python-computed fold emission matches the
+    det_round_sql oracle bit-for-bit. Built-in ``round`` is banker's
+    rounding — a THIRD tie behavior that must not appear anywhere."""
+    import math
+
+    if x is None:
+        return None
+    x = float(x)
+    if math.isnan(x) or abs(x) >= float(2**62) / float(10**n):
+        return x
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5) / scale
+
+
 def det_round_sql(expr: str, n: int) -> str:
     """DuckDB-side twin of :func:`det_round`: the same textual IEEE
     formula, so both engines compute bit-identical rounded doubles.

@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def prorate_largest_remainder(
@@ -308,7 +309,7 @@ def xirr_bisection(
     schema = f"{key_col} {key_field.dataType.simpleString()}, n_flows int, irr double"
     out = lists.mapInPandas(solve, schema)
     return out.select(
-        key_col, "n_flows", F.round(F.col("irr"), 6).alias("irr")
+        key_col, "n_flows", det_round(F.col("irr"), 6).alias("irr")
     )
 
 
@@ -363,7 +364,7 @@ def xirr_oracle_sql(
         + ",\n    ".join(steps)
         + f"""
     SELECT {key}, CAST(len(flows) AS INT) AS n_flows,
-           round(CASE WHEN ok THEN (lo + hi) / 2.0 END, 6) AS irr
+           (CASE WHEN isnan(CAST((CASE WHEN ok THEN (lo + hi) / 2.0 END) AS DOUBLE)) OR abs(CAST((CASE WHEN ok THEN (lo + hi) / 2.0 END) AS DOUBLE)) >= 4611686018427.388 THEN (CASE WHEN ok THEN (lo + hi) / 2.0 END) ELSE floor((CASE WHEN ok THEN (lo + hi) / 2.0 END) * 1000000.0 + 0.5) / 1000000.0 END) AS irr
     FROM b{iters}"""
     )
 

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 __all__ = ["kmeans", "cluster_profile"]
 
@@ -138,10 +139,10 @@ def cluster_profile(
     )
     per_cluster = sq.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg(F.sqrt("sq")), 4).alias("avg_dist"),
+        det_round(F.avg(F.sqrt("sq")), 4).alias("avg_dist"),
     )
     norms = cent.groupBy("cluster").agg(
-        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
+        det_round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
     )
     return per_cluster.join(norms, "cluster").select(
         "cluster", "n_members", "centroid_norm", "avg_dist"

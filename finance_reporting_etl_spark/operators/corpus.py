@@ -403,7 +403,7 @@ def keyword_search(
         .groupBy(id_col)
         .agg(
             F.count_distinct(F.col("term")).alias("__nt"),
-            F.round(F.sum("w"), 6).alias("score"),
+            det_round(F.sum("w"), 6).alias("score"),
         )
         .filter(F.col("__nt") == len(terms))
     )
@@ -546,7 +546,7 @@ def bigram_lm_scores(
             F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vocab"))),
         )
     )
-    return scored.groupBy(id_col).agg(F.round(F.avg("__ll"), 6).alias("lm_score"))
+    return scored.groupBy(id_col).agg(det_round(F.avg("__ll"), 6).alias("lm_score"))
 
 
 def upsample_mixture(
@@ -639,7 +639,7 @@ def bm25_search(
         .crossJoin(F.broadcast(stats))
         .withColumn("w", idf * F.col("tf") * (k1 + 1.0) / denom)
         .groupBy(id_col)
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .agg(det_round(F.sum("w"), 6).alias("score"))
     )
     top = scored.orderBy(F.desc("score"), id_col).limit(k)
     w = Window.orderBy(F.desc("score"), id_col)
@@ -712,7 +712,7 @@ def pmi_collocations(
             "l",
             "r",
             "n_lr",
-            F.round(
+            det_round(
                 F.log(
                     (F.col("n_lr").cast("double") / F.col("__n_pairs"))
                     / (
@@ -845,7 +845,7 @@ def ctfidf_distinctive_terms(
             "cls",
             "term",
             "tf",
-            F.round(
+            det_round(
                 (F.col("tf").cast("double") / F.col("toks"))
                 * F.log(
                     F.lit(1.0)
@@ -940,11 +940,11 @@ def zipf_rank_frequency(
     slope = num / dxx
     return a.select(
         "n_terms",
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(
+        det_round(slope, 6).alias("zipf_slope"),
+        det_round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n_terms"), 6
         ).alias("intercept"),
-        F.round(num * num / (dxx * dyy), 6).alias("r2"),
+        det_round(num * num / (dxx * dyy), 6).alias("r2"),
     )
 
 

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 from finance_reporting_etl_spark.functions.vectors import as_double_array, dot
 
@@ -126,8 +127,8 @@ def pca_project(
         .select(
             *id_cols,
             "comp_id",
-            F.round(F.col("eigenvalue"), scale).alias("eigenvalue"),
-            F.round(F.col("explained_ratio"), scale).alias("explained_ratio"),
-            F.round(dot(centered, F.col("axis")), scale).alias("score"),
+            det_round(F.col("eigenvalue"), scale).alias("eigenvalue"),
+            det_round(F.col("explained_ratio"), scale).alias("explained_ratio"),
+            det_round(dot(centered, F.col("axis")), scale).alias("score"),
         )
     )

@@ -39,9 +39,9 @@ def psi_bin_table(j: DataFrame) -> DataFrame:
         "bin",
         "n_a",
         "n_b",
-        F.round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
-        F.round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        det_round(F.col("n_a").cast("double") / F.col("__tot_a"), 6).alias("share_a"),
+        det_round(F.col("n_b").cast("double") / F.col("__tot_b"), 6).alias("share_b"),
+        det_round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
     )
 
 
@@ -114,7 +114,7 @@ def ks_two_sample(
     return (
         d.withColumn("gap", gap)
         .groupBy(key_col, "n1", "n2")
-        .agg(F.round(F.max("gap"), scale).alias("ks_stat"))
+        .agg(det_round(F.max("gap"), scale).alias("ks_stat"))
     )
 
 

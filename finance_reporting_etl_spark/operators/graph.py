@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round_sql as _dr
 
 
 def pagerank(
@@ -144,7 +145,7 @@ def pagerank_oracle_sql(
         )
     return (
         ",\n".join(parts)
-        + f"\nSELECT id, round(rank * (SELECT n FROM nn), {scale_round}) AS rank FROM pr{iters}"
+        + f"\nSELECT id, {_dr('rank * (SELECT n FROM nn)', scale_round)} AS rank FROM pr{iters}"
     )
 
 
@@ -276,7 +277,7 @@ def pagerank_weighted_oracle_sql(
         )
     return (
         ",\n".join(parts)
-        + f"\nSELECT id, round(rank * (SELECT n FROM nn), {scale_round}) AS rank FROM pr{iters}"
+        + f"\nSELECT id, {_dr('rank * (SELECT n FROM nn)', scale_round)} AS rank FROM pr{iters}"
     )
 
 

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 from pyspark.sql.types import DoubleType
 
 
@@ -101,6 +102,6 @@ def embedding_outlier_flags(
         )
     return dists.select(
         "vec_id",
-        F.round("dist", 6).alias("dist"),
+        det_round("dist", 6).alias("dist"),
         (F.col("dist") > F.lit(mu) + sigmas * F.lit(sigma)).alias("is_outlier"),
     )

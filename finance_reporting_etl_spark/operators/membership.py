@@ -148,9 +148,7 @@ def bloom_oracle_sql(
            CAST(sum(bp) AS BIGINT) AS n_positive,
            CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_positive,
-           round(CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
-                      AS DOUBLE)
-                 / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0), 6)
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS fpr
     FROM flag
     """

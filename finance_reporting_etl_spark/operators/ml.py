@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def _scored_candidates(xy: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -91,7 +92,7 @@ def _scored_candidates(xy: DataFrame, group_cols: list[str]) -> DataFrame:
         "posr",
         "n",
         "pos",
-        F.round(parent - (left + right), 6).alias("gini_gain"),
+        det_round(parent - (left + right), 6).alias("gini_gain"),
     )
 
 
@@ -309,7 +310,7 @@ def bagged_stump_ensemble_eval(
         "feature",
         "thr",
         "n_train",
-        F.round(F.col("n_correct").cast("double") / F.lit(int(n)), 6).alias(
+        det_round(F.col("n_correct").cast("double") / F.lit(int(n)), 6).alias(
             "accuracy"
         ),
     )
@@ -333,16 +334,35 @@ def stump_candidates_oracle_sql(src: str) -> str:
     Gini gain, identical expression tree to the Spark side."""
     return f"""
     SELECT feature, thr, nl AS n_left, nr AS n_right,
-           round(
-               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+           (CASE WHEN isnan(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
                     - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
                - (CAST(nl AS DOUBLE) / n
                   * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
                          - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
                   + CAST(nr AS DOUBLE) / n
                   * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-           6) AS gini_gain
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) OR abs(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) >= 4611686018427.388 THEN ((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) ELSE floor(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) * 1000000.0 + 0.5) / 1000000.0 END) AS gini_gain
     FROM (
         SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
                n, pos
@@ -409,16 +429,35 @@ def stump_full_oracle_sql(src: str) -> str:
     of operators.ml.best_stump_full before its argmax)."""
     return f"""
     SELECT feature, thr, nl, posl, nr, posr,
-           round(
-               (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+           (CASE WHEN isnan(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
                     - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
                - (CAST(nl AS DOUBLE) / n
                   * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
                          - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
                   + CAST(nr AS DOUBLE) / n
                   * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-           6) AS gini_gain
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) OR abs(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) >= 4611686018427.388 THEN ((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) ELSE floor(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                    - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+               - (CAST(nl AS DOUBLE) / n
+                  * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                         - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                  + CAST(nr AS DOUBLE) / n
+                  * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                         - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) * 1000000.0 + 0.5) / 1000000.0 END) AS gini_gain
     FROM (
         SELECT feature, v AS thr, nl, posl, n - nl AS nr, pos - posl AS posr,
                n, pos
@@ -486,8 +525,11 @@ def bagging_oracle_sql() -> str:
                (SELECT feature FROM b{k}) AS feature,
                (SELECT thr FROM b{k}) AS thr,
                (SELECT CAST(count(*) AS BIGINT) FROM f{k}) AS n_train,
-               round(CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS accuracy
+               (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) ELSE floor((CAST(sum(CASE WHEN p{k} = y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS accuracy
         FROM ev"""
         )
     selects.append(
@@ -495,10 +537,19 @@ def bagging_oracle_sql() -> str:
                CAST(NULL AS VARCHAR) AS feature,
                CAST(NULL AS DOUBLE) AS thr,
                (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_train,
-               round(CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+               (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
                                               THEN 1 ELSE 0 END) = y
                                    THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 6) AS accuracy
+                     / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+                                              THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+                                              THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) ELSE floor((CAST(sum(CASE WHEN (CASE WHEN p0 + p1 + p2 >= 2
+                                              THEN 1 ELSE 0 END) = y
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS accuracy
         FROM ev"""
     )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
@@ -671,7 +722,7 @@ def naive_bayes_lang_eval(
         "doc_id",
         "true_label",
         "cand",
-        F.round(
+        det_round(
             F.coalesce(F.col("tp"), F.lit(0.0))
             + F.log(F.col("n_docs").cast("double") / F.col("n_train")),
             6,
@@ -688,7 +739,7 @@ def naive_bayes_lang_eval(
         F.sum((F.col("cand") == F.col("true_label")).cast("int"))
         .cast("bigint")
         .alias("n_correct"),
-        F.round(
+        det_round(
             F.sum((F.col("cand") == F.col("true_label")).cast("int")).cast(
                 "double"
             )
@@ -930,10 +981,10 @@ def ols2_cramer(
     return m.select(
         *group_cols,
         "n_obs",
-        F.round(F.expr(_OLS2_FORMS["b0"]), 6).alias("b0"),
-        F.round(F.expr(_OLS2_FORMS["b1"]), 6).alias("b1"),
-        F.round(F.expr(_OLS2_FORMS["b2"]), 6).alias("b2"),
-        F.round(F.expr(_OLS2_R2), 6).alias("r2"),
+        det_round(F.expr(_OLS2_FORMS["b0"]), 6).alias("b0"),
+        det_round(F.expr(_OLS2_FORMS["b1"]), 6).alias("b1"),
+        det_round(F.expr(_OLS2_FORMS["b2"]), 6).alias("b2"),
+        det_round(F.expr(_OLS2_R2), 6).alias("r2"),
     )
 
 
@@ -949,10 +1000,10 @@ def ols2_oracle_sql(src_sql: str, group_sql: str) -> str:
         FROM src GROUP BY {group_sql}
     )
     SELECT {group_sql}, n_obs,
-           round({_OLS2_FORMS["b0"]}, 6) AS b0,
-           round({_OLS2_FORMS["b1"]}, 6) AS b1,
-           round({_OLS2_FORMS["b2"]}, 6) AS b2,
-           round({_OLS2_R2}, 6) AS r2
+           (CASE WHEN isnan(CAST(({_OLS2_FORMS["b0"]}) AS DOUBLE)) OR abs(CAST(({_OLS2_FORMS["b0"]}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_FORMS["b0"]}) ELSE floor(({_OLS2_FORMS["b0"]}) * 1000000.0 + 0.5) / 1000000.0 END) AS b0,
+           (CASE WHEN isnan(CAST(({_OLS2_FORMS["b1"]}) AS DOUBLE)) OR abs(CAST(({_OLS2_FORMS["b1"]}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_FORMS["b1"]}) ELSE floor(({_OLS2_FORMS["b1"]}) * 1000000.0 + 0.5) / 1000000.0 END) AS b1,
+           (CASE WHEN isnan(CAST(({_OLS2_FORMS["b2"]}) AS DOUBLE)) OR abs(CAST(({_OLS2_FORMS["b2"]}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_FORMS["b2"]}) ELSE floor(({_OLS2_FORMS["b2"]}) * 1000000.0 + 0.5) / 1000000.0 END) AS b2,
+           (CASE WHEN isnan(CAST(({_OLS2_R2}) AS DOUBLE)) OR abs(CAST(({_OLS2_R2}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_R2}) ELSE floor(({_OLS2_R2}) * 1000000.0 + 0.5) / 1000000.0 END) AS r2
     FROM m
     """
 
@@ -998,11 +1049,11 @@ def granger_f(xy: DataFrame, x1_col: str, x2_col: str, y_col: str) -> DataFrame:
     )
     return m.select(
         "n_obs",
-        F.round(F.expr(_OLS2_FORMS["b1"]), 6).alias("beta_own_lag"),
-        F.round(F.expr(_OLS2_FORMS["b2"]), 6).alias("beta_cause_lag"),
-        F.round(F.expr(_GRANGER_RSS_R), 2).alias("rss_restricted"),
-        F.round(F.expr(_OLS2_SSE), 2).alias("rss_unrestricted"),
-        F.round(F.expr(_GRANGER_F), 6).alias("f_stat"),
+        det_round(F.expr(_OLS2_FORMS["b1"]), 6).alias("beta_own_lag"),
+        det_round(F.expr(_OLS2_FORMS["b2"]), 6).alias("beta_cause_lag"),
+        det_round(F.expr(_GRANGER_RSS_R), 2).alias("rss_restricted"),
+        det_round(F.expr(_OLS2_SSE), 2).alias("rss_unrestricted"),
+        det_round(F.expr(_GRANGER_F), 6).alias("f_stat"),
     )
 
 
@@ -1017,11 +1068,11 @@ def granger_oracle_sql(src_sql: str) -> str:
         FROM src GROUP BY 1
     )
     SELECT n_obs,
-           round({_OLS2_FORMS["b1"]}, 6) AS beta_own_lag,
-           round({_OLS2_FORMS["b2"]}, 6) AS beta_cause_lag,
-           round({_GRANGER_RSS_R}, 2) AS rss_restricted,
-           round({_OLS2_SSE}, 2) AS rss_unrestricted,
-           round({_GRANGER_F}, 6) AS f_stat
+           (CASE WHEN isnan(CAST(({_OLS2_FORMS["b1"]}) AS DOUBLE)) OR abs(CAST(({_OLS2_FORMS["b1"]}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_FORMS["b1"]}) ELSE floor(({_OLS2_FORMS["b1"]}) * 1000000.0 + 0.5) / 1000000.0 END) AS beta_own_lag,
+           (CASE WHEN isnan(CAST(({_OLS2_FORMS["b2"]}) AS DOUBLE)) OR abs(CAST(({_OLS2_FORMS["b2"]}) AS DOUBLE)) >= 4611686018427.388 THEN ({_OLS2_FORMS["b2"]}) ELSE floor(({_OLS2_FORMS["b2"]}) * 1000000.0 + 0.5) / 1000000.0 END) AS beta_cause_lag,
+           (CASE WHEN isnan(CAST(({_GRANGER_RSS_R}) AS DOUBLE)) OR abs(CAST(({_GRANGER_RSS_R}) AS DOUBLE)) >= 4.611686018427388e+16 THEN ({_GRANGER_RSS_R}) ELSE floor(({_GRANGER_RSS_R}) * 100.0 + 0.5) / 100.0 END) AS rss_restricted,
+           (CASE WHEN isnan(CAST(({_OLS2_SSE}) AS DOUBLE)) OR abs(CAST(({_OLS2_SSE}) AS DOUBLE)) >= 4.611686018427388e+16 THEN ({_OLS2_SSE}) ELSE floor(({_OLS2_SSE}) * 100.0 + 0.5) / 100.0 END) AS rss_unrestricted,
+           (CASE WHEN isnan(CAST(({_GRANGER_F}) AS DOUBLE)) OR abs(CAST(({_GRANGER_F}) AS DOUBLE)) >= 4611686018427.388 THEN ({_GRANGER_F}) ELSE floor(({_GRANGER_F}) * 1000000.0 + 0.5) / 1000000.0 END) AS f_stat
     FROM m
     """
 

@@ -407,15 +407,15 @@ def winsorized_group_stats(
         n.alias("n"),
         F.min("lo_cut").alias("lo_cut"),
         F.min("hi_cut").alias("hi_cut"),
-        F.round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
-        F.round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
+        det_round(sum_raw / 100.0 / n, 6).alias("mean_raw"),
+        det_round(sum_win / 100.0 / n, 6).alias("mean_winsor"),
         # sample sd is undefined for a single observation: explicit
         # NULL, not a divide-by-zero crash under ANSI mode (found by
         # the hypothesis reference test; greatest() would swallow a
         # NULLIF into 0.0, hence the WHEN gate)
         F.when(
             n > 1,
-            F.round(
+            det_round(
                 F.sqrt(
                     F.greatest(
                         (sum_sq - sum_win * sum_win / n)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 from finance_reporting_etl_spark.partitioning import spread
 
@@ -184,7 +185,7 @@ def pps_systematic_sample(
         key_col,
         F.col(weight_cents_col).alias("weight_cents"),
         "hits",
-        F.round(
+        det_round(
             F.least(
                 F.lit(1.0),
                 F.lit(float(n)) * F.col(weight_cents_col) / F.col("__w"),

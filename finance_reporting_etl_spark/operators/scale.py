@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def salted_join(
@@ -280,8 +281,8 @@ def join_key_skew_profile(df, key_col: str, k: int = 20):
         .select(
             "key",
             "n",
-            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
-            F.round(
+            det_round(F.col("n").cast("double") / F.col("__tot"), 6).alias("share"),
+            det_round(
                 F.col("n").cast("double") * F.col("__n_keys") / F.col("__tot"), 6
             ).alias("skew_factor"),
         )

@@ -717,7 +717,7 @@ def mmr_select(
             .agg(F.max("sim").alias("max_sim"))
             .withColumn(
                 "mmr",
-                F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("max_sim"), 6),
+                det_round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("max_sim"), 6),
             )
         )
         pick = (
@@ -759,7 +759,7 @@ def mmr_oracle_sql(
         prev = f"sel{t - 1}"
         ctes.append(f"""cand{t} AS (
             SELECT c.query_id, c.neighbor_id,
-                   round({lam!r} * c.rel - {mu!r} * max(p.sim), 6) AS mmr
+                   (CASE WHEN isnan(CAST(({lam!r} * c.rel - {mu!r} * max(p.sim)) AS DOUBLE)) OR abs(CAST(({lam!r} * c.rel - {mu!r} * max(p.sim)) AS DOUBLE)) >= 4611686018427.388 THEN ({lam!r} * c.rel - {mu!r} * max(p.sim)) ELSE floor(({lam!r} * c.rel - {mu!r} * max(p.sim)) * 1000000.0 + 0.5) / 1000000.0 END) AS mmr
             FROM shortlist c
             JOIN pairs p ON p.query_id = c.query_id AND p.id_a = c.neighbor_id
             JOIN {prev} sp ON sp.query_id = p.query_id

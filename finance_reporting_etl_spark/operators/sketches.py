@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def cms_placements(
@@ -160,7 +161,7 @@ def histogram_quantiles(
         .select(
             *keys,
             "p",
-            F.round(
+            det_round(
                 F.col("bin") * F.lit(width)
                 + F.lit(width) * (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"),
                 scale,

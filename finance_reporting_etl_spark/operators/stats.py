@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 
 def mann_whitney_auc(
@@ -61,7 +62,7 @@ def mann_whitney_auc(
     return agg.select(
         "n_pos",
         (F.col("n") - F.col("n_pos")).alias("n_neg"),
-        F.round(
+        det_round(
             (
                 F.col("rank2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
             ).cast("double")
@@ -105,10 +106,10 @@ def chi_square_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         row_col,
         col_col,
         "o",
-        F.round(
+        det_round(
             F.col("r_tot") * F.col("c_tot") / F.col("n_tot").cast("double"), 6
         ).alias("expected"),
-        F.round(
+        det_round(
             (resid.cast("double") * resid.cast("double"))
             / (
                 F.col("n_tot").cast("double")
@@ -176,10 +177,10 @@ def welch_t_from_cents(
     return j.select(
         F.col("n_a"),
         F.col("n_b"),
-        F.round(mean_a / 100.0, 6).alias("mean_a"),
-        F.round(mean_b / 100.0, 6).alias("mean_b"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(df_w, 6).alias("df_welch"),
+        det_round(mean_a / 100.0, 6).alias("mean_a"),
+        det_round(mean_b / 100.0, 6).alias("mean_b"),
+        det_round(t, 6).alias("t_stat"),
+        det_round(df_w, 6).alias("df_welch"),
     )
 
 
@@ -225,7 +226,7 @@ def spearman_from_doubled_ranks(
         )
     )
     return a.select(
-        "n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho")
+        "n", det_round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho")
     )
 
 
@@ -282,7 +283,7 @@ def acf_table(
         "lag",
         "n_days",
         "n_terms",
-        F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        det_round(F.col("num") / F.col("den"), 6).alias("acf"),
     )
 
 
@@ -334,7 +335,7 @@ def kaplan_meier(
         "n_risk",
         "d",
         F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
-        .otherwise(F.round(F.exp(F.sum(term).over(wc)), 6))
+        .otherwise(det_round(F.exp(F.sum(term).over(wc)), 6))
         .alias("survival"),
     )
 
@@ -377,8 +378,8 @@ def historical_var_cvar(
     return d.groupBy(*group_cols).agg(
         F.first("__n").alias("n_obs"),
         F.first("__k").alias("k_tail"),
-        F.round(F.max(cents_col) / 100.0, 2).alias("var_value"),
-        F.round(
+        det_round(F.max(cents_col) / 100.0, 2).alias("var_value"),
+        det_round(
             F.sum(cents_col).cast("double") / F.first("__k") / 100.0, 6
         ).alias("cvar_value"),
     )
@@ -475,7 +476,7 @@ def sprt_decision(
                 "arm",
                 F.col("__t").alias("n_obs"),
                 F.col("__conv").alias("n_conv"),
-                F.round("__llr", 6).alias("llr"),
+                det_round("__llr", 6).alias("llr"),
                 F.when(F.col("__llr") >= F.lit(k["upper"]), F.lit("accept_h1"))
                 .when(F.col("__llr") <= F.lit(k["lower"]), F.lit("accept_h0"))
                 .otherwise(F.lit("continue"))
@@ -522,7 +523,7 @@ def sprt_oracle_sql(
         FROM l GROUP BY 1
     )
     SELECT l.arm, l.t AS n_obs, l.conv AS n_conv,
-           round(l.llr, 6) AS llr,
+           (CASE WHEN isnan(CAST((l.llr) AS DOUBLE)) OR abs(CAST((l.llr) AS DOUBLE)) >= 4611686018427.388 THEN (l.llr) ELSE floor((l.llr) * 1000000.0 + 0.5) / 1000000.0 END) AS llr,
            CASE WHEN l.llr >= {k["upper"]!r} THEN 'accept_h1'
                 WHEN l.llr <= {k["lower"]!r} THEN 'accept_h0'
                 ELSE 'continue' END AS decision
@@ -568,9 +569,9 @@ def ols_beta_alpha_r2(
     return a.select(
         *key_cols,
         "n_obs",
-        F.round(beta, 6).alias("beta"),
-        F.round(alpha, 6).alias("alpha"),
-        F.round(r2, 6).alias("r2"),
+        det_round(beta, 6).alias("beta"),
+        det_round(alpha, 6).alias("alpha"),
+        det_round(r2, 6).alias("r2"),
     )
 
 
@@ -649,7 +650,7 @@ def markov_absorption_fixed(
         out = out.drop(*[f"__v_{s}" for s in states])
     return out.select(
         F.col("src").alias("start_state"),
-        *[F.round(F.col(f"p_{k}"), 6).alias(f"p_{k}") for k in range(1, steps + 1)],
+        *[det_round(F.col(f"p_{k}"), 6).alias(f"p_{k}") for k in range(1, steps + 1)],
     )
 
 
@@ -700,7 +701,7 @@ def mahalanobis2_outliers(
         .agg(
             F.first("n_events").alias("n_events"),
             F.sum("__f").cast("bigint").alias("n_outliers"),
-            F.round(
+            det_round(
                 F.sum("__f").cast("double") / F.first("n_events").cast("double"),
                 6,
             ).alias("outlier_rate"),
@@ -771,7 +772,7 @@ def kendall_tau_b(
         "n_pairs",
         "concordant",
         "discordant",
-        F.round(
+        det_round(
             (F.col("concordant") - F.col("discordant")).cast("double")
             / F.nullif(denom, F.lit(0.0)),
             6,
@@ -829,10 +830,10 @@ def oneway_anova_from_cents(
     return a.select(
         "k_groups",
         "n",
-        F.round(ssb / 10000.0, 2).alias("ss_between_dollars"),
-        F.round(ssw / 10000.0, 2).alias("ss_within_dollars"),
-        F.round(f_stat, 6).alias("f_stat"),
-        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_squared"),
+        det_round(ssb / 10000.0, 2).alias("ss_between_dollars"),
+        det_round(ssw / 10000.0, 2).alias("ss_within_dollars"),
+        det_round(f_stat, 6).alias("f_stat"),
+        det_round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_squared"),
     )
 
 
@@ -873,9 +874,9 @@ def jarque_bera_from_cents(
     jb = n_d / F.lit(6.0) * (skew * skew + excess * excess / F.lit(4.0))
     return a.select(
         F.col("__n").alias("n"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(excess, 6).alias("excess_kurtosis"),
-        F.round(jb, 6).alias("jb_stat"),
+        det_round(skew, 6).alias("skewness"),
+        det_round(excess, 6).alias("excess_kurtosis"),
+        det_round(jb, 6).alias("jb_stat"),
         (jb > F.lit(5.991465)).cast("int").alias("nonnormal_95"),
     )
 
@@ -936,8 +937,8 @@ def mann_kendall_trend(
     return j.select(
         n.alias("n"),
         "s_stat",
-        F.round(var_s, 6).alias("var_s"),
-        F.round(z, 6).alias("z_stat"),
+        det_round(var_s, 6).alias("var_s"),
+        det_round(z, 6).alias("z_stat"),
         F.when(z > F.lit(1.959964), F.lit("increasing"))
         .when(z < F.lit(-1.959964), F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))

@@ -19,7 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from finance_reporting_etl_spark.functions.scalars import det_round
+from finance_reporting_etl_spark.functions.scalars import det_round, det_round_py
 
 
 def ema_last_per_key(
@@ -65,7 +65,7 @@ def ema_last_per_key(
             s = arr[0]
             for x in arr[1:]:
                 s = alpha * x + (1.0 - alpha) * s
-            out.append(round(float(s), scale))
+            out.append(det_round_py(float(s), scale))
         return pd.Series(out, dtype="float64")
 
     return ordered.select(
@@ -165,10 +165,10 @@ def holt_forecast_per_key(
             {
                 key_col: [pdf[key_col].iloc[0]],
                 "n_obs": [len(xs)],
-                "level": [round(float(l), scale)],
-                "trend": [round(float(b), scale)],
-                "forecast_1": [round(float(l + b), scale)],
-                "forecast_7": [round(float(l + 7.0 * b), scale)],
+                "level": [det_round_py(float(l), scale)],
+                "trend": [det_round_py(float(b), scale)],
+                "forecast_1": [det_round_py(float(l + b), scale)],
+                "forecast_7": [det_round_py(float(l + 7.0 * b), scale)],
             }
         )
 
@@ -275,7 +275,7 @@ def linear_interpolate_daily(
     return n.select(
         *key_cols,
         day_col,
-        F.round(
+        det_round(
             F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
                 F.when(
                     F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp
@@ -321,7 +321,7 @@ def rolling_pearson(
     dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
     dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     return w.filter(F.col("n") == window_rows).select(
-        day_col, F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias(out_col)
+        day_col, det_round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias(out_col)
     )
 
 
@@ -375,7 +375,7 @@ def time_weighted_daily_avg(
         *key_cols,
         "day",
         "n_obs",
-        F.round(
+        det_round(
             F.col("__wsum").cast("double")
             / 100.0
             / F.nullif(F.col("__tsecs").cast("double"), F.lit(0.0)),
@@ -421,7 +421,7 @@ def max_drawdown_per_key(
     ).withColumn("__peak", F.max("__v").over(w))
     d = d.filter(F.col("__peak") > 0).withColumn(
         "dd",
-        F.round(
+        det_round(
             F.lit(1.0) - F.col("__v") / F.col("__peak").cast("double"), scale
         ),
     )
@@ -550,7 +550,7 @@ def lead_lag_best_corr(
         F.col("kb").alias("series_b"),
         "lag",
         F.col("n").alias("n_days"),
-        F.round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("corr"),
+        det_round(num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("corr"),
     ).filter(F.col("corr").isNotNull())
     pick = Window.partitionBy("series_a", "series_b").orderBy(
         F.col("corr").desc(), F.col("lag")
@@ -584,7 +584,7 @@ def series_volatility(
     )
     r = d.filter(F.col("__prev") > 0).withColumn(
         "__lr",
-        F.round(F.log(F.col(cents_col) / F.col("__prev").cast("double")), 6),
+        det_round(F.log(F.col(cents_col) / F.col("__prev").cast("double")), 6),
     )
     g = r.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_rets"),
@@ -598,9 +598,9 @@ def series_volatility(
     return g.select(
         key_col,
         "n_rets",
-        F.round(F.col("__s1") / F.col("n_rets"), 6).alias("mean_logret"),
-        F.round(vol, 6).alias("vol_daily"),
-        F.round(vol * math.sqrt(trading_days), 6).alias("vol_annual"),
+        det_round(F.col("__s1") / F.col("n_rets"), 6).alias("mean_logret"),
+        det_round(vol, 6).alias("vol_daily"),
+        det_round(vol * math.sqrt(trading_days), 6).alias("vol_annual"),
     )
 
 
@@ -664,8 +664,8 @@ def bollinger_bands(
         key_col,
         order_col,
         F.col(cents_col),
-        F.round(mean, 2).alias("sma"),
-        F.round(std, 2).alias("sd"),
+        det_round(mean, 2).alias("sma"),
+        det_round(std, 2).alias("sd"),
         ((dev > 0) & breach).cast("int").alias("above_upper"),
         ((dev < 0) & breach).cast("int").alias("below_lower"),
     )
@@ -710,7 +710,7 @@ def rsi_cutler(
         order_col,
         F.col("gain").cast("bigint").alias("gain_cents"),
         F.col("loss").cast("bigint").alias("loss_cents"),
-        F.round(
+        det_round(
             F.lit(100.0)
             * F.col("gain")
             / F.nullif((F.col("gain") + F.col("loss")).cast("double"), F.lit(0.0)),
@@ -901,10 +901,10 @@ def seasonal_decompose_dow(
         *group_cols,
         F.col(day_col),
         F.col("__dow").alias("dow"),
-        F.round(F.col(cents_col) / 100.0, 2).alias("value"),
-        F.round(F.col("__s7") / 700.0, 6).alias("trend"),
-        F.round(F.col("__num") / F.col("__den") / 100.0, 6).alias("seasonal"),
-        F.round(
+        det_round(F.col(cents_col) / 100.0, 2).alias("value"),
+        det_round(F.col("__s7") / 700.0, 6).alias("trend"),
+        det_round(F.col("__num") / F.col("__den") / 100.0, 6).alias("seasonal"),
+        det_round(
             (
                 F.col(cents_col)
                 - F.col("__s7") / 7.0
@@ -1008,9 +1008,9 @@ def changepoint_mean_shift(
         F.col(order_col).alias("change_point"),
         F.col("__k").cast("bigint").alias("n_before"),
         (F.col("__n") - F.col("__k")).cast("bigint").alias("n_after"),
-        F.round(mean_b, 2).alias("mean_before"),
-        F.round(mean_a, 2).alias("mean_after"),
-        F.round(mean_a - mean_b, 2).alias("mean_shift"),
+        det_round(mean_b, 2).alias("mean_before"),
+        det_round(mean_a, 2).alias("mean_after"),
+        det_round(mean_a - mean_b, 2).alias("mean_shift"),
     )
 
 
@@ -1044,18 +1044,18 @@ def seasonal_naive_backtest(
     )
     return d.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval"),
-        F.round(
+        det_round(
             F.sum("__ae").cast("double") / F.count(F.lit(1)).cast("double") / 100.0,
             2,
         ).alias("mae"),
-        F.round(
+        det_round(
             F.sqrt(
                 F.sum("__se").cast("double") / F.count(F.lit(1)).cast("double")
             )
             / 100.0,
             2,
         ).alias("rmse"),
-        F.round(
+        det_round(
             F.sum("__ae").cast("double")
             / F.nullif(F.sum(F.abs(F.col(cents_col))).cast("double"), F.lit(0.0)),
             6,

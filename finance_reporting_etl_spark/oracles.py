@@ -158,7 +158,7 @@ ORACLES: dict = {}
 
 ORACLES["mart_financial_summary"] = """
     SELECT CAST(date_trunc('year', CAST(ts AS DATE)) AS TIMESTAMP) AS year,
-           round(avg(value), 6) AS avg_gdp
+           (CASE WHEN isnan(CAST((avg(value)) AS DOUBLE)) OR abs(CAST((avg(value)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(value)) ELSE floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_gdp
     FROM events
     GROUP BY 1
     """
@@ -168,27 +168,27 @@ ORACLES["mart_financial_kpis"] = """
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
                'USD'                       AS currency,
-               round(sum(value), 6)        AS total_revenue,
-               round(sum(value * 0.5), 6)  AS gross_profit,
-               round(sum(value * 0.3), 6)  AS operating_income,
-               round(sum(value * 0.2), 6)  AS net_income
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END)        AS total_revenue,
+               (CASE WHEN isnan(CAST((sum(value * 0.5)) AS DOUBLE)) OR abs(CAST((sum(value * 0.5)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.5)) ELSE floor((sum(value * 0.5)) * 1000000.0 + 0.5) / 1000000.0 END)  AS gross_profit,
+               (CASE WHEN isnan(CAST((sum(value * 0.3)) AS DOUBLE)) OR abs(CAST((sum(value * 0.3)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.3)) ELSE floor((sum(value * 0.3)) * 1000000.0 + 0.5) / 1000000.0 END)  AS operating_income,
+               (CASE WHEN isnan(CAST((sum(value * 0.2)) AS DOUBLE)) OR abs(CAST((sum(value * 0.2)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.2)) ELSE floor((sum(value * 0.2)) * 1000000.0 + 0.5) / 1000000.0 END)  AS net_income
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1, 2
     ), bal AS (
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
-               round(sum(value), 6)        AS total_assets,
-               round(sum(value * 0.6), 6)  AS total_liabilities,
-               round(sum(value * 0.4), 6)  AS total_equity
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END)        AS total_assets,
+               (CASE WHEN isnan(CAST((sum(value * 0.6)) AS DOUBLE)) OR abs(CAST((sum(value * 0.6)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.6)) ELSE floor((sum(value * 0.6)) * 1000000.0 + 0.5) / 1000000.0 END)  AS total_liabilities,
+               (CASE WHEN isnan(CAST((sum(value * 0.4)) AS DOUBLE)) OR abs(CAST((sum(value * 0.4)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.4)) ELSE floor((sum(value * 0.4)) * 1000000.0 + 0.5) / 1000000.0 END)  AS total_equity
         FROM events
         WHERE event_type = 'click'
         GROUP BY 1, 2
     ), cf AS (
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
-               round(sum(value * 0.9), 6)  AS operating_cash_flow,
-               round(sum(value * 0.35), 6) AS capital_expenditure
+               (CASE WHEN isnan(CAST((sum(value * 0.9)) AS DOUBLE)) OR abs(CAST((sum(value * 0.9)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.9)) ELSE floor((sum(value * 0.9)) * 1000000.0 + 0.5) / 1000000.0 END)  AS operating_cash_flow,
+               (CASE WHEN isnan(CAST((sum(value * 0.35)) AS DOUBLE)) OR abs(CAST((sum(value * 0.35)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.35)) ELSE floor((sum(value * 0.35)) * 1000000.0 + 0.5) / 1000000.0 END) AS capital_expenditure
         FROM events
         WHERE event_type = 'view'
         GROUP BY 1, 2
@@ -198,13 +198,13 @@ ORACLES["mart_financial_kpis"] = """
            total_assets, total_liabilities, total_equity,
            operating_cash_flow, capital_expenditure,
            operating_cash_flow - capital_expenditure AS free_cash_flow,
-           round(gross_profit / nullif(total_revenue, 0), 4)     AS gross_profit_margin,
-           round(operating_income / nullif(total_revenue, 0), 4) AS operating_profit_margin,
-           round(net_income / nullif(total_revenue, 0), 4)       AS net_profit_margin,
-           round(net_income / nullif(total_assets, 0), 4)        AS return_on_assets,
-           round(net_income / nullif(total_equity, 0), 4)        AS return_on_equity,
-           round(total_assets / nullif(total_liabilities, 0), 4) AS asset_to_liability_ratio,
-           round((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0), 4)
+           (CASE WHEN isnan(CAST((gross_profit / nullif(total_revenue, 0)) AS DOUBLE)) OR abs(CAST((gross_profit / nullif(total_revenue, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (gross_profit / nullif(total_revenue, 0)) ELSE floor((gross_profit / nullif(total_revenue, 0)) * 10000.0 + 0.5) / 10000.0 END)     AS gross_profit_margin,
+           (CASE WHEN isnan(CAST((operating_income / nullif(total_revenue, 0)) AS DOUBLE)) OR abs(CAST((operating_income / nullif(total_revenue, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (operating_income / nullif(total_revenue, 0)) ELSE floor((operating_income / nullif(total_revenue, 0)) * 10000.0 + 0.5) / 10000.0 END) AS operating_profit_margin,
+           (CASE WHEN isnan(CAST((net_income / nullif(total_revenue, 0)) AS DOUBLE)) OR abs(CAST((net_income / nullif(total_revenue, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (net_income / nullif(total_revenue, 0)) ELSE floor((net_income / nullif(total_revenue, 0)) * 10000.0 + 0.5) / 10000.0 END)       AS net_profit_margin,
+           (CASE WHEN isnan(CAST((net_income / nullif(total_assets, 0)) AS DOUBLE)) OR abs(CAST((net_income / nullif(total_assets, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (net_income / nullif(total_assets, 0)) ELSE floor((net_income / nullif(total_assets, 0)) * 10000.0 + 0.5) / 10000.0 END)        AS return_on_assets,
+           (CASE WHEN isnan(CAST((net_income / nullif(total_equity, 0)) AS DOUBLE)) OR abs(CAST((net_income / nullif(total_equity, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (net_income / nullif(total_equity, 0)) ELSE floor((net_income / nullif(total_equity, 0)) * 10000.0 + 0.5) / 10000.0 END)        AS return_on_equity,
+           (CASE WHEN isnan(CAST((total_assets / nullif(total_liabilities, 0)) AS DOUBLE)) OR abs(CAST((total_assets / nullif(total_liabilities, 0)) AS DOUBLE)) >= 461168601842738.8 THEN (total_assets / nullif(total_liabilities, 0)) ELSE floor((total_assets / nullif(total_liabilities, 0)) * 10000.0 + 0.5) / 10000.0 END) AS asset_to_liability_ratio,
+           (CASE WHEN isnan(CAST(((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0)) AS DOUBLE)) OR abs(CAST(((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0)) AS DOUBLE)) >= 461168601842738.8 THEN ((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0)) ELSE floor(((operating_cash_flow - capital_expenditure) / nullif(total_revenue, 0)) * 10000.0 + 0.5) / 10000.0 END)
                AS fcf_margin
     FROM inc LEFT JOIN bal USING (symbol, fiscal_date)
              LEFT JOIN cf  USING (symbol, fiscal_date)
@@ -229,9 +229,9 @@ ORACLES["indicator_stats"] = f"""
     )
     SELECT series_id, indicator_name,
            count(*) AS n_obs,
-           round(avg(value), 6) AS avg_value,
-           round(min(value), 6) AS min_value,
-           round(max(value), 6) AS max_value
+           (CASE WHEN isnan(CAST((avg(value)) AS DOUBLE)) OR abs(CAST((avg(value)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(value)) ELSE floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_value,
+           (CASE WHEN isnan(CAST((min(value)) AS DOUBLE)) OR abs(CAST((min(value)) AS DOUBLE)) >= 4611686018427.388 THEN (min(value)) ELSE floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS min_value,
+           (CASE WHEN isnan(CAST((max(value)) AS DOUBLE)) OR abs(CAST((max(value)) AS DOUBLE)) >= 4611686018427.388 THEN (max(value)) ELSE floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS max_value
     FROM ind
     GROUP BY 1, 2
     """
@@ -525,9 +525,11 @@ ORACLES["dedup_clusters"] = f"""
         FROM documents
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.toks, b.toks))
-                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0),
-                     4) AS jaccard
+               (CASE WHEN isnan(CAST((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) ELSE floor((len(list_intersect(a.toks, b.toks))
+                     / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0)) * 10000.0 + 0.5) / 10000.0 END) AS jaccard
         FROM t a JOIN t b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
@@ -903,12 +905,15 @@ ORACLES["retention_filter"] = """
 ORACLES["cumulative_monthly_revenue"] = """
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               round(sum(o_totalprice), 4) AS revenue
+               (CASE WHEN isnan(CAST((sum(o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o_totalprice)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(o_totalprice)) ELSE floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 END) AS revenue
         FROM orders GROUP BY 1
     )
     SELECT month, revenue,
-           round(sum(revenue) OVER (ORDER BY month
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+           (CASE WHEN isnan(CAST((sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)) OR abs(CAST((sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) ELSE floor((sum(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 END) AS cum_revenue
     FROM m
     """
 
@@ -916,7 +921,7 @@ ORACLES["streaming_hourly_rollup"] = """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM events
     GROUP BY 1, 2
     """
@@ -926,7 +931,7 @@ ORACLES["streaming_dedup_events"] = """
     """
 
 ORACLES["stateful_user_totals"] = """
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT user_id, count(*) AS n_events, (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS total_value
     FROM events GROUP BY user_id
     """
 
@@ -954,7 +959,7 @@ ORACLES["rolling_7day_revenue"] = """
 
 ORACLES["customer_spend_deciles"] = """
     WITH spend AS (
-        SELECT c.c_custkey, round(sum(o.o_totalprice), 4) AS total_spend
+        SELECT c.c_custkey, (CASE WHEN isnan(CAST((sum(o.o_totalprice)) AS DOUBLE)) OR abs(CAST((sum(o.o_totalprice)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(o.o_totalprice)) ELSE floor((sum(o.o_totalprice)) * 10000.0 + 0.5) / 10000.0 END) AS total_spend
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY 1
     )
@@ -1032,11 +1037,11 @@ ORACLES["corpus_clean"] = """
 ORACLES["corpus_stats"] = """
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))), 4) AS avg_tokens,
+           (CASE WHEN isnan(CAST((avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))) AS DOUBLE)) OR abs(CAST((avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))) AS DOUBLE)) >= 461168601842738.8 THEN (avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))) ELSE floor((avg(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))) * 10000.0 + 0.5) / 10000.0 END) AS avg_tokens,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
-           round(quantile_cont(length(text), 0.9), 4) AS p90_chars
+           (CASE WHEN isnan(CAST((quantile_cont(length(text), 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(length(text), 0.5)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(length(text), 0.5)) ELSE floor((quantile_cont(length(text), 0.5)) * 10000.0 + 0.5) / 10000.0 END) AS p50_chars,
+           (CASE WHEN isnan(CAST((quantile_cont(length(text), 0.9)) AS DOUBLE)) OR abs(CAST((quantile_cont(length(text), 0.9)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(length(text), 0.9)) ELSE floor((quantile_cont(length(text), 0.9)) * 10000.0 + 0.5) / 10000.0 END) AS p90_chars
     FROM documents
     GROUP BY lang
     """
@@ -1143,7 +1148,7 @@ ORACLES["lm_quality_scores"] = f"""
         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
     ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
     SELECT doc_id,
-           round(avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab))), 6) AS lm_score
+           (CASE WHEN isnan(CAST((avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab)))) AS DOUBLE)) OR abs(CAST((avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab)))) AS DOUBLE)) >= 4611686018427.388 THEN (avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab)))) ELSE floor((avg(ln((c2.c2 + 0.5) / (uni.c1 + 0.5 * v.vocab)))) * 1000000.0 + 0.5) / 1000000.0 END) AS lm_score
     FROM bg JOIN c2 USING (w1, w2) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
     GROUP BY 1
     """
@@ -1347,9 +1352,9 @@ ORACLES["kmeans_cluster_profile"] = f"""
         GROUP BY 1, 2
     ),
     per AS (SELECT cluster, count(*) AS n_members,
-                   round(avg(sqrt(sq)), 4) AS avg_dist
+                   (CASE WHEN isnan(CAST((avg(sqrt(sq))) AS DOUBLE)) OR abs(CAST((avg(sqrt(sq))) AS DOUBLE)) >= 461168601842738.8 THEN (avg(sqrt(sq))) ELSE floor((avg(sqrt(sq))) * 10000.0 + 0.5) / 10000.0 END) AS avg_dist
             FROM sq GROUP BY 1),
-    norms AS (SELECT cluster, round(sqrt(sum(m * m)), 4) AS centroid_norm
+    norms AS (SELECT cluster, (CASE WHEN isnan(CAST((sqrt(sum(m * m))) AS DOUBLE)) OR abs(CAST((sqrt(sum(m * m))) AS DOUBLE)) >= 461168601842738.8 THEN (sqrt(sum(m * m))) ELSE floor((sqrt(sum(m * m))) * 10000.0 + 0.5) / 10000.0 END) AS centroid_norm
               FROM cent GROUP BY 1)
     SELECT cluster, n_members, centroid_norm, avg_dist
     FROM per JOIN norms USING (cluster)
@@ -1411,7 +1416,7 @@ ORACLES["keyword_search_topk"] = f"""
     scored AS (
         SELECT p.doc_id,
                count(DISTINCT p.term) AS nt,
-               round(sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0)), 6) AS score
+               (CASE WHEN isnan(CAST((sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0))) AS DOUBLE)) OR abs(CAST((sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0))) AS DOUBLE)) >= 4611686018427.388 THEN (sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0))) ELSE floor((sum(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0))) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM postings p JOIN dfreq d USING (term) CROSS JOIN n
         GROUP BY p.doc_id
     )
@@ -1505,7 +1510,7 @@ ORACLES["scd2_user_state_history"] = """
 
 ORACLES["event_type_week_cube"] = """
     SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
-           count(*) AS n_events, round(sum(value), 4) AS total_value
+           count(*) AS n_events, (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS total_value
     FROM events
     GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS TIMESTAMP))
     """
@@ -1521,7 +1526,7 @@ ORACLES["daily_revenue_gapfilled"] = """
     ),
     daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(value), 4) AS revenue
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS revenue
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT s.day, coalesce(d.revenue, 0.0) AS revenue,
@@ -1537,7 +1542,7 @@ ORACLES["attribution_window_join"] = """
     ), matched AS (
         SELECT p.event_id, p.user_id,
                count(v.ts) AS n_views_1h,
-               round(coalesce(sum(v.value), 0), 4) AS view_value_1h
+               (CASE WHEN isnan(CAST((coalesce(sum(v.value), 0)) AS DOUBLE)) OR abs(CAST((coalesce(sum(v.value), 0)) AS DOUBLE)) >= 461168601842738.8 THEN (coalesce(sum(v.value), 0)) ELSE floor((coalesce(sum(v.value), 0)) * 10000.0 + 0.5) / 10000.0 END) AS view_value_1h
         FROM purchases p
         LEFT JOIN views v
           ON v.user_id = p.user_id
@@ -1618,10 +1623,19 @@ ORACLES["embedding_inference_scores"] = """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
         SELECT vec_id, label,
-               round(1.0 / (1.0 + exp(-list_dot_product(
+               (CASE WHEN isnan(CAST((1.0 / (1.0 + exp(-list_dot_product(
                    v,
                    list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
-               ))), 6) AS score
+               )))) AS DOUBLE)) OR abs(CAST((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) AS DOUBLE)) >= 4611686018427.388 THEN (1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) ELSE floor((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM e
     )
     SELECT vec_id, label, score FROM scored WHERE score >= 0.5
@@ -1644,7 +1658,7 @@ ORACLES["streaming_sessionize_events"] = """
            max(ts) + INTERVAL '30 minutes' AS session_end,
            user_id,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM s
     GROUP BY user_id, sess
     """
@@ -1667,7 +1681,7 @@ ORACLES["streaming_watermark_late_drop"] = """
          )
     SELECT date_trunc('day', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM accepted
     GROUP BY 1, 2
     HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wmf)
@@ -1687,7 +1701,7 @@ ORACLES["stateful_session_timeout"] = """
         SELECT user_id, sess,
                min(ts) AS session_start, max(ts) AS last_ts,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 6) AS total_value
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
         FROM s GROUP BY user_id, sess
     ), sess AS (
         SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM g
@@ -1724,7 +1738,7 @@ ORACLES["variant_event_payloads"] = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(sum(value), 6) AS total_value,
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value,
            CAST(max(len(CAST(event_type AS VARCHAR)) + 2) AS INT) AS max_tag_len
     FROM events
     GROUP BY event_type
@@ -1776,7 +1790,7 @@ ORACLES["event_grouping_sets"] = """
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, value FROM events)
     GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
     """
@@ -1784,9 +1798,9 @@ ORACLES["event_grouping_sets"] = """
 ORACLES["lineitem_unpivot_metrics"] = """
     SELECT metric,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(val), 6) AS avg_val,
-           round(min(val), 6) AS min_val,
-           round(max(val), 6) AS max_val
+           (CASE WHEN isnan(CAST((avg(val)) AS DOUBLE)) OR abs(CAST((avg(val)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(val)) ELSE floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_val,
+           (CASE WHEN isnan(CAST((min(val)) AS DOUBLE)) OR abs(CAST((min(val)) AS DOUBLE)) >= 4611686018427.388 THEN (min(val)) ELSE floor((min(val)) * 1000000.0 + 0.5) / 1000000.0 END) AS min_val,
+           (CASE WHEN isnan(CAST((max(val)) AS DOUBLE)) OR abs(CAST((max(val)) AS DOUBLE)) >= 4611686018427.388 THEN (max(val)) ELSE floor((max(val)) * 1000000.0 + 0.5) / 1000000.0 END) AS max_val
     FROM (
         SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
         UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
@@ -1813,8 +1827,11 @@ ORACLES["corpus_upsample_epochs"] = f"""
 ORACLES["quality_percentile_filter"] = """
     WITH r AS (
         SELECT doc_id, lang, n_chars,
-               round(percent_rank() OVER (PARTITION BY lang
-                                          ORDER BY n_chars, doc_id), 6) AS pr
+               (CASE WHEN isnan(CAST((percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)) AS DOUBLE)) OR abs(CAST((percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)) AS DOUBLE)) >= 4611686018427.388 THEN (percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)) ELSE floor((percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id)) * 1000000.0 + 0.5) / 1000000.0 END) AS pr
         FROM documents
     )
     SELECT doc_id, lang, n_chars, pr FROM r WHERE pr >= 0.5
@@ -1900,9 +1917,9 @@ ORACLES["rolling_7day_distinct_users"] = """
 ORACLES["per_lang_token_length_regression"] = f"""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(regr_slope(n_toks, n_chars), 6) AS slope,
-           round(regr_intercept(n_toks, n_chars), 6) AS intercept,
-           round(regr_r2(n_toks, n_chars), 6) AS r2
+           (CASE WHEN isnan(CAST((regr_slope(n_toks, n_chars)) AS DOUBLE)) OR abs(CAST((regr_slope(n_toks, n_chars)) AS DOUBLE)) >= 4611686018427.388 THEN (regr_slope(n_toks, n_chars)) ELSE floor((regr_slope(n_toks, n_chars)) * 1000000.0 + 0.5) / 1000000.0 END) AS slope,
+           (CASE WHEN isnan(CAST((regr_intercept(n_toks, n_chars)) AS DOUBLE)) OR abs(CAST((regr_intercept(n_toks, n_chars)) AS DOUBLE)) >= 4611686018427.388 THEN (regr_intercept(n_toks, n_chars)) ELSE floor((regr_intercept(n_toks, n_chars)) * 1000000.0 + 0.5) / 1000000.0 END) AS intercept,
+           (CASE WHEN isnan(CAST((regr_r2(n_toks, n_chars)) AS DOUBLE)) OR abs(CAST((regr_r2(n_toks, n_chars)) AS DOUBLE)) >= 4611686018427.388 THEN (regr_r2(n_toks, n_chars)) ELSE floor((regr_r2(n_toks, n_chars)) * 1000000.0 + 0.5) / 1000000.0 END) AS r2
     FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars,
                  CAST(len({_TOKS}) AS DOUBLE) AS n_toks
           FROM documents)
@@ -1983,8 +2000,11 @@ ORACLES["length_bucketed_batching"] = f"""
 ORACLES["user_value_ema"] = """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
-                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ema_final
+           (CASE WHEN isnan(CAST((list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc)) AS DOUBLE)) OR abs(CAST((list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc)) AS DOUBLE)) >= 4611686018427.388 THEN (list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc)) ELSE floor((list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc)) * 1000000.0 + 0.5) / 1000000.0 END) AS ema_final
     FROM events
     GROUP BY user_id
     """
@@ -1993,7 +2013,7 @@ ORACLES["rollup_cascade_monthly"] = """
     SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS total_value
     FROM events
     GROUP BY 1, 2
     """
@@ -2033,7 +2053,7 @@ ORACLES["streaming_view_purchase_join"] = """
 ORACLES["rolling_zscore_anomalies"] = """
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(sum(value), 4) AS value
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 461168601842738.8 THEN (sum(value)) ELSE floor((sum(value)) * 10000.0 + 0.5) / 10000.0 END) AS value
         FROM events GROUP BY 1, 2
     ),
     w AS (
@@ -2047,7 +2067,7 @@ ORACLES["rolling_zscore_anomalies"] = """
     )
     SELECT event_type, day, value,
            CASE WHEN n_prior >= 7 AND sigma > 0
-                THEN round((value - mu) / sigma, 4) END AS zscore,
+                THEN (CASE WHEN isnan(CAST(((value - mu) / sigma) AS DOUBLE)) OR abs(CAST(((value - mu) / sigma) AS DOUBLE)) >= 461168601842738.8 THEN ((value - mu) / sigma) ELSE floor(((value - mu) / sigma) * 10000.0 + 0.5) / 10000.0 END) END AS zscore,
            CAST(n_prior >= 7 AND sigma > 0
                 AND abs((value - mu) / sigma) > 2.5 AS BOOLEAN) AS is_anomaly
     FROM w
@@ -2090,12 +2110,27 @@ ORACLES["indicator_linear_interpolation"] = """
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, day,
-           round(CAST(CASE
+           (CASE WHEN isnan(CAST((CAST(CASE
                WHEN value IS NOT NULL THEN value
                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                    prev_v + ((next_v - prev_v) * (day - prev_d))
                            // (next_d - prev_d)
-               END AS DOUBLE) / 10000.0, 4) AS filled_value,
+               END AS DOUBLE) / 10000.0) AS DOUBLE)) OR abs(CAST((CAST(CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + ((next_v - prev_v) * (day - prev_d))
+                           // (next_d - prev_d)
+               END AS DOUBLE) / 10000.0) AS DOUBLE)) >= 461168601842738.8 THEN (CAST(CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + ((next_v - prev_v) * (day - prev_d))
+                           // (next_d - prev_d)
+               END AS DOUBLE) / 10000.0) ELSE floor((CAST(CASE
+               WHEN value IS NOT NULL THEN value
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + ((next_v - prev_v) * (day - prev_d))
+                           // (next_d - prev_d)
+               END AS DOUBLE) / 10000.0) * 10000.0 + 0.5) / 10000.0 END) AS filled_value,
            CAST(value IS NULL
                 AND prev_v IS NOT NULL AND next_v IS NOT NULL
                 AS BOOLEAN) AS was_interpolated
@@ -2151,7 +2186,7 @@ ORACLES["histogram_quantile_rollup"] = """
         FROM d
     )
     SELECT grain, event_type, p,
-           round(bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt, 4) AS est
+           (CASE WHEN isnan(CAST((bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt) AS DOUBLE)) OR abs(CAST((bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt) AS DOUBLE)) >= 461168601842738.8 THEN (bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt) ELSE floor((bin * 4.0 + 4.0 * (p * total - (cum - cnt)) / cnt) * 10000.0 + 0.5) / 10000.0 END) AS est
     FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p)
     WHERE cum >= p * total AND cum - cnt < p * total
     """
@@ -2168,7 +2203,7 @@ ORACLES["cdc_changelog_apply"] = """
                                      ORDER BY ts DESC, event_id) AS rn
         FROM c
     )
-    SELECT user_id, ts AS updated_at, round(value, 6) AS value
+    SELECT user_id, ts AS updated_at, (CASE WHEN isnan(CAST((value) AS DOUBLE)) OR abs(CAST((value) AS DOUBLE)) >= 4611686018427.388 THEN (value) ELSE floor((value) * 1000000.0 + 0.5) / 1000000.0 END) AS value
     FROM r WHERE rn = 1 AND op = 'U'
     """
 
@@ -2262,7 +2297,7 @@ ORACLES["event_transition_matrix"] = """
     )
     SELECT event_type AS cur, next_type AS nxt,
            CAST(count(*) AS BIGINT) AS n,
-           round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+           (CASE WHEN isnan(CAST((count(*) / sum(count(*)) OVER (PARTITION BY event_type)) AS DOUBLE)) OR abs(CAST((count(*) / sum(count(*)) OVER (PARTITION BY event_type)) AS DOUBLE)) >= 4611686018427.388 THEN (count(*) / sum(count(*)) OVER (PARTITION BY event_type)) ELSE floor((count(*) / sum(count(*)) OVER (PARTITION BY event_type)) * 1000000.0 + 0.5) / 1000000.0 END) AS p
     FROM s WHERE next_type IS NOT NULL
     GROUP BY 1, 2
     """
@@ -2278,10 +2313,10 @@ ORACLES["copurchase_association_rules"] = f"""
         FROM '{_AUX_DIR}/copurchase_pairs/*.parquet' WHERE src < dst
     )
     SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
-           round(n_ab / n.n_orders, 6) AS support,
-           round(n_ab / ia.n_item, 6) AS conf_a_to_b,
-           round(n_ab / ib.n_item, 6) AS conf_b_to_a,
-           round(n_ab * n.n_orders / (ia.n_item * ib.n_item), 4) AS lift
+           (CASE WHEN isnan(CAST((n_ab / n.n_orders) AS DOUBLE)) OR abs(CAST((n_ab / n.n_orders) AS DOUBLE)) >= 4611686018427.388 THEN (n_ab / n.n_orders) ELSE floor((n_ab / n.n_orders) * 1000000.0 + 0.5) / 1000000.0 END) AS support,
+           (CASE WHEN isnan(CAST((n_ab / ia.n_item) AS DOUBLE)) OR abs(CAST((n_ab / ia.n_item) AS DOUBLE)) >= 4611686018427.388 THEN (n_ab / ia.n_item) ELSE floor((n_ab / ia.n_item) * 1000000.0 + 0.5) / 1000000.0 END) AS conf_a_to_b,
+           (CASE WHEN isnan(CAST((n_ab / ib.n_item) AS DOUBLE)) OR abs(CAST((n_ab / ib.n_item) AS DOUBLE)) >= 4611686018427.388 THEN (n_ab / ib.n_item) ELSE floor((n_ab / ib.n_item) * 1000000.0 + 0.5) / 1000000.0 END) AS conf_b_to_a,
+           (CASE WHEN isnan(CAST((n_ab * n.n_orders / (ia.n_item * ib.n_item)) AS DOUBLE)) OR abs(CAST((n_ab * n.n_orders / (ia.n_item * ib.n_item)) AS DOUBLE)) >= 461168601842738.8 THEN (n_ab * n.n_orders / (ia.n_item * ib.n_item)) ELSE floor((n_ab * n.n_orders / (ia.n_item * ib.n_item)) * 10000.0 + 0.5) / 10000.0 END) AS lift
     FROM pairs
     JOIN item ia ON ia.l_partkey = item_a
     JOIN item ib ON ib.l_partkey = item_b
@@ -2318,8 +2353,11 @@ ORACLES["copurchase_clustering_coefficient"] = f"""
     SELECT d.id,
            d.deg AS degree,
            coalesce(t.n_triangles, 0) AS n_triangles,
-           round(coalesce(t.n_triangles, 0)
-                 / nullif(d.deg * (d.deg - 1) / 2.0, 0), 6) AS clustering_coeff
+           (CASE WHEN isnan(CAST((coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0)) AS DOUBLE)) OR abs(CAST((coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0)) ELSE floor((coalesce(t.n_triangles, 0)
+                 / nullif(d.deg * (d.deg - 1) / 2.0, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS clustering_coeff
     FROM deg d LEFT JOIN tri_counts t ON t.id = d.id
     """
 
@@ -2475,12 +2513,21 @@ ORACLES["winsorized_value_stats"] = """
            CAST(count(*) AS BIGINT) AS n,
            min(lo_cut) AS lo_cut,
            min(hi_cut) AS hi_cut,
-           round(CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
-           round(CAST(sum(wini) AS DOUBLE) / 100.0 / count(*), 6) AS mean_winsor,
-           round(sqrt(greatest(
+           (CASE WHEN isnan(CAST((CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*)) ELSE floor((CAST(sum(rawi) AS DOUBLE) / 100.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_raw,
+           (CASE WHEN isnan(CAST((CAST(sum(wini) AS DOUBLE) / 100.0 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(wini) AS DOUBLE) / 100.0 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(wini) AS DOUBLE) / 100.0 / count(*)) ELSE floor((CAST(sum(wini) AS DOUBLE) / 100.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_winsor,
+           (CASE WHEN isnan(CAST((sqrt(greatest(
                (CAST(sum(wini * wini) AS DOUBLE)
                 - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
-               / 10000.0 / (count(*) - 1), 0.0)), 6) AS sd_winsor
+               / 10000.0 / (count(*) - 1), 0.0))) AS DOUBLE)) OR abs(CAST((sqrt(greatest(
+               (CAST(sum(wini * wini) AS DOUBLE)
+                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
+               / 10000.0 / (count(*) - 1), 0.0))) AS DOUBLE)) >= 4611686018427.388 THEN (sqrt(greatest(
+               (CAST(sum(wini * wini) AS DOUBLE)
+                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
+               / 10000.0 / (count(*) - 1), 0.0))) ELSE floor((sqrt(greatest(
+               (CAST(sum(wini * wini) AS DOUBLE)
+                - CAST(sum(wini) AS DOUBLE) * CAST(sum(wini) AS DOUBLE) / count(*))
+               / 10000.0 / (count(*) - 1), 0.0))) * 1000000.0 + 0.5) / 1000000.0 END) AS sd_winsor
     FROM c GROUP BY event_type
     """
 
@@ -2499,11 +2546,23 @@ ORACLES["bm25_search_topk"] = f"""
     dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
     scored AS (
         SELECT p.doc_id,
-               round(sum(
+               (CASE WHEN isnan(CAST((sum(
                    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
                    * p.tf * (1.2 + 1.0)
                    / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
-               ), 6) AS score
+               )) AS DOUBLE)) OR abs(CAST((sum(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+               )) AS DOUBLE)) >= 4611686018427.388 THEN (sum(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+               )) ELSE floor((sum(
+                   ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * (1.2 + 1.0)
+                   / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+               )) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM p2 p JOIN dfreq d USING (term) CROSS JOIN stats s
         GROUP BY p.doc_id
     )
@@ -2517,7 +2576,7 @@ ORACLES["streaming_sliding_window_counts"] = """
                AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM events, unnest(generate_series(0, 2)) AS u(k)
     GROUP BY 1, 2
     """
@@ -2544,15 +2603,15 @@ ORACLES["target_encode_brand"] = """
         SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM lab
     )
     SELECT p_brand, n, pos,
-           round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
-           round((pos + 20.0 * prior) / (n + 20.0), 6) AS encoded
+           (CASE WHEN isnan(CAST((CAST(pos AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(pos AS DOUBLE) / n) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(pos AS DOUBLE) / n) ELSE floor((CAST(pos AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 END) AS raw_rate,
+           (CASE WHEN isnan(CAST(((pos + 20.0 * prior) / (n + 20.0)) AS DOUBLE)) OR abs(CAST(((pos + 20.0 * prior) / (n + 20.0)) AS DOUBLE)) >= 4611686018427.388 THEN ((pos + 20.0 * prior) / (n + 20.0)) ELSE floor(((pos + 20.0 * prior) / (n + 20.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS encoded
     FROM stats CROSS JOIN g
     """
 
 ORACLES["streaming_static_dim_join"] = """
     SELECT c.c_mktsegment AS segment, e.event_type,
            count(*) AS n_events,
-           round(sum(e.value), 6) AS total_value
+           (CASE WHEN isnan(CAST((sum(e.value)) AS DOUBLE)) OR abs(CAST((sum(e.value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(e.value)) ELSE floor((sum(e.value)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """
@@ -2584,9 +2643,12 @@ ORACLES["embedding_int8_quantize"] = """
         FROM v
     )
     SELECT vec_id,
-           round(scale, 6) AS scale,
-           round(list_max(list_transform(
-               vd, x -> abs(x - round(x * scale) / scale))), 6) AS max_abs_err,
+           (CASE WHEN isnan(CAST((scale) AS DOUBLE)) OR abs(CAST((scale) AS DOUBLE)) >= 4611686018427.388 THEN (scale) ELSE floor((scale) * 1000000.0 + 0.5) / 1000000.0 END) AS scale,
+           (CASE WHEN isnan(CAST((list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale)))) AS DOUBLE)) OR abs(CAST((list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale)))) AS DOUBLE)) >= 4611686018427.388 THEN (list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale)))) ELSE floor((list_max(list_transform(
+               vd, x -> abs(x - round(x * scale) / scale)))) * 1000000.0 + 0.5) / 1000000.0 END) AS max_abs_err,
            CAST(len(list_filter(
                vd, x -> abs(round(x * scale)) = 127.0)) AS INT) AS n_sat
     FROM m
@@ -2608,7 +2670,7 @@ ORACLES["abc_customer_classification"] = """
         FROM r
     )
     SELECT o_custkey, rev_cents,
-           round(CAST(cum AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share,
+           (CASE WHEN isnan(CAST((CAST(cum AS DOUBLE) / (SELECT tot FROM t)) AS DOUBLE)) OR abs(CAST((CAST(cum AS DOUBLE) / (SELECT tot FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(cum AS DOUBLE) / (SELECT tot FROM t)) ELSE floor((CAST(cum AS DOUBLE) / (SELECT tot FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS cum_share,
            CASE WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.80 THEN 'A'
                 WHEN CAST(cum AS DOUBLE) / (SELECT tot FROM t) <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -2628,7 +2690,7 @@ ORACLES["business_days_to_ship"] = """
     )
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(bd) AS DOUBLE) / count(*), 6) AS avg_business_days,
+           (CASE WHEN isnan(CAST((CAST(sum(bd) AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(bd) AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(bd) AS DOUBLE) / count(*)) ELSE floor((CAST(sum(bd) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_business_days,
            CAST(max(bd) AS BIGINT) AS max_business_days
     FROM b GROUP BY 1
     """
@@ -2653,8 +2715,11 @@ ORACLES["corpus_token_budget_select"] = f"""
     s AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tok,
-               round(CAST(len(list_distinct(toks)) AS DOUBLE)
-                     / greatest(len(toks), 1), 6) AS ttr
+               (CASE WHEN isnan(CAST((CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1)) AS DOUBLE)) OR abs(CAST((CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1)) ELSE floor((CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1)) * 1000000.0 + 0.5) / 1000000.0 END) AS ttr
         FROM d
     ), t AS (
         SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget FROM s
@@ -2691,8 +2756,11 @@ ORACLES["session_bounce_rate"] = """
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bounce,
-           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS bounce_rate
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) ELSE floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS bounce_rate
     FROM sessions GROUP BY day
     """
 
@@ -2723,16 +2791,35 @@ ORACLES["decision_stump_train"] = """
         FROM c WHERE nl < n
     ), sc AS (
         SELECT feature, thr, nl AS n_left, nr AS n_right,
-               round(
-                   (1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+               (CASE WHEN isnan(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
                         - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
                    - (CAST(nl AS DOUBLE) / n
                       * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
                              - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
                       + CAST(nr AS DOUBLE) / n
                       * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
-                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr))),
-               6) AS gini_gain
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) OR abs(CAST(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+                   - (CAST(nl AS DOUBLE) / n
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nr AS DOUBLE) / n
+                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) AS DOUBLE)) >= 4611686018427.388 THEN ((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+                   - (CAST(nl AS DOUBLE) / n
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nr AS DOUBLE) / n
+                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) ELSE floor(((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                        - (CAST(n - pos AS DOUBLE) / n) * (CAST(n - pos AS DOUBLE) / n))
+                   - (CAST(nl AS DOUBLE) / n
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                             - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nr AS DOUBLE) / n
+                      * (1.0 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+                             - (CAST(nr - posr AS DOUBLE) / nr) * (CAST(nr - posr AS DOUBLE) / nr)))) * 1000000.0 + 0.5) / 1000000.0 END) AS gini_gain
         FROM s
     )
     SELECT feature, thr, n_left, n_right, gini_gain,
@@ -2750,9 +2837,12 @@ ORACLES["join_key_skew_profile"] = """
         FROM k
     )
     SELECT key, n,
-           round(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
-           round(CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
-                 / (SELECT tot FROM t), 6) AS skew_factor,
+           (CASE WHEN isnan(CAST((CAST(n AS DOUBLE) / (SELECT tot FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n AS DOUBLE) / (SELECT tot FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n AS DOUBLE) / (SELECT tot FROM t)) ELSE floor((CAST(n AS DOUBLE) / (SELECT tot FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS share,
+           (CASE WHEN isnan(CAST((CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t)) ELSE floor((CAST(n AS DOUBLE) * (SELECT n_keys FROM t)
+                 / (SELECT tot FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS skew_factor,
            row_number() OVER (ORDER BY n DESC, key) AS rank
     FROM k ORDER BY n DESC, key LIMIT 20
     """
@@ -2779,9 +2869,15 @@ ORACLES["rolling_correlation_series"] = """
         WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT day,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
+           (CASE WHEN isnan(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
                  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)) AS DOUBLE)) OR abs(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)) ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS corr14
     FROM w WHERE n = 14
     """
@@ -2802,21 +2898,57 @@ ORACLES["ab_test_conversion_lift"] = """
     SELECT arm,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(converted) AS BIGINT) AS n_converted,
-           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS rate,
-           round((CAST(sum(converted) AS DOUBLE) / count(*)
+           (CASE WHEN isnan(CAST((CAST(sum(converted) AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(converted) AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(converted) AS DOUBLE) / count(*)) ELSE floor((CAST(sum(converted) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS rate,
+           (CASE WHEN isnan(CAST(((CAST(sum(converted) AS DOUBLE) / count(*)
                   + 1.9208 / count(*)
                   - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
                                 * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
                                 / count(*)
                                 + 0.9604 / count(*) / count(*)))
-                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_lo,
-           round((CAST(sum(converted) AS DOUBLE) / count(*)
+                 / (1.0 + 3.8416 / count(*))) AS DOUBLE)) OR abs(CAST(((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) ELSE floor(((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  - 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) * 1000000.0 + 0.5) / 1000000.0 END) AS wilson_lo,
+           (CASE WHEN isnan(CAST(((CAST(sum(converted) AS DOUBLE) / count(*)
                   + 1.9208 / count(*)
                   + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
                                 * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
                                 / count(*)
                                 + 0.9604 / count(*) / count(*)))
-                 / (1.0 + 3.8416 / count(*)), 6) AS wilson_hi
+                 / (1.0 + 3.8416 / count(*))) AS DOUBLE)) OR abs(CAST(((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) ELSE floor(((CAST(sum(converted) AS DOUBLE) / count(*)
+                  + 1.9208 / count(*)
+                  + 1.96 * sqrt((CAST(sum(converted) AS DOUBLE) / count(*))
+                                * (1.0 - CAST(sum(converted) AS DOUBLE) / count(*))
+                                / count(*)
+                                + 0.9604 / count(*) / count(*)))
+                 / (1.0 + 3.8416 / count(*))) * 1000000.0 + 0.5) / 1000000.0 END) AS wilson_hi
     FROM u GROUP BY arm
     """
 
@@ -2843,9 +2975,8 @@ ORACLES["dow_seasonality_index"] = """
         SELECT CAST(sum(cents) AS DOUBLE) / sum(n_days) AS overall_daily FROM k
     )
     SELECT dow, n_days,
-           round(CAST(cents AS DOUBLE) / n_days / 100.0, 6) AS avg_daily_revenue,
-           round((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t),
-                 6) AS seasonality_index
+           (CASE WHEN isnan(CAST((CAST(cents AS DOUBLE) / n_days / 100.0) AS DOUBLE)) OR abs(CAST((CAST(cents AS DOUBLE) / n_days / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(cents AS DOUBLE) / n_days / 100.0) ELSE floor((CAST(cents AS DOUBLE) / n_days / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_daily_revenue,
+           (CASE WHEN isnan(CAST(((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t)) AS DOUBLE)) OR abs(CAST(((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t)) ELSE floor(((CAST(cents AS DOUBLE) / n_days) / (SELECT overall_daily FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS seasonality_index
     FROM k
     """
 
@@ -2871,8 +3002,11 @@ ORACLES["seed_sla_attainment"] = """
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_met,
-           round(CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS attainment
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) ELSE floor((CAST(sum(CASE WHEN bd <= sla_business_days THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS attainment
     FROM b GROUP BY 1, 2
     """
 
@@ -2906,7 +3040,7 @@ ORACLES["embedding_outlier_flags"] = f"""
                st.mu AS mu, st.sigma AS sigma
         FROM v CROSS JOIN st
     )
-    SELECT vec_id, round(dist, 6) AS dist,
+    SELECT vec_id, (CASE WHEN isnan(CAST((dist) AS DOUBLE)) OR abs(CAST((dist) AS DOUBLE)) >= 4611686018427.388 THEN (dist) ELSE floor((dist) * 1000000.0 + 0.5) / 1000000.0 END) AS dist,
            dist > mu + 2.0 * sigma AS is_outlier
     FROM d
     """
@@ -2924,11 +3058,14 @@ ORACLES["revenue_bridge_mom"] = """
         FROM m WINDOW win AS (PARTITION BY event_type ORDER BY month)
     )
     SELECT event_type, month,
-           round(CAST(cents - cents0 AS DOUBLE) / 100.0, 6) AS delta_revenue,
-           round((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0, 6)
+           (CASE WHEN isnan(CAST((CAST(cents - cents0 AS DOUBLE) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(cents - cents0 AS DOUBLE) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(cents - cents0 AS DOUBLE) / 100.0) ELSE floor((CAST(cents - cents0 AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS delta_revenue,
+           (CASE WHEN isnan(CAST(((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0) AS DOUBLE)) OR abs(CAST(((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN ((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0) ELSE floor(((n - n0) * (CAST(cents0 AS DOUBLE) / n0) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END)
                AS volume_effect,
-           round(n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
-                 / 100.0, 6) AS value_effect
+           (CASE WHEN isnan(CAST((n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0) AS DOUBLE)) OR abs(CAST((n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0) ELSE floor((n * (CAST(cents AS DOUBLE) / n - CAST(cents0 AS DOUBLE) / n0)
+                 / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS value_effect
     FROM w WHERE n0 IS NOT NULL
     """
 
@@ -2987,7 +3124,7 @@ ORACLES["cohort_ltv_curve"] = """
         FROM rev
     )
     SELECT c.cohort_week, c.week_index, s.cohort_users,
-           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0, 6)
+           (CASE WHEN isnan(CAST((CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0) AS DOUBLE)) OR abs(CAST((CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0) ELSE floor((CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0) * 1000000.0 + 0.5) / 1000000.0 END)
                AS ltv_per_user
     FROM cum c JOIN sizes s USING (cohort_week)
     """
@@ -3016,10 +3153,19 @@ ORACLES["inference_score_calibration"] = """
                FROM embeddings),
     scored AS (
         SELECT label,
-               round(1.0 / (1.0 + exp(-list_dot_product(
+               (CASE WHEN isnan(CAST((1.0 / (1.0 + exp(-list_dot_product(
                    v,
                    list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
-               ))), 6) AS score
+               )))) AS DOUBLE)) OR abs(CAST((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) AS DOUBLE)) >= 4611686018427.388 THEN (1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) ELSE floor((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM e
     ), b AS (
         SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
@@ -3030,9 +3176,9 @@ ORACLES["inference_score_calibration"] = """
     SELECT bin,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(y) AS BIGINT) AS n_pos,
-           round(CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*), 6)
+           (CASE WHEN isnan(CAST((CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*)) ELSE floor((CAST(sum(s_micro) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS mean_conf,
-           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+           (CASE WHEN isnan(CAST((CAST(sum(y) AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(y) AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(y) AS DOUBLE) / count(*)) ELSE floor((CAST(sum(y) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS pos_rate
     FROM b GROUP BY 1
     """
 
@@ -3049,10 +3195,16 @@ ORACLES["gini_revenue_concentration"] = """
         FROM r
     )
     SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS total_revenue,
-           round(CAST(2 * sum(i * cents) AS DOUBLE)
+           (CASE WHEN isnan(CAST((CAST(sum(cents) AS DOUBLE) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(cents) AS DOUBLE) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(cents) AS DOUBLE) / 100.0) ELSE floor((CAST(sum(cents) AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS total_revenue,
+           (CASE WHEN isnan(CAST((CAST(2 * sum(i * cents) AS DOUBLE)
                  / (count(*) * CAST(sum(cents) AS DOUBLE))
-                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(2 * sum(i * cents) AS DOUBLE)
+                 / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(2 * sum(i * cents) AS DOUBLE)
+                 / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*)) ELSE floor((CAST(2 * sum(i * cents) AS DOUBLE)
+                 / (count(*) * CAST(sum(cents) AS DOUBLE))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS gini
     FROM rk
     """
 
@@ -3073,14 +3225,21 @@ ORACLES["value_drift_psi_bins"] = """
         FROM b GROUP BY 1
     )
     SELECT bin, n_a, n_b,
-           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
-           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
-           round(
-               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+           (CASE WHEN isnan(CAST((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) ELSE floor((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS share_a,
+           (CASE WHEN isnan(CAST((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) ELSE floor((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS share_b,
+           (CASE WHEN isnan(CAST(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
                 - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
                * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
-           6) AS psi_contrib
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) AS DOUBLE)) OR abs(CAST(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) AS DOUBLE)) >= 4611686018427.388 THEN ((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) ELSE floor(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) * 1000000.0 + 0.5) / 1000000.0 END) AS psi_contrib
     FROM g
     """
 
@@ -3127,10 +3286,13 @@ ORACLES["finance_daily_pipeline"] = """
         FROM d GROUP BY 1, 2
     )
     SELECT d.trading_day, d.event_type, d.n_events,
-           round(CAST(d.cents AS DOUBLE) / 100.0, 6) AS revenue,
+           (CASE WHEN isnan(CAST((CAST(d.cents AS DOUBLE) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(d.cents AS DOUBLE) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(d.cents AS DOUBLE) / 100.0) ELSE floor((CAST(d.cents AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS revenue,
            CAST(dayofweek(d.trading_day) + 1 AS INT) AS dow,
-           round(CAST(d.cents AS DOUBLE)
-                 / (CAST(k.cents AS DOUBLE) / k.n_days), 6)
+           (CASE WHEN isnan(CAST((CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days)) AS DOUBLE)) OR abs(CAST((CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days)) ELSE floor((CAST(d.cents AS DOUBLE)
+                 / (CAST(k.cents AS DOUBLE) / k.n_days)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS seasonality_ratio,
            CAST(d.cents AS DOUBLE)
                / (CAST(k.cents AS DOUBLE) / k.n_days) > 1.5 AS is_high
@@ -3156,14 +3318,21 @@ ORACLES["streaming_value_drift_psi"] = """
         FROM b GROUP BY 1
     )
     SELECT bin, n_a, n_b,
-           round(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 6) AS share_a,
-           round(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 6) AS share_b,
-           round(
-               (greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+           (CASE WHEN isnan(CAST((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) ELSE floor((CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS share_a,
+           (CASE WHEN isnan(CAST((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) AS DOUBLE)) OR abs(CAST((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) ELSE floor((CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t)) * 1000000.0 + 0.5) / 1000000.0 END) AS share_b,
+           (CASE WHEN isnan(CAST(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
                 - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
                * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
-                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001)),
-           6) AS psi_contrib
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) AS DOUBLE)) OR abs(CAST(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) AS DOUBLE)) >= 4611686018427.388 THEN ((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) ELSE floor(((greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                - greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))
+               * ln(greatest(CAST(n_a AS DOUBLE) / (SELECT tot_a FROM t), 0.000001)
+                    / greatest(CAST(n_b AS DOUBLE) / (SELECT tot_b FROM t), 0.000001))) * 1000000.0 + 0.5) / 1000000.0 END) AS psi_contrib
     FROM g
     """
 
@@ -3187,10 +3356,15 @@ ORACLES["collocation_pmi_top"] = f"""
     ),
     scored AS (
         SELECT pc.l, pc.r, pc.n_lr,
-               round(ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+               (CASE WHEN isnan(CAST((ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
                         / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
-                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt)))),
-               6) AS pmi
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt))))) AS DOUBLE)) OR abs(CAST((ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt))))) AS DOUBLE)) >= 4611686018427.388 THEN (ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt))))) ELSE floor((ln((CAST(pc.n_lr AS DOUBLE) / (SELECT n_pairs FROM np))
+                        / ((CAST(a.n AS DOUBLE) / (SELECT n_toks FROM nt))
+                           * (CAST(b.n AS DOUBLE) / (SELECT n_toks FROM nt))))) * 1000000.0 + 0.5) / 1000000.0 END) AS pmi
         FROM pc
         JOIN uni a ON pc.l = a.term
         JOIN uni b ON pc.r = b.term
@@ -3237,10 +3411,10 @@ ORACLES["holt_trend_forecast"] = """
           ON q.event_type = s.event_type AND q.rn = s.rn + 1
     )
     SELECT st.event_type, nn.n_obs,
-           round(st.l, 6) AS level,
-           round(st.b, 6) AS trend,
-           round(st.l + st.b, 6) AS forecast_1,
-           round(st.l + 7.0 * st.b, 6) AS forecast_7
+           (CASE WHEN isnan(CAST((st.l) AS DOUBLE)) OR abs(CAST((st.l) AS DOUBLE)) >= 4611686018427.388 THEN (st.l) ELSE floor((st.l) * 1000000.0 + 0.5) / 1000000.0 END) AS level,
+           (CASE WHEN isnan(CAST((st.b) AS DOUBLE)) OR abs(CAST((st.b) AS DOUBLE)) >= 4611686018427.388 THEN (st.b) ELSE floor((st.b) * 1000000.0 + 0.5) / 1000000.0 END) AS trend,
+           (CASE WHEN isnan(CAST((st.l + st.b) AS DOUBLE)) OR abs(CAST((st.l + st.b) AS DOUBLE)) >= 4611686018427.388 THEN (st.l + st.b) ELSE floor((st.l + st.b) * 1000000.0 + 0.5) / 1000000.0 END) AS forecast_1,
+           (CASE WHEN isnan(CAST((st.l + 7.0 * st.b) AS DOUBLE)) OR abs(CAST((st.l + 7.0 * st.b) AS DOUBLE)) >= 4611686018427.388 THEN (st.l + 7.0 * st.b) ELSE floor((st.l + 7.0 * st.b) * 1000000.0 + 0.5) / 1000000.0 END) AS forecast_7
     FROM st JOIN nn ON st.event_type = nn.event_type AND st.rn = nn.n_obs
     """
 
@@ -3255,7 +3429,7 @@ ORACLES["dp_noisy_event_counts"] = """
         FROM g
     )
     SELECT event_type,
-           round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 6)
+           (CASE WHEN isnan(CAST((n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))) AS DOUBLE)) OR abs(CAST((n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))) AS DOUBLE)) >= 4611686018427.388 THEN (n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))) ELSE floor((n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)))) * 1000000.0 + 0.5) / 1000000.0 END)
                AS noisy_count,
            1.0 AS epsilon
     FROM u
@@ -3308,8 +3482,11 @@ ORACLES["schema_evolution_read"] = f"""
     SELECT CAST(gen AS BIGINT) AS gen,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count_if(event_type IS NULL) AS BIGINT) AS n_null_type,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0, 6) AS total_value
+           (CASE WHEN isnan(CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) ELSE floor((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS total_value
     FROM read_parquet('{_AUX_DIR}/schema_evo/gen=*/*.parquet',
                       union_by_name=true, hive_partitioning=true)
     GROUP BY 1
@@ -3494,8 +3671,11 @@ ORACLES["twap_daily_value"] = """
     )
     SELECT event_type, day,
            CAST(count(*) AS BIGINT) AS n_obs,
-           round(CAST(sum(cents * secs) AS DOUBLE) / 100.0
-                 / nullif(CAST(sum(secs) AS DOUBLE), 0), 6) AS twap
+           (CASE WHEN isnan(CAST((CAST(sum(cents * secs) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(secs) AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((CAST(sum(cents * secs) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(secs) AS DOUBLE), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(cents * secs) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(secs) AS DOUBLE), 0)) ELSE floor((CAST(sum(cents * secs) AS DOUBLE) / 100.0
+                 / nullif(CAST(sum(secs) AS DOUBLE), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS twap
     FROM b GROUP BY 1, 2
 """
 
@@ -3516,8 +3696,11 @@ ORACLES["ctfidf_distinctive_terms"] = f"""
     ),
     scored AS (
         SELECT tfc.cls, tfc.term, tfc.tf,
-               round((CAST(tfc.tf AS DOUBLE) / tokc.toks)
-                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term), 6) AS score
+               (CASE WHEN isnan(CAST(((CAST(tfc.tf AS DOUBLE) / tokc.toks)
+                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term)) AS DOUBLE)) OR abs(CAST(((CAST(tfc.tf AS DOUBLE) / tokc.toks)
+                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(tfc.tf AS DOUBLE) / tokc.toks)
+                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term)) ELSE floor(((CAST(tfc.tf AS DOUBLE) / tokc.toks)
+                     * ln(1.0 + (scal.tot / scal.ncls) / ft.f_term)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM tfc
         JOIN ft USING (term)
         JOIN tokc USING (cls)
@@ -3582,9 +3765,9 @@ ORACLES["poisson_bootstrap_ci"] = f"""
         FROM rws GROUP BY b
     )
     SELECT CAST(count(*) AS BIGINT) AS n_replicates,
-           round(quantile_cont(mean_value, 0.025), 4) AS ci_lo,
-           round(quantile_cont(mean_value, 0.975), 4) AS ci_hi,
-           round(avg(mean_value), 4) AS boot_mean
+           (CASE WHEN isnan(CAST((quantile_cont(mean_value, 0.025)) AS DOUBLE)) OR abs(CAST((quantile_cont(mean_value, 0.025)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(mean_value, 0.025)) ELSE floor((quantile_cont(mean_value, 0.025)) * 10000.0 + 0.5) / 10000.0 END) AS ci_lo,
+           (CASE WHEN isnan(CAST((quantile_cont(mean_value, 0.975)) AS DOUBLE)) OR abs(CAST((quantile_cont(mean_value, 0.975)) AS DOUBLE)) >= 461168601842738.8 THEN (quantile_cont(mean_value, 0.975)) ELSE floor((quantile_cont(mean_value, 0.975)) * 10000.0 + 0.5) / 10000.0 END) AS ci_hi,
+           (CASE WHEN isnan(CAST((avg(mean_value)) AS DOUBLE)) OR abs(CAST((avg(mean_value)) AS DOUBLE)) >= 461168601842738.8 THEN (avg(mean_value)) ELSE floor((avg(mean_value)) * 10000.0 + 0.5) / 10000.0 END) AS boot_mean
     FROM m
     """
 
@@ -3626,9 +3809,15 @@ ORACLES["zorder_locality_stats"] = f"""
 ORACLES["bucketed_join_rollup"] = """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+           (CASE WHEN isnan(CAST((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                      * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0, 2) AS revenue
+                 / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) ELSE floor((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0) * 100.0 + 0.5) / 100.0 END) AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """
@@ -3682,7 +3871,7 @@ ORACLES["indicator_max_drawdown"] = """
         FROM d WHERE cents IS NOT NULL
     ), dd AS (
         SELECT event_type, day, cents, peak,
-               round(1.0 - cents / CAST(peak AS DOUBLE), 6) AS ddown
+               (CASE WHEN isnan(CAST((1.0 - cents / CAST(peak AS DOUBLE)) AS DOUBLE)) OR abs(CAST((1.0 - cents / CAST(peak AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (1.0 - cents / CAST(peak AS DOUBLE)) ELSE floor((1.0 - cents / CAST(peak AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS ddown
         FROM p WHERE peak > 0
     ), r AS (
         SELECT *, row_number() OVER (PARTITION BY event_type
@@ -3747,14 +3936,17 @@ ORACLES["benford_first_digit"] = """
     ), t AS (
         SELECT digit, n,
                sum(n) OVER () AS total,
-               round(log10(1 + 1.0 / digit), 6) AS benford_share
+               (CASE WHEN isnan(CAST((log10(1 + 1.0 / digit)) AS DOUBLE)) OR abs(CAST((log10(1 + 1.0 / digit)) AS DOUBLE)) >= 4611686018427.388 THEN (log10(1 + 1.0 / digit)) ELSE floor((log10(1 + 1.0 / digit)) * 1000000.0 + 0.5) / 1000000.0 END) AS benford_share
         FROM g
     )
     SELECT digit, n,
-           round(n / CAST(total AS DOUBLE), 6) AS obs_share,
+           (CASE WHEN isnan(CAST((n / CAST(total AS DOUBLE)) AS DOUBLE)) OR abs(CAST((n / CAST(total AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (n / CAST(total AS DOUBLE)) ELSE floor((n / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS obs_share,
            benford_share,
-           round(sum(pow(n - total * benford_share, 2)
-                     / (total * benford_share)) OVER (), 4) AS chi2_stat
+           (CASE WHEN isnan(CAST((sum(pow(n - total * benford_share, 2)
+                     / (total * benford_share)) OVER ()) AS DOUBLE)) OR abs(CAST((sum(pow(n - total * benford_share, 2)
+                     / (total * benford_share)) OVER ()) AS DOUBLE)) >= 461168601842738.8 THEN (sum(pow(n - total * benford_share, 2)
+                     / (total * benford_share)) OVER ()) ELSE floor((sum(pow(n - total * benford_share, 2)
+                     / (total * benford_share)) OVER ()) * 10000.0 + 0.5) / 10000.0 END) AS chi2_stat
     FROM t
     """
 
@@ -3805,10 +3997,15 @@ ORACLES["indicator_lead_lag_corr"] = """
         HAVING count(*) >= 10
     ), scored AS (
         SELECT series_a, series_b, lag, n AS n_days,
-               round(CAST(n * sxy - sx * sy AS DOUBLE)
+               (CASE WHEN isnan(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
                      / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
-                     6) AS corr
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
+                     / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                     / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS corr
         FROM g
     ), ranked AS (
         SELECT *, row_number() OVER (PARTITION BY series_a, series_b
@@ -3850,7 +4047,7 @@ ORACLES["series_volatility"] = """
                lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
         FROM d WHERE cents > 0
     ), lr AS (
-        SELECT event_type, round(ln(cents / CAST(prev AS DOUBLE)), 6) AS lr
+        SELECT event_type, (CASE WHEN isnan(CAST((ln(cents / CAST(prev AS DOUBLE))) AS DOUBLE)) OR abs(CAST((ln(cents / CAST(prev AS DOUBLE))) AS DOUBLE)) >= 4611686018427.388 THEN (ln(cents / CAST(prev AS DOUBLE))) ELSE floor((ln(cents / CAST(prev AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END) AS lr
         FROM r WHERE prev > 0
     ), g AS (
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rets,
@@ -3858,12 +4055,21 @@ ORACLES["series_volatility"] = """
         FROM lr GROUP BY 1 HAVING count(*) >= 2
     )
     SELECT event_type, n_rets,
-           round(s1 / n_rets, 6) AS mean_logret,
-           round(sqrt(greatest((n_rets * s2 - s1 * s1)
-                               / (n_rets * (n_rets - 1.0)), 0.0)), 6) AS vol_daily,
-           round(sqrt(greatest((n_rets * s2 - s1 * s1)
+           (CASE WHEN isnan(CAST((s1 / n_rets) AS DOUBLE)) OR abs(CAST((s1 / n_rets) AS DOUBLE)) >= 4611686018427.388 THEN (s1 / n_rets) ELSE floor((s1 / n_rets) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_logret,
+           (CASE WHEN isnan(CAST((sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))) AS DOUBLE)) OR abs(CAST((sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))) AS DOUBLE)) >= 4611686018427.388 THEN (sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))) ELSE floor((sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 END) AS vol_daily,
+           (CASE WHEN isnan(CAST((sqrt(greatest((n_rets * s2 - s1 * s1)
                                / (n_rets * (n_rets - 1.0)), 0.0))
-                 * sqrt(252.0), 6) AS vol_annual
+                 * sqrt(252.0)) AS DOUBLE)) OR abs(CAST((sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))
+                 * sqrt(252.0)) AS DOUBLE)) >= 4611686018427.388 THEN (sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))
+                 * sqrt(252.0)) ELSE floor((sqrt(greatest((n_rets * s2 - s1 * s1)
+                               / (n_rets * (n_rets - 1.0)), 0.0))
+                 * sqrt(252.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS vol_annual
     FROM g
     """
 
@@ -3905,7 +4111,7 @@ ORACLES["ks_value_drift"] = """
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           round(max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE))), 6)
+           (CASE WHEN isnan(CAST((max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE)))) AS DOUBLE)) OR abs(CAST((max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE)))) AS DOUBLE)) >= 4611686018427.388 THEN (max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE)))) ELSE floor((max(abs(a1 / CAST(n1 AS DOUBLE) - a2 / CAST(n2 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 END)
                AS ks_stat
     FROM cum WHERE n1 > 0 AND n2 > 0
     GROUP BY 1, 2, 3
@@ -3999,7 +4205,7 @@ ORACLES["quantile_transform_feature"] = """
         FROM orders
     )
     SELECT o_orderkey,
-           round((rnk - 1) / CAST(n - 1 AS DOUBLE), 6) AS pct
+           (CASE WHEN isnan(CAST(((rnk - 1) / CAST(n - 1 AS DOUBLE)) AS DOUBLE)) OR abs(CAST(((rnk - 1) / CAST(n - 1 AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN ((rnk - 1) / CAST(n - 1 AS DOUBLE)) ELSE floor(((rnk - 1) / CAST(n - 1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS pct
     FROM r
     """
 
@@ -4018,7 +4224,7 @@ ORACLES["theil_sen_trend"] = """
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(quantile_cont(slope, 0.5), 6) AS sen_slope_cents_per_day
+           (CASE WHEN isnan(CAST((quantile_cont(slope, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(slope, 0.5)) AS DOUBLE)) >= 4611686018427.388 THEN (quantile_cont(slope, 0.5)) ELSE floor((quantile_cont(slope, 0.5)) * 1000000.0 + 0.5) / 1000000.0 END) AS sen_slope_cents_per_day
     FROM p GROUP BY 1
     """
 
@@ -4078,10 +4284,19 @@ ORACLES["roc_auc_exact"] = """
         FROM embeddings
     ), scored AS (
         SELECT y,
-               round(1.0 / (1.0 + exp(-list_dot_product(
+               (CASE WHEN isnan(CAST((1.0 / (1.0 + exp(-list_dot_product(
                    v,
                    list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
-               ))), 6) AS score
+               )))) AS DOUBLE)) OR abs(CAST((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) AS DOUBLE)) >= 4611686018427.388 THEN (1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) ELSE floor((1.0 / (1.0 + exp(-list_dot_product(
+                   v,
+                   list_transform(range(0, len(v)), j -> ((j % 7) - 3) / 10.0)
+               )))) * 1000000.0 + 0.5) / 1000000.0 END) AS score
         FROM e
     ), per AS (
         SELECT score, CAST(count(*) AS BIGINT) AS n_s,
@@ -4101,8 +4316,11 @@ ORACLES["roc_auc_exact"] = """
         FROM ranked
     )
     SELECT n_pos, n - n_pos AS n_neg,
-           round(CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (2.0 * n_pos * (n - n_pos)), 6) AS auc
+           (CASE WHEN isnan(CAST((CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * (n - n_pos))) AS DOUBLE)) OR abs(CAST((CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * (n - n_pos))) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * (n - n_pos))) ELSE floor((CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * (n - n_pos))) * 1000000.0 + 0.5) / 1000000.0 END) AS auc
     FROM a
     """
 
@@ -4128,10 +4346,15 @@ ORACLES["spearman_daily_orders"] = """
         FROM r
     )
     SELECT n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
+           (CASE WHEN isnan(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
                  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                               * CAST(n * syy - sy * sy AS DOUBLE)), 0),
-                 6) AS spearman_rho
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0)) AS DOUBLE)) OR abs(CAST((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0)) ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS spearman_rho
     FROM a
     """
 
@@ -4144,11 +4367,16 @@ ORACLES["chi_square_event_dow"] = """
     c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot FROM o GROUP BY 1),
     n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM o)
     SELECT o.event_type, o.dow, o.o,
-           round(r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE), 6) AS expected,
-           round((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
+           (CASE WHEN isnan(CAST((r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE)) AS DOUBLE)) OR abs(CAST((r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE)) ELSE floor((r.r_tot * c.c_tot / CAST(n.n_tot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS expected,
+           (CASE WHEN isnan(CAST(((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
                   * CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE))
-                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot),
-                 6) AS chi2_contrib
+                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot)) AS DOUBLE)) OR abs(CAST(((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
+                  * CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE))
+                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
+                  * CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE))
+                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot)) ELSE floor(((CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE)
+                  * CAST(n.n_tot * o.o - r.r_tot * c.c_tot AS DOUBLE))
+                 / (CAST(n.n_tot AS DOUBLE) * r.r_tot * c.c_tot)) * 1000000.0 + 0.5) / 1000000.0 END) AS chi2_contrib
     FROM o JOIN r USING (event_type) JOIN c USING (dow), n
     """
 
@@ -4177,12 +4405,14 @@ ORACLES["welch_t_event_values"] = """
         FROM j
     )
     SELECT n_a, n_b,
-           round(mean_a / 100.0, 6) AS mean_a,
-           round(mean_b / 100.0, 6) AS mean_b,
-           round((mean_a - mean_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
-           round((se2_a + se2_b) * (se2_a + se2_b)
-                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
-                 6) AS df_welch
+           (CASE WHEN isnan(CAST((mean_a / 100.0) AS DOUBLE)) OR abs(CAST((mean_a / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (mean_a / 100.0) ELSE floor((mean_a / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_a,
+           (CASE WHEN isnan(CAST((mean_b / 100.0) AS DOUBLE)) OR abs(CAST((mean_b / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (mean_b / 100.0) ELSE floor((mean_b / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_b,
+           (CASE WHEN isnan(CAST(((mean_a - mean_b) / sqrt(se2_a + se2_b)) AS DOUBLE)) OR abs(CAST(((mean_a - mean_b) / sqrt(se2_a + se2_b)) AS DOUBLE)) >= 4611686018427.388 THEN ((mean_a - mean_b) / sqrt(se2_a + se2_b)) ELSE floor(((mean_a - mean_b) / sqrt(se2_a + se2_b)) * 1000000.0 + 0.5) / 1000000.0 END) AS t_stat,
+           (CASE WHEN isnan(CAST(((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))) AS DOUBLE)) OR abs(CAST(((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))) AS DOUBLE)) >= 4611686018427.388 THEN ((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))) ELSE floor(((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))) * 1000000.0 + 0.5) / 1000000.0 END) AS df_welch
     FROM m
     """
 
@@ -4228,13 +4458,13 @@ ORACLES["acf_daily_order_revenue"] = """
                sum(y * y7) AS num7, CAST(count(y7) AS BIGINT) AS cnt7
         FROM l
     )
-    SELECT 1 AS lag, n_days, cnt1 AS n_terms, round(num1 / den, 6) AS acf FROM a
-    UNION ALL SELECT 2, n_days, cnt2, round(num2 / den, 6) FROM a
-    UNION ALL SELECT 3, n_days, cnt3, round(num3 / den, 6) FROM a
-    UNION ALL SELECT 4, n_days, cnt4, round(num4 / den, 6) FROM a
-    UNION ALL SELECT 5, n_days, cnt5, round(num5 / den, 6) FROM a
-    UNION ALL SELECT 6, n_days, cnt6, round(num6 / den, 6) FROM a
-    UNION ALL SELECT 7, n_days, cnt7, round(num7 / den, 6) FROM a
+    SELECT 1 AS lag, n_days, cnt1 AS n_terms, (CASE WHEN isnan(CAST((num1 / den) AS DOUBLE)) OR abs(CAST((num1 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num1 / den) ELSE floor((num1 / den) * 1000000.0 + 0.5) / 1000000.0 END) AS acf FROM a
+    UNION ALL SELECT 2, n_days, cnt2, (CASE WHEN isnan(CAST((num2 / den) AS DOUBLE)) OR abs(CAST((num2 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num2 / den) ELSE floor((num2 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
+    UNION ALL SELECT 3, n_days, cnt3, (CASE WHEN isnan(CAST((num3 / den) AS DOUBLE)) OR abs(CAST((num3 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num3 / den) ELSE floor((num3 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
+    UNION ALL SELECT 4, n_days, cnt4, (CASE WHEN isnan(CAST((num4 / den) AS DOUBLE)) OR abs(CAST((num4 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num4 / den) ELSE floor((num4 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
+    UNION ALL SELECT 5, n_days, cnt5, (CASE WHEN isnan(CAST((num5 / den) AS DOUBLE)) OR abs(CAST((num5 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num5 / den) ELSE floor((num5 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
+    UNION ALL SELECT 6, n_days, cnt6, (CASE WHEN isnan(CAST((num6 / den) AS DOUBLE)) OR abs(CAST((num6 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num6 / den) ELSE floor((num6 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
+    UNION ALL SELECT 7, n_days, cnt7, (CASE WHEN isnan(CAST((num7 / den) AS DOUBLE)) OR abs(CAST((num7 / den) AS DOUBLE)) >= 4611686018427.388 THEN (num7 / den) ELSE floor((num7 / den) * 1000000.0 + 0.5) / 1000000.0 END) FROM a
     """
 
 ORACLES["kaplan_meier_retention"] = """
@@ -4268,11 +4498,19 @@ ORACLES["kaplan_meier_retention"] = """
     )
     SELECT dur_days, n_risk, d,
            CASE WHEN n_risk = d THEN 0.0
-                ELSE round(exp(sum(CASE WHEN n_risk > d THEN
+                ELSE (CASE WHEN isnan(CAST((exp(sum(CASE WHEN n_risk > d THEN
                          ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
                      OVER (ORDER BY dur_days
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                     6) END AS survival
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS DOUBLE)) OR abs(CAST((exp(sum(CASE WHEN n_risk > d THEN
+                         ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                     OVER (ORDER BY dur_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS DOUBLE)) >= 4611686018427.388 THEN (exp(sum(CASE WHEN n_risk > d THEN
+                         ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                     OVER (ORDER BY dur_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) ELSE floor((exp(sum(CASE WHEN n_risk > d THEN
+                         ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                     OVER (ORDER BY dur_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1000000.0 + 0.5) / 1000000.0 END) END AS survival
     FROM risk WHERE d > 0
     """
 
@@ -4295,8 +4533,8 @@ ORACLES["bollinger_daily_bands"] = """
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT series, day, cents,
-           round(CAST(s_win AS DOUBLE) / 20, 2) AS sma,
-           round(sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0), 2)
+           (CASE WHEN isnan(CAST((CAST(s_win AS DOUBLE) / 20) AS DOUBLE)) OR abs(CAST((CAST(s_win AS DOUBLE) / 20) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(s_win AS DOUBLE) / 20) ELSE floor((CAST(s_win AS DOUBLE) / 20) * 100.0 + 0.5) / 100.0 END) AS sma,
+           (CASE WHEN isnan(CAST((sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0)) AS DOUBLE)) OR abs(CAST((sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0)) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0)) ELSE floor((sqrt(CAST(20 * q_win - s_win * s_win AS DOUBLE) / 380.0)) * 100.0 + 0.5) / 100.0 END)
                AS sd,
            -- exact-integer band test (HUGEINT): dev = n*c - S,
            -- dev^2*(n-1) > k^2*n*(n*Q - S^2), sign of dev picks the side
@@ -4333,7 +4571,7 @@ ORACLES["rsi_cutler_daily"] = """
                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
     SELECT series, day, gain AS gain_cents, loss AS loss_cents,
-           round(100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0), 6)
+           (CASE WHEN isnan(CAST((100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0)) AS DOUBLE)) OR abs(CAST((100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0)) ELSE floor((100.0 * gain / nullif(CAST(gain + loss AS DOUBLE), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS rsi
     FROM r WHERE n_win = 14
     """
@@ -4353,10 +4591,12 @@ ORACLES["hhi_revenue_concentration"] = """
         FROM per GROUP BY 1
     )
     SELECT per.r_name, per.n_name, per.cents,
-           round(CAST(per.cents AS DOUBLE) / tot.tot_cents, 6) AS share,
-           round((CAST(per.cents AS DOUBLE) / tot.tot_cents)
-                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0,
-                 6) AS hhi_contrib
+           (CASE WHEN isnan(CAST((CAST(per.cents AS DOUBLE) / tot.tot_cents) AS DOUBLE)) OR abs(CAST((CAST(per.cents AS DOUBLE) / tot.tot_cents) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(per.cents AS DOUBLE) / tot.tot_cents) ELSE floor((CAST(per.cents AS DOUBLE) / tot.tot_cents) * 1000000.0 + 0.5) / 1000000.0 END) AS share,
+           (CASE WHEN isnan(CAST(((CAST(per.cents AS DOUBLE) / tot.tot_cents)
+                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0) AS DOUBLE)) OR abs(CAST(((CAST(per.cents AS DOUBLE) / tot.tot_cents)
+                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(per.cents AS DOUBLE) / tot.tot_cents)
+                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0) ELSE floor(((CAST(per.cents AS DOUBLE) / tot.tot_cents)
+                 * (CAST(per.cents AS DOUBLE) / tot.tot_cents) * 10000.0) * 1000000.0 + 0.5) / 1000000.0 END) AS hhi_contrib
     FROM per JOIN tot USING (r_name)
     """
 
@@ -4408,7 +4648,7 @@ ORACLES["revenue_recognition_monthly"] = """
         FROM n
     )
     SELECT month, COUNT(DISTINCT o_orderkey) AS n_orders,
-           round(SUM(alloc) / 100.0, 2) AS recognized_revenue
+           (CASE WHEN isnan(CAST((SUM(alloc) / 100.0) AS DOUBLE)) OR abs(CAST((SUM(alloc) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (SUM(alloc) / 100.0) ELSE floor((SUM(alloc) / 100.0) * 100.0 + 0.5) / 100.0 END) AS recognized_revenue
     FROM a GROUP BY month ORDER BY month
 """
 
@@ -4432,8 +4672,8 @@ ORACLES["var_cvar_daily_revenue"] = """
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_obs,
            CAST(max(k) AS BIGINT) AS k_tail,
-           round(max(day_cents) / 100.0, 2) AS var_value,
-           round(CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0, 6)
+           (CASE WHEN isnan(CAST((max(day_cents) / 100.0) AS DOUBLE)) OR abs(CAST((max(day_cents) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (max(day_cents) / 100.0) ELSE floor((max(day_cents) / 100.0) * 100.0 + 0.5) / 100.0 END) AS var_value,
+           (CASE WHEN isnan(CAST((CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0) ELSE floor((CAST(SUM(day_cents) AS DOUBLE) / max(k) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END)
                AS cvar_value
     FROM t GROUP BY event_type ORDER BY event_type
 """
@@ -4443,11 +4683,13 @@ ORACLES["pca_embedding_projection"] = f"""
     e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings)
     SELECT vec_id, label, comp_id,
-           round(eigenvalue, 6) AS eigenvalue,
-           round(explained_ratio, 6) AS explained_ratio,
-           round(list_dot_product(
-               list_transform(range(1, 65), i -> v[i] - mean[i]), axis),
-               6) AS score
+           (CASE WHEN isnan(CAST((eigenvalue) AS DOUBLE)) OR abs(CAST((eigenvalue) AS DOUBLE)) >= 4611686018427.388 THEN (eigenvalue) ELSE floor((eigenvalue) * 1000000.0 + 0.5) / 1000000.0 END) AS eigenvalue,
+           (CASE WHEN isnan(CAST((explained_ratio) AS DOUBLE)) OR abs(CAST((explained_ratio) AS DOUBLE)) >= 4611686018427.388 THEN (explained_ratio) ELSE floor((explained_ratio) * 1000000.0 + 0.5) / 1000000.0 END) AS explained_ratio,
+           (CASE WHEN isnan(CAST((list_dot_product(
+               list_transform(range(1, 65), i -> v[i] - mean[i]), axis)) AS DOUBLE)) OR abs(CAST((list_dot_product(
+               list_transform(range(1, 65), i -> v[i] - mean[i]), axis)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(
+               list_transform(range(1, 65), i -> v[i] - mean[i]), axis)) ELSE floor((list_dot_product(
+               list_transform(range(1, 65), i -> v[i] - mean[i]), axis)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
     FROM e, c
 """
 
@@ -4516,10 +4758,10 @@ ORACLES["seasonal_decompose_daily"] = """
         FROM i GROUP BY event_type, dow
     )
     SELECT i.event_type, day, CAST(i.dow AS INT) AS dow,
-           round(cents / 100.0, 2) AS value,
-           round(s7 / 700.0, 6) AS trend,
-           round(num / den / 100.0, 6) AS seasonal,
-           round((cents - s7 / 7.0 - num / den) / 100.0, 6) AS resid
+           (CASE WHEN isnan(CAST((cents / 100.0) AS DOUBLE)) OR abs(CAST((cents / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (cents / 100.0) ELSE floor((cents / 100.0) * 100.0 + 0.5) / 100.0 END) AS value,
+           (CASE WHEN isnan(CAST((s7 / 700.0) AS DOUBLE)) OR abs(CAST((s7 / 700.0) AS DOUBLE)) >= 4611686018427.388 THEN (s7 / 700.0) ELSE floor((s7 / 700.0) * 1000000.0 + 0.5) / 1000000.0 END) AS trend,
+           (CASE WHEN isnan(CAST((num / den / 100.0) AS DOUBLE)) OR abs(CAST((num / den / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (num / den / 100.0) ELSE floor((num / den / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS seasonal,
+           (CASE WHEN isnan(CAST(((cents - s7 / 7.0 - num / den) / 100.0) AS DOUBLE)) OR abs(CAST(((cents - s7 / 7.0 - num / den) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN ((cents - s7 / 7.0 - num / den) / 100.0) ELSE floor(((cents - s7 / 7.0 - num / den) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS resid
     FROM i JOIN s ON i.event_type = s.event_type AND i.dow = s.dow
 """
 
@@ -4565,7 +4807,7 @@ ORACLES["pps_part_revenue_sample"] = f"""
     )
     SELECT l_partkey, w_c AS weight_cents,
            CAST(fhi - flo AS BIGINT) AS hits,
-           round(least(1.0, 500.0 * w_c / wt), 6) AS incl_prob
+           (CASE WHEN isnan(CAST((least(1.0, 500.0 * w_c / wt)) AS DOUBLE)) OR abs(CAST((least(1.0, 500.0 * w_c / wt)) AS DOUBLE)) >= 4611686018427.388 THEN (least(1.0, 500.0 * w_c / wt)) ELSE floor((least(1.0, 500.0 * w_c / wt)) * 1000000.0 + 0.5) / 1000000.0 END) AS incl_prob
     FROM f WHERE fhi - flo >= 1
 """
 
@@ -4604,7 +4846,7 @@ ORACLES["fifo_open_lots_aging"] = """
                 ELSE '91+' END AS age_bucket,
            COUNT(*) AS n_lots,
            CAST(SUM(open_qty) AS BIGINT) AS open_qty,
-           round(SUM(open_cents) / 100.0, 2) AS open_value
+           (CASE WHEN isnan(CAST((SUM(open_cents) / 100.0) AS DOUBLE)) OR abs(CAST((SUM(open_cents) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (SUM(open_cents) / 100.0) ELSE floor((SUM(open_cents) / 100.0) * 100.0 + 0.5) / 100.0 END) AS open_value
     FROM o JOIN part ON p_partkey = l_partkey CROSS JOIN asof_day
     WHERE open_qty > 0
     GROUP BY p_brand, age_bucket
@@ -4660,10 +4902,13 @@ ORACLES["changepoint_daily_revenue"] = """
     )
     SELECT o_orderpriority, day AS change_point,
            k AS n_before, n - k AS n_after,
-           round(CAST(pre AS DOUBLE) / k / 100.0, 2) AS mean_before,
-           round(CAST(tot - pre AS DOUBLE) / (n - k) / 100.0, 2) AS mean_after,
-           round(CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
-                 - CAST(pre AS DOUBLE) / k / 100.0, 2) AS mean_shift
+           (CASE WHEN isnan(CAST((CAST(pre AS DOUBLE) / k / 100.0) AS DOUBLE)) OR abs(CAST((CAST(pre AS DOUBLE) / k / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(pre AS DOUBLE) / k / 100.0) ELSE floor((CAST(pre AS DOUBLE) / k / 100.0) * 100.0 + 0.5) / 100.0 END) AS mean_before,
+           (CASE WHEN isnan(CAST((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(tot - pre AS DOUBLE) / (n - k) / 100.0) ELSE floor((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0) * 100.0 + 0.5) / 100.0 END) AS mean_after,
+           (CASE WHEN isnan(CAST((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
+                 - CAST(pre AS DOUBLE) / k / 100.0) AS DOUBLE)) OR abs(CAST((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
+                 - CAST(pre AS DOUBLE) / k / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
+                 - CAST(pre AS DOUBLE) / k / 100.0) ELSE floor((CAST(tot - pre AS DOUBLE) / (n - k) / 100.0
+                 - CAST(pre AS DOUBLE) / k / 100.0) * 100.0 + 0.5) / 100.0 END) AS mean_shift
     FROM m WHERE r = 1
 """
 
@@ -4711,18 +4956,42 @@ ORACLES["capm_segment_beta"] = """
         FROM pairs GROUP BY 1
     )
     SELECT c_mktsegment, n_obs,
-           round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
-                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0), 6)
+           (CASE WHEN isnan(CAST((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) ELSE floor((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS beta,
-           round((CAST(sy AS DOUBLE)
+           (CASE WHEN isnan(CAST(((CAST(sy AS DOUBLE)
                   - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
                      / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
                     * CAST(sx AS DOUBLE))
-                 / CAST(n_obs AS DOUBLE), 6) AS alpha,
-           round((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_obs AS DOUBLE)) AS DOUBLE)) OR abs(CAST(((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) ELSE floor(((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS alpha,
+           (CASE WHEN isnan(CAST(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
                   * CAST(n_obs * sxy - sx * sy AS DOUBLE))
                  / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
-                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0), 6)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) ELSE floor(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS r2
     FROM a
 """
@@ -4828,38 +5097,44 @@ ORACLES["dupont_roe_decomposition"] = """
     WITH inc AS (
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
-               round(sum(value), 6)       AS total_revenue,
-               round(sum(value * 0.2), 6) AS net_income
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END)       AS total_revenue,
+               (CASE WHEN isnan(CAST((sum(value * 0.2)) AS DOUBLE)) OR abs(CAST((sum(value * 0.2)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.2)) ELSE floor((sum(value * 0.2)) * 1000000.0 + 0.5) / 1000000.0 END) AS net_income
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1, 2
     ), bal AS (
         SELECT user_id AS symbol,
                date_trunc('month', ts) AS fiscal_date,
-               round(sum(value), 6)       AS total_assets,
-               round(sum(value * 0.4), 6) AS total_equity
+               (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END)       AS total_assets,
+               (CASE WHEN isnan(CAST((sum(value * 0.4)) AS DOUBLE)) OR abs(CAST((sum(value * 0.4)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value * 0.4)) ELSE floor((sum(value * 0.4)) * 1000000.0 + 0.5) / 1000000.0 END) AS total_equity
         FROM events WHERE event_type = 'click'
         GROUP BY 1, 2
     )
     SELECT symbol, fiscal_date,
-           round(net_income / nullif(total_revenue, 0), 6) AS net_margin,
-           round(total_revenue / nullif(total_assets, 0), 6)
+           (CASE WHEN isnan(CAST((net_income / nullif(total_revenue, 0)) AS DOUBLE)) OR abs(CAST((net_income / nullif(total_revenue, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (net_income / nullif(total_revenue, 0)) ELSE floor((net_income / nullif(total_revenue, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS net_margin,
+           (CASE WHEN isnan(CAST((total_revenue / nullif(total_assets, 0)) AS DOUBLE)) OR abs(CAST((total_revenue / nullif(total_assets, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (total_revenue / nullif(total_assets, 0)) ELSE floor((total_revenue / nullif(total_assets, 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS asset_turnover,
-           round(total_assets / nullif(total_equity, 0), 6)
+           (CASE WHEN isnan(CAST((total_assets / nullif(total_equity, 0)) AS DOUBLE)) OR abs(CAST((total_assets / nullif(total_equity, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (total_assets / nullif(total_equity, 0)) ELSE floor((total_assets / nullif(total_equity, 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS equity_multiplier,
-           round((net_income / nullif(total_revenue, 0))
+           (CASE WHEN isnan(CAST(((net_income / nullif(total_revenue, 0))
                  * (total_revenue / nullif(total_assets, 0))
-                 * (total_assets / nullif(total_equity, 0)), 6)
+                 * (total_assets / nullif(total_equity, 0))) AS DOUBLE)) OR abs(CAST(((net_income / nullif(total_revenue, 0))
+                 * (total_revenue / nullif(total_assets, 0))
+                 * (total_assets / nullif(total_equity, 0))) AS DOUBLE)) >= 4611686018427.388 THEN ((net_income / nullif(total_revenue, 0))
+                 * (total_revenue / nullif(total_assets, 0))
+                 * (total_assets / nullif(total_equity, 0))) ELSE floor(((net_income / nullif(total_revenue, 0))
+                 * (total_revenue / nullif(total_assets, 0))
+                 * (total_assets / nullif(total_equity, 0))) * 1000000.0 + 0.5) / 1000000.0 END)
                AS roe_dupont,
-           round(net_income / nullif(total_equity, 0), 6) AS roe_direct
+           (CASE WHEN isnan(CAST((net_income / nullif(total_equity, 0)) AS DOUBLE)) OR abs(CAST((net_income / nullif(total_equity, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (net_income / nullif(total_equity, 0)) ELSE floor((net_income / nullif(total_equity, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS roe_direct
     FROM inc JOIN bal USING (symbol, fiscal_date)
 """
 
 ORACLES["indicator_real_terms"] = """
     WITH g AS (
-        SELECT CAST(ts AS DATE) AS date, round(sum(value), 6) AS nominal
+        SELECT CAST(ts AS DATE) AS date, (CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 4611686018427.388 THEN (sum(value)) ELSE floor((sum(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS nominal
         FROM events WHERE event_type = 'click' GROUP BY 1
     ), c AS (
-        SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS cpi
+        SELECT CAST(ts AS DATE) AS date, (CASE WHEN isnan(CAST((avg(value)) AS DOUBLE)) OR abs(CAST((avg(value)) AS DOUBLE)) >= 4611686018427.388 THEN (avg(value)) ELSE floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 END) AS cpi
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     ), j AS (SELECT g.date, nominal, cpi FROM g JOIN c USING (date)),
     b AS (SELECT cpi AS base_cpi FROM j ORDER BY date LIMIT 1),
@@ -4869,9 +5144,9 @@ ORACLES["indicator_real_terms"] = """
         FROM j CROSS JOIN b
     )
     SELECT date, nominal, cpi,
-           round(nominal * base_cpi / nullif(cpi, 0), 6) AS real_value,
-           round(nominal - prev, 6) AS chg,
-           round((nominal - prev) / nullif(prev, 0) * 100.0, 6) AS pch
+           (CASE WHEN isnan(CAST((nominal * base_cpi / nullif(cpi, 0)) AS DOUBLE)) OR abs(CAST((nominal * base_cpi / nullif(cpi, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (nominal * base_cpi / nullif(cpi, 0)) ELSE floor((nominal * base_cpi / nullif(cpi, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS real_value,
+           (CASE WHEN isnan(CAST((nominal - prev) AS DOUBLE)) OR abs(CAST((nominal - prev) AS DOUBLE)) >= 4611686018427.388 THEN (nominal - prev) ELSE floor((nominal - prev) * 1000000.0 + 0.5) / 1000000.0 END) AS chg,
+           (CASE WHEN isnan(CAST(((nominal - prev) / nullif(prev, 0) * 100.0) AS DOUBLE)) OR abs(CAST(((nominal - prev) / nullif(prev, 0) * 100.0) AS DOUBLE)) >= 4611686018427.388 THEN ((nominal - prev) / nullif(prev, 0) * 100.0) ELSE floor(((nominal - prev) / nullif(prev, 0) * 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS pch
     FROM l
 """
 
@@ -4946,9 +5221,9 @@ ORACLES["markov_absorption_3step"] = f"""
         SELECT w2.*, p_absorb + {_MK_U} AS p3 FROM w2 CROSS JOIN v2
     )
     SELECT src AS start_state,
-           round(p_absorb, 6) AS p_1,
-           round(p2, 6) AS p_2,
-           round(p3, 6) AS p_3
+           (CASE WHEN isnan(CAST((p_absorb) AS DOUBLE)) OR abs(CAST((p_absorb) AS DOUBLE)) >= 4611686018427.388 THEN (p_absorb) ELSE floor((p_absorb) * 1000000.0 + 0.5) / 1000000.0 END) AS p_1,
+           (CASE WHEN isnan(CAST((p2) AS DOUBLE)) OR abs(CAST((p2) AS DOUBLE)) >= 4611686018427.388 THEN (p2) ELSE floor((p2) * 1000000.0 + 0.5) / 1000000.0 END) AS p_2,
+           (CASE WHEN isnan(CAST((p3) AS DOUBLE)) OR abs(CAST((p3) AS DOUBLE)) >= 4611686018427.388 THEN (p3) ELSE floor((p3) * 1000000.0 + 0.5) / 1000000.0 END) AS p_3
     FROM w3
 """
 
@@ -4970,8 +5245,8 @@ ORACLES["wac_inventory_brand"] = f"""
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n_parts,
            CAST(sum(on_hand_qty) AS BIGINT) AS on_hand_qty,
-           round(sum(inv_value_cents) / 100.0, 2) AS inv_value,
-           round(sum(realized_cents) / 100.0, 2) AS realized_pnl
+           (CASE WHEN isnan(CAST((sum(inv_value_cents) / 100.0) AS DOUBLE)) OR abs(CAST((sum(inv_value_cents) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sum(inv_value_cents) / 100.0) ELSE floor((sum(inv_value_cents) / 100.0) * 100.0 + 0.5) / 100.0 END) AS inv_value,
+           (CASE WHEN isnan(CAST((sum(realized_cents) / 100.0) AS DOUBLE)) OR abs(CAST((sum(realized_cents) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sum(realized_cents) / 100.0) ELSE floor((sum(realized_cents) / 100.0) * 100.0 + 0.5) / 100.0 END) AS realized_pnl
     FROM ({_WAC_BASE}) base
     JOIN part ON p_partkey = l_partkey
     GROUP BY 1
@@ -5005,18 +5280,42 @@ ORACLES["zipf_law_fit"] = f"""
         FROM xy GROUP BY 1
     )
     SELECT lang, n_obs,
-           round(CAST(n_obs * sxy - sx * sy AS DOUBLE)
-                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0), 6)
+           (CASE WHEN isnan(CAST((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) ELSE floor((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS beta,
-           round((CAST(sy AS DOUBLE)
+           (CASE WHEN isnan(CAST(((CAST(sy AS DOUBLE)
                   - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
                      / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
                     * CAST(sx AS DOUBLE))
-                 / CAST(n_obs AS DOUBLE), 6) AS alpha,
-           round((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_obs AS DOUBLE)) AS DOUBLE)) OR abs(CAST(((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) ELSE floor(((CAST(sy AS DOUBLE)
+                  - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS alpha,
+           (CASE WHEN isnan(CAST(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
                   * CAST(n_obs * sxy - sx * sy AS DOUBLE))
                  / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
-                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0), 6)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) ELSE floor(((CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                 / nullif(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_obs * syy - sy * sy AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS r2
     FROM a
 """
@@ -5066,7 +5365,7 @@ ORACLES["mahalanobis_outlier_events"] = """
     SELECT event_type,
            CAST(max(n_events) AS BIGINT) AS n_events,
            CAST(sum(f) AS BIGINT) AS n_outliers,
-           round(CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE), 6)
+           (CASE WHEN isnan(CAST((CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE)) ELSE floor((CAST(sum(f) AS DOUBLE) / CAST(max(n_events) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS outlier_rate
     FROM d GROUP BY 1
 """
@@ -5087,13 +5386,25 @@ ORACLES["seasonal_naive_backtest"] = """
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_eval,
-           round(CAST(sum(abs(err)) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mae,
-           round(sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
+           (CASE WHEN isnan(CAST((CAST(sum(abs(err)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(abs(err)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (CAST(sum(abs(err)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0) ELSE floor((CAST(sum(abs(err)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 END) AS mae,
+           (CASE WHEN isnan(CAST((sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
                            AS DOUBLE)
-                      / CAST(count(*) AS DOUBLE)) / 100.0, 2) AS rmse,
-           round(CAST(sum(abs(err)) AS DOUBLE)
-                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0), 6) AS wape
+                      / CAST(count(*) AS DOUBLE)) / 100.0) AS DOUBLE)) OR abs(CAST((sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 100.0) ELSE floor((sqrt(CAST(CAST(sum(CAST(err AS HUGEINT) * err) AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 100.0) * 100.0 + 0.5) / 100.0 END) AS rmse,
+           (CASE WHEN isnan(CAST((CAST(sum(abs(err)) AS DOUBLE)
+                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(abs(err)) AS DOUBLE)
+                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(abs(err)) AS DOUBLE)
+                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(abs(err)) AS DOUBLE)
+                 / nullif(CAST(sum(abs(c)) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS wape
     FROM e GROUP BY 1
 """
 
@@ -5146,12 +5457,12 @@ ORACLES["gbt_price_residual_stumps"] = f"""
         FROM res2
     )
     SELECT CAST(1 AS INT) AS round, feature, thr, pred_l, pred_r,
-           round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+           (CASE WHEN isnan(CAST((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS DOUBLE)) OR abs(CAST((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) ELSE floor((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) * 100.0 + 0.5) / 100.0 END)
                AS rmse_after
     FROM b1 CROSS JOIN s1
     UNION ALL
     SELECT CAST(2 AS INT), feature, thr, pred_l, pred_r,
-           round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+           (CASE WHEN isnan(CAST((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS DOUBLE)) OR abs(CAST((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) ELSE floor((sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) * 100.0 + 0.5) / 100.0 END)
     FROM b2 CROSS JOIN s2
 """
 
@@ -5194,8 +5505,11 @@ ORACLES["ab_srm_check"] = """
         FROM u
     )
     SELECT n_users, n_a, n_b,
-           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
-                 / CAST(n_users AS DOUBLE), 6) AS chi2,
+           (CASE WHEN isnan(CAST((CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE)) ELSE floor((CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS chi2,
            CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
                      / CAST(n_users AS DOUBLE) > 3.841458820694124
                 THEN 1 ELSE 0 END AS srm_flag_95,
@@ -5247,10 +5561,15 @@ ORACLES["kendall_tau_daily"] = """
         FROM p
     )
     SELECT n_pairs, concordant, discordant,
-           round(CAST(concordant - discordant AS DOUBLE)
+           (CASE WHEN isnan(CAST((CAST(concordant - discordant AS DOUBLE)
                  / nullif(sqrt(CAST(n_pairs - (tx + txy) AS DOUBLE)
-                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0),
-                 6) AS tau_b
+                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n_pairs - (tx + txy) AS DOUBLE)
+                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n_pairs - (tx + txy) AS DOUBLE)
+                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0)) ELSE floor((CAST(concordant - discordant AS DOUBLE)
+                 / nullif(sqrt(CAST(n_pairs - (tx + txy) AS DOUBLE)
+                               * CAST(n_pairs - (ty + txy) AS DOUBLE)), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END) AS tau_b
     FROM agg
 """
 
@@ -5282,12 +5601,24 @@ ORACLES["tail_dependence_segments"] = """
                 AS BIGINT) AS joint_upper,
            CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt THEN 1 ELSE 0 END)
                 AS BIGINT) AS joint_lower,
-           round(CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(max(kt) AS DOUBLE), 6) AS lambda_upper,
-           round(CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                 / CAST(max(kt) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(max(kt) AS DOUBLE), 6) AS lambda_lower
+                 / CAST(max(kt) AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) ELSE floor((CAST(sum(CASE WHEN rx_hi <= kt AND ry_hi <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS lambda_upper,
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) ELSE floor((CAST(sum(CASE WHEN rx_lo <= kt AND ry_lo <= kt
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(max(kt) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS lambda_lower
     FROM k
 """
 
@@ -5321,8 +5652,11 @@ ORACLES["last_digit_uniformity"] = """
         FROM c
     )
     SELECT n, min_digit_n, max_digit_n,
-           round(CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
-                 - CAST(n AS DOUBLE), 6) AS chi2,
+           (CASE WHEN isnan(CAST((CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)) ELSE floor((CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END) AS chi2,
            CASE WHEN CAST(10 * ss AS DOUBLE) / CAST(n AS DOUBLE)
                      - CAST(n AS DOUBLE) > 16.918977604620448
                 THEN 1 ELSE 0 END AS nonuniform_95,
@@ -5342,11 +5676,17 @@ ORACLES["ucb1_arm_scores"] = """
         GROUP BY 1
     ), t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS big_n FROM a)
     SELECT arm, n_pulls,
-           round(CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0, 6)
+           (CASE WHEN isnan(CAST((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0) AS DOUBLE)) OR abs(CAST((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0) ELSE floor((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0 END)
                AS mean_value,
-           round(CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+           (CASE WHEN isnan(CAST((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
                  + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
-                                / CAST(n_pulls AS DOUBLE)), 6) AS ucb_score,
+                                / CAST(n_pulls AS DOUBLE))) AS DOUBLE)) OR abs(CAST((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+                 + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                                / CAST(n_pulls AS DOUBLE))) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+                 + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                                / CAST(n_pulls AS DOUBLE))) ELSE floor((CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+                 + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
+                                / CAST(n_pulls AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END) AS ucb_score,
            CAST(row_number() OVER (
                ORDER BY CAST(cents AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
                         + 100.0 * sqrt(2.0 * ln(CAST(big_n AS DOUBLE))
@@ -5371,18 +5711,48 @@ ORACLES["woe_iv_discount_bins"] = """
         FROM b
     )
     SELECT bin_bp, n, n_bad,
-           round(ln((CAST(n_bad AS DOUBLE) + 0.5)
+           (CASE WHEN isnan(CAST((ln((CAST(n_bad AS DOUBLE) + 0.5)
                     / (CAST(tot_bad AS DOUBLE) + 0.5)
                     / ((CAST(n - n_bad AS DOUBLE) + 0.5)
-                       / (CAST(tot_good AS DOUBLE) + 0.5))), 6) AS woe,
-           round(((CAST(n_bad AS DOUBLE) + 0.5)
+                       / (CAST(tot_good AS DOUBLE) + 0.5)))) AS DOUBLE)) OR abs(CAST((ln((CAST(n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_bad AS DOUBLE) + 0.5)
+                    / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                       / (CAST(tot_good AS DOUBLE) + 0.5)))) AS DOUBLE)) >= 4611686018427.388 THEN (ln((CAST(n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_bad AS DOUBLE) + 0.5)
+                    / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                       / (CAST(tot_good AS DOUBLE) + 0.5)))) ELSE floor((ln((CAST(n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_bad AS DOUBLE) + 0.5)
+                    / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                       / (CAST(tot_good AS DOUBLE) + 0.5)))) * 1000000.0 + 0.5) / 1000000.0 END) AS woe,
+           (CASE WHEN isnan(CAST((((CAST(n_bad AS DOUBLE) + 0.5)
                   / (CAST(tot_bad AS DOUBLE) + 0.5)
                   - (CAST(n - n_bad AS DOUBLE) + 0.5)
                     / (CAST(tot_good AS DOUBLE) + 0.5))
                  * ln((CAST(n_bad AS DOUBLE) + 0.5)
                       / (CAST(tot_bad AS DOUBLE) + 0.5)
                       / ((CAST(n - n_bad AS DOUBLE) + 0.5)
-                         / (CAST(tot_good AS DOUBLE) + 0.5))), 6)
+                         / (CAST(tot_good AS DOUBLE) + 0.5)))) AS DOUBLE)) OR abs(CAST((((CAST(n_bad AS DOUBLE) + 0.5)
+                  / (CAST(tot_bad AS DOUBLE) + 0.5)
+                  - (CAST(n - n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_good AS DOUBLE) + 0.5))
+                 * ln((CAST(n_bad AS DOUBLE) + 0.5)
+                      / (CAST(tot_bad AS DOUBLE) + 0.5)
+                      / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                         / (CAST(tot_good AS DOUBLE) + 0.5)))) AS DOUBLE)) >= 4611686018427.388 THEN (((CAST(n_bad AS DOUBLE) + 0.5)
+                  / (CAST(tot_bad AS DOUBLE) + 0.5)
+                  - (CAST(n - n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_good AS DOUBLE) + 0.5))
+                 * ln((CAST(n_bad AS DOUBLE) + 0.5)
+                      / (CAST(tot_bad AS DOUBLE) + 0.5)
+                      / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                         / (CAST(tot_good AS DOUBLE) + 0.5)))) ELSE floor((((CAST(n_bad AS DOUBLE) + 0.5)
+                  / (CAST(tot_bad AS DOUBLE) + 0.5)
+                  - (CAST(n - n_bad AS DOUBLE) + 0.5)
+                    / (CAST(tot_good AS DOUBLE) + 0.5))
+                 * ln((CAST(n_bad AS DOUBLE) + 0.5)
+                      / (CAST(tot_bad AS DOUBLE) + 0.5)
+                      / ((CAST(n - n_bad AS DOUBLE) + 0.5)
+                         / (CAST(tot_good AS DOUBLE) + 0.5)))) * 1000000.0 + 0.5) / 1000000.0 END)
                AS iv_contrib
     FROM b CROSS JOIN t
 """
@@ -5477,11 +5847,11 @@ ORACLES["price_volume_mix_decomposition"] = """
         WHERE a.qty > 0 AND b.qty > 0
     )
     SELECT brand,
-           round(c0 / 100.0, 2) AS rev_base,
-           round(c1 / 100.0, 2) AS rev_curr,
-           round((p1 - p0) * q0 / 100.0, 2) AS price_effect,
-           round((q1 - q0) * p0 / 100.0, 2) AS volume_effect,
-           round((p1 - p0) * (q1 - q0) / 100.0, 2) AS mix_effect
+           (CASE WHEN isnan(CAST((c0 / 100.0) AS DOUBLE)) OR abs(CAST((c0 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (c0 / 100.0) ELSE floor((c0 / 100.0) * 100.0 + 0.5) / 100.0 END) AS rev_base,
+           (CASE WHEN isnan(CAST((c1 / 100.0) AS DOUBLE)) OR abs(CAST((c1 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN (c1 / 100.0) ELSE floor((c1 / 100.0) * 100.0 + 0.5) / 100.0 END) AS rev_curr,
+           (CASE WHEN isnan(CAST(((p1 - p0) * q0 / 100.0) AS DOUBLE)) OR abs(CAST(((p1 - p0) * q0 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN ((p1 - p0) * q0 / 100.0) ELSE floor(((p1 - p0) * q0 / 100.0) * 100.0 + 0.5) / 100.0 END) AS price_effect,
+           (CASE WHEN isnan(CAST(((q1 - q0) * p0 / 100.0) AS DOUBLE)) OR abs(CAST(((q1 - q0) * p0 / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN ((q1 - q0) * p0 / 100.0) ELSE floor(((q1 - q0) * p0 / 100.0) * 100.0 + 0.5) / 100.0 END) AS volume_effect,
+           (CASE WHEN isnan(CAST(((p1 - p0) * (q1 - q0) / 100.0) AS DOUBLE)) OR abs(CAST(((p1 - p0) * (q1 - q0) / 100.0) AS DOUBLE)) >= 4.611686018427388e+16 THEN ((p1 - p0) * (q1 - q0) / 100.0) ELSE floor(((p1 - p0) * (q1 - q0) / 100.0) * 100.0 + 0.5) / 100.0 END) AS mix_effect
     FROM w
 """
 
@@ -5529,18 +5899,38 @@ ORACLES["cuped_adjusted_lift"] = """
         FROM g CROSS JOIN arms
     )
     SELECT CAST(n AS BIGINT) AS n_users,
-           round(theta, 6) AS theta,
-           round((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
-                 / 100.0, 6) AS raw_lift,
-           round(((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
+           (CASE WHEN isnan(CAST((theta) AS DOUBLE)) OR abs(CAST((theta) AS DOUBLE)) >= 4611686018427.388 THEN (theta) ELSE floor((theta) * 1000000.0 + 0.5) / 1000000.0 END) AS theta,
+           (CASE WHEN isnan(CAST(((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+                 / 100.0) AS DOUBLE)) OR abs(CAST(((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+                 / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+                 / 100.0) ELSE floor(((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+                 / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS raw_lift,
+           (CASE WHEN isnan(CAST((((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
                   - (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)))
-                 / 100.0, 6) AS adjusted_lift,
-           round(1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 / 100.0) AS DOUBLE)) OR abs(CAST((((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
+                  - (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)))
+                 / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
+                  - (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)))
+                 / 100.0) ELSE floor((((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx))
+                  - (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)))
+                 / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS adjusted_lift,
+           (CASE WHEN isnan(CAST((1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
                         - 2 * theta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
                         + theta * theta
                           * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
-                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0),
-                 6) AS var_reduction
+                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0)) AS DOUBLE)) OR abs(CAST((1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                        - 2 * theta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                        + theta * theta
+                          * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0)) AS DOUBLE)) >= 4611686018427.388 THEN (1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                        - 2 * theta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                        + theta * theta
+                          * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0)) ELSE floor((1.0 - ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                        - 2 * theta * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                        + theta * theta
+                          * (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                       / nullif(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n, 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS var_reduction
     FROM t
 """
 
@@ -5567,9 +5957,9 @@ ORACLES["diff_in_diff_discount"] = """
                         THEN CAST(s AS DOUBLE) / n END) AS c0
         FROM g
     )
-    SELECT round(t0, 6) AS treated_pre_bp, round(t1, 6) AS treated_post_bp,
-           round(c0, 6) AS control_pre_bp, round(c1, 6) AS control_post_bp,
-           round((t1 - t0) - (c1 - c0), 6) AS did_bp
+    SELECT (CASE WHEN isnan(CAST((t0) AS DOUBLE)) OR abs(CAST((t0) AS DOUBLE)) >= 4611686018427.388 THEN (t0) ELSE floor((t0) * 1000000.0 + 0.5) / 1000000.0 END) AS treated_pre_bp, (CASE WHEN isnan(CAST((t1) AS DOUBLE)) OR abs(CAST((t1) AS DOUBLE)) >= 4611686018427.388 THEN (t1) ELSE floor((t1) * 1000000.0 + 0.5) / 1000000.0 END) AS treated_post_bp,
+           (CASE WHEN isnan(CAST((c0) AS DOUBLE)) OR abs(CAST((c0) AS DOUBLE)) >= 4611686018427.388 THEN (c0) ELSE floor((c0) * 1000000.0 + 0.5) / 1000000.0 END) AS control_pre_bp, (CASE WHEN isnan(CAST((c1) AS DOUBLE)) OR abs(CAST((c1) AS DOUBLE)) >= 4611686018427.388 THEN (c1) ELSE floor((c1) * 1000000.0 + 0.5) / 1000000.0 END) AS control_post_bp,
+           (CASE WHEN isnan(CAST(((t1 - t0) - (c1 - c0)) AS DOUBLE)) OR abs(CAST(((t1 - t0) - (c1 - c0)) AS DOUBLE)) >= 4611686018427.388 THEN ((t1 - t0) - (c1 - c0)) ELSE floor(((t1 - t0) - (c1 - c0)) * 1000000.0 + 0.5) / 1000000.0 END) AS did_bp
     FROM m
 """
 
@@ -5594,12 +5984,17 @@ ORACLES["sharpe_sortino_daily"] = """
         FROM l WHERE dlt IS NOT NULL GROUP BY 1
     )
     SELECT event_type, n AS n_days,
-           round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_pnl,
-           round((CAST(s AS DOUBLE) / n)
-                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0),
-                 6) AS sharpe,
-           round((CAST(s AS DOUBLE) / n)
-                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0), 6)
+           (CASE WHEN isnan(CAST((CAST(s AS DOUBLE) / n / 100.0) AS DOUBLE)) OR abs(CAST((CAST(s AS DOUBLE) / n / 100.0) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(s AS DOUBLE) / n / 100.0) ELSE floor((CAST(s AS DOUBLE) / n / 100.0) * 1000000.0 + 0.5) / 1000000.0 END) AS mean_pnl,
+           (CASE WHEN isnan(CAST(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0)) AS DOUBLE)) OR abs(CAST(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0)) ELSE floor(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt((q - s * (CAST(s AS DOUBLE) / n)) / (n - 1)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS sharpe,
+           (CASE WHEN isnan(CAST(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0)) AS DOUBLE)) OR abs(CAST(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN ((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0)) ELSE floor(((CAST(s AS DOUBLE) / n)
+                 / nullif(sqrt(CAST(qd AS DOUBLE) / (n - 1)), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
                AS sortino
     FROM g
 """
@@ -5648,7 +6043,7 @@ ORACLES["hurst_exponent_rs"] = """
         FROM per_n
     )
     SELECT CAST(p.wn AS INT) AS window_days, p.n_blocks,
-           round(p.avg_rs, 6) AS avg_rs, round(f.h, 6) AS hurst
+           (CASE WHEN isnan(CAST((p.avg_rs) AS DOUBLE)) OR abs(CAST((p.avg_rs) AS DOUBLE)) >= 4611686018427.388 THEN (p.avg_rs) ELSE floor((p.avg_rs) * 1000000.0 + 0.5) / 1000000.0 END) AS avg_rs, (CASE WHEN isnan(CAST((f.h) AS DOUBLE)) OR abs(CAST((f.h) AS DOUBLE)) >= 4611686018427.388 THEN (f.h) ELSE floor((f.h) * 1000000.0 + 0.5) / 1000000.0 END) AS hurst
     FROM per_n p CROSS JOIN fit f
 """
 
@@ -5665,9 +6060,15 @@ ORACLES["token_dist_kl_divergence"] = f"""
     ), ctot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct)
     SELECT lt.lang, max(ltot.n) AS n_tokens,
            CAST(count(*) AS BIGINT) AS vocab,
-           round(sum((CAST(lt.c AS DOUBLE) / ltot.n)
+           (CASE WHEN isnan(CAST((sum((CAST(lt.c AS DOUBLE) / ltot.n)
                      * ln((CAST(lt.c AS DOUBLE) / ltot.n)
-                          / (CAST(ct.c AS DOUBLE) / ctot.n))), 6)
+                          / (CAST(ct.c AS DOUBLE) / ctot.n)))) AS DOUBLE)) OR abs(CAST((sum((CAST(lt.c AS DOUBLE) / ltot.n)
+                     * ln((CAST(lt.c AS DOUBLE) / ltot.n)
+                          / (CAST(ct.c AS DOUBLE) / ctot.n)))) AS DOUBLE)) >= 4611686018427.388 THEN (sum((CAST(lt.c AS DOUBLE) / ltot.n)
+                     * ln((CAST(lt.c AS DOUBLE) / ltot.n)
+                          / (CAST(ct.c AS DOUBLE) / ctot.n)))) ELSE floor((sum((CAST(lt.c AS DOUBLE) / ltot.n)
+                     * ln((CAST(lt.c AS DOUBLE) / ltot.n)
+                          / (CAST(ct.c AS DOUBLE) / ctot.n)))) * 1000000.0 + 0.5) / 1000000.0 END)
                AS kl_to_corpus
     FROM lt JOIN ltot USING (lang)
     JOIN ct USING (t) CROSS JOIN ctot
@@ -5691,8 +6092,11 @@ ORACLES["minmax_file_skipping"] = """
                 AS BIGINT) AS skipped_files,
            CAST(sum(CASE WHEN f.max_c < p.lo_c THEN f.n_rows ELSE 0 END)
                 AS BIGINT) AS skipped_rows,
-           round(CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS skip_ratio
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) ELSE floor((CAST(sum(CASE WHEN f.max_c < p.lo_c THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 END) AS skip_ratio
     FROM f CROSS JOIN preds p
     GROUP BY 1
 """
@@ -5728,8 +6132,8 @@ ORACLES["isotonic_calibration_pava"] = """
         SELECT tb AS bin, max(mn) AS iso_rate FROM m1 GROUP BY 1
     )
     SELECT c.bin AS discount_pct, c.n AS n_rows,
-           round(CAST(c.r AS DOUBLE) / c.n, 6) AS raw_rate,
-           round(i.iso_rate, 6) AS iso_rate
+           (CASE WHEN isnan(CAST((CAST(c.r AS DOUBLE) / c.n) AS DOUBLE)) OR abs(CAST((CAST(c.r AS DOUBLE) / c.n) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(c.r AS DOUBLE) / c.n) ELSE floor((CAST(c.r AS DOUBLE) / c.n) * 1000000.0 + 0.5) / 1000000.0 END) AS raw_rate,
+           (CASE WHEN isnan(CAST((i.iso_rate) AS DOUBLE)) OR abs(CAST((i.iso_rate) AS DOUBLE)) >= 4611686018427.388 THEN (i.iso_rate) ELSE floor((i.iso_rate) * 1000000.0 + 0.5) / 1000000.0 END) AS iso_rate
     FROM c JOIN iso i ON c.bin = i.bin
 """
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 
 from finance_reporting_etl_spark.functions.kpis import ratio
 from finance_reporting_etl_spark.functions.scalars import (
@@ -66,7 +67,7 @@ def mart_financial_summary(ctx: ModelContext) -> DataFrame:
     stg = ctx.ref("stg_financial_data")
     return (
         stg.groupBy(F.date_trunc("year", F.col("observation_date").cast("timestamp")).alias("year"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_gdp"))
+        .agg(det_round(F.avg("value"), 6).alias("avg_gdp"))
     )
 
 
@@ -85,10 +86,10 @@ def stg_income_statement(ctx: ModelContext) -> DataFrame:
             F.date_trunc("month", "ts").alias("fiscal_date"),
         )
         .agg(
-            F.round(F.sum("value"), 6).alias("total_revenue"),
-            F.round(F.sum(F.col("value") * F.lit(0.5)), 6).alias("gross_profit"),
-            F.round(F.sum(F.col("value") * F.lit(0.3)), 6).alias("operating_income"),
-            F.round(F.sum(F.col("value") * F.lit(0.2)), 6).alias("net_income"),
+            det_round(F.sum("value"), 6).alias("total_revenue"),
+            det_round(F.sum(F.col("value") * F.lit(0.5)), 6).alias("gross_profit"),
+            det_round(F.sum(F.col("value") * F.lit(0.3)), 6).alias("operating_income"),
+            det_round(F.sum(F.col("value") * F.lit(0.2)), 6).alias("net_income"),
             F.count(F.lit(1)).alias("n_reports"),
         )
         .withColumn("currency", F.lit("USD"))
@@ -107,9 +108,9 @@ def stg_balance_sheet(ctx: ModelContext) -> DataFrame:
             F.date_trunc("month", "ts").alias("fiscal_date"),
         )
         .agg(
-            F.round(F.sum("value"), 6).alias("total_assets"),
-            F.round(F.sum(F.col("value") * F.lit(0.6)), 6).alias("total_liabilities"),
-            F.round(F.sum(F.col("value") * F.lit(0.4)), 6).alias("total_equity"),
+            det_round(F.sum("value"), 6).alias("total_assets"),
+            det_round(F.sum(F.col("value") * F.lit(0.6)), 6).alias("total_liabilities"),
+            det_round(F.sum(F.col("value") * F.lit(0.4)), 6).alias("total_equity"),
         )
     )
 
@@ -128,8 +129,8 @@ def stg_cash_flow(ctx: ModelContext) -> DataFrame:
             F.date_trunc("month", "ts").alias("fiscal_date"),
         )
         .agg(
-            F.round(F.sum(F.col("value") * F.lit(0.9)), 6).alias("operating_cash_flow"),
-            F.round(F.sum(F.col("value") * F.lit(0.35)), 6).alias("capital_expenditure"),
+            det_round(F.sum(F.col("value") * F.lit(0.9)), 6).alias("operating_cash_flow"),
+            det_round(F.sum(F.col("value") * F.lit(0.35)), 6).alias("capital_expenditure"),
         )
         # difference of two already-rounded float64s: exact IEEE op,
         # reproduced identically by the SQL oracle
@@ -222,8 +223,8 @@ def mart_indicator_stats(ctx: ModelContext) -> DataFrame:
         ind.groupBy("series_id", "indicator_name")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            det_round(F.avg("value"), 6).alias("avg_value"),
+            det_round(F.min("value"), 6).alias("min_value"),
+            det_round(F.max("value"), 6).alias("max_value"),
         )
     )

@@ -1073,12 +1073,12 @@ def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+        det_round(F.sum("o_totalprice"), 4).alias("revenue")
     )
     # global window is safe here: input cardinality = number of months
     # (bounded by calendar time, not data volume), post-aggregation
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return m.select("month", "revenue", F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"))
+    return m.select("month", "revenue", det_round(F.sum("revenue").over(w), 4).alias("cum_revenue"))
 
 
 @query("streaming_hourly_rollup",
@@ -1166,7 +1166,7 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max_by("n_events", "upd_seq").alias("n_events"),
-            F.round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
+            det_round(F.max_by("total_value", "upd_seq"), 4).alias("total_value"),
         ),
         prefix="stateful_totals_",
         label="stateful_user_totals",
@@ -1225,7 +1225,7 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
+        .agg(det_round(F.sum("o_totalprice"), 4).alias("total_spend"))
     )
     tiled = distributed_ntile(spend, 10, "total_spend", ["c_custkey"], out_col="decile")
     return tiled.select("decile", "c_custkey", "total_spend")
@@ -1257,11 +1257,11 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        det_round(F.avg(token_count("text")), 4).alias("avg_tokens"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
-        F.round(F.percentile(F.length("text"), F.lit(0.5)), 4).alias("p50_chars"),
-        F.round(F.percentile(F.length("text"), F.lit(0.9)), 4).alias("p90_chars"),
+        det_round(F.percentile(F.length("text"), F.lit(0.5)), 4).alias("p50_chars"),
+        det_round(F.percentile(F.length("text"), F.lit(0.9)), 4).alias("p90_chars"),
     )
 
 
@@ -1939,7 +1939,7 @@ def q_event_type_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("week", "ts").alias("week")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        det_round(F.sum("value"), 4).alias("total_value"),
     )
 
 
@@ -1957,7 +1957,7 @@ def q_daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(
-        F.round(F.sum("value"), 4).alias("revenue"),
+        det_round(F.sum("value"), 4).alias("revenue"),
         # presence marker: was_gap must reflect "no day row" (the
         # oracle's d.day IS NULL), not "revenue IS NULL" — a day whose
         # purchases all carry NULL value has SUM=NULL but is present
@@ -2070,7 +2070,7 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = hits.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_views_1h"),
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("view_value_1h"),
+        det_round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("view_value_1h"),
     )
     base = purchases.select("event_id", "user_id")
     return (
@@ -2079,7 +2079,7 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
-            F.round(F.coalesce("view_value_1h", F.lit(0.0)), 4).alias("view_value_1h"),
+            det_round(F.coalesce("view_value_1h", F.lit(0.0)), 4).alias("view_value_1h"),
         )
     )
 
@@ -2379,7 +2379,7 @@ def q_variant_event_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extracted.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        det_round(F.sum("value"), 6).alias("total_value"),
         F.max(F.length("tag1")).alias("max_tag_len"),
     )
 
@@ -2760,7 +2760,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.col("gen").cast("bigint").alias("gen")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("event_type").isNull().cast("bigint")).alias("n_null_type"),
-        F.round(
+        det_round(
             F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 6
         ).alias("total_value"),
     )
@@ -2823,7 +2823,7 @@ def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            det_round(F.sum("value"), 6).alias("total_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
@@ -2848,9 +2848,9 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = li.unpivot([], metrics, "metric", "val")
     return long.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("val"), 6).alias("avg_val"),
-        F.round(F.min("val"), 6).alias("min_val"),
-        F.round(F.max("val"), 6).alias("max_val"),
+        det_round(F.avg("val"), 6).alias("avg_val"),
+        det_round(F.min("val"), 6).alias("min_val"),
+        det_round(F.max("val"), 6).alias("max_val"),
     )
 
 
@@ -2890,7 +2890,7 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     return (
         docs.select(
-            "doc_id", "lang", "n_chars", F.round(F.percent_rank().over(w), 6).alias("pr")
+            "doc_id", "lang", "n_chars", det_round(F.percent_rank().over(w), 6).alias("pr")
         )
         .filter(F.col("pr") >= 0.5)
     )
@@ -3097,9 +3097,9 @@ def q_per_lang_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.regr_slope("n_toks", "n_chars"), 6).alias("slope"),
-        F.round(F.regr_intercept("n_toks", "n_chars"), 6).alias("intercept"),
-        F.round(F.regr_r2("n_toks", "n_chars"), 6).alias("r2"),
+        det_round(F.regr_slope("n_toks", "n_chars"), 6).alias("slope"),
+        det_round(F.regr_intercept("n_toks", "n_chars"), 6).alias("intercept"),
+        det_round(F.regr_r2("n_toks", "n_chars"), 6).alias("r2"),
     )
 
 
@@ -3218,7 +3218,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("v"), 4).alias("total_value"),
+            det_round(F.sum("v"), 4).alias("total_value"),
         )
     )
 
@@ -3380,7 +3380,7 @@ def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.graph import pagerank
 
     return pagerank(edges, damping=0.85, iters=8).select(
-        "id", F.round("rank", 6).alias("rank")
+        "id", det_round("rank", 6).alias("rank")
     )
 
 
@@ -3400,7 +3400,7 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("value"))
+    ).agg(det_round(F.sum("value"), 4).alias("value"))
     win = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-14, -1)
     )
@@ -3418,7 +3418,7 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "value",
-        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.when(ok, det_round(z, 4)).alias("zscore"),
         (ok & (F.abs(z) > 2.5)).alias("is_anomaly"),
     )
 
@@ -3460,7 +3460,7 @@ def q_indicator_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFr
     return filled.select(
         "event_type",
         "day",
-        F.round(F.col("filled_units") / 10000.0, 4).alias("filled_value"),
+        det_round(F.col("filled_units") / 10000.0, 4).alias("filled_value"),
         "was_interpolated",
     )
 
@@ -3565,7 +3565,7 @@ def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("ts").alias("updated_at"),
-            F.round("value", 6).alias("value"),
+            det_round("value", 6).alias("value"),
         ),
         prefix="cdc_",
         label="cdc_changelog_apply",
@@ -3693,7 +3693,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     wn = Window.partitionBy("cur")
     return counts.select(
-        "cur", "nxt", "n", F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p")
+        "cur", "nxt", "n", det_round(F.col("n") / F.sum("n").over(wn), 6).alias("p")
     )
 
 
@@ -3733,12 +3733,12 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
             "item_a",
             "item_b",
             "n_ab",
-            F.round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
-            F.round(F.col("n_ab") / F.col("na"), 6).alias("conf_a_to_b"),
-            F.round(F.col("n_ab") / F.col("nb"), 6).alias("conf_b_to_a"),
+            det_round(F.col("n_ab") / F.lit(n_orders), 6).alias("support"),
+            det_round(F.col("n_ab") / F.col("na"), 6).alias("conf_a_to_b"),
+            det_round(F.col("n_ab") / F.col("nb"), 6).alias("conf_b_to_a"),
             # single division of integer-exact operands: bitwise equal
             # across engines, so the 4dp rounding can't straddle a tie
-            F.round(
+            det_round(
                 F.col("n_ab") * F.lit(n_orders) / (F.col("na") * F.col("nb")), 4
             ).alias("lift"),
         )
@@ -3792,7 +3792,7 @@ def q_copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> Dat
         "id",
         "degree",
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
-        F.round(
+        det_round(
             F.coalesce("n_triangles", F.lit(0))
             / F.nullif(F.col("degree") * (F.col("degree") - 1) / 2.0, F.lit(0)),
             6,
@@ -3959,7 +3959,7 @@ def q_part_copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> Dat
     from finance_reporting_etl_spark.operators.graph import pagerank_weighted
 
     return pagerank_weighted(edges, damping=0.85, iters=8).select(
-        "id", F.round("rank", 6).alias("rank")
+        "id", det_round("rank", 6).alias("rank")
     )
 
 
@@ -4162,8 +4162,8 @@ def q_target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "n",
         "pos",
-        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
-        F.round(
+        det_round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        det_round(
             (F.col("pos") + 20.0 * F.col("prior")) / (F.col("n") + 20.0), 6
         ).alias("encoded"),
     )
@@ -4260,7 +4260,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "event_type",
-        F.round(F.col("__n") + seeded_laplace("event_type", "dp1", 1.0 / eps), 6).alias(
+        det_round(F.col("__n") + seeded_laplace("event_type", "dp1", 1.0 / eps), 6).alias(
             "noisy_count"
         ),
         F.lit(eps).alias("epsilon"),
@@ -4297,8 +4297,8 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "vec_id",
-        F.round("scale", 6).alias("scale"),
-        F.round(err, 6).alias("max_abs_err"),
+        det_round("scale", 6).alias("scale"),
+        det_round(err, 6).alias("max_abs_err"),
         n_sat.alias("n_sat"),
     )
 
@@ -4340,7 +4340,7 @@ def q_abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     return c.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "rev_cents",
-        F.round(share, 6).alias("cum_share"),
+        det_round(share, 6).alias("cum_share"),
         F.when(share <= 0.80, "A")
         .when(share <= 0.95, "B")
         .otherwise("C")
@@ -4373,7 +4373,7 @@ def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderpriority", bd)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("bd").cast("double") / F.count(F.lit(1)), 6).alias(
+        det_round(F.sum("bd").cast("double") / F.count(F.lit(1)), 6).alias(
             "avg_business_days"
         ),
         F.max("bd").cast("bigint").alias("max_business_days"),
@@ -4432,7 +4432,7 @@ def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tok"),
-        F.round(
+        det_round(
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)),
             6,
@@ -4476,7 +4476,7 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum(bounce).cast("bigint").alias("n_bounce"),
-            F.round(
+            det_round(
                 F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
             ).alias("bounce_rate"),
         )
@@ -4611,9 +4611,9 @@ def q_ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("arm").agg(
         n.alias("n_users"),
         F.sum("converted").cast("bigint").alias("n_converted"),
-        F.round(rate, 6).alias("rate"),
-        F.round((rate + z2_half - margin) / denom, 6).alias("wilson_lo"),
-        F.round((rate + z2_half + margin) / denom, 6).alias("wilson_hi"),
+        det_round(rate, 6).alias("rate"),
+        det_round((rate + z2_half - margin) / denom, 6).alias("wilson_lo"),
+        det_round((rate + z2_half + margin) / denom, 6).alias("wilson_hi"),
     )
 
 
@@ -4673,8 +4673,8 @@ def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.crossJoin(F.broadcast(t)).select(
         "dow",
         "n_days",
-        F.round(per_day / 100.0, 6).alias("avg_daily_revenue"),
-        F.round(per_day / F.col("__overall"), 6).alias("seasonality_index"),
+        det_round(per_day / 100.0, 6).alias("avg_daily_revenue"),
+        det_round(per_day / F.col("__overall"), 6).alias("seasonality_index"),
     )
 
 
@@ -4719,7 +4719,7 @@ def q_seed_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("o_orderpriority", "sla_business_days").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(met).cast("bigint").alias("n_met"),
-        F.round(F.sum(met).cast("double") / F.count(F.lit(1)), 6).alias(
+        det_round(F.sum(met).cast("double") / F.count(F.lit(1)), 6).alias(
             "attainment"
         ),
     )
@@ -4817,11 +4817,11 @@ def q_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("n0").isNotNull()).select(
         "event_type",
         "month",
-        F.round((F.col("cents") - F.col("cents0")).cast("double") / 100.0, 6).alias(
+        det_round((F.col("cents") - F.col("cents0")).cast("double") / 100.0, 6).alias(
             "delta_revenue"
         ),
-        F.round((F.col("n") - F.col("n0")) * a0 / 100.0, 6).alias("volume_effect"),
-        F.round(F.col("n") * (a1 - a0) / 100.0, 6).alias("value_effect"),
+        det_round((F.col("n") - F.col("n0")) * a0 / 100.0, 6).alias("volume_effect"),
+        det_round(F.col("n") * (a1 - a0) / 100.0, 6).alias("value_effect"),
     )
 
 
@@ -4900,7 +4900,7 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         "week_index",
         "cohort_users",
-        F.round(
+        det_round(
             F.col("cum_cents").cast("double") / F.col("cohort_users") / 100.0, 6
         ).alias("ltv_per_user"),
     )
@@ -4987,10 +4987,10 @@ def q_inference_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     return b.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
-        F.round(
+        det_round(
             F.sum("s_micro").cast("double") / 1_000_000.0 / F.count(F.lit(1)), 6
         ).alias("mean_conf"),
-        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        det_round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
     )
 
 
@@ -5063,8 +5063,8 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.sum("cents")
     return rk.agg(
         n.alias("n_customers"),
-        F.round(tot.cast("double") / 100.0, 6).alias("total_revenue"),
-        F.round(
+        det_round(tot.cast("double") / 100.0, 6).alias("total_revenue"),
+        det_round(
             (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
             / (n * tot.cast("double"))
             - (n + F.lit(1)).cast("double") / n,
@@ -5219,9 +5219,9 @@ def q_finance_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trading_day",
         "event_type",
         "n_events",
-        F.round(F.col("cents").cast("double") / 100.0, 6).alias("revenue"),
+        det_round(F.col("cents").cast("double") / 100.0, 6).alias("revenue"),
         F.dayofweek("trading_day").alias("dow"),
-        F.round(ratio, 6).alias("seasonality_ratio"),
+        det_round(ratio, 6).alias("seasonality_ratio"),
         (ratio > 1.5).alias("is_high"),
     )
 
@@ -5408,9 +5408,9 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = poisson_bootstrap_means(o, "o_orderkey", "cents", n_replicates=64)
     return m.agg(
         F.count(F.lit(1)).alias("n_replicates"),
-        F.round(F.expr("percentile(mean_value, 0.025)"), 4).alias("ci_lo"),
-        F.round(F.expr("percentile(mean_value, 0.975)"), 4).alias("ci_hi"),
-        F.round(F.avg("mean_value"), 4).alias("boot_mean"),
+        det_round(F.expr("percentile(mean_value, 0.025)"), 4).alias("ci_lo"),
+        det_round(F.expr("percentile(mean_value, 0.975)"), 4).alias("ci_hi"),
+        det_round(F.avg("mean_value"), 4).alias("boot_mean"),
     )
 
 
@@ -5505,7 +5505,7 @@ def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float SUM diverged from the oracle at sf0.1 — order-sensitive)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("rev") / 100.0, 2).alias("revenue"),
+        det_round(F.sum("rev") / 100.0, 2).alias("revenue"),
     )
 
 
@@ -5640,7 +5640,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     t = g.withColumn("total", F.sum("n").over(w)).withColumn(
-        "benford_share", F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+        "benford_share", det_round(F.log10(1 + 1.0 / F.col("digit")), 6)
     )
     chi_term = F.pow(F.col("n") - F.col("total") * F.col("benford_share"), 2) / (
         F.col("total") * F.col("benford_share")
@@ -5648,9 +5648,9 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "digit",
         "n",
-        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("obs_share"),
+        det_round(F.col("n") / F.col("total").cast("double"), 6).alias("obs_share"),
         "benford_share",
-        F.round(F.sum(chi_term).over(w), 4).alias("chi2_stat"),
+        det_round(F.sum(chi_term).over(w), 4).alias("chi2_stat"),
     )
 
 
@@ -5819,7 +5819,7 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _persist_aux(
         spark,
         a.join(b, (a.query_id == b.__qb) & (F.col("id_a") != F.col("id_b")))
-        .withColumn("sim", F.round(cosine("va", "vb"), 6))
+        .withColumn("sim", det_round(cosine("va", "vb"), 6))
         .select("query_id", "id_a", "id_b", "sim"),
         "mmr_pair_sims",
     )
@@ -5982,7 +5982,7 @@ def q_quantile_transform_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.crossJoin(F.broadcast(b)).select(
         "o_orderkey",
-        F.round(
+        det_round(
             (F.col("rnk") - 1) / (F.col("n") - 1).cast("double"), 6
         ).alias("pct"),
     )
@@ -6018,7 +6018,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+        det_round(F.expr("percentile(slope, 0.5)"), 6).alias(
             "sen_slope_cents_per_day"
         ),
     )
@@ -6373,8 +6373,8 @@ def q_hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         "cents",
-        F.round(share, 6).alias("share"),
-        F.round(share * share * F.lit(10000.0), 6).alias("hhi_contrib"),
+        det_round(share, 6).alias("share"),
+        det_round(share * share * F.lit(10000.0), 6).alias("hhi_contrib"),
     )
 
 
@@ -6448,7 +6448,7 @@ def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         sched.groupBy("month")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("alloc_cents") / 100.0, 2).alias(
+            det_round(F.sum("alloc_cents") / 100.0, 2).alias(
                 "recognized_revenue"
             ),
         )
@@ -6765,7 +6765,7 @@ def q_fifo_open_lots_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aged.groupBy("p_brand", "age_bucket").agg(
         F.count(F.lit(1)).alias("n_lots"),
         F.sum("open_qty").cast("bigint").alias("open_qty"),
-        F.round(F.sum("open_cents") / 100.0, 2).alias("open_value"),
+        det_round(F.sum("open_cents") / 100.0, 2).alias("open_value"),
     )
 
 @query("sprt_ab_sequential",
@@ -6920,7 +6920,7 @@ def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_probed",
             "n_positive",
             "n_false_positive",
-            F.round(
+            det_round(
                 F.col("n_false_positive").cast("double")
                 / F.nullif(
                     (F.col("n_probed") - F.col("__nm")).cast("double"), F.lit(0.0)
@@ -7005,16 +7005,16 @@ def q_dupont_roe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id").alias("symbol"), month)
         .agg(
-            F.round(F.sum("value"), 6).alias("total_revenue"),
-            F.round(F.sum(F.col("value") * 0.2), 6).alias("net_income"),
+            det_round(F.sum("value"), 6).alias("total_revenue"),
+            det_round(F.sum(F.col("value") * 0.2), 6).alias("net_income"),
         )
     )
     bal = (
         ev.filter(F.col("event_type") == "click")
         .groupBy(F.col("user_id").alias("symbol"), month)
         .agg(
-            F.round(F.sum("value"), 6).alias("total_assets"),
-            F.round(F.sum(F.col("value") * 0.4), 6).alias("total_equity"),
+            det_round(F.sum("value"), 6).alias("total_assets"),
+            det_round(F.sum(F.col("value") * 0.4), 6).alias("total_equity"),
         )
     )
     from finance_reporting_etl_spark.functions.kpis import safe_div
@@ -7026,11 +7026,11 @@ def q_dupont_roe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "symbol",
         "fiscal_date",
-        F.round(margin, 6).alias("net_margin"),
-        F.round(turnover, 6).alias("asset_turnover"),
-        F.round(mult, 6).alias("equity_multiplier"),
-        F.round(margin * turnover * mult, 6).alias("roe_dupont"),
-        F.round(safe_div(F.col("net_income"), F.col("total_equity")), 6).alias(
+        det_round(margin, 6).alias("net_margin"),
+        det_round(turnover, 6).alias("asset_turnover"),
+        det_round(mult, 6).alias("equity_multiplier"),
+        det_round(margin * turnover * mult, 6).alias("roe_dupont"),
+        det_round(safe_div(F.col("net_income"), F.col("total_equity")), 6).alias(
             "roe_direct"
         ),
     )
@@ -7054,12 +7054,12 @@ def q_indicator_real_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         ev.filter(F.col("event_type") == "click")
         .groupBy(day)
-        .agg(F.round(F.sum("value"), 6).alias("nominal"))
+        .agg(det_round(F.sum("value"), 6).alias("nominal"))
     )
     c = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(day)
-        .agg(F.round(F.avg("value"), 6).alias("cpi"))
+        .agg(det_round(F.avg("value"), 6).alias("cpi"))
     )
     j = g.join(c, "date")
     base = j.orderBy("date").limit(1).select(F.col("cpi").alias("base_cpi"))
@@ -7071,11 +7071,11 @@ def q_indicator_real_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         "nominal",
         "cpi",
-        F.round(
+        det_round(
             F.col("nominal") * F.col("base_cpi") / F.nullif("cpi", F.lit(0)), 6
         ).alias("real_value"),
-        F.round(F.col("nominal") - F.col("prev"), 6).alias("chg"),
-        F.round(
+        det_round(F.col("nominal") - F.col("prev"), 6).alias("chg"),
+        det_round(
             (F.col("nominal") - F.col("prev"))
             / F.nullif("prev", F.lit(0))
             * 100.0,
@@ -7220,8 +7220,8 @@ def q_wac_inventory_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.sum("on_hand_qty").cast("bigint").alias("on_hand_qty"),
-            F.round(F.sum("inv_value_cents") / 100.0, 2).alias("inv_value"),
-            F.round(F.sum("realized_cents") / 100.0, 2).alias("realized_pnl"),
+            det_round(F.sum("inv_value_cents") / 100.0, 2).alias("inv_value"),
+            det_round(F.sum("realized_cents") / 100.0, 2).alias("realized_pnl"),
         )
     )
 
@@ -7372,7 +7372,7 @@ def q_gbt_price_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thr",
         "pred_l",
         "pred_r",
-        F.round(
+        det_round(
             F.sqrt(F.col("sse").cast("double") / F.col("n").cast("double"))
             / 100.0,
             2,
@@ -7447,7 +7447,7 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_a",
         "n_b",
-        F.round(chi2, 6).alias("chi2"),
+        det_round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841458820694124)).cast("int").alias("srm_flag_95"),
         (chi2 > F.lit(10.827566170662733)).cast("int").alias("srm_flag_999"),
     )
@@ -7636,10 +7636,10 @@ def q_tail_dependence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("kt").cast("bigint").alias("k_tail"),
         F.sum(up).cast("bigint").alias("joint_upper"),
         F.sum(lo).cast("bigint").alias("joint_lower"),
-        F.round(
+        det_round(
             F.sum(up).cast("double") / F.max("kt").cast("double"), 6
         ).alias("lambda_upper"),
-        F.round(
+        det_round(
             F.sum(lo).cast("double") / F.max("kt").cast("double"), 6
         ).alias("lambda_lower"),
     )
@@ -7714,7 +7714,7 @@ def q_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "min_digit_n",
         "max_digit_n",
-        F.round(chi2, 6).alias("chi2"),
+        det_round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(16.918977604620448)).cast("int").alias("nonuniform_95"),
         (chi2 > F.lit(27.877)).cast("int").alias("nonuniform_999"),
     )
@@ -7757,8 +7757,8 @@ def q_ucb1_arm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "arm",
         "n_pulls",
-        F.round(mean, 6).alias("mean_value"),
-        F.round(ucb, 6).alias("ucb_score"),
+        det_round(mean, 6).alias("mean_value"),
+        det_round(ucb, 6).alias("ucb_score"),
         F.row_number()
         .over(Window.orderBy(ucb.desc(), F.col("arm")))
         .cast("int")
@@ -7803,8 +7803,8 @@ def q_woe_iv_discount_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_bp",
         "n",
         "n_bad",
-        F.round(woe, 6).alias("woe"),
-        F.round((dist_bad - dist_good) * woe, 6).alias("iv_contrib"),
+        det_round(woe, 6).alias("woe"),
+        det_round((dist_bad - dist_good) * woe, 6).alias("iv_contrib"),
     )
 
 
@@ -7975,11 +7975,11 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = F.col("c1").cast("double") / F.col("q1")
     return w.select(
         "brand",
-        F.round(F.col("c0") / 100.0, 2).alias("rev_base"),
-        F.round(F.col("c1") / 100.0, 2).alias("rev_curr"),
-        F.round((p1 - p0) * F.col("q0") / 100.0, 2).alias("price_effect"),
-        F.round((F.col("q1") - F.col("q0")) * p0 / 100.0, 2).alias("volume_effect"),
-        F.round((p1 - p0) * (F.col("q1") - F.col("q0")) / 100.0, 2).alias("mix_effect"),
+        det_round(F.col("c0") / 100.0, 2).alias("rev_base"),
+        det_round(F.col("c1") / 100.0, 2).alias("rev_curr"),
+        det_round((p1 - p0) * F.col("q0") / 100.0, 2).alias("price_effect"),
+        det_round((F.col("q1") - F.col("q0")) * p0 / 100.0, 2).alias("volume_effect"),
+        det_round((p1 - p0) * (F.col("q1") - F.col("q0")) / 100.0, 2).alias("mix_effect"),
     )
 
 
@@ -8053,12 +8053,12 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj_var = vary - 2 * theta * covxy + theta * theta * varx
     return t.select(
         n.alias("n_users"),
-        F.round(theta, 6).alias("theta"),
-        F.round((mya - myb) / 100.0, 6).alias("raw_lift"),
-        F.round(
+        det_round(theta, 6).alias("theta"),
+        det_round((mya - myb) / 100.0, 6).alias("raw_lift"),
+        det_round(
             ((mya - theta * (mxa - mx)) - (myb - theta * (mxb - mx))) / 100.0, 6
         ).alias("adjusted_lift"),
-        F.round(
+        det_round(
             F.lit(1.0) - adj_var / F.nullif(vary, F.lit(0.0)), 6
         ).alias("var_reduction"),
     )
@@ -8105,11 +8105,11 @@ def q_diff_in_diff_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(0, 0).alias("c0"),
     )
     return m.select(
-        F.round(F.col("t0"), 6).alias("treated_pre_bp"),
-        F.round(F.col("t1"), 6).alias("treated_post_bp"),
-        F.round(F.col("c0"), 6).alias("control_pre_bp"),
-        F.round(F.col("c1"), 6).alias("control_post_bp"),
-        F.round(
+        det_round(F.col("t0"), 6).alias("treated_pre_bp"),
+        det_round(F.col("t1"), 6).alias("treated_post_bp"),
+        det_round(F.col("c0"), 6).alias("control_pre_bp"),
+        det_round(F.col("c1"), 6).alias("control_post_bp"),
+        det_round(
             (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
         ).alias("did_bp"),
     )
@@ -8157,9 +8157,9 @@ def q_sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(mean / 100.0, 6).alias("mean_pnl"),
-        F.round(mean / F.nullif(sd, F.lit(0.0)), 6).alias("sharpe"),
-        F.round(mean / F.nullif(dsd, F.lit(0.0)), 6).alias("sortino"),
+        det_round(mean / 100.0, 6).alias("mean_pnl"),
+        det_round(mean / F.nullif(sd, F.lit(0.0)), 6).alias("sharpe"),
+        det_round(mean / F.nullif(dsd, F.lit(0.0)), 6).alias("sortino"),
     )
 
 
@@ -8256,8 +8256,8 @@ def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_n.crossJoin(F.broadcast(fit)).select(
         F.col("wn").cast("int").alias("window_days"),
         "n_blocks",
-        F.round("avg_rs", 6).alias("avg_rs"),
-        F.round("h", 6).alias("hurst"),
+        det_round("avg_rs", 6).alias("avg_rs"),
+        det_round("h", 6).alias("hurst"),
     )
 
 
@@ -8295,7 +8295,7 @@ def q_token_dist_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_tokens"),
             F.count(F.lit(1)).cast("bigint").alias("vocab"),
-            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"),
+            det_round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"),
         )
     )
 
@@ -8342,7 +8342,7 @@ def q_minmax_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_files"),
             F.sum(skipped).cast("bigint").alias("skipped_files"),
             F.sum(F.col("n_rows") * skipped).cast("bigint").alias("skipped_rows"),
-            F.round(
+            det_round(
                 F.sum(skipped).cast("double") / F.count(F.lit(1)), 6
             ).alias("skip_ratio"),
         )
@@ -8471,8 +8471,8 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(iso, "bin").select(
         F.col("bin").alias("discount_pct"),
         F.col("n").alias("n_rows"),
-        F.round(F.col("r").cast("double") / F.col("n"), 6).alias("raw_rate"),
-        F.round("iso_rate", 6).alias("iso_rate"),
+        det_round(F.col("r").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        det_round("iso_rate", 6).alias("iso_rate"),
     )
 
 

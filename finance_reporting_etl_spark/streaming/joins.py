@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from finance_reporting_etl_spark.functions.scalars import det_round
 from pyspark.sql import types as T
 
 
@@ -163,7 +164,7 @@ def streaming_static_dim_rollup(
         .groupBy(F.col(dim_attr).alias(attr_alias), group_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            det_round(F.sum(value_col), 6).alias("total_value"),
         )
     )
     return (

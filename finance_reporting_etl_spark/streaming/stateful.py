@@ -29,6 +29,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from finance_reporting_etl_spark.functions.scalars import det_round_py
+
 STATE_SCHEMA = "n BIGINT, total DOUBLE, seq INT"
 
 
@@ -113,7 +115,7 @@ def _session_updater(key_col: str, ts_col: str, value_col: str, gap_ms: int):
                 "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out],
                 "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in out],
                 "n_events": [n for _, _, n, _ in out],
-                "total_value": [round(t, 6) for _, _, _, t in out],
+                "total_value": [det_round_py(t, 6) for _, _, _, t in out],
             }
         )
 

@@ -20,13 +20,38 @@ ROWS_ONLY_QUERIES = sorted(name for name, e in CATALOG.items() if e.oracle is No
 
 
 def _strip_int_cast_rounds(plan: str) -> str:
-    """Drop round(...) sites feeding an integer cast (exact cents
-    conversions — both engines round integral ties away from zero)."""
-    return re.sub(
-        r"cast\(round\([^()]*(?:\([^()]*\)[^()]*)*\) as (?:big|small|tiny)?int\)",
-        "INTCAST",
-        plan,
-    )
+    """Drop every scale-0 round site — ``F.round(x)`` prints as
+    ``round(x, 0)`` in executed plans. Round-to-integer is cross-engine
+    safe: a double equal to n.5 is exactly representable (0.5 is a
+    power of two), so there is no repr-vs-binary tie ambiguity, and
+    both Spark's BigDecimal HALF_UP and libm round ties away from
+    zero. Only SCALED rounds (n >= 1) carry the per-engine divergence
+    this ban exists for. Balanced-paren parse — the expr can nest
+    arbitrarily deep (cents conversions over discount products)."""
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bround\(", plan[i:])
+        if not m:
+            out.append(plan[i:])
+            break
+        start = i + m.start()
+        k = i + m.end()
+        depth = 1
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        inner = plan[i + m.end() : k - 1]
+        out.append(plan[i:start])
+        if re.search(r",\s*0\s*$", inner):
+            out.append("ROUND0")
+        else:
+            out.append(plan[start:k])
+        i = k
+    return "".join(out)
 
 
 def _has_scaled_sql_round(sql: str) -> bool:
@@ -117,10 +142,12 @@ GATE_WINDOW = [
     for n in list(CATALOG)[:50] + list(_GATE_NEXT)
     if CATALOG[n].oracle is not None
 ]
-# Names under the engine-round ban: the incoming window plus the staged
-# next window — self-enforcing across rotations (a future rotation that
-# promotes an unmigrated query fails here before the driver sees it).
-GATE_ROUND_BAN = set(list(CATALOG)[:50]) | set(_GATE_NEXT)
+# Names under the engine-round ban: the ENTIRE catalog. Round 9 first
+# banned the gate windows, then finished the full-catalog det_round
+# migration (zero scaled F.round sites, zero two-arg oracle rounds
+# repo-wide), so the ban is now global — any new query emitting an
+# engine-rounded float fails here at sf0.001 before any gate sees it.
+GATE_ROUND_BAN = set(CATALOG)
 
 
 @pytest.mark.slow

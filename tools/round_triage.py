@@ -49,13 +49,12 @@ def float_cols(df) -> list[str]:
 
 
 def strip_int_casts(plan: str) -> str:
-    """Remove round(...) sites feeding an integer cast — exact-quantity
-    conversions (cents) whose ties both engines round away-from-zero."""
-    return re.sub(
-        r"cast\(round\([^()]*(?:\([^()]*\)[^()]*)*\) as (?:big|small|tiny)?int\)",
-        "INTCAST",
-        plan,
-    )
+    """Remove every scale-0 round site (round-to-integer is
+    cross-engine safe; see tests/test_catalog_oracle.py
+    _strip_int_cast_rounds, which is the canonical copy)."""
+    from tests.test_catalog_oracle import _strip_int_cast_rounds
+
+    return _strip_int_cast_rounds(plan)
 
 
 def main() -> int:
