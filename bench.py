@@ -286,6 +286,7 @@ HEADLINE = [
     "order_fulfillment_quantiles",
     "dup_cluster_size_histogram",
     "ngram_novelty_scores",
+    "fx_gain_loss_realized",
 ]
 
 

@@ -60,17 +60,31 @@ def avg_token_length(text: Column | str, scale: int = 4) -> Column:
     return det_round(total / F.nullif(F.size(toks), F.lit(0)), scale)
 
 
-def punct_ratio(text: Column | str, scale: int = 4) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+def _punct_ratio_raw(text: Column | str) -> Column:
+    """Unrounded punct ratio: a single IEEE division of exact integer
+    lengths — already bit-identical across engines, so composite
+    scores consume THIS form (one det_round at the end, not one per
+    term: det_round references its input several times, and nesting
+    it around regexp-heavy terms multiplies the regexp evaluations —
+    the r9 corpus_training_pipeline 3x bench regression)."""
     t = _c(text)
     stripped = F.regexp_replace(t, "[A-Za-z0-9\\s]", "")
-    return det_round(F.length(stripped) / F.nullif(F.length(t), F.lit(0)), scale)
+    return F.length(stripped) / F.nullif(F.length(t), F.lit(0))
+
+
+def _digit_ratio_raw(text: Column | str) -> Column:
+    t = _c(text)
+    digits = F.regexp_replace(t, "[^0-9]", "")
+    return F.length(digits) / F.nullif(F.length(t), F.lit(0))
+
+
+def punct_ratio(text: Column | str, scale: int = 4) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    return det_round(_punct_ratio_raw(text), scale)
 
 
 def digit_ratio(text: Column | str, scale: int = 4) -> Column:
-    t = _c(text)
-    digits = F.regexp_replace(t, "[^0-9]", "")
-    return det_round(F.length(digits) / F.nullif(F.length(t), F.lit(0)), scale)
+    return det_round(_digit_ratio_raw(text), scale)
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...], scale: int = 4) -> Column:
@@ -83,10 +97,14 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...], scale: int = 
 
 def quality_score(text: Column | str, scale: int = 4) -> Column:
     """Heuristic document quality in [0,1]: rewards moderate length,
-    penalizes punctuation/digit noise. Deterministic, SQL-expressible."""
+    penalizes punctuation/digit noise. Deterministic, SQL-expressible.
+    Inner ratios stay UNROUNDED (single exact-integer divisions are
+    bit-identical across engines); det_round applies exactly once at
+    the end — nesting it per term multiplied the regexp evaluations
+    ~3x at bench scale."""
     t = _c(text)
     length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
-    noise_term = punct_ratio(t, 6) + digit_ratio(t, 6)
+    noise_term = _punct_ratio_raw(t) + _digit_ratio_raw(t)
     return det_round(
         F.greatest(F.lit(0.0), length_term * (F.lit(1.0) - F.least(noise_term, F.lit(1.0)))),
         scale,

@@ -31,6 +31,10 @@ _AUX_DIR = "/root/repo/spark-warehouse/oracle_aux" + (
     f"/{_os.environ['SPARK_GRAFT_RUN_ID']}" if _os.environ.get("SPARK_GRAFT_RUN_ID") else ""
 )
 
+from finance_reporting_etl_spark.functions.scalars import (  # noqa: E402
+    det_round_sql as _dr_top,
+)
+
 _SERIES_CASE = """
            CASE WHEN event_type = 'click'    THEN 'GDP'
                 WHEN event_type = 'error'    THEN 'UNRATE'
@@ -65,59 +69,18 @@ def _b256(salt: str) -> str:
 def _md5_key(salt: str) -> str:
     return f"md5(CAST(doc_id AS VARCHAR) || '{salt}')"
 
-_QUALITY_SQL = """(CASE WHEN isnan(CAST((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) ELSE floor((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) * 10000.0 + 0.5) / 10000.0 END)"""
+# Raw quality composition: inner ratios are single exact-integer IEEE
+# divisions (bit-identical across engines UNROUNDED); det_round applies
+# exactly once at the end — nesting it per term multiplied the regexp
+# evaluations ~3x at bench scale (r9). Twin: functions/text.quality_score.
+_RAW_QUALITY = (
+    "greatest(0.0, least(length(text) / 500.0, 1.0) * (1.0 - least("
+    "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    " / nullif(length(text), 0)"
+    " + length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    " / nullif(length(text), 0), 1.0)))"
+)
+_QUALITY_SQL = _dr_top(_RAW_QUALITY, 4)
 
 _TRIANGLE_CTES = f"""
     e AS (
@@ -424,61 +387,8 @@ ORACLES["text_stats"] = """
     FROM documents
     """
 
-ORACLES["quality_scores"] = """
-    SELECT doc_id,
-           (CASE WHEN isnan(CAST((greatest(0.0,
-               least(length(text) / 500.0, 1.0)
-               * (1.0 - least(
-                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                   1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
-               least(length(text) / 500.0, 1.0)
-               * (1.0 - least(
-                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                   1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
-               least(length(text) / 500.0, 1.0)
-               * (1.0 - least(
-                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                   1.0)))) ELSE floor((greatest(0.0,
-               least(length(text) / 500.0, 1.0)
-               * (1.0 - least(
-                     (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                   + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                   1.0)))) * 10000.0 + 0.5) / 10000.0 END) AS quality
+ORACLES["quality_scores"] = f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     """
 
@@ -968,62 +878,10 @@ ORACLES["customer_spend_deciles"] = """
     FROM spend
     """
 
-ORACLES["corpus_clean"] = """
+ORACLES["corpus_clean"] = f"""
     WITH scored AS (
         SELECT doc_id, lang, source,
-               (CASE WHEN isnan(CAST((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) AS DOUBLE)) OR abs(CAST((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) AS DOUBLE)) >= 461168601842738.8 THEN (greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) ELSE floor((greatest(0.0,
-                   least(length(text) / 500.0, 1.0)
-                   * (1.0 - least(
-                         (CASE WHEN isnan(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END)
-                       + (CASE WHEN isnan(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) OR abs(CAST((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) ELSE floor((length(regexp_replace(text, '[^0-9]', '', 'g'))
-                               / nullif(length(text), 0)) * 1000000.0 + 0.5) / 1000000.0 END),
-                       1.0)))) * 10000.0 + 0.5) / 10000.0 END) AS quality,
+               {_QUALITY_SQL} AS quality,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
     ), deduped AS (
@@ -7090,4 +6948,36 @@ ORACLES["ngram_novelty_scores"] = f"""
                 // count(*) AS BIGINT) AS novelty_ppm
     FROM dg JOIN first f USING (gram)
     GROUP BY dg.doc_id
+    """
+
+ORACLES["fx_gain_loss_realized"] = """
+    WITH o AS (
+        SELECT o.o_orderkey, c.c_nationkey,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS mi_book,
+               CAST(date_trunc('month', min(CAST(l.l_shipdate AS DATE)))
+                    AS DATE) AS settle_month,
+               (year(min(CAST(l.l_shipdate AS DATE))) * 12
+                + month(min(CAST(l.l_shipdate AS DATE)))) AS mi_settle,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, c.c_nationkey, o.o_orderdate, o.o_totalprice
+    ),
+    x AS (
+        SELECT n.n_name, o.settle_month,
+               (o.cents * 1000000)
+                   // (500000 + ((o.c_nationkey * 37 + o.mi_book * 17) % 1000)
+                       * 1000) AS booked,
+               (o.cents * 1000000)
+                   // (500000 + ((o.c_nationkey * 37 + o.mi_settle * 17) % 1000)
+                       * 1000) AS settled
+        FROM o JOIN nation n ON o.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, settle_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(booked) AS BIGINT) AS booked_base_cents,
+           CAST(sum(settled) AS BIGINT) AS settled_base_cents,
+           CAST(sum(settled) - sum(booked) AS BIGINT) AS fx_gain_cents
+    FROM x GROUP BY 1, 2
     """

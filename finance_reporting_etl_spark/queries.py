@@ -9699,6 +9699,130 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fx_gain_loss_realized",
+    _ORACLES["fx_gain_loss_realized"],
+    "§2.4/finance consolidation: realized FX gain/loss per nation x settle month — booked at order-month rate vs settled at first-ship-month rate over a deterministic month-drifting ppm rate surface; exact integer division both legs, zero float",
+)
+def q_fx_gain_loss_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidation line under every multi-currency P&L: an order
+    books receivable at its order-month rate and settles at its first
+    shipment's month rate — the difference is realized FX gain/loss.
+    Rates are the fx_normalized_revenue synthetic dim extended with a
+    deterministic monthly drift (500000 + ((nationkey*37 + month_index
+    *17) % 1000) * 1000 ppm, month_index = y*12+m — a pure integer
+    expression, so no rates table needs to ride the join at all).
+    Both conversions are truncating integer divisions; every output
+    cell is BIGINT-exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi_book"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.trunc("first_ship", "month").alias("settle_month"),
+            (F.year("first_ship") * 12 + F.month("first_ship")).alias("mi_settle"),
+            "mi_book",
+            "cents",
+            F.col("c_nationkey").alias("nk"),
+        )
+        .select(
+            "n_name",
+            "settle_month",
+            F.expr(
+                "(cents * 1000000) div "
+                "(500000 + ((nk * 37 + mi_book * 17) % 1000) * 1000)"
+            ).cast("bigint").alias("booked"),
+            F.expr(
+                "(cents * 1000000) div "
+                "(500000 + ((nk * 37 + mi_settle * 17) % 1000) * 1000)"
+            ).cast("bigint").alias("settled"),
+        )
+    )
+    return x.groupBy("n_name", "settle_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("booked").cast("bigint").alias("booked_base_cents"),
+        F.sum("settled").cast("bigint").alias("settled_base_cents"),
+        (F.sum("settled") - F.sum("booked")).cast("bigint").alias("fx_gain_cents"),
+    )
+
+
+@query("streaming_ar_aging",
+    _ORACLES["ar_aging_buckets"],
+    "§2.8 x §2.4 continuous collections: open-AR aging buckets folded per micro-batch through foreachBatch (additive integer partials, static customer dim joined per batch) == the one-shot ar_aging_buckets (SHARED oracle proves it)",
+)
+def q_streaming_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS collections dashboard: open orders stream in as
+    3 micro-batches, each batch joins the static customer dim and
+    posts additive (segment, bucket) partials — counts and cents are
+    order-free mergeable integers, so the merged aging equals the
+    one-shot batch computation regardless of micro-batch boundaries
+    (the SHARED ar_aging_buckets oracle proves it). Operator:
+    streaming.rollup.streaming_grouped_sum_fold."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    cdim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    age = F.datediff(
+        F.lit("1998-08-01").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return (
+            batch.join(F.broadcast(cdim), batch.o_custkey == cdim.c_custkey)
+            .select(
+                F.col("c_mktsegment").alias("segment"),
+                bucket.alias("bucket"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+            .groupBy("segment", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("c"),
+            )
+        )
+
+    src_df = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate").cast("date") <= F.lit("1998-08-01").cast("date"))
+    ).select("o_custkey", "o_orderdate", "o_totalprice")
+    return run_file_stream(
+        spark,
+        lambda src: src_df.repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
+        .groupBy("segment", "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("ar_cents"),
+        ),
+        prefix="stream_aging_",
+        label="streaming_ar_aging",
+    )
+
+
 @query("ngram_novelty_scores",
     _ORACLES["ngram_novelty_scores"],
     "X4/X-pipe corpus observability: within-corpus 4-gram novelty per doc (first-owner attribution: distinct grams -> min(doc) per gram -> join-back counts, exact integer ppm) — the memorization/upsampling screen",
@@ -9872,6 +9996,8 @@ _GATE_NEXT = [
     "dup_cluster_size_histogram",
     "minhash_estimate_error",
     "ngram_novelty_scores",
+    "fx_gain_loss_realized",
+    "streaming_ar_aging",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

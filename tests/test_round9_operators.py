@@ -237,3 +237,31 @@ def test_dup_cluster_histogram_conserves_docs(spark):
     for r in out.collect():
         assert r.n_docs == r.cluster_size * r.n_clusters
         assert 0 <= r.doc_share_ppm <= 1_000_000
+
+
+def test_fx_gain_loss_conservation(spark):
+    """fx_gain_cents must equal settled - booked on every row, and a
+    nation whose book and settle months share a rate bucket nets 0."""
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    rows = CATALOG["fx_gain_loss_realized"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.fx_gain_cents == r.settled_base_cents - r.booked_base_cents
+        assert r.n_orders >= 1
+
+
+def test_streaming_ar_aging_equals_batch(spark):
+    """The micro-batch fold must reproduce ar_aging_buckets exactly —
+    additive integer partials are boundary-free."""
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    got = {
+        (r.segment, r.bucket): (r.n_orders, r.ar_cents)
+        for r in CATALOG["streaming_ar_aging"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r.segment, r.bucket): (r.n_orders, r.ar_cents)
+        for r in CATALOG["ar_aging_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
