@@ -287,6 +287,9 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "ngram_novelty_scores",
     "fx_gain_loss_realized",
+    "dso_monthly",
+    "gross_to_net_waterfall",
+    "lsh_band_sweep_recall",
 ]
 
 

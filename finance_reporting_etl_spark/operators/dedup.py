@@ -1213,3 +1213,101 @@ def minhash_estimate_vs_exact(
         .withColumn("exact_jaccard", exact)
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
     )
+
+
+def lsh_band_sweep(
+    sigs: DataFrame,
+    configs: list[tuple[str, int]],
+    num_hashes: int = 32,
+) -> DataFrame:
+    """S-curve tuning audit: run SEVERAL (bands x rows) LSH configs
+    over the same persisted signature table and report, per config,
+    candidate volume, verified near-dup pairs (exact Jaccard >= 0.5
+    via the INTEGER predicate 2*|A∩B| >= |A∪B| — no float in any
+    decision), pooled recall and precision. This is the experiment a
+    team runs before fixing the banding of a 100-TB dedup pass: more
+    bands -> higher recall, more candidates to verify.
+
+    Truth is POOLED (union of verified pairs across the swept
+    configs) — the IR-pooling compromise that avoids the O(n^2)
+    all-pairs truth a 100-TB corpus cannot compute; recall numbers
+    are therefore relative to the pool, comparable ACROSS configs by
+    construction. Candidates per config come from raw band-tuple
+    string keys (no engine-native hash), so an independent engine
+    reproduces the identical pair sets from the same parquet bits.
+    Output ppm ratios are exact integer divisions.
+    """
+    per_config = []
+    for tag, bands in configs:
+        if num_hashes % bands != 0:
+            raise ValueError(f"bands ({bands}) must divide {num_hashes}")
+        rpb = num_hashes // bands
+        bandrows = sigs.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"m{b * rpb + r}").cast("string")
+                                    for r in range(rpb)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select("id", "sh", "__b.*")
+        a, b2 = bandrows.alias("a"), bandrows.alias("b")
+        cands = (
+            a.join(
+                b2,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sa"),
+                F.col("b.sh").alias("sb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size("sa") + F.size("sb") - inter
+        per_config.append(
+            cands.select(
+                F.lit(tag).alias("config"),
+                "id_a",
+                "id_b",
+                (F.lit(2) * inter >= union).cast("int").alias("hit"),
+            )
+        )
+    allv = per_config[0]
+    for d in per_config[1:]:
+        allv = allv.unionByName(d)
+    pooled = (
+        allv.filter(F.col("hit") == 1).select("id_a", "id_b").distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pool"))
+    )
+    stats = allv.groupBy("config").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("hit").cast("bigint").alias("n_verified"),
+    )
+    return stats.crossJoin(F.broadcast(pooled)).select(
+        "config",
+        "n_candidates",
+        "n_verified",
+        F.expr("(n_verified * 1000000) div n_pool").cast("bigint").alias(
+            "recall_ppm"
+        ),
+        F.expr("(n_verified * 1000000) div n_candidates")
+        .cast("bigint")
+        .alias("precision_ppm"),
+    )

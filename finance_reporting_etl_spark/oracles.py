@@ -6981,3 +6981,110 @@ ORACLES["fx_gain_loss_realized"] = """
            CAST(sum(settled) - sum(booked) AS BIGINT) AS fx_gain_cents
     FROM x GROUP BY 1, 2
     """
+
+
+# --- round 9 wave 24 -------------------------------------------------------
+
+def _mhsweep_bands(bands: int) -> str:
+    """UNION-ALL band-key expansion over the shared signature table for
+    one (bands, rows) LSH config — raw signature tuples as keys, no
+    engine-native hash (the minhash_estimate_error pattern)."""
+    rpb = 32 // bands
+    blocks = []
+    for b in range(bands):
+        key = " || ':' || ".join(
+            f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        blocks.append(
+            f"        SELECT id, {b} AS band_idx, {key} AS band_key FROM s"
+        )
+    return "\n        UNION ALL\n".join(blocks)
+
+
+def _mhsweep_config(tag: str, bands: int) -> str:
+    return f"""
+    br_{tag} AS (
+{_mhsweep_bands(bands)}
+    ),
+    c_{tag} AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM br_{tag} a JOIN br_{tag} b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.id < b.id
+    ),
+    v_{tag} AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN 2 * len(list_intersect(sa.sh, sb.sh))
+                         >= len(sa.sh) + len(sb.sh)
+                              - len(list_intersect(sa.sh, sb.sh))
+                    THEN 1 ELSE 0 END AS hit
+        FROM c_{tag} c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+    )"""
+
+
+ORACLES["lsh_band_sweep_recall"] = f"""
+    WITH s AS (SELECT * FROM '{_AUX_DIR}/minhash_sig_qa/*.parquet'),
+    {_mhsweep_config("b16", 16)},
+    {_mhsweep_config("b8", 8)},
+    {_mhsweep_config("b4", 4)},
+    pooled AS (
+        SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM v_b16 WHERE hit = 1
+            UNION ALL SELECT id_a, id_b FROM v_b8 WHERE hit = 1
+            UNION ALL SELECT id_a, id_b FROM v_b4 WHERE hit = 1
+        )
+    ),
+    stats AS (
+        SELECT '16x2' AS config, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(hit) AS BIGINT) AS n_verified FROM v_b16
+        UNION ALL
+        SELECT '8x4', CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT)
+        FROM v_b8
+        UNION ALL
+        SELECT '4x8', CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT)
+        FROM v_b4
+    )
+    SELECT config, n_candidates, n_verified,
+           CAST((n_verified * 1000000)
+                // (SELECT count(*) FROM pooled) AS BIGINT) AS recall_ppm,
+           CAST((n_verified * 1000000) // n_candidates AS BIGINT)
+               AS precision_ppm
+    FROM stats
+    """
+
+ORACLES["dso_monthly"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sales_cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS open_ar_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, sales_cents, open_ar_cents,
+           CAST(day(last_day(month)) AS INT) AS days_in_month,
+           CAST((open_ar_cents * day(last_day(month)) * 100) // sales_cents
+                AS BIGINT) AS dso_centi_days
+    FROM m
+    """
+
+ORACLES["gross_to_net_waterfall"] = """
+    WITH l AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS gross,
+               CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+                   AS disc,
+               CASE WHEN l_returnflag = 'R'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) ELSE 0 END AS ret
+        FROM lineitem
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(gross) AS BIGINT) AS gross_cents,
+           CAST(sum(disc) AS BIGINT) AS discount_cents,
+           CAST(sum(ret) AS BIGINT) AS returns_cents,
+           CAST(sum(gross) - sum(disc) - sum(ret) AS BIGINT) AS net_cents
+    FROM l GROUP BY 1
+    """

@@ -9699,6 +9699,102 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lsh_band_sweep_recall",
+    _ORACLES["lsh_band_sweep_recall"],
+    "X2/sketch tuning: (bands x rows) LSH S-curve sweep over the shared signature table — per-config candidates / verified pairs (EXACT integer predicate 2*inter >= union) / pooled recall + precision ppm; operator operators.dedup.lsh_band_sweep",
+)
+def q_lsh_band_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which banding should the 100-TB dedup pass use? Three LSH
+    configs (16x2, 8x4, 4x8) swept over the SAME persisted minhash
+    signatures: candidate volume, exact-verified near-dup pairs
+    (2*|A∩B| >= |A∪B| — an integer predicate, no float decision),
+    and pooled recall/precision in exact ppm. Pooled truth (union of
+    verified pairs across configs) is the scale-honest substitute for
+    the uncomputable all-pairs truth. Operator:
+    operators.dedup.lsh_band_sweep."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        lsh_band_sweep,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _persist_aux(spark, minhash_signatures(docs), "minhash_sig_qa")
+    return lsh_band_sweep(
+        sigs, [("16x2", 16), ("8x4", 8), ("4x8", 4)], num_hashes=32
+    )
+
+
+@query("dso_monthly",
+    _ORACLES["dso_monthly"],
+    "§2.4/finance working capital: monthly days-sales-outstanding (open-AR x days-in-month x 100 div sales, exact integer centi-days) — the collections-efficiency KPI next to the aging buckets",
+)
+def q_dso_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The working-capital line every CFO dashboard carries: DSO =
+    open AR / credit sales x days in month, per order month, with the
+    still-open orders of the month as the AR proxy (the billed-month
+    collection view — the aging buckets give the as-of view). One
+    aggregation; the ratio is an exact integer division emitted in
+    centi-days, so every cell is BIGINT-exact in both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
+    )
+    m = o.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("sales_cents"),
+        F.sum(F.col("cents") * F.col("is_open")).cast("bigint").alias(
+            "open_ar_cents"
+        ),
+    )
+    days = F.dayofmonth(F.last_day(F.col("month")))
+    return m.select(
+        "month",
+        "sales_cents",
+        "open_ar_cents",
+        days.cast("int").alias("days_in_month"),
+        F.expr(
+            "(open_ar_cents * day(last_day(month)) * 100) div sales_cents"
+        ).cast("bigint").alias("dso_centi_days"),
+    )
+
+
+@query("gross_to_net_waterfall",
+    _ORACLES["gross_to_net_waterfall"],
+    "§2.4/finance revenue bridge: monthly gross -> discounts -> returns -> net waterfall in exact integer cents (net = gross - discounts - returns holds by construction — the audit identity)",
+)
+def q_gross_to_net_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gross-to-net bridge on every revenue-assurance report:
+    monthly gross billings, discount give-back, returns reversal and
+    the resulting net — each an exact BIGINT cents sum, with
+    net = gross - discounts - returns true by construction (the
+    identity an auditor re-foots). One hash aggregation over the
+    shipment-month key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("gross"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("disc"),
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("ret"),
+    )
+    return li.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("gross").cast("bigint").alias("gross_cents"),
+        F.sum("disc").cast("bigint").alias("discount_cents"),
+        F.sum("ret").cast("bigint").alias("returns_cents"),
+        (F.sum("gross") - F.sum("disc") - F.sum("ret"))
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
 @query("fx_gain_loss_realized",
     _ORACLES["fx_gain_loss_realized"],
     "§2.4/finance consolidation: realized FX gain/loss per nation x settle month — booked at order-month rate vs settled at first-ship-month rate over a deterministic month-drifting ppm rate surface; exact integer division both legs, zero float",
@@ -9998,6 +10094,9 @@ _GATE_NEXT = [
     "ngram_novelty_scores",
     "fx_gain_loss_realized",
     "streaming_ar_aging",
+    "lsh_band_sweep_recall",
+    "dso_monthly",
+    "gross_to_net_waterfall",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -265,3 +265,54 @@ def test_streaming_ar_aging_equals_batch(spark):
         for r in CATALOG["ar_aging_buckets"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_lsh_band_sweep_monotone_recall(spark):
+    """More bands (fewer rows per band) must never LOWER candidate
+    volume, and per-config verified <= candidates; pooled recall of
+    the finest config dominates the coarsest."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        lsh_band_sweep,
+        minhash_signatures,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    docs = [(i, base + f" tail{i % 3}") for i in range(1, 13)]
+    docs += [(100, "totally different content with no overlap whatsoever")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", 32, 3)
+    out = {
+        r.config: r
+        for r in lsh_band_sweep(
+            sigs, [("16x2", 16), ("8x4", 8), ("4x8", 4)], 32
+        ).collect()
+    }
+    assert set(out) == {"16x2", "8x4", "4x8"}
+    for r in out.values():
+        assert 0 <= r.n_verified <= r.n_candidates
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert 0 <= r.precision_ppm <= 1_000_000
+    assert out["16x2"].n_candidates >= out["4x8"].n_candidates
+    assert out["16x2"].recall_ppm >= out["4x8"].recall_ppm
+
+
+def test_gross_to_net_identity(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    rows = CATALOG["gross_to_net_waterfall"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.net_cents == r.gross_cents - r.discount_cents - r.returns_cents
+        assert r.discount_cents >= 0 and r.returns_cents >= 0
+
+
+def test_dso_monthly_bounds(spark):
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    rows = CATALOG["dso_monthly"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.open_ar_cents <= r.sales_cents
+        assert 28 <= r.days_in_month <= 31
+        # DSO can't exceed the month length when AR <= sales
+        assert 0 <= r.dso_centi_days <= r.days_in_month * 100
