@@ -9699,6 +9699,75 @@ def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_entropy_monitor",
+    _ORACLES["event_type_entropy_daily"],
+    "§2.8 continuous data-quality: daily event-mix entropy folded per micro-batch (additive (day, type) count partials through foreachBatch; entropy computed once on the merged counts) == the batch event_type_entropy_daily (SHARED oracle proves it)",
+)
+def q_streaming_entropy_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The category-collapse monitor as a CONTINUOUS job: events
+    stream in 3 micro-batches, each batch posts additive (day,
+    event_type) count partials through foreachBatch, and the Shannon
+    entropy is computed ONCE over the merged exact counts — counts
+    are order-free mergeable integers, so the result is bit-identical
+    to the one-shot batch query regardless of micro-batch boundaries
+    (the SHARED event_type_entropy_daily oracle proves it). Operator:
+    streaming.rollup.streaming_grouped_sum_fold."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.col("ts").cast("date").alias("day"), "event_type"
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    def finish(tmp: str) -> DataFrame:
+        c = (
+            spark.read.parquet(f"{tmp}/sink")
+            .groupBy("day", "event_type")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        w = c.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("day")).cast("bigint")
+        )
+        agg = w.groupBy("day", "n").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(
+                F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            ).alias("__sclc"),
+        )
+        hh = F.log(F.col("n").cast("double")) - F.col("__sclc") / F.col("n")
+        return agg.select(
+            "day",
+            F.col("n").alias("n_events"),
+            "n_types",
+            det_round(hh, 6).alias("entropy"),
+            det_round(
+                hh / F.nullif(F.log(F.col("n_types").cast("double")), F.lit(0.0)),
+                6,
+            ).alias("entropy_norm"),
+        )
+
+    src_df = _t(spark, sf_dir, "events").select("ts", "event_type")
+    return run_file_stream(
+        spark,
+        lambda src: src_df.repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        finish,
+        prefix="stream_entropy_",
+        label="streaming_entropy_monitor",
+    )
+
+
 @query("lsh_band_sweep_recall",
     _ORACLES["lsh_band_sweep_recall"],
     "X2/sketch tuning: (bands x rows) LSH S-curve sweep over the shared signature table — per-config candidates / verified pairs (EXACT integer predicate 2*inter >= union) / pooled recall + precision ppm; operator operators.dedup.lsh_band_sweep",
@@ -10097,6 +10166,7 @@ _GATE_NEXT = [
     "lsh_band_sweep_recall",
     "dso_monthly",
     "gross_to_net_waterfall",
+    "streaming_entropy_monitor",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -316,3 +316,17 @@ def test_dso_monthly_bounds(spark):
         assert 28 <= r.days_in_month <= 31
         # DSO can't exceed the month length when AR <= sales
         assert 0 <= r.dso_centi_days <= r.days_in_month * 100
+
+
+def test_streaming_entropy_equals_batch(spark):
+    """Micro-batch count folding must reproduce the batch entropy
+    exactly — counts are additive, entropy is computed post-merge."""
+    from finance_reporting_etl_spark.queries import CATALOG
+
+    got = sorted(
+        map(str, CATALOG["streaming_entropy_monitor"].fn(spark, SF_SMOKE).collect())
+    )
+    want = sorted(
+        map(str, CATALOG["event_type_entropy_daily"].fn(spark, SF_SMOKE).collect())
+    )
+    assert got == want
