@@ -290,6 +290,16 @@ HEADLINE = [
     "dso_monthly",
     "gross_to_net_waterfall",
     "lsh_band_sweep_recall",
+    # round 10 additions (streaming_balance_rollforward is excluded
+    # like the r9 streaming twins — stream replay cost measures the
+    # harness, not the plan, and the batch form is benched;
+    # dedup_purge_savings shares dedup_cluster_canonicalize's plan —
+    # the canonicalize entry is the family's bench representative)
+    "balance_rollforward_monthly",
+    "cash_flow_indirect_monthly",
+    "dedup_cluster_canonicalize",
+    "cross_encoder_rerank_eval",
+    "lsh_index_compaction_plan",
 ]
 
 
@@ -302,6 +312,20 @@ NOTES = {
         "same band PLANS.md documents (±30% single-query at sf0.1) — "
         "read r10-vs-r9 totals against the same-box trend, not the "
         "single driver number (VERDICT r9 task 6)."
+    ),
+    "ingest_pages_datasource": (
+        "r10 quiet-box re-measure (VERDICT r9 task 2): best-of-3 = "
+        "0.60s (runs 6.72/0.60/0.60 — the first run pays Python "
+        "DataSource registration + worker startup) vs 1.42s (r8) / "
+        "2.95s (r9 driver box). The 2.08x r9 delta was box variance "
+        "landing on the startup-heavy first sample; the plan is "
+        "unchanged (0 exchanges). No redesign warranted."
+    ),
+    "minhash_lsh_near_dup": (
+        "r10 quiet-box re-measure (VERDICT r9 task 2): best-of-3 = "
+        "2.18s vs 2.36s (r8) / 3.76s (r9 driver box) — the post-"
+        "det_round plan is not slower than r8's; the 1.60x r9 delta "
+        "was box variance. Plan unchanged (1 shuffle + 3 broadcasts)."
     ),
     "part_copurchase_pagerank": (
         "r8 quiet-box re-measure (VERDICT r7 task 6): best-of-3 = 7.67s "

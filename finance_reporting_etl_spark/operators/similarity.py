@@ -817,3 +817,113 @@ def reciprocal_rank_fusion(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rrf_score", "rank")
     )
+
+
+def cross_encoder_rerank(shortlist: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Interaction-scored rerank of a two-tower shortlist — the
+    cross-encoder serving pattern's Spark shape.
+
+    Production retrieval stacks shortlist with a cheap factorized
+    scorer (two-tower / ADC) and rerank the survivors with a model
+    that sees the (query, candidate) PAIR. The model here is a
+    deterministic stand-in — distinct-token overlap in exact integer
+    ppm, ``inter * 1e6 div union`` — so both engines reproduce the
+    ordering bit-exactly, while the PLAN is the real one: the enriched
+    shortlist (with query token arrays) broadcasts into a single
+    corpus scan, so per query the pair-scoring cost is bounded by the
+    shortlist, never the corpus.
+
+    ``shortlist``: (query_id, neighbor_id, adc_rank); ``tokens``:
+    (doc_id, toks). Returns (query_id, neighbor_id, adc_rank,
+    ce_rank) with ce_rank 1-based by (overlap ppm DESC, neighbor_id).
+    """
+    qt = tokens.join(
+        F.broadcast(
+            shortlist.select(F.col("query_id").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+    ).select(F.col("doc_id").alias("query_id"), F.col("toks").alias("q_toks"))
+    enriched = shortlist.join(F.broadcast(qt), "query_id")
+    ct = tokens.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("toks").alias("c_toks")
+    )
+    inter = F.size(F.array_intersect("q_toks", "c_toks")).cast("bigint")
+    un = (
+        F.size("q_toks").cast("bigint")
+        + F.size("c_toks").cast("bigint")
+        - inter
+    )
+    x = (
+        ct.join(F.broadcast(enriched), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_rank",
+            inter.alias("__inter"),
+            un.alias("__un"),
+        )
+        .withColumn(
+            "__ce_ppm",
+            F.when(F.col("__un") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.expr("(__inter * 1000000) div __un")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ce_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return x.withColumn("ce_rank", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", "adc_rank", "ce_rank"
+    )
+
+
+def rank_agreement_metrics(ranked: DataFrame, k: int = 10) -> DataFrame:
+    """Agreement audit between two rankings of the same candidates —
+    the quality gate before trusting a cheap ranker's top-k.
+
+    Input: (query_id, neighbor_id, adc_rank, ce_rank). Emits one row
+    per query with exact-integer metrics only: candidate count,
+    ``top{k}_overlap`` (|topk ∩ topk|), total L1 rank displacement,
+    and the Kendall concordant/discordant pair counts (row_number
+    ranks are tie-free, so the two counts partition the pairs exactly).
+    The pair self-join is shortlist² per query — bounded by the
+    serving shortlist, independent of corpus size.
+    """
+    per = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            ((F.col("adc_rank") <= k) & (F.col("ce_rank") <= k)).cast("int")
+        )
+        .cast("bigint")
+        .alias(f"top{k}_overlap"),
+        F.sum(F.abs(F.col("adc_rank") - F.col("ce_rank")))
+        .cast("bigint")
+        .alias("rank_l1_total"),
+    )
+    a = ranked.select(
+        "query_id",
+        F.col("neighbor_id").alias("na"),
+        F.col("adc_rank").alias("aa"),
+        F.col("ce_rank").alias("ca"),
+    )
+    b = ranked.select(
+        "query_id",
+        F.col("neighbor_id").alias("nb"),
+        F.col("adc_rank").alias("ab"),
+        F.col("ce_rank").alias("cb"),
+    )
+    prod = (F.col("aa") - F.col("ab")) * (F.col("ca") - F.col("cb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("query_id")
+        .agg(
+            F.sum((prod > 0).cast("int"))
+            .cast("bigint")
+            .alias("concordant_pairs"),
+            F.sum((prod < 0).cast("int"))
+            .cast("bigint")
+            .alias("discordant_pairs"),
+        )
+    )
+    return per.join(pairs, "query_id")

@@ -7088,3 +7088,245 @@ ORACLES["gross_to_net_waterfall"] = """
            CAST(sum(gross) - sum(disc) - sum(ret) AS BIGINT) AS net_cents
     FROM l GROUP BY 1
     """
+
+
+# --- round 10 (wave 26) -----------------------------------------------------
+
+# Roll-forward statement mart: the (account, month) grid with opening /
+# activity / closing and a statement-section classification — the
+# schedule an auditor reads next to the trial balance. Same journal
+# legs as trial_balance_monthly; opening = closing - net activity is
+# exact BIGINT arithmetic, so no lag() cross-engine frame subtleties.
+ORACLES["balance_rollforward_monthly"] = """
+    WITH o AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), r AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), j AS (
+        SELECT month, 'accounts_receivable' AS account,
+               cents AS debit, CAST(0 AS BIGINT) AS credit FROM o
+        UNION ALL
+        SELECT month, 'revenue', CAST(0 AS BIGINT), cents FROM o
+        UNION ALL
+        SELECT month, 'sales_returns', cents, CAST(0 AS BIGINT) FROM r
+        UNION ALL
+        SELECT month, 'accounts_receivable', CAST(0 AS BIGINT), cents FROM r
+    ), m AS (
+        SELECT month, account,
+               CAST(sum(debit) AS BIGINT) AS debit_cents,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM j GROUP BY 1, 2
+    ), b AS (
+        SELECT account, month, debit_cents, credit_cents,
+               CAST(sum(debit_cents - credit_cents) OVER (
+                    PARTITION BY account ORDER BY month
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS closing_cents
+        FROM m
+    )
+    SELECT account,
+           CASE WHEN account = 'accounts_receivable' THEN 'asset'
+                WHEN account = 'revenue' THEN 'revenue'
+                ELSE 'contra_revenue' END AS section,
+           month,
+           CAST(closing_cents - (debit_cents - credit_cents) AS BIGINT)
+               AS opening_cents,
+           debit_cents, credit_cents, closing_cents
+    FROM b
+    """
+
+# Statement of cash flows, indirect method, on the deterministic
+# collections convention (every order collects in full the following
+# month): OCF = net income - delta(AR) must equal the direct-method
+# cash delta (collections) — the tie-out identity both engines derive
+# independently in exact BIGINT cents.
+ORACLES["cash_flow_indirect_monthly"] = """
+    WITH o AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), r AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), rev AS (
+        SELECT month, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM o GROUP BY 1
+    ), ret AS (
+        SELECT month, CAST(sum(cents) AS BIGINT) AS returns_cents
+        FROM r GROUP BY 1
+    ), col AS (
+        SELECT CAST(month + INTERVAL 1 MONTH AS DATE) AS month,
+               CAST(sum(cents) AS BIGINT) AS collected_cents
+        FROM o GROUP BY 1
+    ), spine AS (
+        SELECT month FROM rev
+        UNION SELECT month FROM ret
+        UNION SELECT month FROM col
+    ), x AS (
+        SELECT s.month,
+               CAST(coalesce(rev.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+               CAST(coalesce(ret.returns_cents, 0) AS BIGINT) AS returns_cents,
+               CAST(coalesce(col.collected_cents, 0) AS BIGINT)
+                   AS collected_cents
+        FROM spine s
+        LEFT JOIN rev ON s.month = rev.month
+        LEFT JOIN ret ON s.month = ret.month
+        LEFT JOIN col ON s.month = col.month
+    )
+    SELECT month, revenue_cents, returns_cents,
+           CAST(revenue_cents - returns_cents AS BIGINT) AS net_income_cents,
+           CAST(revenue_cents - returns_cents - collected_cents AS BIGINT)
+               AS delta_ar_cents,
+           CAST(collected_cents AS BIGINT) AS ocf_indirect_cents,
+           CAST(collected_cents AS BIGINT) AS cash_delta_cents
+    FROM x
+    """
+
+# Near-dup cluster canonicalization: the same recursive transitive
+# closure as dedup_clusters, then the DELETION POLICY — within each
+# component keep the highest-quality doc (tie-break lowest id), mark
+# the rest dropped. quality is the catalog's det-rounded score, so the
+# ordering key is bit-identical across engines.
+ORACLES["dedup_cluster_canonicalize"] = (
+    ORACLES["dedup_clusters"].rsplit("SELECT id AS doc_id", 1)[0]
+    + f""", cl AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ), x AS (
+        SELECT cl.doc_id, cl.cluster_id, q.quality,
+               first_value(cl.doc_id) OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC NULLS LAST, cl.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS canonical_id
+        FROM cl JOIN q ON cl.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, quality, canonical_id,
+           CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS INT)
+               AS keep
+    FROM x
+    """
+)
+# Storage-savings audit of the canonicalization policy: per (lang,
+# source) block, how many docs/chars the keep-best rule deletes —
+# exact integer counts and a truncating-integer-division ppm.
+ORACLES["dedup_purge_savings"] = (
+    ORACLES["dedup_clusters"].rsplit("SELECT id AS doc_id", 1)[0]
+    + f""", cl AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ), x AS (
+        SELECT cl.doc_id, cl.cluster_id,
+               first_value(cl.doc_id) OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC NULLS LAST, cl.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS canonical_id
+        FROM cl JOIN q ON cl.doc_id = q.doc_id
+    )
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT x.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN x.doc_id = x.canonical_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN x.doc_id = x.canonical_id THEN 0
+                         ELSE d.n_chars END) AS BIGINT) AS chars_dropped,
+           CAST(sum(CASE WHEN x.doc_id = x.canonical_id THEN 0
+                         ELSE d.n_chars END) * 1000000
+                // nullif(sum(d.n_chars), 0) AS BIGINT) AS savings_ppm
+    FROM x JOIN documents d ON x.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """
+)
+
+# Cross-encoder-style rerank audit over the persisted ADC shortlist:
+# both engines re-derive the interaction score (token-overlap ppm —
+# exact integers), the rerank ordering, and the agreement metrics
+# (top-10 overlap, rank L1, concordant/discordant Kendall pairs)
+# from the same persisted shortlist table.
+ORACLES["cross_encoder_rerank_eval"] = f"""
+    WITH sl AS (
+        SELECT query_id, neighbor_id, adc_rank
+        FROM '{_AUX_DIR}/ce_shortlist/*.parquet'
+    ), t AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ), q AS (
+        SELECT doc_id AS query_id, toks AS q_toks FROM t
+        WHERE doc_id IN (0, 1, 2, 3, 4)
+    ), s AS (
+        SELECT sl.query_id, sl.neighbor_id, sl.adc_rank,
+               CAST(len(list_intersect(q.q_toks, c.toks)) AS BIGINT) AS inter,
+               CAST(len(q.q_toks) + len(c.toks)
+                    - len(list_intersect(q.q_toks, c.toks)) AS BIGINT) AS un
+        FROM sl
+        JOIN q ON q.query_id = sl.query_id
+        JOIN t c ON c.doc_id = sl.neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, adc_rank,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY (CASE WHEN un = 0 THEN 0
+                                  ELSE inter * 1000000 // un END) DESC,
+                            neighbor_id ASC) AS ce_rank
+        FROM s
+    ), agg AS (
+        SELECT query_id,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN adc_rank <= 10 AND ce_rank <= 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS top10_overlap,
+               CAST(sum(abs(adc_rank - ce_rank)) AS BIGINT) AS rank_l1_total
+        FROM ranked GROUP BY 1
+    ), pairs AS (
+        SELECT a.query_id,
+               CAST(sum(CASE WHEN (a.adc_rank - b.adc_rank)
+                                  * (a.ce_rank - b.ce_rank) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS concordant_pairs,
+               CAST(sum(CASE WHEN (a.adc_rank - b.adc_rank)
+                                  * (a.ce_rank - b.ce_rank) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS discordant_pairs
+        FROM ranked a JOIN ranked b
+          ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+        GROUP BY 1
+    )
+    SELECT agg.query_id, n_candidates, top10_overlap, rank_l1_total,
+           concordant_pairs, discordant_pairs
+    FROM agg JOIN pairs ON agg.query_id = pairs.query_id
+    """
+
+# LSH band-index compaction plan: each (band_idx, band_hash) bucket of
+# the persisted MinHash band index is a small file; pack each band's
+# buckets into ~64-row rewrite bins with the same next-fit-decreasing
+# rule as compaction_bin_packing (exclusive running sum, exact integer
+# div). Both engines derive the plan from the same persisted index.
+ORACLES["lsh_index_compaction_plan"] = f"""
+    WITH t AS (SELECT * FROM '{_AUX_DIR}/lsh_band_files/*.parquet'),
+    b AS (
+        SELECT u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT unnest(bands) AS u FROM t)
+    ), f AS (
+        SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS n_rows
+        FROM b GROUP BY 1, 2
+    ), e AS (
+        SELECT band_idx, band_hash, n_rows,
+               CAST(coalesce(sum(n_rows) OVER (
+                        PARTITION BY band_idx
+                        ORDER BY n_rows DESC, band_hash
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS excl
+        FROM f
+    )
+    SELECT band_idx, band_hash, n_rows,
+           CAST(excl // 64 AS BIGINT) AS bin_id
+    FROM e
+    """

@@ -10033,6 +10033,345 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 26 (round 10): rerank QA, dedup deletion policy, LSH index
+# maintenance, and the balance-sheet/cash-flow statement marts.
+# ---------------------------------------------------------------------------
+
+
+def _rollforward_statement(monthly: DataFrame) -> DataFrame:
+    """(month, account, debit_cents, credit_cents) -> the roll-forward
+    statement grid: opening/activity/closing per account-month plus a
+    statement-section classification. opening = closing - net activity
+    (exact BIGINT arithmetic — no lag(), no frame subtleties)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("account")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    closing = (
+        F.sum(F.col("debit_cents") - F.col("credit_cents")).over(w).cast("bigint")
+    )
+    section = (
+        F.when(F.col("account") == "accounts_receivable", "asset")
+        .when(F.col("account") == "revenue", "revenue")
+        .otherwise("contra_revenue")
+    )
+    return monthly.select(
+        "account",
+        section.alias("section"),
+        "month",
+        (closing - (F.col("debit_cents") - F.col("credit_cents")))
+        .cast("bigint")
+        .alias("opening_cents"),
+        "debit_cents",
+        "credit_cents",
+        closing.alias("closing_cents"),
+    )
+
+
+@query("balance_rollforward_monthly",
+    _ORACLES["balance_rollforward_monthly"],
+    "§2.4/finance ledger: full roll-forward statement mart (opening/activity/closing per account-month + statement section) from the shared journal legs — the README balance_sheet artifact deepened to a schedule, exact BIGINT cents (reference README.md:467-495)",
+)
+def q_balance_rollforward_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schedule an auditor reads next to the trial balance: each
+    account's opening balance, period activity, and closing balance,
+    classified into statement sections. Same journal legs as
+    trial_balance_monthly; one hash aggregation plus one bounded
+    per-account window (3 accounts x months), opening derived as
+    closing - net so no cross-engine lag() frame semantics enter.
+    Exact integer cents end-to-end."""
+    monthly = (
+        _journal_order_legs(_tb_orders(spark, sf_dir))
+        .unionByName(_journal_return_legs(_tb_returns(spark, sf_dir)))
+        .groupBy("month", "account")
+        .agg(
+            F.sum("debit").cast("bigint").alias("debit_cents"),
+            F.sum("credit").cast("bigint").alias("credit_cents"),
+        )
+    )
+    return _rollforward_statement(monthly)
+
+
+@query("streaming_balance_rollforward",
+    _ORACLES["balance_rollforward_monthly"],
+    "§2.8 x §2.4 continuous statement mart: order legs folded per micro-batch through foreachBatch (additive integer partials, static returns side) -> roll-forward window at read-back == the one-shot balance_rollforward_monthly (SHARED oracle proves it)",
+)
+def q_streaming_balance_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS roll-forward: order journal legs stream in as 3
+    micro-batches posting additive (month, account) integer partials;
+    the returns side stays static; the roll-forward window (running
+    closing, derived opening) applies once at read-back over the
+    merged ledger. Integer partials are order-free mergeable, so the
+    statement is bit-identical to the one-shot batch mart no matter
+    where the micro-batch boundaries fall (the SHARED oracle proves
+    it). Operator: streaming.rollup.streaming_grouped_sum_fold."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return (
+            _journal_order_legs(batch)
+            .groupBy("month", "account")
+            .agg(
+                F.sum("debit").cast("bigint").alias("d"),
+                F.sum("credit").cast("bigint").alias("c"),
+            )
+        )
+
+    stream_part = run_file_stream(
+        spark,
+        lambda src: _tb_orders(spark, sf_dir).repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
+        .groupBy("month", "account")
+        .agg(
+            F.sum("d").cast("bigint").alias("d"),
+            F.sum("c").cast("bigint").alias("c"),
+        ),
+        prefix="stream_rollfwd_",
+        label="streaming_balance_rollforward",
+    )
+    static_part = (
+        _journal_return_legs(_tb_returns(spark, sf_dir))
+        .groupBy("month", "account")
+        .agg(
+            F.sum("debit").cast("bigint").alias("d"),
+            F.sum("credit").cast("bigint").alias("c"),
+        )
+    )
+    monthly = (
+        stream_part.unionByName(static_part)
+        .groupBy("month", "account")
+        .agg(
+            F.sum("d").cast("bigint").alias("debit_cents"),
+            F.sum("c").cast("bigint").alias("credit_cents"),
+        )
+    )
+    return _rollforward_statement(monthly)
+
+
+@query("cash_flow_indirect_monthly",
+    _ORACLES["cash_flow_indirect_monthly"],
+    "§2.4/finance statements: statement of cash flows, indirect method (OCF = net income - delta AR) on a deterministic next-month collections convention — ties out exactly to the direct-method cash delta, exact BIGINT cents",
+)
+def q_cash_flow_indirect_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third statement: monthly operating cash flow derived the
+    indirect way (net income minus the AR movement) under the
+    deterministic convention that every order collects in full the
+    following month. The tie-out identity — OCF_indirect equals the
+    direct-method cash delta (collections) — holds in exact integer
+    cents because every term is a BIGINT sum over the same journal.
+    Three bounded month-grain aggregates joined on a month spine; no
+    window, no floats."""
+    o = _tb_orders(spark, sf_dir)
+    r = _tb_returns(spark, sf_dir)
+    rev = o.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("revenue_cents")
+    )
+    ret = r.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("returns_cents")
+    )
+    col = (
+        o.groupBy("month")
+        .agg(F.sum("cents").cast("bigint").alias("collected_cents"))
+        .select(F.add_months("month", 1).alias("month"), "collected_cents")
+    )
+    spine = (
+        rev.select("month")
+        .unionByName(ret.select("month"))
+        .unionByName(col.select("month"))
+        .distinct()
+    )
+    x = (
+        spine.join(rev, "month", "left")
+        .join(ret, "month", "left")
+        .join(col, "month", "left")
+        .na.fill(0, ["revenue_cents", "returns_cents", "collected_cents"])
+    )
+    ni = F.col("revenue_cents") - F.col("returns_cents")
+    delta_ar = ni - F.col("collected_cents")
+    return x.select(
+        "month",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.col("returns_cents").cast("bigint").alias("returns_cents"),
+        ni.cast("bigint").alias("net_income_cents"),
+        delta_ar.cast("bigint").alias("delta_ar_cents"),
+        (ni - delta_ar).cast("bigint").alias("ocf_indirect_cents"),
+        F.col("collected_cents").cast("bigint").alias("cash_delta_cents"),
+    )
+
+
+def _cluster_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup canonicalization frame: the dedup_clusters
+    components joined with the catalog quality score, plus the
+    keep-best survivor per component (quality DESC NULLS LAST, then
+    doc_id — the det-rounded score is bit-identical across engines, so
+    the ordering key is too)."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.text import quality_score
+    from finance_reporting_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(
+        docs, block_cols=("lang", "source"), threshold=0.5
+    ).select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cl = near_dup_clusters(edges, nodes).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = docs.select(
+        F.col("doc_id").alias("qid"), quality_score("text").alias("quality")
+    )
+    x = cl.join(q, cl.doc_id == q.qid).drop("qid")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("quality").desc_nulls_last(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return x.withColumn("canonical_id", F.first("doc_id").over(w))
+
+
+@query("dedup_cluster_canonicalize",
+    _ORACLES["dedup_cluster_canonicalize"],
+    "X1/X2 near-dup DELETION POLICY: keep-best-by-quality within each dedup_clusters component (quality DESC, doc_id tie-break) — per-doc survivor assignment, the policy the dup-cluster histogram audit sets up",
+)
+def q_dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH copy survives a near-dup cluster: not min-id (the
+    clustering label) but the highest-QUALITY member — the policy
+    production corpora actually want (keep the cleanest copy, drop the
+    boilerplate-wrapped ones). Composes the proven component labels
+    with the catalog quality score; the survivor window is per-cluster
+    (bounded by cluster size). Emits every doc with its cluster, the
+    chosen canonical, and a keep flag."""
+    x = _cluster_canonicalized(spark, sf_dir)
+    return x.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("keep"),
+    )
+
+
+@query("dedup_purge_savings",
+    _ORACLES["dedup_purge_savings"],
+    "X1/X2 dedup observability: storage-savings audit of the keep-best canonicalization per (lang, source) block — docs/clusters/chars kept vs dropped, exact integer ppm",
+)
+def q_dedup_purge_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT the deletion policy buys, before running it: per corpus
+    block, how many documents and characters the keep-best rule would
+    drop, as exact integer counts and a truncating-division ppm. The
+    before-you-delete sizing read alongside dup_cluster_size_histogram.
+    One extra broadcast-scale join (docs dims) + one hash aggregation
+    over the canonicalization frame."""
+    x = _cluster_canonicalized(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("did"), "lang", "source", "n_chars"
+    )
+    dropped = (F.col("doc_id") != F.col("canonical_id")).cast("int")
+    return (
+        x.join(d, x.doc_id == F.col("did"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(dropped * F.col("n_chars")).cast("bigint").alias("chars_dropped"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr("(chars_dropped * 1000000) div nullif(chars_total, 0)").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+@query("cross_encoder_rerank_eval",
+    _ORACLES["cross_encoder_rerank_eval"],
+    "X3 two-tower -> rerank quality audit: interaction-scored (cross-encoder-style) rerank of the persisted ADC shortlist vs the ADC ordering — top-10 overlap, L1 displacement, Kendall concordant/discordant pairs, all exact integers (extends ann_rerank_exact)",
+)
+def q_cross_encoder_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH does a pair-scoring reranker reorder the cheap
+    two-tower shortlist — the audit run before paying for a
+    cross-encoder stage at serving time. Stage 1 is the same persisted
+    IVF-PQ ADC shortlist as ann_rerank_exact (k=50, no vector reads);
+    stage 2 scores each (query, candidate) PAIR with a deterministic
+    interaction (distinct-token overlap ppm — the cross-encoder
+    stand-in, exact integers) and reranks; the output is per-query
+    agreement metrics between the two orderings. The enriched
+    shortlist broadcasts into one corpus scan; the Kendall pair join
+    is shortlist²-bounded per query. Operators:
+    operators.similarity.{cross_encoder_rerank, rank_agreement_metrics}."""
+    from finance_reporting_etl_spark.operators.dedup import whitespace_tokens
+    from finance_reporting_etl_spark.operators.similarity import (
+        cross_encoder_rerank,
+        ivfpq_topk_from_tables,
+        rank_agreement_metrics,
+    )
+
+    index, probes, luts = _pq_tables(spark, sf_dir)
+    short = _persist_aux(
+        spark,
+        ivfpq_topk_from_tables(index, probes, luts, k=50).select(
+            "query_id", "neighbor_id", F.col("rank").alias("adc_rank")
+        ),
+        "ce_shortlist",
+    )
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(whitespace_tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    return rank_agreement_metrics(cross_encoder_rerank(short, toks), k=10)
+
+
+@query("lsh_index_compaction_plan",
+    _ORACLES["lsh_index_compaction_plan"],
+    "X2/S-tier index maintenance: band-file compaction plan for the persisted MinHash band index — per-band next-fit-decreasing bin packing of (band_idx, band_hash) buckets (marries compaction_bin_packing with the near_dup_incremental_batch index)",
+)
+def q_lsh_index_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance job a LIVE LSH index needs: incremental batches
+    (near_dup_incremental_batch) keep appending small per-bucket files
+    to the band index; this plans their rewrite into ~64-row bins per
+    band with the same next-fit-decreasing rule as
+    compaction_bin_packing (size DESC + id, exclusive running sum,
+    exact integer div). The plan window is per-BAND — the same
+    partition grain the index's equi-join probes use — and both
+    engines derive the plan from the same persisted index table.
+    Operators: operators.dedup.minhash_index,
+    operators.scale.compaction_plan."""
+    from finance_reporting_etl_spark.operators.dedup import minhash_index
+    from finance_reporting_etl_spark.operators.scale import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = _persist_aux(spark, minhash_index(docs), "lsh_band_files")
+    buckets = (
+        idx.select(F.explode("bands").alias("u"))
+        .select(
+            F.col("u.band_idx").alias("band_idx"),
+            F.col("u.band_hash").alias("band_hash"),
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return compaction_plan(buckets, ["band_idx"], "band_hash", "n_rows", 64)
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -10165,6 +10504,13 @@ _GATE_NEXT = [
     "embedding_int8_quantize",
     "abc_customer_classification",
     # -- round-10 additions (never gated; r11 window) --------------------
+    "balance_rollforward_monthly",
+    "streaming_balance_rollforward",
+    "cash_flow_indirect_monthly",
+    "dedup_cluster_canonicalize",
+    "dedup_purge_savings",
+    "cross_encoder_rerank_eval",
+    "lsh_index_compaction_plan",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

