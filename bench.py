@@ -300,6 +300,11 @@ HEADLINE = [
     "dedup_cluster_canonicalize",
     "cross_encoder_rerank_eval",
     "lsh_index_compaction_plan",
+    "t_closeness_audit",
+    "ar_roll_rates",
+    "ivf_cell_balance",
+    "lsh_compaction_delta",
+    "tokenizer_fertility_by_lang",
 ]
 
 

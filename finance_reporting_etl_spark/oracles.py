@@ -7330,3 +7330,174 @@ ORACLES["lsh_index_compaction_plan"] = f"""
            CAST(excl // 64 AS BIGINT) AS bin_id
     FROM e
     """
+
+
+# --- round 10 (wave 27) -----------------------------------------------------
+
+# t-closeness over the ordered sensitive attribute (balance class
+# negative < low < high): per quasi-identifier group, the ordered-EMD
+# distance to the global distribution in EXACT integer ppm —
+# t = (1/(k-1)) * sum_i |cumP_group(i) - cumP_global(i)| becomes
+# sum_i |cumG_i*N - cumT_i*nG| * 1e6 // (nG*N*(k-1)), all BIGINT.
+ORACLES["t_closeness_audit"] = """
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS cls
+        FROM customer
+    ), g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+               CAST(sum(CASE WHEN cls <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS g2
+        FROM c GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN cls <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        FROM c
+    ), x AS (
+        SELECT c_nationkey, c_mktsegment, n_rows,
+               CAST((abs(g1 * n_total - t1 * n_rows)
+                     + abs(g2 * n_total - t2 * n_rows)) * 1000000
+                    // (n_rows * n_total * 2) AS BIGINT) AS t_closeness_ppm
+        FROM g, tot
+    )
+    SELECT c_nationkey, c_mktsegment, n_rows, t_closeness_ppm,
+           CAST(CASE WHEN t_closeness_ppm > 200000 THEN 1 ELSE 0 END AS INT)
+               AS t_violation
+    FROM x
+    """
+
+# AR roll-rate transition matrix: every open order's aging bucket at
+# two month-apart as-of dates; the (segment, from, to) migration
+# counts, cents, and the per-(segment, from) roll rate in exact ppm.
+ORACLES["ar_roll_rates"] = """
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-07-01') <= 30 THEN '0-30'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-07-01') <= 60 THEN '31-60'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-07-01') <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket_from,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 30 THEN '0-30'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 60 THEN '31-60'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket_to,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+          AND CAST(o.o_orderdate AS DATE) <= DATE '1998-07-01'
+    ), m AS (
+        SELECT segment, bucket_from, bucket_to,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS ar_cents
+        FROM o GROUP BY 1, 2, 3
+    )
+    SELECT segment, bucket_from, bucket_to, n_orders, ar_cents,
+           CAST(n_orders * 1000000
+                // sum(n_orders) OVER (PARTITION BY segment, bucket_from)
+                AS BIGINT) AS roll_rate_ppm
+    FROM m
+    """
+
+# IVF cell-balance audit: population and skew of the persisted
+# inverted-file index — the observability read before trusting nprobe
+# latency at scale (one hot cell = the tail). share/skew in exact ppm
+# (skew 1e6 = perfectly balanced).
+ORACLES["ivf_cell_balance"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/ivf_cell_index/*.parquet'),
+    g AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM ix GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+        FROM ix
+    )
+    SELECT cell, n_vecs,
+           CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+           CAST(n_vecs * n_cells * 1000000 // n_total AS BIGINT) AS skew_ppm
+    FROM g, tot
+    """
+
+# Incremental LSH-index compaction delta: after a batch lands in the
+# band index, which of the standing compaction plan's bins are dirtied
+# (contain a grown bucket) and how much new data needs placement —
+# derived by both engines from the two persisted index tables.
+ORACLES["lsh_compaction_delta"] = f"""
+    WITH c AS (SELECT * FROM '{_AUX_DIR}/lsh_delta_corpus/*.parquet'),
+    b AS (SELECT * FROM '{_AUX_DIR}/lsh_delta_batch/*.parquet'),
+    cb AS (
+        SELECT u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT unnest(bands) AS u FROM c)
+    ), bb AS (
+        SELECT u.band_idx AS band_idx, u.band_hash AS band_hash
+        FROM (SELECT unnest(bands) AS u FROM b)
+    ), f0 AS (
+        SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS n_rows
+        FROM cb GROUP BY 1, 2
+    ), plan0 AS (
+        SELECT band_idx, band_hash, n_rows,
+               CAST(CAST(coalesce(sum(n_rows) OVER (
+                        PARTITION BY band_idx
+                        ORDER BY n_rows DESC, band_hash
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) // 64 AS BIGINT) AS bin_id
+        FROM f0
+    ), delta AS (
+        SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS rows_added
+        FROM bb GROUP BY 1, 2
+    ), joined AS (
+        SELECT coalesce(d.band_idx, p.band_idx) AS band_idx,
+               d.rows_added,
+               p.bin_id,
+               CASE WHEN p.band_hash IS NULL THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN p.band_hash IS NOT NULL
+                         AND d.band_hash IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_grown
+        FROM delta d FULL OUTER JOIN plan0 p
+          ON d.band_idx = p.band_idx AND d.band_hash = p.band_hash
+    )
+    SELECT band_idx,
+           CAST(count(CASE WHEN bin_id IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_buckets_before,
+           CAST(max(bin_id) + 1 AS BIGINT) AS n_bins_before,
+           CAST(sum(is_new) AS BIGINT) AS n_new_buckets,
+           CAST(sum(is_grown) AS BIGINT) AS n_grown_buckets,
+           CAST(count(DISTINCT CASE WHEN is_grown = 1 THEN bin_id END)
+                AS BIGINT) AS n_dirty_bins,
+           CAST(coalesce(sum(rows_added), 0) AS BIGINT) AS rows_added
+    FROM joined GROUP BY 1
+    """
+
+# Tokenizer fertility per language: whitespace vs BPE-ish token counts
+# and chars per BPE token — the token-budgeting observability a
+# multilingual corpus needs (fertility differences decide per-language
+# sampling budgets). Exact integer sums and truncating-division ppm.
+ORACLES["tokenizer_fertility_by_lang"] = """
+    WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS ws_toks,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS bpe_toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(ws_toks) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(bpe_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(bpe_toks) * 1000000 // nullif(sum(ws_toks), 0) AS BIGINT)
+               AS fertility_ppm,
+           CAST(sum(chars) * 1000000 // nullif(sum(bpe_toks), 0) AS BIGINT)
+               AS chars_per_bpe_ppm
+    FROM d GROUP BY 1
+    """

@@ -10372,6 +10372,263 @@ def q_lsh_index_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 27 (round 10): privacy triad completion, credit-risk roll rates,
+# ANN index observability, incremental compaction delta, tokenizer
+# fertility.
+# ---------------------------------------------------------------------------
+
+
+@query("t_closeness_audit",
+    _ORACLES["t_closeness_audit"],
+    "S-tier privacy: t-closeness per quasi-identifier group over the ORDERED sensitive attribute (balance class) — ordered-EMD distance to the global distribution in exact integer ppm; completes the k-anonymity / l-diversity / t-closeness triad",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity's blind spot: a group can hold 3 distinct sensitive
+    values yet still skew far from the population (semantic
+    disclosure). t-closeness bounds the ordered-EMD between each
+    group's sensitive distribution and the global one. With k=3
+    ordered classes, t = (1/2) * sum |cumP_grp - cumP_all| — computed
+    as exact cross-multiplied BIGINT cumulative counts with ONE
+    truncating division into ppm, so both engines agree bit-exactly.
+    One group aggregate + one 1-row global broadcast."""
+    cls = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    base = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", cls.alias("cls")
+    )
+    g = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("cls") == 0).cast("int")).cast("bigint").alias("g1"),
+        F.sum((F.col("cls") <= 1).cast("int")).cast("bigint").alias("g2"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum((F.col("cls") == 0).cast("int")).cast("bigint").alias("t1"),
+        F.sum((F.col("cls") <= 1).cast("int")).cast("bigint").alias("t2"),
+    )
+    x = g.crossJoin(F.broadcast(tot)).withColumn(
+        "t_closeness_ppm",
+        F.expr(
+            "(abs(g1 * n_total - t1 * n_rows)"
+            " + abs(g2 * n_total - t2 * n_rows)) * 1000000"
+            " div (n_rows * n_total * 2)"
+        ).cast("bigint"),
+    )
+    return x.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        "t_closeness_ppm",
+        (F.col("t_closeness_ppm") > 200000).cast("int").alias("t_violation"),
+    )
+
+
+@query("ar_roll_rates",
+    _ORACLES["ar_roll_rates"],
+    "§2.4/finance credit risk: AR aging roll-rate matrix — every open order's bucket at two month-apart as-of dates, (segment, from, to) migration counts/cents and per-origin roll rate in exact ppm (the delinquency-transition read under every allowance model)",
+)
+def q_ar_roll_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW receivables migrate between aging buckets month over month
+    — the roll-rate matrix credit teams feed into allowance models
+    (P(31-60 -> 61-90) etc). Each open order is bucketed at two as-of
+    dates from the same immutable order date, so the matrix is
+    deterministic; counts and cents are exact BIGINT, the roll rate is
+    one truncating integer division over a bounded (segment x from)
+    window. Output domain bounded at 5 segments x 4 x 4 buckets."""
+    from pyspark.sql import Window
+
+    def bucket(asof: str):
+        age = F.datediff(F.lit(asof).cast("date"), F.col("o_orderdate").cast("date"))
+        return (
+            F.when(age <= 30, "0-30")
+            .when(age <= 60, "31-60")
+            .when(age <= 90, "61-90")
+            .otherwise("90+")
+        )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate").cast("date") <= F.lit("1998-07-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            bucket("1998-07-01").alias("bucket_from"),
+            bucket("1998-08-01").alias("bucket_to"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("segment", "bucket_from", "bucket_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("ar_cents"),
+        )
+    )
+    w = Window.partitionBy("segment", "bucket_from")
+    return (
+        m.withColumn("__tot", F.sum("n_orders").over(w).cast("bigint"))
+        .withColumn(
+            "roll_rate_ppm",
+            F.expr("(n_orders * 1000000) div __tot").cast("bigint"),
+        )
+        .drop("__tot")
+    )
+
+
+@query("ivf_cell_balance",
+    _ORACLES["ivf_cell_balance"],
+    "X3 ANN index observability: IVF cell population/skew audit over the persisted inverted-file index — share and skew in exact ppm (skew 1e6 = balanced); the read before trusting nprobe tail latency",
+)
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hot IVF cell IS the serving tail: every probe that lands
+    there scans its population. This audits the persisted cell index —
+    per-cell vector count, corpus share, and the skew factor
+    (n_vecs * n_cells / n_total, 1e6 = perfectly balanced) — as exact
+    integers, so rebalancing (re-training centroids, splitting cells)
+    is triggered by a bit-stable signal. One group-by over the index +
+    a 1-row global broadcast."""
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ix = _persist_aux(spark, ivf_index(emb), "ivf_cell_index")
+    g = ix.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    tot = ix.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct("cell").cast("bigint").alias("n_cells"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.expr("(n_vecs * 1000000) div n_total").cast("bigint").alias("share_ppm"),
+        F.expr("(n_vecs * n_cells * 1000000) div n_total")
+        .cast("bigint")
+        .alias("skew_ppm"),
+    )
+
+
+@query("lsh_compaction_delta",
+    _ORACLES["lsh_compaction_delta"],
+    "X2/S-tier incremental index maintenance: compaction DELTA after a batch lands in the LSH band index — which standing bins are dirtied, how many buckets are new vs grown, rows needing placement (per band, exact integers)",
+)
+def q_lsh_compaction_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL half of lsh_index_compaction_plan: after
+    near_dup_incremental_batch appends a batch's band rows, the
+    compactor must not replan the world — it needs, per band, how many
+    standing bins were dirtied (contain a grown bucket), how many
+    buckets are brand new, and the appended row mass. Both engines
+    derive the standing plan (next-fit-decreasing over the corpus
+    index) and the delta join from the same two persisted index
+    tables. Band-keyed joins only; outputs bounded by the band count."""
+    from finance_reporting_etl_spark.operators.dedup import minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _persist_aux(
+        spark,
+        minhash_index(docs.filter(F.col("doc_id") % 5 != 0)),
+        "lsh_delta_corpus",
+    )
+    batch = _persist_aux(
+        spark,
+        minhash_index(docs.filter(F.col("doc_id") % 5 == 0)),
+        "lsh_delta_batch",
+    )
+
+    def buckets(ix: DataFrame, size_name: str) -> DataFrame:
+        return (
+            ix.select(F.explode("bands").alias("u"))
+            .select(
+                F.col("u.band_idx").alias("band_idx"),
+                F.col("u.band_hash").alias("band_hash"),
+            )
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(size_name))
+        )
+
+    from finance_reporting_etl_spark.operators.scale import compaction_plan
+
+    plan0 = compaction_plan(
+        buckets(corpus, "n_rows"), ["band_idx"], "band_hash", "n_rows", 64
+    )
+    delta = buckets(batch, "rows_added")
+    joined = delta.join(
+        plan0.withColumnsRenamed(
+            {"band_idx": "p_band_idx", "band_hash": "p_band_hash"}
+        ),
+        (F.col("band_idx") == F.col("p_band_idx"))
+        & (F.col("band_hash") == F.col("p_band_hash")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("band_idx"), F.col("p_band_idx")).alias("band"),
+        "rows_added",
+        "bin_id",
+        F.when(F.col("p_band_hash").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(
+            F.col("p_band_hash").isNotNull() & F.col("band_hash").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_grown"),
+    )
+    return joined.groupBy(F.col("band").alias("band_idx")).agg(
+        F.count("bin_id").cast("bigint").alias("n_buckets_before"),
+        (F.max("bin_id") + 1).cast("bigint").alias("n_bins_before"),
+        F.sum("is_new").cast("bigint").alias("n_new_buckets"),
+        F.sum("is_grown").cast("bigint").alias("n_grown_buckets"),
+        F.countDistinct(F.when(F.col("is_grown") == 1, F.col("bin_id")))
+        .cast("bigint")
+        .alias("n_dirty_bins"),
+        F.coalesce(F.sum("rows_added"), F.lit(0)).cast("bigint").alias("rows_added"),
+    )
+
+
+@query("tokenizer_fertility_by_lang",
+    _ORACLES["tokenizer_fertility_by_lang"],
+    "X4 multilingual token budgeting: tokenizer fertility per language — whitespace vs BPE-ish token sums, chars per BPE token, exact integer ppm (decides per-language sampling budgets)",
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fixed token budget buys different amounts of TEXT per
+    language: fertility (BPE-ish tokens per whitespace word) and chars
+    per BPE token vary by script, and per-language sampling budgets
+    must correct for it. Exact BIGINT sums of the catalog's two token
+    counters + truncating-division ppm — one aggregation, no floats.
+    Operator surface: functions.text.{token_count, bpe_ish_token_count,
+    char_count}."""
+    from finance_reporting_etl_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        TX.char_count("text").cast("bigint").alias("chars"),
+        TX.token_count("text").cast("bigint").alias("ws_toks"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("bpe_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+            F.sum("ws_toks").cast("bigint").alias("n_ws_tokens"),
+            F.sum("bpe_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 1000000) div nullif(n_ws_tokens, 0)")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+            F.expr("(n_chars * 1000000) div nullif(n_bpe_tokens, 0)")
+            .cast("bigint")
+            .alias("chars_per_bpe_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -10511,6 +10768,11 @@ _GATE_NEXT = [
     "dedup_purge_savings",
     "cross_encoder_rerank_eval",
     "lsh_index_compaction_plan",
+    "t_closeness_audit",
+    "ar_roll_rates",
+    "ivf_cell_balance",
+    "lsh_compaction_delta",
+    "tokenizer_fertility_by_lang",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -214,3 +214,143 @@ def test_lsh_compaction_next_fit_decreasing(spark):
         # bins are contiguous from 0
         bins = sorted({r.bin_id for r in rs})
         assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+# --- wave 27 ----------------------------------------------------------------
+
+
+def test_t_closeness_vs_python(spark):
+    """Literal Python reference: recompute every group's ordered-EMD
+    ppm from the raw customer rows with pure-int arithmetic."""
+    rows = CATALOG["t_closeness_audit"].fn(spark, SF_SMOKE).collect()
+    cust = (
+        CATALOG["t_closeness_audit"]
+        .fn(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+
+    def cls(b):
+        return 0 if b < 0 else (1 if b < 5000 else 2)
+
+    groups: dict = {}
+    t1 = t2 = n_total = 0
+    for c in cust:
+        k = (c.c_nationkey, c.c_mktsegment)
+        g = groups.setdefault(k, [0, 0, 0])
+        v = cls(c.c_acctbal)
+        g[0] += 1
+        g[1] += v == 0
+        g[2] += v <= 1
+        n_total += 1
+        t1 += v == 0
+        t2 += v <= 1
+    assert rows and len(rows) == len(groups)
+    for r in rows:
+        n, g1, g2 = groups[(r.c_nationkey, r.c_mktsegment)]
+        want = (
+            (abs(g1 * n_total - t1 * n) + abs(g2 * n_total - t2 * n))
+            * 1_000_000
+            // (n * n_total * 2)
+        )
+        assert r.n_rows == n
+        assert r.t_closeness_ppm == want
+        assert r.t_violation == (1 if want > 200_000 else 0)
+        assert 0 <= want <= 1_000_000
+
+
+def test_ar_roll_rates_aging_monotone(spark):
+    """Aging only moves forward: bucket_to >= bucket_from in aging
+    order, and per (segment, origin bucket) the roll rates sum to 1e6
+    within truncation loss (< number of destination cells)."""
+    order = {"0-30": 0, "31-60": 1, "61-90": 2, "90+": 3}
+    rows = CATALOG["ar_roll_rates"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    sums: dict = {}
+    for r in rows:
+        assert order[r.bucket_to] >= order[r.bucket_from]
+        k = (r.segment, r.bucket_from)
+        s = sums.setdefault(k, [0, 0])
+        s[0] += r.roll_rate_ppm
+        s[1] += 1
+    for (seg, b), (ppm, cells) in sums.items():
+        assert 1_000_000 - cells < ppm <= 1_000_000, (seg, b)
+
+
+def test_ivf_cell_balance_conservation(spark):
+    """Shares conserve the corpus: sum(n_vecs) = index size; each
+    skew_ppm is the exact truncating division; a balanced index has
+    mean skew 1e6 within truncation."""
+    rows = CATALOG["ivf_cell_balance"].fn(spark, SF_SMOKE).collect()
+    n_total = sum(r.n_vecs for r in rows)
+    n_cells = len(rows)
+    emb_count = (
+        CATALOG["ivf_cell_balance"]
+        .fn(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .count()
+    )
+    assert n_total == emb_count
+    for r in rows:
+        assert r.share_ppm == r.n_vecs * 1_000_000 // n_total
+        assert r.skew_ppm == r.n_vecs * n_cells * 1_000_000 // n_total
+
+
+def test_lsh_compaction_delta_reconciles_with_plan(spark):
+    """Delta invariants vs the standing plan: grown buckets are a
+    subset of standing buckets; dirty bins a subset of standing bins;
+    new + grown equals the batch's distinct buckets per band; the
+    appended row mass equals the batch index's band-row count."""
+    delta = {
+        r.band_idx: r
+        for r in CATALOG["lsh_compaction_delta"].fn(spark, SF_SMOKE).collect()
+    }
+    aux = CATALOG["lsh_compaction_delta"].fn(spark, SF_SMOKE).sparkSession
+    from finance_reporting_etl_spark.oracles import _AUX_DIR
+
+    batch = (
+        aux.read.parquet(f"{_AUX_DIR}/lsh_delta_batch")
+        .select(F.explode("bands").alias("u"))
+        .select(F.col("u.band_idx").alias("b"), F.col("u.band_hash").alias("h"))
+        .collect()
+    )
+    per_band_rows: dict = {}
+    per_band_buckets: dict = {}
+    for r in batch:
+        per_band_rows[r.b] = per_band_rows.get(r.b, 0) + 1
+        per_band_buckets.setdefault(r.b, set()).add(r.h)
+    for b, r in delta.items():
+        assert r.n_grown_buckets <= r.n_buckets_before
+        assert r.n_dirty_bins <= r.n_bins_before
+        assert r.n_new_buckets + r.n_grown_buckets == len(per_band_buckets[b])
+        assert r.rows_added == per_band_rows[b]
+
+
+def test_tokenizer_fertility_consistent_with_text_stats(spark):
+    """Cross-query conservation: the per-lang sums must equal the
+    per-doc text_stats counters aggregated in Python."""
+    fert = {
+        r.lang: r
+        for r in CATALOG["tokenizer_fertility_by_lang"].fn(spark, SF_SMOKE).collect()
+    }
+    stats = CATALOG["text_stats"].fn(spark, SF_SMOKE)
+    docs = stats.sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    per_doc = stats.join(docs, "doc_id").collect()
+    agg: dict = {}
+    for r in per_doc:
+        a = agg.setdefault(r.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_chars_calc
+        a[2] += r.n_tokens
+        a[3] += r.n_tokens_bpe
+    assert set(fert) == set(agg)
+    for lang, (nd, nc, nw, nb) in agg.items():
+        f = fert[lang]
+        assert (f.n_docs, f.n_chars, f.n_ws_tokens, f.n_bpe_tokens) == (
+            nd, nc, nw, nb,
+        )
+        assert f.fertility_ppm == nb * 1_000_000 // nw
+        assert f.chars_per_bpe_ppm == nc * 1_000_000 // nb
