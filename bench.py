@@ -305,6 +305,10 @@ HEADLINE = [
     "ivf_cell_balance",
     "lsh_compaction_delta",
     "tokenizer_fertility_by_lang",
+    "source_overlap_matrix",
+    "shard_balance_audit",
+    "packing_efficiency_sweep",
+    "pr_auc_exact",
 ]
 
 

@@ -944,3 +944,44 @@ def mann_kendall_trend(
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+def average_precision_exact(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact average precision (PR-AUC companion to
+    :func:`mann_whitney_auc`) with group-level tie handling.
+
+    Like the AUC operator, aggregates to one row per DISTINCT score
+    first — the ordering window runs over the bounded score-domain
+    spine, never the data. Ties are handled at group granularity: all
+    positives sharing a score take the precision at their GROUP's
+    cumulative boundary (the threshold-sweep definition of AP, which
+    is well-defined without a per-row tie-break):
+
+        AP = (1/P) * sum_groups n_pos_g * precision(cum_tp_g / cum_n_g)
+
+    precision is kept as one exact truncating integer division into
+    parts-per-billion, so both engines agree bit-for-bit. Emits
+    (n_rows, n_pos, ap_ppb).
+    """
+    per = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum(label_col).cast("bigint").alias("n_pos_s"),
+    )
+    w = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.withColumn(
+        "cum_n", F.sum("n_s").over(w).cast("bigint")
+    ).withColumn("cum_tp", F.sum("n_pos_s").over(w).cast("bigint"))
+    return ranked.agg(
+        F.sum("n_s").cast("bigint").alias("n_rows"),
+        F.sum("n_pos_s").cast("bigint").alias("n_pos"),
+        F.expr(
+            "sum(n_pos_s * ((cum_tp * 1000000000) div cum_n))"
+            " div nullif(sum(n_pos_s), 0)"
+        )
+        .cast("bigint")
+        .alias("ap_ppb"),
+    )

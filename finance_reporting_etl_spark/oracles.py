@@ -7501,3 +7501,131 @@ ORACLES["tokenizer_fertility_by_lang"] = """
                AS chars_per_bpe_ppm
     FROM d GROUP BY 1
     """
+
+
+# --- round 10 (wave 28) -----------------------------------------------------
+
+# Cross-source duplication heatmap: distinct 8-gram containment between
+# every ordered source pair (how much of source A's gram inventory also
+# appears in source B) — the overlap read before mixing corpus dumps.
+# Exact integer counts; gram-keyed join fans out to at most
+# n_sources^2 rows per gram.
+ORACLES["source_overlap_matrix"] = f"""
+    WITH toks AS (
+        SELECT source, {_TOKS} AS toks FROM documents
+    ), grams AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source,
+                   unnest(list_transform(generate_series(1, len(toks) - 7),
+                          i -> array_to_string(toks[i:i+7], ' '))) AS gram
+            FROM toks WHERE len(toks) >= 8
+        )
+    ), tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams,
+           t.n_grams AS grams_a,
+           CAST(count(*) * 1000000 // t.n_grams AS BIGINT) AS containment_ppm
+    FROM grams a
+    JOIN grams b ON a.gram = b.gram
+    JOIN tot t ON t.source = a.source
+    GROUP BY 1, 2, t.n_grams
+    """
+
+# Post-shuffle shard balance: per shard, doc and BPE-token mass plus
+# the skew factor (1e6 = balanced) — the straggler check before
+# handing shards to a training loader.
+ORACLES["shard_balance_audit"] = f"""
+    WITH d AS (
+        SELECT CAST({_b256("shuffle")} AS INT) % 16 AS shard,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+        FROM documents
+    ), g AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bpe) AS BIGINT) AS n_tokens
+        FROM d GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_shards
+        FROM g
+    )
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens * n_shards * 1000000 // total_tokens AS BIGINT)
+               AS skew_ppm
+    FROM g, tot
+    """
+
+
+def _packing_efficiency_sql(budget: int) -> str:
+    """One budget's packing-efficiency row — same md5 shuffle order and
+    prefix-sum pack rule as ORACLES['sequence_packing']."""
+    return f"""
+    SELECT CAST({budget} AS BIGINT) AS budget,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(0, {budget} - pack_tokens)) AS BIGINT)
+               AS underfill_tokens,
+           CAST(sum(greatest(0, pack_tokens - {budget})) AS BIGINT)
+               AS overflow_tokens,
+           CAST(sum(pack_tokens) * 1000000 // (count(*) * {budget}) AS BIGINT)
+               AS fill_ppm
+    FROM (
+        SELECT shard, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM (
+            SELECT shard, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY k, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {budget}.0) AS BIGINT) AS pack_id
+            FROM (
+                SELECT doc_id,
+                       CAST({_b256("pack")} AS INT) % 16 AS shard,
+                       {_md5_key("pack")} AS k,
+                       CAST(len(list_filter(string_split_regex(trim(text),
+                            '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+        ) GROUP BY 1, 2
+    )
+    """
+
+
+# Context-length ablation for sequence packing: at 256/512/1024 token
+# budgets, pack count, fill rate, underfill and overflow mass — the
+# numbers that decide a training context length. Same deterministic
+# shuffle order at every budget.
+ORACLES["packing_efficiency_sweep"] = " UNION ALL ".join(
+    _packing_efficiency_sql(b) for b in (256, 512, 1024)
+)
+
+# Average precision (PR-AUC companion to roc_auc_exact) over the same
+# linear-probe scores: distinct-score spine with group-level tie
+# handling — precision at each score-group boundary as an exact
+# truncating-integer ppb, weighted by the group's positives. Shares
+# the roc oracle's scored CTE verbatim.
+ORACLES["pr_auc_exact"] = (
+    ORACLES["roc_auc_exact"].split("), per AS (")[0]
+    + """), per AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(y) AS BIGINT) AS n_pos_s
+        FROM scored GROUP BY 1
+    ), ranked AS (
+        SELECT n_s, n_pos_s,
+               CAST(sum(n_s) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+               CAST(sum(n_pos_s) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tp
+        FROM per
+    )
+    SELECT CAST(sum(n_s) AS BIGINT) AS n_rows,
+           CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(n_pos_s * ((cum_tp * 1000000000) // cum_n))
+                // nullif(sum(n_pos_s), 0) AS BIGINT) AS ap_ppb
+    FROM ranked
+    """
+)

@@ -10629,6 +10629,167 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Wave 28 (round 10): cross-source overlap, shard balance, packing
+# efficiency sweep, exact average precision.
+# ---------------------------------------------------------------------------
+
+
+@query("source_overlap_matrix",
+    _ORACLES["source_overlap_matrix"],
+    "X2/X-pipe corpus observability: cross-source 8-gram containment matrix — how much of each source's distinct-gram inventory appears in every other source, exact integer counts/ppm (the overlap read before mixing dumps)",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dumps overlap (recrawls, mirrors, syndication), and
+    mixing two heavily-overlapping sources silently upsamples their
+    shared text. Per ordered source pair: shared distinct 8-grams and
+    directional containment (shared / |A's grams|) in exact ppm. The
+    gram inventory is distinct-(source, gram) — gram-keyed shuffles
+    only, and the gram self-join fans out to at most n_sources² rows
+    per gram (sources are a bounded dimension). Diagonal rows carry
+    each source's own inventory as a built-in sanity check."""
+    from finance_reporting_etl_spark.functions.text import (
+        ngrams_from_tokens,
+        whitespace_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", whitespace_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = (
+        toks.select("source", F.explode(ngrams_from_tokens("toks", 8)).alias("gram"))
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = grams.withColumnsRenamed({"source": "source_a"})
+    b = grams.withColumnsRenamed({"source": "source_b"})
+    return (
+        a.join(b, "gram")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+        .join(
+            F.broadcast(tot.withColumnsRenamed({"source": "source_a", "n_grams": "grams_a"})),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            F.expr("(shared_grams * 1000000) div grams_a")
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+    )
+
+
+@query("shard_balance_audit",
+    _ORACLES["shard_balance_audit"],
+    "X-pipe training-loader observability: post-shuffle shard balance — per-shard doc/BPE-token mass and skew factor in exact ppm (the straggler check before an epoch starts)",
+)
+def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A training epoch runs at the pace of its heaviest shard: the
+    md5 shuffle balances DOC counts by construction, but token mass
+    can still skew when document lengths do. Per shard of the same
+    16-way assignment corpus_shuffle_shard uses: doc count, BPE-token
+    mass, and the skew factor (n_tokens * n_shards / total, 1e6 =
+    balanced) — exact integers, one aggregation + a 1-row broadcast."""
+    from finance_reporting_etl_spark.functions.text import bpe_ish_token_count
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    d = _t(spark, sf_dir, "documents").select(
+        md5_bucket("doc_id", 16, "shuffle").cast("int").alias("shard"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe"),
+    )
+    g = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe").cast("bigint").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * n_shards * 1000000) div total_tokens")
+        .cast("bigint")
+        .alias("skew_ppm"),
+    )
+
+
+@query("packing_efficiency_sweep",
+    _ORACLES["packing_efficiency_sweep"],
+    "X-pipe context-length ablation: sequence-packing efficiency at 256/512/1024 token budgets — pack counts, fill rate, underfill/overflow mass, exact integers (the numbers that pick a training context length)",
+)
+def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH context length wastes the least compute: the same
+    deterministic shuffle order packed at three budgets, each
+    producing one row of efficiency numbers — pack count, total
+    tokens, underfill (padding the budget would burn), overflow (the
+    prefix-sum pack rule's bounded spill), and the fill rate in exact
+    ppm. Three per-shard window plans unioned; each budget's final row
+    is a 1-row scalar aggregate (bounded class).
+    Operator: operators.corpus.pack_sequences."""
+    from finance_reporting_etl_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def one(budget: int) -> DataFrame:
+        per_pack = (
+            pack_sequences(docs, "doc_id", "text", budget=budget, shards=16)
+            .groupBy("shard", "pack_id")
+            .agg(F.sum("n_tokens").cast("bigint").alias("pack_tokens"))
+        )
+        return per_pack.agg(
+            F.lit(budget).cast("bigint").alias("budget"),
+            F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+            F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.lit(0).cast("bigint"), budget - F.col("pack_tokens")))
+            .cast("bigint")
+            .alias("underfill_tokens"),
+            F.sum(F.greatest(F.lit(0).cast("bigint"), F.col("pack_tokens") - budget))
+            .cast("bigint")
+            .alias("overflow_tokens"),
+        ).withColumn(
+            "fill_ppm",
+            F.expr(f"(total_tokens * 1000000) div (n_packs * {budget})").cast(
+                "bigint"
+            ),
+        )
+
+    out = one(256)
+    for budget in (512, 1024):
+        out = out.unionByName(one(budget))
+    return out
+
+
+@query("pr_auc_exact",
+    _ORACLES["pr_auc_exact"],
+    "X-tier model eval: exact average precision (PR-AUC) over the linear-probe scores — distinct-score spine, group-level tie handling, precision as truncating-integer ppb (the imbalanced-data companion to roc_auc_exact)",
+)
+def q_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC flatters imbalanced classifiers; average precision does
+    not — it is the metric retrieval and filtering models report. Same
+    scores and label as roc_auc_exact; the spine trick keeps the
+    ordering window on the bounded score domain and every precision a
+    single truncating integer division, so both engines agree to the
+    bit. Operator: operators.stats.average_precision_exact."""
+    from finance_reporting_etl_spark.operators.inference import score_embeddings
+    from finance_reporting_etl_spark.operators.stats import (
+        average_precision_exact,
+    )
+
+    scored = score_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "score", (F.col("label") == 0).cast("int").alias("y")
+    )
+    return average_precision_exact(scored, "score", "y")
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -10773,6 +10934,10 @@ _GATE_NEXT = [
     "ivf_cell_balance",
     "lsh_compaction_delta",
     "tokenizer_fertility_by_lang",
+    "source_overlap_matrix",
+    "shard_balance_audit",
+    "packing_efficiency_sweep",
+    "pr_auc_exact",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -354,3 +354,93 @@ def test_tokenizer_fertility_consistent_with_text_stats(spark):
         )
         assert f.fertility_ppm == nb * 1_000_000 // nw
         assert f.chars_per_bpe_ppm == nc * 1_000_000 // nb
+
+
+# --- wave 28 ----------------------------------------------------------------
+
+
+def test_source_overlap_matrix_diagonal_and_symmetry(spark):
+    """The diagonal is the built-in sanity check (containment of a
+    source in itself = 1e6, shared = own inventory); shared counts are
+    symmetric across the ordered pair; containment never exceeds 1e6."""
+    rows = CATALOG["source_overlap_matrix"].fn(spark, SF_SMOKE).collect()
+    diag = {r.source_a: r for r in rows if r.source_a == r.source_b}
+    shared = {(r.source_a, r.source_b): r.shared_grams for r in rows}
+    for s, r in diag.items():
+        assert r.shared_grams == r.grams_a
+        assert r.containment_ppm == 1_000_000
+    for (a, b), n in shared.items():
+        assert shared.get((b, a)) == n, (a, b)
+    for r in rows:
+        assert 0 < r.containment_ppm <= 1_000_000
+        assert r.shared_grams <= r.grams_a
+
+
+def test_shard_balance_conserves_corpus(spark):
+    """Doc and token sums must equal the whole corpus; skew is the
+    exact truncating formula; shard ids are the full 16-way range."""
+    rows = CATALOG["shard_balance_audit"].fn(spark, SF_SMOKE).collect()
+    stats = CATALOG["text_stats"].fn(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == len(stats)
+    assert sum(r.n_tokens for r in rows) == sum(s.n_tokens_bpe for s in stats)
+    total = sum(r.n_tokens for r in rows)
+    n_shards = len(rows)
+    assert sorted(r.shard for r in rows) == list(range(16))
+    for r in rows:
+        assert r.skew_ppm == r.n_tokens * n_shards * 1_000_000 // total
+
+
+def test_packing_sweep_conservation_and_tradeoff(spark):
+    """Token mass is budget-invariant (same docs, same tokens); the
+    fill identity holds exactly: capacity = total + underfill -
+    overflow; larger budgets produce fewer packs."""
+    rows = {
+        r.budget: r
+        for r in CATALOG["packing_efficiency_sweep"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {256, 512, 1024}
+    totals = {r.total_tokens for r in rows.values()}
+    assert len(totals) == 1  # same corpus at every budget
+    for b, r in rows.items():
+        capacity = r.n_packs * b
+        assert capacity == r.total_tokens + r.underfill_tokens - r.overflow_tokens
+        assert r.fill_ppm == r.total_tokens * 1_000_000 // capacity
+    assert rows[256].n_packs >= rows[512].n_packs >= rows[1024].n_packs
+
+
+def test_average_precision_vs_python(spark):
+    """Literal Python reference on a constructed score table with ties
+    — group-level tie handling makes AP a hand-computable rational."""
+    from finance_reporting_etl_spark.operators.stats import (
+        average_precision_exact,
+    )
+
+    # scores: 0.9 -> (1 pos), 0.8 -> (1 pos, 1 neg tie group),
+    # 0.5 -> (2 neg), 0.3 -> (1 pos)
+    df = spark.createDataFrame(
+        [
+            (0.9, 1),
+            (0.8, 1), (0.8, 0),
+            (0.5, 0), (0.5, 0),
+            (0.3, 1),
+        ],
+        "score double, y int",
+    )
+    r = average_precision_exact(df, "score", "y").collect()[0]
+    assert (r.n_rows, r.n_pos) == (6, 3)
+    # group boundaries (desc): cum_n/cum_tp = 1/1, 3/2, 5/2, 6/3
+    p1 = 1_000_000_000 * 1 // 1
+    p2 = 1_000_000_000 * 2 // 3
+    p4 = 1_000_000_000 * 3 // 6
+    want = (1 * p1 + 1 * p2 + 1 * p4) // 3
+    assert r.ap_ppb == want
+
+
+def test_pr_auc_consistent_with_roc_population(spark):
+    """Same scored population as roc_auc_exact: the row and positive
+    counts must agree across the two eval queries."""
+    pr = CATALOG["pr_auc_exact"].fn(spark, SF_SMOKE).collect()[0]
+    roc = CATALOG["roc_auc_exact"].fn(spark, SF_SMOKE).collect()[0]
+    assert pr.n_pos == roc.n_pos
+    assert pr.n_rows == roc.n_pos + roc.n_neg
+    assert 0 <= pr.ap_ppb <= 1_000_000_000
