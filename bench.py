@@ -309,6 +309,10 @@ HEADLINE = [
     "shard_balance_audit",
     "packing_efficiency_sweep",
     "pr_auc_exact",
+    "allowance_expected_loss",
+    "fx_unrealized_remeasurement",
+    "quality_filter_ablation",
+    "int8_recall_audit",
 ]
 
 

@@ -7629,3 +7629,156 @@ ORACLES["pr_auc_exact"] = (
     FROM ranked
     """
 )
+
+
+# --- round 10 (wave 29) -----------------------------------------------------
+
+# CECL-style allowance: the aging grid priced with a fixed per-bucket
+# expected-loss policy — reserve = AR x loss_rate, one truncating
+# integer division per cell. Composes ar_aging_buckets into the
+# allowance mart under every bad-debt estimate.
+ORACLES["allowance_expected_loss"] = """
+    WITH a AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 30 THEN '0-30'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 60 THEN '31-60'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   DATE '1998-08-01') <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+          AND CAST(o.o_orderdate AS DATE) <= DATE '1998-08-01'
+    ), g AS (
+        SELECT segment, bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS ar_cents
+        FROM a GROUP BY 1, 2
+    )
+    SELECT segment, bucket, n_orders, ar_cents,
+           CAST(CASE bucket WHEN '0-30' THEN 10000
+                            WHEN '31-60' THEN 50000
+                            WHEN '61-90' THEN 200000
+                            ELSE 500000 END AS BIGINT) AS loss_rate_ppm,
+           CAST(ar_cents * (CASE bucket WHEN '0-30' THEN 10000
+                                        WHEN '31-60' THEN 50000
+                                        WHEN '61-90' THEN 200000
+                                        ELSE 500000 END)
+                // 1000000 AS BIGINT) AS reserve_cents
+    FROM g
+    """
+
+# Unrealized FX remeasurement of the OPEN receivable book: booked at
+# each order's order-month rate, remeasured at the fixed as-of month
+# rate — the balance-sheet companion to fx_gain_loss_realized, same
+# deterministic rate surface, both conversions truncating integer
+# divisions. mi_asof = 1998*12 + 8.
+ORACLES["fx_unrealized_remeasurement"] = """
+    WITH o AS (
+        SELECT c.c_nationkey,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS mi_book,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+          AND CAST(o.o_orderdate AS DATE) <= DATE '1998-08-01'
+    ), x AS (
+        SELECT n.n_name, o.cents,
+               (o.cents * 1000000)
+                   // (500000 + ((o.c_nationkey * 37 + o.mi_book * 17) % 1000)
+                       * 1000) AS booked,
+               (o.cents * 1000000)
+                   // (500000 + ((o.c_nationkey * 37 + (1998 * 12 + 8) * 17)
+                                 % 1000) * 1000) AS remeasured
+        FROM o JOIN nation n ON o.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS open_cents,
+           CAST(sum(booked) AS BIGINT) AS booked_base_cents,
+           CAST(sum(remeasured) AS BIGINT) AS remeasured_base_cents,
+           CAST(sum(remeasured) - sum(booked) AS BIGINT)
+               AS unrealized_gain_cents
+    FROM x GROUP BY 1
+    """
+
+
+def _quality_ablation_sql(thresh: str) -> str:
+    """One quality threshold's per-lang survival row."""
+    return f"""
+    SELECT CAST({thresh} AS DOUBLE) AS threshold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(CASE WHEN q >= {thresh} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_kept,
+           CAST(sum(bpe) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN q >= {thresh} THEN bpe ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(CASE WHEN q >= {thresh} THEN bpe ELSE 0 END) * 1000000
+                // nullif(sum(bpe), 0) AS BIGINT) AS token_keep_ppm
+    FROM (
+        SELECT lang, {_QUALITY_SQL} AS q,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+        FROM documents
+    ) GROUP BY 1, 2
+    """
+
+
+# Quality-threshold ablation: per (threshold, lang), docs and BPE-token
+# mass surviving each cutoff — the composition-shift check run before
+# committing a quality filter (a cutoff that looks mild globally can
+# gut one language). Thresholds are exactly-representable doubles.
+ORACLES["quality_filter_ablation"] = " UNION ALL ".join(
+    _quality_ablation_sql(t) for t in ("0.25", "0.5", "0.75")
+)
+
+# Quantized-serving recall audit: int8 codes (GLOBAL symmetric scale,
+# persisted) ranked by EXACT integer dot product vs the exact-cosine
+# truth — recall@10 per query. The integer dot makes the quantized
+# ranking bit-deterministic in both engines; the truth side re-derives
+# the same det-rounded cosine as similarity_topk.
+ORACLES["int8_recall_audit"] = f"""
+    WITH codes AS (SELECT * FROM '{_AUX_DIR}/int8_codes/*.parquet'),
+    qc AS (
+        SELECT vec_id AS query_id, codes AS qcodes FROM codes
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), i8 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qcodes, c.codes) DESC,
+                                c.vec_id ASC) AS r
+            FROM codes c, qc q WHERE c.vec_id <> q.query_id
+        ) WHERE r <= 10
+    ), q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               (CASE WHEN isnan(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) OR abs(CAST((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) AS DOUBLE)) >= 4611686018427.388 THEN (list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) ELSE floor((list_dot_product(qv, cv)
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0)) * 1000000.0 + 0.5) / 1000000.0 END) AS score
+        FROM c, q
+        WHERE query_id <> neighbor_id
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS r
+            FROM scored
+        ) WHERE r <= 10
+    )
+    SELECT t.query_id,
+           CAST(count(i8.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(i8.neighbor_id) * 1000000 // 10 AS BIGINT)
+               AS recall_ppm
+    FROM truth t LEFT JOIN i8
+      ON t.query_id = i8.query_id AND t.neighbor_id = i8.neighbor_id
+    GROUP BY 1
+    """

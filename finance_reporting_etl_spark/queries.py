@@ -10790,6 +10790,230 @@ def q_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 29 (round 10): allowance mart, unrealized FX, quality-filter
+# ablation, int8-serving recall audit.
+# ---------------------------------------------------------------------------
+
+
+@query("allowance_expected_loss",
+    _ORACLES["allowance_expected_loss"],
+    "§2.4/finance credit risk: CECL-style allowance for doubtful accounts — the aging grid priced with a fixed per-bucket expected-loss policy, reserve = AR x loss_rate via one truncating integer division per cell (composes ar_aging_buckets)",
+)
+def q_allowance_expected_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bad-debt estimate every balance sheet carries: price each
+    aging bucket with its policy loss rate (1%/5%/20%/50% in ppm) to
+    get the reserve. Same one-join one-agg plan as ar_aging_buckets
+    over the bounded 5x4 grid; the reserve is exact integer cents via
+    ppm multiply + truncating division — no float ever exists."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate").cast("date") <= F.lit("1998-08-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    age = F.datediff(
+        F.lit("1998-08-01").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    rate = (
+        F.when(F.col("bucket") == "0-30", 10000)
+        .when(F.col("bucket") == "31-60", 50000)
+        .when(F.col("bucket") == "61-90", 200000)
+        .otherwise(500000)
+        .cast("bigint")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            bucket.alias("bucket"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("ar_cents"),
+        )
+        .withColumn("loss_rate_ppm", rate)
+        .withColumn(
+            "reserve_cents",
+            F.expr("(ar_cents * loss_rate_ppm) div 1000000").cast("bigint"),
+        )
+    )
+
+
+@query("fx_unrealized_remeasurement",
+    _ORACLES["fx_unrealized_remeasurement"],
+    "§2.4/finance consolidation: unrealized FX remeasurement of the open receivable book — booked at order-month rate vs the fixed as-of month rate over the shared deterministic rate surface; exact integer divisions both legs (the balance-sheet companion to fx_gain_loss_realized)",
+)
+def q_fx_unrealized_remeasurement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end close remeasures every open foreign-currency
+    receivable at the current rate; the movement against its booking
+    rate is UNREALIZED gain/loss (realized only when it settles —
+    fx_gain_loss_realized's leg). Same synthetic month-drifting ppm
+    rate surface; both conversions truncating integer divisions;
+    per-nation BIGINT rollup over the open book as of 1998-08-01."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate").cast("date") <= F.lit("1998-08-01").cast("date"))
+    ).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi_book"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mi_asof = 1998 * 12 + 8
+    x = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "cents",
+            F.expr(
+                "(cents * 1000000) div "
+                "(500000 + ((c_nationkey * 37 + mi_book * 17) % 1000) * 1000)"
+            ).cast("bigint").alias("booked"),
+            F.expr(
+                f"(cents * 1000000) div "
+                f"(500000 + ((c_nationkey * 37 + {mi_asof} * 17) % 1000) * 1000)"
+            ).cast("bigint").alias("remeasured"),
+        )
+    )
+    return x.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+        F.sum("booked").cast("bigint").alias("booked_base_cents"),
+        F.sum("remeasured").cast("bigint").alias("remeasured_base_cents"),
+        (F.sum("remeasured") - F.sum("booked"))
+        .cast("bigint")
+        .alias("unrealized_gain_cents"),
+    )
+
+
+@query("quality_filter_ablation",
+    _ORACLES["quality_filter_ablation"],
+    "X4/X-pipe filtering ablation: per (threshold, lang) docs and BPE-token mass surviving quality cutoffs 0.25/0.5/0.75 — the composition-shift check before committing a filter, exact integer counts/ppm",
+)
+def q_quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A quality cutoff that looks mild globally can gut one language
+    (different scripts score differently under length/punctuation
+    heuristics). Per (threshold, lang): total and surviving docs,
+    total and surviving BPE-token mass, and the token keep-rate in
+    exact ppm — the table read before committing a filter threshold.
+    One scan scoring each doc once; three conditional-sum aggregates
+    unioned (thresholds are exactly-representable doubles)."""
+    from finance_reporting_etl_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        quality_score("text").alias("q"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe"),
+    )
+
+    def one(t: float) -> DataFrame:
+        kept = (F.col("q") >= t).cast("int")
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+                F.sum(kept).cast("bigint").alias("n_docs_kept"),
+                F.sum("bpe").cast("bigint").alias("tokens_total"),
+                F.sum(kept * F.col("bpe")).cast("bigint").alias("tokens_kept"),
+            )
+            .select(
+                F.lit(t).cast("double").alias("threshold"),
+                "lang",
+                "n_docs_total",
+                "n_docs_kept",
+                "tokens_total",
+                "tokens_kept",
+                F.expr("(tokens_kept * 1000000) div nullif(tokens_total, 0)")
+                .cast("bigint")
+                .alias("token_keep_ppm"),
+            )
+        )
+
+    out = one(0.25)
+    for t in (0.5, 0.75):
+        out = out.unionByName(one(t))
+    return out
+
+
+@query("int8_recall_audit",
+    _ORACLES["int8_recall_audit"],
+    "X3 vector infra QA: recall@10 of int8-quantized serving (GLOBAL symmetric scale, EXACT integer dot-product ranking over persisted codes) vs the exact-cosine truth — the quantization-quality gate before shipping a 4x-smaller index",
+)
+def q_int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOES the 4x-smaller index still retrieve the right neighbors:
+    rank by integer dot product over globally-scaled int8 codes (the
+    ordering the quantized index actually serves — exact integers, so
+    both engines reproduce it bit-for-bit from the persisted codes)
+    and measure recall@10 against the exact-cosine truth. The audit
+    captures quantization loss AND the IP-vs-cosine metric gap
+    together — exactly what serving swaps in. Codes build is one
+    map-side pass + a 1-row global-max broadcast."""
+    from finance_reporting_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", vd.alias("vd"))
+    gmax = withv.agg(
+        F.max(F.array_max(F.transform("vd", F.abs))).alias("gmax")
+    )
+    codes = _persist_aux(
+        spark,
+        withv.crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            F.transform(
+                "vd", lambda x: F.round(x * (F.lit(127.0) / F.col("gmax"))).cast("bigint")
+            ).alias("codes"),
+        ),
+        "int8_codes",
+    )
+    qc = codes.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    idot = F.aggregate(
+        F.zip_with("qcodes", "codes", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__idot").desc(), F.col("neighbor_id").asc()
+    )
+    i8 = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qc), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__idot", idot)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hit = i8.withColumn("__h", F.lit(1))
+    return (
+        truth.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__h").cast("bigint").alias("hits"))
+        .withColumn(
+            "recall_ppm", F.expr("(hits * 1000000) div 10").cast("bigint")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -10938,6 +11162,10 @@ _GATE_NEXT = [
     "shard_balance_audit",
     "packing_efficiency_sweep",
     "pr_auc_exact",
+    "allowance_expected_loss",
+    "fx_unrealized_remeasurement",
+    "quality_filter_ablation",
+    "int8_recall_audit",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

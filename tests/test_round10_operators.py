@@ -444,3 +444,72 @@ def test_pr_auc_consistent_with_roc_population(spark):
     assert pr.n_pos == roc.n_pos
     assert pr.n_rows == roc.n_pos + roc.n_neg
     assert 0 <= pr.ap_ppb <= 1_000_000_000
+
+
+# --- wave 29 ----------------------------------------------------------------
+
+
+def test_allowance_reconciles_with_aging(spark):
+    """The allowance grid must sit exactly on the aging grid (same
+    cells, same AR), and each reserve is the truncating ppm product;
+    total reserve is bounded by the worst-bucket policy rate."""
+    aging = {
+        (r.segment, r.bucket): r
+        for r in CATALOG["ar_aging_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    rates = {"0-30": 10000, "31-60": 50000, "61-90": 200000, "90+": 500000}
+    rows = CATALOG["allowance_expected_loss"].fn(spark, SF_SMOKE).collect()
+    assert {(r.segment, r.bucket) for r in rows} == set(aging)
+    for r in rows:
+        a = aging[(r.segment, r.bucket)]
+        assert (r.n_orders, r.ar_cents) == (a.n_orders, a.ar_cents)
+        assert r.loss_rate_ppm == rates[r.bucket]
+        assert r.reserve_cents == r.ar_cents * rates[r.bucket] // 1_000_000
+        assert r.reserve_cents <= r.ar_cents // 2
+
+
+def test_fx_unrealized_zero_for_asof_booked(spark):
+    """Orders booked in the as-of month remeasure at their own booking
+    rate: per-order unrealized is 0 there, and the aggregate identity
+    unrealized = remeasured - booked holds per nation."""
+    rows = CATALOG["fx_unrealized_remeasurement"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.unrealized_gain_cents
+            == r.remeasured_base_cents - r.booked_base_cents
+        )
+        assert r.open_cents > 0 and r.n_orders > 0
+
+
+def test_quality_ablation_monotone_in_threshold(spark):
+    """Raising the cutoff can only shrink survivors; totals are
+    threshold-invariant; ppm matches the truncating formula."""
+    rows = CATALOG["quality_filter_ablation"].fn(spark, SF_SMOKE).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.threshold] = r
+    for lang, ts in by_lang.items():
+        assert set(ts) == {0.25, 0.5, 0.75}
+        assert len({(t.n_docs_total, t.tokens_total) for t in ts.values()}) == 1
+        assert (
+            ts[0.25].n_docs_kept >= ts[0.5].n_docs_kept >= ts[0.75].n_docs_kept
+        )
+        assert (
+            ts[0.25].tokens_kept >= ts[0.5].tokens_kept >= ts[0.75].tokens_kept
+        )
+        for t in ts.values():
+            assert (
+                t.token_keep_ppm == t.tokens_kept * 1_000_000 // t.tokens_total
+            )
+
+
+def test_int8_recall_reasonable_and_exact_grid(spark):
+    """recall_ppm sits on the exact k=10 grid and quantization at int8
+    keeps most of the exact top-10 (>= 50% on the fixture)."""
+    rows = CATALOG["int8_recall_audit"].fn(spark, SF_SMOKE).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert r.recall_ppm == r.hits * 1_000_000 // 10
+        assert r.hits >= 5, f"int8 recall collapsed for query {r.query_id}"
