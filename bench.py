@@ -313,6 +313,7 @@ HEADLINE = [
     "fx_unrealized_remeasurement",
     "quality_filter_ablation",
     "int8_recall_audit",
+    "pq_codebook_utilization",
 ]
 
 

@@ -7782,3 +7782,23 @@ ORACLES["int8_recall_audit"] = f"""
       ON t.query_id = i8.query_id AND t.neighbor_id = i8.neighbor_id
     GROUP BY 1
     """
+
+
+# PQ codebook utilization: per subspace, how many of the 256 codes the
+# corpus actually uses and how concentrated the assignment is — the
+# codebook-collapse check (a subspace riding one code carries zero
+# bits and silently degrades ADC resolution). Exact integers from the
+# persisted code table.
+ORACLES["pq_codebook_utilization"] = f"""
+    WITH ix AS (SELECT * FROM '{_AUX_DIR}/pq_index/*.parquet'),
+    g AS (
+        SELECT m, code, CAST(count(*) AS BIGINT) AS n
+        FROM ix GROUP BY 1, 2
+    )
+    SELECT m,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS codes_used,
+           CAST(max(n) AS BIGINT) AS top_code_rows,
+           CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_share_ppm
+    FROM g GROUP BY 1
+    """

@@ -11013,6 +11013,32 @@ def q_int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pq_codebook_utilization",
+    _ORACLES["pq_codebook_utilization"],
+    "X3 vector infra QA: PQ codebook utilization per subspace — codes used of 256 and top-code concentration ppm over the persisted code table (the codebook-collapse check; exact integers)",
+)
+def q_pq_codebook_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A collapsed PQ subspace (every vector on one code) carries zero
+    bits: ADC distances lose that subspace's resolution silently while
+    recall decays. Per subspace of the persisted code table: row
+    count, distinct codes used, the hottest code's population and its
+    concentration in exact ppm — the audit run after (re)training
+    codebooks. One group-by over the shared pq_index aux; bounded
+    16 x 256 domain."""
+    index, _, _ = _pq_tables(spark, sf_dir)
+    g = index.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return g.groupBy("m").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        F.max("n").cast("bigint").alias("top_code_rows"),
+    ).withColumn(
+        "top_share_ppm",
+        F.expr("(top_code_rows * 1000000) div n_rows").cast("bigint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
@@ -11166,6 +11192,7 @@ _GATE_NEXT = [
     "fx_unrealized_remeasurement",
     "quality_filter_ablation",
     "int8_recall_audit",
+    "pq_codebook_utilization",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

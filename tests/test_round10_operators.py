@@ -513,3 +513,17 @@ def test_int8_recall_reasonable_and_exact_grid(spark):
         assert 0 <= r.hits <= 10
         assert r.recall_ppm == r.hits * 1_000_000 // 10
         assert r.hits >= 5, f"int8 recall collapsed for query {r.query_id}"
+
+
+def test_pq_codebook_utilization_invariants(spark):
+    """Every subspace covers the whole corpus (n_rows equal across m),
+    codes_used is within [1, 256], the top share matches the exact
+    truncating formula, and concentration bounds hold."""
+    rows = CATALOG["pq_codebook_utilization"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 16
+    assert len({r.n_rows for r in rows}) == 1
+    for r in rows:
+        assert 1 <= r.codes_used <= 256
+        assert r.top_code_rows * r.codes_used >= r.n_rows  # pigeonhole
+        assert r.top_share_ppm == r.top_code_rows * 1_000_000 // r.n_rows
+        assert r.top_share_ppm >= 1_000_000 // 256
