@@ -10336,7 +10336,13 @@ def q_cross_encoder_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(whitespace_tokens(F.lower(F.col("text")))).alias("toks"),
     )
-    return rank_agreement_metrics(cross_encoder_rerank(short, toks), k=10)
+    # the ranked frame is shortlist-sized (n_queries x 50) but its plan
+    # contains the corpus scan; the metrics consume it THREE times (the
+    # per-query agg + both sides of the Kendall self-join), so pin the
+    # tiny result once instead of re-scanning the corpus per branch —
+    # same bounded-materialization class as near_dup_clusters
+    ranked = cross_encoder_rerank(short, toks).localCheckpoint()
+    return rank_agreement_metrics(ranked, k=10)
 
 
 @query("lsh_index_compaction_plan",
