@@ -314,6 +314,7 @@ HEADLINE = [
     "quality_filter_ablation",
     "int8_recall_audit",
     "pq_codebook_utilization",
+    "dedup_method_agreement",
 ]
 
 

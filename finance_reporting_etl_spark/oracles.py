@@ -7802,3 +7802,38 @@ ORACLES["pq_codebook_utilization"] = f"""
            CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_share_ppm
     FROM g GROUP BY 1
     """
+
+
+# Cross-method near-dup agreement: the pair sets found by MinHash-LSH
+# (J >= 0.5) and SimHash (hamming <= 3) over the same corpus, counted
+# as both / only-one / union with an exact agreement ppm — the QA read
+# when two dedup detectors must corroborate before deletion. Both pair
+# sets re-derived by the oracle from the two persisted signature
+# tables (its own aux names, so no cross-query coupling).
+ORACLES["dedup_method_agreement"] = (
+    ORACLES["minhash_lsh_near_dup"]
+    .replace(f"{_AUX_DIR}/minhash_index", f"{_AUX_DIR}/agree_minhash_index")
+    .rsplit("SELECT id_a, id_b, jaccard", 1)[0]
+    + f""", mh AS (
+        SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
+    ), sg AS (
+        SELECT * FROM '{_AUX_DIR}/agree_simhash_sigs/*.parquet'
+    ), sh AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sg a JOIN sg b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), j AS (
+        SELECT CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+               CASE WHEN sh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+        FROM mh FULL OUTER JOIN sh
+          ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b
+    )
+    SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash_pairs,
+           CAST(sum(in_sh) AS BIGINT) AS n_simhash_pairs,
+           CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(sum(in_mh * in_sh) * 1000000 // nullif(count(*), 0)
+                AS BIGINT) AS agreement_ppm
+    FROM j
+    """
+)

@@ -10410,10 +10410,12 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cls") == 0).cast("int")).cast("bigint").alias("g1"),
         F.sum((F.col("cls") <= 1).cast("int")).cast("bigint").alias("g2"),
     )
-    tot = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.sum((F.col("cls") == 0).cast("int")).cast("bigint").alias("t1"),
-        F.sum((F.col("cls") <= 1).cast("int")).cast("bigint").alias("t2"),
+    # global totals are the sums of the group sums — derive them from
+    # the group aggregate instead of a second base scan
+    tot = g.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.sum("g1").cast("bigint").alias("t1"),
+        F.sum("g2").cast("bigint").alias("t2"),
     )
     x = g.crossJoin(F.broadcast(tot)).withColumn(
         "t_closeness_ppm",
@@ -10502,9 +10504,10 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     ix = _persist_aux(spark, ivf_index(emb), "ivf_cell_index")
     g = ix.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
-    tot = ix.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.countDistinct("cell").cast("bigint").alias("n_cells"),
+    # totals from the cell aggregate, not a second index scan
+    tot = g.agg(
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
     return g.crossJoin(F.broadcast(tot)).select(
         "cell",
@@ -11045,6 +11048,55 @@ def q_pq_codebook_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_method_agreement",
+    _ORACLES["dedup_method_agreement"],
+    "X2 dedup QA: cross-method agreement between MinHash-LSH (J>=0.5) and SimHash (hamming<=3) pair sets — both/only-one/union counts and exact agreement ppm (the corroboration read before deleting on one detector's word)",
+)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two near-dup detectors rarely agree perfectly — MinHash sees
+    shingle overlap, SimHash sees weighted-feature proximity — and the
+    disagreement set IS the risk surface when a deletion policy trusts
+    one of them. Full-outer the two pair sets (each derived from its
+    own persisted signature table, both re-derived independently by
+    the oracle) and report both/only-one/union counts plus the exact
+    Jaccard agreement in ppm. Banded equi-join on one side, pigeonhole
+    blocks on the other — never all-pairs in Spark."""
+    from finance_reporting_etl_spark.operators.dedup import (
+        minhash_index,
+        minhash_pairs_from_bands,
+        simhash,
+        simhash_pairs_from_sigs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = _persist_aux(spark, minhash_index(docs), "agree_minhash_index")
+    bands = idx.select("id", F.explode("bands").alias("u")).select(
+        "id",
+        F.col("u.band_idx").alias("band_idx"),
+        F.col("u.band_hash").alias("band_hash"),
+    )
+    mh = minhash_pairs_from_bands(
+        bands, idx.select("id", "sh"), threshold=0.5
+    ).select("id_a", "id_b").withColumn("in_mh", F.lit(1))
+    sigs = _persist_aux(spark, simhash(docs), "agree_simhash_sigs")
+    sh = simhash_pairs_from_sigs(sigs, max_hamming=3).select(
+        "id_a", "id_b"
+    ).withColumn("in_sh", F.lit(1))
+    j = mh.join(sh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+    )
+    return j.agg(
+        F.sum("in_mh").cast("bigint").alias("n_minhash_pairs"),
+        F.sum("in_sh").cast("bigint").alias("n_simhash_pairs"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    ).withColumn(
+        "agreement_ppm",
+        F.expr("(n_both * 1000000) div nullif(n_union, 0)").cast("bigint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
@@ -11199,6 +11251,7 @@ _GATE_NEXT = [
     "quality_filter_ablation",
     "int8_recall_audit",
     "pq_codebook_utilization",
+    "dedup_method_agreement",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -527,3 +527,16 @@ def test_pq_codebook_utilization_invariants(spark):
         assert r.top_code_rows * r.codes_used >= r.n_rows  # pigeonhole
         assert r.top_share_ppm == r.top_code_rows * 1_000_000 // r.n_rows
         assert r.top_share_ppm >= 1_000_000 // 256
+
+
+def test_dedup_method_agreement_consistent_with_pair_queries(spark):
+    """The agreement counters must reconcile with the two standalone
+    pair queries' outputs and the inclusion-exclusion identity."""
+    r = CATALOG["dedup_method_agreement"].fn(spark, SF_SMOKE).collect()[0]
+    mh = CATALOG["minhash_lsh_near_dup"].fn(spark, SF_SMOKE).count()
+    sh = CATALOG["simhash_near_dup"].fn(spark, SF_SMOKE).count()
+    assert r.n_minhash_pairs == mh
+    assert r.n_simhash_pairs == sh
+    assert r.n_union == r.n_minhash_pairs + r.n_simhash_pairs - r.n_both
+    assert 0 <= r.n_both <= min(r.n_minhash_pairs, r.n_simhash_pairs)
+    assert r.agreement_ppm == r.n_both * 1_000_000 // r.n_union
