@@ -10172,18 +10172,23 @@ def q_cash_flow_indirect_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents because every term is a BIGINT sum over the same journal.
     Three bounded month-grain aggregates joined on a month spine; no
     window, no floats."""
-    o = _tb_orders(spark, sf_dir)
-    r = _tb_returns(spark, sf_dir)
-    rev = o.groupBy("month").agg(
+    rev = _tb_orders(spark, sf_dir).groupBy("month").agg(
         F.sum("cents").cast("bigint").alias("revenue_cents")
     )
-    ret = r.groupBy("month").agg(
+    ret = _tb_returns(spark, sf_dir).groupBy("month").agg(
         F.sum("cents").cast("bigint").alias("returns_cents")
     )
-    col = (
-        o.groupBy("month")
-        .agg(F.sum("cents").cast("bigint").alias("collected_cents"))
-        .select(F.add_months("month", 1).alias("month"), "collected_cents")
+    return _cash_flow_statement(rev, ret)
+
+
+def _cash_flow_statement(rev: DataFrame, ret: DataFrame) -> DataFrame:
+    """(month, revenue_cents) + (month, returns_cents) -> the indirect
+    cash-flow statement. Collections are the revenue partials shifted
+    one month (the deterministic next-month convention), so the whole
+    statement derives from two month-grain aggregates."""
+    col = rev.select(
+        F.add_months("month", 1).alias("month"),
+        F.col("revenue_cents").alias("collected_cents"),
     )
     spine = (
         rev.select("month")
@@ -10208,6 +10213,48 @@ def q_cash_flow_indirect_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ni - delta_ar).cast("bigint").alias("ocf_indirect_cents"),
         F.col("collected_cents").cast("bigint").alias("cash_delta_cents"),
     )
+
+
+@query("streaming_cash_flow_indirect",
+    _ORACLES["cash_flow_indirect_monthly"],
+    "§2.8 x §2.4 continuous statements: order cents folded per micro-batch through foreachBatch (additive integer month partials, static returns side) -> the indirect cash-flow statement derived at read-back == the one-shot cash_flow_indirect_monthly (SHARED oracle proves it)",
+)
+def q_streaming_cash_flow_indirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cash-flow statement as a continuous close: order (month,
+    cents) partials fold additively per micro-batch; at read-back the
+    merged revenue partials yield collections by the one-month shift
+    and the statement assembles exactly as the batch mart — integer
+    partials are order-free mergeable, so micro-batch boundaries move
+    nothing (the SHARED oracle proves it). Operator:
+    streaming.rollup.streaming_grouped_sum_fold."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("month").agg(
+            F.sum("cents").cast("bigint").alias("c")
+        )
+
+    rev = run_file_stream(
+        spark,
+        lambda src: _tb_orders(spark, sf_dir).repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
+        .groupBy("month")
+        .agg(F.sum("c").cast("bigint").alias("revenue_cents")),
+        prefix="stream_cf_",
+        label="streaming_cash_flow_indirect",
+    )
+    ret = _tb_returns(spark, sf_dir).groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("returns_cents")
+    )
+    return _cash_flow_statement(rev, ret)
 
 
 def _cluster_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11252,6 +11299,7 @@ _GATE_NEXT = [
     "int8_recall_audit",
     "pq_codebook_utilization",
     "dedup_method_agreement",
+    "streaming_cash_flow_indirect",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

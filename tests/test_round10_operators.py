@@ -540,3 +540,20 @@ def test_dedup_method_agreement_consistent_with_pair_queries(spark):
     assert r.n_union == r.n_minhash_pairs + r.n_simhash_pairs - r.n_both
     assert 0 <= r.n_both <= min(r.n_minhash_pairs, r.n_simhash_pairs)
     assert r.agreement_ppm == r.n_both * 1_000_000 // r.n_union
+
+
+def test_streaming_cash_flow_equals_batch(spark):
+    """Micro-batch boundaries must not move a cent of the statement."""
+    batch = sorted(
+        map(
+            tuple,
+            CATALOG["cash_flow_indirect_monthly"].fn(spark, SF_SMOKE).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            CATALOG["streaming_cash_flow_indirect"].fn(spark, SF_SMOKE).collect(),
+        )
+    )
+    assert batch == stream
