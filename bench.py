@@ -315,6 +315,8 @@ HEADLINE = [
     "int8_recall_audit",
     "pq_codebook_utilization",
     "dedup_method_agreement",
+    "lang_id_confusion_matrix",
+    "session_gap_sweep",
 ]
 
 

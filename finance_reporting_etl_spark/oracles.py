@@ -7837,3 +7837,45 @@ ORACLES["dedup_method_agreement"] = (
     FROM j
     """
 )
+
+
+# --- round 10 (wave 33) -----------------------------------------------------
+
+
+def _session_census_sql(minutes: int) -> str:
+    """One gap threshold's session census — same lag/prefix-sum
+    sessionization as ORACLES['sessionize_events']."""
+    return f"""
+    SELECT CAST({minutes} AS BIGINT) AS gap_minutes,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_event,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(n) * 1000000 // count(*) AS BIGINT)
+               AS events_per_session_ppm
+    FROM (
+        SELECT count(*) AS n FROM (
+            SELECT user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    >= INTERVAL '{minutes} minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+        ) GROUP BY user_id, sess
+    )
+    """
+
+
+# Session-gap ablation: the session census at 15/30/60-minute gap
+# thresholds — the table read before committing a sessionization gap
+# (too short fragments journeys, too long merges visits). Event totals
+# are gap-invariant by construction; all cells exact integers.
+ORACLES["session_gap_sweep"] = " UNION ALL ".join(
+    _session_census_sql(m) for m in (15, 30, 60)
+)

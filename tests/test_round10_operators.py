@@ -557,3 +557,39 @@ def test_streaming_cash_flow_equals_batch(spark):
         )
     )
     assert batch == stream
+
+
+def test_lang_confusion_reconciles_with_language_id(spark):
+    """Matrix cells must reconcile with per-doc predictions; shares
+    sum to 1e6 per true language within truncation loss."""
+    preds = CATALOG["language_id"].fn(spark, SF_SMOKE).collect()
+    cells = CATALOG["lang_id_confusion_matrix"].fn(spark, SF_SMOKE).collect()
+    want: dict = {}
+    for p in preds:
+        want[(p.lang, p.lang_guess)] = want.get((p.lang, p.lang_guess), 0) + 1
+    assert {(c.lang, c.lang_guess): c.n_docs for c in cells} == want
+    per_lang: dict = {}
+    for c in cells:
+        per_lang.setdefault(c.lang, []).append(c.share_ppm)
+    for lang, shares in per_lang.items():
+        assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000, lang
+
+
+def test_session_gap_sweep_monotone(spark):
+    """Longer gaps merge sessions: session counts non-increasing in
+    the gap; event totals gap-invariant; 30-minute row matches the
+    standalone sessionize_events census."""
+    rows = {
+        r.gap_minutes: r
+        for r in CATALOG["session_gap_sweep"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {15, 30, 60}
+    assert len({r.n_events for r in rows.values()}) == 1
+    assert rows[15].n_sessions >= rows[30].n_sessions >= rows[60].n_sessions
+    assert rows[15].n_single_event >= rows[60].n_single_event >= 0
+    s30 = CATALOG["sessionize_events"].fn(spark, SF_SMOKE)
+    assert rows[30].n_sessions == s30.count()
+    for r in rows.values():
+        assert (
+            r.events_per_session_ppm == r.n_events * 1_000_000 // r.n_sessions
+        )
