@@ -317,6 +317,8 @@ HEADLINE = [
     "dedup_method_agreement",
     "lang_id_confusion_matrix",
     "session_gap_sweep",
+    "customer_concentration_topn",
+    "compaction_savings_summary",
 ]
 
 

@@ -7879,3 +7879,64 @@ def _session_census_sql(minutes: int) -> str:
 ORACLES["session_gap_sweep"] = " UNION ALL ".join(
     _session_census_sql(m) for m in (15, 30, 60)
 )
+
+
+# --- round 10 (wave 34) -----------------------------------------------------
+
+# Customer-concentration disclosure: the top-10 customers' share of
+# each year's revenue — the concentration-risk line every annual
+# report carries. Deterministic rank (cents DESC, custkey), exact
+# BIGINT sums, one truncating division into ppm.
+ORACLES["customer_concentration_topn"] = """
+    WITH r AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), k AS (
+        SELECT yr, cents,
+               row_number() OVER (PARTITION BY yr
+                                  ORDER BY cents DESC, o_custkey) AS rk
+        FROM r
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS BIGINT)
+               AS top10_cents,
+           CAST(sum(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000000
+                // sum(cents) AS BIGINT) AS top10_share_ppm
+    FROM k GROUP BY 1
+    """
+
+# What the compaction plan buys: per partition, file count before vs
+# bin count after, the open-cost reduction and the bin fill rate in
+# exact ppm — the summary a table-maintenance scheduler reads to
+# decide WHICH partitions to rewrite first.
+ORACLES["compaction_savings_summary"] = """
+    WITH f AS (
+        SELECT l_returnflag AS pt_flag, l_linestatus AS pt_status,
+               l_suppkey AS file_id,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS size_bytes
+        FROM lineitem GROUP BY 1, 2, 3
+    ), e AS (
+        SELECT pt_flag, pt_status, size_bytes,
+               CAST(CAST(coalesce(sum(size_bytes) OVER (
+                        PARTITION BY pt_flag, pt_status
+                        ORDER BY size_bytes DESC, file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) // 100000000 AS BIGINT) AS bin_id
+        FROM f
+    )
+    SELECT pt_flag, pt_status,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST((count(*) - count(DISTINCT bin_id)) * 1000000
+                // count(*) AS BIGINT) AS open_cost_reduction_ppm,
+           CAST(sum(size_bytes) * 1000000
+                // (count(DISTINCT bin_id) * 100000000) AS BIGINT)
+               AS bin_fill_ppm
+    FROM e GROUP BY 1, 2
+    """

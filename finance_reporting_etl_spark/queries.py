@@ -11224,6 +11224,99 @@ def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("customer_concentration_topn",
+    _ORACLES["customer_concentration_topn"],
+    "§2.4/finance disclosure: top-10 customer revenue concentration per year — deterministic rank, exact BIGINT sums, share in truncating ppm (the concentration-risk line next to gini_revenue_concentration)",
+)
+def q_customer_concentration_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concentration-risk disclosure: what share of each year's
+    revenue the top-10 customers carry. Per-year customer revenue is
+    one hash aggregation; the rank window's rk <= 10 filter pushes
+    into WindowGroupLimit (per-partition top-k retention), but the
+    aggregate needs every customer's cents anyway, so the plan is one
+    agg + one per-year window + one rollup — all exact integers."""
+    from pyspark.sql import Window
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    k = r.withColumn("rk", F.row_number().over(w))
+    return (
+        k.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.when(F.col("rk") <= 10, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("top10_cents"),
+        )
+        .withColumn(
+            "top10_share_ppm",
+            F.expr("(top10_cents * 1000000) div total_cents").cast("bigint"),
+        )
+    )
+
+
+@query("compaction_savings_summary",
+    _ORACLES["compaction_savings_summary"],
+    "S-tier lakehouse maintenance: per-partition compaction savings summary — files before vs bins after, open-cost reduction and bin fill rate in exact ppm (the prioritization read over compaction_bin_packing's plan)",
+)
+def q_compaction_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH partitions to rewrite first: the per-partition summary of
+    the next-fit-decreasing plan — file count before, bin count after,
+    the open-cost reduction that buys, and how full the bins land.
+    Same simulated file layout and plan as compaction_bin_packing (so
+    the two queries reconcile cell-for-cell); the summary adds one
+    hash aggregation over the plan. All exact integers/ppm."""
+    from finance_reporting_etl_spark.operators.scale import compaction_plan
+
+    files = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("pt_flag"),
+            F.col("l_linestatus").alias("pt_status"),
+            F.col("l_suppkey").alias("file_id"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("size_bytes")
+        )
+    )
+    plan = compaction_plan(
+        files, ["pt_flag", "pt_status"], "file_id", "size_bytes", 100_000_000
+    )
+    return (
+        plan.groupBy("pt_flag", "pt_status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+            F.sum("size_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .withColumn(
+            "open_cost_reduction_ppm",
+            F.expr("((n_files - n_bins) * 1000000) div n_files").cast("bigint"),
+        )
+        .withColumn(
+            "bin_fill_ppm",
+            F.expr("(total_bytes * 1000000) div (n_bins * 100000000)").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
@@ -11382,6 +11475,8 @@ _GATE_NEXT = [
     "streaming_cash_flow_indirect",
     "lang_id_confusion_matrix",
     "session_gap_sweep",
+    "customer_concentration_topn",
+    "compaction_savings_summary",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

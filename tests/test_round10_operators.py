@@ -593,3 +593,41 @@ def test_session_gap_sweep_monotone(spark):
         assert (
             r.events_per_session_ppm == r.n_events * 1_000_000 // r.n_sessions
         )
+
+
+def test_customer_concentration_bounds(spark):
+    """Top-10 share is the truncating formula, bounded by 1e6, and a
+    year with <= 10 customers concentrates to (almost) everything."""
+    rows = CATALOG["customer_concentration_topn"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top10_cents <= r.total_cents
+        assert r.top10_share_ppm == r.top10_cents * 1_000_000 // r.total_cents
+        if r.n_customers <= 10:
+            assert r.top10_cents == r.total_cents
+
+
+def test_compaction_savings_reconciles_with_plan(spark):
+    """The summary must reconcile cell-for-cell with the standalone
+    compaction plan query's bins and sizes."""
+    plan = CATALOG["compaction_bin_packing"].fn(spark, SF_SMOKE).collect()
+    agg: dict = {}
+    for p in plan:
+        a = agg.setdefault((p.pt_flag, p.pt_status), [0, set(), 0])
+        a[0] += 1
+        a[1].add(p.bin_id)
+        a[2] += p.size_bytes
+    rows = CATALOG["compaction_savings_summary"].fn(spark, SF_SMOKE).collect()
+    assert {(r.pt_flag, r.pt_status) for r in rows} == set(agg)
+    for r in rows:
+        n_files, bins, total = agg[(r.pt_flag, r.pt_status)]
+        assert (r.n_files, r.n_bins, r.total_bytes) == (
+            n_files, len(bins), total,
+        )
+        assert (
+            r.open_cost_reduction_ppm
+            == (r.n_files - r.n_bins) * 1_000_000 // r.n_files
+        )
+        assert (
+            r.bin_fill_ppm == r.total_bytes * 1_000_000 // (r.n_bins * 100_000_000)
+        )
