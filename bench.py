@@ -319,6 +319,7 @@ HEADLINE = [
     "session_gap_sweep",
     "customer_concentration_topn",
     "compaction_savings_summary",
+    "embedding_dim_profile",
 ]
 
 

@@ -7940,3 +7940,20 @@ ORACLES["compaction_savings_summary"] = """
                AS bin_fill_ppm
     FROM e GROUP BY 1, 2
     """
+
+
+# Per-dimension embedding profile: min/max/span per coordinate — the
+# scale audit behind symmetric quantization (one runaway dimension
+# dictates the global scale and crushes everyone else's resolution).
+# min/max of stored doubles are order-free and bit-exact; span is a
+# single IEEE subtraction.
+ORACLES["embedding_dim_profile"] = """
+    SELECT d.i AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(e.v[d.i + 1]) AS min_val,
+           max(e.v[d.i + 1]) AS max_val,
+           max(e.v[d.i + 1]) - min(e.v[d.i + 1]) AS span
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+         (SELECT unnest(range(0, 64)) AS i) d
+    GROUP BY 1
+    """

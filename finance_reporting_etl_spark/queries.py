@@ -11317,6 +11317,33 @@ def q_compaction_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_dim_profile",
+    _ORACLES["embedding_dim_profile"],
+    "X3 vector infra: per-dimension min/max/span profile of the embedding column — the scale audit behind symmetric quantization (order-free double extremes, bit-exact cross-engine; bounded 64-row domain)",
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY a global int8 scale is (or is not) safe: one runaway
+    dimension dictates the symmetric scale and crushes every other
+    dimension's resolution. Per coordinate: count, min, max, span —
+    min/max of stored doubles are order-free aggregates (bit-exact in
+    any engine), span one IEEE subtraction. posexplode is map-side;
+    the aggregate lands on the bounded 64-dimension domain."""
+    vals = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        )
+    )
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .withColumn("span", F.col("max_val") - F.col("min_val"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
@@ -11477,6 +11504,7 @@ _GATE_NEXT = [
     "session_gap_sweep",
     "customer_concentration_topn",
     "compaction_savings_summary",
+    "embedding_dim_profile",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

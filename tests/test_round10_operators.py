@@ -631,3 +631,22 @@ def test_compaction_savings_reconciles_with_plan(spark):
         assert (
             r.bin_fill_ppm == r.total_bytes * 1_000_000 // (r.n_bins * 100_000_000)
         )
+
+
+def test_embedding_dim_profile_consistent_with_quantizer(spark):
+    """The per-dim profile must cover all 64 dims with the full corpus
+    count; the global max-abs it implies equals the scale the int8
+    quantizer derives (127 / gmax)."""
+    rows = CATALOG["embedding_dim_profile"].fn(spark, SF_SMOKE).collect()
+    assert sorted(r.dim for r in rows) == list(range(64))
+    n = {r.n_vecs for r in rows}
+    assert len(n) == 1
+    for r in rows:
+        assert r.min_val <= r.max_val
+        assert r.span == r.max_val - r.min_val
+    gmax = max(max(abs(r.min_val), abs(r.max_val)) for r in rows)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    want = emb.selectExpr(
+        "max(array_max(transform(embedding, x -> abs(cast(x as double))))) AS g"
+    ).collect()[0].g
+    assert gmax == want
