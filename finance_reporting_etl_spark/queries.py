@@ -11334,7 +11334,7 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        vals.groupBy("dim")
+        vals.groupBy(F.col("dim").cast("bigint").alias("dim"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
             F.min("val").alias("min_val"),
