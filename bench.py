@@ -320,6 +320,10 @@ HEADLINE = [
     "customer_concentration_topn",
     "compaction_savings_summary",
     "embedding_dim_profile",
+    "intercompany_elimination",
+    "depreciation_schedule_sl",
+    "segment_migration_matrix",
+    "wilson_ci_return_rates",
 ]
 
 

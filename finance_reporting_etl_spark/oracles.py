@@ -7957,3 +7957,140 @@ ORACLES["embedding_dim_profile"] = """
          (SELECT unnest(range(0, 64)) AS i) d
     GROUP BY 1
     """
+
+
+# --- round 10 (wave 36) -----------------------------------------------------
+
+# Consolidation elimination entries: per selling entity (supplier
+# nation), gross revenue split into intercompany (buyer nation ==
+# seller nation) and external third-party revenue — the netting a
+# group controller books before consolidated revenue is reported.
+# Exact BIGINT cents end-to-end; the ppm share divides non-negative
+# integers (floor-div safe cross-engine).
+ORACLES["intercompany_elimination"] = """
+    WITH f AS (
+        SELECT sn.n_name AS entity,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents,
+               CASE WHEN c.c_nationkey = s.s_nationkey THEN 1 ELSE 0 END
+                   AS ic
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(cents) AS BIGINT) AS gross_cents,
+           CAST(sum(CASE WHEN ic = 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS intercompany_cents,
+           CAST(sum(CASE WHEN ic = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS external_cents,
+           CAST((sum(CASE WHEN ic = 1 THEN cents ELSE 0 END) * 1000000)
+                // sum(cents) AS BIGINT) AS intercompany_ppm
+    FROM f GROUP BY 1
+    """
+
+
+# Straight-line depreciation schedule with largest-remainder cent
+# allocation: every period row is closed-form from (cost, period_no) —
+# div/mod/least on non-negative BIGINTs, no window, no floats — so
+# accumulated depreciation lands on the cost EXACTLY at period 36.
+ORACLES["depreciation_schedule_sl"] = """
+    WITH a AS (
+        SELECT p_partkey AS asset_id,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cost_cents,
+               make_date(CAST(1995 + p_partkey % 3 AS INTEGER),
+                         CAST(1 + p_partkey % 12 AS INTEGER), 1)
+                   AS in_service
+        FROM part WHERE p_partkey % 7 = 0
+    ),
+    s AS (
+        SELECT a.*, CAST(m.m AS BIGINT) AS period_no
+        FROM a, (SELECT unnest(range(1, 37)) AS m) m
+    )
+    SELECT asset_id, period_no,
+           CAST(in_service + ((period_no - 1) * INTERVAL 1 MONTH) AS DATE)
+               AS period_month,
+           cost_cents,
+           CAST(cost_cents // 36
+                + CASE WHEN period_no <= cost_cents % 36 THEN 1 ELSE 0 END
+                AS BIGINT) AS dep_cents,
+           CAST((cost_cents // 36) * period_no
+                + least(period_no, cost_cents % 36) AS BIGINT)
+               AS accum_cents,
+           CAST(cost_cents - (cost_cents // 36) * period_no
+                - least(period_no, cost_cents % 36) AS BIGINT)
+               AS nbv_cents
+    FROM s
+    """
+
+
+# Weekly spend-band migration matrix (credit-migration analog): users
+# banded on exact weekly purchase cents, transitions counted into the
+# following ISO week (band 0 = churned). Exact integers over a bounded
+# 4x5 transition domain; the share window partitions by from_band.
+ORACLES["segment_migration_matrix"] = """
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, week,
+               CASE WHEN cents < 8000 THEN 1 WHEN cents < 16000 THEN 2
+                    WHEN cents < 32000 THEN 3 ELSE 4 END AS band
+        FROM uw
+    ),
+    mx AS (SELECT max(week) AS maxw FROM uw),
+    t AS (
+        SELECT cur.band AS from_band, COALESCE(nxt.band, 0) AS to_band
+        FROM b cur
+        CROSS JOIN mx
+        LEFT JOIN b nxt ON nxt.user_id = cur.user_id
+                       AND nxt.week = cur.week + INTERVAL 7 DAY
+        WHERE cur.week < mx.maxw
+    )
+    SELECT from_band, to_band, CAST(count(*) AS BIGINT) AS n_users,
+           CAST((count(*) * 1000000)
+                // sum(count(*)) OVER (PARTITION BY from_band) AS BIGINT)
+               AS share_ppm
+    FROM t GROUP BY 1, 2
+    """
+
+
+# Wilson 95% score interval per brand return rate. The bound formulas
+# are shared TEXTUALLY between engines (module constants below): every
+# term is an IEEE-correctly-rounded op (div/mul/add/sqrt) on exact
+# integer inputs, so both engines produce bit-identical doubles — the
+# same contract det_round relies on, with no rounding at all.
+_WILSON_N = "CAST(n_lines AS DOUBLE)"
+_WILSON_PHAT = f"(CAST(r_lines AS DOUBLE) / {_WILSON_N})"
+_WILSON_DEN = f"(1.0 + 3.8416 / {_WILSON_N})"
+_WILSON_CENTER = f"(({_WILSON_PHAT} + 3.8416 / (2.0 * {_WILSON_N})) / {_WILSON_DEN})"
+_WILSON_HALF = (
+    f"(1.96 * sqrt({_WILSON_PHAT} * (1.0 - {_WILSON_PHAT}) / {_WILSON_N}"
+    f" + 3.8416 / (4.0 * {_WILSON_N} * {_WILSON_N})) / {_WILSON_DEN})"
+)
+WILSON_EXPRS = {
+    "phat": _WILSON_PHAT,
+    "wilson_lo": f"({_WILSON_CENTER} - {_WILSON_HALF})",
+    "wilson_hi": f"({_WILSON_CENTER} + {_WILSON_HALF})",
+}
+
+ORACLES["wilson_ci_return_rates"] = f"""
+    WITH g AS (
+        SELECT p.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    )
+    SELECT brand, n_lines, r_lines,
+           {WILSON_EXPRS['phat']} AS phat,
+           {WILSON_EXPRS['wilson_lo']} AS wilson_lo,
+           {WILSON_EXPRS['wilson_hi']} AS wilson_hi
+    FROM g
+    """

