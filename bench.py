@@ -324,6 +324,10 @@ HEADLINE = [
     "depreciation_schedule_sl",
     "segment_migration_matrix",
     "wilson_ci_return_rates",
+    "lang_id_agreement_kappa",
+    "quantized_centroid_profile",
+    "knn_graph_reciprocity",
+    "delta_encoding_savings",
 ]
 
 

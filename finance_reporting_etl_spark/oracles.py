@@ -8094,3 +8094,131 @@ ORACLES["wilson_ci_return_rates"] = f"""
            {WILSON_EXPRS['wilson_hi']} AS wilson_hi
     FROM g
     """
+
+
+# --- round 10 (wave 37) -----------------------------------------------------
+
+# Per-(label, dim) centroid of GLOBALLY-scaled int8 codes (the same
+# persisted-code convention int8_recall_audit serves): integer sums
+# are order-free and exact, so centroids and their deltas vs the
+# global centroid are single exact divisions — the embedding-drift
+# audit (which labels pull which dimensions) with zero float SUMs.
+ORACLES["quantized_centroid_profile"] = f"""
+    WITH codes AS (SELECT * FROM '{_AUX_DIR}/centroid_codes/*.parquet'),
+    x AS (
+        SELECT label, d.i AS dim, codes[d.i + 1] AS code
+        FROM codes, (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    g AS (
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(code) AS BIGINT) AS sum_code
+        FROM x GROUP BY 1, 2
+    ),
+    gl AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS gn,
+               CAST(sum(code) AS BIGINT) AS gsum
+        FROM x GROUP BY 1
+    )
+    SELECT label, g.dim AS dim, n_vecs, sum_code,
+           CAST(sum_code AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_code,
+           CAST(sum_code * gn - gsum * n_vecs AS DOUBLE)
+               / CAST(n_vecs * gn AS DOUBLE) AS delta_vs_global
+    FROM g JOIN gl ON gl.dim = g.dim
+    """
+
+
+# Mutual-kNN reciprocity over the persisted LSH candidate graph: both
+# engines re-derive candidates, det-rounded cosine ranks (id
+# tiebreak), and the reciprocal-edge census from the same parquet
+# index. Counters are exact integers; no float column is emitted.
+ORACLES["knn_graph_reciprocity"] = f"""
+    WITH b AS (SELECT * FROM '{_AUX_DIR}/knn_graph_buckets/*.parquet'),
+    cand AS (
+        SELECT DISTINCT b1.id AS src, b2.id AS dst
+        FROM b b1 JOIN b b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+        WHERE b1.id <> b2.id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT src, dst,
+               {_dr_top("list_dot_product(se.v, de.v) / nullif(sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(de.v, de.v)), 0)", 6)} AS score
+        FROM cand JOIN e se ON se.vec_id = cand.src
+                  JOIN e de ON de.vec_id = cand.dst
+    ),
+    t AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst ASC) AS rank
+        FROM s
+    ),
+    tk AS (SELECT src, dst, rank FROM t WHERE rank <= 10),
+    j AS (
+        SELECT a.rank AS r, b.rank AS rr
+        FROM tk a LEFT JOIN tk b ON b.src = a.dst AND b.dst = a.src
+    )
+    SELECT CAST(sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS edges_1,
+           CAST(sum(CASE WHEN r <= 1 AND rr <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual_1,
+           CAST(sum(CASE WHEN r <= 1 AND rr <= 1 THEN 1 ELSE 0 END) * 1000000
+                // sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS recip_ppm_1,
+           CAST(sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS edges_5,
+           CAST(sum(CASE WHEN r <= 5 AND rr <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual_5,
+           CAST(sum(CASE WHEN r <= 5 AND rr <= 5 THEN 1 ELSE 0 END) * 1000000
+                // sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS recip_ppm_5,
+           CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS edges_10,
+           CAST(sum(CASE WHEN r <= 10 AND rr <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual_10,
+           CAST(sum(CASE WHEN r <= 10 AND rr <= 10 THEN 1 ELSE 0 END) * 1000000
+                // sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS recip_ppm_10
+    FROM j
+    """
+
+
+# Delta-encoding audit: per column, zigzag-encoded deltas within
+# 1024-key blocks, bit-width from len(bin(z)) (exact integers in both
+# engines), block bytes = ceil(n*maxbits/8) + 8-byte base. The
+# storage-planning read before choosing parquet encodings for a
+# 100-TB table; all arithmetic integer, ratio in exact ppm.
+ORACLES["delta_encoding_savings"] = """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderkey AS BIGINT) AS v_key,
+               CAST(o_custkey AS BIGINT) AS v_cust,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v_price
+        FROM orders
+    ),
+    c AS (
+        SELECT k, col_name, val
+        FROM base UNPIVOT (val FOR col_name IN (v_key, v_cust, v_price))
+    ),
+    d AS (
+        SELECT col_name, k // 1024 AS block, val,
+               val - lag(val) OVER (PARTITION BY col_name, k // 1024
+                                    ORDER BY k) AS delta
+        FROM c
+    ),
+    z AS (
+        SELECT col_name, block,
+               CASE WHEN delta IS NULL THEN 0
+                    WHEN delta >= 0 THEN 2 * delta
+                    ELSE -2 * delta - 1 END AS zz
+        FROM d
+    ),
+    bl AS (
+        SELECT col_name, block, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(len(bin(zz))) AS BIGINT) AS maxbits
+        FROM z GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n) * 8 AS BIGINT) AS plain_bytes,
+           CAST(sum((n * maxbits + 7) // 8 + 8) AS BIGINT) AS delta_bytes,
+           CAST(sum((n * maxbits + 7) // 8 + 8) * 1000000
+                // (sum(n) * 8) AS BIGINT) AS ratio_ppm
+    FROM bl GROUP BY 1
+    """

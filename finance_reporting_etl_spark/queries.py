@@ -11545,6 +11545,280 @@ def q_wilson_ci_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 37 — classifier agreement, vector drift, graph QA, storage
+# ---------------------------------------------------------------------------
+
+
+def _lang_kappa_oracle() -> str:
+    """Cohen's kappa oracle composed over the language-ID oracle body:
+    agreement and chance-expected agreement from the same confusion
+    cells, cross-multiplied into exact integers; kappa itself is ONE
+    double division of exact BIGINTs (bit-equal cross-engine)."""
+    return f"""
+    WITH g AS ({_lang_oracle()}),
+    m AS (
+        SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = lang_guess THEN n ELSE 0 END)
+                    AS BIGINT) AS agree_n
+        FROM m
+    ),
+    rt AS (SELECT lang AS l, CAST(sum(n) AS BIGINT) AS rt FROM m GROUP BY 1),
+    gt AS (
+        SELECT lang_guess AS l, CAST(sum(n) AS BIGINT) AS gt
+        FROM m GROUP BY 1
+    ),
+    pe AS (
+        SELECT CAST(sum(rt.rt * gt.gt) AS BIGINT) AS pe_num
+        FROM rt JOIN gt ON gt.l = rt.l
+    )
+    SELECT n_docs, agree_n, pe_num,
+           CAST((agree_n * 1000000) // n_docs AS BIGINT) AS po_ppm,
+           CAST((pe_num * 1000000) // (n_docs * n_docs) AS BIGINT) AS pe_ppm,
+           CAST(agree_n * n_docs - pe_num AS DOUBLE)
+               / CAST(n_docs * n_docs - pe_num AS DOUBLE) AS kappa
+    FROM tot, pe
+    """
+
+
+@query("lang_id_agreement_kappa",
+    _lang_kappa_oracle(),
+    "X4 classifier eval: Cohen's kappa of the marker-lexicon language ID vs declared labels — chance-corrected agreement from exact integer confusion cells; kappa is one double division of BIGINTs",
+)
+def q_lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy flatters an unbalanced classifier; kappa subtracts the
+    agreement chance would produce from the same marginals. All
+    ingredients — N, observed agreement, the marginal cross-product —
+    are exact BIGINTs folded over the bounded (langs x langs+1)
+    confusion domain; kappa = (agree*N - pe_num) / (N^2 - pe_num) is a
+    single IEEE division both engines evaluate identically. The scalar
+    QA gate next to lang_id_confusion_matrix (queries.py wave 34)."""
+    from finance_reporting_etl_spark.functions.text import language_guess
+
+    g = _t(spark, sf_dir, "documents").select(
+        "lang", language_guess("text").alias("lang_guess")
+    )
+    m = g.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("lang_guess"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree_n"),
+    )
+    rt = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("rt"))
+    gt = m.groupBy("lang_guess").agg(F.sum("n").cast("bigint").alias("gt"))
+    pe = (
+        rt.join(gt, rt["lang"] == gt["lang_guess"])
+        .agg(F.sum(F.col("rt") * F.col("gt")).cast("bigint").alias("pe_num"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).selectExpr(
+        "n_docs",
+        "agree_n",
+        "pe_num",
+        "CAST((agree_n * 1000000) div n_docs AS BIGINT) AS po_ppm",
+        "CAST((pe_num * 1000000) div (n_docs * n_docs) AS BIGINT) AS pe_ppm",
+        "CAST(agree_n * n_docs - pe_num AS DOUBLE)"
+        " / CAST(n_docs * n_docs - pe_num AS DOUBLE) AS kappa",
+    )
+
+
+@query("quantized_centroid_profile",
+    _ORACLES["quantized_centroid_profile"],
+    "X3 vector infra: per-(label, dim) centroid of globally-scaled int8 codes vs the global centroid — embedding-drift audit with zero float SUMs (integer sums, single exact divisions)",
+)
+def q_quantized_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH labels pull WHICH dimensions: per-(label, dim) mean code
+    and its delta vs the global centroid, computed on globally-scaled
+    int8 codes (the int8_recall_audit convention) so every SUM is an
+    order-free exact integer — the float-summation-order class never
+    appears. The persisted code table is the oracle contract; output
+    lands on the bounded labels x 64 grid. The drift read a curation
+    pipeline consults before trusting per-source balance."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", "label", vd.alias("vd"))
+    gmax = withv.agg(F.max(F.array_max(F.transform("vd", F.abs))).alias("gmax"))
+    codes = _persist_aux(
+        spark,
+        withv.crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            "label",
+            F.transform(
+                "vd",
+                lambda x: F.round(x * (F.lit(127.0) / F.col("gmax"))).cast("bigint"),
+            ).alias("codes"),
+        ),
+        "centroid_codes",
+    )
+    x = codes.select(
+        "label", F.posexplode("codes").alias("dim", "code")
+    ).select(F.col("label"), F.col("dim").cast("bigint").alias("dim"), "code")
+    g = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("code").cast("bigint").alias("sum_code"),
+    )
+    gl = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("code").cast("bigint").alias("gsum"),
+    )
+    return (
+        g.join(F.broadcast(gl), "dim")
+        .selectExpr(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_code",
+            "CAST(sum_code AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_code",
+            "CAST(sum_code * gn - gsum * n_vecs AS DOUBLE)"
+            " / CAST(n_vecs * gn AS DOUBLE) AS delta_vs_global",
+        )
+    )
+
+
+@query("knn_graph_reciprocity",
+    _ORACLES["knn_graph_reciprocity"],
+    "X3 ANN QA: mutual-kNN reciprocity at k=1/5/10 over the persisted LSH candidate graph — the symmetry census behind graph-based ANN (HNSW-style) quality; exact integer counters only",
+)
+def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW symmetric is the neighborhood graph: an edge a->b in the
+    LSH-candidate top-k that b does not reciprocate is exactly where
+    graph-based ANN search loses recall. Candidates come from the
+    persisted band-bucket index (equi-joins, never all-pairs); cosine
+    uses the house det_round(6) + id-tiebreak ranking convention
+    (operators/similarity.py topk_from_buckets), and the emitted
+    census is pure exact integers — edges, mutual edges, reciprocity
+    ppm at k = 1, 5, 10 in one row."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = _persist_aux(
+        spark,
+        hyperplane_buckets(emb, n_planes=4, n_tables=8),
+        "knn_graph_buckets",
+    )
+    b2 = buckets.withColumnsRenamed({"id": "dst"})
+    cand = (
+        buckets.withColumnRenamed("id", "src")
+        .join(b2, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
+    dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    cos = (
+        f"{dot.format(a='sv', b='dv')} / nullif(sqrt({dot.format(a='sv', b='sv')})"
+        f" * sqrt({dot.format(a='dv', b='dv')}), 0)"
+    )
+    scored = (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .withColumn("score", det_round(F.expr(cos), 6))
+        .select("src", "dst", "score")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    tk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("src", "dst", "rank")
+    )
+    rev = tk.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rank").alias("rrank"),
+    )
+    j = tk.join(rev, ["src", "dst"], "left").select("rank", "rrank")
+    aggs = []
+    for k in (1, 5, 10):
+        aggs += [
+            F.sum((F.col("rank") <= k).cast("int")).cast("bigint").alias(f"edges_{k}"),
+            F.sum(((F.col("rank") <= k) & (F.col("rrank") <= k)).cast("int"))
+            .cast("bigint")
+            .alias(f"mutual_{k}"),
+        ]
+    out = j.agg(*aggs)
+    for k in (1, 5, 10):
+        out = out.withColumn(
+            f"recip_ppm_{k}",
+            F.expr(f"(mutual_{k} * 1000000) div edges_{k}").cast("bigint"),
+        )
+    return out.select(
+        "edges_1", "mutual_1", "recip_ppm_1",
+        "edges_5", "mutual_5", "recip_ppm_5",
+        "edges_10", "mutual_10", "recip_ppm_10",
+    )
+
+
+@query("delta_encoding_savings",
+    _ORACLES["delta_encoding_savings"],
+    "S-tier storage planning: zigzag delta-encoding byte audit per column over 1024-key blocks — bit-widths from len(bin(z)), exact integer bytes and ppm ratio",
+)
+def q_delta_encoding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT delta encoding would buy per column before committing a
+    100-TB table's parquet encodings: within 1024-key blocks, deltas
+    against the previous key-ordered value, zigzag-mapped to
+    non-negative ints, max bit-width per block via len(bin(z)) (exact
+    in both engines), block bytes = ceil(n*maxbits/8) + an 8-byte
+    base. A sorted key costs ~1 bit/row; a shuffled foreign key or a
+    price column pays near-plain cost — the audit quantifies both.
+    One scan (stack unpivot), block-partitioned lag windows (never
+    global), all-integer arithmetic."""
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderkey").cast("bigint").alias("v_key"),
+        F.col("o_custkey").cast("bigint").alias("v_cust"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v_price"),
+    )
+    c = base.selectExpr(
+        "k",
+        "stack(3, 'v_key', v_key, 'v_cust', v_cust, 'v_price', v_price)"
+        " AS (col_name, val)",
+    )
+    w = Window.partitionBy("col_name", "block").orderBy("k")
+    d = c.withColumn("block", F.expr("k div 1024")).withColumn(
+        "delta", F.col("val") - F.lag("val").over(w)
+    )
+    zz = (
+        F.when(F.col("delta").isNull(), F.lit(0))
+        .when(F.col("delta") >= 0, 2 * F.col("delta"))
+        .otherwise(-2 * F.col("delta") - 1)
+    )
+    bl = (
+        d.withColumn("zz", zz)
+        .groupBy("col_name", "block")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(F.length(F.bin("zz"))).cast("bigint").alias("maxbits"),
+        )
+    )
+    return bl.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (F.sum("n") * 8).cast("bigint").alias("plain_bytes"),
+        F.sum(F.expr("(n * maxbits + 7) div 8 + 8")).cast("bigint").alias(
+            "delta_bytes"
+        ),
+        F.expr(
+            "CAST(sum((n * maxbits + 7) div 8 + 8) * 1000000"
+            " div (sum(n) * 8) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -11709,6 +11983,10 @@ _GATE_NEXT = [
     "depreciation_schedule_sl",
     "segment_migration_matrix",
     "wilson_ci_return_rates",
+    "lang_id_agreement_kappa",
+    "quantized_centroid_profile",
+    "knn_graph_reciprocity",
+    "delta_encoding_savings",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -725,3 +725,78 @@ def test_wilson_interval_properties(spark):
         assert r.wilson_lo == center - half
         assert r.wilson_hi == center + half
         assert 0.0 <= r.wilson_lo <= r.phat <= r.wilson_hi <= 1.0
+
+
+# --- wave 37: kappa / centroid drift / graph QA / storage ---------------------
+
+
+def test_kappa_matches_literal_python(spark):
+    """Kappa re-derived in pure Python from the confusion counts the
+    language_id query emits must equal the operator's scalar."""
+    conf = {}
+    for r in CATALOG["language_id"].fn(spark, SF_SMOKE).collect():
+        conf[(r.lang, r.lang_guess)] = conf.get((r.lang, r.lang_guess), 0) + 1
+    n = sum(conf.values())
+    agree = sum(v for (t, g), v in conf.items() if t == g)
+    langs = {t for t, _ in conf} | {g for _, g in conf}
+    rt = {l: sum(v for (t, _), v in conf.items() if t == l) for l in langs}
+    gt = {l: sum(v for (_, g), v in conf.items() if g == l) for l in langs}
+    pe_num = sum(rt[l] * gt[l] for l in langs)
+    row = CATALOG["lang_id_agreement_kappa"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.n_docs == n and row.agree_n == agree and row.pe_num == pe_num
+    assert row.po_ppm == agree * 1_000_000 // n
+    assert row.pe_ppm == pe_num * 1_000_000 // (n * n)
+    assert row.kappa == float(agree * n - pe_num) / float(n * n - pe_num)
+    assert row.kappa <= 1.0
+
+
+def test_quantized_centroids_reconcile_to_global(spark):
+    """Per-dim: group sums add to the global sum, counts add to N, and
+    the count-weighted sum of deltas is (numerically) zero."""
+    rows = CATALOG["quantized_centroid_profile"].fn(spark, SF_SMOKE).collect()
+    by_dim: dict[int, list] = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r)
+    assert sorted(by_dim) == list(range(64))
+    n_total = {sum(r.n_vecs for r in rs) for rs in by_dim.values()}
+    assert len(n_total) == 1
+    N = n_total.pop()
+    for dim, rs in by_dim.items():
+        gsum = sum(r.sum_code for r in rs)
+        for r in rs:
+            assert r.mean_code == float(r.sum_code) / float(r.n_vecs)
+            want = float(r.sum_code * N - gsum * r.n_vecs) / float(r.n_vecs * N)
+            assert r.delta_vs_global == want
+        # count-weighted deltas cancel: sum_g n_g * delta_g has
+        # numerator sum_g (S_g*N - gsum*n_g) = N*gsum - gsum*N = 0
+        assert sum(r.sum_code * N - gsum * r.n_vecs for r in rs) == 0
+
+
+def test_knn_reciprocity_monotone_and_bounded(spark):
+    """Edges and mutual counts grow with k; reciprocity is a valid ppm;
+    mutual edges never exceed edges; k=1 edges == number of nodes with
+    at least one candidate."""
+    row = CATALOG["knn_graph_reciprocity"].fn(spark, SF_SMOKE).collect()[0]
+    for k in (1, 5, 10):
+        e, m, p = getattr(row, f"edges_{k}"), getattr(row, f"mutual_{k}"), getattr(row, f"recip_ppm_{k}")
+        assert 0 <= m <= e
+        assert p == m * 1_000_000 // e
+    assert row.edges_1 <= row.edges_5 <= row.edges_10
+    assert row.mutual_1 <= row.mutual_5 <= row.mutual_10
+
+
+def test_delta_encoding_sorted_key_beats_random_fk(spark):
+    """The dense sorted key must compress far better than the random
+    foreign key / price columns, and every column's byte arithmetic
+    must reconcile."""
+    rows = {r.col_name: r for r in
+            CATALOG["delta_encoding_savings"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"v_key", "v_cust", "v_price"}
+    for r in rows.values():
+        assert r.plain_bytes == r.n_rows * 8
+        assert r.ratio_ppm == r.delta_bytes * 1_000_000 // r.plain_bytes
+        assert r.n_blocks >= 1
+    # dense ascending key: maxbits==1 per block -> ~1 bit/row
+    assert rows["v_key"].ratio_ppm < rows["v_cust"].ratio_ppm
+    assert rows["v_key"].ratio_ppm < rows["v_price"].ratio_ppm
+    assert rows["v_key"].delta_bytes * 8 < rows["v_key"].plain_bytes
