@@ -328,6 +328,10 @@ HEADLINE = [
     "quantized_centroid_profile",
     "knn_graph_reciprocity",
     "delta_encoding_savings",
+    "blocking_recall_audit",
+    "chao1_ndv_estimate",
+    "k_anon_generalization_sweep",
+    "streaming_intercompany_elimination",
 ]
 
 

@@ -8222,3 +8222,139 @@ ORACLES["delta_encoding_savings"] = """
                 // (sum(n) * 8) AS BIGINT) AS ratio_ppm
     FROM bl GROUP BY 1
     """
+
+
+# --- round 10 (wave 38) -----------------------------------------------------
+
+# Blocking-key audit for entity resolution: per candidate-generation
+# config, how many pairs the key funnels into the verifier and
+# whether the TRUE match survives blocking. tail-4/tail-3 are
+# recall-complete for the deletion corruption class; the fixed mid-4
+# window reads shifted content after a deletion and silently loses
+# most true pairs while ALSO funneling ~1000x more candidates — the
+# exact failure mode entity_resolution_blocked's docstring warns
+# about, here measured instead of asserted. Exact integers only.
+ORACLES["blocking_recall_audit"] = """
+    WITH q AS (
+        SELECT c_custkey AS query_id,
+               substr(c_name, 1, 9 + (c_custkey % 4))
+                   || substr(c_name, 11 + (c_custkey % 4), 18) AS q_name
+        FROM customer
+    ),
+    r AS (SELECT c_custkey AS ref_id, c_name AS r_name FROM customer),
+    cfg AS (
+        SELECT 'tail4' AS config, query_id, ref_id
+        FROM q JOIN r ON right(q_name, 4) = right(r_name, 4)
+        UNION ALL
+        SELECT 'tail3', query_id, ref_id
+        FROM q JOIN r ON right(q_name, 3) = right(r_name, 3)
+        UNION ALL
+        SELECT 'mid4', query_id, ref_id
+        FROM q JOIN r ON substr(q_name, 12, 4) = substr(r_name, 12, 4)
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+    SELECT config,
+           n_queries,
+           CAST(count(*) AS BIGINT) AS n_cand_pairs,
+           CAST(sum(CASE WHEN query_id = ref_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_blocked,
+           CAST(sum(CASE WHEN query_id = ref_id THEN 1 ELSE 0 END) * 1000000
+                // n_queries AS BIGINT) AS recall_ppm,
+           CAST(count(*) * 1000000 // n_queries AS BIGINT)
+               AS pairs_per_query_ppm
+    FROM cfg CROSS JOIN nq
+    GROUP BY 1, 2
+    """
+
+
+# Chao1 capture-recapture NDV estimate from a deterministic ~10% row
+# sample (md5 buckets 0-25 of 256) vs the exact distinct count — the
+# ANALYZE-statistics question at 100 TB: can a cheap sample predict a
+# column's cardinality. f1/f2 are exact integers; the bias-corrected
+# estimator d + f1(f1-1)/(2(f2+1)) and its ratio to truth are single
+# IEEE divisions of exact integers (bit-equal cross-engine).
+ORACLES["chao1_ndv_estimate"] = """
+    WITH base AS (
+        SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) AS rk,
+               CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(l_orderkey AS BIGINT) AS l_orderkey
+        FROM lineitem
+    ),
+    c AS (
+        SELECT rk, col_name, val
+        FROM base UNPIVOT (val FOR col_name IN (l_partkey, l_suppkey,
+                                                l_orderkey))
+    ),
+    samp AS (
+        SELECT col_name, val FROM c
+        WHERE (instr('0123456789abcdef', substr(md5(rk || 'chao1'), 1, 1)) - 1)
+                  * 16
+              + (instr('0123456789abcdef', substr(md5(rk || 'chao1'), 2, 1))
+                  - 1) < 26
+    ),
+    vc AS (
+        SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+        FROM samp GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT col_name,
+               CAST(sum(n) AS BIGINT) AS n_sample_rows,
+               CAST(count(*) AS BIGINT) AS d_sample,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM vc GROUP BY 1
+    ),
+    ex AS (
+        SELECT col_name, CAST(count(DISTINCT val) AS BIGINT) AS exact_ndv
+        FROM c GROUP BY 1
+    )
+    SELECT s.col_name AS col_name, n_sample_rows, d_sample, f1, f2, exact_ndv,
+           CAST(d_sample AS DOUBLE)
+               + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+               AS chao1_est,
+           (CAST(d_sample AS DOUBLE)
+               + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE))
+               / CAST(exact_ndv AS DOUBLE) AS est_ratio
+    FROM stats s JOIN ex ON ex.col_name = s.col_name
+    """
+
+
+# k-anonymity generalization ladder: at each coarsening level of the
+# quasi-identifier tuple, the share of rows living in groups smaller
+# than k (what suppression would destroy) — the utility-vs-privacy
+# curve read BEFORE choosing an export schema. Bounded group domains,
+# exact integer counts, ppm shares of non-negative integers.
+ORACLES["k_anon_generalization_sweep"] = """
+    WITH c AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                               AS DOUBLE) / 10000.0) AS BIGINT) AS bal_fine,
+               CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                               AS DOUBLE) / 100000.0) AS BIGINT) AS bal_coarse
+        FROM customer
+    ),
+    g0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY seg, nat,
+               bal_fine),
+    g1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY seg, nat,
+               bal_coarse),
+    g2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY seg, nat),
+    g3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY seg),
+    lv AS (
+        SELECT 'L0_seg_nat_bal100' AS level, n FROM g0
+        UNION ALL SELECT 'L1_seg_nat_bal1000', n FROM g1
+        UNION ALL SELECT 'L2_seg_nat', n FROM g2
+        UNION ALL SELECT 'L3_seg', n FROM g3
+    ),
+    ks AS (SELECT unnest([5, 25]) AS k)
+    SELECT level, CAST(k AS BIGINT) AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+               AS suppressed_rows,
+           CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS suppressed_ppm
+    FROM lv CROSS JOIN ks
+    GROUP BY 1, 2
+    """

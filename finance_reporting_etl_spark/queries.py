@@ -11819,6 +11819,271 @@ def q_delta_encoding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 38 — blocking audit, NDV sampling, privacy ladder, streaming
+# ---------------------------------------------------------------------------
+
+
+@query("blocking_recall_audit",
+    _ORACLES["blocking_recall_audit"],
+    "X-tier ER QA: candidate-count vs recall audit across blocking keys (tail-4/tail-3/mid-4) — measures the n^2-funnel failure mode entity_resolution_blocked's key choice avoids; exact integers",
+)
+def q_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key choice IS the scale game in entity resolution
+    (entity_resolution_blocked, queries.py:3630): this audit measures
+    it instead of asserting it. For each key config, the candidate
+    pairs the key funnels into the verifier and whether the TRUE match
+    survives blocking: tail-4/tail-3 are recall-complete for the
+    deletion corruption class (the deleted char sits left of the
+    window) at ~1.5 / ~15 candidates per query; the fixed mid-4 window
+    reads SHIFTED content after a deletion — it loses most true pairs
+    AND funnels ~1000x more candidates, the double failure a blocking
+    audit must catch before deployment. Three key-equi-joins (never
+    all-pairs), one census row each."""
+    cust = _t(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_custkey").alias("query_id"),
+        F.expr(
+            "concat(substr(c_name, 1, 9 + (c_custkey % 4)),"
+            " substr(c_name, 11 + (c_custkey % 4), 18))"
+        ).alias("q_name"),
+    )
+    r = cust.select(F.col("c_custkey").alias("ref_id"), F.col("c_name").alias("r_name"))
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    configs = [
+        ("tail4", "right(q_name, 4)", "right(r_name, 4)"),
+        ("tail3", "right(q_name, 3)", "right(r_name, 3)"),
+        ("mid4", "substr(q_name, 12, 4)", "substr(r_name, 12, 4)"),
+    ]
+    outs = []
+    for name, qk, rk in configs:
+        pairs = q.withColumn("__k", F.expr(qk)).join(
+            r.withColumn("__k", F.expr(rk)), "__k"
+        )
+        outs.append(
+            pairs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"),
+                F.sum((F.col("query_id") == F.col("ref_id")).cast("int"))
+                .cast("bigint")
+                .alias("n_true_blocked"),
+            )
+            .crossJoin(F.broadcast(nq))
+            .selectExpr(
+                f"'{name}' AS config",
+                "n_queries",
+                "n_cand_pairs",
+                "n_true_blocked",
+                "CAST(n_true_blocked * 1000000 div n_queries AS BIGINT)"
+                " AS recall_ppm",
+                "CAST(n_cand_pairs * 1000000 div n_queries AS BIGINT)"
+                " AS pairs_per_query_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query("chao1_ndv_estimate",
+    _ORACLES["chao1_ndv_estimate"],
+    "S-tier catalog statistics: Chao1 capture-recapture NDV estimate from a deterministic ~10% md5 row sample vs exact distinct count, per column — the ANALYZE-at-100TB sampling question; exact ints + single IEEE divisions",
+)
+def q_chao1_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAN a 10% sample predict a column's cardinality: Chao1's
+    capture-recapture estimator (d + f1(f1-1)/(2(f2+1))) from the
+    sample's singleton/doubleton census, next to the exact NDV. A
+    dense key (l_orderkey: every value repeats ~4x) estimates well; a
+    sparse domain scans differently — the audit shows WHICH columns
+    a cost-based optimizer may sample and which it must count. One
+    stack-unpivoted scan for the sample census + one scan for exact
+    NDVs; the md5 row-bucket is the house deterministic sampler
+    (operators/corpus.md5_bucket, bit-identical in the oracle)."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+    )
+    c = li.selectExpr(
+        "rk",
+        "stack(3, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey,"
+        " 'l_orderkey', l_orderkey) AS (col_name, val)",
+    )
+    samp = c.filter(md5_bucket("rk", 256, salt="chao1") < 26)
+    vc = samp.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = vc.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_sample_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("d_sample"),
+        F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("n") == 2).cast("int")).cast("bigint").alias("f2"),
+    )
+    ex = c.groupBy("col_name").agg(
+        F.countDistinct("val").cast("bigint").alias("exact_ndv")
+    )
+    return stats.join(F.broadcast(ex), "col_name").selectExpr(
+        "col_name",
+        "n_sample_rows",
+        "d_sample",
+        "f1",
+        "f2",
+        "exact_ndv",
+        "CAST(d_sample AS DOUBLE)"
+        " + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)"
+        " AS chao1_est",
+        "(CAST(d_sample AS DOUBLE)"
+        " + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE))"
+        " / CAST(exact_ndv AS DOUBLE) AS est_ratio",
+    )
+
+
+@query("k_anon_generalization_sweep",
+    _ORACLES["k_anon_generalization_sweep"],
+    "O-tier privacy engineering: k-anonymity suppression cost across a QI generalization ladder (4 levels x k=5/25) — the utility-vs-privacy curve before choosing an export schema; exact integer census",
+)
+def q_k_anon_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH generalization buys: at each coarsening of the
+    quasi-identifier tuple — fine balance bands, coarse bands, drop
+    balance, drop nation — the rows k-anonymity suppression (k=5, 25)
+    would destroy. Complements k_anonymity_suppress (which applies ONE
+    policy) with the curve a privacy engineer reads to PICK the
+    policy. One bounded-domain aggregate per level on the customer
+    dim; both k thresholds come from the same group census. Balance
+    bands floor an exact-cents double division both engines evaluate
+    identically."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)"
+            " AS DOUBLE) / 10000.0) AS BIGINT)"
+        ).alias("bal_fine"),
+        F.expr(
+            "CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT)"
+            " AS DOUBLE) / 100000.0) AS BIGINT)"
+        ).alias("bal_coarse"),
+    )
+    levels = [
+        ("L0_seg_nat_bal100", ["seg", "nat", "bal_fine"]),
+        ("L1_seg_nat_bal1000", ["seg", "nat", "bal_coarse"]),
+        ("L2_seg_nat", ["seg", "nat"]),
+        ("L3_seg", ["seg"]),
+    ]
+    outs = []
+    for label, qi in levels:
+        g = c.groupBy(*qi).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        lv = g.select(F.lit(label).alias("level"), "n").crossJoin(
+            F.broadcast(
+                spark.range(1).selectExpr("stack(2, 5, 25) AS (k)")
+            )
+        )
+        outs.append(
+            lv.groupBy("level", F.col("k").cast("bigint").alias("k")).agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+                .cast("bigint")
+                .alias("suppressed_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "suppressed_ppm",
+        F.expr("(suppressed_rows * 1000000) div n_rows").cast("bigint"),
+    )
+
+
+@query("streaming_intercompany_elimination",
+    _ORACLES["intercompany_elimination"],
+    "§2.8 x §2.4 continuous consolidation: lineitem micro-batches fold per-entity gross/intercompany integer partials through foreachBatch against static dims == the batch elimination mart (SHARED oracle proves it)",
+)
+def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS form of intercompany_elimination: revenue lines
+    arrive as a stream and each micro-batch joins the static dimension
+    tables and posts per-entity integer partials (n, gross,
+    intercompany cents) via foreachBatch. Integer partials are
+    order-free mergeable, so the merged mart is bit-identical to the
+    one-shot batch mart no matter where micro-batch boundaries fall —
+    the SHARED oracle proves it. Replayed as 3 micro-batches; the ppm
+    share is applied once at read-back (never folded)."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cst = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        li = batch.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        return (
+            li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cst, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .withColumn(
+                "ic", (F.col("c_nationkey") == F.col("s_nationkey")).cast("int")
+            )
+            .groupBy(F.col("n_name").alias("entity"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("g"),
+                F.sum(F.when(F.col("ic") == 1, F.col("cents")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("icents"),
+            )
+        )
+
+    return run_file_stream(
+        spark,
+        lambda src: _t(spark, sf_dir, "lineitem").repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/sink")
+        .groupBy("entity")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_lines"),
+            F.sum("g").cast("bigint").alias("gross_cents"),
+            F.sum("icents").cast("bigint").alias("intercompany_cents"),
+        )
+        .withColumn(
+            "external_cents",
+            (F.col("gross_cents") - F.col("intercompany_cents")).cast("bigint"),
+        )
+        .withColumn(
+            "intercompany_ppm",
+            F.expr("(intercompany_cents * 1000000) div gross_cents").cast("bigint"),
+        )
+        .select(
+            "entity", "n_lines", "gross_cents", "intercompany_cents",
+            "external_cents", "intercompany_ppm",
+        ),
+        prefix="stream_ic_",
+        label="streaming_intercompany_elimination",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -11987,6 +12252,10 @@ _GATE_NEXT = [
     "quantized_centroid_profile",
     "knn_graph_reciprocity",
     "delta_encoding_savings",
+    "blocking_recall_audit",
+    "chao1_ndv_estimate",
+    "k_anon_generalization_sweep",
+    "streaming_intercompany_elimination",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

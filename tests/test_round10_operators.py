@@ -800,3 +800,80 @@ def test_delta_encoding_sorted_key_beats_random_fk(spark):
     assert rows["v_key"].ratio_ppm < rows["v_cust"].ratio_ppm
     assert rows["v_key"].ratio_ppm < rows["v_price"].ratio_ppm
     assert rows["v_key"].delta_bytes * 8 < rows["v_key"].plain_bytes
+
+
+# --- wave 38: blocking audit / NDV sampling / privacy ladder / streaming -----
+
+
+def test_blocking_audit_recall_complete_tails(spark):
+    """tail-4 and tail-3 must block every true pair (the deletion sits
+    left of the window); the fixed mid-4 window must lose true pairs
+    AND funnel far more candidates per query."""
+    rows = {r.config: r for r in
+            CATALOG["blocking_recall_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"tail4", "tail3", "mid4"}
+    for r in rows.values():
+        assert r.recall_ppm == r.n_true_blocked * 1_000_000 // r.n_queries
+        assert r.pairs_per_query_ppm == r.n_cand_pairs * 1_000_000 // r.n_queries
+    assert rows["tail4"].recall_ppm == 1_000_000
+    assert rows["tail3"].recall_ppm == 1_000_000
+    # at smoke scale many keys are all-zero in the window, so the
+    # shifted read still collides; the loss is partial, never complete
+    assert rows["mid4"].recall_ppm < 1_000_000
+    assert rows["mid4"].n_cand_pairs > 10 * rows["tail3"].n_cand_pairs
+    # tail-3 buckets are 10x coarser, so never fewer candidates (at
+    # smoke scale 150 keys map 1:1 under both windows — equal is fine)
+    assert rows["tail3"].n_cand_pairs >= rows["tail4"].n_cand_pairs
+
+
+def test_chao1_sane_and_orderkey_sharp(spark):
+    """Estimator arithmetic reconciles (f1, f2 <= d <= sample rows;
+    est >= d), and the dense l_orderkey column (every value ~4 rows)
+    estimates within a loose factor of truth."""
+    rows = {r.col_name: r for r in
+            CATALOG["chao1_ndv_estimate"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey", "l_orderkey"}
+    for r in rows.values():
+        assert r.f1 + r.f2 <= r.d_sample <= r.n_sample_rows
+        assert r.d_sample <= r.exact_ndv
+        est = float(r.d_sample) + float(r.f1 * (r.f1 - 1)) / float(2 * (r.f2 + 1))
+        assert r.chao1_est == est
+        assert r.est_ratio == est / float(r.exact_ndv)
+        assert r.chao1_est >= r.d_sample
+    # smoke sample (~700 rows) is sparse against ~1500 orders; the
+    # estimator lands within a loose factor, never above exact by much
+    assert 0.2 <= rows["l_orderkey"].est_ratio <= 2.0
+
+
+def test_k_anon_sweep_monotone_in_generalization_and_k(spark):
+    """Coarser QIs never increase suppression; larger k never
+    decreases it; censuses reconcile."""
+    rows = CATALOG["k_anon_generalization_sweep"].fn(spark, SF_SMOKE).collect()
+    by = {(r.level, r.k): r for r in rows}
+    levels = ["L0_seg_nat_bal100", "L1_seg_nat_bal1000", "L2_seg_nat", "L3_seg"]
+    assert {l for l, _ in by} == set(levels)
+    n_rows = {r.n_rows for r in rows}
+    assert len(n_rows) == 1
+    for (l, k), r in by.items():
+        assert r.suppressed_ppm == r.suppressed_rows * 1_000_000 // r.n_rows
+        assert r.suppressed_rows <= r.n_rows
+    for k in (5, 25):
+        for a, b in zip(levels, levels[1:]):
+            assert by[(a, k)].suppressed_rows >= by[(b, k)].suppressed_rows
+            assert by[(a, k)].n_groups >= by[(b, k)].n_groups
+    for l in levels:
+        assert by[(l, 5)].suppressed_rows <= by[(l, 25)].suppressed_rows
+
+
+def test_streaming_intercompany_matches_batch(spark):
+    """The streamed fold must be bit-identical to the one-shot batch
+    mart — integer partials are order-free mergeable."""
+    got = {r.entity: r for r in
+           CATALOG["streaming_intercompany_elimination"].fn(spark, SF_SMOKE).collect()}
+    want = {r.entity: r for r in
+            CATALOG["intercompany_elimination"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for e in want:
+        for c in ("n_lines", "gross_cents", "intercompany_cents",
+                  "external_cents", "intercompany_ppm"):
+            assert getattr(got[e], c) == getattr(want[e], c)
