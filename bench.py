@@ -332,6 +332,9 @@ HEADLINE = [
     "chao1_ndv_estimate",
     "k_anon_generalization_sweep",
     "streaming_intercompany_elimination",
+    "ann_ivf_nprobe_sweep",
+    "oov_rate_by_source",
+    "mixture_temperature_sweep",
 ]
 
 

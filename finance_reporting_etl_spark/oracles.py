@@ -8358,3 +8358,66 @@ ORACLES["k_anon_generalization_sweep"] = """
     FROM lv CROSS JOIN ks
     GROUP BY 1, 2
     """
+
+
+# --- round 10 (wave 39) -----------------------------------------------------
+
+# OOV rate per source against the top-20 corpus vocabulary: the
+# tokenizer-health read (which sources speak outside the vocabulary a
+# fixed tokenizer was fitted on). Vocabulary cut is deterministic
+# (count DESC, token ASC); counts and ppm are exact integers.
+ORACLES["oov_rate_by_source"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, token ASC LIMIT 20
+        )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY 1
+    """
+
+
+# Sampling-temperature sweep (the multilingual mixing knob): language
+# weights n^tau for tau in {0.25, 0.5, 1.0}, realized as exact
+# integer milli-weights (floor of correctly-rounded sqrt chains —
+# bit-equal cross-engine), so shares and boosts are exact integer
+# ppm. tau < 1 upsamples the tail exactly as the LLM-training
+# literature prescribes; boost_ppm reads the effective multiplier vs
+# proportional sampling.
+ORACLES["mixture_temperature_sweep"] = """
+    WITH g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT '1.0' AS tau, lang, n_docs,
+               CAST(n_docs * 1000 AS BIGINT) AS weight_milli FROM g
+        UNION ALL
+        SELECT '0.5', lang, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT '0.25', lang, n_docs,
+               CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000.0)
+                    AS BIGINT)
+        FROM g
+    )
+    SELECT tau, lang, n_docs, weight_milli,
+           CAST(weight_milli * 1000000
+                // sum(weight_milli) OVER (PARTITION BY tau) AS BIGINT)
+               AS share_ppm,
+           CAST(weight_milli * sum(n_docs) OVER (PARTITION BY tau) * 1000000
+                // (sum(weight_milli) OVER (PARTITION BY tau) * n_docs)
+                AS BIGINT) AS boost_ppm
+    FROM w
+    """

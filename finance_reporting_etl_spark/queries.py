@@ -12084,6 +12084,228 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 39 — IVF tuning sweep, tokenizer health, mixing temperature
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sweep_oracle() -> str:
+    """nprobe-sweep oracle: truth and every per-nprobe retrieval are
+    re-derived in SQL from the SAME persisted index/probe tables, with
+    the house det_round(6) + id-tiebreak ranking convention."""
+    from finance_reporting_etl_spark.functions.scalars import det_round_sql
+
+    cos = (
+        "list_dot_product(se.v, de.v)"
+        " / nullif(sqrt(list_dot_product(se.v, se.v))"
+        " * sqrt(list_dot_product(de.v, de.v)), 0)"
+    )
+    qcos = (
+        "list_dot_product(q.qv, e.v)"
+        " / nullif(sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(e.v, e.v)), 0)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e"
+        " WHERE vec_id IN (0, 1, 2, 3, 4))",
+        f"sc AS (SELECT query_id, e.vec_id AS neighbor_id,"
+        f" {det_round_sql(qcos, 6)} AS score"
+        f" FROM e CROSS JOIN q WHERE e.vec_id <> query_id)",
+        "truth AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS r"
+        " FROM sc) WHERE r <= 10)",
+        "tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)",
+        f"idx AS (SELECT * FROM '{_AUX_DIR}/ivf_sweep_index/*.parquet')",
+    ]
+    selects = []
+    for p in (1, 2, 4, 8):
+        ctes.append(
+            f"pb{p} AS (SELECT * FROM"
+            f" '{_AUX_DIR}/ivf_sweep_probes_{p}/*.parquet')"
+        )
+        ctes.append(
+            f"cd{p} AS (SELECT pq.query_id, i.id AS neighbor_id"
+            f" FROM idx i JOIN pb{p} pq ON pq.cell = i.cell"
+            f" WHERE i.id <> pq.query_id)"
+        )
+        ctes.append(
+            f"sc{p} AS (SELECT c.query_id, c.neighbor_id,"
+            f" {det_round_sql(cos, 6)} AS score"
+            f" FROM cd{p} c JOIN e se ON se.vec_id = c.query_id"
+            f" JOIN e de ON de.vec_id = c.neighbor_id)"
+        )
+        ctes.append(
+            f"rt{p} AS (SELECT query_id, neighbor_id FROM ("
+            f"SELECT query_id, neighbor_id, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)"
+            f" AS r FROM sc{p}) WHERE r <= 10)"
+        )
+        selects.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cd{p}) AS n_candidates,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM rt{p} r"
+            f"  JOIN truth t ON t.query_id = r.query_id"
+            f"  AND t.neighbor_id = r.neighbor_id) AS hits,"
+            f" CAST((SELECT count(*) FROM rt{p} r"
+            f"  JOIN truth t ON t.query_id = r.query_id"
+            f"  AND t.neighbor_id = r.neighbor_id) * 1000000"
+            f"  // (SELECT n_truth FROM tn) AS BIGINT) AS recall_ppm"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("ann_ivf_nprobe_sweep",
+    _ivf_sweep_oracle(),
+    "X3 ANN tuning: IVF recall@10 vs candidate cost at nprobe=1/2/4/8 from ONE persisted index — the S-curve every IVF deployment tunes (the lsh_band_sweep analog for cell probing); exact integer census",
+)
+def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH nprobe buys enough recall: the cells probed per query set
+    both the scan cost (candidates) and the recall ceiling; this sweep
+    measures the whole curve from ONE persisted index — the tuning
+    artifact an IVF deployment pins before serving, sibling of
+    lsh_band_sweep_recall (banding S-curve). Truth is exact brute
+    force over the 5 fixture queries; retrieval per nprobe reuses the
+    production ivf_topk_from_index path (cell equi-joins, never
+    all-pairs). Output: 4 rows of exact integers."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_probes,
+        ivf_topk_from_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    index = _persist_aux(spark, ivf_index(emb), "ivf_sweep_index")
+    truth = brute_force_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    outs = []
+    for p in (1, 2, 4, 8):
+        probes = _persist_aux(
+            spark, ivf_probes(emb, qids, nprobe=p), f"ivf_sweep_probes_{p}"
+        )
+        cands = (
+            index.withColumnRenamed("id", "neighbor_id")
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        retrieved = ivf_topk_from_index(index, probes, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        hits = retrieved.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        outs.append(
+            nc.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tn))
+            .selectExpr(
+                f"CAST({p} AS BIGINT) AS nprobe",
+                "n_candidates",
+                "hits",
+                "CAST(hits * 1000000 div n_truth AS BIGINT) AS recall_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query("oov_rate_by_source",
+    _ORACLES["oov_rate_by_source"],
+    "X4 tokenizer health: per-source out-of-vocabulary token rate against the deterministic top-20 corpus vocabulary — which sources a fixed tokenizer underserves; exact integer census",
+)
+def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO speaks outside the vocabulary: after fitting a top-k
+    vocabulary on the whole corpus (count DESC, token ASC — the
+    corpus_vocabulary cut), each source's share of tokens falling
+    outside it. High OOV marks the sources a fixed tokenizer will
+    fragment into bytes — the health check before committing a vocab.
+    One explode + map-side-combined count for the vocabulary (top-k,
+    no global sort), one broadcast anti-flag pass for the census."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(20)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("(oov_tokens * 1000000) div n_tokens").cast("bigint"),
+        )
+    )
+
+
+@query("mixture_temperature_sweep",
+    _ORACLES["mixture_temperature_sweep"],
+    "X-pipeline mixing: sampling-temperature sweep (n^tau, tau=0.25/0.5/1.0) over language sizes — exact integer milli-weights (floored sqrt chains), shares and tail boosts in exact ppm",
+)
+def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE multilingual mixing knob: sampling languages proportional
+    to n^tau with tau < 1 upsamples the tail (the mT5/XLM-R recipe).
+    Weights are realized as exact integer milli-units — floor of a
+    correctly-rounded sqrt chain is bit-equal cross-engine, and tau
+    only takes values expressible as sqrt compositions (1, 1/2, 1/4),
+    so no libm pow ever runs. Shares and the effective boost vs
+    proportional sampling are exact integer ppm over the bounded
+    (tau x languages) domain; complements mixture_rebalance_to_target
+    (which APPLIES one mixture) with the curve used to CHOOSE it."""
+    g = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w1 = g.selectExpr(
+        "'1.0' AS tau", "lang", "n_docs",
+        "CAST(n_docs * 1000 AS BIGINT) AS weight_milli",
+    )
+    w05 = g.selectExpr(
+        "'0.5' AS tau", "lang", "n_docs",
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT)"
+        " AS weight_milli",
+    )
+    w025 = g.selectExpr(
+        "'0.25' AS tau", "lang", "n_docs",
+        "CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000.0) AS BIGINT)"
+        " AS weight_milli",
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("tau")
+    return (
+        w1.unionByName(w05)
+        .unionByName(w025)
+        .withColumn("__wsum", F.sum("weight_milli").over(wt))
+        .withColumn("__nsum", F.sum("n_docs").over(wt))
+        .selectExpr(
+            "tau", "lang", "n_docs", "weight_milli",
+            "CAST(weight_milli * 1000000 div __wsum AS BIGINT) AS share_ppm",
+            "CAST(weight_milli * __nsum * 1000000"
+            " div (__wsum * n_docs) AS BIGINT) AS boost_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -12256,6 +12478,9 @@ _GATE_NEXT = [
     "chao1_ndv_estimate",
     "k_anon_generalization_sweep",
     "streaming_intercompany_elimination",
+    "ann_ivf_nprobe_sweep",
+    "oov_rate_by_source",
+    "mixture_temperature_sweep",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -877,3 +877,66 @@ def test_streaming_intercompany_matches_batch(spark):
         for c in ("n_lines", "gross_cents", "intercompany_cents",
                   "external_cents", "intercompany_ppm"):
             assert getattr(got[e], c) == getattr(want[e], c)
+
+
+# --- wave 39: IVF sweep / tokenizer health / mixing temperature --------------
+
+
+def test_ivf_sweep_monotone_in_nprobe(spark):
+    """More probed cells never reduce candidates, hits, or recall;
+    recall at nprobe=8 (half the 16 cells) must be substantial; ppm
+    arithmetic reconciles against n_truth = 50."""
+    rows = sorted(
+        CATALOG["ann_ivf_nprobe_sweep"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.hits <= b.hits
+        assert a.recall_ppm <= b.recall_ppm
+    for r in rows:
+        assert 0 <= r.hits <= 50
+        assert r.recall_ppm == r.hits * 1_000_000 // 50
+    assert rows[-1].recall_ppm >= 500_000
+
+
+def test_oov_rate_reconciles_with_vocabulary(spark):
+    """Per-source token totals must sum to the corpus token count, and
+    the OOV share must equal the mass outside the top-20 tokens."""
+    rows = CATALOG["oov_rate_by_source"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # 20 sources in the fixture
+    for r in rows:
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        assert r.oov_ppm == r.oov_tokens * 1_000_000 // r.n_tokens
+    vocab = CATALOG["corpus_vocabulary"].fn(spark, SF_SMOKE)
+    total_tokens = vocab.agg(F.sum("n_occurrences")).collect()[0][0]
+    top20 = sorted(
+        vocab.collect(), key=lambda r: (-r.n_occurrences, r.token)
+    )[:20]
+    in_vocab = sum(r.n_occurrences for r in top20)
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert sum(r.oov_tokens for r in rows) == total_tokens - in_vocab
+
+
+def test_temperature_sweep_flattens_the_tail(spark):
+    """tau=1 boost is ~1 for everyone; lowering tau strictly boosts
+    the smallest language and shrinks the largest; shares sum to ~1e6
+    within floor slack per tau."""
+    rows = CATALOG["mixture_temperature_sweep"].fn(spark, SF_SMOKE).collect()
+    by_tau: dict[str, list] = {}
+    for r in rows:
+        by_tau.setdefault(r.tau, []).append(r)
+    assert set(by_tau) == {"1.0", "0.5", "0.25"}
+    for tau, rs in by_tau.items():
+        s = sum(r.share_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+    for r in by_tau["1.0"]:
+        assert abs(r.boost_ppm - 1_000_000) <= 1_000  # milli-floor slack
+    langs = {r.lang: r.n_docs for r in by_tau["1.0"]}
+    small = min(langs, key=langs.get)
+    big = max(langs, key=langs.get)
+    def boost(tau, lang):
+        return next(r.boost_ppm for r in by_tau[tau] if r.lang == lang)
+    assert boost("0.25", small) > boost("0.5", small) > boost("1.0", small)
+    assert boost("0.25", big) < boost("0.5", big) < boost("1.0", big)
