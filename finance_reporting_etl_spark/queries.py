@@ -11711,20 +11711,23 @@ def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
     dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    cos = (
-        f"{dot.format(a='sv', b='dv')} / nullif(sqrt({dot.format(a='sv', b='sv')})"
-        f" * sqrt({dot.format(a='dv', b='dv')}), 0)"
-    )
+    # Arrow-batched cosine: the Catalyst form runs three interpreted
+    # array passes per row — ~10x too slow for the millions of LSH
+    # candidate pairs here (functions/vectors.py:46); det_round(6)
+    # absorbs the sub-ulp numpy-vs-oracle summation difference, the
+    # standing convention of every LSH/IVF scorer in this repo.
+    cos = cosine_arrow()
     scored = (
         cand.join(sv, "src")
         .join(dv, "dst")
-        .withColumn("score", det_round(F.expr(cos), 6))
+        .withColumn("score", det_round(cos(F.col("sv"), F.col("dv")), 6))
         .select("src", "dst", "score")
     )
     w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
