@@ -335,6 +335,8 @@ HEADLINE = [
     "ann_ivf_nprobe_sweep",
     "oov_rate_by_source",
     "mixture_temperature_sweep",
+    "kmv_ndv_estimate",
+    "quantized_covariance_topk",
 ]
 
 

@@ -8421,3 +8421,115 @@ ORACLES["mixture_temperature_sweep"] = """
                 AS BIGINT) AS boost_ppm
     FROM w
     """
+
+
+# --- round 10 (wave 40) -----------------------------------------------------
+
+# KMV (k-minimum-values) NDV sketch vs exact distinct count: distinct
+# values are md5-hashed to 32-bit uniforms; the k-th smallest hash
+# estimates NDV as (k-1)/u_k. Deterministic hashing makes the sketch
+# bit-identical cross-engine; the estimator is one IEEE division of
+# exact integers. Companion of chao1_ndv_estimate: hashing sketch vs
+# capture-recapture sampling, same exact-truth yardstick.
+ORACLES["kmv_ndv_estimate"] = """
+    WITH base AS (
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(l_orderkey AS BIGINT) AS l_orderkey
+        FROM lineitem
+    ),
+    c AS (
+        SELECT DISTINCT col_name, val
+        FROM base UNPIVOT (val FOR col_name IN (l_partkey, l_suppkey,
+                                                l_orderkey))
+    ),
+    h AS (
+        SELECT col_name, val,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(val AS VARCHAR) || 'kmv'), 1, 1))
+                     - 1) AS BIGINT) * 268435456
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 2, 1))
+                       - 1) AS BIGINT) * 16777216
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 3, 1))
+                       - 1) AS BIGINT) * 1048576
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 4, 1))
+                       - 1) AS BIGINT) * 65536
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 5, 1))
+                       - 1) AS BIGINT) * 4096
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 6, 1))
+                       - 1) AS BIGINT) * 256
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 7, 1))
+                       - 1) AS BIGINT) * 16
+               + CAST((instr('0123456789abcdef',
+                             substr(md5(CAST(val AS VARCHAR) || 'kmv'), 8, 1))
+                       - 1) AS BIGINT) AS h32
+        FROM c
+    ),
+    r AS (
+        SELECT col_name, h32,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY h32 ASC, val ASC) AS rk
+        FROM h
+    ),
+    ex AS (
+        SELECT col_name, CAST(count(*) AS BIGINT) AS exact_ndv
+        FROM c GROUP BY 1
+    )
+    SELECT r.col_name AS col_name,
+           CAST(64 AS BIGINT) AS k,
+           CAST(h32 AS BIGINT) AS kth_hash,
+           63.0 * 4294967296.0 / (CAST(h32 AS DOUBLE) + 0.5) AS kmv_est,
+           exact_ndv,
+           63.0 * 4294967296.0 / (CAST(h32 AS DOUBLE) + 0.5)
+               / CAST(exact_ndv AS DOUBLE) AS est_ratio
+    FROM r JOIN ex ON ex.col_name = r.col_name
+    WHERE rk = 64
+    """
+
+
+# Exact integer covariance screen over globally-scaled int8 codes:
+# for every dimension pair i<j, the cross-moment numerator
+# N*S_ij - S_i*S_j is an exact BIGINT (codes are small ints), so the
+# top-32 most-coupled pairs rank bit-deterministically — the
+# whitening/PCA-prep read (which dimensions move together) with zero
+# float arithmetic before the final display division.
+ORACLES["quantized_covariance_topk"] = f"""
+    WITH codes AS (SELECT * FROM '{_AUX_DIR}/cov_codes/*.parquet'),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM codes),
+    x AS (
+        SELECT d.i AS dim, codes[d.i + 1] AS code, vec_id
+        FROM codes, (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    s AS (
+        SELECT dim, CAST(sum(code) AS BIGINT) AS sd FROM x GROUP BY 1
+    ),
+    p AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               CAST(sum(a.code * b.code) AS BIGINT) AS sij
+        FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.dim > a.dim
+        GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT dim_i, dim_j,
+               CAST(nv * sij - si.sd * sj.sd AS BIGINT) AS cov_num, nv
+        FROM p
+        JOIN s si ON si.dim = p.dim_i
+        JOIN s sj ON sj.dim = p.dim_j
+        CROSS JOIN n
+    )
+    SELECT dim_i, dim_j, cov_num,
+           CAST(cov_num AS DOUBLE) / CAST(nv * nv AS DOUBLE) AS cov_codes
+    FROM (
+        SELECT dim_i, dim_j, cov_num, nv,
+               row_number() OVER (ORDER BY abs(cov_num) DESC,
+                                  dim_i ASC, dim_j ASC) AS rk
+        FROM cv
+    )
+    WHERE rk <= 32
+    """

@@ -12309,6 +12309,150 @@ def q_mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 40 — KMV sketch NDV, quantized covariance screen
+# ---------------------------------------------------------------------------
+
+
+@query("kmv_ndv_estimate",
+    _ORACLES["kmv_ndv_estimate"],
+    "S-tier catalog statistics: KMV (k-minimum-values) sketch NDV estimate vs exact distinct count per column — deterministic md5 hashing, bottom-64 via TakeOrderedAndProject, estimator one IEEE division of exact integers",
+)
+def q_kmv_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER way to count distincts cheaply: hash every distinct
+    value to a 32-bit uniform and keep the k=64 smallest — the k-th
+    order statistic estimates NDV as (k-1)/u_k, and the sketch is
+    MERGEABLE (union = min-merge of two bottom-k sets), which is what
+    makes it a shuffle-free distributed statistic at 100 TB.
+    Deterministic md5 makes both engines hold bit-identical sketches;
+    the bottom-64 cut is TakeOrderedAndProject per column (no global
+    sort). Companion of chao1_ndv_estimate — hashing sketch vs
+    capture-recapture sampling against the same exact yardstick."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+    )
+    c = li.selectExpr(
+        "stack(3, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey,"
+        " 'l_orderkey', l_orderkey) AS (col_name, val)"
+    ).distinct()
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.col("val").cast("string"), F.lit("kmv"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = c.withColumn("h32", h32)
+    ex = c.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_ndv")
+    )
+    outs = []
+    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+        bottom = (
+            hashed.filter(F.col("col_name") == col)
+            .orderBy(F.asc("h32"), F.asc("val"))
+            .limit(64)
+        )
+        outs.append(
+            bottom.agg(
+                F.max("h32").cast("bigint").alias("kth_hash"),
+            ).selectExpr(f"'{col}' AS col_name", "CAST(64 AS BIGINT) AS k", "kth_hash")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    # a column with fewer distincts than k never fills the sketch (the
+    # sketch IS the exact answer there); emit only filled sketches, the
+    # same cut the oracle's rank-64 row makes
+    return (
+        out.join(F.broadcast(ex), "col_name")
+        .filter(F.col("exact_ndv") >= 64)
+        .selectExpr(
+            "col_name",
+            "k",
+            "kth_hash",
+            "63.0 * 4294967296.0 / (CAST(kth_hash AS DOUBLE) + 0.5) AS kmv_est",
+            "exact_ndv",
+            "63.0 * 4294967296.0 / (CAST(kth_hash AS DOUBLE) + 0.5)"
+            " / CAST(exact_ndv AS DOUBLE) AS est_ratio",
+        )
+    )
+
+
+@query("quantized_covariance_topk",
+    _ORACLES["quantized_covariance_topk"],
+    "X3 vector infra: top-32 most-coupled dimension pairs by exact integer cross-moment over globally-scaled int8 codes — the whitening/PCA-prep screen with zero float arithmetic before display",
+)
+def q_quantized_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH dimensions move together: for every pair i<j the
+    covariance numerator N*S_ij - S_i*S_j over int8 codes is an exact
+    BIGINT (codes are small ints; the global symmetric scale is the
+    int8_recall_audit convention), so the top-32 coupled pairs rank
+    bit-deterministically — the screen run before whitening or PCA
+    (pca_embedding_projection) to know if rotation is even needed.
+    The pair explosion is a vec_id-keyed self-join of the exploded
+    code table (64 dims -> 2016 pairs/vector), aggregated to the
+    bounded 2016-pair domain; top-32 is TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", vd.alias("vd"))
+    gmax = withv.agg(F.max(F.array_max(F.transform("vd", F.abs))).alias("gmax"))
+    codes = _persist_aux(
+        spark,
+        withv.crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            F.transform(
+                "vd",
+                lambda x: F.round(x * (F.lit(127.0) / F.col("gmax"))).cast("bigint"),
+            ).alias("codes"),
+        ),
+        "cov_codes",
+    )
+    nv = codes.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    x = codes.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "code")
+    s = x.groupBy("dim").agg(F.sum("code").cast("bigint").alias("sd"))
+    b = x.select(
+        F.col("vec_id").alias("b_vec"),
+        F.col("dim").alias("dim_j"),
+        F.col("code").alias("code_j"),
+    )
+    p = (
+        x.join(
+            b,
+            (F.col("b_vec") == F.col("vec_id")) & (F.col("dim_j") > F.col("dim")),
+        )
+        .groupBy(F.col("dim").alias("dim_i"), "dim_j")
+        .agg(F.sum(F.col("code") * F.col("code_j")).cast("bigint").alias("sij"))
+    )
+    si = s.select(F.col("dim").alias("dim_i"), F.col("sd").alias("si"))
+    sj = s.select(F.col("dim").alias("dim_j"), F.col("sd").alias("sj"))
+    cv = (
+        p.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "dim_i",
+            "dim_j",
+            (F.col("nv") * F.col("sij") - F.col("si") * F.col("sj"))
+            .cast("bigint")
+            .alias("cov_num"),
+            "nv",
+        )
+    )
+    return (
+        cv.orderBy(F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j")
+        .limit(32)
+        .selectExpr(
+            "dim_i",
+            "dim_j",
+            "cov_num",
+            "CAST(cov_num AS DOUBLE) / CAST(nv * nv AS DOUBLE) AS cov_codes",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -12484,6 +12628,8 @@ _GATE_NEXT = [
     "ann_ivf_nprobe_sweep",
     "oov_rate_by_source",
     "mixture_temperature_sweep",
+    "kmv_ndv_estimate",
+    "quantized_covariance_topk",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -940,3 +940,64 @@ def test_temperature_sweep_flattens_the_tail(spark):
         return next(r.boost_ppm for r in by_tau[tau] if r.lang == lang)
     assert boost("0.25", small) > boost("0.5", small) > boost("1.0", small)
     assert boost("0.25", big) < boost("0.5", big) < boost("1.0", big)
+
+
+# --- wave 40: KMV sketch / quantized covariance ------------------------------
+
+
+def test_kmv_matches_literal_python(spark):
+    """Bottom-64 hashes and the estimator re-derived in pure Python
+    (hashlib md5, same salt) must reproduce every emitted cell."""
+    import hashlib
+
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    cols = {c: [r[0] for r in li.select(c).distinct().collect()]
+            for c in ("l_partkey", "l_suppkey", "l_orderkey")}
+    rows = {r.col_name: r for r in
+            CATALOG["kmv_ndv_estimate"].fn(spark, SF_SMOKE).collect()}
+    for col, vals in cols.items():
+        if len(vals) < 64:
+            assert col not in rows
+            continue
+        hs = sorted(
+            (int(hashlib.md5(f"{v}kmv".encode()).hexdigest()[:8], 16), v)
+            for v in vals
+        )
+        kth = hs[63][0]
+        r = rows[col]
+        assert r.k == 64 and r.kth_hash == kth
+        assert r.exact_ndv == len(vals)
+        est = 63.0 * 4294967296.0 / (float(kth) + 0.5)
+        assert r.kmv_est == est
+        assert r.est_ratio == est / float(len(vals))
+        assert 0.3 <= r.est_ratio <= 3.0
+
+
+def test_quantized_covariance_exact_and_ranked(spark):
+    """Emitted pairs are i<j, ranked by |cov_num| descending with
+    deterministic tiebreak, and a numpy recomputation over the same
+    persisted codes agrees exactly."""
+    import numpy as np
+
+    rows = CATALOG["quantized_covariance_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 32
+    mags = [abs(r.cov_num) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    codes = (
+        spark.read.parquet(
+            f"{__import__('finance_reporting_etl_spark.oracles', fromlist=['_AUX_DIR'])._AUX_DIR}/cov_codes"
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    M = np.array([r.codes for r in codes], dtype=np.int64)
+    N = M.shape[0]
+    S = M.sum(axis=0)
+    for r in rows:
+        assert 0 <= r.dim_i < r.dim_j < 64
+        sij = int((M[:, r.dim_i] * M[:, r.dim_j]).sum())
+        want = N * sij - int(S[r.dim_i]) * int(S[r.dim_j])
+        assert r.cov_num == want
+        assert r.cov_codes == float(want) / float(N * N)
