@@ -337,6 +337,9 @@ HEADLINE = [
     "mixture_temperature_sweep",
     "kmv_ndv_estimate",
     "quantized_covariance_topk",
+    "order_lines_dispersion",
+    "poisson_control_chart_hourly",
+    "streaming_kmv_sketch_maintain",
 ]
 
 

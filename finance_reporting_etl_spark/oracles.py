@@ -8533,3 +8533,67 @@ ORACLES["quantized_covariance_topk"] = f"""
     )
     WHERE rk <= 32
     """
+
+
+# --- round 10 (wave 41) -----------------------------------------------------
+
+# Index-of-dispersion audit for lines-per-order: Poisson arrivals have
+# var/mean = 1; the exact integer moments (n, sum x, sum x^2) make the
+# dispersion statistic a single IEEE expression over BIGINTs — the
+# overdispersion read before modeling order sizes as Poisson.
+ORACLES["order_lines_dispersion"] = """
+    WITH x AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS lines
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(lines) AS BIGINT) AS sum_lines,
+               CAST(sum(lines * lines) AS BIGINT) AS sum_sq_lines
+        FROM x
+    )
+    SELECT n_orders, sum_lines, sum_sq_lines,
+           CAST(sum_lines AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_lines,
+           CAST(n_orders * sum_sq_lines - sum_lines * sum_lines AS DOUBLE)
+               / CAST((n_orders - 1) * sum_lines AS DOUBLE) AS dispersion
+    FROM m
+    """
+
+
+# Poisson c-chart over hourly event arrivals: control limits
+# lambda +- 3*sqrt(lambda) from the exact integer hour census; breach
+# flags are integer comparisons of bit-identical doubles. The
+# ops-monitoring artifact next to hourly_event_rollup.
+ORACLES["poisson_control_chart_hourly"] = """
+    WITH h AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM h
+    )
+    SELECT hour, n_events,
+           CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE) AS lam,
+           CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)
+               + 3.0 * sqrt(CAST(total_events AS DOUBLE)
+                            / CAST(n_hours AS DOUBLE)) AS ucl,
+           CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)
+               - 3.0 * sqrt(CAST(total_events AS DOUBLE)
+                            / CAST(n_hours AS DOUBLE)) AS lcl,
+           CAST(CASE WHEN CAST(n_events AS DOUBLE)
+                          > CAST(total_events AS DOUBLE)
+                            / CAST(n_hours AS DOUBLE)
+                            + 3.0 * sqrt(CAST(total_events AS DOUBLE)
+                                         / CAST(n_hours AS DOUBLE))
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach_high,
+           CAST(CASE WHEN CAST(n_events AS DOUBLE)
+                          < CAST(total_events AS DOUBLE)
+                            / CAST(n_hours AS DOUBLE)
+                            - 3.0 * sqrt(CAST(total_events AS DOUBLE)
+                                         / CAST(n_hours AS DOUBLE))
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach_low
+    FROM h CROSS JOIN t
+    """

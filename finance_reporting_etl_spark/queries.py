@@ -12453,6 +12453,197 @@ def q_quantized_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 41 — dispersion stats, control charts, streaming sketches
+# ---------------------------------------------------------------------------
+
+
+@query("order_lines_dispersion",
+    _ORACLES["order_lines_dispersion"],
+    "§2.6/stats: index of dispersion for lines-per-order (var/mean from exact integer moments) — the Poissonness check before modeling order sizes; single IEEE expression over BIGINTs",
+)
+def q_order_lines_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS lines-per-order Poisson: the index of dispersion var/mean
+    equals 1 under Poisson arrivals; over/under-dispersion changes
+    which model (negative binomial / binomial) a demand planner fits.
+    Moments n, sum(x), sum(x^2) are exact BIGINTs from one hash
+    aggregate (x <= line cap, no overflow anywhere); the statistic is
+    one shared-text IEEE expression both engines evaluate bit-equal."""
+    x = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lines"))
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("lines").cast("bigint").alias("sum_lines"),
+        F.sum(F.col("lines") * F.col("lines")).cast("bigint").alias("sum_sq_lines"),
+    )
+    return m.selectExpr(
+        "n_orders",
+        "sum_lines",
+        "sum_sq_lines",
+        "CAST(sum_lines AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_lines",
+        "CAST(n_orders * sum_sq_lines - sum_lines * sum_lines AS DOUBLE)"
+        " / CAST((n_orders - 1) * sum_lines AS DOUBLE) AS dispersion",
+    )
+
+
+@query("poisson_control_chart_hourly",
+    _ORACLES["poisson_control_chart_hourly"],
+    "§2.6/ops monitoring: Poisson c-chart over hourly event arrivals — lambda +- 3*sqrt(lambda) control limits from the exact hour census, integer breach flags; the alerting artifact next to hourly_event_rollup",
+)
+def q_poisson_control_chart_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN is traffic abnormal: the c-chart every on-call dashboard
+    draws — hourly counts against lambda +- 3*sqrt(lambda) where
+    lambda is the mean hourly rate. The census is exact integers; the
+    limits are one shared-text IEEE expression (division + sqrt, both
+    correctly rounded), so breach flags are integer comparisons of
+    bit-identical doubles. One hour-grain aggregate + a 1-row global
+    broadcast; no window, no spine."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    t = h.agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    lam = "CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)"
+    ucl = f"{lam} + 3.0 * sqrt({lam})"
+    lcl = f"{lam} - 3.0 * sqrt({lam})"
+    return h.crossJoin(F.broadcast(t)).selectExpr(
+        "hour",
+        "n_events",
+        f"{lam} AS lam",
+        f"{ucl} AS ucl",
+        f"{lcl} AS lcl",
+        f"CAST(CASE WHEN CAST(n_events AS DOUBLE) > {ucl} THEN 1 ELSE 0 END"
+        " AS BIGINT) AS breach_high",
+        f"CAST(CASE WHEN CAST(n_events AS DOUBLE) < {lcl} THEN 1 ELSE 0 END"
+        " AS BIGINT) AS breach_low",
+    )
+
+
+@query("streaming_kmv_sketch_maintain",
+    _ORACLES["kmv_ndv_estimate"],
+    "§2.8 x S-tier: streaming KMV sketch maintenance — each micro-batch emits its bottom-64 hash partials, min-merged at read-back into the SAME filled sketches as the batch query (SHARED oracle proves mergeability)",
+)
+def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY KMV is the distributed NDV sketch: bottom-k sets are
+    MERGEABLE — the union of per-batch bottom-64s contains the global
+    bottom-64, so a stream can maintain the sketch with ~192 rows per
+    micro-batch and re-cut at read time. Replayed as 3 micro-batches
+    over lineitem; read-back dedupes (col, val), re-cuts bottom-64 per
+    column, and lands on EXACTLY the batch query's rows (shared
+    oracle). The exact-NDV yardstick stays a static full read."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        c = batch.selectExpr(
+            "CAST(l_partkey AS BIGINT) AS l_partkey",
+            "CAST(l_suppkey AS BIGINT) AS l_suppkey",
+            "CAST(l_orderkey AS BIGINT) AS l_orderkey",
+        ).selectExpr(
+            "stack(3, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey,"
+            " 'l_orderkey', l_orderkey) AS (col_name, val)"
+        ).distinct()
+        hashed = c.withColumn(
+            "h32",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("val").cast("string"), F.lit("kmv"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        parts = []
+        for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+            parts.append(
+                hashed.filter(F.col("col_name") == col)
+                .orderBy(F.asc("h32"), F.asc("val"))
+                .limit(64)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def readback(tmp: str) -> DataFrame:
+        sk = (
+            spark.read.parquet(f"{tmp}/sink")
+            .select("col_name", "val", "h32")
+            .distinct()
+        )
+        parts = []
+        for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+            bottom = (
+                sk.filter(F.col("col_name") == col)
+                .orderBy(F.asc("h32"), F.asc("val"))
+                .limit(64)
+            )
+            parts.append(
+                bottom.agg(F.max("h32").cast("bigint").alias("kth_hash"))
+                .selectExpr(
+                    f"'{col}' AS col_name",
+                    "CAST(64 AS BIGINT) AS k",
+                    "kth_hash",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        ex = (
+            _t(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "CAST(l_partkey AS BIGINT) AS l_partkey",
+                "CAST(l_suppkey AS BIGINT) AS l_suppkey",
+                "CAST(l_orderkey AS BIGINT) AS l_orderkey",
+            )
+            .selectExpr(
+                "stack(3, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey,"
+                " 'l_orderkey', l_orderkey) AS (col_name, val)"
+            )
+            .distinct()
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_ndv"))
+        )
+        return (
+            out.join(F.broadcast(ex), "col_name")
+            .filter(F.col("exact_ndv") >= 64)
+            .selectExpr(
+                "col_name",
+                "k",
+                "kth_hash",
+                "63.0 * 4294967296.0 / (CAST(kth_hash AS DOUBLE) + 0.5)"
+                " AS kmv_est",
+                "exact_ndv",
+                "63.0 * 4294967296.0 / (CAST(kth_hash AS DOUBLE) + 0.5)"
+                " / CAST(exact_ndv AS DOUBLE) AS est_ratio",
+            )
+        )
+
+    return run_file_stream(
+        spark,
+        lambda src: _t(spark, sf_dir, "lineitem").repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        readback,
+        prefix="stream_kmv_",
+        label="streaming_kmv_sketch_maintain",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -12630,6 +12821,9 @@ _GATE_NEXT = [
     "mixture_temperature_sweep",
     "kmv_ndv_estimate",
     "quantized_covariance_topk",
+    "order_lines_dispersion",
+    "poisson_control_chart_hourly",
+    "streaming_kmv_sketch_maintain",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1001,3 +1001,49 @@ def test_quantized_covariance_exact_and_ranked(spark):
         want = N * sij - int(S[r.dim_i]) * int(S[r.dim_j])
         assert r.cov_num == want
         assert r.cov_codes == float(want) / float(N * N)
+
+
+# --- wave 41: dispersion / control chart / streaming sketch ------------------
+
+
+def test_order_lines_dispersion_vs_python(spark):
+    """Moments and the dispersion statistic re-derived literally."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    counts = [r[1] for r in li.groupBy("l_orderkey").count().collect()]
+    n, m1, m2 = len(counts), sum(counts), sum(c * c for c in counts)
+    r = CATALOG["order_lines_dispersion"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_orders, r.sum_lines, r.sum_sq_lines) == (n, m1, m2)
+    assert r.mean_lines == m1 / n
+    assert r.dispersion == float(n * m2 - m1 * m1) / float((n - 1) * m1)
+    assert r.dispersion > 0
+
+
+def test_control_chart_limits_and_flags(spark):
+    """Limits are identical across rows; flags match a literal Python
+    comparison; total events reconcile with the events table."""
+    rows = CATALOG["poisson_control_chart_hourly"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    lams = {r.lam for r in rows}
+    assert len(lams) == 1
+    lam = lams.pop()
+    import math
+
+    for r in rows:
+        assert r.ucl == lam + 3.0 * math.sqrt(lam)
+        assert r.lcl == lam - 3.0 * math.sqrt(lam)
+        assert r.breach_high == (1 if float(r.n_events) > r.ucl else 0)
+        assert r.breach_low == (1 if float(r.n_events) < r.lcl else 0)
+    total = sum(r.n_events for r in rows)
+    assert abs(lam - total / len(rows)) < 1e-9
+
+
+def test_streaming_kmv_equals_batch(spark):
+    """Min-merging per-batch bottom-64 partials must land on exactly
+    the batch sketch rows — mergeability, bit for bit."""
+    got = sorted(map(tuple,
+        CATALOG["streaming_kmv_sketch_maintain"].fn(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple,
+        CATALOG["kmv_ndv_estimate"].fn(spark, SF_SMOKE).collect()))
+    assert got == want
