@@ -340,6 +340,9 @@ HEADLINE = [
     "order_lines_dispersion",
     "poisson_control_chart_hourly",
     "streaming_kmv_sketch_maintain",
+    "fiscal_445_rollup",
+    "dp_clip_bound_sweep",
+    "net_revenue_retention",
 ]
 
 

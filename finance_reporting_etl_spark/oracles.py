@@ -8597,3 +8597,97 @@ ORACLES["poisson_control_chart_hourly"] = """
                      THEN 1 ELSE 0 END AS BIGINT) AS breach_low
     FROM h CROSS JOIN t
     """
+
+
+# --- round 10 (wave 42) -----------------------------------------------------
+
+# 4-4-5 fiscal calendar rollup: continuous 52-week fiscal years from a
+# fixed Monday epoch, quarters of 13 weeks split 4+4+5 — the retail
+# close calendar. Every mapping is integer div/mod on day offsets
+# (non-negative), so both engines agree on every period boundary; no
+# 53rd-week correction (documented drift, as real 52-week calendars
+# accept between restatements).
+ORACLES["fiscal_445_rollup"] = """
+    WITH d AS (
+        SELECT datediff('day', DATE '1995-01-02',
+                        CAST(l_shipdate AS DATE)) AS doff,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-02'
+    ),
+    m AS (
+        SELECT (doff // 7) // 52 AS fy,
+               ((doff // 7) % 52) // 13 AS fq,
+               ((doff // 7) % 52) % 13 AS wq,
+               cents
+        FROM d
+    )
+    SELECT CAST(1995 + fy AS BIGINT) AS fiscal_year,
+           CAST(fq * 3 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2
+                              ELSE 3 END AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM m GROUP BY 1, 2
+    """
+
+
+# DP clipping-bound sweep for a per-user SUM release: the clip C sets
+# BOTH the bias (mass clipped away, exact ppm) and the Laplace noise
+# scale (C*sqrt(2)/eps) — the bias-variance knob a DP engineer reads
+# before releasing. Census exact integers; noise/SNR shared-text IEEE.
+ORACLES["dp_clip_bound_sweep"] = """
+    WITH u AS (
+        SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cs AS (SELECT unnest([5000, 20000, 80000]) AS clip_c),
+    g AS (
+        SELECT CAST(clip_c AS BIGINT) AS clip_c,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS true_sum_cents,
+               CAST(sum(least(cents, clip_c)) AS BIGINT) AS clipped_sum_cents,
+               CAST(sum(CASE WHEN cents > clip_c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_users
+        FROM u CROSS JOIN cs
+        GROUP BY clip_c
+    )
+    SELECT clip_c, n_users, true_sum_cents, clipped_sum_cents,
+           n_clipped_users,
+           CAST((true_sum_cents - clipped_sum_cents) * 1000000
+                // true_sum_cents AS BIGINT) AS clip_loss_ppm,
+           CAST(clip_c AS DOUBLE) * sqrt(2.0) / 1.0 AS noise_std,
+           CAST(clipped_sum_cents AS DOUBLE)
+               / (CAST(clip_c AS DOUBLE) * sqrt(2.0) / 1.0)
+               AS signal_to_noise
+    FROM g
+    """
+
+
+# Weekly net revenue retention: the SaaS expansion/churn read — the
+# cohort active in week w re-measured in week w+1, revenue-weighted.
+# Exact integer cents; one lead() window per user, never a self-join.
+ORACLES["net_revenue_retention"] = """
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(week) AS maxw FROM uw),
+    j AS (
+        SELECT cur.week, cur.cents,
+               COALESCE(nxt.cents, 0) AS next_cents
+        FROM uw cur
+        CROSS JOIN mx
+        LEFT JOIN uw nxt ON nxt.user_id = cur.user_id
+                        AND nxt.week = cur.week + INTERVAL 7 DAY
+        WHERE cur.week < mx.maxw
+    )
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cohort_rev_cents,
+           CAST(sum(next_cents) AS BIGINT) AS next_week_rev_cents,
+           CAST(sum(next_cents) * 1000000 // sum(cents) AS BIGINT)
+               AS nrr_ppm
+    FROM j GROUP BY 1
+    """

@@ -12644,6 +12644,160 @@ def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 42 — fiscal calendar, DP clipping curve, revenue retention
+# ---------------------------------------------------------------------------
+
+
+@query("fiscal_445_rollup",
+    _ORACLES["fiscal_445_rollup"],
+    "§2.4/finance calendar: 4-4-5 fiscal-period revenue rollup (52-week years from a Monday epoch, 13-week quarters split 4+4+5) — all-integer period mapping, exact BIGINT cents",
+)
+def q_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retail close calendar: 52-week fiscal years anchored on a
+    Monday epoch, each 13-week quarter split into 4+4+5-week periods
+    so every period compares like-for-like on weekdays. The mapping is
+    pure integer div/mod on the day offset (non-negative by the epoch
+    filter) — no date-part functions whose week conventions could
+    differ between engines — and the rollup is one hash aggregate on
+    the bounded (year x 12) domain. No 53rd-week correction: the
+    calendar drifts ~1 day/year against Gregorian, exactly as real
+    52-week calendars do between restatements (documented)."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-02").cast("date")).alias("doff"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .filter(F.col("doff") >= 0)
+    )
+    m = d.selectExpr(
+        "(doff div 7) div 52 AS fy",
+        "((doff div 7) % 52) div 13 AS fq",
+        "((doff div 7) % 52) % 13 AS wq",
+        "cents",
+    )
+    return (
+        m.selectExpr(
+            "CAST(1995 + fy AS BIGINT) AS fiscal_year",
+            "CAST(fq * 3 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2"
+            " ELSE 3 END AS BIGINT) AS fiscal_period",
+            "cents",
+        )
+        .groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@query("dp_clip_bound_sweep",
+    _ORACLES["dp_clip_bound_sweep"],
+    "X-privacy engineering: DP clipping-bound sweep for a per-user SUM release — clip bias (exact ppm) vs Laplace noise scale C*sqrt(2)/eps at C=5k/20k/80k cents; the bias-variance knob read before release",
+)
+def q_dp_clip_bound_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH clip bound to release under: clipping per-user totals at
+    C bounds sensitivity (so Laplace(C/eps) suffices) but bites off
+    real mass — the sweep shows bias (clip loss, exact ppm), who gets
+    clipped, and the signal-to-noise each C buys at eps=1. Census is
+    one user aggregate re-read under three conditional sums (one scan,
+    broadcast clip spine); noise and SNR are shared-text IEEE over
+    exact integers. Complements dp_noisy_event_counts (which RELEASES
+    under one calibration) with the curve used to pick it."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    cs = spark.range(1).selectExpr("explode(array(5000, 20000, 80000)) AS clip_c")
+    return (
+        u.crossJoin(F.broadcast(cs))
+        .groupBy(F.col("clip_c").cast("bigint").alias("clip_c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("true_sum_cents"),
+            F.sum(F.least(F.col("cents"), F.col("clip_c")))
+            .cast("bigint")
+            .alias("clipped_sum_cents"),
+            F.sum((F.col("cents") > F.col("clip_c")).cast("int"))
+            .cast("bigint")
+            .alias("n_clipped_users"),
+        )
+        .selectExpr(
+            "clip_c",
+            "n_users",
+            "true_sum_cents",
+            "clipped_sum_cents",
+            "n_clipped_users",
+            "CAST((true_sum_cents - clipped_sum_cents) * 1000000"
+            " div true_sum_cents AS BIGINT) AS clip_loss_ppm",
+            "CAST(clip_c AS DOUBLE) * sqrt(2.0) / 1.0 AS noise_std",
+            "CAST(clipped_sum_cents AS DOUBLE)"
+            " / (CAST(clip_c AS DOUBLE) * sqrt(2.0) / 1.0) AS signal_to_noise",
+        )
+    )
+
+
+@query("net_revenue_retention",
+    _ORACLES["net_revenue_retention"],
+    "A-tier SaaS finance: weekly net revenue retention — the week-w cohort's revenue re-measured in week w+1, exact BIGINT cents and ppm; one lead() window per user, no self-join",
+)
+def q_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SaaS board metric: of the revenue a cohort produced in week
+    w, how much the SAME users produce in week w+1 (expansion nets
+    against churn — NRR > 1e6 ppm means growth without acquisition).
+    One events scan: per-user lead() windows surface the next active
+    week (the segment_migration_matrix shape); the oracle re-derives
+    the matrix independently via a (user, week+7d) left join. The
+    final week is excluded via a 1-row max-week broadcast; cents and
+    ppm are exact integers."""
+    from pyspark.sql import Window
+
+    uw = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    mx = uw.agg(F.max("week").alias("maxw"))
+    uwin = Window.partitionBy("user_id").orderBy("week")
+    j = (
+        uw.withColumn("__nweek", F.lead("week").over(uwin))
+        .withColumn("__ncents", F.lead("cents").over(uwin))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("week") < F.col("maxw"))
+        .select(
+            "week",
+            "cents",
+            F.when(
+                F.col("__nweek") == F.date_add("week", 7), F.col("__ncents")
+            )
+            .otherwise(F.lit(0))
+            .alias("next_cents"),
+        )
+    )
+    return (
+        j.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cohort_rev_cents"),
+            F.sum("next_cents").cast("bigint").alias("next_week_rev_cents"),
+        )
+        .withColumn(
+            "nrr_ppm",
+            F.expr("(next_week_rev_cents * 1000000) div cohort_rev_cents").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -12824,6 +12978,9 @@ _GATE_NEXT = [
     "order_lines_dispersion",
     "poisson_control_chart_hourly",
     "streaming_kmv_sketch_maintain",
+    "fiscal_445_rollup",
+    "dp_clip_bound_sweep",
+    "net_revenue_retention",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1047,3 +1047,69 @@ def test_streaming_kmv_equals_batch(spark):
     want = sorted(map(tuple,
         CATALOG["kmv_ndv_estimate"].fn(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+# --- wave 42: fiscal calendar / DP clipping / NRR ----------------------------
+
+
+def test_fiscal_445_structure(spark):
+    """Periods are 1..12; revenue reconciles with the epoch-filtered
+    lineitem total; within each fiscal year the 4-4-5 pattern puts
+    more weeks (hence on average more lines) in period 3 of a quarter
+    than period 1 for complete quarters."""
+    rows = CATALOG["fiscal_445_rollup"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.fiscal_period <= 12
+        assert r.fiscal_year >= 1995
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    total = li.filter("CAST(l_shipdate AS DATE) >= DATE '1995-01-02'").selectExpr(
+        "sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS t",
+        "count(*) AS n",
+    ).collect()[0]
+    assert sum(r.revenue_cents for r in rows) == total.t
+    assert sum(r.n_lines for r in rows) == total.n
+
+
+def test_dp_clip_sweep_tradeoff_monotone(spark):
+    """Raising the clip can only recover mass (clip loss shrinks, the
+    clipped population shrinks) while the noise scale grows linearly;
+    arithmetic reconciles literally."""
+    import math
+
+    rows = sorted(
+        CATALOG["dp_clip_bound_sweep"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.clip_c,
+    )
+    assert [r.clip_c for r in rows] == [5000, 20000, 80000]
+    for r in rows:
+        assert r.clipped_sum_cents <= r.true_sum_cents
+        assert r.clip_loss_ppm == (
+            (r.true_sum_cents - r.clipped_sum_cents) * 1_000_000
+            // r.true_sum_cents
+        )
+        assert r.noise_std == float(r.clip_c) * math.sqrt(2.0) / 1.0
+        assert r.signal_to_noise == float(r.clipped_sum_cents) / r.noise_std
+    for a, b in zip(rows, rows[1:]):
+        assert a.clipped_sum_cents <= b.clipped_sum_cents
+        assert a.n_clipped_users >= b.n_clipped_users
+        assert a.clip_loss_ppm >= b.clip_loss_ppm
+        assert a.noise_std < b.noise_std
+
+
+def test_nrr_consistent_with_migration(spark):
+    """NRR's cohort census must agree with segment_migration_matrix's
+    per-week from-band totals (same weekly user-activity frame), and
+    ppm arithmetic must reconcile."""
+    rows = CATALOG["net_revenue_retention"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.nrr_ppm == r.next_week_rev_cents * 1_000_000 // r.cohort_rev_cents
+        assert r.n_users > 0 and r.cohort_rev_cents > 0
+    mig_total = sum(
+        r.n_users
+        for r in CATALOG["segment_migration_matrix"].fn(spark, SF_SMOKE).collect()
+    )
+    assert sum(r.n_users for r in rows) == mig_total
