@@ -343,6 +343,9 @@ HEADLINE = [
     "fiscal_445_rollup",
     "dp_clip_bound_sweep",
     "net_revenue_retention",
+    "bom_cost_rollup",
+    "cheapest_supplier_per_part",
+    "span_corruption_plan",
 ]
 
 

@@ -8691,3 +8691,94 @@ ORACLES["net_revenue_retention"] = """
                AS nrr_ppm
     FROM j GROUP BY 1
     """
+
+
+# --- round 10 (wave 43) -----------------------------------------------------
+
+# Multi-level BOM cost rollup WITHOUT recursion: the part hierarchy is
+# parent = key div 10, so every key's ancestor set is its div-10^j
+# chain — exploding each part into <= 6 ancestors turns the recursive
+# rollup into ONE map-side explode + ONE hash aggregate (the
+# materialized-path trick that scales where recursive CTEs cannot).
+# Exact BIGINT cents; self counts as its own descendant.
+ORACLES["bom_cost_rollup"] = """
+    WITH p AS (
+        SELECT CAST(p_partkey AS BIGINT) AS k,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    ),
+    anc AS (
+        SELECT k // CAST(power(10, j.j) AS BIGINT) AS node, k, cents
+        FROM p, (SELECT unnest(range(0, 6)) AS j) j
+        WHERE k // CAST(power(10, j.j) AS BIGINT) > 0 OR (k = 0 AND j.j = 0)
+    )
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(sum(cents) AS BIGINT) AS rollup_cents
+    FROM anc GROUP BY 1
+    """
+
+
+# Cheapest-supplier-per-part mart (the TPC-H Q2 question answered from
+# lineitem observations — the fixture has no partsupp): per (part,
+# supplier) the exact VWAP unit price in integer cents, then the
+# argmin supplier per part with deterministic tiebreak. Bounded
+# window over per-part supplier lists, never a global sort.
+ORACLES["cheapest_supplier_per_part"] = """
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    // sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS unit_cents,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT partkey, suppkey AS best_suppkey, unit_cents, n_obs,
+           n_suppliers
+    FROM (
+        SELECT partkey, suppkey, unit_cents, n_obs,
+               CAST(count(*) OVER (PARTITION BY partkey) AS BIGINT)
+                   AS n_suppliers,
+               row_number() OVER (PARTITION BY partkey
+                                  ORDER BY unit_cents ASC, suppkey ASC)
+                   AS rk
+        FROM ps
+    )
+    WHERE rk = 1
+    """
+
+
+# T5-style span-corruption plan: deterministic mask spans (length 3,
+# md5-seeded starts, ~15% target ratio) per document — the data-prep
+# op before span-denoising training, as a PLAN (counts, not rewritten
+# text). All integer arithmetic on token counts; the md5 start offset
+# is the house deterministic-uniform idiom.
+ORACLES["span_corruption_plan"] = f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens * 15 // 100 // 3 AS BIGINT) AS n_spans
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_spans,
+           CAST(n_spans * 3 AS BIGINT) AS n_masked,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN n_spans * 3 * 1000000 // n_tokens
+                     ELSE 0 END AS BIGINT) AS mask_ppm,
+           CAST(CASE WHEN n_spans > 0 THEN
+                (instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'span'), 1, 1))
+                 - 1) * 16
+                + (instr('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || 'span'), 2, 1))
+                   - 1)
+                ELSE 0 END
+                % CASE WHEN n_tokens - n_spans * 3 + 1 > 0
+                       THEN n_tokens - n_spans * 3 + 1 ELSE 1 END
+                AS BIGINT) AS first_span_start
+    FROM m
+    """

@@ -12798,6 +12798,137 @@ def q_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 43 — BOM rollup, cheapest-supplier mart, span-mask plan
+# ---------------------------------------------------------------------------
+
+
+@query("bom_cost_rollup",
+    _ORACLES["bom_cost_rollup"],
+    "§2.4/manufacturing finance: multi-level BOM cost rollup via ancestor explode (materialized-path trick) — one map-side explode + one hash aggregate where a recursive CTE would iterate; exact BIGINT cents",
+)
+def q_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling component costs up a bill of materials WITHOUT
+    recursion: with parent = key div 10, every part's ancestor chain
+    is its div-10^j sequence, so exploding each part into its <= 6
+    ancestors turns the level-by-level rollup into ONE map-side
+    explode + ONE aggregate — the materialized-path pattern that
+    scales where recursive joins iterate over the driver. Each node's
+    rollup covers itself and every descendant in exact BIGINT cents;
+    pytest pins the rollup recurrence (node = own + sum of direct
+    children) on the real hierarchy."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    anc = (
+        p.select(
+            "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("j")
+        )
+        .selectExpr(
+            "k div CAST(power(10, j) AS BIGINT) AS node", "k", "cents", "j"
+        )
+        .filter("node > 0 OR (k = 0 AND j = 0)")
+    )
+    return anc.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_descendants"),
+        F.sum("cents").cast("bigint").alias("rollup_cents"),
+    )
+
+
+@query("cheapest_supplier_per_part",
+    _ORACLES["cheapest_supplier_per_part"],
+    "J-tier sourcing mart (TPC-H Q2 spirit from lineitem observations): exact VWAP unit cents per (part, supplier), argmin supplier per part with deterministic tiebreak; bounded per-part window",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q2 question the fixture can answer: with no partsupp table,
+    observed lineitem prices stand in for the supplier catalog — per
+    (part, supplier) the exact volume-weighted unit price in integer
+    cents (the vwap_unit_cents idiom: cents-sum div quantity-sum),
+    then the argmin supplier per part (unit_cents ASC, suppkey ASC).
+    The rank window partitions by part over its observed suppliers —
+    bounded fanout, never a global sort; one shuffle on the composite
+    aggregation key."""
+    from pyspark.sql import Window
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " div sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            ).alias("unit_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )
+    wp = Window.partitionBy("partkey")
+    wr = Window.partitionBy("partkey").orderBy(
+        F.asc("unit_cents"), F.asc("suppkey")
+    )
+    return (
+        ps.withColumn("n_suppliers", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "partkey",
+            F.col("suppkey").alias("best_suppkey"),
+            "unit_cents",
+            "n_obs",
+            "n_suppliers",
+        )
+    )
+
+
+@query("span_corruption_plan",
+    _ORACLES["span_corruption_plan"],
+    "X-pipeline pretraining prep: T5-style span-corruption plan — deterministic span counts at ~15% mask ratio (length-3 spans), md5-seeded first-span offset; all integer arithmetic",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT span denoising will mask: per document, the number of
+    length-3 spans hitting the 15% corruption budget (floor-exact
+    integer arithmetic on token counts), the realized mask ratio in
+    exact ppm, and a deterministic md5-seeded offset for the first
+    span — the reproducible plan a T5-style pretraining job executes.
+    Map-side only: tokenize, count, integer div/mod; no shuffle
+    anywhere (the plan rides the document scan)."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(whitespace_tokens(F.lower(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    m = d.selectExpr(
+        "doc_id", "n_tokens", "n_tokens * 15 div 100 div 3 AS n_spans"
+    )
+    start = md5_bucket("doc_id", 256, salt="span").cast("bigint")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        (F.col("n_spans") * 3).cast("bigint").alias("n_masked"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0"
+            " THEN n_spans * 3 * 1000000 div n_tokens ELSE 0 END AS BIGINT)"
+        ).alias("mask_ppm"),
+        (
+            F.when(F.col("n_spans") > 0, start).otherwise(F.lit(0))
+            % F.when(
+                F.col("n_tokens") - F.col("n_spans") * 3 + 1 > 0,
+                F.col("n_tokens") - F.col("n_spans") * 3 + 1,
+            ).otherwise(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("first_span_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -12981,6 +13112,9 @@ _GATE_NEXT = [
     "fiscal_445_rollup",
     "dp_clip_bound_sweep",
     "net_revenue_retention",
+    "bom_cost_rollup",
+    "cheapest_supplier_per_part",
+    "span_corruption_plan",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1113,3 +1113,77 @@ def test_nrr_consistent_with_migration(spark):
         for r in CATALOG["segment_migration_matrix"].fn(spark, SF_SMOKE).collect()
     )
     assert sum(r.n_users for r in rows) == mig_total
+
+
+# --- wave 43: BOM rollup / sourcing mart / span plan --------------------------
+
+
+def test_bom_rollup_recurrence(spark):
+    """The materialized-path rollup must satisfy the BOM recurrence:
+    node = own cents + sum of direct children's rollups."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    own = {
+        r.k: r.cents
+        for r in _read_parquet(spark, f"{SF_SMOKE}/part.parquet")
+        .selectExpr(
+            "CAST(p_partkey AS BIGINT) AS k",
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    }
+    roll = {r.node: r for r in
+            CATALOG["bom_cost_rollup"].fn(spark, SF_SMOKE).collect()}
+    for node, r in roll.items():
+        if node == 0:
+            continue
+        children = [c for c in roll if c // 10 == node and c != node]
+        want = own.get(node, 0) + sum(roll[c].rollup_cents for c in children)
+        assert r.rollup_cents == want, node
+        want_n = (1 if node in own else 0) + sum(
+            roll[c].n_descendants for c in children
+        )
+        assert r.n_descendants == want_n, node
+
+
+def test_cheapest_supplier_is_argmin(spark):
+    """Winner attains the per-part minimum unit price with the lowest
+    suppkey among minima; VWAP arithmetic re-derived literally."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    obs: dict = {}
+    for r in li.selectExpr(
+        "l_partkey", "l_suppkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS qty",
+    ).collect():
+        key = (r.l_partkey, r.l_suppkey)
+        c, q, n = obs.get(key, (0, 0, 0))
+        obs[key] = (c + r.cents, q + r.qty, n + 1)
+    unit = {k: (c // q, n) for k, (c, q, n) in obs.items()}
+    rows = {r.partkey: r for r in
+            CATALOG["cheapest_supplier_per_part"].fn(spark, SF_SMOKE).collect()}
+    parts = {p for p, _ in unit}
+    assert set(rows) == parts
+    for p, r in rows.items():
+        cands = {s: u for (pp, s), (u, _) in unit.items() if pp == p}
+        best_u = min(cands.values())
+        best_s = min(s for s, u in cands.items() if u == best_u)
+        assert (r.best_suppkey, r.unit_cents) == (best_s, best_u)
+        assert r.n_suppliers == len(cands)
+        assert r.n_obs == unit[(p, best_s)][1]
+
+
+def test_span_plan_budget_and_bounds(spark):
+    """Mask ratio never exceeds 15%; spans fit the document; the
+    first-span offset stays inside the feasible window."""
+    rows = CATALOG["span_corruption_plan"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_masked == r.n_spans * 3
+        assert r.n_masked <= r.n_tokens * 15 // 100
+        assert r.mask_ppm <= 150_000
+        if r.n_spans > 0:
+            assert 0 <= r.first_span_start <= r.n_tokens - r.n_masked
+            assert r.mask_ppm == r.n_masked * 1_000_000 // r.n_tokens
