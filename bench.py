@@ -346,6 +346,9 @@ HEADLINE = [
     "bom_cost_rollup",
     "cheapest_supplier_per_part",
     "span_corruption_plan",
+    "supplier_value_concentration",
+    "gdpr_access_extract_counts",
+    "streaming_nrr_monitor",
 ]
 
 

@@ -8782,3 +8782,54 @@ ORACLES["span_corruption_plan"] = f"""
                 AS BIGINT) AS first_span_start
     FROM m
     """
+
+
+# --- round 10 (wave 44) -----------------------------------------------------
+
+# Q11-spirit supplier concentration: each supplier's revenue share
+# within its nation in exact ppm, flagged over a 5% threshold — the
+# single-source-risk screen a sourcing office runs; bounded window
+# over per-nation supplier lists.
+ORACLES["supplier_value_concentration"] = """
+    WITH sr AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, suppkey, rev_cents,
+           CAST(rev_cents * 1000000
+                // sum(rev_cents) OVER (PARTITION BY nationkey) AS BIGINT)
+               AS share_ppm,
+           CAST(CASE WHEN rev_cents * 1000000
+                          // sum(rev_cents) OVER (PARTITION BY nationkey)
+                          > 50000 THEN 1 ELSE 0 END AS BIGINT)
+               AS concentration_flag
+    FROM sr JOIN nation n ON n.n_nationkey = sr.nationkey
+    """
+
+
+# GDPR right-of-access extract census: for a deterministic data-
+# subject set (custkey % 97 == 0, mirroring the delete-cascade
+# convention), the per-table footprint an access request must export.
+# Key-equi-joins only; exact integer counts.
+ORACLES["gdpr_access_extract_counts"] = """
+    WITH subj AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+        SELECT o_custkey, o_orderkey FROM orders
+        JOIN subj ON c_custkey = o_custkey
+    )
+    SELECT c_custkey AS custkey,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS gross_cents
+    FROM subj
+    LEFT JOIN o ON o.o_custkey = c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """

@@ -12929,6 +12929,176 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 44 — supplier concentration, GDPR access, streaming NRR
+# ---------------------------------------------------------------------------
+
+
+@query("supplier_value_concentration",
+    _ORACLES["supplier_value_concentration"],
+    "J-tier sourcing risk (TPC-H Q11 spirit): supplier revenue share within nation in exact ppm, flagged over 5% — single-source-risk screen; bounded per-nation window",
+)
+def q_supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO is a single point of failure: each supplier's share of its
+    nation's revenue (the Q11 question asked of observed flows — the
+    fixture has no partsupp), exact ppm with a 5% concentration flag.
+    One shuffle on the (nation, supplier) aggregation key; the share
+    window partitions by nation over its bounded supplier list;
+    supplier and nation dims broadcast."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("nationkey")
+    return (
+        sr.withColumn("__tot", F.sum("rev_cents").over(w))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("nationkey"))
+        .selectExpr(
+            "n_name AS nation",
+            "suppkey",
+            "rev_cents",
+            "CAST(rev_cents * 1000000 div __tot AS BIGINT) AS share_ppm",
+            "CAST(CASE WHEN rev_cents * 1000000 div __tot > 50000"
+            " THEN 1 ELSE 0 END AS BIGINT) AS concentration_flag",
+        )
+    )
+
+
+@query("gdpr_access_extract_counts",
+    _ORACLES["gdpr_access_extract_counts"],
+    "O-tier compliance: GDPR right-of-access footprint census per data subject (custkey % 97 target set) — orders/lineitems/gross the export must cover; key-equi-joins, exact integers",
+)
+def q_gdpr_access_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Article 15 is a QUERY before it is an export: for each data
+    subject in the deterministic target set (custkey % 97 == 0, the
+    delete-cascade convention of gdpr_delete_cascade), the rows each
+    table contributes to the extract — distinct orders, line items,
+    gross cents. The fan-out is customer -> orders -> lineitem on
+    their join keys (the same cascade path the delete takes); LEFT
+    joins keep zero-footprint subjects in the report."""
+    subj = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("gcents"),
+    )
+    oj = subj.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+    return (
+        oj.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.count("l_orderkey").cast("bigint").alias("n_lineitems"),
+            F.sum(
+                F.when(F.col("l_orderkey").isNotNull(), F.col("gcents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("gross_cents"),
+        )
+    )
+
+
+@query("streaming_nrr_monitor",
+    _ORACLES["net_revenue_retention"],
+    "§2.8 x A-tier: streaming NRR — micro-batches fold (user, week) integer cents partials; the lead() window and census run ONCE at read-back, bit-identical to the batch metric (SHARED oracle proves it)",
+)
+def q_streaming_nrr_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NRR as a continuously-maintained metric: purchase events fold
+    per-(user, week) integer cents partials through foreachBatch —
+    additive, order-free — and the NON-additive parts (the per-user
+    lead() window, the max-week cut, the census) run once at
+    read-back over the merged partials. Micro-batch boundaries cannot
+    move a cent (shared oracle). The fold state is one row per active
+    (user, week) — the same compaction any streaming metric store
+    keeps."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(F.col("event_type") == "purchase")
+            .groupBy(
+                "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+            )
+            .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+        )
+
+    def readback(tmp: str) -> DataFrame:
+        uw = (
+            spark.read.parquet(f"{tmp}/sink")
+            .groupBy("user_id", "week")
+            .agg(F.sum("c").cast("bigint").alias("cents"))
+        )
+        mx = uw.agg(F.max("week").alias("maxw"))
+        uwin = Window.partitionBy("user_id").orderBy("week")
+        j = (
+            uw.withColumn("__nweek", F.lead("week").over(uwin))
+            .withColumn("__ncents", F.lead("cents").over(uwin))
+            .crossJoin(F.broadcast(mx))
+            .filter(F.col("week") < F.col("maxw"))
+            .select(
+                "week",
+                "cents",
+                F.when(
+                    F.col("__nweek") == F.date_add("week", 7), F.col("__ncents")
+                )
+                .otherwise(F.lit(0))
+                .alias("next_cents"),
+            )
+        )
+        return (
+            j.groupBy("week")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.sum("cents").cast("bigint").alias("cohort_rev_cents"),
+                F.sum("next_cents").cast("bigint").alias("next_week_rev_cents"),
+            )
+            .withColumn(
+                "nrr_ppm",
+                F.expr(
+                    "(next_week_rev_cents * 1000000) div cohort_rev_cents"
+                ).cast("bigint"),
+            )
+        )
+
+    return run_file_stream(
+        spark,
+        lambda src: _t(spark, sf_dir, "events").repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        readback,
+        prefix="stream_nrr_",
+        label="streaming_nrr_monitor",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13115,6 +13285,9 @@ _GATE_NEXT = [
     "bom_cost_rollup",
     "cheapest_supplier_per_part",
     "span_corruption_plan",
+    "supplier_value_concentration",
+    "gdpr_access_extract_counts",
+    "streaming_nrr_monitor",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

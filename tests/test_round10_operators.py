@@ -1187,3 +1187,60 @@ def test_span_plan_budget_and_bounds(spark):
         if r.n_spans > 0:
             assert 0 <= r.first_span_start <= r.n_tokens - r.n_masked
             assert r.mask_ppm == r.n_masked * 1_000_000 // r.n_tokens
+
+
+# --- wave 44: supplier concentration / GDPR access / streaming NRR -----------
+
+
+def test_supplier_concentration_shares(spark):
+    """Shares are floor-exact per nation and sum within slack; flags
+    match the literal 5% threshold."""
+    rows = CATALOG["supplier_value_concentration"].fn(spark, SF_SMOKE).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        tot = sum(r.rev_cents for r in rs)
+        for r in rs:
+            assert r.share_ppm == r.rev_cents * 1_000_000 // tot
+            assert r.concentration_flag == (1 if r.share_ppm > 50_000 else 0)
+        s = sum(r.share_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+
+
+def test_gdpr_access_counts_vs_python(spark):
+    """Footprint re-derived literally for every subject; zero-footprint
+    subjects must still appear."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    cust = _read_parquet(spark, f"{SF_SMOKE}/customer.parquet")
+    subj = {r.c_custkey for r in cust.filter("c_custkey % 97 = 0").collect()}
+    orders = _read_parquet(spark, f"{SF_SMOKE}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    ).collect()
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "l_orderkey", "CAST(round(l_extendedprice * 100) AS BIGINT) AS g"
+    ).collect()
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.g)
+    rows = {r.custkey: r for r in
+            CATALOG["gdpr_access_extract_counts"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == subj
+    for ck in subj:
+        oks = [o.o_orderkey for o in orders if o.o_custkey == ck]
+        lis = [g for ok in oks for g in by_order.get(ok, [])]
+        r = rows[ck]
+        assert r.n_orders == len(oks)
+        assert r.n_lineitems == len(lis)
+        assert r.gross_cents == sum(lis)
+
+
+def test_streaming_nrr_equals_batch(spark):
+    """Folded (user, week) partials + read-back window must reproduce
+    the batch NRR bit-for-bit."""
+    got = sorted(map(tuple,
+        CATALOG["streaming_nrr_monitor"].fn(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple,
+        CATALOG["net_revenue_retention"].fn(spark, SF_SMOKE).collect()))
+    assert got == want
