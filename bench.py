@@ -349,6 +349,9 @@ HEADLINE = [
     "supplier_value_concentration",
     "gdpr_access_extract_counts",
     "streaming_nrr_monitor",
+    "cochran_armitage_trend",
+    "temporal_split_audit",
+    "table_freshness_audit",
 ]
 
 

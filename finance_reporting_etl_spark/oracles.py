@@ -8833,3 +8833,90 @@ ORACLES["gdpr_access_extract_counts"] = """
     LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """
+
+
+# --- round 10 (wave 45) -----------------------------------------------------
+
+# Cochran-Armitage trend test: does return probability TREND with the
+# discount level (ordered doses 0..10 cents-of-discount)? All moment
+# sums are exact BIGINTs; the z statistic multiplies them as doubles
+# in shared text (each product correctly rounded, bit-equal), so the
+# only float anywhere is the final statistic. Complements
+# chi_square_event_dow (independence) with the ORDERED alternative.
+ORACLES["cochran_armitage_trend"] = """
+    WITH d AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS BIGINT) AS rr,
+               CAST(sum(s * r) AS BIGINT) AS ssr,
+               CAST(sum(s) AS BIGINT) AS ssn,
+               CAST(sum(s * s) AS BIGINT) AS ssn2
+        FROM d
+    )
+    SELECT n, rr AS n_returned, ssr AS sum_score_returned,
+           ssn AS sum_score, ssn2 AS sum_score_sq,
+           (CAST(n AS DOUBLE) * CAST(ssr AS DOUBLE)
+            - CAST(rr AS DOUBLE) * CAST(ssn AS DOUBLE))
+           / sqrt(CAST(rr AS DOUBLE) * CAST(n - rr AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(ssn2 AS DOUBLE)
+                     - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS z_trend
+    FROM m
+    """
+
+
+# Temporal-split contamination audit: with the last 7 days held out as
+# test, how many users straddle the cutoff (user-level leakage a
+# time-based split silently permits). Exact integer census; the
+# cutoff derives from the global max timestamp (1-row broadcast).
+ORACLES["temporal_split_audit"] = """
+    WITH mx AS (SELECT max(ts) AS maxts FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < maxts - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN ts >= maxts - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM events CROSS JOIN mx
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS train_only_users,
+           CAST(sum(CASE WHEN n_train = 0 AND n_test > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS test_only_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS straddling_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS leak_ppm,
+           CAST(sum(n_train) AS BIGINT) AS train_events,
+           CAST(sum(n_test) AS BIGINT) AS test_events
+    FROM u
+    """
+
+
+# Cross-table freshness audit: per fact table, row count, max event
+# time, and staleness in whole days against the freshest table — the
+# data-ops read before trusting a join across pipelines that load on
+# different cadences. Exact integers; 1-row reference broadcast.
+ORACLES["table_freshness_audit"] = """
+    WITH t AS (
+        SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               max(CAST(o_orderdate AS TIMESTAMP)) AS max_ts FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(count(*) AS BIGINT),
+               max(CAST(l_shipdate AS TIMESTAMP)) FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(count(*) AS BIGINT),
+               max(CAST(ts AS TIMESTAMP)) FROM events
+    ),
+    r AS (SELECT max(max_ts) AS ref_ts FROM t)
+    SELECT table_name, n_rows, max_ts,
+           CAST(datediff('day', CAST(max_ts AS DATE), CAST(ref_ts AS DATE))
+                AS BIGINT) AS staleness_days
+    FROM t CROSS JOIN r
+    """

@@ -13099,6 +13099,147 @@ def q_streaming_nrr_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 45 — trend test, split leakage, freshness audit
+# ---------------------------------------------------------------------------
+
+
+@query("cochran_armitage_trend",
+    _ORACLES["cochran_armitage_trend"],
+    "§2.6/stats: Cochran-Armitage trend test of return rate vs ordered discount doses — exact BIGINT moment sums, z statistic as shared-text doubles; the ORDERED complement of the chi-square independence test",
+)
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOES the return rate trend with the discount: the chi-square
+    independence test wastes power when the alternative is ordered;
+    Cochran-Armitage scores the 11 discount doses (0..10 cents) and
+    tests the linear trend. Five moment sums in ONE hash aggregate,
+    all exact BIGINTs; the z statistic multiplies them as doubles in
+    shared text (every product correctly rounded, bit-equal cross-
+    engine). The pricing-policy significance read next to
+    woe_iv_discount_bins."""
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("r"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("ssr"),
+        F.sum("s").cast("bigint").alias("ssn"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ssn2"),
+    )
+    return m.selectExpr(
+        "n",
+        "rr AS n_returned",
+        "ssr AS sum_score_returned",
+        "ssn AS sum_score",
+        "ssn2 AS sum_score_sq",
+        "(CAST(n AS DOUBLE) * CAST(ssr AS DOUBLE)"
+        " - CAST(rr AS DOUBLE) * CAST(ssn AS DOUBLE))"
+        " / sqrt(CAST(rr AS DOUBLE) * CAST(n - rr AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) * CAST(ssn2 AS DOUBLE)"
+        " - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) AS z_trend",
+    )
+
+
+@query("temporal_split_audit",
+    _ORACLES["temporal_split_audit"],
+    "X-ML-ops: temporal-split contamination census — users straddling a last-7-days holdout cutoff (the leakage a time split silently permits); exact integers, 1-row cutoff broadcast",
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A time-based split keeps FUTURE out of train but lets the same
+    USERS straddle the cutoff — fatal when the model memorizes user
+    identity. With the last 7 days held out: users in train only, test
+    only, and both (the contamination), in exact counts and ppm. One
+    per-user aggregate against a broadcast max-timestamp cutoff;
+    complements groupwise_leakage_safe_split (which FIXES the problem)
+    with the audit that shows whether you have it."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("maxts"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("ts") < F.expr("maxts - INTERVAL 7 DAY")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                (F.col("ts") >= F.expr("maxts - INTERVAL 7 DAY")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(((F.col("n_train") > 0) & (F.col("n_test") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("train_only_users"),
+        F.sum(((F.col("n_train") == 0) & (F.col("n_test") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("test_only_users"),
+        F.sum(((F.col("n_train") > 0) & (F.col("n_test") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("straddling_users"),
+        F.sum("n_train").cast("bigint").alias("train_events"),
+        F.sum("n_test").cast("bigint").alias("test_events"),
+    ).selectExpr(
+        "n_users",
+        "train_only_users",
+        "test_only_users",
+        "straddling_users",
+        "CAST(straddling_users * 1000000 div n_users AS BIGINT) AS leak_ppm",
+        "train_events",
+        "test_events",
+    )
+
+
+@query("table_freshness_audit",
+    _ORACLES["table_freshness_audit"],
+    "O-tier data ops: cross-table freshness census — per fact table the row count, max event time, and staleness in days vs the freshest table; the cadence-mismatch read before cross-pipeline joins",
+)
+def q_table_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH table is behind: pipelines load on different cadences,
+    and a join across them silently produces point-in-time nonsense.
+    Per fact table: rows, max event time, staleness in whole days
+    against the freshest table. Three 1-row aggregates (bounded
+    scalar class) unioned, one reference broadcast; the dbt-style
+    freshness test as a queryable mart instead of an assertion."""
+    parts = [
+        ("orders", _t(spark, sf_dir, "orders").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max(F.col("o_orderdate").cast("timestamp")).alias("max_ts"),
+        )),
+        ("lineitem", _t(spark, sf_dir, "lineitem").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max(F.col("l_shipdate").cast("timestamp")).alias("max_ts"),
+        )),
+        ("events", _t(spark, sf_dir, "events").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max(F.col("ts").cast("timestamp")).alias("max_ts"),
+        )),
+    ]
+    frames = [
+        df.select(F.lit(name).alias("table_name"), "n_rows", "max_ts")
+        for name, df in parts
+    ]
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    r = t.agg(F.max("max_ts").alias("ref_ts"))
+    return t.crossJoin(F.broadcast(r)).select(
+        "table_name",
+        "n_rows",
+        "max_ts",
+        F.datediff(F.col("ref_ts").cast("date"), F.col("max_ts").cast("date"))
+        .cast("bigint")
+        .alias("staleness_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13288,6 +13429,9 @@ _GATE_NEXT = [
     "supplier_value_concentration",
     "gdpr_access_extract_counts",
     "streaming_nrr_monitor",
+    "cochran_armitage_trend",
+    "temporal_split_audit",
+    "table_freshness_audit",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1244,3 +1244,63 @@ def test_streaming_nrr_equals_batch(spark):
     want = sorted(map(tuple,
         CATALOG["net_revenue_retention"].fn(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+# --- wave 45: trend test / split leakage / freshness --------------------------
+
+
+def test_cochran_armitage_vs_python(spark):
+    """Moments and z re-derived literally from the lineitem rows."""
+    import math
+
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "CAST(round(l_discount * 100) AS BIGINT) AS s",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r",
+    ).collect()
+    n = len(li)
+    rr = sum(x.r for x in li)
+    ssr = sum(x.s * x.r for x in li)
+    ssn = sum(x.s for x in li)
+    ssn2 = sum(x.s * x.s for x in li)
+    row = CATALOG["cochran_armitage_trend"].fn(spark, SF_SMOKE).collect()[0]
+    assert (row.n, row.n_returned, row.sum_score_returned,
+            row.sum_score, row.sum_score_sq) == (n, rr, ssr, ssn, ssn2)
+    want = (float(n) * float(ssr) - float(rr) * float(ssn)) / math.sqrt(
+        float(rr) * float(n - rr)
+        * (float(n) * float(ssn2) - float(ssn) * float(ssn)) / float(n)
+    )
+    assert row.z_trend == want
+
+
+def test_temporal_split_census_partitions(spark):
+    """The three user classes partition the user set; event totals
+    reconcile with the events table."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    r = CATALOG["temporal_split_audit"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.train_only_users + r.test_only_users + r.straddling_users
+            == r.n_users)
+    assert r.leak_ppm == r.straddling_users * 1_000_000 // r.n_users
+    ev = _read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    assert r.train_events + r.test_events == ev.count()
+    assert r.n_users == ev.select("user_id").distinct().count()
+    # a 30-day fixture with active users: straddling must exist
+    assert r.straddling_users > 0
+
+
+def test_freshness_reference_is_zero(spark):
+    """Exactly the freshest table(s) sit at staleness 0; counts match
+    the raw tables."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    rows = {r.table_name: r for r in
+            CATALOG["table_freshness_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orders", "lineitem", "events"}
+    assert min(r.staleness_days for r in rows.values()) == 0
+    for t in rows:
+        assert rows[t].n_rows == _read_parquet(
+            spark, f"{SF_SMOKE}/{t}.parquet"
+        ).count()
+        assert rows[t].staleness_days >= 0
