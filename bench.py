@@ -352,6 +352,8 @@ HEADLINE = [
     "cochran_armitage_trend",
     "temporal_split_audit",
     "table_freshness_audit",
+    "referential_orphan_census",
+    "ils_diversity_eval",
 ]
 
 

@@ -8920,3 +8920,70 @@ ORACLES["table_freshness_audit"] = """
                 AS BIGINT) AS staleness_days
     FROM t CROSS JOIN r
     """
+
+
+# --- round 10 (wave 46) -----------------------------------------------------
+
+# Referential-integrity orphan census: per foreign key, how many child
+# rows reference a missing parent — dbt's relationships test as a
+# queryable mart (counts + exact ppm), not a pass/fail assertion.
+ORACLES["referential_orphan_census"] = """
+    WITH fks AS (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+    )
+    SELECT fk, n_child, n_orphans,
+           CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+    FROM fks
+    """
+
+
+# Intra-list similarity eval: did MMR actually diversify? Average
+# pairwise 6dp cosine (as exact micro ints) within each query's
+# selected 5-list, for the plain cosine top-5 vs the MMR top-5. The
+# selections and pair sims are persisted aux tables (the house
+# pattern), so both engines score identical lists; the mean is one
+# IEEE division of exact integers.
+ORACLES["ils_diversity_eval"] = f"""
+    WITH sel AS (SELECT * FROM '{_AUX_DIR}/ils_selected/*.parquet'),
+    ps AS (SELECT * FROM '{_AUX_DIR}/ils_pairsims/*.parquet'),
+    p AS (
+        SELECT a.query_id, a.method, ps.sim_micro
+        FROM sel a
+        JOIN sel b ON b.query_id = a.query_id AND b.method = a.method
+                  AND b.doc_id > a.doc_id
+        JOIN ps ON ps.query_id = a.query_id AND ps.id_a = a.doc_id
+               AND ps.id_b = b.doc_id
+    )
+    SELECT query_id, method,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sim_micro) AS BIGINT) AS sum_sim_micro,
+           CAST(sum(sim_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS ils_mean_micro
+    FROM p GROUP BY 1, 2
+    """

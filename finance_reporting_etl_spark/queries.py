@@ -13240,6 +13240,177 @@ def q_table_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 46 — referential integrity mart, diversity eval
+# ---------------------------------------------------------------------------
+
+
+@query("referential_orphan_census",
+    _ORACLES["referential_orphan_census"],
+    "O-tier data quality: referential-integrity orphan census per FK (anti-join counts + exact ppm) — dbt's relationships test as a queryable mart, complements dbt_schema_tests",
+)
+def q_referential_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW broken are the joins: per foreign key, the child rows whose
+    parent is missing — the census dbt's relationships test asserts on
+    but never reports. Four LEFT ANTI joins on the FK keys (the
+    scale-safe orphan probe: no fanout, parent side shuffles once per
+    key), each reduced to one census row. A clean fixture reads all
+    zeros; the mart exists for the day it does not."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    fks = [
+        (
+            "lineitem.l_orderkey->orders",
+            li.select("l_orderkey"),
+            o.select("o_orderkey"),
+            "l_orderkey",
+            "o_orderkey",
+        ),
+        (
+            "lineitem.l_partkey->part",
+            li.select("l_partkey"),
+            _t(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            li.select("l_suppkey"),
+            _t(spark, sf_dir, "supplier").select("s_suppkey"),
+            "l_suppkey",
+            "s_suppkey",
+        ),
+        (
+            "orders.o_custkey->customer",
+            o.select("o_custkey"),
+            _t(spark, sf_dir, "customer").select("c_custkey"),
+            "o_custkey",
+            "c_custkey",
+        ),
+    ]
+    outs = []
+    for name, child, parent, ck, pk in fks:
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = child.join(
+            parent, F.col(ck) == F.col(pk), "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        outs.append(
+            n_child.crossJoin(F.broadcast(orphans)).selectExpr(
+                f"'{name}' AS fk",
+                "n_child",
+                "n_orphans",
+                "CAST(n_orphans * 1000000 div n_child AS BIGINT) AS orphan_ppm",
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
+
+
+@query("ils_diversity_eval",
+    _ORACLES["ils_diversity_eval"],
+    "X3 retrieval eval: intra-list similarity of plain cosine top-5 vs MMR top-5 per query — DID the diversified rerank diversify; persisted selections + micro-int pair sims, mean one IEEE division",
+)
+def q_ils_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE proof MMR earns its keep: average pairwise similarity
+    within each query's selected 5-list, plain relevance top-5 next to
+    the MMR top-5 (mmr_diversified_rerank's greedy, same lam/mu). Pair
+    cosines live as exact micro ints (6dp-rounded then scaled), so the
+    per-list sum is order-free exact and the mean one IEEE division.
+    Selections and pair sims persist as aux tables — both engines
+    score IDENTICAL lists; pytest pins the headline: MMR's ILS never
+    exceeds plain top-k's."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    short = _persist_aux(
+        spark,
+        brute_force_topk(emb, qids, k=20).select(
+            "query_id", "neighbor_id", F.col("score").alias("rel"), "rank"
+        ),
+        "ils_shortlist",
+    )
+    ids = short.select("query_id", "neighbor_id")
+    v = emb.select("vec_id", "embedding")
+    a = ids.join(v, ids.neighbor_id == v.vec_id).select(
+        "query_id", F.col("neighbor_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = ids.join(v, ids.neighbor_id == v.vec_id).select(
+        F.col("query_id").alias("__qb"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    sim = det_round(cosine("va", "vb"), 6)
+    pairs = _persist_aux(
+        spark,
+        a.join(b, (a.query_id == b.__qb) & (F.col("id_a") != F.col("id_b")))
+        .withColumn("sim", sim)
+        .withColumn("sim_micro", F.round(F.col("sim") * 1000000).cast("bigint"))
+        .select("query_id", "id_a", "id_b", "sim", "sim_micro"),
+        "ils_pairsims",
+    )
+    plain5 = short.filter(F.col("rank") <= 5).select(
+        "query_id", F.lit("topk").alias("method"), F.col("neighbor_id").alias("doc_id")
+    )
+    mmr5 = mmr_select(
+        short.select("query_id", "neighbor_id", "rel"),
+        pairs.select("query_id", "id_a", "id_b", "sim"),
+        k=5,
+        lam=0.7,
+        mu=0.3,
+    ).select(
+        "query_id", F.lit("mmr").alias("method"), F.col("neighbor_id").alias("doc_id")
+    )
+    sel = _persist_aux(spark, plain5.unionByName(mmr5), "ils_selected")
+    sb = sel.select(
+        F.col("query_id").alias("__q"),
+        F.col("method").alias("__m"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    pm = pairs.select(
+        F.col("query_id").alias("p_q"),
+        F.col("id_a").alias("p_a"),
+        F.col("id_b").alias("p_b"),
+        "sim_micro",
+    )
+    p = (
+        sel.join(
+            sb,
+            (F.col("__q") == F.col("query_id"))
+            & (F.col("__m") == F.col("method"))
+            & (F.col("doc_b") > F.col("doc_id")),
+        )
+        .join(
+            pm,
+            (F.col("p_q") == F.col("__q"))
+            & (F.col("p_a") == F.col("doc_id"))
+            & (F.col("p_b") == F.col("doc_b")),
+        )
+        .select("query_id", "method", "sim_micro")
+    )
+    return (
+        p.groupBy("query_id", "method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .selectExpr(
+            "query_id",
+            "method",
+            "n_pairs",
+            "sum_sim_micro",
+            "CAST(sum_sim_micro AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+            " AS ils_mean_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13432,6 +13603,8 @@ _GATE_NEXT = [
     "cochran_armitage_trend",
     "temporal_split_audit",
     "table_freshness_audit",
+    "referential_orphan_census",
+    "ils_diversity_eval",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1304,3 +1304,36 @@ def test_freshness_reference_is_zero(spark):
             spark, f"{SF_SMOKE}/{t}.parquet"
         ).count()
         assert rows[t].staleness_days >= 0
+
+
+# --- wave 46: referential integrity / diversity eval --------------------------
+
+
+def test_orphan_census_clean_fixture(spark):
+    """The fixture's FKs are intact: every census row reads zero
+    orphans, and child counts match the raw tables."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    rows = {r.fk: r for r in
+            CATALOG["referential_orphan_census"].fn(spark, SF_SMOKE).collect()}
+    assert len(rows) == 4
+    li_n = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet").count()
+    o_n = _read_parquet(spark, f"{SF_SMOKE}/orders.parquet").count()
+    for fk, r in rows.items():
+        assert r.n_orphans == 0 and r.orphan_ppm == 0, fk
+        assert r.n_child == (o_n if fk.startswith("orders") else li_n)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """The headline claim: per query, MMR's intra-list similarity
+    never exceeds the plain top-5's, and both lists score 10 pairs."""
+    rows = CATALOG["ils_diversity_eval"].fn(spark, SF_SMOKE).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.n_pairs == 10
+        assert r.ils_mean_micro == float(r.sum_sim_micro) / 10.0
+        by_q.setdefault(r.query_id, {})[r.method] = r
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, ms in by_q.items():
+        assert set(ms) == {"topk", "mmr"}
+        assert ms["mmr"].sum_sim_micro <= ms["topk"].sum_sim_micro, q
