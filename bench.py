@@ -354,6 +354,8 @@ HEADLINE = [
     "table_freshness_audit",
     "referential_orphan_census",
     "ils_diversity_eval",
+    "bloom_fpr_sweep",
+    "cross_source_duplicate_census",
 ]
 
 

@@ -8987,3 +8987,141 @@ ORACLES["ils_diversity_eval"] = f"""
                AS ils_mean_micro
     FROM p GROUP BY 1, 2
     """
+
+
+# --- round 10 (wave 47) -----------------------------------------------------
+
+# Bloom FPR sweep: the same member/probe sets pushed through three
+# filter sizes — measured FPR next to the fill-ratio theory
+# (bits_set/m)^k, the sizing curve read before provisioning a
+# semi-join pre-filter at 100 TB. Composes operators.membership's
+# oracle builder per config; exact integer confusion everywhere.
+_BLOOM_MEM = ("SELECT DISTINCT o_custkey AS k FROM orders"
+              " WHERE o_orderpriority = '1-URGENT'")
+_BLOOM_PRB = "SELECT c_custkey AS k FROM customer"
+ORACLES["bloom_fpr_sweep"] = """
+    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
+               n_false_positive, fpr,
+               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
+        FROM (
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 1024)]) AS pos FROM mem),
+    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 1024)]) AS pos
+           FROM (SELECT DISTINCT k FROM probes)),
+    hits AS (SELECT pp.k, count(*) AS h
+             FROM pp JOIN bits USING (pos) GROUP BY 1),
+    flag AS (
+        SELECT p.k,
+               CASE WHEN coalesce(h, 0) = 3 THEN 1 ELSE 0 END AS bp,
+               CASE WHEN mm.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
+        FROM probes p
+        LEFT JOIN hits ON p.k = hits.k
+        LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
+    )
+    SELECT CAST(1024 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(bp) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
+               AS fpr
+    FROM flag
+    )
+    UNION ALL
+    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
+               n_false_positive, fpr,
+               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
+        FROM (
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 4096)]) AS pos FROM mem),
+    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 4096)]) AS pos
+           FROM (SELECT DISTINCT k FROM probes)),
+    hits AS (SELECT pp.k, count(*) AS h
+             FROM pp JOIN bits USING (pos) GROUP BY 1),
+    flag AS (
+        SELECT p.k,
+               CASE WHEN coalesce(h, 0) = 3 THEN 1 ELSE 0 END AS bp,
+               CASE WHEN mm.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
+        FROM probes p
+        LEFT JOIN hits ON p.k = hits.k
+        LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
+    )
+    SELECT CAST(4096 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(bp) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
+               AS fpr
+    FROM flag
+    )
+    UNION ALL
+    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
+               n_false_positive, fpr,
+               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
+        FROM (
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 16384)]) AS pos FROM mem),
+    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 16384)]) AS pos
+           FROM (SELECT DISTINCT k FROM probes)),
+    hits AS (SELECT pp.k, count(*) AS h
+             FROM pp JOIN bits USING (pos) GROUP BY 1),
+    flag AS (
+        SELECT p.k,
+               CASE WHEN coalesce(h, 0) = 3 THEN 1 ELSE 0 END AS bp,
+               CASE WHEN mm.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
+        FROM probes p
+        LEFT JOIN hits ON p.k = hits.k
+        LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
+    )
+    SELECT CAST(16384 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(bp) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
+               AS fpr
+    FROM flag
+    )
+    """
+
+
+# Cross-source exact-duplicate census: fingerprint groups of size >= 2
+# bucketed by (group size, spans-multiple-sources) — same-source dups
+# are re-ingestion noise, CROSS-source dups are templated/syndicated
+# content (the screen doc_fingerprints sets up). Exact integers over
+# a bounded (size x 2) domain.
+ORACLES["cross_source_duplicate_census"] = """
+    WITH f AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    g AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM f GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT group_size,
+           CAST(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS cross_source,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1, 2
+    """

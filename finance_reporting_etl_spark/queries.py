@@ -13411,6 +13411,130 @@ def q_ils_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 47 — Bloom sizing curve, cross-source duplicate census
+# ---------------------------------------------------------------------------
+
+
+@query("bloom_fpr_sweep",
+    _ORACLES["bloom_fpr_sweep"],
+    "X-scale membership tuning: Bloom FPR sweep at m=1024/4096/16384 bits (k=3) — measured FPR vs fill-ratio theory (bits_set/m)^k; the sizing curve before provisioning a semi-join pre-filter",
+)
+def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MANY bits the pre-filter needs: the same member set pushed
+    through three filter sizes, measured false-positive rate next to
+    the fill-ratio theory (bits_set/m)^k — undersized filters saturate
+    (FPR -> 1) and silently turn the semi-join into a full scan.
+    Reuses bloom_build/bloom_probe per config (<= m-row broadcast bit
+    sets); exact integer confusion, det-rounded FPR, shared-text
+    theory product. Sibling of lsh_band_sweep / ann_ivf_nprobe_sweep
+    in the sketch-tuning family."""
+    from finance_reporting_etl_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    salt, k_hashes = "bfs", 3
+    members = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    outs = []
+    for m_bits in (1024, 4096, 16384):
+        bits = bloom_build(members, "k", salt, m_bits, k_hashes)
+        flagged = bloom_probe(probes, "k", bits, salt, m_bits, k_hashes).join(
+            members.withColumn("__is", F.lit(1)), "k", "left"
+        )
+        summary = flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+            F.sum("bloom_positive").cast("bigint").alias("n_positive"),
+            F.sum(
+                ((F.col("bloom_positive") == 1) & F.col("__is").isNull()).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_false_positive"),
+            F.sum(F.coalesce(F.col("__is"), F.lit(0)))
+            .cast("bigint")
+            .alias("__nm"),
+        )
+        bits_set = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+        outs.append(
+            summary.crossJoin(F.broadcast(n_members))
+            .crossJoin(F.broadcast(bits_set))
+            .select(
+                F.lit(m_bits).cast("int").alias("m_bits"),
+                F.lit(k_hashes).cast("int").alias("k_hashes"),
+                "n_members",
+                "bits_set",
+                "n_probed",
+                "n_positive",
+                "n_false_positive",
+                det_round(
+                    F.col("n_false_positive").cast("double")
+                    / F.nullif(
+                        (F.col("n_probed") - F.col("__nm")).cast("double"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("fpr"),
+            )
+            .selectExpr(
+                "*",
+                "(CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))"
+                " * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))"
+                " * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))"
+                " AS fpr_theory",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query("cross_source_duplicate_census",
+    _ORACLES["cross_source_duplicate_census"],
+    "X1 dedup observability: exact-fingerprint duplicate groups bucketed by (size, spans-multiple-sources) — re-ingestion noise vs syndicated content; exact integers over a bounded domain",
+)
+def q_cross_source_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME-source duplicates mean a loader ran twice; CROSS-source
+    duplicates mean templated or syndicated content — two different
+    remediations from one census. Fingerprint groups (md5 of
+    normalized text, the doc_fingerprints convention) of size >= 2,
+    bucketed by size and whether the group spans sources. One
+    fingerprint aggregate + one bounded-domain rollup."""
+    from finance_reporting_etl_spark.functions.text import fingerprint
+
+    f = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    g = (
+        f.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    return (
+        g.select(
+            "group_size",
+            (F.col("n_sources") > 1).cast("bigint").alias("cross_source"),
+        )
+        .groupBy("group_size", "cross_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("group_size").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13605,6 +13729,8 @@ _GATE_NEXT = [
     "table_freshness_audit",
     "referential_orphan_census",
     "ils_diversity_eval",
+    "bloom_fpr_sweep",
+    "cross_source_duplicate_census",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1337,3 +1337,52 @@ def test_mmr_diversifies_vs_plain_topk(spark):
     for q, ms in by_q.items():
         assert set(ms) == {"topk", "mmr"}
         assert ms["mmr"].sum_sim_micro <= ms["topk"].sum_sim_micro, q
+
+
+# --- wave 47: Bloom sizing / cross-source duplicates --------------------------
+
+
+def test_bloom_sweep_monotone_in_bits(spark):
+    """More bits never raise the FPR; the undersized filter saturates
+    (higher fill, more false positives); theory tracks measurement
+    within an order of magnitude at moderate fill."""
+    rows = sorted(
+        CATALOG["bloom_fpr_sweep"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.m_bits,
+    )
+    assert [r.m_bits for r in rows] == [1024, 4096, 16384]
+    nm = {r.n_members for r in rows}
+    assert len(nm) == 1
+    for r in rows:
+        assert r.bits_set <= min(r.m_bits, r.n_members * 3)
+        assert r.n_positive >= r.n_members  # zero false negatives
+        assert r.fpr_theory == (float(r.bits_set) / r.m_bits) ** 3 or True
+        # literal recomputation (x*x*x order matches ** for 3 factors)
+        x = float(r.bits_set) / float(r.m_bits)
+        assert r.fpr_theory == x * x * x
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_false_positive >= b.n_false_positive
+        assert a.fpr >= b.fpr
+        assert a.fpr_theory > b.fpr_theory
+
+
+def test_cross_source_census_reconciles_with_dedup(spark):
+    """Total duplicated docs must reconcile with dedup_exact's keep
+    census: docs in groups >= 2 == total docs - distinct fingerprints
+    ... expressed via the census sums."""
+    from finance_reporting_etl_spark.functions.text import fingerprint
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    fps = docs.select(fingerprint("text").alias("fp"), "source")
+    n_docs = docs.count()
+    n_groups_all = fps.select("fp").distinct().count()
+    rows = CATALOG["cross_source_duplicate_census"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.group_size >= 2
+        assert r.cross_source in (0, 1)
+        assert r.n_docs == r.group_size * r.n_groups
+    dup_docs = sum(r.n_docs for r in rows)
+    dup_groups = sum(r.n_groups for r in rows)
+    # docs - groups = excess copies; holds globally too
+    assert dup_docs - dup_groups == n_docs - n_groups_all
