@@ -356,6 +356,9 @@ HEADLINE = [
     "ils_diversity_eval",
     "bloom_fpr_sweep",
     "cross_source_duplicate_census",
+    "knn_hubness_audit",
+    "rle_encoding_savings",
+    "streaming_poisson_alarm",
 ]
 
 

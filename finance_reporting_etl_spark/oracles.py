@@ -9125,3 +9125,82 @@ ORACLES["cross_source_duplicate_census"] = """
            CAST(sum(group_size) AS BIGINT) AS n_docs
     FROM g GROUP BY 1, 2
     """
+
+
+# --- round 10 (wave 48) -----------------------------------------------------
+
+# Hubness audit over the LSH-candidate kNN graph: the in-degree
+# histogram of top-10 membership — hub vectors (huge in-degree) and
+# antihubs (zero) are the high-dimensional pathology that skews ANN
+# result quality. Candidates, ranks and degrees re-derived by both
+# engines from the same persisted bucket table; exact integers only.
+ORACLES["knn_hubness_audit"] = f"""
+    WITH b AS (SELECT * FROM '{_AUX_DIR}/hub_buckets/*.parquet'),
+    cand AS (
+        SELECT DISTINCT b1.id AS src, b2.id AS dst
+        FROM b b1 JOIN b b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+        WHERE b1.id <> b2.id
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT src, dst,
+               {_dr_top("list_dot_product(se.v, de.v) / nullif(sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(de.v, de.v)), 0)", 6)} AS score
+        FROM cand JOIN e se ON se.vec_id = cand.src
+                  JOIN e de ON de.vec_id = cand.dst
+    ),
+    tk AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY score DESC, dst ASC) AS rank
+            FROM s
+        ) WHERE rank <= 10
+    ),
+    deg AS (
+        SELECT e.vec_id, CAST(coalesce(d.indeg, 0) AS BIGINT) AS in_degree
+        FROM e LEFT JOIN (
+            SELECT dst, count(*) AS indeg FROM tk GROUP BY 1
+        ) d ON d.dst = e.vec_id
+    )
+    SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """
+
+
+# RLE savings audit: run counts per column inside 1024-key blocks —
+# low-cardinality columns (status, priority) collapse to a few runs
+# per block while a key column degenerates to one run per row; bytes
+# modeled as runs * (8 value + 4 length) vs 8/row plain. All integer.
+ORACLES["rle_encoding_savings"] = """
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               o_orderstatus AS v_status,
+               o_orderpriority AS v_priority,
+               CAST(o_custkey AS VARCHAR) AS v_cust
+        FROM orders
+    ),
+    c AS (
+        SELECT k, col_name, val
+        FROM base UNPIVOT (val FOR col_name IN (v_status, v_priority, v_cust))
+    ),
+    d AS (
+        SELECT col_name, k // 1024 AS block, val,
+               CASE WHEN val IS DISTINCT FROM
+                         lag(val) OVER (PARTITION BY col_name, k // 1024
+                                        ORDER BY k)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM c
+    ),
+    bl AS (
+        SELECT col_name, block, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(new_run) AS BIGINT) AS n_runs
+        FROM d GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(n_runs) AS BIGINT) AS n_runs,
+           CAST(sum(n) * 8 AS BIGINT) AS plain_bytes,
+           CAST(sum(n_runs) * 12 AS BIGINT) AS rle_bytes,
+           CAST(sum(n_runs) * 12 * 1000000 // (sum(n) * 8) AS BIGINT)
+               AS ratio_ppm
+    FROM bl GROUP BY 1
+    """

@@ -13535,6 +13535,181 @@ def q_cross_source_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 48 — hubness audit, RLE savings, streaming alarms
+# ---------------------------------------------------------------------------
+
+
+@query("knn_hubness_audit",
+    _ORACLES["knn_hubness_audit"],
+    "X3 ANN QA: in-degree histogram of the LSH-candidate top-10 graph — hubs and antihubs, the high-dimensional pathology that skews ANN quality; persisted-bucket oracle, exact integers",
+)
+def q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO answers every query: in high dimensions a few hub vectors
+    invade everyone's top-k while antihubs vanish from all lists —
+    recall metrics look fine while results collapse onto hubs. The
+    in-degree histogram over the LSH-candidate top-10 graph (same
+    candidate derivation as knn_graph_reciprocity, own persisted
+    bucket table) makes the pathology measurable: bucket equi-joins,
+    Arrow-batched cosine, det_round(6)+id ranking, and an exact
+    integer histogram including the zero-degree antihubs."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+    from finance_reporting_etl_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = _persist_aux(
+        spark, hyperplane_buckets(emb, n_planes=4, n_tables=8), "hub_buckets"
+    )
+    b2 = buckets.withColumnsRenamed({"id": "dst"})
+    cand = (
+        buckets.withColumnRenamed("id", "src")
+        .join(b2, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
+    dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
+    cos = cosine_arrow()
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    tk = (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .withColumn("score", det_round(cos(F.col("sv"), F.col("dv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("src", "dst")
+    )
+    indeg = tk.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg, F.col("dst") == F.col("vec_id"), "left")
+        .select(
+            F.coalesce(F.col("indeg"), F.lit(0)).cast("bigint").alias("in_degree")
+        )
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@query("rle_encoding_savings",
+    _ORACLES["rle_encoding_savings"],
+    "S-tier storage planning: run-length encoding byte audit per column over 1024-key blocks — low-cardinality columns collapse to runs, keys degenerate to one run per row; all-integer arithmetic",
+)
+def q_rle_encoding_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER encoding question next to delta_encoding_savings: RLE
+    pays off only where values CLUSTER — and this fixture's key-ordered
+    scan interleaves statuses, so the audit honestly reports RLE buying
+    almost nothing (runs ~ rows; a near-unique column is pure 12B/run
+    overhead). That IS the operational read: sort or z-order first
+    (zorder_locality_stats), then re-run this audit. Runs counted with
+    a null-safe lag inside block-partitioned windows (never global);
+    exact integer bytes and ppm."""
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("v_status"),
+        F.col("o_orderpriority").alias("v_priority"),
+        F.col("o_custkey").cast("string").alias("v_cust"),
+    )
+    c = base.selectExpr(
+        "k",
+        "stack(3, 'v_status', v_status, 'v_priority', v_priority,"
+        " 'v_cust', v_cust) AS (col_name, val)",
+    )
+    w = Window.partitionBy("col_name", "block").orderBy("k")
+    d = (
+        c.withColumn("block", F.expr("k div 1024"))
+        .withColumn("__prev", F.lag("val").over(w))
+        .withColumn(
+            "new_run",
+            (~F.col("val").eqNullSafe(F.col("__prev"))).cast("int"),
+        )
+    )
+    bl = d.groupBy("col_name", "block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    return bl.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("n_runs").cast("bigint").alias("n_runs"),
+        (F.sum("n") * 8).cast("bigint").alias("plain_bytes"),
+        (F.sum("n_runs") * 12).cast("bigint").alias("rle_bytes"),
+        F.expr(
+            "CAST(sum(n_runs) * 12 * 1000000 div (sum(n) * 8) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+@query("streaming_poisson_alarm",
+    _ORACLES["poisson_control_chart_hourly"],
+    "§2.8 x §2.6: streaming c-chart — micro-batches fold additive hourly counts; limits and breach flags computed once at read-back, bit-identical to the batch chart (SHARED oracle proves it)",
+)
+def q_streaming_poisson_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c-chart as a LIVE alarm: event micro-batches fold additive
+    per-hour counts through foreachBatch (order-free integer
+    partials); the global rate, control limits, and breach flags are
+    computed once at read-back — bit-identical to the batch chart by
+    the shared oracle. The state is one row per active hour, the
+    smallest possible alarm memory."""
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    def readback(tmp: str) -> DataFrame:
+        h = (
+            spark.read.parquet(f"{tmp}/sink")
+            .groupBy("hour")
+            .agg(F.sum("c").cast("bigint").alias("n_events"))
+        )
+        t = h.agg(
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        )
+        lam = "CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)"
+        ucl = f"{lam} + 3.0 * sqrt({lam})"
+        lcl = f"{lam} - 3.0 * sqrt({lam})"
+        return h.crossJoin(F.broadcast(t)).selectExpr(
+            "hour",
+            "n_events",
+            f"{lam} AS lam",
+            f"{ucl} AS ucl",
+            f"{lcl} AS lcl",
+            f"CAST(CASE WHEN CAST(n_events AS DOUBLE) > {ucl} THEN 1 ELSE 0"
+            " END AS BIGINT) AS breach_high",
+            f"CAST(CASE WHEN CAST(n_events AS DOUBLE) < {lcl} THEN 1 ELSE 0"
+            " END AS BIGINT) AS breach_low",
+        )
+
+    return run_file_stream(
+        spark,
+        lambda src: _t(spark, sf_dir, "events").repartition(3).write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        readback,
+        prefix="stream_cchart_",
+        label="streaming_poisson_alarm",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13731,6 +13906,9 @@ _GATE_NEXT = [
     "ils_diversity_eval",
     "bloom_fpr_sweep",
     "cross_source_duplicate_census",
+    "knn_hubness_audit",
+    "rle_encoding_savings",
+    "streaming_poisson_alarm",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1386,3 +1386,50 @@ def test_cross_source_census_reconciles_with_dedup(spark):
     dup_groups = sum(r.n_groups for r in rows)
     # docs - groups = excess copies; holds globally too
     assert dup_docs - dup_groups == n_docs - n_groups_all
+
+
+# --- wave 48: hubness / RLE / streaming alarm ---------------------------------
+
+
+def test_hubness_histogram_conserves_mass(spark):
+    """Node mass equals the corpus size; edge mass (sum degree *
+    count) equals total top-10 edges, which equals reciprocity's
+    edges_10."""
+    rows = CATALOG["knn_hubness_audit"].fn(spark, SF_SMOKE).collect()
+    n_nodes = sum(r.n_nodes for r in rows)
+    edge_mass = sum(r.in_degree * r.n_nodes for r in rows)
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    assert n_nodes == _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet").count()
+    recip = CATALOG["knn_graph_reciprocity"].fn(spark, SF_SMOKE).collect()[0]
+    assert edge_mass == recip.edges_10
+
+
+def test_rle_run_counts_track_cardinality(spark):
+    """On an UNSORTED table run counts order by cardinality (status <
+    priority < near-unique custkey) and RLE buys little anywhere —
+    the honest reading that says cluster/z-order FIRST; arithmetic
+    reconciles literally."""
+    rows = {r.col_name: r for r in
+            CATALOG["rle_encoding_savings"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"v_status", "v_priority", "v_cust"}
+    for r in rows.values():
+        assert r.plain_bytes == r.n_rows * 8
+        assert r.rle_bytes == r.n_runs * 12
+        assert r.ratio_ppm == r.rle_bytes * 1_000_000 // r.plain_bytes
+        assert 1 <= r.n_runs <= r.n_rows
+    assert (rows["v_status"].n_runs < rows["v_priority"].n_runs
+            < rows["v_cust"].n_runs)
+    # near-unique column: almost every row starts a run -> pure overhead
+    assert rows["v_cust"].ratio_ppm > 1_000_000
+    assert rows["v_cust"].n_runs > rows["v_cust"].n_rows * 9 // 10
+
+
+def test_streaming_cchart_equals_batch(spark):
+    """Folded hourly partials + read-back limits must reproduce the
+    batch control chart bit-for-bit."""
+    got = sorted(map(tuple,
+        CATALOG["streaming_poisson_alarm"].fn(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple,
+        CATALOG["poisson_control_chart_hourly"].fn(spark, SF_SMOKE).collect()))
+    assert got == want
