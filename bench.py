@@ -359,6 +359,9 @@ HEADLINE = [
     "knn_hubness_audit",
     "rle_encoding_savings",
     "streaming_poisson_alarm",
+    "metric_layer_rollup",
+    "quantized_isotropy_audit",
+    "percent_of_parent_drilldown",
 ]
 
 

@@ -9204,3 +9204,100 @@ ORACLES["rle_encoding_savings"] = """
                AS ratio_ppm
     FROM bl GROUP BY 1
     """
+
+
+# --- round 10 (wave 49) -----------------------------------------------------
+
+# Semantic-layer metric evaluation: ONE metric definition (revenue,
+# orders, AOV = revenue/orders) evaluated at three grains from the
+# same fact — the dbt-metrics/metric-layer promise as a query. Exact
+# BIGINT cents; AOV is an integer division of non-negatives.
+ORACLES["metric_layer_rollup"] = """
+    WITH f AS (
+        SELECT o.o_orderkey, o.o_orderdate, c.c_mktsegment, n.n_name,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+        SELECT 'month' AS grain,
+               CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                    AS VARCHAR) AS grain_key,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM f GROUP BY 2
+        UNION ALL
+        SELECT 'nation', n_name, CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM f GROUP BY 2
+        UNION ALL
+        SELECT 'segment', c_mktsegment, CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM f GROUP BY 2
+    )
+    SELECT grain, grain_key, n_orders, revenue_cents,
+           CAST(revenue_cents // n_orders AS BIGINT) AS aov_cents
+    FROM g
+    """
+
+
+# Exact isotropy audit over globally-scaled int8 codes: the mean
+# pairwise dot product over ALL n(n-1) ordered pairs has the closed
+# form (|sum x|^2 - sum |x|^2) / (n(n-1)) — both moments are exact
+# BIGINTs, so the all-pairs geometry statistic costs ONE pass and no
+# pair join at any scale. Anisotropic (common-direction) embeddings
+# show a large positive mean; isotropic ones sit near zero.
+ORACLES["quantized_isotropy_audit"] = f"""
+    WITH codes AS (SELECT * FROM '{_AUX_DIR}/iso_codes/*.parquet'),
+    x AS (
+        SELECT vec_id, d.i AS dim, codes[d.i + 1] AS code
+        FROM codes, (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    s AS (
+        SELECT dim, CAST(sum(code) AS BIGINT) AS sd FROM x GROUP BY 1
+    ),
+    q AS (
+        SELECT CAST(sum(code * code) AS BIGINT) AS sum_sq FROM x
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM codes),
+    t AS (SELECT CAST(sum(sd * sd) AS BIGINT) AS norm_sum_sq FROM s)
+    SELECT nv AS n_vecs,
+           norm_sum_sq AS centroid_norm_sq,
+           sum_sq AS total_self_dot,
+           CAST(norm_sum_sq - sum_sq AS BIGINT) AS pair_dot_num,
+           CAST(nv * (nv - 1) AS BIGINT) AS pair_dot_den,
+           CAST(norm_sum_sq - sum_sq AS DOUBLE)
+               / CAST(nv * (nv - 1) AS DOUBLE) AS mean_pair_dot
+    FROM n CROSS JOIN q CROSS JOIN t
+    """
+
+
+# Ratio-to-parent drilldown: nation revenue as a share of its region,
+# region as a share of the world — the BI drill tree with exact ppm
+# at every level; bounded dims broadcast, one fact aggregation.
+ORACLES["percent_of_parent_drilldown"] = """
+    WITH f AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    nat AS (
+        SELECT region, nation, CAST(sum(cents) AS BIGINT) AS rev
+        FROM f GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT region, CAST(sum(rev) AS BIGINT) AS reg_rev FROM nat GROUP BY 1
+    ),
+    w AS (SELECT CAST(sum(reg_rev) AS BIGINT) AS world_rev FROM reg)
+    SELECT nat.region, nation, rev AS revenue_cents,
+           reg_rev AS parent_cents,
+           CAST(rev * 1000000 // reg_rev AS BIGINT) AS share_of_region_ppm,
+           CAST(reg_rev * 1000000 // world_rev AS BIGINT)
+               AS region_share_of_world_ppm
+    FROM nat JOIN reg ON reg.region = nat.region CROSS JOIN w
+    """

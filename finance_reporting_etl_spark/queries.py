@@ -13710,6 +13710,155 @@ def q_streaming_poisson_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 49 — metric layer, isotropy audit, drilldown shares
+# ---------------------------------------------------------------------------
+
+
+@query("metric_layer_rollup",
+    _ORACLES["metric_layer_rollup"],
+    "A-tier semantic layer: ONE metric spec (revenue, orders, AOV) evaluated at month/nation/segment grains from the same fact — the dbt-metrics promise as a query; exact BIGINT cents",
+)
+def q_metric_layer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric layer's whole point: define revenue / order count /
+    AOV once, evaluate at any grain, and never let two dashboards
+    disagree. One enriched fact (orders x broadcast customer/nation),
+    one aggregation per grain, one union — AOV is an exact integer
+    division, so every grain's number reconciles to the same journal
+    by construction. Adding a grain is one more groupBy over the SAME
+    frame, which is the maintainability argument for the layer."""
+    f = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_key"),
+            F.col("n_name").alias("nation_key"),
+            F.col("c_mktsegment").alias("segment_key"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    grains = [("month", "month_key"), ("nation", "nation_key"), ("segment", "segment_key")]
+    outs = []
+    for grain, key in grains:
+        outs.append(
+            f.groupBy(F.col(key).alias("grain_key"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+            .selectExpr(
+                f"'{grain}' AS grain",
+                "grain_key",
+                "n_orders",
+                "revenue_cents",
+                "CAST(revenue_cents div n_orders AS BIGINT) AS aov_cents",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query("quantized_isotropy_audit",
+    _ORACLES["quantized_isotropy_audit"],
+    "X3 vector geometry: exact mean pairwise dot over ALL n(n-1) pairs via the closed form (|sum x|^2 - sum |x|^2)/(n(n-1)) on int8 codes — the isotropy/common-direction audit in ONE pass, no pair join",
+)
+def q_quantized_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS the embedding space isotropic: anisotropic spaces (every
+    vector sharing a common direction) inflate all cosines and poison
+    similarity thresholds. The mean pairwise dot over ALL ordered
+    pairs collapses to (|sum x|^2 - sum |x|^2)/(n(n-1)) — two exact
+    integer moments from ONE pass over globally-scaled int8 codes, so
+    the all-pairs statistic never builds a pair join at any corpus
+    size. Companions: quantized_covariance_topk (which pairs of dims
+    co-move) and knn_hubness_audit (who the geometry favors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    withv = emb.select("vec_id", vd.alias("vd"))
+    gmax = withv.agg(F.max(F.array_max(F.transform("vd", F.abs))).alias("gmax"))
+    codes = _persist_aux(
+        spark,
+        withv.crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            F.transform(
+                "vd",
+                lambda x: F.round(x * (F.lit(127.0) / F.col("gmax"))).cast("bigint"),
+            ).alias("codes"),
+        ),
+        "iso_codes",
+    )
+    x = codes.select("vec_id", F.posexplode("codes").alias("dim", "code"))
+    s = x.groupBy("dim").agg(F.sum("code").cast("bigint").alias("sd"))
+    t = s.agg(F.sum(F.col("sd") * F.col("sd")).cast("bigint").alias("norm_sum_sq"))
+    q = x.agg(F.sum(F.col("code") * F.col("code")).cast("bigint").alias("sum_sq"))
+    n = codes.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    return (
+        n.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "nv AS n_vecs",
+            "norm_sum_sq AS centroid_norm_sq",
+            "sum_sq AS total_self_dot",
+            "CAST(norm_sum_sq - sum_sq AS BIGINT) AS pair_dot_num",
+            "CAST(nv * (nv - 1) AS BIGINT) AS pair_dot_den",
+            "CAST(norm_sum_sq - sum_sq AS DOUBLE)"
+            " / CAST(nv * (nv - 1) AS DOUBLE) AS mean_pair_dot",
+        )
+    )
+
+
+@query("percent_of_parent_drilldown",
+    _ORACLES["percent_of_parent_drilldown"],
+    "A-tier BI drill tree: nation share of region and region share of world in exact ppm from one fact aggregation — the ratio-to-parent column every drilldown UI needs",
+)
+def q_percent_of_parent_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drilldown UI's ratio-to-parent column, computed right: one
+    fact aggregation at the leaf grain (supplier nation), parent and
+    grandparent totals derived from the SAME aggregate (never a second
+    fact scan), shares in exact ppm. Dims broadcast; the region window
+    runs over 25 nations, the world total is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nn = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nn), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    wreg = Window.partitionBy("region")
+    reg = nat.withColumn("reg_rev", F.sum("rev").over(wreg).cast("bigint"))
+    w = nat.agg(F.sum("rev").cast("bigint").alias("world_rev"))
+    return reg.crossJoin(F.broadcast(w)).selectExpr(
+        "region",
+        "nation",
+        "rev AS revenue_cents",
+        "reg_rev AS parent_cents",
+        "CAST(rev * 1000000 div reg_rev AS BIGINT) AS share_of_region_ppm",
+        "CAST(reg_rev * 1000000 div world_rev AS BIGINT)"
+        " AS region_share_of_world_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -13909,6 +14058,9 @@ _GATE_NEXT = [
     "knn_hubness_audit",
     "rle_encoding_savings",
     "streaming_poisson_alarm",
+    "metric_layer_rollup",
+    "quantized_isotropy_audit",
+    "percent_of_parent_drilldown",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1433,3 +1433,59 @@ def test_streaming_cchart_equals_batch(spark):
     want = sorted(map(tuple,
         CATALOG["poisson_control_chart_hourly"].fn(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+# --- wave 49: metric layer / isotropy / drilldown -----------------------------
+
+
+def test_metric_layer_grains_reconcile(spark):
+    """Every grain sums to the same order count and revenue (one
+    definition, no dashboard drift); AOV arithmetic reconciles."""
+    rows = CATALOG["metric_layer_rollup"].fn(spark, SF_SMOKE).collect()
+    by_grain: dict = {}
+    for r in rows:
+        assert r.aov_cents == r.revenue_cents // r.n_orders
+        g = by_grain.setdefault(r.grain, [0, 0])
+        g[0] += r.n_orders
+        g[1] += r.revenue_cents
+    assert set(by_grain) == {"month", "nation", "segment"}
+    totals = set(map(tuple, by_grain.values()))
+    assert len(totals) == 1
+
+
+def test_isotropy_closed_form_vs_bruteforce(spark):
+    """The closed form must equal a literal numpy all-pairs mean dot
+    over the same persisted codes."""
+    import numpy as np
+
+    r = CATALOG["quantized_isotropy_audit"].fn(spark, SF_SMOKE).collect()[0]
+    from finance_reporting_etl_spark.oracles import _AUX_DIR
+
+    codes = spark.read.parquet(f"{_AUX_DIR}/iso_codes").orderBy("vec_id").collect()
+    M = np.array([c.codes for c in codes], dtype=np.int64)
+    n = M.shape[0]
+    G = M @ M.T
+    total = int(G.sum())
+    self_dot = int(np.trace(G))
+    assert r.n_vecs == n
+    assert r.total_self_dot == self_dot
+    assert r.centroid_norm_sq == total
+    assert r.pair_dot_num == total - self_dot
+    assert r.pair_dot_den == n * (n - 1)
+    assert r.mean_pair_dot == float(total - self_dot) / float(n * (n - 1))
+
+
+def test_drilldown_shares_nest(spark):
+    """Nation shares sum to ~1e6 within each region; region shares of
+    world sum to ~1e6; parent totals equal the sum of their children."""
+    rows = CATALOG["percent_of_parent_drilldown"].fn(spark, SF_SMOKE).collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    world = sum({r.region: r.parent_cents for r in rows}.values())
+    for region, rs in by_region.items():
+        assert sum(r.revenue_cents for r in rs) == rs[0].parent_cents
+        s = sum(r.share_of_region_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+        for r in rs:
+            assert r.region_share_of_world_ppm == r.parent_cents * 1_000_000 // world
