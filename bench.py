@@ -362,6 +362,9 @@ HEADLINE = [
     "metric_layer_rollup",
     "quantized_isotropy_audit",
     "percent_of_parent_drilldown",
+    "weighted_median_unit_price",
+    "hapax_ratio_by_source",
+    "shuffle_partition_planner",
 ]
 
 

@@ -9301,3 +9301,95 @@ ORACLES["percent_of_parent_drilldown"] = """
                AS region_share_of_world_ppm
     FROM nat JOIN reg ON reg.region = nat.region CROSS JOIN w
     """
+
+
+# --- round 10 (wave 50) -----------------------------------------------------
+
+# Quantity-weighted median unit price per brand: exact weighted order
+# statistic — cumulative quantity along the deterministic
+# (unit_cents, orderkey, linenumber) order crosses half the brand's
+# total quantity. No approx_percentile, no float output; the window
+# partitions by brand (bounded per-group fanout).
+ORACLES["weighted_median_unit_price"] = """
+    WITH l AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   // CAST(l.l_quantity AS BIGINT) AS unit_cents,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    c AS (
+        SELECT brand, unit_cents, qty,
+               sum(qty) OVER (PARTITION BY brand
+                              ORDER BY unit_cents, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cumqty,
+               sum(qty) OVER (PARTITION BY brand) AS total_qty
+        FROM l
+    )
+    SELECT brand,
+           CAST(total_qty AS BIGINT) AS total_qty,
+           CAST(min(unit_cents) AS BIGINT) AS weighted_median_unit_cents
+    FROM c
+    WHERE cumqty >= (total_qty + 1) // 2
+    GROUP BY brand, total_qty
+    """
+
+
+# Per-source lexical richness: type and hapax censuses within each
+# source — a source whose hapax share collapses is templated; one
+# whose type-token ratio explodes is noise. Exact integers.
+ORACLES["hapax_ratio_by_source"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS type_token_ppm,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS hapax_ppm
+    FROM tf GROUP BY 1
+    """
+
+
+# Shuffle-partition capacity planner: exact byte footprint per fact
+# table (fixed widths for fixed-width types + measured string bytes),
+# partitions at a 128 MiB target, rows per partition — the
+# spark.sql.shuffle.partitions sizing table computed FROM the data
+# instead of guessed. All integer arithmetic.
+ORACLES["shuffle_partition_planner"] = """
+    WITH t AS (
+        SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * 36
+                    + sum(len(o_orderstatus) + len(o_orderpriority))
+                    AS BIGINT) AS est_bytes
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 60 + sum(len(l_returnflag) + len(l_linestatus))
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 36 + sum(len(event_type) + len(props))
+                    AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'documents', CAST(count(*) AS BIGINT),
+               CAST(count(*) * 16
+                    + sum(len(text) + len(lang) + len(source)) AS BIGINT)
+        FROM documents
+    )
+    SELECT table_name, n_rows, est_bytes,
+           CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+               AS partitions_128mb,
+           CAST(n_rows // ((est_bytes + 134217727) // 134217728) AS BIGINT)
+               AS rows_per_partition
+    FROM t
+    """

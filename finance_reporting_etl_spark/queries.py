@@ -13859,6 +13859,138 @@ def q_percent_of_parent_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 50 — weighted order statistics, lexical richness, capacity
+# ---------------------------------------------------------------------------
+
+
+@query("weighted_median_unit_price",
+    _ORACLES["weighted_median_unit_price"],
+    "§2.6/stats: quantity-weighted median unit price per brand as an EXACT weighted order statistic — cumulative quantity crosses half inside the brand partition; no approx_percentile, no float output",
+)
+def q_weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A unit-price median that ignores quantities calls a 1-unit
+    outlier and a 50-unit fill equally typical; the weighted median
+    answers what a UNIT actually sold for. Exact weighted order
+    statistic: cumulative quantity along the deterministic
+    (unit_cents, orderkey, linenumber) order crosses half the brand's
+    total — the order_fulfillment_quantiles pattern with weights. The
+    window partitions by brand (bounded per-group fanout, never a
+    global sort); integer cents end to end."""
+    from pyspark.sql import Window
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " div CAST(l_quantity AS BIGINT)"
+            ).alias("unit_cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy("unit_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("brand")
+    c = l.withColumn("cumqty", F.sum("qty").over(wcum)).withColumn(
+        "total_qty", F.sum("qty").over(wtot)
+    )
+    return (
+        c.filter(F.expr("cumqty >= (total_qty + 1) div 2"))
+        .groupBy("brand", F.col("total_qty").cast("bigint").alias("total_qty"))
+        .agg(F.min("unit_cents").cast("bigint").alias("weighted_median_unit_cents"))
+        .select("brand", "total_qty", "weighted_median_unit_cents")
+    )
+
+
+@query("hapax_ratio_by_source",
+    _ORACLES["hapax_ratio_by_source"],
+    "X4 lexical health: per-source type and hapax censuses (type-token + hapax share in exact ppm) — collapsed hapax = templated source, exploded types = noise",
+)
+def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: the type-token ratio and the share
+    of within-source hapax legomena. A templated source repeats itself
+    (hapax share collapses); a noisy source mints tokens (type-token
+    explodes) — both are curation signals the corpus-level Heaps/Zipf
+    fits average away. One explode + one (source, token) aggregate +
+    one bounded rollup; exact integers."""
+    from finance_reporting_etl_spark.functions.text import whitespace_tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    tf = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return tf.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+    ).selectExpr(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "CAST(n_types * 1000000 div n_tokens AS BIGINT) AS type_token_ppm",
+        "CAST(n_hapax * 1000000 div n_types AS BIGINT) AS hapax_ppm",
+    )
+
+
+@query("shuffle_partition_planner",
+    _ORACLES["shuffle_partition_planner"],
+    "S-tier capacity planning: exact per-table byte footprint (fixed widths + measured string bytes) -> partitions at a 128 MiB target and rows per partition — shuffle sizing FROM the data, not guessed",
+)
+def q_shuffle_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql.shuffle.partitions is the config everyone guesses:
+    this mart computes it. Exact byte footprint per fact table — fixed
+    widths for fixed-width columns plus MEASURED string bytes — then
+    partitions at the 128 MiB planning target and the implied rows per
+    partition. Four 1-row aggregates (bounded scalar class) unioned;
+    the number that seeds maxPartitionBytes/shuffle-partition sizing
+    at 1000x this fixture."""
+    specs = [
+        ("orders", "orders",
+         "count(*) * 36 + sum(length(o_orderstatus) + length(o_orderpriority))"),
+        ("lineitem", "lineitem",
+         "count(*) * 60 + sum(length(l_returnflag) + length(l_linestatus))"),
+        ("events", "events",
+         "count(*) * 36 + sum(length(event_type) + length(props))"),
+        ("documents", "documents",
+         "count(*) * 16 + sum(length(text) + length(lang) + length(source))"),
+    ]
+    outs = []
+    for name, tbl, bytes_expr in specs:
+        outs.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(f"CAST({bytes_expr} AS BIGINT)").alias("est_bytes"),
+            ).selectExpr(f"'{name}' AS table_name", "n_rows", "est_bytes")
+        )
+    t = outs[0]
+    for o in outs[1:]:
+        t = t.unionByName(o)
+    return t.selectExpr(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        "CAST((est_bytes + 134217727) div 134217728 AS BIGINT)"
+        " AS partitions_128mb",
+        "CAST(n_rows div ((est_bytes + 134217727) div 134217728) AS BIGINT)"
+        " AS rows_per_partition",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -14061,6 +14193,9 @@ _GATE_NEXT = [
     "metric_layer_rollup",
     "quantized_isotropy_audit",
     "percent_of_parent_drilldown",
+    "weighted_median_unit_price",
+    "hapax_ratio_by_source",
+    "shuffle_partition_planner",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1489,3 +1489,67 @@ def test_drilldown_shares_nest(spark):
         assert 1_000_000 - len(rs) <= s <= 1_000_000
         for r in rs:
             assert r.region_share_of_world_ppm == r.parent_cents * 1_000_000 // world
+
+
+# --- wave 50: weighted median / hapax / capacity planner ----------------------
+
+
+def test_weighted_median_vs_python(spark):
+    """Literal Python re-derivation of the weighted order statistic
+    for every brand."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    p = _read_parquet(spark, f"{SF_SMOKE}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    rows = li.join(p, li.l_partkey == p.p_partkey).selectExpr(
+        "p_brand AS brand",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " div CAST(l_quantity AS BIGINT) AS unit_cents",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r.brand, []).append(r)
+    got = {r.brand: r for r in
+           CATALOG["weighted_median_unit_price"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_brand)
+    for brand, rs in by_brand.items():
+        rs.sort(key=lambda r: (r.unit_cents, r.l_orderkey, r.l_linenumber))
+        total = sum(r.qty for r in rs)
+        thr = (total + 1) // 2
+        cum = 0
+        med = None
+        for r in rs:
+            cum += r.qty
+            if cum >= thr:
+                med = r.unit_cents
+                break
+        assert got[brand].total_qty == total
+        assert got[brand].weighted_median_unit_cents == med
+
+
+def test_hapax_census_bounds(spark):
+    """Types never exceed tokens; hapax never exceed types; ppm
+    arithmetic reconciles; every source appears."""
+    rows = CATALOG["hapax_ratio_by_source"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+        assert r.type_token_ppm == r.n_types * 1_000_000 // r.n_tokens
+        assert r.hapax_ppm == r.n_hapax * 1_000_000 // r.n_types
+
+
+def test_partition_planner_arithmetic(spark):
+    """Byte estimates are positive, partition math reconciles, and at
+    smoke scale everything fits one 128 MiB partition."""
+    rows = {r.table_name: r for r in
+            CATALOG["shuffle_partition_planner"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orders", "lineitem", "events", "documents"}
+    for r in rows.values():
+        assert r.est_bytes > r.n_rows  # at least a byte per row
+        assert r.partitions_128mb == (r.est_bytes + 134217727) // 134217728
+        assert r.rows_per_partition == r.n_rows // r.partitions_128mb
+        assert r.partitions_128mb == 1  # smoke fixture fits one target
