@@ -365,6 +365,9 @@ HEADLINE = [
     "weighted_median_unit_price",
     "hapax_ratio_by_source",
     "shuffle_partition_planner",
+    "ohlc_resample_consistency",
+    "attribution_window_sweep",
+    "q16_supplier_variety",
 ]
 
 

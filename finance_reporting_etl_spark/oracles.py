@@ -9393,3 +9393,122 @@ ORACLES["shuffle_partition_planner"] = """
                AS rows_per_partition
     FROM t
     """
+
+
+# --- round 10 (wave 51) -----------------------------------------------------
+
+# Resample-consistency audit: hourly OHLC bars re-aggregated to daily
+# must equal the directly-computed daily bars — the conservation law
+# any multi-granularity bar store must satisfy (open = first hour's
+# open, close = last hour's close, high/low = extrema). Exact integer
+# cents; match flags are integer comparisons.
+ORACLES["ohlc_resample_consistency"] = """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               date_trunc('hour', ts) AS hr, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    rh AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day, hr
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, day, hr
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e
+    ),
+    hb AS (
+        SELECT event_type, day, hr,
+               max(CASE WHEN ra = 1 THEN cents END) AS o,
+               max(cents) AS h, min(cents) AS l,
+               max(CASE WHEN rd = 1 THEN cents END) AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rh GROUP BY 1, 2, 3
+    ),
+    up AS (
+        SELECT event_type, day,
+               CAST(min_by(o, hr) AS BIGINT) AS open_up,
+               CAST(max(h) AS BIGINT) AS high_up,
+               CAST(min(l) AS BIGINT) AS low_up,
+               CAST(max_by(c, hr) AS BIGINT) AS close_up,
+               CAST(sum(n) AS BIGINT) AS n_up
+        FROM hb GROUP BY 1, 2
+    ),
+    rdw AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM e
+    ),
+    dd AS (
+        SELECT event_type, day,
+               CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_d,
+               CAST(max(cents) AS BIGINT) AS high_d,
+               CAST(min(cents) AS BIGINT) AS low_d,
+               CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_d,
+               CAST(count(*) AS BIGINT) AS n_d
+        FROM rdw GROUP BY 1, 2
+    )
+    SELECT up.event_type AS event_type, up.day AS day,
+           open_up, high_up, low_up, close_up, n_up,
+           CAST(CASE WHEN open_up = open_d AND high_up = high_d
+                      AND low_up = low_d AND close_up = close_d
+                      AND n_up = n_d
+                THEN 1 ELSE 0 END AS BIGINT) AS consistent
+    FROM up JOIN dd ON dd.event_type = up.event_type AND dd.day = up.day
+    """
+
+
+# Attribution-window sweep: purchases with >= 1 preceding view within
+# 1h / 6h / 24h, plus total view credits per window — the
+# marketing-analytics knob (too short starves attribution, too long
+# over-credits) measured instead of argued. Bucketed range joins per
+# window; exact integer census.
+ORACLES["attribution_window_sweep"] = """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM p),
+    sw AS (SELECT unnest([1, 6, 24]) AS win_hours),
+    j AS (
+        SELECT sw.win_hours, p.event_id,
+               CAST(count(v.vts) AS BIGINT) AS n_views
+        FROM sw
+        CROSS JOIN p
+        LEFT JOIN v ON v.user_id = p.user_id
+                   AND v.vts >= p.ts - win_hours * INTERVAL 1 HOUR
+                   AND v.vts < p.ts
+        GROUP BY 1, 2
+    )
+    SELECT CAST(win_hours AS BIGINT) AS win_hours,
+           n_purchases,
+           CAST(sum(CASE WHEN n_views > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS attributed_purchases,
+           CAST(sum(n_views) AS BIGINT) AS total_view_credits,
+           CAST(sum(CASE WHEN n_views > 0 THEN 1 ELSE 0 END) * 1000000
+                // n_purchases AS BIGINT) AS coverage_ppm
+    FROM j CROSS JOIN np
+    GROUP BY 1, 2
+    """
+
+
+# Q16-spirit supplier variety: distinct suppliers observed per
+# (brand, type) with a deterministic exclusion set (suppkey % 13 = 0
+# standing in for complaint-flagged suppliers) — the sourcing-breadth
+# question answered from lineitem observations (no partsupp in the
+# fixture). Exact integers.
+ORACLES["q16_supplier_variety"] = """
+    SELECT p.p_brand AS brand, p.p_type AS ptype,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey % 13 <> 0
+    GROUP BY 1, 2
+    """

@@ -1553,3 +1553,60 @@ def test_partition_planner_arithmetic(spark):
         assert r.partitions_128mb == (r.est_bytes + 134217727) // 134217728
         assert r.rows_per_partition == r.n_rows // r.partitions_128mb
         assert r.partitions_128mb == 1  # smoke fixture fits one target
+
+
+# --- wave 51: resample consistency / attribution sweep / Q16 ------------------
+
+
+def test_ohlc_resample_always_consistent(spark):
+    """On a tie-free tick key the conservation law must hold for every
+    (series, day); bars reconcile with ohlc_daily_bars."""
+    rows = CATALOG["ohlc_resample_consistency"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.consistent == 1 for r in rows)
+    daily = {(r.event_type, r.day): r for r in
+             CATALOG["ohlc_daily_bars"].fn(spark, SF_SMOKE).collect()}
+    for r in rows:
+        d = daily[(r.event_type, r.day)]
+        assert (r.open_up, r.high_up, r.low_up, r.close_up) == (
+            d.open_cents, d.high_cents, d.low_cents, d.close_cents
+        )
+
+
+def test_attribution_sweep_monotone_and_1h_matches(spark):
+    """Wider windows never attribute fewer purchases or credits; the
+    1h row reconciles with attribution_window_join's per-purchase
+    output."""
+    rows = sorted(
+        CATALOG["attribution_window_sweep"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.win_hours,
+    )
+    assert [r.win_hours for r in rows] == [1, 6, 24]
+    for a, b in zip(rows, rows[1:]):
+        assert a.attributed_purchases <= b.attributed_purchases
+        assert a.total_view_credits <= b.total_view_credits
+        assert a.coverage_ppm <= b.coverage_ppm
+    for r in rows:
+        assert r.coverage_ppm == r.attributed_purchases * 1_000_000 // r.n_purchases
+    awj = CATALOG["attribution_window_join"].fn(spark, SF_SMOKE).collect()
+    assert rows[0].n_purchases == len(awj)
+    assert rows[0].attributed_purchases == sum(1 for r in awj if r.n_views_1h > 0)
+    assert rows[0].total_view_credits == sum(r.n_views_1h for r in awj)
+
+
+def test_q16_variety_bounds(spark):
+    """Supplier counts are positive, never exceed the unflagged
+    supplier universe, and flagged suppliers are absent."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    li = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    n_unflagged = (
+        li.filter("l_suppkey % 13 <> 0").select("l_suppkey").distinct().count()
+    )
+    rows = CATALOG["q16_supplier_variety"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.supplier_cnt <= n_unflagged
+        assert r.n_lines >= r.supplier_cnt
+    total_lines = sum(r.n_lines for r in rows)
+    assert total_lines == li.filter("l_suppkey % 13 <> 0").count()
