@@ -368,6 +368,9 @@ HEADLINE = [
     "ohlc_resample_consistency",
     "attribution_window_sweep",
     "q16_supplier_variety",
+    "lsh_bucket_uniformity",
+    "cutoff_risk_census",
+    "accepted_values_census",
 ]
 
 

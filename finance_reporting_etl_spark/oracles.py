@@ -9512,3 +9512,92 @@ ORACLES["q16_supplier_variety"] = """
     WHERE l.l_suppkey % 13 <> 0
     GROUP BY 1, 2
     """
+
+
+# --- round 10 (wave 52) -----------------------------------------------------
+
+# LSH bucket-uniformity audit: occupancy census per hash table plus a
+# chi-square GOF statistic against the uniform expectation — a skewed
+# hyperplane table concentrates candidates and silently degrades to a
+# hot-bucket scan. Moments exact BIGINTs; chi2 is shared-text IEEE.
+ORACLES["lsh_bucket_uniformity"] = f"""
+    WITH b AS (SELECT * FROM '{_AUX_DIR}/unif_buckets/*.parquet'),
+    occ AS (
+        SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT tbl,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_vecs,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM occ GROUP BY 1
+    )
+    SELECT tbl, n_buckets, n_vecs, max_bucket,
+           CAST(max_bucket * 16 * 1000000 // n_vecs AS BIGINT)
+               AS max_over_expected_ppm,
+           CAST(16.0 AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+               / CAST(n_vecs AS DOUBLE) - CAST(n_vecs AS DOUBLE)
+               AS chi2_uniform
+    FROM m
+    """
+
+
+# Cut-off risk census: per order month, line items shipped in the
+# same month vs a later one — the accrual-cutoff exposure an auditor
+# samples around every period end. Exact integer counts and ppm.
+ORACLES["cutoff_risk_census"] = """
+    WITH j AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+               CASE WHEN date_trunc('month', l.l_shipdate)
+                         = date_trunc('month', o.o_orderdate)
+                    THEN 1 ELSE 0 END AS same_month
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT order_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(same_month) AS BIGINT) AS same_month_lines,
+           CAST(count(*) - sum(same_month) AS BIGINT) AS later_month_lines,
+           CAST((count(*) - sum(same_month)) * 1000000 // count(*)
+                AS BIGINT) AS crossing_ppm
+    FROM j GROUP BY 1
+    """
+
+
+# Accepted-values census: per enum-like column, rows inside/outside
+# the declared domain — dbt's accepted_values test as a queryable
+# mart (a clean fixture reads zero unexpected; the mart exists for
+# the load that breaks it). Exact integers.
+ORACLES["accepted_values_census"] = """
+    WITH t AS (
+        SELECT 'orders.o_orderstatus' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_unexpected,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_returnflag', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                             THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(count(DISTINCT l_returnflag) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_linestatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_linestatus IN ('F', 'O')
+                             THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(count(DISTINCT l_linestatus) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents.lang', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN lang IN ('en', 'fr', 'es', 'de', 'zh')
+                             THEN 0 ELSE 1 END) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT)
+        FROM documents
+    )
+    SELECT col_name, n_rows, n_unexpected, n_distinct,
+           CAST(n_unexpected * 1000000 // n_rows AS BIGINT)
+               AS unexpected_ppm
+    FROM t
+    """

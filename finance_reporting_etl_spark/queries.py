@@ -14157,6 +14157,137 @@ def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 52 — LSH uniformity, cutoff risk, accepted values
+# ---------------------------------------------------------------------------
+
+
+@query("lsh_bucket_uniformity",
+    _ORACLES["lsh_bucket_uniformity"],
+    "X2/X3 sketch QA: LSH bucket occupancy census + chi-square GOF vs uniform per hash table — a skewed table degrades to a hot-bucket scan; persisted-bucket oracle, exact moments",
+)
+def q_lsh_bucket_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARE the hyperplanes fair: a skewed hash table concentrates
+    vectors into hot buckets — candidate counts explode there and
+    recall starves elsewhere, while averages look fine. Per table:
+    occupancy census, max-over-expected ppm, and the chi-square GOF
+    statistic against uniform (16 buckets at 4 planes), from exact
+    BIGINT moments over the persisted bucket index. The LSH sibling
+    of ivf_cell_balance / shard_balance_audit."""
+    from finance_reporting_etl_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = _persist_aux(
+        spark, hyperplane_buckets(emb, n_planes=4, n_tables=8), "unif_buckets"
+    )
+    occ = buckets.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = occ.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    return m.selectExpr(
+        "tbl",
+        "n_buckets",
+        "n_vecs",
+        "max_bucket",
+        "CAST(max_bucket * 16 * 1000000 div n_vecs AS BIGINT)"
+        " AS max_over_expected_ppm",
+        "CAST(16.0 AS DOUBLE) * CAST(sum_sq AS DOUBLE)"
+        " / CAST(n_vecs AS DOUBLE) - CAST(n_vecs AS DOUBLE) AS chi2_uniform",
+    )
+
+
+@query("cutoff_risk_census",
+    _ORACLES["cutoff_risk_census"],
+    "§2.4/audit: accrual cut-off exposure per order month — lines shipping in a later month than ordered, exact counts + ppm; the period-end census an auditor samples around",
+)
+def q_cutoff_risk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognized in the wrong period hides exactly here: per
+    order month, the line items that shipped in a LATER month than
+    they were ordered — the population a cut-off test samples. One
+    fact join on the order key + one month-grain aggregate; exact
+    integer counts and crossing share in ppm. Companion of
+    revenue_recognition_monthly (which BOOKS by the convention this
+    census stress-tests)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("om"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.date_trunc("month", "l_shipdate").alias("sm")
+    )
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("om").cast("date").alias("order_month"),
+        (F.col("sm") == F.col("om")).cast("int").alias("same_month"),
+    )
+    return (
+        j.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("same_month").cast("bigint").alias("same_month_lines"),
+        )
+        .selectExpr(
+            "order_month",
+            "n_lines",
+            "same_month_lines",
+            "CAST(n_lines - same_month_lines AS BIGINT) AS later_month_lines",
+            "CAST((n_lines - same_month_lines) * 1000000 div n_lines"
+            " AS BIGINT) AS crossing_ppm",
+        )
+    )
+
+
+@query("accepted_values_census",
+    _ORACLES["accepted_values_census"],
+    "O-tier data quality: accepted-values census per enum column (rows outside the declared domain, exact ppm) — dbt's accepted_values test as a queryable mart",
+)
+def q_accepted_values_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enum-domain contract, reported instead of asserted: per
+    declared-domain column, rows outside the accepted set and the
+    distinct-value count (a new value shows up as n_distinct moving
+    before anything breaks). Four 1-row aggregates (bounded scalar
+    class) unioned; a clean fixture reads zero unexpected — the mart
+    exists for the load that breaks it. Completes the dbt-test mart
+    family (referential_orphan_census, table_freshness_audit)."""
+    specs = [
+        ("orders.o_orderstatus", "orders", "o_orderstatus", ("F", "O", "P")),
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag", ("A", "N", "R")),
+        ("lineitem.l_linestatus", "lineitem", "l_linestatus", ("F", "O")),
+        ("documents.lang", "documents", "lang", ("en", "fr", "es", "de", "zh")),
+    ]
+    outs = []
+    for name, tbl, col, accepted in specs:
+        lst = ", ".join(f"'{v}'" for v in accepted)
+        outs.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"CAST(sum(CASE WHEN {col} IN ({lst}) THEN 0 ELSE 1 END)"
+                    " AS BIGINT)"
+                ).alias("n_unexpected"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            ).selectExpr(
+                f"'{name}' AS col_name", "n_rows", "n_unexpected", "n_distinct"
+            )
+        )
+    t = outs[0]
+    for o in outs[1:]:
+        t = t.unionByName(o)
+    return t.selectExpr(
+        "col_name",
+        "n_rows",
+        "n_unexpected",
+        "n_distinct",
+        "CAST(n_unexpected * 1000000 div n_rows AS BIGINT) AS unexpected_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -14365,6 +14496,9 @@ _GATE_NEXT = [
     "ohlc_resample_consistency",
     "attribution_window_sweep",
     "q16_supplier_variety",
+    "lsh_bucket_uniformity",
+    "cutoff_risk_census",
+    "accepted_values_census",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

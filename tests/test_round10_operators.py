@@ -1610,3 +1610,56 @@ def test_q16_variety_bounds(spark):
         assert r.n_lines >= r.supplier_cnt
     total_lines = sum(r.n_lines for r in rows)
     assert total_lines == li.filter("l_suppkey % 13 <> 0").count()
+
+
+# --- wave 52: LSH uniformity / cutoff risk / accepted values ------------------
+
+
+def test_lsh_uniformity_moments_vs_python(spark):
+    """Chi-square recomputed literally from the persisted bucket
+    table; eight tables, mass conserved."""
+    from finance_reporting_etl_spark.oracles import _AUX_DIR
+
+    rows = {r.tbl: r for r in
+            CATALOG["lsh_bucket_uniformity"].fn(spark, SF_SMOKE).collect()}
+    assert len(rows) == 8
+    b = spark.read.parquet(f"{_AUX_DIR}/unif_buckets").collect()
+    occ: dict = {}
+    for x in b:
+        occ.setdefault(x.tbl, {}).setdefault(x.bucket, 0)
+        occ[x.tbl][x.bucket] += 1
+    for tbl, r in rows.items():
+        counts = list(occ[tbl].values())
+        n = sum(counts)
+        assert r.n_vecs == n
+        assert r.n_buckets == len(counts)
+        assert r.max_bucket == max(counts)
+        chi2 = 16.0 * float(sum(c * c for c in counts)) / float(n) - float(n)
+        assert r.chi2_uniform == chi2
+        assert r.max_over_expected_ppm == max(counts) * 16 * 1_000_000 // n
+
+
+def test_cutoff_census_reconciles(spark):
+    """Line totals reconcile with lineitem; crossing share is
+    floor-exact; months with orders near range end cross more."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    rows = CATALOG["cutoff_risk_census"].fn(spark, SF_SMOKE).collect()
+    li_n = _read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == li_n
+    for r in rows:
+        assert r.same_month_lines + r.later_month_lines == r.n_lines
+        assert r.crossing_ppm == r.later_month_lines * 1_000_000 // r.n_lines
+
+
+def test_accepted_values_clean_fixture(spark):
+    """A clean fixture has zero unexpected everywhere and the declared
+    domains' distinct counts never exceed the domain size."""
+    rows = {r.col_name: r for r in
+            CATALOG["accepted_values_census"].fn(spark, SF_SMOKE).collect()}
+    dom = {"orders.o_orderstatus": 3, "lineitem.l_returnflag": 3,
+           "lineitem.l_linestatus": 2, "documents.lang": 5}
+    assert set(rows) == set(dom)
+    for name, r in rows.items():
+        assert r.n_unexpected == 0 and r.unexpected_ppm == 0
+        assert 1 <= r.n_distinct <= dom[name]
