@@ -371,6 +371,9 @@ HEADLINE = [
     "lsh_bucket_uniformity",
     "cutoff_risk_census",
     "accepted_values_census",
+    "copurchase_degree_assortativity",
+    "chained_price_index_monthly",
+    "lang_id_confidence_margin",
 ]
 
 

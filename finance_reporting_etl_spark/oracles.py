@@ -9601,3 +9601,78 @@ ORACLES["accepted_values_census"] = """
                AS unexpected_ppm
     FROM t
     """
+
+
+# --- round 10 (wave 53) -----------------------------------------------------
+
+# Degree assortativity of the co-purchase graph: do high-degree parts
+# co-sell with high-degree parts (r > 0) or with the long tail
+# (r < 0)? Pearson over directed edge endpoint degrees — all moments
+# exact BIGINTs from the persisted symmetric pair table; r is one
+# shared-text IEEE expression.
+ORACLES["copurchase_degree_assortativity"] = f"""
+    WITH e AS (
+        SELECT src, dst
+        FROM '{_AUX_DIR}/copurchase_pairs/*.parquet'
+    ),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(ds.d) AS BIGINT) AS sum_d,
+               CAST(sum(ds.d * ds.d) AS BIGINT) AS sum_d2,
+               CAST(sum(ds.d * dd.d) AS BIGINT) AS sum_dudv
+        FROM e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+    )
+    SELECT n_edges, sum_d, sum_d2, sum_dudv,
+           (CAST(n_edges AS DOUBLE) * CAST(sum_dudv AS DOUBLE)
+            - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))
+           / (CAST(n_edges AS DOUBLE) * CAST(sum_d2 AS DOUBLE)
+              - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))
+               AS assortativity_r
+    FROM m
+    """
+
+
+# Chained Laspeyres / Paasche / Fisher price indices month over month:
+# unit prices and quantities aggregated per (month, part), consecutive
+# months joined per part via a lead() window (no self-join), index
+# numerators/denominators exact BIGINTs, the indices shared-text IEEE.
+ORACLES["chained_price_index_monthly"] = """
+    WITH mp AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT month, l_partkey, qty, rev // qty AS unit,
+               lead(month) OVER w AS n_month,
+               lead(qty) OVER w AS n_qty,
+               lead(rev) OVER w AS n_rev
+        FROM mp
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY month)
+    ),
+    c AS (
+        SELECT month AS base_month, n_month AS month,
+               unit AS p0, qty AS q0,
+               n_rev // n_qty AS p1, n_qty AS q1
+        FROM p
+        WHERE n_month = month + INTERVAL 1 MONTH
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_common_parts,
+           CAST(sum(p1 * q0) AS BIGINT) AS lasp_num,
+           CAST(sum(p0 * q0) AS BIGINT) AS lasp_den,
+           CAST(sum(p1 * q1) AS BIGINT) AS paasche_num,
+           CAST(sum(p0 * q1) AS BIGINT) AS paasche_den,
+           CAST(sum(p1 * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE)
+               AS laspeyres_index,
+           CAST(sum(p1 * q1) AS DOUBLE) / CAST(sum(p0 * q1) AS DOUBLE)
+               AS paasche_index,
+           sqrt((CAST(sum(p1 * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE))
+                * (CAST(sum(p1 * q1) AS DOUBLE)
+                   / CAST(sum(p0 * q1) AS DOUBLE))) AS fisher_index
+    FROM c GROUP BY 1
+    """

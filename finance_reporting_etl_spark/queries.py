@@ -14288,6 +14288,217 @@ def q_accepted_values_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 53 — graph assortativity, price indices, lang confidence
+# ---------------------------------------------------------------------------
+
+
+@query("copurchase_degree_assortativity",
+    _ORACLES["copurchase_degree_assortativity"],
+    "§2.5/graph analytics: degree assortativity of the co-purchase graph — Pearson over edge endpoint degrees from exact BIGINT moments; hub-with-hub vs hub-with-tail selling in one number",
+)
+def q_copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO hubs sell with hubs: positive assortativity means bundles
+    concentrate among popular parts (promote together), negative means
+    popular parts pull the long tail (recommendation opportunity). One
+    number summarizes what pagerank/triangle censuses show piecewise.
+    Degrees come from one aggregate over the shared persisted pair
+    table (symmetric by construction); all four moments are exact
+    BIGINTs; r is one shared-text IEEE expression."""
+    pairs = _copurchase_pairs(spark, sf_dir).select("src", "dst")
+    deg = pairs.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ds = deg.select(F.col("id").alias("s_id"), F.col("d").alias("du"))
+    dd = deg.select(F.col("id").alias("d_id"), F.col("d").alias("dv"))
+    m = (
+        pairs.join(F.broadcast(ds), F.col("s_id") == F.col("src"))
+        .join(F.broadcast(dd), F.col("d_id") == F.col("dst"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("du").cast("bigint").alias("sum_d"),
+            F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sum_d2"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sum_dudv"),
+        )
+    )
+    return m.selectExpr(
+        "n_edges",
+        "sum_d",
+        "sum_d2",
+        "sum_dudv",
+        "(CAST(n_edges AS DOUBLE) * CAST(sum_dudv AS DOUBLE)"
+        " - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))"
+        " / (CAST(n_edges AS DOUBLE) * CAST(sum_d2 AS DOUBLE)"
+        " - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))"
+        " AS assortativity_r",
+    )
+
+
+@query("chained_price_index_monthly",
+    _ORACLES["chained_price_index_monthly"],
+    "§2.4/econ: chained Laspeyres/Paasche/Fisher price indices month over month — per-part lead() window (no self-join), exact BIGINT numerators, shared-text IEEE indices",
+)
+def q_chained_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inflation for THIS catalog: the canonical index-number trio per
+    month — Laspeyres (base-weighted), Paasche (current-weighted),
+    Fisher (their geometric mean) — over parts trading in consecutive
+    months. Per-part unit prices are exact integer cents; consecutive
+    months meet through a lead() window per part (the one-scan shape,
+    never a self-join); every numerator/denominator is an exact BIGINT
+    and the indices are shared-text divisions. Generalizes
+    price_volume_mix_decomposition (one-step effects) into the
+    time-series economists actually chain."""
+    from pyspark.sql import Window
+
+    mp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("month")
+    p = (
+        mp.withColumn("unit", F.expr("rev div qty"))
+        .withColumn("n_month", F.lead("month").over(w))
+        .withColumn("n_qty", F.lead("qty").over(w))
+        .withColumn("n_rev", F.lead("rev").over(w))
+        .filter(F.col("n_month") == F.add_months("month", 1))
+        .select(
+            F.col("n_month").alias("month"),
+            F.col("unit").alias("p0"),
+            F.col("qty").alias("q0"),
+            F.expr("n_rev div n_qty").alias("p1"),
+            F.col("n_qty").alias("q1"),
+        )
+    )
+    return (
+        p.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+            F.sum(F.col("p1") * F.col("q0")).cast("bigint").alias("lasp_num"),
+            F.sum(F.col("p0") * F.col("q0")).cast("bigint").alias("lasp_den"),
+            F.sum(F.col("p1") * F.col("q1")).cast("bigint").alias("paasche_num"),
+            F.sum(F.col("p0") * F.col("q1")).cast("bigint").alias("paasche_den"),
+        )
+        .selectExpr(
+            "month",
+            "n_common_parts",
+            "lasp_num",
+            "lasp_den",
+            "paasche_num",
+            "paasche_den",
+            "CAST(lasp_num AS DOUBLE) / CAST(lasp_den AS DOUBLE)"
+            " AS laspeyres_index",
+            "CAST(paasche_num AS DOUBLE) / CAST(paasche_den AS DOUBLE)"
+            " AS paasche_index",
+            "sqrt((CAST(lasp_num AS DOUBLE) / CAST(lasp_den AS DOUBLE))"
+            " * (CAST(paasche_num AS DOUBLE) / CAST(paasche_den AS DOUBLE)))"
+            " AS fisher_index",
+        )
+    )
+
+
+def _lang_margin_oracle() -> str:
+    """Confidence-margin oracle composed over the language-ID marker
+    hits: best minus second-best marker count per document, with the
+    winner excluded from the runner-up via the same first-max-wins
+    CASE the classifier uses."""
+    from finance_reporting_etl_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t)))"
+            f" AS h_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    winner = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    second = "greatest(" + ", ".join(
+        f"(CASE WHEN lang_guess = '{lang}' THEN -1 ELSE h_{lang} END)"
+        for lang in langs
+    ) + ")"
+    return f"""
+    WITH h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM documents),
+    g AS (
+        SELECT doc_id, {', '.join('h_' + la for la in langs)},
+               CAST({best} AS BIGINT) AS best_hits,
+               {winner} AS lang_guess
+        FROM h
+    )
+    SELECT doc_id, lang_guess, best_hits,
+           CAST(greatest({second}, 0) AS BIGINT) AS second_hits,
+           CAST(best_hits - greatest({second}, 0) AS BIGINT) AS margin,
+           CAST(CASE WHEN best_hits - greatest({second}, 0) >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_confident
+    FROM g
+    """
+
+
+@query("lang_id_confidence_margin",
+    _lang_margin_oracle(),
+    "X4 classifier confidence: per-doc margin between best and second-best language marker counts — the routing signal between accept / send-to-review; exact integers",
+)
+def q_lang_id_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A guess with margin 1 is a coin flip; a guess with margin 5 is
+    a fact: per document, the winning marker count, the runner-up
+    (winner excluded via the same first-max-wins rule the classifier
+    applies), and the margin that routes docs between auto-accept and
+    review. Map-side only — marker hits ride the document scan; the
+    kappa/confusion family (waves 34, 37) gets its per-document
+    confidence companion."""
+    from finance_reporting_etl_spark.functions.text import (
+        LANG_MARKERS,
+        _marker_hits,
+        language_guess,
+        whitespace_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    hits = {
+        lang: _marker_hits(toks, ms) for lang, ms in sorted(LANG_MARKERS.items())
+    }
+    g = docs.select(
+        "doc_id",
+        language_guess("text").alias("lang_guess"),
+        F.greatest(*hits.values()).cast("bigint").alias("best_hits"),
+        *[h.alias(f"h_{lang}") for lang, h in sorted(hits.items())],
+    )
+    second = F.greatest(
+        *[
+            F.when(F.col("lang_guess") == lang, F.lit(-1)).otherwise(
+                F.col(f"h_{lang}")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    return g.select(
+        "doc_id",
+        "lang_guess",
+        "best_hits",
+        F.greatest(second, F.lit(0)).cast("bigint").alias("second_hits"),
+        (F.col("best_hits") - F.greatest(second, F.lit(0)))
+        .cast("bigint")
+        .alias("margin"),
+        (
+            (F.col("best_hits") - F.greatest(second, F.lit(0))) >= 2
+        )
+        .cast("bigint")
+        .alias("is_confident"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -14499,6 +14710,9 @@ _GATE_NEXT = [
     "lsh_bucket_uniformity",
     "cutoff_risk_census",
     "accepted_values_census",
+    "copurchase_degree_assortativity",
+    "chained_price_index_monthly",
+    "lang_id_confidence_margin",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1663,3 +1663,65 @@ def test_accepted_values_clean_fixture(spark):
     for name, r in rows.items():
         assert r.n_unexpected == 0 and r.unexpected_ppm == 0
         assert 1 <= r.n_distinct <= dom[name]
+
+
+# --- wave 53: assortativity / price indices / lang confidence -----------------
+
+
+def test_assortativity_vs_python(spark):
+    """Moments and r re-derived literally from the persisted pair
+    table; r lies in [-1, 1]."""
+    from finance_reporting_etl_spark.oracles import _AUX_DIR
+
+    r = CATALOG["copurchase_degree_assortativity"].fn(spark, SF_SMOKE).collect()[0]
+    pairs = spark.read.parquet(f"{_AUX_DIR}/copurchase_pairs").select(
+        "src", "dst"
+    ).collect()
+    deg: dict = {}
+    for p in pairs:
+        deg[p.src] = deg.get(p.src, 0) + 1
+    M = len(pairs)
+    sd = sum(deg[p.src] for p in pairs)
+    sd2 = sum(deg[p.src] ** 2 for p in pairs)
+    sdd = sum(deg[p.src] * deg[p.dst] for p in pairs)
+    assert (r.n_edges, r.sum_d, r.sum_d2, r.sum_dudv) == (M, sd, sd2, sdd)
+    want = (float(M) * float(sdd) - float(sd) * float(sd)) / (
+        float(M) * float(sd2) - float(sd) * float(sd)
+    )
+    assert r.assortativity_r == want
+    assert -1.0 <= r.assortativity_r <= 1.0
+
+
+def test_price_index_identities(spark):
+    """Laspeyres/Paasche are ratios of the emitted exact integers;
+    Fisher is their geometric mean; all indices positive."""
+    import math
+
+    rows = CATALOG["chained_price_index_monthly"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.laspeyres_index == float(r.lasp_num) / float(r.lasp_den)
+        assert r.paasche_index == float(r.paasche_num) / float(r.paasche_den)
+        assert r.fisher_index == math.sqrt(
+            (float(r.lasp_num) / float(r.lasp_den))
+            * (float(r.paasche_num) / float(r.paasche_den))
+        )
+        assert r.n_common_parts > 0
+        assert r.laspeyres_index > 0 and r.paasche_index > 0
+
+
+def test_lang_margin_consistent_with_guess(spark):
+    """margin = best - second >= 0; 'und' rows have best 0; the guess
+    column matches language_id's output row-for-row."""
+    rows = {r.doc_id: r for r in
+            CATALOG["lang_id_confidence_margin"].fn(spark, SF_SMOKE).collect()}
+    lid = {r.doc_id: r.lang_guess for r in
+           CATALOG["language_id"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(lid)
+    for did, r in rows.items():
+        assert r.lang_guess == lid[did]
+        assert 0 <= r.second_hits <= r.best_hits
+        assert r.margin == r.best_hits - r.second_hits
+        assert r.is_confident == (1 if r.margin >= 2 else 0)
+        if r.lang_guess == "und":
+            assert r.best_hits == 0 and r.margin == 0
