@@ -374,6 +374,8 @@ HEADLINE = [
     "copurchase_degree_assortativity",
     "chained_price_index_monthly",
     "lang_id_confidence_margin",
+    "watermark_disorder_census",
+    "transition_drift_by_state",
 ]
 
 

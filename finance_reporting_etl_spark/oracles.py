@@ -9676,3 +9676,82 @@ ORACLES["chained_price_index_monthly"] = """
                    / CAST(sum(p0 * q1) AS DOUBLE))) AS fisher_index
     FROM c GROUP BY 1
     """
+
+
+# --- round 10 (wave 54) -----------------------------------------------------
+
+# Watermark disorder census on deterministically jittered arrivals:
+# each event's arrival = event time + md5-seeded delay (pure integer
+# modulo — reproducible in both engines), lateness = how far the
+# event-time high-water mark had already passed it on arrival. The
+# bucket census is exactly the evidence a watermark delay is chosen
+# from. All integer arithmetic; per-user windows.
+ORACLES["watermark_disorder_census"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS t_us,
+               epoch_us(ts)
+               + CAST(CAST(concat('0x',
+                     substr(md5(CAST(event_id AS VARCHAR) || 'arr'), 1, 8))
+                     AS BIGINT) % 600000000 AS BIGINT) AS arr_us
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, t_us,
+               max(t_us) OVER (PARTITION BY user_id
+                               ORDER BY arr_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS hwm_us
+        FROM e
+    ),
+    l AS (
+        SELECT CASE
+                   WHEN hwm_us IS NULL OR hwm_us <= t_us THEN 0
+                   WHEN hwm_us - t_us <= 60000000 THEN 1
+                   WHEN hwm_us - t_us <= 300000000 THEN 2
+                   ELSE 3
+               END AS lateness_bucket
+        FROM r
+    )
+    SELECT CAST(lateness_bucket AS BIGINT) AS lateness_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * 1000000
+                // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+    FROM l GROUP BY 1
+    """
+
+
+# Markov transition drift by state: total-variation distance between
+# the first-half and second-half transition rows, per source state —
+# exact via the cross-multiplied form sum |c1*n2 - c2*n1| over the
+# bounded destination alphabet. The behavior-drift read on top of
+# event_transition_matrix.
+ORACLES["transition_drift_by_state"] = """
+    WITH p AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst,
+               ts
+        FROM events
+    ),
+    c AS (
+        SELECT src, dst,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                        ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+                        ELSE 0 END) AS BIGINT) AS c2
+        FROM p WHERE dst IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT src, CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM c GROUP BY 1
+    )
+    SELECT c.src AS src, n1, n2,
+           CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS l1_num,
+           CAST(sum(abs(c1 * n2 - c2 * n1)) * 1000000
+                // (2 * n1 * n2) AS BIGINT) AS tv_ppm
+    FROM c JOIN t ON t.src = c.src
+    GROUP BY 1, 2, 3
+    """

@@ -14499,6 +14499,132 @@ def q_lang_id_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 54 — watermark evidence, behavior drift
+# ---------------------------------------------------------------------------
+
+
+@query("watermark_disorder_census",
+    _ORACLES["watermark_disorder_census"],
+    "§2.8 streaming ops: lateness-bucket census on deterministically jittered arrivals (md5 integer delays) — the out-of-orderness evidence a watermark delay is chosen from; per-user windows, exact integers",
+)
+def q_watermark_disorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late is late: the watermark delay everyone sets by folklore
+    is a quantile of THIS census — per event, how far the event-time
+    high-water mark had already passed it when it arrived. Arrivals
+    are event time + an md5-seeded integer delay (pure modulo, so the
+    synthetic disorder is bit-identical in both engines — the same
+    trick the DP/noise operators use for reproducibility); lateness
+    buckets 0 / <=60s / <=5min / >5min. Per-user arrival windows (the
+    same partitioning a per-key watermark would use); one bounded
+    census. Companion of streaming_watermark_late_drop, which APPLIES
+    a watermark this census would justify."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (
+            F.unix_micros("ts")
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit("arr"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 600000000
+        ).alias("arr_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.withColumn("hwm_us", F.max("t_us").over(w))
+    l = r.select(
+        F.when(
+            F.col("hwm_us").isNull() | (F.col("hwm_us") <= F.col("t_us")), 0
+        )
+        .when(F.col("hwm_us") - F.col("t_us") <= 60000000, 1)
+        .when(F.col("hwm_us") - F.col("t_us") <= 300000000, 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("lateness_bucket")
+    )
+    from pyspark.sql import Window as W2
+
+    tot = W2.partitionBy()
+    return (
+        l.groupBy("lateness_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn("__tot", F.sum("n_events").over(tot))
+        .withColumn(
+            "share_ppm",
+            F.expr("(n_events * 1000000) div __tot").cast("bigint"),
+        )
+        .drop("__tot")
+    )
+
+
+@query("transition_drift_by_state",
+    _ORACLES["transition_drift_by_state"],
+    "§2.5/drift: total-variation distance between first-half and second-half Markov transition rows per source state — exact cross-multiplied integers over the bounded alphabet; the stationarity check behind event_transition_matrix",
+)
+def q_transition_drift_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A transition matrix is only useful if behavior is stationary:
+    per source state, the total-variation distance between the
+    first-half and second-half transition rows — exact through the
+    cross-multiplied form sum|c1*n2 - c2*n1| / (2*n1*n2) over the
+    bounded destination alphabet, so no per-cell float probabilities
+    ever exist. One lead() pass builds the pairs (the
+    event_transition_matrix shape); two conditional sums split the
+    halves in the same aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            "ts",
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    c = p.groupBy("src", "dst").agg(
+        F.sum((F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("int"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    t = c.groupBy(F.col("src").alias("t_src")).agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    return (
+        c.join(F.broadcast(t), F.col("t_src") == F.col("src"))
+        .groupBy("src", "n1", "n2")
+        .agg(
+            F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("bigint")
+            .alias("l1_num")
+        )
+        .selectExpr(
+            "src",
+            "n1",
+            "n2",
+            "l1_num",
+            "CAST(l1_num * 1000000 div (2 * n1 * n2) AS BIGINT) AS tv_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -14713,6 +14839,8 @@ _GATE_NEXT = [
     "copurchase_degree_assortativity",
     "chained_price_index_monthly",
     "lang_id_confidence_margin",
+    "watermark_disorder_census",
+    "transition_drift_by_state",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1725,3 +1725,56 @@ def test_lang_margin_consistent_with_guess(spark):
         assert r.is_confident == (1 if r.margin >= 2 else 0)
         if r.lang_guess == "und":
             assert r.best_hits == 0 and r.margin == 0
+
+
+# --- wave 54: watermark evidence / behavior drift -----------------------------
+
+
+def test_disorder_census_mass_and_shares(spark):
+    """Event mass conserved; buckets in domain; shares floor-exact;
+    jittered arrivals must produce SOME disorder (bucket > 0 mass)."""
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    rows = CATALOG["watermark_disorder_census"].fn(spark, SF_SMOKE).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == _read_parquet(spark, f"{SF_SMOKE}/events.parquet").count()
+    for r in rows:
+        assert 0 <= r.lateness_bucket <= 3
+        assert r.share_ppm == r.n_events * 1_000_000 // total
+    assert sum(r.n_events for r in rows if r.lateness_bucket > 0) > 0
+
+
+def test_transition_drift_vs_python(spark):
+    """TV distance re-derived literally from per-user event sequences
+    split at the fixed boundary; tv in [0, 1e6]."""
+    import datetime
+
+    from finance_reporting_etl_spark.tables import _read_parquet
+
+    ev = _read_parquet(spark, f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    mid = datetime.datetime(2024, 1, 16)
+    c: dict = {}
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(es, es[1:]):
+            half = 0 if a.ts < mid else 1
+            key = (a.event_type, b.event_type)
+            c.setdefault(key, [0, 0])[half] += 1
+    srcs = {s for s, _ in c}
+    rows = {r.src: r for r in
+            CATALOG["transition_drift_by_state"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == srcs
+    for s in srcs:
+        cells = {d: v for (ss, d), v in c.items() if ss == s}
+        n1 = sum(v[0] for v in cells.values())
+        n2 = sum(v[1] for v in cells.values())
+        l1 = sum(abs(v[0] * n2 - v[1] * n1) for v in cells.values())
+        r = rows[s]
+        assert (r.n1, r.n2, r.l1_num) == (n1, n2, l1)
+        assert r.tv_ppm == l1 * 1_000_000 // (2 * n1 * n2)
+        assert 0 <= r.tv_ppm <= 1_000_000
