@@ -376,6 +376,7 @@ HEADLINE = [
     "lang_id_confidence_margin",
     "watermark_disorder_census",
     "transition_drift_by_state",
+    "growth_accounting_weekly",
 ]
 
 

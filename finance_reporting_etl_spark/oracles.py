@@ -9755,3 +9755,53 @@ ORACLES["transition_drift_by_state"] = """
     FROM c JOIN t ON t.src = c.src
     GROUP BY 1, 2, 3
     """
+
+
+# --- round 10 (wave 55) -----------------------------------------------------
+
+# Growth accounting (the SaaS revenue bridge): week-over-week revenue
+# change decomposed into new + expansion - contraction - churned
+# customer cohorts, with the identity delta == new + exp - con -
+# churn holding in exact cents by construction. One full outer join
+# of the user-week frame against itself shifted a week — composite
+# key-equi-join, co-partitioned, never a cross product.
+ORACLES["growth_accounting_weekly"] = """
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(week) AS minw, max(week) AS maxw FROM uw),
+    cur AS (
+        SELECT user_id, week, cents FROM uw CROSS JOIN bounds
+        WHERE week > minw
+    ),
+    prv AS (
+        SELECT user_id, CAST(week + INTERVAL 7 DAY AS DATE) AS week,
+               cents AS pcents
+        FROM uw
+    ),
+    j AS (
+        SELECT COALESCE(cur.week, prv.week) AS week, cur.cents, prv.pcents
+        FROM cur
+        FULL JOIN prv ON prv.user_id = cur.user_id AND prv.week = cur.week
+    )
+    SELECT week,
+           CAST(sum(CASE WHEN pcents IS NULL THEN cents ELSE 0 END)
+                AS BIGINT) AS new_cents,
+           CAST(sum(CASE WHEN cents IS NOT NULL AND pcents IS NOT NULL
+                          AND cents > pcents THEN cents - pcents ELSE 0 END)
+                AS BIGINT) AS expansion_cents,
+           CAST(sum(CASE WHEN cents IS NOT NULL AND pcents IS NOT NULL
+                          AND cents < pcents THEN pcents - cents ELSE 0 END)
+                AS BIGINT) AS contraction_cents,
+           CAST(sum(CASE WHEN cents IS NULL THEN pcents ELSE 0 END)
+                AS BIGINT) AS churned_cents,
+           CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS revenue_cents,
+           CAST(sum(COALESCE(cents, 0)) - sum(COALESCE(pcents, 0))
+                AS BIGINT) AS delta_cents
+    FROM j CROSS JOIN bounds
+    WHERE COALESCE(j.week, DATE '1970-01-05') <= maxw
+      AND COALESCE(j.week, DATE '1970-01-05') > minw
+    GROUP BY 1
+    """

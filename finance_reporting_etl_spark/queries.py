@@ -14625,6 +14625,100 @@ def q_transition_drift_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 wave 55 — growth accounting
+# ---------------------------------------------------------------------------
+
+
+@query("growth_accounting_weekly",
+    _ORACLES["growth_accounting_weekly"],
+    "A-tier SaaS finance: weekly growth accounting — revenue delta decomposed into new + expansion - contraction - churned cohorts, identity exact in BIGINT cents by construction",
+)
+def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE did the growth come from: the revenue-change bridge every
+    SaaS board deck carries — new customers, expansion and contraction
+    among retained ones, churned revenue — with the identity
+    delta == new + expansion - contraction - churned holding in exact
+    cents BY CONSTRUCTION (every user-week lands in exactly one term).
+    One full outer join of the user-week frame against itself shifted
+    a week (composite key-equi-join, co-partitioned); bounds ride a
+    1-row broadcast. Completes the retention suite: NRR gives the
+    ratio, this gives the decomposition it summarizes."""
+    uw = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    bounds = uw.agg(
+        F.min("week").alias("minw"), F.max("week").alias("maxw")
+    )
+    cur = (
+        uw.crossJoin(F.broadcast(bounds))
+        .filter(F.col("week") > F.col("minw"))
+        .select("user_id", "week", "cents")
+    )
+    prv = uw.select(
+        F.col("user_id").alias("p_user"),
+        F.date_add("week", 7).alias("p_week"),
+        F.col("cents").alias("pcents"),
+    )
+    j = cur.join(
+        prv,
+        (F.col("p_user") == F.col("user_id")) & (F.col("p_week") == F.col("week")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("week"), F.col("p_week")).alias("wk"),
+        "cents",
+        "pcents",
+    )
+    out = (
+        j.crossJoin(F.broadcast(bounds))
+        .filter((F.col("wk") <= F.col("maxw")) & (F.col("wk") > F.col("minw")))
+        .groupBy(F.col("wk").alias("week"))
+        .agg(
+            F.sum(F.when(F.col("pcents").isNull(), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(
+                F.when(
+                    F.col("cents").isNotNull()
+                    & F.col("pcents").isNotNull()
+                    & (F.col("cents") > F.col("pcents")),
+                    F.col("cents") - F.col("pcents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    F.col("cents").isNotNull()
+                    & F.col("pcents").isNotNull()
+                    & (F.col("cents") < F.col("pcents")),
+                    F.col("pcents") - F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contraction_cents"),
+            F.sum(F.when(F.col("cents").isNull(), F.col("pcents")).otherwise(0))
+            .cast("bigint")
+            .alias("churned_cents"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            (
+                F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+                - F.sum(F.coalesce(F.col("pcents"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("delta_cents"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 
 # Round-10 gate window (driver verifies the first 50 catalog entries):
 # the 13 round-9 additions that have never held a driver gate slot,
@@ -14841,6 +14935,7 @@ _GATE_NEXT = [
     "lang_id_confidence_margin",
     "watermark_disorder_census",
     "transition_drift_by_state",
+    "growth_accounting_weekly",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

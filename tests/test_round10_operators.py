@@ -1778,3 +1778,36 @@ def test_transition_drift_vs_python(spark):
         assert (r.n1, r.n2, r.l1_num) == (n1, n2, l1)
         assert r.tv_ppm == l1 * 1_000_000 // (2 * n1 * n2)
         assert 0 <= r.tv_ppm <= 1_000_000
+
+
+# --- wave 55: growth accounting -----------------------------------------------
+
+
+def test_growth_accounting_identity_and_nrr_link(spark):
+    """The bridge identity holds per week in exact cents, and the
+    retained-revenue implied by the bridge reconciles with the NRR
+    frame: next_week_rev (same users) = prev_rev + exp - con."""
+    rows = {r.week: r for r in
+            CATALOG["growth_accounting_weekly"].fn(spark, SF_SMOKE).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.delta_cents == (
+            r.new_cents + r.expansion_cents - r.contraction_cents
+            - r.churned_cents
+        )
+        assert min(r.new_cents, r.expansion_cents, r.contraction_cents,
+                   r.churned_cents) >= 0
+    nrr = {r.week: r for r in
+           CATALOG["net_revenue_retention"].fn(spark, SF_SMOKE).collect()}
+    # bridge week w decomposes the change from w-7; NRR at week w-7
+    # re-measures the SAME cohort at w: cohort_rev + exp - con - churn
+    import datetime
+
+    for w, r in rows.items():
+        prev = w - datetime.timedelta(days=7)
+        if prev in nrr:
+            n = nrr[prev]
+            assert n.next_week_rev_cents == (
+                n.cohort_rev_cents + r.expansion_cents
+                - r.contraction_cents - r.churned_cents
+            )
