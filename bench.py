@@ -65,6 +65,7 @@ HEADLINE = [
     "order_price_quantiles",
     "dedup_clusters",
     "q10_returned_item_revenue",
+    "q12_late_shipment_priority",
     "q14_promo_revenue_share",
     "q19_bracketed_discount_revenue",
     "q13_order_count_distribution",
@@ -380,6 +381,80 @@ HEADLINE = [
 ]
 
 
+# Fixed representative panel (VERDICT r10 task 4): the round-over-round
+# comparable subset. The full HEADLINE total grows with every round
+# (312 queries in r10), so its total is uninformative across rounds;
+# this panel is PINNED — names may never be removed or reordered, only
+# the panel_total_sec compared round to round under the stable
+# BENCH_DETAIL key "panel". Composition: the flagship finance chain,
+# all 16 TPC-H analogs the fixture supports, the core event operators,
+# one representative per LLM-pipeline family (dedup, ANN/embedding,
+# text/corpus, multimodal), and the 4 heaviest catalog plans.
+PANEL = [
+    # flagship finance chain + marts
+    "mart_financial_summary",
+    "mart_financial_kpis",
+    "economic_indicators",
+    "finance_daily_pipeline",
+    "balance_rollforward_monthly",
+    "cash_flow_indirect_monthly",
+    "net_revenue_retention",
+    "growth_accounting_weekly",
+    # TPC-H analogs
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "q10_returned_item_revenue",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_bracketed_discount_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    # core event operators
+    "sessionize_events",
+    "hourly_event_rollup",
+    "merge_latest_per_key",
+    "pivot_by_report_type",
+    "event_funnel",
+    "cohort_retention",
+    # dedup family
+    "dedup_exact",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "semantic_dedup",
+    "dedup_cluster_canonicalize",
+    # ANN / embedding family
+    "similarity_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "cross_encoder_rerank_eval",
+    "embedding_int8_quantize",
+    "pca_embedding_projection",
+    # text / corpus family
+    "lm_quality_scores",
+    "tfidf_top_terms",
+    "bm25_search_topk",
+    "sequence_packing",
+    "decontaminate_4gram",
+    # multimodal family
+    "media_decode_features",
+    # heaviest catalog plans
+    "part_copurchase_pagerank",
+    "streaming_kmv_sketch_maintain",
+    "streaming_intercompany_elimination",
+    "ann_ivf_nprobe_sweep",
+]
+assert set(PANEL) <= set(HEADLINE), sorted(set(PANEL) - set(HEADLINE))
+assert len(PANEL) == len(set(PANEL))
+
+
 # Per-round measurement notes carried into BENCH_DETAIL.json.
 NOTES = {
     "_round_interpretation": (
@@ -416,6 +491,13 @@ NOTES = {
 }
 
 
+def panel_total(timings: dict[str, float]) -> float:
+    """Round-over-round comparable number: total over the PINNED panel
+    (only panel queries with a recorded timing count — a panel query
+    that errored carries its penalty timing, so it still costs)."""
+    return round(sum(timings[n] for n in PANEL if n in timings), 3)
+
+
 def compact_line(timings: dict[str, float], sf: float, budget: int = 1700) -> str:
     """The stdout JSON line, char-budgeted: the driver keeps only the
     LAST 2000 characters of bench output and parses the final line as
@@ -432,6 +514,8 @@ def compact_line(timings: dict[str, float], sf: float, budget: int = 1700) -> st
         "queries": compact,
         "sf": sf,
         "n_queries": len(timings),
+        "panel_total_sec": panel_total(timings),
+        "panel_n": len(PANEL),
         "queries_are": "slowest_subset",
         "detail": "BENCH_DETAIL.json",
     }
@@ -511,6 +595,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "panel": {
+                    "metric": "panel_total_sec",
+                    "value": panel_total(timings),
+                    "n_queries": len(PANEL),
+                    "queries": {
+                        n: timings[n] for n in PANEL if n in timings
+                    },
+                },
                 "errors": errors,
                 "flaky": flaky,
                 "error_penalty_sec": {

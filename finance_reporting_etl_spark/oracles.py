@@ -8999,17 +8999,28 @@ ORACLES["ils_diversity_eval"] = f"""
 _BLOOM_MEM = ("SELECT DISTINCT o_custkey AS k FROM orders"
               " WHERE o_orderpriority = '1-URGENT'")
 _BLOOM_PRB = "SELECT c_custkey AS k FROM customer"
-ORACLES["bloom_fpr_sweep"] = """
-    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
-               n_false_positive, fpr,
-               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
-        FROM (
+def _bloom_fpr_cfg_sql(m_bits: int) -> str:
+    """One sweep config: the membership-oracle block parameterized by
+    filter size (the 12-nibble md5 hash expansion appears once here
+    instead of six machine-expanded copies — ADVICE r10; generated SQL
+    verified character-identical to the previous inline literal)."""
+    hashes = []
+    for lo in (1, 5, 9):
+        e = "0"
+        for i in range(lo, lo + 4):
+            e = (f"({e} * 16 + instr('0123456789abcdef', "
+                 f"substr(md5(CAST(k AS VARCHAR) || 'bfs'), {i}, 1)) - 1)")
+        hashes.append(f"(CAST({e} AS BIGINT) % {m_bits})")
+    h = ", ".join(hashes)
+    raw_fpr = (
+        "CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)"
+    )
+    return f"""
     WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
     probes AS (SELECT c_custkey AS k FROM customer),
-    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 1024)]) AS pos FROM mem),
-    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 1024), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 1024)]) AS pos
+    bits AS (SELECT DISTINCT unnest([{h}]) AS pos FROM mem),
+    pp AS (SELECT k, unnest([{h}]) AS pos
            FROM (SELECT DISTINCT k FROM probes)),
     hits AS (SELECT pp.k, count(*) AS h
              FROM pp JOIN bits USING (pos) GROUP BY 1),
@@ -9021,84 +9032,29 @@ ORACLES["bloom_fpr_sweep"] = """
         LEFT JOIN hits ON p.k = hits.k
         LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
     )
-    SELECT CAST(1024 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
+    SELECT CAST({m_bits} AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
            (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
            (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
            CAST(count(*) AS BIGINT) AS n_probed,
            CAST(sum(bp) AS BIGINT) AS n_positive,
            CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_positive,
-           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
+           {_dr_top(raw_fpr, 6)}
                AS fpr
     FROM flag
-    )
-    UNION ALL
-    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
-               n_false_positive, fpr,
-               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
-        FROM (
-    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
-    probes AS (SELECT c_custkey AS k FROM customer),
-    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 4096)]) AS pos FROM mem),
-    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 4096), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 4096)]) AS pos
-           FROM (SELECT DISTINCT k FROM probes)),
-    hits AS (SELECT pp.k, count(*) AS h
-             FROM pp JOIN bits USING (pos) GROUP BY 1),
-    flag AS (
-        SELECT p.k,
-               CASE WHEN coalesce(h, 0) = 3 THEN 1 ELSE 0 END AS bp,
-               CASE WHEN mm.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
-        FROM probes p
-        LEFT JOIN hits ON p.k = hits.k
-        LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
-    )
-    SELECT CAST(4096 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
-           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
-           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
-           CAST(count(*) AS BIGINT) AS n_probed,
-           CAST(sum(bp) AS BIGINT) AS n_positive,
-           CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_false_positive,
-           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
-               AS fpr
-    FROM flag
-    )
-    UNION ALL
-    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
-               n_false_positive, fpr,
-               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
-               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
-        FROM (
-    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
-    probes AS (SELECT c_custkey AS k FROM customer),
-    bits AS (SELECT DISTINCT unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 16384)]) AS pos FROM mem),
-    pp AS (SELECT k, unnest([(CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 4, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 8, 1)) - 1) AS BIGINT) % 16384), (CAST(((((0 * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 9, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 10, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 11, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(CAST(k AS VARCHAR) || 'bfs'), 12, 1)) - 1) AS BIGINT) % 16384)]) AS pos
-           FROM (SELECT DISTINCT k FROM probes)),
-    hits AS (SELECT pp.k, count(*) AS h
-             FROM pp JOIN bits USING (pos) GROUP BY 1),
-    flag AS (
-        SELECT p.k,
-               CASE WHEN coalesce(h, 0) = 3 THEN 1 ELSE 0 END AS bp,
-               CASE WHEN mm.k IS NOT NULL THEN 1 ELSE 0 END AS is_m
-        FROM probes p
-        LEFT JOIN hits ON p.k = hits.k
-        LEFT JOIN (SELECT DISTINCT k FROM mem) mm ON p.k = mm.k
-    )
-    SELECT CAST(16384 AS INT) AS m_bits, CAST(3 AS INT) AS k_hashes,
-           (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
-           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
-           CAST(count(*) AS BIGINT) AS n_probed,
-           CAST(sum(bp) AS BIGINT) AS n_positive,
-           CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_false_positive,
-           (CASE WHEN isnan(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) AS DOUBLE)) >= 4611686018427.388 THEN (CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) ELSE floor((CAST(sum(CASE WHEN bp = 1 AND is_m = 0 THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) - sum(is_m) AS DOUBLE), 0.0)) * 1000000.0 + 0.5) / 1000000.0 END)
-               AS fpr
-    FROM flag
-    )
     """
+
+
+_BLOOM_HEAD = """
+    SELECT m_bits, k_hashes, n_members, bits_set, n_probed, n_positive,
+               n_false_positive, fpr,
+               (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE))
+               * (CAST(bits_set AS DOUBLE) / CAST(m_bits AS DOUBLE)) AS fpr_theory
+        FROM ("""
+ORACLES["bloom_fpr_sweep"] = "\n    UNION ALL".join(
+    _BLOOM_HEAD + _bloom_fpr_cfg_sql(m) + ")" for m in (1024, 4096, 16384)
+) + "\n    "
 
 
 # Cross-source exact-duplicate census: fingerprint groups of size >= 2
@@ -9750,8 +9706,9 @@ ORACLES["transition_drift_by_state"] = """
     )
     SELECT c.src AS src, n1, n2,
            CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS l1_num,
-           CAST(sum(abs(c1 * n2 - c2 * n1)) * 1000000
-                // (2 * n1 * n2) AS BIGINT) AS tv_ppm
+           CASE WHEN n1 * n2 > 0 THEN
+               CAST(sum(abs(c1 * n2 - c2 * n1)) * 1000000
+                    // (2 * n1 * n2) AS BIGINT) END AS tv_ppm
     FROM c JOIN t ON t.src = c.src
     GROUP BY 1, 2, 3
     """
@@ -9760,11 +9717,13 @@ ORACLES["transition_drift_by_state"] = """
 # --- round 10 (wave 55) -----------------------------------------------------
 
 # Growth accounting (the SaaS revenue bridge): week-over-week revenue
-# change decomposed into new + expansion - contraction - churned
-# customer cohorts, with the identity delta == new + exp - con -
-# churn holding in exact cents by construction. One full outer join
-# of the user-week frame against itself shifted a week — composite
-# key-equi-join, co-partitioned, never a cross product.
+# change decomposed into new + resurrected + expansion - contraction
+# - churned customer cohorts (new = first-ever week; resurrected =
+# returning after a lapse of >= 2 weeks), with the identity
+# delta == new + res + exp - con - churn holding in exact cents by
+# construction. One full outer join of the user-week frame against
+# itself shifted a week — composite key-equi-join, co-partitioned,
+# never a cross product — plus a per-user first-week equi-join.
 ORACLES["growth_accounting_weekly"] = """
     WITH uw AS (
         SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -9772,6 +9731,9 @@ ORACLES["growth_accounting_weekly"] = """
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     bounds AS (SELECT min(week) AS minw, max(week) AS maxw FROM uw),
+    firstw AS (
+        SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1
+    ),
     cur AS (
         SELECT user_id, week, cents FROM uw CROSS JOIN bounds
         WHERE week > minw
@@ -9782,13 +9744,18 @@ ORACLES["growth_accounting_weekly"] = """
         FROM uw
     ),
     j AS (
-        SELECT COALESCE(cur.week, prv.week) AS week, cur.cents, prv.pcents
+        SELECT COALESCE(cur.user_id, prv.user_id) AS uid,
+               COALESCE(cur.week, prv.week) AS week, cur.cents, prv.pcents
         FROM cur
         FULL JOIN prv ON prv.user_id = cur.user_id AND prv.week = cur.week
     )
     SELECT week,
-           CAST(sum(CASE WHEN pcents IS NULL THEN cents ELSE 0 END)
+           CAST(sum(CASE WHEN pcents IS NULL AND week = first_week
+                         THEN cents ELSE 0 END)
                 AS BIGINT) AS new_cents,
+           CAST(sum(CASE WHEN pcents IS NULL AND week > first_week
+                         THEN cents ELSE 0 END)
+                AS BIGINT) AS resurrected_cents,
            CAST(sum(CASE WHEN cents IS NOT NULL AND pcents IS NOT NULL
                           AND cents > pcents THEN cents - pcents ELSE 0 END)
                 AS BIGINT) AS expansion_cents,
@@ -9800,7 +9767,9 @@ ORACLES["growth_accounting_weekly"] = """
            CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS revenue_cents,
            CAST(sum(COALESCE(cents, 0)) - sum(COALESCE(pcents, 0))
                 AS BIGINT) AS delta_cents
-    FROM j CROSS JOIN bounds
+    FROM j
+    JOIN firstw ON firstw.user_id = j.uid
+    CROSS JOIN bounds
     WHERE COALESCE(j.week, DATE '1970-01-05') <= maxw
       AND COALESCE(j.week, DATE '1970-01-05') > minw
     GROUP BY 1

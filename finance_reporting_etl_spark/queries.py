@@ -14619,7 +14619,11 @@ def q_transition_drift_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             "l1_num",
-            "CAST(l1_num * 1000000 div (2 * n1 * n2) AS BIGINT) AS tv_ppm",
+            # guard: if a state has no pairs in one half (n1*n2 = 0) the
+            # TV distance is undefined — emit NULL identically in both
+            # engines instead of diverging (Spark div→NULL, DuckDB //→err)
+            "CASE WHEN n1 * n2 > 0 THEN "
+            "CAST(l1_num * 1000000 div (2 * n1 * n2) AS BIGINT) END AS tv_ppm",
         )
     )
 
@@ -14631,18 +14635,20 @@ def q_transition_drift_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("growth_accounting_weekly",
     _ORACLES["growth_accounting_weekly"],
-    "A-tier SaaS finance: weekly growth accounting — revenue delta decomposed into new + expansion - contraction - churned cohorts, identity exact in BIGINT cents by construction",
+    "A-tier SaaS finance: weekly growth accounting — revenue delta decomposed into new + resurrected + expansion - contraction - churned cohorts, identity exact in BIGINT cents by construction",
 )
 def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE did the growth come from: the revenue-change bridge every
-    SaaS board deck carries — new customers, expansion and contraction
-    among retained ones, churned revenue — with the identity
-    delta == new + expansion - contraction - churned holding in exact
-    cents BY CONSTRUCTION (every user-week lands in exactly one term).
-    One full outer join of the user-week frame against itself shifted
-    a week (composite key-equi-join, co-partitioned); bounds ride a
-    1-row broadcast. Completes the retention suite: NRR gives the
-    ratio, this gives the decomposition it summarizes."""
+    SaaS board deck carries — new customers (first-ever week),
+    resurrected (returning after a lapse of >= 2 weeks), expansion and
+    contraction among retained ones, churned revenue — with the
+    identity delta == new + resurrected + expansion - contraction
+    - churned holding in exact cents BY CONSTRUCTION (every user-week
+    lands in exactly one term). One full outer join of the user-week
+    frame against itself shifted a week (composite key-equi-join,
+    co-partitioned) plus a per-user first-week equi-join on the same
+    key; bounds ride a 1-row broadcast. Completes the retention suite:
+    NRR gives the ratio, this gives the decomposition it summarizes."""
     uw = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -14654,6 +14660,9 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = uw.agg(
         F.min("week").alias("minw"), F.max("week").alias("maxw")
     )
+    firstw = uw.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.min("week").alias("first_week")
+    )
     cur = (
         uw.crossJoin(F.broadcast(bounds))
         .filter(F.col("week") > F.col("minw"))
@@ -14664,23 +14673,45 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("week", 7).alias("p_week"),
         F.col("cents").alias("pcents"),
     )
-    j = cur.join(
-        prv,
-        (F.col("p_user") == F.col("user_id")) & (F.col("p_week") == F.col("week")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("week"), F.col("p_week")).alias("wk"),
-        "cents",
-        "pcents",
+    j = (
+        cur.join(
+            prv,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_week") == F.col("week")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("user_id"), F.col("p_user")).alias("uid"),
+            F.coalesce(F.col("week"), F.col("p_week")).alias("wk"),
+            "cents",
+            "pcents",
+        )
+        .join(firstw, F.col("f_user") == F.col("uid"))
+        .select("wk", "cents", "pcents", "first_week")
     )
     out = (
         j.crossJoin(F.broadcast(bounds))
         .filter((F.col("wk") <= F.col("maxw")) & (F.col("wk") > F.col("minw")))
         .groupBy(F.col("wk").alias("week"))
         .agg(
-            F.sum(F.when(F.col("pcents").isNull(), F.col("cents")).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("pcents").isNull()
+                    & (F.col("wk") == F.col("first_week")),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("new_cents"),
+            F.sum(
+                F.when(
+                    F.col("pcents").isNull()
+                    & (F.col("wk") > F.col("first_week")),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("resurrected_cents"),
             F.sum(
                 F.when(
                     F.col("cents").isNotNull()
@@ -14720,86 +14751,121 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
-# Round-10 gate window (driver verifies the first 50 catalog entries):
-# the 13 round-9 additions that have never held a driver gate slot,
-# then the 37 least-recently-gated r4-era entries (last green driver
-# row: round 4). The r9 board was fully green, so no re-gated fixes
-# lead this window — pure staleness rotation. Every entry here is
+# Round-11 gate window (driver verifies the first 50 catalog entries):
+# 50 of the 85 round-10 additions that have NEVER held a driver gate
+# slot (wave order; `quantized_isotropy_audit` swapped in for
+# `fiscal_445_rollup` so the full privacy-triad + quantized-geometry
+# audit block rides this window, VERDICT r10 task 5). No re-gated
+# fixes lead this window — the r10 board was fully green, so this is
+# pure never-gated debt paydown (VERDICT r10 task 1). Every entry is
 # local-oracle-verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp
 # compare) AND at sf0.01 with EXACT float compare
-# (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01
-# — the r7 failures were sub-ulp drift invisible below sf0.01).
+# (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01).
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- round-9 additions, never driver-gated (13) — lead the window ----
-    "ar_aging_buckets",
-    "interest_accrual_day_count",
-    "event_type_entropy_daily",
-    "order_fulfillment_quantiles",
-    "dup_cluster_size_histogram",
-    "minhash_estimate_error",
-    "ngram_novelty_scores",
-    "fx_gain_loss_realized",
-    "streaming_ar_aging",
-    "lsh_band_sweep_recall",
-    "dso_monthly",
-    "gross_to_net_waterfall",
-    "streaming_entropy_monitor",
-    # -- least-recently-gated: 37 of the 42 r4-era entries (last green
-    #    driver row: r4), catalog order ----------------------------------
-    "doc_fingerprints",
-    "embedding_cosine_dups",
-    "hourly_event_rollup",
-    "language_id",
-    "lookup_join_broadcast",
-    "lsh_embedding_cosine_dups",
-    "media_decode_features",
-    "media_feature_extract",
-    "merge_latest_per_key",
-    "minhash_lsh_near_dup",
-    "monthly_trend_mom",
-    "multimodal_bundle",
-    "ngram_jaccard_pairs",
-    "order_price_quantiles",
-    "pivot_by_report_type",
-    "price_quantiles_distributed",
-    "q10_returned_item_revenue",
-    "q12_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_bracketed_discount_revenue",
-    "q1_pricing_summary",
-    "q22_idle_rich_customers",
-    "q3_top_orders",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "quality_scores",
-    "regional_revenue",
-    "regional_rollup",
-    "retention_filter",
-    "rolling_hash_fingerprints",
-    "sequence_packing",
-    "sessionize_events",
-    "simhash_near_dup",
+    "balance_rollforward_monthly",
+    "streaming_balance_rollforward",
+    "cash_flow_indirect_monthly",
+    "dedup_cluster_canonicalize",
+    "dedup_purge_savings",
+    "cross_encoder_rerank_eval",
+    "lsh_index_compaction_plan",
+    "t_closeness_audit",
+    "ar_roll_rates",
+    "ivf_cell_balance",
+    "lsh_compaction_delta",
+    "tokenizer_fertility_by_lang",
+    "source_overlap_matrix",
+    "shard_balance_audit",
+    "packing_efficiency_sweep",
+    "pr_auc_exact",
+    "allowance_expected_loss",
+    "fx_unrealized_remeasurement",
+    "quality_filter_ablation",
+    "int8_recall_audit",
+    "pq_codebook_utilization",
+    "dedup_method_agreement",
+    "streaming_cash_flow_indirect",
+    "lang_id_confusion_matrix",
+    "session_gap_sweep",
+    "customer_concentration_topn",
+    "compaction_savings_summary",
+    "embedding_dim_profile",
+    "intercompany_elimination",
+    "depreciation_schedule_sl",
+    "segment_migration_matrix",
+    "wilson_ci_return_rates",
+    "lang_id_agreement_kappa",
+    "quantized_centroid_profile",
+    "knn_graph_reciprocity",
+    "delta_encoding_savings",
+    "blocking_recall_audit",
+    "chao1_ndv_estimate",
+    "k_anon_generalization_sweep",
+    "streaming_intercompany_elimination",
+    "ann_ivf_nprobe_sweep",
+    "oov_rate_by_source",
+    "mixture_temperature_sweep",
+    "kmv_ndv_estimate",
+    "quantized_covariance_topk",
+    "order_lines_dispersion",
+    "poisson_control_chart_hourly",
+    "streaming_kmv_sketch_maintain",
+    "dp_clip_bound_sweep",
+    "quantized_isotropy_audit",
 ]
 
-# Heads of the round-11 window: the 5 r4-era entries that did not fit
-# this round's 50 slots, then the 50 r5-era entries (last green driver
-# row: r5), followed by round-10 additions (appended below the marker —
-# the tripwire requires every never-gated query to sit in window ∪
-# _GATE_NEXT). Pinned directly after the window in catalog order so
+# Heads of the round-12 window: the remaining 35 never-driver-gated
+# round-10 additions (they MUST clear the gate next round — the
+# tripwire requires every never-gated query to sit in window ∪
+# _GATE_NEXT), then the stalest proven entries (5 r4-era + 50 r5-era,
+# last green driver row r4/r5). Round-11 additions are appended below
+# the marker. Pinned directly after the window in catalog order so
 # tests assert the two-round coverage plan.
 _GATE_NEXT = [
+    # -- round-10 additions still never gated (35) — lead the r12 window
+    "fiscal_445_rollup",
+    "net_revenue_retention",
+    "bom_cost_rollup",
+    "cheapest_supplier_per_part",
+    "span_corruption_plan",
+    "supplier_value_concentration",
+    "gdpr_access_extract_counts",
+    "streaming_nrr_monitor",
+    "cochran_armitage_trend",
+    "temporal_split_audit",
+    "table_freshness_audit",
+    "referential_orphan_census",
+    "ils_diversity_eval",
+    "bloom_fpr_sweep",
+    "cross_source_duplicate_census",
+    "knn_hubness_audit",
+    "rle_encoding_savings",
+    "streaming_poisson_alarm",
+    "metric_layer_rollup",
+    "percent_of_parent_drilldown",
+    "weighted_median_unit_price",
+    "hapax_ratio_by_source",
+    "shuffle_partition_planner",
+    "ohlc_resample_consistency",
+    "attribution_window_sweep",
+    "q16_supplier_variety",
+    "lsh_bucket_uniformity",
+    "cutoff_risk_census",
+    "accepted_values_census",
+    "copurchase_degree_assortativity",
+    "chained_price_index_monthly",
+    "lang_id_confidence_margin",
+    "watermark_disorder_census",
+    "transition_drift_by_state",
+    "growth_accounting_weekly",
+    # -- stalest proven entries (last green driver row r4/r5) ---------
     "similarity_topk",
     "stateful_session_timeout",
     "streaming_watermark_late_drop",
     "string_normalize",
     "text_stats",
-    # -- r5-era tranche (catalog order) ----------------------------------
     "lm_quality_scores",
     "media_resize_decode",
     "ingest_pages_datasource",
@@ -14850,92 +14916,6 @@ _GATE_NEXT = [
     "k_anonymity_suppress",
     "embedding_int8_quantize",
     "abc_customer_classification",
-    # -- round-10 additions (never gated; r11 window) --------------------
-    "balance_rollforward_monthly",
-    "streaming_balance_rollforward",
-    "cash_flow_indirect_monthly",
-    "dedup_cluster_canonicalize",
-    "dedup_purge_savings",
-    "cross_encoder_rerank_eval",
-    "lsh_index_compaction_plan",
-    "t_closeness_audit",
-    "ar_roll_rates",
-    "ivf_cell_balance",
-    "lsh_compaction_delta",
-    "tokenizer_fertility_by_lang",
-    "source_overlap_matrix",
-    "shard_balance_audit",
-    "packing_efficiency_sweep",
-    "pr_auc_exact",
-    "allowance_expected_loss",
-    "fx_unrealized_remeasurement",
-    "quality_filter_ablation",
-    "int8_recall_audit",
-    "pq_codebook_utilization",
-    "dedup_method_agreement",
-    "streaming_cash_flow_indirect",
-    "lang_id_confusion_matrix",
-    "session_gap_sweep",
-    "customer_concentration_topn",
-    "compaction_savings_summary",
-    "embedding_dim_profile",
-    "intercompany_elimination",
-    "depreciation_schedule_sl",
-    "segment_migration_matrix",
-    "wilson_ci_return_rates",
-    "lang_id_agreement_kappa",
-    "quantized_centroid_profile",
-    "knn_graph_reciprocity",
-    "delta_encoding_savings",
-    "blocking_recall_audit",
-    "chao1_ndv_estimate",
-    "k_anon_generalization_sweep",
-    "streaming_intercompany_elimination",
-    "ann_ivf_nprobe_sweep",
-    "oov_rate_by_source",
-    "mixture_temperature_sweep",
-    "kmv_ndv_estimate",
-    "quantized_covariance_topk",
-    "order_lines_dispersion",
-    "poisson_control_chart_hourly",
-    "streaming_kmv_sketch_maintain",
-    "fiscal_445_rollup",
-    "dp_clip_bound_sweep",
-    "net_revenue_retention",
-    "bom_cost_rollup",
-    "cheapest_supplier_per_part",
-    "span_corruption_plan",
-    "supplier_value_concentration",
-    "gdpr_access_extract_counts",
-    "streaming_nrr_monitor",
-    "cochran_armitage_trend",
-    "temporal_split_audit",
-    "table_freshness_audit",
-    "referential_orphan_census",
-    "ils_diversity_eval",
-    "bloom_fpr_sweep",
-    "cross_source_duplicate_census",
-    "knn_hubness_audit",
-    "rle_encoding_savings",
-    "streaming_poisson_alarm",
-    "metric_layer_rollup",
-    "quantized_isotropy_audit",
-    "percent_of_parent_drilldown",
-    "weighted_median_unit_price",
-    "hapax_ratio_by_source",
-    "shuffle_partition_planner",
-    "ohlc_resample_consistency",
-    "attribution_window_sweep",
-    "q16_supplier_variety",
-    "lsh_bucket_uniformity",
-    "cutoff_risk_census",
-    "accepted_values_census",
-    "copurchase_degree_assortativity",
-    "chained_price_index_monthly",
-    "lang_id_confidence_margin",
-    "watermark_disorder_census",
-    "transition_drift_by_state",
-    "growth_accounting_weekly",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -1792,11 +1792,11 @@ def test_growth_accounting_identity_and_nrr_link(spark):
     assert rows
     for r in rows.values():
         assert r.delta_cents == (
-            r.new_cents + r.expansion_cents - r.contraction_cents
-            - r.churned_cents
+            r.new_cents + r.resurrected_cents + r.expansion_cents
+            - r.contraction_cents - r.churned_cents
         )
-        assert min(r.new_cents, r.expansion_cents, r.contraction_cents,
-                   r.churned_cents) >= 0
+        assert min(r.new_cents, r.resurrected_cents, r.expansion_cents,
+                   r.contraction_cents, r.churned_cents) >= 0
     nrr = {r.week: r for r in
            CATALOG["net_revenue_retention"].fn(spark, SF_SMOKE).collect()}
     # bridge week w decomposes the change from w-7; NRR at week w-7
