@@ -9774,3 +9774,196 @@ ORACLES["growth_accounting_weekly"] = """
       AND COALESCE(j.week, DATE '1970-01-05') > minw
     GROUP BY 1
     """
+
+
+# --- round 11 (wave 1) -------------------------------------------------------
+
+def _hnsw_layer_sql(level: int) -> str:
+    """One HNSW layer's reciprocity row over the persisted scored
+    candidate pairs. Level 0 is the full graph; level 1 keeps only
+    nodes with vec_id % 8 == 0 (the deterministic stand-in for HNSW's
+    geometric level assignment, p = 1/8). Ranks are pure integers
+    (score_micro DESC, dst ASC), so both engines reproduce the
+    neighbor lists bit-for-bit from the persisted table."""
+    pair_where = "WHERE src % 8 = 0 AND dst % 8 = 0" if level else ""
+    node_where = "WHERE vec_id % 8 = 0" if level else ""
+    return f"""
+    SELECT CAST({level} AS INT) AS layer, nn.n_nodes,
+           agg.edges_5, agg.mutual_5,
+           CAST(agg.mutual_5 * 1000000 // nullif(agg.edges_5, 0) AS BIGINT)
+               AS recip_ppm_5,
+           agg.edges_10, agg.mutual_10,
+           CAST(agg.mutual_10 * 1000000 // nullif(agg.edges_10, 0) AS BIGINT)
+               AS recip_ppm_10
+    FROM (
+        WITH p AS (
+            SELECT src, dst, score_micro
+            FROM '{_AUX_DIR}/hnsw_scored_pairs/*.parquet' {pair_where}
+        ),
+        t AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY score_micro DESC, dst ASC)
+                       AS rank
+            FROM p
+        ),
+        tk AS (SELECT src, dst, rank FROM t WHERE rank <= 10),
+        j AS (
+            SELECT a.rank AS r, b.rank AS rr
+            FROM tk a LEFT JOIN tk b ON b.src = a.dst AND b.dst = a.src
+        )
+        SELECT CAST(sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS edges_5,
+               CAST(sum(CASE WHEN r <= 5 AND rr <= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mutual_5,
+               CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS edges_10,
+               CAST(sum(CASE WHEN r <= 10 AND rr <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mutual_10
+        FROM j
+    ) agg, (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes
+        FROM embeddings {node_where}
+    ) nn
+    """
+
+
+# HNSW-style layered reciprocity QA: the level-1 subgraph (1-in-8
+# nodes, HNSW's upper layer) re-ranks its OWN top-k among surviving
+# candidates — upper-layer reciprocity is what keeps greedy descent
+# routable. Extends knn_graph_reciprocity from the same candidate
+# derivation; both engines read one persisted integer-scored pair
+# table and independently re-derive layers, ranks, and mutual edges.
+ORACLES["hnsw_layer_reciprocity"] = " UNION ALL ".join(
+    _hnsw_layer_sql(lvl) for lvl in (0, 1)
+)
+
+
+def _dedup_pareto_sql(thresh: str) -> str:
+    """One (dedup keep-best + quality >= thresh) policy point: docs,
+    chars, BPE-token mass surviving, plus the kept-quality integer sum
+    (quality is det-rounded to 4dp, so round(q * 1e6) is exact)."""
+    return f"""
+    SELECT CAST({thresh} AS DOUBLE) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(kept * n_chars) AS BIGINT) AS chars_kept,
+           CAST((sum(n_chars) - sum(kept * n_chars)) * 1000000
+                // nullif(sum(n_chars), 0) AS BIGINT) AS chars_saved_ppm,
+           CAST(sum(bpe) AS BIGINT) AS tokens_total,
+           CAST(sum(kept * bpe) AS BIGINT) AS tokens_kept,
+           CAST(sum(kept * bpe) * 1000000 // nullif(sum(bpe), 0) AS BIGINT)
+               AS token_keep_ppm,
+           CAST(sum(kept * q_micro) AS BIGINT) AS kept_quality_micro_sum
+    FROM (
+        SELECT CASE WHEN x.doc_id = x.canonical_id
+                     AND x.quality >= {thresh} THEN 1 ELSE 0 END AS kept,
+               d.n_chars,
+               CAST(len(regexp_extract_all(d.text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe,
+               CAST(round(x.quality * 1000000.0) AS BIGINT) AS q_micro
+        FROM x JOIN documents d ON x.doc_id = d.doc_id
+    )
+    """
+
+
+# Dedup cost/benefit Pareto frontier: each row is one deletion policy
+# (keep-best canonicalization + a quality floor) scored on both axes —
+# storage saved (chars ppm) vs corpus retained (BPE-token mass, kept-
+# quality sum). threshold 0.0 is the pure-dedup endpoint. Composes the
+# dedup_purge_savings closure with quality_filter_ablation's sweep.
+ORACLES["dedup_quality_pareto"] = (
+    ORACLES["dedup_clusters"].rsplit("SELECT id AS doc_id", 1)[0]
+    + f""", cl AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ), x AS (
+        SELECT cl.doc_id, cl.cluster_id, q.quality,
+               first_value(cl.doc_id) OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC NULLS LAST, cl.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS canonical_id
+        FROM cl JOIN q ON cl.doc_id = q.doc_id
+    )
+    """
+    + " UNION ALL ".join(
+        _dedup_pareto_sql(t) for t in ("0.0", "0.25", "0.5", "0.75")
+    )
+)
+
+
+# Backfill idempotency proof for the flagship incremental-loading
+# promise (reference README.md:558): rebuild the last-two-month window
+# of the monthly finance mart from ONLY that window's events, splice it
+# onto the untouched head, and count divergence vs the full rebuild.
+# The mart legs are exact BIGINT cents (order-free integer sums), so
+# bit-identity is decidable — n_value_mismatch must be 0.
+ORACLES["mart_backfill_idempotency"] = """
+    WITH ev AS (
+        SELECT user_id AS symbol,
+               CAST(date_trunc('month', ts) AS DATE) AS month,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    agg AS (
+        SELECT symbol, month,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                        ELSE 0 END) AS BIGINT) AS revenue_cents,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents
+                        ELSE 0 END) AS BIGINT) AS assets_cents,
+               CAST(sum(CASE WHEN event_type = 'view' THEN cents
+                        ELSE 0 END) AS BIGINT) AS ocf_cents
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT CAST(max(month) - INTERVAL 1 MONTH AS DATE) AS cutoff
+        FROM agg
+    ),
+    incr AS (
+        SELECT symbol, month,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                        ELSE 0 END) AS BIGINT) AS revenue_cents,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents
+                        ELSE 0 END) AS BIGINT) AS assets_cents,
+               CAST(sum(CASE WHEN event_type = 'view' THEN cents
+                        ELSE 0 END) AS BIGINT) AS ocf_cents
+        FROM ev CROSS JOIN bounds
+        WHERE month >= cutoff
+        GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT a.* FROM agg a CROSS JOIN bounds WHERE a.month < cutoff
+        UNION ALL
+        SELECT * FROM incr
+    ),
+    cmp AS (
+        SELECT f.symbol AS f_sym, f.month AS f_month,
+               m.symbol AS m_sym, m.month AS m_month,
+               CASE WHEN f.symbol IS NOT NULL AND m.symbol IS NOT NULL
+                     AND (f.revenue_cents <> m.revenue_cents
+                          OR f.assets_cents <> m.assets_cents
+                          OR f.ocf_cents <> m.ocf_cents)
+                    THEN 1 ELSE 0 END AS mismatch
+        FROM agg f
+        FULL JOIN merged m
+          ON m.symbol = f.symbol AND m.month = f.month
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM agg) AS n_rows_full,
+           (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_rows_merged,
+           (SELECT CAST(count(*) AS BIGINT) FROM agg CROSS JOIN bounds
+             WHERE month >= cutoff) AS n_window_rows,
+           CAST(sum(CASE WHEN m_sym IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_full,
+           CAST(sum(CASE WHEN f_sym IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_merged,
+           CAST(sum(mismatch) AS BIGINT) AS n_value_mismatch,
+           CAST(CASE WHEN sum(CASE WHEN m_sym IS NULL OR f_sym IS NULL
+                                   THEN 1 ELSE 0 END) + sum(mismatch) = 0
+                     THEN 1 ELSE 0 END AS INT) AS idempotent
+    FROM cmp
+    """

@@ -14750,6 +14750,305 @@ def q_growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-11 wave 1 — layered ANN QA, dedup Pareto frontier, backfill proof
+# ---------------------------------------------------------------------------
+
+
+@query("hnsw_layer_reciprocity",
+    _ORACLES["hnsw_layer_reciprocity"],
+    "X3 ANN QA: HNSW-style layered reciprocity — level-0 vs level-1 (1-in-8 nodes) mutual-kNN census from ONE persisted integer-scored candidate graph; extends knn_graph_reciprocity to the layer structure graph-ANN actually routes through",
+)
+def q_hnsw_layer_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN (HNSW-style) search greedy-descends an upper layer
+    before refining in layer 0 — if the UPPER layer's neighborhood
+    graph is asymmetric, descent strands in the wrong region and no
+    layer-0 quality can recover it. Level 1 keeps nodes with
+    vec_id % 8 == 0 (deterministic stand-in for HNSW's geometric level
+    assignment, p=1/8) and re-ranks its own top-k among surviving
+    candidates — the layer's REAL neighbor lists, not a filtered view
+    of layer 0's. Candidates come from the same persisted band-bucket
+    derivation as knn_graph_reciprocity; scores persist as exact
+    micro-ints so both engines re-derive layers, ranks, and mutual
+    edges bit-identically. Both layer passes re-read the one persisted
+    pair table — cosine is computed once."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
+    from finance_reporting_etl_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = _persist_aux(
+        spark,
+        hyperplane_buckets(emb, n_planes=4, n_tables=8),
+        "hnsw_layer_buckets",
+    )
+    b2 = buckets.withColumnsRenamed({"id": "dst"})
+    cand = (
+        buckets.withColumnRenamed("id", "src")
+        .join(b2, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
+    dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
+    cos = cosine_arrow()
+    scored = _persist_aux(
+        spark,
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(det_round(cos(F.col("sv"), F.col("dv")), 6) * 1000000)
+            .cast("bigint")
+            .alias("score_micro"),
+        ),
+        "hnsw_scored_pairs",
+    )
+
+    def one(level: int) -> DataFrame:
+        p = scored
+        nodes = emb
+        if level:
+            p = p.filter((F.col("src") % 8 == 0) & (F.col("dst") % 8 == 0))
+            nodes = nodes.filter(F.col("vec_id") % 8 == 0)
+        w = Window.partitionBy("src").orderBy(
+            F.col("score_micro").desc(), F.col("dst").asc()
+        )
+        tk = (
+            p.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("src", "dst", "rank")
+        )
+        rev = tk.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("rank").alias("rrank"),
+        )
+        j = tk.join(rev, ["src", "dst"], "left").select("rank", "rrank")
+        aggs = []
+        for k in (5, 10):
+            aggs += [
+                F.sum((F.col("rank") <= k).cast("int"))
+                .cast("bigint")
+                .alias(f"edges_{k}"),
+                F.sum(((F.col("rank") <= k) & (F.col("rrank") <= k)).cast("int"))
+                .cast("bigint")
+                .alias(f"mutual_{k}"),
+            ]
+        nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        out = j.agg(*aggs).crossJoin(F.broadcast(nn))
+        for k in (5, 10):
+            out = out.withColumn(
+                f"recip_ppm_{k}",
+                F.expr(
+                    f"(mutual_{k} * 1000000) div nullif(edges_{k}, 0)"
+                ).cast("bigint"),
+            )
+        return out.select(
+            F.lit(level).cast("int").alias("layer"),
+            "n_nodes",
+            "edges_5", "mutual_5", "recip_ppm_5",
+            "edges_10", "mutual_10", "recip_ppm_10",
+        )
+
+    return one(0).unionByName(one(1))
+
+
+@query("dedup_quality_pareto",
+    _ORACLES["dedup_quality_pareto"],
+    "X1/X2/X4 deletion-decision frontier: keep-best canonicalization composed with quality floors 0.0/0.25/0.5/0.75 — each row one policy's storage-saved vs corpus-retained point (docs, chars, BPE tokens, kept-quality sum), exact integers",
+)
+def q_dedup_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion decision needs BOTH axes on one table: how much
+    storage each policy saves and how much corpus (token mass,
+    quality) it keeps. Each row is keep-best canonicalization plus a
+    quality floor; threshold 0.0 is the pure-dedup endpoint, and a row
+    that saves less AND keeps less than a neighbor is Pareto-dominated
+    — exactly the savings-vs-quality frontier dedup_purge_savings and
+    quality_filter_ablation each show only half of. ONE pass over the
+    canonicalization frame (conditional sums per threshold in a single
+    aggregate, unpivoted by stack) — the cluster closure is never
+    recomputed per policy. quality is det-rounded 4dp so the micro sum
+    is exact in both engines."""
+    from finance_reporting_etl_spark.functions.text import bpe_ish_token_count
+
+    x = _cluster_canonicalized(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("did"),
+        "n_chars",
+        bpe_ish_token_count("text").cast("bigint").alias("bpe"),
+    )
+    base = x.join(d, x.doc_id == F.col("did")).select(
+        "doc_id",
+        "canonical_id",
+        "quality",
+        "n_chars",
+        "bpe",
+        F.round(F.col("quality") * 1000000).cast("bigint").alias("q_micro"),
+    )
+    tvals = (0.0, 0.25, 0.5, 0.75)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum("bpe").cast("bigint").alias("tokens_total"),
+    ]
+    for i, t in enumerate(tvals):
+        kept = (
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("quality") >= F.lit(t))
+        ).cast("int")
+        aggs += [
+            F.sum(kept).cast("bigint").alias(f"dk_{i}"),
+            F.sum(kept * F.col("n_chars")).cast("bigint").alias(f"ck_{i}"),
+            F.sum(kept * F.col("bpe")).cast("bigint").alias(f"tk_{i}"),
+            F.sum(kept * F.col("q_micro")).cast("bigint").alias(f"qk_{i}"),
+        ]
+    one_row = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), dk_{i}, ck_{i}, tk_{i}, qk_{i}"
+        for i, t in enumerate(tvals)
+    )
+    return one_row.selectExpr(
+        f"stack({len(tvals)}, {stack_args}) AS "
+        "(threshold, n_docs_kept, chars_kept, tokens_kept, "
+        "kept_quality_micro_sum)",
+        "n_docs_total",
+        "chars_total",
+        "tokens_total",
+    ).selectExpr(
+        "threshold",
+        "n_docs_total",
+        "n_docs_kept",
+        "chars_total",
+        "chars_kept",
+        "CAST((chars_total - chars_kept) * 1000000"
+        " div nullif(chars_total, 0) AS BIGINT) AS chars_saved_ppm",
+        "tokens_total",
+        "tokens_kept",
+        "CAST(tokens_kept * 1000000 div nullif(tokens_total, 0) AS BIGINT)"
+        " AS token_keep_ppm",
+        "kept_quality_micro_sum",
+    )
+
+
+@query("mart_backfill_idempotency",
+    _ORACLES["mart_backfill_idempotency"],
+    "O5/S9 incremental-loading proof (reference README.md:558): rebuild the last-two-month window of the monthly finance mart from only that window's events, splice onto the untouched head, count divergence vs the full rebuild — n_value_mismatch must be 0",
+)
+def q_mart_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental-loading promise (README.md:558)
+    made testable: a partition-window backfill must reproduce the full
+    rebuild bit-for-bit. The mart here is the flagship chain's monthly
+    grain with exact BIGINT-cents legs (per-event round(value*100) —
+    integer sums are order-free, so identity is decidable; the float
+    mart shares this plan shape but a float sum's order is not a
+    contract). Rebuilds months >= cutoff (= max month - 1) from a
+    filtered scan, splices onto the head, and full-outer-joins against
+    the full build on the mart grain. Cutoff rides a 1-row broadcast;
+    both joins are co-partitioned composite-key equi-joins."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def mart(src: DataFrame) -> DataFrame:
+        return src.groupBy("symbol", "month").agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))
+                  .otherwise(0)).cast("bigint").alias("revenue_cents"),
+            F.sum(F.when(F.col("event_type") == "click", F.col("cents"))
+                  .otherwise(0)).cast("bigint").alias("assets_cents"),
+            F.sum(F.when(F.col("event_type") == "view", F.col("cents"))
+                  .otherwise(0)).cast("bigint").alias("ocf_cents"),
+        )
+
+    full = mart(ev)
+    bounds = full.agg(
+        F.add_months(F.max("month"), -1).alias("cutoff")
+    )
+    incr = mart(
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.col("month") >= F.col("cutoff"))
+        .select("symbol", "month", "event_type", "cents")
+    )
+    head = (
+        full.crossJoin(F.broadcast(bounds))
+        .filter(F.col("month") < F.col("cutoff"))
+        .select(full.columns)
+    )
+    merged = head.unionByName(incr)
+    f = full.select(
+        F.col("symbol").alias("f_sym"),
+        F.col("month").alias("f_month"),
+        F.col("revenue_cents").alias("f_rev"),
+        F.col("assets_cents").alias("f_ast"),
+        F.col("ocf_cents").alias("f_ocf"),
+    )
+    m = merged.select(
+        F.col("symbol").alias("m_sym"),
+        F.col("month").alias("m_month"),
+        F.col("revenue_cents").alias("m_rev"),
+        F.col("assets_cents").alias("m_ast"),
+        F.col("ocf_cents").alias("m_ocf"),
+    )
+    cmp = f.join(
+        m,
+        (F.col("m_sym") == F.col("f_sym")) & (F.col("m_month") == F.col("f_month")),
+        "full_outer",
+    )
+    mismatch = (
+        F.col("f_sym").isNotNull()
+        & F.col("m_sym").isNotNull()
+        & (
+            (F.col("f_rev") != F.col("m_rev"))
+            | (F.col("f_ast") != F.col("m_ast"))
+            | (F.col("f_ocf") != F.col("m_ocf"))
+        )
+    ).cast("int")
+    only_full = F.col("m_sym").isNull().cast("int")
+    only_merged = F.col("f_sym").isNull().cast("int")
+    return (
+        cmp.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.sum(F.col("f_sym").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_rows_full"),
+            F.sum(F.col("m_sym").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_rows_merged"),
+            F.sum(
+                (F.col("f_sym").isNotNull()
+                 & (F.col("f_month") >= F.col("cutoff"))).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_window_rows"),
+            F.sum(only_full).cast("bigint").alias("n_only_full"),
+            F.sum(only_merged).cast("bigint").alias("n_only_merged"),
+            F.sum(mismatch).cast("bigint").alias("n_value_mismatch"),
+        )
+        .withColumn(
+            "idempotent",
+            (
+                (F.col("n_only_full") + F.col("n_only_merged")
+                 + F.col("n_value_mismatch")) == 0
+            ).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-11 gate window (driver verifies the first 50 catalog entries):
 # 50 of the 85 round-10 additions that have NEVER held a driver gate
@@ -14916,6 +15215,11 @@ _GATE_NEXT = [
     "k_anonymity_suppress",
     "embedding_int8_quantize",
     "abc_customer_classification",
+    # -- round-11 additions (never gated; capped at <=10 this round,
+    #    VERDICT r10 task 2) ----------------------------------------------
+    "hnsw_layer_reciprocity",
+    "dedup_quality_pareto",
+    "mart_backfill_idempotency",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
