@@ -458,12 +458,14 @@ assert len(PANEL) == len(set(PANEL))
 # Per-round measurement notes carried into BENCH_DETAIL.json.
 NOTES = {
     "_round_interpretation": (
-        "BENCH_r09 recorded 264.0s over 230 queries on the driver box; "
-        "the builder's same-tree end-of-round run recorded 216.9s over "
-        "227 (PLANS.md #48). The ~22% spread is pure box variance, the "
-        "same band PLANS.md documents (±30% single-query at sf0.1) — "
-        "read r10-vs-r9 totals against the same-box trend, not the "
-        "single driver number (VERDICT r9 task 6)."
+        "The HEADLINE total grows with the catalog every round (312 "
+        "queries in r10, 316 in r11), so round-over-round totals are "
+        "NOT comparable. Starting r11, compare the pinned 51-query "
+        "panel_total_sec under the 'panel' key (membership hash-pinned "
+        "by tests/test_bench_panel.py, VERDICT r10 task 4); the full "
+        "per-query dict remains for slow-tail triage. Single-query "
+        "spread on a shared box is ±30% at sf0.1 (PLANS.md) — read "
+        "trends, not single samples."
     ),
     "ingest_pages_datasource": (
         "r10 quiet-box re-measure (VERDICT r9 task 2): best-of-3 = "
