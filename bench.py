@@ -378,6 +378,10 @@ HEADLINE = [
     "watermark_disorder_census",
     "transition_drift_by_state",
     "growth_accounting_weekly",
+    # round 11 additions
+    "hnsw_layer_reciprocity",
+    "dedup_quality_pareto",
+    "mart_backfill_idempotency",
 ]
 
 
