@@ -9779,14 +9779,21 @@ ORACLES["growth_accounting_weekly"] = """
 # --- round 11 (wave 1) -------------------------------------------------------
 
 def _hnsw_layer_sql(level: int) -> str:
-    """One HNSW layer's reciprocity row over the persisted scored
-    candidate pairs. Level 0 is the full graph; level 1 keeps only
+    """One HNSW layer's reciprocity row, re-derived INDEPENDENTLY from
+    the persisted bucket table (the knn_graph_reciprocity oracle
+    pattern): DuckDB rebuilds the candidate pairs, the det-rounded
+    cosine, and the exact micro scores itself, so a Spark-side scoring
+    bug cannot pass. Level 0 is the full graph; level 1 keeps only
     nodes with vec_id % 8 == 0 (the deterministic stand-in for HNSW's
     geometric level assignment, p = 1/8). Ranks are pure integers
-    (score_micro DESC, dst ASC), so both engines reproduce the
-    neighbor lists bit-for-bit from the persisted table."""
+    (score_micro DESC, dst ASC)."""
     pair_where = "WHERE src % 8 = 0 AND dst % 8 = 0" if level else ""
     node_where = "WHERE vec_id % 8 = 0" if level else ""
+    cos = (
+        "list_dot_product(se.v, de.v)"
+        " / nullif(sqrt(list_dot_product(se.v, se.v))"
+        " * sqrt(list_dot_product(de.v, de.v)), 0)"
+    )
     return f"""
     SELECT CAST({level} AS INT) AS layer, nn.n_nodes,
            agg.edges_5, agg.mutual_5,
@@ -9796,9 +9803,24 @@ def _hnsw_layer_sql(level: int) -> str:
            CAST(agg.mutual_10 * 1000000 // nullif(agg.edges_10, 0) AS BIGINT)
                AS recip_ppm_10
     FROM (
-        WITH p AS (
-            SELECT src, dst, score_micro
-            FROM '{_AUX_DIR}/hnsw_scored_pairs/*.parquet' {pair_where}
+        WITH b AS (SELECT * FROM '{_AUX_DIR}/hnsw_layer_buckets/*.parquet'),
+        cand AS (
+            SELECT DISTINCT b1.id AS src, b2.id AS dst
+            FROM b b1 JOIN b b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+            WHERE b1.id <> b2.id
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (
+            SELECT src, dst,
+                   CAST(round({_dr_top(cos, 6)} * 1000000.0) AS BIGINT)
+                       AS score_micro
+            FROM cand JOIN e se ON se.vec_id = cand.src
+                      JOIN e de ON de.vec_id = cand.dst
+        ),
+        p AS (
+            SELECT src, dst, score_micro FROM s {pair_where}
         ),
         t AS (
             SELECT src, dst,

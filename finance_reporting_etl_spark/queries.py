@@ -11678,21 +11678,22 @@ def q_quantized_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_graph_reciprocity",
-    _ORACLES["knn_graph_reciprocity"],
-    "X3 ANN QA: mutual-kNN reciprocity at k=1/5/10 over the persisted LSH candidate graph — the symmetry census behind graph-based ANN (HNSW-style) quality; exact integer counters only",
-)
-def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOW symmetric is the neighborhood graph: an edge a->b in the
-    LSH-candidate top-k that b does not reciprocate is exactly where
-    graph-based ANN search loses recall. Candidates come from the
-    persisted band-bucket index (equi-joins, never all-pairs); cosine
-    uses the house det_round(6) + id-tiebreak ranking convention
-    (operators/similarity.py topk_from_buckets), and the emitted
-    census is pure exact integers — edges, mutual edges, reciprocity
-    ppm at k = 1, 5, 10 in one row."""
-    from pyspark.sql import Window
-
+def _lsh_candidate_scores(
+    spark: SparkSession, sf_dir: str, bucket_aux: str
+) -> DataFrame:
+    """Persisted hyperplane band-bucket index -> distinct candidate
+    pairs (equi-joins, never all-pairs) -> Arrow-batched det_round(6)
+    cosine with the house id-tiebreak ranking convention
+    (operators/similarity.py topk_from_buckets). Shared by
+    knn_graph_reciprocity and hnsw_layer_reciprocity so the convention
+    lives once; each caller's DuckDB oracle re-derives this whole
+    pipeline in SQL from the persisted bucket table. Arrow-batched
+    cosine because the Catalyst form runs three interpreted array
+    passes per row — ~10x too slow for the millions of LSH candidate
+    pairs here (functions/vectors.py:46); det_round(6) absorbs the
+    sub-ulp numpy-vs-oracle summation difference, the standing
+    convention of every LSH/IVF scorer in this repo."""
+    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
     from finance_reporting_etl_spark.operators.similarity import (
         hyperplane_buckets,
     )
@@ -11701,7 +11702,7 @@ def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _persist_aux(
         spark,
         hyperplane_buckets(emb, n_planes=4, n_tables=8),
-        "knn_graph_buckets",
+        bucket_aux,
     )
     b2 = buckets.withColumnsRenamed({"id": "dst"})
     cand = (
@@ -11711,25 +11712,34 @@ def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
-
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
     dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
-    # Arrow-batched cosine: the Catalyst form runs three interpreted
-    # array passes per row — ~10x too slow for the millions of LSH
-    # candidate pairs here (functions/vectors.py:46); det_round(6)
-    # absorbs the sub-ulp numpy-vs-oracle summation difference, the
-    # standing convention of every LSH/IVF scorer in this repo.
     cos = cosine_arrow()
-    scored = (
+    return (
         cand.join(sv, "src")
         .join(dv, "dst")
         .withColumn("score", det_round(cos(F.col("sv"), F.col("dv")), 6))
         .select("src", "dst", "score")
     )
+
+
+@query("knn_graph_reciprocity",
+    _ORACLES["knn_graph_reciprocity"],
+    "X3 ANN QA: mutual-kNN reciprocity at k=1/5/10 over the persisted LSH candidate graph — the symmetry census behind graph-based ANN (HNSW-style) quality; exact integer counters only",
+)
+def q_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW symmetric is the neighborhood graph: an edge a->b in the
+    LSH-candidate top-k that b does not reciprocate is exactly where
+    graph-based ANN search loses recall. Candidates and det-rounded
+    cosine come from the shared _lsh_candidate_scores pipeline; the
+    emitted census is pure exact integers — edges, mutual edges,
+    reciprocity ppm at k = 1, 5, 10 in one row."""
+    from pyspark.sql import Window
+
+    scored = _lsh_candidate_scores(spark, sf_dir, "knn_graph_buckets")
     w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
     tk = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -14766,48 +14776,23 @@ def q_hnsw_layer_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 8 == 0 (deterministic stand-in for HNSW's geometric level
     assignment, p=1/8) and re-ranks its own top-k among surviving
     candidates — the layer's REAL neighbor lists, not a filtered view
-    of layer 0's. Candidates come from the same persisted band-bucket
-    derivation as knn_graph_reciprocity; scores persist as exact
-    micro-ints so both engines re-derive layers, ranks, and mutual
-    edges bit-identically. Both layer passes re-read the one persisted
-    pair table — cosine is computed once."""
+    of layer 0's. Candidates and cosine come from the shared
+    _lsh_candidate_scores pipeline (same derivation as
+    knn_graph_reciprocity); the oracle independently re-derives
+    candidates, cosine, micro scores, layers, ranks, and mutual edges
+    from the persisted BUCKET table, so a Spark-side scoring bug
+    cannot hide. The scored pairs persist as exact micro-ints only as
+    a Spark-internal cache — both layer passes re-read it, so cosine
+    is computed once per run."""
     from pyspark.sql import Window
 
-    from finance_reporting_etl_spark.functions.vectors import cosine_arrow
-    from finance_reporting_etl_spark.operators.similarity import (
-        hyperplane_buckets,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = _persist_aux(
-        spark,
-        hyperplane_buckets(emb, n_planes=4, n_tables=8),
-        "hnsw_layer_buckets",
-    )
-    b2 = buckets.withColumnsRenamed({"id": "dst"})
-    cand = (
-        buckets.withColumnRenamed("id", "src")
-        .join(b2, ["tbl", "bucket"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
-    dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
-    cos = cosine_arrow()
     scored = _persist_aux(
         spark,
-        cand.join(sv, "src")
-        .join(dv, "dst")
-        .select(
+        _lsh_candidate_scores(spark, sf_dir, "hnsw_layer_buckets").select(
             "src",
             "dst",
-            F.round(det_round(cos(F.col("sv"), F.col("dv")), 6) * 1000000)
-            .cast("bigint")
-            .alias("score_micro"),
+            F.round(F.col("score") * 1000000).cast("bigint").alias("score_micro"),
         ),
         "hnsw_scored_pairs",
     )
@@ -14974,7 +14959,12 @@ def q_mart_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(0)).cast("bigint").alias("ocf_cents"),
         )
 
-    full = mart(ev)
+    # the full build feeds SIX downstream references (bounds x3, head,
+    # the compare side, the window count) — pin the mart-grain frame
+    # once instead of re-running the events scan + aggregation per
+    # branch; same bounded-materialization class as
+    # cross_encoder_rerank_eval's ranked frame
+    full = mart(ev).localCheckpoint()
     bounds = full.agg(
         F.add_months(F.max("month"), -1).alias("cutoff")
     )
