@@ -485,6 +485,17 @@ NOTES = {
         "det_round plan is not slower than r8's; the 1.60x r9 delta "
         "was box variance. Plan unchanged (1 shuffle + 3 broadcasts)."
     ),
+    "hnsw_layer_reciprocity": (
+        "r11 quiet-box interleaved best-of-3 = 5.12s vs sibling "
+        "knn_graph_reciprocity 4.28s on the same runs (bench recorded "
+        "4.79s / 4.74s). The +0.8s over the sibling is the persisted "
+        "scored-pair write plus the second (layer-1) ranking pass — "
+        "both passes re-read one parquet cache, so the multi-million-"
+        "pair Arrow cosine runs once. A one-shot cold sample measured "
+        "9.2s (Python-worker + codegen warm-up landing on the sample, "
+        "the ingest_pages_datasource effect) — plan unchanged, no "
+        "redesign warranted."
+    ),
     "part_copurchase_pagerank": (
         "r8 quiet-box re-measure (VERDICT r7 task 6): best-of-3 = 7.67s "
         "vs 6.2s (r6) / 8.1s (r7). The 8 fixed join+agg power iterations "
