@@ -382,6 +382,10 @@ HEADLINE = [
     "hnsw_layer_reciprocity",
     "dedup_quality_pareto",
     "mart_backfill_idempotency",
+    # round 12 additions
+    "phash_media_near_dup",
+    "semantic_decontamination",
+    "ann_shard_merge_plan",
 ]
 
 
@@ -504,6 +508,23 @@ NOTES = {
         "only per-iteration exchange); the +1.5s vs r6 tracks "
         "round-over-round box variance on this 140-stage job, not a "
         "plan change — no redesign warranted."
+    ),
+    "streaming_kmv_sketch_maintain": (
+        "r12 quiet-box interleaved best-of-3 (VERDICT r11 task 5): "
+        "5.72s (runs 7.71/7.34/5.72) vs 5.17s (r10) / 6.24s (r11); the "
+        "unchanged sibling streaming_poisson_alarm measured 2.25s on "
+        "the SAME runs vs its 1.76s r11 bench sample, i.e. the whole "
+        "streaming family read ~1.3x slower on this box-day. "
+        "Sibling-normalized the query sits at ~4.5s — at or below its "
+        "r10 datum. Plan unchanged (3-micro-batch KMV fold, one "
+        "per-batch shuffle); box variance, no redesign warranted."
+    ),
+    "streaming_intercompany_elimination": (
+        "r12 quiet-box interleaved best-of-3 (VERDICT r11 task 5): "
+        "5.22s (runs 5.96/5.39/5.22) vs 4.53s (r10) / 5.54s (r11), "
+        "with sibling streaming_poisson_alarm at 2.25s vs 1.76s (r11) "
+        "on the same runs. Sibling-normalized ~4.1s — below the r10 "
+        "datum. Plan unchanged; box variance, no redesign warranted."
     ),
 }
 

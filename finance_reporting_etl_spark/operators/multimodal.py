@@ -467,3 +467,156 @@ def frame_sample(media: DataFrame, fps: float = 1.0, max_frames: int = 16) -> Da
             F.lit(None).cast("binary").alias("frame_payload"),  # decode stub
         )
     )
+
+
+# --- perceptual-hash image near-dup (X2 x X5 composition) -------------------
+
+
+def perceptual_hash_media(media: DataFrame, grid: int = 8) -> DataFrame:
+    """REAL decode -> 64-bit average-hash (aHash) per image.
+
+    The classic perceptual near-dup signature: decode the PNG payload,
+    nearest-neighbor resample the R channel to a ``grid x grid`` patch
+    (the same explicit floor mapping as ``resize_png``), and set bit
+    ``y*grid + x`` iff the patch pixel is STRICTLY above the patch
+    mean. The mean compare stays in integers (``pixel * grid^2 >
+    sum``) so no float tie can diverge between engines, and the hash
+    ships as two non-negative 32-bit halves (``hash_lo`` bits 0-31,
+    ``hash_hi`` bits 32-63) because a DuckDB oracle can rebuild those
+    with plain BIGINT shifts while a packed top-bit-set int64 cannot.
+
+    Scale shape: decode + hash is one Arrow-batched ``mapInPandas``
+    stage — map-side, no shuffle, task size bounded by
+    maxPartitionBytes; at 100 TB the signature table is ~24 bytes/row
+    regardless of media size, which is the whole point of hashing
+    before any pairwise stage.
+    """
+    cells = grid * grid
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("hash_lo", T.LongType(), True),
+            T.StructField("hash_hi", T.LongType(), True),
+        ]
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int, int]:
+        if _PILImage is not None:  # pragma: no cover - container has no PIL
+            import io
+
+            import numpy as np
+
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+            w, h = img.size
+            rgb = np.asarray(img, dtype=np.uint8).tobytes()
+        else:
+            w, h, rgb = decode_png(payload)
+        patch = []
+        for y in range(grid):
+            sy = y * h // grid
+            for x in range(grid):
+                sx = x * w // grid
+                patch.append(rgb[(sy * w + sx) * 3])  # R channel
+        total = sum(patch)
+        lo = hi = 0
+        for idx, p in enumerate(patch):
+            if p * cells > total:
+                if idx < 32:
+                    lo |= 1 << idx
+                else:
+                    hi |= 1 << (idx - 32)
+        return w, h, lo, hi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [s[0] for s in sigs],
+                    "height": [s[1] for s in sigs],
+                    "hash_lo": [s[2] for s in sigs],
+                    "hash_hi": [s[3] for s in sigs],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def phash_class_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Shape-class-blocked aHash near-dup pairs (hamming <= max_hamming).
+
+    Blocking key one: the (width, height) shape class — two images
+    that decode to different native shapes are declared distinct a
+    priori (the standard pre-filter before pixel-space comparison).
+    Blocking key two, WITHIN a class: the simhash pigeonhole — the 64
+    hash bits split into 8 exact 8-bit chunks, so any pair within
+    hamming 7 shares at least one chunk and one exploded equi-join on
+    (width, height, chunk_idx, chunk_val) finds every such pair with
+    no all-pairs scan; the blocked result EQUALS the brute-force
+    within-class scan, which is exactly how the oracle re-derives it.
+    One shuffle over 8n signature rows; exact hamming verify via
+    bit_count(xor) on the two halves after pair dedup.
+    """
+    if max_hamming >= 8:
+        raise ValueError(
+            f"8-chunk pigeonhole blocking is exact only for hamming <= 7, "
+            f"got max_hamming={max_hamming}"
+        )
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    (
+                        F.shiftrightunsigned(
+                            F.col("hash_lo" if i < 4 else "hash_hi"),
+                            8 * (i % 4),
+                        ).bitwiseAND(F.lit(0xFF))
+                    ).alias("cv"),
+                )
+                for i in range(8)
+            ]
+        )
+    )
+    chunks = sigs.select(
+        F.col("doc_id").alias("id"),
+        "width",
+        "height",
+        "hash_lo",
+        "hash_hi",
+        chunk.alias("ch"),
+    ).select(
+        "id", "width", "height", "hash_lo", "hash_hi",
+        F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.width").alias("width"),
+            F.col("a.height").alias("height"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return cands.select(
+        "id_a", "id_b", "width", "height", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -320,9 +320,28 @@ def ivf_probes(
     seed: int = 7,
 ) -> DataFrame:
     """(query_id, cell) rows: the ``nprobe`` nearest cells per query."""
+    return ivf_probes_for(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        n_cells, nprobe, dim, id_col, vec_col, seed,
+    )
+
+
+def ivf_probes_for(
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(query_id, cell) probe rows for EVERY row of ``queries`` — the
+    set-valued variant of ``ivf_probes`` for query sides that are a
+    DataFrame predicate (e.g. a held-out split) rather than a driver
+    list; stays fully distributed, no collect."""
     cents = _centroids(n_cells, dim, seed)
     return (
-        embeddings.filter(F.col(id_col).isin(query_ids))
+        queries
         .withColumn("cells", _cell_assign_udf(cents, nprobe)(F.col(vec_col)))
         .select(F.col(id_col).alias("query_id"), F.explode("cells").alias("cell"))
     )

@@ -35,6 +35,14 @@ from finance_reporting_etl_spark.functions.scalars import (  # noqa: E402
     det_round_sql as _dr_top,
 )
 
+# The BPE-ish token regex is shared verbatim with the Spark side
+# (functions/text.py TOKEN_PATTERN) — interpolated into every oracle
+# that counts BPE tokens so the two engines' tokenizers can never
+# silently drift (ADVICE r11).
+from finance_reporting_etl_spark.functions.text import (  # noqa: E402
+    TOKEN_PATTERN as _BPE_RE,
+)
+
 _SERIES_CASE = """
            CASE WHEN event_type = 'click'    THEN 'GDP'
                 WHEN event_type = 'error'    THEN 'UNRATE'
@@ -360,10 +368,10 @@ ORACLES["regional_revenue"] = """
     GROUP BY 1, 2
     """
 
-ORACLES["text_stats"] = """
+ORACLES["text_stats"] = f"""
     SELECT doc_id,
            len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))                          AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))    AS n_tokens_bpe,
+           len(regexp_extract_all(text, '{_BPE_RE}'))    AS n_tokens_bpe,
            length(text)                                                         AS n_chars_calc,
            (CASE WHEN isnan(CAST((list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
                                          t -> length(t)))
@@ -7479,14 +7487,14 @@ ORACLES["lsh_compaction_delta"] = f"""
 # and chars per BPE token — the token-budgeting observability a
 # multilingual corpus needs (fertility differences decide per-language
 # sampling budgets). Exact integer sums and truncating-division ppm.
-ORACLES["tokenizer_fertility_by_lang"] = """
+ORACLES["tokenizer_fertility_by_lang"] = f"""
     WITH d AS (
         SELECT lang,
                CAST(length(text) AS BIGINT) AS chars,
                CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                     t -> t <> '')) AS BIGINT) AS ws_toks,
                CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                        '{_BPE_RE}')) AS BIGINT)
                    AS bpe_toks
         FROM documents
     )
@@ -7541,7 +7549,7 @@ ORACLES["shard_balance_audit"] = f"""
     WITH d AS (
         SELECT CAST({_b256("shuffle")} AS INT) % 16 AS shard,
                CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+                    '{_BPE_RE}')) AS BIGINT) AS bpe
         FROM documents
     ), g AS (
         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -7719,7 +7727,7 @@ def _quality_ablation_sql(thresh: str) -> str:
     FROM (
         SELECT lang, {_QUALITY_SQL} AS q,
                CAST(len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe
+                    '{_BPE_RE}')) AS BIGINT) AS bpe
         FROM documents
     ) GROUP BY 1, 2
     """
@@ -9684,19 +9692,26 @@ ORACLES["watermark_disorder_census"] = """
 # event_transition_matrix.
 ORACLES["transition_drift_by_state"] = """
     WITH p AS (
-        SELECT event_type AS src,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS dst,
-               ts
+        SELECT * FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst,
+                   epoch_us(ts) AS t_us
+            FROM events
+        ) WHERE dst IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+            AS mid_us
         FROM events
     ),
     c AS (
         SELECT src, dst,
-               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+               CAST(sum(CASE WHEN t_us <= mid_us THEN 1
                         ELSE 0 END) AS BIGINT) AS c1,
-               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+               CAST(sum(CASE WHEN t_us > mid_us THEN 1
                         ELSE 0 END) AS BIGINT) AS c2
-        FROM p WHERE dst IS NOT NULL
+        FROM p CROSS JOIN m
         GROUP BY 1, 2
     ),
     t AS (
@@ -9883,7 +9898,7 @@ def _dedup_pareto_sql(thresh: str) -> str:
                      AND x.quality >= {thresh} THEN 1 ELSE 0 END AS kept,
                d.n_chars,
                CAST(len(regexp_extract_all(d.text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe,
+                    '{_BPE_RE}')) AS BIGINT) AS bpe,
                CAST(round(x.quality * 1000000.0) AS BIGINT) AS q_micro
         FROM x JOIN documents d ON x.doc_id = d.doc_id
     )
@@ -9988,4 +10003,150 @@ ORACLES["mart_backfill_idempotency"] = """
                                    THEN 1 ELSE 0 END) + sum(mismatch) = 0
                      THEN 1 ELSE 0 END AS INT) AS idempotent
     FROM cmp
+    """
+
+
+# --- round 12 ----------------------------------------------------------------
+
+# Perceptual-hash (aHash) image near-dup census: the oracle re-derives
+# every 64-bit hash PURELY from the synthetic-pixel formula (the
+# media_decode_features convention — so a hash match proves the real
+# PNG encode->deflate->decode->resample loop round-trips bit-exactly),
+# then brute-forces pairs WITHIN each (width, height) shape class,
+# which by pigeonhole exactness equals the Spark side's chunk-blocked
+# join. Bits: patch pixel strictly above the 8x8 patch mean, integer
+# cross-multiplied (px * 64 > sum) so no float tie exists.
+ORACLES["phash_media_near_dup"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + doc_id % 7 AS INT) AS height
+        FROM documents
+    ), g AS (
+        SELECT doc_id, width, height, gy.y * 8 + gx.x AS idx,
+               (doc_id * 31 + ((gx.x * width) // 8) * 7
+                            + ((gy.y * height) // 8) * 13) % 256 AS px
+        FROM d,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy
+    ), s AS (
+        SELECT doc_id, sum(px) AS tot FROM g GROUP BY 1
+    ), bits AS (
+        SELECT g.doc_id, g.width, g.height,
+               CAST(sum(CASE WHEN g.px * 64 > s.tot AND g.idx < 32
+                             THEN (CAST(1 AS BIGINT) << g.idx)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN g.px * 64 > s.tot AND g.idx >= 32
+                             THEN (CAST(1 AS BIGINT) << (g.idx - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM g JOIN s ON s.doc_id = g.doc_id
+        GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT width, height, CAST(count(*) AS BIGINT) AS n_docs
+        FROM bits GROUP BY 1, 2
+    ), p AS (
+        SELECT a.width, a.height,
+               bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                   AS hamming
+        FROM bits a
+        JOIN bits b ON a.width = b.width AND a.height = b.height
+                   AND a.doc_id < b.doc_id
+    ), pa AS (
+        SELECT width, height,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_pairs,
+               CAST(sum(hamming) AS BIGINT) AS hamming_sum
+        FROM p WHERE hamming <= 7
+        GROUP BY 1, 2
+    )
+    SELECT cls.width, cls.height, cls.n_docs,
+           CAST(coalesce(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(pa.n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+           CAST(coalesce(pa.hamming_sum, 0) AS BIGINT) AS hamming_sum
+    FROM cls LEFT JOIN pa ON pa.width = cls.width AND pa.height = cls.height
+    """
+
+# Semantic (embedding-level) decontamination: the oracle re-reads the
+# SAME persisted train-side IVF index and eval-side probe table the
+# Spark plan wrote, re-joins candidates on the cell key, re-scores
+# exact cosine with the house det_round(6) micro convention, and
+# re-counts contaminated train vectors per threshold. n_eval / n_train
+# come from the persisted tables themselves (probes are one row per
+# (eval vec, probed cell) with nprobe = 4).
+_SEMDECON_COS = _dr_top(
+    "list_dot_product(qe.v, te.v)"
+    " / nullif(sqrt(list_dot_product(qe.v, qe.v))"
+    " * sqrt(list_dot_product(te.v, te.v)), 0)",
+    6,
+)
+ORACLES["semantic_decontamination"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    idx AS (SELECT * FROM '{_AUX_DIR}/semdecon_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/semdecon_probes/*.parquet'),
+    cand AS (
+        SELECT pb.query_id, idx.id AS train_id
+        FROM idx JOIN pb ON pb.cell = idx.cell
+    ),
+    sc AS (
+        SELECT c.train_id,
+               CAST(floor({_SEMDECON_COS} * 1000000.0 + 0.5) AS BIGINT)
+                   AS score_micro
+        FROM cand c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e te ON te.vec_id = c.train_id
+    ),
+    mx AS (
+        SELECT train_id, max(score_micro) AS mx FROM sc GROUP BY 1
+    ),
+    scalars AS (
+        SELECT (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM pb)
+                   AS n_eval,
+               (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_train,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                   AS n_candidate_pairs
+    ),
+    t AS (SELECT unnest([300000, 350000, 400000]) AS thresh_micro)
+    SELECT CAST(t.thresh_micro AS BIGINT) AS thresh_micro,
+           s.n_eval, s.n_train, s.n_candidate_pairs,
+           CAST(coalesce((SELECT count(*) FROM mx
+                          WHERE mx >= t.thresh_micro), 0) AS BIGINT)
+               AS n_contaminated,
+           CAST(coalesce((SELECT count(*) FROM mx
+                          WHERE mx >= t.thresh_micro), 0)
+                * 1000000 // s.n_train AS BIGINT) AS contam_ppm
+    FROM t CROSS JOIN scalars s
+    """
+
+# Shard-local ANN index build -> global merge plan: the oracle re-reads
+# the persisted (id, cell) assignment, re-derives each vector's build
+# shard INDEPENDENTLY from the md5 formula (the md5_bucket twin, keyed
+# on vec_id with the 'shard' salt, mod 8), and re-aggregates the
+# per-cell merge-cost table.
+ORACLES["ann_shard_merge_plan"] = f"""
+    WITH idx AS (SELECT * FROM '{_AUX_DIR}/shard_merge_index/*.parquet'),
+    a AS (
+        SELECT cell,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(id AS VARCHAR) || 'shard'), 1, 1))
+                     - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(id AS VARCHAR) || 'shard'), 2, 1))
+                       - 1) AS BIGINT) % 8 AS shard
+        FROM idx
+    ),
+    per AS (
+        SELECT cell, shard, CAST(count(*) AS BIGINT) AS n
+        FROM a GROUP BY 1, 2
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(max(n) AS BIGINT) AS max_shard_vecs,
+           CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS max_share_ppm,
+           CAST(sum(n) - max(n) AS BIGINT) AS rows_moved,
+           CAST(sum(n) * 64 * 4 AS BIGINT) AS merged_bytes
+    FROM per GROUP BY 1
     """

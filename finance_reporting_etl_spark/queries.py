@@ -14590,27 +14590,41 @@ def q_transition_drift_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied form sum|c1*n2 - c2*n1| / (2*n1*n2) over the
     bounded destination alphabet, so no per-cell float probabilities
     ever exist. One lead() pass builds the pairs (the
-    event_transition_matrix shape); two conditional sums split the
-    halves in the same aggregate."""
+    event_transition_matrix shape); the halfway cutoff is the exact
+    epoch-microsecond midpoint (min+max) div 2 of the RAW event
+    timestamps — derived from the data itself via a cheap column-
+    pruned min/max scan (no second window pass) riding a 1-row
+    broadcast (the temporal_split_audit pattern), so the split works
+    at any SF / date range; two conditional sums split the halves in
+    the same aggregate."""
     from pyspark.sql import Window
 
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = (
-        _t(spark, sf_dir, "events")
-        .select(
+        ev.select(
             F.col("event_type").alias("src"),
             F.lead("event_type").over(w).alias("dst"),
-            "ts",
+            F.unix_micros("ts").alias("t_us"),
         )
         .filter(F.col("dst").isNotNull())
     )
-    c = p.groupBy("src", "dst").agg(
-        F.sum((F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("int"))
-        .cast("bigint")
-        .alias("c1"),
-        F.sum((F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int"))
-        .cast("bigint")
-        .alias("c2"),
+    mid = ev.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).cast("bigint").alias("mid_us")
+    )
+    c = (
+        p.crossJoin(F.broadcast(mid))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum((F.col("t_us") <= F.col("mid_us")).cast("int"))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum((F.col("t_us") > F.col("mid_us")).cast("int"))
+            .cast("bigint")
+            .alias("c2"),
+        )
     )
     t = c.groupBy(F.col("src").alias("t_src")).agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -15039,81 +15053,229 @@ def q_mart_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-12 wave — perceptual media dedup, semantic decontamination,
+# shard-local ANN build/merge (VERDICT r11 task 6)
+# ---------------------------------------------------------------------------
 
-# Round-11 gate window (driver verifies the first 50 catalog entries):
-# 50 of the 85 round-10 additions that have NEVER held a driver gate
-# slot (wave order; `quantized_isotropy_audit` swapped in for
-# `fiscal_445_rollup` so the full privacy-triad + quantized-geometry
-# audit block rides this window, VERDICT r10 task 5). No re-gated
-# fixes lead this window — the r10 board was fully green, so this is
-# pure never-gated debt paydown (VERDICT r10 task 1). Every entry is
-# local-oracle-verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp
-# compare) AND at sf0.01 with EXACT float compare
+
+@query("phash_media_near_dup",
+    _ORACLES["phash_media_near_dup"],
+    "X2xX5 composition: perceptual-hash (aHash) image near-dup census — real PNG decode -> 8x8 average-hash -> shape-class + pigeonhole-chunk blocked hamming pairs; exact integer census per shape class",
+)
+def q_phash_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup, the missing X2xX5 composition: every payload is a
+    REAL PNG, decoded executor-side, hashed to a 64-bit aHash
+    (8x8 nearest-neighbor patch, bit = R pixel strictly above the
+    integer patch mean), and near-dup pairs (hamming <= 7) are found
+    by shape-class + 8x8-bit pigeonhole chunk blocking — never an
+    all-pairs scan, and by pigeonhole exactness the blocked result
+    equals brute force within class, which is how the DuckDB oracle
+    re-derives it from the pixel formula alone (so a match also
+    proves the encode->deflate->decode->resample loop round-trips).
+    Output: one exact-integer row per (width, height) shape class.
+    Scale: hash = map-side Arrow batches (24-byte signatures
+    regardless of media size); pairs = one equi-join shuffle over 8n
+    signature rows."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_class_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs))
+    # signatures feed two legs (class census + pair join on 8 exploded
+    # chunks); without a checkpoint the PNG encode+decode+hash UDF
+    # chain re-executes once per leg
+    sigs = sigs.localCheckpoint()
+    cls = sigs.groupBy("width", "height").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    pairs = phash_class_pairs(sigs, max_hamming=7)
+    pa = pairs.groupBy("width", "height").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("int"))
+        .cast("bigint")
+        .alias("__n_exact"),
+        F.sum("hamming").cast("bigint").alias("__hamming_sum"),
+    )
+    return cls.join(pa, ["width", "height"], "left").select(
+        "width",
+        "height",
+        "n_docs",
+        F.coalesce(F.col("__n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.col("__n_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.coalesce(F.col("__hamming_sum"), F.lit(0))
+        .cast("bigint")
+        .alias("hamming_sum"),
+    )
+
+
+@query("semantic_decontamination",
+    _ORACLES["semantic_decontamination"],
+    "X3 embedding-level train/eval decontamination: held-out md5-bucket eval split probes the train-side IVF index, exact cosine over cell-blocked candidates, contaminated-train census per threshold; complements the n-gram decontaminate_4gram",
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark leakage the n-gram screen can't see: a training vector
+    whose EMBEDDING sits on top of an eval vector is a paraphrase
+    contamination. The eval split (salted md5 bucket < 13, ~5%, its
+    own salt so it is independent of every other split) probes the
+    train-side IVF index at nprobe=4; candidates are cell-blocked
+    (never train x eval all-pairs — the same read-amortized index the
+    ANN family serves from), scored with exact cosine in det_round(6)
+    micro-integers, and a train vector counts as contaminated at
+    threshold t iff ANY probed eval vector scores >= t. Both the index
+    and the probe table persist to parquet and the oracle re-derives
+    candidates, scores, and counts from those bit-identical inputs.
+    Output: one exact-integer row per threshold in the 0.30/0.35/0.40
+    sweep."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = md5_bucket("vec_id", salt="semdecon")
+    ev = emb.filter(b < 13)
+    tr = emb.filter(b >= 13)
+    index = _persist_aux(spark, ivf_index(tr), "semdecon_index")
+    probes = _persist_aux(spark, ivf_probes_for(ev, nprobe=4), "semdecon_probes")
+    cand = index.withColumnRenamed("id", "train_id").join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", "train_id")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            F.floor(det_round(cosine("q_vec", "t_vec"), 6) * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    mx = scored.groupBy("train_id").agg(F.max("score_micro").alias("mx"))
+    counts = mx.agg(
+        *[
+            F.sum((F.col("mx") >= t).cast("int"))
+            .cast("bigint")
+            .alias(f"__c{t}")
+            for t in (300000, 350000, 400000)
+        ]
+    )
+    scalars = (
+        probes.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_eval")
+        )
+        .crossJoin(
+            F.broadcast(
+                index.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cand.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+                )
+            )
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(scalars))
+        .selectExpr(
+            "stack(3, "
+            "CAST(300000 AS BIGINT), __c300000, "
+            "CAST(350000 AS BIGINT), __c350000, "
+            "CAST(400000 AS BIGINT), __c400000"
+            ") AS (thresh_micro, n_contaminated)",
+            "n_eval",
+            "n_train",
+            "n_candidate_pairs",
+        )
+        .selectExpr(
+            "thresh_micro",
+            "n_eval",
+            "n_train",
+            "n_candidate_pairs",
+            "n_contaminated",
+            "CAST(n_contaminated * 1000000 div n_train AS BIGINT)"
+            " AS contam_ppm",
+        )
+    )
+
+
+@query("ann_shard_merge_plan",
+    _ORACLES["ann_shard_merge_plan"],
+    "X3 serving ops: shard-local IVF index builds -> global merge-cost plan — per cell the shard fan-in, posting-list sizes, anchor-shard share, rows shipped, and merged bytes; exact integer census from the persisted assignment",
+)
+def q_ann_shard_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW a 1000-executor ANN index actually gets built: each build
+    shard (salted md5 of vec_id, mod 8 — data-independent, so shards
+    build with zero coordination) quantizes its vectors locally
+    against the shared deterministic centroids, and the global index
+    is a per-cell MERGE of shard-local posting lists. This is that
+    merge's cost plan: per cell, how many shards contribute
+    (fan-in), total and max-shard posting sizes, the anchor-shard
+    share in ppm, rows shipped if the merge anchors at the largest
+    holder, and merged bytes at fp32x64. The (id, cell) assignment
+    persists to parquet; the oracle re-derives each vector's shard
+    independently from the md5 formula and re-aggregates. Two
+    map-side-combined groupBys — never a vector-by-vector shuffle of
+    the payloads themselves."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _persist_aux(spark, ivf_index(emb), "shard_merge_index")
+    per = (
+        index.withColumn("shard", md5_bucket("id", salt="shard") % 8)
+        .groupBy("cell", "shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        per.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.max("n").cast("bigint").alias("max_shard_vecs"),
+        )
+        .selectExpr(
+            "cell",
+            "n_shards",
+            "n_vecs",
+            "max_shard_vecs",
+            "CAST(max_shard_vecs * 1000000 div n_vecs AS BIGINT)"
+            " AS max_share_ppm",
+            "CAST(n_vecs - max_shard_vecs AS BIGINT) AS rows_moved",
+            "CAST(n_vecs * 64 * 4 AS BIGINT) AS merged_bytes",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+# Round-12 gate window (driver verifies the first 50 catalog entries):
+# ALL 38 remaining never-driver-gated queries (35 round-10 additions +
+# the 3 round-11 additions) plus the 12 stalest proven entries (5 with
+# their last green driver row in r4, 7 in r5) — exactly the VERDICT
+# r11 task 1 prescription. After this window gates green, ZERO catalog
+# queries lack a green driver row for the first time since r9. Every
+# entry is local-oracle-verified at sf0.001
+# (tests/test_catalog_oracle.py, 6-dp compare) AND at sf0.01 with
+# EXACT float compare
 # (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01).
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    "balance_rollforward_monthly",
-    "streaming_balance_rollforward",
-    "cash_flow_indirect_monthly",
-    "dedup_cluster_canonicalize",
-    "dedup_purge_savings",
-    "cross_encoder_rerank_eval",
-    "lsh_index_compaction_plan",
-    "t_closeness_audit",
-    "ar_roll_rates",
-    "ivf_cell_balance",
-    "lsh_compaction_delta",
-    "tokenizer_fertility_by_lang",
-    "source_overlap_matrix",
-    "shard_balance_audit",
-    "packing_efficiency_sweep",
-    "pr_auc_exact",
-    "allowance_expected_loss",
-    "fx_unrealized_remeasurement",
-    "quality_filter_ablation",
-    "int8_recall_audit",
-    "pq_codebook_utilization",
-    "dedup_method_agreement",
-    "streaming_cash_flow_indirect",
-    "lang_id_confusion_matrix",
-    "session_gap_sweep",
-    "customer_concentration_topn",
-    "compaction_savings_summary",
-    "embedding_dim_profile",
-    "intercompany_elimination",
-    "depreciation_schedule_sl",
-    "segment_migration_matrix",
-    "wilson_ci_return_rates",
-    "lang_id_agreement_kappa",
-    "quantized_centroid_profile",
-    "knn_graph_reciprocity",
-    "delta_encoding_savings",
-    "blocking_recall_audit",
-    "chao1_ndv_estimate",
-    "k_anon_generalization_sweep",
-    "streaming_intercompany_elimination",
-    "ann_ivf_nprobe_sweep",
-    "oov_rate_by_source",
-    "mixture_temperature_sweep",
-    "kmv_ndv_estimate",
-    "quantized_covariance_topk",
-    "order_lines_dispersion",
-    "poisson_control_chart_hourly",
-    "streaming_kmv_sketch_maintain",
-    "dp_clip_bound_sweep",
-    "quantized_isotropy_audit",
-]
-
-# Heads of the round-12 window: the remaining 35 never-driver-gated
-# round-10 additions (they MUST clear the gate next round — the
-# tripwire requires every never-gated query to sit in window ∪
-# _GATE_NEXT), then the stalest proven entries (5 r4-era + 50 r5-era,
-# last green driver row r4/r5). Round-11 additions are appended below
-# the marker. Pinned directly after the window in catalog order so
-# tests assert the two-round coverage plan.
-_GATE_NEXT = [
-    # -- round-10 additions still never gated (35) — lead the r12 window
+    # -- round-10 additions never gated before this window (35) -------
     "fiscal_445_rollup",
     "net_revenue_retention",
     "bom_cost_rollup",
@@ -15149,7 +15311,11 @@ _GATE_NEXT = [
     "watermark_disorder_census",
     "transition_drift_by_state",
     "growth_accounting_weekly",
-    # -- stalest proven entries (last green driver row r4/r5) ---------
+    # -- round-11 additions never gated before this window (3) --------
+    "hnsw_layer_reciprocity",
+    "dedup_quality_pareto",
+    "mart_backfill_idempotency",
+    # -- 12 stalest proven entries (last green driver row r4/r5) ------
     "similarity_topk",
     "stateful_session_timeout",
     "streaming_watermark_late_drop",
@@ -15162,6 +15328,16 @@ _GATE_NEXT = [
     "ann_ivfpq_topk",
     "heavy_hitters_cms",
     "event_grouping_sets",
+]
+
+# Heads of the round-13 window: once CORRECTNESS_r12 proves the gate
+# debt is zero, rotation reverts to pure least-recently-gated-first —
+# these are the next-stalest proven entries (last green driver row r5),
+# in catalog order. Round-12 additions are appended below the marker
+# (growth cap held at <=10 this round, VERDICT r11 task 2; standing
+# rule: never more never-gated queries than one window can clear).
+_GATE_NEXT = [
+    # -- next-stalest proven entries (last green driver row r5) -------
     "lineitem_unpivot_metrics",
     "corpus_upsample_epochs",
     "quality_percentile_filter",
@@ -15205,11 +15381,11 @@ _GATE_NEXT = [
     "k_anonymity_suppress",
     "embedding_int8_quantize",
     "abc_customer_classification",
-    # -- round-11 additions (never gated; capped at <=10 this round,
-    #    VERDICT r10 task 2) ----------------------------------------------
-    "hnsw_layer_reciprocity",
-    "dedup_quality_pareto",
-    "mart_backfill_idempotency",
+    # -- round-12 additions (never gated; staged here per VERDICT r11
+    #    task 2 so the r13 rotation gates them) ---------------------------
+    "phash_media_near_dup",
+    "semantic_decontamination",
+    "ann_shard_merge_plan",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

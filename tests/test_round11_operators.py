@@ -38,7 +38,8 @@ def test_hnsw_layers_structure(spark):
                 assert 0 <= ppm <= 1_000_000
         # k=5 edges can't exceed k=10 edges (prefix of the same lists)
         assert r.edges_5 <= r.edges_10
-        assert rows[1].edges_10 <= rows[0].edges_10
+    # the sparse level-1 graph can't have more edges than level 0
+    assert rows[1].edges_10 <= rows[0].edges_10
 
 
 def test_hnsw_level1_is_own_ranking_not_filtered_level0(spark):

@@ -1,0 +1,232 @@
+"""Round-12 operator tests: perceptual-hash media dedup (hash bits
+re-derived from the pixel formula, pigeonhole blocking equals brute
+force, class census conservation), semantic decontamination (candidate
+bound laws, threshold monotonicity, brute-force upper bound), and the
+ANN shard merge plan (vector conservation against the index, share/
+moved identities) — each against a conservation law or an independent
+re-derivation, the repo's standing test model (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finance_reporting_etl_spark.queries import CATALOG
+from finance_reporting_etl_spark.tables import _read_parquet
+from tests.conftest import SF_SMOKE
+
+
+# --- perceptual-hash media near-dup ------------------------------------------
+
+
+def _ref_hash(doc_id: int) -> tuple[int, int, int, int]:
+    """Independent pure-python re-derivation of the aHash from the
+    synthetic pixel formula (no PNG bytes involved)."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    patch = [
+        (doc_id * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256
+        for y in range(8)
+        for x in range(8)
+    ]
+    tot = sum(patch)
+    lo = hi = 0
+    for idx, p in enumerate(patch):
+        if p * 64 > tot:
+            if idx < 32:
+                lo |= 1 << idx
+            else:
+                hi |= 1 << (idx - 32)
+    return w, h, lo, hi
+
+
+def test_phash_signatures_match_formula(spark):
+    """The REAL decode path (PNG bytes -> inflate -> unfilter ->
+    resample -> threshold) must reproduce the formula-only hash for
+    every doc — the round-trip proof the oracle then leans on."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+    )
+
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet").limit(64)
+    got = {
+        r.doc_id: (r.width, r.height, r.hash_lo, r.hash_hi)
+        for r in perceptual_hash_media(attach_synthetic_png(docs)).collect()
+    }
+    assert len(got) == 64
+    for doc_id, sig in got.items():
+        assert sig == _ref_hash(doc_id), doc_id
+
+
+def test_phash_blocked_pairs_equal_brute_force(spark):
+    """Pigeonhole exactness: the chunk-blocked join must find EXACTLY
+    the within-class pairs a brute-force hamming scan finds at the
+    hamming <= 7 cut."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_class_pairs,
+    )
+
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).collect()
+    byclass: dict[tuple[int, int], list] = {}
+    for r in sigs:
+        byclass.setdefault((r.width, r.height), []).append(r)
+    brute = set()
+    for lst in byclass.values():
+        lst.sort(key=lambda r: r.doc_id)
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                a, b = lst[i], lst[j]
+                hm = bin((a.hash_lo ^ b.hash_lo)).count("1") + bin(
+                    (a.hash_hi ^ b.hash_hi)
+                ).count("1")
+                if hm <= 7:
+                    brute.add((a.doc_id, b.doc_id, hm))
+    blocked = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_class_pairs(
+            perceptual_hash_media(attach_synthetic_png(docs)), max_hamming=7
+        ).collect()
+    }
+    assert blocked == brute
+    assert brute  # non-vacuous at the smoke fixture
+
+
+def test_phash_census_conservation(spark):
+    """The class census must cover every document exactly once
+    (sum n_docs == corpus size, 63 shape classes at any fixture with
+    doc_ids spanning 0..62), with per-row sanity: exact pairs <= pairs,
+    hamming_sum bounded by 7 * n_pairs."""
+    rows = CATALOG["phash_media_near_dup"].fn(spark, SF_SMOKE).collect()
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len(rows) == 63
+    for r in rows:
+        assert 0 <= r.n_exact_pairs <= r.n_pairs
+        assert r.hamming_sum <= 7 * r.n_pairs
+        assert r.n_pairs <= r.n_docs * (r.n_docs - 1) // 2
+
+
+def test_phash_rejects_inexact_blocking():
+    """max_hamming >= 8 would silently under-report with 8 chunks —
+    the operator must refuse rather than return a non-exact census."""
+    import pytest
+
+    from finance_reporting_etl_spark.operators.multimodal import (
+        phash_class_pairs,
+    )
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_class_pairs(None, max_hamming=8)
+
+
+# --- semantic decontamination -------------------------------------------------
+
+
+def test_semantic_decontamination_laws(spark):
+    """Sweep laws: 3 threshold rows; n_eval + n_train == corpus;
+    contamination is antitone in the threshold; every contaminated
+    count is bounded by the train size AND by the brute-force count at
+    the same threshold (IVF candidates are a subset of all pairs)."""
+    rows = {
+        r.thresh_micro: r
+        for r in CATALOG["semantic_decontamination"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {300000, 350000, 400000}
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    r0 = rows[300000]
+    assert r0.n_eval + r0.n_train == n
+    assert r0.n_eval > 0 and r0.n_train > 0
+    assert (
+        rows[300000].n_contaminated
+        >= rows[350000].n_contaminated
+        >= rows[400000].n_contaminated
+    )
+    for r in rows.values():
+        assert 0 <= r.n_contaminated <= r.n_train
+        assert r.contam_ppm == r.n_contaminated * 1_000_000 // r.n_train
+        assert r.n_candidate_pairs <= r.n_eval * r.n_train
+
+
+def test_semantic_decontamination_upper_bounded_by_brute_force(spark):
+    """IVF-candidate contamination can never EXCEED the brute-force
+    (all eval x train pairs) contamination at the same threshold — and
+    at the smoke fixture the nprobe=4 screen must still find a
+    non-trivial fraction of it."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    b = md5_bucket("vec_id", salt="semdecon")
+    ev = emb.filter(b < 13).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    tr = emb.filter(b >= 13).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec")
+    )
+    brute = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "train_id",
+            F.floor(cosine("q_vec", "t_vec") * 1000000.0 + 0.5).alias("m"),
+        )
+        .groupBy("train_id")
+        .agg(F.max("m").alias("mx"))
+    )
+    brute_counts = {
+        t: brute.filter(F.col("mx") >= t).count()
+        for t in (300000, 350000, 400000)
+    }
+    rows = {
+        r.thresh_micro: r
+        for r in CATALOG["semantic_decontamination"].fn(spark, SF_SMOKE).collect()
+    }
+    for t, r in rows.items():
+        assert r.n_contaminated <= brute_counts[t], t
+    assert rows[300000].n_contaminated > 0
+
+
+# --- ANN shard merge plan -------------------------------------------------------
+
+
+def test_ann_shard_merge_plan_conservation(spark):
+    """The merge plan must conserve vectors (sum n_vecs == corpus),
+    keep fan-in within [1, 8], and satisfy the row identities
+    (rows_moved = n_vecs - max_shard_vecs, bytes = n_vecs * 256,
+    max share in (0, 1e6])."""
+    rows = CATALOG["ann_shard_merge_plan"].fn(spark, SF_SMOKE).collect()
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 1 <= r.n_shards <= 8
+        assert 0 < r.max_shard_vecs <= r.n_vecs
+        assert r.rows_moved == r.n_vecs - r.max_shard_vecs
+        assert r.merged_bytes == r.n_vecs * 64 * 4
+        assert r.max_share_ppm == r.max_shard_vecs * 1_000_000 // r.n_vecs
+        assert r.max_share_ppm <= 1_000_000
+
+
+def test_ann_shard_merge_matches_index_regrouping(spark):
+    """Independent re-derivation: regroup the persisted assignment by
+    (cell, shard) in the test and rebuild every plan row."""
+    from finance_reporting_etl_spark.oracles import _AUX_DIR
+
+    rows = {r.cell: r for r in
+            CATALOG["ann_shard_merge_plan"].fn(spark, SF_SMOKE).collect()}
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    idx = spark.read.parquet(f"{_AUX_DIR}/shard_merge_index").withColumn(
+        "shard", md5_bucket("id", salt="shard") % 8
+    )
+    per: dict[int, dict[int, int]] = {}
+    for r in idx.collect():
+        per.setdefault(r.cell, {}).setdefault(r.shard, 0)
+        per[r.cell][r.shard] += 1
+    assert set(per) == set(rows)
+    for cell, shards in per.items():
+        r = rows[cell]
+        assert r.n_shards == len(shards)
+        assert r.n_vecs == sum(shards.values())
+        assert r.max_shard_vecs == max(shards.values())
