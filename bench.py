@@ -386,6 +386,8 @@ HEADLINE = [
     "phash_media_near_dup",
     "semantic_decontamination",
     "ann_shard_merge_plan",
+    "phash_dedup_savings",
+    "decontamination_method_agreement",
 ]
 
 

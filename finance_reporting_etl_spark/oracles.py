@@ -10016,8 +10016,11 @@ ORACLES["mart_backfill_idempotency"] = """
 # which by pigeonhole exactness equals the Spark side's chunk-blocked
 # join. Bits: patch pixel strictly above the 8x8 patch mean, integer
 # cross-multiplied (px * 64 > sum) so no float tie exists.
-ORACLES["phash_media_near_dup"] = """
-    WITH d AS (
+# Shared aHash re-derivation (formula-only, no PNG bytes): the d/g/s/
+# bits CTE chain every phash oracle interpolates exactly once, so the
+# hash definition cannot drift between the near-dup census and the
+# dedup-savings audit (the TOKEN_PATTERN lesson, ADVICE r11).
+_PHASH_BITS_CTES = """d AS (
         SELECT doc_id,
                CAST(8 + doc_id % 9 AS INT) AS width,
                CAST(8 + doc_id % 7 AS INT) AS height
@@ -10041,7 +10044,10 @@ ORACLES["phash_media_near_dup"] = """
                              ELSE 0 END) AS BIGINT) AS hi
         FROM g JOIN s ON s.doc_id = g.doc_id
         GROUP BY 1, 2, 3
-    ), cls AS (
+    )"""
+
+ORACLES["phash_media_near_dup"] = f"""
+    WITH {_PHASH_BITS_CTES}, cls AS (
         SELECT width, height, CAST(count(*) AS BIGINT) AS n_docs
         FROM bits GROUP BY 1, 2
     ), p AS (
@@ -10149,4 +10155,112 @@ ORACLES["ann_shard_merge_plan"] = f"""
            CAST(sum(n) - max(n) AS BIGINT) AS rows_moved,
            CAST(sum(n) * 64 * 4 AS BIGINT) AS merged_bytes
     FROM per GROUP BY 1
+    """
+
+
+# Exact-duplicate image purge savings: cluster = identical aHash within
+# a shape class, keeper = one per cluster, savings measured in decoded
+# pixel bytes (w*h*3 — re-derivable, unlike zlib-compressed payload
+# lengths which are codec-setting-dependent). The oracle re-derives
+# every hash from the pixel formula via the shared CTE chain.
+ORACLES["phash_dedup_savings"] = f"""
+    WITH {_PHASH_BITS_CTES},
+    cl AS (
+        SELECT width, height, hi, lo, CAST(count(*) AS BIGINT) AS n
+        FROM bits GROUP BY 1, 2, 3, 4
+    )
+    SELECT width, height,
+           CAST(sum(n) AS BIGINT) AS n_images,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_purged,
+           CAST(max(n) AS BIGINT) AS max_cluster_size,
+           CAST((sum(n) - count(*)) * width * height * 3 AS BIGINT)
+               AS purged_pixel_bytes,
+           CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT)
+               AS purged_ppm
+    FROM cl GROUP BY 1, 2
+    """
+
+# n-gram vs semantic decontamination agreement: BOTH legs run on the
+# SAME salted split (md5(id || 'decon') < 13 = the eval/benchmark
+# bucket — the decontaminate_4gram split), the universe is the train
+# ids that have embeddings (= the persisted train-side index), and the
+# verdict is the 2x2 confusion matrix + Cohen's kappa in the house
+# exact-integer form (kappa itself is ONE double division of BIGINTs,
+# the lang_id_agreement_kappa convention). The n-gram leg re-derives
+# in SQL from the documents table; the semantic leg re-derives from
+# the persisted index/probe parquet.
+_DECONAGREE_COS = _dr_top(
+    "list_dot_product(qe.v, te.v)"
+    " / nullif(sqrt(list_dot_product(qe.v, qe.v))"
+    " * sqrt(list_dot_product(te.v, te.v)), 0)",
+    6,
+)
+ORACLES["decontamination_method_agreement"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, b,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' ')))
+                   AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE b < 13),
+    ng AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 13) g
+        JOIN bench USING (gram)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    idx AS (SELECT * FROM '{_AUX_DIR}/deconagree_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/deconagree_probes/*.parquet'),
+    sc AS (
+        SELECT c.train_id,
+               CAST(floor({_DECONAGREE_COS} * 1000000.0 + 0.5) AS BIGINT)
+                   AS score_micro
+        FROM (SELECT pb.query_id, idx.id AS train_id
+              FROM idx JOIN pb ON pb.cell = idx.cell) c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e te ON te.vec_id = c.train_id
+    ),
+    sem AS (
+        SELECT train_id FROM sc GROUP BY 1 HAVING max(score_micro) >= 300000
+    ),
+    uni AS (
+        SELECT idx.id,
+               CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ng,
+               CASE WHEN sem.train_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem
+        FROM idx
+        LEFT JOIN ng ON ng.doc_id = idx.id
+        LEFT JOIN sem ON sem.train_id = idx.id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_universe,
+               CAST(sum(CASE WHEN f_ng = 1 AND f_sem = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN f_ng = 1 AND f_sem = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ngram_only,
+               CAST(sum(CASE WHEN f_ng = 0 AND f_sem = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sem_only,
+               CAST(sum(CASE WHEN f_ng = 0 AND f_sem = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neither
+        FROM uni
+    )
+    SELECT n_universe, n_both, n_ngram_only, n_sem_only, n_neither,
+           CAST((n_both + n_neither) * 1000000 // n_universe AS BIGINT)
+               AS agree_ppm,
+           CAST((n_both + n_ngram_only) * (n_both + n_sem_only)
+                + (n_sem_only + n_neither) * (n_ngram_only + n_neither)
+                AS BIGINT) AS pe_num,
+           CAST((n_both + n_neither) * n_universe
+                - ((n_both + n_ngram_only) * (n_both + n_sem_only)
+                   + (n_sem_only + n_neither) * (n_ngram_only + n_neither))
+                AS DOUBLE)
+           / CAST(n_universe * n_universe
+                  - ((n_both + n_ngram_only) * (n_both + n_sem_only)
+                     + (n_sem_only + n_neither) * (n_ngram_only + n_neither))
+                  AS DOUBLE) AS kappa
+    FROM m
     """

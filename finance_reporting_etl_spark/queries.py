@@ -15260,6 +15260,161 @@ def q_ann_shard_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("phash_dedup_savings",
+    _ORACLES["phash_dedup_savings"],
+    "X1xX5 composition: exact-duplicate image purge savings — identical aHash clusters within a shape class, keep-one policy, savings in re-derivable decoded pixel bytes; exact integer census per class",
+)
+def q_phash_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT exact image dedup buys: cluster = identical 64-bit aHash
+    within a (width, height) shape class (hamming 0 — the exact-dup
+    end of the phash_media_near_dup spectrum, as dedup_purge_savings
+    is to the text near-dup family), keeper = one image per cluster,
+    savings measured in decoded pixel bytes (w*h*3 — a quantity the
+    oracle can re-derive from the pixel formula, unlike zlib payload
+    lengths which depend on codec settings). Two map-side-combined
+    groupBys over 24-byte signatures; the decode/hash stage is the
+    same no-shuffle Arrow path as the census. Output: one
+    exact-integer row per shape class."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs))
+    cl = sigs.groupBy("width", "height", "hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        cl.groupBy("width", "height")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_images"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.max("n").cast("bigint").alias("max_cluster_size"),
+        )
+        .selectExpr(
+            "width",
+            "height",
+            "n_images",
+            "n_clusters",
+            "CAST(n_images - n_clusters AS BIGINT) AS n_purged",
+            "max_cluster_size",
+            "CAST((n_images - n_clusters) * width * height * 3 AS BIGINT)"
+            " AS purged_pixel_bytes",
+            "CAST((n_images - n_clusters) * 1000000 div n_images AS BIGINT)"
+            " AS purged_ppm",
+        )
+    )
+
+
+@query("decontamination_method_agreement",
+    _ORACLES["decontamination_method_agreement"],
+    "X-pipeline QA composition: n-gram vs semantic decontamination agreement on the SAME held-out split — 2x2 confusion matrix + Cohen's kappa over the train ids with embeddings; exact integers, kappa one double division",
+)
+def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO the two leak detectors agree: the n-gram screen
+    (decontaminate_4gram's exact-overlap flag) and the embedding
+    screen (the semantic_decontamination IVF+cosine flag at 0.30) run
+    on the SAME salted split (md5(id || 'decon') < 13 = eval), over
+    the universe of train ids that have embeddings. Low kappa means
+    the screens see DIFFERENT leakage — the operational argument for
+    running both at 100 TB. Matrix cells are exact BIGINTs; kappa
+    follows the lang_id_agreement_kappa convention (exact integer
+    marginal cross-products, one final double division). The n-gram
+    leg broadcasts the tiny benchmark gram set; the semantic leg is
+    cell-blocked through the persisted train-side index the oracle
+    re-reads."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.corpus import (
+        md5_bucket,
+        ngram_decontaminate,
+    )
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bd = md5_bucket("doc_id", salt="decon")
+    ng = ngram_decontaminate(
+        docs.filter(bd >= 13), docs.filter(bd < 13), n=4
+    ).select(F.col("doc_id").alias("id"), F.lit(1).alias("f_ng"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bv = md5_bucket("vec_id", salt="decon")
+    index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "deconagree_index")
+    probes = _persist_aux(
+        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "deconagree_probes"
+    )
+    cand = index.withColumnRenamed("id", "train_id").join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", "train_id")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    sem = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            F.floor(det_round(cosine("q_vec", "t_vec"), 6) * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .groupBy("train_id")
+        .agg(F.max("score_micro").alias("mx"))
+        .filter(F.col("mx") >= 300000)
+        .select(F.col("train_id").alias("id"), F.lit(1).alias("f_sem"))
+    )
+    uni = (
+        index.select("id")
+        .join(F.broadcast(ng), "id", "left")
+        .join(F.broadcast(sem), "id", "left")
+        .select(
+            F.coalesce(F.col("f_ng"), F.lit(0)).alias("f_ng"),
+            F.coalesce(F.col("f_sem"), F.lit(0)).alias("f_sem"),
+        )
+    )
+    return (
+        uni.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_universe"),
+            F.sum(((F.col("f_ng") == 1) & (F.col("f_sem") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(((F.col("f_ng") == 1) & (F.col("f_sem") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_ngram_only"),
+            F.sum(((F.col("f_ng") == 0) & (F.col("f_sem") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_sem_only"),
+            F.sum(((F.col("f_ng") == 0) & (F.col("f_sem") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_neither"),
+        )
+        .selectExpr(
+            "n_universe",
+            "n_both",
+            "n_ngram_only",
+            "n_sem_only",
+            "n_neither",
+            "CAST((n_both + n_neither) * 1000000 div n_universe AS BIGINT)"
+            " AS agree_ppm",
+            "CAST((n_both + n_ngram_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_ngram_only + n_neither)"
+            " AS BIGINT) AS pe_num",
+            "CAST((n_both + n_neither) * n_universe - ("
+            "(n_both + n_ngram_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_ngram_only + n_neither)"
+            ") AS DOUBLE) / CAST(n_universe * n_universe - ("
+            "(n_both + n_ngram_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_ngram_only + n_neither)"
+            ") AS DOUBLE) AS kappa",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-12 gate window (driver verifies the first 50 catalog entries):
@@ -15386,6 +15541,8 @@ _GATE_NEXT = [
     "phash_media_near_dup",
     "semantic_decontamination",
     "ann_shard_merge_plan",
+    "phash_dedup_savings",
+    "decontamination_method_agreement",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

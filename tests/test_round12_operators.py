@@ -230,3 +230,70 @@ def test_ann_shard_merge_matches_index_regrouping(spark):
         assert r.n_shards == len(shards)
         assert r.n_vecs == sum(shards.values())
         assert r.max_shard_vecs == max(shards.values())
+
+
+# --- exact-dup image purge savings ---------------------------------------------
+
+
+def test_phash_dedup_savings_reconciles_with_near_dup_census(spark):
+    """Sibling reconciliation: per shape class, n_images must equal the
+    census's n_docs, and the number of exact-dup PAIRS implied by the
+    cluster sizes must equal the census's n_exact_pairs (sum over
+    clusters of C(n,2) == hamming-0 pairs)."""
+    census = {(r.width, r.height): r for r in
+              CATALOG["phash_media_near_dup"].fn(spark, SF_SMOKE).collect()}
+    savings = {(r.width, r.height): r for r in
+               CATALOG["phash_dedup_savings"].fn(spark, SF_SMOKE).collect()}
+    assert set(census) == set(savings)
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+    )
+
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).collect()
+    clusters: dict[tuple, dict[tuple, int]] = {}
+    for r in sigs:
+        k = (r.width, r.height)
+        clusters.setdefault(k, {}).setdefault((r.hash_hi, r.hash_lo), 0)
+        clusters[k][(r.hash_hi, r.hash_lo)] += 1
+    for k, r in savings.items():
+        cl = clusters[k]
+        assert r.n_images == census[k].n_docs == sum(cl.values())
+        assert r.n_clusters == len(cl)
+        assert r.n_purged == r.n_images - r.n_clusters
+        assert r.max_cluster_size == max(cl.values())
+        assert r.purged_pixel_bytes == r.n_purged * k[0] * k[1] * 3
+        exact_pairs = sum(n * (n - 1) // 2 for n in cl.values())
+        assert census[k].n_exact_pairs == exact_pairs
+    assert any(r.n_purged > 0 for r in savings.values())  # non-vacuous
+
+
+# --- decontamination method agreement --------------------------------------------
+
+
+def test_decontamination_agreement_cells(spark):
+    """Matrix laws: one row; the four cells partition the universe
+    (= the train-side vector count on the shared 'decon' split); the
+    semantic marginal equals an independent re-derivation via the
+    semantic leg's own flags; agreement ppm matches the cells."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+
+    r = CATALOG["decontamination_method_agreement"].fn(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    r = r[0]
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    n_train = emb.filter(md5_bucket("vec_id", salt="decon") >= 13).count()
+    assert r.n_universe == n_train
+    assert (
+        r.n_both + r.n_ngram_only + r.n_sem_only + r.n_neither == r.n_universe
+    )
+    assert r.agree_ppm == (r.n_both + r.n_neither) * 1_000_000 // r.n_universe
+    po_num = (r.n_both + r.n_neither) * r.n_universe
+    assert r.pe_num == (r.n_both + r.n_ngram_only) * (r.n_both + r.n_sem_only) + (
+        r.n_sem_only + r.n_neither
+    ) * (r.n_ngram_only + r.n_neither)
+    assert abs(r.kappa - (po_num - r.pe_num) / (r.n_universe**2 - r.pe_num)) < 1e-12
+    # both screens must actually fire at the smoke fixture
+    assert r.n_both + r.n_ngram_only > 0
+    assert r.n_both + r.n_sem_only > 0
