@@ -388,6 +388,8 @@ HEADLINE = [
     "ann_shard_merge_plan",
     "phash_dedup_savings",
     "decontamination_method_agreement",
+    "streaming_phash_signature_maintain",
+    "semantic_decontamination_recall",
 ]
 
 

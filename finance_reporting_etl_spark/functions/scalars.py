@@ -109,6 +109,26 @@ def det_round_sql(expr: str, n: int) -> str:
     )
 
 
+def det_micro(c: Column | str, n: int = 6) -> Column:
+    """:func:`det_round` to ``n`` digits, then the SAME value as an
+    exact BIGINT in 10^n-units ("micro" at the default n=6) — the
+    integer-comparison form threshold sweeps use so that ``score >=
+    t`` can never depend on a decimal literal's binary rounding.
+    Twin: :func:`det_micro_sql`."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(det_round(c, n) * float(10**n) + 0.5).cast("bigint")
+
+
+def det_micro_sql(expr: str, n: int = 6) -> str:
+    """DuckDB twin of :func:`det_micro`: identical textual formula
+    over :func:`det_round_sql`, so both engines produce the same
+    BIGINT micro-units from bit-identical inputs."""
+    scale = f"{float(10 ** n)!r}"
+    return (
+        f"CAST(floor(({det_round_sql(expr, n)}) * {scale} + 0.5) AS BIGINT)"
+    )
+
+
 def seeded_uniform(c: Column | str, salt: str) -> Column:
     """Deterministic uniform in (0, 1) from md5(value || salt): the
     first 8 hex chars parsed as an integer, then (v + 0.5) / 16^8.

@@ -10080,7 +10080,15 @@ ORACLES["phash_media_near_dup"] = f"""
 # re-counts contaminated train vectors per threshold. n_eval / n_train
 # come from the persisted tables themselves (probes are one row per
 # (eval vec, probed cell) with nprobe = 4).
-_SEMDECON_COS = _dr_top(
+# Shared qe/te cosine in exact BIGINT micro-units — one definition for
+# every decontamination-family oracle (semantic_decontamination,
+# decontamination_method_agreement, semantic_decontamination_recall),
+# via the det_micro_sql twin of functions/scalars.det_micro.
+from finance_reporting_etl_spark.functions.scalars import (  # noqa: E402
+    det_micro_sql as _det_micro_sql,
+)
+
+_COS_MICRO = _det_micro_sql(
     "list_dot_product(qe.v, te.v)"
     " / nullif(sqrt(list_dot_product(qe.v, qe.v))"
     " * sqrt(list_dot_product(te.v, te.v)), 0)",
@@ -10098,7 +10106,7 @@ ORACLES["semantic_decontamination"] = f"""
     ),
     sc AS (
         SELECT c.train_id,
-               CAST(floor({_SEMDECON_COS} * 1000000.0 + 0.5) AS BIGINT)
+               {_COS_MICRO}
                    AS score_micro
         FROM cand c
         JOIN e qe ON qe.vec_id = c.query_id
@@ -10190,12 +10198,6 @@ ORACLES["phash_dedup_savings"] = f"""
 # the lang_id_agreement_kappa convention). The n-gram leg re-derives
 # in SQL from the documents table; the semantic leg re-derives from
 # the persisted index/probe parquet.
-_DECONAGREE_COS = _dr_top(
-    "list_dot_product(qe.v, te.v)"
-    " / nullif(sqrt(list_dot_product(qe.v, qe.v))"
-    " * sqrt(list_dot_product(te.v, te.v)), 0)",
-    6,
-)
 ORACLES["decontamination_method_agreement"] = f"""
     WITH t AS (
         SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents
@@ -10218,7 +10220,7 @@ ORACLES["decontamination_method_agreement"] = f"""
     pb AS (SELECT * FROM '{_AUX_DIR}/deconagree_probes/*.parquet'),
     sc AS (
         SELECT c.train_id,
-               CAST(floor({_DECONAGREE_COS} * 1000000.0 + 0.5) AS BIGINT)
+               {_COS_MICRO}
                    AS score_micro
         FROM (SELECT pb.query_id, idx.id AS train_id
               FROM idx JOIN pb ON pb.cell = idx.cell) c
@@ -10264,3 +10266,61 @@ ORACLES["decontamination_method_agreement"] = f"""
                   AS DOUBLE) AS kappa
     FROM m
     """
+
+
+# Streaming signature-store maintenance twin: the micro-batched decode
+# -> hash -> append pipeline must land on EXACTLY the batch purge
+# census (signatures are per-doc rows — trivially mergeable across
+# micro-batch boundaries), so it shares the batch oracle verbatim (the
+# streaming_value_drift_psi convention).
+ORACLES["streaming_phash_signature_maintain"] = ORACLES["phash_dedup_savings"]
+
+# Semantic-decontamination recall sweep: per nprobe, the IVF screen's
+# flagged-train count vs the brute-force truth at the same 0.30
+# threshold. Truth is re-derived in SQL from the embeddings table and
+# the md5 split formula; every per-nprobe retrieval re-derives from
+# its own persisted probe table against the shared persisted index.
+def _semdecon_recall_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
+        " CAST((instr('0123456789abcdef',"
+        " substr(md5(CAST(vec_id AS VARCHAR) || 'semdecon'), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef',"
+        " substr(md5(CAST(vec_id AS VARCHAR) || 'semdecon'), 2, 1)) - 1)"
+        " AS BIGINT) AS b FROM embeddings)",
+        "ev AS (SELECT vec_id AS query_id, v FROM e WHERE b < 13)",
+        "tr AS (SELECT vec_id AS train_id, v FROM e WHERE b >= 13)",
+        f"truth AS (SELECT DISTINCT te.train_id"
+        f" FROM tr te CROSS JOIN ev qe"
+        f" WHERE {_COS_MICRO} >= 300000)",
+        "tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)",
+        f"idx AS (SELECT * FROM '{_AUX_DIR}/semdecon_recall_index/*.parquet')",
+    ]
+    selects = []
+    for p in (1, 2, 4, 8):
+        ctes.append(
+            f"pb{p} AS (SELECT * FROM"
+            f" '{_AUX_DIR}/semdecon_recall_probes_{p}/*.parquet')"
+        )
+        ctes.append(
+            f"cd{p} AS (SELECT pq.query_id, i.id AS train_id"
+            f" FROM idx i JOIN pb{p} pq ON pq.cell = i.cell)"
+        )
+        ctes.append(
+            f"fl{p} AS (SELECT DISTINCT c.train_id FROM cd{p} c"
+            f" JOIN e qe ON qe.vec_id = c.query_id"
+            f" JOIN e te ON te.vec_id = c.train_id"
+            f" WHERE {_COS_MICRO} >= 300000)"
+        )
+        selects.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cd{p}) AS n_candidates,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM fl{p}) AS n_flagged,"
+            f" (SELECT n_truth FROM tn) AS n_truth,"
+            f" CAST((SELECT count(*) FROM fl{p}) * 1000000"
+            f" // (SELECT n_truth FROM tn) AS BIGINT) AS recall_ppm"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["semantic_decontamination_recall"] = _semdecon_recall_oracle()

@@ -30,6 +30,7 @@ from finance_reporting_etl_spark.operators.ml import (
 )
 from finance_reporting_etl_spark.functions.scalars import (
     case_map,
+    det_micro,
     det_round,
     normalize_string,
 )
@@ -15157,9 +15158,7 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tv, "train_id")
         .select(
             "train_id",
-            F.floor(det_round(cosine("q_vec", "t_vec"), 6) * 1000000.0 + 0.5)
-            .cast("bigint")
-            .alias("score_micro"),
+            det_micro(cosine("q_vec", "t_vec")).alias("score_micro"),
         )
     )
     mx = scored.groupBy("train_id").agg(F.max("score_micro").alias("mx"))
@@ -15282,6 +15281,14 @@ def q_phash_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = perceptual_hash_media(attach_synthetic_png(docs))
+    return _phash_savings_census(sigs)
+
+
+def _phash_savings_census(sigs: DataFrame) -> DataFrame:
+    """Per-shape-class exact-dup purge census over a signature table —
+    shared by the batch query and the streaming maintenance twin (the
+    streaming readback must aggregate IDENTICALLY to hit the shared
+    oracle)."""
     cl = sigs.groupBy("width", "height", "hash_hi", "hash_lo").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -15359,19 +15366,21 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
         .join(tv, "train_id")
         .select(
             "train_id",
-            F.floor(det_round(cosine("q_vec", "t_vec"), 6) * 1000000.0 + 0.5)
-            .cast("bigint")
-            .alias("score_micro"),
+            det_micro(cosine("q_vec", "t_vec")).alias("score_micro"),
         )
         .groupBy("train_id")
         .agg(F.max("score_micro").alias("mx"))
         .filter(F.col("mx") >= 300000)
         .select(F.col("train_id").alias("id"), F.lit(1).alias("f_sem"))
     )
+    # the flagged sets are data-dependent fractions of the train
+    # universe — NOT bounded like the benchmark gram set — so no
+    # broadcast hint: these are key-equi-joins AQE may still broadcast
+    # at small scale but can shuffle at 100 TB
     uni = (
         index.select("id")
-        .join(F.broadcast(ng), "id", "left")
-        .join(F.broadcast(sem), "id", "left")
+        .join(ng, "id", "left")
+        .join(sem, "id", "left")
         .select(
             F.coalesce(F.col("f_ng"), F.lit(0)).alias("f_ng"),
             F.coalesce(F.col("f_sem"), F.lit(0)).alias("f_sem"),
@@ -15413,6 +15422,141 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
             ") AS DOUBLE) AS kappa",
         )
     )
+
+
+@query("streaming_phash_signature_maintain",
+    _ORACLES["streaming_phash_signature_maintain"],
+    "§2.8 x X5: streaming image-signature store maintenance — real PNG decode + aHash inside foreachBatch micro-batches, append-only signature sink, readback census == the batch purge census exactly (shared oracle)",
+)
+def q_streaming_phash_signature_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW the image-dedup signature store is maintained at 100 TB:
+    media arrives continuously, each micro-batch decodes and hashes
+    ONLY its own payloads (the 24-byte signatures are per-doc rows —
+    trivially mergeable, the KMV-sketch argument one level simpler),
+    and the accumulated store answers the purge census at read time.
+    Replayed as 3 micro-batches over documents via foreachBatch; the
+    readback aggregates with the SAME census as phash_dedup_savings
+    and must land on EXACTLY its rows (shared oracle — the
+    streaming_value_drift_psi convention). Decode stays Arrow-batched
+    map-side work inside each micro-batch; nothing ever rescans old
+    payloads."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+    )
+    from finance_reporting_etl_spark.streaming.rollup import (
+        streaming_grouped_sum_fold,
+    )
+    from finance_reporting_etl_spark.streaming.staging import run_file_stream
+
+    def batch_agg(batch: DataFrame) -> DataFrame:
+        return perceptual_hash_media(attach_synthetic_png(batch))
+
+    def readback(tmp: str) -> DataFrame:
+        sigs = spark.read.parquet(f"{tmp}/sink").select(
+            "doc_id", "width", "height", "hash_lo", "hash_hi"
+        )
+        return _phash_savings_census(sigs)
+
+    return run_file_stream(
+        spark,
+        lambda src: _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(3)
+        .write.parquet(src),
+        lambda src, schema, tmp: streaming_grouped_sum_fold(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
+            batch_agg=batch_agg,
+        ),
+        readback,
+        prefix="stream_phash_",
+        label="streaming_phash_signature_maintain",
+    )
+
+
+@query("semantic_decontamination_recall",
+    _ORACLES["semantic_decontamination_recall"],
+    "X3 screen tuning: semantic-decontamination recall vs candidate cost at nprobe=1/2/4/8 against the exact brute-force contaminated set at 0.30 — the nprobe S-curve for the leak screen (ann_ivf_nprobe_sweep's decon sibling); exact integer census",
+)
+def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW MUCH leakage the cheap screen misses: semantic
+    decontamination serves from an IVF index, so its recall is an
+    nprobe knob exactly like ANN retrieval — this sweep measures the
+    flagged-train recall against the exact brute-force contaminated
+    set at the same 0.30 threshold (the eval side is tiny, so truth
+    is one broadcast cross-scoring — the always-affordable audit).
+    Every IVF-flagged id is by construction in the truth set (same
+    threshold over a candidate SUBSET), so recall = n_flagged /
+    n_truth in exact ppm. One persisted index; one persisted probe
+    table per nprobe; the production cell-join path throughout."""
+    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = md5_bucket("vec_id", salt="semdecon")
+    ev = emb.filter(b < 13)
+    tr = emb.filter(b >= 13)
+    truth = (
+        tr.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec"))
+        .crossJoin(
+            F.broadcast(
+                ev.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"),
+                )
+            )
+        )
+        .filter(det_micro(cosine("q_vec", "t_vec")) >= 300000)
+        .select("train_id")
+        .distinct()
+    )
+    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    index = _persist_aux(spark, ivf_index(tr), "semdecon_recall_index")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    outs = []
+    for p in (1, 2, 4, 8):
+        probes = _persist_aux(
+            spark,
+            ivf_probes_for(ev, nprobe=p),
+            f"semdecon_recall_probes_{p}",
+        )
+        cand = index.withColumnRenamed("id", "train_id").join(
+            F.broadcast(probes), "cell"
+        ).select("query_id", "train_id")
+        nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+            F.broadcast(probes.select("query_id").distinct()), "query_id"
+        )
+        tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+        flagged = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(tv, "train_id")
+            .filter(det_micro(cosine("q_vec", "t_vec")) >= 300000)
+            .select("train_id")
+            .distinct()
+        )
+        nf = flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+        outs.append(
+            nc.crossJoin(F.broadcast(nf))
+            .crossJoin(F.broadcast(tn))
+            .selectExpr(
+                f"CAST({p} AS BIGINT) AS nprobe",
+                "n_candidates",
+                "n_flagged",
+                "n_truth",
+                "CAST(n_flagged * 1000000 div n_truth AS BIGINT)"
+                " AS recall_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -15543,6 +15687,8 @@ _GATE_NEXT = [
     "ann_shard_merge_plan",
     "phash_dedup_savings",
     "decontamination_method_agreement",
+    "streaming_phash_signature_maintain",
+    "semantic_decontamination_recall",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -297,3 +297,55 @@ def test_decontamination_agreement_cells(spark):
     # both screens must actually fire at the smoke fixture
     assert r.n_both + r.n_ngram_only > 0
     assert r.n_both + r.n_sem_only > 0
+
+
+# --- streaming phash signature maintenance ---------------------------------------
+
+
+def test_streaming_phash_equals_batch_census(spark):
+    """The micro-batched signature store must answer the purge census
+    with EXACTLY the batch query's rows — mergeability is the whole
+    claim (the streaming_value_drift_psi convention)."""
+    batch = {(r.width, r.height): r for r in
+             CATALOG["phash_dedup_savings"].fn(spark, SF_SMOKE).collect()}
+    stream = {(r.width, r.height): r for r in
+              CATALOG["streaming_phash_signature_maintain"]
+              .fn(spark, SF_SMOKE).collect()}
+    assert set(batch) == set(stream)
+    for k, b in batch.items():
+        s = stream[k]
+        assert (
+            s.n_images, s.n_clusters, s.n_purged, s.max_cluster_size,
+            s.purged_pixel_bytes, s.purged_ppm,
+        ) == (
+            b.n_images, b.n_clusters, b.n_purged, b.max_cluster_size,
+            b.purged_pixel_bytes, b.purged_ppm,
+        )
+
+
+# --- semantic decontamination recall sweep ------------------------------------------
+
+
+def test_semdecon_recall_sweep_laws(spark):
+    """Sweep laws: 4 rows; candidates and flagged are monotone
+    non-decreasing in nprobe; flagged <= truth (same threshold over a
+    candidate subset); recall_ppm matches the integer identity and is
+    non-decreasing; the sweep's nprobe=4 flagged count equals
+    semantic_decontamination's contaminated count at 0.30 (same split,
+    same index geometry, same threshold)."""
+    rows = {r.nprobe: r for r in
+            CATALOG["semantic_decontamination_recall"].fn(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == [1, 2, 4, 8]
+    prev = None
+    for p in (1, 2, 4, 8):
+        r = rows[p]
+        assert 0 <= r.n_flagged <= r.n_truth
+        assert r.recall_ppm == r.n_flagged * 1_000_000 // r.n_truth
+        if prev is not None:
+            assert r.n_candidates >= prev.n_candidates
+            assert r.n_flagged >= prev.n_flagged
+        prev = r
+    assert rows[8].n_flagged > 0  # non-vacuous
+    sem = {r.thresh_micro: r for r in
+           CATALOG["semantic_decontamination"].fn(spark, SF_SMOKE).collect()}
+    assert rows[4].n_flagged == sem[300000].n_contaminated
