@@ -68,3 +68,42 @@ def cosine_arrow():
         return pd.Series(out, dtype="Float64")
 
     return cos
+
+
+def cosine_arrow_foldexact():
+    """Arrow-batched cosine that is BIT-IDENTICAL to the Catalyst
+    ``cosine`` above (returns a pandas_udf(double)).
+
+    ``cosine_arrow`` sums via einsum/BLAS — pairwise/SIMD accumulation
+    whose float64 result can differ from the sequential left fold by
+    ~1 ulp, enough to flip an integer-micro threshold at a rounding
+    boundary. This variant accumulates dot and both squared norms as
+    an EXPLICIT loop over dimensions (sequential in i, vectorized over
+    rows), so every partial sum is the same IEEE add in the same order
+    as ``F.aggregate``'s left fold AND DuckDB's ``list_dot_product`` —
+    vectorized speed with oracle-exact semantics. Use it wherever a
+    high-volume pair scoring feeds an exact-compare oracle; plain
+    ``cosine_arrow`` remains for score rankings that are persisted or
+    re-derived from Spark's own output."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        n = ma.shape[0]
+        acc = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(ma.shape[1]):
+            acc = acc + ma[:, i] * mb[:, i]
+            na = na + ma[:, i] * ma[:, i]
+            nb = nb + mb[:, i] * mb[:, i]
+        den = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = acc / den
+        out = pd.array(vals, dtype="Float64")
+        out[den == 0.0] = pd.NA
+        return pd.Series(out, dtype="Float64")
+
+    return cos

@@ -339,11 +339,39 @@ def ivf_probes_for(
     set-valued variant of ``ivf_probes`` for query sides that are a
     DataFrame predicate (e.g. a held-out split) rather than a driver
     list; stays fully distributed, no collect."""
+    return ivf_probes_ranked(
+        queries, n_cells, nprobe, dim, id_col, vec_col, seed
+    ).select("query_id", "cell")
+
+
+def ivf_probes_ranked(
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(query_id, probe_rank, cell) probe rows, probe_rank 1-based in
+    nearest-cell order. Because rank-``p`` probes are a PREFIX of
+    rank-``nprobe`` probes, one table probed at the maximum nprobe
+    serves a whole sweep via ``probe_rank <= p`` filters — one Arrow
+    quantizer pass and one persisted artifact instead of one per
+    sweep point."""
     cents = _centroids(n_cells, dim, seed)
     return (
         queries
         .withColumn("cells", _cell_assign_udf(cents, nprobe)(F.col(vec_col)))
-        .select(F.col(id_col).alias("query_id"), F.explode("cells").alias("cell"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode("cells").alias("__pos", "cell"),
+        )
+        .select(
+            "query_id",
+            (F.col("__pos") + 1).cast("int").alias("probe_rank"),
+            "cell",
+        )
     )
 
 

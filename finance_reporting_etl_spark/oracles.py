@@ -10295,30 +10295,32 @@ def _semdecon_recall_oracle() -> str:
         f" WHERE {_COS_MICRO} >= 300000)",
         "tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)",
         f"idx AS (SELECT * FROM '{_AUX_DIR}/semdecon_recall_index/*.parquet')",
+        f"pb AS (SELECT * FROM"
+        f" '{_AUX_DIR}/semdecon_recall_probes/*.parquet')",
+        # one scored frame: a candidate lives in exactly one cell, so a
+        # (query, train) pair has a single probe_rank and every sweep
+        # point is a rank-prefix filter over this table
+        f"sc AS (SELECT c.train_id, c.probe_rank,"
+        f" CASE WHEN {_COS_MICRO} >= 300000 THEN 1 ELSE 0 END AS hit"
+        f" FROM (SELECT pb.query_id, i.id AS train_id, pb.probe_rank"
+        f" FROM idx i JOIN pb ON pb.cell = i.cell) c"
+        f" JOIN e qe ON qe.vec_id = c.query_id"
+        f" JOIN e te ON te.vec_id = c.train_id)",
+        "fr AS (SELECT train_id, min(probe_rank) AS first_rank"
+        " FROM sc WHERE hit = 1 GROUP BY 1)",
     ]
     selects = []
     for p in (1, 2, 4, 8):
-        ctes.append(
-            f"pb{p} AS (SELECT * FROM"
-            f" '{_AUX_DIR}/semdecon_recall_probes_{p}/*.parquet')"
-        )
-        ctes.append(
-            f"cd{p} AS (SELECT pq.query_id, i.id AS train_id"
-            f" FROM idx i JOIN pb{p} pq ON pq.cell = i.cell)"
-        )
-        ctes.append(
-            f"fl{p} AS (SELECT DISTINCT c.train_id FROM cd{p} c"
-            f" JOIN e qe ON qe.vec_id = c.query_id"
-            f" JOIN e te ON te.vec_id = c.train_id"
-            f" WHERE {_COS_MICRO} >= 300000)"
-        )
         selects.append(
             f"SELECT CAST({p} AS BIGINT) AS nprobe,"
-            f" (SELECT CAST(count(*) AS BIGINT) FROM cd{p}) AS n_candidates,"
-            f" (SELECT CAST(count(*) AS BIGINT) FROM fl{p}) AS n_flagged,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM sc"
+            f"  WHERE probe_rank <= {p}) AS n_candidates,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM fr"
+            f"  WHERE first_rank <= {p}) AS n_flagged,"
             f" (SELECT n_truth FROM tn) AS n_truth,"
-            f" CAST((SELECT count(*) FROM fl{p}) * 1000000"
-            f" // (SELECT n_truth FROM tn) AS BIGINT) AS recall_ppm"
+            f" CAST((SELECT count(*) FROM fr WHERE first_rank <= {p})"
+            f" * 1000000 // (SELECT n_truth FROM tn) AS BIGINT)"
+            f" AS recall_ppm"
         )
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 

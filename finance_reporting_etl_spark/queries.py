@@ -15132,13 +15132,16 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, scores, and counts from those bit-identical inputs.
     Output: one exact-integer row per threshold in the 0.30/0.35/0.40
     sweep."""
-    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.similarity import (
         ivf_index,
         ivf_probes_for,
     )
 
+    _cos_fx = cosine_arrow_foldexact()
     emb = _t(spark, sf_dir, "embeddings")
     b = md5_bucket("vec_id", salt="semdecon")
     ev = emb.filter(b < 13)
@@ -15158,7 +15161,8 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tv, "train_id")
         .select(
             "train_id",
-            det_micro(cosine("q_vec", "t_vec")).alias("score_micro"),
+            det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec")))
+            .alias("score_micro"),
         )
     )
     mx = scored.groupBy("train_id").agg(F.max("score_micro").alias("mx"))
@@ -15331,7 +15335,9 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
     leg broadcasts the tiny benchmark gram set; the semantic leg is
     cell-blocked through the persisted train-side index the oracle
     re-reads."""
-    from finance_reporting_etl_spark.functions.vectors import cosine
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
     from finance_reporting_etl_spark.operators.corpus import (
         md5_bucket,
         ngram_decontaminate,
@@ -15347,6 +15353,7 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
         docs.filter(bd >= 13), docs.filter(bd < 13), n=4
     ).select(F.col("doc_id").alias("id"), F.lit(1).alias("f_ng"))
 
+    _cos_fx = cosine_arrow_foldexact()
     emb = _t(spark, sf_dir, "embeddings")
     bv = md5_bucket("vec_id", salt="decon")
     index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "deconagree_index")
@@ -15366,7 +15373,8 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
         .join(tv, "train_id")
         .select(
             "train_id",
-            det_micro(cosine("q_vec", "t_vec")).alias("score_micro"),
+            det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec")))
+            .alias("score_micro"),
         )
         .groupBy("train_id")
         .agg(F.max("score_micro").alias("mx"))
@@ -15488,20 +15496,31 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
     is one broadcast cross-scoring — the always-affordable audit).
     Every IVF-flagged id is by construction in the truth set (same
     threshold over a candidate SUBSET), so recall = n_flagged /
-    n_truth in exact ppm. One persisted index; one persisted probe
-    table per nprobe; the production cell-join path throughout."""
-    from finance_reporting_etl_spark.functions.vectors import cosine
+    n_truth in exact ppm.
+
+    Sweep shape: because rank-p probes are a PREFIX of rank-8 probes
+    and a candidate lives in exactly ONE cell, a (query, train) pair
+    has a single probe_rank and its membership at nprobe=p is just
+    ``probe_rank <= p`` — so the whole curve needs ONE persisted
+    ranked probe table, ONE cell join, and ONE cosine pass; the four
+    sweep points are conditional sums over that one scored frame
+    (first bench sample of the 4-independent-legs shape measured
+    15.2 s; this is the redesign)."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.similarity import (
         ivf_index,
-        ivf_probes_for,
+        ivf_probes_ranked,
     )
 
+    _cos_fx = cosine_arrow_foldexact()
     emb = _t(spark, sf_dir, "embeddings")
     b = md5_bucket("vec_id", salt="semdecon")
     ev = emb.filter(b < 13)
     tr = emb.filter(b >= 13)
-    truth = (
+    tn = (
         tr.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec"))
         .crossJoin(
             F.broadcast(
@@ -15511,52 +15530,77 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
                 )
             )
         )
-        .filter(det_micro(cosine("q_vec", "t_vec")) >= 300000)
+        .filter(det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec"))) >= 300000)
         .select("train_id")
         .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        # 1-row scalar feeding all four sweep rows — pin it once so the
+        # eval x train cross-scoring doesn't re-execute per union leg
+        .localCheckpoint()
     )
-    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     index = _persist_aux(spark, ivf_index(tr), "semdecon_recall_index")
+    probes = _persist_aux(
+        spark, ivf_probes_ranked(ev, nprobe=8), "semdecon_recall_probes"
+    )
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-    outs = []
-    for p in (1, 2, 4, 8):
-        probes = _persist_aux(
-            spark,
-            ivf_probes_for(ev, nprobe=p),
-            f"semdecon_recall_probes_{p}",
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    scored = (
+        index.withColumnRenamed("id", "train_id")
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "train_id", "probe_rank")
+        .join(F.broadcast(qv), "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            "probe_rank",
+            (det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec"))) >= 300000)
+            .alias("hit"),
         )
-        cand = index.withColumnRenamed("id", "train_id").join(
-            F.broadcast(probes), "cell"
-        ).select("query_id", "train_id")
-        nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
-            F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    cand_counts = scored.agg(
+        *[
+            F.sum((F.col("probe_rank") <= p).cast("int"))
+            .cast("bigint")
+            .alias(f"__nc{p}")
+            for p in (1, 2, 4, 8)
+        ]
+    )
+    flag_counts = (
+        scored.filter("hit")
+        .groupBy("train_id")
+        .agg(F.min("probe_rank").alias("first_rank"))
+        .agg(
+            *[
+                F.sum((F.col("first_rank") <= p).cast("int"))
+                .cast("bigint")
+                .alias(f"__nf{p}")
+                for p in (1, 2, 4, 8)
+            ]
         )
-        tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
-        flagged = (
-            cand.join(F.broadcast(qv), "query_id")
-            .join(tv, "train_id")
-            .filter(det_micro(cosine("q_vec", "t_vec")) >= 300000)
-            .select("train_id")
-            .distinct()
-        )
-        nf = flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
-        outs.append(
-            nc.crossJoin(F.broadcast(nf))
-            .crossJoin(F.broadcast(tn))
-            .selectExpr(
-                f"CAST({p} AS BIGINT) AS nprobe",
-                "n_candidates",
-                "n_flagged",
-                "n_truth",
-                "CAST(n_flagged * 1000000 div n_truth AS BIGINT)"
-                " AS recall_ppm",
+    )
+    return (
+        cand_counts.crossJoin(F.broadcast(flag_counts))
+        .crossJoin(F.broadcast(tn))
+        .selectExpr(
+            "stack(4, "
+            + ", ".join(
+                f"CAST({p} AS BIGINT), __nc{p}, coalesce(__nf{p}, CAST(0 AS BIGINT))"
+                for p in (1, 2, 4, 8)
             )
+            + ") AS (nprobe, n_candidates, n_flagged)",
+            "n_truth",
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .selectExpr(
+            "nprobe",
+            "n_candidates",
+            "n_flagged",
+            "n_truth",
+            "CAST(n_flagged * 1000000 div n_truth AS BIGINT) AS recall_ppm",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
