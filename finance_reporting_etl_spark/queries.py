@@ -12104,8 +12104,11 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
 
 def _ivf_sweep_oracle() -> str:
     """nprobe-sweep oracle: truth and every per-nprobe retrieval are
-    re-derived in SQL from the SAME persisted index/probe tables, with
-    the house det_round(6) + id-tiebreak ranking convention."""
+    re-derived in SQL from the SAME persisted index + single RANKED
+    probe table (rank-p probes are a prefix of rank-8 probes and a
+    candidate lives in exactly one cell, so each sweep point is a
+    probe_rank <= p filter over one scored CTE), with the house
+    det_round(6) + id-tiebreak ranking convention."""
     from finance_reporting_etl_spark.functions.scalars import det_round_sql
 
     cos = (
@@ -12131,33 +12134,27 @@ def _ivf_sweep_oracle() -> str:
         " FROM sc) WHERE r <= 10)",
         "tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)",
         f"idx AS (SELECT * FROM '{_AUX_DIR}/ivf_sweep_index/*.parquet')",
+        f"pb AS (SELECT * FROM '{_AUX_DIR}/ivf_sweep_probes/*.parquet')",
+        "cd AS (SELECT pq.query_id, i.id AS neighbor_id, pq.probe_rank"
+        " FROM idx i JOIN pb pq ON pq.cell = i.cell"
+        " WHERE i.id <> pq.query_id)",
+        f"sc8 AS (SELECT c.query_id, c.neighbor_id, c.probe_rank,"
+        f" {det_round_sql(cos, 6)} AS score"
+        f" FROM cd c JOIN e se ON se.vec_id = c.query_id"
+        f" JOIN e de ON de.vec_id = c.neighbor_id)",
     ]
     selects = []
     for p in (1, 2, 4, 8):
         ctes.append(
-            f"pb{p} AS (SELECT * FROM"
-            f" '{_AUX_DIR}/ivf_sweep_probes_{p}/*.parquet')"
-        )
-        ctes.append(
-            f"cd{p} AS (SELECT pq.query_id, i.id AS neighbor_id"
-            f" FROM idx i JOIN pb{p} pq ON pq.cell = i.cell"
-            f" WHERE i.id <> pq.query_id)"
-        )
-        ctes.append(
-            f"sc{p} AS (SELECT c.query_id, c.neighbor_id,"
-            f" {det_round_sql(cos, 6)} AS score"
-            f" FROM cd{p} c JOIN e se ON se.vec_id = c.query_id"
-            f" JOIN e de ON de.vec_id = c.neighbor_id)"
-        )
-        ctes.append(
             f"rt{p} AS (SELECT query_id, neighbor_id FROM ("
             f"SELECT query_id, neighbor_id, row_number() OVER ("
             f"PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)"
-            f" AS r FROM sc{p}) WHERE r <= 10)"
+            f" AS r FROM sc8 WHERE probe_rank <= {p}) WHERE r <= 10)"
         )
         selects.append(
             f"SELECT CAST({p} AS BIGINT) AS nprobe,"
-            f" (SELECT CAST(count(*) AS BIGINT) FROM cd{p}) AS n_candidates,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM cd"
+            f"  WHERE probe_rank <= {p}) AS n_candidates,"
             f" (SELECT CAST(count(*) AS BIGINT) FROM rt{p} r"
             f"  JOIN truth t ON t.query_id = r.query_id"
             f"  AND t.neighbor_id = r.neighbor_id) AS hits,"
@@ -12171,7 +12168,7 @@ def _ivf_sweep_oracle() -> str:
 
 @query("ann_ivf_nprobe_sweep",
     _ivf_sweep_oracle(),
-    "X3 ANN tuning: IVF recall@10 vs candidate cost at nprobe=1/2/4/8 from ONE persisted index — the S-curve every IVF deployment tunes (the lsh_band_sweep analog for cell probing); exact integer census",
+    "X3 ANN tuning: IVF recall@10 vs candidate cost at nprobe=1/2/4/8 from ONE persisted index + ONE ranked probe table — the S-curve every IVF deployment tunes (the lsh_band_sweep analog for cell probing); exact integer census",
 )
 def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHICH nprobe buys enough recall: the cells probed per query set
@@ -12179,34 +12176,68 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures the whole curve from ONE persisted index — the tuning
     artifact an IVF deployment pins before serving, sibling of
     lsh_band_sweep_recall (banding S-curve). Truth is exact brute
-    force over the 5 fixture queries; retrieval per nprobe reuses the
-    production ivf_topk_from_index path (cell equi-joins, never
-    all-pairs). Output: 4 rows of exact integers."""
+    force over the 5 fixture queries (1-row count pinned once via
+    localCheckpoint so no union leg re-runs it).
+
+    Sweep shape (the semantic_decontamination_recall redesign applied
+    at the source): rank-p probes are a PREFIX of rank-8 probes and a
+    candidate lives in exactly ONE cell, so each (query, neighbor)
+    pair has a single probe_rank — ONE ranked probe table, ONE cell
+    join, ONE cosine pass, and the four sweep points are rank-prefix
+    filters + rank windows over that single scored frame (the
+    4-independent-legs shape re-scored everything per nprobe).
+    Output: 4 rows of exact integers."""
+    from pyspark.sql import Window
+
+    from finance_reporting_etl_spark.functions.vectors import cosine
     from finance_reporting_etl_spark.operators.similarity import (
         brute_force_topk,
         ivf_index,
-        ivf_probes,
-        ivf_topk_from_index,
+        ivf_probes_ranked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     index = _persist_aux(spark, ivf_index(emb), "ivf_sweep_index")
     truth = brute_force_topk(emb, qids, k=10).select("query_id", "neighbor_id")
-    tn = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    tn = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        .localCheckpoint()
+    )
+    probes = _persist_aux(
+        spark,
+        ivf_probes_ranked(emb.filter(F.col("vec_id").isin(qids)), nprobe=8),
+        "ivf_sweep_probes",
+    )
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    cv = vecs.withColumnsRenamed({"id": "neighbor_id", "v": "c_vec"})
+    scored = (
+        index.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "probe_rank")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", det_round(cosine("q_vec", "c_vec"), 6))
+        .select("query_id", "neighbor_id", "probe_rank", "score")
+        # four rank windows and four candidate counts read this frame —
+        # pin it once so the scoring join chain runs a single time
+        .localCheckpoint()
+    )
     outs = []
     for p in (1, 2, 4, 8):
-        probes = _persist_aux(
-            spark, ivf_probes(emb, qids, nprobe=p), f"ivf_sweep_probes_{p}"
+        leg = scored.filter(F.col("probe_rank") <= p)
+        nc = leg.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
         )
-        cands = (
-            index.withColumnRenamed("id", "neighbor_id")
-            .join(F.broadcast(probes), "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-        )
-        nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        retrieved = ivf_topk_from_index(index, probes, emb, k=10).select(
-            "query_id", "neighbor_id"
+        retrieved = (
+            leg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id")
         )
         hits = retrieved.join(truth, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).cast("bigint").alias("hits")
