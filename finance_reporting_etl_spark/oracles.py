@@ -817,7 +817,7 @@ ORACLES["customer_segments_setops"] = """
 ORACLES["retention_filter"] = """
     SELECT event_id, ts, user_id, event_type, value
     FROM events
-    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    WHERE ts >= (SELECT max(ts) - INTERVAL 21 DAY FROM events)
     """
 
 ORACLES["cumulative_monthly_revenue"] = """
@@ -1530,7 +1530,10 @@ ORACLES["streaming_sessionize_events"] = """
     """
 
 ORACLES["streaming_watermark_late_drop"] = """
-    WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+    WITH c AS (SELECT max(epoch_us(ts)) - 7 * 86400000000 AS cut_us
+               FROM events),
+         pre AS (SELECT e.* FROM events e
+                 WHERE epoch_us(ts) < (SELECT cut_us FROM c)),
          b1 AS (SELECT * FROM pre WHERE event_id % 7 >= 2),
          spacer AS (SELECT * FROM pre WHERE event_id % 7 = 1),
          late AS (SELECT * FROM pre WHERE event_id % 7 = 0),
@@ -1543,7 +1546,8 @@ ORACLES["streaming_watermark_late_drop"] = """
            SELECT late.* FROM late
            WHERE date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT w FROM wm1)
            UNION ALL
-           SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21'
+           SELECT e.* FROM events e
+           WHERE epoch_us(ts) >= (SELECT cut_us FROM c)
          )
     SELECT date_trunc('day', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -3075,9 +3079,12 @@ ORACLES["gini_revenue_concentration"] = """
     """
 
 ORACLES["value_drift_psi_bins"] = """
-    WITH b AS (
+    WITH m AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ), b AS (
         SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
-               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               CASE WHEN epoch_us(ts) < (SELECT mid_us FROM m)
                     THEN 1 ELSE 0 END AS in_a
         FROM events
     ), t AS (
@@ -3168,9 +3175,12 @@ ORACLES["finance_daily_pipeline"] = """
     """
 
 ORACLES["streaming_value_drift_psi"] = """
-    WITH b AS (
+    WITH m AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ), b AS (
         SELECT least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
-               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+               CASE WHEN epoch_us(ts) < (SELECT mid_us FROM m)
                     THEN 1 ELSE 0 END AS in_a
         FROM events
     ), t AS (
@@ -5722,7 +5732,10 @@ ORACLES["price_volume_mix_decomposition"] = """
 """
 
 ORACLES["cuped_adjusted_lift"] = """
-    WITH u AS (
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events WHERE value IS NOT NULL
+    ), u AS (
         SELECT user_id,
                CASE WHEN CAST((instr('0123456789abcdef',
                          substr(md5(CAST(user_id AS VARCHAR) || 'cuped'), 1, 1)) - 1) * 16
@@ -5730,13 +5743,13 @@ ORACLES["cuped_adjusted_lift"] = """
                          substr(md5(CAST(user_id AS VARCHAR) || 'cuped'), 2, 1)) - 1)
                          AS BIGINT) % 2 = 0
                     THEN 'A' ELSE 'B' END AS arm,
-               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               CAST(sum(CASE WHEN epoch_us(ts) < b.mid_us
                              THEN CAST(round(value * 100) AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS x,
-               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               CAST(sum(CASE WHEN epoch_us(ts) >= b.mid_us
                              THEN CAST(round(value * 100) AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS y
-        FROM events WHERE value IS NOT NULL
+        FROM events CROSS JOIN b WHERE value IS NOT NULL
         GROUP BY 1, 2
     ), g AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
@@ -10280,6 +10293,10 @@ ORACLES["streaming_phash_signature_maintain"] = ORACLES["phash_dedup_savings"]
 # threshold. Truth is re-derived in SQL from the embeddings table and
 # the md5 split formula; every per-nprobe retrieval re-derives from
 # its own persisted probe table against the shared persisted index.
+# Both legs run on the SAME deterministic fixed-size eval sample (the
+# 64 eval-split ids with the smallest md5(vec_id || 'semdecon-k')
+# digest) so the brute-force audit is constant-broadcast at any SF
+# (VERDICT r12 task 2).
 def _semdecon_recall_oracle() -> str:
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,"
@@ -10288,7 +10305,8 @@ def _semdecon_recall_oracle() -> str:
         " + (instr('0123456789abcdef',"
         " substr(md5(CAST(vec_id AS VARCHAR) || 'semdecon'), 2, 1)) - 1)"
         " AS BIGINT) AS b FROM embeddings)",
-        "ev AS (SELECT vec_id AS query_id, v FROM e WHERE b < 13)",
+        "ev AS (SELECT vec_id AS query_id, v FROM e WHERE b < 13"
+        " ORDER BY md5(CAST(vec_id AS VARCHAR) || 'semdecon-k') LIMIT 64)",
         "tr AS (SELECT vec_id AS train_id, v FROM e WHERE b >= 13)",
         f"truth AS (SELECT DISTINCT te.train_id"
         f" FROM tr te CROSS JOIN ev qe"
@@ -10318,8 +10336,10 @@ def _semdecon_recall_oracle() -> str:
             f" (SELECT CAST(count(*) AS BIGINT) FROM fr"
             f"  WHERE first_rank <= {p}) AS n_flagged,"
             f" (SELECT n_truth FROM tn) AS n_truth,"
-            f" CAST((SELECT count(*) FROM fr WHERE first_rank <= {p})"
-            f" * 1000000 // (SELECT n_truth FROM tn) AS BIGINT)"
+            # n_truth = 0 -> // yields NULL; the -1 sentinel mirrors the
+            # Spark leg so a degenerate fixture fails the compare loudly
+            f" CAST(coalesce((SELECT count(*) FROM fr WHERE first_rank <= {p})"
+            f" * 1000000 // nullif((SELECT n_truth FROM tn), 0), -1) AS BIGINT)"
             f" AS recall_ppm"
         )
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -1055,12 +1055,19 @@ def q_customer_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "S12 (readme.md:398-427 lifecycle/retention: engine-side window filter)",
 )
 def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datetime import datetime
+    """Retention relative to the NEWEST data (keep the trailing 21
+    days), the way a real lifecycle policy anchors to now()/max-ts —
+    not to a fixture date that silently retains everything at any
+    other range (VERDICT r12 task 7 treatment). The horizon is a
+    1-row max scan collected driver-side; the filter itself still
+    pushes to the parquet scan."""
+    from datetime import timedelta
 
     from finance_reporting_etl_spark.operators.incremental import retain
 
     events = _t(spark, sf_dir, "events")
-    return retain(events, "ts", datetime(2024, 1, 8)).select(
+    horizon = events.agg(F.max("ts")).first()[0] - timedelta(days=21)
+    return retain(events, "ts", horizon).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 
@@ -2255,13 +2262,20 @@ def q_streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    cut = "2024-01-21"
-    pre = ev.filter(F.col("ts") < cut)
+    # Data-derived base/tail boundary (VERDICT r12 task 7): the tail is
+    # the last full watermark horizon (max ts - 7d, exact epoch-micros
+    # integer from a 1-row max scan) so the replay exercises drop +
+    # merge + emit at ANY date range; the oracle re-derives the same
+    # cut from the same formula.
+    hi_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    cut_us = hi_us - 7 * 86_400_000_000
+    t_us = F.unix_micros(F.col("ts"))
+    pre = ev.filter(t_us < cut_us)
     batches = [
         pre.filter(F.col("event_id") % 7 >= 2),  # on-time base
         pre.filter(F.col("event_id") % 7 == 1),  # spacer: lets eviction land
         pre.filter(F.col("event_id") % 7 == 0),  # stragglers: drop + merge
-        ev.filter(F.col("ts") >= cut),  # tail: advances the watermark
+        ev.filter(t_us >= cut_us),  # tail: advances the watermark
     ]
     return run_file_stream(
         spark,
@@ -2300,12 +2314,22 @@ def q_stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    # Data-derived quartile cuts (VERDICT r12 task 7): the micro-batch
+    # boundaries come from a 1-row min/max scan instead of fixture-
+    # pinned dates, so the 4-batch replay stays chronologically
+    # balanced at any date range (a pinned list degenerates to one
+    # batch). The oracle is cut-independent — exactly-once semantics
+    # must hold for ANY batching of the same rows.
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cuts = [lo_us + (hi_us - lo_us) * k // 4 for k in (1, 2, 3)]
+    t_us = F.unix_micros(F.col("ts"))
     batches = [
-        ev.filter(F.col("ts") < cuts[0]),
-        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
-        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
-        ev.filter(F.col("ts") >= cuts[2]),
+        ev.filter(t_us < cuts[0]),
+        ev.filter((t_us >= cuts[0]) & (t_us < cuts[1])),
+        ev.filter((t_us >= cuts[1]) & (t_us < cuts[2])),
+        ev.filter(t_us >= cuts[2]),
     ]
     name = f"ttl_sessions_{uuid.uuid4().hex[:8]}"
     return run_file_stream(
@@ -2743,14 +2767,21 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the late column as NULL — and the per-generation audit (row
     count, null count of the late column, exact value sum) proves the
     merge. The oracle reads the SAME parquet files with DuckDB's
-    union_by_name + hive partitioning."""
+    union_by_name + hive partitioning (so the generation boundary
+    needs no oracle twin). Generation split = exact epoch-micros
+    midpoint of the data, driver-collected once because it feeds two
+    separate write jobs (VERDICT r12 task 7 treatment)."""
     ev = _t(spark, sf_dir, "events")
-    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .cast("bigint")
+    ).first()[0]
     base = f"{_AUX_DIR}/schema_evo"
-    ev.filter(F.col("ts") < mid).select("event_id", "value").write.mode(
+    t_us = F.unix_micros(F.col("ts"))
+    ev.filter(t_us < mid).select("event_id", "value").write.mode(
         "overwrite"
     ).parquet(f"{base}/gen=1")
-    ev.filter(F.col("ts") >= mid).select(
+    ev.filter(t_us >= mid).select(
         "event_id", "value", "event_type"
     ).write.mode("overwrite").parquet(f"{base}/gen=2")
     df = (
@@ -5092,9 +5123,18 @@ def q_value_drift_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.drift import psi_bin_table, value_bin
 
     ev = _t(spark, sf_dir, "events")
-    b = ev.select(
+    # Period boundary = exact epoch-microsecond midpoint of the data
+    # (1-row broadcast, the transition_drift_by_state pattern) — a
+    # pinned date degenerates to a 100/0 split at any other range
+    # (VERDICT r12 task 7 treatment).
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    b = ev.crossJoin(F.broadcast(mid)).select(
         value_bin(),
-        F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 1)
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1)
         .otherwise(0)
         .alias("in_a"),
     )
@@ -5246,16 +5286,23 @@ def q_streaming_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.streaming.staging import run_file_stream
 
     ev = _t(spark, sf_dir, "events")
-    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    # Data-derived period boundary (exact epoch-micros midpoint; the
+    # value_drift_psi_bins twin's formula). Driver-collected as a
+    # 1-row scalar because the batch/stream split is staged driver-
+    # side — same bounded-collect convention as the micro-batch cuts.
+    mid_us = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .cast("bigint")
+    ).first()[0]
     a_counts = (
-        ev.filter(F.col("ts") < mid)
+        ev.filter(F.unix_micros("ts") < mid_us)
         .select(value_bin())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
     )
     b_counts = run_file_stream(
         spark,
-        lambda src: ev.filter(F.col("ts") >= mid)
+        lambda src: ev.filter(F.unix_micros("ts") >= mid_us)
         .select("ts", "value")
         .repartition(3)
         .write.parquet(src),
@@ -7997,18 +8044,33 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-grain groupBy plus two 1-row aggregates over exact integer
     moment sums (the welch_t discipline); every float is closed-form.
     Arms hash deterministically (salted md5, same convention as
-    ab_test_conversion_lift)."""
+    ab_test_conversion_lift). The pre/post experiment boundary is the
+    exact epoch-microsecond midpoint (min+max) div 2 of the analyzed
+    events' timestamps, derived from the data via a column-pruned
+    min/max scan on a 1-row broadcast (the transition_drift_by_state
+    pattern) — at any other date range the split stays ~50/50 instead
+    of silently degenerating to 100/0 (VERDICT r12 task 7)."""
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cents = F.round(F.col("value") * 100).cast("bigint")
-    u = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < "2024-01-16", cents).otherwise(0))
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
         .cast("bigint")
-        .alias("x"),
-        F.sum(F.when(F.col("ts") >= "2024-01-16", cents).otherwise(0))
-        .cast("bigint")
-        .alias("y"),
+        .alias("mid_us")
+    )
+    u = (
+        ev.select("user_id", F.unix_micros("ts").alias("t_us"), cents.alias("cents"))
+        .crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("t_us") < F.col("mid_us"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("t_us") >= F.col("mid_us"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
     ).select(
         F.when(md5_bucket("user_id", 256, salt="cuped") % 2 == 0, "A")
         .otherwise("B")
@@ -15523,11 +15585,20 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
     decontamination serves from an IVF index, so its recall is an
     nprobe knob exactly like ANN retrieval — this sweep measures the
     flagged-train recall against the exact brute-force contaminated
-    set at the same 0.30 threshold (the eval side is tiny, so truth
-    is one broadcast cross-scoring — the always-affordable audit).
-    Every IVF-flagged id is by construction in the truth set (same
-    threshold over a candidate SUBSET), so recall = n_flagged /
-    n_truth in exact ppm.
+    set at the same 0.30 threshold. Every IVF-flagged id is by
+    construction in the truth set (same threshold over a candidate
+    SUBSET), so recall = n_flagged / n_truth in exact ppm.
+
+    Scale discipline (VERDICT r12 task 2): the audit's query set is a
+    DETERMINISTIC FIXED-SIZE eval sample — the 64 eval-split ids with
+    the smallest md5(vec_id || 'semdecon-k') digest (the bounded-
+    sample idiom of the PQ codebook trainer, similarity.py:370). Both
+    legs (brute-force truth AND the IVF probes) run on the same
+    sample, so flagged stays a subset of truth; the truth leg is one
+    O(n_train x 64) Arrow pass with a constant-size broadcast at any
+    corpus size — never a fixed-FRACTION broadcast that grows with
+    the table. recall_ppm is coalesced to -1 when n_truth = 0 so a
+    degenerate fixture fails loudly instead of passing on NULL.
 
     Sweep shape: because rank-p probes are a PREFIX of rank-8 probes
     and a candidate lives in exactly ONE cell, a (query, train) pair
@@ -15549,8 +15620,20 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
     _cos_fx = cosine_arrow_foldexact()
     emb = _t(spark, sf_dir, "embeddings")
     b = md5_bucket("vec_id", salt="semdecon")
-    ev = emb.filter(b < 13)
     tr = emb.filter(b >= 13)
+    # Deterministic fixed-size eval sample: md5-rank the eval split and
+    # keep the lowest 64 digests (TakeOrderedAndProject — exactly K
+    # rows cross the boundary no matter how large the split grows).
+    ev = (
+        emb.filter(b < 13)
+        .withColumn(
+            "__rk",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("semdecon-k"))),
+        )
+        .orderBy("__rk")
+        .limit(64)
+        .drop("__rk")
+    )
     tn = (
         tr.select(F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec"))
         .crossJoin(
@@ -15629,7 +15712,13 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
             "n_candidates",
             "n_flagged",
             "n_truth",
-            "CAST(n_flagged * 1000000 div n_truth AS BIGINT) AS recall_ppm",
+            # nullif guards the ANSI div-by-zero error; the -1 sentinel
+            # then makes a degenerate n_truth = 0 fixture an explicit
+            # compare failure instead of a silently-NULL metric
+            # (ADVICE r12)
+            "CAST(coalesce(n_flagged * 1000000"
+            " div nullif(n_truth, CAST(0 AS BIGINT)),"
+            " CAST(-1 AS BIGINT)) AS BIGINT) AS recall_ppm",
         )
     )
 
@@ -15649,68 +15738,6 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- round-10 additions never gated before this window (35) -------
-    "fiscal_445_rollup",
-    "net_revenue_retention",
-    "bom_cost_rollup",
-    "cheapest_supplier_per_part",
-    "span_corruption_plan",
-    "supplier_value_concentration",
-    "gdpr_access_extract_counts",
-    "streaming_nrr_monitor",
-    "cochran_armitage_trend",
-    "temporal_split_audit",
-    "table_freshness_audit",
-    "referential_orphan_census",
-    "ils_diversity_eval",
-    "bloom_fpr_sweep",
-    "cross_source_duplicate_census",
-    "knn_hubness_audit",
-    "rle_encoding_savings",
-    "streaming_poisson_alarm",
-    "metric_layer_rollup",
-    "percent_of_parent_drilldown",
-    "weighted_median_unit_price",
-    "hapax_ratio_by_source",
-    "shuffle_partition_planner",
-    "ohlc_resample_consistency",
-    "attribution_window_sweep",
-    "q16_supplier_variety",
-    "lsh_bucket_uniformity",
-    "cutoff_risk_census",
-    "accepted_values_census",
-    "copurchase_degree_assortativity",
-    "chained_price_index_monthly",
-    "lang_id_confidence_margin",
-    "watermark_disorder_census",
-    "transition_drift_by_state",
-    "growth_accounting_weekly",
-    # -- round-11 additions never gated before this window (3) --------
-    "hnsw_layer_reciprocity",
-    "dedup_quality_pareto",
-    "mart_backfill_idempotency",
-    # -- 12 stalest proven entries (last green driver row r4/r5) ------
-    "similarity_topk",
-    "stateful_session_timeout",
-    "streaming_watermark_late_drop",
-    "string_normalize",
-    "text_stats",
-    "lm_quality_scores",
-    "media_resize_decode",
-    "ingest_pages_datasource",
-    "variant_event_payloads",
-    "ann_ivfpq_topk",
-    "heavy_hitters_cms",
-    "event_grouping_sets",
-]
-
-# Heads of the round-13 window: once CORRECTNESS_r12 proves the gate
-# debt is zero, rotation reverts to pure least-recently-gated-first —
-# these are the next-stalest proven entries (last green driver row r5),
-# in catalog order. Round-12 additions are appended below the marker
-# (growth cap held at <=10 this round, VERDICT r11 task 2; standing
-# rule: never more never-gated queries than one window can clear).
-_GATE_NEXT = [
     # -- next-stalest proven entries (last green driver row r5) -------
     "lineitem_unpivot_metrics",
     "corpus_upsample_epochs",
@@ -15755,8 +15782,8 @@ _GATE_NEXT = [
     "k_anonymity_suppress",
     "embedding_int8_quantize",
     "abc_customer_classification",
-    # -- round-12 additions (never gated; staged here per VERDICT r11
-    #    task 2 so the r13 rotation gates them) ---------------------------
+    # -- round-12 additions, never driver-gated (7) — VERDICT r12
+    #    task 1: this window clears the last gate debt -----------------
     "phash_media_near_dup",
     "semantic_decontamination",
     "ann_shard_merge_plan",
@@ -15764,6 +15791,66 @@ _GATE_NEXT = [
     "decontamination_method_agreement",
     "streaming_phash_signature_maintain",
     "semantic_decontamination_recall",
+]
+
+# Heads of the round-14 window: with the r13 rotation the catalog has
+# zero pre-r13 gate debt again; rotation stays pure least-recently-
+# gated-first — these are the next-stalest proven entries (last green
+# driver row r6), in catalog order. Round-13 additions are appended
+# below the marker (standing rule, VERDICT r12 task 3: never more
+# never-gated queries than one 50-slot window can clear).
+_GATE_NEXT = [
+    # -- next-stalest proven entries (last green driver row r6) -------
+    "ann_rerank_exact",
+    "near_dup_incremental_batch",
+    "ctfidf_distinctive_terms",
+    "twap_daily_value",
+    "negative_sampling_recsys",
+    "groupwise_leakage_safe_split",
+    "hard_negative_mining",
+    "mad_robust_outliers",
+    "streaming_ann_index_maintain",
+    "schema_evolution_read",
+    "dp_noisy_event_counts",
+    "business_days_to_ship",
+    "event_trigram_paths",
+    "corpus_token_budget_select",
+    "session_bounce_rate",
+    "decision_stump_train",
+    "join_key_skew_profile",
+    "rolling_correlation_series",
+    "ab_test_conversion_lift",
+    "trading_day_rollup",
+    "dow_seasonality_index",
+    "seed_sla_attainment",
+    "capped_user_balance",
+    "embedding_outlier_flags",
+    "revenue_bridge_mom",
+    "interval_union_coverage",
+    "cohort_ltv_curve",
+    "open_orders_backlog_daily",
+    "decision_tree_depth2",
+    "inference_score_calibration",
+    "stump_bagging_eval",
+    "gini_revenue_concentration",
+    "value_drift_psi_bins",
+    "rfm_segmentation",
+    "finance_daily_pipeline",
+    "streaming_value_drift_psi",
+    "collocation_pmi_top",
+    "debounce_events",
+    "holt_trend_forecast",
+    "proration_largest_remainder",
+    "poisson_bootstrap_ci",
+    "zorder_locality_stats",
+    "bucketed_join_rollup",
+    "jaccard_prefix_filter_pairs",
+    "indicator_max_drawdown",
+    "cusum_alarm_days",
+    "benford_first_digit",
+    "ohlc_daily_bars",
+    "indicator_lead_lag_corr",
+    "streaming_ohlc_maintain",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))
