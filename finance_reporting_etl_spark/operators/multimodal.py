@@ -476,14 +476,19 @@ def perceptual_hash_media(media: DataFrame, grid: int = 8) -> DataFrame:
     """REAL decode -> 64-bit average-hash (aHash) per image.
 
     The classic perceptual near-dup signature: decode the PNG payload,
-    nearest-neighbor resample the R channel to a ``grid x grid`` patch
-    (the same explicit floor mapping as ``resize_png``), and set bit
-    ``y*grid + x`` iff the patch pixel is STRICTLY above the patch
-    mean. The mean compare stays in integers (``pixel * grid^2 >
-    sum``) so no float tie can diverge between engines, and the hash
-    ships as two non-negative 32-bit halves (``hash_lo`` bits 0-31,
-    ``hash_hi`` bits 32-63) because a DuckDB oracle can rebuild those
-    with plain BIGINT shifts while a packed top-bit-set int64 cannot.
+    nearest-neighbor resample to a ``grid x grid`` patch (the same
+    explicit floor mapping as ``resize_png``) of integer luminance
+    values — the exact r+g+b channel sum per sampled pixel, the
+    integer-exact stand-in for standard aHash grayscale (a weighted
+    0.299/0.587/0.114 luma would put a float between the engines;
+    the plain sum keeps the hash bit-reproducible in SQL while still
+    reacting to every channel, ADVICE r12) — and set bit ``y*grid +
+    x`` iff the patch value is STRICTLY above the patch mean. The
+    mean compare stays in integers (``lum * grid^2 > sum``) so no
+    float tie can diverge between engines, and the hash ships as two
+    non-negative 32-bit halves (``hash_lo`` bits 0-31, ``hash_hi``
+    bits 32-63) because a DuckDB oracle can rebuild those with plain
+    BIGINT shifts while a packed top-bit-set int64 cannot.
 
     Scale shape: decode + hash is one Arrow-batched ``mapInPandas``
     stage — map-side, no shuffle, task size bounded by
@@ -518,7 +523,9 @@ def perceptual_hash_media(media: DataFrame, grid: int = 8) -> DataFrame:
             sy = y * h // grid
             for x in range(grid):
                 sx = x * w // grid
-                patch.append(rgb[(sy * w + sx) * 3])  # R channel
+                i3 = (sy * w + sx) * 3
+                # integer luminance: exact r+g+b sum (no float luma)
+                patch.append(rgb[i3] + rgb[i3 + 1] + rgb[i3 + 2])
         total = sum(patch)
         lo = hi = 0
         for idx, p in enumerate(patch):

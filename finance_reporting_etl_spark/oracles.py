@@ -10027,8 +10027,11 @@ ORACLES["mart_backfill_idempotency"] = """
 # PNG encode->deflate->decode->resample loop round-trips bit-exactly),
 # then brute-forces pairs WITHIN each (width, height) shape class,
 # which by pigeonhole exactness equals the Spark side's chunk-blocked
-# join. Bits: patch pixel strictly above the 8x8 patch mean, integer
-# cross-multiplied (px * 64 > sum) so no float tie exists.
+# join. Bits: patch LUMINANCE (exact integer r+g+b channel sum — the
+# per-channel synth formula is v_c = (base + c*101) % 256, so each
+# channel is re-derived and summed; reacts to every channel, unlike an
+# R-only sample, ADVICE r12) strictly above the 8x8 patch mean,
+# integer cross-multiplied (px * 64 > sum) so no float tie exists.
 # Shared aHash re-derivation (formula-only, no PNG bytes): the d/g/s/
 # bits CTE chain every phash oracle interpolates exactly once, so the
 # hash definition cannot drift between the near-dup census and the
@@ -10041,7 +10044,12 @@ _PHASH_BITS_CTES = """d AS (
     ), g AS (
         SELECT doc_id, width, height, gy.y * 8 + gx.x AS idx,
                (doc_id * 31 + ((gx.x * width) // 8) * 7
-                            + ((gy.y * height) // 8) * 13) % 256 AS px
+                            + ((gy.y * height) // 8) * 13) % 256
+               + (doc_id * 31 + ((gx.x * width) // 8) * 7
+                              + ((gy.y * height) // 8) * 13 + 101) % 256
+               + (doc_id * 31 + ((gx.x * width) // 8) * 7
+                              + ((gy.y * height) // 8) * 13 + 202) % 256
+                   AS px
         FROM d,
              LATERAL (SELECT unnest(generate_series(0, 7)) AS x) gx,
              LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy

@@ -20,10 +20,17 @@ from tests.conftest import SF_SMOKE
 
 def _ref_hash(doc_id: int) -> tuple[int, int, int, int]:
     """Independent pure-python re-derivation of the aHash from the
-    synthetic pixel formula (no PNG bytes involved)."""
+    synthetic pixel formula (no PNG bytes involved). Patch values are
+    integer luminance: the exact r+g+b channel sum, channel c adding
+    c*101 inside the mod-256 formula (ADVICE r12: the hash must react
+    to every channel, not just R)."""
     w, h = 8 + doc_id % 9, 8 + doc_id % 7
     patch = [
-        (doc_id * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256
+        sum(
+            (doc_id * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13 + c * 101)
+            % 256
+            for c in range(3)
+        )
         for y in range(8)
         for x in range(8)
     ]

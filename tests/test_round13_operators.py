@@ -1,0 +1,174 @@
+"""Round-13 operator tests: the cross-engine float contract probed at
+its weakest point (foldexact cosine vs DuckDB list_dot_product within
+1 ulp of a half-micro rounding boundary — ADVICE r12), the bounded
+semantic-decon recall audit (fixed-size eval sample laws), and the
+data-derived cutoff queries (non-degenerate splits at the fixture's
+own range) — each against a conservation law or an independent
+re-derivation, the repo's standing test model (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from finance_reporting_etl_spark.functions.scalars import det_micro, det_micro_sql
+from finance_reporting_etl_spark.functions.vectors import cosine_arrow_foldexact
+from finance_reporting_etl_spark.queries import CATALOG
+from finance_reporting_etl_spark.tables import _read_parquet
+from tests.conftest import SF_SMOKE
+
+
+# --- cross-engine float contract at rounding boundaries ----------------------
+
+
+def _boundary_pairs() -> list[tuple[list[float], list[float]]]:
+    """Vector pairs whose sequential-fold cosine lands within ~1 ulp of
+    a half-micro boundary (k + 0.5) / 1e6 — the exact inputs where a
+    pairwise/SIMD-summing engine would diverge from the left fold.
+
+    Construction: a = [1,0,0,0], b = [t, sqrt(1-t^2), 0, 0] makes the
+    fold's dot product EXACTLY t (one exact multiply-add, then exact
+    +0 terms), while norm(b) picks up only the sqrt's final rounding,
+    so cosine = t / sqrt(nb) sits within a couple of ulps of t. With t
+    stepped one ulp at a time across the boundary, the resulting micro
+    integers must flip from k to k+1 at SOME step — and both engines
+    must flip at the SAME step."""
+    pairs = []
+    for k in (299999, 300000, 420000, 17, 999999):
+        t = (k + 0.5) / 1e6
+        for j in range(-3, 4):
+            tt = t
+            step = math.nextafter(t, math.inf) - t
+            tt = t + j * step
+            y = math.sqrt(max(0.0, 1.0 - tt * tt))
+            pairs.append(([1.0, 0.0, 0.0, 0.0], [tt, y, 0.0, 0.0]))
+    return pairs
+
+
+def test_foldexact_micro_matches_duckdb_at_half_micro_boundaries(spark):
+    """The exact-compare gates assume det_micro(foldexact cosine) ==
+    det_micro_sql(list_dot_product cosine) BIT-FOR-BIT. That holds
+    because both accumulate sequentially left-to-right in float64 —
+    an undocumented DuckDB implementation detail (ADVICE r12). This
+    regression probes the contract where it is weakest: inputs within
+    1 ulp of a 0.5-micro half-up boundary. If a duckdb upgrade moves
+    list_dot_product to pairwise/SIMD summation, this test fails
+    loudly instead of the gate flipping silently."""
+    pairs = _boundary_pairs()
+    pdf = pd.DataFrame(
+        {
+            "i": range(len(pairs)),
+            "a": [p[0] for p in pairs],
+            "b": [p[1] for p in pairs],
+        }
+    )
+    cos_fx = cosine_arrow_foldexact()
+    got = {
+        r["i"]: r["m"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", det_micro(cos_fx(F.col("a"), F.col("b"))).alias("m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("pairs", pdf)
+    micro = det_micro_sql(
+        "list_dot_product(a, b)"
+        " / nullif(sqrt(list_dot_product(a, a))"
+        " * sqrt(list_dot_product(b, b)), 0)",
+        6,
+    )
+    want = dict(
+        con.execute(
+            f"SELECT i, CAST({micro} AS BIGINT) AS m FROM pairs"
+        ).fetchall()
+    )
+    assert got == want
+    # the probe must actually straddle boundaries, or the assertion is
+    # vacuous: each 7-step ulp ladder must produce BOTH micro values
+    vals = [got[i] for i in sorted(got)]
+    for base in range(0, len(vals), 7):
+        ladder = set(vals[base : base + 7])
+        assert len(ladder) == 2, ladder
+
+
+# --- bounded semantic-decon recall audit --------------------------------------
+
+
+def test_semdecon_recall_eval_sample_is_bounded_and_deterministic(spark):
+    """The recall sweep's audit runs on a fixed-size eval sample
+    (VERDICT r12 task 2): the probe side must contain at most 64
+    distinct queries, all from the eval split, chosen as the lowest
+    md5(vec_id || 'semdecon-k') digests — re-derived here
+    independently."""
+    import hashlib
+
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+
+    def bucket(v: int) -> int:
+        h = hashlib.md5((str(v) + "semdecon").encode()).hexdigest()
+        return int(h[:2], 16)
+
+    ev_ids = [v for v in ids if bucket(v) < 13]
+    ranked = sorted(
+        ev_ids,
+        key=lambda v: hashlib.md5((str(v) + "semdecon-k").encode()).hexdigest(),
+    )
+    expect = set(ranked[:64])
+
+    df = CATALOG["semantic_decontamination_recall"].fn(spark, SF_SMOKE)
+    rows = {r.nprobe: r for r in df.collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    # recall is monotone in nprobe and flagged <= truth always
+    last = -1
+    for p in (1, 2, 4, 8):
+        r = rows[p]
+        assert r.n_flagged <= r.n_truth
+        assert r.recall_ppm >= last
+        assert r.recall_ppm >= 0  # sentinel -1 = degenerate fixture
+        last = r.recall_ppm
+    # the persisted probe table the query wrote must be the sample
+    from finance_reporting_etl_spark.queries import _AUX_DIR
+
+    probes = spark.read.parquet(f"{_AUX_DIR}/semdecon_recall_probes")
+    got_q = {r.query_id for r in probes.select("query_id").distinct().collect()}
+    assert got_q == expect
+    assert len(got_q) <= 64
+
+
+# --- data-derived cutoffs stay non-degenerate ---------------------------------
+
+
+def test_cuped_split_is_nondegenerate(spark):
+    """The CUPED pre/post boundary is the data's epoch midpoint — at
+    the fixture's own range BOTH halves must be populated (the pinned
+    date the midpoint replaced would degenerate at any other range;
+    this proves the derived form doesn't degenerate at this one)."""
+    ev = _read_parquet(spark, f"{SF_SMOKE}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    ).first()[0]
+    n_pre = ev.filter(F.unix_micros("ts") < mid).count()
+    n_post = ev.filter(F.unix_micros("ts") >= mid).count()
+    assert n_pre > 0 and n_post > 0
+    out = CATALOG["cuped_adjusted_lift"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 1 and out[0].n_users > 0
+
+
+def test_retention_filter_keeps_trailing_window(spark):
+    """Retention anchors to max(ts): the kept set must span no more
+    than 21 days and always include the newest row."""
+    out = CATALOG["retention_filter"].fn(spark, SF_SMOKE)
+    ev = _read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    hi = ev.agg(F.max("ts")).first()[0]
+    lo_kept, hi_kept, n = out.agg(
+        F.min("ts"), F.max("ts"), F.count(F.lit(1))
+    ).first()
+    assert hi_kept == hi
+    assert (hi - lo_kept).days <= 21
+    assert 0 < n < ev.count()
