@@ -390,6 +390,10 @@ HEADLINE = [
     "decontamination_method_agreement",
     "streaming_phash_signature_maintain",
     "semantic_decontamination_recall",
+    # round 13 additions
+    "phash_purge_pareto",
+    "crossmodal_decon_agreement",
+    "streaming_ivf_upsert_reassign",
 ]
 
 

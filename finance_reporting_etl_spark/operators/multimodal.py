@@ -552,6 +552,41 @@ def perceptual_hash_media(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
+def _phash_chunks(sigs: DataFrame) -> DataFrame:
+    """Explode one signature row into its 8 exact 8-bit pigeonhole
+    chunks: (id, width, height, hash_lo, hash_hi, ci, cv). Shared by
+    the within-set (``phash_class_pairs``) and cross-set
+    (``phash_cross_pairs``) blocked joins so the chunk definition
+    cannot drift between them."""
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    (
+                        F.shiftrightunsigned(
+                            F.col("hash_lo" if i < 4 else "hash_hi"),
+                            8 * (i % 4),
+                        ).bitwiseAND(F.lit(0xFF))
+                    ).alias("cv"),
+                )
+                for i in range(8)
+            ]
+        )
+    )
+    return sigs.select(
+        F.col("doc_id").alias("id"),
+        "width",
+        "height",
+        "hash_lo",
+        "hash_hi",
+        chunk.alias("ch"),
+    ).select(
+        "id", "width", "height", "hash_lo", "hash_hi",
+        F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
+    )
+
+
 def phash_class_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Shape-class-blocked aHash near-dup pairs (hamming <= max_hamming).
 
@@ -572,33 +607,7 @@ def phash_class_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
             f"8-chunk pigeonhole blocking is exact only for hamming <= 7, "
             f"got max_hamming={max_hamming}"
         )
-    chunk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("ci"),
-                    (
-                        F.shiftrightunsigned(
-                            F.col("hash_lo" if i < 4 else "hash_hi"),
-                            8 * (i % 4),
-                        ).bitwiseAND(F.lit(0xFF))
-                    ).alias("cv"),
-                )
-                for i in range(8)
-            ]
-        )
-    )
-    chunks = sigs.select(
-        F.col("doc_id").alias("id"),
-        "width",
-        "height",
-        "hash_lo",
-        "hash_hi",
-        chunk.alias("ch"),
-    ).select(
-        "id", "width", "height", "hash_lo", "hash_hi",
-        F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"),
-    )
+    chunks = _phash_chunks(sigs)
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(
@@ -608,6 +617,55 @@ def phash_class_pairs(sigs: DataFrame, max_hamming: int = 7) -> DataFrame:
             & (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.width").alias("width"),
+            F.col("a.height").alias("height"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return cands.select(
+        "id_a", "id_b", "width", "height", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_cross_pairs(
+    sigs_a: DataFrame, sigs_b: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """CROSS-set variant of :func:`phash_class_pairs`: near-dup pairs
+    (hamming <= max_hamming) with one side from ``sigs_a`` and the
+    other from ``sigs_b`` — the screen shape of decontamination
+    (train images vs a held-out eval set) rather than dedup. Same
+    shape-class + 8-bit pigeonhole chunk blocking through the shared
+    :func:`_phash_chunks`, so blocked == brute force within class by
+    the identical pigeonhole argument (no ``id <`` orientation: the
+    sides are distinct sets, every (a, b) pair appears once after the
+    chunk dedup). Cites dongchanlim/Finance-Reporting-ETL readme
+    quality-screen intent; the operator itself is the 100-TB
+    extension surface."""
+    if max_hamming >= 8:
+        raise ValueError(
+            f"8-chunk pigeonhole blocking is exact only for hamming <= 7, "
+            f"got max_hamming={max_hamming}"
+        )
+    a = _phash_chunks(sigs_a).alias("a")
+    b = _phash_chunks(sigs_b).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv")),
         )
         .select(
             F.col("a.id").alias("id_a"),

@@ -10354,3 +10354,176 @@ def _semdecon_recall_oracle() -> str:
 
 
 ORACLES["semantic_decontamination_recall"] = _semdecon_recall_oracle()
+
+
+# --- round 13 ----------------------------------------------------------------
+
+# Image near-dup purge Pareto: keep-lowest-id greedy canonicalization
+# (a doc is purged at threshold t iff ANY lower-id doc in its shape
+# class sits within hamming t) swept over t = 0/2/4/7 from ONE pair
+# table — each sweep point is a min-hamming prefix filter, the
+# prefix-ranked-probe lesson applied to hamming. The oracle re-derives
+# every hash from the pixel-formula bits CTE and brute-forces the
+# within-class min, which equals the Spark side's pigeonhole-blocked
+# join by the same exactness argument as phash_media_near_dup.
+ORACLES["phash_purge_pareto"] = f"""
+    WITH {_PHASH_BITS_CTES},
+    fh AS (
+        SELECT b.doc_id,
+               min(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))
+                   AS first_h
+        FROM bits a
+        JOIN bits b ON a.width = b.width AND a.height = b.height
+                   AND a.doc_id < b.doc_id
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT bits.doc_id, bits.width, bits.height, fh.first_h
+        FROM bits LEFT JOIN fh ON fh.doc_id = bits.doc_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(width * height * 3) AS BIGINT) AS total_pixel_bytes
+        FROM j
+    ),
+    t AS (SELECT unnest([0, 2, 4, 7]) AS thresh)
+    SELECT CAST(t.thresh AS BIGINT) AS thresh,
+           tot.n_docs,
+           tot.total_pixel_bytes,
+           CAST(coalesce((SELECT count(*) FROM j
+                          WHERE first_h <= t.thresh), 0) AS BIGINT)
+               AS n_purged,
+           CAST(coalesce((SELECT sum(width * height * 3) FROM j
+                          WHERE first_h <= t.thresh), 0) AS BIGINT)
+               AS purged_pixel_bytes,
+           CAST(coalesce((SELECT count(*) FROM j
+                          WHERE first_h <= t.thresh), 0)
+                * 1000000 // tot.n_docs AS BIGINT) AS purged_ppm
+    FROM t CROSS JOIN tot
+    """
+
+# Cross-modal decontamination agreement: image-flag (phash near-dup of
+# a held-out eval image, hamming <= 7) vs embedding-flag (semantic
+# screen at 0.30) on the SAME salted 'decon' split, universe = train
+# ids that have embeddings (= the persisted train-side index). The
+# image leg re-derives hashes from the pixel-formula bits CTE and
+# brute-forces train x eval within shape class (= the Spark side's
+# pigeonhole-blocked cross join); the semantic leg re-derives from the
+# persisted index/probe parquet. Confusion + Cohen's kappa in the
+# decontamination_method_agreement convention.
+ORACLES["crossmodal_decon_agreement"] = f"""
+    WITH {_PHASH_BITS_CTES},
+    eb AS (
+        SELECT vec_id,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(vec_id AS VARCHAR) || 'decon'),
+                                  1, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR) || 'decon'),
+                                    2, 1)) - 1) AS BIGINT) AS b,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    idx AS (SELECT * FROM '{_AUX_DIR}/xmodal_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/xmodal_probes/*.parquet'),
+    evbits AS (
+        SELECT bits.* FROM bits JOIN eb ON eb.vec_id = bits.doc_id
+        WHERE eb.b < 13
+    ),
+    img AS (
+        SELECT DISTINCT a.doc_id
+        FROM bits a
+        JOIN evbits b ON a.width = b.width AND a.height = b.height
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+    ),
+    sc AS (
+        SELECT c.train_id,
+               {_COS_MICRO}
+                   AS score_micro
+        FROM (SELECT pb.query_id, idx.id AS train_id
+              FROM idx JOIN pb ON pb.cell = idx.cell) c
+        JOIN eb qe ON qe.vec_id = c.query_id
+        JOIN eb te ON te.vec_id = c.train_id
+    ),
+    sem AS (
+        SELECT train_id FROM sc GROUP BY 1 HAVING max(score_micro) >= 300000
+    ),
+    uni AS (
+        SELECT idx.id,
+               CASE WHEN img.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_img,
+               CASE WHEN sem.train_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem
+        FROM idx
+        LEFT JOIN img ON img.doc_id = idx.id
+        LEFT JOIN sem ON sem.train_id = idx.id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_universe,
+               CAST(sum(CASE WHEN f_img = 1 AND f_sem = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN f_img = 1 AND f_sem = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_image_only,
+               CAST(sum(CASE WHEN f_img = 0 AND f_sem = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sem_only,
+               CAST(sum(CASE WHEN f_img = 0 AND f_sem = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neither
+        FROM uni
+    )
+    SELECT n_universe, n_both, n_image_only, n_sem_only, n_neither,
+           CAST((n_both + n_neither) * 1000000 // n_universe AS BIGINT)
+               AS agree_ppm,
+           CAST((n_both + n_image_only) * (n_both + n_sem_only)
+                + (n_sem_only + n_neither) * (n_image_only + n_neither)
+                AS BIGINT) AS pe_num,
+           CAST((n_both + n_neither) * n_universe
+                - ((n_both + n_image_only) * (n_both + n_sem_only)
+                   + (n_sem_only + n_neither) * (n_image_only + n_neither))
+                AS DOUBLE)
+           / CAST(n_universe * n_universe
+                  - ((n_both + n_image_only) * (n_both + n_sem_only)
+                     + (n_sem_only + n_neither) * (n_image_only + n_neither))
+                  AS DOUBLE) AS kappa
+    FROM m
+    """
+
+# Streaming IVF upsert / cell re-assignment: the oracle re-derives the
+# per-cell move census from the BATCH-built truth index (latest-version
+# vectors through the same quantizer) joined to the persisted v1 index,
+# with the update membership re-derived from the md5 formula — while
+# the Spark side aggregates the STREAMING-maintained index. A hash
+# match therefore proves the foreachBatch merge upsert converged to
+# exactly the batch rebuild, per cell and per membership checksum.
+ORACLES["streaming_ivf_upsert_reassign"] = f"""
+    WITH s AS (SELECT * FROM '{_AUX_DIR}/ivfupsert_truth_index/*.parquet'),
+    v1 AS (SELECT * FROM '{_AUX_DIR}/ivfupsert_v1_index/*.parquet'),
+    j AS (
+        SELECT s.id, s.cell AS cf, v1.cell AS c1,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(s.id AS VARCHAR) || 'ivfupd'),
+                                1, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(s.id AS VARCHAR) || 'ivfupd'),
+                                    2, 1)) - 1) AS BIGINT) < 64
+                    THEN 1 ELSE 0 END AS upd
+        FROM s JOIN v1 ON v1.id = s.id
+    ),
+    a1 AS (
+        SELECT cf AS cell,
+               CAST(count(*) AS BIGINT) AS n_final,
+               CAST(sum(id) AS BIGINT) AS id_sum,
+               CAST(sum(upd) AS BIGINT) AS n_updated,
+               CAST(sum(CASE WHEN cf <> c1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved_in
+        FROM j GROUP BY 1
+    ),
+    a2 AS (
+        SELECT c1 AS cell, CAST(count(*) AS BIGINT) AS n_moved_out
+        FROM j WHERE cf <> c1 GROUP BY 1
+    )
+    SELECT coalesce(a1.cell, a2.cell) AS cell,
+           CAST(coalesce(a1.n_final, 0) AS BIGINT) AS n_final,
+           CAST(coalesce(a1.id_sum, 0) AS BIGINT) AS id_sum,
+           CAST(coalesce(a1.n_updated, 0) AS BIGINT) AS n_updated,
+           CAST(coalesce(a1.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+           CAST(coalesce(a2.n_moved_out, 0) AS BIGINT) AS n_moved_out
+    FROM a1 FULL JOIN a2 ON a2.cell = a1.cell
+    """

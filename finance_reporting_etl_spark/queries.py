@@ -15724,6 +15724,304 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Round-13 wave — image purge Pareto, cross-modal decontamination
+# agreement, streaming IVF upsert re-assignment (VERDICT r12 task 8)
+# ---------------------------------------------------------------------------
+
+
+@query("phash_purge_pareto",
+    _ORACLES["phash_purge_pareto"],
+    "X2xX5 QA composition: image near-dup purge Pareto — keep-lowest-id purge savings swept over hamming 0/2/4/7 from ONE blocked pair table; exact integer census per threshold (dedup_quality_pareto's shape over the phash clusters)",
+)
+def q_phash_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW AGGRESSIVE to purge near-dup images: at hamming 0 only
+    bit-exact duplicates go; at 7 every near-dup cluster collapses to
+    its lowest-id keeper — this sweep prices each setting in docs and
+    decoded pixel bytes so the threshold is chosen on evidence (the
+    dedup_quality_pareto shape applied to the X2xX5 image family,
+    VERDICT r12 task 8c). Purge rule = greedy keep-lowest-id: a doc
+    is purged at threshold t iff ANY lower-id doc in its shape class
+    sits within hamming t — deterministic, clustering-free, and the
+    dedup keep-first convention. Sweep shape: ONE pigeonhole-blocked
+    pair table at the max threshold (pigeonhole exactness holds there,
+    so it holds at every prefix), one min-hamming-per-doc aggregate,
+    and all four sweep points are conditional sums over that single
+    frame — the prefix-ranked-probe lesson applied to hamming."""
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_class_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
+    first_h = (
+        phash_class_pairs(sigs, max_hamming=7)
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("hamming").alias("first_h"))
+    )
+    j = sigs.join(first_h, "doc_id", "left").select(
+        "width", "height", "first_h"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("width") * F.col("height") * 3)
+        .cast("bigint")
+        .alias("total_pixel_bytes"),
+    ]
+    for t in (0, 2, 4, 7):
+        aggs.append(
+            F.sum((F.col("first_h") <= t).cast("int"))
+            .cast("bigint")
+            .alias(f"__np{t}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("first_h") <= t, F.col("width") * F.col("height") * 3)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__pb{t}")
+        )
+    one = j.agg(*aggs)
+    return one.selectExpr(
+        "stack(4, "
+        + ", ".join(
+            f"CAST({t} AS BIGINT), coalesce(__np{t}, CAST(0 AS BIGINT)),"
+            f" coalesce(__pb{t}, CAST(0 AS BIGINT))"
+            for t in (0, 2, 4, 7)
+        )
+        + ") AS (thresh, n_purged, purged_pixel_bytes)",
+        "n_docs",
+        "total_pixel_bytes",
+    ).selectExpr(
+        "thresh",
+        "n_docs",
+        "total_pixel_bytes",
+        "n_purged",
+        "purged_pixel_bytes",
+        "CAST(n_purged * 1000000 div n_docs AS BIGINT) AS purged_ppm",
+    )
+
+
+@query("crossmodal_decon_agreement",
+    _ORACLES["crossmodal_decon_agreement"],
+    "X-pipeline QA composition: image-hash vs embedding decontamination agreement on the SAME held-out split — 2x2 confusion + Cohen's kappa over train ids with embeddings; completes the decontamination_method_agreement matrix across modalities",
+)
+def q_crossmodal_decon_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DO the image screen and the embedding screen flag the same
+    training docs: the phash leg flags a train doc whose IMAGE is a
+    near-dup (hamming <= 7, shape-class + pigeonhole cross-blocked —
+    never train x eval all-pairs) of a held-out eval image; the
+    semantic leg flags a train doc whose EMBEDDING scores >= 0.30
+    against an eval probe through the persisted IVF index. Both legs
+    run on the SAME salted split (md5(id || 'decon') < 13 = eval, the
+    decontaminate_4gram / decontamination_method_agreement split) over
+    the universe of train ids that have embeddings, completing the
+    cross-modal agreement matrix (VERDICT r12 task 8b). Low kappa =
+    the modalities see DIFFERENT leakage — run both at 100 TB."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_cross_pairs,
+    )
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bv = md5_bucket("vec_id", salt="decon")
+    index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "xmodal_index")
+    probes = _persist_aux(
+        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "xmodal_probes"
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
+    ev_ids = emb.filter(bv < 13).select(F.col("vec_id").alias("doc_id"))
+    ev_sigs = sigs.join(F.broadcast(ev_ids), "doc_id")
+    img = (
+        phash_cross_pairs(sigs, ev_sigs, max_hamming=7)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("f_img", F.lit(1))
+    )
+
+    _cos_fx = cosine_arrow_foldexact()
+    cand = index.withColumnRenamed("id", "train_id").join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", "train_id")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    sem = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec")))
+            .alias("score_micro"),
+        )
+        .groupBy("train_id")
+        .agg(F.max("score_micro").alias("mx"))
+        .filter(F.col("mx") >= 300000)
+        .select(F.col("train_id").alias("id"), F.lit(1).alias("f_sem"))
+    )
+    # flagged sets are data-dependent fractions of the train universe —
+    # key-equi-joins, no broadcast hint (the method_agreement rationale)
+    uni = (
+        index.select("id")
+        .join(img, "id", "left")
+        .join(sem, "id", "left")
+        .select(
+            F.coalesce(F.col("f_img"), F.lit(0)).alias("f_img"),
+            F.coalesce(F.col("f_sem"), F.lit(0)).alias("f_sem"),
+        )
+    )
+    return (
+        uni.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_universe"),
+            F.sum(((F.col("f_img") == 1) & (F.col("f_sem") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(((F.col("f_img") == 1) & (F.col("f_sem") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_image_only"),
+            F.sum(((F.col("f_img") == 0) & (F.col("f_sem") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_sem_only"),
+            F.sum(((F.col("f_img") == 0) & (F.col("f_sem") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_neither"),
+        )
+        .selectExpr(
+            "n_universe",
+            "n_both",
+            "n_image_only",
+            "n_sem_only",
+            "n_neither",
+            "CAST((n_both + n_neither) * 1000000 div n_universe AS BIGINT)"
+            " AS agree_ppm",
+            "CAST((n_both + n_image_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_image_only + n_neither)"
+            " AS BIGINT) AS pe_num",
+            "CAST((n_both + n_neither) * n_universe - ("
+            "(n_both + n_image_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_image_only + n_neither)"
+            ") AS DOUBLE) / CAST(n_universe * n_universe - ("
+            "(n_both + n_image_only) * (n_both + n_sem_only)"
+            " + (n_sem_only + n_neither) * (n_image_only + n_neither)"
+            ") AS DOUBLE) AS kappa",
+        )
+    )
+
+
+@query("streaming_ivf_upsert_reassign",
+    _ORACLES["streaming_ivf_upsert_reassign"],
+    "§2.8 x X3 streaming vector-index UPSERT maintenance: updated vectors move IVF cells through a foreachBatch merge upsert; per-cell move census from the maintained index == the batch-rebuilt truth exactly (persisted-artifact oracle)",
+)
+def q_streaming_ivf_upsert_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing piece between append-only index maintenance
+    (streaming_ann_index_maintain) and the probe family: vectors get
+    UPDATED — a re-embedded document must MOVE cells, not duplicate.
+    A deterministic 25% of ids (salted md5) re-arrive with a changed
+    embedding (the reversed vector — a real cell-moving change both
+    engines can express); the stream replays v1 then the updates as
+    three micro-batches through a foreachBatch latest-version merge
+    upsert (associative latest-per-key, any batching reaches the same
+    fixpoint), and the maintained (id, cell) index is re-quantized
+    per batch — only arriving vectors are ever re-assigned, nothing
+    rescans old state (VERDICT r12 task 8a). Output: the per-cell
+    move census (final members + id checksum + arrivals/departures)
+    read from the STREAMING index; the oracle re-derives the same
+    census from a BATCH-rebuilt truth index over latest-version
+    vectors, so a hash match proves streaming == rebuild cell by
+    cell. Scale: state is the (id, cell) index — 12 bytes/row; each
+    micro-batch quantizes only its own rows map-side."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.incremental import merge_latest
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+    from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    upd = md5_bucket("vec_id", salt="ivfupd") < 64
+    v1 = emb.select("vec_id", "embedding", F.lit(1).alias("version"))
+    v2 = emb.filter(upd).select(
+        "vec_id", F.reverse("embedding").alias("embedding"),
+        F.lit(2).alias("version"),
+    )
+    latest = run_file_stream(
+        spark,
+        lambda src: stage_microbatches(
+            [
+                v1,
+                v2.filter(F.col("vec_id") % 2 == 0),
+                v2.filter(F.col("vec_id") % 2 == 1),
+            ],
+            src,
+        ),
+        lambda src, schema, tmp: streaming_merge_upsert(
+            spark, src, schema,
+            checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/state",
+            keys=["vec_id"], order_col="version",
+        ),
+        lambda tmp: spark.read.parquet(f"{tmp}/state"),
+        prefix="stream_ivfup_",
+        label="streaming_ivf_upsert_reassign",
+    )
+    stream_index = _persist_aux(
+        spark, ivf_index(latest), "ivfupsert_stream_index"
+    )
+    v1_index = _persist_aux(spark, ivf_index(v1), "ivfupsert_v1_index")
+    # batch-rebuilt truth over latest-version vectors: the oracle's leg
+    _persist_aux(
+        spark,
+        ivf_index(merge_latest(v1.unionByName(v2), ["vec_id"], "version")),
+        "ivfupsert_truth_index",
+    )
+    j = (
+        stream_index.select("id", F.col("cell").alias("cf"))
+        .join(v1_index.select("id", F.col("cell").alias("c1")), "id")
+        .select(
+            "id", "cf", "c1",
+            (md5_bucket("id", salt="ivfupd") < 64).cast("int").alias("upd"),
+        )
+    )
+    a1 = j.groupBy(F.col("cf").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.sum("upd").cast("bigint").alias("n_updated"),
+        F.sum((F.col("cf") != F.col("c1")).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_in"),
+    )
+    a2 = (
+        j.filter(F.col("cf") != F.col("c1"))
+        .groupBy(F.col("c1").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_moved_out"))
+    )
+    return a1.join(a2, "cell", "full").select(
+        "cell",
+        F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+        F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        F.coalesce("n_updated", F.lit(0)).cast("bigint").alias("n_updated"),
+        F.coalesce("n_moved_in", F.lit(0)).cast("bigint").alias("n_moved_in"),
+        F.coalesce("n_moved_out", F.lit(0)).cast("bigint").alias("n_moved_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 # Round-12 gate window (driver verifies the first 50 catalog entries):
 # ALL 38 remaining never-driver-gated queries (35 round-10 additions +
@@ -15851,6 +16149,11 @@ _GATE_NEXT = [
     "ohlc_daily_bars",
     "indicator_lead_lag_corr",
     "streaming_ohlc_maintain",
+    # -- round-13 additions (never gated; staged per the standing rule
+    #    so the r14 rotation gates them) -------------------------------
+    "phash_purge_pareto",
+    "crossmodal_decon_agreement",
+    "streaming_ivf_upsert_reassign",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -172,3 +172,93 @@ def test_retention_filter_keeps_trailing_window(spark):
     assert hi_kept == hi
     assert (hi - lo_kept).days <= 21
     assert 0 < n < ev.count()
+
+
+# --- round-13 wave operators ---------------------------------------------------
+
+
+def test_phash_cross_pairs_equal_brute_force(spark):
+    """Pigeonhole exactness for the CROSS-set variant: the chunk-blocked
+    train x eval join must find EXACTLY the cross pairs a brute-force
+    within-class hamming scan finds at hamming <= 7."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_cross_pairs,
+    )
+
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).collect()
+    import hashlib
+
+    def bucket(v):
+        return int(hashlib.md5((str(v) + "xmtest").encode()).hexdigest()[:2], 16)
+
+    a_side = [r for r in sigs if bucket(r.doc_id) >= 13]
+    b_side = [r for r in sigs if bucket(r.doc_id) < 13]
+    brute = set()
+    for ra in a_side:
+        for rb in b_side:
+            if (ra.width, ra.height) != (rb.width, rb.height):
+                continue
+            hm = bin(ra.hash_lo ^ rb.hash_lo).count("1") + bin(
+                ra.hash_hi ^ rb.hash_hi
+            ).count("1")
+            if hm <= 7:
+                brute.add((ra.doc_id, rb.doc_id, hm))
+
+    sig_df = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
+    mb = md5_bucket("doc_id", salt="xmtest")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_cross_pairs(
+            sig_df.filter(mb >= 13), sig_df.filter(mb < 13), max_hamming=7
+        ).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_phash_purge_pareto_monotone_and_conserved(spark):
+    """Purge counts and bytes are monotone in the threshold, bounded by
+    the totals, and the totals equal the document census."""
+    docs = _read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    rows = {r.thresh: r for r in CATALOG["phash_purge_pareto"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 2, 4, 7}
+    last_n, last_b = -1, -1
+    for t in (0, 2, 4, 7):
+        r = rows[t]
+        assert r.n_docs == n_docs
+        assert 0 <= r.n_purged <= r.n_docs
+        assert 0 <= r.purged_pixel_bytes <= r.total_pixel_bytes
+        assert r.n_purged >= last_n and r.purged_pixel_bytes >= last_b
+        last_n, last_b = r.n_purged, r.purged_pixel_bytes
+
+
+def test_streaming_ivf_upsert_census_conservation(spark):
+    """Move-census conservation laws: total arrivals == total
+    departures (a move leaves one cell and enters another), final
+    membership count and id checksum equal the embeddings table, and
+    non-updated vectors never move."""
+    out = CATALOG["streaming_ivf_upsert_reassign"].fn(spark, SF_SMOKE).collect()
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    n, id_sum = emb.agg(F.count(F.lit(1)), F.sum("vec_id")).first()
+    assert sum(r.n_final for r in out) == n
+    assert sum(r.id_sum for r in out) == id_sum
+    moved_in = sum(r.n_moved_in for r in out)
+    moved_out = sum(r.n_moved_out for r in out)
+    assert moved_in == moved_out
+    # only updated vectors can move
+    assert moved_in <= sum(r.n_updated for r in out)
+    assert moved_in > 0  # the fixture's updates actually move cells
+
+
+def test_crossmodal_agreement_cells_conserve_universe(spark):
+    """The 2x2 confusion cells partition the universe exactly."""
+    r = CATALOG["crossmodal_decon_agreement"].fn(spark, SF_SMOKE).first()
+    assert (
+        r.n_both + r.n_image_only + r.n_sem_only + r.n_neither == r.n_universe
+    )
+    assert r.n_universe > 0
+    assert -1.0 <= r.kappa <= 1.0
