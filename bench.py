@@ -394,6 +394,8 @@ HEADLINE = [
     "phash_purge_pareto",
     "crossmodal_decon_agreement",
     "streaming_ivf_upsert_reassign",
+    "decon_method_agreement_3way",
+    "streaming_semdecon_flag_maintain",
 ]
 
 

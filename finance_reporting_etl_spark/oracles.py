@@ -10527,3 +10527,146 @@ ORACLES["streaming_ivf_upsert_reassign"] = f"""
            CAST(coalesce(a2.n_moved_out, 0) AS BIGINT) AS n_moved_out
     FROM a1 FULL JOIN a2 ON a2.cell = a1.cell
     """
+
+
+# Three-method decontamination agreement (n-gram vs semantic vs image)
+# on the SAME salted 'decon' split: per-doc flag-count census c0..c3 in
+# exact BIGINTs, per-method totals, and Fleiss' kappa for 3 raters x 2
+# categories in the house exact-integer form — with S/2 = 3*c0 + c1 +
+# c2 + 3*c3 (the pairwise-agreement numerator halved; every original
+# coefficient is even so the halving is exact in BIGINT), T = total
+# flags, U = 3n - T: kappa = (3n*(S/2) - T^2 - U^2) / (9n^2 - T^2 -
+# U^2), ONE double division of BIGINTs (the lang_id_agreement_kappa
+# convention extended to three raters). Each leg re-derives exactly as in its pairwise
+# oracle: grams from the documents table, semantic from the persisted
+# decon3 index/probes, image from the pixel-formula bits CTE.
+ORACLES["decon_method_agreement_3way"] = f"""
+    WITH {_PHASH_BITS_CTES},
+    t AS (
+        SELECT doc_id, {_TOKS} AS toks, {_b256("decon")} AS b FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, b,
+               unnest(list_transform(generate_series(1, len(toks)-3),
+                                     i -> array_to_string(toks[i:i+3], ' ')))
+                   AS gram
+        FROM t WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE b < 13),
+    ng AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE b >= 13) g
+        JOIN bench USING (gram)
+    ),
+    eb AS (
+        SELECT vec_id,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(vec_id AS VARCHAR) || 'decon'),
+                                  1, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR) || 'decon'),
+                                    2, 1)) - 1) AS BIGINT) AS b,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    idx AS (SELECT * FROM '{_AUX_DIR}/decon3_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/decon3_probes/*.parquet'),
+    sc AS (
+        SELECT c.train_id,
+               {_COS_MICRO}
+                   AS score_micro
+        FROM (SELECT pb.query_id, idx.id AS train_id
+              FROM idx JOIN pb ON pb.cell = idx.cell) c
+        JOIN eb qe ON qe.vec_id = c.query_id
+        JOIN eb te ON te.vec_id = c.train_id
+    ),
+    sem AS (
+        SELECT train_id FROM sc GROUP BY 1 HAVING max(score_micro) >= 300000
+    ),
+    evbits AS (
+        SELECT bits.* FROM bits JOIN eb ON eb.vec_id = bits.doc_id
+        WHERE eb.b < 13
+    ),
+    img AS (
+        SELECT DISTINCT a.doc_id
+        FROM bits a
+        JOIN evbits b ON a.width = b.width AND a.height = b.height
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+    ),
+    uni AS (
+        SELECT idx.id,
+               (CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN sem.train_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN img.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS f,
+               CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ng,
+               CASE WHEN sem.train_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem,
+               CASE WHEN img.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_img
+        FROM idx
+        LEFT JOIN ng ON ng.doc_id = idx.id
+        LEFT JOIN sem ON sem.train_id = idx.id
+        LEFT JOIN img ON img.doc_id = idx.id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_universe,
+               CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(f_ng) AS BIGINT) AS n_ng,
+               CAST(sum(f_sem) AS BIGINT) AS n_sem,
+               CAST(sum(f_img) AS BIGINT) AS n_img,
+               CAST(sum(f) AS BIGINT) AS n_flags_total
+        FROM uni
+    )
+    SELECT n_universe, c0, c1, c2, c3, n_ng, n_sem, n_img, n_flags_total,
+           CAST(3 * n_universe * (3*c0 + c1 + c2 + 3*c3)
+                - n_flags_total * n_flags_total
+                - (3 * n_universe - n_flags_total)
+                  * (3 * n_universe - n_flags_total) AS DOUBLE)
+           / nullif(CAST(9 * n_universe * n_universe
+                  - n_flags_total * n_flags_total
+                  - (3 * n_universe - n_flags_total)
+                    * (3 * n_universe - n_flags_total) AS DOUBLE), 0)
+               AS fleiss_kappa
+    FROM m
+    """
+
+# Streaming semantic-decontamination flag maintenance: train vectors
+# arrive in micro-batches, each batch screens ONLY its own vectors
+# against the static eval probe set (a flag depends on one train
+# vector alone, so flags are trivially mergeable — the per-doc-row
+# argument of streaming_phash_signature_maintain applied to X3). The
+# oracle re-derives the single-threshold census from the ACCUMULATED
+# persisted index + the static probe table, exactly the
+# semantic_decontamination derivation at t = 0.30 plus a flagged-id
+# checksum.
+ORACLES["streaming_semdecon_flag_maintain"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    idx AS (SELECT * FROM '{_AUX_DIR}/semdecon_stream_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/semdecon_stream_probes/*.parquet'),
+    cand AS (
+        SELECT pb.query_id, idx.id AS train_id
+        FROM idx JOIN pb ON pb.cell = idx.cell
+    ),
+    sc AS (
+        SELECT c.train_id,
+               {_COS_MICRO}
+                   AS score_micro
+        FROM cand c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e te ON te.vec_id = c.train_id
+    ),
+    fl AS (
+        SELECT train_id FROM sc GROUP BY 1 HAVING max(score_micro) >= 300000
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_train,
+           (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM pb) AS n_eval,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM fl) AS n_flagged,
+           (SELECT CAST(coalesce(sum(train_id), 0) AS BIGINT) FROM fl)
+               AS flagged_id_sum,
+           CAST((SELECT count(*) FROM fl) * 1000000
+                // (SELECT count(*) FROM idx) AS BIGINT) AS flagged_ppm
+    """

@@ -16021,6 +16021,263 @@ def q_streaming_ivf_upsert_reassign(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query("decon_method_agreement_3way",
+    _ORACLES["decon_method_agreement_3way"],
+    "X-pipeline QA composition: three-method decontamination agreement (n-gram vs semantic vs image) on the SAME held-out split — per-doc flag-count census + Fleiss' kappa in exact integers, one double division",
+)
+def q_decon_method_agreement_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decontamination agreement matrix in one readout: all
+    THREE leak screens (n-gram exact overlap, embedding cosine >= 0.30
+    through the IVF index, image phash hamming <= 7) run on the SAME
+    salted 'decon' split over the train-ids-with-embeddings universe,
+    and the verdict is the per-doc flag-count census c0..c3 plus
+    Fleiss' kappa for 3 raters x 2 categories — the multi-rater
+    generalization of the pairwise Cohen readouts
+    (decontamination_method_agreement, crossmodal_decon_agreement).
+    Exact-integer form: S/2 = 3*c0 + c1 + c2 + 3*c3, T = total flags,
+    U = 3n - T, kappa = (3n*(S/2) - T^2 - U^2) / (9n^2 - T^2 - U^2) —
+    every term BIGINT, one final double division (the
+    lang_id_agreement_kappa convention). Near-zero kappa = the three
+    modalities flag nearly DISJOINT leakage, the measured case for
+    running all three at 100 TB."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
+    from finance_reporting_etl_spark.operators.corpus import (
+        md5_bucket,
+        ngram_decontaminate,
+    )
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_cross_pairs,
+    )
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bd = md5_bucket("doc_id", salt="decon")
+    ng = ngram_decontaminate(
+        docs.filter(bd >= 13), docs.filter(bd < 13), n=4
+    ).select(F.col("doc_id").alias("id"), F.lit(1).alias("f_ng"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bv = md5_bucket("vec_id", salt="decon")
+    index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "decon3_index")
+    probes = _persist_aux(
+        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "decon3_probes"
+    )
+    _cos_fx = cosine_arrow_foldexact()
+    cand = index.withColumnRenamed("id", "train_id").join(
+        F.broadcast(probes), "cell"
+    ).select("query_id", "train_id")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        F.broadcast(probes.select("query_id").distinct()), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    sem = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec")))
+            .alias("score_micro"),
+        )
+        .groupBy("train_id")
+        .agg(F.max("score_micro").alias("mx"))
+        .filter(F.col("mx") >= 300000)
+        .select(F.col("train_id").alias("id"), F.lit(1).alias("f_sem"))
+    )
+
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
+    ev_ids = emb.filter(bv < 13).select(F.col("vec_id").alias("doc_id"))
+    ev_sigs = sigs.join(F.broadcast(ev_ids), "doc_id")
+    img = (
+        phash_cross_pairs(sigs, ev_sigs, max_hamming=7)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("f_img", F.lit(1))
+    )
+
+    uni = (
+        index.select("id")
+        .join(ng, "id", "left")
+        .join(sem, "id", "left")
+        .join(img, "id", "left")
+        .select(
+            F.coalesce(F.col("f_ng"), F.lit(0)).alias("f_ng"),
+            F.coalesce(F.col("f_sem"), F.lit(0)).alias("f_sem"),
+            F.coalesce(F.col("f_img"), F.lit(0)).alias("f_img"),
+        )
+        .withColumn("f", F.col("f_ng") + F.col("f_sem") + F.col("f_img"))
+    )
+    return (
+        uni.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_universe"),
+            *[
+                F.sum((F.col("f") == k).cast("int"))
+                .cast("bigint")
+                .alias(f"c{k}")
+                for k in range(4)
+            ],
+            F.sum("f_ng").cast("bigint").alias("n_ng"),
+            F.sum("f_sem").cast("bigint").alias("n_sem"),
+            F.sum("f_img").cast("bigint").alias("n_img"),
+            F.sum("f").cast("bigint").alias("n_flags_total"),
+        )
+        .selectExpr(
+            "n_universe", "c0", "c1", "c2", "c3",
+            "n_ng", "n_sem", "n_img", "n_flags_total",
+            "CAST(3 * n_universe * (3*c0 + c1 + c2 + 3*c3)"
+            " - n_flags_total * n_flags_total"
+            " - (3 * n_universe - n_flags_total)"
+            "   * (3 * n_universe - n_flags_total) AS DOUBLE)"
+            " / nullif(CAST(9 * n_universe * n_universe"
+            " - n_flags_total * n_flags_total"
+            " - (3 * n_universe - n_flags_total)"
+            "   * (3 * n_universe - n_flags_total) AS DOUBLE), 0.0)"
+            " AS fleiss_kappa",
+        )
+    )
+
+
+@query("streaming_semdecon_flag_maintain",
+    _ORACLES["streaming_semdecon_flag_maintain"],
+    "§2.8 x X3: streaming semantic-decontamination flag maintenance — arriving train vectors screened per micro-batch against the static eval probe set; accumulated flag census == the batch screen exactly (persisted-artifact oracle + id checksum)",
+)
+def q_streaming_semdecon_flag_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW the leak screen runs on a LIVE ingest: train vectors arrive
+    continuously, each micro-batch cell-assigns and screens ONLY its
+    own vectors against the static eval probe set (a flag depends on
+    one train vector alone — per-row state, trivially mergeable across
+    batch boundaries, the streaming_phash_signature_maintain argument
+    applied to X3), and the accumulated flag store answers the
+    contamination census at read time; nothing ever rescans old
+    vectors. Replayed as 3 disjoint micro-batches via foreachBatch;
+    each batch persists its (id, cell) assignments (the accumulated
+    index the oracle re-reads) and appends its flagged ids + exact
+    max-score micro to the flag sink. The probe table is broadcast at
+    fixture scale (eval suites are tiny next to a 100 TB corpus — the
+    ngram_decontaminate argument); dropping the hint shuffle-joins the
+    same plan. Output: the one-row census (train/eval/candidate/
+    flagged counts, flagged-id checksum, ppm) read from the STREAMED
+    sink; the oracle re-derives it from the persisted index + probes
+    at the same 0.30 threshold."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
+
+    _cos_fx = cosine_arrow_foldexact()
+    emb = _t(spark, sf_dir, "embeddings")
+    b = md5_bucket("vec_id", salt="semdecon")
+    ev = emb.filter(b < 13)
+    tr = emb.filter(b >= 13)
+    probes = _persist_aux(
+        spark, ivf_probes_for(ev, nprobe=4), "semdecon_stream_probes"
+    )
+    qv = (
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        .join(F.broadcast(probes.select("query_id").distinct()), "query_id")
+        .localCheckpoint()
+    )
+
+    def start(src, schema, tmp):
+        def screen(batch, batch_id):
+            bidx = ivf_index(batch).localCheckpoint()
+            bidx.write.mode("overwrite").parquet(
+                f"{tmp}/index/batch_id={batch_id}"
+            )
+            bv = batch.select(
+                F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_vec")
+            )
+            flags = (
+                bidx.withColumnRenamed("id", "train_id")
+                .join(F.broadcast(probes), "cell")
+                .select("query_id", "train_id")
+                .join(F.broadcast(qv), "query_id")
+                .join(bv, "train_id")
+                .select(
+                    "train_id",
+                    det_micro(_cos_fx(F.col("q_vec"), F.col("t_vec")))
+                    .alias("score_micro"),
+                )
+                .groupBy("train_id")
+                .agg(F.max("score_micro").alias("mx"))
+                .filter(F.col("mx") >= 300000)
+            )
+            flags.write.mode("overwrite").parquet(
+                f"{tmp}/flags/batch_id={batch_id}"
+            )
+
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(screen)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def readback(tmp):
+        idx = spark.read.parquet(f"{tmp}/index").select("id", "cell")
+        _persist_aux(spark, idx, "semdecon_stream_index")
+        flags = spark.read.parquet(f"{tmp}/flags").select("train_id")
+        n_cand = (
+            spark.read.parquet(f"{tmp}/index")
+            .withColumnRenamed("id", "train_id")
+            .join(F.broadcast(probes), "cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+        )
+        stats = flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+            F.coalesce(F.sum("train_id"), F.lit(0))
+            .cast("bigint")
+            .alias("flagged_id_sum"),
+        )
+        totals = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+        n_eval = probes.select("query_id").distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval")
+        )
+        return (
+            totals.crossJoin(F.broadcast(n_eval))
+            .crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(stats))
+            .selectExpr(
+                "n_train",
+                "n_eval",
+                "n_candidate_pairs",
+                "n_flagged",
+                "flagged_id_sum",
+                "CAST(n_flagged * 1000000 div n_train AS BIGINT)"
+                " AS flagged_ppm",
+            )
+        )
+
+    return run_file_stream(
+        spark,
+        lambda src: stage_microbatches(
+            [tr.filter(F.col("vec_id") % 3 == i) for i in range(3)], src
+        ),
+        start,
+        readback,
+        prefix="stream_semdecon_",
+        label="streaming_semdecon_flag_maintain",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-12 gate window (driver verifies the first 50 catalog entries):
@@ -16154,6 +16411,8 @@ _GATE_NEXT = [
     "phash_purge_pareto",
     "crossmodal_decon_agreement",
     "streaming_ivf_upsert_reassign",
+    "decon_method_agreement_3way",
+    "streaming_semdecon_flag_maintain",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

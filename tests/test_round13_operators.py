@@ -262,3 +262,65 @@ def test_crossmodal_agreement_cells_conserve_universe(spark):
     )
     assert r.n_universe > 0
     assert -1.0 <= r.kappa <= 1.0
+
+
+def test_decon_3way_census_conserves_and_matches_pairwise_legs(spark):
+    """The flag-count census partitions the universe, the per-method
+    totals are consistent with the census (sum of f == weighted census
+    sum), and Fleiss' kappa is in [-1, 1]."""
+    r = CATALOG["decon_method_agreement_3way"].fn(spark, SF_SMOKE).first()
+    assert r.c0 + r.c1 + r.c2 + r.c3 == r.n_universe
+    assert r.c1 + 2 * r.c2 + 3 * r.c3 == r.n_flags_total
+    assert r.n_ng + r.n_sem + r.n_img == r.n_flags_total
+    assert r.n_universe > 0
+    assert -1.0 <= r.fleiss_kappa <= 1.0
+
+
+def test_streaming_semdecon_equals_batch_screen(spark):
+    """The streamed flag census must equal an independently computed
+    batch screen: same split, same index/probe construction, same
+    threshold — streaming adds arrival order, not semantics."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
+    from finance_reporting_etl_spark.functions.scalars import det_micro
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+    )
+
+    out = CATALOG["streaming_semdecon_flag_maintain"].fn(spark, SF_SMOKE).first()
+
+    emb = _read_parquet(spark, f"{SF_SMOKE}/embeddings.parquet")
+    b = md5_bucket("vec_id", salt="semdecon")
+    ev, tr = emb.filter(b < 13), emb.filter(b >= 13)
+    cos = cosine_arrow_foldexact()
+    index = ivf_index(tr)
+    probes = ivf_probes_for(ev, nprobe=4)
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
+        probes.select("query_id").distinct(), "query_id"
+    )
+    tv = vecs.withColumnsRenamed({"id": "train_id", "v": "t_vec"})
+    flags = (
+        index.withColumnRenamed("id", "train_id")
+        .join(probes, "cell")
+        .select("query_id", "train_id")
+        .join(qv, "query_id")
+        .join(tv, "train_id")
+        .select(
+            "train_id",
+            det_micro(cos(F.col("q_vec"), F.col("t_vec"))).alias("m"),
+        )
+        .groupBy("train_id")
+        .agg(F.max("m").alias("mx"))
+        .filter(F.col("mx") >= 300000)
+    )
+    n_flagged, id_sum = flags.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("train_id"), F.lit(0))
+    ).first()
+    assert out.n_flagged == n_flagged
+    assert out.flagged_id_sum == id_sum
+    assert out.n_train == tr.count()
+    assert out.n_flagged > 0
