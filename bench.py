@@ -499,6 +499,30 @@ NOTES = {
         "det_round plan is not slower than r8's; the 1.60x r9 delta "
         "was box variance. Plan unchanged (1 shuffle + 3 broadcasts)."
     ),
+    "lsh_band_sweep_recall": (
+        "r13 quiet-box interleaved best-of-5 (VERDICT r12 task 6, "
+        "sibling = unchanged minhash_lsh_near_dup in the same runs): "
+        "3.35s vs sibling 2.11s; r11 bench 3.04s, r12 bench 3.74s. "
+        "The measured stable value sits between the two bench samples "
+        "and inside the documented +/-30% band; plan unchanged across "
+        "r11->r13 PLAN_AUDITs (8 shuffles / 7 broadcasts / 1 "
+        "SinglePartition at every commit). Box drift, not plan drift; "
+        "the sibling itself moved 1.80 -> 2.11s between two "
+        "back-to-back quiet-box sessions, which is the noise floor."
+    ),
+    "lsh_compaction_delta": (
+        "r13 quiet-box interleaved best-of-5: 3.20s vs sibling 2.11s; "
+        "r11 bench 2.71s, r12 bench 3.28s. Plan unchanged across "
+        "r11->r13 (6 shuffles / 0 broadcasts). Between the bench "
+        "samples, inside the band — box drift disposition, same "
+        "evidence as lsh_band_sweep_recall."
+    ),
+    "semantic_dedup": (
+        "r13 quiet-box interleaved best-of-5: 2.69s vs sibling 2.11s; "
+        "r11 bench 2.42s, r12 bench 2.97s. Plan unchanged across "
+        "r11->r13 (6 shuffles / 2 broadcasts). Between the bench "
+        "samples, inside the band — box drift disposition."
+    ),
     "hnsw_layer_reciprocity": (
         "r11 quiet-box interleaved best-of-3 = 5.12s vs sibling "
         "knn_graph_reciprocity 4.28s on the same runs (bench recorded "
