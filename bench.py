@@ -396,6 +396,7 @@ HEADLINE = [
     "streaming_ivf_upsert_reassign",
     "decon_method_agreement_3way",
     "streaming_semdecon_flag_maintain",
+    "ann_stale_serving_recall",
 ]
 
 

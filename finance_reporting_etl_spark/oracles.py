@@ -10670,3 +10670,86 @@ ORACLES["streaming_semdecon_flag_maintain"] = f"""
            CAST((SELECT count(*) FROM fl) * 1000000
                 // (SELECT count(*) FROM idx) AS BIGINT) AS flagged_ppm
     """
+
+
+# Stale-index serving recall: top-10 served from the PRE-update cell
+# assignments vs the fresh rebuild, scored over the SAME latest
+# vectors (index postings go stale; the payload store is fresh — the
+# realistic lag). The oracle re-derives both top-k lists from the two
+# persisted indexes + the persisted probe table, with the latest
+# vector re-derived in SQL (updated ids = list_reverse of the stored
+# embedding, the md5 'ivfupd' formula), ranks by the exact-integer
+# micro score (det_micro is a monotone bijection of det_round(6), so
+# the order matches the Spark side's det_round ranking), and reduces
+# to the overlap census.
+_STALE_COS = _det_micro_sql(
+    "list_dot_product(qe.v, ce.v)"
+    " / nullif(sqrt(list_dot_product(qe.v, qe.v))"
+    " * sqrt(list_dot_product(ce.v, ce.v)), 0)",
+    6,
+)
+ORACLES["ann_stale_serving_recall"] = f"""
+    WITH e AS (
+        SELECT vec_id,
+               CASE WHEN CAST((instr('0123456789abcdef',
+                         substr(md5(CAST(vec_id AS VARCHAR) || 'ivfupd'),
+                                1, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR) || 'ivfupd'),
+                                    2, 1)) - 1) AS BIGINT) < 64
+                    THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+        FROM embeddings
+    ),
+    si AS (SELECT * FROM '{_AUX_DIR}/stale_v1_index/*.parquet'),
+    fi AS (SELECT * FROM '{_AUX_DIR}/stale_fresh_index/*.parquet'),
+    pb AS (SELECT * FROM '{_AUX_DIR}/stale_probes/*.parquet'),
+    ts AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_STALE_COS} DESC,
+                                c.neighbor_id
+                   ) AS rnk
+            FROM (SELECT pb.query_id, si.id AS neighbor_id
+                  FROM si JOIN pb USING (cell)
+                  WHERE si.id <> pb.query_id) c
+            JOIN e qe ON qe.vec_id = c.query_id
+            JOIN e ce ON ce.vec_id = c.neighbor_id
+        ) WHERE rnk <= 10
+    ),
+    tf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {_STALE_COS} DESC,
+                                c.neighbor_id
+                   ) AS rnk
+            FROM (SELECT pb.query_id, fi.id AS neighbor_id
+                  FROM fi JOIN pb USING (cell)
+                  WHERE fi.id <> pb.query_id) c
+            JOIN e qe ON qe.vec_id = c.query_id
+            JOIN e ce ON ce.vec_id = c.neighbor_id
+        ) WHERE rnk <= 10
+    ),
+    ov AS (
+        SELECT q.query_id,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+               (SELECT CAST(count(*) AS BIGINT) FROM tf
+                 WHERE tf.query_id = q.query_id) AS n_fresh
+        FROM (SELECT DISTINCT query_id FROM pb) q
+        LEFT JOIN (SELECT ts.query_id, count(*) AS n
+                   FROM ts JOIN tf USING (query_id, neighbor_id)
+                   GROUP BY 1) o ON o.query_id = q.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_fresh) AS BIGINT) AS n_fresh_results,
+           CAST(sum(n_overlap) AS BIGINT) AS n_overlap_results,
+           CAST(sum(CASE WHEN n_overlap = n_fresh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_queries_unchanged,
+           CAST(sum(n_overlap) * 1000000
+                // nullif(sum(n_fresh), 0) AS BIGINT) AS overlap_ppm
+    FROM ov
+    """

@@ -16278,6 +16278,99 @@ def q_streaming_semdecon_flag_maintain(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query("ann_stale_serving_recall",
+    _ORACLES["ann_stale_serving_recall"],
+    "X3 serving QA: stale-index recall — top-10 served from pre-update cell assignments vs the fresh rebuild over the SAME latest vectors; overlap census prices the reassignment lag (completes the upsert family)",
+)
+def q_ann_stale_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT serving from a stale index costs: after 25% of vectors are
+    re-embedded (the streaming_ivf_upsert_reassign update set), the
+    index's cell postings lag while the payload store is already fresh
+    — the realistic window between ingest and reassignment. This query
+    serves top-10 twice over the SAME latest vectors — once through
+    the stale (pre-update) cell assignments, once through the fresh
+    rebuild — and reduces to the overlap census: how many fresh
+    results the stale serve still finds, per query and in ppm. The
+    measured number is the operational SLA for how often
+    streaming_ivf_upsert_reassign must run. Query set = the bounded
+    md5-ranked 64-id sample (the semantic_decontamination_recall
+    idiom); both serves share one persisted probe table so the
+    comparison isolates the INDEX, not the probe path. Scale: two
+    cell-blocked candidate joins + one (query, neighbor) equi-join —
+    never an all-pairs scan."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_probes_for,
+        ivf_topk_from_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    upd = md5_bucket("vec_id", salt="ivfupd") < 64
+    latest = emb.select(
+        "vec_id",
+        F.when(upd, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    stale_index = _persist_aux(spark, ivf_index(emb), "stale_v1_index")
+    fresh_index = _persist_aux(spark, ivf_index(latest), "stale_fresh_index")
+    qs = (
+        latest.withColumn(
+            "__rk",
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("stale-q"))),
+        )
+        .orderBy("__rk")
+        .limit(64)
+        .drop("__rk")
+    )
+    probes = _persist_aux(spark, ivf_probes_for(qs, nprobe=4), "stale_probes")
+    ts = ivf_topk_from_index(stale_index, probes, latest, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tf = ivf_topk_from_index(fresh_index, probes, latest, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    per_q = (
+        probes.select("query_id")
+        .distinct()
+        .join(
+            ts.join(tf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__ov")),
+            "query_id",
+            "left",
+        )
+        .join(
+            tf.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("__nf")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            F.coalesce("__ov", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.coalesce("__nf", F.lit(0)).cast("bigint").alias("n_fresh"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("n_fresh").cast("bigint").alias("n_fresh_results"),
+        F.sum("n_overlap").cast("bigint").alias("n_overlap_results"),
+        F.sum((F.col("n_overlap") == F.col("n_fresh")).cast("int"))
+        .cast("bigint")
+        .alias("n_queries_unchanged"),
+    ).selectExpr(
+        "n_queries",
+        "n_fresh_results",
+        "n_overlap_results",
+        "n_queries_unchanged",
+        "CAST(n_overlap_results * 1000000"
+        " div nullif(n_fresh_results, CAST(0 AS BIGINT)) AS BIGINT)"
+        " AS overlap_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # Round-12 gate window (driver verifies the first 50 catalog entries):
@@ -16413,6 +16506,7 @@ _GATE_NEXT = [
     "streaming_ivf_upsert_reassign",
     "decon_method_agreement_3way",
     "streaming_semdecon_flag_maintain",
+    "ann_stale_serving_recall",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -324,3 +324,15 @@ def test_streaming_semdecon_equals_batch_screen(spark):
     assert out.flagged_id_sum == id_sum
     assert out.n_train == tr.count()
     assert out.n_flagged > 0
+
+
+def test_stale_serving_recall_laws(spark):
+    """Overlap laws: overlap <= fresh results, 64-query bounded sample,
+    ppm consistent with the sums, and the updates actually cost recall
+    (overlap < fresh — a no-op update set would make the audit vacuous)."""
+    r = CATALOG["ann_stale_serving_recall"].fn(spark, SF_SMOKE).first()
+    assert r.n_queries <= 64
+    assert 0 <= r.n_overlap_results <= r.n_fresh_results
+    assert 0 <= r.n_queries_unchanged <= r.n_queries
+    assert r.overlap_ppm == r.n_overlap_results * 1000000 // r.n_fresh_results
+    assert r.n_overlap_results < r.n_fresh_results
