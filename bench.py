@@ -500,6 +500,14 @@ NOTES = {
         "det_round plan is not slower than r8's; the 1.60x r9 delta "
         "was box variance. Plan unchanged (1 shuffle + 3 broadcasts)."
     ),
+    "_r13_panel_datum": (
+        "r13 panel datum (VERDICT r12 task 5 — box series kept "
+        "separate): QUIET-BOX 71.15s over the pinned 51-query panel, "
+        "vs quiet-box r12 80.90/81.29s — a 12% same-box improvement; "
+        "the DRIVER-BOX series reads 68.27s (r11) -> 65.95s (r12) and "
+        "gets its r13 datum from the driver's own BENCH_r13 run. Do "
+        "not mix the two series in one trend line."
+    ),
     "lsh_band_sweep_recall": (
         "r13 quiet-box interleaved best-of-5 (VERDICT r12 task 6, "
         "sibling = unchanged minhash_lsh_near_dup in the same runs): "
