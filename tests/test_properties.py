@@ -734,3 +734,83 @@ def test_sma_crossover_matches_python_reference(spark, cents):
         assert r.crossover == (0 if prev is None else above - prev)
         prev = above
     assert set(out) == set(range(3, len(cents)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),  # shape class selector
+            st.integers(0, 2**32 - 1),  # hash_lo
+            st.integers(0, 2**32 - 1),  # hash_hi
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(0, 7),
+)
+def test_phash_cross_pairs_pigeonhole_exact_property(spark, sigs, max_h):
+    """Pigeonhole exactness of the CROSS-set blocked join holds for
+    ARBITRARY 64-bit signatures, not just the fixture images: for any
+    two signature sets and any hamming cut <= 7, the chunk-blocked
+    join finds exactly the brute-force within-class cross pairs."""
+    from finance_reporting_etl_spark.operators.multimodal import phash_cross_pairs
+
+    rows = [
+        (i, 8 + cls, 8 + cls, lo, hi) for i, (cls, lo, hi) in enumerate(sigs)
+    ]
+    a_rows = [r for r in rows if r[0] % 2 == 0]
+    b_rows = [r for r in rows if r[0] % 2 == 1]
+    if not a_rows or not b_rows:
+        return
+    schema = "doc_id long, width int, height int, hash_lo long, hash_hi long"
+    a_df = spark.createDataFrame(a_rows, schema)
+    b_df = spark.createDataFrame(b_rows, schema)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_cross_pairs(a_df, b_df, max_hamming=max_h).collect()
+    }
+    brute = set()
+    for ia, wa, ha, la, hia in a_rows:
+        for ib, wb, hb, lb, hib in b_rows:
+            if (wa, ha) != (wb, hb):
+                continue
+            hm = bin(la ^ lb).count("1") + bin(hia ^ hib).count("1")
+            if hm <= max_h:
+                brute.add((ia, ib, hm))
+    assert got == brute
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 500),
+    st.integers(0, 500),
+    st.integers(0, 500),
+    st.integers(0, 500),
+)
+def test_fleiss_kappa_integer_form_matches_float_reference(c0, c1, c2, c3):
+    """The pure-BIGINT Fleiss-kappa form used by
+    decon_method_agreement_3way equals the textbook float formula
+    (P_bar - P_e) / (1 - P_e) for every census: the integer numerator/
+    denominator are the float expression scaled by 18 n^2, so one
+    division reproduces it to float precision."""
+    n = c0 + c1 + c2 + c3
+    if n == 0:
+        return
+    t = c1 + 2 * c2 + 3 * c3
+    u = 3 * n - t
+    num = 3 * n * (3 * c0 + c1 + c2 + 3 * c3) - t * t - u * u
+    den = 9 * n * n - t * t - u * u
+    # textbook: P_i over 3 raters/2 cats; P_bar mean; P_e = p1^2 + p0^2
+    p_sum = 0.0
+    for f, c in ((0, c0), (1, c1), (2, c2), (3, c3)):
+        p_i = (f * (f - 1) + (3 - f) * (2 - f)) / 6.0
+        p_sum += c * p_i
+    p_bar = p_sum / n
+    p1 = t / (3.0 * n)
+    p_e = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    if den == 0:
+        assert abs(1.0 - p_e) < 1e-12  # integer-zero den == float den 0
+        return
+    expect = (p_bar - p_e) / (1.0 - p_e)
+    assert abs(num / den - expect) < 1e-9
