@@ -15159,7 +15159,7 @@ def q_mart_backfill_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_phash_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image dedup, the missing X2xX5 composition: every payload is a
     REAL PNG, decoded executor-side, hashed to a 64-bit aHash
-    (8x8 nearest-neighbor patch, bit = R pixel strictly above the
+    (8x8 nearest-neighbor patch, bit = integer r+g+b luminance strictly above the
     integer patch mean), and near-dup pairs (hamming <= 7) are found
     by shape-class + 8x8-bit pigeonhole chunk blocking — never an
     all-pairs scan, and by pigeonhole exactness the blocked result
