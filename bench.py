@@ -502,8 +502,9 @@ NOTES = {
     ),
     "_r13_panel_datum": (
         "r13 panel datum (VERDICT r12 task 5 — box series kept "
-        "separate): QUIET-BOX 71.15s over the pinned 51-query panel, "
-        "vs quiet-box r12 80.90/81.29s — a 12% same-box improvement; "
+        "separate): QUIET-BOX 71.15s / 72.16s (two same-tree samples) "
+        "over the pinned 51-query panel, vs quiet-box r12 "
+        "80.90/81.29s — a ~12% same-box improvement in a tight band; "
         "the DRIVER-BOX series reads 68.27s (r11) -> 65.95s (r12) and "
         "gets its r13 datum from the driver's own BENCH_r13 run. Do "
         "not mix the two series in one trend line."
