@@ -1311,3 +1311,114 @@ def lsh_band_sweep(
         .cast("bigint")
         .alias("precision_ppm"),
     )
+
+
+def jaccard_cross_pairs(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+    scale: int = 4,
+) -> DataFrame:
+    """CROSS-set variant of :func:`jaccard_pairs` for incremental
+    maintenance: exact token-set Jaccard pairs with the DELTA side on
+    the left and the BASE side on the right — the candidate shape
+    where an arriving batch is scored against the standing corpus
+    without ever recomputing a base-base pair (the
+    near_dup_incremental_batch idiom, exact-Jaccard flavored).
+
+    Inputs must be DISJOINT id sets (a split of one corpus); there is
+    no ``id <`` orientation because sidedness already makes each
+    unordered pair appear exactly once. Identical blocking + lossless
+    size prefilter + det-rounded Jaccard as :func:`jaccard_pairs`, so
+    (cross pairs) ∪ (delta-delta pairs via jaccard_pairs) ∪ (base-base
+    pairs) is exactly the full pair set — the partition the
+    incremental == batch equivalence rests on."""
+
+    def _prep(df: DataFrame, tag: str):
+        return spread(df).select(
+            F.col(id_col).alias(f"id_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in block_cols],
+            F.array_distinct(
+                whitespace_tokens(F.lower(F.col(text_col)))
+            ).alias(f"toks_{tag}"),
+        ).withColumn(f"n_toks_{tag}", F.size(f"toks_{tag}"))
+
+    a, b = _prep(delta, "a"), _prep(base, "b")
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cond = (
+        cond
+        & (F.col("n_toks_b") >= F.ceil(F.col("n_toks_a") * F.lit(threshold)))
+        & (F.col("n_toks_a") >= F.ceil(F.col("n_toks_b") * F.lit(threshold)))
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("id_a"),
+            F.col("id_b"),
+            det_round(jac, scale).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_clusters(
+    base_clusters: DataFrame,
+    delta_edges: DataFrame,
+    delta_nodes: DataFrame,
+) -> DataFrame:
+    """Merge a new batch into EXISTING near-dup cluster ids without
+    recomputing any base-base pair — the ``dedup_incremental_batch``
+    idiom lifted to the cluster level (VERDICT r13 task 7b).
+
+    Contraction argument: each base component is collapsed to its
+    label node (cluster_id = min member id, the house convention), so
+    the merge graph has one node per delta doc plus one per base
+    CLUSTER, and only the delta-incident edges (new-vs-base mapped
+    through the labels, new-vs-new as-is). Connected components over
+    that contracted graph, with min-label = min over contracted node
+    ids = min over (delta ids ∪ base sub-component minima) = the true
+    component minimum — so re-expanding base members through their old
+    label yields EXACTLY the labels a full recompute over base ∪ delta
+    would produce, while the work is proportional to the delta (plus
+    one map over existing labels), never to the standing corpus.
+
+    Inputs: ``base_clusters`` (id, cluster_id) — the persisted state;
+    ``delta_edges`` (id_a, id_b) with id_a a delta id and id_b either
+    side; ``delta_nodes`` (id). Output: (id, cluster_id) covering
+    base ∪ delta."""
+    lab = base_clusters.select("id", "cluster_id")
+    lmap_a = lab.select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("la")
+    )
+    lmap_b = lab.select(
+        F.col("id").alias("id_b"), F.col("cluster_id").alias("lb")
+    )
+    contracted = (
+        delta_edges.join(lmap_a, "id_a", "left")
+        .join(lmap_b, "id_b", "left")
+        .select(
+            F.coalesce("la", "id_a").alias("id_a"),
+            F.coalesce("lb", "id_b").alias("id_b"),
+        )
+    )
+    cnodes = delta_nodes.select("id").unionByName(
+        lab.select(F.col("cluster_id").alias("id")).distinct()
+    )
+    merged = near_dup_clusters(contracted, cnodes).select(
+        F.col("id").alias("node"), F.col("cluster_id").alias("final")
+    )
+    out_base = lab.join(
+        merged, lab["cluster_id"] == merged["node"]
+    ).select("id", F.col("final").alias("cluster_id"))
+    out_delta = delta_nodes.select("id").join(
+        merged, F.col("id") == F.col("node")
+    ).select("id", F.col("final").alias("cluster_id"))
+    return out_base.unionByName(out_delta)

@@ -647,11 +647,17 @@ def phash_cross_pairs(
     (train images vs a held-out eval set) rather than dedup. Same
     shape-class + 8-bit pigeonhole chunk blocking through the shared
     :func:`_phash_chunks`, so blocked == brute force within class by
-    the identical pigeonhole argument (no ``id <`` orientation: the
-    sides are distinct sets, every (a, b) pair appears once after the
-    chunk dedup). Cites dongchanlim/Finance-Reporting-ETL readme
-    quality-screen intent; the operator itself is the 100-TB
-    extension surface."""
+    the identical pigeonhole argument. There is NO ``id <``
+    orientation: when the sides are disjoint sets every (a, b) pair
+    appears exactly once after the chunk dedup, but when the inputs
+    OVERLAP (e.g. ``sigs`` vs a filtered subset of ``sigs``, as the
+    decon-agreement callers pass) every shared id also emits its
+    SELF-pair (id_a == id_b, hamming 0) and both orientations of a
+    symmetric pair — callers screening train-vs-eval must exclude
+    self-matches downstream (the agreement queries do so via their
+    train-universe join; ADVICE r13 made this contract explicit).
+    Cites dongchanlim/Finance-Reporting-ETL readme quality-screen
+    intent; the operator itself is the 100-TB extension surface."""
     if max_hamming >= 8:
         raise ValueError(
             f"8-chunk pigeonhole blocking is exact only for hamming <= 7, "

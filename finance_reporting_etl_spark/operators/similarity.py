@@ -291,6 +291,22 @@ def ivf_topk(
     return ivf_topk_from_index(index, probes, embeddings, k, id_col, vec_col, scale)
 
 
+def ivf_cell_expr(
+    n_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> F.Column:
+    """Single-nearest-cell assignment as a plain Column expression —
+    the ``ivf_index`` body exposed so incremental maintainers (e.g. a
+    foreachBatch upsert quantizing ONLY the arriving micro-batch) use
+    the identical quantizer as a full batch rebuild. The centroids are
+    data-independent (fixed seed), so per-batch assignment == rebuild
+    assignment row for row."""
+    cents = _centroids(n_cells, dim, seed)
+    return F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1)
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -302,10 +318,9 @@ def ivf_index(
     """(id, cell) rows: each vector in its single nearest cell — the
     persistable inverted-file index (written partitioned by cell at
     scale, re-probed many times)."""
-    cents = _centroids(n_cells, dim, seed)
     return embeddings.select(
         F.col(id_col).alias("id"),
-        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+        ivf_cell_expr(n_cells, dim, vec_col, seed).alias("cell"),
     )
 
 

@@ -10281,10 +10281,10 @@ ORACLES["decontamination_method_agreement"] = f"""
                 - ((n_both + n_ngram_only) * (n_both + n_sem_only)
                    + (n_sem_only + n_neither) * (n_ngram_only + n_neither))
                 AS DOUBLE)
-           / CAST(n_universe * n_universe
+           / nullif(CAST(n_universe * n_universe
                   - ((n_both + n_ngram_only) * (n_both + n_sem_only)
                      + (n_sem_only + n_neither) * (n_ngram_only + n_neither))
-                  AS DOUBLE) AS kappa
+                  AS DOUBLE), 0.0) AS kappa
     FROM m
     """
 
@@ -10360,12 +10360,19 @@ ORACLES["semantic_decontamination_recall"] = _semdecon_recall_oracle()
 
 # Image near-dup purge Pareto: keep-lowest-id greedy canonicalization
 # (a doc is purged at threshold t iff ANY lower-id doc in its shape
-# class sits within hamming t) swept over t = 0/2/4/7 from ONE pair
-# table — each sweep point is a min-hamming prefix filter, the
-# prefix-ranked-probe lesson applied to hamming. The oracle re-derives
-# every hash from the pixel-formula bits CTE and brute-forces the
-# within-class min, which equals the Spark side's pigeonhole-blocked
-# join by the same exactness argument as phash_media_near_dup.
+# class sits within hamming t) swept from ONE pair table — each sweep
+# point is a min-hamming prefix filter, the prefix-ranked-probe lesson
+# applied to hamming. The oracle re-derives every hash from the
+# pixel-formula bits CTE and computes the within-class min CAPPED at
+# the same PHASH_PURGE_MAX_H the Spark pair table is blocked at, so
+# the two legs' first_h columns are structurally identical (ADVICE
+# r13: an uncapped oracle min only coincidentally agreed while every
+# sweep threshold stayed <= the cap). The Spark leg imports both
+# constants and asserts max(sweep) <= cap.
+PHASH_PURGE_SWEEP = (0, 2, 4, 7)
+PHASH_PURGE_MAX_H = 7
+assert max(PHASH_PURGE_SWEEP) <= PHASH_PURGE_MAX_H
+
 ORACLES["phash_purge_pareto"] = f"""
     WITH {_PHASH_BITS_CTES},
     fh AS (
@@ -10375,6 +10382,8 @@ ORACLES["phash_purge_pareto"] = f"""
         FROM bits a
         JOIN bits b ON a.width = b.width AND a.height = b.height
                    AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {PHASH_PURGE_MAX_H}
         GROUP BY 1
     ),
     j AS (
@@ -10386,7 +10395,7 @@ ORACLES["phash_purge_pareto"] = f"""
                CAST(sum(width * height * 3) AS BIGINT) AS total_pixel_bytes
         FROM j
     ),
-    t AS (SELECT unnest([0, 2, 4, 7]) AS thresh)
+    t AS (SELECT unnest([{", ".join(str(t) for t in PHASH_PURGE_SWEEP)}]) AS thresh)
     SELECT CAST(t.thresh AS BIGINT) AS thresh,
            tot.n_docs,
            tot.total_pixel_bytes,
@@ -10478,10 +10487,10 @@ ORACLES["crossmodal_decon_agreement"] = f"""
                 - ((n_both + n_image_only) * (n_both + n_sem_only)
                    + (n_sem_only + n_neither) * (n_image_only + n_neither))
                 AS DOUBLE)
-           / CAST(n_universe * n_universe
+           / nullif(CAST(n_universe * n_universe
                   - ((n_both + n_image_only) * (n_both + n_sem_only)
                      + (n_sem_only + n_neither) * (n_image_only + n_neither))
-                  AS DOUBLE) AS kappa
+                  AS DOUBLE), 0.0) AS kappa
     FROM m
     """
 
@@ -10752,4 +10761,193 @@ ORACLES["ann_stale_serving_recall"] = f"""
            CAST(sum(n_overlap) * 1000000
                 // nullif(sum(n_fresh), 0) AS BIGINT) AS overlap_ppm
     FROM ov
+    """
+
+
+# --- round 14 ----------------------------------------------------------------
+
+# Incremental near-dup cluster maintenance: the Spark leg computes
+# base clusters (md5 'clmaint' bucket >= 32), then merges the delta
+# batch through the CONTRACTED graph (base components collapsed to
+# their min-id labels, only delta-incident Jaccard pairs ever scored)
+# — while this oracle brute-force recomputes BOTH closures over the
+# whole corpus: the full base∪delta components (truth for cluster_id)
+# and the base-only components (truth for the starting state
+# base_cluster_id). A hash match therefore proves incremental merge ==
+# full recompute, label for label, and that the state it started from
+# was itself correct. Same edge rule as dedup_clusters: (lang, source)
+# blocks, distinct-token Jaccard det-rounded to 4dp, threshold 0.5.
+ORACLES["near_dup_cluster_maintain"] = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks,
+               CASE WHEN {_b256("clmaint")} < 32 THEN 1 ELSE 0 END AS is_delta
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {_dr_top("(len(list_intersect(a.toks, b.toks)) / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0))", 4)} AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs WHERE jaccard >= 0.5
+    ), reach(id, r) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ), final AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), bedges AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN t a ON a.doc_id = e.src JOIN t b ON b.doc_id = e.dst
+        WHERE a.is_delta = 0 AND b.is_delta = 0
+    ), breach(id, r) AS (
+        SELECT doc_id, doc_id FROM t WHERE is_delta = 0
+        UNION
+        SELECT e.dst, breach.r FROM bedges e JOIN breach ON breach.id = e.src
+    ), bfinal AS (
+        SELECT id, min(r) AS base_cluster_id FROM breach GROUP BY id
+    )
+    SELECT t.doc_id,
+           CAST(t.is_delta AS INT) AS is_delta,
+           CAST(coalesce(bfinal.base_cluster_id, -1) AS BIGINT)
+               AS base_cluster_id,
+           CAST(final.cluster_id AS BIGINT) AS cluster_id
+    FROM t
+    JOIN final ON final.id = t.doc_id
+    LEFT JOIN bfinal ON bfinal.id = t.doc_id
+    """
+
+
+# IVF index-degradation / re-train criterion: the build→upsert→serve→
+# rebuild lifecycle readout (VERDICT r13 task 7a). Waves of accumulated
+# upserts (cumulative md5-'ivfupd' bucket prefixes 22/43/64 of 256 —
+# wave 3 IS streaming_ivf_upsert_reassign's final state) re-assign
+# vectors to cells; per wave the oracle re-derives cell balance from
+# the TWO persisted quantizations (original + re-embedded) — the sweep
+# never re-runs the quantizer, each wave is a conditional select over
+# one joined frame. imbalance_ppm = max_cell * n_cells(=16) * 1e6 /
+# n_total (perfect balance = 1e6); rebuild_flag fires when a wave's
+# imbalance exceeds the wave-0 baseline by >25% (integer cross-product
+# compare, no float policy constant).
+ORACLES["ivf_retrain_criterion"] = f"""
+    WITH i1 AS (SELECT * FROM '{_AUX_DIR}/ivfretrain_v1/*.parquet'),
+    i2 AS (SELECT * FROM '{_AUX_DIR}/ivfretrain_v2/*.parquet'),
+    j AS (
+        SELECT i1.id, i1.cell AS c1, i2.cell AS c2,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(i1.id AS VARCHAR) || 'ivfupd'),
+                                  1, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(i1.id AS VARCHAR) || 'ivfupd'),
+                                    2, 1)) - 1) AS BIGINT) AS bkt
+        FROM i1 LEFT JOIN i2 ON i2.id = i1.id
+    ),
+    w AS (SELECT * FROM (VALUES (0, 0), (1, 22), (2, 43), (3, 64))
+          AS w(wave, thresh)),
+    wc AS (
+        SELECT w.wave, w.thresh,
+               CASE WHEN j.bkt < w.thresh THEN coalesce(j.c2, j.c1)
+                    ELSE j.c1 END AS cell,
+               CASE WHEN j.bkt < w.thresh THEN 1 ELSE 0 END AS upd,
+               CASE WHEN j.bkt < w.thresh AND j.c2 <> j.c1 THEN 1 ELSE 0 END
+                   AS moved
+        FROM w CROSS JOIN j
+    ),
+    pc AS (
+        SELECT wave, thresh, cell,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(upd) AS BIGINT) AS n_upd,
+               CAST(sum(moved) AS BIGINT) AS n_mv
+        FROM wc GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT wave, thresh,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(n_upd) AS BIGINT) AS n_updated,
+               CAST(sum(n_mv) AS BIGINT) AS n_moved,
+               CAST(max(n) AS BIGINT) AS max_cell_n
+        FROM pc GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT wave, thresh, n_total, n_updated, n_moved, max_cell_n,
+               CAST(max_cell_n * 16 * 1000000 // n_total AS BIGINT)
+                   AS imbalance_ppm,
+               CAST(coalesce(n_moved * 1000000 // nullif(n_updated, 0), -1)
+                    AS BIGINT) AS moved_ppm
+        FROM agg
+    ),
+    b AS (SELECT imbalance_ppm AS imb0 FROM m WHERE wave = 0)
+    SELECT CAST(m.wave AS BIGINT) AS wave,
+           CAST(m.thresh AS BIGINT) AS thresh,
+           m.n_total, m.n_updated, m.n_moved, m.max_cell_n,
+           m.imbalance_ppm, m.moved_ppm,
+           CAST(CASE WHEN m.imbalance_ppm * 100 > b.imb0 * 125
+                     THEN 1 ELSE 0 END AS INT) AS rebuild_flag
+    FROM m CROSS JOIN b
+    """
+
+
+# Cross-modal purge Pareto: the phash_purge_pareto cost model joined
+# with the semantic near-dup flag (VERDICT r13 task 7c) — four purge
+# POLICIES (image-only at hamming<=4, semantic-only at cos>=0.30
+# within the doc's IVF cell against lower ids, union, intersect), each
+# priced in docs and decoded pixel bytes from ONE per-doc flag frame.
+# Image leg re-derives hashes from the pixel-formula bits CTE with the
+# within-class min CAPPED at 7 (the phash_purge_pareto structural cap);
+# semantic leg re-derives from the persisted xpurge index + raw
+# embeddings through the shared qe/te exact-micro cosine. Keep-lowest-
+# id on BOTH modalities, so every policy is a deterministic greedy
+# canonicalization.
+ORACLES["crossmodal_purge_pareto"] = f"""
+    WITH {_PHASH_BITS_CTES},
+    fh AS (
+        SELECT b.doc_id,
+               min(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))
+                   AS first_h
+        FROM bits a
+        JOIN bits b ON a.width = b.width AND a.height = b.height
+                   AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        GROUP BY 1
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    idx AS (SELECT * FROM '{_AUX_DIR}/xpurge_index/*.parquet'),
+    sem AS (
+        SELECT DISTINCT a.id AS doc_id
+        FROM idx a JOIN idx b ON b.cell = a.cell AND b.id < a.id
+        JOIN e qe ON qe.vec_id = a.id
+        JOIN e te ON te.vec_id = b.id
+        WHERE {_COS_MICRO} >= 300000
+    ),
+    fl AS (
+        SELECT bits.doc_id, bits.width, bits.height,
+               CASE WHEN fh.first_h <= 4 THEN 1 ELSE 0 END AS f_img,
+               CASE WHEN sem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_sem
+        FROM bits
+        LEFT JOIN fh ON fh.doc_id = bits.doc_id
+        LEFT JOIN sem ON sem.doc_id = bits.doc_id
+    ),
+    p AS (SELECT * FROM (VALUES ('image_only'), ('semantic_only'),
+                                ('union'), ('intersect')) AS p(policy)),
+    h AS (
+        SELECT p.policy, fl.width, fl.height,
+               CASE p.policy
+                    WHEN 'image_only' THEN fl.f_img
+                    WHEN 'semantic_only' THEN fl.f_sem
+                    WHEN 'union' THEN greatest(fl.f_img, fl.f_sem)
+                    ELSE least(fl.f_img, fl.f_sem) END AS hit
+        FROM p CROSS JOIN fl
+    )
+    SELECT policy,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(width * height * 3) AS BIGINT) AS total_pixel_bytes,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_purged,
+           CAST(coalesce(sum(CASE WHEN hit = 1 THEN width * height * 3
+                                  ELSE 0 END), 0) AS BIGINT)
+               AS purged_pixel_bytes,
+           CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS purged_ppm
+    FROM h GROUP BY 1
     """

@@ -81,6 +81,35 @@ def _persist_aux(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Bounded-eval guard for the decontamination family (VERDICT r13 task
+# 6): those queries broadcast-hint eval-side frames (probes, eval
+# vectors, eval ids) on the argument that an eval suite is a small
+# constant next to a 100 TB corpus. That argument is about the
+# WORKLOAD, not the code — the fixture's eval side is a md5-bucket
+# *fraction*, so a copy-pasted variant pointed at a large split would
+# force-broadcast past safe size. The guard makes the bound explicit:
+# the family's persisted probes table (every other eval-side frame is
+# either the same split or semi-joined against these query_ids, so
+# bounding it bounds them within a nprobe factor) is counted once —
+# a column-pruned count-star over the just-written aux parquet, one
+# cheap metadata-sized job — and anything over the cap fails loudly
+# with the fix spelled out instead of OOMing an executor.
+_EVAL_PROBE_CAP = 1 << 20  # ~1M (query_id, cell) rows ≈ 16 MB broadcast
+
+
+def _bounded_eval(df: DataFrame, label: str, cap: int = _EVAL_PROBE_CAP) -> DataFrame:
+    n = df.count()
+    if n > cap:
+        raise ValueError(
+            f"{label}: eval-side probe table has {n} rows > cap {cap}; "
+            f"too large to broadcast-hint — bound the eval suite (e.g. "
+            f"the md5-ranked fixed-K sample idiom of "
+            f"semantic_decontamination_recall) or drop the hint to "
+            f"shuffle-join the same plan"
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # M0 — the reference's committed model chain (stg -> mart), SURVEY §7.1
 # ---------------------------------------------------------------------------
@@ -11642,7 +11671,7 @@ def _lang_kappa_oracle() -> str:
            CAST((agree_n * 1000000) // n_docs AS BIGINT) AS po_ppm,
            CAST((pe_num * 1000000) // (n_docs * n_docs) AS BIGINT) AS pe_ppm,
            CAST(agree_n * n_docs - pe_num AS DOUBLE)
-               / CAST(n_docs * n_docs - pe_num AS DOUBLE) AS kappa
+               / nullif(CAST(n_docs * n_docs - pe_num AS DOUBLE), 0.0) AS kappa
     FROM tot, pe
     """
 
@@ -11684,7 +11713,7 @@ def q_lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((agree_n * 1000000) div n_docs AS BIGINT) AS po_ppm",
         "CAST((pe_num * 1000000) div (n_docs * n_docs) AS BIGINT) AS pe_ppm",
         "CAST(agree_n * n_docs - pe_num AS DOUBLE)"
-        " / CAST(n_docs * n_docs - pe_num AS DOUBLE) AS kappa",
+        " / nullif(CAST(n_docs * n_docs - pe_num AS DOUBLE), 0.0) AS kappa",
     )
 
 
@@ -15240,7 +15269,10 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter(b < 13)
     tr = emb.filter(b >= 13)
     index = _persist_aux(spark, ivf_index(tr), "semdecon_index")
-    probes = _persist_aux(spark, ivf_probes_for(ev, nprobe=4), "semdecon_probes")
+    probes = _bounded_eval(
+        _persist_aux(spark, ivf_probes_for(ev, nprobe=4), "semdecon_probes"),
+        "semantic_decontamination",
+    )
     cand = index.withColumnRenamed("id", "train_id").join(
         F.broadcast(probes), "cell"
     ).select("query_id", "train_id")
@@ -15450,8 +15482,12 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
     emb = _t(spark, sf_dir, "embeddings")
     bv = md5_bucket("vec_id", salt="decon")
     index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "deconagree_index")
-    probes = _persist_aux(
-        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "deconagree_probes"
+    probes = _bounded_eval(
+        _persist_aux(
+            spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4),
+            "deconagree_probes",
+        ),
+        "decontamination_method_agreement",
     )
     cand = index.withColumnRenamed("id", "train_id").join(
         F.broadcast(probes), "cell"
@@ -15517,10 +15553,10 @@ def q_decontamination_method_agreement(spark: SparkSession, sf_dir: str) -> Data
             "CAST((n_both + n_neither) * n_universe - ("
             "(n_both + n_ngram_only) * (n_both + n_sem_only)"
             " + (n_sem_only + n_neither) * (n_ngram_only + n_neither)"
-            ") AS DOUBLE) / CAST(n_universe * n_universe - ("
+            ") AS DOUBLE) / nullif(CAST(n_universe * n_universe - ("
             "(n_both + n_ngram_only) * (n_both + n_sem_only)"
             " + (n_sem_only + n_neither) * (n_ngram_only + n_neither)"
-            ") AS DOUBLE) AS kappa",
+            ") AS DOUBLE), 0.0) AS kappa",
         )
     )
 
@@ -15653,8 +15689,11 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
         .localCheckpoint()
     )
     index = _persist_aux(spark, ivf_index(tr), "semdecon_recall_index")
-    probes = _persist_aux(
-        spark, ivf_probes_ranked(ev, nprobe=8), "semdecon_recall_probes"
+    probes = _bounded_eval(
+        _persist_aux(
+            spark, ivf_probes_ranked(ev, nprobe=8), "semdecon_recall_probes"
+        ),
+        "semantic_decontamination_recall",
     )
     vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     qv = vecs.withColumnsRenamed({"id": "query_id", "v": "q_vec"}).join(
@@ -15745,18 +15784,31 @@ def q_phash_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup keep-first convention. Sweep shape: ONE pigeonhole-blocked
     pair table at the max threshold (pigeonhole exactness holds there,
     so it holds at every prefix), one min-hamming-per-doc aggregate,
-    and all four sweep points are conditional sums over that single
-    frame — the prefix-ranked-probe lesson applied to hamming."""
+    and all sweep points are conditional sums over that single frame —
+    the prefix-ranked-probe lesson applied to hamming. The sweep tuple
+    and the pair-table cap are ONE pair of shared constants with the
+    oracle (oracles.PHASH_PURGE_SWEEP / PHASH_PURGE_MAX_H) and the
+    prefix precondition is asserted here, so a sweep point above the
+    cap is a loud import-adjacent failure, not a silent divergence
+    (ADVICE r13)."""
     from finance_reporting_etl_spark.operators.multimodal import (
         attach_synthetic_png,
         perceptual_hash_media,
         phash_class_pairs,
     )
+    from finance_reporting_etl_spark.oracles import (
+        PHASH_PURGE_MAX_H,
+        PHASH_PURGE_SWEEP,
+    )
 
+    assert max(PHASH_PURGE_SWEEP) <= PHASH_PURGE_MAX_H, (
+        "phash_purge_pareto: sweep threshold above the pair-table cap "
+        "breaks prefix exactness"
+    )
     docs = _t(spark, sf_dir, "documents")
     sigs = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
     first_h = (
-        phash_class_pairs(sigs, max_hamming=7)
+        phash_class_pairs(sigs, max_hamming=PHASH_PURGE_MAX_H)
         .groupBy(F.col("id_b").alias("doc_id"))
         .agg(F.min("hamming").alias("first_h"))
     )
@@ -15769,7 +15821,7 @@ def q_phash_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_pixel_bytes"),
     ]
-    for t in (0, 2, 4, 7):
+    for t in PHASH_PURGE_SWEEP:
         aggs.append(
             F.sum((F.col("first_h") <= t).cast("int"))
             .cast("bigint")
@@ -15785,11 +15837,11 @@ def q_phash_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     one = j.agg(*aggs)
     return one.selectExpr(
-        "stack(4, "
+        f"stack({len(PHASH_PURGE_SWEEP)}, "
         + ", ".join(
             f"CAST({t} AS BIGINT), coalesce(__np{t}, CAST(0 AS BIGINT)),"
             f" coalesce(__pb{t}, CAST(0 AS BIGINT))"
-            for t in (0, 2, 4, 7)
+            for t in PHASH_PURGE_SWEEP
         )
         + ") AS (thresh, n_purged, purged_pixel_bytes)",
         "n_docs",
@@ -15837,8 +15889,12 @@ def q_crossmodal_decon_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     bv = md5_bucket("vec_id", salt="decon")
     index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "xmodal_index")
-    probes = _persist_aux(
-        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "xmodal_probes"
+    probes = _bounded_eval(
+        _persist_aux(
+            spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4),
+            "xmodal_probes",
+        ),
+        "crossmodal_decon_agreement",
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -15915,10 +15971,10 @@ def q_crossmodal_decon_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_both + n_neither) * n_universe - ("
             "(n_both + n_image_only) * (n_both + n_sem_only)"
             " + (n_sem_only + n_neither) * (n_image_only + n_neither)"
-            ") AS DOUBLE) / CAST(n_universe * n_universe - ("
+            ") AS DOUBLE) / nullif(CAST(n_universe * n_universe - ("
             "(n_both + n_image_only) * (n_both + n_sem_only)"
             " + (n_sem_only + n_neither) * (n_image_only + n_neither)"
-            ") AS DOUBLE) AS kappa",
+            ") AS DOUBLE), 0.0) AS kappa",
         )
     )
 
@@ -15936,18 +15992,27 @@ def q_streaming_ivf_upsert_reassign(spark: SparkSession, sf_dir: str) -> DataFra
     engines can express); the stream replays v1 then the updates as
     three micro-batches through a foreachBatch latest-version merge
     upsert (associative latest-per-key, any batching reaches the same
-    fixpoint), and the maintained (id, cell) index is re-quantized
-    per batch — only arriving vectors are ever re-assigned, nothing
-    rescans old state (VERDICT r12 task 8a). Output: the per-cell
-    move census (final members + id checksum + arrivals/departures)
-    read from the STREAMING index; the oracle re-derives the same
-    census from a BATCH-rebuilt truth index over latest-version
-    vectors, so a hash match proves streaming == rebuild cell by
-    cell. Scale: state is the (id, cell) index — 12 bytes/row; each
-    micro-batch quantizes only its own rows map-side."""
+    fixpoint), and the maintained state IS the (id, cell) index:
+    each micro-batch quantizes ONLY its arriving vectors map-side
+    (``transform=`` hook → ``ivf_cell_expr``, the same fixed-centroid
+    quantizer as a batch rebuild) before the upsert, so nothing
+    rescans or re-quantizes old state (VERDICT r12 task 8a; made
+    literally true per ADVICE r13 — previously the stream maintained
+    the vector store and the index was rebuilt batch-side). Output:
+    the per-cell move census (final members + id checksum +
+    arrivals/departures) read from the STREAMING index; the oracle
+    re-derives the same census from a BATCH-rebuilt truth index over
+    latest-version vectors, so a hash match proves streaming ==
+    rebuild cell by cell (exact because the coarse quantizer is
+    data-independent). Scale: state is the (id, cell, version) index
+    — ~16 bytes/row; each micro-batch quantizes only its own rows
+    map-side and the embedding never enters the state."""
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.incremental import merge_latest
-    from finance_reporting_etl_spark.operators.similarity import ivf_index
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_index,
+    )
     from finance_reporting_etl_spark.streaming.merge import streaming_merge_upsert
     from finance_reporting_etl_spark.streaming.staging import (
         run_file_stream,
@@ -15961,7 +16026,7 @@ def q_streaming_ivf_upsert_reassign(spark: SparkSession, sf_dir: str) -> DataFra
         "vec_id", F.reverse("embedding").alias("embedding"),
         F.lit(2).alias("version"),
     )
-    latest = run_file_stream(
+    streamed_state = run_file_stream(
         spark,
         lambda src: stage_microbatches(
             [
@@ -15975,13 +16040,22 @@ def q_streaming_ivf_upsert_reassign(spark: SparkSession, sf_dir: str) -> DataFra
             spark, src, schema,
             checkpoint_dir=f"{tmp}/ckpt", target_dir=f"{tmp}/state",
             keys=["vec_id"], order_col="version",
+            # incremental index maintenance: quantize ONLY the arriving
+            # micro-batch (identical fixed-centroid quantizer as a
+            # batch rebuild), drop the embedding before it ever enters
+            # the persisted state
+            transform=lambda b: b.select(
+                "vec_id", ivf_cell_expr().alias("cell"), "version"
+            ),
         ),
         lambda tmp: spark.read.parquet(f"{tmp}/state"),
         prefix="stream_ivfup_",
         label="streaming_ivf_upsert_reassign",
     )
     stream_index = _persist_aux(
-        spark, ivf_index(latest), "ivfupsert_stream_index"
+        spark,
+        streamed_state.select(F.col("vec_id").alias("id"), "cell"),
+        "ivfupsert_stream_index",
     )
     v1_index = _persist_aux(spark, ivf_index(v1), "ivfupsert_v1_index")
     # batch-rebuilt truth over latest-version vectors: the oracle's leg
@@ -16066,8 +16140,12 @@ def q_decon_method_agreement_3way(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _t(spark, sf_dir, "embeddings")
     bv = md5_bucket("vec_id", salt="decon")
     index = _persist_aux(spark, ivf_index(emb.filter(bv >= 13)), "decon3_index")
-    probes = _persist_aux(
-        spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4), "decon3_probes"
+    probes = _bounded_eval(
+        _persist_aux(
+            spark, ivf_probes_for(emb.filter(bv < 13), nprobe=4),
+            "decon3_probes",
+        ),
+        "decon_method_agreement_3way",
     )
     _cos_fx = cosine_arrow_foldexact()
     cand = index.withColumnRenamed("id", "train_id").join(
@@ -16184,8 +16262,11 @@ def q_streaming_semdecon_flag_maintain(spark: SparkSession, sf_dir: str) -> Data
     b = md5_bucket("vec_id", salt="semdecon")
     ev = emb.filter(b < 13)
     tr = emb.filter(b >= 13)
-    probes = _persist_aux(
-        spark, ivf_probes_for(ev, nprobe=4), "semdecon_stream_probes"
+    probes = _bounded_eval(
+        _persist_aux(
+            spark, ivf_probes_for(ev, nprobe=4), "semdecon_stream_probes"
+        ),
+        "streaming_semdecon_flag_maintain",
     )
     qv = (
         emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
@@ -16373,81 +16454,305 @@ def q_ann_stale_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
-# Round-12 gate window (driver verifies the first 50 catalog entries):
-# ALL 38 remaining never-driver-gated queries (35 round-10 additions +
-# the 3 round-11 additions) plus the 12 stalest proven entries (5 with
-# their last green driver row in r4, 7 in r5) — exactly the VERDICT
-# r11 task 1 prescription. After this window gates green, ZERO catalog
-# queries lack a green driver row for the first time since r9. Every
-# entry is local-oracle-verified at sf0.001
-# (tests/test_catalog_oracle.py, 6-dp compare) AND at sf0.01 with
-# EXACT float compare
+
+@query("near_dup_cluster_maintain",
+    _ORACLES["near_dup_cluster_maintain"],
+    "X2 incremental cluster maintenance: merge a delta batch into existing near-dup cluster ids through the contracted component graph — only delta-incident pairs ever scored; full-recompute recursive-closure oracle proves incremental == batch label for label",
+)
+def q_near_dup_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_incremental_batch idiom lifted to the CLUSTER level
+    (VERDICT r13 task 7b): a standing corpus already carries near-dup
+    cluster ids; a new batch arrives; the maintained labels must equal
+    what a full recompute over base ∪ delta would produce — without
+    recomputing any base-base pair. Spark leg: base clusters via the
+    house min-label components, then ONLY delta-incident Jaccard edges
+    (cross pairs delta×base + delta self-pairs, identical blocking +
+    4dp det-round as dedup_clusters), contracted through the base
+    labels (each base component is one super-node), components over
+    that delta-sized graph, re-expanded. Output per doc: is_delta,
+    the starting base label (-1 for arrivals), and the final label.
+    The oracle recomputes BOTH closures (full and base-only) by
+    recursive transitive closure, so a hash match proves the
+    incremental merge AND its starting state against brute force.
+    Scale: the standing corpus contributes one row per existing
+    cluster to the merge graph, never its pair space; work is
+    delta-incident candidates + a map over existing labels — the
+    property that lets a 100 TB corpus absorb daily batches without
+    quadratic re-clustering."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.dedup import (
+        incremental_clusters,
+        jaccard_cross_pairs,
+        jaccard_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bd = md5_bucket("doc_id", salt="clmaint")
+    base = docs.filter(bd >= 32)
+    delta = docs.filter(bd < 32)
+    base_edges = jaccard_pairs(
+        base, block_cols=("lang", "source"), threshold=0.5
+    ).select("id_a", "id_b")
+    base_cl = near_dup_clusters(
+        base_edges, base.select(F.col("doc_id").alias("id"))
+    ).localCheckpoint()
+    d_cross = jaccard_cross_pairs(
+        delta, base, block_cols=("lang", "source"), threshold=0.5
+    ).select("id_a", "id_b")
+    d_self = jaccard_pairs(
+        delta, block_cols=("lang", "source"), threshold=0.5
+    ).select("id_a", "id_b")
+    merged = incremental_clusters(
+        base_cl,
+        d_cross.unionByName(d_self),
+        delta.select(F.col("doc_id").alias("id")),
+    )
+    flags = docs.select(
+        "doc_id", (bd < 32).cast("int").alias("is_delta")
+    )
+    bmap = base_cl.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("base_cluster_id")
+    )
+    return (
+        flags.join(
+            merged.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id"
+        )
+        .join(bmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_delta",
+            F.coalesce("base_cluster_id", F.lit(-1))
+            .cast("bigint")
+            .alias("base_cluster_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+    )
+
+
+
+@query("ivf_retrain_criterion",
+    _ORACLES["ivf_retrain_criterion"],
+    "X3 vector-index lifecycle: IVF degradation sweep over accumulated upsert waves — per-wave cell-balance census from TWO persisted quantizations (never re-quantized per wave) + an integer re-train criterion; completes build→upsert→serve→rebuild",
+)
+def q_ivf_retrain_criterion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN do accumulated upserts degrade the IVF index enough that a
+    centroid re-train beats per-vector reassignment (VERDICT r13 task
+    7a)? Waves of cumulative re-embeddings (md5-'ivfupd' bucket
+    prefixes 22/43/64 — wave 3 is exactly the final state
+    streaming_ivf_upsert_reassign maintains, completing that query's
+    lifecycle) move vectors between cells; this sweep prices each wave
+    in cell balance. Sweep shape: the quantizer runs exactly TWICE
+    (original vectors, re-embedded subset) into two persisted index
+    tables; every wave is then a conditional select over ONE joined
+    frame — the prefix-ranked-probe lesson applied to upsert
+    accumulation — exploded to (wave, cell) rows for a single
+    map-side-combined count shuffle. imbalance_ppm = max_cell *
+    n_cells(16) * 1e6 / n_total (1e6 = perfectly balanced);
+    rebuild_flag fires when a wave's imbalance exceeds the wave-0
+    baseline by >25%, compared as an integer cross-product so no
+    float policy constant enters the gate. At 100 TB: index state is
+    (id, cell) rows, the sweep reads it twice, and the re-train
+    decision costs one 64-group aggregate — the criterion is cheap
+    enough to evaluate after every upsert batch."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = md5_bucket("vec_id", salt="ivfupd")
+    i1 = _persist_aux(spark, ivf_index(emb), "ivfretrain_v1")
+    i2 = _persist_aux(
+        spark,
+        ivf_index(
+            emb.filter(b < 64).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            )
+        ),
+        "ivfretrain_v2",
+    )
+    j = (
+        i1.select("id", F.col("cell").alias("c1"))
+        .join(i2.select("id", F.col("cell").alias("c2")), "id", "left")
+        .withColumn("bkt", md5_bucket("id", salt="ivfupd"))
+    )
+    waves = [(0, 0), (1, 22), (2, 43), (3, 64)]
+    wc = j.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("wave"),
+                        F.lit(t).alias("thresh"),
+                        F.when(F.col("bkt") < t, F.coalesce("c2", "c1"))
+                        .otherwise(F.col("c1"))
+                        .alias("cell"),
+                        (F.col("bkt") < t).cast("int").alias("upd"),
+                        ((F.col("bkt") < t) & (F.col("c2") != F.col("c1")))
+                        .cast("int")
+                        .alias("moved"),
+                    )
+                    for w, t in waves
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    pc = wc.groupBy("wave", "thresh", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("upd").cast("bigint").alias("n_upd"),
+        F.sum("moved").cast("bigint").alias("n_mv"),
+    )
+    agg = pc.groupBy("wave", "thresh").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("n_upd").cast("bigint").alias("n_updated"),
+        F.sum("n_mv").cast("bigint").alias("n_moved"),
+        F.max("n").cast("bigint").alias("max_cell_n"),
+    )
+    m = agg.selectExpr(
+        "CAST(wave AS BIGINT) AS wave",
+        "CAST(thresh AS BIGINT) AS thresh",
+        "n_total",
+        "n_updated",
+        "n_moved",
+        "max_cell_n",
+        "CAST(max_cell_n * 16 * 1000000 div n_total AS BIGINT)"
+        " AS imbalance_ppm",
+        "CAST(coalesce(n_moved * 1000000"
+        " div nullif(n_updated, CAST(0 AS BIGINT)), -1) AS BIGINT)"
+        " AS moved_ppm",
+    )
+    base = m.filter(F.col("wave") == 0).select(
+        F.col("imbalance_ppm").alias("imb0")
+    )
+    return m.crossJoin(F.broadcast(base)).selectExpr(
+        "wave",
+        "thresh",
+        "n_total",
+        "n_updated",
+        "n_moved",
+        "max_cell_n",
+        "imbalance_ppm",
+        "moved_ppm",
+        "CAST(CASE WHEN imbalance_ppm * 100 > imb0 * 125"
+        " THEN 1 ELSE 0 END AS INT) AS rebuild_flag",
+    )
+
+
+
+@query("crossmodal_purge_pareto",
+    _ORACLES["crossmodal_purge_pareto"],
+    "X2xX3xX5 combined-screen purge pricing: image-hash and semantic near-dup flags on one per-doc frame, four purge policies (image/semantic/union/intersect) each priced in docs + decoded pixel bytes — keep-lowest-id greedy on both modalities",
+)
+def q_crossmodal_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH screen earns its compute: the phash_purge_pareto cost
+    model joined with the semantic flag (VERDICT r13 task 7c). Image
+    flag = a lower-id doc within hamming 4 in the doc's shape class
+    (pigeonhole-blocked pair table capped at the shared
+    PHASH_PURGE_MAX_H); semantic flag = a lower-id vector within the
+    doc's IVF cell at exact cosine >= 0.30 (the decon-family screen
+    threshold; cell-blocked pairs, Arrow fold-exact scoring, never
+    all-pairs). Both rules are keep-lowest-id greedy, so every policy
+    — image_only / semantic_only / union / intersect — is a
+    deterministic canonicalization priced from ONE per-doc flag frame
+    as conditional sums (the one-frame-serves-all-sweep-points
+    idiom). At 100 TB the candidate spaces stay banded (shape class +
+    8-chunk pigeonhole; IVF cell), flags are 1-bit columns, and
+    adding a policy costs one more conditional sum, not a rescan."""
+    from finance_reporting_etl_spark.functions.vectors import (
+        cosine_arrow_foldexact,
+    )
+    from finance_reporting_etl_spark.operators.multimodal import (
+        attach_synthetic_png,
+        perceptual_hash_media,
+        phash_class_pairs,
+    )
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+    from finance_reporting_etl_spark.oracles import PHASH_PURGE_MAX_H
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = perceptual_hash_media(attach_synthetic_png(docs)).localCheckpoint()
+    first_h = (
+        phash_class_pairs(sigs, max_hamming=PHASH_PURGE_MAX_H)
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("hamming").alias("first_h"))
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _persist_aux(spark, ivf_index(emb), "xpurge_index")
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    _cos_fx = cosine_arrow_foldexact()
+    a = idx.select(F.col("id").alias("id_a"), "cell")
+    b = idx.select(F.col("id").alias("id_b"), "cell")
+    sem = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .filter(det_micro(_cos_fx(F.col("va"), F.col("vb"))) >= 300000)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("f_sem_raw", F.lit(1))
+    )
+
+    d = (
+        sigs.select("doc_id", "width", "height")
+        .join(first_h, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "width",
+            "height",
+            F.when(F.col("first_h") <= 4, 1).otherwise(0).alias("f_img"),
+            F.coalesce("f_sem_raw", F.lit(0)).alias("f_sem"),
+        )
+    )
+    h = d.select(
+        "width",
+        "height",
+        F.explode(
+            F.array(
+                F.struct(F.lit("image_only").alias("policy"), F.col("f_img").alias("hit")),
+                F.struct(F.lit("semantic_only").alias("policy"), F.col("f_sem").alias("hit")),
+                F.struct(F.lit("union").alias("policy"), F.greatest("f_img", "f_sem").alias("hit")),
+                F.struct(F.lit("intersect").alias("policy"), F.least("f_img", "f_sem").alias("hit")),
+            )
+        ).alias("x"),
+    ).select("width", "height", "x.policy", "x.hit")
+    return h.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("width") * F.col("height") * 3).cast("bigint").alias("total_pixel_bytes"),
+        F.sum("hit").cast("bigint").alias("n_purged"),
+        F.sum(F.when(F.col("hit") == 1, F.col("width") * F.col("height") * 3).otherwise(0))
+        .cast("bigint")
+        .alias("purged_pixel_bytes"),
+    ).selectExpr(
+        "policy",
+        "n_docs",
+        "total_pixel_bytes",
+        "n_purged",
+        "purged_pixel_bytes",
+        "CAST(n_purged * 1000000 div n_docs AS BIGINT) AS purged_ppm",
+    )
+
+
+# Round-14 gate window (driver verifies the first 50 catalog entries):
+# the 6 round-13 additions (never driver-gated) plus the 44 stalest
+# proven entries (last green driver row r6, in catalog order) — exactly
+# the VERDICT r13 task 1 prescription. The 6-entry r6 overflow
+# (indicator_max_drawdown .. streaming_ohlc_maintain) leads _GATE_NEXT
+# per the standing one-window rule. Every entry is local-oracle-
+# verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp compare) AND
+# at sf0.01 with EXACT float compare
 # (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01).
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- next-stalest proven entries (last green driver row r5) -------
-    "lineitem_unpivot_metrics",
-    "corpus_upsample_epochs",
-    "quality_percentile_filter",
-    "stratified_reservoir_sample",
-    "profile_documents_table",
-    "streaming_heavy_hitters",
-    "label_time_to_next_purchase",
-    "rolling_7day_distinct_users",
-    "per_lang_token_length_regression",
-    "mixture_rebalance_to_target",
-    "length_bucketed_batching",
-    "user_value_ema",
-    "rollup_cascade_monthly",
-    "bitmap_distinct_rollup",
-    "hll_distinct_rollup",
-    "streaming_view_purchase_join",
-    "part_copurchase_pagerank",
-    "rolling_zscore_anomalies",
-    "indicator_linear_interpolation",
-    "random_projection_topk",
-    "histogram_quantile_rollup",
-    "cdc_changelog_apply",
-    "corpus_training_pipeline",
-    "entity_resolution_blocked",
-    "event_transition_matrix",
-    "copurchase_association_rules",
-    "streaming_left_outer_interval_join",
-    "copurchase_clustering_coefficient",
-    "copurchase_triangle_counts",
-    "dbt_schema_tests",
-    "dedup_incremental_batch",
-    "part_copurchase_pagerank_weighted",
-    "copurchase_bfs_distances",
-    "span_dedup_rewrite",
-    "winsorized_value_stats",
-    "bm25_search_topk",
-    "streaming_sliding_window_counts",
-    "asof_cogroup_pandas",
-    "target_encode_brand",
-    "streaming_static_dim_join",
-    "k_anonymity_suppress",
-    "embedding_int8_quantize",
-    "abc_customer_classification",
-    # -- round-12 additions, never driver-gated (7) — VERDICT r12
+    # -- round-13 additions, never driver-gated (6) — VERDICT r13
     #    task 1: this window clears the last gate debt -----------------
-    "phash_media_near_dup",
-    "semantic_decontamination",
-    "ann_shard_merge_plan",
-    "phash_dedup_savings",
-    "decontamination_method_agreement",
-    "streaming_phash_signature_maintain",
-    "semantic_decontamination_recall",
-]
-
-# Heads of the round-14 window: with the r13 rotation the catalog has
-# zero pre-r13 gate debt again; rotation stays pure least-recently-
-# gated-first — these are the next-stalest proven entries (last green
-# driver row r6), in catalog order. Round-13 additions are appended
-# below the marker (standing rule, VERDICT r12 task 3: never more
-# never-gated queries than one 50-slot window can clear).
-_GATE_NEXT = [
+    "phash_purge_pareto",
+    "crossmodal_decon_agreement",
+    "streaming_ivf_upsert_reassign",
+    "decon_method_agreement_3way",
+    "streaming_semdecon_flag_maintain",
+    "ann_stale_serving_recall",
     # -- next-stalest proven entries (last green driver row r6) -------
     "ann_rerank_exact",
     "near_dup_incremental_batch",
@@ -16493,20 +16798,71 @@ _GATE_NEXT = [
     "zorder_locality_stats",
     "bucketed_join_rollup",
     "jaccard_prefix_filter_pairs",
+]
+
+# Heads of the round-15 window: the 6-entry r6 overflow that did not
+# fit round 14's 50 slots, then the next-stalest proven entries (last
+# green driver row r7), in catalog order. Round-14 additions are
+# appended below the marker (standing rule, VERDICT r12 task 3: never
+# more never-gated queries than one 50-slot window can clear).
+_GATE_NEXT = [
+    # -- r6 overflow carried from the round-14 rotation ---------------
     "indicator_max_drawdown",
     "cusum_alarm_days",
     "benford_first_digit",
     "ohlc_daily_bars",
     "indicator_lead_lag_corr",
     "streaming_ohlc_maintain",
-    # -- round-13 additions (never gated; staged per the standing rule
-    #    so the r14 rotation gates them) -------------------------------
-    "phash_purge_pareto",
-    "crossmodal_decon_agreement",
-    "streaming_ivf_upsert_reassign",
-    "decon_method_agreement_3way",
-    "streaming_semdecon_flag_maintain",
-    "ann_stale_serving_recall",
+    # -- next-stalest proven entries (last green driver row r7) -------
+    "feature_hash_bow",
+    "series_volatility",
+    "mmr_diversified_rerank",
+    "ks_value_drift",
+    "position_based_attribution",
+    "quantile_transform_feature",
+    "theil_sen_trend",
+    "ann_recall_ndcg_eval",
+    "roc_auc_exact",
+    "spearman_daily_orders",
+    "chi_square_event_dow",
+    "welch_t_event_values",
+    "acf_daily_order_revenue",
+    "kaplan_meier_retention",
+    "rsi_cutler_daily",
+    "hhi_revenue_concentration",
+    "stratified_kfold_assign",
+    "revenue_recognition_monthly",
+    "var_cvar_daily_revenue",
+    "pca_embedding_projection",
+    "heaps_law_vocab_growth",
+    "bpe_pair_merge_step",
+    "xirr_order_cashflows",
+    "seasonal_decompose_daily",
+    "pps_part_revenue_sample",
+    "fifo_open_lots_aging",
+    "sprt_ab_sequential",
+    "changepoint_daily_revenue",
+    "capm_segment_beta",
+    "bloom_filter_membership",
+    "survivorship_documents",
+    "naive_bayes_lang_classify",
+    "dupont_roe_decomposition",
+    "indicator_real_terms",
+    "weighted_ares_sample",
+    "ols_price_model_brand",
+    "markov_absorption_3step",
+    "wac_inventory_brand",
+    "zipf_law_fit",
+    "mahalanobis_outlier_events",
+    "seasonal_naive_backtest",
+    "gbt_price_residual_stumps",
+    "pareto_frontier_parts",
+    "ab_srm_check",
+    # -- round-14 additions (never gated; staged per the standing rule
+    #    so the r15 rotation gates them) -------------------------------
+    "near_dup_cluster_maintain",
+    "ivf_retrain_criterion",
+    "crossmodal_purge_pareto",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -54,13 +54,22 @@ def streaming_merge_upsert(
     order_col: str,
     tiebreak_col: str | None = None,
     max_files_per_trigger: int = 1,
+    transform=None,
 ):
     """AvailableNow file stream -> foreachBatch merge_latest upsert into
     ``target_dir``. Returns the StreamingQuery; caller awaits
-    termination then reads the target parquet."""
+    termination then reads the target parquet.
+
+    ``transform`` (optional, batch DataFrame -> DataFrame) runs on each
+    arriving micro-batch BEFORE the merge — the hook for maintaining a
+    DERIVED state (e.g. quantizing arriving vectors to IVF cells) so
+    only new rows ever pay the derivation; the persisted state holds
+    the transformed schema, old rows are never re-derived."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df)
         existing = _read_parquet_if_exists(sess, target_dir)
         combined = (
             batch_df if existing is None else existing.unionByName(batch_df)

@@ -157,6 +157,27 @@ def test_gate_window_covers_unproven_queries():
             and (row.get("hash_match") is not False) and row.get("err") is None
         )
 
+    # End-of-round exemption (VERDICT r13 task 3): when the newest
+    # CORRECTNESS file is the one the driver just dropped for the
+    # CURRENT window (every _GATE_FIRST entry green in it) and that
+    # window is genuinely fresh (zero overlap with the prior round's
+    # green set — i.e. a rotation happened before this round), the
+    # tree is judged mid-ritual: rotation is the NEXT commit, not a
+    # missing one. Skip the staleness assertion so a judged tree can
+    # be fully green — but keep the never-proven coverage check below.
+    # The forcing function survives: re-gating an unrotated window
+    # makes the newest two green sets coincide, the freshness test
+    # fails, and the tripwire goes red again.
+    newest_green = {n for n in names if green(newest.get(n))}
+    prior_green = (
+        {n for n in names if green(json.loads(rounds[-2].read_text()).get(n))}
+        if len(rounds) >= 2
+        else set()
+    )
+    just_gated = set(_GATE_FIRST) <= newest_green and not (
+        set(_GATE_FIRST) & prior_green
+    )
+
     stale = {n for n in names if not green(newest.get(n))}
     # "unproven" is the stronger condition: never a green driver row in
     # ANY round. Those must clear the gate within two rotations.
@@ -168,22 +189,24 @@ def test_gate_window_covers_unproven_queries():
     # every stale entry gates this round — unless the window is already
     # packed entirely with stale entries (more candidates than slots);
     # the overflow must then lead the NEXT rotation.
-    if missing:
+    if missing and not just_gated:
         assert window <= stale, (
             f"stale queries {sorted(missing)} are outside the gate window "
             f"while non-stale entries occupy slots: "
             f"{sorted(window - stale)}"
         )
-        # never-proven overflow beyond the 50 slots must be staged in
-        # _GATE_NEXT so the following rotation covers it (gate-at-least-
-        # once-per-two-rounds invariant for unproven entries, VERDICT r4
-        # #2). Entries with an older green row may wait longer.
-        uncovered = unproven - window - set(_GATE_NEXT)
-        assert not uncovered, (
-            f"never-driver-proven queries {sorted(uncovered)} are in "
-            f"neither the gate window nor _GATE_NEXT — they would wait "
-            f"3+ rounds"
-        )
+    # never-proven overflow beyond the 50 slots must be staged in
+    # _GATE_NEXT so the following rotation covers it (gate-at-least-
+    # once-per-two-rounds invariant for unproven entries, VERDICT r4
+    # #2). Entries with an older green row may wait longer. This check
+    # runs UNCONDITIONALLY — in the just_gated state it is what keeps
+    # same-round additions staged for the next rotation.
+    uncovered = unproven - window - set(_GATE_NEXT)
+    assert not uncovered, (
+        f"never-driver-proven queries {sorted(uncovered)} are in "
+        f"neither the gate window nor _GATE_NEXT — they would wait "
+        f"3+ rounds"
+    )
 
 
 def test_plan_audit_covers_catalog():
