@@ -422,6 +422,8 @@ HEADLINE = [
     "near_dup_cluster_maintain",
     "ivf_retrain_criterion",
     "crossmodal_purge_pareto",
+    "streaming_cluster_maintain",
+    "ivf_rebuild_execute",
 ]
 
 

@@ -989,3 +989,24 @@ def rank_agreement_metrics(ranked: DataFrame, k: int = 10) -> DataFrame:
         )
     )
     return per.join(pairs, "query_id")
+
+
+def ivf_reassign_udf(cells: np.ndarray, sums_t: np.ndarray, n_vec: np.ndarray):
+    """Arrow UDF for the one-step k-means rebuild: batch of int-code
+    vectors -> nearest RETRAINED cell, where cell c's score is the
+    exact-integer dot(codes, centroid_sum_c) / n_c. All products and
+    partial sums are exact-representable integers (< 2^53) in float64,
+    so the numpy matmul is bit-exact under any summation order and the
+    single IEEE division matches DuckDB's list_dot_product form;
+    argmax takes the FIRST maximum, i.e. ties break to the lowest cell
+    id (rows of ``sums_t``/``n_vec`` must be cell-ascending)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def reassign(code_s: pd.Series) -> pd.Series:
+        m = np.stack(code_s.to_numpy()).astype("float64")  # (B, dim)
+        scores = (m @ sums_t) / n_vec
+        best = np.argmax(scores, axis=1)
+        return pd.Series(cells[best].astype("int32"))
+
+    return reassign

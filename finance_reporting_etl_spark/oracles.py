@@ -10951,3 +10951,98 @@ ORACLES["crossmodal_purge_pareto"] = f"""
            CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS purged_ppm
     FROM h GROUP BY 1
     """
+
+
+# Streaming near-dup cluster maintenance: three md5-'clstream' batches
+# of documents replayed through a foreachBatch incremental_clusters
+# merge (first batch bootstraps, later batches contract the standing
+# labels and score only batch-incident pairs). The oracle is ONE full
+# recursive transitive closure over all documents — a hash match
+# proves the streamed, order-dependent merge converged to exactly the
+# batch recompute, which the contraction argument guarantees for ANY
+# batch split (associativity at the cluster level).
+ORACLES["streaming_cluster_maintain"] = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks,
+               {_b256("clstream")} AS b
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {_dr_top("(len(list_intersect(a.toks, b.toks)) / nullif(CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 0))", 4)} AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND b.n_toks >= ceil(a.n_toks * 0.5) AND a.n_toks >= ceil(b.n_toks * 0.5)
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs WHERE jaccard >= 0.5
+    ), reach(id, r) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ), final AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT t.doc_id,
+           CAST(CASE WHEN t.b < 85 THEN 0 WHEN t.b < 170 THEN 1 ELSE 2 END
+                AS INT) AS arrival_batch,
+           CAST(final.cluster_id AS BIGINT) AS cluster_id
+    FROM t JOIN final ON final.id = t.doc_id
+    """
+
+
+# IVF rebuild execution: after ivf_retrain_criterion fires, ONE
+# k-means step re-trains the coarse quantizer from the degraded
+# assignment — centroids are per-cell integer-code sums (globally-
+# scaled int8 codes, the quantized_centroid_profile convention:
+# every SUM is an order-free exact integer), scoring is
+# exact-integer dot / member count (both engines: exact ints < 2^53
+# through ONE IEEE division each — bit-identical doubles), argmax
+# ties break to the lowest cell. The oracle re-derives the centroids
+# from the persisted code table + degraded index and re-runs the
+# 16-cell argmax relationally; the Spark leg scores via one Arrow
+# matmul. Output: per-(phase, cell) membership census before and
+# after the rebuild.
+ORACLES["ivf_rebuild_execute"] = f"""
+    WITH deg AS (SELECT * FROM '{_AUX_DIR}/rebuild_degraded_index/*.parquet'),
+    cd AS (SELECT * FROM '{_AUX_DIR}/rebuild_codes/*.parquet'),
+    x AS (
+        SELECT deg.cell, d.i AS dim, cd.codes[d.i + 1] AS code
+        FROM deg JOIN cd ON cd.vec_id = deg.id,
+             (SELECT unnest(range(0, 64)) AS i) d
+    ),
+    cent AS (
+        SELECT cell, dim, CAST(sum(code) AS BIGINT) AS s
+        FROM x GROUP BY 1, 2
+    ),
+    cvec AS (
+        SELECT cell, list(s ORDER BY dim) AS sums
+        FROM cent GROUP BY 1
+    ),
+    cn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM deg GROUP BY 1),
+    scored AS (
+        SELECT cd.vec_id, cvec.cell,
+               list_dot_product(CAST(cd.codes AS DOUBLE[]),
+                                CAST(cvec.sums AS DOUBLE[]))
+                   / CAST(cn.n AS DOUBLE) AS score
+        FROM cd CROSS JOIN cvec JOIN cn ON cn.cell = cvec.cell
+    ),
+    re AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY score DESC, cell ASC) AS rk
+              FROM scored)
+        WHERE rk = 1
+    )
+    SELECT 'degraded' AS phase, cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM deg GROUP BY 2
+    UNION ALL
+    SELECT 'retrained' AS phase, cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum
+    FROM re GROUP BY 2
+    """

@@ -16733,6 +16733,213 @@ def q_crossmodal_purge_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query("streaming_cluster_maintain",
+    _ORACLES["streaming_cluster_maintain"],
+    "§2.8 x X2 streaming near-dup CLUSTER maintenance: document micro-batches merged through the contracted-graph incremental clustering inside foreachBatch — maintained labels hash-match one full-recompute recursive closure",
+)
+def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dup_cluster_maintain made CONTINUOUS: three md5-'clstream'
+    batches of documents replay as ordered micro-batches; the first
+    bootstraps cluster state, each later batch runs the contraction
+    merge (incremental_clusters) against the standing labels — only
+    batch-incident Jaccard pairs are ever scored, the standing corpus
+    contributes one super-node per cluster. The contraction argument
+    makes the merge associative at the cluster level, so the streamed,
+    order-dependent fold must equal ONE batch recompute over all
+    documents — which is exactly what the oracle's recursive closure
+    checks, label for label, with the arrival batch re-derived from
+    the md5 formula. Scale: state is (id, cluster_id) rows; per-batch
+    work is delta-incident candidates + a map over existing labels,
+    the shape that absorbs a continuous feed at 100 TB without
+    quadratic re-clustering."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.dedup import (
+        incremental_clusters,
+        jaccard_cross_pairs,
+        jaccard_pairs,
+        near_dup_clusters,
+    )
+    from finance_reporting_etl_spark.streaming.merge import (
+        _read_parquet_if_exists,
+    )
+    from finance_reporting_etl_spark.streaming.staging import (
+        run_file_stream,
+        stage_microbatches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    b = md5_bucket("doc_id", salt="clstream")
+    kw = dict(block_cols=("lang", "source"), threshold=0.5)
+
+    def start(src, schema, tmp):
+        state_dir = f"{tmp}/state"
+
+        def merge_batch(batch_df, batch_id):
+            sess = batch_df.sparkSession
+            nodes = batch_df.select(F.col("doc_id").alias("id"))
+            existing = _read_parquet_if_exists(sess, state_dir)
+            if existing is None:
+                st = near_dup_clusters(
+                    jaccard_pairs(batch_df, **kw).select("id_a", "id_b"),
+                    nodes,
+                )
+            else:
+                base_docs = docs.join(
+                    existing.select(F.col("id").alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                edges = (
+                    jaccard_cross_pairs(batch_df, base_docs, **kw)
+                    .select("id_a", "id_b")
+                    .unionByName(
+                        jaccard_pairs(batch_df, **kw).select("id_a", "id_b")
+                    )
+                )
+                st = incremental_clusters(existing, edges, nodes)
+            # materialize BEFORE overwriting the directory we just read
+            st.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_dir
+            )
+
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    state = run_file_stream(
+        spark,
+        lambda src: stage_microbatches(
+            [
+                docs.filter(b < 85),
+                docs.filter((b >= 85) & (b < 170)),
+                docs.filter(b >= 170),
+            ],
+            src,
+        ),
+        start,
+        lambda tmp: spark.read.parquet(f"{tmp}/state"),
+        prefix="stream_clmaint_",
+        label="streaming_cluster_maintain",
+    )
+    ab = md5_bucket(F.col("id"), salt="clstream")
+    return state.select(
+        F.col("id").alias("doc_id"),
+        F.when(ab < 85, 0).when(ab < 170, 1).otherwise(2)
+        .cast("int")
+        .alias("arrival_batch"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+
+@query("ivf_rebuild_execute",
+    _ORACLES["ivf_rebuild_execute"],
+    "X3 vector-index lifecycle close-out: execute the re-train ivf_retrain_criterion calls for — one exact-integer k-means step over globally-scaled int8 codes, Arrow-matmul re-assignment, per-(phase, cell) census before/after (persisted codes + degraded-index oracle)",
+)
+def q_ivf_rebuild_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild leg of the build→upsert→serve→rebuild lifecycle:
+    starting from the fully-upserted (degraded) assignment — the same
+    'ivfupd' latest-vector state wave 3 of ivf_retrain_criterion
+    measures — ONE k-means step re-trains the coarse quantizer and
+    re-assigns every vector. Exactness design: centroids live in
+    globally-scaled int8 CODE space (the quantized_centroid_profile
+    convention), so centroid sums are order-free exact integers; a
+    vector's score against cell c is dot(codes, sum_c) / n_c — exact
+    ints < 2^53 through one IEEE division, bit-identical in numpy
+    float64 (every partial sum of exact-representable integers below
+    2^53 is itself exact, any summation order) and DuckDB
+    list_dot_product; argmax ties break to the lowest cell id both
+    sides. The Spark leg scores all 16 cells in one Arrow matmul per
+    batch (centroid matrix is a bounded 16x64 driver collect); the
+    oracle re-derives centroids relationally from the persisted code
+    table + degraded index and re-runs the argmax. Output: per-(phase,
+    cell) membership census with id checksums — the before/after the
+    retrain decision is priced on. Scale: codes are 64 bytes/vector,
+    the centroid table is n_cells x dim integers, and re-assignment is
+    one map-side matmul pass — a rebuild costs one scan, not an
+    iterative fit."""
+    from finance_reporting_etl_spark.operators.corpus import md5_bucket
+    from finance_reporting_etl_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    upd = md5_bucket("vec_id", salt="ivfupd") < 64
+    latest = emb.select(
+        "vec_id",
+        F.when(upd, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    deg = _persist_aux(spark, ivf_index(latest), "rebuild_degraded_index")
+
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    withv = latest.select("vec_id", vd.alias("vd"))
+    gmax = withv.agg(
+        F.max(F.array_max(F.transform("vd", F.abs))).alias("gmax")
+    )
+    codes = _persist_aux(
+        spark,
+        withv.crossJoin(F.broadcast(gmax)).select(
+            "vec_id",
+            F.transform(
+                "vd",
+                lambda x: F.round(x * (F.lit(127.0) / F.col("gmax"))).cast(
+                    "bigint"
+                ),
+            ).alias("codes"),
+        ),
+        "rebuild_codes",
+    )
+    cent_rows = (
+        codes.join(deg, codes["vec_id"] == deg["id"])
+        .select("cell", F.posexplode("codes").alias("dim", "code"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("code").cast("bigint").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("ds")
+        )
+        .select("cell", F.col("ds.s").alias("sums"))
+        .join(
+            deg.groupBy("cell").agg(F.count(F.lit(1)).alias("n")), "cell"
+        )
+        .orderBy("cell")
+        .collect()  # bounded: n_cells(16) x dim(64) integers
+    )
+    import numpy as np
+
+    from finance_reporting_etl_spark.operators.similarity import (
+        ivf_reassign_udf,
+    )
+
+    cells_arr = np.array([r.cell for r in cent_rows], dtype="int64")
+    s_t = np.array([r.sums for r in cent_rows], dtype="float64").T  # (dim, k)
+    n_vec = np.array([r.n for r in cent_rows], dtype="float64")  # (k,)
+    reassign = ivf_reassign_udf(cells_arr, s_t, n_vec)
+    re_assign = codes.select(
+        "vec_id", reassign(F.col("codes")).alias("cell")
+    )
+    a = deg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    ).select(F.lit("degraded").alias("phase"), "cell", "n_members", "id_sum")
+    b = re_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+    ).select(F.lit("retrained").alias("phase"), "cell", "n_members", "id_sum")
+    return a.unionByName(b)
+
+
 # Round-14 gate window (driver verifies the first 50 catalog entries):
 # the 6 round-13 additions (never driver-gated) plus the 44 stalest
 # proven entries (last green driver row r6, in catalog order) — exactly
@@ -16863,6 +17070,8 @@ _GATE_NEXT = [
     "near_dup_cluster_maintain",
     "ivf_retrain_criterion",
     "crossmodal_purge_pareto",
+    "streaming_cluster_maintain",
+    "ivf_rebuild_execute",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -182,3 +182,42 @@ def test_crossmodal_purge_policies_inclusion_exclusion(spark):
     for r in rows.values():
         assert 0 <= r.purged_pixel_bytes <= r.total_pixel_bytes
         assert 0 <= r.purged_ppm <= 1000000
+
+
+# --- streaming cluster maintenance + IVF rebuild -----------------------------
+
+
+def test_streaming_cluster_maintain_equals_batch_recompute(spark):
+    """The streamed three-batch fold must equal one full recompute —
+    the associativity claim at query grain (the oracle checks the
+    same thing against DuckDB's closure; this pins it Spark-vs-Spark
+    so a streaming-plumbing regression is caught without the oracle)."""
+    docs = _docs(spark)
+    full = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(
+            jaccard_pairs(
+                docs, block_cols=("lang", "source"), threshold=0.5
+            ).select("id_a", "id_b"),
+            docs.select(F.col("doc_id").alias("id")),
+        ).collect()
+    }
+    streamed = CATALOG["streaming_cluster_maintain"].fn(spark, SF_SMOKE).collect()
+    assert {r.doc_id: r.cluster_id for r in streamed} == full
+    assert {r.arrival_batch for r in streamed} <= {0, 1, 2}
+
+
+def test_ivf_rebuild_census_conserves_membership(spark):
+    """Re-assignment is a permutation of members across cells: both
+    phases cover the same vector universe (same total count and id
+    checksum), every cell is one of the trained 16, and the retrained
+    phase only uses cells that existed in the degraded index (its
+    centroids are derived from them)."""
+    rows = CATALOG["ivf_rebuild_execute"].fn(spark, SF_SMOKE).collect()
+    deg = [r for r in rows if r.phase == "degraded"]
+    ret = [r for r in rows if r.phase == "retrained"]
+    assert sum(r.n_members for r in deg) == sum(r.n_members for r in ret)
+    assert sum(r.id_sum for r in deg) == sum(r.id_sum for r in ret)
+    deg_cells = {r.cell for r in deg}
+    assert {r.cell for r in ret} <= deg_cells
+    assert all(0 <= r.cell < 16 for r in rows)
