@@ -226,7 +226,10 @@ def jaccard_pairs(
         & (F.col("a.n_toks") >= F.ceil(F.col("b.n_toks") * F.lit(threshold)))
     )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct token sets: the
+    # sizes are already computed, so the union needs no second array
+    # pass (array_union re-hashed both arrays per pair — pure overhead)
+    union = F.col("a.n_toks") + F.col("b.n_toks") - inter
     jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
     return (
         a.join(b, cond)
@@ -518,9 +521,13 @@ def minhash_pairs_from_bands(
 
 
 def _jaccard_verify(cands: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-set Jaccard over (id_a, id_b, sa, sb) candidates."""
+    """Exact shingle-set Jaccard over (id_a, id_b, sa, sb) candidates.
+
+    ``sa``/``sb`` are collect_set outputs (distinct by construction),
+    so |A ∪ B| = |A| + |B| - |A ∩ B|: one array_intersect pass per
+    pair instead of intersect + union."""
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
     return cands.select(
         "id_a",
         "id_b",
@@ -1356,7 +1363,9 @@ def jaccard_cross_pairs(
         & (F.col("n_toks_a") >= F.ceil(F.col("n_toks_b") * F.lit(threshold)))
     )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    # same identity as jaccard_pairs: sizes are precomputed, skip the
+    # second array pass array_union would cost per candidate pair
+    union = F.col("n_toks_a") + F.col("n_toks_b") - inter
     jac = inter / F.nullif(union.cast("double"), F.lit(0.0))
     return (
         a.join(b, cond)

@@ -11797,10 +11797,17 @@ def _lsh_candidate_scores(
         bucket_aux,
     )
     b2 = buckets.withColumnsRenamed({"id": "dst"})
+    # The bucket self-join's candidate set is a symmetric closure and
+    # cosine is symmetric (numpy dot/norms hit identical IEEE ops in
+    # either argument order), so score each unordered pair ONCE
+    # (src < dst) and mirror: halves the distinct shuffle, the two
+    # vector joins, and the Arrow pair traffic. localCheckpoint
+    # materializes the half before the union so the mirror branch
+    # reads blocks instead of recomputing the scoring subtree.
     cand = (
         buckets.withColumnRenamed("id", "src")
         .join(b2, ["tbl", "bucket"])
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
@@ -11810,11 +11817,17 @@ def _lsh_candidate_scores(
     sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
     dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
     cos = cosine_arrow()
-    return (
+    half = (
         cand.join(sv, "src")
         .join(dv, "dst")
         .withColumn("score", det_round(cos(F.col("sv"), F.col("dv")), 6))
         .select("src", "dst", "score")
+        .localCheckpoint(eager=True)
+    )
+    return half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
     )
 
 
@@ -12696,17 +12709,19 @@ def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFra
                 10,
             ).cast("bigint"),
         )
-        parts = []
-        for col in ("l_partkey", "l_suppkey", "l_orderkey"):
-            parts.append(
-                hashed.filter(F.col("col_name") == col)
-                .orderBy(F.asc("h32"), F.asc("val"))
-                .limit(64)
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # one window pass over the hashed frame instead of three
+        # filter+orderBy+limit legs: each leg re-evaluated the whole
+        # stack/distinct/md5 subtree (3x the per-batch compute for
+        # identical rows — row_number under the same (h32, val) order
+        # picks exactly the same bottom-64 per column)
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("col_name").orderBy(F.asc("h32"), F.asc("val"))
+        return (
+            hashed.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= 64)
+            .drop("__rn")
+        )
 
     def readback(tmp: str) -> DataFrame:
         sk = (
@@ -12714,24 +12729,26 @@ def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFra
             .select("col_name", "val", "h32")
             .distinct()
         )
-        parts = []
-        for col in ("l_partkey", "l_suppkey", "l_orderkey"):
-            bottom = (
-                sk.filter(F.col("col_name") == col)
-                .orderBy(F.asc("h32"), F.asc("val"))
-                .limit(64)
+        # same single-pass re-cut as batch_agg: one window rank over
+        # the deduped sink instead of three filter+orderBy+limit legs
+        # that each re-ran the distinct (identical bottom-64 sets;
+        # every column is present because each micro-batch emitted
+        # rows for all three, so the groupBy covers the same keys the
+        # literal legs spelled out)
+        from pyspark.sql import Window
+
+        wk = Window.partitionBy("col_name").orderBy(F.asc("h32"), F.asc("val"))
+        out = (
+            sk.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= 64)
+            .groupBy("col_name")
+            .agg(F.max("h32").cast("bigint").alias("kth_hash"))
+            .selectExpr(
+                "col_name",
+                "CAST(64 AS BIGINT) AS k",
+                "kth_hash",
             )
-            parts.append(
-                bottom.agg(F.max("h32").cast("bigint").alias("kth_hash"))
-                .selectExpr(
-                    f"'{col}' AS col_name",
-                    "CAST(64 AS BIGINT) AS k",
-                    "kth_hash",
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        )
         ex = (
             _t(spark, sf_dir, "lineitem")
             .selectExpr(
@@ -13697,10 +13714,13 @@ def q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, hyperplane_buckets(emb, n_planes=4, n_tables=8), "hub_buckets"
     )
     b2 = buckets.withColumnsRenamed({"id": "dst"})
+    # same halving as _lsh_candidate_scores: the bucket self-join's
+    # candidate set is symmetric and cosine(a,b) == cosine(b,a)
+    # bit-for-bit, so score src < dst once and mirror the scored half
     cand = (
         buckets.withColumnRenamed("id", "src")
         .join(b2, ["tbl", "bucket"])
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
@@ -13710,12 +13730,21 @@ def q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = vecs.withColumnsRenamed({"vec_id": "src", "v": "sv"})
     dv = vecs.withColumnsRenamed({"vec_id": "dst", "v": "dv"})
     cos = cosine_arrow()
-    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
-    tk = (
+    half = (
         cand.join(sv, "src")
         .join(dv, "dst")
         .withColumn("score", det_round(cos(F.col("sv"), F.col("dv")), 6))
-        .withColumn("rank", F.row_number().over(w))
+        .select("src", "dst", "score")
+        .localCheckpoint(eager=True)
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    tk = (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("src", "dst")
     )
