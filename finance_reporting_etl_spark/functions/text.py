@@ -45,8 +45,13 @@ def token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """Count of TOKEN_PATTERN matches — a tokenizer-free LLM token proxy."""
-    return F.size(F.regexp_extract_all(_c(text), F.lit(TOKEN_PATTERN), F.lit(0)))
+    """Count of TOKEN_PATTERN matches — a tokenizer-free LLM token proxy.
+
+    regexp_count walks the same non-overlapping matches
+    regexp_extract_all would, without materializing the match array
+    just to size it (the array alloc dominated this expression's cost
+    at bench scale)."""
+    return F.regexp_count(_c(text), F.lit(TOKEN_PATTERN))
 
 
 def char_count(text: Column | str) -> Column:
@@ -68,14 +73,18 @@ def _punct_ratio_raw(text: Column | str) -> Column:
     it around regexp-heavy terms multiplies the regexp evaluations —
     the r9 corpus_training_pipeline 3x bench regression)."""
     t = _c(text)
-    stripped = F.regexp_replace(t, "[A-Za-z0-9\\s]", "")
-    return F.length(stripped) / F.nullif(F.length(t), F.lit(0))
+    # count of non-alnum-space chars == matches of the complement
+    # class: a counting regex walk, no replacement string allocated
+    # (length(regexp_replace(t, klass, '')) built a full copy of the
+    # doc per evaluation)
+    punct = F.regexp_count(t, F.lit("[^A-Za-z0-9\\s]"))
+    return punct / F.nullif(F.length(t), F.lit(0))
 
 
 def _digit_ratio_raw(text: Column | str) -> Column:
     t = _c(text)
-    digits = F.regexp_replace(t, "[^0-9]", "")
-    return F.length(digits) / F.nullif(F.length(t), F.lit(0))
+    digits = F.regexp_count(t, F.lit("[0-9]"))
+    return digits / F.nullif(F.length(t), F.lit(0))
 
 
 def punct_ratio(text: Column | str, scale: int = 4) -> Column:
@@ -206,7 +215,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 def pii_count(text: Column | str, kind: str) -> Column:
     """Number of matches of one PII pattern kind in the raw text."""
     pattern = {k: p for k, p, _ in PII_PATTERNS}[kind]
-    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), F.lit(0)))
+    return F.regexp_count(_c(text), F.lit(pattern))
 
 
 def redact_pii(text: Column | str) -> Column:

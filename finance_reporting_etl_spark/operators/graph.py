@@ -41,6 +41,7 @@ def pagerank(
     checkpoint_every: int = 4,
     broadcast_node_limit: int = 10_000_000,
     validate: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list whose node set is
     CLOSED under dst (every dst also appears as a src) — true for any
@@ -62,6 +63,13 @@ def pagerank(
     round (measured 2x end-to-end vs per-iteration checkpoints at
     sf0.1; every-4 beats every-2 by a further ~25% on the 8-iteration
     co-purchase run — plans stay shallow enough at depth 4).
+
+    ``symmetric=True`` (for symmetrized/undirected edge lists, where
+    every node is guaranteed an in-edge) derives each round's ranks
+    directly from the contribution aggregate, skipping the
+    re-attach join against the node table — one broadcast build and
+    one hash join fewer PER ITERATION, with bit-identical ranks
+    because the dropped coalesce branch never fired.
 
     Returns (id, rank) with rank scaled by |V| (mean 1.0) so small
     graphs keep float precision.
@@ -95,14 +103,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         ).withColumnRenamed("dst", "id")
-        ranks = nodes.join(
-            F.broadcast(contribs) if bcast else contribs, "id", "left"
-        ).select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        if symmetric:
+            # in a symmetric edge list every node has an in-edge, so
+            # contribs already covers the whole node set: the per-
+            # iteration nodes-join (one broadcast build + hash join
+            # per round, 8 per run) only existed to re-attach
+            # zero-in-degree nodes that cannot occur here. Same float
+            # ops (the coalesce never fired), same ranks.
+            ranks = contribs.select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                F.broadcast(contribs) if bcast else contribs, "id", "left"
+            ).select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     # materialize the final |V|-row result, then release the cached
@@ -210,6 +231,7 @@ def pagerank_weighted(
     weight: str = "w",
     checkpoint_every: int = 4,
     broadcast_node_limit: int = 10_000_000,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Weighted PageRank: contributions split proportionally to edge
     weight (contrib = rank * w / weighted_out_degree) instead of
@@ -217,7 +239,9 @@ def pagerank_weighted(
     ride the cached edges, only |V|-sized rank rows move per iteration.
     Weights must be positive, and the node set must be closed under
     dst (see :func:`pagerank`: a symmetric weighted graph qualifies;
-    pure sinks would be silently dropped otherwise)."""
+    pure sinks would be silently dropped otherwise). ``symmetric=True``
+    drops the per-iteration node re-attach join exactly as in
+    :func:`pagerank`."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w"))
     wdeg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
     ed = e.join(wdeg, "src").persist()
@@ -234,12 +258,18 @@ def pagerank_weighted(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         ).withColumnRenamed("dst", "id")
-        ranks = nodes.join(
-            F.broadcast(contribs) if bcast else contribs, "id", "left"
-        ).select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
-        )
+        if symmetric:
+            ranks = contribs.select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.col("s")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                F.broadcast(contribs) if bcast else contribs, "id", "left"
+            ).select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("id", (F.col("rank") * n).alias("rank")).localCheckpoint(eager=True)

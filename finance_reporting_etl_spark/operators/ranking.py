@@ -122,9 +122,21 @@ def distributed_ntile(
     edges = sorted(set(head["edges"] or []))
     total = head["total"]
 
-    bucket: Column = F.lit(0)
-    for e in edges:
-        bucket = bucket + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+    # bucket = number of edges below the value. The old form chained
+    # <=63 when(...)+when(...) terms into one deep expression tree —
+    # whole-stage codegen recompiled that tree per query at a visible
+    # per-plan constant. One array filter over a literal edge array is
+    # the same integer with a tiny, flat expression.
+    bucket = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(e) for e in edges]),
+                lambda e: F.col(value_col) > e,
+            )
+        )
+        if edges
+        else F.lit(0)  # degenerate sketch (empty/constant input)
+    )
     dfb = df.withColumn("__bucket", bucket.cast("int"))
 
     counts = dfb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -199,9 +211,19 @@ def distributed_cumsum(
             or []
         )
     )
-    bucket = F.lit(0)
-    for e in edges:
-        bucket = bucket + F.when(F.col(key_col) > F.lit(e), 1).otherwise(0)
+    # same flat bucket-assign as distributed_ntile (count of edges
+    # below the key via one literal-array filter, not a 63-deep when
+    # chain that codegen recompiles per plan)
+    bucket = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(e) for e in edges]),
+                lambda e: F.col(key_col) > e,
+            )
+        )
+        if edges
+        else F.lit(0)  # degenerate sketch (empty/constant input)
+    )
     dfb = df.withColumn("__bucket", bucket.cast("int"))
 
     totals = dfb.groupBy("__bucket").agg(F.sum(sum_col).alias("__tot"))
@@ -264,13 +286,23 @@ def distributed_ntile_melted(
     edges_by_group = {r[group_col]: sorted(set(r["edges"] or [])) for r in head}
     totals_by_group = {r[group_col]: r["total"] for r in head}
 
-    # per-group bucket assignment: chained whens per group (bounded by
-    # groups x buckets literals — codegen'd, no join, no Python)
+    # per-group bucket assignment: one literal-array filter per group
+    # under a groups-deep CASE (bounded by groups x buckets literals —
+    # no join, no Python). The per-group inner chain used to be
+    # <=63 nested when(...) terms; flattening it to an array filter
+    # keeps the codegen'd expression tree small (same integers).
     bucket: Column = F.lit(0)
     for g, edges in edges_by_group.items():
-        b = F.lit(0)
-        for e in edges:
-            b = b + F.when(F.col(value_col) > F.lit(e), 1).otherwise(0)
+        b = (
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(e) for e in edges]),
+                    lambda e: F.col(value_col) > e,
+                )
+            )
+            if edges
+            else F.lit(0)
+        )
         bucket = F.when(F.col(group_col) == F.lit(g), b).otherwise(bucket)
     dfb = df.withColumn("__bucket", bucket.cast("int"))
 

@@ -1263,6 +1263,10 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey")
         .agg(det_round(F.sum("o_totalprice"), 4).alias("total_spend"))
+        # |customers| rows; the ntile's sketch pass + two plan branches
+        # would otherwise re-run the join+agg three times (the
+        # operator's documented persist-upstream contract)
+        .localCheckpoint(eager=True)
     )
     tiled = distributed_ntile(spend, 10, "total_spend", ["c_custkey"], out_col="decile")
     return tiled.select("decile", "c_custkey", "total_spend")
@@ -3440,7 +3444,10 @@ def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_pairs(spark, sf_dir).select("src", "dst")
     from finance_reporting_etl_spark.operators.graph import pagerank
 
-    return pagerank(edges, damping=0.85, iters=8).select(
+    # symmetric=True: the co-purchase pair table emits both directions
+    # of every pair, so each node has an in-edge and the per-iteration
+    # node re-attach join is skippable (bit-identical ranks)
+    return pagerank(edges, damping=0.85, iters=8, symmetric=True).select(
         "id", det_round("rank", 6).alias("rank")
     )
 
@@ -4019,7 +4026,9 @@ def q_part_copurchase_pagerank_weighted(spark: SparkSession, sf_dir: str) -> Dat
     )
     from finance_reporting_etl_spark.operators.graph import pagerank_weighted
 
-    return pagerank_weighted(edges, damping=0.85, iters=8).select(
+    # symmetric=True: same both-directions pair table as the
+    # unweighted query — skip the per-iteration node re-attach join
+    return pagerank_weighted(edges, damping=0.85, iters=8, symmetric=True).select(
         "id", det_round("rank", 6).alias("rank")
     )
 
@@ -4498,7 +4507,11 @@ def q_corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)),
             6,
         ).alias("ttr"),
-    )
+        # narrow (id, count, ratio) rows; budget agg + cumsum sketch +
+        # two cumsum branches would otherwise re-tokenize every
+        # document four times (persist-upstream contract of
+        # distributed_cumsum)
+    ).localCheckpoint(eager=True)
     budget = s.agg((F.sum("n_tok") / F.lit(2)).cast("bigint").alias("__budget"))
     c = distributed_cumsum(
         s.withColumn("__negttr", -F.col("ttr")),
@@ -5527,7 +5540,15 @@ def q_zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("y", F.expr("((d - min_d) * 256) div (max_d - min_d + 1)"))
     )
-    z = s.withColumn("zval", zorder_key("x", "y", bits=8))
+    # narrow projection, then materialize: the Morton-key bit
+    # interleave is the expensive expression here, and the ntile's
+    # sketch pass + two plan branches would re-run it three times
+    # (persist-upstream contract of distributed_ntile)
+    z = (
+        s.withColumn("zval", zorder_key("x", "y", bits=8))
+        .select("o_orderkey", "o_custkey", "d", "zval")
+        .localCheckpoint(eager=True)
+    )
     f = distributed_ntile(z, 16, "zval", ["o_orderkey"], out_col="file_id")
     return f.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -9532,23 +9553,17 @@ def q_script_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace (identical char-class semantics in Java regex and
     RE2); every emitted cell is an exact integer or integer-ppm
     division."""
+    # single-char class counts: regexp_count(text, klass) equals the
+    # length delta of stripping the class, without allocating three
+    # stripped copies of every document per row
     d = _t(spark, sf_dir, "documents").select(
         "lang",
         F.length("text").cast("bigint").alias("n"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
-        ).cast("bigint").alias("latin"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[0-9]", ""))
-        ).cast("bigint").alias("digit"),
-        # count of chars OUTSIDE ASCII: remove the non-ASCII class and
-        # diff (removing the ASCII class would count ASCII instead)
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[^\\x00-\\x7f]", ""))
-        ).cast("bigint").alias("nonascii"),
+        F.regexp_count("text", F.lit("[a-zA-Z]")).cast("bigint").alias("latin"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("bigint").alias("digit"),
+        F.regexp_count("text", F.lit("[^\\x00-\\x7f]"))
+        .cast("bigint")
+        .alias("nonascii"),
     ).filter(F.col("n") > 0)
     mixed = (F.col("latin") > 0) & (F.col("nonascii") * 10 > F.col("n"))
     return d.groupBy("lang").agg(
@@ -16435,10 +16450,12 @@ def q_ann_stale_serving_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rk")
     )
     probes = _persist_aux(spark, ivf_probes_for(qs, nprobe=4), "stale_probes")
-    ts = ivf_topk_from_index(stale_index, probes, latest, k=10).select(
+    # arrow=True: 64 queries x nprobe 4 -> ~30k+ candidate pairs per
+    # serve, the volume regime where the bit-identical Arrow fold wins
+    ts = ivf_topk_from_index(stale_index, probes, latest, k=10, arrow=True).select(
         "query_id", "neighbor_id"
     )
-    tf = ivf_topk_from_index(fresh_index, probes, latest, k=10).select(
+    tf = ivf_topk_from_index(fresh_index, probes, latest, k=10, arrow=True).select(
         "query_id", "neighbor_id"
     )
     per_q = (
