@@ -195,6 +195,26 @@ def minhash_candidate_pairs(
     )
 
 
+def jaccard_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *block_cols, toks, n_toks): the tokenized frame the jaccard
+    pair operators build internally, exposed so a caller scoring
+    SEVERAL pair legs over the same corpus (base self-pairs + cross
+    pairs + delta self-pairs in the cluster-maintenance queries)
+    tokenizes once, checkpoints, and feeds every leg from the blocks —
+    a self-join otherwise re-evaluates the tokenization on both of its
+    aliases."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(whitespace_tokens(F.lower(F.col(text_col)))).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -208,11 +228,22 @@ def jaccard_pairs(
     ``block_cols`` restricts the pair space (e.g. same lang) — the
     blocking pattern that keeps exact verification feasible at scale.
     """
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(whitespace_tokens(F.lower(F.col(text_col)))).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
+    return jaccard_pairs_prepped(
+        jaccard_prep(df, id_col, text_col, block_cols),
+        block_cols=block_cols,
+        threshold=threshold,
+        scale=scale,
+    )
+
+
+def jaccard_pairs_prepped(
+    toks: DataFrame,
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+    scale: int = 4,
+) -> DataFrame:
+    """:func:`jaccard_pairs` over an already-tokenized
+    :func:`jaccard_prep` frame (identical pair set and values)."""
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
@@ -1344,16 +1375,34 @@ def jaccard_cross_pairs(
     pairs) is exactly the full pair set — the partition the
     incremental == batch equivalence rests on."""
 
-    def _prep(df: DataFrame, tag: str):
-        return spread(df).select(
-            F.col(id_col).alias(f"id_{tag}"),
-            *[F.col(c).alias(f"{c}_{tag}") for c in block_cols],
-            F.array_distinct(
-                whitespace_tokens(F.lower(F.col(text_col)))
-            ).alias(f"toks_{tag}"),
-        ).withColumn(f"n_toks_{tag}", F.size(f"toks_{tag}"))
+    return jaccard_cross_pairs_prepped(
+        jaccard_prep(delta, id_col, text_col, block_cols),
+        jaccard_prep(base, id_col, text_col, block_cols),
+        block_cols=block_cols,
+        threshold=threshold,
+        scale=scale,
+    )
 
-    a, b = _prep(delta, "a"), _prep(base, "b")
+
+def jaccard_cross_pairs_prepped(
+    delta_toks: DataFrame,
+    base_toks: DataFrame,
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+    scale: int = 4,
+) -> DataFrame:
+    """:func:`jaccard_cross_pairs` over already-tokenized
+    :func:`jaccard_prep` frames (identical pair set and values)."""
+
+    def _tag(df: DataFrame, tag: str):
+        return df.select(
+            F.col("id").alias(f"id_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in block_cols],
+            F.col("toks").alias(f"toks_{tag}"),
+            F.col("n_toks").alias(f"n_toks_{tag}"),
+        )
+
+    a, b = _tag(delta_toks, "a"), _tag(base_toks, "b")
     cond = F.lit(True)
     for c in block_cols:
         cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))

@@ -81,6 +81,34 @@ def exact_group_quantiles(
     return b.groupBy(*group_cols).agg(*aggs).select(*group_cols, *finals)
 
 
+def _edge_bucket(col_name: str, edges: list) -> Column:
+    """Bucket index = number of sketch edges strictly below the value,
+    as ONE flat `size(filter(<literal edge array>, e -> v > e))`
+    expression (same integers as the old chained-when sum, NULL -> 0
+    either way).
+
+    Two measured failure modes shape this form:
+    - a <=63-term chained when() sum is a deep expression tree that
+      whole-stage codegen recompiles per plan (~2s/query constant on
+      the zorder Morton input);
+    - the flat lambda body references the column ONCE, so
+      CollapseProject happily inlines a COMPUTED key (pps' md5 bucket)
+      into the lambda, re-evaluating it per array element,
+      interpreted (~2.3s/query on pps). The when() null-guard below
+      references the column a second time, which keeps a non-cheap
+      key expression materialized in its own projection (the
+      optimizer's multi-reference rule) while costing nothing for
+      plain attribute keys.
+    """
+    v = F.col(col_name)
+    if not edges:
+        return F.lit(0).cast("int")  # degenerate sketch (constant input)
+    flat = F.size(
+        F.filter(F.array(*[F.lit(e) for e in edges]), lambda e: v > e)
+    )
+    return F.when(v.isNull(), F.lit(0)).otherwise(flat).cast("int")
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,
@@ -127,17 +155,7 @@ def distributed_ntile(
     # whole-stage codegen recompiled that tree per query at a visible
     # per-plan constant. One array filter over a literal edge array is
     # the same integer with a tiny, flat expression.
-    bucket = (
-        F.size(
-            F.filter(
-                F.array(*[F.lit(e) for e in edges]),
-                lambda e: F.col(value_col) > e,
-            )
-        )
-        if edges
-        else F.lit(0)  # degenerate sketch (empty/constant input)
-    )
-    dfb = df.withColumn("__bucket", bucket.cast("int"))
+    dfb = df.withColumn("__bucket", _edge_bucket(value_col, edges))
 
     counts = dfb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
     earlier = counts.select(
@@ -214,17 +232,7 @@ def distributed_cumsum(
     # same flat bucket-assign as distributed_ntile (count of edges
     # below the key via one literal-array filter, not a 63-deep when
     # chain that codegen recompiles per plan)
-    bucket = (
-        F.size(
-            F.filter(
-                F.array(*[F.lit(e) for e in edges]),
-                lambda e: F.col(key_col) > e,
-            )
-        )
-        if edges
-        else F.lit(0)  # degenerate sketch (empty/constant input)
-    )
-    dfb = df.withColumn("__bucket", bucket.cast("int"))
+    dfb = df.withColumn("__bucket", _edge_bucket(key_col, edges))
 
     totals = dfb.groupBy("__bucket").agg(F.sum(sum_col).alias("__tot"))
     earlier = totals.select(
@@ -293,17 +301,9 @@ def distributed_ntile_melted(
     # keeps the codegen'd expression tree small (same integers).
     bucket: Column = F.lit(0)
     for g, edges in edges_by_group.items():
-        b = (
-            F.size(
-                F.filter(
-                    F.array(*[F.lit(e) for e in edges]),
-                    lambda e: F.col(value_col) > e,
-                )
-            )
-            if edges
-            else F.lit(0)
-        )
-        bucket = F.when(F.col(group_col) == F.lit(g), b).otherwise(bucket)
+        bucket = F.when(
+            F.col(group_col) == F.lit(g), _edge_bucket(value_col, edges)
+        ).otherwise(bucket)
     dfb = df.withColumn("__bucket", bucket.cast("int"))
 
     counts = dfb.groupBy(group_col, "__bucket").agg(

@@ -481,10 +481,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X2 n-gram Jaccard near-dup (blocked exact verify)",
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from finance_reporting_etl_spark.operators.dedup import jaccard_pairs
+    from finance_reporting_etl_spark.operators.dedup import (
+        jaccard_pairs_prepped,
+        jaccard_prep,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.5)
+    # tokenize once for the verify self-join (see q_dedup_clusters)
+    prepped = jaccard_prep(docs, block_cols=("lang", "source")).localCheckpoint(
+        eager=True
+    )
+    return jaccard_pairs_prepped(
+        prepped, block_cols=("lang", "source"), threshold=0.5
+    )
 
 
 @query("dedup_clusters",
@@ -496,12 +505,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> cluster_id = min doc_id (the canonical survivor).
     The iterative Spark propagation must agree with DuckDB's recursive
     transitive closure on every node."""
-    from finance_reporting_etl_spark.operators.dedup import jaccard_pairs, near_dup_clusters
+    from finance_reporting_etl_spark.operators.dedup import (
+        jaccard_pairs_prepped,
+        jaccard_prep,
+        near_dup_clusters,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, block_cols=("lang", "source"), threshold=0.5).select(
-        "id_a", "id_b"
+    # tokenize once: the verify self-join evaluates BOTH aliases, so an
+    # unmaterialized prep would tokenize every document twice
+    prepped = jaccard_prep(docs, block_cols=("lang", "source")).localCheckpoint(
+        eager=True
     )
+    edges = jaccard_pairs_prepped(
+        prepped, block_cols=("lang", "source"), threshold=0.5
+    ).select("id_a", "id_b")
     nodes = docs.select(F.col("doc_id").alias("id"))
     return near_dup_clusters(edges, nodes).select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -10374,13 +10392,18 @@ def _cluster_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finance_reporting_etl_spark.functions.text import quality_score
     from finance_reporting_etl_spark.operators.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_prepped,
+        jaccard_prep,
         near_dup_clusters,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(
-        docs, block_cols=("lang", "source"), threshold=0.5
+    # tokenize once for the verify self-join (see q_dedup_clusters)
+    prepped = jaccard_prep(docs, block_cols=("lang", "source")).localCheckpoint(
+        eager=True
+    )
+    edges = jaccard_pairs_prepped(
+        prepped, block_cols=("lang", "source"), threshold=0.5
     ).select("id_a", "id_b")
     nodes = docs.select(F.col("doc_id").alias("id"))
     cl = near_dup_clusters(edges, nodes).select(
@@ -12186,7 +12209,13 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
 
     return run_file_stream(
         spark,
-        lambda src: _t(spark, sf_dir, "lineitem").repartition(3).write.parquet(src),
+        # stage only the four columns the fold reads (guide: project
+        # before the exchange — the other 12 lineitem columns were
+        # written and re-read by every micro-batch for nothing)
+        lambda src: _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .repartition(3)
+        .write.parquet(src),
         lambda src, schema, tmp: streaming_grouped_sum_fold(
             spark, src, schema,
             checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
@@ -12796,7 +12825,11 @@ def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFra
 
     return run_file_stream(
         spark,
-        lambda src: _t(spark, sf_dir, "lineitem").repartition(3).write.parquet(src),
+        # stage only the three key columns the sketch folds over
+        lambda src: _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_orderkey")
+        .repartition(3)
+        .write.parquet(src),
         lambda src, schema, tmp: streaming_grouped_sum_fold(
             spark, src, schema,
             checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
@@ -13251,7 +13284,10 @@ def q_streaming_nrr_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_file_stream(
         spark,
-        lambda src: _t(spark, sf_dir, "events").repartition(3).write.parquet(src),
+        lambda src: _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .repartition(3)
+        .write.parquet(src),
         lambda src, schema, tmp: streaming_grouped_sum_fold(
             spark, src, schema,
             checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
@@ -13874,7 +13910,10 @@ def q_streaming_poisson_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_file_stream(
         spark,
-        lambda src: _t(spark, sf_dir, "events").repartition(3).write.parquet(src),
+        lambda src: _t(spark, sf_dir, "events")
+        .select("ts")
+        .repartition(3)
+        .write.parquet(src),
         lambda src, schema, tmp: streaming_grouped_sum_fold(
             spark, src, schema,
             checkpoint_dir=f"{tmp}/ckpt", sink_dir=f"{tmp}/sink",
@@ -16320,6 +16359,10 @@ def q_streaming_semdecon_flag_maintain(spark: SparkSession, sf_dir: str) -> Data
 
     def start(src, schema, tmp):
         def screen(batch, batch_id):
+            # checkpoint, then write + screen from the blocks: the
+            # write-once-read-back alternative was A/B-measured ~0.3s
+            # SLOWER per run (the flag leg re-reads parquet each
+            # batch, losing to the in-memory blocks)
             bidx = ivf_index(batch).localCheckpoint()
             bidx.write.mode("overwrite").parquet(
                 f"{tmp}/index/batch_id={batch_id}"
@@ -16528,8 +16571,9 @@ def q_near_dup_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.dedup import (
         incremental_clusters,
-        jaccard_cross_pairs,
-        jaccard_pairs,
+        jaccard_cross_pairs_prepped,
+        jaccard_pairs_prepped,
+        jaccard_prep,
         near_dup_clusters,
     )
 
@@ -16537,18 +16581,29 @@ def q_near_dup_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = md5_bucket("doc_id", salt="clmaint")
     base = docs.filter(bd >= 32)
     delta = docs.filter(bd < 32)
-    base_edges = jaccard_pairs(
-        base, block_cols=("lang", "source"), threshold=0.5
-    ).select("id_a", "id_b")
+    # tokenize the corpus ONCE: three pair legs (base self, cross,
+    # delta self) each self-join or cross-join the token frame, which
+    # un-materialized would re-tokenize the corpus ~6x
+    kwb = dict(block_cols=("lang", "source"))
+    prepped = (
+        jaccard_prep(docs, **kwb)
+        .withColumn("__bd", md5_bucket("id", salt="clmaint"))
+        .localCheckpoint(eager=True)
+    )
+    base_p = prepped.filter(F.col("__bd") >= 32).drop("__bd")
+    delta_p = prepped.filter(F.col("__bd") < 32).drop("__bd")
+    base_edges = jaccard_pairs_prepped(base_p, threshold=0.5, **kwb).select(
+        "id_a", "id_b"
+    )
     base_cl = near_dup_clusters(
         base_edges, base.select(F.col("doc_id").alias("id"))
     ).localCheckpoint()
-    d_cross = jaccard_cross_pairs(
-        delta, base, block_cols=("lang", "source"), threshold=0.5
+    d_cross = jaccard_cross_pairs_prepped(
+        delta_p, base_p, threshold=0.5, **kwb
     ).select("id_a", "id_b")
-    d_self = jaccard_pairs(
-        delta, block_cols=("lang", "source"), threshold=0.5
-    ).select("id_a", "id_b")
+    d_self = jaccard_pairs_prepped(delta_p, threshold=0.5, **kwb).select(
+        "id_a", "id_b"
+    )
     merged = incremental_clusters(
         base_cl,
         d_cross.unionByName(d_self),
@@ -16802,8 +16857,9 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.dedup import (
         incremental_clusters,
-        jaccard_cross_pairs,
-        jaccard_pairs,
+        jaccard_cross_pairs_prepped,
+        jaccard_pairs_prepped,
+        jaccard_prep,
         near_dup_clusters,
     )
     from finance_reporting_etl_spark.streaming.merge import (
@@ -16818,7 +16874,15 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text"
     )
     b = md5_bucket("doc_id", salt="clstream")
-    kw = dict(block_cols=("lang", "source"), threshold=0.5)
+    kwb = dict(block_cols=("lang", "source"))
+    kw = dict(threshold=0.5, **kwb)
+    # tokenize the corpus ONCE before the replay (the probes/qv idiom
+    # of the semdecon stream applied to tokens): every micro-batch's
+    # batch/base token frames are id-selections of this checkpointed
+    # prep — the batch rows ARE docs rows, so selecting by id is
+    # value-identical to re-tokenizing the arriving frame, without
+    # re-running the tokenizer per leg per batch
+    prepped = jaccard_prep(docs, **kwb).localCheckpoint(eager=True)
 
     def start(src, schema, tmp):
         state_dir = f"{tmp}/state"
@@ -16826,30 +16890,38 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         def merge_batch(batch_df, batch_id):
             sess = batch_df.sparkSession
             nodes = batch_df.select(F.col("doc_id").alias("id"))
+            batch_p = prepped.join(
+                nodes.select("id"), "id", "left_semi"
+            )
             existing = _read_parquet_if_exists(sess, state_dir)
             if existing is None:
                 st = near_dup_clusters(
-                    jaccard_pairs(batch_df, **kw).select("id_a", "id_b"),
+                    jaccard_pairs_prepped(batch_p, **kw).select(
+                        "id_a", "id_b"
+                    ),
                     nodes,
                 )
             else:
-                base_docs = docs.join(
-                    existing.select(F.col("id").alias("doc_id")),
-                    "doc_id",
-                    "left_semi",
+                base_p = prepped.join(
+                    existing.select("id"), "id", "left_semi"
                 )
                 edges = (
-                    jaccard_cross_pairs(batch_df, base_docs, **kw)
+                    jaccard_cross_pairs_prepped(batch_p, base_p, **kw)
                     .select("id_a", "id_b")
                     .unionByName(
-                        jaccard_pairs(batch_df, **kw).select("id_a", "id_b")
+                        jaccard_pairs_prepped(batch_p, **kw).select(
+                            "id_a", "id_b"
+                        )
                     )
                 )
                 st = incremental_clusters(existing, edges, nodes)
-            # materialize BEFORE overwriting the directory we just read
-            st.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                state_dir
+            # write-then-swap replaces the old checkpoint-then-
+            # overwrite: one materialization of the state per batch
+            from finance_reporting_etl_spark.streaming.merge import (
+                overwrite_state_dir,
             )
+
+            overwrite_state_dir(st, state_dir)
 
         return (
             spark.readStream.schema(schema)

@@ -63,6 +63,10 @@ def get_spark(
         # ~800k scan tasks, the right granularity for 1000 executors.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    import json as _json
+
+    for k, v in _json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -12,9 +12,9 @@ the same fixpoint as one merge over the union, for ANY batch split.
 That associativity is what the oracle checks.
 
 Scale boundary (documented, deliberate): the demo target is a plain
-parquet directory, so each batch rewrites the full table (materialized
-via localCheckpoint before the overwrite — you cannot lazily read and
-overwrite the same path). Production swaps the body for a transactional
+parquet directory, so each batch rewrites the full table (written to a
+sibling dir then swapped in — you cannot lazily read and overwrite the
+same path). Production swaps the body for a transactional
 MERGE INTO (Delta/Iceberg) or dynamic partition overwrite touching only
 the partitions present in the batch; the streaming plumbing
 (checkpointing, batch boundaries, exactly-once-per-batch) is identical.
@@ -26,6 +26,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from finance_reporting_etl_spark.operators.incremental import merge_latest
+
+
+def overwrite_state_dir(df: DataFrame, path: str) -> None:
+    """Replace a maintained parquet state dir with ``df`` when the
+    plan READS the same dir: write to a sibling, then swap via
+    FileSystem rename. One materialization (the direct write) instead
+    of the old localCheckpoint-then-write (which wrote the whole state
+    to executor storage and then re-read it to write parquet — two
+    copies per micro-batch). The delete+rename swap is not
+    transactional — the module docstring already scopes plain parquet
+    state to the demo harness; production uses MERGE INTO."""
+    sess = df.sparkSession
+    jvm = sess._jvm
+    conf = sess._jsc.hadoopConfiguration()
+    new_path = path + "__next"
+    df.write.mode("overwrite").parquet(new_path)
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    hn = jvm.org.apache.hadoop.fs.Path(new_path)
+    fs = hp.getFileSystem(conf)
+    if fs.exists(hp):
+        fs.delete(hp, True)
+    fs.rename(hn, hp)
 
 
 def _read_parquet_if_exists(sess, path: str):
@@ -75,8 +97,9 @@ def streaming_merge_upsert(
             batch_df if existing is None else existing.unionByName(batch_df)
         )
         merged = merge_latest(combined, keys, order_col, tiebreak_col)
-        # materialize BEFORE overwriting the directory we just read
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+        # write-then-swap: one materialization per batch (the old
+        # localCheckpoint-before-overwrite wrote the state twice)
+        overwrite_state_dir(merged, target_dir)
 
     stream = (
         spark.readStream.schema(schema)

@@ -48,14 +48,47 @@ def stage_microbatches(
     """Write each DataFrame as one parquet file under ``src_dir`` with
     strictly increasing mtimes, so a file stream with
     ``maxFilesPerTrigger=1`` replays them as ordered micro-batches.
-    Empty DataFrames are staged too (epilogue batches)."""
+    Empty DataFrames are staged too (epilogue batches).
+
+    All non-empty batches land in ONE tagged, batch-partitioned write
+    job (``repartition(tag)`` puts every row of a batch in a single
+    task, so each partition directory holds exactly one file) instead
+    of one coalesce(1) job per batch — the per-query staging cost of
+    the 16 streaming replays was dominated by those serial one-task
+    jobs. Batch content is unchanged; within-batch row order is not
+    part of any replay's contract (micro-batch folds are order-free by
+    design, which is what each streaming==batch oracle proves)."""
     os.makedirs(src_dir, exist_ok=True)
+    tagged = None
     for i, b in enumerate(batches):
-        stage = f"{src_dir}_stage{i}"
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        t = b.withColumn("__mb", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    stage = f"{src_dir}_stage"
+    tagged.repartition("__mb").write.mode("overwrite").partitionBy(
+        "__mb"
+    ).parquet(stage)
+    for i, b in enumerate(batches):
+        part_dir = f"{stage}/__mb={i}"
         dst = f"{src_dir}/batch{i}.parquet"
-        shutil.copy(f"{stage}/{part}", dst)
+        if os.path.isdir(part_dir):
+            parts = [
+                x for x in os.listdir(part_dir) if x.endswith(".parquet")
+            ]
+            assert len(parts) == 1, (
+                f"batch {i}: expected one file after repartition, got "
+                f"{parts}"
+            )
+            shutil.copy(f"{part_dir}/{parts[0]}", dst)
+        else:
+            # empty batch (epilogue): no partition dir was written —
+            # stage it the old way so the schema-carrying empty file
+            # still forces its no-data micro-batch
+            empty_stage = f"{src_dir}_stage_empty{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(empty_stage)
+            part = next(
+                x for x in os.listdir(empty_stage) if x.endswith(".parquet")
+            )
+            shutil.copy(f"{empty_stage}/{part}", dst)
         os.utime(dst, (base_mtime + i * step,) * 2)
     return src_dir
 
