@@ -590,6 +590,34 @@ NOTES = {
         "r10 datum. Plan unchanged (3-micro-batch KMV fold, one "
         "per-batch shuffle); box variance, no redesign warranted."
     ),
+    "_r14_optimization_round": (
+        "r14 is optimization round 1: see OPTIMIZATION_r14.md for the "
+        "per-operator before/after evidence. Build-box full-bench "
+        "panel samples this round: 66.40s (mid-round) and 72.16s "
+        "(end-of-round, with UNTOUCHED controls up ~8-15% in the same "
+        "run — box drift, not code; r13 read 72.33 driver-box / "
+        "71.15-72.16 quiet-box). CANONICAL SERIES DECISION (VERDICT "
+        "r13 task 5): the box series had numerically converged, so "
+        "from r14 on the canonical round-over-round panel series is "
+        "the DRIVER's own BENCH_rNN runs; build-box samples in "
+        "OPTIMIZATION_rNN.md are within-round paired A/B evidence "
+        "only, never trend points."
+    ),
+    "dedup_clusters": (
+        "r13 flagged 3.19->5.94s (1.86x, VERDICT task 2). Disposition "
+        "closed by a FIX, not a wave-through: the r14 optimization "
+        "round removed the per-pair array_union and the double "
+        "tokenization from the jaccard verify leg "
+        "(OPTIMIZATION_r14.md batch 1/7); r14 mid-round full bench "
+        "reads 3.24s, below every prior datum."
+    ),
+    "bloom_fpr_sweep": (
+        "r14 mid-round bench read 2.91s vs 2.47 (r13) — the only "
+        ">15% upward mover left after the pps fix. Plan unchanged "
+        "(PLAN_AUDIT counts stable, query untouched this round), "
+        "inside the documented +/-30% single-sample band; apply the "
+        "disposition protocol in r15 if it persists."
+    ),
     "streaming_intercompany_elimination": (
         "r12 quiet-box interleaved best-of-3 (VERDICT r11 task 5): "
         "5.22s (runs 5.96/5.39/5.22) vs 4.53s (r10) / 5.54s (r11), "
