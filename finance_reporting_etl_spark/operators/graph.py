@@ -91,6 +91,21 @@ def pagerank(
                 f"{n_sinks} dst nodes never appear as src (dangling "
                 f"sinks); symmetrize the edge list or add self-loops"
             )
+        if symmetric:
+            # symmetric mode additionally REQUIRES every node to have
+            # an in-edge (contribs covers only dst values); a merely
+            # dst-closed directed graph would silently drop in-edge-
+            # less nodes from the output (ADVICE r14)
+            n_no_in = nodes.join(
+                e.select(F.col("dst").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            ).count()
+            if n_no_in:
+                raise ValueError(
+                    f"{n_no_in} nodes have no in-edge; symmetric=True "
+                    f"requires a symmetrized edge list"
+                )
     n = nodes.count()
     bcast = n <= broadcast_node_limit
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))

@@ -17058,79 +17058,24 @@ def q_ivf_rebuild_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
-# Round-14 gate window (driver verifies the first 50 catalog entries):
-# the 6 round-13 additions (never driver-gated) plus the 44 stalest
-# proven entries (last green driver row r6, in catalog order) — exactly
-# the VERDICT r13 task 1 prescription. The 6-entry r6 overflow
-# (indicator_max_drawdown .. streaming_ohlc_maintain) leads _GATE_NEXT
-# per the standing one-window rule. Every entry is local-oracle-
-# verified at sf0.001 (tests/test_catalog_oracle.py, 6-dp compare) AND
-# at sf0.01 with EXACT float compare
+# Round-15 gate window (driver verifies the first 50 catalog entries):
+# the 5 round-14 lifecycle additions (never driver-gated — VERDICT r14
+# task 3), the 6-entry r6 overflow carried from the round-14 rotation,
+# and the 39 next-stalest proven entries (last green driver row r7, in
+# catalog order). Every entry is local-oracle-verified at sf0.001
+# (tests/test_catalog_oracle.py, 6-dp compare) AND at sf0.01 with EXACT
+# float compare
 # (tests/test_catalog_oracle.py::test_gate_window_exact_oracle_sf0_01).
 # New queries MUST be appended to _GATE_NEXT (tripwire:
 # tests/test_plan_shapes.py::test_gate_window_covers_unproven_queries).
 _GATE_FIRST = [
-    # -- round-13 additions, never driver-gated (6) — VERDICT r13
-    #    task 1: this window clears the last gate debt -----------------
-    "phash_purge_pareto",
-    "crossmodal_decon_agreement",
-    "streaming_ivf_upsert_reassign",
-    "decon_method_agreement_3way",
-    "streaming_semdecon_flag_maintain",
-    "ann_stale_serving_recall",
-    # -- next-stalest proven entries (last green driver row r6) -------
-    "ann_rerank_exact",
-    "near_dup_incremental_batch",
-    "ctfidf_distinctive_terms",
-    "twap_daily_value",
-    "negative_sampling_recsys",
-    "groupwise_leakage_safe_split",
-    "hard_negative_mining",
-    "mad_robust_outliers",
-    "streaming_ann_index_maintain",
-    "schema_evolution_read",
-    "dp_noisy_event_counts",
-    "business_days_to_ship",
-    "event_trigram_paths",
-    "corpus_token_budget_select",
-    "session_bounce_rate",
-    "decision_stump_train",
-    "join_key_skew_profile",
-    "rolling_correlation_series",
-    "ab_test_conversion_lift",
-    "trading_day_rollup",
-    "dow_seasonality_index",
-    "seed_sla_attainment",
-    "capped_user_balance",
-    "embedding_outlier_flags",
-    "revenue_bridge_mom",
-    "interval_union_coverage",
-    "cohort_ltv_curve",
-    "open_orders_backlog_daily",
-    "decision_tree_depth2",
-    "inference_score_calibration",
-    "stump_bagging_eval",
-    "gini_revenue_concentration",
-    "value_drift_psi_bins",
-    "rfm_segmentation",
-    "finance_daily_pipeline",
-    "streaming_value_drift_psi",
-    "collocation_pmi_top",
-    "debounce_events",
-    "holt_trend_forecast",
-    "proration_largest_remainder",
-    "poisson_bootstrap_ci",
-    "zorder_locality_stats",
-    "bucketed_join_rollup",
-    "jaccard_prefix_filter_pairs",
-]
-
-# Heads of the round-15 window: the 6-entry r6 overflow that did not
-# fit round 14's 50 slots, then the next-stalest proven entries (last
-# green driver row r7), in catalog order. Round-14 additions are
-# appended below the marker (standing rule, VERDICT r12 task 3: never
-# more never-gated queries than one 50-slot window can clear).
-_GATE_NEXT = [
+    # -- round-14 additions, never driver-gated (5) — VERDICT r14
+    #    task 3: this window clears the gate debt ---------------------
+    "near_dup_cluster_maintain",
+    "ivf_retrain_criterion",
+    "crossmodal_purge_pareto",
+    "streaming_cluster_maintain",
+    "ivf_rebuild_execute",
     # -- r6 overflow carried from the round-14 rotation ---------------
     "indicator_max_drawdown",
     "cusum_alarm_days",
@@ -17178,18 +17123,68 @@ _GATE_NEXT = [
     "markov_absorption_3step",
     "wac_inventory_brand",
     "zipf_law_fit",
+]
+
+# Heads of the round-16 window: the 5-entry r7 overflow that did not
+# fit round 15's 50 slots, the 3 r7-stale entries that were never
+# staged in a prior _GATE_NEXT, then the stalest r8-proven entries in
+# catalog order. New queries are appended below the marker (standing
+# rule, VERDICT r12 task 3: never more never-gated queries than one
+# 50-slot window can clear).
+_GATE_NEXT = [
+    # -- r7 overflow carried from the round-15 rotation ---------------
     "mahalanobis_outlier_events",
     "seasonal_naive_backtest",
     "gbt_price_residual_stumps",
     "pareto_frontier_parts",
     "ab_srm_check",
-    # -- round-14 additions (never gated; staged per the standing rule
-    #    so the r15 rotation gates them) -------------------------------
-    "near_dup_cluster_maintain",
-    "ivf_retrain_criterion",
-    "crossmodal_purge_pareto",
-    "streaming_cluster_maintain",
-    "ivf_rebuild_execute",
+    # -- remaining r7-stale entries ------------------------------------
+    "fuzzy_name_match_pairs",
+    "kendall_tau_daily",
+    "tail_dependence_segments",
+    # -- next-stalest proven entries (last green driver row r8) -------
+    "mart_financial_summary",
+    "mart_financial_kpis",
+    "economic_indicators",
+    "indicator_stats",
+    "filter_eq_projection",
+    "literal_columns",
+    "cumulative_monthly_revenue",
+    "customer_spend_deciles",
+    "corpus_clean",
+    "corpus_stats",
+    "corpus_hash_split",
+    "corpus_mixture_sample",
+    "corpus_chunking",
+    "ingest_fred_observations",
+    "asof_latest_view_before_purchase",
+    "customers_without_orders_anti",
+    "pii_redaction",
+    "corpus_vocabulary",
+    "decontaminate_4gram",
+    "kmeans_cluster_profile",
+    "chunk_dedup_occurrences",
+    "keyword_search_topk",
+    "event_funnel",
+    "cohort_retention",
+    "event_type_week_cube",
+    "daily_revenue_gapfilled",
+    "ingest_statements",
+    "attribution_window_join",
+    "corpus_shuffle_shard",
+    "embedding_inference_scores",
+    "fifo_realized_pnl",
+    "bollinger_daily_bands",
+    "duplicate_payment_audit",
+    "last_digit_uniformity",
+    "ucb1_arm_scores",
+    "woe_iv_discount_bins",
+    "event_step_paths",
+    "cohort_payback_month",
+    "compaction_bin_packing",
+    "price_volume_mix_decomposition",
+    "cuped_adjusted_lift",
+    "diff_in_diff_discount",
 ]
 
 assert set(_GATE_FIRST) <= set(CATALOG), sorted(set(_GATE_FIRST) - set(CATALOG))

@@ -65,7 +65,22 @@ def get_spark(
     )
     import json as _json
 
-    for k, v in _json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")).items():
+    raw_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")
+    try:
+        env_conf = _json.loads(raw_extra)
+    except ValueError as e:
+        raise ValueError(
+            f"SPARK_GRAFT_EXTRA_CONF is not valid JSON: {raw_extra!r}"
+        ) from e
+    if env_conf:
+        # loud trace: injected configs can flip semantics (ANSI, legacy
+        # modes) in ANY session, including correctness runs (ADVICE r14)
+        print(
+            "SPARK_GRAFT_EXTRA_CONF injecting: "
+            + ", ".join(sorted(env_conf)),
+            flush=True,
+        )
+    for k, v in env_conf.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

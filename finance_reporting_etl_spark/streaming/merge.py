@@ -34,20 +34,39 @@ def overwrite_state_dir(df: DataFrame, path: str) -> None:
     FileSystem rename. One materialization (the direct write) instead
     of the old localCheckpoint-then-write (which wrote the whole state
     to executor storage and then re-read it to write parquet — two
-    copies per micro-batch). The delete+rename swap is not
-    transactional — the module docstring already scopes plain parquet
-    state to the demo harness; production uses MERGE INTO."""
+    copies per micro-batch).
+
+    The swap renames the live dir ASIDE (never deletes it first) and
+    restores it if the swap-in fails, so no failure mode leaves the
+    state missing; Hadoop ``rename`` signals most failures by
+    returning false, so every return value is checked (ADVICE r14).
+    The two-rename window is still not transactional — the module
+    docstring scopes plain parquet state to the demo harness;
+    production uses MERGE INTO."""
     sess = df.sparkSession
     jvm = sess._jvm
     conf = sess._jsc.hadoopConfiguration()
     new_path = path + "__next"
+    old_path = path + "__old"
     df.write.mode("overwrite").parquet(new_path)
     hp = jvm.org.apache.hadoop.fs.Path(path)
     hn = jvm.org.apache.hadoop.fs.Path(new_path)
+    ho = jvm.org.apache.hadoop.fs.Path(old_path)
     fs = hp.getFileSystem(conf)
-    if fs.exists(hp):
-        fs.delete(hp, True)
-    fs.rename(hn, hp)
+    if fs.exists(ho):
+        fs.delete(ho, True)
+    had_prev = fs.exists(hp)
+    if had_prev and not fs.rename(hp, ho):
+        raise IOError(f"rename {path} -> {old_path} failed")
+    if not fs.rename(hn, hp):
+        if had_prev and not fs.rename(ho, hp):
+            raise IOError(
+                f"rename {new_path} -> {path} failed AND restoring "
+                f"{old_path} failed — state dir lost"
+            )
+        raise IOError(f"rename {new_path} -> {path} failed")
+    if had_prev:
+        fs.delete(ho, True)
 
 
 def _read_parquet_if_exists(sess, path: str):

@@ -57,7 +57,13 @@ def stage_microbatches(
     the 16 streaming replays was dominated by those serial one-task
     jobs. Batch content is unchanged; within-batch row order is not
     part of any replay's contract (micro-batch folds are order-free by
-    design, which is what each streaming==batch oracle proves)."""
+    design, which is what each streaming==batch oracle proves).
+
+    All batches must share ONE schema (they are unioned into the
+    single tagged write — a requirement the old per-batch coalesce(1)
+    writes did not have); ``batches`` must be non-empty (ADVICE r14)."""
+    if not batches:
+        raise ValueError("stage_microbatches: batches must be non-empty")
     os.makedirs(src_dir, exist_ok=True)
     tagged = None
     for i, b in enumerate(batches):

@@ -14,6 +14,16 @@ sys.path.insert(0, str(REPO))
 # happens after this conftest loads).
 os.environ.setdefault("SPARK_GRAFT_RUN_ID", f"pytest-{os.getpid()}")
 
+# Derandomize Hypothesis so the suite is deterministic on ANY box: the
+# r14 driver run drew a twap rounding-tie example the builder's three
+# green runs never drew. Examples are now derived from each test's
+# structure, not a per-run seed; known tie cases are pinned with
+# @example so they stay covered regardless.
+from hypothesis import settings as _hyp_settings  # noqa: E402
+
+_hyp_settings.register_profile("deterministic", derandomize=True)
+_hyp_settings.load_profile("deterministic")
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _cleanup_aux():

@@ -10,8 +10,9 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
+from finance_reporting_etl_spark.functions.scalars import det_round_py
 from finance_reporting_etl_spark.functions.text import (
     ROLLING_BASE,
     ROLLING_MOD,
@@ -412,6 +413,12 @@ def test_merge_intervals_matches_python_sweep(spark, raw):
         unique_by=lambda t: (t[0], t[1]),
     )
 )
+# Pinned regression: twap lands EXACTLY on 2^-7 = 0.0078125 (a
+# representable scale-6 midpoint), where the operator's documented
+# half-up det_round gives 0.007813 but Python's half-even round()
+# gives 0.007812 — the reference below must therefore use
+# det_round_py, never builtin round (r14 driver flake).
+@example(raw=[(1, 86272, 100), (1, 86273, 0)])
 @settings(max_examples=20, deadline=None)
 def test_twap_matches_python_reference(spark, raw):
     """time_weighted_daily_avg == a literal Python holding-time
@@ -446,7 +453,7 @@ def test_twap_matches_python_reference(spark, raw):
             micros = int((nxt - ts).total_seconds() * 1_000_000)
             wsum += round(v * 100) * micros
             tsum += micros
-        want = round(wsum / 100.0 / tsum, 6)
+        want = det_round_py(wsum / 100.0 / tsum, 6)
         n, twap = got[k]
         assert n == len(obs)
         assert abs(twap - want) < 1e-9, (k, twap, want)
@@ -499,12 +506,16 @@ def test_winsorized_stats_match_numpy_reference(spark, raw):
         )
         r = got[g]
         assert r.n == n and r.lo_cut == lo_cut and r.hi_cut == hi_cut
-        assert abs(r.mean_raw - round(float(rawi.sum()) / 100.0 / n, 6)) < 1e-9
-        assert abs(r.mean_winsor - round(float(wini.sum()) / 100.0 / n, 6)) < 1e-9
+        # det_round_py, not builtin round: the operator rounds half-up
+        # and e.g. sum=25,n=32 makes the quotient an exact 2^-7
+        # midpoint where the two tie rules split by 1e-6 (r14 twap bug
+        # class)
+        assert abs(r.mean_raw - det_round_py(float(rawi.sum()) / 100.0 / n, 6)) < 1e-9
+        assert abs(r.mean_winsor - det_round_py(float(wini.sum()) / 100.0 / n, 6)) < 1e-9
         if n > 1:
             sw = float(wini.sum())
             var = max((float((wini * wini).sum()) - sw * sw / n) / 10000.0 / (n - 1), 0.0)
-            assert abs(r.sd_winsor - round(math.sqrt(var), 6)) < 1e-9
+            assert abs(r.sd_winsor - det_round_py(math.sqrt(var), 6)) < 1e-9
         else:
             # sample sd undefined for one observation -> NULL, not a crash
             assert r.sd_winsor is None
@@ -640,7 +651,7 @@ def test_mann_whitney_matches_python_reference(spark, raw):
     else:
         var = n1 * n2 * tie / (12 * n * (n - 1))
         z = (u1 - n1 * n2 / 2) / math.sqrt(var)
-        assert abs(out.z - round(z, 6)) < 1e-6
+        assert abs(out.z - det_round_py(z, 6)) < 1e-6
 
 
 @given(
@@ -670,7 +681,7 @@ def test_emd_1d_matches_python_reference(spark, raw):
         f1 = sum(1 for v in g1 if v <= a) / len(g1)
         f2 = sum(1 for v in g2 if v <= a) / len(g2)
         total += abs(f1 - f2) * (b - a)
-    assert abs(out.emd - round(total / 100.0, 6)) < 1e-6
+    assert abs(out.emd - det_round_py(total / 100.0, 6)) < 1e-6
 
 
 @given(
@@ -708,7 +719,7 @@ def test_split_conformal_matches_python_reference(spark, cents, season):
     row = out[0]
     assert row.q_hat_cents == q_hat
     assert row.n_eval == len(ev)
-    assert abs(row.coverage - round(n_cover / len(ev), 6)) < 1e-9
+    assert abs(row.coverage - det_round_py(n_cover / len(ev), 6)) < 1e-9
 
 
 @given(st.lists(st.integers(1, 10_000), min_size=5, max_size=60))

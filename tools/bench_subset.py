@@ -37,6 +37,11 @@ def main() -> None:
     if args and args[0].startswith("-n"):
         passes = int(args[0][2:])
         args = args[1:]
+    if passes < 1:
+        raise SystemExit("bench_subset: passes must be >= 1")
+    unknown = [n for n in args if n not in CATALOG]
+    if unknown or not args:
+        raise SystemExit(f"bench_subset: unknown/missing queries {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-subset")
     spark.range(1).count()
