@@ -16571,7 +16571,6 @@ def q_near_dup_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.dedup import (
         incremental_clusters,
-        jaccard_cross_pairs_prepped,
         jaccard_pairs_prepped,
         jaccard_prep,
         near_dup_clusters,
@@ -16581,32 +16580,47 @@ def q_near_dup_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = md5_bucket("doc_id", salt="clmaint")
     base = docs.filter(bd >= 32)
     delta = docs.filter(bd < 32)
-    # tokenize the corpus ONCE: three pair legs (base self, cross,
-    # delta self) each self-join or cross-join the token frame, which
-    # un-materialized would re-tokenize the corpus ~6x
+    # tokenize the corpus ONCE and score every qualifying pair ONCE:
+    # the three pair legs (base self, cross, delta self) partition the
+    # FULL corpus pair space exactly (base-base / mixed / delta-delta),
+    # so one fused self-join over the whole prep replaces three
+    # separate joins — same candidate pairs evaluated in total, two
+    # fewer shuffles and token-frame passes (guide §2.4; VERDICT r14
+    # task 4). Endpoint buckets re-derived per pair split the fused
+    # table back into the legs; cross-pair orientation differs from
+    # the old delta-on-the-left shape, which cannot matter: both
+    # cluster steps treat edges as undirected (union-find symmetrizes,
+    # the contraction coalesces both endpoints).
     kwb = dict(block_cols=("lang", "source"))
-    prepped = (
-        jaccard_prep(docs, **kwb)
-        .withColumn("__bd", md5_bucket("id", salt="clmaint"))
+    prepped = jaccard_prep(docs, **kwb).persist()
+    full_pairs = (
+        jaccard_pairs_prepped(prepped, threshold=0.5, **kwb)
+        .select(
+            "id_a",
+            "id_b",
+            (md5_bucket("id_a", salt="clmaint") >= 32).alias("__base_a"),
+            (md5_bucket("id_b", salt="clmaint") >= 32).alias("__base_b"),
+        )
         .localCheckpoint(eager=True)
     )
-    base_p = prepped.filter(F.col("__bd") >= 32).drop("__bd")
-    delta_p = prepped.filter(F.col("__bd") < 32).drop("__bd")
-    base_edges = jaccard_pairs_prepped(base_p, threshold=0.5, **kwb).select(
-        "id_a", "id_b"
-    )
+    prepped.unpersist()
+    base_edges = full_pairs.filter(
+        F.col("__base_a") & F.col("__base_b")
+    ).select("id_a", "id_b")
+    delta_edges = full_pairs.filter(
+        ~F.col("__base_a") | ~F.col("__base_b")
+    ).select("id_a", "id_b")
+    # localCheckpoint, not persist: the final returned plan still reads
+    # base_cl (5 references), so an explicit unpersist before returning
+    # would drop the cache ahead of the consuming action, and a persist
+    # left behind leaks in the CacheManager (DataFrame cache entries
+    # are not GC-collected the way checkpoint RDD blocks are)
     base_cl = near_dup_clusters(
         base_edges, base.select(F.col("doc_id").alias("id"))
     ).localCheckpoint()
-    d_cross = jaccard_cross_pairs_prepped(
-        delta_p, base_p, threshold=0.5, **kwb
-    ).select("id_a", "id_b")
-    d_self = jaccard_pairs_prepped(delta_p, threshold=0.5, **kwb).select(
-        "id_a", "id_b"
-    )
     merged = incremental_clusters(
         base_cl,
-        d_cross.unionByName(d_self),
+        delta_edges,
         delta.select(F.col("doc_id").alias("id")),
     )
     flags = docs.select(
@@ -16857,7 +16871,7 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_reporting_etl_spark.operators.corpus import md5_bucket
     from finance_reporting_etl_spark.operators.dedup import (
         incremental_clusters,
-        jaccard_cross_pairs_prepped,
+        jaccard_incident_pairs_prepped,
         jaccard_pairs_prepped,
         jaccard_prep,
         near_dup_clusters,
@@ -16878,11 +16892,14 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = dict(threshold=0.5, **kwb)
     # tokenize the corpus ONCE before the replay (the probes/qv idiom
     # of the semdecon stream applied to tokens): every micro-batch's
-    # batch/base token frames are id-selections of this checkpointed
+    # batch/base token frames are id-selections of this persisted
     # prep — the batch rows ARE docs rows, so selecting by id is
     # value-identical to re-tokenizing the arriving frame, without
-    # re-running the tokenizer per leg per batch
-    prepped = jaccard_prep(docs, **kwb).localCheckpoint(eager=True)
+    # re-running the tokenizer per leg per batch. persist (not eager
+    # localCheckpoint): the first batch's job materializes the cache
+    # once, and the blocks are released after the replay instead of
+    # outliving the query (VERDICT r14 task 2).
+    prepped = jaccard_prep(docs, **kwb).persist()
 
     def start(src, schema, tmp):
         state_dir = f"{tmp}/state"
@@ -16902,18 +16919,20 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nodes,
                 )
             else:
-                base_p = prepped.join(
-                    existing.select("id"), "id", "left_semi"
-                )
-                edges = (
-                    jaccard_cross_pairs_prepped(batch_p, base_p, **kw)
-                    .select("id_a", "id_b")
+                # one fused join per micro-batch (cross ∪ batch-self
+                # pairs, value-identical — VERDICT r14 task 4) instead
+                # of separate cross and self joins over the same prep
+                seen = (
+                    existing.select("id")
+                    .withColumn("__isb", F.lit(0))
                     .unionByName(
-                        jaccard_pairs_prepped(batch_p, **kw).select(
-                            "id_a", "id_b"
-                        )
+                        nodes.select("id").withColumn("__isb", F.lit(1))
                     )
                 )
+                seen_p = prepped.join(seen, "id")
+                edges = jaccard_incident_pairs_prepped(
+                    batch_p, seen_p, "__isb", **kw
+                ).select("id_a", "id_b")
                 st = incremental_clusters(existing, edges, nodes)
             # write-then-swap replaces the old checkpoint-then-
             # overwrite: one materialization of the state per batch
@@ -16948,6 +16967,7 @@ def q_streaming_cluster_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="stream_clmaint_",
         label="streaming_cluster_maintain",
     )
+    prepped.unpersist()
     ab = md5_bucket(F.col("id"), salt="clstream")
     return state.select(
         F.col("id").alias("doc_id"),
