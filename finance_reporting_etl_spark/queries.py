@@ -3411,19 +3411,34 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((x,y) present iff (y,x) is)."""
     if _COPURCHASE_CACHE.get("sf") != sf_dir:
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a, b = li.alias("a"), li.alias("b")
+        # pre-aggregate to one row per (order, part) BEFORE the self-
+        # join (guide §2.3 aggregate-before-shuffle): n_lines is then
+        # the exact product-sum Σ c_a*c_b over shared orders and
+        # n_orders a plain count of the joined (order, src, dst) rows —
+        # identical integers to the old count/count_distinct over raw
+        # line combinations (verified exceptAll-equal both ways at
+        # sf0.1), without the count_distinct expand over the pair
+        # explosion. 4.03 -> 3.18s for the build at sf0.1.
+        g = li.groupBy("l_orderkey", "l_partkey").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        ga = g.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("src"),
+            F.col("c").alias("ca"),
+        )
+        gb = g.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("dst"),
+            F.col("c").alias("cb"),
+        )
         pairs = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-            )
+            ga.join(gb, "ok")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
             .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                F.count_distinct("a.l_orderkey").alias("n_orders"),
+                F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_lines"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             )
         )
         _persist_aux(spark, pairs, "copurchase_pairs")
