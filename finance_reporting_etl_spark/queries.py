@@ -12195,6 +12195,14 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
     cst = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # pre-join the static order->customer-nation dimension ONCE outside
+    # the replay (plain join reordering, exact equi-keys): each of the
+    # 3 micro-batches previously re-ran the orders-customer join; now a
+    # batch pays one narrow (o_orderkey, c_nationkey) attach. persist +
+    # unpersist brackets the replay, so no blocks outlive the query.
+    odim = o.join(cst, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    ).persist()
 
     def batch_agg(batch: DataFrame) -> DataFrame:
         li = batch.select(
@@ -12205,8 +12213,7 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
             .alias("cents"),
         )
         return (
-            li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(cst, F.col("c_custkey") == F.col("o_custkey"))
+            li.join(odim, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
             .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
             .withColumn(
@@ -12222,7 +12229,7 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
             )
         )
 
-    return run_file_stream(
+    out = run_file_stream(
         spark,
         # stage only the four columns the fold reads (guide: project
         # before the exchange — the other 12 lineitem columns were
@@ -12258,6 +12265,8 @@ def q_streaming_intercompany_elimination(spark: SparkSession, sf_dir: str) -> Da
         prefix="stream_ic_",
         label="streaming_intercompany_elimination",
     )
+    odim.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -12362,7 +12371,14 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     index = _persist_aux(spark, ivf_index(emb), "ivf_sweep_index")
-    truth = brute_force_topk(emb, qids, k=10).select("query_id", "neighbor_id")
+    # the 50-row truth table feeds the count AND all four per-nprobe
+    # hits joins — pin it once (the old shape re-ran the brute-force
+    # scoring pass per sweep point, 4x)
+    truth = (
+        brute_force_topk(emb, qids, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     tn = (
         truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
         .localCheckpoint()
@@ -15811,30 +15827,36 @@ def q_semantic_decontamination_recall(spark: SparkSession, sf_dir: str) -> DataF
             .alias("hit"),
         )
     )
-    cand_counts = scored.agg(
+    # ONE pass over the scored frame: the old shape aggregated it twice
+    # (candidate counts + flagged counts), re-running the whole
+    # index-join + Arrow cosine chain per consumer. Per-train partials
+    # carry both readouts — candidate counts sum through the train
+    # grain exactly, and first_rank (min probe_rank among hits, NULL
+    # when none — a NULL comparison sums as 0 exactly like the old
+    # filter("hit") leg) prices the flag sweep. Identical integers.
+    per_train = scored.groupBy("train_id").agg(
         *[
             F.sum((F.col("probe_rank") <= p).cast("int"))
             .cast("bigint")
-            .alias(f"__nc{p}")
+            .alias(f"__pc{p}")
             for p in (1, 2, 4, 8)
-        ]
+        ],
+        F.min(F.when(F.col("hit"), F.col("probe_rank"))).alias("first_rank"),
     )
-    flag_counts = (
-        scored.filter("hit")
-        .groupBy("train_id")
-        .agg(F.min("probe_rank").alias("first_rank"))
-        .agg(
-            *[
-                F.sum((F.col("first_rank") <= p).cast("int"))
-                .cast("bigint")
-                .alias(f"__nf{p}")
-                for p in (1, 2, 4, 8)
-            ]
-        )
+    counts = per_train.agg(
+        *[
+            F.sum(f"__pc{p}").cast("bigint").alias(f"__nc{p}")
+            for p in (1, 2, 4, 8)
+        ],
+        *[
+            F.sum((F.col("first_rank") <= p).cast("int"))
+            .cast("bigint")
+            .alias(f"__nf{p}")
+            for p in (1, 2, 4, 8)
+        ],
     )
     return (
-        cand_counts.crossJoin(F.broadcast(flag_counts))
-        .crossJoin(F.broadcast(tn))
+        counts.crossJoin(F.broadcast(tn))
         .selectExpr(
             "stack(4, "
             + ", ".join(
