@@ -618,6 +618,17 @@ NOTES = {
         "inside the documented +/-30% single-sample band; apply the "
         "disposition protocol in r15 if it persists."
     ),
+    "_driver_box_ab_protocol": (
+        "VERDICT r14 task 8 standing protocol: (1) builder-box A/Bs "
+        "cannot settle driver-box disputes — within-round evidence is "
+        "SAME-BOX stash-paired bench_subset/full-bench pairs only; "
+        "(2) every round produces the low-core companion artifact "
+        "(BENCH_rNN_c8: the same bench at SPARK_GRAFT_CPUS=8) next to "
+        "the 32-core run; (3) drift test: untouched control queries "
+        "moving >10% at c32 while <5% at c8 means the c32 sample is "
+        "box/overhead drift — read the c8 series for that round's "
+        "round-over-round comparison."
+    ),
     "streaming_intercompany_elimination": (
         "r12 quiet-box interleaved best-of-3 (VERDICT r11 task 5): "
         "5.22s (runs 5.96/5.39/5.22) vs 4.53s (r10) / 5.54s (r11), "

@@ -12788,12 +12788,26 @@ def q_streaming_kmv_sketch_maintain(spark: SparkSession, sf_dir: str) -> DataFra
         # filter+orderBy+limit legs: each leg re-evaluated the whole
         # stack/distinct/md5 subtree (3x the per-batch compute for
         # identical rows — row_number under the same (h32, val) order
-        # picks exactly the same bottom-64 per column)
+        # picks exactly the same bottom-64 per column). A partition-
+        # local pre-cut (bottom-64 per (column, input partition))
+        # shrinks the global window's input from every distinct value
+        # to <= 64 x partitions rows — lossless because each member of
+        # a column's global bottom-64 is also in its own partition's
+        # bottom-64 (verified value-equal at sf0.1); the 3-partition
+        # skewed global sort stops carrying the whole NDV.
         from pyspark.sql import Window
 
+        w1 = Window.partitionBy("col_name", F.spark_partition_id()).orderBy(
+            F.asc("h32"), F.asc("val")
+        )
+        pre = (
+            hashed.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= 64)
+            .drop("__r1")
+        )
         wk = Window.partitionBy("col_name").orderBy(F.asc("h32"), F.asc("val"))
         return (
-            hashed.withColumn("__rn", F.row_number().over(wk))
+            pre.withColumn("__rn", F.row_number().over(wk))
             .filter(F.col("__rn") <= 64)
             .drop("__rn")
         )
